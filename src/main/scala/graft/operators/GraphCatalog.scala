@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Named-graph store replacing the reference's write path
+  * (ops 1/2, `primary_server.c:70-99`) and its per-graph
+  * reader/writer-lock machinery (`load_balancer.c:36-40`,
+  * `secondary_server.c:74-113`).
+  *
+  * Graphs persist as Parquet edge lists under `root/<name>/edges`.
+  * Consistency model: `mode("overwrite")` gives the same
+  * last-writer-wins whole-graph replacement the reference's writer
+  * lock provided, and immutable snapshot reads replace the reader
+  * lock — a DataFrame loaded before an overwrite keeps reading the
+  * files it resolved, so readers never observe a torn graph.
+  * No fixed caps (reference: 20 graphs / 100 vertices); names are
+  * real names, not a load-bearing `G<k>.txt` convention
+  * (`primary_server.c:43-51`).
+  */
+final class GraphCatalog(spark: SparkSession, root: String) {
+
+  private def edgePath(name: String) = s"$root/$name/edges"
+  private def validate(name: String): Unit =
+    require(name.nonEmpty && !name.contains("/") && !name.contains(".."),
+      s"invalid graph name: $name")
+
+  /** Reference op=1 (Add graph). Create-or-replace, atomic per graph. */
+  def addGraph(name: String, edges: DataFrame): Unit = {
+    validate(name)
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .write.mode(SaveMode.Overwrite).parquet(edgePath(name))
+  }
+
+  /** Reference op=2 (Modify graph) — behaviourally identical to add
+    * (`primary_server.c:70-99` uses one write path for both). */
+  def modifyGraph(name: String, edges: DataFrame): Unit = addGraph(name, edges)
+
+  /** Snapshot read of a named graph's edge list. */
+  def load(name: String): DataFrame = { validate(name); spark.read.parquet(edgePath(name)) }
+
+  def exists(name: String): Boolean =
+    new java.io.File(s"$root/$name/edges").exists()
+
+  def listGraphs(): Seq[String] = {
+    val d = new java.io.File(root)
+    if (!d.exists()) Seq.empty
+    else d.listFiles().filter(f => f.isDirectory && new java.io.File(f, "edges").exists())
+      .map(_.getName).toSeq.sorted
+  }
+
+  /** Reference op=4 routed through the catalog. */
+  def bfs(name: String, start: Long): DataFrame = Traversals.bfs(load(name), start)
+
+  /** Reference op=3 routed through the catalog. */
+  def dfsLeaves(name: String, start: Long): DataFrame = Traversals.dfsLeaves(load(name), start)
+}

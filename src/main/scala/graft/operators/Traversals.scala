@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.graphx.{Edge, Graph, VertexId}
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed graph traversals re-expressing the reference's two read
+  * queries (ops 3/4, `secondary_server.c:117-248`) Spark-first.
+  *
+  * Determinism contract (SURVEY.md §2.3 / FIXTURES.md): BFS emits
+  * `(order, level, vertex)` with ascending vertex id within a level
+  * (the reference's within-level order is racy thread interleaving —
+  * we define it); DFS leaves follow the reference's effectively
+  * sequential ascending-neighbor-order DFS exactly.
+  *
+  * Scale design: BFS is a driver-controlled level-synchronous loop —
+  * the same BSP structure as the reference's thread-per-frontier-node +
+  * per-level join barrier (`secondary_server.c:219-234`) — where each
+  * level is one distributed `frontier ⋈ edges` hash join. The frontier
+  * is re-checkpointed per level (`localCheckpoint`) so lineage stays
+  * O(1) per iteration, and the visited set stays a DataFrame (never
+  * collected). On a 1000-executor cluster the per-level join shuffles
+  * only the frontier (small) against edges partitioned by `src`;
+  * pre-partitioning `edges` by `src` once makes every level's join
+  * shuffle-free on the edge side.
+  */
+object Traversals {
+
+  /** Cache edges hash-partitioned by `src` once, so every BFS level's
+    * join reuses the same partitioning instead of reshuffling edges. */
+  def partitionEdges(edges: DataFrame, numPartitions: Int = 0): DataFrame = {
+    val n = if (numPartitions > 0) numPartitions
+            else edges.sparkSession.sessionState.conf.numShufflePartitions
+    edges.repartition(n, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Level-synchronous BFS: `(vertex: Long, level: Int)` for every vertex
+    * reachable from `start` (start itself at level 0). Level = shortest
+    * hop distance, because a vertex joins the visited set the first
+    * level it is reached. */
+  def bfsLevels(edges: DataFrame, start: Long, maxLevels: Int = 10000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+
+    var visited = Seq((start, 0)).toDF("vertex", "level").localCheckpoint(eager = true)
+    var frontier = visited.select("vertex")
+    var level = 0
+    var frontierSize = 1L
+    while (frontierSize > 0 && level < maxLevels) {
+      level += 1
+      // One BSP superstep: expand frontier along edges, drop already-seen.
+      val next = frontier.hint("broadcast")
+        .join(e, frontier("vertex") === e("src"))
+        .select(e("dst").as("vertex")).distinct()
+        .join(visited, Seq("vertex"), "left_anti")
+        .localCheckpoint(eager = true) // cut lineage growth per iteration
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        visited = visited.union(next.select(col("vertex"), lit(level).as("level")))
+          .localCheckpoint(eager = true)
+        frontier = next
+      }
+    }
+    visited
+  }
+
+  /** Reference op=4: BFS traversal sequence. Output
+    * `(order: Long, level: Int, vertex: Long)`, order 0-based over
+    * (level asc, vertex asc). */
+  def bfs(edges: DataFrame, start: Long): DataFrame = {
+    val w = Window.orderBy(col("level"), col("vertex"))
+    bfsLevels(edges, start)
+      .select((row_number().over(w) - 1).cast("long").as("order"),
+        col("level").cast("int").as("level"), col("vertex").cast("long").as("vertex"))
+  }
+
+  /** GraphX Pregel variant of [[bfsLevels]] (cross-check + the
+    * "GraphX for analytics" path). Same output contract. */
+  def bfsLevelsPregel(edges: DataFrame, start: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
+    val g = Graph.fromEdges[Int, Unit](edgeRdd, Int.MaxValue)
+      .mapVertices((id, _) => if (id == start) 0 else Int.MaxValue)
+    val res = g.pregel(Int.MaxValue)(
+      (_, attr, msg) => math.min(attr, msg),
+      t => if (t.srcAttr != Int.MaxValue && t.srcAttr + 1 < t.dstAttr)
+             Iterator((t.dstId, t.srcAttr + 1)) else Iterator.empty,
+      (a, b) => math.min(a, b))
+    val out = res.vertices.filter(_._2 != Int.MaxValue)
+      .map { case (v, l) => (v, l) }.toDF("vertex", "level")
+    // Isolated start vertex: fromEdges only materialises endpoint vertices.
+    if (out.where(col("vertex") === start).isEmpty)
+      out.union(Seq((start, 0)).toDF("vertex", "level"))
+    else out
+  }
+
+  /** Reference op=3: leaf nodes of the DFS tree from `start`
+    * (`secondary_server.c:142-176`). A vertex is a leaf iff its DFS
+    * expansion finds no unvisited neighbor (checked incrementally in
+    * ascending neighbor order, each child fully explored before the
+    * next check — the reference joins each child thread immediately,
+    * so its DFS is sequential and deterministic).
+    *
+    * Two phases: (1) distributed reachability (the part that scales —
+    * same machinery as BFS); (2) deterministic replay over the
+    * *reachable* adjacency only, collected to the driver. The replay is
+    * O(reachable edges); DFS-tree-with-order is inherently sequential
+    * (P-complete), so the collected-replay split is the honest design:
+    * phase 1 bounds phase 2's input to the component actually reached.
+    * Output: `(vertex: Long)` ascending.
+    */
+  def dfsLeaves(edges: DataFrame, start: Long): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val reach = bfsLevels(edges, start).select("vertex")
+    val adjRows = edges
+      .join(reach, edges("src") === reach("vertex"), "left_semi")
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)].collect()
+    val adj: Map[Long, Array[Long]] =
+      adjRows.groupBy(_._1).map { case (s, a) => s -> a.map(_._2).distinct.sorted }
+
+    val visited = scala.collection.mutable.Set[Long](start)
+    val leaves = scala.collection.mutable.ArrayBuffer[Long]()
+    // Explicit stack == the reference's recursion; childCount per frame.
+    final class Frame(val v: Long) {
+      val it: Iterator[Long] = adj.getOrElse(v, Array.empty[Long]).iterator
+      var childCount = 0
+    }
+    val stack = scala.collection.mutable.Stack(new Frame(start))
+    while (stack.nonEmpty) {
+      val f = stack.top
+      var pushed = false
+      while (!pushed && f.it.hasNext) {
+        val u = f.it.next()
+        if (!visited(u)) {
+          f.childCount += 1
+          visited += u
+          stack.push(new Frame(u))
+          pushed = true
+        }
+      }
+      if (!pushed) {
+        stack.pop()
+        if (f.childCount == 0) leaves += f.v
+      }
+    }
+    leaves.toSeq.sorted.toDF("vertex")
+  }
+
+  /** Connected components by iterative min-label propagation (driver
+    * loop, same checkpoint hygiene as BFS). Output
+    * `(vertex: Long, component: Long)` where component = min vertex id
+    * in the component. Treats edges as undirected. */
+  def connectedComponents(edges: DataFrame, maxIters: Int = 10000): DataFrame = {
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .union(edges.select(col("dst").cast("long"), col("src").cast("long"))).distinct()
+    var labels = sym.select(col("src").as("vertex")).distinct()
+      .withColumn("component", col("vertex")).localCheckpoint(eager = true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      it += 1
+      val better = labels.join(sym, labels("vertex") === sym("src"))
+        .groupBy(sym("dst").as("vertex"))
+        .agg(min(col("component")).as("nbrMin"))
+      val updated = labels.join(better, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"))
+        .localCheckpoint(eager = true)
+      changed = updated.alias("u")
+        .join(labels.alias("l"), Seq("vertex"))
+        .where(col("u.component") =!= col("l.component")).count()
+      labels = updated
+    }
+    labels
+  }
+}

@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Adjacency-matrix text source/sink, for fidelity with the reference's
+  * on-disk graph format (`secondary_server.c:91-100` read path,
+  * `primary_server.c:82-89` write path): first token = vertex count `n`,
+  * then `n*n` whitespace-separated ints, row-major; cell `(i,j)==1` means
+  * a directed edge `i -> j`.
+  *
+  * The in-engine representation is a **sparse edge list**
+  * `DataFrame(src: Long, dst: Long)` — dense matrices don't survive a
+  * 100 TB design point, edge lists do. The parse itself is fully
+  * declarative (split + posexplode), so Catalyst plans and codegens it;
+  * no driver-side tokenisation.
+  */
+object MatrixIO {
+
+  /** Schema of every edge DataFrame in the engine. */
+  val edgeCols: Seq[String] = Seq("src", "dst")
+
+  /** Read a `G<k>.txt`-style adjacency-matrix file into an edge DataFrame.
+    *
+    * One file = one small graph (reference caps n at 100,
+    * `client.c:11`), so `wholetext` is safe here; large graphs enter the
+    * engine as Parquet edge lists via [[graft.operators.GraphCatalog]].
+    */
+  def readMatrix(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("wholetext", "true").text(path)
+    val toks = split(trim(col("value")), "\\s+")
+    raw
+      .select(
+        element_at(toks, 1).cast("int").as("n"),
+        slice(toks, lit(2), element_at(toks, 1).cast("int") * element_at(toks, 1).cast("int")).as("cells"))
+      .select(col("n"), posexplode(col("cells")))
+      .where(col("col").cast("int") === 1)
+      .select(
+        floor(col("pos") / col("n")).cast("long").as("src"),
+        (col("pos") % col("n")).cast("long").as("dst"))
+  }
+
+  /** Vertex count declared in the file header (needed because isolated
+    * vertices carry no edges). */
+  def readVertexCount(spark: SparkSession, path: String): Int = {
+    val head = spark.read.option("wholetext", "true").text(path)
+      .select(element_at(split(trim(col("value")), "\\s+"), 1).cast("int"))
+      .head().getInt(0)
+    head
+  }
+
+  /** Write an edge DataFrame back out in the reference's dense text format.
+    * Only intended for reference-format interop (n bounded); the engine's
+    * native persistence is Parquet. */
+  def writeMatrix(edges: DataFrame, n: Int, path: String): Unit = {
+    val spark = edges.sparkSession
+    val cells = edges.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt)).toSet
+    val sb = new StringBuilder
+    sb.append(n).append('\n')
+    (0 until n).foreach { i =>
+      sb.append((0 until n).map(j => if (cells((i, j))) "1" else "0").mkString(" ")).append('\n')
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), sb.toString.getBytes("UTF-8"))
+  }
+}

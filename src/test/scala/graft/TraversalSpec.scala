@@ -1,0 +1,101 @@
+package graft
+
+import graft.sources.MatrixIO
+import graft.operators.{GraphCatalog, Traversals}
+
+/** Golden traversal tests from FIXTURES.md — the reference's own
+  * sample graphs (`/root/reference/G*.txt`), expectations hand-derived
+  * from `secondary_server.c:142-248` semantics. */
+class TraversalSpec extends SparkSpec {
+  import TestSpark.resource
+
+  def edges(g: String) = MatrixIO.readMatrix(spark, resource(s"graphs/$g.txt"))
+
+  def bfsOrder(g: String, start: Long): Seq[Long] =
+    Traversals.bfs(edges(g), start).orderBy("order")
+      .collect().map(_.getAs[Long]("vertex")).toSeq
+
+  def bfsLevelOf(g: String, start: Long): Map[Long, Int] =
+    Traversals.bfs(edges(g), start).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Int]("level")).toMap
+
+  def leaves(g: String, start: Long): Seq[Long] =
+    Traversals.dfsLeaves(edges(g), start).collect().map(_.getLong(0)).toSeq
+
+  test("MatrixIO parses G7 into 12 directed edges") {
+    val e = edges("G7").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(e === Set((0, 1), (1, 0), (0, 4), (4, 0), (1, 2), (2, 1),
+      (2, 3), (3, 2), (4, 5), (5, 4), (4, 6), (6, 4)).map { case (a, b) => (a.toLong, b.toLong) })
+    assert(MatrixIO.readVertexCount(spark, resource("graphs/G7.txt")) === 7)
+  }
+
+  test("BFS golden: G1 (self-loops only) from 0") {
+    assert(bfsOrder("G1", 0) === Seq(0L))
+  }
+
+  test("BFS golden: G2 from 0") { assert(bfsOrder("G2", 0) === Seq(0L, 1L)) }
+
+  test("BFS golden: G5 from 0") {
+    assert(bfsOrder("G5", 0) === Seq(0L, 1L, 4L, 2L, 3L))
+    assert(bfsLevelOf("G5", 0) === Map(0L -> 0, 1L -> 1, 4L -> 1, 2L -> 2, 3L -> 2))
+  }
+
+  test("BFS golden: G6 from 0") { assert(bfsOrder("G6", 0) === Seq(0L, 1L, 2L, 3L, 4L)) }
+
+  test("BFS golden: G7 from 0 and from 3") {
+    assert(bfsOrder("G7", 0) === Seq(0L, 1L, 4L, 2L, 5L, 6L, 3L))
+    assert(bfsOrder("G7", 3) === Seq(3L, 2L, 1L, 0L, 4L, 5L, 6L))
+  }
+
+  test("Pregel BFS agrees with driver-loop BFS on G7") {
+    val a = bfsLevelOf("G7", 0)
+    val b = Traversals.bfsLevelsPregel(edges("G7"), 0).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Int]("level")).toMap
+    assert(a === b)
+  }
+
+  test("DFS-leaves golden: all fixtures") {
+    assert(leaves("G1", 0) === Seq(0L))
+    assert(leaves("G2", 0) === Seq(1L))
+    assert(leaves("G5", 0) === Seq(2L, 3L, 4L))
+    assert(leaves("G6", 0) === Seq(2L, 3L, 4L))
+    assert(leaves("G7", 0) === Seq(3L, 5L, 6L))
+    assert(leaves("G7", 3) === Seq(5L, 6L))
+  }
+
+  test("unreached vertices appear in neither output (G1 from 0)") {
+    assert(!bfsOrder("G1", 0).contains(1L))
+    assert(!leaves("G1", 0).contains(1L))
+  }
+
+  test("connected components: G7 one component, G1 two") {
+    val cc7 = Traversals.connectedComponents(edges("G7")).collect()
+      .map(_.getAs[Long]("component")).toSet
+    assert(cc7 === Set(0L))
+    val cc1 = Traversals.connectedComponents(edges("G1")).collect()
+      .map(r => (r.getAs[Long]("vertex"), r.getAs[Long]("component"))).toSet
+    assert(cc1 === Set((0L, 0L), (1L, 1L)))
+  }
+
+  test("GraphCatalog: add/load/modify roundtrip + snapshot semantics") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cat").toString
+    val cat = new GraphCatalog(spark, tmp)
+    cat.addGraph("g7", edges("G7"))
+    assert(cat.listGraphs() === Seq("g7"))
+    val snap = cat.load("g7")
+    assert(snap.count() === 12)
+    assert(cat.bfs("g7", 0).count() === 7)
+    cat.modifyGraph("g7", edges("G2"))   // last-writer-wins replacement
+    assert(cat.load("g7").count() === 2)
+    assert(cat.dfsLeaves("g7", 0).collect().map(_.getLong(0)).toSeq === Seq(1L))
+  }
+
+  test("MatrixIO roundtrip: write then read preserves edges") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mio").toString + "/g.txt"
+    MatrixIO.writeMatrix(edges("G7"), 7, tmp)
+    val back = MatrixIO.readMatrix(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val orig = edges("G7").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back === orig)
+  }
+}
