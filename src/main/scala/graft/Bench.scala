@@ -1,24 +1,44 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times the headline queries on SPARK_GRAFT_SF_DIR and
+  * prints one JSON line {"metric":"total","value":N,"unit":"sec",
+  * "queries":{...},"sf":...}. Each query is forced with a count() so
+  * the full plan (including writes-free aggregation) executes. */
 object Bench {
+
+  /** Representative slice of the inventory: one per operator family. */
+  val headline: Seq[String] = Seq(
+    "q_agg_groupby", "q_agg_distinct", "q_join_broadcast", "q_join_sortmerge",
+    "q_tpch_q3", "q_tpch_q5", "q_window_rank", "q_sort_topk", "q_set_ops",
+    "q_scalar_math", "q_json", "q_events_sessionize",
+    "q_graph_bfs", "q_graph_cc",
+    "q_text_stats", "q_text_fingerprint", "q_dedup_exact", "q_dedup_simhash",
+    "q_dedup_minhash", "q_dedup_ngram", "q_embed_topk", "q_embed_ivf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { SparkEntry.queries(name)(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * The query inventory aggregates three families:
+  *  - [[graft.queries.GraphQueries]]      — the reference's traversal surface
+  *  - [[graft.queries.RelationalQueries]] — scans/joins/aggs/windows/scalars
+  *  - [[graft.queries.PipelineQueries]]   — dedup / similarity / text analysis
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * BFS over a fixture-derived graph — exercises source → iterative
+    * traversal → window ordering end-to-end. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_graph_bfs")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    RelationalQueries.queries ++ GraphQueries.queries ++ PipelineQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops
+    * (q_graph_dfs_leaves: traversal-order-dependent — covered by the
+    * G1–G7 golden suite instead). */
+  def oracleSql: Map[String, String] =
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles
 }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for the training-data pipeline: exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard.
+  *
+  * Scale design: everything is formulated as explode → codegen'd
+  * hash-aggregate → key-equi-join. Higher-order-function folds are
+  * deliberately avoided on the hot paths — Spark evaluates lambda
+  * functions interpreted (no whole-stage codegen), and nesting them
+  * re-evaluates the inner array per component; exploding shingles to
+  * rows keeps every md5/min/sum inside WholeStageCodegen and turns the
+  * signature computation into a single partial+final aggregation.
+  * (Measured on sf0.1: 155 s as nested HOFs → ~4 s exploded.)
+  * Candidate generation is LSH-band (or bucket) equi-join — never an
+  * unbucketed O(n²) comparison — so the shuffle keys are band hashes
+  * whose bucket sizes stay small, which survives a 100 TB corpus.
+  */
+object Dedup {
+
+  /** Exact dedup: group by content hash, keep min doc_id per group.
+    * Output: (h, keeper, cnt). */
+  def exact(docs: DataFrame, text: Column = col("text")): DataFrame =
+    docs.groupBy(substring(md5(text), 1, 16).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("cnt"))
+
+  /** Per-doc MinHash signature: k components, component `s` = the
+    * lexicographic min over word-3-gram shingles of md5("s|" + shingle)
+    * (min-of-md5 = uniform permutation ⇒ classic MinHash bound).
+    * Docs with fewer than `n` tokens have no shingles and are absent.
+    * Output: (doc_id, sig: array<string> of length k). */
+  def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val shr = docs.select(col("doc_id"),
+      explode(wordShingles(col("text"), shingleN)).as("g"))
+    val aggs = (0 until k).map(s =>
+      min(md5(concat(lit(s"$s|"), col("g")))).as(s"c$s"))
+    shr.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until k).map(s => col(s"c$s")): _*).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard:
+    * signatures are cut into `bands` bands of k/bands rows; docs
+    * sharing any band key become candidates; the estimate is the
+    * fraction of matching signature components. Output:
+    * (doc_a, doc_b, est) for est >= minEst. */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                   minEst: Double = 0.25): DataFrame = {
+    val rowsPerBand = k / bands
+    val sig = minhashSignatures(docs, k).cache()
+    val bandDf = sig.select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
+      .toDF("doc_id", "band_id", "bkey")
+    val pairs = bandDf.as("a").join(bandDf.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / k.toDouble).as("est0"))
+      .where(col("est0") >= minEst)
+      .select(col("doc_a"), col("doc_b"), round(col("est0"), 4).as("est"))
+  }
+
+  /** 16-bit SimHash buckets over distinct tokens (see
+    * [[graft.functions.TextFunctions.simhash16]] for the per-row form;
+    * this is the exploded codegen formulation of the same function).
+    * Output: (simhash, cnt, keeper). */
+  def simhashBuckets(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+      explode(array_distinct(tokens(col("text")))).as("tok"))
+    val votes = (0 until 16).map(b =>
+      sum(when(substring(md5(col("tok")), b + 1, 1) >= "8", 1).otherwise(-1)).as(s"s$b"))
+    tk.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+  }
+
+  /** Exact n-gram Jaccard between candidate pairs sharing a
+    * (lang, source, length-band) bucket: |A∩B| via a shingle-row
+    * equi-join, |A∪B| = |A|+|B|−|A∩B|. Output: (doc_a, doc_b, jac)
+    * for jac >= minJac. */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
+                        minJac: Double = 0.15): DataFrame = {
+    val shr = docs.select(col("doc_id"), col("lang"), col("source"),
+        floor(col("n_chars") / 100).as("band"),
+        explode(array_distinct(wordShingles(col("text"), shingleN))).as("g"))
+      .cache()
+    val cnt = shr.groupBy("doc_id").agg(count(lit(1)).as("c"))
+    val inter = shr.as("a").join(shr.as("b"),
+        col("a.g") === col("b.g") && col("a.lang") === col("b.lang") &&
+          col("a.source") === col("b.source") && col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(cnt.select(col("doc_id").as("doc_a"), col("c").as("ca")), "doc_a")
+      .join(cnt.select(col("doc_id").as("doc_b"), col("c").as("cb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("i").cast("double") / (col("ca") + col("cb") - col("i")).cast("double")).as("jac0"))
+      .where(col("jac0") >= minJac)
+      .select(col("doc_a"), col("doc_b"), round(col("jac0"), 4).as("jac"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two paths, per the standard ANN recipe:
+  *  - [[bruteForceTopK]]: exact cosine top-k — one broadcast of the
+  *    query vector, one scan, `TakeOrderedAndProject`. The baseline,
+  *    and the right plan when k·queries ≪ corpus.
+  *  - [[ivfTopK]]: IVF-style — assign every vector to its nearest
+  *    coarse centroid (broadcast of the tiny centroid table), then
+  *    score only the probe cell(s). At 100 TB the assignment is a
+  *    one-off materialization partitioned by cell id; queries touch
+  *    1/nCells of the data.
+  *
+  * All folds are explicit left folds in double so results are
+  * bit-reproducible across engines.
+  */
+object Similarity {
+
+  /** (vec_id, score) top-k by cosine against `queryVec`, excluding
+    * `excludeId` (typically the query row itself). */
+  def bruteForceTopK(embeddings: DataFrame, queryVec: DataFrame, k: Int): DataFrame = {
+    embeddings.crossJoin(broadcast(queryVec))
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Assign each vector to its nearest centroid by L2; deterministic
+    * tie-break on centroid id. Input: (vec_id, v), (cid, cv).
+    * Output: (vec_id, v, cid). */
+  def assignCells(embeddings: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+    embeddings.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"), l2sq(col("v"), col("cv")).as("dist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+  }
+
+  /** IVF probe: top-k by cosine within the query's cell. */
+  def ivfTopK(assigned: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val qcell = assigned.where(col("vec_id") === queryId)
+      .select(col("cid").as("qcid"), col("v").as("qv"))
+    assigned.join(broadcast(qcell), col("cid") === col("qcid"))
+      .where(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Traversals
+import Tables.t
+
+/** The reference's graph query surface (BFS levels/order, DFS-tree
+  * leaves, plus catalog-adjacent analytics: components, degrees,
+  * triangles) exposed over **deterministic fixture-derived edge
+  * tables** so DuckDB `WITH RECURSIVE` can serve as the oracle
+  * (SURVEY.md §5.3). DFS-leaves is order-dependent and deliberately
+  * oracle-less — covered by the G1–G7 golden suite instead.
+  */
+object GraphQueries {
+
+  /** Tree graph over the 25 nations: undirected edge k — floor(k/2),
+    * k>0 (a binary heap shape). Derived identically in the oracle. */
+  private def treeEdges(s: SparkSession, d: String): DataFrame = {
+    val k = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+    val e = k.where(col("k") > 0)
+      .select(col("k").as("src"), floor(col("k") / 2).cast("long").as("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Two chains with gaps: 0–10 and 12–20 (nations 11, 21–24 isolated
+    * and therefore absent — matches CC's edge-derived vertex set). */
+  private def chainEdges(s: SparkSession, d: String): DataFrame = {
+    val k = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+    val e = k.where(col("k") < 10 || (col("k") >= 12 && col("k") < 20))
+      .select(col("k").as("src"), (col("k") + 1).as("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_bfs" -> ((s, d) => {
+      Traversals.bfs(treeEdges(s, d), 0L)
+        .select(col("order").as("ord"), col("level"), col("vertex"))
+        .orderBy("ord")
+    }),
+    "q_graph_dfs_leaves" -> ((s, d) => {
+      Traversals.dfsLeaves(treeEdges(s, d), 0L).orderBy("vertex")
+    }),
+    "q_graph_cc" -> ((s, d) => {
+      Traversals.connectedComponents(chainEdges(s, d)).orderBy("vertex")
+    }),
+    "q_graph_degree" -> ((s, d) => {
+      treeEdges(s, d).groupBy(col("src").as("vertex"))
+        .agg(count(lit(1)).as("degree"))
+        .orderBy("vertex")
+    }),
+    "q_graph_triangles" -> ((s, d) => {
+      // Undirected pairs (a<b) with (a+b)%4==0 over nations; count
+      // triangles a<b<c via triple self-join (the distributed-join
+      // formulation of triangle counting).
+      val n = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+      val e = n.as("a").join(n.as("b"),
+          col("a.k") < col("b.k") && (col("a.k") + col("b.k")) % 4 === 0)
+        .select(col("a.k").as("u"), col("b.k").as("v"))
+      val e1 = e.select(col("u").as("a"), col("v").as("b"))
+      val e2 = e.select(col("u").as("b2"), col("v").as("c2"))
+      val e3 = e.select(col("u").as("a3"), col("v").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c2") === col("c3"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }))
+
+  private val treeEdgeSql =
+    """e AS (SELECT n_nationkey::BIGINT AS src, (n_nationkey // 2)::BIGINT AS dst FROM nation WHERE n_nationkey > 0 UNION ALL SELECT (n_nationkey // 2)::BIGINT, n_nationkey::BIGINT FROM nation WHERE n_nationkey > 0)"""
+
+  private val chainEdgeSql =
+    """e0 AS (SELECT n_nationkey::BIGINT AS src, (n_nationkey + 1)::BIGINT AS dst FROM nation WHERE n_nationkey < 10 OR (n_nationkey >= 12 AND n_nationkey < 20)), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+
+  val oracles: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT 0::BIGINT AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT (row_number() OVER (ORDER BY level, vertex) - 1)::BIGINT AS ord, level::INT AS level, vertex FROM lv ORDER BY ord""",
+    "q_graph_cc" ->
+      s"""WITH RECURSIVE $chainEdgeSql, r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b) SELECT a AS vertex, min(b)::BIGINT AS component FROM r GROUP BY a ORDER BY vertex""",
+    "q_graph_degree" ->
+      s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
+    "q_graph_triangles" ->
+      """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""")
+}

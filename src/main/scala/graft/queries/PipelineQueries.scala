@@ -1,0 +1,138 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+import Tables.t
+
+/** Training-data pipeline operators over the `documents` and
+  * `embeddings` fixtures: deduplication (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard), similarity search (brute-force cosine top-k and an
+  * IVF-bucketed scale path), and text analysis (tokens, quality,
+  * language-ID, fingerprints).
+  *
+  * Everything is built from hash/string/arithmetic primitives that are
+  * bit-identical across engines (md5, explicit left folds, integer
+  * ratios), so each operator — including MinHash — carries an exact
+  * DuckDB oracle.
+  *
+  * Scale notes: near-dup candidate generation is LSH-band or
+  * bucket-join based (never an unbucketed O(n²) cross join); the
+  * brute-force ANN baseline broadcasts the single query vector; the
+  * IVF variant broadcasts the (tiny) centroid table and prunes to one
+  * cell before scoring.
+  */
+object PipelineQueries {
+
+  /** Left-fold sum over array<double>, mirrored exactly by the oracle's
+    * `list_reduce(list_prepend(0.0, …))` so doubles match bit-for-bit. */
+  private def fold(v: Column): Column = aggregate(v, lit(0.0), (a, x) => a + x)
+  private def dotc(a: Column, b: Column): Column = fold(zip_with(a, b, (x, y) => x * y))
+  private def l2c(a: Column, b: Column): Column = fold(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+  private def cosc(a: Column, b: Column): Column =
+    dotc(a, b) / (sqrt(dotc(a, a)) * sqrt(dotc(b, b)))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- text analysis ----------------------------------------------------
+    "q_text_stats" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("tok_cnt"),
+          length(col("text")).as("nchars"),
+          round(punctRatio(col("text")), 4).as("punct_ratio"),
+          round(stopwordRatio(col("text")), 4).as("stop_ratio"))
+        .orderBy("doc_id")
+    }),
+    "q_text_langid" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(langId(col("text")).as("lang_guess"))
+        .groupBy("lang_guess").agg(count(lit(1)).as("cnt"))
+        .orderBy("lang_guess")
+    }),
+    "q_text_quality" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), qualityScore(col("text")).as("score"))
+        .orderBy("doc_id")
+    }),
+    "q_text_fingerprint" -> ((s, d) => {
+      t(s, d, "documents")
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }),
+    // -- dedup ------------------------------------------------------------
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents")).orderBy("h")),
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.25)
+        .orderBy("doc_a", "doc_b")),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashBuckets(t(s, d, "documents")).orderBy("simhash")),
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleN = 3, minJac = 0.15)
+        .orderBy("doc_a", "doc_b")),
+    // -- similarity search ------------------------------------------------
+    "q_embed_topk" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), q, 20)
+    }),
+    "q_embed_ivf" -> ((s, d) => {
+      val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      Similarity.ivfTopK(Similarity.assignCells(e, cents), 0L, 10)
+    }),
+    // -- multimodal column plumbing --------------------------------------
+    "q_multimodal_meta" -> ((s, d) => {
+      // Opaque binary payload + typed metadata extraction. The "decode"
+      // is the deterministic stub (real image/audio decoders aren't in
+      // this container); the schema/plumbing is the real operator.
+      val b = col("text").cast("binary")
+      t(s, d, "documents")
+        .select(col("doc_id"), length(b).as("nbytes"),
+          (length(b) % 64 + 1).as("w"),
+          ((length(b) / 64).cast("int") % 64 + 1).as("h"),
+          ascii(substring(col("text"), 1, 1)).as("b0"))
+        .orderBy("doc_id")
+    }))
+
+  private val toksSql =
+    """toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents)"""
+  private val shinglesSql =
+    """sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gs FROM toks)"""
+  private def foldSql(elems: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
+  private val stopEn = "'the','a','of','and','to','in','is','it'"
+  private val stopEs = "'el','la','de','y','en','es','un','que'"
+  private val stopDe = "'der','die','das','und','ist','ein','zu','den'"
+  private val stopFr = "'le','la','de','et','est','un','que','les'"
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH $toksSql SELECT d.doc_id, len(t.tk)::INT AS tok_cnt, length(d.text)::INT AS nchars, round((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE, 4) AS punct_ratio, round(len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE, 4) AS stop_ratio FROM documents d JOIN toks t ON d.doc_id = t.doc_id ORDER BY d.doc_id""",
+    "q_text_langid" ->
+      s"""WITH $toksSql, hits AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($stopEn))) AS en, len(list_filter(tk, x -> x IN ($stopEs))) AS es, len(list_filter(tk, x -> x IN ($stopDe))) AS de, len(list_filter(tk, x -> x IN ($stopFr))) AS fr FROM toks), g AS (SELECT doc_id, CASE WHEN greatest(en,es,de,fr) = 0 THEN 'und' WHEN en = greatest(en,es,de,fr) THEN 'en' WHEN es = greatest(en,es,de,fr) THEN 'es' WHEN de = greatest(en,es,de,fr) THEN 'de' ELSE 'fr' END AS lang_guess FROM hits) SELECT lang_guess, count(*)::BIGINT AS cnt FROM g GROUP BY lang_guess ORDER BY lang_guess""",
+    "q_text_quality" ->
+      s"""WITH $toksSql, m AS (SELECT d.doc_id, least(length(d.text)::DOUBLE / 500.0, 1.0) AS len_score, 1.0 - least(((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE) * 5.0, 1.0) AS punct_score, least((len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) * 4.0, 1.0) AS stop_score, CASE WHEN (length(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END AS tok_score FROM documents d JOIN toks t ON d.doc_id = t.doc_id) SELECT doc_id, round(round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + tok_score * 0.2, 4), 4) AS score FROM m ORDER BY doc_id""",
+    "q_text_fingerprint" ->
+      """SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM documents ORDER BY doc_id""",
+    "q_dedup_exact" ->
+      """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
+    "q_dedup_minhash" ->
+      s"""WITH $toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed::VARCHAR || '|' || g)) AS c FROM shr CROSS JOIN (SELECT unnest(range(16)) AS seed) s GROUP BY doc_id, s.seed), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT doc_a, doc_b, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY doc_a, doc_b""",
+    "q_dedup_simhash" ->
+      ("""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok FROM documents), v AS (SELECT doc_id, """ +
+        (0 until 16).map(b => s"sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b").mkString(", ") +
+        """ FROM tk GROUP BY doc_id), h AS (SELECT doc_id, (""" +
+        (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ") +
+        """)::BIGINT AS simhash FROM v) SELECT simhash, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS keeper FROM h GROUP BY simhash ORDER BY simhash"""),
+    "q_dedup_ngram" ->
+      s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i)::DOUBLE AS jac0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(jac0, 4) AS jac FROM j WHERE jac0 >= 0.15 ORDER BY doc_a, doc_b""",
+    "q_embed_topk" ->
+      s"""WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 0), sc AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 20""",
+    "q_embed_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text))::INT AS nbytes, (octet_length(encode(text)) % 64 + 1)::INT AS w, (octet_length(encode(text)) // 64 % 64 + 1)::INT AS h, ascii(substr(text, 1, 1))::INT AS b0 FROM documents ORDER BY doc_id""")
+}

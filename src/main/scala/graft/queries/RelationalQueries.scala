@@ -1,0 +1,315 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import Tables.t
+
+/** The relational operator inventory (SURVEY.md §2.2 "Engine plan"):
+  * scans, projection/filter, every join flavour, hash aggregation,
+  * rollup/cube, window functions, sorts/top-k, set ops, and the
+  * scalar-function families (string/date/math/case/json/time-window),
+  * each with an exact DuckDB oracle twin in [[oracles]].
+  *
+  * Conventions for oracle parity: every computed column is aliased
+  * identically on both sides; doubles are rounded; temporal outputs
+  * are strings or ints; ties in window/top-k orders are broken by
+  * unique keys so LIMIT sets are deterministic.
+  *
+  * Scale notes: filters sit directly on the scan (parquet pushdown);
+  * small dimensions are `broadcast()`; aggregations are plain
+  * `groupBy.agg` so Spark plans partial+final hash aggregation;
+  * nothing collects to the driver.
+  */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- aggregation ------------------------------------------------------
+    "q_agg_groupby" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg(col("l_quantity")), 2).as("avg_qty"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_agg_distinct" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("nparts"),
+          countDistinct(col("l_suppkey")).as("nsupps"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+    "q_agg_rollup" -> ((s, d) => {
+      t(s, d, "orders").rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+    "q_agg_cube" -> ((s, d) => {
+      t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "q_agg_stats" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_linestatus")
+        .agg(
+          round(min(col("l_extendedprice")), 2).as("mn"),
+          round(max(col("l_extendedprice")), 2).as("mx"),
+          round(avg(col("l_extendedprice")), 2).as("av"),
+          round(stddev_samp(col("l_extendedprice")), 2).as("sd"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"))
+        .orderBy("l_linestatus")
+    }),
+    // -- joins ------------------------------------------------------------
+    "q_join_broadcast" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      cust
+        .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .where(reg("r_name") === "EUROPE")
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy("n_name")
+    }),
+    "q_join_sortmerge" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_join_semi" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      cust.join(o, cust("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_join_anti" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      cust.join(o, cust("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_join_outer" -> ((s, d) => {
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_outer")
+        .groupBy(o("o_orderkey"))
+        .agg(count(li("l_orderkey")).as("nlines"))
+        .groupBy(col("nlines"))
+        .agg(count(lit(1)).as("norders"))
+        .orderBy("nlines")
+    }),
+    "q_tpch_q3" -> ((s, d) => {
+      val cust = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      val o = t(s, d, "orders").where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem").where(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
+        .groupBy(li("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+    "q_tpch_q5" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region").where(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(cust, o("o_custkey") === cust("c_custkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey") &&
+          cust("c_nationkey") === sup("s_nationkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    // -- windows ----------------------------------------------------------
+    "q_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "lineitem").where(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    // -- sort / top-k -----------------------------------------------------
+    "q_sort_topk" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20)
+    }),
+    // -- set ops ----------------------------------------------------------
+    "q_set_ops" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val o = t(s, d, "orders")
+      val seg = cust.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        .union(cust.where(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey"))
+        .distinct()
+      val positive = cust.where(col("c_acctbal") > 0).select("c_custkey")
+      val big = o.where(col("o_totalprice") > 400000).select(col("o_custkey").as("c_custkey"))
+      seg.intersect(positive).except(big).orderBy("c_custkey")
+    }),
+    // -- scalar families --------------------------------------------------
+    "q_scalar_string" -> ((s, d) => {
+      t(s, d, "part").where(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"),
+          lower(col("p_name")).as("lname"),
+          upper(col("p_brand")).as("ubrand"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          length(col("p_name")).as("len"),
+          regexp_extract(col("p_name"), "([0-9]+)", 1).as("num"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("cat"),
+          lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
+        .orderBy("p_partkey")
+    }),
+    "q_scalar_date" -> ((s, d) => {
+      t(s, d, "orders").where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("qtr"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"))
+        .orderBy("o_orderkey")
+    }),
+    "q_scalar_math" -> ((s, d) => {
+      t(s, d, "lineitem").where(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_extendedprice")), 4).as("sq"),
+          round(pow(col("l_discount"), 2), 6).as("d2"),
+          round(abs(col("l_tax") - col("l_discount")), 4).as("ad"),
+          ceil(col("l_quantity")).as("cq"),
+          floor(col("l_extendedprice") / 1000).as("kprice"),
+          (col("l_quantity").cast("int") % 7).as("qmod"),
+          round(log(col("l_extendedprice")), 4).as("lnp"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_scalar_case" -> ((s, d) => {
+      t(s, d, "customer")
+        .select(when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 3000, "low")
+          .when(col("c_acctbal") < 7000, "mid")
+          .otherwise("high").as("bucket"), col("c_acctbal"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy("bucket")
+    }),
+    "q_json" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("k")), 2).as("avg_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
+    }),
+    "q_events_hourly" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
+        .orderBy("hr", "event_type")
+    }),
+    "q_events_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("gap", col("ts").cast("double") - lag(col("ts"), 1).over(w).cast("double"))
+        .withColumn("boundary", when(col("gap").isNull || col("gap") > 1800.0, 1).otherwise(0))
+        .withColumn("sess", sum(col("boundary"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id")
+        .agg(max(col("sess")).cast("long").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc, round(avg(l_quantity),2) AS avg_qty, count(*)::BIGINT AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS nparts, count(DISTINCT l_suppkey)::BIGINT AS nsupps, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice),2) AS total FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority) ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt, round(sum(l_quantity),2) AS qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+    "q_agg_stats" ->
+      """SELECT l_linestatus, round(min(l_extendedprice),2) AS mn, round(max(l_extendedprice),2) AS mx, round(avg(l_extendedprice),2) AS av, round(stddev_samp(l_extendedprice),2) AS sd, round(quantile_cont(l_extendedprice, 0.5),2) AS med FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_join_broadcast" ->
+      """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(c_acctbal),2) AS bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' GROUP BY n_name ORDER BY n_name""",
+    "q_join_sortmerge" ->
+      """SELECT o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_join_semi" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_anti" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_join_outer" ->
+      """WITH per_order AS (SELECT o_orderkey, count(l_orderkey)::BIGINT AS nlines FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey) SELECT nlines, count(*)::BIGINT AS norders FROM per_order GROUP BY nlines ORDER BY nlines""",
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q_tpch_q5" ->
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty FROM lineitem WHERE l_suppkey <= 10 ORDER BY l_suppkey, l_orderkey, l_linenumber""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),2) AS delta FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""",
+    "q_set_ops" ->
+      """(SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0) EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000 ORDER BY c_custkey""",
+    "q_scalar_string" ->
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand, substr(p_name,1,5) AS pfx, length(p_name)::INT AS len, coalesce(regexp_extract(p_name, '([0-9]+)', 1), '') AS num, concat_ws('-', p_brand, p_type) AS cat, lpad(p_partkey::VARCHAR, 8, '0') AS padded FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey""",
+    "q_scalar_date" ->
+      """SELECT o_orderkey, year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo, day(o_orderdate)::INT AS dom, quarter(o_orderdate)::INT AS qtr, strftime(o_orderdate, '%Y-%m') AS ym, date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::INT AS days_to, strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30 FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""",
+    "q_scalar_math" ->
+      """SELECT l_orderkey, l_linenumber, round(sqrt(l_extendedprice),4) AS sq, round(pow(l_discount,2),6) AS d2, round(abs(l_tax - l_discount),4) AS ad, ceil(l_quantity)::BIGINT AS cq, floor(l_extendedprice/1000)::BIGINT AS kprice, (l_quantity::INT % 7)::INT AS qmod, round(ln(l_extendedprice),4) AS lnp FROM lineitem WHERE l_orderkey % 50 = 0 ORDER BY l_orderkey, l_linenumber""",
+    "q_scalar_case" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 3000 THEN 'low' WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS bucket, count(*)::BIGINT AS cnt, round(sum(c_acctbal),2) AS bal FROM customer GROUP BY 1 ORDER BY bucket""",
+    "q_json" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt, round(avg(json_extract_string(props, '$.k')::INT),2) AS avg_k, max(json_extract_string(props, '$.k')::INT)::INT AS max_k FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    "q_events_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""")
+}
