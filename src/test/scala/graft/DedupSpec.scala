@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Hand-built corpus: 0/1 identical, 2 near-dup of 0 (one word changed),
+  // 3 unrelated, 4 too short to shingle.
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today", "en", "s1", 49L),
+    (1L, "the quick brown fox jumps over the lazy dog today", "en", "s1", 49L),
+    (2L, "the quick brown fox jumps over the lazy cat today", "en", "s1", 49L),
+    (3L, "completely different words appear in this one document here", "en", "s1", 59L),
+    (4L, "tiny doc", "en", "s1", 8L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exact(docs).collect()
+    assert(groups.length === 4) // 0/1 collapse
+    val dup = groups.find(_.getAs[Long]("cnt") == 2L).get
+    assert(dup.getAs[Long]("keeper") === 0L)
+  }
+
+  test("minhash signatures: identical texts get identical sigs; short docs absent") {
+    val sigs = Dedup.minhashSignatures(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getSeq[String](r.fieldIndex("sig")).toList).toMap
+    assert(sigs.keySet === Set(0L, 1L, 2L, 3L)) // doc 4 has <3 tokens
+    assert(sigs(0L) === sigs(1L))
+    assert(sigs(0L) !== sigs(3L))
+    assert(sigs(0L).length === 16)
+  }
+
+  test("minhash LSH pairs: finds the dup and the near-dup, not the unrelated") {
+    val pairs = Dedup.minhashPairs(docs, minEst = 0.25).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Double]("est")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((0L, 1L)))
+    assert(pairs.find(p => (p._1, p._2) == (0L, 1L)).get._3 === 1.0)
+    assert(!keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs share a bucket; hamming-close for near-dups") {
+    val rows = Dedup.simhashBuckets(docs).collect()
+    val bucketOf = rows.flatMap { r =>
+      val h = r.getAs[Long]("simhash")
+      Seq.fill(r.getAs[Long]("cnt").toInt)(h)
+    }
+    assert(rows.map(_.getAs[Long]("cnt")).sum === 5)
+    val dupBucket = rows.find(_.getAs[Long]("cnt") >= 2)
+    assert(dupBucket.isDefined && dupBucket.get.getAs[Long]("keeper") === 0L)
+  }
+
+  test("ngram jaccard: dup pair scores 1.0, near-dup scores high, unrelated absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, minJac = 0.15).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jac")).toMap
+    assert(pairs((0L, 1L)) === 1.0)
+    assert(pairs((0L, 2L)) > 0.4 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+}

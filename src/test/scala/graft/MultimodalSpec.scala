@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val docs = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+
+  test("payload column is real binary with text's byte length") {
+    val r = Multimodal.withPayload(docs)
+      .select(col("doc_id"), length(col("payload")).as("n"), length(col("text")).as("m"))
+      .where(col("n") =!= col("m"))
+    assert(r.count() === 0)
+  }
+
+  test("decodeMeta: typed schema, deterministic, all docs covered") {
+    val meta = Multimodal.decodeMeta(docs)
+    assert(meta.schema.fieldNames.toSeq ===
+      Seq("doc_id", "nbytes", "format", "width", "height", "channels"))
+    val rows = meta.collect()
+    assert(rows.length === docs.count())
+    assert(rows.forall(m => m.width >= 1 && m.width <= 64 && m.channels == 3))
+    val again = Multimodal.decodeMeta(docs).collect()
+    assert(rows.sortBy(_.doc_id).toSeq === again.sortBy(_.doc_id).toSeq)
+  }
+
+  test("extractFeatures: fixed-width normalised vectors") {
+    val f = Multimodal.extractFeatures(docs, bins = 8).collect()
+    assert(f.forall(_.features.length === 8))
+    f.foreach { m =>
+      val s = m.features.sum
+      assert(math.abs(s - 1f) < 1e-3, s"histogram of ${m.doc_id} sums to $s")
+    }
+  }
+
+  test("sampleFrames: strided offsets, frame-sized slices") {
+    val frames = Multimodal.sampleFrames(docs, frameBytes = 32, stride = 4).collect()
+    assert(frames.nonEmpty)
+    frames.foreach { fr =>
+      assert(fr.offset === fr.frame_idx * 32)
+      assert(fr.frame_idx % 4 === 0)
+      assert(fr.frame.length === 32)
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = TestSpark.sfDir
+
+  test("streaming hourly agg over events matches the batch result") {
+    // file-stream sources need a directory; stage the single parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = EventStreams.eventsStream(spark, streamDir.toString)
+    val q = EventStreams.hourlyAgg(stream)
+      .writeStream.outputMode("append").format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits windows the watermark has passed; the last
+      // window(s) stay open, so compare on the emitted prefix.
+      val got = spark.table("hourly")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"), col("cnt"), col("val"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = graft.queries.Tables.events(spark, dir)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got.nonEmpty)
+      assert(got.subsetOf(batch))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions with sane bounds") {
+    import EventStreams.Event
+    val events = graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+    // batch-mode flatMapGroupsWithState: single batch == all groups seen once
+    val sessions = EventStreams.sessionize(events).collect()
+    assert(sessions.nonEmpty)
+    sessions.foreach { s =>
+      assert(s.session_end.getTime >= s.session_start.getTime)
+      assert(s.n_events >= 1)
+    }
+    // sessions per user ≈ batch windowed query minus the final open session
+    val batchSessions = SparkEntry.queries("q_events_sessionize")(spark, dir)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_sessions")).toMap
+    val streamed = sessions.groupBy(_.user_id).view.mapValues(_.length.toLong).toMap
+    streamed.foreach { case (u, n) =>
+      assert(n <= batchSessions(u) && n >= batchSessions(u) - 1,
+        s"user $u: streamed-closed $n vs batch ${batchSessions(u)}")
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.Traversals
+
+/** ScalaCheck-generated property tests from SURVEY.md §5.2, over random
+  * digraphs (n ≤ 20, deterministic seeds to keep Spark-job count sane):
+  * BFS level == hop distance, BFS visits exactly the reachable set,
+  * DFS leaves ⊆ reachable set. */
+class TraversalPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  val genGraph: Gen[(Int, Set[(Int, Int)])] = for {
+    n <- Gen.choose(2, 20)
+    density <- Gen.choose(1, 4)
+    edges <- Gen.listOfN(n * density,
+      Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+  } yield (n, edges.toSet)
+
+  def sample(i: Int): (Int, Set[(Int, Int)]) =
+    genGraph.pureApply(Gen.Parameters.default, Seed(42L + i))
+
+  def refBfsLevels(edges: Set[(Int, Int)], start: Int): Map[Int, Int] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var levels = Map(start -> 0)
+    var frontier = Set(start)
+    var l = 0
+    while (frontier.nonEmpty) {
+      l += 1
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty))
+        .filterNot(levels.contains)
+      levels ++= frontier.map(_ -> l)
+    }
+    levels
+  }
+
+  test("BFS levels equal hop distance and cover exactly the reachable set") {
+    (0 until 8).foreach { i =>
+      val (_, edges) = sample(i)
+      val e = edges.toSeq.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val got = Traversals.bfsLevels(e, 0).collect()
+        .map(r => r.getAs[Long]("vertex").toInt -> r.getAs[Int]("level")).toMap
+      assert(got === refBfsLevels(edges, 0), s"graph #$i: $edges")
+    }
+  }
+
+  test("DFS leaves are a non-empty subset of the reachable set") {
+    (0 until 8).foreach { i =>
+      val (_, edges) = sample(i)
+      val e = edges.toSeq.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val reach = refBfsLevels(edges, 0).keySet
+      val leaves = Traversals.dfsLeaves(e, 0).collect().map(_.getLong(0).toInt).toSet
+      assert(leaves.nonEmpty && leaves.subsetOf(reach), s"graph #$i: $edges")
+    }
+  }
+
+  test("Pregel BFS agrees with driver-loop BFS on random graphs") {
+    (0 until 3).foreach { i =>
+      val (_, edges) = sample(100 + i)
+      val e = edges.toSeq.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val a = Traversals.bfsLevels(e, 0).collect()
+        .map(r => (r.getAs[Long]("vertex"), r.getAs[Int]("level"))).toSet
+      val b = Traversals.bfsLevelsPregel(e, 0).collect()
+        .map(r => (r.getAs[Long]("vertex"), r.getAs[Int]("level"))).toSet
+      assert(a === b, s"graph #$i: $edges")
+    }
+  }
+}
