@@ -49,6 +49,25 @@ object GraphQueries {
         .agg(count(lit(1)).as("degree"))
         .orderBy("vertex")
     }),
+    "q_graph_pagerank" -> ((s, d) => {
+      // GraphX static PageRank (10 iters) — float-iterative, no SQL
+      // oracle; golden-checked in GraphAlgosSpec instead.
+      graft.operators.GraphAlgos.pageRank(treeEdges(s, d), iters = 10)
+        .select(col("vertex"), round(col("rank"), 4).as("rank"))
+        .orderBy("vertex")
+    }),
+    "q_graph_tri_pervertex" -> ((s, d) => {
+      // per-vertex triangle participation via GraphX on the (a+b)%4
+      // pair graph; exact ints -> SQL oracle
+      val n = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+      val e = n.as("a").join(n.as("b"),
+          col("a.k") < col("b.k") && (col("a.k") + col("b.k")) % 4 === 0)
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      graft.operators.GraphAlgos.triangleCounts(e)
+        .select(col("vertex"), col("triangles").cast("long").as("triangles"))
+        .where(col("triangles") > 0)
+        .orderBy("vertex")
+    }),
     "q_graph_triangles" -> ((s, d) => {
       // Undirected pairs (a<b) with (a+b)%4==0 over nations; count
       // triangles a<b<c via triple self-join (the distributed-join
@@ -78,6 +97,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $chainEdgeSql, r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b) SELECT a AS vertex, min(b)::BIGINT AS component FROM r GROUP BY a ORDER BY vertex""",
     "q_graph_degree" ->
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
+    "q_graph_tri_pervertex" ->
+      """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), pv AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) SELECT vertex, count(*)::BIGINT AS triangles FROM pv GROUP BY vertex ORDER BY vertex""",
     "q_graph_triangles" ->
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""")
 }

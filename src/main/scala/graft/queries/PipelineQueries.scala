@@ -83,6 +83,16 @@ object PipelineQueries {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       Similarity.ivfTopK(Similarity.assignCells(e, cents), 0L, 10)
     }),
+    "q_explode_embed" -> ((s, d) => {
+      // per-dimension stats across the corpus: posexplode + hash agg
+      t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(toDouble(col("embedding"))))
+        .toDF("vec_id", "pos", "x")
+        .groupBy("pos")
+        .agg(round(avg(col("x")), 4).as("mean"),
+          round(min(col("x")), 4).as("mn"), round(max(col("x")), 4).as("mx"))
+        .orderBy("pos")
+    }),
     // -- multimodal column plumbing --------------------------------------
     "q_multimodal_meta" -> ((s, d) => {
       // Opaque binary payload + typed metadata extraction. The "decode"
@@ -133,6 +143,8 @@ object PipelineQueries {
       s"""WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 0), sc AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 20""",
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    "q_explode_embed" ->
+      """SELECT t.i::INT AS pos, round(avg(embedding[t.i + 1]::DOUBLE), 4) AS mean, round(min(embedding[t.i + 1]::DOUBLE), 4) AS mn, round(max(embedding[t.i + 1]::DOUBLE), 4) AS mx FROM embeddings, range(64) t(i) GROUP BY t.i ORDER BY pos""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS nbytes, (octet_length(encode(text)) % 64 + 1)::INT AS w, (octet_length(encode(text)) // 64 % 64 + 1)::INT AS h, ascii(substr(text, 1, 1))::INT AS b0 FROM documents ORDER BY doc_id""")
 }

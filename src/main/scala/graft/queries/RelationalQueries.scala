@@ -251,6 +251,59 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
         .orderBy("hr", "event_type")
     }),
+    "q_window_extras" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders").where(col("o_custkey") <= 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderpriority"))).as("dr"),
+          ntile(4).over(w).as("quartile"),
+          first(col("o_orderkey")).over(wAll).as("first_ord"),
+          last(col("o_orderkey")).over(wAll).as("last_ord"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_pivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy("l_linestatus")
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy("l_linestatus")
+    }),
+    "q_subquery" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val avgBal = cust.agg(avg(col("c_acctbal")).as("ab"))
+      val o97 = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      cust.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("ab"))
+        .join(o97, cust("c_custkey") === o97("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        .orderBy("c_mktsegment")
+    }),
+    "q_agg_approx" -> ((s, d) => {
+      // HLL sketch — engine capability; no oracle (estimator-specific)
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"))
+        .orderBy("l_returnflag")
+    }),
+    "q_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("purchase_id"))
+        .withColumn("purchase_ts", col("ts"))
+      val left = ev.where(col("event_type") =!= "purchase")
+      graft.operators.AsOfJoin.asof(left, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (floor(col("ts").cast("double")) - floor(col("purchase_ts").cast("double")))
+            .cast("long").as("gap_sec"))
+        .orderBy("event_id")
+    }),
     "q_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -310,6 +363,14 @@ object RelationalQueries {
       """SELECT event_type, count(*)::BIGINT AS cnt, round(avg(json_extract_string(props, '$.k')::INT),2) AS avg_k, max(json_extract_string(props, '$.k')::INT)::INT AS max_k FROM events GROUP BY event_type ORDER BY event_type""",
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    "q_window_extras" ->
+      """SELECT o_custkey, o_orderkey, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS dr, ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::INT AS quartile, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ord, last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
+    "q_pivot" ->
+      """SELECT l_linestatus, round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END),2) AS "A", round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END),2) AS "N", round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END),2) AS "R" FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_subquery" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(avg(c_acctbal),2) AS avg_bal FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""")
 }

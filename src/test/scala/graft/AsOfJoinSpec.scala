@@ -1,0 +1,37 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof attaches latest right row at-or-before each left row, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:30")),  // after m1
+      (2L, 10L, ts("2024-01-01 00:02:00")),  // exactly at m2 (inclusive)
+      (3L, 10L, ts("2024-01-01 00:00:05")),  // before any mark -> null
+      (4L, 20L, ts("2024-01-01 00:05:00"))   // other key, only m3
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:10"), 101L), // m1
+      (10L, ts("2024-01-01 00:02:00"), 102L), // m2
+      (20L, ts("2024-01-01 00:01:00"), 103L)  // m3
+    ).toDF("user_id", "rts", "mark_id")
+    val got = AsOfJoin.asof(left, right, "user_id", "ts", "rts", Seq("mark_id"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("mark_id")).map(_.asInstanceOf[Long])).toMap
+    assert(got === Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> Some(103L)))
+  }
+
+  test("asof keeps all left rows and columns") {
+    val left = Seq((1L, 5L, ts("2024-01-01 00:00:01"), "x")).toDF("event_id", "user_id", "ts", "tag")
+    val right = Seq((6L, ts("2024-01-01 00:00:00"), 9L)).toDF("user_id", "rts", "mark_id")
+    val out = AsOfJoin.asof(left, right, "user_id", "ts", "rts", Seq("mark_id"))
+    assert(out.columns.toSeq === Seq("event_id", "user_id", "ts", "tag", "mark_id"))
+    assert(out.count() === 1)
+    assert(out.head().getAs[Any]("mark_id") === null) // different key -> no match
+  }
+}

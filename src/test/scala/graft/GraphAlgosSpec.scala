@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.GraphAlgos
+
+class GraphAlgosSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4-cycle with a pendant: 0-1-2-3-0 plus 3-4 (directed both ways)
+  lazy val ring = Seq((0, 1), (1, 2), (2, 3), (3, 0), (3, 4))
+    .flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+    .toDF("src", "dst")
+
+  test("pageRank: ranks sum to ~n, hub outranks pendant") {
+    val pr = GraphAlgos.pageRank(ring, iters = 20).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+    assert(math.abs(pr.values.sum - 5.0) < 0.2)
+    assert(pr(3L) > pr(4L)) // degree-3 hub beats degree-1 pendant
+    assert(pr(3L) > pr(1L))
+  }
+
+  test("triangleCounts: triangle graph vs triangle-free ring") {
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val counts = GraphAlgos.triangleCounts(tri).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Int]("triangles")).toMap
+    assert(counts === Map(0L -> 1, 1L -> 1, 2L -> 1))
+    val ringCounts = GraphAlgos.triangleCounts(ring).collect().map(_.getAs[Int]("triangles"))
+    assert(ringCounts.forall(_ === 0))
+  }
+
+  test("degrees: directed in/out split") {
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val d = GraphAlgos.degrees(e).collect()
+      .map(r => r.getAs[Long]("vertex") -> (r.getAs[Long]("out_degree"), r.getAs[Long]("in_degree"))).toMap
+    assert(d === Map(0L -> (2L, 0L), 1L -> (1L, 1L), 2L -> (0L, 2L)))
+  }
+}

@@ -22,6 +22,8 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle === Set("q_graph_dfs_leaves")) // order-dependent by design
+    // dfs_leaves: traversal-order-dependent; approx: HLL estimator-
+    // specific; pagerank: float-iterative — all golden-tested instead
+    assert(noOracle === Set("q_graph_dfs_leaves", "q_agg_approx", "q_graph_pagerank"))
   }
 }
