@@ -21,11 +21,20 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Codegen'd cosine via the native Catalyst expression (bit-identical
+    * to [[graft.functions.VectorFunctions.cosine]], asserted in
+    * SimilaritySpec; registered lazily on the input's session). */
+  private def fastCosine(df: DataFrame, a: String, b: String): Column = {
+    graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+    expr(s"cosine_sim($a, $b)")
+  }
+
   /** (vec_id, score) top-k by cosine against `queryVec`, excluding
     * `excludeId` (typically the query row itself). */
   def bruteForceTopK(embeddings: DataFrame, queryVec: DataFrame, k: Int): DataFrame = {
-    embeddings.crossJoin(broadcast(queryVec))
-      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("score"))
+    val joined = embeddings.crossJoin(broadcast(queryVec))
+    joined
+      .select(col("vec_id"), round(fastCosine(joined, "v", "qv"), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
@@ -47,9 +56,10 @@ object Similarity {
   def ivfTopK(assigned: DataFrame, queryId: Long, k: Int): DataFrame = {
     val qcell = assigned.where(col("vec_id") === queryId)
       .select(col("cid").as("qcid"), col("v").as("qv"))
-    assigned.join(broadcast(qcell), col("cid") === col("qcid"))
+    val joined = assigned.join(broadcast(qcell), col("cid") === col("qcid"))
       .where(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(cosine(col("v"), col("qv")), 4).as("score"))
+    joined
+      .select(col("vec_id"), round(fastCosine(joined, "v", "qv"), 4).as("score"))
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }

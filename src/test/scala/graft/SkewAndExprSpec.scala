@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SkewJoin
+import graft.functions.VectorFunctions
+import graft.functions.expressions.GraftFunctions
+
+class SkewAndExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join on skewed data") {
+    // 90% of left rows share one hot key
+    val left = (1 to 1000).map(i => (if (i <= 900) 7L else i.toLong % 50, i.toLong))
+      .toDF("k", "lv")
+    val right = (0 to 60).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    val plain = left.join(right, "k").select("k", "lv", "rv")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedInnerJoin(left, right, "k", salts = 8, saltCols = Seq("lv"))
+      .select(left("k"), col("lv"), col("rv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(salted === plain)
+    assert(plain.size === 900 + 100) // hot key fan + the rest
+  }
+
+  test("native cosine_sim expression is bit-identical to the HOF formulation") {
+    GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
+    val q = e.where($"vec_id" === 0).select($"v".as("qv"))
+    val both = e.crossJoin(broadcast(q))
+      .select($"vec_id",
+        expr("cosine_sim(v, qv)").as("fast"),
+        VectorFunctions.cosine($"v", $"qv").as("hof"))
+      // bit-level comparison: no tolerance
+      .where(col("fast") =!= col("hof") ||
+        (isnan(col("fast")) =!= isnan(col("hof"))))
+    assert(both.count() === 0)
+  }
+
+  test("cosine_sim works from plain SQL via registration") {
+    GraftFunctions.register(spark)
+    val r = spark.sql("SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .head().getDouble(0)
+    assert(r === 1.0)
+  }
+}
