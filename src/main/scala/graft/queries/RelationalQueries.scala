@@ -24,7 +24,31 @@ import Tables.t
 object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- scan / projection / filter --------------------------------------
+    "q_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("disc_amount"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
     // -- aggregation ------------------------------------------------------
+    "q_agg_groupingsets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_gs")
+      s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+               FROM orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+    }),
+    "q_udaf_weighted" -> ((s, d) => {
+      import org.apache.spark.sql.functions.udaf
+      s.udf.register("wmean", udaf(graft.functions.WeightedMean))
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("wmean(l_extendedprice, l_quantity)"), 2).as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
     "q_agg_groupby" -> ((s, d) => {
       t(s, d, "lineitem")
         .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -257,6 +281,8 @@ object RelationalQueries {
       val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       t(s, d, "orders").where(col("o_custkey") <= 50)
         .select(col("o_custkey"), col("o_orderkey"),
+          rank().over(Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderpriority"))).as("rk"),
           dense_rank().over(Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderpriority"))).as("dr"),
           ntile(4).over(w).as("quartile"),
@@ -317,6 +343,12 @@ object RelationalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "q_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice * l_discount, 4) AS disc_amount FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 ORDER BY l_orderkey, l_linenumber""",
+    "q_agg_groupingsets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS cnt FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "q_udaf_weighted" ->
+      """SELECT l_returnflag, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_groupby" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc, round(avg(l_quantity),2) AS avg_qty, count(*)::BIGINT AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_agg_distinct" ->
@@ -364,7 +396,7 @@ object RelationalQueries {
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_window_extras" ->
-      """SELECT o_custkey, o_orderkey, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS dr, ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::INT AS quartile, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ord, last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
+      """SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS rk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS dr, ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::INT AS quartile, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ord, last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
     "q_pivot" ->
       """SELECT l_linestatus, round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END),2) AS "A", round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END),2) AS "N", round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END),2) AS "R" FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q_subquery" ->
