@@ -10,12 +10,14 @@ object Bench {
 
   /** Representative slice of the inventory: one per operator family. */
   val headline: Seq[String] = Seq(
-    "q_agg_groupby", "q_agg_distinct", "q_join_broadcast", "q_join_sortmerge",
-    "q_tpch_q3", "q_tpch_q5", "q_window_rank", "q_sort_topk", "q_set_ops",
-    "q_scalar_math", "q_json", "q_events_sessionize",
-    "q_graph_bfs", "q_graph_cc",
-    "q_text_stats", "q_text_fingerprint", "q_dedup_exact", "q_dedup_simhash",
-    "q_dedup_minhash", "q_dedup_ngram", "q_embed_topk", "q_embed_ivf")
+    "q_filter_project", "q_agg_groupby", "q_agg_distinct", "q_udaf_weighted",
+    "q_join_broadcast", "q_join_sortmerge", "q_tpch_q3", "q_tpch_q5",
+    "q_asof_join", "q_window_rank", "q_window_extras", "q_sort_topk",
+    "q_set_ops", "q_scalar_math", "q_json", "q_events_sessionize",
+    "q_graph_bfs", "q_graph_cc", "q_graph_bfs_big", "q_graph_cc_big",
+    "q_text_stats", "q_text_tokens_bpe", "q_text_fingerprint",
+    "q_dedup_exact", "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram",
+    "q_dedup_pipeline", "q_embed_topk", "q_embed_ivf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -43,7 +43,11 @@ object Traversals {
   def bfsLevels(edges: DataFrame, start: Long, maxLevels: Int = 10000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // Materialise the (possibly derived/unioned) edge table ONCE — every
+    // superstep reuses it; without this a 5-level BFS re-derives the
+    // edge plan 5 times.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var visited = Seq((start, 0)).toDF("vertex", "level").localCheckpoint(eager = true)
     var frontier = visited.select("vertex")
@@ -64,6 +68,7 @@ object Traversals {
         frontier = next
       }
     }
+    e.unpersist(blocking = false)
     visited
   }
 
@@ -163,11 +168,16 @@ object Traversals {
   def connectedComponents(edges: DataFrame, maxIters: Int = 10000): DataFrame = {
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .union(edges.select(col("dst").cast("long"), col("src").cast("long"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK) // reused every round
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("component", col("vertex")).localCheckpoint(eager = true)
-    var changed = 1L
+    // Labels only ever decrease, so sum(component) is a strictly
+    // monotone convergence witness — one cheap scan instead of a
+    // change-detection join per round.
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(sum(col("component"))).head().getLong(0)
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (curSum < prevSum && it < maxIters) {
       it += 1
       // (1) neighbour-min step
       val better = labels.join(sym, labels("vertex") === sym("src"))
@@ -176,17 +186,20 @@ object Traversals {
       val stepped = labels.join(better, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"))
-      // (2) pointer jump: component := component(component)
-      val ptr = stepped.select(col("vertex").as("cv"), col("component").as("cc"))
-      val updated = stepped.join(ptr, stepped("component") === ptr("cv"), "left_outer")
-        .select(stepped("vertex"),
-          least(stepped("component"), coalesce(col("cc"), stepped("component"))).as("component"))
-        .localCheckpoint(eager = true)
-      changed = updated.alias("u")
-        .join(labels.alias("l"), Seq("vertex"))
-        .where(col("u.component") =!= col("l.component")).count()
-      labels = updated
+      // (2) pointer jumps: component := component(component), twice —
+      // label chains compress ~4x per round, so rounds ≈ log4(diameter)
+      var jumped = stepped
+      (1 to 2).foreach { _ =>
+        val ptr = jumped.select(col("vertex").as("cv"), col("component").as("cc"))
+        jumped = jumped.join(ptr, jumped("component") === ptr("cv"), "left_outer")
+          .select(jumped("vertex"),
+            least(jumped("component"), coalesce(col("cc"), jumped("component"))).as("component"))
+      }
+      labels = jumped.localCheckpoint(eager = true)
+      prevSum = curSum
+      curSum = labels.agg(sum(col("component"))).head().getLong(0)
     }
+    sym.unpersist(blocking = false)
     labels
   }
 }

@@ -32,7 +32,51 @@ object GraphQueries {
     e.union(e.select(col("dst").as("src"), col("src").as("dst")))
   }
 
+  /** Scale-realistic graph: order—supplier bipartite from lineitem
+    * (600 k edges at sf0.1). Vertices: orderkey·2 (even) and
+    * suppkey·2+1 (odd). */
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** Per-customer order chains (consecutive orderkeys linked) —
+    * components = customers; ~15 k vertices at sf0.01. */
+  private def chainOrdersEdges(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val e = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey").as("src"),
+        lead(col("o_orderkey"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+      .select(col("src"), col("dst"))
+    e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_bfs_big" -> ((s, d) => {
+      // BFS over the full bipartite graph from the smallest order
+      // vertex; output level histogram (the traversal itself is the
+      // operator under test; the histogram keeps output bounded).
+      val start = t(s, d, "lineitem")
+        .agg(min(col("l_orderkey")).cast("long").as("m")).head().getLong(0) * 2
+      Traversals.bfsLevels(bipartiteEdges(s, d), start)
+        .groupBy("level")
+        .agg(count(lit(1)).as("cnt"), min(col("vertex")).as("min_v"),
+          max(col("vertex")).as("max_v"))
+        .orderBy("level")
+    }),
+    "q_graph_cc_big" -> ((s, d) => {
+      // components of the per-customer order chains == customers
+      Traversals.connectedComponents(chainOrdersEdges(s, d))
+        .groupBy("component")
+        .agg(count(lit(1)).as("sz"))
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_components"))
+        .orderBy("sz")
+    }),
     "q_graph_bfs" -> ((s, d) => {
       Traversals.bfs(treeEdges(s, d), 0L)
         .select(col("order").as("ord"), col("level"), col("vertex"))
@@ -91,6 +135,10 @@ object GraphQueries {
     """e0 AS (SELECT n_nationkey::BIGINT AS src, (n_nationkey + 1)::BIGINT AS dst FROM nation WHERE n_nationkey < 10 OR (n_nationkey >= 12 AND n_nationkey < 20)), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
 
   val oracles: Map[String, String] = Map(
+    "q_graph_bfs_big" ->
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), r AS (SELECT (SELECT min(l_orderkey) * 2 FROM lineitem) AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 20), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT level::INT AS level, count(*)::BIGINT AS cnt, min(vertex)::BIGINT AS min_v, max(vertex)::BIGINT AS max_v FROM lv GROUP BY level ORDER BY level""",
+    "q_graph_cc_big" ->
+      """WITH RECURSIVE ch AS (SELECT o_custkey, o_orderkey AS src, lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst FROM orders), e0 AS (SELECT src, dst FROM ch WHERE dst IS NOT NULL), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b), comp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a), szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY component) SELECT sz::BIGINT AS sz, count(*)::BIGINT AS n_components FROM szs GROUP BY sz ORDER BY sz""",
     "q_graph_bfs" ->
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT 0::BIGINT AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT (row_number() OVER (ORDER BY level, vertex) - 1)::BIGINT AS ord, level::INT AS level, vertex FROM lv ORDER BY ord""",
     "q_graph_cc" ->

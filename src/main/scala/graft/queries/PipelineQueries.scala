@@ -60,6 +60,34 @@ object PipelineQueries {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    "q_text_tokens_bpe" -> ((s, d) => {
+      // whitespace vs BPE-ish subword-regex token counts
+      val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+      t(s, d, "documents")
+        .select(col("doc_id"), tokenCount(col("text")).as("ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("bpe_tokens"))
+        .withColumn("ratio", round(col("bpe_tokens").cast("double") /
+          greatest(col("ws_tokens"), lit(1)).cast("double"), 4))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_pipeline" -> ((s, d) => {
+      // end-to-end dedup: drop exact-dup losers, then near-dup (MinHash
+      // est >= 0.5) right-hand docs; emit corpus accounting
+      val docs = t(s, d, "documents")
+      val exactLosers = docs
+        .withColumn("keeper", min(col("doc_id"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
+        .where(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"))
+      val nearLosers = Dedup.minhashPairs(docs, minEst = 0.5)
+        .select(col("doc_b").as("doc_id")).distinct()
+        .join(exactLosers, Seq("doc_id"), "left_anti")
+      val total = docs.select(count(lit(1)).as("n_total"))
+      total.crossJoin(exactLosers.agg(count(lit(1)).as("n_exact_dropped")))
+        .crossJoin(nearLosers.agg(count(lit(1)).as("n_near_dropped")))
+        .select(col("n_total"), col("n_exact_dropped"), col("n_near_dropped"),
+          (col("n_total") - col("n_exact_dropped") - col("n_near_dropped")).as("n_kept"))
+    }),
     // -- dedup ------------------------------------------------------------
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy("h")),
@@ -127,6 +155,11 @@ object PipelineQueries {
       s"""WITH $toksSql, m AS (SELECT d.doc_id, least(length(d.text)::DOUBLE / 500.0, 1.0) AS len_score, 1.0 - least(((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE) * 5.0, 1.0) AS punct_score, least((len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) * 4.0, 1.0) AS stop_score, CASE WHEN (length(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END AS tok_score FROM documents d JOIN toks t ON d.doc_id = t.doc_id) SELECT doc_id, round(round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + tok_score * 0.2, 4), 4) AS score FROM m ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM documents ORDER BY doc_id""",
+    "q_text_tokens_bpe" ->
+      """SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+'))::INT AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens, round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)::DOUBLE, 4) AS ratio FROM documents ORDER BY doc_id""",
+    "q_dedup_pipeline" ->
+      (s"""WITH $toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed::VARCHAR || '|' || g)) AS c FROM shr CROSS JOIN (SELECT unnest(range(16)) AS seed) s GROUP BY doc_id, s.seed), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p), """ +
+        """exact_losers AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents) WHERE doc_id <> keeper), near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est0 >= 0.5 AND doc_b NOT IN (SELECT doc_id FROM exact_losers)) SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total, (SELECT count(*) FROM exact_losers)::BIGINT AS n_exact_dropped, (SELECT count(*) FROM near_losers)::BIGINT AS n_near_dropped, ((SELECT count(*) FROM documents) - (SELECT count(*) FROM exact_losers) - (SELECT count(*) FROM near_losers))::BIGINT AS n_kept"""),
     "q_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
     "q_dedup_minhash" ->
