@@ -99,6 +99,35 @@ object PipelineQueries {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleN = 3, minJac = 0.15)
         .orderBy("doc_a", "doc_b")),
+    "q_dedup_embed" -> ((s, d) => {
+      // embedding-cosine near-dup: label-bucketed candidate pairs
+      // (IVF-cell pattern), codegen'd cosine, threshold 0.4
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      val a = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("j"), col("label"), col("v").as("vb"))
+      a.join(b, Seq("label")).where(col("i") < col("j"))
+        .select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
+        .where(col("cos") >= 0.4)
+        .orderBy("i", "j")
+    }),
+    "q_range_join" -> ((s, d) => {
+      // banded range join: events of the same user in the same 5-min
+      // band (the scalable band-join formulation — equi-join keys,
+      // no unbounded range explosion)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          floor(floor(col("ts").cast("double")) / 300).as("band"),
+          floor(col("ts").cast("double")).as("sec"))
+      val a = ev.select(col("event_id").as("ea"), col("user_id"), col("band"), col("sec").as("sa"))
+      val b = ev.select(col("event_id").as("eb"), col("user_id"), col("band"), col("sec").as("sb"))
+      a.join(b, Seq("user_id", "band")).where(col("ea") < col("eb"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(abs(col("sb") - col("sa"))), 2).as("avg_gap"))
+        .orderBy("user_id")
+    }),
     // -- similarity search ------------------------------------------------
     "q_embed_topk" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -172,6 +201,10 @@ object PipelineQueries {
         """)::BIGINT AS simhash FROM v) SELECT simhash, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS keeper FROM h GROUP BY simhash ORDER BY simhash"""),
     "q_dedup_ngram" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i)::DOUBLE AS jac0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(jac0, 4) AS jac FROM j WHERE jac0 >= 0.15 ORDER BY doc_a, doc_b""",
+    "q_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) SELECT i, j, round(c, 4) AS cos FROM p WHERE round(c, 4) >= 0.4 ORDER BY i, j""",
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, floor(floor(epoch(ts)) / 300) AS band, floor(epoch(ts)) AS sec FROM events) SELECT a.user_id, count(*)::BIGINT AS n_pairs, round(avg(abs(b.sec - a.sec)), 2) AS avg_gap FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.band = b.band AND a.event_id < b.event_id GROUP BY a.user_id ORDER BY a.user_id""",
     "q_embed_topk" ->
       s"""WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 0), sc AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 20""",
     "q_embed_ivf" ->

@@ -43,6 +43,14 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("val"))
 
+  /** Streaming exact-dedup: drops replayed event_ids arriving within
+    * the watermark window — the streaming counterpart of
+    * [[graft.operators.Dedup.exact]] (state pruned by event time, so
+    * state size tracks the dedup window, not the stream's history). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

@@ -35,6 +35,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops a replayed file's duplicate event_ids") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dedup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("a.parquet"))
+    val q = EventStreams.dedupStream(EventStreams.eventsStream(spark, streamDir.toString))
+      .select("event_id")
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("dedup").count()
+      // replay the same file: every event_id is a duplicate
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("b.parquet"))
+      q.processAllAvailable()
+      val n2 = spark.table("dedup").count()
+      assert(n1 === graft.queries.Tables.events(spark, dir).count())
+      assert(n2 === n1, "replayed events must be deduplicated")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with sane bounds") {
     import EventStreams.Event
     val events = graft.queries.Tables.events(spark, dir)
