@@ -17,8 +17,10 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale design: BFS is a driver-controlled level-synchronous loop —
   * the same BSP structure as the reference's thread-per-frontier-node +
-  * per-level join barrier (`secondary_server.c:219-234`) — where each
-  * level is one distributed `frontier ⋈ edges` hash join. The frontier
+  * per-level join barrier (`secondary_server.c:219-234`), and the
+  * superstep-on-a-dataflow-engine mapping described by Pregelix
+  * (VLDB 2014, see PAPERS.md) — where each level is one distributed
+  * `frontier ⋈ edges` hash join. The frontier
   * is re-checkpointed per level (`localCheckpoint`) so lineage stays
   * O(1) per iteration, and the visited set stays a DataFrame (never
   * collected). On a 1000-executor cluster the per-level join shuffles

@@ -268,6 +268,16 @@ object RelationalQueries {
           max(col("k")).as("max_k"))
         .orderBy("event_type")
     }),
+    "q_json_schema" -> ((s, d) => {
+      // schema-directed JSON parse (from_json), vs the path-extraction
+      // in q_json
+      Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .where(col("k").isNotNull && col("k") % 10 === 0)
+        .orderBy("event_id")
+    }),
     "q_events_hourly" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
@@ -393,6 +403,8 @@ object RelationalQueries {
       """SELECT CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 3000 THEN 'low' WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS bucket, count(*)::BIGINT AS cnt, round(sum(c_acctbal),2) AS bal FROM customer GROUP BY 1 ORDER BY bucket""",
     "q_json" ->
       """SELECT event_type, count(*)::BIGINT AS cnt, round(avg(json_extract_string(props, '$.k')::INT),2) AS avg_k, max(json_extract_string(props, '$.k')::INT)::INT AS max_k FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_json_schema" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL AND json_extract_string(props, '$.k')::INT % 10 = 0 ORDER BY event_id""",
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_window_extras" ->

@@ -43,6 +43,14 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("val"))
 
+  /** Stream-static enrichment: join the event stream against a static
+    * dimension (broadcast — the static side is planned once per
+    * micro-batch; no state). */
+  def enrichStream(events: DataFrame, dim: DataFrame, streamKey: String,
+                   dimKey: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      events(streamKey) === dim(dimKey), "left_outer")
+
   /** Streaming exact-dedup: drops replayed event_ids arriving within
     * the watermark window — the streaming counterpart of
     * [[graft.operators.Dedup.exact]] (state pruned by event time, so

@@ -1,0 +1,58 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Traversals
+
+/** Scale-up probe: replicates sf0.1 inputs in memory (x10 lineitem =
+  * 6M rows; x4 bipartite graph = 4.8M directed edges) and re-times the
+  * core plan shapes, to observe how they scale vs data volume.
+  * Run: sbt "Test/runMain graft.tools.Stress" */
+object Stress {
+  def time[T](name: String, rows: Long)(f: => T): Unit = {
+    val t0 = System.nanoTime()
+    f
+    println(f"STRESS $name rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]").appName("stress")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.1"
+    val li = spark.read.parquet(s"$d/lineitem.parquet")
+    li.count()
+
+    // 10x lineitem via union of shifted copies (distinct orderkeys)
+    val li10 = (0 until 10).map(i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i.toLong * 10000000L)))
+      .reduce(_ union _)
+    val n10 = 6000000L
+    time("agg_groupby_x1", 600000L) {
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          count(lit(1))).collect()
+    }
+    time("agg_groupby_x10", n10) {
+      li10.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity")), sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          count(lit(1))).collect()
+    }
+    val o = spark.read.parquet(s"$d/orders.parquet")
+    val o10 = (0 until 10).map(i =>
+      o.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L)))
+      .reduce(_ union _)
+    time("join_sortmerge_x10", n10) {
+      li10.join(o10, li10("l_orderkey") === o10("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1))).collect()
+    }
+    // 4x bipartite graph: distinct shifted copies keep one component each
+    val e1 = li.select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst")).distinct()
+    val eb = e1.union(e1.select(col("dst").as("src"), col("src").as("dst")))
+    val e4 = (0 until 4).map(i =>
+      eb.select((col("src") + lit(i.toLong * 100000000L)).as("src"),
+        (col("dst") + lit(i.toLong * 100000000L)).as("dst"))).reduce(_ union _)
+    time("bfs_x1", eb.count()) { Traversals.bfsLevels(eb, 2L).count() }
+    time("bfs_x4", e4.count()) { Traversals.bfsLevels(e4, 2L).count() }
+    spark.stop()
+  }
+}
