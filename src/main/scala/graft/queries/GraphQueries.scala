@@ -56,6 +56,27 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- the reference's own sample graphs, bundled as resources; the
+    // oracles are the hand-derived goldens of FIXTURES.md (from
+    // secondary_server.c:142-248 semantics) as literal VALUES --------
+    "q_ref_g7_bfs" -> ((s, _) => {
+      Traversals.bfs(graft.sources.MatrixIO.readMatrixResource(s, "G7.txt"), 0L)
+        .select(col("order").as("ord"), col("level"), col("vertex"))
+        .orderBy("ord")
+    }),
+    "q_ref_g7_bfs_from3" -> ((s, _) => {
+      Traversals.bfs(graft.sources.MatrixIO.readMatrixResource(s, "G7.txt"), 3L)
+        .select(col("order").as("ord"), col("level"), col("vertex"))
+        .orderBy("ord")
+    }),
+    "q_ref_g7_dfs_leaves" -> ((s, _) => {
+      Traversals.dfsLeaves(graft.sources.MatrixIO.readMatrixResource(s, "G7.txt"), 0L)
+        .orderBy("vertex")
+    }),
+    "q_ref_g5_dfs_leaves" -> ((s, _) => {
+      Traversals.dfsLeaves(graft.sources.MatrixIO.readMatrixResource(s, "G5.txt"), 0L)
+        .orderBy("vertex")
+    }),
     "q_graph_bfs_big" -> ((s, d) => {
       // BFS over the full bipartite graph from the smallest order
       // vertex; output level histogram (the traversal itself is the
@@ -135,6 +156,16 @@ object GraphQueries {
     """e0 AS (SELECT n_nationkey::BIGINT AS src, (n_nationkey + 1)::BIGINT AS dst FROM nation WHERE n_nationkey < 10 OR (n_nationkey >= 12 AND n_nationkey < 20)), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
 
   val oracles: Map[String, String] = Map(
+    // golden literals per FIXTURES.md (G7 from 0: levels {0},{1,4},
+    // {2,5,6},{3}; from 3: chain back up; leaves {3,5,6} / G5 {2,3,4})
+    "q_ref_g7_bfs" ->
+      """SELECT ord::BIGINT AS ord, level::INT AS level, vertex::BIGINT AS vertex FROM (VALUES (0,0,0),(1,1,1),(2,1,4),(3,2,2),(4,2,5),(5,2,6),(6,3,3)) t(ord, level, vertex) ORDER BY ord""",
+    "q_ref_g7_bfs_from3" ->
+      """SELECT ord::BIGINT AS ord, level::INT AS level, vertex::BIGINT AS vertex FROM (VALUES (0,0,3),(1,1,2),(2,2,1),(3,3,0),(4,4,4),(5,5,5),(6,5,6)) t(ord, level, vertex) ORDER BY ord""",
+    "q_ref_g7_dfs_leaves" ->
+      """SELECT vertex::BIGINT AS vertex FROM (VALUES (3),(5),(6)) t(vertex) ORDER BY vertex""",
+    "q_ref_g5_dfs_leaves" ->
+      """SELECT vertex::BIGINT AS vertex FROM (VALUES (2),(3),(4)) t(vertex) ORDER BY vertex""",
     "q_graph_bfs_big" ->
       """WITH RECURSIVE e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), r AS (SELECT (SELECT min(l_orderkey) * 2 FROM lineitem) AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 20), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT level::INT AS level, count(*)::BIGINT AS cnt, min(vertex)::BIGINT AS min_v, max(vertex)::BIGINT AS max_v FROM lv GROUP BY level ORDER BY level""",
     "q_graph_cc_big" ->

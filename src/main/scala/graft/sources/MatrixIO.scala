@@ -40,6 +40,19 @@ object MatrixIO {
         (col("pos") % col("n")).cast("long").as("dst"))
   }
 
+  /** Read a bundled reference graph (src/main/resources/graphs/<name>)
+    * — the reference's own sample data (`/root/reference/G*.txt`),
+    * shipped with the library so its traversal queries run anywhere. */
+  def readMatrixResource(spark: SparkSession, name: String): DataFrame = {
+    val in = getClass.getClassLoader.getResourceAsStream(s"graphs/$name")
+    require(in != null, s"no bundled graph: $name")
+    val tmp = java.nio.file.Files.createTempFile("graft-graph-", ".txt")
+    try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    finally in.close()
+    tmp.toFile.deleteOnExit()
+    readMatrix(spark, tmp.toString)
+  }
+
   /** Vertex count declared in the file header (needed because isolated
     * vertices carry no edges). */
   def readVertexCount(spark: SparkSession, path: String): Int = {
