@@ -88,6 +88,12 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"))
         .orderBy("l_linestatus")
     }),
+    "q_agg_corr" -> ((s, d) => {
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_dt"))
+        .orderBy("l_returnflag")
+    }),
     // -- joins ------------------------------------------------------------
     "q_join_broadcast" -> ((s, d) => {
       val cust = t(s, d, "customer")
@@ -223,6 +229,26 @@ object RelationalQueries {
           concat_ws("-", col("p_brand"), col("p_type")).as("cat"),
           lpad(col("p_partkey").cast("string"), 8, "0").as("padded"))
         .orderBy("p_partkey")
+    }),
+    "q_scalar_more" -> ((s, d) => {
+      t(s, d, "part").where(col("p_partkey") % 17 === 0)
+        .select(col("p_partkey"),
+          translate(col("p_brand"), "#", "-").as("tbrand"),
+          initcap(lower(col("p_name"))).as("icap"),
+          reverse(col("p_type")).as("rtype"),
+          expr("repeat('x', CAST(p_size % 4 AS INT))").as("rep"),
+          instr(col("p_name"), "_").cast("int").as("uspos"))
+        .orderBy("p_partkey")
+    }),
+    "q_array_ops" -> ((s, d) => {
+      val tk = split(trim(lower(col("text"))), "\\s+")
+      t(s, d, "documents").where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"),
+          size(tk).as("n"),
+          element_at(array_sort(tk), 1).as("first_sorted"),
+          array_contains(tk, "the").as("has_the"),
+          concat_ws("|", slice(tk, 1, 3)).as("first3"))
+        .orderBy("doc_id")
     }),
     "q_scalar_date" -> ((s, d) => {
       t(s, d, "orders").where(col("o_orderkey") % 7 === 0)
@@ -395,6 +421,12 @@ object RelationalQueries {
       """(SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0) EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000 ORDER BY c_custkey""",
     "q_scalar_string" ->
       """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand, substr(p_name,1,5) AS pfx, length(p_name)::INT AS len, coalesce(regexp_extract(p_name, '([0-9]+)', 1), '') AS num, concat_ws('-', p_brand, p_type) AS cat, lpad(p_partkey::VARCHAR, 8, '0') AS padded FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey""",
+    "q_agg_corr" ->
+      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, round(covar_samp(l_discount, l_tax), 6) AS cov_dt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_scalar_more" ->
+      """SELECT p_partkey, replace(p_brand, '#', '-') AS tbrand, array_to_string(list_transform(string_split(lower(p_name), ' '), w -> concat(upper(w[1]), w[2:])), ' ') AS icap, reverse(p_type) AS rtype, repeat('x', (p_size % 4)::INT) AS rep, CASE WHEN strpos(p_name, '_') IS NULL THEN 0 ELSE strpos(p_name, '_') END::INT AS uspos FROM part WHERE p_partkey % 17 = 0 ORDER BY p_partkey""",
+    "q_array_ops" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk FROM documents WHERE doc_id % 3 = 0) SELECT doc_id, len(tk)::INT AS n, list_sort(tk)[1] AS first_sorted, list_contains(tk, 'the') AS has_the, array_to_string(tk[1:3], '|') AS first3 FROM t ORDER BY doc_id""",
     "q_scalar_date" ->
       """SELECT o_orderkey, year(o_orderdate)::INT AS yr, month(o_orderdate)::INT AS mo, day(o_orderdate)::INT AS dom, quarter(o_orderdate)::INT AS qtr, strftime(o_orderdate, '%Y-%m') AS ym, date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::INT AS days_to, strftime(o_orderdate::DATE + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30 FROM orders WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey""",
     "q_scalar_math" ->
