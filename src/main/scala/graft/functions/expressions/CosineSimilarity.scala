@@ -19,6 +19,12 @@ import org.apache.spark.sql.types._
   * Accumulation order (single pass, three independent accumulators,
   * index-ascending) matches the explicit left folds used by the DuckDB
   * oracles bit-for-bit.
+  *
+  * Edge semantics (deliberate, oracle-parity-preserving): mismatched
+  * lengths compute over the common prefix (as `zip_with` would), and a
+  * zero vector yields NaN (0/0) — which both Spark and DuckDB order as
+  * the largest double. Callers ranking descending should pre-filter
+  * zero/degenerate vectors.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {

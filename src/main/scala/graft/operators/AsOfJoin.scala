@@ -31,22 +31,27 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
            lts: String, rts: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // All payload columns travel as ONE struct: struct(...) on a right
+    // row is never null even if its fields are, so a single
+    // last(ignoreNulls) picks THE latest right row atomically — per-
+    // column windows would stitch together fields from different right
+    // rows whenever a newer row carries a legitimately-NULL field.
+    val nullPayload = lit(null).cast(org.apache.spark.sql.types.StructType(
+      payload.map(p => org.apache.spark.sql.types.StructField(p, right.schema(p).dataType))))
     val l = left
       .withColumn("_t", col(lts))
       .withColumn("_tag", lit(1))
-      .select((leftCols.map(col) :+ col("_t") :+ col("_tag")) ++
-        payload.map(p => lit(null).cast(right.schema(p).dataType).as(s"_p_$p")): _*)
+      .select(leftCols.map(col) :+ col("_t") :+ col("_tag") :+ nullPayload.as("_p"): _*)
     val r = right
       .withColumn("_t", col(rts))
       .withColumn("_tag", lit(0))
       .select((leftCols.map(c => if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
-        col("_t") :+ col("_tag")) ++ payload.map(p => col(p).as(s"_p_$p")): _*)
+        col("_t") :+ col("_tag")) :+ struct(payload.map(col): _*).as("_p"): _*)
     val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
-      .select(col("*") +:
-        payload.map(p => last(col(s"_p_$p"), ignoreNulls = true).over(w).as(p)): _*)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
       .where(col("_tag") === 1)
-      .select(leftCols.map(col) ++ payload.map(col): _*)
+      .select(leftCols.map(col) ++ payload.map(p => col("_m").getField(p).as(p)): _*)
   }
 }

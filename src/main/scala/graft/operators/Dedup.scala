@@ -18,6 +18,11 @@ import graft.functions.TextFunctions._
   * Candidate generation is LSH-band (or bucket) equi-join — never an
   * unbucketed O(n²) comparison — so the shuffle keys are band hashes
   * whose bucket sizes stay small, which survives a 100 TB corpus.
+  *
+  * The pair generators `cache()` their signature/shingle tables (read
+  * 3× within one returned plan); the cache lives until session GC or
+  * eviction — long-lived sessions running many dedup passes should
+  * `spark.catalog.clearCache()` between corpora.
   */
 object Dedup {
 
@@ -68,6 +73,9 @@ object Dedup {
     * (doc_a, doc_b, est) for est >= minEst. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                    minEst: Double = 0.25): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k); otherwise band keys degenerate " +
+        "and candidate generation becomes an O(n^2) cross join")
     val rowsPerBand = k / bands
     val sig = minhashSignatures(docs, k).cache()
     val bandDf = sig.select(col("doc_id"), posexplode(

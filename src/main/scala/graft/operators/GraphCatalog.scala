@@ -39,14 +39,23 @@ final class GraphCatalog(spark: SparkSession, root: String) {
   /** Snapshot read of a named graph's edge list. */
   def load(name: String): DataFrame = { validate(name); spark.read.parquet(edgePath(name)) }
 
-  def exists(name: String): Boolean =
-    new java.io.File(s"$root/$name/edges").exists()
+  // Hadoop FS API, not java.io.File — the catalog root may be hdfs://
+  // or s3a:// (the write/read paths already go through Spark's FS).
+  private def fs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(name: String): Boolean = {
+    validate(name)
+    fs.exists(new org.apache.hadoop.fs.Path(edgePath(name)))
+  }
 
   def listGraphs(): Seq[String] = {
-    val d = new java.io.File(root)
-    if (!d.exists()) Seq.empty
-    else d.listFiles().filter(f => f.isDirectory && new java.io.File(f, "edges").exists())
-      .map(_.getName).toSeq.sorted
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "edges")))
+      .map(_.getPath.getName).sorted
   }
 
   /** Reference op=4 routed through the catalog. */

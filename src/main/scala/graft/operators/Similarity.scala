@@ -29,8 +29,11 @@ object Similarity {
     expr(s"cosine_sim($a, $b)")
   }
 
-  /** (vec_id, score) top-k by cosine against `queryVec`, excluding
-    * `excludeId` (typically the query row itself). */
+  /** (vec_id, score) top-k by cosine against the single-row `queryVec`.
+    * Pre-filter the query row out of `embeddings` if it shouldn't rank
+    * (it would score 1.0). Zero vectors score NaN and sort first under
+    * desc order (both Spark and DuckDB treat NaN as largest) — filter
+    * them upstream if the corpus may contain empty embeddings. */
   def bruteForceTopK(embeddings: DataFrame, queryVec: DataFrame, k: Int): DataFrame = {
     val joined = embeddings.crossJoin(broadcast(queryVec))
     joined

@@ -30,26 +30,35 @@ import org.apache.spark.storage.StorageLevel
   */
 object Traversals {
 
-  /** Cache edges hash-partitioned by `src` once, so every BFS level's
-    * join reuses the same partitioning instead of reshuffling edges. */
+  /** Normalise + cache edges hash-partitioned by `src`, so every BFS
+    * level's join reuses the same partitioning instead of reshuffling
+    * edges (used by [[bfsLevels]]; callers running many traversals
+    * over one graph can pre-partition once and share). */
   def partitionEdges(edges: DataFrame, numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
             else edges.sparkSession.sessionState.conf.numShufflePartitions
-    edges.repartition(n, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .repartition(n, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Level-synchronous BFS: `(vertex: Long, level: Int)` for every vertex
     * reachable from `start` (start itself at level 0). Level = shortest
     * hop distance, because a vertex joins the visited set the first
     * level it is reached. */
+  /** Frontier rows below this bound are broadcast to the edge side;
+    * above it the superstep falls back to a shuffle hash join against
+    * the (persisted, src-partitioned) edges — force-broadcasting an
+    * O(V) mid-BFS frontier would ship the whole frontier to every
+    * executor. */
+  val broadcastFrontierMax: Long = 500000L
+
   def bfsLevels(edges: DataFrame, start: Long, maxLevels: Int = 10000): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    // Materialise the (possibly derived/unioned) edge table ONCE — every
-    // superstep reuses it; without this a 5-level BFS re-derives the
-    // edge plan 5 times.
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialise the (possibly derived/unioned) edge table ONCE,
+    // hash-partitioned by src so non-broadcast supersteps reuse the
+    // partitioning instead of reshuffling edges every level.
+    val e = partitionEdges(edges)
 
     var visited = Seq((start, 0)).toDF("vertex", "level").localCheckpoint(eager = true)
     var frontier = visited.select("vertex")
@@ -58,8 +67,10 @@ object Traversals {
     while (frontierSize > 0 && level < maxLevels) {
       level += 1
       // One BSP superstep: expand frontier along edges, drop already-seen.
-      val next = frontier.hint("broadcast")
-        .join(e, frontier("vertex") === e("src"))
+      val f = if (frontierSize <= broadcastFrontierMax) frontier.hint("broadcast")
+              else frontier
+      val next = f
+        .join(e, f("vertex") === e("src"))
         .select(e("dst").as("vertex")).distinct()
         .join(visited, Seq("vertex"), "left_anti")
         .localCheckpoint(eager = true) // cut lineage growth per iteration
@@ -176,8 +187,12 @@ object Traversals {
     // Labels only ever decrease, so sum(component) is a strictly
     // monotone convergence witness — one cheap scan instead of a
     // change-detection join per round.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("component"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: sum() is NULL
+    }
     var prevSum = Long.MaxValue
-    var curSum = labels.agg(sum(col("component"))).head().getLong(0)
+    var curSum = labelSum(labels)
     var it = 0
     while (curSum < prevSum && it < maxIters) {
       it += 1
@@ -199,7 +214,7 @@ object Traversals {
       }
       labels = jumped.localCheckpoint(eager = true)
       prevSum = curSum
-      curSum = labels.agg(sum(col("component"))).head().getLong(0)
+      curSum = labelSum(labels)
     }
     sym.unpersist(blocking = false)
     labels

@@ -66,34 +66,52 @@ object EventStreams {
                         session_end: Timestamp, n_events: Long)
 
   /** Gap-based sessionization (30 min) with explicit state: emits a
-    * session row when the gap closes it (or the state times out).
-    * The stateful-processing counterpart of the batch
-    * `q_events_sessionize` window query. */
+    * session row when a later event closes the gap, or — on a stream
+    * with a watermark — when the event-time timeout fires (which also
+    * emits the user's final session and prunes the state entry, so
+    * state size tracks *active* users). In batch mode timeouts never
+    * fire, so only gap-closed sessions are emitted.
+    * Late events that fall inside an open session's `[start-gap,
+    * last+gap]` envelope extend it (start/last move monotonically
+    * outward — a late event never drags `last` backwards).
+    * The stateful counterpart of the batch `q_events_sessionize`. */
   def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // Events within a micro-batch arrive unordered: sort, then fold.
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var sessions = state.getOption.getOrElse(Nil)
-          var closed = List.empty[SessionOut]
-          sorted.foreach { e =>
-            val t = e.ts.getTime / 1000
-            sessions match {
-              case cur :: rest if t - cur.last <= gapSec =>
-                sessions = cur.copy(last = t, n = cur.n + 1) :: rest
-              case cur :: rest =>
-                closed ::= SessionOut(userId, new Timestamp(cur.start * 1000),
-                  new Timestamp(cur.last * 1000), cur.n)
-                sessions = SessionState(t, t, 1) :: rest
-              case Nil =>
-                sessions = SessionState(t, t, 1) :: Nil
+          def emit(s: SessionState) = SessionOut(userId,
+            new Timestamp(s.start * 1000), new Timestamp(s.last * 1000), s.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).map(emit)
+            state.remove()
+            out.iterator
+          } else {
+            // Events within a micro-batch arrive unordered: sort, then fold.
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var sessions = state.getOption.getOrElse(Nil)
+            var closed = List.empty[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime / 1000
+              sessions match {
+                case cur :: rest if t >= cur.start - gapSec && t <= cur.last + gapSec =>
+                  sessions = cur.copy(start = math.min(cur.start, t),
+                    last = math.max(cur.last, t), n = cur.n + 1) :: rest
+                case cur :: rest =>
+                  closed ::= emit(cur)
+                  sessions = SessionState(t, t, 1) :: rest
+                case Nil =>
+                  sessions = SessionState(t, t, 1) :: Nil
+              }
             }
+            state.update(sessions)
+            // fire once the watermark passes the open session's close gap
+            sessions.headOption.foreach { cur =>
+              scala.util.Try(state.setTimeoutTimestamp((cur.last + gapSec) * 1000))
+            }
+            closed.reverseIterator
           }
-          state.update(sessions)
-          closed.reverseIterator
       }
   }
 }

@@ -26,6 +26,17 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got === Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> Some(103L)))
   }
 
+  test("a newer right row with a NULL payload field wins atomically (no cross-row stitching)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 00:03:00"))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:01:00"), Some(101L), Some("x")),
+      (10L, ts("2024-01-01 00:02:00"), Some(102L), None) // newer, note=NULL
+    ).toDF("user_id", "rts", "mark_id", "note")
+    val r = AsOfJoin.asof(left, right, "user_id", "ts", "rts", Seq("mark_id", "note")).head()
+    assert(r.getAs[Long]("mark_id") === 102L)
+    assert(r.getAs[Any]("note") === null, "note must come from the SAME right row as mark_id")
+  }
+
   test("asof keeps all left rows and columns") {
     val left = Seq((1L, 5L, ts("2024-01-01 00:00:01"), "x")).toDF("event_id", "user_id", "ts", "tag")
     val right = Seq((6L, ts("2024-01-01 00:00:00"), 9L)).toDF("user_id", "rts", "mark_id")

@@ -1,25 +1,21 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.streaming.EventStreams
+import graft.operators.{Dedup, Traversals}
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]").appName("probe")
       .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val sf = "/root/testdata/sf0.001"
-    val sd = java.nio.file.Files.createTempDirectory("enrich-stream")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$sf/events.parquet"), sd.resolve("e.parquet"))
-    val cust = spark.read.parquet(s"$sf/customer.parquet")
-      .select(col("c_custkey"), col("c_mktsegment"))
-    val enriched = EventStreams.enrichStream(
-      EventStreams.eventsStream(spark, sd.toString), cust, "user_id", "c_custkey")
-      .groupBy("c_mktsegment").count()
-    val q = enriched.writeStream.outputMode("complete").format("memory").queryName("enr").start()
-    q.processAllAvailable()
-    spark.table("enr").orderBy("c_mktsegment").show(10, false)
-    val total = spark.table("enr").agg(sum("count")).head().getLong(0)
-    println("ENRICH_TOTAL=" + total + " EXPECTED=" + spark.read.parquet(s"$sf/events.parquet").count())
-    q.stop(); spark.stop()
+    import spark.implicits._
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    // probe: bands that don't divide k -> named error, not O(n^2) join
+    try { Dedup.minhashPairs(docs, k = 16, bands = 5); println("BAD_BANDS_ACCEPTED!") }
+    catch { case e: IllegalArgumentException => println("BAD_BANDS_REJECTED=" + e.getMessage.take(80)) }
+    // probe: empty graph through connectedComponents -> empty result, no NPE
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    println("EMPTY_CC_ROWS=" + Traversals.connectedComponents(empty).count())
+    // probe: empty graph through BFS -> start vertex only
+    println("EMPTY_BFS=" + Traversals.bfs(empty, 7L).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).mkString(";"))
+    spark.stop()
   }
 }
