@@ -198,6 +198,18 @@ object RelationalQueries {
           round(col("o_totalprice") - lag(col("o_totalprice"), 1).over(w), 2).as("delta"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    "q_window_range_frame" -> ((s, d) => {
+      // RANGE frame (value-based, vs the ROWS frames elsewhere):
+      // count of this customer's orders within 50k price below current
+      // floor() on both sides: Spark casts double->long by truncation but
+      // DuckDB ::BIGINT rounds, so the frame must order by an exact integral
+      val w = Window.partitionBy(col("o_custkey")).orderBy(floor(col("o_totalprice")))
+        .rangeBetween(-50000L, Window.currentRow)
+      t(s, d, "orders").where(col("o_custkey") <= 30)
+        .select(col("o_custkey"), col("o_orderkey"),
+          count(lit(1)).over(w).as("n_in_range"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     // -- sort / top-k -----------------------------------------------------
     "q_sort_topk" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -415,6 +427,8 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber, round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty FROM lineitem WHERE l_suppkey <= 10 ORDER BY l_suppkey, l_orderkey, l_linenumber""",
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice - lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),2) AS delta FROM orders ORDER BY o_custkey, o_orderkey""",
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, count(*) OVER (PARTITION BY o_custkey ORDER BY floor(o_totalprice)::BIGINT RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)::BIGINT AS n_in_range FROM orders WHERE o_custkey <= 30 ORDER BY o_custkey, o_orderkey""",
     "q_sort_topk" ->
       """SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS price FROM lineitem ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 20""",
     "q_set_ops" ->

@@ -75,9 +75,11 @@ object EventStreams {
     * last+gap]` envelope extend it (start/last move monotonically
     * outward — a late event never drags `last` backwards).
     * The stateful counterpart of the batch `q_events_sessionize`. */
-  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[SessionOut] = {
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+                 lateness: String = "2 hours"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    // event-time timeout needs a watermark (no-op in batch mode)
+    events.withWatermark("ts", lateness).as[Event].groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[List[SessionState]]) =>

@@ -57,6 +57,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("event-time timeout emits final sessions once the watermark passes") {
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-timeout-stream")
+    // keep ts as raw nanos-long so the staged files match rawSchema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    // file1: even users (full time range); file2: odd users — even users
+    // get no further events, so their final sessions can ONLY surface
+    // via the event-time timeout fired as file2 advances the watermark
+    raw.where(col("user_id") % 2 === 0).coalesce(1).write
+      .parquet(streamDir.resolve("f1").toString)
+    val q = EventStreams.sessionize(
+      EventStreams.eventsStream(spark, streamDir.toString + "/*")
+        .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event]))
+      .writeStream.outputMode("append").format("memory").queryName("touts").start()
+    try {
+      q.processAllAvailable()
+      val afterF1 = spark.table("touts").where(col("user_id") % 2 === 0).count()
+      raw.where(col("user_id") % 2 === 1).coalesce(1).write
+        .parquet(streamDir.resolve("f2").toString)
+      q.processAllAvailable()
+      // one more empty-ish batch so timeouts scheduled in the previous
+      // batch fire against the advanced watermark
+      raw.where(col("user_id") === -1).coalesce(1).write
+        .parquet(streamDir.resolve("f3").toString)
+      q.processAllAvailable()
+      val afterF3 = spark.table("touts").where(col("user_id") % 2 === 0).count()
+      assert(afterF3 > afterF1,
+        s"even users' final sessions must be timeout-emitted ($afterF1 -> $afterF3)")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with sane bounds") {
     import EventStreams.Event
     val events = graft.queries.Tables.events(spark, dir)
