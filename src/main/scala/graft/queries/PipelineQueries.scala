@@ -60,6 +60,25 @@ object PipelineQueries {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    "q_text_tfidf" -> ((s, d) => {
+      // classic tf-idf: top-3 terms per doc, idf = ln(N/df); integer
+      // counts + one ln keep exact oracle parity
+      val docs = t(s, d, "documents")
+      val n = docs.count()
+      val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df_ = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score0").desc, col("term"))
+      tf.join(df_, "term")
+        .withColumn("score0", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score0").as("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
     "q_text_tokens_bpe" -> ((s, d) => {
       // whitespace vs BPE-ish subword-regex token counts
       val pat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -184,6 +203,8 @@ object PipelineQueries {
       s"""WITH $toksSql, m AS (SELECT d.doc_id, least(length(d.text)::DOUBLE / 500.0, 1.0) AS len_score, 1.0 - least(((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE) * 5.0, 1.0) AS punct_score, least((len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) * 4.0, 1.0) AS stop_score, CASE WHEN (length(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END AS tok_score FROM documents d JOIN toks t ON d.doc_id = t.doc_id) SELECT doc_id, round(round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + tok_score * 0.2, 4), 4) AS score FROM m ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM documents ORDER BY doc_id""",
+    "q_text_tfidf" ->
+      s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*) AS tf FROM tokr GROUP BY 1, 2), df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), sc AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 4) AS score0 FROM tf JOIN df USING (term)), rk AS (SELECT doc_id, term, score0, row_number() OVER (PARTITION BY doc_id ORDER BY score0 DESC, term)::INT AS rk FROM sc) SELECT doc_id, term, score0 AS score, rk FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q_text_tokens_bpe" ->
       """SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+'))::INT AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens, round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)::DOUBLE, 4) AS ratio FROM documents ORDER BY doc_id""",
     "q_dedup_pipeline" ->
