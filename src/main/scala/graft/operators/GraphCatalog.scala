@@ -39,6 +39,29 @@ final class GraphCatalog(spark: SparkSession, root: String) {
   /** Snapshot read of a named graph's edge list. */
   def load(name: String): DataFrame = { validate(name); spark.read.parquet(edgePath(name)) }
 
+  private def tableName(name: String) =
+    "graft_" + name.map(c => if (c.isLetterOrDigit) c else '_')
+
+  /** Add a graph as a **bucketed** table (hash-bucketed + sorted by
+    * `src`): repeated traversals and edge-edge joins keyed on `src`
+    * read co-located buckets and skip the shuffle entirely — the
+    * persistent-storage counterpart of
+    * [[Traversals.partitionEdges]]'s in-memory partitioning, and the
+    * right layout for a graph queried many times at 100 TB. */
+  def addGraphBucketed(name: String, edges: DataFrame, buckets: Int = 32): Unit = {
+    validate(name)
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, "src").sortBy("src")
+      .option("path", edgePath(name))
+      .saveAsTable(tableName(name))
+  }
+
+  /** Load a bucketed graph with its bucket metadata (required for
+    * shuffle elimination — a plain parquet read loses it). */
+  def loadBucketed(name: String): DataFrame = { validate(name); spark.table(tableName(name)) }
+
   // Hadoop FS API, not java.io.File — the catalog root may be hdfs://
   // or s3a:// (the write/read paths already go through Spark's FS).
   private def fs = new org.apache.hadoop.fs.Path(root)

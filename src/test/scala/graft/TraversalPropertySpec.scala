@@ -55,6 +55,26 @@ class TraversalPropertySpec extends SparkSpec {
     }
   }
 
+  test("connectedComponents agrees with a reference union-find on random graphs") {
+    (0 until 6).foreach { i =>
+      val (n, edges) = sample(200 + i)
+      val e = edges.toSeq.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      // reference union-find (undirected)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }
+      val expected = touched.map(v => v.toLong -> find(v).toLong).toMap
+      val got = Traversals.connectedComponents(e).collect()
+        .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("component")).toMap
+      // components must partition identically; representative = min id,
+      // and union-find with min-root merging yields exactly that
+      assert(got === expected, s"graph #$i: $edges")
+    }
+  }
+
   test("Pregel BFS agrees with driver-loop BFS on random graphs") {
     (0 until 3).foreach { i =>
       val (_, edges) = sample(100 + i)

@@ -90,6 +90,26 @@ class TraversalSpec extends SparkSpec {
     assert(cat.dfsLeaves("g7", 0).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("bucketed catalog storage: same data, shuffle-free self-join on src") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val cat = new GraphCatalog(spark, tmp)
+    cat.addGraphBucketed("g7b", edges("G7"), buckets = 4)
+    val b = cat.loadBucketed("g7b")
+    assert(b.count() === 12)
+    // force a sort-merge join (no broadcast) so the assertion actually
+    // tests bucketing: both sides read co-located buckets, zero shuffles
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = b.as("x").join(b.as("y"),
+          org.apache.spark.sql.functions.col("x.src") === org.apache.spark.sql.functions.col("y.src"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+        s"src=src SMJ of a bucketed table must plan zero shuffle exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("MatrixIO roundtrip: write then read preserves edges") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mio").toString + "/g.txt"
     MatrixIO.writeMatrix(edges("G7"), 7, tmp)

@@ -1,21 +1,32 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import graft.operators.{Dedup, Traversals}
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphCatalog, Traversals}
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]").appName("probe")
-      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
+    val spark = SparkSession.builder().master("local[8]").appName("probe")
+      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
+      .config("spark.sql.warehouse.dir", java.nio.file.Files.createTempDirectory("wh").toString)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
-    // probe: bands that don't divide k -> named error, not O(n^2) join
-    try { Dedup.minhashPairs(docs, k = 16, bands = 5); println("BAD_BANDS_ACCEPTED!") }
-    catch { case e: IllegalArgumentException => println("BAD_BANDS_REJECTED=" + e.getMessage.take(80)) }
-    // probe: empty graph through connectedComponents -> empty result, no NPE
-    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
-    println("EMPTY_CC_ROWS=" + Traversals.connectedComponents(empty).count())
-    // probe: empty graph through BFS -> start vertex only
-    println("EMPTY_BFS=" + Traversals.bfs(empty, 7L).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).mkString(";"))
+    // realistic graph: 60k-edge bipartite from sf0.01 lineitem
+    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .select((col("l_orderkey")*2).as("src"), (col("l_suppkey")*2+1).as("dst")).distinct()
+    val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
+    val cat = new GraphCatalog(spark, java.nio.file.Files.createTempDirectory("cat").toString)
+    cat.addGraphBucketed("big", edges, buckets = 8)
+    val b = cat.loadBucketed("big")
+    println("BUCKETED_EDGES=" + b.count() + " PLAIN_EDGES=" + edges.count())
+    // BFS over the bucketed load == BFS over the in-memory edges
+    val a1 = Traversals.bfsLevels(b, 2L).groupBy("level").count().orderBy("level")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val a2 = Traversals.bfsLevels(edges, 2L).groupBy("level").count().orderBy("level")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    println("BFS_BUCKETED=" + a1.mkString(","))
+    println("BFS_MATCH=" + (a1 == a2))
+    // probe: overwrite the bucketed graph (last-writer-wins holds for tables too)
+    cat.addGraphBucketed("big", edges.limit(100), buckets = 8)
+    println("AFTER_OVERWRITE=" + cat.loadBucketed("big").count())
     spark.stop()
   }
 }

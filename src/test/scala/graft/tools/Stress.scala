@@ -53,6 +53,8 @@ object Stress {
         (col("dst") + lit(i.toLong * 100000000L)).as("dst"))).reduce(_ union _)
     time("bfs_x1", eb.count()) { Traversals.bfsLevels(eb, 2L).count() }
     time("bfs_x4", e4.count()) { Traversals.bfsLevels(e4, 2L).count() }
+    // GraphX Pregel vs driver-loop on the same graph
+    time("bfs_pregel_x1", eb.count()) { Traversals.bfsLevelsPregel(eb, 2L).count() }
     spark.stop()
   }
 }
