@@ -32,6 +32,16 @@ object GraphAlgos {
       .vertices.map { case (v, c) => (v, c) }.toDF("vertex", "triangles")
   }
 
+  /** Connected components via GraphX's optimized Pregel implementation
+    * (same contract as [[Traversals.connectedComponents]]: component =
+    * min vertex id, undirected). */
+  def connectedComponentsGraphX(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    toGraph(edges).connectedComponents()
+      .vertices.map { case (v, c) => (v, c) }.toDF("vertex", "component")
+  }
+
   /** In/out degree per vertex. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("vertex"), lit(1).as("out"), lit(0).as("in"))

@@ -110,6 +110,28 @@ class TraversalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("concurrent traversals are isolated (reference: 2 secondary servers, " +
+    "shared-global corruption consciously not replicated)") {
+    // The reference's concurrent BFS/DFS on one server corrupt each
+    // other (secondary_server.c:51-54, global queue/visited). Ours must
+    // not: run 8 traversals concurrently on mixed graphs and check each
+    // against its golden.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val golden = Map(
+      ("G7", 0L) -> Seq(0L, 1L, 4L, 2L, 5L, 6L, 3L),
+      ("G7", 3L) -> Seq(3L, 2L, 1L, 0L, 4L, 5L, 6L),
+      ("G5", 0L) -> Seq(0L, 1L, 4L, 2L, 3L),
+      ("G6", 0L) -> Seq(0L, 1L, 2L, 3L, 4L))
+    val futures = (1 to 2).flatMap(_ => golden.toSeq).map { case ((g, s), expect) =>
+      Future { (g, s, bfsOrder(g, s), expect) }
+    }
+    Await.result(Future.sequence(futures), 120.seconds).foreach {
+      case (g, s, got, expect) => assert(got === expect, s"$g from $s under concurrency")
+    }
+  }
+
   test("MatrixIO roundtrip: write then read preserves edges") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-mio").toString + "/g.txt"
     MatrixIO.writeMatrix(edges("G7"), 7, tmp)

@@ -55,6 +55,16 @@ object Stress {
     time("bfs_x4", e4.count()) { Traversals.bfsLevels(e4, 2L).count() }
     // GraphX Pregel vs driver-loop on the same graph
     time("bfs_pregel_x1", eb.count()) { Traversals.bfsLevelsPregel(eb, 2L).count() }
+    // CC: driver-loop vs GraphX on the per-customer chain graph (sf0.1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    val o1 = spark.read.parquet(s"$d/orders.parquet")
+    val ch = o1.select(col("o_custkey"), col("o_orderkey").as("src"),
+        lead(col("o_orderkey"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull).select(col("src"), col("dst"))
+    val chain = ch.union(ch.select(col("dst").as("src"), col("src").as("dst")))
+    time("cc_loop", chain.count()) { Traversals.connectedComponents(chain).count() }
+    time("cc_graphx", chain.count()) { graft.operators.GraphAlgos.connectedComponentsGraphX(chain).count() }
     spark.stop()
   }
 }
