@@ -67,6 +67,26 @@ object Multimodal {
       }
   }
 
+  case class ResizedMedia(doc_id: Long, orig_bytes: Int, resized_bytes: Int,
+                          payload: Array[Byte])
+
+  /** STUB resize: downsamples the payload by `factor` (every factor-th
+    * byte) — stands in for an image resize kernel; the contract (new
+    * binary payload + before/after metadata, row-per-row) is the real
+    * operator shape. */
+  def resize(docs: DataFrame, factor: Int = 4): Dataset[ResizedMedia] = {
+    require(factor >= 1)
+    val withP = withPayload(docs).select(col("doc_id"), col("payload"))
+    implicit val enc = Encoders.product[ResizedMedia]
+    withP.as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val out = Array.range(0, bytes.length, factor).map(bytes(_))
+          ResizedMedia(id, bytes.length, out.length, out)
+        }
+      }
+  }
+
   /** STUB frame sampler: treats the payload as fixed-size frames and
     * emits every `stride`-th one (video keyframe sampling shape). */
   def sampleFrames(docs: DataFrame, frameBytes: Int = 32, stride: Int = 4): Dataset[FrameSample] = {

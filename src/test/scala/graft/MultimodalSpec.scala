@@ -34,6 +34,15 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: downsampled payload with correct byte accounting") {
+    val r = Multimodal.resize(docs, factor = 4).collect()
+    assert(r.length === docs.count())
+    r.foreach { m =>
+      assert(m.resized_bytes === (m.orig_bytes + 3) / 4)
+      assert(m.payload.length === m.resized_bytes)
+    }
+  }
+
   test("sampleFrames: strided offsets, frame-sized slices") {
     val frames = Multimodal.sampleFrames(docs, frameBytes = 32, stride = 4).collect()
     assert(frames.nonEmpty)

@@ -1,32 +1,25 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.{GraphCatalog, Traversals}
+import graft.multimodal.Multimodal
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]").appName("probe")
-      .config("spark.sql.shuffle.partitions","8").config("spark.ui.enabled","false")
-      .config("spark.sql.warehouse.dir", java.nio.file.Files.createTempDirectory("wh").toString)
-      .getOrCreate()
+    val spark = SparkSession.builder().master("local[4]").appName("probe")
+      .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // realistic graph: 60k-edge bipartite from sf0.01 lineitem
-    val li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
-      .select((col("l_orderkey")*2).as("src"), (col("l_suppkey")*2+1).as("dst")).distinct()
-    val edges = li.union(li.select(col("dst").as("src"), col("src").as("dst")))
-    val cat = new GraphCatalog(spark, java.nio.file.Files.createTempDirectory("cat").toString)
-    cat.addGraphBucketed("big", edges, buckets = 8)
-    val b = cat.loadBucketed("big")
-    println("BUCKETED_EDGES=" + b.count() + " PLAIN_EDGES=" + edges.count())
-    // BFS over the bucketed load == BFS over the in-memory edges
-    val a1 = Traversals.bfsLevels(b, 2L).groupBy("level").count().orderBy("level")
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    val a2 = Traversals.bfsLevels(edges, 2L).groupBy("level").count().orderBy("level")
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
-    println("BFS_BUCKETED=" + a1.mkString(","))
-    println("BFS_MATCH=" + (a1 == a2))
-    // probe: overwrite the bucketed graph (last-writer-wins holds for tables too)
-    cat.addGraphBucketed("big", edges.limit(100), buckets = 8)
-    println("AFTER_OVERWRITE=" + cat.loadBucketed("big").count())
+    import spark.implicits._
+    val docs = graft.queries.Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    // resize then feed the RESIZED payload back through feature extraction
+    // (ops compose: resize -> features, the pipeline shape that matters)
+    val resized = Multimodal.resize(docs, factor = 4)
+    resized.show(3)
+    val asDocs = resized.select($"doc_id", $"payload".cast("binary"))
+      .withColumn("text", $"payload".cast("string")).drop("payload")
+    val feats = Multimodal.extractFeatures(asDocs).collect()
+    println("COMPOSED_FEATURES_OK=" + feats.forall(f => f.features.length == 8 && math.abs(f.features.sum - 1f) < 1e-3))
+    // probe: factor 1 = identity; factor larger than payload -> 1 byte
+    println("FACTOR1_IDENTITY=" + Multimodal.resize(docs, 1).collect().forall(m => m.resized_bytes == m.orig_bytes))
+    println("FACTOR_HUGE=" + Multimodal.resize(docs, 100000).collect().forall(m => m.resized_bytes == 1))
     spark.stop()
   }
 }
