@@ -94,6 +94,30 @@ object RelationalQueries {
           round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_dt"))
         .orderBy("l_returnflag")
     }),
+    "q_agg_having" -> ((s, d) => {
+      t(s, d, "orders").groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .where(col("n") >= 15) // HAVING
+        .orderBy("o_custkey")
+    }),
+    "q_scalar_null" -> ((s, d) => {
+      // null-semantics family over synthesized nulls (fixtures are
+      // null-free): nullif/coalesce/null-safe equality/null counting
+      t(s, d, "lineitem").where(col("l_orderkey") % 25 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          nullif(col("l_discount"), lit(0.0)).as("d_or_null"),
+          coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("d_filled"),
+          (nullif(col("l_discount"), lit(0.0)) <=> nullif(col("l_tax"), lit(0.0))).as("nse"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_union_all" -> ((s, d) => {
+      val c = t(s, d, "customer")
+      c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .unionAll(c.where(col("c_acctbal") > 9000).select(col("c_custkey")))
+        .groupBy("c_custkey").agg(count(lit(1)).as("appearances"))
+        .where(col("appearances") === 2) // in both branches (bag semantics)
+        .orderBy("c_custkey")
+    }),
     // -- joins ------------------------------------------------------------
     "q_join_broadcast" -> ((s, d) => {
       val cust = t(s, d, "customer")
@@ -407,6 +431,12 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS cnt, round(sum(l_quantity),2) AS qty FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
     "q_agg_stats" ->
       """SELECT l_linestatus, round(min(l_extendedprice),2) AS mn, round(max(l_extendedprice),2) AS mx, round(avg(l_extendedprice),2) AS av, round(stddev_samp(l_extendedprice),2) AS sd, round(quantile_cont(l_extendedprice, 0.5),2) AS med FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n, round(sum(o_totalprice),2) AS spend FROM orders GROUP BY o_custkey HAVING count(*) >= 15 ORDER BY o_custkey""",
+    "q_scalar_null" ->
+      """SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS d_or_null, coalesce(nullif(l_discount, 0.0), -1.0) AS d_filled, (nullif(l_discount, 0.0) IS NOT DISTINCT FROM nullif(l_tax, 0.0)) AS nse FROM lineitem WHERE l_orderkey % 25 = 0 ORDER BY l_orderkey, l_linenumber""",
+    "q_union_all" ->
+      """SELECT c_custkey, count(*)::BIGINT AS appearances FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 9000) GROUP BY c_custkey HAVING count(*) = 2 ORDER BY c_custkey""",
     "q_join_broadcast" ->
       """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(c_acctbal),2) AS bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' GROUP BY n_name ORDER BY n_name""",
     "q_join_sortmerge" ->
