@@ -171,6 +171,41 @@ object Traversals {
     leaves.toSeq.sorted.toDF("vertex")
   }
 
+  /** Weighted single-source shortest paths by iterative relaxation
+    * (distributed Bellman-Ford): each round relaxes every edge once;
+    * distances only decrease, so the monotone sum is the convergence
+    * witness (same pattern as [[connectedComponents]]). Converges in
+    * ≤ |V| rounds; non-negative integer weights. Input
+    * `(src, dst, w)`; output `(vertex, dist)` for reachable vertices. */
+  def sssp(edges: DataFrame, start: Long, maxIters: Int = 10000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
+      col("w").cast("long")).persist(StorageLevel.MEMORY_AND_DISK)
+    var dists = Seq((start, 0L)).toDF("vertex", "dist").localCheckpoint(eager = true)
+    def witness(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("dist"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prev = (-1L, -1L)
+    var cur = witness(dists)
+    var it = 0
+    // stop when neither the reached-set nor the total distance improves
+    while (cur != prev && it < maxIters) {
+      it += 1
+      val relaxed = dists.join(e, dists("vertex") === e("src"))
+        .select(e("dst").as("vertex"), (dists("dist") + e("w")).as("dist"))
+        .union(dists)
+        .groupBy("vertex").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = true)
+      dists = relaxed
+      prev = cur
+      cur = witness(dists)
+    }
+    e.unpersist(blocking = false)
+    dists
+  }
+
   /** Connected components by min-label propagation with pointer
     * jumping: each round takes the min over neighbour labels, then
     * short-circuits `component := component(component)` — labels reach

@@ -114,6 +114,14 @@ object GraphQueries {
     "q_graph_cc" -> ((s, d) => {
       Traversals.connectedComponents(chainEdges(s, d)).orderBy("vertex")
     }),
+    "q_graph_sssp" -> ((s, d) => {
+      // weighted SSSP over the heap tree, weight = (src+dst) % 5 + 1
+      val e = treeEdges(s, d)
+        .withColumn("w", (col("src") + col("dst")) % 5 + 1)
+      Traversals.sssp(e, 0L)
+        .select(col("vertex"), col("dist"))
+        .orderBy("vertex")
+    }),
     "q_graph_degree" -> ((s, d) => {
       treeEdges(s, d).groupBy(col("src").as("vertex"))
         .agg(count(lit(1)).as("degree"))
@@ -179,6 +187,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT 0::BIGINT AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT (row_number() OVER (ORDER BY level, vertex) - 1)::BIGINT AS ord, level::INT AS level, vertex FROM lv ORDER BY ord""",
     "q_graph_cc" ->
       s"""WITH RECURSIVE $chainEdgeSql, r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b) SELECT a AS vertex, min(b)::BIGINT AS component FROM r GROUP BY a ORDER BY vertex""",
+    "q_graph_sssp" ->
+      s"""WITH RECURSIVE $treeEdgeSql, we AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e), r AS (SELECT 0::BIGINT AS vertex, 0::BIGINT AS dist UNION SELECT we.dst, r.dist + we.w FROM r JOIN we ON we.src = r.vertex WHERE r.dist < 100) SELECT vertex, min(dist)::BIGINT AS dist FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_degree" ->
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
     "q_graph_tri_pervertex" ->

@@ -110,6 +110,18 @@ class TraversalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("sssp: weighted shortest paths on a hand-checked graph") {
+    import spark.implicits._
+    // 0-1 (w1), 1-2 (w1), 0-2 (w5): the 2-hop path beats the direct edge
+    val e = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 5L), (2L, 3L, 2L))
+      .toDF("src", "dst", "w")
+    val d = Traversals.sssp(e, 0L).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("dist")).toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 4L))
+    // unreachable start: only itself
+    assert(Traversals.sssp(e, 9L).collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
   test("concurrent traversals are isolated (reference: 2 secondary servers, " +
     "shared-global corruption consciously not replicated)") {
     // The reference's concurrent BFS/DFS on one server corrupt each
