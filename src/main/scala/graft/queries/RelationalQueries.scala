@@ -402,6 +402,25 @@ object RelationalQueries {
             .cast("long").as("gap_sec"))
         .orderBy("event_id")
     }),
+    "q_stream_hourly" -> ((s, d) => {
+      // Structured-Streaming-EXECUTED member of the correctness gate:
+      // the events file is staged into a stream directory, aggregated
+      // by a real streaming query (complete mode = all windows kept),
+      // and the memory-sink table is returned — the oracle is the same
+      // batch SQL as q_events_hourly, so the stream must agree with
+      // the batch engine exactly.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-stream")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val sink = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("hr", "event_type")
+    }),
     "q_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -491,6 +510,8 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(avg(c_acctbal),2) AS avg_bal FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
+    "q_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""")
 }
