@@ -2,7 +2,6 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
-import graft.functions.TextFunctions._
 
 object Perf {
   def time[T](name: String)(f: => T): T = {
@@ -15,20 +14,23 @@ object Perf {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     docs.count()
-    time("shingle_rows")(docs.select(col("doc_id"), explode(wordShingles(col("text"),3)).as("g")).count())
-    time("signatures")(Dedup.minhashSignatures(docs).count())
-    time("minhash_full")(Dedup.minhashPairs(docs).count())
-    time("minhash_full_again")(Dedup.minhashPairs(docs).count())
-    val shr = docs.select(col("doc_id"), col("lang"), col("source"),
-        floor(col("n_chars") / 100).as("band"),
-        explode(array_distinct(wordShingles(col("text"), 3))).as("g"))
-    time("ngram_shr")(shr.count())
-    val inter = shr.as("a").join(shr.as("b"),
-        col("a.g") === col("b.g") && col("a.lang") === col("b.lang") &&
-          col("a.source") === col("b.source") && col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-    time("ngram_interjoin_rows")(println("  inter=" + inter.count()))
-    time("ngram_full")(Dedup.ngramJaccardPairs(docs).count())
+    time("ngram_current")(Dedup.ngramJaccardPairs(docs).count())
+    // alternative: precomputed arrays + codegen'd array_intersect
+    def arrayVariant(): Long = {
+      val gs = Dedup.shingleRows(docs, 3).distinct()
+        .groupBy("doc_id").agg(collect_list(col("g")).as("gs"))
+        .join(docs.select(col("doc_id"), col("lang"), col("source"),
+          floor(col("n_chars") / 100).as("band")), "doc_id")
+      val a = gs.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("band"), col("gs").as("ga"))
+      val b = gs.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("band"), col("gs").as("gb"))
+      a.join(b, Seq("lang","source","band")).where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+           size(array_union(col("ga"), col("gb"))).cast("double")).as("jac0"))
+        .where(col("jac0") >= 0.15).count()
+    }
+    time("ngram_array")(println("  n=" + arrayVariant()))
+    time("ngram_array_again")(arrayVariant())
     spark.stop()
   }
 }
