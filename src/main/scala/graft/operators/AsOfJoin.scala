@@ -31,6 +31,10 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, key: String,
            lts: String, rts: String, payload: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val clash = payload.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"payload columns collide with left columns: ${clash.mkString(", ")} " +
+        "(rename on the right side first — duplicates would be ambiguous downstream)")
     // All payload columns travel as ONE struct: struct(...) on a right
     // row is never null even if its fields are, so a single
     // last(ignoreNulls) picks THE latest right row atomically — per-

@@ -39,8 +39,13 @@ final class GraphCatalog(spark: SparkSession, root: String) {
   /** Snapshot read of a named graph's edge list. */
   def load(name: String): DataFrame = { validate(name); spark.read.parquet(edgePath(name)) }
 
-  private def tableName(name: String) =
-    "graft_" + name.map(c => if (c.isLetterOrDigit) c else '_')
+  private def tableName(name: String) = {
+    // table identifiers are strict so two catalog names can never
+    // collide after sanitisation ("a-b" vs "a.b" -> same table)
+    require(name.matches("[A-Za-z0-9_]+"),
+      s"bucketed graph names must be [A-Za-z0-9_]+, got: $name")
+    "graft_" + name
+  }
 
   /** Add a graph as a **bucketed** table (hash-bucketed + sorted by
     * `src`): repeated traversals and edge-edge joins keyed on `src`

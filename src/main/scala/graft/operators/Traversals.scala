@@ -53,13 +53,21 @@ object Traversals {
   val broadcastFrontierMax: Long = 500000L
 
   def bfsLevels(edges: DataFrame, start: Long, maxLevels: Int = 10000): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
     // Materialise the (possibly derived/unioned) edge table ONCE,
     // hash-partitioned by src so non-broadcast supersteps reuse the
     // partitioning instead of reshuffling edges every level.
     val e = partitionEdges(edges)
+    try bfsLevelsPrepared(e, start, maxLevels)
+    finally e.unpersist(blocking = false)
+  }
 
+  /** [[bfsLevels]] over an edge table the CALLER already normalised and
+    * persisted via [[partitionEdges]] — for running many traversals
+    * over one graph without re-shuffling/re-caching per call (the
+    * shared table is NOT unpersisted here). */
+  def bfsLevelsPrepared(e: DataFrame, start: Long, maxLevels: Int = 10000): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     var visited = Seq((start, 0)).toDF("vertex", "level").localCheckpoint(eager = true)
     var frontier = visited.select("vertex")
     var level = 0
@@ -81,7 +89,6 @@ object Traversals {
         frontier = next
       }
     }
-    e.unpersist(blocking = false)
     visited
   }
 

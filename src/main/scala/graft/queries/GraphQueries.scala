@@ -180,7 +180,7 @@ object GraphQueries {
     "q_ref_g5_dfs_leaves" ->
       """SELECT vertex::BIGINT AS vertex FROM (VALUES (2),(3),(4)) t(vertex) ORDER BY vertex""",
     "q_graph_bfs_big" ->
-      """WITH RECURSIVE e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), r AS (SELECT (SELECT min(l_orderkey) * 2 FROM lineitem) AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 20), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT level::INT AS level, count(*)::BIGINT AS cnt, min(vertex)::BIGINT AS min_v, max(vertex)::BIGINT AS max_v FROM lv GROUP BY level ORDER BY level""",
+      """WITH RECURSIVE e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), r AS (SELECT (SELECT min(l_orderkey) * 2 FROM lineitem) AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 100), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT level::INT AS level, count(*)::BIGINT AS cnt, min(vertex)::BIGINT AS min_v, max(vertex)::BIGINT AS max_v FROM lv GROUP BY level ORDER BY level""",
     "q_graph_cc_big" ->
       """WITH RECURSIVE ch AS (SELECT o_custkey, o_orderkey AS src, lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst FROM orders), e0 AS (SELECT src, dst FROM ch WHERE dst IS NOT NULL), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b), comp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a), szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY component) SELECT sz::BIGINT AS sz, count(*)::BIGINT AS n_components FROM szs GROUP BY sz ORDER BY sz""",
     "q_graph_bfs" ->

@@ -26,14 +26,6 @@ import Tables.t
   */
 object PipelineQueries {
 
-  /** Left-fold sum over array<double>, mirrored exactly by the oracle's
-    * `list_reduce(list_prepend(0.0, …))` so doubles match bit-for-bit. */
-  private def fold(v: Column): Column = aggregate(v, lit(0.0), (a, x) => a + x)
-  private def dotc(a: Column, b: Column): Column = fold(zip_with(a, b, (x, y) => x * y))
-  private def l2c(a: Column, b: Column): Column = fold(zip_with(a, b, (x, y) => (x - y) * (x - y)))
-  private def cosc(a: Column, b: Column): Column =
-    dotc(a, b) / (sqrt(dotc(a, a)) * sqrt(dotc(b, b)))
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ----------------------------------------------------
     "q_text_stats" -> ((s, d) => {

@@ -410,15 +410,31 @@ object RelationalQueries {
       // batch SQL as q_events_hourly, so the stream must agree with
       // the batch engine exactly.
       val streamDir = java.nio.file.Files.createTempDirectory("graft-q-stream")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-        streamDir.resolve("events.parquet"))
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      if (java.nio.file.Files.isDirectory(src)) {
+        // Spark-written datasets are directories; Files.copy on one
+        // yields an EMPTY dir (and a silently-empty stream) — copy the
+        // data files instead
+        val it = java.nio.file.Files.list(src).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, streamDir.resolve(f.getFileName.toString))
+        }
+      } else java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
       val sink = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
         .writeStream.outputMode("complete").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally q.stop()
+      try q.processAllAvailable() finally {
+        q.stop()
+        // the memory sink holds the result; the staged files can go
+        val it = java.nio.file.Files.list(streamDir).iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
       s.table(sink).orderBy("hr", "event_type")
     }),
     "q_events_sessionize" -> ((s, d) => {

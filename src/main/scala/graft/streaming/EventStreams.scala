@@ -91,26 +91,45 @@ object EventStreams {
             out.iterator
           } else {
             // Events within a micro-batch arrive unordered: sort, then fold.
+            // State is head (the most recent open session) :: tail (older
+            // late-opened sessions awaiting timeout) — an out-of-envelope
+            // LATE event must NOT close/replace the open head (that would
+            // split the head session across its own continuation).
             val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var sessions = state.getOption.getOrElse(Nil)
             var closed = List.empty[SessionOut]
+            def intoTail(tail: List[SessionState], t: Long): List[SessionState] =
+              tail.span(s => t < s.start - gapSec || t > s.last + gapSec) match {
+                case (before, hit :: after) =>
+                  before ::: hit.copy(start = math.min(hit.start, t),
+                    last = math.max(hit.last, t), n = hit.n + 1) :: after
+                case (all, Nil) => SessionState(t, t, 1) :: all
+              }
             sorted.foreach { e =>
               val t = e.ts.getTime / 1000
               sessions match {
                 case cur :: rest if t >= cur.start - gapSec && t <= cur.last + gapSec =>
                   sessions = cur.copy(start = math.min(cur.start, t),
                     last = math.max(cur.last, t), n = cur.n + 1) :: rest
-                case cur :: rest =>
+                case cur :: rest if t > cur.last + gapSec =>  // forward gap: close head
                   closed ::= emit(cur)
                   sessions = SessionState(t, t, 1) :: rest
+                case cur :: rest =>                           // late: park in tail
+                  sessions = cur :: intoTail(rest, t)
                 case Nil =>
                   sessions = SessionState(t, t, 1) :: Nil
               }
             }
-            state.update(sessions)
-            // fire once the watermark passes the open session's close gap
-            sessions.headOption.foreach { cur =>
-              scala.util.Try(state.setTimeoutTimestamp((cur.last + gapSec) * 1000))
+            // sessions already closable relative to the watermark are
+            // emitted NOW (setting their timeout would throw: it must be
+            // strictly later than the watermark); the rest wait for it.
+            val wmSec = scala.util.Try(state.getCurrentWatermarkMs()).getOrElse(0L) / 1000
+            val (expired, open) = sessions.partition(s => s.last + gapSec <= wmSec)
+            closed = expired.map(emit) ::: closed
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(open)
+              state.setTimeoutTimestamp((open.map(_.last).max + gapSec) * 1000)
             }
             closed.reverseIterator
           }

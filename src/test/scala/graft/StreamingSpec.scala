@@ -89,6 +89,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a cross-batch late event parks in the tail; the open session is NOT split") {
+    import org.apache.spark.sql.functions._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-late")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def write(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .withColumn("ts", unix_timestamp(col("tss")) * 1000000000L).drop("tss")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir2.resolve(name).toString)
+    }
+    // batch1: user 1 open session at 10:00
+    write("b1", Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}")))
+    val q = EventStreams.sessionize(
+      EventStreams.eventsStream(spark, dir2.toString + "/*")
+        .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event]))
+      .writeStream.outputMode("append").format("memory").queryName("late").start()
+    try {
+      q.processAllAvailable()
+      // batch2: LATE 08:30 (outside envelope, above watermark) + 10:05 continuation
+      write("b2", Seq((2L, "2024-01-01 08:30:00", 1L, "view", 1.0, "{}"),
+        (3L, "2024-01-01 10:05:00", 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // batch3: far-future event (other user) advances watermark, flushing user 1
+      write("b3", Seq((4L, "2024-01-02 12:00:00", 2L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      write("b4", Seq((5L, "2024-01-03 12:00:00", 2L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val u1 = spark.table("late").where(col("user_id") === 1)
+        .select(date_format(col("session_start"), "HH:mm").as("s"),
+          date_format(col("session_end"), "HH:mm").as("e"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // exactly TWO sessions: the parked late one and the intact 10:00-10:05
+      assert(u1 === Set(("08:30", "08:30", 1L), ("10:00", "10:05", 2L)),
+        s"got $u1 — the open session must not be split by the late event")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with sane bounds") {
     import EventStreams.Event
     val events = graft.queries.Tables.events(spark, dir)

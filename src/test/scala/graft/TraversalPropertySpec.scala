@@ -75,6 +75,28 @@ class TraversalPropertySpec extends SparkSpec {
     }
   }
 
+  test("sssp agrees with a reference Dijkstra on random weighted digraphs") {
+    (0 until 6).foreach { i =>
+      val (n, edges0) = sample(300 + i)
+      val weighted = edges0.toSeq.map { case (a, b) => (a, b, (a + b) % 7 + 1) }
+      val e = weighted.map { case (a, b, w) => (a.toLong, b.toLong, w.toLong) }
+        .toDF("src", "dst", "w")
+      // reference Dijkstra
+      val adj = weighted.groupBy(_._1).map { case (s, es) => s -> es.map(t => (t._2, t._3)) }
+      val dist = scala.collection.mutable.Map(0 -> 0L)
+      val pq = scala.collection.mutable.PriorityQueue((0L, 0))(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (d, v) = pq.dequeue()
+        if (d == dist(v)) adj.getOrElse(v, Nil).foreach { case (u, w) =>
+          if (d + w < dist.getOrElse(u, Long.MaxValue)) { dist(u) = d + w; pq.enqueue((d + w, u)) }
+        }
+      }
+      val got = Traversals.sssp(e, 0L).collect()
+        .map(r => r.getAs[Long]("vertex").toInt -> r.getAs[Long]("dist")).toMap
+      assert(got === dist.toMap, s"graph #$i: $weighted")
+    }
+  }
+
   test("Pregel BFS agrees with driver-loop BFS on random graphs") {
     (0 until 3).foreach { i =>
       val (_, edges) = sample(100 + i)
