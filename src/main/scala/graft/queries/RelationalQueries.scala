@@ -88,6 +88,13 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.5)"), 2).as("med"))
         .orderBy("l_linestatus")
     }),
+    "q_histogram" -> ((s, d) => {
+      // equi-width histogram via width_bucket (SQL-standard bucketing)
+      t(s, d, "customer")
+        .select(expr("width_bucket(c_acctbal, -1000.0, 10000.0, 11)").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")
+    }),
     "q_agg_corr" -> ((s, d) => {
       t(s, d, "lineitem").groupBy("l_returnflag")
         .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
@@ -500,6 +507,8 @@ object RelationalQueries {
       """(SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 0) EXCEPT SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 400000 ORDER BY c_custkey""",
     "q_scalar_string" ->
       """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand, substr(p_name,1,5) AS pfx, length(p_name)::INT AS len, coalesce(regexp_extract(p_name, '([0-9]+)', 1), '') AS num, concat_ws('-', p_brand, p_type) AS cat, lpad(p_partkey::VARCHAR, 8, '0') AS padded FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey""",
+    "q_histogram" ->
+      """SELECT CASE WHEN c_acctbal < -1000.0 THEN 0 WHEN c_acctbal >= 10000.0 THEN 12 ELSE floor((c_acctbal - (-1000.0)) / ((10000.0 - (-1000.0)) / 11)) + 1 END::BIGINT AS bucket, count(*)::BIGINT AS cnt FROM customer GROUP BY 1 ORDER BY bucket""",
     "q_agg_corr" ->
       """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, round(covar_samp(l_discount, l_tax), 6) AS cov_dt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_scalar_more" ->
