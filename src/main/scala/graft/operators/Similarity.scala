@@ -42,6 +42,26 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch k-NN join — the production shape (a whole query SET at
+    * once, not one vector): broadcast the query side, score all
+    * (query, corpus) pairs with the codegen cosine expression, keep
+    * top-k per query via a rank window. One corpus scan regardless of
+    * query count; at 100 TB the corpus side stays partitioned and the
+    * window shuffles only (query_id, score) pairs.
+    * Inputs: corpus (vec_id, v), queries (qid, qv). Output:
+    * (qid, vec_id, score, rk) with rk 1..k. */
+  def knnJoin(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("qid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score").desc, col("vec_id"))
+    joined
+      .select(col("qid"), col("vec_id"),
+        round(fastCosine(joined, "v", "qv"), 4).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   /** Assign each vector to its nearest centroid by L2; deterministic
     * tie-break on centroid id. Input: (vec_id, v), (cid, cv).
     * Output: (vec_id, v, cid). */

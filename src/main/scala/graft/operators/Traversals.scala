@@ -61,17 +61,31 @@ object Traversals {
     finally e.unpersist(blocking = false)
   }
 
+  /** Multi-source BFS: level(v) = min hop distance from ANY start
+    * (landmark-distance shape). Same superstep loop, seeded with the
+    * whole start set at level 0. */
+  def bfsLevelsMulti(edges: DataFrame, starts: Seq[Long], maxLevels: Int = 10000): DataFrame = {
+    val e = partitionEdges(edges)
+    try bfsLevelsPrepared(e, starts, maxLevels)
+    finally e.unpersist(blocking = false)
+  }
+
   /** [[bfsLevels]] over an edge table the CALLER already normalised and
     * persisted via [[partitionEdges]] — for running many traversals
     * over one graph without re-shuffling/re-caching per call (the
     * shared table is NOT unpersisted here). */
-  def bfsLevelsPrepared(e: DataFrame, start: Long, maxLevels: Int = 10000): DataFrame = {
+  def bfsLevelsPrepared(e: DataFrame, start: Long, maxLevels: Int): DataFrame =
+    bfsLevelsPrepared(e, Seq(start), maxLevels)
+
+  def bfsLevelsPrepared(e: DataFrame, starts: Seq[Long], maxLevels: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    var visited = Seq((start, 0)).toDF("vertex", "level").localCheckpoint(eager = true)
+    require(starts.nonEmpty, "at least one start vertex")
+    var visited = starts.distinct.map((_, 0)).toDF("vertex", "level")
+      .localCheckpoint(eager = true)
     var frontier = visited.select("vertex")
     var level = 0
-    var frontierSize = 1L
+    var frontierSize = starts.distinct.length.toLong
     while (frontierSize > 0 && level < maxLevels) {
       level += 1
       // One BSP superstep: expand frontier along edges, drop already-seen.

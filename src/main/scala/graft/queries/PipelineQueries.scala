@@ -145,6 +145,15 @@ object PipelineQueries {
       val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
       Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), q, 20)
     }),
+    "q_embed_knn_join" -> ((s, d) => {
+      // batch k-NN: every label-0 vector is a query against the corpus
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        toDouble(col("embedding")).as("v"))
+      val queries = e.where(col("label") === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      Similarity.knnJoin(e.select(col("vec_id"), col("v")), queries, k = 5)
+        .orderBy("qid", "rk")
+    }),
     "q_embed_ivf" -> ((s, d) => {
       val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val cents = e.where(col("vec_id").between(1, 8))
@@ -220,6 +229,8 @@ object PipelineQueries {
       """WITH ev AS (SELECT event_id, user_id, floor(floor(epoch(ts)) / 300) AS band, floor(epoch(ts)) AS sec FROM events) SELECT a.user_id, count(*)::BIGINT AS n_pairs, round(avg(abs(b.sec - a.sec)), 2) AS avg_gap FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.band = b.band AND a.event_id < b.event_id GROUP BY a.user_id ORDER BY a.user_id""",
     "q_embed_topk" ->
       s"""WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 0), sc AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 20""",
+    "q_embed_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE label = 0), sc AS (SELECT q.qid, e.vec_id, round(${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})), 4) AS score FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), rk AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)::INT AS rk FROM sc) SELECT qid, vec_id, score, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""",
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_explode_embed" ->

@@ -75,6 +75,23 @@ class TraversalPropertySpec extends SparkSpec {
     }
   }
 
+  test("multi-source BFS equals the min over per-source BFS levels") {
+    (0 until 4).foreach { i =>
+      val (n, edges) = sample(400 + i)
+      val e = edges.toSeq.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val starts = Seq(0L, (n / 2).toLong)
+      val multi = Traversals.bfsLevelsMulti(e, starts).collect()
+        .map(r => r.getAs[Long]("vertex") -> r.getAs[Int]("level")).toMap
+      val expected = starts.map(s => refBfsLevels(edges, s.toInt)
+          .map { case (v, l) => v.toLong -> l })
+        .reduce { (a, b) =>
+          (a.keySet ++ b.keySet).map(v =>
+            v -> math.min(a.getOrElse(v, Int.MaxValue), b.getOrElse(v, Int.MaxValue))).toMap
+        }
+      assert(multi === expected, s"graph #$i: $edges")
+    }
+  }
+
   test("sssp agrees with a reference Dijkstra on random weighted digraphs") {
     (0 until 6).foreach { i =>
       val (n, edges0) = sample(300 + i)
