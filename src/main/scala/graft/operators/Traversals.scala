@@ -37,8 +37,12 @@ object Traversals {
   def partitionEdges(edges: DataFrame, numPartitions: Int = 0): DataFrame = {
     val n = if (numPartitions > 0) numPartitions
             else edges.sparkSession.sessionState.conf.numShufflePartitions
-    edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .repartition(n, col("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // tiny graphs (optimizer size estimate < 1 MiB): the repartition
+    // shuffle costs more than it saves — cache as-is
+    val tiny = e.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 20)
+    (if (tiny) e else e.repartition(n, col("src")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Level-synchronous BFS: `(vertex: Long, level: Int)` for every vertex
