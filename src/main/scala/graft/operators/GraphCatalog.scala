@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * Graphs persist as Parquet edge lists under `root/<name>/edges`.
   * Consistency model: `mode("overwrite")` gives the same
   * last-writer-wins whole-graph replacement the reference's writer
-  * lock provided, and immutable snapshot reads replace the reader
-  * lock — a DataFrame loaded before an overwrite keeps reading the
-  * files it resolved, so readers never observe a torn graph.
+  * lock provided. Readers are **fail-stop, never torn**: a query
+  * executed against a [[load]] snapshot reads one complete graph
+  * version; if the files were replaced underneath it, the read fails
+  * with FILE_NOT_EXIST (verified) rather than mixing versions. For a
+  * read that must survive concurrent overwrites, [[loadPinned]]
+  * materialises the snapshot first (the moral equivalent of the
+  * reference's reader lock, without blocking writers).
   * No fixed caps (reference: 20 graphs / 100 vertices); names are
   * real names, not a load-bearing `G<k>.txt` convention
   * (`primary_server.c:43-51`).
@@ -36,8 +40,17 @@ final class GraphCatalog(spark: SparkSession, root: String) {
     * (`primary_server.c:70-99` uses one write path for both). */
   def modifyGraph(name: String, edges: DataFrame): Unit = addGraph(name, edges)
 
-  /** Snapshot read of a named graph's edge list. */
+  /** Snapshot read of a named graph's edge list (fail-stop under
+    * concurrent overwrite — see class doc). */
   def load(name: String): DataFrame = { validate(name); spark.read.parquet(edgePath(name)) }
+
+  /** Materialised snapshot: survives a concurrent overwrite of the
+    * underlying files. `persist()` is NOT enough — Spark's
+    * CacheManager re-caches by path on write, silently swapping in the
+    * new version (observed) — so the snapshot is `localCheckpoint`ed:
+    * the computed rows are detached from the file source entirely. */
+  def loadPinned(name: String): DataFrame =
+    load(name).localCheckpoint(eager = true)
 
   private def tableName(name: String) = {
     // table identifiers are strict so two catalog names can never

@@ -90,6 +90,21 @@ class TraversalSpec extends SparkSpec {
     assert(cat.dfsLeaves("g7", 0).collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("loadPinned snapshot survives a concurrent overwrite; plain load is fail-stop") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val cat = new GraphCatalog(spark, tmp)
+    cat.addGraph("g", Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    val pinned = cat.loadPinned("g")
+    val unpinned = cat.load("g")
+    assert(unpinned.count() === 3)   // resolves pre-overwrite files
+    cat.modifyGraph("g", Seq((9L, 9L)).toDF("src", "dst"))
+    assert(pinned.count() === 3, "pinned snapshot must survive the overwrite")
+    // plain snapshot fails cleanly (FILE_NOT_EXIST) — never torn data
+    intercept[Exception] { unpinned.count() }
+    assert(cat.load("g").count() === 1)
+  }
+
   test("bucketed catalog storage: same data, shuffle-free self-join on src") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val cat = new GraphCatalog(spark, tmp)
