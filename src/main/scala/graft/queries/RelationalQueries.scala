@@ -366,8 +366,19 @@ object RelationalQueries {
             .orderBy(col("o_orderpriority"))).as("dr"),
           ntile(4).over(w).as("quartile"),
           first(col("o_orderkey")).over(wAll).as("first_ord"),
-          last(col("o_orderkey")).over(wAll).as("last_ord"))
+          last(col("o_orderkey")).over(wAll).as("last_ord"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
         .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_collect" -> ((s, d) => {
+      // collection aggregate: sorted distinct set, emitted as a string
+      // (deterministic; avoids nested-type hash-compare pitfalls)
+      t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(array_join(sort_array(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          array_join(transform(slice(sort_array(collect_set(col("l_linenumber"))), 1, 3),
+            _.cast("string")), ",").as("lines3"))
+        .orderBy("l_returnflag")
     }),
     "q_pivot" -> ((s, d) => {
       t(s, d, "lineitem")
@@ -528,7 +539,9 @@ object RelationalQueries {
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_window_extras" ->
-      """SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS rk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS dr, ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::INT AS quartile, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ord, last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
+      """SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS rk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS dr, ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::INT AS quartile, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ord, last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord, round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS pr, round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS cd FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
+    "q_collect" ->
+      """SELECT l_returnflag, array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses, array_to_string(list_transform(list_sort(list_distinct(list(l_linenumber)))[1:3], x -> x::VARCHAR), ',') AS lines3 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_pivot" ->
       """SELECT l_linestatus, round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END),2) AS "A", round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END),2) AS "N", round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END),2) AS "R" FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     "q_subquery" ->
