@@ -371,6 +371,11 @@ object RelationalQueries {
           round(cume_dist().over(w), 4).as("cd"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    "q_crosstab" -> ((s, d) => {
+      // contingency table via stat.crosstab (pairwise frequency)
+      t(s, d, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag_l_linestatus")
+    }),
     "q_collect" -> ((s, d) => {
       // collection aggregate: sorted distinct set, emitted as a string
       // (deterministic; avoids nested-type hash-compare pitfalls)
@@ -540,6 +545,8 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_window_extras" ->
       """SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS rk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS dr, ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::INT AS quartile, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ord, last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord, round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS pr, round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS cd FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
+    "q_crosstab" ->
+      """SELECT l_returnflag AS l_returnflag_l_linestatus, sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS "F", sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS "O" FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag_l_linestatus""",
     "q_collect" ->
       """SELECT l_returnflag, array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS statuses, array_to_string(list_transform(list_sort(list_distinct(list(l_linenumber)))[1:3], x -> x::VARCHAR), ',') AS lines3 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_pivot" ->

@@ -28,7 +28,20 @@ object MatrixIO {
     */
   def readMatrix(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("wholetext", "true").text(path)
-    val toks = split(trim(col("value")), "\\s+")
+    // regex trim: Spark's trim() strips spaces but NOT the file's
+    // trailing newline, which would leave an empty final token
+    val toks = split(regexp_replace(col("value"), "^\\s+|\\s+$", ""), "\\s+")
+    // validate shape up front: a truncated matrix would otherwise parse
+    // silently into a smaller, WRONG graph (cells re-interpreted
+    // row-major against the declared n)
+    val hdr = raw.select(
+      element_at(toks, 1).cast("int").as("n"), size(toks).as("total")).head()
+    require(!hdr.isNullAt(0) && hdr.getInt(0) >= 0,
+      s"$path: first token must be a non-negative vertex count")
+    val n = hdr.getInt(0)
+    require(hdr.getInt(1) == n.toLong * n + 1,
+      s"$path: expected ${n.toLong * n} matrix cells for n=$n, " +
+        s"found ${hdr.getInt(1) - 1}")
     raw
       .select(
         element_at(toks, 1).cast("int").as("n"),
@@ -56,10 +69,9 @@ object MatrixIO {
   /** Vertex count declared in the file header (needed because isolated
     * vertices carry no edges). */
   def readVertexCount(spark: SparkSession, path: String): Int = {
-    val head = spark.read.option("wholetext", "true").text(path)
-      .select(element_at(split(trim(col("value")), "\\s+"), 1).cast("int"))
+    spark.read.option("wholetext", "true").text(path)
+      .select(element_at(split(regexp_replace(col("value"), "^\\s+|\\s+$", ""), "\\s+"), 1).cast("int"))
       .head().getInt(0)
-    head
   }
 
   /** Write an edge DataFrame back out in the reference's dense text format.
