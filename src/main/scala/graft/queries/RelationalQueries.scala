@@ -371,6 +371,22 @@ object RelationalQueries {
           round(cume_dist().over(w), 4).as("cd"))
         .orderBy("o_custkey", "o_orderkey")
     }),
+    "q_date_spine" -> ((s, d) => {
+      // row GENERATION (vs filtering): densify each order into its
+      // per-day spine until shipment, count covered days per month.
+      // Bounded: only orders with a lineitem shipped within 30 days.
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val li = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey")).agg(min(col("l_shipdate")).as("first_ship"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"))
+        .where(datediff(col("first_ship").cast("date"), col("o_orderdate").cast("date"))
+          .between(0, 30))
+        .select(explode(sequence(col("o_orderdate").cast("date"),
+          col("first_ship").cast("date"))).as("day"))
+        .groupBy(date_format(col("day"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n_days"))
+        .orderBy("ym")
+    }),
     "q_crosstab" -> ((s, d) => {
       // contingency table via stat.crosstab (pairwise frequency)
       t(s, d, "lineitem").stat.crosstab("l_returnflag", "l_linestatus")
@@ -545,6 +561,8 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_window_extras" ->
       """SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS rk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS dr, ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::INT AS quartile, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ord, last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord, round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS pr, round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS cd FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
+    "q_date_spine" ->
+      """WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY l_orderkey), sp AS (SELECT unnest(generate_series(o_orderdate::DATE, fs.first_ship::DATE, INTERVAL 1 DAY))::DATE AS day FROM orders JOIN fs ON o_orderkey = fs.l_orderkey WHERE date_diff('day', o_orderdate::DATE, fs.first_ship::DATE) BETWEEN 0 AND 30) SELECT strftime(day, '%Y-%m') AS ym, count(*)::BIGINT AS n_days FROM sp GROUP BY ym ORDER BY ym""",
     "q_crosstab" ->
       """SELECT l_returnflag AS l_returnflag_l_linestatus, sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS "F", sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS "O" FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag_l_linestatus""",
     "q_collect" ->
