@@ -52,6 +52,29 @@ class DedupSpec extends SparkSpec {
     assert(dupBucket.isDefined && dupBucket.get.getAs[Long]("keeper") === 0L)
   }
 
+  test("minhash estimate tracks exact ngram jaccard on a graded near-dup corpus") {
+    import spark.implicits._
+    // doc_i replaces the last i words of a 40-word base text: jaccard
+    // degrades in known steps
+    val base = (1 to 40).map(i => s"w$i")
+    val graded = (0 to 6).map { i =>
+      val words = base.dropRight(i * 3) ++ (1 to i * 3).map(j => s"x${i}_$j")
+      (i.toLong, words.mkString(" "), "en", "s", words.mkString(" ").length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val exact = Dedup.ngramJaccardPairs(graded, minJac = 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jac")).toMap
+    val est = Dedup.minhashPairs(graded, minEst = 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("est")).toMap
+    // every LSH candidate's estimate is within MinHash(16) sampling error
+    // of the exact jaccard of the same pair
+    est.foreach { case (pair, e) =>
+      val j = exact.getOrElse(pair, 0.0)
+      assert(math.abs(e - j) <= 0.35, s"pair $pair: est $e vs exact $j")
+    }
+    // adjacent grades (high true jaccard) must be found as candidates
+    assert(est.contains((0L, 1L)) && exact((0L, 1L)) > 0.6)
+  }
+
   test("ngram jaccard: dup pair scores 1.0, near-dup scores high, unrelated absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, minJac = 0.15).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Double]("jac")).toMap

@@ -54,6 +54,13 @@ class TraversalSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("goldens from a non-root start: G6 from 4") {
+    // hand-derived: edges 0-1,0-2,0-3,1-4 undirected; from 4:
+    // BFS levels {4},{1},{0},{2,3}; DFS 4->1->0->2(leaf),3(leaf)
+    assert(bfsOrder("G6", 4) === Seq(4L, 1L, 0L, 2L, 3L))
+    assert(leaves("G6", 4) === Seq(2L, 3L))
+  }
+
   test("DFS-leaves golden: all fixtures") {
     assert(leaves("G1", 0) === Seq(0L))
     assert(leaves("G2", 0) === Seq(1L))
