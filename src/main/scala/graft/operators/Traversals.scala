@@ -157,14 +157,25 @@ object Traversals {
     * phase 1 bounds phase 2's input to the component actually reached.
     * Output: `(vertex: Long)` ascending.
     */
+  /** Replay inputs above this edge count abort with a clear error
+    * instead of a driver OOM (the reference contract bounds graphs at
+    * n=100; this guard is ~5 orders of magnitude above that). */
+  val dfsReplayMaxEdges: Long = 50000000L
+
   def dfsLeaves(edges: DataFrame, start: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val reach = bfsLevels(edges, start).select("vertex")
-    val adjRows = edges
+    val reachableEdges = edges
       .join(reach, edges("src") === reach("vertex"), "left_semi")
       .select(col("src").cast("long"), col("dst").cast("long"))
-      .as[(Long, Long)].collect()
+    val nEdges = reachableEdges.count()
+    require(nEdges <= dfsReplayMaxEdges,
+      s"DFS-tree replay needs the reachable adjacency on the driver: " +
+        s"$nEdges edges exceeds dfsReplayMaxEdges=$dfsReplayMaxEdges " +
+        "(DFS order is inherently sequential; use bfsLevels/sssp for " +
+        "traversals that must scale past driver memory)")
+    val adjRows = reachableEdges.as[(Long, Long)].collect()
     val adj: Map[Long, Array[Long]] =
       adjRows.groupBy(_._1).map { case (s, a) => s -> a.map(_._2).distinct.sorted }
 
