@@ -20,14 +20,20 @@ import org.apache.spark.sql.types._
   * index-ascending) matches the explicit left folds used by the DuckDB
   * oracles bit-for-bit.
   *
-  * Edge semantics (deliberate, oracle-parity-preserving): mismatched
-  * lengths compute over the common prefix (as `zip_with` would), and a
-  * zero vector yields NaN (0/0) — which both Spark and DuckDB order as
-  * the largest double. Callers ranking descending should pre-filter
-  * zero/degenerate vectors.
+  * Edge semantics (deliberate, matching the HOF twin exactly):
+  * mismatched lengths → NULL (`zip_with` pads the shorter side with
+  * nulls, which poisons the whole fold), any NULL element → NULL
+  * (lambda arithmetic on null is null), and a zero vector yields NaN
+  * (0/0) — which both Spark and DuckDB order as the largest double.
+  * Callers ranking descending should pre-filter zero/degenerate
+  * vectors.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // NULL is produced for well-typed inputs (length mismatch / null
+  // element), not only for null children.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -45,10 +51,12 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
@@ -62,14 +70,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+         |  }
          |}
-         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
        """.stripMargin
     })
 

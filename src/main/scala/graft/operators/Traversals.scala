@@ -219,11 +219,13 @@ object Traversals {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).persist(StorageLevel.MEMORY_AND_DISK)
     var dists = Seq((start, 0L)).toDF("vertex", "dist").localCheckpoint(eager = true)
-    def witness(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(col("dist"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // decimal(38,0) sum: a Long sum would wrap (non-ANSI) once
+    // |V| × max(dist) passes 2^63 and the monotone-witness argument dies
+    def witness(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)), sum(col("dist").cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
     }
-    var prev = (-1L, -1L)
+    var prev: (Long, java.math.BigDecimal) = (-1L, null)
     var cur = witness(dists)
     var it = 0
     // stop when neither the reached-set nor the total distance improves
@@ -257,15 +259,17 @@ object Traversals {
       .withColumn("component", col("vertex")).localCheckpoint(eager = true)
     // Labels only ever decrease, so sum(component) is a strictly
     // monotone convergence witness — one cheap scan instead of a
-    // change-detection join per round.
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("component"))).head()
-      if (r.isNullAt(0)) 0L else r.getLong(0) // empty graph: sum() is NULL
+    // change-detection join per round. Summed as decimal(38,0): a Long
+    // sum wraps (non-ANSI) at billions of large vertex ids, and a
+    // wrapped sum is no longer monotone.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("component").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0) // empty graph: sum() is NULL
     }
-    var prevSum = Long.MaxValue
+    var prevSum: java.math.BigDecimal = null
     var curSum = labelSum(labels)
     var it = 0
-    while (curSum < prevSum && it < maxIters) {
+    while ((prevSum == null || curSum.compareTo(prevSum) < 0) && it < maxIters) {
       it += 1
       // (1) neighbour-min step
       val better = labels.join(sym, labels("vertex") === sym("src"))

@@ -96,9 +96,37 @@ object RelationalQueries {
         .orderBy("bucket")
     }),
     "q_agg_corr" -> ((s, d) => {
-      t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-          round(covar_samp(col("l_discount"), col("l_tax")), 6).as("cov_dt"))
+      // Pearson corr + sample covariance from EXACT decimal sums, then a
+      // closed-form formula evaluated in double with the identical
+      // expression shape on the DuckDB side. The builtin corr()/covar_samp()
+      // use engine-specific streaming co-moment updates whose low bits
+      // differ across engines (r1 hash mismatch); decimal sums are
+      // accumulation-order independent, and each sum is rounded so its
+      // scaled magnitude stays < 2^53 (exactly double-representable), so
+      // the final double arithmetic is bit-identical cross-engine.
+      // AggSpec asserts the closed form matches builtin corr within 1e-9.
+      val l = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("q"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"),
+        col("l_discount").cast("decimal(18,2)").as("dd"),
+        col("l_tax").cast("decimal(18,2)").as("tt"))
+      val g = l.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("q")), 2).cast("double").as("sx"),
+        round(sum(col("p")), 2).cast("double").as("sy"),
+        round(sum(col("q") * col("p")), 2).cast("double").as("sxy"),
+        round(sum(col("q") * col("q")), 2).cast("double").as("sxx"),
+        round(sum(col("p") * col("p")), 0).cast("double").as("syy"),
+        round(sum(col("dd")), 2).cast("double").as("sd"),
+        round(sum(col("tt")), 2).cast("double").as("st"),
+        round(sum(col("dd") * col("tt")), 4).cast("double").as("sdt"))
+      // `+ 0.0` normalizes IEEE -0.0 → +0.0 (DuckDB's round keeps the sign
+      // of a tiny negative; BigDecimal-backed Spark round never emits -0.0)
+      g.select(col("l_returnflag"),
+          (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 4) + lit(0.0)).as("corr_qp"),
+          (round((col("sdt") - col("sd") * col("st") / col("n")) / (col("n") - lit(1.0)), 6) + lit(0.0)).as("cov_dt"))
         .orderBy("l_returnflag")
     }),
     "q_agg_having" -> ((s, d) => {
@@ -542,7 +570,7 @@ object RelationalQueries {
     "q_histogram" ->
       """SELECT CASE WHEN c_acctbal < -1000.0 THEN 0 WHEN c_acctbal >= 10000.0 THEN 12 ELSE floor((c_acctbal - (-1000.0)) / ((10000.0 - (-1000.0)) / 11)) + 1 END::BIGINT AS bucket, count(*)::BIGINT AS cnt FROM customer GROUP BY 1 ORDER BY bucket""",
     "q_agg_corr" ->
-      """SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 4) AS corr_qp, round(covar_samp(l_discount, l_tax), 6) AS cov_dt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      """WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS n, round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sx, round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sy, round(sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sxy, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sxx, round(sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)), 0)::DOUBLE AS syy, round(sum(l_discount::DECIMAL(18,2)), 2)::DOUBLE AS sd, round(sum(l_tax::DECIMAL(18,2)), 2)::DOUBLE AS st, round(sum(l_discount::DECIMAL(18,2) * l_tax::DECIMAL(18,2)), 4)::DOUBLE AS sdt FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS corr_qp, round((sdt - sd * st / n) / (n - 1.0), 6) + 0.0 AS cov_dt FROM g ORDER BY l_returnflag""",
     "q_scalar_more" ->
       """SELECT p_partkey, replace(p_brand, '#', '-') AS tbrand, array_to_string(list_transform(string_split(lower(p_name), ' '), w -> concat(upper(w[1]), w[2:])), ' ') AS icap, reverse(p_type) AS rtype, repeat('x', (p_size % 4)::INT) AS rep, CASE WHEN strpos(p_name, '_') IS NULL THEN 0 ELSE strpos(p_name, '_') END::INT AS uspos FROM part WHERE p_partkey % 17 = 0 ORDER BY p_partkey""",
     "q_array_ops" ->

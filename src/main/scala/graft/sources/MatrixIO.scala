@@ -78,8 +78,17 @@ object MatrixIO {
     * Only intended for reference-format interop (n bounded); the engine's
     * native persistence is Parquet. */
   def writeMatrix(edges: DataFrame, n: Int, path: String): Unit = {
-    val spark = edges.sparkSession
-    val cells = edges.collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt)).toSet
+    // cast like readMatrix does (int edge columns would ClassCastException
+    // on getLong), and fail loudly on endpoints outside [0, n) instead of
+    // silently truncating the graph
+    val cells = edges
+      .select(col(edges.columns(0)).cast("long"), col(edges.columns(1)).cast("long"))
+      .collect().map { r =>
+        val (i, j) = (r.getLong(0), r.getLong(1))
+        require(i >= 0 && i < n && j >= 0 && j < n,
+          s"writeMatrix: edge ($i,$j) outside [0,$n) — n too small or negative ids")
+        (i.toInt, j.toInt)
+      }.toSet
     val sb = new StringBuilder
     sb.append(n).append('\n')
     (0 until n).foreach { i =>

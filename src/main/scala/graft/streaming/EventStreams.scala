@@ -120,6 +120,19 @@ object EventStreams {
                   sessions = SessionState(t, t, 1) :: Nil
               }
             }
+            // Late events can bridge two parked sessions (or a parked one
+            // and the head) — coalesce any sessions whose gap-envelopes
+            // now touch, else we'd emit two overlapping sessions where
+            // batch sessionization produces one. Sessions are disjoint
+            // after merging, so descending-start order puts the most
+            // recent back at the head (the fold builds exactly that).
+            sessions = sessions.sortBy(_.start)
+              .foldLeft(List.empty[SessionState]) {
+                case (prev :: rest, s) if s.start - prev.last <= gapSec =>
+                  prev.copy(start = math.min(prev.start, s.start),
+                    last = math.max(prev.last, s.last), n = prev.n + s.n) :: rest
+                case (acc, s) => s :: acc
+              }
             // sessions already closable relative to the watermark are
             // emitted NOW (setting their timeout would throw: it must be
             // strictly later than the watermark); the rest wait for it.

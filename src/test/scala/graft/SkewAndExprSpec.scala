@@ -43,4 +43,36 @@ class SkewAndExprSpec extends SparkSpec {
       .head().getDouble(0)
     assert(r === 1.0)
   }
+
+  test("cosine_sim degenerate inputs: NULL on length mismatch / null element, matching the HOF twin") {
+    GraftFunctions.register(spark)
+    // (name, a, b) triples covering: equal-length clean, mismatched
+    // lengths, null element either side, null array
+    val df = Seq(
+      ("clean",    Some(Seq[java.lang.Double](1.0, 2.0)), Some(Seq[java.lang.Double](3.0, 4.0))),
+      ("shorter",  Some(Seq[java.lang.Double](1.0, 2.0, 3.0)), Some(Seq[java.lang.Double](1.0, 2.0))),
+      ("nullElemL", Some(Seq[java.lang.Double](1.0, null)), Some(Seq[java.lang.Double](1.0, 2.0))),
+      ("nullElemR", Some(Seq[java.lang.Double](1.0, 2.0)), Some(Seq[java.lang.Double](null, 2.0))),
+      ("nullArr",  None, Some(Seq[java.lang.Double](1.0, 2.0)))
+    ).toDF("name", "a", "b")
+    val rows = df.select($"name",
+        expr("cosine_sim(a, b)").as("fast"),
+        VectorFunctions.cosine($"a", $"b").as("hof"))
+      .collect().map(r => r.getString(0) -> ((r.isNullAt(1), r.isNullAt(2)))).toMap
+    assert(rows("clean") === ((false, false)))
+    // every degenerate case is NULL, and NULL exactly when the HOF twin is
+    Seq("shorter", "nullElemL", "nullElemR", "nullArr").foreach { n =>
+      assert(rows(n) === ((true, true)), s"case $n")
+    }
+    // and the same through the interpreted (non-codegen) path
+    import graft.functions.expressions.CosineSimilarity
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def lit(xs: Seq[Any]) =
+      Literal.create(ArrayData.toArrayData(xs.toArray), ArrayType(DoubleType, containsNull = true))
+    assert(CosineSimilarity(lit(Seq(1.0, 2.0)), lit(Seq(1.0))).eval(null) === null)
+    assert(CosineSimilarity(lit(Seq(1.0, null)), lit(Seq(1.0, 2.0))).eval(null) === null)
+    assert(CosineSimilarity(lit(Seq(3.0, 4.0)), lit(Seq(3.0, 4.0))).eval(null) === 1.0)
+  }
 }

@@ -127,6 +127,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late events bridging two parked sessions coalesce into one") {
+    import org.apache.spark.sql.functions._
+    val dir3 = java.nio.file.Files.createTempDirectory("graft-bridge")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def write(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+        .withColumn("ts", unix_timestamp(col("tss")) * 1000000000L).drop("tss")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(dir3.resolve(name).toString)
+    }
+    // b1: open head at 10:00; b2: two LATE events parked as separate tail
+    // sessions (60 min apart); b3: a LATE bridge at 08:40 touches both
+    // envelopes (30 min = gap, inclusive) — batch semantics says all
+    // three are ONE session 08:10-09:10
+    write("b1", Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}")))
+    val q = EventStreams.sessionize(
+      EventStreams.eventsStream(spark, dir3.toString + "/*")
+        .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event]))
+      .writeStream.outputMode("append").format("memory").queryName("bridge").start()
+    try {
+      q.processAllAvailable()
+      write("b2", Seq((2L, "2024-01-01 08:10:00", 1L, "view", 1.0, "{}"),
+        (3L, "2024-01-01 09:10:00", 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      write("b3", Seq((4L, "2024-01-01 08:40:00", 1L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      // advance the watermark so user 1's sessions flush
+      write("b4", Seq((5L, "2024-01-02 12:00:00", 2L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      write("b5", Seq((6L, "2024-01-03 12:00:00", 2L, "view", 1.0, "{}")))
+      q.processAllAvailable()
+      val u1 = spark.table("bridge").where(col("user_id") === 1)
+        .select(date_format(col("session_start"), "HH:mm").as("s"),
+          date_format(col("session_end"), "HH:mm").as("e"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(u1 === Set(("08:10", "09:10", 3L), ("10:00", "10:00", 1L)),
+        s"got $u1 — bridged tail sessions must merge into one")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions with sane bounds") {
     import EventStreams.Event
     val events = graft.queries.Tables.events(spark, dir)

@@ -174,4 +174,20 @@ class TraversalSpec extends SparkSpec {
     val orig = edges("G7").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(back === orig)
   }
+
+  test("MatrixIO.writeMatrix rejects a too-small n and accepts int edge columns") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mio2").toString
+    // n=5 but G7 has vertices up to 6: must fail loudly, not truncate
+    val e = intercept[IllegalArgumentException] {
+      MatrixIO.writeMatrix(edges("G7"), 5, s"$tmp/bad.txt")
+    }
+    assert(e.getMessage.contains("outside"))
+    // integer-typed edge columns are cast, not ClassCastException'd
+    val intEdges = edges("G7").select(col("src").cast("int"), col("dst").cast("int"))
+    MatrixIO.writeMatrix(intEdges, 7, s"$tmp/ok.txt")
+    val back = MatrixIO.readMatrix(spark, s"$tmp/ok.txt").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back === edges("G7").collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
