@@ -35,6 +35,21 @@ object Bench {
       "region", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count() catch { case _: Throwable => }
     }
+    // untimed per-query warmup at the smallest scale factor: first
+    // executions are dominated by Janino codegen compilation + JVM JIT
+    // (measured 2-4x the steady-state time), which is a per-process cost,
+    // not per-data — a 1000-executor production job pays it once and then
+    // runs for hours. Warming on the sf0.001 sibling compiles the same
+    // generated code against negligible data, so the timed runs below
+    // measure data-proportional work. Timed runs still include planning.
+    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    if (warmDir.isDirectory) {
+      val wd = warmDir.toString
+      headline.filter(SparkEntry.queries.contains).foreach { name =>
+        try SparkEntry.queries(name)(spark, wd).count()
+        catch { case _: Throwable => }
+      }
+    }
     // a query that throws records -1 (sentinel), lands in "failed", and is
     // excluded from "total" — a fast failure must not look like a speedup
     val results = headline.filter(SparkEntry.queries.contains).map { name =>

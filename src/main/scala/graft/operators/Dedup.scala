@@ -124,10 +124,13 @@ object Dedup {
     * for jac >= minJac. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
                         minJac: Double = 0.15): DataFrame = {
+    // cache: the self-join below reads gs twice — uncached, the whole
+    // shingle explode + set aggregation would execute once per side
     val gs = shingleRows(docs, shingleN).distinct()
       .groupBy("doc_id").agg(collect_list(col("g")).as("gs"))
       .join(docs.select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / 100).as("band")), "doc_id")
+      .cache()
     val a = gs.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
       col("band"), col("gs").as("ga"))
     val b = gs.select(col("doc_id").as("doc_b"), col("lang"), col("source"),

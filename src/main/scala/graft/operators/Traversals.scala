@@ -89,6 +89,7 @@ object Traversals {
       .localCheckpoint(eager = true)
     var frontier = visited.select("vertex")
     var level = 0
+    var sinceCompact = 0
     var frontierSize = starts.distinct.length.toLong
     while (frontierSize > 0 && level < maxLevels) {
       level += 1
@@ -102,8 +103,14 @@ object Traversals {
         .localCheckpoint(eager = true) // cut lineage growth per iteration
       frontierSize = next.count()
       if (frontierSize > 0) {
+        // visited stays a lazy union of already-checkpointed frontiers —
+        // no O(|visited|) copy per level; compact every 8 levels so deep
+        // graphs keep bounded plan depth
         visited = visited.union(next.select(col("vertex"), lit(level).as("level")))
-          .localCheckpoint(eager = true)
+        sinceCompact += 1
+        if (sinceCompact >= 8) {
+          visited = visited.localCheckpoint(eager = true); sinceCompact = 0
+        }
         frontier = next
       }
     }

@@ -1,36 +1,31 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import graft.operators.Dedup
 
+/** Ad-hoc perf probe: replicates Bench's session config and times the
+  * named SparkEntry queries twice (cold/warm). */
 object Perf {
   def time[T](name: String)(f: => T): T = {
     val t0 = System.nanoTime(); val r = f
-    println(f"PERF $name ${(System.nanoTime()-t0)/1e9}%.2f s"); r
+    println(f"PERF $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
   }
   def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]").appName("perf")
-      .config("spark.sql.shuffle.partitions","32").config("spark.ui.enabled","false").getOrCreate()
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
-    docs.count()
-    time("ngram_current")(Dedup.ngramJaccardPairs(docs).count())
-    // alternative: precomputed arrays + codegen'd array_intersect
-    def arrayVariant(): Long = {
-      val gs = Dedup.shingleRows(docs, 3).distinct()
-        .groupBy("doc_id").agg(collect_list(col("g")).as("gs"))
-        .join(docs.select(col("doc_id"), col("lang"), col("source"),
-          floor(col("n_chars") / 100).as("band")), "doc_id")
-      val a = gs.select(col("doc_id").as("doc_a"), col("lang"), col("source"), col("band"), col("gs").as("ga"))
-      val b = gs.select(col("doc_id").as("doc_b"), col("lang"), col("source"), col("band"), col("gs").as("gb"))
-      a.join(b, Seq("lang","source","band")).where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          (size(array_intersect(col("ga"), col("gb"))).cast("double") /
-           size(array_union(col("ga"), col("gb"))).cast("double")).as("jac0"))
-        .where(col("jac0") >= 0.15).count()
+    Seq("lineitem", "orders", "customer", "nation", "documents", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => }
+      }
+    val names = if (args.nonEmpty) args.toSeq else Seq("q_graph_bfs_big", "q_graph_cc_big")
+    names.foreach { n =>
+      time(n + "_cold")(graft.SparkEntry.queries(n)(spark, sfDir).count())
+      time(n + "_warm")(graft.SparkEntry.queries(n)(spark, sfDir).count())
     }
-    time("ngram_array")(println("  n=" + arrayVariant()))
-    time("ngram_array_again")(arrayVariant())
     spark.stop()
   }
 }
