@@ -128,6 +128,13 @@ object GraphQueries {
     "q_graph_cc" -> ((s, d) => {
       Traversals.connectedComponents(chainEdges(s, d)).orderBy("vertex")
     }),
+    "q_graph_bfs_multi" -> ((s, d) => {
+      // multi-source BFS (landmark distances): level = min hop distance
+      // from EITHER seed — one superstep loop, whole seed set at level 0
+      Traversals.bfsLevelsMulti(treeEdges(s, d), Seq(0L, 24L))
+        .select(col("vertex"), col("level").cast("int").as("level"))
+        .orderBy("vertex")
+    }),
     "q_graph_sssp" -> ((s, d) => {
       // weighted SSSP over the heap tree, weight = (src+dst) % 5 + 1
       val e = treeEdges(s, d)
@@ -201,6 +208,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT 0::BIGINT AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT (row_number() OVER (ORDER BY level, vertex) - 1)::BIGINT AS ord, level::INT AS level, vertex FROM lv ORDER BY ord""",
     "q_graph_cc" ->
       s"""WITH RECURSIVE $chainEdgeSql, r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b) SELECT a AS vertex, min(b)::BIGINT AS component FROM r GROUP BY a ORDER BY vertex""",
+    "q_graph_bfs_multi" ->
+      s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT vertex, 0 AS level FROM (VALUES (0::BIGINT), (24::BIGINT)) s(vertex) UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_sssp" ->
       s"""WITH RECURSIVE $treeEdgeSql, we AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e), r AS (SELECT 0::BIGINT AS vertex, 0::BIGINT AS dist UNION SELECT we.dst, r.dist + we.w FROM r JOIN we ON we.src = r.vertex WHERE r.dist < 100) SELECT vertex, min(dist)::BIGINT AS dist FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_degree" ->

@@ -123,6 +123,53 @@ object PipelineQueries {
         .where(col("cos") >= 0.4)
         .orderBy("i", "j")
     }),
+    "q_dedup_cluster" -> ((s, d) => {
+      // near-dup CLUSTERS: transitive closure over MinHash pairs
+      // (est >= 0.5) via the distributed CC operator — the step after
+      // pair generation in a real dedup pipeline (pick one keeper per
+      // cluster, not per pair). cluster id = min doc_id.
+      val pairs = Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.Traversals.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("sz"), max(col("vertex")).as("max_doc"))
+        .orderBy("component")
+    }),
+    "q_sample_split" -> ((s, d) => {
+      // deterministic train/val/test assignment by content-independent
+      // hash of the stable id — reproducible splits at any scale, no
+      // sampling-order dependence ('0d'/'1a' hex prefixes ≈ 5%/5%/90%)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("h"))
+        .withColumn("split",
+          when(col("h") < "0d", "test").when(col("h") < "1a", "val").otherwise("train"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
+        .orderBy("split", "lang")
+    }),
+    "q_text_bigrams" -> ((s, d) => {
+      // top-3 word bigrams per language (collocation mining); bigram
+      // rows come from the exploded shingle path (codegen), not HOFs
+      val docs = t(s, d, "documents")
+      val counts = Dedup.shingleRows(docs, 2)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang", "g").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cnt").desc, col("g"))
+      counts.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select(col("lang"), col("g"), col("cnt"), col("rk"))
+        .orderBy("lang", "rk")
+    }),
+    "q_regex_clean" -> ((s, d) => {
+      // corpus-cleaning regex family: digit masking, whitespace
+      // collapse, long-word extraction (all codegen'd string exprs)
+      t(s, d, "documents").select(col("doc_id"),
+          length(regexp_replace(col("text"), "[0-9]+", "#")).as("len_masked"),
+          length(regexp_replace(col("text"), "\\s+", " ")).as("len_ws"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]{4,}"), lit(0))).as("n_longwords"))
+        .orderBy("doc_id")
+    }),
     "q_range_join" -> ((s, d) => {
       // banded range join: events of the same user in the same 5-min
       // band (the scalable band-join formulation — equi-join keys,
@@ -190,6 +237,11 @@ object PipelineQueries {
     """sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gs FROM toks)"""
   private def foldSql(elems: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
+  /** MinHash signature → band → candidate-pair → estimate CTE chain
+    * (mirrors [[Dedup.minhashPairs]]); terminal CTE `est(doc_a, doc_b,
+    * est0)`. */
+  private val minhashEstSql =
+    s"""$toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed::VARCHAR || '|' || g)) AS c FROM shr CROSS JOIN (SELECT unnest(range(16)) AS seed) s GROUP BY doc_id, s.seed), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p)"""
   private val stopEn = "'the','a','of','and','to','in','is','it'"
   private val stopEs = "'el','la','de','y','en','es','un','que'"
   private val stopDe = "'der','die','das','und','ist','ein','zu','den'"
@@ -213,6 +265,14 @@ object PipelineQueries {
         """exact_losers AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents) WHERE doc_id <> keeper), near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est0 >= 0.5 AND doc_b NOT IN (SELECT doc_id FROM exact_losers)) SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total, (SELECT count(*) FROM exact_losers)::BIGINT AS n_exact_dropped, (SELECT count(*) FROM near_losers)::BIGINT AS n_near_dropped, ((SELECT count(*) FROM documents) - (SELECT count(*) FROM exact_losers) - (SELECT count(*) FROM near_losers))::BIGINT AS n_kept"""),
     "q_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashEstSql, p2 AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.5), e AS (SELECT doc_a AS src, doc_b AS dst FROM p2 UNION ALL SELECT doc_b, doc_a FROM p2), r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_doc FROM cmp GROUP BY component ORDER BY component""",
+    "q_sample_split" ->
+      """WITH h AS (SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS h FROM documents), sp AS (SELECT doc_id, lang, CASE WHEN h < '0d' THEN 'test' WHEN h < '1a' THEN 'val' ELSE 'train' END AS split FROM h) SELECT split, lang, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS first_doc FROM sp GROUP BY split, lang ORDER BY split, lang""",
+    "q_text_bigrams" ->
+      s"""WITH $toksSql, sh2 AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS gs FROM toks), bgr AS (SELECT doc_id, unnest(gs) AS g FROM sh2), c AS (SELECT d.lang, b.g, count(*) AS cnt FROM bgr b JOIN documents d ON d.doc_id = b.doc_id GROUP BY 1, 2), rk AS (SELECT lang, g, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g)::INT AS rk FROM c) SELECT lang, g, cnt::BIGINT AS cnt, rk FROM rk WHERE rk <= 3 ORDER BY lang, rk""",
+    "q_regex_clean" ->
+      """SELECT doc_id, length(regexp_replace(text, '[0-9]+', '#', 'g'))::INT AS len_masked, length(regexp_replace(text, '\s+', ' ', 'g'))::INT AS len_ws, len(regexp_extract_all(text, '[A-Za-z]{4,}'))::INT AS n_longwords FROM documents ORDER BY doc_id""",
     "q_dedup_minhash" ->
       s"""WITH $toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed::VARCHAR || '|' || g)) AS c FROM shr CROSS JOIN (SELECT unnest(range(16)) AS seed) s GROUP BY doc_id, s.seed), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT doc_a, doc_b, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY doc_a, doc_b""",
     "q_dedup_simhash" ->

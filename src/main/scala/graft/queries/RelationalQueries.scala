@@ -104,7 +104,8 @@ object RelationalQueries {
       // accumulation-order independent, and each sum is rounded so its
       // scaled magnitude stays < 2^53 (exactly double-representable), so
       // the final double arithmetic is bit-identical cross-engine.
-      // AggSpec asserts the closed form matches builtin corr within 1e-9.
+      // AggSpec asserts the closed form matches the builtin corr /
+      // covar_samp at the output rounding resolution.
       val l = t(s, d, "lineitem").select(col("l_returnflag"),
         col("l_quantity").cast("decimal(18,2)").as("q"),
         col("l_extendedprice").cast("decimal(18,2)").as("p"),
@@ -504,6 +505,83 @@ object RelationalQueries {
       }
       s.table(sink).orderBy("hr", "event_type")
     }),
+    "q_stream_dedup" -> ((s, d) => {
+      // Streaming exact-dedup in the gate: the events file is staged
+      // TWICE (a full replay), dropDuplicatesWithinWatermark removes the
+      // replayed ids, and the oracle is the plain batch count — so the
+      // streaming dedup must reconstruct the original corpus exactly.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-dedup-stream")
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      def stage(tag: String): Unit =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val it = java.nio.file.Files.list(src).iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            if (f.getFileName.toString.endsWith(".parquet"))
+              java.nio.file.Files.copy(f, streamDir.resolve(tag + f.getFileName.toString))
+          }
+        } else java.nio.file.Files.copy(src, streamDir.resolve(s"events_$tag.parquet"))
+      stage("a"); stage("b")
+      val sink = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.dedupStream(
+          graft.streaming.EventStreams.eventsStream(s, streamDir.toString))
+        .select("event_id", "event_type")
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        val it = java.nio.file.Files.list(streamDir).iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
+      s.table(sink).groupBy("event_type").agg(count(lit(1)).as("cnt"))
+        .orderBy("event_type")
+    }),
+    "q_events_funnel" -> ((s, d) => {
+      // sequential funnel view -> click -> purchase: each stage's
+      // timestamp must be strictly after the previous stage's (classic
+      // event-sequence analytics). Seconds-floored epochs keep the
+      // comparison identical under Spark's µs vs DuckDB's ns precision.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_timestamp(col("ts")).as("sec"))
+      val tv = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("sec")).as("tv"))
+      val tc = ev.where(col("event_type") === "click").join(tv, "user_id")
+        .where(col("sec") > col("tv")).groupBy("user_id").agg(min(col("sec")).as("tc"))
+      val tp = ev.where(col("event_type") === "purchase").join(tc, "user_id")
+        .where(col("sec") > col("tc")).groupBy("user_id").agg(min(col("sec")).as("tp"))
+      tv.agg(count(lit(1)).as("n_view"))
+        .crossJoin(tc.agg(count(lit(1)).as("n_click")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_purchase")))
+        .crossJoin(tp.join(tv, "user_id")
+          .agg(round(avg(col("tp") - col("tv")), 2).as("avg_secs")))
+    }),
+    "q_window_sliding" -> ((s, d) => {
+      // sliding time windows (1 h window, 30 min slide): every event
+      // lands in exactly two overlapping windows
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
+          col("event_type"), col("cnt"))
+        .orderBy("w_start", "event_type")
+    }),
+    "q_tpch_q10" -> ((s, d) => {
+      // TPC-H Q10 shape: revenue lost to returned items per customer,
+      // one quarter window; nation broadcast, top 20
+      val li = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val c = t(s, d, "customer")
+      val n = t(s, d, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"))
+        .join(li, o("o_orderkey") === li("l_orderkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
     "q_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -603,6 +681,14 @@ object RelationalQueries {
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
+    "q_window_sliding" ->
+      """WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events), w AS (SELECT event_type, (es // 1800 - k.k) * 1800 AS ws FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k) SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""")
 }
