@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions._
 import graft.operators.{Dedup, Similarity}
+import graft.multimodal.Multimodal
 import Tables.t
 
 /** Training-data pipeline operators over the `documents` and
@@ -170,6 +171,17 @@ object PipelineQueries {
           size(regexp_extract_all(col("text"), lit("[A-Za-z]{4,}"), lit(0))).as("n_longwords"))
         .orderBy("doc_id")
     }),
+    "q_multimodal_frames" -> ((s, d) => {
+      // video-keyframe-sampling shape in the gate: the binary payload is
+      // cut into fixed 32-byte frames, every 4th is emitted
+      // (mapPartitions over Tungsten binary, no driver collect); the
+      // oracle mirrors the byte math on the ASCII text column
+      Multimodal.sampleFrames(t(s, d, "documents"), frameBytes = 32, stride = 4)
+        .toDF()
+        .select(col("doc_id"), col("frame_idx"), col("offset"),
+          md5(col("frame")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }),
     "q_range_join" -> ((s, d) => {
       // banded range join: events of the same user in the same 5-min
       // band (the scalable band-join formulation — equi-join keys,
@@ -295,6 +307,8 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_explode_embed" ->
       """SELECT t.i::INT AS pos, round(avg(embedding[t.i + 1]::DOUBLE), 4) AS mean, round(min(embedding[t.i + 1]::DOUBLE), 4) AS mn, round(max(embedding[t.i + 1]::DOUBLE), 4) AS mx FROM embeddings, range(64) t(i) GROUP BY t.i ORDER BY pos""",
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, text, unnest(range(0, length(text) // 32, 4)) AS fi FROM documents WHERE length(text) >= 32) SELECT doc_id, fi::INT AS frame_idx, (fi * 32)::INT AS offset, md5(substr(text, (fi * 32 + 1)::INT, 32)) AS frame_md5 FROM f ORDER BY doc_id, frame_idx""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS nbytes, (octet_length(encode(text)) % 64 + 1)::INT AS w, (octet_length(encode(text)) // 64 % 64 + 1)::INT AS h, ascii(substr(text, 1, 1))::INT AS b0 FROM documents ORDER BY doc_id""")
 }

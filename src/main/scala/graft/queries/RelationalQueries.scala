@@ -536,6 +536,50 @@ object RelationalQueries {
       s.table(sink).groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")
     }),
+    "q_join_skew" -> ((s, d) => {
+      // salted skew join in the gate: a deliberately hot modulo key is
+      // spread over 8 salts (deterministic hash salt, not rand()); the
+      // oracle is the PLAIN join — salting must be result-invisible
+      val l = t(s, d, "lineitem")
+        .select((col("l_suppkey") % 10).as("k"), col("l_orderkey"), col("l_linenumber"))
+      val r = t(s, d, "nation")
+        .select((col("n_nationkey") % 10).as("k"), col("n_name"))
+      graft.operators.SkewJoin.saltedInnerJoin(l, r, "k", salts = 8,
+          saltCols = Seq("l_orderkey", "l_linenumber"))
+        .groupBy("k", "n_name").agg(count(lit(1)).as("cnt"))
+        .orderBy("k", "n_name")
+    }),
+    "q_stream_enrich" -> ((s, d) => {
+      // third streaming-executed gate member: stream-static broadcast
+      // enrichment (events joined to the nation dim per micro-batch),
+      // raw enriched rows landed append-mode, aggregated from the sink
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-enrich-stream")
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      if (java.nio.file.Files.isDirectory(src)) {
+        val it = java.nio.file.Files.list(src).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, streamDir.resolve(f.getFileName.toString))
+        }
+      } else java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val dim = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      val stream = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .withColumn("nk", col("user_id") % 25)
+      val sink = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.enrichStream(stream, dim, "nk", "n_nationkey")
+        .select(col("event_id"), col("n_name"), col("value"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        val it = java.nio.file.Files.list(streamDir).iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
+      s.table(sink).groupBy("n_name")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
+        .orderBy("n_name")
+    }),
     "q_events_funnel" -> ((s, d) => {
       // sequential funnel view -> click -> purchase: each stage's
       // timestamp must be strictly after the previous stage's (classic
@@ -683,6 +727,10 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_stream_dedup" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_join_skew" ->
+      """SELECT l_suppkey % 10 AS k, n_name, count(*)::BIGINT AS cnt FROM lineitem JOIN nation ON l_suppkey % 10 = n_nationkey % 10 GROUP BY 1, 2 ORDER BY k, n_name""",
+    "q_stream_enrich" ->
+      """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(value), 2) AS val FROM events JOIN nation ON user_id % 25 = n_nationkey GROUP BY n_name ORDER BY n_name""",
     "q_events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->
