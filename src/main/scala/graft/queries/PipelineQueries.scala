@@ -171,6 +171,42 @@ object PipelineQueries {
           size(regexp_extract_all(col("text"), lit("[A-Za-z]{4,}"), lit(0))).as("n_longwords"))
         .orderBy("doc_id")
     }),
+    "q_embed_kmeans" -> ((s, d) => {
+      // One Lloyd iteration of k-means (k=4, seeds = vec_ids 1-4) with
+      // an EXACT oracle — the centroid-training step a real IVF index
+      // needs. Determinism strategy: initial distances are ordered
+      // zip_with folds (bit-identical to DuckDB list_reduce); centroid
+      // updates sum 6dp-decimal-cast components (exact, order-free);
+      // re-assignment distances decimal-sum the per-term squares. Every
+      // accumulation is order-independent, so the argmins match
+      // bit-for-bit. Scale: centroids broadcast; updates are one
+      // partial+final hash agg keyed (cid, idx).
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents0 = e.where(col("vec_id").between(1, 4))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val d0 = e.crossJoin(broadcast(cents0))
+        .select(col("vec_id"), col("cid"),
+          aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      val a1 = d0.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("vec_id"), col("cid"))
+      val pts = e.join(a1, "vec_id")
+        .select(col("cid"), posexplode(col("v"))).toDF("cid", "idx", "x")
+      val upd = pts.groupBy("cid", "idx")
+        .agg((sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("c"))
+      val p2 = e.select(col("vec_id"), posexplode(col("v"))).toDF("vec_id", "idx", "x")
+      val d1 = p2.join(upd, Seq("idx"))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
+          .cast("decimal(27,12)")).cast("double").as("dist"))
+      val a2 = d1.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      a2.groupBy("cid")
+        .agg(count(lit(1)).as("sz"), min(col("vec_id")).as("min_vec"))
+        .orderBy("cid")
+    }),
     "q_multimodal_frames" -> ((s, d) => {
       // video-keyframe-sampling shape in the gate: the binary payload is
       // cut into fixed 32-byte frames, every 4th is emitted
@@ -309,6 +345,8 @@ object PipelineQueries {
       """SELECT t.i::INT AS pos, round(avg(embedding[t.i + 1]::DOUBLE), 4) AS mean, round(min(embedding[t.i + 1]::DOUBLE), 4) AS mn, round(max(embedding[t.i + 1]::DOUBLE), 4) AS mx FROM embeddings, range(64) t(i) GROUP BY t.i ORDER BY pos""",
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text, unnest(range(0, length(text) // 32, 4)) AS fi FROM documents WHERE length(text) >= 32) SELECT doc_id, fi::INT AS frame_idx, (fi * 32)::INT AS offset, md5(substr(text, (fi * 32 + 1)::INT, 32)) AS frame_md5 FROM f ORDER BY doc_id, frame_idx""",
+    "q_embed_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), d0 AS (SELECT e.vec_id, c0.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))")} AS dist FROM e CROSS JOIN c0), a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d0) WHERE rk = 1), pts AS (SELECT a1.cid, t.i AS idx, e.v[t.i + 1] AS x FROM e JOIN a1 USING (vec_id) CROSS JOIN range(64) t(i)), upd AS (SELECT cid, idx, sum(x::DECIMAL(18,6))::DOUBLE / count(*) AS c FROM pts GROUP BY cid, idx), p2 AS (SELECT e.vec_id, t.i AS idx, e.v[t.i + 1] AS x FROM e CROSS JOIN range(64) t(i)), d1 AS (SELECT p2.vec_id, upd.cid, sum(((p2.x - upd.c) * (p2.x - upd.c))::DECIMAL(27,12))::DOUBLE AS dist FROM p2 JOIN upd USING (idx) GROUP BY p2.vec_id, upd.cid), a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1) SELECT cid, count(*)::BIGINT AS sz, min(vec_id)::BIGINT AS min_vec FROM a2 GROUP BY cid ORDER BY cid""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS nbytes, (octet_length(encode(text)) % 64 + 1)::INT AS w, (octet_length(encode(text)) // 64 % 64 + 1)::INT AS h, ascii(substr(text, 1, 1))::INT AS b0 FROM documents ORDER BY doc_id""")
 }

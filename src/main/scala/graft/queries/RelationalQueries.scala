@@ -536,6 +536,20 @@ object RelationalQueries {
       s.table(sink).groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")
     }),
+    "q_source_csv" -> ((s, d) => {
+      // csv source INSIDE the oracle gate: customer is round-tripped
+      // through csv (header + declared schema) and aggregated from the
+      // csv scan; the oracle reads the original parquet — so the csv
+      // writer/parser must preserve every value exactly
+      val cust = t(s, d, "customer")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-csv").toString
+      cust.write.mode("overwrite").option("header", "true").csv(dir)
+      s.read.option("header", "true").schema(cust.schema).csv(dir)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("bal"),
+          min(col("c_name")).as("first_name"))
+        .orderBy("c_mktsegment")
+    }),
     "q_join_skew" -> ((s, d) => {
       // salted skew join in the gate: a deliberately hot modulo key is
       // spread over 8 salts (deterministic hash salt, not rand()); the
@@ -729,6 +743,8 @@ object RelationalQueries {
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
     "q_join_skew" ->
       """SELECT l_suppkey % 10 AS k, n_name, count(*)::BIGINT AS cnt FROM lineitem JOIN nation ON l_suppkey % 10 = n_nationkey % 10 GROUP BY 1, 2 ORDER BY k, n_name""",
+    "q_source_csv" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(sum(c_acctbal), 2) AS bal, min(c_name) AS first_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_stream_enrich" ->
       """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(value), 2) AS val FROM events JOIN nation ON user_id % 25 = n_nationkey GROUP BY n_name ORDER BY n_name""",
     "q_events_funnel" ->
