@@ -171,6 +171,38 @@ object PipelineQueries {
           size(regexp_extract_all(col("text"), lit("[A-Za-z]{4,}"), lit(0))).as("n_longwords"))
         .orderBy("doc_id")
     }),
+    "q_dedup_editdist" -> ((s, d) => {
+      // edit-distance near-dup: candidate pairs bucket on
+      // (lang, 50-char length band) — docs in distant bands can't be
+      // within the distance threshold — then score with levenshtein.
+      // Bucketed equi-join keeps the O(len^2) scoring off the cross
+      // product; same shape survives 100 TB (bucket sizes stay small).
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          floor(col("n_chars") / 50).as("band"), col("text"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
+        col("band"), col("text").as("ta"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
+        col("band"), col("text").as("tb"))
+      a.join(b, Seq("lang", "band")).where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), levenshtein(col("ta"), col("tb")).as("dist"))
+        .where(col("dist") <= 20)
+        .orderBy("doc_a", "doc_b")
+    }),
+    "q_events_retention" -> ((s, d) => {
+      // cohort retention: users first seen on day D who return exactly
+      // 1/7 days later (day-granular; classic growth analytics)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ev.groupBy("user_id").agg(min(col("day")).as("d0"))
+      val joined = ev.join(first, "user_id")
+        .select(col("user_id"), col("d0"), datediff(col("day"), col("d0")).as("age"))
+      joined.groupBy(date_format(col("d0"), "yyyy-MM-dd").as("cohort"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("age") === 1, col("user_id"))).as("d1"),
+          countDistinct(when(col("age") === 7, col("user_id"))).as("d7"))
+        .orderBy("cohort")
+    }),
     "q_embed_kmeans" -> ((s, d) => {
       // One Lloyd iteration of k-means (k=4, seeds = vec_ids 1-4) with
       // an EXACT oracle — the centroid-training step a real IVF index
@@ -345,6 +377,10 @@ object PipelineQueries {
       """SELECT t.i::INT AS pos, round(avg(embedding[t.i + 1]::DOUBLE), 4) AS mean, round(min(embedding[t.i + 1]::DOUBLE), 4) AS mn, round(max(embedding[t.i + 1]::DOUBLE), 4) AS mx FROM embeddings, range(64) t(i) GROUP BY t.i ORDER BY pos""",
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text, unnest(range(0, length(text) // 32, 4)) AS fi FROM documents WHERE length(text) >= 32) SELECT doc_id, fi::INT AS frame_idx, (fi * 32)::INT AS offset, md5(substr(text, (fi * 32 + 1)::INT, 32)) AS frame_md5 FROM f ORDER BY doc_id, frame_idx""",
+    "q_dedup_editdist" ->
+      """WITH dd AS (SELECT doc_id, lang, n_chars // 50 AS band, text FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, levenshtein(a.text, b.text)::INT AS dist FROM dd a JOIN dd b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id WHERE levenshtein(a.text, b.text) <= 20 ORDER BY doc_a, doc_b""",
+    "q_events_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id), j AS (SELECT ev.user_id, f.d0, date_diff('day', f.d0, ev.day) AS age FROM ev JOIN f ON ev.user_id = f.user_id) SELECT strftime(d0, '%Y-%m-%d') AS cohort, count(DISTINCT user_id)::BIGINT AS n_users, count(DISTINCT CASE WHEN age = 1 THEN user_id END)::BIGINT AS d1, count(DISTINCT CASE WHEN age = 7 THEN user_id END)::BIGINT AS d7 FROM j GROUP BY d0 ORDER BY cohort""",
     "q_embed_kmeans" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), d0 AS (SELECT e.vec_id, c0.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))")} AS dist FROM e CROSS JOIN c0), a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d0) WHERE rk = 1), pts AS (SELECT a1.cid, t.i AS idx, e.v[t.i + 1] AS x FROM e JOIN a1 USING (vec_id) CROSS JOIN range(64) t(i)), upd AS (SELECT cid, idx, sum(x::DECIMAL(18,6))::DOUBLE / count(*) AS c FROM pts GROUP BY cid, idx), p2 AS (SELECT e.vec_id, t.i AS idx, e.v[t.i + 1] AS x FROM e CROSS JOIN range(64) t(i)), d1 AS (SELECT p2.vec_id, upd.cid, sum(((p2.x - upd.c) * (p2.x - upd.c))::DECIMAL(27,12))::DOUBLE AS dist FROM p2 JOIN upd USING (idx) GROUP BY p2.vec_id, upd.cid), a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1) SELECT cid, count(*)::BIGINT AS sz, min(vec_id)::BIGINT AS min_vec FROM a2 GROUP BY cid ORDER BY cid""",
     "q_multimodal_meta" ->
