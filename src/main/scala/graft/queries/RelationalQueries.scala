@@ -640,6 +640,57 @@ object RelationalQueries {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
+    "q_stream_sessionize" -> ((s, d) => {
+      // Stateful flatMapGroupsWithState sessionization EXECUTED AS A
+      // STREAM inside the exact-match gate: all events land in batch 1,
+      // then two sentinel-user far-future files advance the watermark so
+      // every real user's final session is timeout-emitted; the sentinel
+      // is excluded from the result, which must equal the batch
+      // window-function sessionization (q_events_sessionize's oracle).
+      import org.apache.spark.sql.functions.{col => c}
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-sess-stream")
+      val e0 = java.nio.file.Files.createDirectory(streamDir.resolve("e0"))
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      if (java.nio.file.Files.isDirectory(src)) {
+        val it = java.nio.file.Files.list(src).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, e0.resolve(f.getFileName.toString))
+        }
+      } else java.nio.file.Files.copy(src, e0.resolve("events.parquet"))
+      // sentinel writer: one far-future event for user -1, raw nanos ts
+      // (matches EventStreams.rawSchema so the file-stream accepts it)
+      val maxNanos = Tables.events(s, d).agg(max(col("ts"))).head()
+        .getTimestamp(0).getTime * 1000000L
+      def sentinel(tag: String, plusDays: Long): Unit = {
+        import s.implicits._
+        Seq((-1L, maxNanos + plusDays * 86400L * 1000000000L, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+      }
+      val sink = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val events = graft.streaming.EventStreams.eventsStream(s, streamDir.toString + "/*")
+        .select(c("event_id"), c("ts"), c("user_id"), c("event_type"), c("value"))
+        .as[graft.streaming.EventStreams.Event](
+          org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event])
+      val q = graft.streaming.EventStreams.sessionize(events)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        q.processAllAvailable()
+        sentinel("s1", 10); q.processAllAvailable()
+        sentinel("s2", 20); q.processAllAvailable()
+      } finally {
+        q.stop()
+        val it = java.nio.file.Files.walk(streamDir).sorted(java.util.Comparator.reverseOrder()).iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+      }
+      s.table(sink).where(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    }),
     "q_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -754,5 +805,7 @@ object RelationalQueries {
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
+    "q_stream_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""")
 }
