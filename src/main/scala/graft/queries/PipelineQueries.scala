@@ -184,9 +184,13 @@ object PipelineQueries {
         col("band"), col("text").as("ta"))
       val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
         col("band"), col("text").as("tb"))
+      // thresholded levenshtein: the banded DP stops once distance
+      // exceeds 21 (returns -1) — O(k·n) per pair instead of O(n²),
+      // which is what makes pair scoring viable on long documents
       a.join(b, Seq("lang", "band")).where(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), levenshtein(col("ta"), col("tb")).as("dist"))
-        .where(col("dist") <= 20)
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("ta"), col("tb"), 21).as("dist"))
+        .where(col("dist").between(0, 20))
         .orderBy("doc_a", "doc_b")
     }),
     "q_events_retention" -> ((s, d) => {
