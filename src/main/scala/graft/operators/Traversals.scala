@@ -251,6 +251,43 @@ object Traversals {
     dists
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly drop
+    * vertices whose (undirected) degree is below `k` until the edge set
+    * is stable; returns the vertices of the k-core — the maximal
+    * subgraph where every vertex keeps degree ≥ k. Each peel round is
+    * one degree hash-agg plus two semi-join-shaped filters, all keyed
+    * on vertex id (same partitioning reused), so a round costs O(|E|)
+    * shuffled once; rounds = peel depth (bounded by the degeneracy
+    * ordering, usually shallow on real graphs). Input `(src, dst)`
+    * directed pairs, treated as undirected. Output `(vertex: Long)`. */
+  def kcore(edges: DataFrame, k: Int, maxIters: Int = 10000): DataFrame = {
+    var cur = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+      .distinct().localCheckpoint(eager = true)
+    var prevEdges = -1L
+    var curEdges = cur.count()
+    var it = 0
+    while (curEdges != prevEdges && it < maxIters) {
+      it += 1
+      val keep = cur.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k)
+      val ka = keep.select(col("src").as("ks"))
+      val kb = keep.select(col("src").as("kd"))
+      val prev = cur
+      cur = prev
+        .join(ka, prev("src") === ka("ks"))
+        .join(kb, prev("dst") === kb("kd"))
+        .select(prev("src"), prev("dst"))
+        .localCheckpoint(eager = true)
+      prevEdges = curEdges
+      curEdges = cur.count()
+    }
+    cur.select(col("src").as("vertex")).distinct()
+  }
+
   /** Connected components by min-label propagation with pointer
     * jumping: each round takes the min over neighbour labels, then
     * short-circuits `component := component(component)` — labels reach

@@ -155,6 +155,15 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 4).as("rank"))
         .orderBy("vertex")
     }),
+    "q_graph_kcore" -> ((s, d) => {
+      // 6-core of the (a+b)%4 pair graph: two peel rounds drop 6
+      // vertices (oracle unrolls four peels — safely past fixpoint)
+      val n = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+      val e = n.as("a").join(n.as("b"),
+          col("a.k") < col("b.k") && (col("a.k") + col("b.k")) % 4 === 0)
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+      Traversals.kcore(e, 6).orderBy("vertex")
+    }),
     "q_graph_tri_pervertex" -> ((s, d) => {
       // per-vertex triangle participation via GraphX on the (a+b)%4
       // pair graph; exact ints -> SQL oracle
@@ -214,6 +223,14 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, we AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e), r AS (SELECT 0::BIGINT AS vertex, 0::BIGINT AS dist UNION SELECT we.dst, r.dist + we.w FROM r JOIN we ON we.src = r.vertex WHERE r.dist < 100) SELECT vertex, min(dist)::BIGINT AS dist FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_degree" ->
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
+    "q_graph_kcore" -> {
+      // four unrolled peel rounds (fixpoint is at two on this graph)
+      val peels = (1 to 4).map { i =>
+        s"k$i AS (SELECT src AS v FROM (SELECT src, count(*) AS c FROM e${i - 1} GROUP BY src) WHERE c >= 6), " +
+          s"e$i AS (SELECT e.src, e.dst FROM e${i - 1} e JOIN k$i a ON e.src = a.v JOIN k$i b ON e.dst = b.v)"
+      }.mkString(", ")
+      s"""WITH p0 AS (SELECT a.n_nationkey::BIGINT AS src, b.n_nationkey::BIGINT AS dst FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), e0 AS (SELECT src, dst FROM p0 UNION SELECT dst, src FROM p0), $peels SELECT DISTINCT src AS vertex FROM e4 ORDER BY vertex"""
+    },
     "q_graph_tri_pervertex" ->
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), pv AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) SELECT vertex, count(*)::BIGINT AS triangles FROM pv GROUP BY vertex ORDER BY vertex""",
     "q_graph_triangles" ->

@@ -623,6 +623,23 @@ object RelationalQueries {
           col("event_type"), col("cnt"))
         .orderBy("w_start", "event_type")
     }),
+    "q_tpch_q18" -> ((s, d) => {
+      // TPC-H Q18 shape (large-volume orders): orders whose summed
+      // quantity clears a threshold, joined back to customer; the
+      // aggregate-then-join keeps the HAVING filter before the join
+      val big = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      big.join(o, big("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("sum_qty"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(100)
+    }),
     "q_tpch_q10" -> ((s, d) => {
       // TPC-H Q10 shape: revenue lost to returned items per customer,
       // one quarter window; nation broadcast, top 20
@@ -802,6 +819,8 @@ object RelationalQueries {
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->
       """WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events), w AS (SELECT event_type, (es // 1800 - k.k) * 1800 AS ws FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k) SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150) SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price, sum_qty FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY price DESC, o_orderkey LIMIT 100""",
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_sessionize" ->

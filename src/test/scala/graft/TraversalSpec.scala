@@ -175,6 +175,19 @@ class TraversalSpec extends SparkSpec {
     assert(back === orig)
   }
 
+  test("kcore: triangle-with-tail peels to the triangle; trees peel to nothing") {
+    import spark.implicits._
+    // triangle 0-1-2 plus a tail 2-3-4
+    val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val core2 = Traversals.kcore(tri, 2).collect().map(_.getLong(0)).toSet
+    assert(core2 === Set(0L, 1L, 2L), "2-core must peel the tail, keep the triangle")
+    // every vertex survives k=1 (all have at least one neighbor)
+    assert(Traversals.kcore(tri, 1).count() === 5)
+    // a tree has no 2-core
+    val tree = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    assert(Traversals.kcore(tree, 2).count() === 0)
+  }
+
   test("MatrixIO.writeMatrix rejects a too-small n and accepts int edge columns") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft-mio2").toString
