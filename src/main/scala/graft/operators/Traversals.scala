@@ -251,6 +251,39 @@ object Traversals {
     dists
   }
 
+  /** Deterministic PageRank (fixed iteration count): the standard
+    * recurrence rank' = reset + (1-reset)·Σ rank(u)/outdeg(u), with
+    * each edge contribution cast to decimal(38,18) before the sum so
+    * the aggregation is accumulation-order independent — the same
+    * ranks bit-for-bit on any partitioning/engine (unlike GraphX's
+    * double message-sums, whose low bits vary run to run). Per
+    * iteration: one vertex-keyed join + one hash agg; lineage cut by
+    * localCheckpoint. Input directed `(src, dst)`; every edge endpoint
+    * is a vertex. */
+  def pageRankDeterministic(edges: DataFrame, iters: Int = 10,
+                            reset: Double = 0.15): DataFrame = {
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("odeg"))
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+      .localCheckpoint(eager = true)
+    var r = verts.withColumn("rank", lit(1.0)).localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      val sums = r.join(outDeg, r("vertex") === outDeg("src"))
+        .select(col("src"), (col("rank") / col("odeg")).as("w"))
+        .join(e, Seq("src"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("w").cast("decimal(38,18)")).cast("double").as("m"))
+      r = verts.join(sums, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (lit(reset) + lit(1 - reset) * coalesce(col("m"), lit(0.0))).as("rank"))
+        .localCheckpoint(eager = true)
+    }
+    e.unpersist(blocking = false)
+    r
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly drop
     * vertices whose (undirected) degree is below `k` until the edge set
     * is stable; returns the vertices of the k-core — the maximal

@@ -149,10 +149,12 @@ object GraphQueries {
         .orderBy("vertex")
     }),
     "q_graph_pagerank" -> ((s, d) => {
-      // GraphX static PageRank (10 iters) — float-iterative, no SQL
-      // oracle; golden-checked in GraphAlgosSpec instead.
-      graft.operators.GraphAlgos.pageRank(treeEdges(s, d), iters = 10)
-        .select(col("vertex"), round(col("rank"), 4).as("rank"))
+      // Deterministic PageRank (10 iters, decimal-summed contributions)
+      // — EXACT DuckDB oracle (10 unrolled iterations). The GraphX
+      // staticPageRank path stays as the library operator
+      // (GraphAlgosSpec asserts both agree to float tolerance).
+      Traversals.pageRankDeterministic(treeEdges(s, d), iters = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy("vertex")
     }),
     "q_graph_kcore" -> ((s, d) => {
@@ -223,6 +225,18 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, we AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e), r AS (SELECT 0::BIGINT AS vertex, 0::BIGINT AS dist UNION SELECT we.dst, r.dist + we.w FROM r JOIN we ON we.src = r.vertex WHERE r.dist < 100) SELECT vertex, min(dist)::BIGINT AS dist FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_degree" ->
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
+    "q_graph_pagerank" -> {
+      // ten unrolled iterations of the deterministic recurrence;
+      // per-edge contributions decimal-cast before summing, mirroring
+      // Traversals.pageRankDeterministic exactly
+      val iters = (1 to 10).map { i =>
+        s"r$i AS (SELECT v.vertex, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank FROM v LEFT JOIN " +
+          s"(SELECT e.dst AS vertex, sum((r${i - 1}.rank / od.odeg)::DECIMAL(38,18))::DOUBLE AS m " +
+          s"FROM r${i - 1} JOIN od ON r${i - 1}.vertex = od.src JOIN e ON e.src = od.src GROUP BY e.dst) s " +
+          s"ON v.vertex = s.vertex)"
+      }.mkString(", ")
+      s"""WITH $treeEdgeSql, od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, 1.0::DOUBLE AS rank FROM v), $iters SELECT vertex, round(rank, 6) AS rank FROM r10 ORDER BY vertex"""
+    },
     "q_graph_kcore" -> {
       // four unrolled peel rounds (fixpoint is at two on this graph)
       val peels = (1 to 4).map { i =>

@@ -623,6 +623,27 @@ object RelationalQueries {
           col("event_type"), col("cnt"))
         .orderBy("w_start", "event_type")
     }),
+    "q_scalar_bits" -> ((s, d) => {
+      // bitwise scalar family (mask/shift/xor — the partition-bucket
+      // and fingerprint arithmetic toolkit)
+      t(s, d, "orders").where(col("o_orderkey") % 31 === 0)
+        .select(col("o_orderkey"),
+          (col("o_orderkey").bitwiseAND(255)).as("lo8"),
+          (col("o_orderkey").bitwiseOR(15)).as("or15"),
+          (col("o_orderkey").bitwiseXOR(col("o_custkey"))).as("x"),
+          shiftleft(col("o_orderkey"), 2).as("shl"),
+          shiftright(col("o_orderkey"), 3).as("shr"))
+        .orderBy("o_orderkey")
+    }),
+    "q_scalar_hash" -> ((s, d) => {
+      // cryptographic-hash scalar family (content addressing / split
+      // keys): md5 + sha-256 over text, grouped into 16 hex buckets
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"))
+        .withColumn("bucket", substring(col("h_sha256"), 1, 1))
+        .orderBy("doc_id")
+    }),
     "q_tpch_q18" -> ((s, d) => {
       // TPC-H Q18 shape (large-volume orders): orders whose summed
       // quantity clears a threshold, joined back to customer; the
@@ -819,6 +840,10 @@ object RelationalQueries {
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->
       """WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events), w AS (SELECT event_type, (es // 1800 - k.k) * 1800 AS ws FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k) SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_scalar_bits" ->
+      """SELECT o_orderkey, (o_orderkey & 255)::BIGINT AS lo8, (o_orderkey | 15)::BIGINT AS or15, xor(o_orderkey, o_custkey)::BIGINT AS x, (o_orderkey << 2)::BIGINT AS shl, (o_orderkey >> 3)::BIGINT AS shr FROM orders WHERE o_orderkey % 31 = 0 ORDER BY o_orderkey""",
+    "q_scalar_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256, substr(sha256(text), 1, 1) AS bucket FROM documents ORDER BY doc_id""",
     "q_tpch_q18" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150) SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price, sum_qty FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY price DESC, o_orderkey LIMIT 100""",
     "q_tpch_q10" ->

@@ -18,6 +18,17 @@ class GraphAlgosSpec extends SparkSpec {
     assert(pr(3L) > pr(1L))
   }
 
+  test("pageRankDeterministic agrees with GraphX staticPageRank to float tolerance") {
+    val gx = GraphAlgos.pageRank(ring, iters = 15).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+    val df = graft.operators.Traversals.pageRankDeterministic(ring, iters = 15).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+    assert(gx.keySet === df.keySet)
+    gx.foreach { case (v, r) =>
+      assert(math.abs(r - df(v)) < 1e-4, s"vertex $v: graphx=$r df=${df(v)}")
+    }
+  }
+
   test("triangleCounts: triangle graph vs triangle-free ring") {
     val tri = Seq((0L, 1L), (1L, 2L), (0L, 2L))
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")

@@ -23,7 +23,8 @@ class QueriesSmokeSpec extends SparkSpec {
   test("every query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // dfs_leaves: traversal-order-dependent; approx: HLL estimator-
-    // specific; pagerank: float-iterative — all golden-tested instead
-    assert(noOracle === Set("q_graph_dfs_leaves", "q_agg_approx", "q_graph_pagerank"))
+    // specific — both golden-tested instead (pagerank graduated to an
+    // exact oracle via the deterministic decimal-sum implementation)
+    assert(noOracle === Set("q_graph_dfs_leaves", "q_agg_approx"))
   }
 }
