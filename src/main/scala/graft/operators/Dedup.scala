@@ -66,26 +66,38 @@ object Dedup {
       .select(col("doc_id"), array((0 until k).map(s => col(s"c$s")): _*).as("sig"))
   }
 
-  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard:
-    * signatures are cut into `bands` bands of k/bands rows; docs
-    * sharing any band key become candidates; the estimate is the
-    * fraction of matching signature components. Output:
-    * (doc_a, doc_b, est) for est >= minEst. */
-  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                   minEst: Double = 0.25): DataFrame = {
+  /** MinHash+LSH candidate pairs (no estimate filter): docs sharing
+    * any signature band become candidates. This is THE scalable
+    * candidate generator — bucket sizes track true near-dup density,
+    * not corpus size, so downstream per-pair scoring (Jaccard
+    * estimate, edit distance) stays off the cross product. Pass the
+    * cached signature table via `sigOpt` to share it with estimate
+    * scoring. Output: (doc_a, doc_b) distinct. */
+  def minhashBandCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                            sigOpt: Option[DataFrame] = None): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands ($bands) must divide k ($k); otherwise band keys degenerate " +
         "and candidate generation becomes an O(n^2) cross join")
     val rowsPerBand = k / bands
-    val sig = minhashSignatures(docs, k).cache()
+    val sig = sigOpt.getOrElse(minhashSignatures(docs, k).cache())
     val bandDf = sig.select(col("doc_id"), posexplode(
         array((0 until bands).map(b =>
           concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
       .toDF("doc_id", "band_id", "bkey")
-    val pairs = bandDf.as("a").join(bandDf.as("b"),
+    bandDf.as("a").join(bandDf.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+  }
+
+  /** MinHash+LSH near-dup candidate pairs with estimated Jaccard:
+    * [[minhashBandCandidates]] scored by the fraction of matching
+    * signature components. Output: (doc_a, doc_b, est) for
+    * est >= minEst. */
+  def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
+                   minEst: Double = 0.25): DataFrame = {
+    val sig = minhashSignatures(docs, k).cache()
+    val pairs = minhashBandCandidates(docs, k, bands, Some(sig))
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")

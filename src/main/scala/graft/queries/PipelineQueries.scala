@@ -172,22 +172,17 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
     "q_dedup_editdist" -> ((s, d) => {
-      // edit-distance near-dup: candidate pairs bucket on
-      // (lang, 50-char length band) — docs in distant bands can't be
-      // within the distance threshold — then score with levenshtein.
-      // Bucketed equi-join keeps the O(len^2) scoring off the cross
-      // product; same shape survives 100 TB (bucket sizes stay small).
+      // edit-distance near-dup: MinHash-LSH band candidates rescored
+      // with thresholded levenshtein (banded DP returns -1 past 21, so
+      // per-pair cost is O(k·n), not O(n²)). LSH candidate counts track
+      // true near-dup density, not corpus size — a (lang, length-band)
+      // bucket join was measured to blow up quadratically at 10x scale
+      // (tools/Stress), this formulation survives it.
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"),
-          floor(col("n_chars") / 50).as("band"), col("text"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("lang"),
-        col("band"), col("text").as("ta"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("lang"),
-        col("band"), col("text").as("tb"))
-      // thresholded levenshtein: the banded DP stops once distance
-      // exceeds 21 (returns -1) — O(k·n) per pair instead of O(n²),
-      // which is what makes pair scoring viable on long documents
-      a.join(b, Seq("lang", "band")).where(col("doc_a") < col("doc_b"))
+      val cand = Dedup.minhashBandCandidates(docs, k = 16, bands = 4)
+      val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      cand.join(ta, "doc_a").join(tb, "doc_b")
         .select(col("doc_a"), col("doc_b"),
           levenshtein(col("ta"), col("tb"), 21).as("dist"))
         .where(col("dist").between(0, 20))
@@ -382,7 +377,7 @@ object PipelineQueries {
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text, unnest(range(0, length(text) // 32, 4)) AS fi FROM documents WHERE length(text) >= 32) SELECT doc_id, fi::INT AS frame_idx, (fi * 32)::INT AS offset, md5(substr(text, (fi * 32 + 1)::INT, 32)) AS frame_md5 FROM f ORDER BY doc_id, frame_idx""",
     "q_dedup_editdist" ->
-      """WITH dd AS (SELECT doc_id, lang, n_chars // 50 AS band, text FROM documents) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, levenshtein(a.text, b.text)::INT AS dist FROM dd a JOIN dd b ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id WHERE levenshtein(a.text, b.text) <= 20 ORDER BY doc_a, doc_b""",
+      s"""WITH $minhashEstSql SELECT p.doc_a, p.doc_b, levenshtein(da.text, db.text)::INT AS dist FROM pairs p JOIN documents da ON da.doc_id = p.doc_a JOIN documents db ON db.doc_id = p.doc_b WHERE levenshtein(da.text, db.text) <= 20 ORDER BY doc_a, doc_b""",
     "q_events_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id), j AS (SELECT ev.user_id, f.d0, date_diff('day', f.d0, ev.day) AS age FROM ev JOIN f ON ev.user_id = f.user_id) SELECT strftime(d0, '%Y-%m-%d') AS cohort, count(DISTINCT user_id)::BIGINT AS n_users, count(DISTINCT CASE WHEN age = 1 THEN user_id END)::BIGINT AS d1, count(DISTINCT CASE WHEN age = 7 THEN user_id END)::BIGINT AS d7 FROM j GROUP BY d0 ORDER BY cohort""",
     "q_embed_kmeans" ->

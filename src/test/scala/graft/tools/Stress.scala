@@ -65,6 +65,52 @@ object Stress {
     val chain = ch.union(ch.select(col("dst").as("src"), col("src").as("dst")))
     time("cc_loop", chain.count()) { Traversals.connectedComponents(chain).count() }
     time("cc_graphx", chain.count()) { graft.operators.GraphAlgos.connectedComponentsGraphX(chain).count() }
+
+    // round-2 operator families at 1x and 10x document/embedding scale
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val docs10 = (0 until 10).map(i =>
+      docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ union _)
+    val nd = docs.count(); val nd10 = nd * 10
+    time("editdist_x1", nd) {
+      graft.SparkEntry.queries("q_dedup_editdist")(spark, d).count()
+    }
+    time("editdist_x10_lsh", nd10) {
+      // LSH candidates -> levenshtein rescore at 10x. (The earlier
+      // (lang, length-band) bucket join measured 125 s here — bucket
+      // sizes grow with the corpus, pairs quadratically; LSH candidate
+      // counts track near-dup density instead.)
+      val cand = graft.operators.Dedup.minhashBandCandidates(docs10, k = 16, bands = 4)
+      val ta = docs10.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+      val tb = docs10.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+      cand.join(ta, "doc_a").join(tb, "doc_b")
+        .where(levenshtein(col("ta"), col("tb"), 21).between(0, 20)).count()
+    }
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val emb10 = (0 until 10).map(i =>
+      emb.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10000000L)))
+      .reduce(_ union _)
+    val ne = emb.count()
+    time("kmeans_assign_x1", ne) {
+      graft.SparkEntry.queries("q_embed_kmeans")(spark, d).count()
+    }
+    time("kmeans_assign_x10", ne * 10) {
+      // assignment+update plan over 10x vectors (centroids broadcast)
+      import graft.functions.VectorFunctions.toDouble
+      val e = emb10.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 4))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dists = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("dist"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
+      dists.withColumn("rk", row_number().over(w2)).where(col("rk") === 1)
+        .groupBy("cid").agg(count(lit(1))).collect()
+    }
+    // k-core peeling at 4x bipartite scale (deg >= 2 drops pendant orders)
+    time("kcore_x4", e4.count()) { Traversals.kcore(e4, 2).count() }
     spark.stop()
   }
 }
