@@ -17,7 +17,10 @@ object Bench {
     "q_graph_bfs", "q_graph_cc", "q_graph_bfs_big", "q_graph_cc_big",
     "q_text_stats", "q_text_tokens_bpe", "q_text_fingerprint",
     "q_dedup_exact", "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram",
-    "q_dedup_pipeline", "q_embed_topk", "q_embed_ivf")
+    "q_dedup_pipeline", "q_embed_topk", "q_embed_ivf",
+    // round-2 operator families
+    "q_tpch_q10", "q_events_funnel", "q_events_retention", "q_window_sliding",
+    "q_dedup_editdist", "q_embed_kmeans", "q_graph_kcore")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
