@@ -623,6 +623,17 @@ object RelationalQueries {
           col("event_type"), col("cnt"))
         .orderBy("w_start", "event_type")
     }),
+    "q_agg_bool" -> ((s, d) => {
+      // boolean/conditional aggregate family; max_by/min_by tie-broken
+      // by aggregating over the UNIQUE c_custkey (deterministic)
+      t(s, d, "customer").groupBy("c_mktsegment")
+        .agg(bool_and(col("c_acctbal") > -999).as("all_above"),
+          bool_or(col("c_acctbal") > 9000).as("any_rich"),
+          count_if(col("c_acctbal") < 0).as("n_neg"),
+          max_by(col("c_name"), col("c_custkey")).as("last_cust"),
+          min_by(col("c_name"), col("c_custkey")).as("first_cust"))
+        .orderBy("c_mktsegment")
+    }),
     "q_scalar_bits" -> ((s, d) => {
       // bitwise scalar family (mask/shift/xor — the partition-bucket
       // and fingerprint arithmetic toolkit)
@@ -840,6 +851,8 @@ object RelationalQueries {
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->
       """WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events), w AS (SELECT event_type, (es // 1800 - k.k) * 1800 AS ws FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k) SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_agg_bool" ->
+      """SELECT c_mktsegment, bool_and(c_acctbal > -999) AS all_above, bool_or(c_acctbal > 9000) AS any_rich, count_if(c_acctbal < 0)::BIGINT AS n_neg, max_by(c_name, c_custkey) AS last_cust, min_by(c_name, c_custkey) AS first_cust FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_scalar_bits" ->
       """SELECT o_orderkey, (o_orderkey & 255)::BIGINT AS lo8, (o_orderkey | 15)::BIGINT AS or15, xor(o_orderkey, o_custkey)::BIGINT AS x, (o_orderkey << 2)::BIGINT AS shl, (o_orderkey >> 3)::BIGINT AS shr FROM orders WHERE o_orderkey % 31 = 0 ORDER BY o_orderkey""",
     "q_scalar_hash" ->
