@@ -44,6 +44,37 @@ class SkewAndExprSpec extends SparkSpec {
     assert(r === 1.0)
   }
 
+  test("ThresholdedLevenshtein rule rewrites filter predicates to the banded form") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    import graft.plans.ThresholdedLevenshtein
+    if (!spark.experimental.extraOptimizations.contains(ThresholdedLevenshtein))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ThresholdedLevenshtein
+    // parquet-backed (a local Seq would be folded away by
+    // ConvertToLocalRelation before extraOptimizations run)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lev").toString
+    Seq(("kitten", "sitting"), ("abc", "abd"), ("a", "zzzzzz"), ("same", "same"))
+      .toDF("a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val filtered = df.where(expr("levenshtein(a, b) <= 2"))
+    // plan: the comparison now carries a threshold
+    val thresholded = filtered.queryExecution.optimizedPlan.expressions.exists(_.exists {
+      case l: Levenshtein => l.threshold.isDefined
+      case _ => false
+    })
+    assert(thresholded, "filter predicate must be rewritten to banded levenshtein")
+    // semantics: kitten->sitting is 3 (out), abc->abd 1, same->same 0
+    assert(filtered.collect().map(_.getString(0)).toSet === Set("abc", "same"))
+    // strict < and = forms
+    assert(df.where(expr("levenshtein(a, b) < 1")).collect()
+      .map(_.getString(0)).toSet === Set("same"))
+    assert(df.where(expr("levenshtein(a, b) = 3")).collect()
+      .map(_.getString(0)).toSet === Set("kitten"))
+    // a projected levenshtein keeps the true distance (rule must not touch it)
+    val proj = df.select(expr("levenshtein(a, b)").as("d")).collect().map(_.getInt(0)).sorted
+    assert(proj === Array(0, 1, 3, 6))
+  }
+
   test("cosine_sim degenerate inputs: NULL on length mismatch / null element, matching the HOF twin") {
     GraftFunctions.register(spark)
     // (name, a, b) triples covering: equal-length clean, mismatched
