@@ -450,6 +450,21 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
         .orderBy("c_mktsegment")
     }),
+    "q_subquery_corr" -> ((s, d) => {
+      // correlated subqueries (EXISTS + scalar) — exercises Catalyst's
+      // decorrelation rewrite (both become joins; no per-row re-execution)
+      t(s, d, "customer").createOrReplaceTempView("cust_qc")
+      t(s, d, "orders").createOrReplaceTempView("ord_qc")
+      s.sql("""SELECT c.c_custkey,
+                      round(c.c_acctbal, 2) AS bal,
+                      (SELECT round(max(o.o_totalprice), 2) FROM ord_qc o
+                       WHERE o.o_custkey = c.c_custkey) AS max_spend
+               FROM cust_qc c
+               WHERE EXISTS (SELECT 1 FROM ord_qc o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 450000)
+               ORDER BY c.c_custkey""")
+    }),
     "q_agg_approx" -> ((s, d) => {
       // HLL sketch — engine capability; no oracle (estimator-specific)
       t(s, d, "lineitem").groupBy("l_returnflag")
@@ -851,6 +866,8 @@ object RelationalQueries {
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->
       """WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events), w AS (SELECT event_type, (es // 1800 - k.k) * 1800 AS ws FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k) SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_subquery_corr" ->
+      """SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal, (SELECT round(max(o.o_totalprice), 2) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_spend FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c.c_custkey""",
     "q_agg_bool" ->
       """SELECT c_mktsegment, bool_and(c_acctbal > -999) AS all_above, bool_or(c_acctbal > 9000) AS any_rich, count_if(c_acctbal < 0)::BIGINT AS n_neg, max_by(c_name, c_custkey) AS last_cust, min_by(c_name, c_custkey) AS first_cust FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_scalar_bits" ->
