@@ -1,0 +1,48 @@
+package graft
+
+/** Physical-plan regression guards: the plan *properties* PLANS.md
+  * documents — pushdown reaching the scan, broadcast joins on dims,
+  * top-k without a global sort — asserted so a refactor that silently
+  * loses them fails the suite, not just the benchmark. */
+class PlanSpec extends SparkSpec {
+
+  private def physical(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q_filter_project: filters are pushed into the parquet scan") {
+    val p = physical("q_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(800))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"),
+      "date predicate must reach the scan")
+  }
+
+  test("q_join_broadcast and q_tpch_q5: dimensions broadcast") {
+    assert(physical("q_join_broadcast").contains("BroadcastHashJoin"))
+    val q5 = physical("q_tpch_q5")
+    val n = "BroadcastHashJoin".r.findAllIn(q5).length
+    assert(n >= 4, s"q5 should broadcast its dimension chain, got $n broadcast joins")
+  }
+
+  test("q_sort_topk: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = physical("q_sort_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q_agg_groupby: partial+final hash aggregation (one shuffle)") {
+    val p = physical("q_agg_groupby")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final hash agg expected")
+  }
+
+  test("q_embed_topk: native cosine_sim scores inside the top-k project") {
+    val df = SparkEntry.queries("q_embed_topk")(spark, TestSpark.sfDir)
+    val pre = df.queryExecution.executedPlan.toString
+    assert(pre.contains("cosine_sim("), "scoring must use the native expression")
+    assert(pre.contains("TakeOrderedAndProject"), "top-k must not global-sort")
+    df.collect() // finalize the adaptive plan, then check codegen spans
+    // whole-stage-codegen stages print as "*(n) Operator" in the tree
+    val post = df.queryExecution.executedPlan.toString
+    assert(post.contains("*(") && post.contains(") Project [vec_id"),
+      "the scoring Project must sit inside a WholeStageCodegen stage")
+  }
+}
