@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.toDouble
 import Tables.t
 
 /** The relational operator inventory (SURVEY.md §2.2 "Engine plan"):
@@ -450,6 +451,33 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
         .orderBy("c_mktsegment")
     }),
+    "q_unpivot" -> ((s, d) => {
+      // wide -> long reshaping (melt): three measure columns become
+      // (metric, value) rows — the inverse of q_pivot
+      t(s, d, "lineitem").where(col("l_orderkey") % 97 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty"),
+          round(col("l_extendedprice"), 2).as("price"),
+          round(col("l_discount"), 2).as("disc"))
+        .unpivot(
+          ids = Array(col("l_orderkey"), col("l_linenumber")),
+          values = Array(col("qty"), col("price"), col("disc")),
+          variableColumnName = "metric", valueColumnName = "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
+    "q_array_hof" -> ((s, d) => {
+      // higher-order array functions as a declared capability (transform
+      // / filter / exists / aggregate with DuckDB list-lambda twins) —
+      // fine OFF the hot path; hot paths use exploded forms (see Dedup)
+      t(s, d, "embeddings").where(col("vec_id") % 40 === 0)
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          size(filter(col("v"), x => x > 0)).as("n_pos"),
+          exists(col("v"), x => x > lit(2.0)).as("any_big"),
+          round(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x), 4).as("sumsq"),
+          round(element_at(transform(col("v"), x => x * 2), 1), 4).as("first_doubled"))
+        .orderBy("vec_id")
+    }),
     "q_subquery_corr" -> ((s, d) => {
       // correlated subqueries (EXISTS + scalar) — exercises Catalyst's
       // decorrelation rewrite (both become joins; no per-row re-execution)
@@ -866,6 +894,10 @@ object RelationalQueries {
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->
       """WITH ev AS (SELECT event_type, floor(epoch(ts))::BIGINT AS es FROM events), w AS (SELECT event_type, (es // 1800 - k.k) * 1800 AS ws FROM ev CROSS JOIN (SELECT unnest([0, 1]) AS k) k) SELECT strftime(to_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*)::BIGINT AS cnt FROM w GROUP BY 1, 2 ORDER BY w_start, event_type""",
+    "q_unpivot" ->
+      """WITH t AS (SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty, round(l_extendedprice, 2) AS price, round(l_discount, 2) AS disc FROM lineitem WHERE l_orderkey % 97 = 0) SELECT l_orderkey, l_linenumber, metric, value FROM (SELECT l_orderkey, l_linenumber, 'qty' AS metric, qty AS value FROM t UNION ALL SELECT l_orderkey, l_linenumber, 'price', price FROM t UNION ALL SELECT l_orderkey, l_linenumber, 'disc', disc FROM t) ORDER BY l_orderkey, l_linenumber, metric""",
+    "q_array_hof" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id % 40 = 0) SELECT vec_id, len(list_filter(v, x -> x > 0))::INT AS n_pos, len(list_filter(v, x -> x > 2.0)) > 0 AS any_big, round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(v, x -> x * x)), (a, x) -> a + x), 4) AS sumsq, round(v[1] * 2, 4) AS first_doubled FROM e ORDER BY vec_id""",
     "q_subquery_corr" ->
       """SELECT c.c_custkey, round(c.c_acctbal, 2) AS bal, (SELECT round(max(o.o_totalprice), 2) FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_spend FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000) ORDER BY c.c_custkey""",
     "q_agg_bool" ->
