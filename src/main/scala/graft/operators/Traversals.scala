@@ -295,6 +295,7 @@ object Traversals {
     * directed pairs, treated as undirected. Output `(vertex: Long)`. */
   def kcore(edges: DataFrame, k: Int, maxIters: Int = 10000): DataFrame = {
     var cur = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst")) // self-loops don't count toward coreness
       .select(explode(array(
         struct(col("src").as("src"), col("dst").as("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("p"))

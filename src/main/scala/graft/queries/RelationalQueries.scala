@@ -593,6 +593,19 @@ object RelationalQueries {
           min(col("c_name")).as("first_name"))
         .orderBy("c_mktsegment")
     }),
+    "q_source_orc" -> ((s, d) => {
+      // orc source inside the gate (same contract as q_source_csv):
+      // part is round-tripped through ORC and aggregated from the ORC
+      // scan; the oracle reads the original parquet
+      val part = t(s, d, "part")
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-orc").toString
+      part.write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("cnt"), sum(col("p_size")).as("total_size"),
+          min(col("p_name")).as("first_name"))
+        .orderBy("p_brand")
+    }),
     "q_join_skew" -> ((s, d) => {
       // salted skew join in the gate: a deliberately hot modulo key is
       // spread over 8 salts (deterministic hash salt, not rand()); the
@@ -886,6 +899,8 @@ object RelationalQueries {
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
     "q_join_skew" ->
       """SELECT l_suppkey % 10 AS k, n_name, count(*)::BIGINT AS cnt FROM lineitem JOIN nation ON l_suppkey % 10 = n_nationkey % 10 GROUP BY 1, 2 ORDER BY k, n_name""",
+    "q_source_orc" ->
+      """SELECT p_brand, count(*)::BIGINT AS cnt, sum(p_size)::BIGINT AS total_size, min(p_name) AS first_name FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_source_csv" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(sum(c_acctbal), 2) AS bal, min(c_name) AS first_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_stream_enrich" ->

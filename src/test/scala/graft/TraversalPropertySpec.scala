@@ -114,6 +114,40 @@ class TraversalPropertySpec extends SparkSpec {
     }
   }
 
+  test("kcore: every vertex of the k-core has >= k neighbors inside the core") {
+    (0 until 3).foreach { i =>
+      val (_, edges) = sample(200 + i)
+      val e = edges.toSeq.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      val k = 2 + (i % 2)
+      val core = Traversals.kcore(e, k).collect().map(_.getLong(0)).toSet
+      // undirected adjacency restricted to the core
+      val und = edges.flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+        .filter { case (a, b) => a != b && core(a) && core(b) }
+      val degIn = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).size }
+      core.foreach { v =>
+        assert(degIn.getOrElse(v, 0) >= k, s"graph #$i k=$k vertex $v: $edges")
+      }
+    }
+  }
+
+  test("pageRankDeterministic conserves total mass (no dangling vertices)") {
+    (0 until 2).foreach { i =>
+      val (_, edges) = sample(300 + i)
+      // mirror so every vertex has out-edges -> total rank stays |V|
+      val und = edges.flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+        .filter { case (a, b) => a != b }.toSeq.distinct
+      if (und.nonEmpty) {
+        val e = und.toDF("src", "dst")
+        val pr = Traversals.pageRankDeterministic(e, iters = 8).collect()
+          .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+        val n = und.flatMap(t => Seq(t._1, t._2)).distinct.size
+        assert(math.abs(pr.values.sum - n) < 1e-6 * n,
+          s"graph #$i: mass ${pr.values.sum} != $n")
+        assert(pr.values.forall(_ >= 0.15 - 1e-12))
+      }
+    }
+  }
+
   test("Pregel BFS agrees with driver-loop BFS on random graphs") {
     (0 until 3).foreach { i =>
       val (_, edges) = sample(100 + i)
