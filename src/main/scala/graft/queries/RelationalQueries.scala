@@ -593,6 +593,21 @@ object RelationalQueries {
           min(col("c_name")).as("first_name"))
         .orderBy("c_mktsegment")
     }),
+    "q_source_partitioned" -> ((s, d) => {
+      // hive-style partitioned layout INSIDE the gate: orders written
+      // partitionBy(year), then one partition read back — the filter
+      // prunes directories (PartitionFilters, zero data files touched
+      // outside 1997); the oracle filters the original table
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-part").toString
+      t(s, d, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+      s.read.parquet(dir)
+        .where(col("o_year") === 1997)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("o_orderpriority")
+    }),
     "q_source_orc" -> ((s, d) => {
       // orc source inside the gate (same contract as q_source_csv):
       // part is round-tripped through ORC and aggregated from the ORC
@@ -899,6 +914,8 @@ object RelationalQueries {
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
     "q_join_skew" ->
       """SELECT l_suppkey % 10 AS k, n_name, count(*)::BIGINT AS cnt FROM lineitem JOIN nation ON l_suppkey % 10 = n_nationkey % 10 GROUP BY 1, 2 ORDER BY k, n_name""",
+    "q_source_partitioned" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_source_orc" ->
       """SELECT p_brand, count(*)::BIGINT AS cnt, sum(p_size)::BIGINT AS total_size, min(p_name) AS first_name FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_source_csv" ->
