@@ -220,10 +220,13 @@ object PipelineQueries {
         .select(col("vec_id"), col("cid"),
           aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
             lit(0.0), (acc, x) => acc + x).as("dist"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("dist"), col("cid"))
-      val a1 = d0.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-        .select(col("vec_id"), col("cid"))
+      // argmin as min-of-(dist, cid) struct: ONE partial+final hash agg
+      // per assignment instead of a window sort; lexicographic struct
+      // comparison tie-breaks on cid identically in both engines
+      def argmin(df: DataFrame): DataFrame = df.groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val a1 = argmin(d0)
       val pts = e.join(a1, "vec_id")
         .select(col("cid"), posexplode(col("v"))).toDF("cid", "idx", "x")
       val upd = pts.groupBy("cid", "idx")
@@ -233,7 +236,7 @@ object PipelineQueries {
         .groupBy(col("vec_id"), col("cid"))
         .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
           .cast("decimal(27,12)")).cast("double").as("dist"))
-      val a2 = d1.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      val a2 = argmin(d1)
       a2.groupBy("cid")
         .agg(count(lit(1)).as("sz"), min(col("vec_id")).as("min_vec"))
         .orderBy("cid")
@@ -381,7 +384,7 @@ object PipelineQueries {
     "q_events_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id), j AS (SELECT ev.user_id, f.d0, date_diff('day', f.d0, ev.day) AS age FROM ev JOIN f ON ev.user_id = f.user_id) SELECT strftime(d0, '%Y-%m-%d') AS cohort, count(DISTINCT user_id)::BIGINT AS n_users, count(DISTINCT CASE WHEN age = 1 THEN user_id END)::BIGINT AS d1, count(DISTINCT CASE WHEN age = 7 THEN user_id END)::BIGINT AS d7 FROM j GROUP BY d0 ORDER BY cohort""",
     "q_embed_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), d0 AS (SELECT e.vec_id, c0.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))")} AS dist FROM e CROSS JOIN c0), a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d0) WHERE rk = 1), pts AS (SELECT a1.cid, t.i AS idx, e.v[t.i + 1] AS x FROM e JOIN a1 USING (vec_id) CROSS JOIN range(64) t(i)), upd AS (SELECT cid, idx, sum(x::DECIMAL(18,6))::DOUBLE / count(*) AS c FROM pts GROUP BY cid, idx), p2 AS (SELECT e.vec_id, t.i AS idx, e.v[t.i + 1] AS x FROM e CROSS JOIN range(64) t(i)), d1 AS (SELECT p2.vec_id, upd.cid, sum(((p2.x - upd.c) * (p2.x - upd.c))::DECIMAL(27,12))::DOUBLE AS dist FROM p2 JOIN upd USING (idx) GROUP BY p2.vec_id, upd.cid), a2 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM d1) WHERE rk = 1) SELECT cid, count(*)::BIGINT AS sz, min(vec_id)::BIGINT AS min_vec FROM a2 GROUP BY cid ORDER BY cid""",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), d0 AS (SELECT e.vec_id, c0.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))")} AS dist FROM e CROSS JOIN c0), a1 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d0 GROUP BY vec_id), pts AS (SELECT a1.cid, t.i AS idx, e.v[t.i + 1] AS x FROM e JOIN a1 USING (vec_id) CROSS JOIN range(64) t(i)), upd AS (SELECT cid, idx, sum(x::DECIMAL(18,6))::DOUBLE / count(*) AS c FROM pts GROUP BY cid, idx), p2 AS (SELECT e.vec_id, t.i AS idx, e.v[t.i + 1] AS x FROM e CROSS JOIN range(64) t(i)), d1 AS (SELECT p2.vec_id, upd.cid, sum(((p2.x - upd.c) * (p2.x - upd.c))::DECIMAL(27,12))::DOUBLE AS dist FROM p2 JOIN upd USING (idx) GROUP BY p2.vec_id, upd.cid), a2 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d1 GROUP BY vec_id) SELECT cid, count(*)::BIGINT AS sz, min(vec_id)::BIGINT AS min_vec FROM a2 GROUP BY cid ORDER BY cid""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS nbytes, (octet_length(encode(text)) % 64 + 1)::INT AS w, (octet_length(encode(text)) // 64 % 64 + 1)::INT AS h, ascii(substr(text, 1, 1))::INT AS b0 FROM documents ORDER BY doc_id""")
 }
