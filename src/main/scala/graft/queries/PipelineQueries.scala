@@ -10,9 +10,10 @@ import Tables.t
 
 /** Training-data pipeline operators over the `documents` and
   * `embeddings` fixtures: deduplication (exact, MinHash+LSH, SimHash,
-  * n-gram Jaccard), similarity search (brute-force cosine top-k and an
-  * IVF-bucketed scale path), and text analysis (tokens, quality,
-  * language-ID, fingerprints).
+  * n-gram Jaccard, LSH+edit-distance, transitive-closure clusters),
+  * similarity search (brute-force cosine top-k, an IVF-bucketed scale
+  * path, Lloyd k-means centroid training), and text analysis (tokens,
+  * quality, language-ID, fingerprints, bigrams, splits).
   *
   * Everything is built from hash/string/arithmetic primitives that are
   * bit-identical across engines (md5, explicit left folds, integer
