@@ -330,8 +330,13 @@ object Traversals {
     * a long-chain 100 TB graph. Output `(vertex, component)`,
     * component = min vertex id; edges treated as undirected. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 10000): DataFrame = {
+    // explode-mirror: both directions from ONE pass over the (possibly
+    // derived) edge source, vs union(e, e.reversed) executing it twice
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .union(edges.select(col("dst").cast("long"), col("src").cast("long"))).distinct()
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // reused every round
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("component", col("vertex")).localCheckpoint(eager = true)
