@@ -131,6 +131,30 @@ object RelationalQueries {
           (round((col("sdt") - col("sd") * col("st") / col("n")) / (col("n") - lit(1.0)), 6) + lit(0.0)).as("cov_dt"))
         .orderBy("l_returnflag")
     }),
+    "q_agg_moments" -> ((s, d) => {
+      // population skewness / excess kurtosis from exact decimal power
+      // sums (same determinism pattern as q_agg_corr: engine-builtin
+      // moment aggregates differ in low bits across engines; decimal
+      // sums are order-free, the closed form is identical double
+      // arithmetic both sides). AggSpec pins it to Spark's builtins.
+      val l = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("q"))
+      val g = l.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("q")), 2).cast("double").as("s1"),
+        round(sum(col("q") * col("q")), 2).cast("double").as("s2"),
+        round(sum(col("q") * col("q") * col("q")), 2).cast("double").as("s3"),
+        round(sum(col("q") * col("q") * col("q") * col("q")), 0).cast("double").as("s4"))
+      val m1 = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - m1 * m1
+      val m3 = col("s3") / col("n") - lit(3.0) * m1 * (col("s2") / col("n")) + lit(2.0) * m1 * m1 * m1
+      val m4 = col("s4") / col("n") - lit(4.0) * m1 * (col("s3") / col("n")) +
+        lit(6.0) * m1 * m1 * (col("s2") / col("n")) - lit(3.0) * m1 * m1 * m1 * m1
+      g.select(col("l_returnflag"),
+          (round(m3 / sqrt(m2 * m2 * m2), 6) + lit(0.0)).as("skew"),
+          (round(m4 / (m2 * m2) - lit(3.0), 6) + lit(0.0)).as("kurt"))
+        .orderBy("l_returnflag")
+    }),
     "q_agg_having" -> ((s, d) => {
       t(s, d, "orders").groupBy("o_custkey")
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("spend"))
@@ -876,6 +900,8 @@ object RelationalQueries {
       """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand, substr(p_name,1,5) AS pfx, length(p_name)::INT AS len, coalesce(regexp_extract(p_name, '([0-9]+)', 1), '') AS num, concat_ws('-', p_brand, p_type) AS cat, lpad(p_partkey::VARCHAR, 8, '0') AS padded FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey""",
     "q_histogram" ->
       """SELECT CASE WHEN c_acctbal < -1000.0 THEN 0 WHEN c_acctbal >= 10000.0 THEN 12 ELSE floor((c_acctbal - (-1000.0)) / ((10000.0 - (-1000.0)) / 11)) + 1 END::BIGINT AS bucket, count(*)::BIGINT AS cnt FROM customer GROUP BY 1 ORDER BY bucket""",
+    "q_agg_moments" ->
+      """WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS n, round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s1, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s2, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s3, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 0)::DOUBLE AS s4 FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n)) / sqrt((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))), 6) + 0.0 AS skew, round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n) - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) + 0.0 AS kurt FROM g ORDER BY l_returnflag""",
     "q_agg_corr" ->
       """WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS n, round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sx, round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sy, round(sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sxy, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sxx, round(sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)), 0)::DOUBLE AS syy, round(sum(l_discount::DECIMAL(18,2)), 2)::DOUBLE AS sd, round(sum(l_tax::DECIMAL(18,2)), 2)::DOUBLE AS st, round(sum(l_discount::DECIMAL(18,2) * l_tax::DECIMAL(18,2)), 4)::DOUBLE AS sdt FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS corr_qp, round((sdt - sd * st / n) / (n - 1.0), 6) + 0.0 AS cov_dt FROM g ORDER BY l_returnflag""",
     "q_scalar_more" ->

@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
   * agree with Spark's builtin estimators to float precision. */
 class AggSpec extends SparkSpec {
 
+  test("q_agg_moments closed form matches builtin skewness/kurtosis at output resolution") {
+    val dir = TestSpark.sfDir
+    val closed = SparkEntry.queries("q_agg_moments")(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val builtin = spark.read.parquet(s"$dir/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(skewness(col("l_quantity")).as("s"), kurtosis(col("l_quantity")).as("k"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(closed.keySet === builtin.keySet)
+    closed.foreach { case (g, (sk, ku)) =>
+      assert(math.abs(sk - builtin(g)._1) <= 5e-6 + 1e-7, s"skew($g)")
+      assert(math.abs(ku - builtin(g)._2) <= 5e-6 + 1e-7, s"kurt($g)")
+    }
+  }
+
   test("q_agg_corr closed form matches builtin corr/covar_samp within 1e-9") {
     val dir = TestSpark.sfDir
     val closed = SparkEntry.queries("q_agg_corr")(spark, dir)
