@@ -70,8 +70,14 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // any failure ⇒ total is null: a partial sum is SMALLER than a clean
+    // run's, so emitting it would make a failing round look like a speedup
+    // to anyone comparing totals across rounds
+    val anyFailed = results.exists(_._2 < 0)
+    val total =
+      if (anyFailed) "null"
+      else fmt(results.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

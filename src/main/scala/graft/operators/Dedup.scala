@@ -19,10 +19,14 @@ import graft.functions.TextFunctions._
   * unbucketed O(n²) comparison — so the shuffle keys are band hashes
   * whose bucket sizes stay small, which survives a 100 TB corpus.
   *
-  * The pair generators `cache()` their signature/shingle tables (read
-  * 3× within one returned plan); the cache lives until session GC or
-  * eviction — long-lived sessions running many dedup passes should
-  * `spark.catalog.clearCache()` between corpora.
+  * The pair generators pin their signature/shingle tables (read
+  * 3× within one returned plan) with an eager `localCheckpoint`
+  * rather than `cache()`: checkpoint blocks are dropped by the
+  * ContextCleaner once the plan becomes unreachable, whereas
+  * per-invocation `cache()` entries live in the CacheManager forever
+  * (round-2 bench logs showed the resulting "Asked to cache already
+  * cached data" pile-up across gate runs). A self-join MUST pin one
+  * side or the whole upstream executes once per side.
   */
 object Dedup {
 
@@ -79,7 +83,7 @@ object Dedup {
       s"bands ($bands) must divide k ($k); otherwise band keys degenerate " +
         "and candidate generation becomes an O(n^2) cross join")
     val rowsPerBand = k / bands
-    val sig = sigOpt.getOrElse(minhashSignatures(docs, k).cache())
+    val sig = sigOpt.getOrElse(minhashSignatures(docs, k).localCheckpoint(true))
     val bandDf = sig.select(col("doc_id"), posexplode(
         array((0 until bands).map(b =>
           concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
@@ -96,7 +100,7 @@ object Dedup {
     * est >= minEst. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                    minEst: Double = 0.25): DataFrame = {
-    val sig = minhashSignatures(docs, k).cache()
+    val sig = minhashSignatures(docs, k).localCheckpoint(true)
     val pairs = minhashBandCandidates(docs, k, bands, Some(sig))
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
@@ -136,13 +140,13 @@ object Dedup {
     * for jac >= minJac. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
                         minJac: Double = 0.15): DataFrame = {
-    // cache: the self-join below reads gs twice — uncached, the whole
+    // pin: the self-join below reads gs twice — unpinned, the whole
     // shingle explode + set aggregation would execute once per side
     val gs = shingleRows(docs, shingleN).distinct()
       .groupBy("doc_id").agg(collect_list(col("g")).as("gs"))
       .join(docs.select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / 100).as("band")), "doc_id")
-      .cache()
+      .localCheckpoint(true)
     val a = gs.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
       col("band"), col("gs").as("ga"))
     val b = gs.select(col("doc_id").as("doc_b"), col("lang"), col("source"),

@@ -24,6 +24,37 @@ import Tables.t
   */
 object RelationalQueries {
 
+  /** Order-independent exact revenue aggregate. l_extendedprice and
+    * l_discount are 2-decimal values, so each product is exactly a
+    * 4-decimal number; casting the double product to decimal(18,4)
+    * recovers that exact value in BOTH engines (the double is within
+    * ~1e-10 of the 4dp grid point, so nearest-rounding is unambiguous
+    * regardless of tie mode), the decimal sum is order-independent,
+    * and the final double conversion is the same correctly-rounded
+    * IEEE value. A raw double sum is order-dependent and round(_, 2)
+    * can land on a half-cent tie — q_tpch_q10 hash-mismatched in
+    * round 2 exactly this way. DuckDB twin:
+    * `sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE`. */
+  private def revenueSum: org.apache.spark.sql.Column =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(18,4)")).cast("double")
+
+  /** Runs `f` against a fresh temp dir, pins the (small, aggregated)
+    * result with an eager `localCheckpoint`, then deletes the dir —
+    * the source-roundtrip gate queries write full table copies, and
+    * without this every Verify/Bench invocation leaked one copy into
+    * /tmp for the life of the machine. The checkpoint severs the plan
+    * from the deleted files, so the returned DataFrame stays valid. */
+  private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    try f(dir.toString).localCheckpoint(true)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- scan / projection / filter --------------------------------------
     "q_filter_project" -> ((s, d) => {
@@ -57,7 +88,7 @@ object RelationalQueries {
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          revenueSum.as("sum_disc"),
           round(avg(col("l_quantity")), 2).as("avg_qty"),
           count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
@@ -197,7 +228,7 @@ object RelationalQueries {
       val o = t(s, d, "orders")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .groupBy("o_orderpriority")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(revenueSum.as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("o_orderpriority")
     }),
@@ -232,7 +263,7 @@ object RelationalQueries {
       li.join(o, li("l_orderkey") === o("o_orderkey"))
         .join(broadcast(cust), o("o_custkey") === cust("c_custkey"))
         .groupBy(li("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(revenueSum.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -252,7 +283,7 @@ object RelationalQueries {
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy("n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(revenueSum.as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
     // -- windows ----------------------------------------------------------
@@ -609,41 +640,44 @@ object RelationalQueries {
       // csv scan; the oracle reads the original parquet — so the csv
       // writer/parser must preserve every value exactly
       val cust = t(s, d, "customer")
-      val dir = java.nio.file.Files.createTempDirectory("graft-q-csv").toString
-      cust.write.mode("overwrite").option("header", "true").csv(dir)
-      s.read.option("header", "true").schema(cust.schema).csv(dir)
-        .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("bal"),
-          min(col("c_name")).as("first_name"))
-        .orderBy("c_mktsegment")
+      withTempDir("graft-q-csv") { dir =>
+        cust.write.mode("overwrite").option("header", "true").csv(dir)
+        s.read.option("header", "true").schema(cust.schema).csv(dir)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("bal"),
+            min(col("c_name")).as("first_name"))
+          .orderBy("c_mktsegment")
+      }
     }),
     "q_source_partitioned" -> ((s, d) => {
       // hive-style partitioned layout INSIDE the gate: orders written
       // partitionBy(year), then one partition read back — the filter
       // prunes directories (PartitionFilters, zero data files touched
       // outside 1997); the oracle filters the original table
-      val dir = java.nio.file.Files.createTempDirectory("graft-q-part").toString
-      t(s, d, "orders")
-        .withColumn("o_year", year(col("o_orderdate")))
-        .write.mode("overwrite").partitionBy("o_year").parquet(dir)
-      s.read.parquet(dir)
-        .where(col("o_year") === 1997)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
-        .orderBy("o_orderpriority")
+      withTempDir("graft-q-part") { dir =>
+        t(s, d, "orders")
+          .withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(dir)
+        s.read.parquet(dir)
+          .where(col("o_year") === 1997)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("cnt"), round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("o_orderpriority")
+      }
     }),
     "q_source_orc" -> ((s, d) => {
       // orc source inside the gate (same contract as q_source_csv):
       // part is round-tripped through ORC and aggregated from the ORC
       // scan; the oracle reads the original parquet
       val part = t(s, d, "part")
-      val dir = java.nio.file.Files.createTempDirectory("graft-q-orc").toString
-      part.write.mode("overwrite").orc(dir)
-      s.read.orc(dir)
-        .groupBy("p_brand")
-        .agg(count(lit(1)).as("cnt"), sum(col("p_size")).as("total_size"),
-          min(col("p_name")).as("first_name"))
-        .orderBy("p_brand")
+      withTempDir("graft-q-orc") { dir =>
+        part.write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("cnt"), sum(col("p_size")).as("total_size"),
+            min(col("p_name")).as("first_name"))
+          .orderBy("p_brand")
+      }
     }),
     "q_join_skew" -> ((s, d) => {
       // salted skew join in the gate: a deliberately hot modulo key is
@@ -780,7 +814,7 @@ object RelationalQueries {
         .join(li, o("o_orderkey") === li("l_orderkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(revenueSum.as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -855,7 +889,7 @@ object RelationalQueries {
     "q_udaf_weighted" ->
       """SELECT l_returnflag, round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 2) AS wavg_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_groupby" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base, round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc, round(avg(l_quantity),2) AS avg_qty, count(*)::BIGINT AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS sum_disc, round(avg(l_quantity),2) AS avg_qty, count(*)::BIGINT AS cnt FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey)::BIGINT AS nparts, count(DISTINCT l_suppkey)::BIGINT AS nsupps, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_rollup" ->
@@ -873,7 +907,7 @@ object RelationalQueries {
     "q_join_broadcast" ->
       """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(c_acctbal),2) AS bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' GROUP BY n_name ORDER BY n_name""",
     "q_join_sortmerge" ->
-      """SELECT o_orderpriority, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      """SELECT o_orderpriority, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_semi" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_join_anti" ->
@@ -881,9 +915,9 @@ object RelationalQueries {
     "q_join_outer" ->
       """WITH per_order AS (SELECT o_orderkey, count(l_orderkey)::BIGINT AS nlines FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderkey) SELECT nlines, count(*)::BIGINT AS norders FROM per_order GROUP BY nlines ORDER BY nlines""",
     "q_tpch_q3" ->
-      """SELECT l_orderkey, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+      """SELECT l_orderkey, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10""",
     "q_tpch_q5" ->
-      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""",
+      """SELECT n_name, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY n_name ORDER BY revenue DESC, n_name""",
     "q_window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price, rn FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)::INT AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_window_running" ->
@@ -967,7 +1001,7 @@ object RelationalQueries {
     "q_tpch_q18" ->
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150) SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price, sum_qty FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY price DESC, o_orderkey LIMIT 100""",
     "q_tpch_q10" ->
-      """SELECT c_custkey, c_name, c_acctbal, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
+      """SELECT c_custkey, c_name, c_acctbal, n_name, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
     "q_stream_sessionize" ->

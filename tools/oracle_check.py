@@ -25,10 +25,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 def close(a, b):
+    # EXACT compare: the driver hashes values, so a 1-ulp float gap is a
+    # fail there — a tolerance here hid q_tpch_q10's mismatch in round 2.
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return abs(a - b) <= 1e-6 * max(1.0, abs(a), abs(b))
+        return a == b
     return a == b
 
 def main():
