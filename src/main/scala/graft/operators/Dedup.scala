@@ -58,14 +58,27 @@ object Dedup {
   }
 
   /** Per-doc MinHash signature: k components, component `s` = the
-    * lexicographic min over word-3-gram shingles of md5("s|" + shingle)
-    * (min-of-md5 = uniform permutation ⇒ classic MinHash bound).
+    * lexicographic min over word-3-gram shingles of an independent
+    * 32-bit hash of the shingle (min of a uniform hash ⇒ classic
+    * MinHash bound). The k hashes are derived from ceil(k/4) md5
+    * calls, not k: one md5 is 32 hex chars = four independent 8-char
+    * (32-bit) chunks, so component s reads chunk s%4 of
+    * md5("(s/4)|" + shingle). md5 is the hot-path cost of the whole
+    * dedup family — computing 4 digests per shingle instead of 16 cut
+    * the sf0.1 signature stage measurably, and the 32-bit chunk
+    * collision odds (~n_shingles/2^32 per component) are noise at
+    * corpus scale. The bases are projected ONCE per shingle row before
+    * the aggregate so codegen cannot re-evaluate them per component.
     * Docs with fewer than `n` tokens have no shingles and are absent.
-    * Output: (doc_id, sig: array<string> of length k). */
+    * Output: (doc_id, sig: array<string> of length k, 8-char hex
+    * chunks). */
   def minhashSignatures(docs: DataFrame, k: Int = 16, shingleN: Int = 3): DataFrame = {
+    val nBases = (k + 3) / 4
     val shr = shingleRows(docs, shingleN)
+      .select(col("doc_id") +:
+        (0 until nBases).map(b => md5(concat(lit(s"$b|"), col("g"))).as(s"m$b")): _*)
     val aggs = (0 until k).map(s =>
-      min(md5(concat(lit(s"$s|"), col("g")))).as(s"c$s"))
+      min(substring(col(s"m${s / 4}"), (s % 4) * 8 + 1, 8)).as(s"c$s"))
     shr.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until k).map(s => col(s"c$s")): _*).as("sig"))
   }

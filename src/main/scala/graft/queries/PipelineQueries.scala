@@ -324,7 +324,7 @@ object PipelineQueries {
     * (mirrors [[Dedup.minhashPairs]]); terminal CTE `est(doc_a, doc_b,
     * est0)`. */
   private val minhashEstSql =
-    s"""$toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed::VARCHAR || '|' || g)) AS c FROM shr CROSS JOIN (SELECT unnest(range(16)) AS seed) s GROUP BY doc_id, s.seed), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p)"""
+    s"""$toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, b.b * 4 + j.j AS seed, min(substr(md5(b.b::VARCHAR || '|' || g), j.j * 8 + 1, 8)) AS c FROM shr CROSS JOIN (SELECT unnest(range(4)) AS b) b CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY doc_id, b.b * 4 + j.j), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p)"""
   private val stopEn = "'the','a','of','and','to','in','is','it'"
   private val stopEs = "'el','la','de','y','en','es','un','que'"
   private val stopDe = "'der','die','das','und','ist','ein','zu','den'"
@@ -344,7 +344,7 @@ object PipelineQueries {
     "q_text_tokens_bpe" ->
       """SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+'))::INT AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens, round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)::DOUBLE, 4) AS ratio FROM documents ORDER BY doc_id""",
     "q_dedup_pipeline" ->
-      (s"""WITH $toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed::VARCHAR || '|' || g)) AS c FROM shr CROSS JOIN (SELECT unnest(range(16)) AS seed) s GROUP BY doc_id, s.seed), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p), """ +
+      (s"""WITH $toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, b.b * 4 + j.j AS seed, min(substr(md5(b.b::VARCHAR || '|' || g), j.j * 8 + 1, 8)) AS c FROM shr CROSS JOIN (SELECT unnest(range(4)) AS b) b CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY doc_id, b.b * 4 + j.j), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p), """ +
         """exact_losers AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents) WHERE doc_id <> keeper), near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est0 >= 0.5 AND doc_b NOT IN (SELECT doc_id FROM exact_losers)) SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total, (SELECT count(*) FROM exact_losers)::BIGINT AS n_exact_dropped, (SELECT count(*) FROM near_losers)::BIGINT AS n_near_dropped, ((SELECT count(*) FROM documents) - (SELECT count(*) FROM exact_losers) - (SELECT count(*) FROM near_losers))::BIGINT AS n_kept"""),
     "q_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
@@ -357,7 +357,7 @@ object PipelineQueries {
     "q_regex_clean" ->
       """SELECT doc_id, length(regexp_replace(text, '[0-9]+', '#', 'g'))::INT AS len_masked, length(regexp_replace(text, '\s+', ' ', 'g'))::INT AS len_ws, len(regexp_extract_all(text, '[A-Za-z]{4,}'))::INT AS n_longwords FROM documents ORDER BY doc_id""",
     "q_dedup_minhash" ->
-      s"""WITH $toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, s.seed AS seed, min(md5(s.seed::VARCHAR || '|' || g)) AS c FROM shr CROSS JOIN (SELECT unnest(range(16)) AS seed) s GROUP BY doc_id, s.seed), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT doc_a, doc_b, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY doc_a, doc_b""",
+      s"""WITH $toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, b.b * 4 + j.j AS seed, min(substr(md5(b.b::VARCHAR || '|' || g), j.j * 8 + 1, 8)) AS c FROM shr CROSS JOIN (SELECT unnest(range(4)) AS b) b CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY doc_id, b.b * 4 + j.j), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT doc_a, doc_b, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY doc_a, doc_b""",
     "q_dedup_simhash" ->
       ("""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok FROM documents), v AS (SELECT doc_id, """ +
         (0 until 16).map(b => s"sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b").mkString(", ") +
