@@ -45,7 +45,15 @@ object Bench {
     // runs for hours. Warming on the sf0.001 sibling compiles the same
     // generated code against negligible data, so the timed runs below
     // measure data-proportional work. Timed runs still include planning.
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+    // sf0.01 preferred: the sf0.001 graphs/corpora are so small that the
+    // iterative operators (GraphX supersteps, dedup signature loops) never
+    // execute their hot loops enough times to reach C2-compiled steady
+    // state — graph queries still measured ~2x steady-state after an
+    // sf0.001-only warmup.
+    val warmDir = Seq("sf0.01", "sf0.001")
+      .map(n => new java.io.File(new java.io.File(sfDir).getParentFile, n))
+      .find(f => f.isDirectory && f.toString != sfDir)
+      .getOrElse(new java.io.File("/nonexistent"))
     if (warmDir.isDirectory) {
       val wd = warmDir.toString
       headline.filter(SparkEntry.queries.contains).foreach { name =>

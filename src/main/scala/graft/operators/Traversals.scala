@@ -329,7 +329,8 @@ object Traversals {
     * O(diameter). That's the difference between ~40 and ~6 shuffles on
     * a long-chain 100 TB graph. Output `(vertex, component)`,
     * component = min vertex id; edges treated as undirected. */
-  def connectedComponents(edges: DataFrame, maxIters: Int = 10000): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIters: Int = 10000,
+                          jumps: Int = 2): DataFrame = {
     // explode-mirror: both directions from ONE pass over the (possibly
     // derived) edge source, vs union(e, e.reversed) executing it twice
     val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
@@ -361,10 +362,11 @@ object Traversals {
       val stepped = labels.join(better, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           least(col("component"), coalesce(col("nbrMin"), col("component"))).as("component"))
-      // (2) pointer jumps: component := component(component), twice —
-      // label chains compress ~4x per round, so rounds ≈ log4(diameter)
+      // (2) pointer jumps: component := component(component), `jumps`
+      // times — label chains compress ~2^jumps x per round, so rounds
+      // ≈ log_{2^jumps}(diameter)
       var jumped = stepped
-      (1 to 2).foreach { _ =>
+      (1 to jumps).foreach { _ =>
         val ptr = jumped.select(col("vertex").as("cv"), col("component").as("cc"))
         jumped = jumped.join(ptr, jumped("component") === ptr("cv"), "left_outer")
           .select(jumped("vertex"),

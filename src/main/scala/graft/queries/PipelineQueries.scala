@@ -209,8 +209,9 @@ object PipelineQueries {
       // needs. Determinism strategy: initial distances are ordered
       // zip_with folds (bit-identical to DuckDB list_reduce); centroid
       // updates sum 6dp-decimal-cast components (exact, order-free);
-      // re-assignment distances decimal-sum the per-term squares. Every
-      // accumulation is order-independent, so the argmins match
+      // re-assignment re-assembles the centroids into arrays and
+      // scores with the same ordered fold as d0. Every accumulation is
+      // order-independent or order-fixed, so the argmins match
       // bit-for-bit. Scale: centroids broadcast; updates are one
       // partial+final hash agg keyed (cid, idx).
       val e = t(s, d, "embeddings")
@@ -232,11 +233,21 @@ object PipelineQueries {
         .select(col("cid"), posexplode(col("v"))).toDF("cid", "idx", "x")
       val upd = pts.groupBy("cid", "idx")
         .agg((sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("c"))
-      val p2 = e.select(col("vec_id"), posexplode(col("v"))).toDF("vec_id", "idx", "x")
-      val d1 = p2.join(upd, Seq("idx"))
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum(((col("x") - col("c")) * (col("x") - col("c")))
-          .cast("decimal(27,12)")).cast("double").as("dist"))
+      // re-assemble the 4 updated centroids into ARRAYS (tiny agg:
+      // 4 x 64 rows -> 4 rows) and score like d0: broadcast cross join
+      // + ordered zip_with fold (bit-identical to DuckDB's
+      // list_reduce, deterministic because the fold order is the
+      // element order). The previous form joined every exploded
+      // (vec_id, idx) point row with the centroid components — an
+      // n x 64 x k row shuffle through a decimal aggregation, ~1s of
+      // the bench at sf0.1 for no parity benefit.
+      val updArr = upd.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("idx"), col("c")))),
+          p => p.getField("c")).as("cv"))
+      val d1 = e.crossJoin(broadcast(updArr))
+        .select(col("vec_id"), col("cid"),
+          aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x).as("dist"))
       val a2 = argmin(d1)
       a2.groupBy("cid")
         .agg(count(lit(1)).as("sz"), min(col("vec_id")).as("min_vec"))
@@ -385,7 +396,7 @@ object PipelineQueries {
     "q_events_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id), j AS (SELECT ev.user_id, f.d0, date_diff('day', f.d0, ev.day) AS age FROM ev JOIN f ON ev.user_id = f.user_id) SELECT strftime(d0, '%Y-%m-%d') AS cohort, count(DISTINCT user_id)::BIGINT AS n_users, count(DISTINCT CASE WHEN age = 1 THEN user_id END)::BIGINT AS d1, count(DISTINCT CASE WHEN age = 7 THEN user_id END)::BIGINT AS d7 FROM j GROUP BY d0 ORDER BY cohort""",
     "q_embed_kmeans" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), d0 AS (SELECT e.vec_id, c0.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))")} AS dist FROM e CROSS JOIN c0), a1 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d0 GROUP BY vec_id), pts AS (SELECT a1.cid, t.i AS idx, e.v[t.i + 1] AS x FROM e JOIN a1 USING (vec_id) CROSS JOIN range(64) t(i)), upd AS (SELECT cid, idx, sum(x::DECIMAL(18,6))::DOUBLE / count(*) AS c FROM pts GROUP BY cid, idx), p2 AS (SELECT e.vec_id, t.i AS idx, e.v[t.i + 1] AS x FROM e CROSS JOIN range(64) t(i)), d1 AS (SELECT p2.vec_id, upd.cid, sum(((p2.x - upd.c) * (p2.x - upd.c))::DECIMAL(27,12))::DOUBLE AS dist FROM p2 JOIN upd USING (idx) GROUP BY p2.vec_id, upd.cid), a2 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d1 GROUP BY vec_id) SELECT cid, count(*)::BIGINT AS sz, min(vec_id)::BIGINT AS min_vec FROM a2 GROUP BY cid ORDER BY cid""",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), d0 AS (SELECT e.vec_id, c0.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))")} AS dist FROM e CROSS JOIN c0), a1 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d0 GROUP BY vec_id), pts AS (SELECT a1.cid, t.i AS idx, e.v[t.i + 1] AS x FROM e JOIN a1 USING (vec_id) CROSS JOIN range(64) t(i)), upd AS (SELECT cid, idx, sum(x::DECIMAL(18,6))::DOUBLE / count(*) AS c FROM pts GROUP BY cid, idx), u2 AS (SELECT cid, list(c ORDER BY idx) AS cv FROM upd GROUP BY cid), d1 AS (SELECT e.vec_id, u2.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - u2.cv[i]) * (e.v[i] - u2.cv[i]))")} AS dist FROM e CROSS JOIN u2), a2 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d1 GROUP BY vec_id) SELECT cid, count(*)::BIGINT AS sz, min(vec_id)::BIGINT AS min_vec FROM a2 GROUP BY cid ORDER BY cid""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS nbytes, (octet_length(encode(text)) % 64 + 1)::INT AS w, (octet_length(encode(text)) // 64 % 64 + 1)::INT AS h, ascii(substr(text, 1, 1))::INT AS b0 FROM documents ORDER BY doc_id""")
 }
