@@ -20,7 +20,9 @@ object Bench {
     "q_dedup_pipeline", "q_embed_topk", "q_embed_ivf",
     // round-2 operator families
     "q_tpch_q10", "q_events_funnel", "q_events_retention", "q_window_sliding",
-    "q_dedup_editdist", "q_embed_kmeans", "q_graph_kcore")
+    "q_dedup_editdist", "q_embed_kmeans", "q_graph_kcore",
+    // round-3 operator families
+    "q_tpch_q1", "q_tpch_q19")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

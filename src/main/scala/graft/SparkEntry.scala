@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries}
+import graft.queries.{GraphQueries, PipelineQueries, RelationalQueries, TpchQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,12 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphQueries.queries ++ PipelineQueries.queries
+    RelationalQueries.queries ++ GraphQueries.queries ++ PipelineQueries.queries ++
+      TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops
     * (q_graph_dfs_leaves: traversal-order-dependent — covered by the
     * G1–G7 golden suite instead). */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles
+    RelationalQueries.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles ++
+      TpchQueries.oracles
 }

@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables.t
+
+/** The TPC-H-shaped decision-support battery beyond q3/q5/q10/q18
+  * (which live in [[RelationalQueries]]): pricing summary (q1),
+  * priority/EXISTS counting (q4), forecast revenue (q6), bi-nation
+  * volume (q7), customer order-count distribution (q13), promo revenue
+  * share (q14), top supplier (q15), small-quantity average-yearly
+  * (q17), disjunctive-predicate revenue (q19) and dormant-customer
+  * balances (q22) — each adapted to the fixture schema (no
+  * partsupp/commitdate/receiptdate/shipmode/phone columns; deviations
+  * noted per query) and each with an exact DuckDB oracle.
+  *
+  * Determinism: every money aggregate sums decimal-cast terms
+  * (products of 2-decimal columns are exact at 4dp, three-way products
+  * at 6dp), so sums are order-independent and the final double
+  * conversion is the same correctly-rounded IEEE value in both
+  * engines; averages are exact-decimal sums divided as doubles.
+  *
+  * Scale notes: filters sit on the scans (parquet pushdown), nation /
+  * part-dimension sides are broadcast, aggregate-then-join keeps the
+  * heavy lineitem aggregations before any join fan-out, and the
+  * correlated q17 threshold is decorrelated into a per-part aggregate
+  * joined broadcast-free (both sides shuffle on l_partkey).
+  */
+object TpchQueries {
+
+  /** sum((l_extendedprice * (1 - l_discount))::decimal(18,4)) as
+    * double — see [[RelationalQueries]] for the parity rationale. */
+  private def revSum(term: Column): Column =
+    sum(term.cast("decimal(18,4)")).cast("double")
+
+  private def decAvg(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tpch_q1" -> ((s, d) => {
+      // Full Q1 pricing summary: 8 aggregates off one scan, partial+
+      // final hash agg on 6 groups — the canonical map-side-combine
+      // showcase. sum_charge terms are 3-way products of 2-decimal
+      // columns = exact at 6dp.
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          decAvg(col("l_quantity")).as("avg_qty"),
+          decAvg(col("l_extendedprice")).as("avg_price"),
+          decAvg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q_tpch_q4" -> ((s, d) => {
+      // Q4 shape: order-priority counting gated on an EXISTS probe of
+      // lineitem (adapted: the fixture has no commit/receipt dates, so
+      // the probe is "has a returned line"). Plans as a left-semi join
+      // — the EXISTS never fans out the orders side.
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+      val li = t(s, d, "lineitem").where(col("l_returnflag") === "R")
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    "q_tpch_q6" -> ((s, d) => {
+      // Q6 forecast-revenue: pure scan-filter-agg, zero joins; the
+      // three predicates all push to parquet. One output row.
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(revSum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    }),
+    "q_tpch_q7" -> ((s, d) => {
+      // Q7 volume shipping between two nations, grouped by the
+      // (supplier nation, customer nation, ship year) triple; both
+      // nation dims and supplier broadcast.
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+          (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q_tpch_q13" -> ((s, d) => {
+      // Q13 customer order-count distribution: left join so zero-order
+      // customers land in the c_count=0 bucket (adapted filter: the
+      // fixture has no o_comment, so non-urgent orders stand in for
+      // the "not special requests" predicate).
+      val o = t(s, d, "orders").where(col("o_orderpriority") =!= "1-URGENT")
+      t(s, d, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    "q_tpch_q14" -> ((s, d) => {
+      // Q14 promo revenue share for one month: conditional decimal sum
+      // over the part join; part side broadcast. One output row; the
+      // final ratio is a single double division of exact sums.
+      val li = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      val term = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      li.join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type").startsWith("PROMO"), term).otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("double") /
+          sum(term).cast("double")).as("promo_revenue"))
+    }),
+    "q_tpch_q15" -> ((s, d) => {
+      // Q15 top supplier: quarterly revenue per supplier, keep the
+      // max. Aggregate first, then one broadcast-joined scalar max —
+      // revenue values are exact decimals, so the max-equality filter
+      // is deterministic.
+      val rev = t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("mx"))
+      t(s, d, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(mx), col("total_revenue") === col("mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    "q_tpch_q17" -> ((s, d) => {
+      // Q17 small-quantity-order revenue: the correlated "below 20% of
+      // this part's average quantity" threshold is decorrelated into a
+      // per-part aggregate. The brand filter is applied FIRST via a
+      // broadcast of the brand's part keys, so both the threshold agg
+      // and the probe only read the brand's lines (~1/25 of lineitem)
+      // instead of aggregating every part. Threshold doubles come from
+      // exact decimal sums, so the comparison matches the
+      // correlated-subquery oracle bit-for-bit.
+      val brandParts = t(s, d, "part").where(col("p_brand") === "Brand#23")
+        .select(col("p_partkey"))
+      val liB = t(s, d, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val thr = liB.groupBy(col("l_partkey").as("t_partkey"))
+        .agg((lit(0.2) * (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)))).as("qty_thr"))
+      liB.join(thr, col("l_partkey") === col("t_partkey"))
+        .where(col("l_quantity") < col("qty_thr"))
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
+          .as("avg_yearly"))
+    }),
+    "q_tpch_q19" -> ((s, d) => {
+      // Q19 disjunctive-predicate revenue (adapted: p_size bands stand
+      // in for the missing p_container). The OR-of-ANDs sits on the
+      // joined result but the shared p/l bounds still push down.
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+        .where((col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    }),
+    "q_tpch_q22" -> ((s, d) => {
+      // Q22 dormant-customer balances (adapted: nationkey buckets stand
+      // in for phone country codes, and "no orders since 1999" stands
+      // in for "no orders ever" — every fixture customer has orders).
+      // The positive-balance average is a broadcast scalar; the NOT
+      // EXISTS plans as a left-anti join.
+      val cIn = t(s, d, "customer")
+        .where(col("c_nationkey").isin(1, 2, 3, 7, 10, 13, 17))
+      val avgBal = cIn.where(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+          count(lit(1))).as("avg_bal"))
+      val recent = t(s, d, "orders")
+        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      cIn.crossJoin(broadcast(avgBal))
+        .where(col("c_acctbal") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+        .orderBy("cntrycode")
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) AS sum_qty, round(sum(l_extendedprice),2) AS sum_base_price, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS sum_disc_price, sum((l_extendedprice*(1-l_discount)*(1+l_tax))::DECIMAL(18,6))::DOUBLE AS sum_charge, sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*) AS avg_qty, sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*) AS avg_price, sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*) AS avg_disc, count(*)::BIGINT AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count FROM orders WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00' AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_tpch_q6" ->
+      """SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate)::INT AS l_year, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_tpch_q13" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
+    "q_tpch_q14" ->
+      """SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN (l_extendedprice*(1-l_discount))::DECIMAL(18,4) ELSE 0::DECIMAL(18,4) END)::DOUBLE / sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""",
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS total_revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00' GROUP BY l_suppkey) SELECT s_suppkey, s_name, total_revenue FROM supplier JOIN rev ON s_suppkey = l_suppkey WHERE total_revenue = (SELECT max(total_revenue) FROM rev) ORDER BY s_suppkey""",
+    "q_tpch_q17" ->
+      """SELECT sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / 7.0 AS avg_yearly FROM lineitem JOIN part ON p_partkey = l_partkey WHERE p_brand = 'Brand#23' AND l_quantity < (SELECT 0.2 * (sum(l2.l_quantity::DECIMAL(18,2))::DOUBLE / count(*)) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""",
+    "q_tpch_q19" ->
+      """SELECT sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
+    "q_tpch_q22" ->
+      """WITH cin AS (SELECT * FROM customer WHERE c_nationkey IN (1,2,3,7,10,13,17)), ab AS (SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*) AS avg_bal FROM cin WHERE c_acctbal > 0) SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust, sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal FROM cin, ab WHERE c_acctbal > ab.avg_bal AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') GROUP BY c_nationkey ORDER BY cntrycode""")
+}
