@@ -75,6 +75,39 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("cid"))
   }
 
+  /** md5-derived ±1 hyperplane: component i of plane p is +1 iff the
+    * first hex digit of md5("p|i") is >= '8' — a fixed, reproducible
+    * pseudo-random sign matrix any engine with md5 can re-derive
+    * (the DuckDB oracle rebuilds it in SQL). */
+  def lshPlane(p: Int, dims: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dims).map { i =>
+      val h = md.digest(s"$p|$i".getBytes("UTF-8"))
+      // first hex digit >= '8' <=> top bit of the first byte set
+      if ((h(0) & 0x80) != 0) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane LSH (SimHash for embeddings): `planes` sign
+    * projections give a `planes`-bit bucket id; cosine-similar vectors
+    * collide with probability 1 - theta/pi per bit (Charikar '02).
+    * The scale path for cosine near-dup candidate generation: bucket
+    * ids are a deterministic narrow column, so candidate pairs come
+    * from an equi-join on bucket — never a cross join. Each dot
+    * product is an explicit left fold over the element order
+    * (bit-identical to DuckDB's list_reduce), so bucket ids are
+    * engine-exact. Input must carry (vec_id, v: array<double>).
+    * Output: (vec_id, bucket). */
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8, dims: Int = 64): DataFrame = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(col("v"), typedlit(lshPlane(p, dims)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embeddings.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
+  }
+
   /** IVF probe: top-k by cosine within the query's cell. */
   def ivfTopK(assigned: DataFrame, queryId: Long, k: Int): DataFrame = {
     val qcell = assigned.where(col("vec_id") === queryId)

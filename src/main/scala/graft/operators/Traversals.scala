@@ -379,4 +379,43 @@ object Traversals {
     sym.unpersist(blocking = false)
     labels
   }
+
+  /** Synchronous label propagation (community detection), `iters`
+    * fixed rounds for determinism: every vertex starts labelled with
+    * its own id, and each round adopts the most frequent label among
+    * its IN-neighbours over the mirrored edge set, ties broken by the
+    * SMALLEST label (classic LPA leaves tie-breaking to chance; the
+    * deterministic variant is what makes an exact cross-engine oracle
+    * possible — the DuckDB twin unrolls the same rounds). The
+    * per-round argmax is a max-of-(cnt, -label) struct hash aggregate
+    * — one partial+final agg, no window sort. Vertices with no
+    * neighbours cannot occur here (the mirrored edge set gives every
+    * endpoint a neighbour). Output: (vertex, label).
+    *
+    * Scale: each round is one shuffle join (labels × edges on src)
+    * plus two hash aggs keyed by vertex — all partial-aggregated;
+    * label tables are localCheckpointed per round so lineage stays
+    * O(1) regardless of `iters`. */
+  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+      .localCheckpoint(eager = true)
+    (1 to iters).foreach { _ =>
+      labels = sym.join(labels, sym("src") === labels("vertex"))
+        .groupBy(sym("dst").as("vertex"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("vertex")
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
+        .select(col("vertex"), (-col("m.nl")).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
 }

@@ -157,6 +157,14 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy("vertex")
     }),
+    "q_graph_lpa" -> ((s, d) => {
+      // Deterministic synchronous label propagation, 2 fixed rounds
+      // (most-frequent neighbour label, ties to the smallest) — the
+      // community-detection primitive; the oracle unrolls the same two
+      // rounds in SQL.
+      Traversals.labelPropagation(treeEdges(s, d), iters = 2)
+        .orderBy("vertex")
+    }),
     "q_graph_kcore" -> ((s, d) => {
       // 6-core of the (a+b)%4 pair graph: two peel rounds drop 6
       // vertices (oracle unrolls four peels — safely past fixpoint)
@@ -225,6 +233,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, we AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e), r AS (SELECT 0::BIGINT AS vertex, 0::BIGINT AS dist UNION SELECT we.dst, r.dist + we.w FROM r JOIN we ON we.src = r.vertex WHERE r.dist < 100) SELECT vertex, min(dist)::BIGINT AS dist FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_degree" ->
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
+    "q_graph_lpa" ->
+      s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",
     "q_graph_pagerank" -> {
       // ten unrolled iterations of the deterministic recurrence;
       // per-edge contributions decimal-cast before summing, mirroring

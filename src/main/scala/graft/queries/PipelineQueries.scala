@@ -286,6 +286,18 @@ object PipelineQueries {
       val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
       Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), q, 20)
     }),
+    "q_embed_lsh" -> ((s, d) => {
+      // random-hyperplane LSH bucketing (SimHash for embeddings):
+      // 8 md5-derived ±1 planes -> 8-bit bucket per vector; output the
+      // bucket histogram. The scale path for cosine near-dup candidate
+      // generation — candidates come from equi-joining on bucket.
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.Similarity.lshBuckets(e, planes = 8, dims = 64)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"), min(col("vec_id")).as("min_vec"))
+        .orderBy("bucket")
+    }),
     "q_embed_knn_join" -> ((s, d) => {
       // batch k-NN: every label-0 vector is a query against the corpus
       val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
@@ -385,6 +397,8 @@ object PipelineQueries {
       s"""WITH q AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS qv FROM embeddings WHERE vec_id = 0), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 0), sc AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 20""",
     "q_embed_knn_join" ->
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE label = 0), sc AS (SELECT q.qid, e.vec_id, round(${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})), 4) AS score FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), rk AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)::INT AS rk FROM sc) SELECT qid, vec_id, score, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""",
+    "q_embed_lsh" ->
+      s"""WITH s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(8) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), b AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id) SELECT bucket, count(*)::BIGINT AS cnt, min(vec_id)::BIGINT AS min_vec FROM b GROUP BY bucket ORDER BY bucket""",
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_explode_embed" ->

@@ -679,6 +679,87 @@ object RelationalQueries {
           .orderBy("p_brand")
       }
     }),
+    "q_source_jsonl" -> ((s, d) => {
+      // JSON-lines source inside the gate (same contract as
+      // q_source_csv): customer round-tripped through newline-
+      // delimited JSON with a declared read schema; the oracle reads
+      // the original parquet, so the JSON writer/parser must preserve
+      // every value exactly (doubles survive via shortest-roundtrip
+      // formatting).
+      val cust = t(s, d, "customer")
+      withTempDir("graft-q-jsonl") { dir =>
+        cust.write.mode("overwrite").json(dir)
+        s.read.schema(cust.schema).json(dir)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("bal"),
+            max(col("c_name")).as("last_name"))
+          .orderBy("c_mktsegment")
+      }
+    }),
+    "q_agg_mode" -> ((s, d) => {
+      // mode (most frequent value) as an explicit argmax: count per
+      // (group, value), then ONE max-of-(cnt, -value) struct hash agg
+      // — deterministic tie-break to the smallest value, no window
+      // sort, fully partial-aggregatable at scale
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("cnt"), (-col("l_quantity")).as("nq"))).as("m"))
+        .select(col("l_returnflag"), round(-col("m.nq"), 2).as("mode_qty"),
+          col("m.cnt").as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+    "q_agg_percentile" -> ((s, d) => {
+      // exact interpolated percentiles (p25/p50/p75) per group —
+      // Spark's percentile() and DuckDB's quantile_cont share the
+      // standard index = p*(n-1) linear-interpolation definition;
+      // rounded at 4dp to absorb the one-ulp interpolation-order gap
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")
+    }),
+    "q_window_nth" -> ((s, d) => {
+      // nth_value / first_value / last_value with explicit frames (the
+      // frame-sensitive window family): running 3rd order price, first
+      // price so far, and the partition-final price
+      val wRun = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .where(col("o_custkey") <= 200)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(nth_value(col("o_totalprice"), 3).over(wRun), 2).as("third_price"),
+          round(first(col("o_totalprice")).over(wRun), 2).as("first_price"),
+          round(last(col("o_totalprice")).over(wAll), 2).as("final_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+    "q_set_bag" -> ((s, d) => {
+      // bag-semantics set ops: INTERSECT ALL / EXCEPT ALL keep
+      // duplicate multiplicity (min / difference of per-row counts) —
+      // the multiset complement of q_set_ops' distinct-set trio
+      val a = t(s, d, "lineitem").where(col("l_quantity") < 10)
+        .select(col("l_suppkey"), col("l_returnflag"))
+      val b = t(s, d, "lineitem").where(col("l_extendedprice") < 2000)
+        .select(col("l_suppkey"), col("l_returnflag"))
+      val ia = a.intersectAll(b)
+        .groupBy("l_suppkey", "l_returnflag").agg(count(lit(1)).as("cnt"))
+        .withColumn("op", lit("intersect_all"))
+      val ea = a.exceptAll(b)
+        .groupBy("l_suppkey", "l_returnflag").agg(count(lit(1)).as("cnt"))
+        .withColumn("op", lit("except_all"))
+      ia.unionAll(ea)
+        .select(col("op"), col("l_suppkey"), col("l_returnflag"), col("cnt"))
+        .orderBy("op", "l_suppkey", "l_returnflag")
+    }),
     "q_join_skew" -> ((s, d) => {
       // salted skew join in the gate: a deliberately hot modulo key is
       // spread over 8 salts (deterministic hash salt, not rand()); the
@@ -978,6 +1059,16 @@ object RelationalQueries {
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_source_orc" ->
       """SELECT p_brand, count(*)::BIGINT AS cnt, sum(p_size)::BIGINT AS total_size, min(p_name) AS first_name FROM part GROUP BY p_brand ORDER BY p_brand""",
+    "q_source_jsonl" ->
+      """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(sum(c_acctbal), 2) AS bal, max(c_name) AS last_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, round(-((max({'c': cnt, 'nq': -l_quantity})).nq), 2) AS mode_qty, (max({'c': cnt, 'nq': -l_quantity})).c::BIGINT AS cnt FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, round(quantile_cont(l_extendedprice, 0.75), 4) AS p75, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_window_nth" ->
+      """SELECT o_custkey, o_orderkey, round(nth_value(o_totalprice, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS third_price, round(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price, round(last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS final_price FROM orders WHERE o_custkey <= 200 ORDER BY o_custkey, o_orderkey""",
+    "q_set_bag" ->
+      """WITH a AS (SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_quantity < 10), b AS (SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_extendedprice < 2000), ia AS (SELECT 'intersect_all' AS op, l_suppkey, l_returnflag, count(*)::BIGINT AS cnt FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2, 3), ea AS (SELECT 'except_all' AS op, l_suppkey, l_returnflag, count(*)::BIGINT AS cnt FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2, 3) SELECT op, l_suppkey, l_returnflag, cnt FROM (SELECT * FROM ia UNION ALL SELECT * FROM ea) ORDER BY op, l_suppkey, l_returnflag""",
     "q_source_csv" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(sum(c_acctbal), 2) AS bal, min(c_name) AS first_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_stream_enrich" ->

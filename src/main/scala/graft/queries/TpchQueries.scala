@@ -186,7 +186,7 @@ object TpchQueries {
     }),
     "q_tpch_q22" -> ((s, d) => {
       // Q22 dormant-customer balances (adapted: nationkey buckets stand
-      // in for phone country codes, and "no orders since 1999" stands
+      // in for phone country codes, and "no orders since 2001" stands
       // in for "no orders ever" — every fixture customer has orders).
       // The positive-balance average is a broadcast scalar; the NOT
       // EXISTS plans as a left-anti join.
@@ -196,7 +196,7 @@ object TpchQueries {
         .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
           count(lit(1))).as("avg_bal"))
       val recent = t(s, d, "orders")
-        .where(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+        .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
       cIn.crossJoin(broadcast(avgBal))
         .where(col("c_acctbal") > col("avg_bal"))
         .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
@@ -226,5 +226,5 @@ object TpchQueries {
     "q_tpch_q19" ->
       """SELECT sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""",
     "q_tpch_q22" ->
-      """WITH cin AS (SELECT * FROM customer WHERE c_nationkey IN (1,2,3,7,10,13,17)), ab AS (SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*) AS avg_bal FROM cin WHERE c_acctbal > 0) SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust, sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal FROM cin, ab WHERE c_acctbal > ab.avg_bal AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00') GROUP BY c_nationkey ORDER BY cntrycode""")
+      """WITH cin AS (SELECT * FROM customer WHERE c_nationkey IN (1,2,3,7,10,13,17)), ab AS (SELECT sum(c_acctbal::DECIMAL(18,2))::DOUBLE / count(*) AS avg_bal FROM cin WHERE c_acctbal > 0) SELECT c_nationkey::BIGINT AS cntrycode, count(*)::BIGINT AS numcust, sum(c_acctbal::DECIMAL(18,2))::DOUBLE AS totacctbal FROM cin, ab WHERE c_acctbal > ab.avg_bal AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00') GROUP BY c_nationkey ORDER BY cntrycode""")
 }

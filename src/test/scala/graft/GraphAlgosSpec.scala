@@ -45,4 +45,27 @@ class GraphAlgosSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vertex") -> (r.getAs[Long]("out_degree"), r.getAs[Long]("in_degree"))).toMap
     assert(d === Map(0L -> (2L, 0L), 1L -> (1L, 1L), 2L -> (0L, 2L)))
   }
+
+  test("labelPropagation: star adopts the hub-or-min label deterministically") {
+    // star 0-{1,2,3}: round 1 — leaves see only hub 0 -> label 0; hub
+    // sees {1,2,3}, all cnt 1, tie -> min = 1. round 2 — leaves see
+    // hub's label 1 -> 1; hub sees {0,0,0} -> 0.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("src", "dst")
+    val l1 = graft.operators.Traversals.labelPropagation(star, iters = 1).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
+    assert(l1 === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    val l2 = graft.operators.Traversals.labelPropagation(star, iters = 2).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
+    assert(l2 === Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("labelPropagation: two disjoint triangles converge to per-component labels") {
+    val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val l = graft.operators.Traversals.labelPropagation(twoTri, iters = 3).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
+    // labels never cross components
+    assert(Set(0L, 1L, 2L).map(l) subsetOf Set(0L, 1L, 2L))
+    assert(Set(10L, 11L, 12L).map(l) subsetOf Set(10L, 11L, 12L))
+  }
 }

@@ -39,4 +39,28 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head === 1L)            // nearest neighbor found in-cell
     assert(!top.contains(2L))          // orthogonal vector pruned (other cell)
   }
+
+  test("lshBuckets: scale-invariant, deterministic, bounded by plane count") {
+    val df = Seq(
+      (0L, Array(1.0, 2.0, -3.0)),
+      (1L, Array(2.0, 4.0, -6.0)),   // same direction as 0 -> same bucket
+      (2L, Array(1.0, 2.0, -3.0)),   // identical to 0
+      (3L, Array(-5.0, 0.5, 9.0))
+    ).toDF("vec_id", "v")
+    val b = Similarity.lshBuckets(df, planes = 8, dims = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b(0L) === b(1L) && b(0L) === b(2L))
+    assert(b.values.forall(v => v >= 0 && v < 256))
+    // determinism: a second run produces identical buckets
+    val b2 = Similarity.lshBuckets(df, planes = 8, dims = 3).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(b === b2)
+  }
+
+  test("lshPlane is a fixed ±1 md5-derived matrix") {
+    val p0 = Similarity.lshPlane(0, 64)
+    assert(p0.forall(x => x == 1.0 || x == -1.0))
+    assert(p0 === Similarity.lshPlane(0, 64))
+    assert(p0 !== Similarity.lshPlane(1, 64)) // planes are independent
+  }
 }
