@@ -773,6 +773,48 @@ object RelationalQueries {
         .groupBy("k", "n_name").agg(count(lit(1)).as("cnt"))
         .orderBy("k", "n_name")
     }),
+    "q_stream_join" -> ((s, d) => {
+      // stream-STREAM interval join executed as a stream in the gate:
+      // view events joined to the same user's click events arriving
+      // within 30 minutes — two independent file-stream readers over
+      // the same events directory, watermarked both sides so join
+      // state evicts by event time. Inner-join pairs emit without
+      // waiting on the watermark, so one processAllAvailable drains
+      // everything; the oracle is the equivalent batch interval join.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-join-stream")
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      if (java.nio.file.Files.isDirectory(src)) {
+        val it = java.nio.file.Files.list(src).iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, streamDir.resolve(f.getFileName.toString))
+        }
+      } else java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      val views = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val clicks = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+      val sink = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .intervalJoin(views, clicks, "user_id", "c_user", "vts", "cts")
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          (unix_timestamp(col("cts")) - unix_timestamp(col("vts"))).as("gap_s"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally {
+        q.stop()
+        val it = java.nio.file.Files.list(streamDir).iterator()
+        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
+        java.nio.file.Files.deleteIfExists(streamDir)
+      }
+      s.table(sink).groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"), min(col("gap_s")).as("min_gap_s"),
+          max(col("gap_s")).as("max_gap_s"))
+        .orderBy("user_id")
+    }),
     "q_stream_enrich" -> ((s, d) => {
       // third streaming-executed gate member: stream-static broadcast
       // enrichment (events joined to the nation dim per micro-batch),
@@ -1073,6 +1115,8 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(sum(c_acctbal), 2) AS bal, min(c_name) AS first_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_stream_enrich" ->
       """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(value), 2) AS val FROM events JOIN nation ON user_id % 25 = n_nationkey GROUP BY n_name ORDER BY n_name""",
+    "q_stream_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'), c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS cts FROM events WHERE event_type = 'click') SELECT v.user_id, count(*)::BIGINT AS n_pairs, min(floor(epoch(cts))::BIGINT - floor(epoch(vts))::BIGINT) AS min_gap_s, max(floor(epoch(cts))::BIGINT - floor(epoch(vts))::BIGINT) AS max_gap_s FROM v JOIN c ON v.user_id = c.c_user AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE GROUP BY v.user_id ORDER BY v.user_id""",
     "q_events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->

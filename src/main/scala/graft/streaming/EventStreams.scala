@@ -59,6 +59,24 @@ object EventStreams {
     events.withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-STREAM interval join: rows of `left` (carrying `lts`)
+    * matched to rows of `right` (carrying `rts`) on `key`, with
+    * `rts` in [lts, lts + gap]. Both sides are watermarked, so the
+    * join state store evicts a buffered left row once the right
+    * watermark passes lts + gap (and vice versa) — state size tracks
+    * the interval, not stream history, which is what makes the
+    * operator viable on an unbounded stream. Inner-join results emit
+    * as soon as both matching rows have arrived (no watermark wait).
+    * Input frames must already carry distinct column names. */
+  def intervalJoin(left: DataFrame, right: DataFrame, lkey: String,
+                   rkey: String, lts: String, rts: String,
+                   gap: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(lts, "2 hours")
+    val r = right.withWatermark(rts, "2 hours")
+    l.join(r, col(lkey) === col(rkey) &&
+      col(rts) >= col(lts) && col(rts) <= col(lts) + expr(s"INTERVAL $gap"))
+  }
+
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class SessionState(start: Long, last: Long, n: Long)

@@ -189,4 +189,39 @@ class StreamingSpec extends SparkSpec {
         s"user $u: streamed-closed $n vs batch ${batchSessions(u)}")
     }
   }
+
+  test("stream-stream interval join matches across batches; beyond-gap clicks don't pair") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-join-stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = 1700000000L * 1000000000L // raw nanos
+    def stage(tag: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, ns, u, tpe) => (id, ns, u, tpe, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+    // batch 1: one view for users 1 and 2
+    stage("b1", Seq((100L, base, 1L, "view"), (200L, base, 2L, "view")))
+    val views = EventStreams.eventsStream(spark, streamDir.toString + "/*")
+      .where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    val clicks = EventStreams.eventsStream(spark, streamDir.toString + "/*")
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val q = EventStreams.intervalJoin(views, clicks, "user_id", "c_user", "vts", "cts")
+      .select(col("view_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ivjoin").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ivjoin").count() === 0) // no clicks yet
+      // batch 2: user 1 clicks 10 min after the view (pairs — the
+      // buffered batch-1 view is still in join state); user 2 clicks
+      // 45 min after (beyond the 30-min gap: must NOT pair)
+      stage("b2", Seq((101L, base + 600L * 1000000000L, 1L, "click"),
+        (201L, base + 2700L * 1000000000L, 2L, "click")))
+      q.processAllAvailable()
+      val pairs = spark.table("ivjoin").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSet
+      assert(pairs === Set((100L, 101L)))
+    } finally q.stop()
+  }
 }
