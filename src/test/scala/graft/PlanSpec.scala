@@ -34,6 +34,17 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 2, "partial+final hash agg expected")
   }
 
+  test("rank-filter queries plan as WindowGroupLimit, not a full window sort") {
+    // Spark 3.5+'s WindowGroupLimit pushes a rank()<=k / row_number()<=k
+    // filter below the window, keeping only k rows per group on each
+    // map side BEFORE the shuffle — the difference between sorting
+    // every (doc, term) score at 100 TB and shuffling 3 rows per doc.
+    val tfidf = physical("q_text_tfidf")
+    assert(tfidf.contains("WindowGroupLimit"), tfidf.take(800))
+    val rank = physical("q_window_rank")
+    assert(rank.contains("WindowGroupLimit"), rank.take(800))
+  }
+
   test("q_embed_topk: native cosine_sim scores inside the top-k project") {
     val df = SparkEntry.queries("q_embed_topk")(spark, TestSpark.sfDir)
     val pre = df.queryExecution.executedPlan.toString

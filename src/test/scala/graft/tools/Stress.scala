@@ -80,6 +80,11 @@ object Stress {
       // (lang, length-band) bucket join measured 125 s here — bucket
       // sizes grow with the corpus, pairs quadratically; LSH candidate
       // counts track near-dup density instead.)
+      // NOTE on the absolute number: x10 replication makes every doc
+      // a 10-clone group, so each LSH bucket holds >=10 identical
+      // signatures and pair counts grow ~45x/doc — an artifact of the
+      // synthetic corpus, and exactly why the real pipeline
+      // (q_dedup_pipeline) drops EXACT dups before near-dup scoring.
       val cand = graft.operators.Dedup.minhashBandCandidates(docs10, k = 16, bands = 4)
       val ta = docs10.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       val tb = docs10.select(col("doc_id").as("doc_b"), col("text").as("tb"))
@@ -111,6 +116,17 @@ object Stress {
     }
     // k-core peeling at 4x bipartite scale (deg >= 2 drops pendant orders)
     time("kcore_x4", e4.count()) { Traversals.kcore(e4, 2).count() }
+    // round-3 families: hyperplane LSH over 10x embeddings (pure
+    // narrow map + hash agg — should scale linearly), label
+    // propagation over the 4x bipartite graph (2 rounds, join-bound)
+    time("lsh_x10", ne * 10) {
+      import graft.functions.VectorFunctions.toDouble
+      graft.operators.Similarity
+        .lshBuckets(emb10.select(col("vec_id"), toDouble(col("embedding")).as("v")))
+        .groupBy("bucket").agg(count(lit(1))).collect()
+    }
+    time("lpa_x1", eb.count()) { Traversals.labelPropagation(eb, 2).count() }
+    time("lpa_x4", e4.count()) { Traversals.labelPropagation(e4, 2).count() }
     spark.stop()
   }
 }
