@@ -339,8 +339,16 @@ object Traversals {
         struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
       .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK) // reused every round
-    var labels = sym.select(col("src").as("vertex")).distinct()
-      .withColumn("component", col("vertex")).localCheckpoint(eager = true)
+    // Fused first round: with identity labels, round 1's neighbour-min
+    // join degenerates to component := min(v, min of in-neighbours) —
+    // one hash aggregate over the edge table, no labels join. At scale
+    // the first round is the most expensive (every vertex active), so
+    // skipping its join is the cheapest round we'll ever save. The
+    // mirrored edge set guarantees every vertex appears as a dst.
+    var labels = sym.groupBy(col("dst").as("vertex"))
+      .agg(min(col("src")).as("nbrMin"))
+      .select(col("vertex"), least(col("vertex"), col("nbrMin")).as("component"))
+      .localCheckpoint(eager = true)
     // Labels only ever decrease, so sum(component) is a strictly
     // monotone convergence witness — one cheap scan instead of a
     // change-detection join per round. Summed as decimal(38,0): a Long
