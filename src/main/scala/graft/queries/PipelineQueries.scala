@@ -83,6 +83,44 @@ object PipelineQueries {
           greatest(col("ws_tokens"), lit(1)).cast("double"), 4))
         .orderBy("doc_id")
     }),
+    "q_text_chunks" -> ((s, d) => {
+      // fixed-size token chunking (50-token windows, the pre-training
+      // "split long documents" step): posexplode to token rows, chunk
+      // id by integer division, per-chunk text re-assembled in pos
+      // order and fingerprinted. Per-doc output: chunk count, token
+      // count, first-chunk content hash.
+      val tk = t(s, d, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+      tk.withColumn("chunk", floor(col("pos") / 50))
+        .groupBy("doc_id", "chunk")
+        .agg(count(lit(1)).as("n_toks"),
+          substring(md5(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              p => p.getField("tok")))), 1, 16).as("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("n_toks")).as("n_toks"),
+          max(when(col("chunk") === 0, col("h"))).as("h0"))
+        .orderBy("doc_id")
+    }),
+    "q_text_pack" -> ((s, d) => {
+      // sequence packing: fill 512-token bins per language in doc_id
+      // order — bin = floor(running-token-count-before / 512), the
+      // contiguous-fill variant that needs ONE window cumsum instead
+      // of a sequential first-fit loop (the scalable formulation; bins
+      // can overflow by at most one doc's tokens).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("tc"))
+        .withColumn("cum", coalesce(sum(col("tc")).over(w), lit(0)))
+        .withColumn("bin", floor(col("cum") / 512))
+        .groupBy("lang", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("tc")).cast("long").as("n_toks"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang", "bin")
+    }),
     "q_dedup_pipeline" -> ((s, d) => {
       // end-to-end dedup: drop exact-dup losers, then near-dup (MinHash
       // est >= 0.5) right-hand docs; emit corpus accounting
@@ -371,6 +409,10 @@ object PipelineQueries {
         """exact_losers AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents) WHERE doc_id <> keeper), near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est0 >= 0.5 AND doc_b NOT IN (SELECT doc_id FROM exact_losers)) SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total, (SELECT count(*) FROM exact_losers)::BIGINT AS n_exact_dropped, (SELECT count(*) FROM near_losers)::BIGINT AS n_near_dropped, ((SELECT count(*) FROM documents) - (SELECT count(*) FROM exact_losers) - (SELECT count(*) FROM near_losers))::BIGINT AS n_kept"""),
     "q_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
+    "q_text_chunks" ->
+      s"""WITH $toksSql, tr0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM toks), tr AS (SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok FROM tr0), ch AS (SELECT doc_id, pos // 50 AS chunk, count(*) AS n_toks, substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS h FROM tr GROUP BY 1, 2) SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(n_toks)::BIGINT AS n_toks, max(CASE WHEN chunk = 0 THEN h END) AS h0 FROM ch GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_pack" ->
+      s"""WITH $toksSql, tc AS (SELECT d.doc_id, d.lang, len(t.tk)::BIGINT AS tc FROM documents d JOIN toks t ON d.doc_id = t.doc_id), c AS (SELECT doc_id, lang, tc, coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tc) SELECT lang, (cum // 512)::BIGINT AS bin, count(*)::BIGINT AS n_docs, sum(tc)::BIGINT AS n_toks, min(doc_id)::BIGINT AS first_doc FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $minhashEstSql, p2 AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.5), e AS (SELECT doc_a AS src, doc_b AS dst FROM p2 UNION ALL SELECT doc_b, doc_a FROM p2), r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_doc FROM cmp GROUP BY component ORDER BY component""",
     "q_sample_split" ->
