@@ -83,6 +83,22 @@ object PipelineQueries {
           greatest(col("ws_tokens"), lit(1)).cast("double"), 4))
         .orderBy("doc_id")
     }),
+    "q_multimodal_hist" -> ((s, d) => {
+      // the INTEGER byte histogram underlying Multimodal's stub
+      // feature extractor (bin = byte div 32, 8 bins), oracled exactly
+      // — the float-normalised Dataset path divides in Float32 which
+      // no SQL engine mirrors, so the gate checks the counts and
+      // MultimodalSpec ties extractFeatures to them (counts/nbytes)
+      t(s, d, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "")))
+        .toDF("doc_id", "i", "c")
+        .select(col("doc_id"), floor(ascii(col("c")) / 32).cast("int").as("bin"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("bin") === 0, 1).otherwise(0)).as("b0"),
+          (1 until 8).map(k =>
+            sum(when(col("bin") === k, 1).otherwise(0)).as(s"b$k")): _*)
+        .orderBy("doc_id")
+    }),
     "q_text_chunks" -> ((s, d) => {
       // fixed-size token chunking (50-token windows, the pre-training
       // "split long documents" step): posexplode to token rows, chunk
@@ -409,6 +425,10 @@ object PipelineQueries {
         """exact_losers AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents) WHERE doc_id <> keeper), near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est0 >= 0.5 AND doc_b NOT IN (SELECT doc_id FROM exact_losers)) SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total, (SELECT count(*) FROM exact_losers)::BIGINT AS n_exact_dropped, (SELECT count(*) FROM near_losers)::BIGINT AS n_near_dropped, ((SELECT count(*) FROM documents) - (SELECT count(*) FROM exact_losers) - (SELECT count(*) FROM near_losers))::BIGINT AS n_kept"""),
     "q_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
+    "q_multimodal_hist" ->
+      ("""WITH tr0 AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text FROM documents), tr AS (SELECT doc_id, ascii(substr(text, i, 1)) // 32 AS bin FROM tr0) SELECT doc_id, """ +
+        (0 until 8).map(k => s"sum(CASE WHEN bin = $k THEN 1 ELSE 0 END)::BIGINT AS b$k").mkString(", ") +
+        """ FROM tr GROUP BY doc_id ORDER BY doc_id"""),
     "q_text_chunks" ->
       s"""WITH $toksSql, tr0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM toks), tr AS (SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok FROM tr0), ch AS (SELECT doc_id, pos // 50 AS chunk, count(*) AS n_toks, substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS h FROM tr GROUP BY 1, 2) SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(n_toks)::BIGINT AS n_toks, max(CASE WHEN chunk = 0 THEN h END) AS h0 FROM ch GROUP BY doc_id ORDER BY doc_id""",
     "q_text_pack" ->

@@ -52,4 +52,18 @@ class MultimodalSpec extends SparkSpec {
       assert(fr.frame.length === 32)
     }
   }
+
+  test("extractFeatures agrees with the oracled integer byte histogram (q_multimodal_hist)") {
+    // features are the q_multimodal_hist counts L1-normalised in
+    // Float32 — multiplying back by nbytes must recover the exact
+    // integer counts, which is what the gate oracles
+    val hist = SparkEntry.queries("q_multimodal_hist")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (0 until 8).map(k => r.getAs[Long](s"b$k"))).toMap
+    val nbytes = Multimodal.decodeMeta(docs).collect().map(m => m.doc_id -> m.nbytes).toMap
+    Multimodal.extractFeatures(docs).collect().foreach { f =>
+      val counts = f.features.map(x => math.round(x * nbytes(f.doc_id)).toLong).toSeq
+      assert(counts === hist(f.doc_id), s"doc ${f.doc_id}")
+    }
+  }
 }
