@@ -95,7 +95,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
 /** Session registration for graft's native expressions. */
 object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))))
+    "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
+    "dot_fold" -> (exprs => DotFold(exprs(0), exprs(1))),
+    "l2sq_fold" -> (exprs => L2SqFold(exprs(0), exprs(1))))
 
   /** Imperative registration (any existing session). */
   def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>

@@ -29,6 +29,13 @@ object Similarity {
     expr(s"cosine_sim($a, $b)")
   }
 
+  /** Codegen'd squared-L2 via the native `l2sq_fold` expression (same
+    * fold order as [[graft.functions.VectorFunctions.l2sq]]). */
+  private def fastL2Sq(df: DataFrame, a: String, b: String): Column = {
+    graft.functions.expressions.GraftFunctions.register(df.sparkSession)
+    expr(s"l2sq_fold($a, $b)")
+  }
+
   /** (vec_id, score) top-k by cosine against the single-row `queryVec`.
     * Pre-filter the query row out of `embeddings` if it shouldn't rank
     * (it would score 1.0). Zero vectors score NaN and sort first under
@@ -69,7 +76,8 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
     embeddings.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cid"), l2sq(col("v"), col("cv")).as("dist"))
+      .select(col("vec_id"), col("v"), col("cid"),
+        fastL2Sq(embeddings, "v", "cv").as("dist"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("cid"))
@@ -99,10 +107,13 @@ object Similarity {
     * engine-exact. Input must carry (vec_id, v: array<double>).
     * Output: (vec_id, bucket). */
   def lshBuckets(embeddings: DataFrame, planes: Int = 8, dims: Int = 64): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
     val bits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(col("v"), typedlit(lshPlane(p, dims)), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
+      // native dot_fold keeps all `planes` sign projections inside one
+      // codegen stage (the HOF fold is interpreted per element)
+      val planeSql = lshPlane(p, dims)
+        .map(x => if (x > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
+      val dot = expr(s"dot_fold(v, $planeSql)")
       when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
     }
     embeddings.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))

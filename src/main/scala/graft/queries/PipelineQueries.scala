@@ -268,14 +268,16 @@ object PipelineQueries {
       // order-independent or order-fixed, so the argmins match
       // bit-for-bit. Scale: centroids broadcast; updates are one
       // partial+final hash agg keyed (cid, idx).
+      graft.functions.expressions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val cents0 = e.where(col("vec_id").between(1, 4))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // native l2sq_fold: same index-ascending fold as the HOF
+      // aggregate(zip_with(...)) (and DuckDB's list_reduce), but
+      // codegen'd — HOF lambdas evaluate interpreted per element
       val d0 = e.crossJoin(broadcast(cents0))
-        .select(col("vec_id"), col("cid"),
-          aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x).as("dist"))
+        .select(col("vec_id"), col("cid"), expr("l2sq_fold(v, cv)").as("dist"))
       // argmin as min-of-(dist, cid) struct: ONE partial+final hash agg
       // per assignment instead of a window sort; lexicographic struct
       // comparison tie-breaks on cid identically in both engines
@@ -299,9 +301,7 @@ object PipelineQueries {
         .agg(transform(array_sort(collect_list(struct(col("idx"), col("c")))),
           p => p.getField("c")).as("cv"))
       val d1 = e.crossJoin(broadcast(updArr))
-        .select(col("vec_id"), col("cid"),
-          aggregate(zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x).as("dist"))
+        .select(col("vec_id"), col("cid"), expr("l2sq_fold(v, cv)").as("dist"))
       val a2 = argmin(d1)
       a2.groupBy("cid")
         .agg(count(lit(1)).as("sz"), min(col("vec_id")).as("min_vec"))

@@ -57,6 +57,28 @@ class SimilaritySpec extends SparkSpec {
     assert(b === b2)
   }
 
+  test("native dot_fold/l2sq_fold match the HOF folds bit-for-bit (incl. edge cases)") {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.1, -2.2, 3.3), Array(0.5, 0.25, -4.0)),
+      (Array(0.1, 0.2), Array(0.3, 0.4)),
+      (Array.empty[Double], Array.empty[Double])
+    ).toDF("a", "b")
+    val rows = df.select(
+      expr("dot_fold(a, b)").as("nd"), VectorFunctions.dot($"a", $"b").as("hd"),
+      expr("l2sq_fold(a, b)").as("nl"), VectorFunctions.l2sq($"a", $"b").as("hl")
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) === r.getDouble(1)) // bit-equal doubles
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+    // length mismatch -> NULL, matching the zip_with-poisoned HOF fold
+    val mis = Seq((Array(1.0, 2.0), Array(1.0))).toDF("a", "b")
+      .select(expr("dot_fold(a, b)").as("nd"),
+        VectorFunctions.dot($"a", $"b").as("hd")).head()
+    assert(mis.isNullAt(0) && mis.isNullAt(1))
+  }
+
   test("lshPlane is a fixed ±1 md5-derived matrix") {
     val p0 = Similarity.lshPlane(0, 64)
     assert(p0.forall(x => x == 1.0 || x == -1.0))
