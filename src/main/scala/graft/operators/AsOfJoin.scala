@@ -29,7 +29,21 @@ object AsOfJoin {
     * @param payload   right columns to carry onto left rows
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
-           lts: String, rts: String, payload: Seq[String]): DataFrame = {
+           lts: String, rts: String, payload: Seq[String]): DataFrame =
+    asofImpl(left, right, key, lts, rts, payload, forward = false)
+
+  /** Forward as-of: for every left row, the EARLIEST right row with
+    * `rts >= lts` for the same key ("next event" semantics — next
+    * purchase after a click, next maintenance after a failure). Same
+    * single-shuffle union plan as [[asof]], scanning time descending
+    * so the running match is the nearest upcoming right row. */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  lts: String, rts: String, payload: Seq[String]): DataFrame =
+    asofImpl(left, right, key, lts, rts, payload, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, key: String,
+                       lts: String, rts: String, payload: Seq[String],
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns.toSeq
     val clash = payload.filter(leftCols.contains)
     require(clash.isEmpty,
@@ -51,7 +65,10 @@ object AsOfJoin {
       .withColumn("_tag", lit(0))
       .select((leftCols.map(c => if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
         col("_t") :+ col("_tag")) :+ struct(payload.map(col): _*).as("_p"): _*)
-    val w = Window.partitionBy(col(key)).orderBy(col("_t"), col("_tag"))
+    // at equal timestamps the right row (_tag 0) sorts first in both
+    // directions, so equality matches inclusively
+    val w = Window.partitionBy(col(key))
+      .orderBy(if (forward) col("_t").desc else col("_t").asc, col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
       .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))

@@ -568,6 +568,42 @@ object RelationalQueries {
             .cast("long").as("gap_sec"))
         .orderBy("event_id")
     }),
+    "q_asof_forward" -> ((s, d) => {
+      // forward as-of: for each click, the user's NEXT purchase (same
+      // union+window plan scanned time-descending); oracle is a
+      // correlated min-subquery since DuckDB's ASOF only looks back
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("purchase_id"))
+        .withColumn("purchase_ts", col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+      graft.operators.AsOfJoin.asofForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (floor(col("purchase_ts").cast("double")) - floor(col("ts").cast("double")))
+            .cast("long").as("gap_sec"))
+        .orderBy("event_id")
+    }),
+    "q_events_attribution" -> ((s, d) => {
+      // last-touch attribution with a tolerance: each purchase gets the
+      // latest preceding click by the same user, but only if it landed
+      // within 1 hour — beyond-tolerance matches null out (the as-of
+      // match is unconditional; tolerance is a post-filter on the gap)
+      val ev = Tables.events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("click_id"))
+        .withColumn("click_ts", col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+      val m = graft.operators.AsOfJoin.asof(purchases, clicks, "user_id", "ts", "ts",
+          Seq("click_id", "click_ts"))
+        .withColumn("gap_sec",
+          (floor(col("ts").cast("double")) - floor(col("click_ts").cast("double")))
+            .cast("long"))
+      m.select(col("event_id"), col("user_id"),
+          when(col("gap_sec") <= 3600, col("click_id")).as("click_id"),
+          when(col("gap_sec") <= 3600, col("gap_sec")).as("gap_sec"))
+        .orderBy("event_id")
+    }),
     "q_stream_hourly" -> ((s, d) => {
       // Structured-Streaming-EXECUTED member of the correctness gate:
       // the events file is staged into a stream directory, aggregated
@@ -1091,6 +1127,10 @@ object RelationalQueries {
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(avg(c_acctbal),2) AS avg_bal FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
+    "q_asof_forward" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), m AS (SELECT c.event_id, c.user_id, c.ts, (SELECT min(p.ts) FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS mts FROM c) SELECT m.event_id, m.user_id, p.purchase_id, CASE WHEN m.mts IS NULL THEN NULL ELSE (floor(epoch(m.mts)) - floor(epoch(m.ts)))::BIGINT END AS gap_sec FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.mts ORDER BY m.event_id""",
+    "q_events_attribution" ->
+      """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY user_id, ts), p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT p.event_id, p.user_id, CASE WHEN floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 3600 THEN c.click_id END AS click_id, CASE WHEN floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 3600 THEN (floor(epoch(p.ts)) - floor(epoch(c.ts)))::BIGINT END AS gap_sec FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""",
     "q_stream_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_stream_dedup" ->

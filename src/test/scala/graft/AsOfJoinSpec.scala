@@ -45,4 +45,22 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.count() === 1)
     assert(out.head().getAs[Any]("mark_id") === null) // different key -> no match
   }
+
+  test("asofForward attaches earliest right row at-or-after each left row, per key") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 00:00:30")),  // next mark is m2
+      (2L, 10L, ts("2024-01-01 00:02:00")),  // exactly at m2 (inclusive)
+      (3L, 10L, ts("2024-01-01 00:03:00")),  // after all marks -> null
+      (4L, 20L, ts("2024-01-01 00:00:30"))   // other key, m3 ahead
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, ts("2024-01-01 00:00:10"), 101L), // m1 (before all lefts)
+      (10L, ts("2024-01-01 00:02:00"), 102L), // m2
+      (20L, ts("2024-01-01 00:01:00"), 103L)  // m3
+    ).toDF("user_id", "rts", "mark_id")
+    val got = AsOfJoin.asofForward(left, right, "user_id", "ts", "rts", Seq("mark_id"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("mark_id")).map(_.asInstanceOf[Long])).toMap
+    assert(got === Map(1L -> Some(102L), 2L -> Some(102L), 3L -> None, 4L -> Some(103L)))
+  }
 }
