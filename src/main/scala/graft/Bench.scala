@@ -52,9 +52,13 @@ object Bench {
     // execute their hot loops enough times to reach C2-compiled steady
     // state — graph queries still measured ~2x steady-state after an
     // sf0.001-only warmup.
+    // canonical-path compare: a trailing slash or symlink in
+    // SPARK_GRAFT_SF_DIR must not let the "warmup" silently run every
+    // query on the full timed dataset
+    val sfCanon = new java.io.File(sfDir).getCanonicalPath
     val warmDir = Seq("sf0.01", "sf0.001")
       .map(n => new java.io.File(new java.io.File(sfDir).getParentFile, n))
-      .find(f => f.isDirectory && f.toString != sfDir)
+      .find(f => f.isDirectory && f.getCanonicalPath != sfCanon)
       .getOrElse(new java.io.File("/nonexistent"))
     if (warmDir.isDirectory) {
       val wd = warmDir.toString

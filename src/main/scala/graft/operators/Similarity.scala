@@ -114,7 +114,12 @@ object Similarity {
       val planeSql = lshPlane(p, dims)
         .map(x => if (x > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
       val dot = expr(s"dot_fold(v, $planeSql)")
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      // a vector whose length != dims folds to NULL; keep it NULL so
+      // the bucket comes out NULL (SQL null never equi-joins) instead
+      // of silently collapsing every mismatched vector into bucket 0 —
+      // which would recreate the O(n^2) mega-bucket this operator
+      // exists to prevent
+      when(dot >= 0, lit(1L << p)).when(dot < 0, lit(0L)).otherwise(lit(null).cast("long"))
     }
     embeddings.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
   }

@@ -284,6 +284,18 @@ object Traversals {
     r
   }
 
+  /** Symmetrize a directed edge list in ONE pass over the (possibly
+    * derived) source: explode each row into both directions, then
+    * dedup. union(e, e.reversed) would execute the upstream plan once
+    * per branch (measured in round 2); the explode form reads it once.
+    * Output: distinct (src, dst) longs, both directions present. */
+  private[operators] def symmetrize(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .select(explode(array(
+        struct(col("src").as("src"), col("dst").as("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
+
   /** k-core decomposition by iterative peeling: repeatedly drop
     * vertices whose (undirected) degree is below `k` until the edge set
     * is stable; returns the vertices of the k-core — the maximal
@@ -294,13 +306,9 @@ object Traversals {
     * ordering, usually shallow on real graphs). Input `(src, dst)`
     * directed pairs, treated as undirected. Output `(vertex: Long)`. */
   def kcore(edges: DataFrame, k: Int, maxIters: Int = 10000): DataFrame = {
-    var cur = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .where(col("src") =!= col("dst")) // self-loops don't count toward coreness
-      .select(explode(array(
-        struct(col("src").as("src"), col("dst").as("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst"))
-      .distinct().localCheckpoint(eager = true)
+    // self-loops don't count toward coreness
+    var cur = symmetrize(edges.where(col("src") =!= col("dst")))
+      .localCheckpoint(eager = true)
     var prevEdges = -1L
     var curEdges = cur.count()
     var it = 0
@@ -331,13 +339,7 @@ object Traversals {
     * component = min vertex id; edges treated as undirected. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 10000,
                           jumps: Int = 2): DataFrame = {
-    // explode-mirror: both directions from ONE pass over the (possibly
-    // derived) edge source, vs union(e, e.reversed) executing it twice
-    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .select(explode(array(
-        struct(col("src").as("src"), col("dst").as("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
+    val sym = symmetrize(edges)
       .persist(StorageLevel.MEMORY_AND_DISK) // reused every round
     // Fused first round: with identity labels, round 1's neighbour-min
     // join degenerates to component := min(v, min of in-neighbours) —
@@ -405,11 +407,7 @@ object Traversals {
     * label tables are localCheckpointed per round so lineage stays
     * O(1) regardless of `iters`. */
   def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
-    val sym = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .select(explode(array(
-        struct(col("src").as("src"), col("dst").as("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
-      .select(col("p.src").as("src"), col("p.dst").as("dst")).distinct()
+    val sym = symmetrize(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))

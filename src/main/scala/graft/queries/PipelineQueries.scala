@@ -92,6 +92,10 @@ object PipelineQueries {
       t(s, d, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), "")))
         .toDF("doc_id", "i", "c")
+        // split("", "") yields [""] — drop the artifact so an
+        // empty-text doc is ABSENT (matching the oracle's range() over
+        // zero characters) instead of a phantom b0=1 row
+        .where(col("c") =!= "")
         .select(col("doc_id"), floor(ascii(col("c")) / 32).cast("int").as("bin"))
         .groupBy("doc_id")
         .agg(sum(when(col("bin") === 0, 1).otherwise(0)).as("b0"),

@@ -24,20 +24,8 @@ import Tables.t
   */
 object RelationalQueries {
 
-  /** Order-independent exact revenue aggregate. l_extendedprice and
-    * l_discount are 2-decimal values, so each product is exactly a
-    * 4-decimal number; casting the double product to decimal(18,4)
-    * recovers that exact value in BOTH engines (the double is within
-    * ~1e-10 of the 4dp grid point, so nearest-rounding is unambiguous
-    * regardless of tie mode), the decimal sum is order-independent,
-    * and the final double conversion is the same correctly-rounded
-    * IEEE value. A raw double sum is order-dependent and round(_, 2)
-    * can land on a half-cent tie — q_tpch_q10 hash-mismatched in
-    * round 2 exactly this way. DuckDB twin:
-    * `sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE`. */
-  private def revenueSum: org.apache.spark.sql.Column =
-    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
-      .cast("decimal(18,4)")).cast("double")
+  /** See [[Parity.revenueSum]] — the shared exact-decimal money sum. */
+  private def revenueSum: org.apache.spark.sql.Column = Parity.revenueSum
 
   /** Runs `f` against a fresh temp dir, pins the (small, aggregated)
     * result with an eager `localCheckpoint`, then deletes the dir —
@@ -48,11 +36,44 @@ object RelationalQueries {
   private def withTempDir(prefix: String)(f: String => DataFrame): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     try f(dir.toString).localCheckpoint(true)
-    finally {
+    finally deleteRecursively(dir)
+  }
+
+  /** Recursive delete that CLOSES its directory stream (Files.walk
+    * holds an open fd until closed — leaking one per gate query adds
+    * up over a long verify/bench session). */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(dir)) return
+    val walk = java.nio.file.Files.walk(dir)
+    try {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+      walk.sorted(java.util.Comparator.reverseOrder())
         .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    }
+    } finally walk.close()
+  }
+
+
+  /** Stage the events parquet (a single file or a Spark-written
+    * directory of part files) into `dst` for a file-stream source;
+    * closes its directory stream. `prefix` disambiguates repeated
+    * stagings of the same source (streaming replay tests). */
+  private def stageEventsInto(d: String, dst: java.nio.file.Path,
+                              prefix: String = ""): Unit = {
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    if (java.nio.file.Files.isDirectory(src)) {
+      // Spark-written datasets are directories; Files.copy on one
+      // yields an EMPTY dir (and a silently-empty stream) — copy the
+      // data files instead
+      val ls = java.nio.file.Files.list(src)
+      try {
+        val it = ls.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(f, dst.resolve(prefix + f.getFileName.toString))
+        }
+      } finally ls.close()
+    } else java.nio.file.Files.copy(src, dst.resolve(s"${prefix}events.parquet"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -612,32 +633,19 @@ object RelationalQueries {
       // batch SQL as q_events_hourly, so the stream must agree with
       // the batch engine exactly.
       val streamDir = java.nio.file.Files.createTempDirectory("graft-q-stream")
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      if (java.nio.file.Files.isDirectory(src)) {
-        // Spark-written datasets are directories; Files.copy on one
-        // yields an EMPTY dir (and a silently-empty stream) — copy the
-        // data files instead
-        val it = java.nio.file.Files.list(src).iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet"))
-            java.nio.file.Files.copy(f, streamDir.resolve(f.getFileName.toString))
-        }
-      } else java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      try {
+      stageEventsInto(d, streamDir)
       val sink = "stream_hourly_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hr"),
           col("event_type"))
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
         .writeStream.outputMode("complete").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        // the memory sink holds the result; the staged files can go
-        val it = java.nio.file.Files.list(streamDir).iterator()
-        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
-        java.nio.file.Files.deleteIfExists(streamDir)
-      }
+      try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy("hr", "event_type")
+      // the memory sink holds the result; the staged files can go —
+      // and the outer finally also covers a throw during staging/start
+      } finally deleteRecursively(streamDir)
     }),
     "q_stream_dedup" -> ((s, d) => {
       // Streaming exact-dedup in the gate: the events file is staged
@@ -645,30 +653,18 @@ object RelationalQueries {
       // replayed ids, and the oracle is the plain batch count — so the
       // streaming dedup must reconstruct the original corpus exactly.
       val streamDir = java.nio.file.Files.createTempDirectory("graft-q-dedup-stream")
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      def stage(tag: String): Unit =
-        if (java.nio.file.Files.isDirectory(src)) {
-          val it = java.nio.file.Files.list(src).iterator()
-          while (it.hasNext) {
-            val f = it.next()
-            if (f.getFileName.toString.endsWith(".parquet"))
-              java.nio.file.Files.copy(f, streamDir.resolve(tag + f.getFileName.toString))
-          }
-        } else java.nio.file.Files.copy(src, streamDir.resolve(s"events_$tag.parquet"))
-      stage("a"); stage("b")
+      try {
+      stageEventsInto(d, streamDir, prefix = "a_")
+      stageEventsInto(d, streamDir, prefix = "b_")
       val sink = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val q = graft.streaming.EventStreams.dedupStream(
           graft.streaming.EventStreams.eventsStream(s, streamDir.toString))
         .select("event_id", "event_type")
         .writeStream.outputMode("append").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        val it = java.nio.file.Files.list(streamDir).iterator()
-        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
-        java.nio.file.Files.deleteIfExists(streamDir)
-      }
+      try q.processAllAvailable() finally q.stop()
       s.table(sink).groupBy("event_type").agg(count(lit(1)).as("cnt"))
         .orderBy("event_type")
+      } finally deleteRecursively(streamDir)
     }),
     "q_source_csv" -> ((s, d) => {
       // csv source INSIDE the oracle gate: customer is round-tripped
@@ -747,17 +743,32 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
     "q_agg_percentile" -> ((s, d) => {
-      // exact interpolated percentiles (p25/p50/p75) per group —
-      // Spark's percentile() and DuckDB's quantile_cont share the
-      // standard index = p*(n-1) linear-interpolation definition;
-      // rounded at 4dp to absorb the one-ulp interpolation-order gap
-      t(s, d, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
-          count(lit(1)).as("cnt"))
+      // exact interpolated percentiles (p25/p50/p75) per group with
+      // ENGINEERED bit-parity: both engines evaluate the same explicit
+      // formula pos = p*(n-1); v[lo] + (pos-floor(pos))*(v[hi]-v[lo])
+      // over the same rank-addressed values, so every double op is
+      // identical IEEE arithmetic — no reliance on the engines'
+      // percentile builtins interpolating in the same order, and no
+      // rounding band-aid. Scale: one sort-shuffle per group (window
+      // rank + count) and a conditional hash agg — no per-group
+      // array collection.
+      val wN = Window.partitionBy("l_returnflag")
+      val base = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(wN.orderBy("l_extendedprice")))
+        .withColumn("n", count(lit(1)).over(wN))
+      val ps = Seq(0.25 -> "25", 0.5 -> "50", 0.75 -> "75")
+      def pos(p: Double) = (col("n") - 1).cast("double") * p
+      val aggs = max(col("n")).as("n") +: ps.flatMap { case (p, tag) =>
+        Seq(max(when(col("rn") === floor(pos(p)) + 1, col("l_extendedprice"))).as(s"lo$tag"),
+          max(when(col("rn") === ceil(pos(p)) + 1, col("l_extendedprice"))).as(s"hi$tag"))
+      }
+      def posN(p: Double) = (col("n") - 1).cast("double") * p
+      base.groupBy("l_returnflag").agg(aggs.head, aggs.tail: _*)
+        .select(col("l_returnflag") +: ps.map { case (p, tag) =>
+          (col(s"lo$tag") +
+            (posN(p) - floor(posN(p))) * (col(s"hi$tag") - col(s"lo$tag"))).as(s"p$tag")
+        } :+ col("n").cast("long").as("cnt"): _*)
         .orderBy("l_returnflag")
     }),
     "q_window_nth" -> ((s, d) => {
@@ -818,15 +829,8 @@ object RelationalQueries {
       // waiting on the watermark, so one processAllAvailable drains
       // everything; the oracle is the equivalent batch interval join.
       val streamDir = java.nio.file.Files.createTempDirectory("graft-q-join-stream")
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      if (java.nio.file.Files.isDirectory(src)) {
-        val it = java.nio.file.Files.list(src).iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet"))
-            java.nio.file.Files.copy(f, streamDir.resolve(f.getFileName.toString))
-        }
-      } else java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      try {
+      stageEventsInto(d, streamDir)
       val views = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
         .where(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
@@ -840,31 +844,20 @@ object RelationalQueries {
         .select(col("user_id"), col("view_id"), col("click_id"),
           (unix_timestamp(col("cts")) - unix_timestamp(col("vts"))).as("gap_s"))
         .writeStream.outputMode("append").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        val it = java.nio.file.Files.list(streamDir).iterator()
-        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
-        java.nio.file.Files.deleteIfExists(streamDir)
-      }
+      try q.processAllAvailable() finally q.stop()
       s.table(sink).groupBy("user_id")
         .agg(count(lit(1)).as("n_pairs"), min(col("gap_s")).as("min_gap_s"),
           max(col("gap_s")).as("max_gap_s"))
         .orderBy("user_id")
+      } finally deleteRecursively(streamDir)
     }),
     "q_stream_enrich" -> ((s, d) => {
       // third streaming-executed gate member: stream-static broadcast
       // enrichment (events joined to the nation dim per micro-batch),
       // raw enriched rows landed append-mode, aggregated from the sink
       val streamDir = java.nio.file.Files.createTempDirectory("graft-q-enrich-stream")
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      if (java.nio.file.Files.isDirectory(src)) {
-        val it = java.nio.file.Files.list(src).iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet"))
-            java.nio.file.Files.copy(f, streamDir.resolve(f.getFileName.toString))
-        }
-      } else java.nio.file.Files.copy(src, streamDir.resolve("events.parquet"))
+      try {
+      stageEventsInto(d, streamDir)
       val dim = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
       val stream = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
         .withColumn("nk", col("user_id") % 25)
@@ -872,15 +865,11 @@ object RelationalQueries {
       val q = graft.streaming.EventStreams.enrichStream(stream, dim, "nk", "n_nationkey")
         .select(col("event_id"), col("n_name"), col("value"))
         .writeStream.outputMode("append").format("memory").queryName(sink).start()
-      try q.processAllAvailable() finally {
-        q.stop()
-        val it = java.nio.file.Files.list(streamDir).iterator()
-        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
-        java.nio.file.Files.deleteIfExists(streamDir)
-      }
+      try q.processAllAvailable() finally q.stop()
       s.table(sink).groupBy("n_name")
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
         .orderBy("n_name")
+      } finally deleteRecursively(streamDir)
     }),
     "q_events_funnel" -> ((s, d) => {
       // sequential funnel view -> click -> purchase: each stage's
@@ -986,16 +975,9 @@ object RelationalQueries {
       // window-function sessionization (q_events_sessionize's oracle).
       import org.apache.spark.sql.functions.{col => c}
       val streamDir = java.nio.file.Files.createTempDirectory("graft-q-sess-stream")
+      try {
       val e0 = java.nio.file.Files.createDirectory(streamDir.resolve("e0"))
-      val src = java.nio.file.Paths.get(s"$d/events.parquet")
-      if (java.nio.file.Files.isDirectory(src)) {
-        val it = java.nio.file.Files.list(src).iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getFileName.toString.endsWith(".parquet"))
-            java.nio.file.Files.copy(f, e0.resolve(f.getFileName.toString))
-        }
-      } else java.nio.file.Files.copy(src, e0.resolve("events.parquet"))
+      stageEventsInto(d, e0)
       // sentinel writer: one far-future event for user -1, raw nanos ts
       // (matches EventStreams.rawSchema so the file-stream accepts it)
       val maxNanos = Tables.events(s, d).agg(max(col("ts"))).head()
@@ -1018,15 +1000,12 @@ object RelationalQueries {
         q.processAllAvailable()
         sentinel("s1", 10); q.processAllAvailable()
         sentinel("s2", 20); q.processAllAvailable()
-      } finally {
-        q.stop()
-        val it = java.nio.file.Files.walk(streamDir).sorted(java.util.Comparator.reverseOrder()).iterator()
-        while (it.hasNext) java.nio.file.Files.deleteIfExists(it.next())
-      }
+      } finally q.stop()
       s.table(sink).where(col("user_id") >= 0)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
         .orderBy("user_id")
+      } finally deleteRecursively(streamDir)
     }),
     "q_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1146,7 +1125,16 @@ object RelationalQueries {
     "q_agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, round(-((max({'c': cnt, 'nq': -l_quantity})).nq), 2) AS mode_qty, (max({'c': cnt, 'nq': -l_quantity})).c::BIGINT AS cnt FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_percentile" ->
-      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.25), 4) AS p25, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50, round(quantile_cont(l_extendedprice, 0.75), 4) AS p75, count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      ("""WITH b AS (SELECT l_returnflag, l_extendedprice, row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn, count(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem), g AS (SELECT l_returnflag, max(n) AS n, """ +
+        Seq("25" -> "0.25", "50" -> "0.5", "75" -> "0.75").map { case (t, p) =>
+          s"max(CASE WHEN rn = floor((n - 1)::DOUBLE * $p)::BIGINT + 1 THEN l_extendedprice END) AS lo$t, " +
+            s"max(CASE WHEN rn = ceil((n - 1)::DOUBLE * $p)::BIGINT + 1 THEN l_extendedprice END) AS hi$t"
+        }.mkString(", ") +
+        """ FROM b GROUP BY 1) SELECT l_returnflag, """ +
+        Seq("25" -> "0.25", "50" -> "0.5", "75" -> "0.75").map { case (t, p) =>
+          s"lo$t + ((n - 1)::DOUBLE * $p - floor((n - 1)::DOUBLE * $p)) * (hi$t - lo$t) AS p$t"
+        }.mkString(", ") +
+        """, n::BIGINT AS cnt FROM g ORDER BY l_returnflag"""),
     "q_window_nth" ->
       """SELECT o_custkey, o_orderkey, round(nth_value(o_totalprice, 3) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS third_price, round(first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price, round(last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS final_price FROM orders WHERE o_custkey <= 200 ORDER BY o_custkey, o_orderkey""",
     "q_set_bag" ->

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import Tables.t
 
 /** The TPC-H-shaped decision-support battery beyond q3/q5/q10/q18
@@ -23,18 +24,15 @@ import Tables.t
   * Scale notes: filters sit on the scans (parquet pushdown), nation /
   * part-dimension sides are broadcast, aggregate-then-join keeps the
   * heavy lineitem aggregations before any join fan-out, and the
-  * correlated q17 threshold is decorrelated into a per-part aggregate
-  * joined broadcast-free (both sides shuffle on l_partkey).
+  * correlated q17 threshold is a window aggregate over l_partkey —
+  * one scan, one shuffle, no decorrelation self-join.
   */
 object TpchQueries {
 
-  /** sum((l_extendedprice * (1 - l_discount))::decimal(18,4)) as
-    * double — see [[RelationalQueries]] for the parity rationale. */
-  private def revSum(term: Column): Column =
-    sum(term.cast("decimal(18,4)")).cast("double")
+  /** Shared exact-decimal money aggregates — see [[Parity]]. */
+  private def revSum(term: Column): Column = Parity.decSum4(term)
 
-  private def decAvg(c: Column): Column =
-    sum(c.cast("decimal(18,2)")).cast("double") / count(lit(1))
+  private def decAvg(c: Column): Column = Parity.decAvg2(c)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tpch_q1" -> ((s, d) => {
@@ -49,8 +47,8 @@ object TpchQueries {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-          sum((col("l_extendedprice") * (lit(1) - col("l_discount")) *
-            (lit(1) + col("l_tax"))).cast("decimal(18,6)")).cast("double").as("sum_charge"),
+          Parity.decSum6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
           decAvg(col("l_quantity")).as("avg_qty"),
           decAvg(col("l_extendedprice")).as("avg_price"),
           decAvg(col("l_discount")).as("avg_disc"),
@@ -151,21 +149,21 @@ object TpchQueries {
     }),
     "q_tpch_q17" -> ((s, d) => {
       // Q17 small-quantity-order revenue: the correlated "below 20% of
-      // this part's average quantity" threshold is decorrelated into a
-      // per-part aggregate. The brand filter is applied FIRST via a
-      // broadcast of the brand's part keys, so both the threshold agg
-      // and the probe only read the brand's lines (~1/25 of lineitem)
-      // instead of aggregating every part. Threshold doubles come from
-      // exact decimal sums, so the comparison matches the
-      // correlated-subquery oracle bit-for-bit.
+      // this part's average quantity" threshold is a WINDOW aggregate
+      // over l_partkey — one scan, one shuffle, no self-join (a
+      // decorrelated aggregate-then-join would re-execute the
+      // brand-filtered lineitem scan once per side). The brand filter
+      // broadcasts first so only the brand's lines (~1/25) shuffle.
+      // Threshold doubles come from exact decimal sums, so the
+      // comparison matches the correlated-subquery oracle bit-for-bit.
       val brandParts = t(s, d, "part").where(col("p_brand") === "Brand#23")
         .select(col("p_partkey"))
-      val liB = t(s, d, "lineitem")
+      val wPart = Window.partitionBy(col("l_partkey"))
+      t(s, d, "lineitem")
         .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
-      val thr = liB.groupBy(col("l_partkey").as("t_partkey"))
-        .agg((lit(0.2) * (sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
-          count(lit(1)))).as("qty_thr"))
-      liB.join(thr, col("l_partkey") === col("t_partkey"))
+        .withColumn("qty_thr", lit(0.2) *
+          (sum(col("l_quantity").cast("decimal(18,2)")).over(wPart).cast("double") /
+            count(lit(1)).over(wPart)))
         .where(col("l_quantity") < col("qty_thr"))
         .agg((sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") / 7.0)
           .as("avg_yearly"))
