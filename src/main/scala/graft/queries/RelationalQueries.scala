@@ -728,6 +728,19 @@ object RelationalQueries {
           .orderBy("c_mktsegment")
       }
     }),
+    "q_agg_listagg" -> ((s, d) => {
+      // ordered string aggregation (listagg / string_agg): collect,
+      // sort deterministically, join — the Spark formulation keeps the
+      // per-group list bounded by the group (fine for id-list outputs;
+      // unbounded-text groups should aggregate hashes instead)
+      t(s, d, "orders").where(col("o_custkey") <= 50)
+        .groupBy("o_custkey")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("o_orderkey"))),
+            x => x.cast("string"))).as("order_ids"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_custkey")
+    }),
     "q_agg_mode" -> ((s, d) => {
       // mode (most frequent value) as an explicit argmax: count per
       // (group, value), then ONE max-of-(cnt, -value) struct hash agg
@@ -1122,6 +1135,8 @@ object RelationalQueries {
       """SELECT p_brand, count(*)::BIGINT AS cnt, sum(p_size)::BIGINT AS total_size, min(p_name) AS first_name FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_source_jsonl" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(sum(c_acctbal), 2) AS bal, max(c_name) AS last_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_agg_listagg" ->
+      """SELECT o_custkey, string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_ids, count(*)::BIGINT AS cnt FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey ORDER BY o_custkey""",
     "q_agg_mode" ->
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, round(-((max({'c': cnt, 'nq': -l_quantity})).nq), 2) AS mode_qty, (max({'c': cnt, 'nq': -l_quantity})).c::BIGINT AS cnt FROM c GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_percentile" ->
