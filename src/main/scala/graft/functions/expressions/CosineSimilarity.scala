@@ -115,5 +115,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         new ExpressionInfo(classOf[CosineSimilarity].getName, name), b))
     }
     e.injectOptimizerRule(_ => graft.plans.ThresholdedLevenshtein)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -32,6 +32,37 @@ object AsOfJoin {
            lts: String, rts: String, payload: Seq[String]): DataFrame =
     asofImpl(left, right, key, lts, rts, payload, forward = false)
 
+  /** The dedicated-physical-operator variant of [[asof]]: plans a
+    * custom [[graft.plans.AsOfJoinNode]] that executes as a
+    * partition-local sorted merge ([[graft.plans.AsOfJoinExec]]) —
+    * each side shuffles independently on its key (a pre-bucketed right
+    * side re-shuffles nothing) and the merge buffers ONE right payload
+    * row, vs. the composed union+window's single combined shuffle and
+    * window state. Same semantics as [[asof]] (asserted in
+    * AsOfJoinSpec).
+    *
+    * Contract: column names must be DISJOINT across the two sides
+    * (rename first — key/ts/payload resolve by name), keys are Long,
+    * event times Long or Timestamp, and the right side is unique per
+    * (key, rts). */
+  def asofExec(left: DataFrame, right: DataFrame, lkey: String, rkey: String,
+               lts: String, rts: String, payload: Seq[String]): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"asofExec requires disjoint column names; overlapping: ${overlap.mkString(", ")}")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val node = graft.plans.AsOfJoinNode(
+      left.queryExecution.logical, right.queryExecution.logical,
+      UnresolvedAttribute(lkey), UnresolvedAttribute(rkey),
+      UnresolvedAttribute(lts), UnresolvedAttribute(rts),
+      payload.map(UnresolvedAttribute(_)))
+    org.apache.spark.sql.graftshim.Bridge.ofRows(spark, node)
+  }
+
   /** Forward as-of: for every left row, the EARLIEST right row with
     * `rts >= lts` for the same key ("next event" semantics — next
     * purchase after a click, next maintenance after a failure). Same

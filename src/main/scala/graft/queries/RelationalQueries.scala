@@ -589,6 +589,24 @@ object RelationalQueries {
             .cast("long").as("gap_sec"))
         .orderBy("event_id")
     }),
+    "q_asof_exec" -> ((s, d) => {
+      // the CUSTOM-PHYSICAL-OPERATOR as-of (AsOfJoinNode -> strategy ->
+      // sorted-merge AsOfJoinExec): same semantics as q_asof_join,
+      // planned through the dedicated exec instead of union+window —
+      // both exact-match the same DuckDB ASOF oracle
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+      val left = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asofExec(left, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("purchase_id", "p_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (floor(col("ts").cast("double")) - floor(col("p_ts").cast("double")))
+            .cast("long").as("gap_sec"))
+        .orderBy("event_id")
+    }),
     "q_asof_forward" -> ((s, d) => {
       // forward as-of: for each click, the user's NEXT purchase (same
       // union+window plan scanned time-descending); oracle is a
@@ -1118,6 +1136,8 @@ object RelationalQueries {
     "q_subquery" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(avg(c_acctbal),2) AS avg_bal FROM customer WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer) AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_asof_join" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
+    "q_asof_exec" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_forward" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), m AS (SELECT c.event_id, c.user_id, c.ts, (SELECT min(p.ts) FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS mts FROM c) SELECT m.event_id, m.user_id, p.purchase_id, CASE WHEN m.mts IS NULL THEN NULL ELSE (floor(epoch(m.mts)) - floor(epoch(m.ts)))::BIGINT END AS gap_sec FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.mts ORDER BY m.event_id""",

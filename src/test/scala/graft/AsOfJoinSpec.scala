@@ -46,6 +46,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.head().getAs[Any]("mark_id") === null) // different key -> no match
   }
 
+  test("asofExec (custom plan) matches the composed asof on events, multi-partition") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.queries.Tables.events(spark, TestSpark.sfDir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val left = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .repartition(7) // exec must re-cluster via EnsureRequirements
+    val exec = AsOfJoin.asofExec(left, purchases, "user_id", "p_user", "ts", "p_ts",
+      Seq("purchase_id", "p_ts"))
+    // nodeName strips the Exec suffix: the operator prints as "AsOfJoin"
+    assert(exec.queryExecution.executedPlan.toString.contains("AsOfJoin "),
+      "the custom strategy must plan the dedicated operator")
+    val composed = AsOfJoin.asof(left,
+      purchases.select(col("p_user").as("user_id"), col("p_ts"), col("purchase_id")),
+      "user_id", "ts", "p_ts", Seq("purchase_id", "p_ts"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("purchase_id"), col("p_ts").cast("long").as("pts"))
+      .collect().map(r => (r.getAs[Long]("event_id"),
+        Option(r.getAs[Any]("purchase_id")), Option(r.getAs[Any]("pts")))).toSet
+    assert(canon(exec) === canon(composed))
+    assert(canon(exec).nonEmpty)
+  }
+
+  test("asofExec handles a self-join source (analyzer dedups relations) and empty right") {
+    import org.apache.spark.sql.functions._
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("event_id", "user_id", "t")
+    val right = Seq((10L, 150L, 7L)).toDF("r_user", "rt", "mark")
+    val got = AsOfJoin.asofExec(left, right, "user_id", "r_user", "t", "rt", Seq("mark"))
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("mark"))).toMap
+    assert(got === Map(1L -> None, 2L -> Some(7L)))
+    val emptyRight = right.where(col("mark") < 0)
+    val got2 = AsOfJoin.asofExec(left, emptyRight, "user_id", "r_user", "t", "rt", Seq("mark"))
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("mark"))).toMap
+    assert(got2 === Map(1L -> None, 2L -> None))
+  }
+
   test("asofForward attaches earliest right row at-or-after each left row, per key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 00:00:30")),  // next mark is m2
