@@ -746,6 +746,23 @@ object RelationalQueries {
           .orderBy("c_mktsegment")
       }
     }),
+    "q_scalar_interval" -> ((s, d) => {
+      // interval arithmetic family: month/day addition (month-end
+      // clamped identically by both engines), last_day, day diffs,
+      // quarter, and day-of-week (Spark is 1=Sunday, DuckDB 0=Sunday —
+      // normalised to 0-based). Temporal outputs as strings/ints per
+      // the parity rules.
+      t(s, d, "orders").where(col("o_orderkey") % 199 === 0)
+        .select(col("o_orderkey"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          date_format(date_add(col("o_orderdate"), 45), "yyyy-MM-dd").as("plus45d"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate"))
+            .cast("int").as("days_to_98"),
+          quarter(col("o_orderdate")).cast("int").as("qtr"),
+          (dayofweek(col("o_orderdate")) - 1).cast("int").as("dow"))
+        .orderBy("o_orderkey")
+    }),
     "q_agg_listagg" -> ((s, d) => {
       // ordered string aggregation (listagg / string_agg): collect,
       // sort deterministically, join — the Spark formulation keeps the
@@ -1155,6 +1172,8 @@ object RelationalQueries {
       """SELECT p_brand, count(*)::BIGINT AS cnt, sum(p_size)::BIGINT AS total_size, min(p_name) AS first_name FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_source_jsonl" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt, round(sum(c_acctbal), 2) AS bal, max(c_name) AS last_name FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_scalar_interval" ->
+      """SELECT o_orderkey, strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m, strftime(o_orderdate + INTERVAL 45 DAY, '%Y-%m-%d') AS plus45d, strftime(last_day(o_orderdate::DATE)::TIMESTAMP, '%Y-%m-%d') AS eom, date_diff('day', o_orderdate::DATE, DATE '1998-01-01')::INT AS days_to_98, quarter(o_orderdate)::INT AS qtr, dayofweek(o_orderdate)::INT AS dow FROM orders WHERE o_orderkey % 199 = 0 ORDER BY o_orderkey""",
     "q_agg_listagg" ->
       """SELECT o_custkey, string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_ids, count(*)::BIGINT AS cnt FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey ORDER BY o_custkey""",
     "q_agg_mode" ->
