@@ -33,6 +33,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // iterative operators (BFS/CC supersteps, dedup rounds) launch
+      // many small jobs; the default 3 s locality wait lets one slow
+      // task delay every barrier — the single biggest source of
+      // run-to-run variance in the graph quartet (r4: 3.9x swing on
+      // identical code). local[] has no data locality to wait for.
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: touch every table once (footer reads, codegen JIT)
@@ -54,12 +60,22 @@ object Bench {
     // sf0.001-only warmup.
     // canonical-path compare: a trailing slash or symlink in
     // SPARK_GRAFT_SF_DIR must not let the "warmup" silently run every
-    // query on the full timed dataset
+    // query on the full timed dataset. Warm only on a scale SMALLER
+    // than the timed one (largest such sibling) — the old
+    // sf0.01-first preference warmed a timed sf0.001 run on ~10x the
+    // timed data. When the timed dir IS the smallest scale, warm on
+    // it directly: it is tiny, and a steady-state measurement beats a
+    // cold-JIT one.
     val sfCanon = new java.io.File(sfDir).getCanonicalPath
+    def sfOf(f: java.io.File): Double =
+      scala.util.Try(f.getName.stripPrefix("sf").toDouble).getOrElse(Double.MaxValue)
     val warmDir = Seq("sf0.01", "sf0.001")
       .map(n => new java.io.File(new java.io.File(sfDir).getParentFile, n))
-      .find(f => f.isDirectory && f.getCanonicalPath != sfCanon)
-      .getOrElse(new java.io.File("/nonexistent"))
+      .filter(f => f.isDirectory && f.getCanonicalPath != sfCanon &&
+        sfOf(f) < sfOf(new java.io.File(sfCanon)))
+      .sortBy(f => -sfOf(f))
+      .headOption
+      .getOrElse(new java.io.File(sfCanon))
     if (warmDir.isDirectory) {
       val wd = warmDir.toString
       headline.filter(SparkEntry.queries.contains).foreach { name =>
@@ -68,14 +84,25 @@ object Bench {
       }
     }
     // a query that throws records -1 (sentinel), lands in "failed", and is
-    // excluded from "total" — a fast failure must not look like a speedup
+    // excluded from "total" — a fast failure must not look like a speedup.
+    // Each query is timed as the MEDIAN of `reps` executions: the
+    // iterative families (pointer-jumping CC, BFS supersteps) run many
+    // small jobs, so a single GC pause or CPU-contention window inflates
+    // one execution by multiples (BENCH_r04: 3.9x on identical code) —
+    // a median absorbs one bad run and makes round-over-round deltas
+    // reflect code, not scheduling luck.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+      }
+      // any failed rep fails the query — a crash must not hide behind
+      // two clean runs' median
+      (name, if (times.forall(_ >= 0)) times.sorted.apply(times.length / 2) else -1.0)
     }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // print 0,123 and break the JSON consumer

@@ -99,9 +99,15 @@ object GraftFunctions {
     "dot_fold" -> (exprs => DotFold(exprs(0), exprs(1))),
     "l2sq_fold" -> (exprs => L2SqFold(exprs(0), exprs(1))))
 
-  /** Imperative registration (any existing session). */
+  /** Imperative registration (any existing session). Idempotent: a
+    * name already present (from a prior call or [[GraftExtensions]]
+    * injection) is left alone — re-registering is not only wasted work,
+    * it spams every executor log with SimpleFunctionRegistry "function
+    * replaced" warnings (one per call site per query). */
   def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, b, "scala_udf")
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(FunctionIdentifier(name)))
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
   }
 }
 

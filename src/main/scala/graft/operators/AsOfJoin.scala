@@ -21,6 +21,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object AsOfJoin {
 
+  /** Idempotent, thread-safe registration of the as-of planner
+    * strategy. `experimental.extraStrategies` alone can't be the
+    * membership check: a session built with
+    * `spark.sql.extensions=GraftExtensions` already carries the
+    * strategy via `extraPlanningStrategies`, and the old
+    * read-modify-write both double-appended in that case and raced
+    * against concurrent callers. `sessionState.planner.strategies`
+    * sees both injection paths; the lock serialises the append. */
+  private def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit =
+    AsOfJoin.synchronized {
+      val present =
+        spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy) ||
+          spark.sessionState.planner.strategies.contains(graft.plans.AsOfJoinStrategy)
+      if (!present)
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+
   /** @param left      rows to enrich
     * @param right     reference rows (must be unique per (key, rts);
     *                  pre-aggregate if not)
@@ -42,18 +60,20 @@ object AsOfJoin {
     * AsOfJoinSpec).
     *
     * Contract: column names must be DISJOINT across the two sides
-    * (rename first — key/ts/payload resolve by name), keys are Long,
-    * event times Long or Timestamp, and the right side is unique per
-    * (key, rts). */
+    * (rename first — key/ts/payload resolve by name), keys are Long or
+    * Int (the SAME type on both sides — hash co-partitioning is
+    * type-sensitive), event times Long / Timestamp (micros) / Int /
+    * Date (days; Date pairs only with Date), and the right side is
+    * unique per (key, rts). NULL keys/times follow join semantics:
+    * null-key/time left rows get the null payload, null right rows
+    * match nothing. */
   def asofExec(left: DataFrame, right: DataFrame, lkey: String, rkey: String,
                lts: String, rts: String, payload: Seq[String]): DataFrame = {
     val overlap = left.columns.toSet intersect right.columns.toSet
     require(overlap.isEmpty,
       s"asofExec requires disjoint column names; overlapping: ${overlap.mkString(", ")}")
     val spark = left.sparkSession
-    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    ensureStrategy(spark)
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     val node = graft.plans.AsOfJoinNode(
       left.queryExecution.logical, right.queryExecution.logical,
@@ -92,14 +112,23 @@ object AsOfJoin {
       .withColumn("_tag", lit(1))
       .select(leftCols.map(col) :+ col("_t") :+ col("_tag") :+ nullPayload.as("_p"): _*)
     val r = right
+      // join semantics (and AsOfJoinExec parity): a right row with a
+      // NULL key or NULL event time can never match anything — drop it
+      // here rather than letting the null-key window partition pair it
+      // with null-key left rows
+      .where(col(key).isNotNull && col(rts).isNotNull)
       .withColumn("_t", col(rts))
       .withColumn("_tag", lit(0))
       .select((leftCols.map(c => if (c == key) col(key) else lit(null).cast(left.schema(c).dataType).as(c)) :+
         col("_t") :+ col("_tag")) :+ struct(payload.map(col): _*).as("_p"): _*)
     // at equal timestamps the right row (_tag 0) sorts first in both
     // directions, so equality matches inclusively
+    // nulls_first in BOTH directions: a left row with a NULL event time
+    // must scan before every right row so it gets the null payload
+    // (desc's default NULLS LAST would instead hand it the running
+    // match of the whole partition)
     val w = Window.partitionBy(col(key))
-      .orderBy(if (forward) col("_t").desc else col("_t").asc, col("_tag"))
+      .orderBy(if (forward) col("_t").desc_nulls_first else col("_t").asc_nulls_first, col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
       .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))

@@ -110,10 +110,17 @@ object Dedup {
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard:
     * [[minhashBandCandidates]] scored by the fraction of matching
     * signature components. Output: (doc_a, doc_b, est) for
-    * est >= minEst. */
+    * est >= minEst.
+    *
+    * `sigOpt`: a pre-computed (and pinned) signature table for `docs`
+    * — the signature aggregation is the dominant cost of the whole
+    * dedup family, and four gate queries score/cluster the SAME
+    * corpus, so callers running several dedup variants should compute
+    * it once (see PipelineQueries' session memo) and pass it here. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                   minEst: Double = 0.25): DataFrame = {
-    val sig = minhashSignatures(docs, k).localCheckpoint(true)
+                   minEst: Double = 0.25,
+                   sigOpt: Option[DataFrame] = None): DataFrame = {
+    val sig = sigOpt.getOrElse(minhashSignatures(docs, k).localCheckpoint(true))
     val pairs = minhashBandCandidates(docs, k, bands, Some(sig))
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))

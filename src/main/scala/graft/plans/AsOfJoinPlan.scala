@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, Generic
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampType}
 
 /** The whole-operator tier of the extension ladder (SURVEY.md §2.2:
   * compose built-ins → custom Expression → custom LogicalPlan +
@@ -58,19 +58,46 @@ object AsOfJoinStrategy extends SparkStrategy {
 /** Partition-local sorted merge as-of join (the distributed
   * `merge_asof`): both inputs arrive clustered by key and sorted by
   * (key, ts); one forward pass buffers only the latest matching right
-  * payload per key. Key must be LongType; ts LongType or TimestampType
-  * (micros — compared as long). */
+  * payload per key.
+  *
+  * Types: keys Long or Int — but the SAME type on both sides, because
+  * each side hash-clusters on its own key and murmur3 of an Int and
+  * the equal Long are different hashes (a mixed-type pair would break
+  * co-partitioning, not just comparison). Event time is Long /
+  * Timestamp (micros) / Int / Date (days) — Date must pair with Date
+  * (days vs micros are different units).
+  *
+  * NULL semantics match Spark joins and the composed union+window
+  * form: a left row with a NULL key or NULL event time gets the null
+  * payload (never matches); right rows with NULL key or event time
+  * are consumed and skipped (never match anything). Both sides sort
+  * nulls-first ascending, so the skipped rows sit at the front of a
+  * partition / key group and the merge stays a single forward pass. */
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKey: Attribute, rightKey: Attribute,
                         leftTs: Attribute, rightTs: Attribute,
                         payload: Seq[Attribute]) extends BinaryExecNode {
 
   private def checkTypes(): Unit = {
-    require(leftKey.dataType == LongType && rightKey.dataType == LongType,
-      s"as-of exec requires LongType keys, got ${leftKey.dataType}/${rightKey.dataType}")
+    require(Seq(LongType, IntegerType).contains(leftKey.dataType) &&
+      rightKey.dataType == leftKey.dataType,
+      s"as-of exec requires Long or Int keys of the SAME type on both sides " +
+        s"(hash co-partitioning is type-sensitive), got " +
+        s"${leftKey.dataType}/${rightKey.dataType}")
     Seq(leftTs, rightTs).foreach(t =>
-      require(t.dataType == LongType || t.dataType == TimestampType,
-        s"as-of exec requires Long/Timestamp event time, got ${t.dataType}"))
+      require(Seq(LongType, TimestampType, IntegerType, DateType).contains(t.dataType),
+        s"as-of exec requires Long/Timestamp/Int/Date event time, got ${t.dataType}"))
+    require((leftTs.dataType == DateType) == (rightTs.dataType == DateType),
+      s"as-of exec: Date event time must pair with Date (days vs micros are " +
+        s"different units), got ${leftTs.dataType}/${rightTs.dataType}")
+  }
+
+  /** Width-agnostic long extraction (Int/Date are 4-byte ints in
+    * InternalRow; Long/Timestamp are 8-byte longs). */
+  private def longGetter(dt: DataType): (InternalRow, Int) => Long = dt match {
+    case LongType | TimestampType => (r, i) => r.getLong(i)
+    case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+    case other => throw new IllegalStateException(s"unsupported as-of type $other")
   }
 
   override def output: Seq[Attribute] =
@@ -98,6 +125,10 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rightOutput = right.output
     val leftOutput = left.output
     val outputAttrs = output
+    val getLKey = longGetter(leftKey.dataType)
+    val getLTs = longGetter(leftTs.dataType)
+    val getRKey = longGetter(rightKey.dataType)
+    val getRTs = longGetter(rightTs.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadLocal, rightOutput)
       // bind the result against NULLABLE payload attrs — the no-match
@@ -112,24 +143,43 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
       var hasMatch = false
       var matchRow: InternalRow = null
       lIter.map { l =>
-        val lk = l.getLong(lKeyIdx)
-        val lt = l.getLong(lTsIdx)
-        // advance the right side to the last row with (rk, rts) <= (lk, lt)
-        var advance = true
-        while (advance && rBuf.hasNext) {
-          val r = rBuf.head
-          val rk = r.getLong(rKeyIdx)
-          val rts = r.getLong(rTsIdx)
-          if (rk < lk || (rk == lk && rts <= lt)) {
-            rBuf.next()
-            if (rk == lk) {
-              matchKey = rk; hasMatch = true
-              matchRow = payloadProj(r).copy() // unsafe rows are reused buffers
+        // NULL key/time left rows never match (nulls sort first, so they
+        // precede every real key/time and skipping them keeps the merge
+        // monotone). Reading them via getLong instead would silently
+        // alias key 0 / the epoch — a latent wrong answer on any
+        // null-bearing input.
+        if (l.isNullAt(lKeyIdx) || l.isNullAt(lTsIdx)) {
+          resultProj(joined(l, nullPayload))
+        } else {
+          val lk = getLKey(l, lKeyIdx)
+          val lt = getLTs(l, lTsIdx)
+          // advance the right side to the last row with (rk, rts) <= (lk, lt)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val r = rBuf.head
+            if (r.isNullAt(rKeyIdx)) {
+              rBuf.next() // null keys never match; sorted before all keys
+            } else {
+              val rk = getRKey(r, rKeyIdx)
+              if (rk < lk) {
+                rBuf.next() // smaller key (incl. its null-ts rows): consume
+              } else if (rk == lk) {
+                if (r.isNullAt(rTsIdx)) {
+                  rBuf.next() // null time sorts first within the key; never a match
+                } else {
+                  val rts = getRTs(r, rTsIdx)
+                  if (rts <= lt) {
+                    rBuf.next()
+                    matchKey = rk; hasMatch = true
+                    matchRow = payloadProj(r).copy() // unsafe rows are reused buffers
+                  } else advance = false
+                }
+              } else advance = false
             }
-          } else advance = false
+          }
+          val p = if (hasMatch && matchKey == lk) matchRow else nullPayload
+          resultProj(joined(l, p))
         }
-        val p = if (hasMatch && matchKey == lk) matchRow else nullPayload
-        resultProj(joined(l, p))
       }
     }
   }

@@ -28,6 +28,27 @@ import Tables.t
   */
 object PipelineQueries {
 
+  /** Session-scoped memo of the documents corpus' MinHash signature
+    * table, keyed on (session, dataset dir, k, shingleN). Four gate
+    * queries (q_dedup_minhash / q_dedup_editdist / q_dedup_cluster /
+    * q_dedup_pipeline) band-join or rescore the SAME signatures, and
+    * each recomputing the signature aggregation independently was
+    * ~8.6 s of the 43 s sf0.1 bench (BENCH_r04). The table is pinned
+    * with an eager localCheckpoint; entries are keyed by the session
+    * object, so a fresh session (whose context can't read another
+    * context's checkpoint blocks) recomputes instead of misreading.
+    * Size: one (doc_id, 16×8-char array) row per doc per corpus —
+    * negligible next to the corpus itself. */
+  private val sigMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Int), DataFrame]()
+
+  private def docSignatures(s: SparkSession, d: String,
+                            k: Int = 16, shingleN: Int = 3): DataFrame =
+    sigMemo.computeIfAbsent(
+      (s, new java.io.File(d).getCanonicalPath, k, shingleN),
+      _ => Dedup.minhashSignatures(t(s, d, "documents"), k, shingleN)
+        .localCheckpoint(true))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ----------------------------------------------------
     "q_text_stats" -> ((s, d) => {
@@ -150,7 +171,8 @@ object PipelineQueries {
           .over(org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))))
         .where(col("doc_id") =!= col("keeper"))
         .select(col("doc_id"))
-      val nearLosers = Dedup.minhashPairs(docs, minEst = 0.5)
+      val nearLosers = Dedup.minhashPairs(docs, minEst = 0.5,
+          sigOpt = Some(docSignatures(s, d)))
         .select(col("doc_b").as("doc_id")).distinct()
         .join(exactLosers, Seq("doc_id"), "left_anti")
       val total = docs.select(count(lit(1)).as("n_total"))
@@ -163,7 +185,8 @@ object PipelineQueries {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy("h")),
     "q_dedup_minhash" -> ((s, d) =>
-      Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.25)
+      Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.25,
+          sigOpt = Some(docSignatures(s, d)))
         .orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashBuckets(t(s, d, "documents")).orderBy("simhash")),
@@ -188,7 +211,8 @@ object PipelineQueries {
       // (est >= 0.5) via the distributed CC operator — the step after
       // pair generation in a real dedup pipeline (pick one keeper per
       // cluster, not per pair). cluster id = min doc_id.
-      val pairs = Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.5)
+      val pairs = Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.5,
+          sigOpt = Some(docSignatures(s, d)))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       graft.operators.Traversals.connectedComponents(pairs)
         .groupBy("component")
@@ -238,7 +262,8 @@ object PipelineQueries {
       // bucket join was measured to blow up quadratically at 10x scale
       // (tools/Stress), this formulation survives it.
       val docs = t(s, d, "documents")
-      val cand = Dedup.minhashBandCandidates(docs, k = 16, bands = 4)
+      val cand = Dedup.minhashBandCandidates(docs, k = 16, bands = 4,
+        sigOpt = Some(docSignatures(s, d)))
       val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
       cand.join(ta, "doc_a").join(tb, "doc_b")

@@ -899,6 +899,39 @@ object RelationalQueries {
         .orderBy("user_id")
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_join_outer" -> ((s, d) => {
+      // LEFT-OUTER stream-stream interval join: q_stream_join's pairs
+      // PLUS every view with no click in its 30-minute window,
+      // null-padded. An unmatched view can only emit once the engine
+      // can PROVE no matching click will arrive — its interval end
+      // must fall below the global watermark (min over both sides of
+      // max event time - 2h), at which point the eviction no-data
+      // micro-batch (which processAllAvailable waits for) releases it.
+      // Views whose interval end is still above the final watermark
+      // stay in state unemitted — the oracle carries the same cutoff.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-join-outer-stream")
+      try {
+      stageEventsInto(d, streamDir)
+      val views = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val clicks = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+      val sink = "stream_join_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .intervalJoin(views, clicks, "user_id", "c_user", "vts", "cts",
+          joinType = "left_outer")
+        .select(col("user_id"), col("view_id"), col("click_id"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"), count(col("click_id")).as("n_matched"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+        .orderBy("user_id")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_stream_enrich" -> ((s, d) => {
       // third streaming-executed gate member: stream-static broadcast
       // enrichment (events joined to the nation dim per micro-batch),
@@ -1199,6 +1232,8 @@ object RelationalQueries {
       """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(value), 2) AS val FROM events JOIN nation ON user_id % 25 = n_nationkey GROUP BY n_name ORDER BY n_name""",
     "q_stream_join" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'), c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS cts FROM events WHERE event_type = 'click') SELECT v.user_id, count(*)::BIGINT AS n_pairs, min(floor(epoch(cts))::BIGINT - floor(epoch(vts))::BIGINT) AS min_gap_s, max(floor(epoch(cts))::BIGINT - floor(epoch(vts))::BIGINT) AS max_gap_s FROM v JOIN c ON v.user_id = c.c_user AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE GROUP BY v.user_id ORDER BY v.user_id""",
+    "q_stream_join_outer" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'), c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS cts FROM events WHERE event_type = 'click'), wm AS (SELECT least((SELECT max(vts) FROM v), (SELECT max(cts) FROM c)) - INTERVAL 2 HOUR AS w), pairs AS (SELECT v.user_id, v.view_id, c.click_id FROM v JOIN c ON v.user_id = c.c_user AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE), unmatched AS (SELECT v.user_id, v.view_id FROM v, wm WHERE v.vts + INTERVAL 30 MINUTE < wm.w AND NOT EXISTS (SELECT 1 FROM c WHERE c.c_user = v.user_id AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE)) SELECT user_id, count(*)::BIGINT AS n_rows, count(click_id)::BIGINT AS n_matched, sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unmatched FROM (SELECT user_id, click_id FROM pairs UNION ALL SELECT user_id, NULL::BIGINT AS click_id FROM unmatched) GROUP BY user_id ORDER BY user_id""",
     "q_events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->

@@ -67,14 +67,29 @@ object EventStreams {
     * the interval, not stream history, which is what makes the
     * operator viable on an unbounded stream. Inner-join results emit
     * as soon as both matching rows have arrived (no watermark wait).
-    * Input frames must already carry distinct column names. */
+    *
+    * `joinType` extends the operator to the outer modes
+    * ("left_outer" / "right_outer" / "full_outer"): an unmatched
+    * outer-side row is emitted null-padded only once the OTHER side's
+    * watermark has passed the end of its interval — i.e. the state
+    * store can prove no future match can arrive — so outer results
+    * trail the watermark by design (drive the stream past the row's
+    * interval, e.g. with later data, before expecting its null row).
+    *
+    * Input frames must carry DISJOINT column names (rename first) —
+    * the join condition resolves per side, but a shared name would
+    * make the joined output ambiguous for every downstream select. */
   def intervalJoin(left: DataFrame, right: DataFrame, lkey: String,
                    rkey: String, lts: String, rts: String,
-                   gap: String = "30 minutes"): DataFrame = {
+                   gap: String = "30 minutes",
+                   joinType: String = "inner"): DataFrame = {
+    val overlap = left.columns.toSet intersect right.columns.toSet
+    require(overlap.isEmpty,
+      s"intervalJoin requires disjoint column names; overlapping: ${overlap.mkString(", ")}")
     val l = left.withWatermark(lts, "2 hours")
     val r = right.withWatermark(rts, "2 hours")
-    l.join(r, col(lkey) === col(rkey) &&
-      col(rts) >= col(lts) && col(rts) <= col(lts) + expr(s"INTERVAL $gap"))
+    l.join(r, l(lkey) === r(rkey) &&
+      r(rts) >= l(lts) && r(rts) <= l(lts) + expr(s"INTERVAL $gap"), joinType)
   }
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -84,6 +84,69 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got2 === Map(1L -> None, 2L -> None))
   }
 
+  test("asofExec and composed asof agree on NULL keys/times (join semantics: null never matches)") {
+    import org.apache.spark.sql.functions._
+    val left = Seq(
+      (1L, Some(10L), Some(100L)), // normal match
+      (2L, None, Some(100L)),      // NULL key -> null payload (must NOT alias key 0 / match null right)
+      (3L, Some(10L), None),       // NULL event time -> null payload (must NOT alias the epoch)
+      (4L, Some(10L), Some(200L))  // later match
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (Some(10L), Some(50L), 7L),  // the as-of mark for t in [50, 150)
+      (Option.empty[Long], Some(60L), 8L), // NULL key: matches nothing
+      (Some(10L), Option.empty[Long], 9L), // NULL time: matches nothing
+      (Some(10L), Some(150L), 11L)
+    ).toDF("r_user", "rt", "mark")
+    def got(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("mark"))).toMap
+    val exec = got(AsOfJoin.asofExec(left, right, "user_id", "r_user", "t", "rt", Seq("mark")))
+    assert(exec === Map(1L -> Some(7L), 2L -> None, 3L -> None, 4L -> Some(11L)))
+    val composed = got(AsOfJoin.asof(left,
+      right.select(col("r_user").as("user_id"), col("rt"), col("mark")),
+      "user_id", "t", "rt", Seq("mark")))
+    assert(composed === exec, "composed union+window form must share the exec's null semantics")
+    // forward direction: desc scan must put NULL left times FIRST, not
+    // hand them the partition's running match
+    val fwd = got(AsOfJoin.asofForward(left,
+      right.select(col("r_user").as("user_id"), col("rt"), col("mark")),
+      "user_id", "t", "rt", Seq("mark")))
+    assert(fwd === Map(1L -> Some(11L), 2L -> None, 3L -> None, 4L -> None))
+  }
+
+  test("asofExec supports Int keys and Date event times (4-byte layouts)") {
+    import java.sql.Date
+    val left = Seq(
+      (1L, 10, Date.valueOf("2024-01-05")),
+      (2L, 10, Date.valueOf("2024-01-01")), // before every mark -> null
+      (3L, 20, Date.valueOf("2024-03-01"))
+    ).toDF("event_id", "k", "d")
+    val right = Seq(
+      (10, Date.valueOf("2024-01-03"), 7L),
+      (10, Date.valueOf("2024-01-06"), 8L),
+      (20, Date.valueOf("2024-02-01"), 9L)
+    ).toDF("rk", "rd", "mark")
+    val got = AsOfJoin.asofExec(left, right, "k", "rk", "d", "rd", Seq("mark"))
+      .collect().map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("mark"))).toMap
+    assert(got === Map(1L -> Some(7L), 2L -> None, 3L -> Some(9L)))
+  }
+
+  test("asofExec rejects mixed key widths and Date-vs-micros time pairs") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Date
+    val left = Seq((1L, 10, 100L)).toDF("event_id", "k", "t")
+    val rightLongKey = Seq((10L, 50L, 7L)).toDF("rk", "rt", "mark")
+    val e1 = intercept[Throwable] {
+      AsOfJoin.asofExec(left, rightLongKey, "k", "rk", "t", "rt", Seq("mark")).collect()
+    }
+    assert(e1.getMessage.contains("SAME type"), s"got: ${e1.getMessage}")
+    val rightDate = Seq((10, Date.valueOf("2024-01-01"), 7L)).toDF("rk", "rd", "mark")
+    val e2 = intercept[Throwable] {
+      AsOfJoin.asofExec(left, rightDate, "k", "rk", "t", "rd", Seq("mark")).collect()
+    }
+    assert(e2.getMessage.contains("Date"), s"got: ${e2.getMessage}")
+  }
+
   test("asofForward attaches earliest right row at-or-after each left row, per key") {
     val left = Seq(
       (1L, 10L, ts("2024-01-01 00:00:30")),  // next mark is m2

@@ -224,4 +224,47 @@ class StreamingSpec extends SparkSpec {
       assert(pairs === Set((100L, 101L)))
     } finally q.stop()
   }
+
+  test("left-outer interval join null-pads unmatched views once the watermark passes") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-join-outer")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = 1700000000L * 1000000000L // raw nanos
+    def stage(tag: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, ns, u, tpe) => (id, ns, u, tpe, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+    // user 1: view that will NEVER match; user 2: view that will
+    stage("b1", Seq((100L, base, 1L, "view"), (200L, base, 2L, "view")))
+    val views = EventStreams.eventsStream(spark, streamDir.toString + "/*")
+      .where(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+    val clicks = EventStreams.eventsStream(spark, streamDir.toString + "/*")
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("cts"))
+    val q = EventStreams.intervalJoin(views, clicks, "user_id", "c_user", "vts", "cts",
+        joinType = "left_outer")
+      .select(col("view_id"), col("click_id"))
+      .writeStream.outputMode("append").format("memory").queryName("ivouter").start()
+    try {
+      q.processAllAvailable()
+      // user 2 clicks 10 min after the view: pairs and emits immediately
+      stage("b2", Seq((201L, base + 600L * 1000000000L, 2L, "click")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("ivouter").collect()
+        .map(r => r.getAs[Long]("view_id") -> Option(r.getAs[Any]("click_id"))).toMap
+      assert(afterB2 === Map(200L -> Some(201L)),
+        s"got $afterB2 — user 1's view must NOT null-pad before the watermark proves no match")
+      // far-future view+click (user 99) push BOTH sides' watermarks past
+      // user 1's interval end + 2h delay; the eviction no-data batch then
+      // releases the unmatched view null-padded
+      val far = base + 4L * 3600L * 1000000000L
+      stage("b3", Seq((900L, far, 99L, "view"), (901L, far, 99L, "click")))
+      q.processAllAvailable()
+      val got = spark.table("ivouter").collect()
+        .map(r => r.getAs[Long]("view_id") -> Option(r.getAs[Any]("click_id"))).toMap
+      assert(got === Map(100L -> None, 200L -> Some(201L), 900L -> Some(901L)),
+        s"got $got — the unmatched view must surface null-padded after eviction")
+    } finally q.stop()
+  }
 }
