@@ -22,7 +22,9 @@ object Bench {
     "q_tpch_q10", "q_events_funnel", "q_events_retention", "q_window_sliding",
     "q_dedup_editdist", "q_embed_kmeans", "q_graph_kcore",
     // round-3 operator families
-    "q_tpch_q1", "q_tpch_q19", "q_text_chunks", "q_embed_lsh")
+    "q_tpch_q1", "q_tpch_q19", "q_text_chunks", "q_embed_lsh",
+    // round-5 operator families
+    "q_tpch_q8", "q_tpch_q21", "q_asof_exec")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -8,12 +8,18 @@ import Tables.t
 /** The TPC-H-shaped decision-support battery beyond q3/q5/q10/q18
   * (which live in [[RelationalQueries]]): pricing summary (q1),
   * priority/EXISTS counting (q4), forecast revenue (q6), bi-nation
-  * volume (q7), customer order-count distribution (q13), promo revenue
-  * share (q14), top supplier (q15), small-quantity average-yearly
-  * (q17), disjunctive-predicate revenue (q19) and dormant-customer
-  * balances (q22) — each adapted to the fixture schema (no
+  * volume (q7), national market share (q8), late-shipment priority
+  * counts (q12), customer order-count distribution (q13), promo
+  * revenue share (q14), top supplier (q15), small-quantity
+  * average-yearly (q17), disjunctive-predicate revenue (q19),
+  * waiting suppliers (q21) and dormant-customer balances (q22) —
+  * 17 of 22 total, each adapted to the fixture schema (no
   * partsupp/commitdate/receiptdate/shipmode/phone columns; deviations
   * noted per query) and each with an exact DuckDB oracle.
+  * The remaining five are fixture-blocked, not skipped: q2/q11/q16/q20
+  * are structurally ABOUT partsupp (supplier-part cost/stock), and q9
+  * needs ps_supplycost in its profit term — no faithful adaptation
+  * exists without that table.
   *
   * Determinism: every money aggregate sums decimal-cast terms
   * (products of 2-decimal columns are exact at 4dp, three-way products
@@ -100,6 +106,90 @@ object TpchQueries {
           year(col("l_shipdate")).as("l_year"))
         .agg(revSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    "q_tpch_q8" -> ((s, d) => {
+      // Q8 national market share: NATION_3's share of EUROPE's ECONOMY-
+      // part import volume by order year. Every dimension (part filter,
+      // supplier, both nation legs, region) broadcasts; only the
+      // lineitem-orders-customer spine shuffles. The share is a
+      // conditional exact-decimal sum over the same term as the total,
+      // divided once as doubles (q14 pattern).
+      val econParts = t(s, d, "part").where(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))
+      val rEurope = broadcast(t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "EUROPE")
+        .select(col("n_nationkey").as("c_nk")))
+      val suppNation = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val term = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")
+      t(s, d, "lineitem")
+        .join(broadcast(econParts), col("l_partkey") === col("p_partkey"))
+        .join(t(s, d, "orders")
+          .where(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(rEurope, col("c_nationkey") === col("c_nk"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", term)
+            .otherwise(lit(0).cast("decimal(18,4)"))).cast("double") /
+          sum(term).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    "q_tpch_q12" -> ((s, d) => {
+      // Q12 shape: priority counts of late shipments per class
+      // (adapted: no l_shipmode/commitdate/receiptdate in the fixture —
+      // l_returnflag stands in for the mode and "shipped 60+ days after
+      // order" stands in for commit < receipt). One equi-join, counts
+      // only — no decimal parity needed.
+      t(s, d, "lineitem")
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .where(col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag").as("ship_class"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("ship_class")
+    }),
+    "q_tpch_q21" -> ((s, d) => {
+      // Q21 waiting-supplier shape (adapted: l_returnflag = 'R' stands
+      // in for "delivered late"): NATION_3 suppliers who were the ONLY
+      // supplier with returned lines in a finished multi-supplier
+      // order. The textbook form is l1 + EXISTS(l2) + NOT EXISTS(l3) —
+      // three passes over lineitem; here ONE groupBy(l_orderkey)
+      // computes (distinct suppliers, distinct returned-suppliers, the
+      // unique returned supplier, its returned-line count) per order,
+      // and the exists/not-exists pair becomes n_supp > 1 AND
+      // n_rsupp = 1 — one shuffle, then broadcast dims. numwait counts
+      // LINES (the oracle's l1 rows), hence sum(r_lines), not count.
+      val perOrder = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_rsupp"),
+          max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("r_supp"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r_lines"))
+        .where(col("n_supp") > 1 && col("n_rsupp") === 1)
+      val fOrders = t(s, d, "orders").where(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val n3Supp = broadcast(t(s, d, "supplier")
+        .join(t(s, d, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .where(col("n_name") === "NATION_3")
+        .select(col("s_suppkey"), col("s_name")))
+      perOrder.join(fOrders, col("l_orderkey") === col("o_orderkey"))
+        .join(n3Supp, col("r_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(sum(col("r_lines")).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
     }),
     "q_tpch_q13" -> ((s, d) => {
       // Q13 customer order-count distribution: left join so zero-order
@@ -213,6 +303,12 @@ object TpchQueries {
       """SELECT sum((l_extendedprice * l_discount)::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q_tpch_q7" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate)::INT AS l_year, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n1 ON s_nationkey = n1.n_nationkey JOIN nation n2 ON c_nationkey = n2.n_nationkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_tpch_q8" ->
+      """SELECT year(o_orderdate)::INT AS o_year, sum(CASE WHEN n2.n_name = 'NATION_3' THEN (l_extendedprice*(1-l_discount))::DECIMAL(18,4) ELSE 0::DECIMAL(18,4) END)::DOUBLE / sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS mkt_share FROM lineitem JOIN part ON l_partkey = p_partkey JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation n1 ON c_nationkey = n1.n_nationkey JOIN region ON n1.n_regionkey = r_regionkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation n2 ON s_nationkey = n2.n_nationkey WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE' AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q12" ->
+      """SELECT l_returnflag AS ship_class, sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count, sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count FROM lineitem JOIN orders ON l_orderkey = o_orderkey WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate >= o_orderdate + INTERVAL 60 DAY GROUP BY 1 ORDER BY 1""",
+    "q_tpch_q21" ->
+      """SELECT s_name, count(*)::BIGINT AS numwait FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN lineitem l1 ON s_suppkey = l1.l_suppkey JOIN orders ON o_orderkey = l1.l_orderkey WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' AND n_name = 'NATION_3' AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) AND NOT EXISTS (SELECT 1 FROM lineitem l3 WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R') GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""",
     "q_tpch_q13" ->
       """SELECT c_count, count(*)::BIGINT AS custdist FROM (SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count FROM customer LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' GROUP BY c_custkey) GROUP BY c_count ORDER BY custdist DESC, c_count DESC""",
     "q_tpch_q14" ->
