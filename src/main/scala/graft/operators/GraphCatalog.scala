@@ -80,6 +80,57 @@ final class GraphCatalog(spark: SparkSession, root: String) {
     * shuffle elimination — a plain parquet read loses it). */
   def loadBucketed(name: String): DataFrame = { validate(name); spark.table(tableName(name)) }
 
+  /** Append-mode mutation — the operation a 100 TB catalog needs that
+    * the reference's whole-graph op=2 rewrite can't provide: new edges
+    * land as ADDITIONAL parquet files, touching none of the existing
+    * data. Readers keep their snapshot semantics: an in-flight [[load]]
+    * planned before the append never sees the new files (file listing
+    * is plan-time), and a [[loadPinned]] snapshot is immune by
+    * construction. Creates the graph when absent (append to empty). */
+  def addEdges(name: String, edges: DataFrame): Unit = {
+    validate(name)
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .write.mode(SaveMode.Append).parquet(edgePath(name))
+  }
+
+  private def bucketSpecOf(name: String) = spark.sessionState.catalog
+    .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(tableName(name)))
+    .bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"graph '$name' has no bucket spec — use addEdges for plain-layout graphs"))
+
+  /** [[addEdges]] into the BUCKETED layout: the delta is written as its
+    * own set of bucket files under the same spec (bucket count read
+    * from the catalog, so it can never diverge), which keeps src-keyed
+    * joins and traversals shuffle-free — each bucket id just has more
+    * than one file until [[compactBucketed]] folds them together. */
+  def addEdgesBucketed(name: String, edges: DataFrame): Unit = {
+    validate(name)
+    val spec = bucketSpecOf(name)
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(spec.numBuckets, "src").sortBy("src")
+      .saveAsTable(tableName(name))
+  }
+
+  /** Fold a bucketed graph's accumulated append deltas back into one
+    * write's worth of bucket files (pre-clustered on `src` so the
+    * bucketed write needs no extra exchange and each task emits one
+    * bucket file). `dedup` drops exact duplicate edges — optional
+    * because the edge list is a multiset on the write path and
+    * compaction must default to changing nothing but layout. The
+    * snapshot is pinned BEFORE the overwrite: localCheckpoint detaches
+    * the rows from the files being replaced, so compaction is safe
+    * against its own read (and concurrent pinned readers stay stable,
+    * suite-tested). */
+  def compactBucketed(name: String, dedup: Boolean = false): Unit = {
+    validate(name)
+    val spec = bucketSpecOf(name)
+    val snap = loadBucketed(name).localCheckpoint(eager = true)
+    val data = if (dedup) snap.distinct() else snap
+    addGraphBucketed(name,
+      data.repartition(spec.numBuckets, col("src")), spec.numBuckets)
+  }
+
   // Hadoop FS API, not java.io.File — the catalog root may be hdfs://
   // or s3a:// (the write/read paths already go through Spark's FS).
   private def fs = new org.apache.hadoop.fs.Path(root)

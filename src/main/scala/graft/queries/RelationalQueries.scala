@@ -96,7 +96,11 @@ object RelationalQueries {
     }),
     "q_udaf_weighted" -> ((s, d) => {
       import org.apache.spark.sql.functions.udaf
-      s.udf.register("wmean", udaf(graft.functions.WeightedMean))
+      // register once per session — re-registering logs a "function
+      // replaced" warning per bench rep / warmup pass
+      if (!s.sessionState.functionRegistry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier("wmean")))
+        s.udf.register("wmean", udaf(graft.functions.WeightedMean))
       t(s, d, "lineitem")
         .groupBy("l_returnflag")
         .agg(round(expr("wmean(l_extendedprice, l_quantity)"), 2).as("wavg_price"))

@@ -132,6 +132,66 @@ class TraversalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("addEdges append: new edges visible to new reads, pinned snapshots stable, op=2 unchanged") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-append").toString
+    val cat = new GraphCatalog(spark, tmp)
+    cat.addGraph("g", Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"))
+    val pinned = cat.loadPinned("g")
+    cat.addEdges("g", Seq((2L, 3L), (3L, 4L)).toDF("src", "dst"))
+    assert(cat.load("g").count() === 4, "append must be visible to a fresh load")
+    assert(pinned.count() === 2, "pinned snapshot must not see the append")
+    assert(cat.bfs("g", 0).count() === 5, "traversal must span old + appended edges")
+    // append to a nonexistent graph creates it
+    cat.addEdges("g2", Seq((7L, 8L)).toDF("src", "dst"))
+    assert(cat.load("g2").count() === 1)
+    // reference op=2 semantics unchanged: modify still replaces whole-graph
+    cat.modifyGraph("g", Seq((9L, 8L)).toDF("src", "dst"))
+    assert(cat.load("g").count() === 1)
+  }
+
+  test("bucketed append + compaction: bucket layout preserved, multiset identical, deltas fold") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bappend").toString
+    val cat = new GraphCatalog(spark, tmp)
+    cat.addGraphBucketed("gb", Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("src", "dst"), buckets = 4)
+    // two appends, one containing an exact duplicate edge
+    cat.addEdgesBucketed("gb", Seq((3L, 4L), (0L, 1L)).toDF("src", "dst"))
+    cat.addEdgesBucketed("gb", Seq((4L, 5L)).toDF("src", "dst"))
+    def smjShuffleFree(): Unit = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val b = cat.loadBucketed("gb")
+        val plan = b.as("x").join(b.as("y"),
+            org.apache.spark.sql.functions.col("x.src") === org.apache.spark.sql.functions.col("y.src"))
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+        assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+          s"bucketed src=src SMJ must stay shuffle-free after append/compaction:\n$plan")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+    assert(cat.loadBucketed("gb").count() === 6)
+    smjShuffleFree() // append deltas carry the bucket spec
+    def parquetFiles() = new java.io.File(s"$tmp/gb/edges").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val filesBefore = parquetFiles()
+    val multisetBefore = cat.loadBucketed("gb")
+      .groupBy("src", "dst").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val pinned = cat.loadPinned("gb")   // plain-path snapshot across compaction
+    cat.compactBucketed("gb")
+    assert(cat.loadBucketed("gb").groupBy("src", "dst").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet === multisetBefore,
+      "layout-only compaction must preserve the edge multiset (incl. the duplicate)")
+    assert(parquetFiles() < filesBefore,
+      s"compaction must fold delta files (before=$filesBefore after=${parquetFiles()})")
+    assert(pinned.count() === 6, "pinned snapshot must survive compaction's overwrite")
+    smjShuffleFree() // compaction re-registers the same bucket spec
+    cat.compactBucketed("gb", dedup = true)
+    assert(cat.loadBucketed("gb").count() === 5, "dedup compaction drops the exact duplicate")
+  }
+
   test("sssp: weighted shortest paths on a hand-checked graph") {
     import spark.implicits._
     // 0-1 (w1), 1-2 (w1), 0-2 (w5): the 2-hop path beats the direct edge

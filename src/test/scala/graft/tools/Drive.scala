@@ -75,6 +75,18 @@ object Drive {
     q.processAllAvailable(); q.stop()
     println("LEFT_OUTER_STREAM_ROWS:")
     spark.table("ivo").orderBy("view_id").show(10, false)
+
+    // --- graph catalog append + compaction
+    val tmp = java.nio.file.Files.createTempDirectory("drv-cat").toString
+    val cat = new graft.operators.GraphCatalog(spark, tmp)
+    cat.addGraphBucketed("g", Seq((0L,1L),(1L,2L)).toDF("src","dst"), buckets = 4)
+    cat.addEdgesBucketed("g", Seq((2L,3L),(0L,1L)).toDF("src","dst"))
+    println("AFTER_APPEND=" + cat.loadBucketed("g").count())
+    cat.compactBucketed("g")
+    println("AFTER_COMPACT=" + cat.loadBucketed("g").count())
+    cat.compactBucketed("g", dedup = true)
+    println("AFTER_DEDUP_COMPACT=" + cat.loadBucketed("g").count())
+    println("BFS_FROM_0=" + cat.bfs("g", 0L).count())
     spark.stop()
   }
 }
