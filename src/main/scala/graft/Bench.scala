@@ -24,7 +24,7 @@ object Bench {
     // round-3 operator families
     "q_tpch_q1", "q_tpch_q19", "q_text_chunks", "q_embed_lsh",
     // round-5 operator families
-    "q_tpch_q8", "q_tpch_q21", "q_asof_exec")
+    "q_tpch_q8", "q_tpch_q21", "q_asof_exec", "q_asof_exec_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -76,6 +76,36 @@ object RelationalQueries {
     } else java.nio.file.Files.copy(src, dst.resolve(s"${prefix}events.parquet"))
   }
 
+  /** Session-scoped memo of the purchases reference table staged as a
+    * BUCKETED catalog table (32 buckets on p_user, file-sorted by
+    * (p_user, p_ts)) — the pre-partitioned-reference-side layout
+    * [[graft.operators.AsOfJoin.asofExec]] is designed for (the
+    * catalog-maintained dimension a 100 TB as-of enrichment would join
+    * against). Memoized so repeated bench reps time the join, not the
+    * staging write; keyed by session so a fresh session re-stages. */
+  private val bucketedPurchasesMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  private def bucketedPurchases(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val tbl = bucketedPurchasesMemo.computeIfAbsent(
+      (s, new java.io.File(d).getCanonicalPath), { key =>
+        val name = "graft_asof_purchases_" +
+          java.lang.Integer.toHexString(key._2.hashCode)
+        if (!s.catalog.tableExists(name)) {
+          val dir = java.nio.file.Files.createTempDirectory("graft-asof-bucketed")
+          Tables.events(s, d).where(col("event_type") === "purchase")
+            .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+            .agg(max(col("event_id")).as("purchase_id"))
+            .write.format("parquet")
+            .bucketBy(32, "p_user").sortBy("p_user", "p_ts")
+            .option("path", dir.resolve("purchases").toString)
+            .saveAsTable(name)
+        }
+        name
+      })
+    s.table(tbl)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- scan / projection / filter --------------------------------------
     "q_filter_project" -> ((s, d) => {
@@ -603,6 +633,26 @@ object RelationalQueries {
         .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
         .agg(max(col("event_id")).as("purchase_id"))
       val left = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOfJoin.asofExec(left, purchases,
+          "user_id", "p_user", "ts", "p_ts", Seq("purchase_id", "p_ts"))
+        .select(col("event_id"), col("user_id"), col("purchase_id"),
+          (floor(col("ts").cast("double")) - floor(col("p_ts").cast("double")))
+            .cast("long").as("gap_sec"))
+        .orderBy("event_id")
+    }),
+    "q_asof_exec_bucketed" -> ((s, d) => {
+      // the as-of exec's DESIGN case: the reference side is a BUCKETED
+      // table (32 buckets on p_user, files sorted by (p_user, p_ts)) —
+      // the plan shape PLANS.md promises the exec wins on. The bucketed
+      // scan's hash partitioning satisfies the exec's right-side
+      // ClusteredDistribution, so ONLY the left side shuffles
+      // (PlanSpec-asserted); the composed union+window must co-shuffle
+      // both sides regardless of the right side's layout. Staging the
+      // bucketed table is memoized per (session, dataset), so timed
+      // bench reps after the first measure the join, not the write.
+      val purchases = bucketedPurchases(s, d)
+      val left = Tables.events(s, d).where(col("event_type") =!= "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
       graft.operators.AsOfJoin.asofExec(left, purchases,
           "user_id", "p_user", "ts", "p_ts", Seq("purchase_id", "p_ts"))
@@ -1192,6 +1242,8 @@ object RelationalQueries {
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_exec" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
+    "q_asof_exec_bucketed" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_forward" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), m AS (SELECT c.event_id, c.user_id, c.ts, (SELECT min(p.ts) FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS mts FROM c) SELECT m.event_id, m.user_id, p.purchase_id, CASE WHEN m.mts IS NULL THEN NULL ELSE (floor(epoch(m.mts)) - floor(epoch(m.ts)))::BIGINT END AS gap_sec FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.mts ORDER BY m.event_id""",

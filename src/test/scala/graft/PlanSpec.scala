@@ -45,6 +45,20 @@ class PlanSpec extends SparkSpec {
     assert(rank.contains("WindowGroupLimit"), rank.take(800))
   }
 
+  test("q_asof_exec_bucketed: the bucketed reference side joins with ZERO exchange") {
+    // the exec's design case (PLANS.md): a right side bucketed on the
+    // key satisfies ClusteredDistribution straight off the scan, so the
+    // ONLY shuffle in the whole as-of is the left (event) side — the
+    // composed union+window form must always shuffle both together
+    val p = physical("q_asof_exec_bucketed")
+    assert(p.contains("AsOfJoin "), "must plan the dedicated operator:\n" + p.take(800))
+    val joinTree = p.split("AsOfJoin ").last // children print under the node
+    val exchanges = joinTree.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1,
+      s"exactly ONE side (the events side) may shuffle, got $exchanges:\n$joinTree")
+  }
+
   test("q_embed_topk: native cosine_sim scores inside the top-k project") {
     val df = SparkEntry.queries("q_embed_topk")(spark, TestSpark.sfDir)
     val pre = df.queryExecution.executedPlan.toString
