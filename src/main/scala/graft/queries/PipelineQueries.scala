@@ -147,15 +147,32 @@ object PipelineQueries {
     "q_text_pack" -> ((s, d) => {
       // sequence packing: fill 512-token bins per language in doc_id
       // order — bin = floor(running-token-count-before / 512), the
-      // contiguous-fill variant that needs ONE window cumsum instead
-      // of a sequential first-fit loop (the scalable formulation; bins
-      // can overflow by at most one doc's tokens).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      t(s, d, "documents")
+      // contiguous-fill variant that needs a prefix sum instead of a
+      // sequential first-fit loop (bins can overflow by at most one
+      // doc's tokens). The prefix sum is the TWO-PHASE scan, not one
+      // global per-lang window (which serialises each language onto a
+      // single task — the scale caveat prior rounds flagged): phase 1
+      // cumsums WITHIN 1024-doc blocks (parallel across blocks), phase
+      // 2 window-cumsums the per-block totals (|blocks| rows — tiny)
+      // and broadcasts the offsets back. Identical result, and the
+      // only ordered scan left runs on data ~1000x smaller than the
+      // corpus.
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("tc"))
-        .withColumn("cum", coalesce(sum(col("tc")).over(w), lit(0)))
+        .withColumn("blk", floor(col("doc_id") / 1024))
+      val wLocal = Window.partitionBy(col("lang"), col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wBlk = Window.partitionBy(col("lang")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("lang"), col("blk"))
+        .agg(sum(col("tc")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wBlk), lit(0)))
+        .select(col("lang"), col("blk"), col("off"))
+      base
+        .withColumn("lcum", coalesce(sum(col("tc")).over(wLocal), lit(0)))
+        .join(broadcast(offsets), Seq("lang", "blk"))
+        .withColumn("cum", col("lcum") + col("off"))
         .withColumn("bin", floor(col("cum") / 512))
         .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("tc")).cast("long").as("n_toks"),

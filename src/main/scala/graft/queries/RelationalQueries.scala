@@ -986,6 +986,41 @@ object RelationalQueries {
         .orderBy("user_id")
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_join_full" -> ((s, d) => {
+      // FULL-outer stream-stream interval join: pairs, watermark-
+      // evicted unmatched views (as in q_stream_join_outer) AND
+      // watermark-evicted unmatched clicks. A click's match window is
+      // views with vts in [cts - 30min, cts], so its state is provably
+      // dead once the view-side watermark passes cts itself — a
+      // DIFFERENT cutoff than the view side's vts + 30min, and the
+      // oracle carries both.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-join-full-stream")
+      try {
+      stageEventsInto(d, streamDir)
+      val views = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      val clicks = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+      val sink = "stream_join_full_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams
+        .intervalJoin(views, clicks, "user_id", "c_user", "vts", "cts",
+          joinType = "full_outer")
+        .select(coalesce(col("user_id"), col("c_user")).as("uid"),
+          col("view_id"), col("click_id"))
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy(col("uid"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("view_id").isNotNull && col("click_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_pairs"),
+          sum(when(col("click_id").isNull, 1L).otherwise(0L)).as("n_view_only"),
+          sum(when(col("view_id").isNull, 1L).otherwise(0L)).as("n_click_only"))
+        .orderBy("uid")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_stream_enrich" -> ((s, d) => {
       // third streaming-executed gate member: stream-static broadcast
       // enrichment (events joined to the nation dim per micro-batch),
@@ -1290,6 +1325,8 @@ object RelationalQueries {
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'), c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS cts FROM events WHERE event_type = 'click') SELECT v.user_id, count(*)::BIGINT AS n_pairs, min(floor(epoch(cts))::BIGINT - floor(epoch(vts))::BIGINT) AS min_gap_s, max(floor(epoch(cts))::BIGINT - floor(epoch(vts))::BIGINT) AS max_gap_s FROM v JOIN c ON v.user_id = c.c_user AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE GROUP BY v.user_id ORDER BY v.user_id""",
     "q_stream_join_outer" ->
       """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'), c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS cts FROM events WHERE event_type = 'click'), wm AS (SELECT least((SELECT max(vts) FROM v), (SELECT max(cts) FROM c)) - INTERVAL 2 HOUR AS w), pairs AS (SELECT v.user_id, v.view_id, c.click_id FROM v JOIN c ON v.user_id = c.c_user AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE), unmatched AS (SELECT v.user_id, v.view_id FROM v, wm WHERE v.vts + INTERVAL 30 MINUTE < wm.w AND NOT EXISTS (SELECT 1 FROM c WHERE c.c_user = v.user_id AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE)) SELECT user_id, count(*)::BIGINT AS n_rows, count(click_id)::BIGINT AS n_matched, sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_unmatched FROM (SELECT user_id, click_id FROM pairs UNION ALL SELECT user_id, NULL::BIGINT AS click_id FROM unmatched) GROUP BY user_id ORDER BY user_id""",
+    "q_stream_join_full" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id, ts AS vts FROM events WHERE event_type = 'view'), c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS cts FROM events WHERE event_type = 'click'), wm AS (SELECT least((SELECT max(vts) FROM v), (SELECT max(cts) FROM c)) - INTERVAL 2 HOUR AS w), pairs AS (SELECT v.user_id AS uid, v.view_id, c.click_id FROM v JOIN c ON v.user_id = c.c_user AND cts >= vts AND cts <= vts + INTERVAL 30 MINUTE), vu AS (SELECT v.user_id AS uid, v.view_id FROM v, wm WHERE v.vts + INTERVAL 30 MINUTE < wm.w AND NOT EXISTS (SELECT 1 FROM c WHERE c.c_user = v.user_id AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE)), cu AS (SELECT c.c_user AS uid, c.click_id FROM c, wm WHERE c.cts < wm.w AND NOT EXISTS (SELECT 1 FROM v WHERE v.user_id = c.c_user AND c.cts >= v.vts AND c.cts <= v.vts + INTERVAL 30 MINUTE)) SELECT uid, count(*)::BIGINT AS n_rows, sum(CASE WHEN view_id IS NOT NULL AND click_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_pairs, sum(CASE WHEN click_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_view_only, sum(CASE WHEN view_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_click_only FROM (SELECT uid, view_id, click_id FROM pairs UNION ALL SELECT uid, view_id, NULL::BIGINT FROM vu UNION ALL SELECT uid, NULL::BIGINT, click_id FROM cu) GROUP BY uid ORDER BY uid""",
     "q_events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS sec FROM events), tv AS (SELECT user_id, min(sec) AS tv FROM ev WHERE event_type = 'view' GROUP BY user_id), tc AS (SELECT e.user_id, min(e.sec) AS tc FROM ev e JOIN tv ON e.user_id = tv.user_id AND e.sec > tv.tv WHERE e.event_type = 'click' GROUP BY e.user_id), tp AS (SELECT e.user_id, min(e.sec) AS tp FROM ev e JOIN tc ON e.user_id = tc.user_id AND e.sec > tc.tc WHERE e.event_type = 'purchase' GROUP BY e.user_id) SELECT (SELECT count(*) FROM tv)::BIGINT AS n_view, (SELECT count(*) FROM tc)::BIGINT AS n_click, (SELECT count(*) FROM tp)::BIGINT AS n_purchase, (SELECT round(avg(tp.tp - tv.tv), 2) FROM tp JOIN tv ON tp.user_id = tv.user_id) AS avg_secs""",
     "q_window_sliding" ->

@@ -22,9 +22,20 @@ object Perf {
         catch { case _: Throwable => }
       }
     val names = if (args.nonEmpty) args.toSeq else Seq("q_graph_bfs_big", "q_graph_cc_big")
+    // PERF_REPS>0: after the cold run, time `reps` warm executions and
+    // print the median — single warm runs are noise-dominated below ~1s
+    val reps = sys.env.getOrElse("PERF_REPS", "1").toInt
     names.foreach { n =>
       time(n + "_cold")(graft.SparkEntry.queries(n)(spark, sfDir).count())
-      time(n + "_warm")(graft.SparkEntry.queries(n)(spark, sfDir).count())
+      if (reps <= 1) time(n + "_warm")(graft.SparkEntry.queries(n)(spark, sfDir).count())
+      else {
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(n)(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"PERF ${n}_median_of_$reps ${ts(ts.length / 2)}%.3f s (min ${ts.head}%.3f max ${ts.last}%.3f)")
+      }
     }
     spark.stop()
   }
