@@ -119,11 +119,24 @@ object Traversals {
 
   /** Reference op=4: BFS traversal sequence. Output
     * `(order: Long, level: Int, vertex: Long)`, order 0-based over
-    * (level asc, vertex asc). */
+    * (level asc, vertex asc).
+    *
+    * The global (level, vertex) rank is computed as a TWO-PHASE scan,
+    * not one unpartitioned `Window.orderBy` (which funnels the whole
+    * reachable set through a single task): phase 1 ranks vertices
+    * WITHIN each level (parallel across levels), phase 2
+    * window-cumsums the per-level counts (one row per level — tiny)
+    * and broadcasts each level's starting offset back. */
   def bfs(edges: DataFrame, start: Long): DataFrame = {
-    val w = Window.orderBy(col("level"), col("vertex"))
-    bfsLevels(edges, start)
-      .select((row_number().over(w) - 1).cast("long").as("order"),
+    val lv = bfsLevels(edges, start)
+    val wInLevel = Window.partitionBy(col("level")).orderBy(col("vertex"))
+    val wLevels = Window.orderBy(col("level"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = lv.groupBy(col("level")).agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum(col("n")).over(wLevels), lit(0)))
+      .select(col("level"), col("off"))
+    lv.join(broadcast(offsets), Seq("level"))
+      .select((row_number().over(wInLevel) - 1 + col("off")).cast("long").as("order"),
         col("level").cast("int").as("level"), col("vertex").cast("long").as("vertex"))
   }
 
