@@ -136,6 +136,94 @@ final class GraphCatalog(spark: SparkSession, root: String) {
   private def fs = new org.apache.hadoop.fs.Path(root)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // ------------------------------------------------------------------
+  // Versioned graphs (time travel) — the snapshot model a 100 TB
+  // catalog wants: every commit writes an IMMUTABLE new version dir
+  // and then flips a one-line `_latest` pointer (write-temp + atomic
+  // rename). Readers resolve the pointer once at load; a version,
+  // once resolved, can never be torn or swapped underneath the query
+  // — which makes [[loadPinned]]-style materialisation unnecessary on
+  // this path. Old versions stay readable (time travel / reproducible
+  // reruns) until [[expireVersions]] prunes them.
+  // ------------------------------------------------------------------
+
+  private def versionDir(name: String, v: Long) =
+    new org.apache.hadoop.fs.Path(s"$root/$name/versions/v$v/edges")
+  private def latestPtr(name: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$name/_latest")
+
+  /** All committed versions of a graph, ascending. */
+  def listVersions(name: String): Seq[Long] = {
+    validate(name)
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$name/versions")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+  }
+
+  /** The version [[loadLatest]] resolves, if any commit succeeded. */
+  def latestVersion(name: String): Option[Long] = {
+    validate(name)
+    if (!fs.exists(latestPtr(name))) None
+    else {
+      val in = fs.open(latestPtr(name))
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** Commit a new immutable version; returns its number. The version
+    * data lands fully before the pointer flips, and the flip is a
+    * rename — a reader either sees the old version or the new one,
+    * never a partial write. Version numbers advance past both the
+    * pointer and any orphaned version dirs (a crashed commit's dir
+    * without a pointer flip is skipped, never resurrected). */
+  def commitVersion(name: String, edges: DataFrame): Long = {
+    validate(name)
+    val next = (latestVersion(name).getOrElse(-1L) max
+      listVersions(name).lastOption.getOrElse(-1L)) + 1
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .write.mode(SaveMode.ErrorIfExists).parquet(versionDir(name, next).toString)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/$name/_latest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename onto the pointer: atomic on HDFS; on object stores use a
+    // conditional-put catalog service instead (same contract)
+    fs.delete(latestPtr(name), false)
+    require(fs.rename(tmp, latestPtr(name)),
+      s"failed to flip _latest pointer for $name")
+    next
+  }
+
+  /** Time-travel read of one immutable version. */
+  def loadVersion(name: String, v: Long): DataFrame = {
+    validate(name)
+    require(fs.exists(versionDir(name, v)), s"graph $name has no version $v")
+    spark.read.parquet(versionDir(name, v).toString)
+  }
+
+  /** Read the latest committed version (resolved once, then stable for
+    * the query's lifetime even across concurrent commits). */
+  def loadLatest(name: String): DataFrame = {
+    val v = latestVersion(name).getOrElse(
+      throw new IllegalArgumentException(s"graph $name has no committed versions"))
+    loadVersion(name, v)
+  }
+
+  /** Prune versions older than `keep` (never the latest). Time travel
+    * window management — the catalog's GC. */
+  def expireVersions(name: String, keep: Int = 1): Unit = {
+    validate(name)
+    require(keep >= 1, "must keep at least the latest version")
+    val latest = latestVersion(name).getOrElse(return)
+    val candidates = listVersions(name).filter(_ != latest).sorted.reverse.drop(keep - 1)
+    candidates.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$name/versions/v$v"), true)
+    }
+  }
+
   def exists(name: String): Boolean = {
     validate(name)
     fs.exists(new org.apache.hadoop.fs.Path(edgePath(name)))

@@ -192,6 +192,36 @@ class TraversalSpec extends SparkSpec {
     assert(cat.loadBucketed("gb").count() === 5, "dedup compaction drops the exact duplicate")
   }
 
+  test("versioned catalog: immutable versions, atomic latest pointer, time travel, expiry") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-versions").toString
+    val cat = new GraphCatalog(spark, tmp)
+    assert(cat.latestVersion("g") === None)
+    assert(cat.listVersions("g") === Seq.empty)
+    intercept[IllegalArgumentException] { cat.loadLatest("g") }
+    val v0 = cat.commitVersion("g", Seq((0L, 1L)).toDF("src", "dst"))
+    val v1 = cat.commitVersion("g", Seq((0L, 1L), (1L, 2L)).toDF("src", "dst"))
+    val v2 = cat.commitVersion("g", Seq((5L, 6L)).toDF("src", "dst"))
+    assert(Seq(v0, v1, v2) === Seq(0L, 1L, 2L))
+    assert(cat.listVersions("g") === Seq(0L, 1L, 2L))
+    assert(cat.latestVersion("g") === Some(2L))
+    assert(cat.loadLatest("g").count() === 1)
+    // time travel: old versions stay exactly as committed
+    assert(cat.loadVersion("g", 0).count() === 1)
+    assert(cat.loadVersion("g", 1).count() === 2)
+    // a resolved old-version read survives later commits (immutability)
+    val pinnedV1 = cat.loadVersion("g", 1)
+    cat.commitVersion("g", Seq((9L, 9L), (9L, 8L), (8L, 7L)).toDF("src", "dst"))
+    assert(pinnedV1.count() === 2, "an immutable version must never change underneath a reader")
+    assert(cat.latestVersion("g") === Some(3L))
+    // expiry keeps the latest plus `keep-1` most recent older versions
+    cat.expireVersions("g", keep = 2)
+    assert(cat.listVersions("g") === Seq(2L, 3L))
+    intercept[IllegalArgumentException] { cat.loadVersion("g", 0) }
+    assert(cat.loadVersion("g", 2).count() === 1)
+    assert(cat.loadLatest("g").count() === 3)
+  }
+
   test("sssp: weighted shortest paths on a hand-checked graph") {
     import spark.implicits._
     // 0-1 (w1), 1-2 (w1), 0-2 (w5): the 2-hop path beats the direct edge
