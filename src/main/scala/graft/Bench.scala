@@ -71,13 +71,19 @@ object Bench {
     val sfCanon = new java.io.File(sfDir).getCanonicalPath
     def sfOf(f: java.io.File): Double =
       scala.util.Try(f.getName.stripPrefix("sf").toDouble).getOrElse(Double.MaxValue)
+    // self-warm ONLY when the timed dir is itself the smallest known
+    // scale (sf0.001 — tiny, and steady-state beats cold-JIT there); a
+    // big timed dir with no smaller sibling must SKIP warmup, not
+    // silently run every query twice on the full dataset
+    val selfWarmOk = sfOf(new java.io.File(sfCanon)) <= 0.001
     val warmDir = Seq("sf0.01", "sf0.001")
       .map(n => new java.io.File(new java.io.File(sfDir).getParentFile, n))
       .filter(f => f.isDirectory && f.getCanonicalPath != sfCanon &&
         sfOf(f) < sfOf(new java.io.File(sfCanon)))
       .sortBy(f => -sfOf(f))
       .headOption
-      .getOrElse(new java.io.File(sfCanon))
+      .getOrElse(if (selfWarmOk) new java.io.File(sfCanon)
+                 else new java.io.File("/nonexistent"))
     if (warmDir.isDirectory) {
       val wd = warmDir.toString
       headline.filter(SparkEntry.queries.contains).foreach { name =>
@@ -95,16 +101,22 @@ object Bench {
     // reflect code, not scheduling luck.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
-      val times = (1 to reps).map { _ =>
+      // any failed rep fails the query (a crash must not hide behind two
+      // clean runs' median) — and once one rep fails the outcome is
+      // sealed, so remaining reps are skipped rather than re-paying a
+      // slow failure path
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < reps && !failed) {
+        i += 1
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count()
-              (System.nanoTime() - t0) / 1e9 }
+              times += (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0 }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true }
       }
-      // any failed rep fails the query — a crash must not hide behind
-      // two clean runs' median
-      (name, if (times.forall(_ >= 0)) times.sorted.apply(times.length / 2) else -1.0)
+      (name, if (!failed) times.sorted.apply(times.length / 2) else -1.0)
     }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // print 0,123 and break the JSON consumer

@@ -103,7 +103,13 @@ object GraftFunctions {
     * name already present (from a prior call or [[GraftExtensions]]
     * injection) is left alone — re-registering is not only wasted work,
     * it spams every executor log with SimpleFunctionRegistry "function
-    * replaced" warnings (one per call site per query). */
+    * replaced" warnings (one per call site per query). Contract: the
+    * graft function names (`cosine_sim`, `dot_fold`, `l2sq_fold`) are
+    * reserved in sessions that use this library — an application that
+    * registers its OWN function under one of these names first will
+    * keep it (we deliberately never clobber an existing registration;
+    * use [[GraftExtensions]] at session build time to guarantee the
+    * graft definitions). */
   def register(spark: SparkSession): Unit = builders.foreach { case (name, b) =>
     val registry = spark.sessionState.functionRegistry
     if (!registry.functionExists(FunctionIdentifier(name)))

@@ -175,10 +175,14 @@ final class GraphCatalog(spark: SparkSession, root: String) {
 
   /** Commit a new immutable version; returns its number. The version
     * data lands fully before the pointer flips, and the flip is a
-    * rename — a reader either sees the old version or the new one,
-    * never a partial write. Version numbers advance past both the
-    * pointer and any orphaned version dirs (a crashed commit's dir
-    * without a pointer flip is skipped, never resurrected). */
+    * RENAME-WITH-OVERWRITE through `FileContext` (atomic on HDFS and
+    * the local FS) — the old pointer is never deleted first, so a
+    * concurrent reader resolves either the old version or the new one,
+    * never "no versions". On object stores without atomic rename, the
+    * pointer belongs in a conditional-put catalog service (same
+    * contract). Version numbers advance past both the pointer and any
+    * orphaned version dirs (a crashed commit's dir without a pointer
+    * flip is skipped, never resurrected). */
   def commitVersion(name: String, edges: DataFrame): Long = {
     validate(name)
     val next = (latestVersion(name).getOrElse(-1L) max
@@ -189,18 +193,23 @@ final class GraphCatalog(spark: SparkSession, root: String) {
     val out = fs.create(tmp, true)
     try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // rename onto the pointer: atomic on HDFS; on object stores use a
-    // conditional-put catalog service instead (same contract)
-    fs.delete(latestPtr(name), false)
-    require(fs.rename(tmp, latestPtr(name)),
-      s"failed to flip _latest pointer for $name")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      tmp.toUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(tmp, latestPtr(name), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 
-  /** Time-travel read of one immutable version. */
+  /** A version dir is only readable once its write completed —
+    * Spark's `_SUCCESS` marker gates both time travel and expiry so a
+    * crashed commit's partial files are never served as data. */
+  private def versionComplete(name: String, v: Long): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(versionDir(name, v), "_SUCCESS"))
+
+  /** Time-travel read of one immutable, fully-committed version. */
   def loadVersion(name: String, v: Long): DataFrame = {
     validate(name)
-    require(fs.exists(versionDir(name, v)), s"graph $name has no version $v")
+    require(fs.exists(versionDir(name, v)) && versionComplete(name, v),
+      s"graph $name has no complete version $v")
     spark.read.parquet(versionDir(name, v).toString)
   }
 
@@ -213,13 +222,18 @@ final class GraphCatalog(spark: SparkSession, root: String) {
   }
 
   /** Prune versions older than `keep` (never the latest). Time travel
-    * window management — the catalog's GC. */
+    * window management — the catalog's GC. Orphan dirs (a crashed
+    * commit: numbered past the pointer, or missing `_SUCCESS`) are
+    * garbage, not history — they are deleted outright and never count
+    * toward the keep window. */
   def expireVersions(name: String, keep: Int = 1): Unit = {
     validate(name)
     require(keep >= 1, "must keep at least the latest version")
     val latest = latestVersion(name).getOrElse(return)
-    val candidates = listVersions(name).filter(_ != latest).sorted.reverse.drop(keep - 1)
-    candidates.foreach { v =>
+    val (orphans, committed) = listVersions(name)
+      .partition(v => v > latest || !versionComplete(name, v))
+    val expired = committed.filter(_ != latest).sorted.reverse.drop(keep - 1)
+    (orphans ++ expired).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$name/versions/v$v"), true)
     }
   }

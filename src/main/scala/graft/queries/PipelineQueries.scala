@@ -43,11 +43,16 @@ object PipelineQueries {
     (SparkSession, String, Int, Int), DataFrame]()
 
   private def docSignatures(s: SparkSession, d: String,
-                            k: Int = 16, shingleN: Int = 3): DataFrame =
+                            k: Int = 16, shingleN: Int = 3): DataFrame = {
+    // sweep dead sessions' entries (same rationale as
+    // RelationalQueries.bucketedPurchases: no unbounded cross-session
+    // retention of checkpointed plans in a session-cycling JVM)
+    sigMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
     sigMemo.computeIfAbsent(
       (s, new java.io.File(d).getCanonicalPath, k, shingleN),
       _ => Dedup.minhashSignatures(t(s, d, "documents"), k, shingleN)
         .localCheckpoint(true))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ----------------------------------------------------

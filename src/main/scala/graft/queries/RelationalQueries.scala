@@ -87,20 +87,28 @@ object RelationalQueries {
     (SparkSession, String), String]()
 
   private def bucketedPurchases(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    // sweep entries of stopped sessions so a JVM that cycles sessions
+    // (test suites, repeated harness runs) doesn't retain dead
+    // SessionStates forever
+    bucketedPurchasesMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val tbl = bucketedPurchasesMemo.computeIfAbsent(
       (s, new java.io.File(d).getCanonicalPath), { key =>
-        val name = "graft_asof_purchases_" +
-          java.lang.Integer.toHexString(key._2.hashCode)
-        if (!s.catalog.tableExists(name)) {
-          val dir = java.nio.file.Files.createTempDirectory("graft-asof-bucketed")
-          Tables.events(s, d).where(col("event_type") === "purchase")
-            .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
-            .agg(max(col("event_id")).as("purchase_id"))
-            .write.format("parquet")
-            .bucketBy(32, "p_user").sortBy("p_user", "p_ts")
-            .option("path", dir.resolve("purchases").toString)
-            .saveAsTable(name)
-        }
+        // md5 of the canonical path, not String.hashCode — a 32-bit
+        // collision would silently join against the WRONG dataset's
+        // purchases; and mode(Overwrite) replaces any stale same-name
+        // catalog entry (e.g. pointing at a vanished temp dir) instead
+        // of trusting it
+        val name = "graft_asof_purchases_" + java.security.MessageDigest
+          .getInstance("MD5").digest(key._2.getBytes("UTF-8"))
+          .take(8).map("%02x".format(_)).mkString
+        val dir = java.nio.file.Files.createTempDirectory("graft-asof-bucketed")
+        Tables.events(s, d).where(col("event_type") === "purchase")
+          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+          .agg(max(col("event_id")).as("purchase_id"))
+          .write.format("parquet").mode("overwrite")
+          .bucketBy(32, "p_user").sortBy("p_user", "p_ts")
+          .option("path", dir.resolve("purchases").toString)
+          .saveAsTable(name)
         name
       })
     s.table(tbl)

@@ -220,6 +220,18 @@ class TraversalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { cat.loadVersion("g", 0) }
     assert(cat.loadVersion("g", 2).count() === 1)
     assert(cat.loadLatest("g").count() === 3)
+    // crashed-commit orphans: a COMPLETE version dir whose pointer flip
+    // never happened (v9), and a PARTIAL dir with no _SUCCESS (v5)
+    Seq((1L, 1L)).toDF("src", "dst").write.parquet(s"$tmp/g/versions/v9/edges")
+    new java.io.File(s"$tmp/g/versions/v5/edges").mkdirs()
+    assert(cat.latestVersion("g") === Some(3L), "orphans must not affect the pointer")
+    assert(cat.loadLatest("g").count() === 3)
+    intercept[IllegalArgumentException] { cat.loadVersion("g", 5) } // partial: unreadable
+    // the next commit numbers PAST the orphan, never resurrects it
+    assert(cat.commitVersion("g", Seq((1L, 2L)).toDF("src", "dst")) === 10L)
+    cat.expireVersions("g", keep = 1)
+    assert(cat.listVersions("g") === Seq(10L),
+      "expiry must GC orphans and expired history, keeping only the latest")
   }
 
   test("sssp: weighted shortest paths on a hand-checked graph") {
