@@ -133,11 +133,11 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("est0"), 4).as("est"))
   }
 
-  /** 16-bit SimHash buckets over distinct tokens (see
+  /** Per-doc 16-bit SimHash over distinct tokens (see
     * [[graft.functions.TextFunctions.simhash16]] for the per-row form;
     * this is the exploded codegen formulation of the same function).
-    * Output: (simhash, cnt, keeper). */
-  def simhashBuckets(docs: DataFrame): DataFrame = {
+    * Output: (doc_id, simhash: long). */
+  def simhashPerDoc(docs: DataFrame): DataFrame = {
     val tk = docs.select(col("doc_id"),
       explode(array_distinct(tokens(col("text")))).as("tok"))
     val votes = (0 until 16).map(b =>
@@ -146,8 +146,41 @@ object Dedup {
       .select(col("doc_id"),
         (0 until 16).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Exact-collision SimHash buckets. Output: (simhash, cnt, keeper). */
+  def simhashBuckets(docs: DataFrame): DataFrame =
+    simhashPerDoc(docs)
       .groupBy("simhash")
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
+
+  /** SimHash near-dup pairs within a hamming BALL, not just exact
+    * collisions: band-LSH candidates rescored by popcount. The 16-bit
+    * hash splits into 4 bands of 4 bits; by pigeonhole, any pair with
+    * hamming distance <= 3 flips bits in at most 3 bands and therefore
+    * collides on at least one — so the band equi-join finds EVERY such
+    * pair (the all-pairs oracle is exactly equivalent) while candidate
+    * counts track near-dup density, not corpus size. Rescoring is one
+    * codegen'd `bit_count(xor)` per candidate. Output:
+    * (doc_a, doc_b, dist) for dist <= maxDist. */
+  def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val bands = 4
+    require(maxDist < bands,
+      s"band-LSH over $bands bands only guarantees completeness for dist < $bands")
+    val sig = simhashPerDoc(docs).localCheckpoint(true)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+      .toDF("doc_id", "simhash", "band_id", "bkey")
+    banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").cast("int").as("dist"))
+      .where(col("dist") <= maxDist)
   }
 
   /** Exact n-gram Jaccard between candidate pairs sharing a

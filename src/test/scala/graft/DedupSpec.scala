@@ -16,6 +16,25 @@ class DedupSpec extends SparkSpec {
     (4L, "tiny doc", "en", "s1", 8L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("simhashHammingPairs: band-LSH finds EXACTLY the all-pairs hamming ball") {
+    val corpus = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+    val viaLsh = Dedup.simhashHammingPairs(corpus, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sig = Dedup.simhashPerDoc(corpus).localCheckpoint(true)
+    val allPairs = sig.as("a").join(sig.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("int").as("dist"))
+      .where(col("dist") <= 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(viaLsh === allPairs, "pigeonhole: 4 bands must be complete for dist <= 3")
+    assert(viaLsh.nonEmpty, "fixture corpus should contain at least one near-dup pair")
+    // identical docs 0/1 in the hand corpus sit at distance 0
+    val hand = Dedup.simhashHammingPairs(docs, maxDist = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(hand.contains((0L, 1L, 0)))
+  }
+
   test("exact dedup groups identical texts") {
     val groups = Dedup.exact(docs).collect()
     assert(groups.length === 4) // 0/1 collapse
