@@ -154,23 +154,47 @@ object Dedup {
       .groupBy("simhash")
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keeper"))
 
+  /** Per-doc WIDE (60-bit) SimHash for hamming-ball search: bit `s`
+    * votes on hex char `s % 30` of md5("(s/30)|" + tok) — two digests
+    * per token, projected once before the aggregate (the minhash
+    * chunking trick). 60 bits, not 64, so every `1L << s` term and the
+    * DuckDB BIGINT twin stay far from signed overflow. The 16-bit
+    * [[simhashPerDoc]] is kept for exact-collision bucketing parity
+    * with `TextFunctions.simhash16`. Output: (doc_id, simhash). */
+  def simhashWidePerDoc(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tok"))
+      .select(col("doc_id"),
+        md5(concat(lit("0|"), col("tok"))).as("m0"),
+        md5(concat(lit("1|"), col("tok"))).as("m1"))
+    val votes = (0 until 60).map(s =>
+      sum(when(substring(col(s"m${s / 30}"), s % 30 + 1, 1) >= "8", 1)
+        .otherwise(-1)).as(s"s$s"))
+    tk.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(s => when(col(s"s$s") > 0, lit(1L << s)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
   /** SimHash near-dup pairs within a hamming BALL, not just exact
-    * collisions: band-LSH candidates rescored by popcount. The 16-bit
-    * hash splits into 4 bands of 4 bits; by pigeonhole, any pair with
-    * hamming distance <= 3 flips bits in at most 3 bands and therefore
-    * collides on at least one — so the band equi-join finds EVERY such
-    * pair (the all-pairs oracle is exactly equivalent) while candidate
-    * counts track near-dup density, not corpus size. Rescoring is one
-    * codegen'd `bit_count(xor)` per candidate. Output:
-    * (doc_a, doc_b, dist) for dist <= maxDist. */
+    * collisions: band-LSH candidates rescored by popcount. The 60-bit
+    * [[simhashWidePerDoc]] splits into 4 bands of 15 bits; by
+    * pigeonhole, any pair with hamming distance <= 3 flips bits in at
+    * most 3 bands and therefore collides on at least one — so the band
+    * equi-join finds EVERY such pair (the all-pairs oracle is exactly
+    * equivalent) while the 2^15-value band keys keep bucket sizes
+    * tracking near-dup density, not corpus size (a narrow hash would
+    * make this O(n²/buckets)). Rescoring is one codegen'd
+    * `bit_count(xor)` per candidate. Output: (doc_a, doc_b, dist) for
+    * dist <= maxDist. */
   def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
     val bands = 4
     require(maxDist < bands,
       s"band-LSH over $bands bands only guarantees completeness for dist < $bands")
-    val sig = simhashPerDoc(docs).localCheckpoint(true)
+    val sig = simhashWidePerDoc(docs).localCheckpoint(true)
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
-        shiftright(col("simhash"), b * 4).bitwiseAND(lit(0xFL))): _*)))
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .toDF("doc_id", "simhash", "band_id", "bkey")
     banded.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&

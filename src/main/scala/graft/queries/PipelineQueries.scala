@@ -508,10 +508,10 @@ object PipelineQueries {
         (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ") +
         """)::BIGINT AS simhash FROM v) SELECT simhash, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS keeper FROM h GROUP BY simhash ORDER BY simhash"""),
     "q_dedup_simhash_near" ->
-      ("""WITH tk AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok FROM documents), v AS (SELECT doc_id, """ +
-        (0 until 16).map(b => s"sum(CASE WHEN substr(md5(tok), ${b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$b").mkString(", ") +
+      ("""WITH tk AS (SELECT doc_id, md5('0|' || tok) AS m0, md5('1|' || tok) AS m1 FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok FROM documents)), v AS (SELECT doc_id, """ +
+        (0 until 60).map(s => s"sum(CASE WHEN substr(m${s / 30}, ${s % 30 + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$s").mkString(", ") +
         """ FROM tk GROUP BY doc_id), h AS (SELECT doc_id, (""" +
-        (0 until 16).map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ") +
+        (0 until 60).map(s => s"CASE WHEN s$s > 0 THEN ${1L << s} ELSE 0 END").mkString(" + ") +
         """)::BIGINT AS simhash FROM v) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.simhash, b.simhash))::INT AS dist FROM h a JOIN h b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b"""),
     "q_dedup_ngram" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i)::DOUBLE AS jac0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(jac0, 4) AS jac FROM j WHERE jac0 >= 0.15 ORDER BY doc_a, doc_b""",

@@ -20,7 +20,7 @@ class DedupSpec extends SparkSpec {
     val corpus = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
     val viaLsh = Dedup.simhashHammingPairs(corpus, maxDist = 3).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
-    val sig = Dedup.simhashPerDoc(corpus).localCheckpoint(true)
+    val sig = Dedup.simhashWidePerDoc(corpus).localCheckpoint(true)
     val allPairs = sig.as("a").join(sig.as("b"),
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
