@@ -425,6 +425,25 @@ object PipelineQueries {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       Similarity.ivfTopK(Similarity.assignCells(e, cents), 0L, 10)
     }),
+    "q_embed_recall" -> ((s, d) => {
+      // ANN QUALITY measurement: recall@10 of the single-cell IVF probe
+      // against the exact brute-force top-10 — the number that tunes
+      // cell count / nprobe in a real ANN deployment, computed as a
+      // query so the tradeoff is measurable in-engine. Both top-10
+      // lists are deterministic (rounded score desc, vec_id tiebreak),
+      // so the recall is exact and oracle-checkable.
+      val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val approx = Similarity.ivfTopK(Similarity.assignCells(e, cents), 0L, 10)
+        .select(col("vec_id"))
+      val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val exact = Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), q, 10)
+        .select(col("vec_id").as("ev"))
+      approx.join(exact, col("vec_id") === col("ev"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
+    }),
     "q_explode_embed" -> ((s, d) => {
       // per-dimension stats across the corpus: posexplode + hash agg
       t(s, d, "embeddings")
@@ -527,6 +546,8 @@ object PipelineQueries {
       s"""WITH s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(8) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), b AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id) SELECT bucket, count(*)::BIGINT AS cnt, min(vec_id)::BIGINT AS min_vec FROM b GROUP BY bucket ORDER BY bucket""",
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    "q_embed_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
     "q_explode_embed" ->
       """SELECT t.i::INT AS pos, round(avg(embedding[t.i + 1]::DOUBLE), 4) AS mean, round(min(embedding[t.i + 1]::DOUBLE), 4) AS mn, round(max(embedding[t.i + 1]::DOUBLE), 4) AS mx FROM embeddings, range(64) t(i) GROUP BY t.i ORDER BY pos""",
     "q_multimodal_frames" ->
