@@ -444,6 +444,29 @@ object PipelineQueries {
         .agg(count(lit(1)).as("hits"))
         .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
     }),
+    "q_embed_quant" -> ((s, d) => {
+      // int8 symmetric quantization — the storage form a 100 TB vector
+      // corpus ships: per-vector max-abs scale, code = floor(x/scale*
+      // 127 + 0.5), plus reconstruction-error accounting per label.
+      // posexplode (codegen) rather than HOF lambdas; the aggregates
+      // are chosen order-independent (counts, integer sums, maxes) so
+      // the oracle hashes exactly — a sum of double squares would be
+      // reduction-order-dependent and is deliberately absent.
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(toDouble(col("embedding"))))
+        .toDF("vec_id", "label", "pos", "x")
+      val scales = ex.groupBy("vec_id").agg(max(abs(col("x"))).as("scale"))
+      ex.join(scales, "vec_id")
+        .withColumn("code", when(col("scale") === 0, lit(0L))
+          .otherwise(floor(col("x") / col("scale") * 127 + 0.5)))
+        .withColumn("err", col("x") - col("code") * col("scale") / 127)
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vals"),
+          max(abs(col("code"))).cast("long").as("max_code"),
+          sum(abs(col("code"))).cast("long").as("sum_abs_code"),
+          round(max(abs(col("err"))), 6).as("max_abs_err"))
+        .orderBy("label")
+    }),
     "q_explode_embed" -> ((s, d) => {
       // per-dimension stats across the corpus: posexplode + hash agg
       t(s, d, "embeddings")
@@ -548,6 +571,8 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_embed_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
+    "q_embed_quant" ->
+      """WITH ex AS (SELECT vec_id, label, t.i AS pos, embedding[t.i + 1]::DOUBLE AS x FROM embeddings CROSS JOIN range(64) t(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM ex GROUP BY vec_id), coded AS (SELECT label, x, CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale * 127 + 0.5) END AS code, scale FROM ex JOIN sc USING (vec_id)), werr AS (SELECT label, code, x - code * scale / 127 AS err FROM coded) SELECT label, count(*)::BIGINT AS n_vals, max(abs(code))::BIGINT AS max_code, sum(abs(code))::BIGINT AS sum_abs_code, round(max(abs(err)), 6) AS max_abs_err FROM werr GROUP BY label ORDER BY label""",
     "q_explode_embed" ->
       """SELECT t.i::INT AS pos, round(avg(embedding[t.i + 1]::DOUBLE), 4) AS mean, round(min(embedding[t.i + 1]::DOUBLE), 4) AS mn, round(max(embedding[t.i + 1]::DOUBLE), 4) AS mx FROM embeddings, range(64) t(i) GROUP BY t.i ORDER BY pos""",
     "q_multimodal_frames" ->
