@@ -24,7 +24,8 @@ object Bench {
     // round-3 operator families
     "q_tpch_q1", "q_tpch_q19", "q_text_chunks", "q_embed_lsh",
     // round-5 operator families
-    "q_tpch_q8", "q_tpch_q21", "q_asof_exec", "q_asof_exec_bucketed")
+    "q_tpch_q8", "q_tpch_q21", "q_asof_exec", "q_asof_exec_bucketed",
+    "q_dedup_simhash_near", "q_embed_recall", "q_embed_quant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
