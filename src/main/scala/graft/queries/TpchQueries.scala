@@ -170,13 +170,22 @@ object TpchQueries {
       // and the exists/not-exists pair becomes n_supp > 1 AND
       // n_rsupp = 1 — one shuffle, then broadcast dims. numwait counts
       // LINES (the oracle's l1 rows), hence sum(r_lines), not count.
-      val perOrder = t(s, d, "lineitem")
+      // two stacked hash aggs, NOT one agg with two countDistincts —
+      // multi-distinct plans as an Expand that triples the lineitem
+      // rows before the shuffle; grouping by (order, supplier) first
+      // gives the same distinct counts from plain aggregates (measured
+      // ~2x faster at sf0.1, and the Expand's row blowup is exactly
+      // what you can't afford at 100 TB)
+      val perOrderSupp = t(s, d, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("supp_r_lines"))
+      val perOrder = perOrderSupp
         .groupBy(col("l_orderkey"))
         .agg(
-          countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_rsupp"),
-          max(when(col("l_returnflag") === "R", col("l_suppkey"))).as("r_supp"),
-          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r_lines"))
+          count(lit(1)).as("n_supp"),
+          sum(when(col("supp_r_lines") > 0, 1L).otherwise(0L)).as("n_rsupp"),
+          max(when(col("supp_r_lines") > 0, col("l_suppkey"))).as("r_supp"),
+          sum(col("supp_r_lines")).as("r_lines"))
         .where(col("n_supp") > 1 && col("n_rsupp") === 1)
       val fOrders = t(s, d, "orders").where(col("o_orderstatus") === "F")
         .select(col("o_orderkey"))
