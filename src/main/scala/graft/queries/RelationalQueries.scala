@@ -1185,6 +1185,27 @@ object RelationalQueries {
         .orderBy("user_id")
       } finally deleteRecursively(streamDir)
     }),
+    "q_events_session_native" -> ((s, d) => {
+      // Spark's NATIVE SessionWindow operator (vs q_events_sessionize's
+      // lag-composed twin): merging aggregation over gap-extended
+      // [start, last+30min) intervals. Boundary semantics differ from
+      // the composed form at exact ties — session_window starts a new
+      // session at gap >= 30min (intervals are half-open), so the
+      // oracle compares microsecond-exact epochs with >=, not >.
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("ne"))
+        // integer-microsecond duration, NOT cast-to-double subtraction:
+        // µs/1e6 rounds per operand, and a 1-ulp difference flips
+        // floor() at exact-second boundaries (every single-event
+        // session is exactly 1800 s) — div keeps both engines exact
+        .withColumn("dur",
+          expr("(unix_micros(sw.end) - unix_micros(sw.start)) div 1000000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).cast("long").as("n_events"),
+          max(col("dur")).cast("long").as("max_sess_secs"))
+        .orderBy("user_id")
+    }),
     "q_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -1357,6 +1378,8 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, c_acctbal, n_name, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
+    "q_events_session_native" ->
+      """WITH ev AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events), o AS (SELECT user_id, ts, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS b FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)), sx AS (SELECT user_id, ts, us, sum(b) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), ag AS (SELECT user_id, sid, count(*) AS ne, min(us) AS fu, max(us) AS lu FROM sx GROUP BY 1, 2) SELECT user_id, count(*)::BIGINT AS n_sessions, sum(ne)::BIGINT AS n_events, max((lu + 1800000000 - fu) // 1000000)::BIGINT AS max_sess_secs FROM ag GROUP BY user_id ORDER BY user_id""",
     "q_stream_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""")
 }
