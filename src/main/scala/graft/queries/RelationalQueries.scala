@@ -1206,6 +1206,29 @@ object RelationalQueries {
           max(col("dur")).cast("long").as("max_sess_secs"))
         .orderBy("user_id")
     }),
+    "q_stream_session_native" -> ((s, d) => {
+      // streaming twin of q_events_session_native: the native merging
+      // SessionWindow state operator executed by a real streaming query
+      // (complete mode keeps every session, so the oracle is the same
+      // batch SQL — stream must agree with batch exactly).
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-sess-stream")
+      try {
+      stageEventsInto(d, streamDir)
+      val sink = "stream_session_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("ne"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .withColumn("dur",
+          expr("(unix_micros(sw.end) - unix_micros(sw.start)) div 1000000"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("ne")).cast("long").as("n_events"),
+          max(col("dur")).cast("long").as("max_sess_secs"))
+        .orderBy("user_id")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -1379,6 +1402,8 @@ object RelationalQueries {
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
     "q_events_session_native" ->
+      """WITH ev AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events), o AS (SELECT user_id, ts, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS b FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)), sx AS (SELECT user_id, ts, us, sum(b) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), ag AS (SELECT user_id, sid, count(*) AS ne, min(us) AS fu, max(us) AS lu FROM sx GROUP BY 1, 2) SELECT user_id, count(*)::BIGINT AS n_sessions, sum(ne)::BIGINT AS n_events, max((lu + 1800000000 - fu) // 1000000)::BIGINT AS max_sess_secs FROM ag GROUP BY user_id ORDER BY user_id""",
+    "q_stream_session_native" ->
       """WITH ev AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events), o AS (SELECT user_id, ts, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS b FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)), sx AS (SELECT user_id, ts, us, sum(b) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), ag AS (SELECT user_id, sid, count(*) AS ne, min(us) AS fu, max(us) AS lu FROM sx GROUP BY 1, 2) SELECT user_id, count(*)::BIGINT AS n_sessions, sum(ne)::BIGINT AS n_events, max((lu + 1800000000 - fu) // 1000000)::BIGINT AS max_sess_secs FROM ag GROUP BY user_id ORDER BY user_id""",
     "q_stream_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""")
