@@ -1185,6 +1185,26 @@ object RelationalQueries {
         .orderBy("user_id")
       } finally deleteRecursively(streamDir)
     }),
+    "q_profile" -> ((s, d) => {
+      // dataset profiling (the data-card primitive): per-column row /
+      // null / distinct counts. One aggregation scan PER column rather
+      // than one multi-distinct agg — multi-distinct plans as an
+      // Expand that multiplies every row by the column count before
+      // the shuffle, while per-column scans each prune to a single
+      // column (ReadSchema: one field) and run in parallel.
+      val o = t(s, d, "orders")
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+          "o_orderdate", "o_orderpriority")
+        .map { c =>
+          o.agg(count(lit(1)).as("n_rows"),
+              sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+              countDistinct(col(c)).as("n_distinct"))
+            .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+              col("n_distinct"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy("col_name")
+    }),
     "q_events_session_native" -> ((s, d) => {
       // Spark's NATIVE SessionWindow operator (vs q_events_sessionize's
       // lag-composed twin): merging aggregation over gap-extended
@@ -1401,6 +1421,13 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, c_acctbal, n_name, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
+    "q_profile" ->
+      ("""SELECT * FROM (""" +
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority")
+          .map(c => s"SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows, sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls, count(DISTINCT $c)::BIGINT AS n_distinct FROM orders")
+          .mkString(" UNION ALL ") +
+        """) ORDER BY col_name"""),
     "q_events_session_native" ->
       """WITH ev AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events), o AS (SELECT user_id, ts, us, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS b FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)), sx AS (SELECT user_id, ts, us, sum(b) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o), ag AS (SELECT user_id, sid, count(*) AS ne, min(us) AS fu, max(us) AS lu FROM sx GROUP BY 1, 2) SELECT user_id, count(*)::BIGINT AS n_sessions, sum(ne)::BIGINT AS n_events, max((lu + 1800000000 - fu) // 1000000)::BIGINT AS max_sess_secs FROM ag GROUP BY user_id ORDER BY user_id""",
     "q_stream_session_native" ->
