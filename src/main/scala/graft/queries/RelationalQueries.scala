@@ -1185,6 +1185,28 @@ object RelationalQueries {
         .orderBy("user_id")
       } finally deleteRecursively(streamDir)
     }),
+    "q_events_locf" -> ((s, d) => {
+      // time-series gap filling: per-user daily values on a dense date
+      // spine, missing days filled last-observation-carried-forward —
+      // one explode for the spine, one left join, one running
+      // last(ignoreNulls) window; no driver-side loops, spine rows
+      // bounded by user-activity spans.
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left_outer")
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_filled"),
+          sum(col("filled").cast("decimal(18,2)")).cast("double").as("sum_filled"))
+        .orderBy("user_id")
+    }),
     "q_profile" -> ((s, d) => {
       // dataset profiling (the data-card primitive): per-column row /
       // null / distinct counts. One aggregation scan PER column rather
@@ -1421,6 +1443,8 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, c_acctbal, n_name, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
+    "q_events_locf" ->
+      """WITH daily AS (SELECT user_id, ts::DATE AS day, round(sum(value), 2) AS v FROM events GROUP BY 1, 2), span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1), spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM span), j AS (SELECT s.user_id, s.day, d.v FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day), f AS (SELECT user_id, day, v, last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM j) SELECT user_id, count(*)::BIGINT AS n_days, sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_filled, sum(filled::DECIMAL(18,2))::DOUBLE AS sum_filled FROM f GROUP BY user_id ORDER BY user_id""",
     "q_profile" ->
       ("""SELECT * FROM (""" +
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
