@@ -117,7 +117,14 @@ object Bench {
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true }
       }
-      (name, if (!failed) times.sorted.apply(times.length / 2) else -1.0)
+      // true median: with an even rep count the upper-middle element alone
+      // biases the reported time high — average the two central samples
+      val median = if (failed) -1.0 else {
+        val s = times.sorted
+        val n = s.length
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+      }
+      (name, median)
     }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // print 0,123 and break the JSON consumer

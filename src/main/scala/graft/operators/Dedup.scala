@@ -80,7 +80,27 @@ object Dedup {
     val aggs = (0 until k).map(s =>
       min(substring(col(s"m${s / 4}"), (s % 4) * 8 + 1, 8)).as(s"c$s"))
     shr.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), array((0 until k).map(s => col(s"c$s")): _*).as("sig"))
+      .select(col("doc_id"),
+        array((0 until k).map(s => col(s"c$s")): _*).as("sig", sigMetadata(k, shingleN)))
+  }
+
+  /** Schema metadata stamped on the `sig` column so a memoized
+    * signature table built with one (k, shingleN) cannot be silently
+    * reused by a caller expecting another — a mismatched k would skew
+    * every `est` fraction rather than fail. */
+  private def sigMetadata(k: Int, shingleN: Int) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("minhash_k", k.toLong).putLong("minhash_shingle_n", shingleN.toLong).build()
+
+  /** Fails fast when a caller-supplied signature table carries a
+    * different k than the caller expects. Tables without the metadata
+    * stamp (hand-built) are accepted as-is — the contract is only
+    * enforceable for tables produced by [[minhashSignatures]]. */
+  private def requireSigK(sig: DataFrame, k: Int): Unit = {
+    val md = sig.schema("sig").metadata
+    if (md.contains("minhash_k"))
+      require(md.getLong("minhash_k") == k.toLong,
+        s"signature table was built with k=${md.getLong("minhash_k")} but caller expects k=$k")
   }
 
   /** MinHash+LSH candidate pairs (no estimate filter): docs sharing
@@ -96,6 +116,7 @@ object Dedup {
       s"bands ($bands) must divide k ($k); otherwise band keys degenerate " +
         "and candidate generation becomes an O(n^2) cross join")
     val rowsPerBand = k / bands
+    sigOpt.foreach(requireSigK(_, k))
     val sig = sigOpt.getOrElse(minhashSignatures(docs, k).localCheckpoint(true))
     val bandDf = sig.select(col("doc_id"), posexplode(
         array((0 until bands).map(b =>
@@ -120,6 +141,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                    minEst: Double = 0.25,
                    sigOpt: Option[DataFrame] = None): DataFrame = {
+    sigOpt.foreach(requireSigK(_, k))
     val sig = sigOpt.getOrElse(minhashSignatures(docs, k).localCheckpoint(true))
     val pairs = minhashBandCandidates(docs, k, bands, Some(sig))
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))

@@ -224,16 +224,32 @@ final class GraphCatalog(spark: SparkSession, root: String) {
   /** Prune versions older than `keep` (never the latest). Time travel
     * window management — the catalog's GC. Orphan dirs (a crashed
     * commit: numbered past the pointer, or missing `_SUCCESS`) are
-    * garbage, not history — they are deleted outright and never count
-    * toward the keep window. */
-  def expireVersions(name: String, keep: Int = 1): Unit = {
+    * garbage, not history — but an IN-FLIGHT commit that has finished
+    * its parquet write and not yet flipped the pointer looks identical
+    * to a crashed one. Two guards close that race: a past-pointer dir
+    * is only deleted when (a) it is older than `orphanGraceMs` (a live
+    * commit flips the pointer milliseconds after `_SUCCESS`; a dir
+    * still past-pointer after the grace window is a crash), and (b)
+    * the pointer, RE-READ immediately before the delete, still does
+    * not cover it. Committed-but-expired history (≤ pointer) has no
+    * race — the pointer can only move away from it. */
+  def expireVersions(name: String, keep: Int = 1,
+                     orphanGraceMs: Long = 10L * 60 * 1000): Unit = {
     validate(name)
     require(keep >= 1, "must keep at least the latest version")
     val latest = latestVersion(name).getOrElse(return)
     val (orphans, committed) = listVersions(name)
       .partition(v => v > latest || !versionComplete(name, v))
     val expired = committed.filter(_ != latest).sorted.reverse.drop(keep - 1)
-    (orphans ++ expired).foreach { v =>
+    val now = System.currentTimeMillis()
+    val deadOrphans = orphans.filter { v =>
+      val aged =
+        try now - fs.getFileStatus(versionDir(name, v)).getModificationTime > orphanGraceMs
+        catch { case _: java.io.FileNotFoundException => false } // vanished already
+      // pointer re-read: the commit may have flipped it since we listed
+      aged && latestVersion(name).forall(l2 => v > l2 || !versionComplete(name, v))
+    }
+    (deadOrphans ++ expired).foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$name/versions/v$v"), true)
     }
   }

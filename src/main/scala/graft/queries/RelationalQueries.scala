@@ -84,13 +84,38 @@ object RelationalQueries {
     * against). Memoized so repeated bench reps time the join, not the
     * staging write; keyed by session so a fresh session re-stages. */
   private val bucketedPurchasesMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+    (SparkSession, String), (String, java.nio.file.Path)]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val ls = java.nio.file.Files.list(p)
+        try { val it = ls.iterator(); while (it.hasNext) deleteRecursively(it.next()) }
+        finally ls.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+    } catch { case _: java.io.IOException => () } // best-effort reaping
+
+  // last-resort reaper: staged dirs still memoized at JVM exit (normal
+  // bench/verify runs end here without ever cycling a session) must not
+  // outlive the process as orphaned temp dirs
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    bucketedPurchasesMemo.values.forEach(v => deleteRecursively(v._2))))
 
   private def bucketedPurchases(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    // sweep entries of stopped sessions so a JVM that cycles sessions
-    // (test suites, repeated harness runs) doesn't retain dead
-    // SessionStates forever
-    bucketedPurchasesMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    // sweep entries of stopped sessions — and reap what they created:
+    // the staged temp dir always, the catalog table when the shared
+    // context is still up (a long-lived JVM cycling sessions would
+    // otherwise accumulate orphaned dirs and stale table entries)
+    val it = bucketedPurchasesMemo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) {
+        try s.sql(s"DROP TABLE IF EXISTS ${e.getValue._1}") catch { case _: Throwable => () }
+        deleteRecursively(e.getValue._2)
+        it.remove()
+      }
+    }
     val tbl = bucketedPurchasesMemo.computeIfAbsent(
       (s, new java.io.File(d).getCanonicalPath), { key =>
         // md5 of the canonical path, not String.hashCode — a 32-bit
@@ -109,9 +134,9 @@ object RelationalQueries {
           .bucketBy(32, "p_user").sortBy("p_user", "p_ts")
           .option("path", dir.resolve("purchases").toString)
           .saveAsTable(name)
-        name
+        (name, dir)
       })
-    s.table(tbl)
+    s.table(tbl._1)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -227,9 +227,15 @@ class TraversalSpec extends SparkSpec {
     assert(cat.latestVersion("g") === Some(3L), "orphans must not affect the pointer")
     assert(cat.loadLatest("g").count() === 3)
     intercept[IllegalArgumentException] { cat.loadVersion("g", 5) } // partial: unreadable
+    // fresh past-pointer dirs are protected by the orphan grace window:
+    // an in-flight commit between _SUCCESS and pointer flip looks exactly
+    // like these, so GC must not reap them until they age out
+    cat.expireVersions("g", keep = 1)
+    assert(cat.listVersions("g").contains(9L) && cat.listVersions("g").contains(5L),
+      "GC must not reap fresh past-pointer dirs inside the grace window")
     // the next commit numbers PAST the orphan, never resurrects it
     assert(cat.commitVersion("g", Seq((1L, 2L)).toDF("src", "dst")) === 10L)
-    cat.expireVersions("g", keep = 1)
+    cat.expireVersions("g", keep = 1, orphanGraceMs = 0L)
     assert(cat.listVersions("g") === Seq(10L),
       "expiry must GC orphans and expired history, keeping only the latest")
   }
