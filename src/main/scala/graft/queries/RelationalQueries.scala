@@ -41,16 +41,19 @@ object RelationalQueries {
 
   /** Recursive delete that CLOSES its directory stream (Files.walk
     * holds an open fd until closed — leaking one per gate query adds
-    * up over a long verify/bench session). */
-  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
-    if (!java.nio.file.Files.exists(dir)) return
-    val walk = java.nio.file.Files.walk(dir)
+    * up over a long verify/bench session). Best-effort: IOExceptions
+    * are swallowed so the shutdown-hook / session-sweep reapers never
+    * abort mid-cleanup on a vanished file. */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit =
     try {
-      import scala.jdk.CollectionConverters._
-      walk.sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-    } finally walk.close()
-  }
+      if (!java.nio.file.Files.exists(dir)) return
+      val walk = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } finally walk.close()
+    } catch { case _: java.io.IOException => () }
 
 
   /** Stage the events parquet (a single file or a Spark-written
@@ -85,16 +88,6 @@ object RelationalQueries {
     * staging write; keyed by session so a fresh session re-stages. */
   private val bucketedPurchasesMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, java.nio.file.Path)]()
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    try {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val ls = java.nio.file.Files.list(p)
-        try { val it = ls.iterator(); while (it.hasNext) deleteRecursively(it.next()) }
-        finally ls.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-    } catch { case _: java.io.IOException => () } // best-effort reaping
 
   // last-resort reaper: staged dirs still memoized at JVM exit (normal
   // bench/verify runs end here without ever cycling a session) must not
