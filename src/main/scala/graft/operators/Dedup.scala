@@ -93,14 +93,18 @@ object Dedup {
       .putLong("minhash_k", k.toLong).putLong("minhash_shingle_n", shingleN.toLong).build()
 
   /** Fails fast when a caller-supplied signature table carries a
-    * different k than the caller expects. Tables without the metadata
-    * stamp (hand-built) are accepted as-is — the contract is only
-    * enforceable for tables produced by [[minhashSignatures]]. */
-  private def requireSigK(sig: DataFrame, k: Int): Unit = {
+    * different (k, shingleN) than the caller expects. Tables without
+    * the metadata stamp (hand-built) are accepted as-is — the contract
+    * is only enforceable for tables produced by [[minhashSignatures]]. */
+  private def requireSig(sig: DataFrame, k: Int, shingleN: Int): Unit = {
     val md = sig.schema("sig").metadata
     if (md.contains("minhash_k"))
       require(md.getLong("minhash_k") == k.toLong,
         s"signature table was built with k=${md.getLong("minhash_k")} but caller expects k=$k")
+    if (md.contains("minhash_shingle_n"))
+      require(md.getLong("minhash_shingle_n") == shingleN.toLong,
+        s"signature table was built with shingleN=${md.getLong("minhash_shingle_n")} " +
+          s"but caller expects shingleN=$shingleN")
   }
 
   /** MinHash+LSH candidate pairs (no estimate filter): docs sharing
@@ -111,13 +115,15 @@ object Dedup {
     * cached signature table via `sigOpt` to share it with estimate
     * scoring. Output: (doc_a, doc_b) distinct. */
   def minhashBandCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
-                            sigOpt: Option[DataFrame] = None): DataFrame = {
+                            sigOpt: Option[DataFrame] = None,
+                            shingleN: Int = 3): DataFrame = {
     require(bands >= 1 && bands <= k && k % bands == 0,
       s"bands ($bands) must divide k ($k); otherwise band keys degenerate " +
         "and candidate generation becomes an O(n^2) cross join")
     val rowsPerBand = k / bands
-    sigOpt.foreach(requireSigK(_, k))
-    val sig = sigOpt.getOrElse(minhashSignatures(docs, k).localCheckpoint(true))
+    sigOpt.foreach(requireSig(_, k, shingleN))
+    val sig = sigOpt.getOrElse(
+      minhashSignatures(docs, k, shingleN).localCheckpoint(true))
     val bandDf = sig.select(col("doc_id"), posexplode(
         array((0 until bands).map(b =>
           concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
@@ -140,10 +146,12 @@ object Dedup {
     * it once (see PipelineQueries' session memo) and pass it here. */
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                    minEst: Double = 0.25,
-                   sigOpt: Option[DataFrame] = None): DataFrame = {
-    sigOpt.foreach(requireSigK(_, k))
-    val sig = sigOpt.getOrElse(minhashSignatures(docs, k).localCheckpoint(true))
-    val pairs = minhashBandCandidates(docs, k, bands, Some(sig))
+                   sigOpt: Option[DataFrame] = None,
+                   shingleN: Int = 3): DataFrame = {
+    sigOpt.foreach(requireSig(_, k, shingleN))
+    val sig = sigOpt.getOrElse(
+      minhashSignatures(docs, k, shingleN).localCheckpoint(true))
+    val pairs = minhashBandCandidates(docs, k, bands, Some(sig), shingleN)
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")

@@ -242,14 +242,29 @@ final class GraphCatalog(spark: SparkSession, root: String) {
       .partition(v => v > latest || !versionComplete(name, v))
     val expired = committed.filter(_ != latest).sorted.reverse.drop(keep - 1)
     val now = System.currentTimeMillis()
-    val deadOrphans = orphans.filter { v =>
-      val aged =
-        try now - fs.getFileStatus(versionDir(name, v)).getModificationTime > orphanGraceMs
-        catch { case _: java.io.FileNotFoundException => false } // vanished already
-      // pointer re-read: the commit may have flipped it since we listed
-      aged && latestVersion(name).forall(l2 => v > l2 || !versionComplete(name, v))
+    val agedOrphans = orphans.filter { v =>
+      // age off the edges subdir when it exists, else the parent v$v
+      // dir (the path actually deleted): a commit that crashed before
+      // the parquet write even started leaves only the parent, and
+      // treating that as "not aged" would exempt it from GC forever
+      val stat =
+        try Some(fs.getFileStatus(versionDir(name, v)))
+        catch {
+          case _: java.io.FileNotFoundException =>
+            try Some(fs.getFileStatus(
+              new org.apache.hadoop.fs.Path(s"$root/$name/versions/v$v")))
+            catch { case _: java.io.FileNotFoundException => None } // vanished already
+        }
+      stat.exists(st => now - st.getModificationTime > orphanGraceMs)
     }
-    (deadOrphans ++ expired).foreach { v =>
+    agedOrphans.foreach { v =>
+      // pointer re-read PER DIR, immediately before its delete — a
+      // commit may have flipped the pointer to cover v at any point
+      // since the listing above
+      if (latestVersion(name).forall(l2 => v > l2 || !versionComplete(name, v)))
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/$name/versions/v$v"), true)
+    }
+    expired.foreach { v =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/$name/versions/v$v"), true)
     }
   }

@@ -223,14 +223,21 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleN = 3, minJac = 0.15)
         .orderBy("doc_a", "doc_b")),
     "q_dedup_embed" -> ((s, d) => {
-      // embedding-cosine near-dup: label-bucketed candidate pairs
-      // (IVF-cell pattern), codegen'd cosine, threshold 0.4
+      // embedding-cosine near-dup at scale: candidates from random-
+      // hyperplane LSH buckets (Similarity.lshBuckets, 8 planes) +
+      // exact codegen'd cosine rescore, threshold 0.4. NEVER all-pairs
+      // within a data-dependent group — the previous label equi-join
+      // was O(n^2) inside a skewed label at 100 TB; bucket population
+      // tracks near-dup density, not corpus size, and an equi-join on
+      // the narrow bucket column is a plain shuffle join.
       graft.functions.expressions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
-        .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
-      val a = e.select(col("vec_id").as("i"), col("label"), col("v").as("va"))
-      val b = e.select(col("vec_id").as("j"), col("label"), col("v").as("vb"))
-      a.join(b, Seq("label")).where(col("i") < col("j"))
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val eb = e.join(
+        graft.operators.Similarity.lshBuckets(e, planes = 8, dims = 64), "vec_id")
+      val a = eb.select(col("vec_id").as("i"), col("bucket"), col("v").as("va"))
+      val b = eb.select(col("vec_id").as("j"), col("bucket"), col("v").as("vb"))
+      a.join(b, Seq("bucket")).where(col("i") < col("j"))
         .select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
         .where(col("cos") >= 0.4)
         .orderBy("i", "j")
@@ -558,7 +565,7 @@ object PipelineQueries {
     "q_dedup_ngram" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i)::DOUBLE AS jac0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(jac0, 4) AS jac FROM j WHERE jac0 >= 0.15 ORDER BY doc_a, doc_b""",
     "q_dedup_embed" ->
-      s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id) SELECT i, j, round(c, 4) AS cos FROM p WHERE round(c, 4) >= 0.4 ORDER BY i, j""",
+      s"""WITH s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(8) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), bk AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id), eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)), p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT i, j, round(c, 4) AS cos FROM p WHERE round(c, 4) >= 0.4 ORDER BY i, j""",
     "q_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, floor(floor(epoch(ts)) / 300) AS band, floor(epoch(ts)) AS sec FROM events) SELECT a.user_id, count(*)::BIGINT AS n_pairs, round(avg(abs(b.sec - a.sec)), 2) AS avg_gap FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.band = b.band AND a.event_id < b.event_id GROUP BY a.user_id ORDER BY a.user_id""",
     "q_embed_topk" ->

@@ -115,9 +115,13 @@ object RelationalQueries {
         // collision would silently join against the WRONG dataset's
         // purchases; and mode(Overwrite) replaces any stale same-name
         // catalog entry (e.g. pointing at a vanished temp dir) instead
-        // of trusting it
+        // of trusting it. The session identity is salted in too: the
+        // external catalog is shared across sessions of one context,
+        // so a path-only name would let the stopped-session sweep
+        // above DROP a table a DIFFERENT live session still memoizes.
         val name = "graft_asof_purchases_" + java.security.MessageDigest
-          .getInstance("MD5").digest(key._2.getBytes("UTF-8"))
+          .getInstance("MD5")
+          .digest(s"${key._2}#${System.identityHashCode(key._1)}".getBytes("UTF-8"))
           .take(8).map("%02x".format(_)).mkString
         val dir = java.nio.file.Files.createTempDirectory("graft-asof-bucketed")
         Tables.events(s, d).where(col("event_type") === "purchase")
