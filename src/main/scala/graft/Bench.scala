@@ -25,7 +25,11 @@ object Bench {
     "q_tpch_q1", "q_tpch_q19", "q_text_chunks", "q_embed_lsh",
     // round-5 operator families
     "q_tpch_q8", "q_tpch_q21", "q_asof_exec", "q_asof_exec_bucketed",
-    "q_dedup_simhash_near", "q_embed_recall", "q_embed_quant")
+    "q_dedup_simhash_near", "q_embed_recall", "q_embed_quant",
+    // round-7 operator families: data-scale PageRank (superstep
+    // overhead watch), LSH-bucketed embedding near-dup (reworked from
+    // the label-join form), multi-probe IVF recall
+    "q_graph_pagerank_big", "q_dedup_embed", "q_embed_ivf_multiprobe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -124,6 +124,31 @@ object Similarity {
     embeddings.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
   }
 
+  /** Multi-probe IVF: top-k by cosine within the query's `nProbe`
+    * NEAREST cells, not just its own — the standard recall lever when
+    * the true neighbours sit across a cell boundary. Cost scales with
+    * nProbe/|cells| of the corpus (each corpus vector lives in exactly
+    * one cell, so the probed union is still a bucket join, never a
+    * full scan); the probe-cell ranking runs on the tiny centroid
+    * table and is broadcast. Inputs: `assigned` from [[assignCells]],
+    * the centroid table (cid, cv). Output: (vec_id, score). */
+  def ivfTopKMultiProbe(assigned: DataFrame, centroids: DataFrame,
+                        queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val q = assigned.where(col("vec_id") === queryId).select(col("v").as("qv"))
+    val qj = centroids.crossJoin(broadcast(q))
+    val probeCells = qj
+      .select(col("cid").as("qcid"), col("qv"),
+        fastL2Sq(qj, "cv", "qv").as("dist"))
+      .orderBy(col("dist"), col("qcid")).limit(nProbe)
+      .select(col("qcid"), col("qv"))
+    val joined = assigned.join(broadcast(probeCells), col("cid") === col("qcid"))
+      .where(col("vec_id") =!= queryId)
+    joined
+      .select(col("vec_id"), round(fastCosine(joined, "v", "qv"), 4).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** IVF probe: top-k by cosine within the query's cell. */
   def ivfTopK(assigned: DataFrame, queryId: Long, k: Int): DataFrame = {
     val qcell = assigned.where(col("vec_id") === queryId)

@@ -281,11 +281,20 @@ object Traversals {
     val verts = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
       .localCheckpoint(eager = true)
+    // (src, dst, odeg) pre-joined ONCE and hash-partitioned on src
+    // before caching: the cached partitioning is visible to the
+    // planner (InMemoryRelation preserves outputPartitioning), so
+    // every iteration's src-keyed join shuffles only the small
+    // (vertex, rank) table — the big edge side never re-shuffles, and
+    // the per-iteration out-degree re-aggregation the old plan paid is
+    // gone. Same per-edge w = rank/odeg doubles, so ranks are
+    // bit-identical to the unfused plan (the oracle contract).
+    val eo = e.join(outDeg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var r = verts.withColumn("rank", lit(1.0)).localCheckpoint(eager = true)
     (1 to iters).foreach { _ =>
-      val sums = r.join(outDeg, r("vertex") === outDeg("src"))
-        .select(col("src"), (col("rank") / col("odeg")).as("w"))
-        .join(e, Seq("src"))
+      val sums = eo.join(r, eo("src") === r("vertex"))
+        .select(eo("dst"), (col("rank") / col("odeg")).as("w"))
         .groupBy(col("dst").as("vertex"))
         .agg(sum(col("w").cast("decimal(38,18)")).cast("double").as("m"))
       r = verts.join(sums, Seq("vertex"), "left_outer")
@@ -294,6 +303,7 @@ object Traversals {
         .localCheckpoint(eager = true)
     }
     e.unpersist(blocking = false)
+    eo.unpersist(blocking = false)
     r
   }
 

@@ -157,6 +157,17 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy("vertex")
     }),
+    "q_graph_pagerank_big" -> ((s, d) => {
+      // PageRank at DATA scale: 5 deterministic iterations over the
+      // 600k-edge (sf0.1) order–supplier bipartite graph — the bench
+      // entry that watches per-iteration overhead (join + decimal-sum
+      // agg per superstep) as fixtures grow; q_graph_pagerank on the
+      // 25-node tree stays the semantics fixture. Output bounded:
+      // top-20 by rounded rank, vertex tie-break.
+      Traversals.pageRankDeterministic(bipartiteEdges(s, d), iters = 5)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("vertex")).limit(20)
+    }),
     "q_graph_lpa" -> ((s, d) => {
       // Deterministic synchronous label propagation, 2 fixed rounds
       // (most-frequent neighbour label, ties to the smallest) — the
@@ -246,6 +257,17 @@ object GraphQueries {
           s"ON v.vertex = s.vertex)"
       }.mkString(", ")
       s"""WITH $treeEdgeSql, od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, 1.0::DOUBLE AS rank FROM v), $iters SELECT vertex, round(rank, 6) AS rank FROM r10 ORDER BY vertex"""
+    },
+    "q_graph_pagerank_big" -> {
+      // five unrolled iterations of the same decimal-summed recurrence
+      // over the bipartite lineitem graph; top-20 by rounded rank
+      val iters = (1 to 5).map { i =>
+        s"r$i AS (SELECT v.vertex, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank FROM v LEFT JOIN " +
+          s"(SELECT e.dst AS vertex, sum((r${i - 1}.rank / od.odeg)::DECIMAL(38,18))::DOUBLE AS m " +
+          s"FROM r${i - 1} JOIN od ON r${i - 1}.vertex = od.src JOIN e ON e.src = od.src GROUP BY e.dst) s " +
+          s"ON v.vertex = s.vertex)"
+      }.mkString(", ")
+      s"""WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, 1.0::DOUBLE AS rank FROM v), $iters SELECT vertex::BIGINT AS vertex, round(rank, 6) AS rank FROM r5 ORDER BY round(rank, 6) DESC, vertex LIMIT 20"""
     },
     "q_graph_kcore" -> {
       // four unrolled peel rounds (fixpoint is at two on this graph)

@@ -54,6 +54,28 @@ object PipelineQueries {
         .localCheckpoint(true))
   }
 
+  /** LSH-bucketed embedding near-dup pairs (i, j, cos >= minCos):
+    * candidates from random-hyperplane buckets ([[Similarity.lshBuckets]],
+    * 8 planes) + exact codegen'd cosine rescore. NEVER all-pairs within
+    * a data-dependent group — a label/category equi-join is O(n²)
+    * inside a skewed group at 100 TB, while bucket population tracks
+    * near-dup density, not corpus size, and the bucket equi-join is a
+    * plain shuffle join. Shared by q_dedup_embed (pair listing) and
+    * q_dedup_embed_cluster (transitive closure). */
+  private def embedLshPairs(s: SparkSession, d: String,
+                            minCos: Double = 0.4): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val eb = e.join(
+      Similarity.lshBuckets(e, planes = 8, dims = 64), "vec_id")
+    val a = eb.select(col("vec_id").as("i"), col("bucket"), col("v").as("va"))
+    val b = eb.select(col("vec_id").as("j"), col("bucket"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).where(col("i") < col("j"))
+      .select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
+      .where(col("cos") >= minCos)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ----------------------------------------------------
     "q_text_stats" -> ((s, d) => {
@@ -149,6 +171,31 @@ object PipelineQueries {
           max(when(col("chunk") === 0, col("h"))).as("h0"))
         .orderBy("doc_id")
     }),
+    "q_text_repetition" -> ((s, d) => {
+      // Gopher-style repetition quality signals (Rae et al. '21 §A1.1):
+      // fraction of the doc that is its single most-frequent token, and
+      // fraction of duplicate word bigrams — the cheapest high-precision
+      // junk filters for a web-scale corpus. Pure explode+hash-agg per
+      // doc (no corpus-wide window), so it scales embarrassingly; the
+      // flag thresholds mirror the published filter (0.2 / 0.3).
+      val docs = t(s, d, "documents")
+      val topTok = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_toks"), max(col("c")).as("top_c"))
+      val big = Dedup.shingleRows(docs, 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), countDistinct(col("g")).as("n_dist"))
+      topTok.join(big, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_toks").cast("long").as("n_toks"),
+          round(col("top_c") / col("n_toks"), 4).as("top_tok_frac"),
+          round(coalesce((col("n_big") - col("n_dist")) / col("n_big"),
+            lit(0.0)), 4).as("dup_bigram_frac"))
+        .withColumn("flagged",
+          (col("top_tok_frac") > 0.2 || col("dup_bigram_frac") > 0.3).cast("int"))
+        .orderBy("doc_id")
+    }),
     "q_text_pack" -> ((s, d) => {
       // sequence packing: fill 512-token bins per language in doc_id
       // order — bin = floor(running-token-count-before / 512), the
@@ -222,25 +269,20 @@ object PipelineQueries {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleN = 3, minJac = 0.15)
         .orderBy("doc_a", "doc_b")),
-    "q_dedup_embed" -> ((s, d) => {
-      // embedding-cosine near-dup at scale: candidates from random-
-      // hyperplane LSH buckets (Similarity.lshBuckets, 8 planes) +
-      // exact codegen'd cosine rescore, threshold 0.4. NEVER all-pairs
-      // within a data-dependent group — the previous label equi-join
-      // was O(n^2) inside a skewed label at 100 TB; bucket population
-      // tracks near-dup density, not corpus size, and an equi-join on
-      // the narrow bucket column is a plain shuffle join.
-      graft.functions.expressions.GraftFunctions.register(s)
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val eb = e.join(
-        graft.operators.Similarity.lshBuckets(e, planes = 8, dims = 64), "vec_id")
-      val a = eb.select(col("vec_id").as("i"), col("bucket"), col("v").as("va"))
-      val b = eb.select(col("vec_id").as("j"), col("bucket"), col("v").as("vb"))
-      a.join(b, Seq("bucket")).where(col("i") < col("j"))
-        .select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
-        .where(col("cos") >= 0.4)
-        .orderBy("i", "j")
+    "q_dedup_embed" -> ((s, d) =>
+      embedLshPairs(s, d, minCos = 0.4).orderBy("i", "j")),
+    "q_dedup_embed_cluster" -> ((s, d) => {
+      // end-to-end embedding dedup: LSH-bucket candidates -> exact
+      // cosine >= 0.4 pairs -> transitive closure (distributed
+      // pointer-jumping CC) -> cluster accounting, cluster id = min
+      // vec_id — the "pick one keeper per near-dup set" step a real
+      // pipeline runs after pair generation.
+      val pairs = embedLshPairs(s, d, minCos = 0.4)
+        .select(col("i").as("src"), col("j").as("dst"))
+      graft.operators.Traversals.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("sz"), max(col("vertex")).as("max_vec"))
+        .orderBy("component")
     }),
     "q_dedup_cluster" -> ((s, d) => {
       // near-dup CLUSTERS: transitive closure over MinHash pairs
@@ -451,6 +493,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("hits"))
         .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
     }),
+    "q_embed_ivf_multiprobe" -> ((s, d) => {
+      // the recall LEVER: probe the query's 2 nearest cells instead of
+      // 1 (Similarity.ivfTopKMultiProbe) and measure recall@10 against
+      // the same brute-force top-10 as q_embed_recall — the pair of
+      // queries quantifies the nprobe/recall tradeoff in-engine. Cost
+      // stays bucket-bound: 2/8 of the corpus scored, never all of it.
+      val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val approx = Similarity.ivfTopKMultiProbe(
+          Similarity.assignCells(e, cents), cents, 0L, 10, nProbe = 2)
+        .select(col("vec_id"))
+      val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val exact = Similarity.bruteForceTopK(e.where(col("vec_id") =!= 0), q, 10)
+        .select(col("vec_id").as("ev"))
+      approx.join(exact, col("vec_id") === col("ev"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
+    }),
     "q_embed_quant" -> ((s, d) => {
       // int8 symmetric quantization — the storage form a 100 TB vector
       // corpus ships: per-vector max-abs scale, code = floor(x/scale*
@@ -509,6 +570,13 @@ object PipelineQueries {
     * est0)`. */
   private val minhashEstSql =
     s"""$toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, b.b * 4 + j.j AS seed, min(substr(md5(b.b::VARCHAR || '|' || g), j.j * 8 + 1, 8)) AS c FROM shr CROSS JOIN (SELECT unnest(range(4)) AS b) b CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY doc_id, b.b * 4 + j.j), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p)"""
+  /** LSH bucket → candidate-pair → exact-cosine CTE chain (mirrors
+    * [[embedLshPairs]]: the same md5-derived ±1 planes as
+    * [[graft.operators.Similarity.lshPlane]]); terminal CTE
+    * `pr(i, j, c)` holding pairs with round(c, 4) >= 0.4. */
+  private val embedPairsSql =
+    s"""s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(8) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), bk AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id), eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)), p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), pr AS (SELECT i, j, c FROM p WHERE round(c, 4) >= 0.4)"""
+
   private val stopEn = "'the','a','of','and','to','in','is','it'"
   private val stopEs = "'el','la','de','y','en','es','un','que'"
   private val stopDe = "'der','die','das','und','ist','ein','zu','den'"
@@ -565,7 +633,11 @@ object PipelineQueries {
     "q_dedup_ngram" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i)::DOUBLE AS jac0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(jac0, 4) AS jac FROM j WHERE jac0 >= 0.15 ORDER BY doc_a, doc_b""",
     "q_dedup_embed" ->
-      s"""WITH s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(8) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), bk AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id), eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)), p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id) SELECT i, j, round(c, 4) AS cos FROM p WHERE round(c, 4) >= 0.4 ORDER BY i, j""",
+      s"""WITH $embedPairsSql SELECT i, j, round(c, 4) AS cos FROM pr ORDER BY i, j""",
+    "q_dedup_embed_cluster" ->
+      s"""WITH RECURSIVE $embedPairsSql, ed AS (SELECT i AS src, j AS dst FROM pr UNION ALL SELECT j, i FROM pr), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component::BIGINT AS component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_vec FROM cmp GROUP BY component ORDER BY component""",
+    "q_text_repetition" ->
+      s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), tt AS (SELECT doc_id, sum(c)::BIGINT AS n_toks, max(c) AS top_c FROM (SELECT doc_id, tok, count(*) AS c FROM tokr GROUP BY 1, 2) GROUP BY doc_id), sh2 AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS gs FROM toks), bg AS (SELECT doc_id, len(gs) AS n_big, len(list_distinct(gs)) AS n_dist FROM sh2 WHERE len(gs) > 0), j AS (SELECT tt.doc_id, tt.n_toks, round(tt.top_c::DOUBLE / tt.n_toks::DOUBLE, 4) AS top_tok_frac, round(coalesce((bg.n_big - bg.n_dist)::DOUBLE / bg.n_big::DOUBLE, 0.0), 4) AS dup_bigram_frac FROM tt LEFT JOIN bg ON tt.doc_id = bg.doc_id) SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, (CASE WHEN top_tok_frac > 0.2 OR dup_bigram_frac > 0.3 THEN 1 ELSE 0 END)::INT AS flagged FROM j ORDER BY doc_id""",
     "q_range_join" ->
       """WITH ev AS (SELECT event_id, user_id, floor(floor(epoch(ts)) / 300) AS band, floor(epoch(ts)) AS sec FROM events) SELECT a.user_id, count(*)::BIGINT AS n_pairs, round(avg(abs(b.sec - a.sec)), 2) AS avg_gap FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.band = b.band AND a.event_id < b.event_id GROUP BY a.user_id ORDER BY a.user_id""",
     "q_embed_topk" ->
@@ -578,6 +650,8 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_embed_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
+    "q_embed_ivf_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), qc AS (SELECT cid AS qcid FROM (SELECT c.cid, ${foldSql("list_transform(range(1, 65), i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))")} AS qd FROM cents c CROSS JOIN q ORDER BY qd, c.cid LIMIT 2)), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qc ON a.cid = qc.qcid CROSS JOIN q WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
     "q_embed_quant" ->
       """WITH ex AS (SELECT vec_id, label, t.i AS pos, embedding[t.i + 1]::DOUBLE AS x FROM embeddings CROSS JOIN range(64) t(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM ex GROUP BY vec_id), coded AS (SELECT label, x, CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale * 127 + 0.5) END AS code, scale FROM ex JOIN sc USING (vec_id)), werr AS (SELECT label, code, x - code * scale / 127 AS err FROM coded) SELECT label, count(*)::BIGINT AS n_vals, max(abs(code))::BIGINT AS max_code, sum(abs(code))::BIGINT AS sum_abs_code, round(max(abs(err)), 6) AS max_abs_err FROM werr GROUP BY label ORDER BY label""",
     "q_explode_embed" ->

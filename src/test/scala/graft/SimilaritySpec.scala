@@ -40,6 +40,32 @@ class SimilaritySpec extends SparkSpec {
     assert(!top.contains(2L))          // orthogonal vector pruned (other cell)
   }
 
+  test("multi-probe IVF recovers cross-cell neighbours the single probe misses") {
+    val cents = Seq((100L, Array(1.0, 0.0, 0.0)), (200L, Array(0.0, 1.0, 0.0)))
+      .toDF("cid", "cv")
+    // query 4 = (0.7, 0.7, 0) sits on the cell boundary: assigned to
+    // cell 100 (tie-break on cid), but its 2nd-best neighbour 2 lives
+    // in cell 200 — invisible to a single probe, found by nProbe=2
+    val assigned = Similarity.assignCells(vecs, cents)
+    val single = Similarity.ivfTopK(assigned, 4L, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val multi = Similarity.ivfTopKMultiProbe(assigned, cents, 4L, 10, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(!single.contains(2L))
+    assert(multi.contains(2L))
+    assert(single.subsetOf(multi.toSet)) // more probes never lose results
+    // ranking stays exact-cosine: 1 scores ~0.781 vs query 4, then 0
+    // and 2 tie at 0.7071 (both 45° away) — broken by vec_id
+    assert(multi.take(3) === Seq(1L, 0L, 2L))
+    // nProbe = all cells ≡ brute force over the corpus minus the query
+    val all = Similarity.ivfTopKMultiProbe(assigned, cents, 4L, 10, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val q = vecs.where($"vec_id" === 4).select($"v".as("qv"))
+    val bf = Similarity.bruteForceTopK(vecs.where($"vec_id" =!= 4), q, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(all === bf)
+  }
+
   test("lshBuckets: scale-invariant, deterministic, bounded by plane count") {
     val df = Seq(
       (0L, Array(1.0, 2.0, -3.0)),
