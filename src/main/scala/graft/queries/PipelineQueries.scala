@@ -310,6 +310,57 @@ object PipelineQueries {
         .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("first_doc"))
         .orderBy("split", "lang")
     }),
+    "q_sample_stratified" -> ((s, d) => {
+      // per-(lang, source) quota sampling: keep the 40 docs with the
+      // smallest md5(doc_id) per stratum. Hash-ordered rank makes the
+      // sample deterministic and content-independent; row_number +
+      // `rk <= k` compiles to WindowGroupLimit, so each map task keeps
+      // only k rows per stratum BEFORE the shuffle — at 100 TB the
+      // exchange carries O(strata × k), not the corpus
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rk", row_number().over(w).cast("int"))
+        .where(col("rk") <= 40)
+        .orderBy("lang", "source", "rk")
+    }),
+    "q_mix_weights" -> ((s, d) => {
+      // domain-mixture reweighting: per-source multiplier that turns
+      // the observed source distribution into a uniform target mix
+      // (weight = target_share / actual_share). One hash aggregation
+      // over the corpus; the window runs on the post-agg table whose
+      // row count is the source cardinality, not the corpus
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("weight",
+          round(sum(col("n_docs")).over(w) /
+            (count(lit(1)).over(w) * col("n_docs")), 4))
+        .orderBy("source")
+    }),
+    "q_text_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: an "eval set" (docs whose
+      // md5(doc_id) starts with '0', ≈1/16 of the corpus — stands in
+      // for a held-out benchmark) must not leak into training data.
+      // A train doc is contaminated if it shares any token 3-gram
+      // with any eval doc. The eval shingle set is tiny relative to
+      // the corpus — exactly the real-world shape — so it broadcasts
+      // and the train side streams through a broadcast semi-probe;
+      // no shuffle of the 100 TB side beyond the per-doc hit count
+      val docs = t(s, d, "documents")
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val evalG = broadcast(
+        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
+      Dedup.shingleRows(docs.where(!isEval), 3).distinct()
+        .join(evalG, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("g")).as("hits"))
+        .orderBy("doc_id")
+    }),
     "q_text_bigrams" -> ((s, d) => {
       // top-3 word bigrams per language (collocation mining); bigram
       // rows come from the exploded shingle path (codegen), not HOFs
@@ -612,6 +663,12 @@ object PipelineQueries {
       s"""WITH RECURSIVE $minhashEstSql, p2 AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.5), e AS (SELECT doc_a AS src, doc_b AS dst FROM p2 UNION ALL SELECT doc_b, doc_a FROM p2), r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_doc FROM cmp GROUP BY component ORDER BY component""",
     "q_sample_split" ->
       """WITH h AS (SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS h FROM documents), sp AS (SELECT doc_id, lang, CASE WHEN h < '0d' THEN 'test' WHEN h < '1a' THEN 'val' ELSE 'train' END AS split FROM h) SELECT split, lang, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS first_doc FROM sp GROUP BY split, lang ORDER BY split, lang""",
+    "q_sample_stratified" ->
+      """WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk FROM documents) SELECT doc_id, lang, source, rk FROM r WHERE rk <= 40 ORDER BY lang, source, rk""",
+    "q_mix_weights" ->
+      """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars FROM documents GROUP BY source) SELECT source, n_docs, n_chars, round((SELECT sum(n_docs) FROM s)::DOUBLE / ((SELECT count(*) FROM s) * n_docs)::DOUBLE, 4) AS weight FROM s ORDER BY source""",
+    "q_text_decontaminate" ->
+      s"""WITH $toksSql, $shinglesSql, shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), f AS (SELECT doc_id, g, substr(md5(doc_id::VARCHAR), 1, 1) = '0' AS is_eval FROM shr), ev AS (SELECT DISTINCT g FROM f WHERE is_eval) SELECT doc_id, count(DISTINCT f.g)::BIGINT AS hits FROM f JOIN ev ON f.g = ev.g WHERE NOT is_eval GROUP BY doc_id ORDER BY doc_id""",
     "q_text_bigrams" ->
       s"""WITH $toksSql, sh2 AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS gs FROM toks), bgr AS (SELECT doc_id, unnest(gs) AS g FROM sh2), c AS (SELECT d.lang, b.g, count(*) AS cnt FROM bgr b JOIN documents d ON d.doc_id = b.doc_id GROUP BY 1, 2), rk AS (SELECT lang, g, cnt, row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, g)::INT AS rk FROM c) SELECT lang, g, cnt::BIGINT AS cnt, rk FROM rk WHERE rk <= 3 ORDER BY lang, rk""",
     "q_regex_clean" ->
