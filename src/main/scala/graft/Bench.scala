@@ -32,6 +32,11 @@ object Bench {
     "q_graph_pagerank_big", "q_dedup_embed", "q_embed_ivf_multiprobe")
 
   def main(args: Array[String]): Unit = {
+    // optional regex arg: local iteration on a query subset ("q_join.*").
+    // The driver passes no args, so the full headline always runs there.
+    val only = args.headOption.map(_.r)
+    def selected = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.findFirstIn(n).isDefined))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -91,7 +96,7 @@ object Bench {
                  else new java.io.File("/nonexistent"))
     if (warmDir.isDirectory) {
       val wd = warmDir.toString
-      headline.filter(SparkEntry.queries.contains).foreach { name =>
+      selected.foreach { name =>
         try SparkEntry.queries(name)(spark, wd).count()
         catch { case _: Throwable => }
       }
@@ -105,7 +110,7 @@ object Bench {
     // a median absorbs one bad run and makes round-over-round deltas
     // reflect code, not scheduling luck.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+    val results = selected.map { name =>
       // any failed rep fails the query (a crash must not hide behind two
       // clean runs' median) — and once one rep fails the outcome is
       // sealed, so remaining reps are skipped rather than re-paying a

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-7 sampling / mixing / decontamination
+  * queries beyond the value-level DuckDB oracle: quota bounds,
+  * determinism, stratum coverage, and eval/train disjointness. */
+class SamplingSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+
+  test("stratified sample keeps at most 40 docs per stratum and ranks densely") {
+    val per = run("q_sample_stratified")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n"), max(col("rk")).as("maxrk"), min(col("rk")).as("minrk"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val (n, maxrk, minrk) = (r.getLong(2), r.getInt(3), r.getInt(4))
+      assert(n <= 40, s"stratum over quota: $r")
+      assert(minrk == 1 && maxrk == n, s"ranks not dense 1..n: $r")
+    }
+  }
+
+  test("stratified sample is deterministic across runs") {
+    val a = run("q_sample_stratified").collect().toSeq
+    val b = run("q_sample_stratified").collect().toSeq
+    assert(a == b)
+  }
+
+  test("stratified sample covers every stratum present in the corpus") {
+    val corpus = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+      .select("lang", "source").distinct().count()
+    val sampled = run("q_sample_stratified")
+      .select("lang", "source").distinct().count()
+    assert(sampled == corpus)
+  }
+
+  test("mixture weights invert the source distribution to uniform") {
+    val rows = run("q_mix_weights").collect()
+    // sum over sources of weight * actual_share must be ~1 (the target
+    // mixture is a probability distribution)
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val mass = rows.map(r => r.getDouble(3) * (r.getLong(1) / total)).sum
+    assert(math.abs(mass - 1.0) < 1e-2, s"reweighted mass $mass != 1")
+  }
+
+  test("decontamination flags only train docs, never the eval slice") {
+    val flagged = run("q_text_decontaminate")
+      .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+      .where(col("h") === "0")
+      .count()
+    assert(flagged == 0, "an eval doc appeared in the contaminated-train output")
+  }
+
+  test("decontaminated docs each share a 3-gram with some eval doc") {
+    import spark.implicits._
+    val docs = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+    val evalG = graft.operators.Dedup.shingleRows(docs.where(isEval), 3)
+      .select("g").distinct().as[String].collect().toSet
+    val hits = run("q_text_decontaminate").select("doc_id").as[Long].collect().toSet
+    val trainG = graft.operators.Dedup.shingleRows(docs.where(!isEval), 3)
+      .as[(Long, String)].collect()
+    val expect = trainG.filter { case (_, g) => evalG(g) }.map(_._1).toSet
+    assert(hits == expect)
+  }
+}
