@@ -544,6 +544,18 @@ object PipelineQueries {
         .agg(count(lit(1)).as("hits"))
         .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
     }),
+    "q_embed_rerank" -> ((s, d) => {
+      // two-stage retrieval: int8 integer-dot prefilter over the whole
+      // corpus -> exact float cosine rescore of the top-50 candidates
+      // -> top-10. The production ANN serving shape: cheap math and a
+      // quarter of the bytes for the full scan, exact math only on the
+      // candidate set.
+      val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      Similarity.quantizedRerankTopK(
+        e.where(col("vec_id") =!= 0),
+        e.where(col("vec_id") === 0).select(col("v").as("qv")),
+        c = 50, k = 10)
+    }),
     "q_embed_ivf_multiprobe" -> ((s, d) => {
       // the recall LEVER: probe the query's 2 nearest cells instead of
       // 1 (Similarity.ivfTopKMultiProbe) and measure recall@10 against
@@ -713,6 +725,8 @@ object PipelineQueries {
       """WITH ex AS (SELECT vec_id, label, t.i AS pos, embedding[t.i + 1]::DOUBLE AS x FROM embeddings CROSS JOIN range(64) t(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM ex GROUP BY vec_id), coded AS (SELECT label, x, CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale * 127 + 0.5) END AS code, scale FROM ex JOIN sc USING (vec_id)), werr AS (SELECT label, code, x - code * scale / 127 AS err FROM coded) SELECT label, count(*)::BIGINT AS n_vals, max(abs(code))::BIGINT AS max_code, sum(abs(code))::BIGINT AS sum_abs_code, round(max(abs(err)), 6) AS max_abs_err FROM werr GROUP BY label ORDER BY label""",
     "q_explode_embed" ->
       """SELECT t.i::INT AS pos, round(avg(embedding[t.i + 1]::DOUBLE), 4) AS mean, round(min(embedding[t.i + 1]::DOUBLE), 4) AS mn, round(max(embedding[t.i + 1]::DOUBLE), 4) AS mx FROM embeddings, range(64) t(i) GROUP BY t.i ORDER BY pos""",
+    "q_embed_rerank" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0), q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qscale FROM q0), qc AS (SELECT qv, qscale, list_transform(qv, x -> CASE WHEN qscale = 0 THEN 0.0 ELSE floor(x / qscale * 127 + 0.5) END) AS qcodes FROM q), c0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e WHERE vec_id <> 0), cc AS (SELECT vec_id, v, scale, list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale * 127 + 0.5) END) AS codes FROM c0), ap AS (SELECT vec_id, v, qv, (${foldSql("list_transform(range(1, 65), i -> codes[i] * qcodes[i])")} * scale * qscale) / 16129.0 AS approx FROM cc CROSS JOIN qc), cand AS (SELECT vec_id, v, qv, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 50), sc AS (SELECT vec_id, approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand) SELECT vec_id, round(approx, 4) AS approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_multimodal_frames" ->
       """WITH f AS (SELECT doc_id, text, unnest(range(0, length(text) // 32, 4)) AS fi FROM documents WHERE length(text) >= 32) SELECT doc_id, fi::INT AS frame_idx, (fi * 32)::INT AS offset, md5(substr(text, (fi * 32 + 1)::INT, 32)) AS frame_md5 FROM f ORDER BY doc_id, frame_idx""",
     "q_dedup_editdist" ->

