@@ -42,6 +42,46 @@ object GraphAlgos {
       .vertices.map { case (v, c) => (v, c) }.toDF("vertex", "component")
   }
 
+  /** DataFrame-native triangle counting with DEGREE-ORDERED edge
+    * orientation — the skew-safe formulation for data-scale graphs
+    * (the GraphX [[triangleCounts]] stays as the per-vertex fixture
+    * path). Each undirected edge is oriented from its lower-(degree,
+    * id) endpoint to the higher one, so every vertex's oriented
+    * out-degree is O(√m) regardless of raw degree — a celebrity hub
+    * with 10^8 neighbours generates O(m) wedges instead of O(deg²),
+    * which is the difference between finishing and not at 100 TB.
+    * Wedges (two oriented edges sharing their source) close against
+    * the canonical undirected edge set; each triangle is found exactly
+    * once, from its orientation-minimal apex. Shuffles: degree agg,
+    * orientation joins, wedge self-join on apex, closing equi-join on
+    * the canonical pair, final agg — all key-partitioned, no cross
+    * product anywhere.
+    * Input: (src, dst) edge list, treated as undirected (self-loops
+    * and duplicate/reverse edges removed). Output: (vertex, triangles)
+    * where vertex is the smallest id in the triangle. */
+  def trianglesByMinVertex(edges: DataFrame): DataFrame = {
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("w"))
+    val wedges = oriented.select(col("u"), col("w").as("w1"))
+      .join(oriented.select(col("u"), col("w").as("w2")), "u")
+      .where(col("w1") < col("w2")) // (w1, w2) is already canonical a < b
+      .select(col("u"), col("w1").as("a"), col("w2").as("b"))
+    wedges.join(und, Seq("a", "b"))
+      .groupBy(least(col("u"), col("a")).as("vertex"))
+      .agg(count(lit(1)).as("triangles"))
+  }
+
   /** In/out degree per vertex. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("vertex"), lit(1).as("out"), lit(0).as("in"))

@@ -185,6 +185,19 @@ object GraphQueries {
         .select(col("a.k").as("src"), col("b.k").as("dst"))
       Traversals.kcore(e, 6).orderBy("vertex")
     }),
+    "q_graph_triangles_big" -> ((s, d) => {
+      // triangle counting at DATA scale: the degree-ordered-orientation
+      // DataFrame formulation (skew-safe wedge generation, see
+      // GraphAlgos.trianglesByMinVertex) over a key-derived graph that
+      // grows with the fixture (~1.5k edges at sf0.001, ~45k at sf0.1).
+      // The oracle is the textbook id-oriented 3-way self-join — a
+      // DIFFERENT physical strategy computing the same triangle set,
+      // which is exactly what it should be: the degree orientation is
+      // an execution choice, not a semantics change.
+      val e = t(s, d, "orders").select(
+        (col("o_orderkey") % 300).as("src"), (col("o_custkey") % 300).as("dst"))
+      graft.operators.GraphAlgos.trianglesByMinVertex(e).orderBy("vertex")
+    }),
     "q_graph_tri_pervertex" -> ((s, d) => {
       // per-vertex triangle participation via GraphX on the (a+b)%4
       // pair graph; exact ints -> SQL oracle
@@ -280,5 +293,7 @@ object GraphQueries {
     "q_graph_tri_pervertex" ->
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), pv AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) SELECT vertex, count(*)::BIGINT AS triangles FROM pv GROUP BY vertex ORDER BY vertex""",
     "q_graph_triangles" ->
-      """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""")
+      """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""",
+    "q_graph_triangles_big" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), tri AS (SELECT e1.a AS x FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) SELECT x AS vertex, count(*)::BIGINT AS triangles FROM tri GROUP BY x ORDER BY vertex""")
 }

@@ -10,6 +10,40 @@ class GraphAlgosSpec extends SparkSpec {
     .flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
     .toDF("src", "dst")
 
+  test("trianglesByMinVertex: K4 has 4 triangles, all attributed to their min vertex") {
+    val k4 = (for { a <- 0 to 3; b <- 0 to 3 if a != b } yield (a.toLong, b.toLong))
+      .toDF("src", "dst") // both directions + would-be dups: must canonicalize
+    val got = GraphAlgos.trianglesByMinVertex(k4).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("triangles")).toMap
+    // K4 triangles: {0,1,2},{0,1,3},{0,2,3} -> min 0 (×3); {1,2,3} -> min 1
+    assert(got == Map(0L -> 3L, 1L -> 1L))
+  }
+
+  test("trianglesByMinVertex: triangle-free graphs and self-loops yield nothing") {
+    assert(GraphAlgos.trianglesByMinVertex(ring).count() == 0) // 4-cycle: no triangle
+    val loops = Seq((1L, 1L), (1L, 2L), (2L, 2L)).toDF("src", "dst")
+    assert(GraphAlgos.trianglesByMinVertex(loops).count() == 0)
+  }
+
+  test("trianglesByMinVertex agrees with a reference enumeration on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val edges = (0 until 150).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val ref = canon.toSeq.flatMap { case (a, b) =>
+        // for each edge (a < b), count common neighbours c > b -> each
+        // triangle once, attributed to its min vertex a
+        (b + 1 until n).filter(c => canon((a, c.toLong)) && canon((b, c.toLong)))
+          .map(_ => a)
+      }.groupBy(identity).map { case (v, l) => v -> l.size.toLong }
+      val got = GraphAlgos.trianglesByMinVertex(edges.toDF("src", "dst")).collect()
+        .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("triangles")).toMap
+      assert(got == ref, s"trial $trial")
+    }
+  }
+
   test("pageRank: ranks sum to ~n, hub outranks pendant") {
     val pr = GraphAlgos.pageRank(ring, iters = 20).collect()
       .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
