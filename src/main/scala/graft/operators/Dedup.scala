@@ -134,6 +134,41 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
   }
 
+  /** Incremental-ingest dedup: near-dup pairs BETWEEN a new batch and
+    * an existing corpus — never corpus×corpus. This is the production
+    * arrival shape: the corpus signature table is computed once (and
+    * persisted / memoized), and each arriving batch band-joins against
+    * it, so ingest cost tracks the BATCH size while the corpus is
+    * touched only through its (narrow) signature bands. Inputs are
+    * signature TABLES from [[minhashSignatures]] (doc_id, sig);
+    * metadata-stamped tables are validated against (k, shingleN).
+    * Output: (new_id, corpus_id, est) for est >= minEst. */
+  def minhashPairsBetween(batchSig: DataFrame, corpusSig: DataFrame,
+                          k: Int = 16, bands: Int = 4, minEst: Double = 0.25,
+                          shingleN: Int = 3): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k)")
+    val rowsPerBand = k / bands
+    requireSig(batchSig, k, shingleN); requireSig(corpusSig, k, shingleN)
+    def bandsOf(sig: DataFrame, idAs: String) =
+      sig.select(col("doc_id"), posexplode(
+          array((0 until bands).map(b =>
+            concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
+        .toDF(idAs, "band_id", "bkey")
+    val cand = bandsOf(batchSig, "new_id")
+      .join(bandsOf(corpusSig, "corpus_id"), Seq("band_id", "bkey"))
+      .select("new_id", "corpus_id").distinct()
+    cand
+      .join(batchSig.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(corpusSig.select(col("doc_id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+      .select(col("new_id"), col("corpus_id"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / k.toDouble).as("est0"))
+      .where(col("est0") >= minEst)
+      .select(col("new_id"), col("corpus_id"), round(col("est0"), 4).as("est"))
+  }
+
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard:
     * [[minhashBandCandidates]] scored by the fraction of matching
     * signature components. Output: (doc_a, doc_b, est) for

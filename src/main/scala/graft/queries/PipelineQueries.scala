@@ -251,6 +251,19 @@ object PipelineQueries {
           (col("n_total") - col("n_exact_dropped") - col("n_near_dropped")).as("n_kept"))
     }),
     // -- dedup ------------------------------------------------------------
+    "q_dedup_incremental" -> ((s, d) => {
+      // incremental-ingest dedup: the hash-designated "arriving batch"
+      // (doc_id % 5 == 0) band-joins against the existing corpus's
+      // signature table — batch×corpus candidates only, never
+      // corpus×corpus. Both sides slice the ONE memoized signature
+      // table, exactly as a production pipeline reuses its persisted
+      // signatures across arrivals.
+      val sig = docSignatures(s, d)
+      Dedup.minhashPairsBetween(
+        sig.where(col("doc_id") % 5 === 0),
+        sig.where(col("doc_id") % 5 =!= 0))
+        .orderBy("new_id", "corpus_id")
+    }),
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy("h")),
     "q_dedup_minhash" -> ((s, d) =>
@@ -628,11 +641,16 @@ object PipelineQueries {
     """sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gs FROM toks)"""
   private def foldSql(elems: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
+  /** MinHash signature-component + band CTE chain (mirrors
+    * [[Dedup.minhashSignatures]]); terminal CTEs `comp(doc_id, seed,
+    * c)` and `bands(doc_id, band_id, bkey)`. */
+  private val minhashSigSql =
+    s"""$toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, b.b * 4 + j.j AS seed, min(substr(md5(b.b::VARCHAR || '|' || g), j.j * 8 + 1, 8)) AS c FROM shr CROSS JOIN (SELECT unnest(range(4)) AS b) b CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY doc_id, b.b * 4 + j.j), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4)"""
   /** MinHash signature → band → candidate-pair → estimate CTE chain
     * (mirrors [[Dedup.minhashPairs]]); terminal CTE `est(doc_a, doc_b,
     * est0)`. */
   private val minhashEstSql =
-    s"""$toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, b.b * 4 + j.j AS seed, min(substr(md5(b.b::VARCHAR || '|' || g), j.j * 8 + 1, 8)) AS c FROM shr CROSS JOIN (SELECT unnest(range(4)) AS b) b CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY doc_id, b.b * 4 + j.j), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p)"""
+    s"""$minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p)"""
   /** LSH bucket → candidate-pair → exact-cosine CTE chain (mirrors
     * [[embedLshPairs]]: the same md5-derived ±1 planes as
     * [[graft.operators.Similarity.lshPlane]]); terminal CTE
@@ -701,6 +719,8 @@ object PipelineQueries {
         """)::BIGINT AS simhash FROM v) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.simhash, b.simhash))::INT AS dist FROM h a JOIN h b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b"""),
     "q_dedup_ngram" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i)::DOUBLE AS jac0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(jac0, 4) AS jac FROM j WHERE jac0 >= 0.15 ORDER BY doc_a, doc_b""",
+    "q_dedup_incremental" ->
+      s"""WITH $minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), est AS (SELECT p.new_id, p.corpus_id, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.new_id AND y.doc_id = p.corpus_id)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT new_id, corpus_id, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY new_id, corpus_id""",
     "q_dedup_embed" ->
       s"""WITH $embedPairsSql SELECT i, j, round(c, 4) AS cos FROM pr ORDER BY i, j""",
     "q_dedup_embed_cluster" ->

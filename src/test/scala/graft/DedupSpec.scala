@@ -35,6 +35,24 @@ class DedupSpec extends SparkSpec {
     assert(hand.contains((0L, 1L, 0)))
   }
 
+  test("minhashPairsBetween: batch×corpus pairs only, consistent with symmetric pairs") {
+    val sig = Dedup.minhashSignatures(docs).localCheckpoint(true)
+    val batch = sig.where(col("doc_id") === 0)      // "arriving" doc 0
+    val corpus = sig.where(col("doc_id") =!= 0)
+    val got = Dedup.minhashPairsBetween(batch, corpus).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every pair crosses the boundary: new side always doc 0
+    assert(got.nonEmpty && got.forall(_._1 == 0L))
+    // doc 1 is an identical copy of doc 0 -> est 1.0 must survive
+    assert(got.exists(p => p._2 == 1L && p._3 == 1.0))
+    // asymmetric result == symmetric pairs restricted to the boundary
+    val sym = Dedup.minhashPairs(docs, sigOpt = Some(sig)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(p => p._1 == 0L || p._2 == 0L)
+      .map(p => if (p._1 == 0L) p else (p._2, p._1, p._3)).toSet
+    assert(got.toSet == sym)
+  }
+
   test("exact dedup groups identical texts") {
     val groups = Dedup.exact(docs).collect()
     assert(groups.length === 4) // 0/1 collapse
