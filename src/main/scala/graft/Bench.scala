@@ -35,10 +35,12 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").
-    // The driver passes no args, so the full headline always runs there.
+    // FULL-match anchored: "q_tpch_q1" selects exactly q_tpch_q1, not
+    // q_tpch_q10..q19 (use "q_tpch_q1.*" for the family). The driver
+    // passes no args, so the full headline always runs there.
     val only = args.headOption.map(_.r)
     def selected = headline.filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.findFirstIn(n).isDefined))
+      .filter(n => only.forall(_.pattern.matcher(n).matches))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -150,17 +150,29 @@ object Dedup {
       s"bands ($bands) must divide k ($k)")
     val rowsPerBand = k / bands
     requireSig(batchSig, k, shingleN); requireSig(corpusSig, k, shingleN)
+    // pin both slices: each is read twice (band explode + estimate
+    // join) — the file-header self-join rule. A caller passing raw
+    // minhashSignatures output would otherwise pay the dominant
+    // signature aggregation twice per side; re-pinning an
+    // already-checkpointed memo slice copies only the narrow sig table.
+    val bSig = batchSig.localCheckpoint(true)
+    val cSig = corpusSig.localCheckpoint(true)
     def bandsOf(sig: DataFrame, idAs: String) =
       sig.select(col("doc_id"), posexplode(
           array((0 until bands).map(b =>
             concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
         .toDF(idAs, "band_id", "bkey")
-    val cand = bandsOf(batchSig, "new_id")
-      .join(bandsOf(corpusSig, "corpus_id"), Seq("band_id", "bkey"))
+    val cand = bandsOf(bSig, "new_id")
+      .join(bandsOf(cSig, "corpus_id"), Seq("band_id", "bkey"))
+      // a doc id present on BOTH sides (a re-ingested batch — routine
+      // production retry) would band-join with itself and survive as a
+      // bogus (x, x, 1.0) "near-dup"; the symmetric path's doc_a <
+      // doc_b guard doesn't exist here, so exclude self-pairs
+      .where(col("new_id") =!= col("corpus_id"))
       .select("new_id", "corpus_id").distinct()
     cand
-      .join(batchSig.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), "new_id")
-      .join(corpusSig.select(col("doc_id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
+      .join(bSig.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(cSig.select(col("doc_id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
       .select(col("new_id"), col("corpus_id"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1.0).otherwise(0.0)),

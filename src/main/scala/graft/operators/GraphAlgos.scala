@@ -60,10 +60,14 @@ object GraphAlgos {
     * and duplicate/reverse edges removed). Output: (vertex, triangles)
     * where vertex is the smallest id in the triangle. */
   def trianglesByMinVertex(edges: DataFrame): DataFrame = {
+    // pin: und feeds the degree union (2x), the orientation join, and
+    // the closing join; oriented is self-joined for wedges — unpinned,
+    // the canonicalize+distinct shuffle would re-execute per consumer
+    // (the repo's self-join pin rule, see Dedup.scala header)
     val und = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
-      .where(col("a") =!= col("b")).distinct()
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
     val deg = und.select(col("a").as("v")).union(und.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val lower = col("da") < col("db") ||
@@ -73,6 +77,7 @@ object GraphAlgos {
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
       .select(when(lower, col("a")).otherwise(col("b")).as("u"),
         when(lower, col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint(true)
     val wedges = oriented.select(col("u"), col("w").as("w1"))
       .join(oriented.select(col("u"), col("w").as("w2")), "u")
       .where(col("w1") < col("w2")) // (w1, w2) is already canonical a < b

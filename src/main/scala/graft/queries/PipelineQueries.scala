@@ -371,7 +371,10 @@ object PipelineQueries {
       Dedup.shingleRows(docs.where(!isEval), 3).distinct()
         .join(evalG, "g")
         .groupBy("doc_id")
-        .agg(countDistinct(col("g")).as("hits"))
+        // (doc_id, g) rows are unique post-distinct and the probe side
+        // is a distinct key set, so count(*) == countDistinct(g) —
+        // without paying a second dedup aggregation on the train side
+        .agg(count(lit(1)).as("hits"))
         .orderBy("doc_id")
     }),
     "q_text_bigrams" -> ((s, d) => {

@@ -127,9 +127,37 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getAs[Long]("vec_id")).toSet
     val gotIds = got.map(_.getAs[Long]("vec_id")).toSet
     assert(gotIds == exact, s"rerank lost exact neighbours: ${exact -- gotIds}")
-    // stage-1 ordering really is the approx score: candidates admitted
-    // to rescoring must each beat every non-candidate's approx score
-    assert(got.forall(r => math.abs(r.getAs[Double]("score")) <= 1.0001))
+    // independent replication of BOTH stages in plain Scala: quantize,
+    // integer-dot prefilter to top-50, exact-cosine top-10 — the
+    // operator must reproduce this row-for-row (ids AND rounded scores)
+    val vs = corpus.collect().map(r =>
+      r.getAs[Long]("vec_id") -> r.getSeq[Double](r.fieldIndex("v")).toArray)
+    val qv = q.collect().head.getSeq[Double](0).toArray
+    def codes(v: Array[Double]): (Array[Double], Double) = {
+      val s = v.map(math.abs).max
+      (v.map(x => if (s == 0) 0.0 else math.floor(x / s * 127 + 0.5)), s)
+    }
+    val (qc, qs) = codes(qv)
+    val approx = vs.map { case (id, v) =>
+      val (c, s) = codes(v)
+      (id, c.zip(qc).map { case (a, b) => a * b }.sum * s * qs / 16129.0)
+    }
+    val pool = approx.sortBy { case (id, a) => (-a, id) }.take(50)
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val vmap = vs.toMap
+    // round BEFORE ranking: the operator orders by the rounded score
+    // (its output column), so ties created by rounding break by id
+    val want = pool.map { case (id, a) =>
+        (id, BigDecimal(cos(vmap(id), qv))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (id, c0) => (-c0, id) }.take(10).toSeq
+    val gotRows = got.map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSeq
+    assert(gotRows == want, "operator disagrees with the independent two-stage replication")
   }
 
   test("quantized rerank prefilter plans as TakeOrderedAndProject, not a global sort") {
