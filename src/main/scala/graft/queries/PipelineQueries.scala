@@ -481,6 +481,16 @@ object PipelineQueries {
         .agg(count(lit(1)).as("sz"), min(col("vec_id")).as("min_vec"))
         .orderBy("cid")
     }),
+    "q_multimodal_resize" -> ((s, d) => {
+      // typed-Dataset resize path end-to-end in the gate: per-doc
+      // before/after byte counts + md5 of the resized payload (the
+      // bytes are ASCII here, so DuckDB reproduces the digest from the
+      // reconstructed every-4th-char string)
+      Multimodal.resize(t(s, d, "documents"), factor = 4)
+        .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
+          md5(col("payload")).as("h"))
+        .orderBy("doc_id")
+    }),
     "q_multimodal_frames" -> ((s, d) => {
       // video-keyframe-sampling shape in the gate: the binary payload is
       // cut into fixed 32-byte frames, every 4th is emitted
@@ -684,6 +694,8 @@ object PipelineQueries {
         """exact_losers AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents) WHERE doc_id <> keeper), near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est0 >= 0.5 AND doc_b NOT IN (SELECT doc_id FROM exact_losers)) SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total, (SELECT count(*) FROM exact_losers)::BIGINT AS n_exact_dropped, (SELECT count(*) FROM near_losers)::BIGINT AS n_near_dropped, ((SELECT count(*) FROM documents) - (SELECT count(*) FROM exact_losers) - (SELECT count(*) FROM near_losers))::BIGINT AS n_kept"""),
     "q_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
+    "q_multimodal_resize" ->
+      """SELECT doc_id, length(text)::INT AS orig_bytes, ((length(text) + 3) // 4)::INT AS resized_bytes, md5(array_to_string(list_transform(range(1, length(text) + 1, 4), i -> substr(text, i, 1)), '')) AS h FROM documents ORDER BY doc_id""",
     "q_multimodal_hist" ->
       ("""WITH tr0 AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text FROM documents), tr AS (SELECT doc_id, ascii(substr(text, i, 1)) // 32 AS bin FROM tr0) SELECT doc_id, """ +
         (0 until 8).map(k => s"sum(CASE WHEN bin = $k THEN 1 ELSE 0 END)::BIGINT AS b$k").mkString(", ") +
