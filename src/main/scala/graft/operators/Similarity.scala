@@ -163,6 +163,33 @@ object Similarity {
     embeddings.select(col("vec_id"), bits.reduce(_ + _).as("bucket"))
   }
 
+  /** Banded random-hyperplane LSH: `bands` independent
+    * `planesPerBand`-bit buckets per vector (band b uses global planes
+    * b*planesPerBand..+planesPerBand-1, so band 0 reproduces
+    * [[lshBuckets]] exactly). Near-dup candidates = pairs colliding in
+    * ANY band — the same OR-amplification MinHash banding uses: a pair
+    * at angle θ collides per band with (1-θ/π)^planesPerBand, so 4
+    * bands lift recall at cosine 0.99 from ~0.69 to ~0.99 while bucket
+    * sizes still track near-dup density. All bands' sign projections
+    * run in ONE codegen projection; output (vec_id, band_id, bucket)
+    * is narrow for the band equi-join. */
+  def lshBandBuckets(embeddings: DataFrame, bands: Int = 4,
+                     planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)
+    val bandCols = (0 until bands).map { bnd =>
+      (0 until planesPerBand).map { j =>
+        val planeSql = lshPlane(bnd * planesPerBand + j, dims)
+          .map(x => if (x > 0) "1.0D" else "-1.0D").mkString("array(", ",", ")")
+        val dot = expr(s"dot_fold(v, $planeSql)")
+        // NULL-length guard: same rationale as lshBuckets
+        when(dot >= 0, lit(1L << j)).when(dot < 0, lit(0L))
+          .otherwise(lit(null).cast("long"))
+      }.reduce(_ + _)
+    }
+    embeddings.select(col("vec_id"), posexplode(array(bandCols: _*)))
+      .toDF("vec_id", "band_id", "bucket")
+  }
+
   /** Multi-probe IVF: top-k by cosine within the query's `nProbe`
     * NEAREST cells, not just its own — the standard recall lever when
     * the true neighbours sit across a cell boundary. Cost scales with

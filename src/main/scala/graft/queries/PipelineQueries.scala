@@ -67,11 +67,30 @@ object PipelineQueries {
     graft.functions.expressions.GraftFunctions.register(s)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    val eb = e.join(
-      Similarity.lshBuckets(e, planes = 8, dims = 64), "vec_id")
-    val a = eb.select(col("vec_id").as("i"), col("bucket"), col("v").as("va"))
-    val b = eb.select(col("vec_id").as("j"), col("bucket"), col("v").as("vb"))
-    a.join(b, Seq("bucket")).where(col("i") < col("j"))
+    // 4 bands × 8 planes with OR-amplification: a single 8-bit bucket
+    // misses ~31% of cosine-0.99 pairs (one flipped sign bit splits
+    // the bucket); any-band collision recovers them the same way
+    // MinHash banding does. ONE pin (repo self-join rule), on the
+    // NARROW (vec_id, band_id, bucket) band table: its 32-dot_fold
+    // projection feeds both sides of the self-join (measured: pinned
+    // 1.53 s vs unpinned 2.44 s at sf0.1 — ReuseExchange does NOT
+    // dedupe the aliased sides here), while checkpointing vectors per
+    // band row would materialise the corpus 4x (measured 1.88 s). The
+    // vector table stays a bare columnar scan re-read by the two
+    // rescore joins. Candidates dedup BEFORE the rescore so a pair
+    // colliding in several bands scores once.
+    val bands = Similarity
+      .lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
+      .localCheckpoint(true)
+    val cand = bands.toDF("i", "band_id", "bucket")
+      .join(bands.toDF("j", "band_id", "bucket"), Seq("band_id", "bucket"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val ev = e
+    val joined = cand
+      .join(ev.select(col("vec_id").as("i"), col("v").as("va")), "i")
+      .join(ev.select(col("vec_id").as("j"), col("v").as("vb")), "j")
+    joined
       .select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
       .where(col("cos") >= minCos)
   }
@@ -664,12 +683,13 @@ object PipelineQueries {
     * est0)`. */
   private val minhashEstSql =
     s"""$minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p)"""
-  /** LSH bucket → candidate-pair → exact-cosine CTE chain (mirrors
-    * [[embedLshPairs]]: the same md5-derived ±1 planes as
-    * [[graft.operators.Similarity.lshPlane]]); terminal CTE
+  /** Banded-LSH bucket → any-band candidate-pair → exact-cosine CTE
+    * chain (mirrors [[embedLshPairs]]: 4 bands × 8 of the same
+    * md5-derived ±1 planes as [[graft.operators.Similarity.lshPlane]],
+    * global plane index p, band p//8, bit p%8); terminal CTE
     * `pr(i, j, c)` holding pairs with round(c, 4) >= 0.4. */
   private val embedPairsSql =
-    s"""s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(8) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), bk AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id), eb AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)), p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id), pr AS (SELECT i, j, c FROM p WHERE round(c, 4) >= 0.4)"""
+    s"""s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(32) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), bk AS (SELECT vec_id, p // 8 AS band_id, sum(CASE WHEN dot >= 0 THEN (1 << (p % 8)) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id, p // 8), eb AS (SELECT e.vec_id, e.v, bk.band_id, bk.bucket FROM e JOIN bk USING (vec_id)), cp AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j FROM eb a JOIN eb b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT cp.i, cp.j, ${foldSql("list_transform(range(1, 65), i -> ea.v[i] * eb2.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> eb2.v[i] * eb2.v[i])")})) AS c FROM cp JOIN e ea ON ea.vec_id = cp.i JOIN e eb2 ON eb2.vec_id = cp.j), pr AS (SELECT i, j, c FROM p WHERE round(c, 4) >= 0.4)"""
 
   private val stopEn = "'the','a','of','and','to','in','is','it'"
   private val stopEs = "'el','la','de','y','en','es','un','que'"

@@ -41,9 +41,13 @@ object RelationalQueries {
 
   /** Recursive delete that CLOSES its directory stream (Files.walk
     * holds an open fd until closed — leaking one per gate query adds
-    * up over a long verify/bench session). Best-effort: IOExceptions
-    * are swallowed so the shutdown-hook / session-sweep reapers never
-    * abort mid-cleanup on a vanished file. */
+    * up over a long verify/bench session). Best-effort at TWO levels:
+    * per-entry, so one undeletable entry doesn't abandon the rest of
+    * the reverse-sorted list; and around the walk, catching Exception
+    * rather than IOException because the walk stream surfaces
+    * vanished-mid-traversal entries as UncheckedIOException (a
+    * RuntimeException) — the shutdown-hook / session-sweep reapers
+    * must never abort mid-cleanup on a concurrently-reaped file. */
   private def deleteRecursively(dir: java.nio.file.Path): Unit =
     try {
       if (!java.nio.file.Files.exists(dir)) return
@@ -51,9 +55,11 @@ object RelationalQueries {
       try {
         import scala.jdk.CollectionConverters._
         walk.sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+          .iterator().asScala.foreach(p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch { case _: Exception => () })
       } finally walk.close()
-    } catch { case _: java.io.IOException => () }
+    } catch { case _: Exception => () }
 
 
   /** Stage the events parquet (a single file or a Spark-written

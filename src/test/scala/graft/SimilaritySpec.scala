@@ -58,7 +58,10 @@ class SimilaritySpec extends SparkSpec {
     // and 2 tie at 0.7071 (both 45° away) — broken by vec_id
     assert(multi.take(3) === Seq(1L, 0L, 2L))
     // nProbe = all cells ≡ brute force over the corpus minus the query
-    val all = Similarity.ivfTopKMultiProbe(assigned, cents, 4L, 10, nProbe = 2)
+    // (derive "all" from the centroid table so adding a cell to the
+    // fixture can't silently weaken this into a partial-probe check)
+    val nCells = cents.count().toInt
+    val all = Similarity.ivfTopKMultiProbe(assigned, cents, 4L, 10, nProbe = nCells)
       .collect().map(_.getAs[Long]("vec_id")).toSet
     val q = vecs.where($"vec_id" === 4).select($"v".as("qv"))
     val bf = Similarity.bruteForceTopK(vecs.where($"vec_id" =!= 4), q, 10)
@@ -103,6 +106,31 @@ class SimilaritySpec extends SparkSpec {
       .select(expr("dot_fold(a, b)").as("nd"),
         VectorFunctions.dot($"a", $"b").as("hd")).head()
     assert(mis.isNullAt(0) && mis.isNullAt(1))
+  }
+
+  test("lshBandBuckets: band 0 reproduces lshBuckets; banding only ADDS candidates") {
+    val e = graft.queries.Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
+    val single = Similarity.lshBuckets(e, planes = 8, dims = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val banded = Similarity.lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
+    val band0 = banded.where($"band_id" === 0)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(band0 == single, "band 0 must be exactly the single-table bucket")
+    // every vector appears in every band
+    assert(banded.groupBy("vec_id").count().where($"count" =!= 4).count() == 0)
+    // any-band collisions are a superset of band-0 collisions => the
+    // banded candidate set can only grow vs the old single-band form
+    def pairs(df: org.apache.spark.sql.DataFrame, cols: Seq[String]) = {
+      val a = df.toDF(("ia" +: cols): _*); val b = df.toDF(("jb" +: cols): _*)
+      a.join(b, cols).where($"ia" < $"jb")
+        .select($"ia", $"jb").distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val singlePairs = pairs(Similarity.lshBuckets(e, 8, 64), Seq("bucket"))
+    val bandedPairs = pairs(banded, Seq("band_id", "bucket"))
+    assert(singlePairs.subsetOf(bandedPairs))
+    assert(bandedPairs.size > singlePairs.size,
+      "4-band OR-amplification should recover pairs a single 8-bit bucket splits")
   }
 
   test("lshPlane is a fixed ±1 md5-derived matrix") {
