@@ -358,6 +358,22 @@ object PipelineQueries {
         .where(col("rk") <= 40)
         .orderBy("lang", "source", "rk")
     }),
+    "q_sample_weighted" -> ((s, d) => {
+      // quality-weighted Bernoulli sampling: keep a doc iff its
+      // content-independent hash-uniform u(doc_id) = md5[0:6]/16^6 is
+      // below its quality score — the standard way a training mix
+      // up-samples high-quality documents. Deterministic (same corpus
+      // → same sample under any partitioning), one corpus pass, no
+      // shuffle before the final sort; u is a 24-bit dyadic rational
+      // so the comparison is bit-identical across engines.
+      val u = expr("conv(substring(md5(cast(doc_id as string)), 1, 6), 16, 10)")
+        .cast("long").cast("double") / 16777216.0
+      t(s, d, "documents")
+        .withColumn("score", graft.functions.TextFunctions.qualityScore(col("text")))
+        .where(u < col("score"))
+        .select(col("doc_id"), col("score"))
+        .orderBy("doc_id")
+    }),
     "q_mix_weights" -> ((s, d) => {
       // domain-mixture reweighting: per-source multiplier that turns
       // the observed source distribution into a uniform target mix
@@ -730,6 +746,8 @@ object PipelineQueries {
       """WITH h AS (SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS h FROM documents), sp AS (SELECT doc_id, lang, CASE WHEN h < '0d' THEN 'test' WHEN h < '1a' THEN 'val' ELSE 'train' END AS split FROM h) SELECT split, lang, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS first_doc FROM sp GROUP BY split, lang ORDER BY split, lang""",
     "q_sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk FROM documents) SELECT doc_id, lang, source, rk FROM r WHERE rk <= 40 ORDER BY lang, source, rk""",
+    "q_sample_weighted" ->
+      s"""WITH $toksSql, m AS (SELECT d.doc_id, least(length(d.text)::DOUBLE / 500.0, 1.0) AS len_score, 1.0 - least(((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE) * 5.0, 1.0) AS punct_score, least((len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) * 4.0, 1.0) AS stop_score, CASE WHEN (length(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END AS tok_score FROM documents d JOIN toks t ON d.doc_id = t.doc_id), sc AS (SELECT doc_id, round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + tok_score * 0.2, 4) AS score FROM m), uu AS (SELECT doc_id, score, ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS u FROM sc) SELECT doc_id, score FROM uu WHERE u < score ORDER BY doc_id""",
     "q_mix_weights" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars FROM documents GROUP BY source) SELECT source, n_docs, n_chars, round((SELECT sum(n_docs) FROM s)::DOUBLE / ((SELECT count(*) FROM s) * n_docs)::DOUBLE, 4) AS weight FROM s ORDER BY source""",
     "q_text_decontaminate" ->

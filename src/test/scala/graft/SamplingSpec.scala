@@ -37,6 +37,24 @@ class SamplingSpec extends SparkSpec {
     assert(sampled == corpus)
   }
 
+  test("weighted sample = exactly the docs whose hash-uniform is below their quality score") {
+    val scored = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    def u(id: Long): Double = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(3).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h, 16).toDouble / 16777216.0
+    }
+    val expect = scored.collect { case (id, s) if u(id) < s => id }.toSet
+    val got = run("q_sample_weighted").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // the sample is a real Bernoulli thinning: non-empty, proper subset
+    assert(got.nonEmpty && got.size < scored.length)
+  }
+
   test("mixture weights invert the source distribution to uniform") {
     val rows = run("q_mix_weights").collect()
     // sum over sources of weight * actual_share must be ~1 (the target
