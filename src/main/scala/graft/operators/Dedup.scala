@@ -107,6 +107,30 @@ object Dedup {
           s"but caller expects shingleN=$shingleN")
   }
 
+  /** THE band-key expression, shared by every MinHash pair generator
+    * (symmetric, asymmetric, and the DuckDB `bands` CTE twin): explode
+    * a signature table into (id, band_id, bkey) where bkey
+    * concatenates the band's k/bands fixed-width 8-hex-char
+    * components (fixed width ⇒ concatenation is unambiguous). ONE
+    * definition so a keying change cannot desynchronize the paths. */
+  private def bandRows(sig: DataFrame, k: Int, bands: Int,
+                       idAs: String): DataFrame = {
+    require(bands >= 1 && bands <= k && k % bands == 0,
+      s"bands ($bands) must divide k ($k); otherwise band keys degenerate " +
+        "and candidate generation becomes an O(n^2) cross join")
+    val rowsPerBand = k / bands
+    sig.select(col("doc_id"), posexplode(
+        array((0 until bands).map(b =>
+          concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
+      .toDF(idAs, "band_id", "bkey")
+  }
+
+  /** Matching-component fraction of two k-component signatures — the
+    * MinHash Jaccard estimate, shared by both pair scorers. */
+  private def estColumn(sigA: Column, sigB: Column, k: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1.0).otherwise(0.0)),
+      lit(0.0), (acc, x) => acc + x) / k.toDouble
+
   /** MinHash+LSH candidate pairs (no estimate filter): docs sharing
     * any signature band become candidates. This is THE scalable
     * candidate generator — bucket sizes track true near-dup density,
@@ -117,17 +141,10 @@ object Dedup {
   def minhashBandCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
                             sigOpt: Option[DataFrame] = None,
                             shingleN: Int = 3): DataFrame = {
-    require(bands >= 1 && bands <= k && k % bands == 0,
-      s"bands ($bands) must divide k ($k); otherwise band keys degenerate " +
-        "and candidate generation becomes an O(n^2) cross join")
-    val rowsPerBand = k / bands
     sigOpt.foreach(requireSig(_, k, shingleN))
     val sig = sigOpt.getOrElse(
       minhashSignatures(docs, k, shingleN).localCheckpoint(true))
-    val bandDf = sig.select(col("doc_id"), posexplode(
-        array((0 until bands).map(b =>
-          concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
-      .toDF("doc_id", "band_id", "bkey")
+    val bandDf = bandRows(sig, k, bands, "doc_id")
     bandDf.as("a").join(bandDf.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -142,28 +159,22 @@ object Dedup {
     * touched only through its (narrow) signature bands. Inputs are
     * signature TABLES from [[minhashSignatures]] (doc_id, sig);
     * metadata-stamped tables are validated against (k, shingleN).
-    * Output: (new_id, corpus_id, est) for est >= minEst. */
+    * Output: (new_id, corpus_id, est) for est >= minEst.
+    *
+    * `prePinned`: each side is read twice (band explode + estimate
+    * join), so by default both are localCheckpointed here per the
+    * file-header self-join rule. Callers passing slices of an
+    * ALREADY-pinned table (the session memo, a persisted production
+    * signature store) pass `prePinned = true` to skip the redundant
+    * re-materialization. */
   def minhashPairsBetween(batchSig: DataFrame, corpusSig: DataFrame,
                           k: Int = 16, bands: Int = 4, minEst: Double = 0.25,
-                          shingleN: Int = 3): DataFrame = {
-    require(bands >= 1 && bands <= k && k % bands == 0,
-      s"bands ($bands) must divide k ($k)")
-    val rowsPerBand = k / bands
+                          shingleN: Int = 3, prePinned: Boolean = false): DataFrame = {
     requireSig(batchSig, k, shingleN); requireSig(corpusSig, k, shingleN)
-    // pin both slices: each is read twice (band explode + estimate
-    // join) — the file-header self-join rule. A caller passing raw
-    // minhashSignatures output would otherwise pay the dominant
-    // signature aggregation twice per side; re-pinning an
-    // already-checkpointed memo slice copies only the narrow sig table.
-    val bSig = batchSig.localCheckpoint(true)
-    val cSig = corpusSig.localCheckpoint(true)
-    def bandsOf(sig: DataFrame, idAs: String) =
-      sig.select(col("doc_id"), posexplode(
-          array((0 until bands).map(b =>
-            concat_ws("", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))).toIndexedSeq: _*)))
-        .toDF(idAs, "band_id", "bkey")
-    val cand = bandsOf(bSig, "new_id")
-      .join(bandsOf(cSig, "corpus_id"), Seq("band_id", "bkey"))
+    val bSig = if (prePinned) batchSig else batchSig.localCheckpoint(true)
+    val cSig = if (prePinned) corpusSig else corpusSig.localCheckpoint(true)
+    val cand = bandRows(bSig, k, bands, "new_id")
+      .join(bandRows(cSig, k, bands, "corpus_id"), Seq("band_id", "bkey"))
       // a doc id present on BOTH sides (a re-ingested batch — routine
       // production retry) would band-join with itself and survive as a
       // bogus (x, x, 1.0) "near-dup"; the symmetric path's doc_a <
@@ -174,9 +185,7 @@ object Dedup {
       .join(bSig.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), "new_id")
       .join(cSig.select(col("doc_id").as("corpus_id"), col("sig").as("sig_b")), "corpus_id")
       .select(col("new_id"), col("corpus_id"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / k.toDouble).as("est0"))
+        estColumn(col("sig_a"), col("sig_b"), k).as("est0"))
       .where(col("est0") >= minEst)
       .select(col("new_id"), col("corpus_id"), round(col("est0"), 4).as("est"))
   }
@@ -203,9 +212,7 @@ object Dedup {
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / k.toDouble).as("est0"))
+        estColumn(col("sig_a"), col("sig_b"), k).as("est0"))
       .where(col("est0") >= minEst)
       .select(col("doc_a"), col("doc_b"), round(col("est0"), 4).as("est"))
   }

@@ -86,10 +86,9 @@ object PipelineQueries {
       .join(bands.toDF("j", "band_id", "bucket"), Seq("band_id", "bucket"))
       .where(col("i") < col("j"))
       .select("i", "j").distinct()
-    val ev = e
     val joined = cand
-      .join(ev.select(col("vec_id").as("i"), col("v").as("va")), "i")
-      .join(ev.select(col("vec_id").as("j"), col("v").as("vb")), "j")
+      .join(e.select(col("vec_id").as("i"), col("v").as("va")), "i")
+      .join(e.select(col("vec_id").as("j"), col("v").as("vb")), "j")
     joined
       .select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
       .where(col("cos") >= minCos)
@@ -280,7 +279,8 @@ object PipelineQueries {
       val sig = docSignatures(s, d)
       Dedup.minhashPairsBetween(
         sig.where(col("doc_id") % 5 === 0),
-        sig.where(col("doc_id") % 5 =!= 0))
+        sig.where(col("doc_id") % 5 =!= 0),
+        prePinned = true) // slices of the already-checkpointed memo
         .orderBy("new_id", "corpus_id")
     }),
     "q_dedup_exact" -> ((s, d) =>
@@ -689,6 +689,16 @@ object PipelineQueries {
     """sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gs FROM toks)"""
   private def foldSql(elems: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
+  /** Quality-score CTE chain (mirrors
+    * [[graft.functions.TextFunctions.qualityScore]]); terminal CTE
+    * `qscore(doc_id, score)` with the 4-decimal-rounded composite
+    * score. ONE definition shared by q_text_quality and
+    * q_sample_weighted so the two oracles cannot drift. LAZY: it
+    * interpolates `stopEn`, which is declared further down the object
+    * — a strict val here would capture null at init order. */
+  private lazy val qualityScoreSql =
+    s"""$toksSql, m AS (SELECT d.doc_id, least(length(d.text)::DOUBLE / 500.0, 1.0) AS len_score, 1.0 - least(((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE) * 5.0, 1.0) AS punct_score, least((len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) * 4.0, 1.0) AS stop_score, CASE WHEN (length(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END AS tok_score FROM documents d JOIN toks t ON d.doc_id = t.doc_id), qscore AS (SELECT doc_id, round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + tok_score * 0.2, 4) AS score FROM m)"""
+
   /** MinHash signature-component + band CTE chain (mirrors
     * [[Dedup.minhashSignatures]]); terminal CTEs `comp(doc_id, seed,
     * c)` and `bands(doc_id, band_id, bkey)`. */
@@ -705,7 +715,7 @@ object PipelineQueries {
     * global plane index p, band p//8, bit p%8); terminal CTE
     * `pr(i, j, c)` holding pairs with round(c, 4) >= 0.4. */
   private val embedPairsSql =
-    s"""s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(32) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), bk AS (SELECT vec_id, p // 8 AS band_id, sum(CASE WHEN dot >= 0 THEN (1 << (p % 8)) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id, p // 8), eb AS (SELECT e.vec_id, e.v, bk.band_id, bk.bucket FROM e JOIN bk USING (vec_id)), cp AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j FROM eb a JOIN eb b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT cp.i, cp.j, ${foldSql("list_transform(range(1, 65), i -> ea.v[i] * eb2.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> eb2.v[i] * eb2.v[i])")})) AS c FROM cp JOIN e ea ON ea.vec_id = cp.i JOIN e eb2 ON eb2.vec_id = cp.j), pr AS (SELECT i, j, c FROM p WHERE round(c, 4) >= 0.4)"""
+    s"""s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(32) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), bk AS (SELECT vec_id, p // 8 AS band_id, CASE WHEN bool_or(dot IS NULL) THEN NULL ELSE sum(CASE WHEN dot >= 0 THEN (1 << (p % 8)) ELSE 0 END)::BIGINT END AS bucket FROM dt GROUP BY vec_id, p // 8), eb AS (SELECT e.vec_id, e.v, bk.band_id, bk.bucket FROM e JOIN bk USING (vec_id)), cp AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j FROM eb a JOIN eb b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT cp.i, cp.j, ${foldSql("list_transform(range(1, 65), i -> ea.v[i] * eb2.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> eb2.v[i] * eb2.v[i])")})) AS c FROM cp JOIN e ea ON ea.vec_id = cp.i JOIN e eb2 ON eb2.vec_id = cp.j), pr AS (SELECT i, j, c FROM p WHERE round(c, 4) >= 0.4)"""
 
   private val stopEn = "'the','a','of','and','to','in','is','it'"
   private val stopEs = "'el','la','de','y','en','es','un','que'"
@@ -718,7 +728,7 @@ object PipelineQueries {
     "q_text_langid" ->
       s"""WITH $toksSql, hits AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($stopEn))) AS en, len(list_filter(tk, x -> x IN ($stopEs))) AS es, len(list_filter(tk, x -> x IN ($stopDe))) AS de, len(list_filter(tk, x -> x IN ($stopFr))) AS fr FROM toks), g AS (SELECT doc_id, CASE WHEN greatest(en,es,de,fr) = 0 THEN 'und' WHEN en = greatest(en,es,de,fr) THEN 'en' WHEN es = greatest(en,es,de,fr) THEN 'es' WHEN de = greatest(en,es,de,fr) THEN 'de' ELSE 'fr' END AS lang_guess FROM hits) SELECT lang_guess, count(*)::BIGINT AS cnt FROM g GROUP BY lang_guess ORDER BY lang_guess""",
     "q_text_quality" ->
-      s"""WITH $toksSql, m AS (SELECT d.doc_id, least(length(d.text)::DOUBLE / 500.0, 1.0) AS len_score, 1.0 - least(((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE) * 5.0, 1.0) AS punct_score, least((len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) * 4.0, 1.0) AS stop_score, CASE WHEN (length(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END AS tok_score FROM documents d JOIN toks t ON d.doc_id = t.doc_id) SELECT doc_id, round(round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + tok_score * 0.2, 4), 4) AS score FROM m ORDER BY doc_id""",
+      s"""WITH $qualityScoreSql SELECT doc_id, score FROM qscore ORDER BY doc_id""",
     "q_text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM documents ORDER BY doc_id""",
     "q_text_tfidf" ->
@@ -747,7 +757,7 @@ object PipelineQueries {
     "q_sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk FROM documents) SELECT doc_id, lang, source, rk FROM r WHERE rk <= 40 ORDER BY lang, source, rk""",
     "q_sample_weighted" ->
-      s"""WITH $toksSql, m AS (SELECT d.doc_id, least(length(d.text)::DOUBLE / 500.0, 1.0) AS len_score, 1.0 - least(((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE) * 5.0, 1.0) AS punct_score, least((len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) * 4.0, 1.0) AS stop_score, CASE WHEN (length(regexp_replace(trim(lower(d.text)), '\\s+', '', 'g'))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE) BETWEEN 3.0 AND 9.0 THEN 1.0 ELSE 0.5 END AS tok_score FROM documents d JOIN toks t ON d.doc_id = t.doc_id), sc AS (SELECT doc_id, round(len_score * 0.3 + punct_score * 0.3 + stop_score * 0.2 + tok_score * 0.2, 4) AS score FROM m), uu AS (SELECT doc_id, score, ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS u FROM sc) SELECT doc_id, score FROM uu WHERE u < score ORDER BY doc_id""",
+      s"""WITH $qualityScoreSql, uu AS (SELECT doc_id, score, ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS u FROM qscore) SELECT doc_id, score FROM uu WHERE u < score ORDER BY doc_id""",
     "q_mix_weights" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars FROM documents GROUP BY source) SELECT source, n_docs, n_chars, round((SELECT sum(n_docs) FROM s)::DOUBLE / ((SELECT count(*) FROM s) * n_docs)::DOUBLE, 4) AS weight FROM s ORDER BY source""",
     "q_text_decontaminate" ->
