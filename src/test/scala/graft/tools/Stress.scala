@@ -127,6 +127,32 @@ object Stress {
     }
     time("lpa_x1", eb.count()) { Traversals.labelPropagation(eb, 2).count() }
     time("lpa_x4", e4.count()) { Traversals.labelPropagation(e4, 2).count() }
+
+    // round-7 families: two-stage rerank over 10x vectors (prefilter is
+    // the full-corpus pass, rescore stays 50 rows regardless of scale),
+    // degree-oriented triangles over a 4x (disjoint-copy) graph
+    // (triangle count scales linearly with copies; wedge machinery is
+    // what's being measured)
+    time("rerank_x1", ne) {
+      graft.SparkEntry.queries("q_embed_rerank")(spark, d).count()
+    }
+    time("rerank_x10", ne * 10) {
+      import graft.functions.VectorFunctions.toDouble
+      val e10 = emb10.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      graft.operators.Similarity.quantizedRerankTopK(
+        e10.where(col("vec_id") =!= 0),
+        e10.where(col("vec_id") === 0).select(col("v").as("qv")), 50, 10).count()
+    }
+    val tri1 = o1.select((col("o_orderkey") % 300).as("src"), (col("o_custkey") % 300).as("dst"))
+    val tri4 = (0 until 4).map(i =>
+      tri1.select((col("src") + lit(i * 1000L)).as("src"), (col("dst") + lit(i * 1000L)).as("dst")))
+      .reduce(_ union _)
+    time("triangles_x1", tri1.count()) {
+      graft.operators.GraphAlgos.trianglesByMinVertex(tri1).count()
+    }
+    time("triangles_x4", tri4.count()) {
+      graft.operators.GraphAlgos.trianglesByMinVertex(tri4).count()
+    }
     spark.stop()
   }
 }
