@@ -358,6 +358,25 @@ object PipelineQueries {
         .where(col("rk") <= 40)
         .orderBy("lang", "source", "rk")
     }),
+    "q_text_lmscore" -> ((s, d) => {
+      // unigram-LM scoring (the CCNet-style perplexity-proxy quality
+      // filter): train token frequencies on the corpus itself, score
+      // each doc by mean negative log-likelihood. Low = stereotypical
+      // text, high = rare-token soup; training mixes threshold on it.
+      // Two hash aggs + one token-keyed join; per-token NLL is rounded
+      // then decimal-summed so the doc mean is accumulation-order
+      // independent (the repo's float-determinism pattern).
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).cast("double").as("n"))
+      tok.join(freq, "tok").crossJoin(broadcast(tot))
+        .select(col("doc_id"), round(-log(col("cnt") / col("n")), 6).as("nll"))
+        .groupBy("doc_id")
+        .agg(round(sum(col("nll").cast("decimal(38,18)")).cast("double")
+          / count(lit(1)), 4).as("lm_nll"))
+        .orderBy("doc_id")
+    }),
     "q_sample_weighted" -> ((s, d) => {
       // quality-weighted Bernoulli sampling: keep a doc iff its
       // content-independent hash-uniform u(doc_id) = md5[0:6]/16^6 is
@@ -764,6 +783,8 @@ object PipelineQueries {
       """WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk FROM documents) SELECT doc_id, lang, source, rk FROM r WHERE rk <= 40 ORDER BY lang, source, rk""",
     "q_sample_weighted" ->
       s"""WITH $qualityScoreSql, uu AS (SELECT doc_id, score, ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS u FROM qscore) SELECT doc_id, score FROM uu WHERE u < score ORDER BY doc_id""",
+    "q_text_lmscore" ->
+      s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_mix_weights" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars FROM documents GROUP BY source) SELECT source, n_docs, n_chars, round((SELECT sum(n_docs) FROM s)::DOUBLE / ((SELECT count(*) FROM s) * n_docs)::DOUBLE, 4) AS weight FROM s ORDER BY source""",
     "q_text_decontaminate" ->

