@@ -366,8 +366,12 @@ object PipelineQueries {
       // Two hash aggs + one token-keyed join; per-token NLL is rounded
       // then decimal-summed so the doc mean is accumulation-order
       // independent (the repo's float-determinism pattern).
+      // pin: the tokenize+explode subtree feeds the frequency build,
+      // the total aggregate, AND the scoring probe side — unpinned,
+      // the corpus scan + regex split would execute three times
       val tok = t(s, d, "documents")
         .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true)
       val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val tot = freq.agg(sum(col("cnt")).cast("double").as("n"))
       tok.join(freq, "tok").crossJoin(broadcast(tot))

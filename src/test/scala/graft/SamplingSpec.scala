@@ -63,11 +63,23 @@ class SamplingSpec extends SparkSpec {
     val b = run("q_text_lmscore").collect()
     assert(a.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       b.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
-    // an all-stopword-ish doc must beat a rare-token doc: the doc with
-    // the highest mean token frequency scores a lower NLL than the one
-    // with the lowest (sanity of the quality-signal direction)
+    // quality-signal DIRECTION: the doc with the highest mean token
+    // frequency (most stereotypical) must score a LOWER NLL than the
+    // doc with the lowest (rare-token soup) — computed independently
     val scores = a.map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(scores.values.max > scores.values.min)
+    import spark.implicits._
+    val toks = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .as[(Long, String)].collect()
+    val freq = toks.groupBy(_._2).map { case (t, l) => t -> l.length }
+    val meanFreq = toks.groupBy(_._1).map { case (id, l) =>
+      id -> l.map(p => freq(p._2).toDouble).sum / l.length
+    }
+    val common = meanFreq.maxBy(_._2)._1
+    val rare = meanFreq.minBy(_._2)._1
+    assert(scores(common) < scores(rare),
+      s"common-token doc $common must out-score rare-token doc $rare")
   }
 
   test("mixture weights invert the source distribution to uniform") {
