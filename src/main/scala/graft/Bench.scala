@@ -31,7 +31,8 @@ object Bench {
     // the label-join form), multi-probe IVF recall
     "q_graph_pagerank_big", "q_dedup_embed", "q_embed_ivf_multiprobe",
     "q_sample_stratified", "q_text_decontaminate", "q_embed_rerank",
-    "q_graph_triangles_big", "q_dedup_incremental", "q_text_lmscore")
+    "q_graph_triangles_big", "q_dedup_incremental", "q_text_lmscore",
+    "q_pipeline_curation")
 
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").

@@ -358,6 +358,38 @@ object PipelineQueries {
         .where(col("rk") <= 40)
         .orderBy("lang", "source", "rk")
     }),
+    "q_pipeline_curation" -> ((s, d) => {
+      // END-TO-END curation capstone, composing the verified stages a
+      // real training-data pipeline chains: exact dedup (keep the
+      // min-id copy of each distinct text) -> quality gate (composite
+      // score >= 0.5) -> benchmark decontamination (drop docs sharing
+      // a 3-gram with the hash-designated eval slice; eval shingles
+      // broadcast) -> per-language quota (hash-ranked top-100 via
+      // WindowGroupLimit). Summary row per language with a
+      // decimal-summed mean score (order-independent, exact oracle).
+      val docs = t(s, d, "documents")
+      val keeper = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val qual = docs.join(keeper.select("doc_id"), "doc_id")
+        .withColumn("score", graft.functions.TextFunctions.qualityScore(col("text")))
+        .where(col("score") >= 0.5)
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val evalG = broadcast(
+        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
+      val contaminated = Dedup.shingleRows(qual.where(!isEval), 3).distinct()
+        .join(evalG, "g").select("doc_id").distinct()
+      val clean = qual.where(!isEval)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      clean.withColumn("rk", row_number().over(w)).where(col("rk") <= 100)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_doc"),
+          round(sum(col("score").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 4).as("mean_score"))
+        .orderBy("lang")
+    }),
     "q_text_lmscore" -> ((s, d) => {
       // unigram-LM scoring (the CCNet-style perplexity-proxy quality
       // filter): train token frequencies on the corpus itself, score
@@ -789,6 +821,8 @@ object PipelineQueries {
       s"""WITH $qualityScoreSql, uu AS (SELECT doc_id, score, ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS u FROM qscore) SELECT doc_id, score FROM uu WHERE u < score ORDER BY doc_id""",
     "q_text_lmscore" ->
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_pipeline_curation" ->
+      s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT doc_id, lang, score FROM q WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0' AND doc_id NOT IN (SELECT doc_id FROM cont)), r AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM cl) SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""",
     "q_mix_weights" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars FROM documents GROUP BY source) SELECT source, n_docs, n_chars, round((SELECT sum(n_docs) FROM s)::DOUBLE / ((SELECT count(*) FROM s) * n_docs)::DOUBLE, 4) AS weight FROM s ORDER BY source""",
     "q_text_decontaminate" ->

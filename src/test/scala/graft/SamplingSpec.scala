@@ -55,6 +55,15 @@ class SamplingSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < scored.length)
   }
 
+  test("curation capstone: per-lang quota respected, only quality docs averaged") {
+    val rows = run("q_pipeline_curation").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= 100, s"lang over quota: $r")
+      assert(r.getDouble(3) >= 0.5, s"below the quality gate: $r")
+    }
+  }
+
   test("unigram LM score: positive, deterministic, covers every tokenizable doc") {
     val a = run("q_text_lmscore").collect()
     assert(a.forall(_.getDouble(1) > 0), "every token probability < 1 => NLL > 0")
