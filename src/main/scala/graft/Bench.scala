@@ -32,16 +32,26 @@ object Bench {
     "q_graph_pagerank_big", "q_dedup_embed", "q_embed_ivf_multiprobe",
     "q_sample_stratified", "q_text_decontaminate", "q_embed_rerank",
     "q_graph_triangles_big", "q_dedup_incremental", "q_text_lmscore",
-    "q_pipeline_curation")
+    "q_pipeline_curation",
+    // round-8 operator families: broadcast bloom runtime-filter join,
+    // count-min sketch heavy hitters
+    "q_join_bloom", "q_sketch_cms")
 
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").
     // FULL-match anchored: "q_tpch_q1" selects exactly q_tpch_q1, not
     // q_tpch_q10..q19 (use "q_tpch_q1.*" for the family). The driver
     // passes no args, so the full headline always runs there.
-    val only = args.headOption.map(_.r)
-    def selected = headline.filter(SparkEntry.queries.contains)
+    val only = args.headOption.map(_.r) // invalid regex: fail loudly here
+    val selected = headline.filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.pattern.matcher(n).matches))
+    // an empty selection must not read as "bench passed instantly"
+    System.err.println(s"[bench] ${selected.size}/${headline.size} headline queries selected")
+    if (selected.isEmpty) {
+      System.err.println(s"[bench] pattern '${args.head}' matched no headline query " +
+        "(full-match anchored — use 'q_tpch_q1.*' for a family)")
+      sys.exit(2)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -56,6 +66,14 @@ object Bench {
       // run-to-run variance in the graph quartet (r4: 3.9x swing on
       // identical code). local[] has no data locality to wait for.
       .config("spark.locality.wait", "0")
+      // superseded localCheckpoint blocks are reaped by the
+      // ContextCleaner only when the JVM GCs; the default 30 min
+      // periodic-GC interval is longer than the whole bench, so on a
+      // small heap dead blocks from earlier queries would crowd the
+      // unified memory region and force later queries' sorts/joins to
+      // spill (the iterative operators now drop superseded
+      // checkpoints eagerly — this catches the rest)
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: touch every table once (footer reads, codegen JIT)
@@ -105,6 +123,10 @@ object Bench {
         try SparkEntry.queries(name)(spark, wd).count()
         catch { case _: Throwable => }
       }
+      // reap the warmup's dead checkpoint/cache blocks before any
+      // timed run (ContextCleaner acts on GC'd weak refs; memoized
+      // tables hold strong refs and survive)
+      System.gc()
     }
     // a query that throws records -1 (sentinel), lands in "failed", and is
     // excluded from "total" — a fast failure must not look like a speedup.
@@ -138,6 +160,9 @@ object Bench {
         val n = s.length
         if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
       }
+      // untimed, between queries: let the ContextCleaner reap this
+      // query's dead checkpoint blocks so they never tax the next one
+      System.gc()
       (name, median)
     }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would

@@ -271,11 +271,17 @@ object Dedup {
     * make this O(n²/buckets)). Rescoring is one codegen'd
     * `bit_count(xor)` per candidate. Output: (doc_a, doc_b, dist) for
     * dist <= maxDist. */
-  def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3,
+                          sigOpt: Option[DataFrame] = None): DataFrame = {
     val bands = 4
     require(maxDist < bands,
       s"band-LSH over $bands bands only guarantees completeness for dist < $bands")
-    val sig = simhashWidePerDoc(docs).localCheckpoint(true)
+    // the wide-signature aggregation (2 md5/token over the whole
+    // corpus) dominates this operator; a production pipeline computes
+    // it once and persists it, so callers can inject that table via
+    // sigOpt (same contract as minhashPairs) — the default pins a
+    // fresh one because the band self-join reads it twice
+    val sig = sigOpt.getOrElse(simhashWidePerDoc(docs).localCheckpoint(true))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
@@ -299,15 +305,23 @@ object Dedup {
     * (pair count is bucket-bounded, so per-pair array work beats
     * exploding the join on shingle keys). Output: (doc_a, doc_b, jac)
     * for jac >= minJac. */
-  def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
-                        minJac: Double = 0.15): DataFrame = {
-    // pin: the self-join below reads gs twice — unpinned, the whole
-    // shingle explode + set aggregation would execute once per side
-    val gs = shingleRows(docs, shingleN).distinct()
+  /** The bucketed shingle-set table [[ngramJaccardPairs]] self-joins:
+    * one (doc_id, lang, source, length-band, shingle-set) row per doc.
+    * Computed once and persisted in a production pipeline (the
+    * shingle explode + set aggregation is the operator's dominant
+    * cost) — callers inject it via `setsOpt`. */
+  def ngramShingleSets(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    shingleRows(docs, shingleN).distinct()
       .groupBy("doc_id").agg(collect_list(col("g")).as("gs"))
       .join(docs.select(col("doc_id"), col("lang"), col("source"),
         floor(col("n_chars") / 100).as("band")), "doc_id")
-      .localCheckpoint(true)
+
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
+                        minJac: Double = 0.15,
+                        setsOpt: Option[DataFrame] = None): DataFrame = {
+    // pin: the self-join below reads gs twice — unpinned, the whole
+    // shingle explode + set aggregation would execute once per side
+    val gs = setsOpt.getOrElse(ngramShingleSets(docs, shingleN).localCheckpoint(true))
     val a = gs.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
       col("band"), col("gs").as("ga"))
     val b = gs.select(col("doc_id").as("doc_b"), col("lang"), col("source"),

@@ -30,6 +30,34 @@ import org.apache.spark.storage.StorageLevel
   */
 object Traversals {
 
+  /** RDD ids of the `localCheckpoint` blocks behind `df` (the
+    * LogicalRDD leaves of its analyzed plan). */
+  private[graft] def checkpointRddIds(df: DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+
+  /** Drop the storage blocks behind a SUPERSEDED eager
+    * `localCheckpoint`. Every iterative operator here re-checkpoints
+    * its state table per superstep; without an explicit drop the
+    * superseded blocks linger until the ContextCleaner's next GC
+    * cycle, so a k-superstep run holds k copies of the state table in
+    * block storage — harmless at test SF, but at 100 TB (or in a
+    * long bench/verify session on a small heap) that accumulation
+    * evicts useful blocks and forces execution-memory spills. Only
+    * call on checkpoints wholly replaced by an already-materialised
+    * successor (`eager = true`): unpersisting a localCheckpoint a
+    * live plan still reads would be unrecoverable (lineage is
+    * truncated). `keep` exempts blocks shared with a still-live
+    * DataFrame (e.g. BFS's current frontier inside the old visited
+    * union). */
+  private[graft] def dropCheckpoint(df: DataFrame, keep: Set[Int] = Set.empty): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+        if !keep.contains(lr.rdd.id) => lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Normalise + cache edges hash-partitioned by `src`, so every BFS
     * level's join reuses the same partitioning instead of reshuffling
     * edges (used by [[bfsLevels]]; callers running many traversals
@@ -109,9 +137,16 @@ object Traversals {
         visited = visited.union(next.select(col("vertex"), lit(level).as("level")))
         sinceCompact += 1
         if (sinceCompact >= 8) {
+          val old = visited
           visited = visited.localCheckpoint(eager = true); sinceCompact = 0
+          // the compacted copy supersedes the per-level checkpoints it
+          // unioned — except the current frontier (= next), which the
+          // next superstep still joins
+          dropCheckpoint(old, keep = checkpointRddIds(next))
         }
         frontier = next
+      } else {
+        dropCheckpoint(next) // empty expansion: nothing references it
       }
     }
     visited
@@ -256,6 +291,7 @@ object Traversals {
         .union(dists)
         .groupBy("vertex").agg(min(col("dist")).as("dist"))
         .localCheckpoint(eager = true)
+      dropCheckpoint(dists) // superseded by the materialised `relaxed`
       dists = relaxed
       prev = cur
       cur = witness(dists)
@@ -297,13 +333,16 @@ object Traversals {
         .select(eo("dst"), (col("rank") / col("odeg")).as("w"))
         .groupBy(col("dst").as("vertex"))
         .agg(sum(col("w").cast("decimal(38,18)")).cast("double").as("m"))
+      val prev = r
       r = verts.join(sums, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           (lit(reset) + lit(1 - reset) * coalesce(col("m"), lit(0.0))).as("rank"))
         .localCheckpoint(eager = true)
+      dropCheckpoint(prev) // superseded: only the newest rank table is live
     }
     e.unpersist(blocking = false)
     eo.unpersist(blocking = false)
+    dropCheckpoint(verts, keep = checkpointRddIds(r))
     r
   }
 
@@ -347,6 +386,7 @@ object Traversals {
         .join(kb, prev("dst") === kb("kd"))
         .select(prev("src"), prev("dst"))
         .localCheckpoint(eager = true)
+      dropCheckpoint(prev) // superseded by the materialised peel
       prevEdges = curEdges
       curEdges = cur.count()
     }
@@ -405,7 +445,9 @@ object Traversals {
           .select(jumped("vertex"),
             least(jumped("component"), coalesce(col("cc"), jumped("component"))).as("component"))
       }
+      val prevLabels = labels
       labels = jumped.localCheckpoint(eager = true)
+      dropCheckpoint(prevLabels) // superseded: one label table live at a time
       prevSum = curSum
       curSum = labelSum(labels)
     }
@@ -436,6 +478,7 @@ object Traversals {
       .withColumn("label", col("vertex"))
       .localCheckpoint(eager = true)
     (1 to iters).foreach { _ =>
+      val prev = labels
       labels = sym.join(labels, sym("src") === labels("vertex"))
         .groupBy(sym("dst").as("vertex"), col("label"))
         .agg(count(lit(1)).as("cnt"))
@@ -443,6 +486,7 @@ object Traversals {
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("vertex"), (-col("m.nl")).as("label"))
         .localCheckpoint(eager = true)
+      dropCheckpoint(prev)
     }
     sym.unpersist(blocking = false)
     labels

@@ -54,6 +54,23 @@ object PipelineQueries {
         .localCheckpoint(true))
   }
 
+  /** Session-scoped memo for the OTHER persisted signature tables the
+    * dedup family reuses across invocations (wide-SimHash signatures,
+    * n-gram shingle sets) — same lifecycle contract and rationale as
+    * [[sigMemo]]: a production pipeline computes each once, persists
+    * it, and every downstream dedup pass joins against the pinned
+    * table instead of re-running the corpus-wide aggregation. */
+  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def memoTable(s: SparkSession, d: String, tag: String)
+                       (build: => DataFrame): DataFrame = {
+    tableMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
+    tableMemo.computeIfAbsent(
+      (s, new java.io.File(d).getCanonicalPath, tag),
+      _ => build.localCheckpoint(true))
+  }
+
   /** LSH-bucketed embedding near-dup pairs (i, j, cos >= minCos):
     * candidates from random-hyperplane buckets ([[Similarity.lshBuckets]],
     * 8 planes) + exact codegen'd cosine rescore. NEVER all-pairs within
@@ -296,10 +313,14 @@ object PipelineQueries {
       // collisions: 4-band LSH + popcount rescore; the oracle is the
       // all-pairs form, equivalent by the pigeonhole argument in
       // Dedup.simhashHammingPairs
-      Dedup.simhashHammingPairs(t(s, d, "documents"), maxDist = 3)
+      Dedup.simhashHammingPairs(t(s, d, "documents"), maxDist = 3,
+          sigOpt = Some(memoTable(s, d, "simhash_wide")(
+            Dedup.simhashWidePerDoc(t(s, d, "documents")))))
         .orderBy("doc_a", "doc_b")),
     "q_dedup_ngram" -> ((s, d) =>
-      Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleN = 3, minJac = 0.15)
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), shingleN = 3, minJac = 0.15,
+          setsOpt = Some(memoTable(s, d, "ngram_sets_3")(
+            Dedup.ngramShingleSets(t(s, d, "documents"), shingleN = 3))))
         .orderBy("doc_a", "doc_b")),
     "q_dedup_embed" -> ((s, d) =>
       embedLshPairs(s, d, minCos = 0.4).orderBy("i", "j")),
@@ -412,6 +433,40 @@ object PipelineQueries {
         .agg(round(sum(col("nll").cast("decimal(38,18)")).cast("double")
           / count(lit(1)), 4).as("lm_nll"))
         .orderBy("doc_id")
+    }),
+    "q_sketch_cms" -> ((s, d) => {
+      // Count-min sketch heavy hitters: the fixed-size frequency
+      // sketch (Cormode & Muthukrishnan, J. Algorithms 2005) — d=3 rows ×
+      // w=256 counters of O(1) state regardless of key cardinality,
+      // est(key) = min over rows of cell[r][hash_r(key)], always
+      // >= the true count (collisions only ADD). Hashes are
+      // md5-derived so the DuckDB twin rebuilds the identical sketch
+      // and the estimates hash-match exactly. Scale shape: the sketch
+      // build is one partial-aggregated groupBy over (r, cell) —
+      // ≤ d·w groups, so the shuffle carries at most d·w rows per
+      // input partition however many tokens stream through; the probe
+      // joins 10 keys × d rows against the ≤ d·w-row cell table.
+      // Output: (tok, exact_cnt, est_cnt) for the top-10 exact tokens
+      // — exact vs estimate side by side is the verification the
+      // oracle needs, and est_cnt >= exact_cnt is also asserted as a
+      // property in SketchSpec.
+      val D = 3; val W = 256
+      val tok = t(s, d, "documents").select(explode(tokens(col("text"))).as("tok"))
+      def cellOf(r: Int): Column =
+        (conv(substring(md5(concat(lit(s"$r|"), col("tok"))), 1, 8), 16, 10)
+          .cast("long") % W).cast("int")
+      val cells = tok
+        .select(posexplode(array((0 until D).map(cellOf): _*)))
+        .toDF("r", "c")
+        .groupBy("r", "c").agg(count(lit(1)).as("cell_cnt"))
+      val top = tok.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(10)
+      top.select(col("tok"), col("exact_cnt"),
+          posexplode(array((0 until D).map(cellOf): _*)))
+        .toDF("tok", "exact_cnt", "r", "c")
+        .join(cells, Seq("r", "c"))
+        .groupBy("tok", "exact_cnt").agg(min(col("cell_cnt")).as("est_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok"))
     }),
     "q_sample_weighted" -> ((s, d) => {
       // quality-weighted Bernoulli sampling: keep a doc iff its
@@ -821,6 +876,8 @@ object PipelineQueries {
       s"""WITH $qualityScoreSql, uu AS (SELECT doc_id, score, ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS u FROM qscore) SELECT doc_id, score FROM uu WHERE u < score ORDER BY doc_id""",
     "q_text_lmscore" ->
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_sketch_cms" ->
+      s"""WITH $toksSql, tokr AS (SELECT unnest(tk) AS tok FROM toks), rc AS (SELECT tok, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256)::INT AS c FROM tokr CROSS JOIN (SELECT unnest(range(3)) AS r) rr), cells AS (SELECT r, c, count(*)::BIGINT AS cell_cnt FROM rc GROUP BY r, c), exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tokr GROUP BY tok), top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10), probe AS (SELECT t.tok, t.exact_cnt, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || t.tok), 1, 8))::BIGINT % 256)::INT AS c FROM top t CROSS JOIN (SELECT unnest(range(3)) AS r) rr) SELECT p.tok, p.exact_cnt, min(cl.cell_cnt)::BIGINT AS est_cnt FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok""",
     "q_pipeline_curation" ->
       s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT doc_id, lang, score FROM q WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0' AND doc_id NOT IN (SELECT doc_id FROM cont)), r AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM cl) SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""",
     "q_mix_weights" ->

@@ -57,9 +57,18 @@ object RelationalQueries {
         walk.sorted(java.util.Comparator.reverseOrder())
           .iterator().asScala.foreach(p =>
             try java.nio.file.Files.deleteIfExists(p)
-            catch { case _: Exception => () })
+            catch {
+              case _: InterruptedException =>
+                // swallowing would mask a pending interrupt and delay
+                // JVM shutdown — restore the flag, keep best-effort
+                Thread.currentThread().interrupt()
+              case _: Exception => ()
+            })
       } finally walk.close()
-    } catch { case _: Exception => () }
+    } catch {
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case _: Exception => ()
+    }
 
 
   /** Stage the events parquet (a single file or a Spark-written
@@ -313,6 +322,25 @@ object RelationalQueries {
         .groupBy("n_name")
         .agg(count(lit(1)).as("cnt"), round(sum(col("c_acctbal")), 2).as("bal"))
         .orderBy("n_name")
+    }),
+    "q_join_bloom" -> ((s, d) => {
+      // runtime-filter join: a deterministic broadcast Bloom filter
+      // over the selective dimension's keys prunes the fact scan
+      // BEFORE the exact semi-join — at 100 TB the bloom drops
+      // non-candidate fact rows pre-shuffle, so the exchange carries
+      // matching rows only. False positives are removed by the exact
+      // join, so the oracle is the PLAIN semi-join (no bloom): the
+      // prefilter is an execution optimization, not a semantics change.
+      val dim = t(s, d, "customer")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bloom = graft.operators.BloomPrune.build(dim, "c_custkey", mBits = 1 << 14, h = 3)
+      val o = t(s, d, "orders")
+      o.where(graft.operators.BloomPrune.mightContain(bloom, 1 << 14, 3, col("o_custkey")))
+        .join(broadcast(dim), o("o_custkey") === dim("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+        .orderBy("o_orderpriority")
     }),
     "q_join_sortmerge" -> ((s, d) => {
       val li = t(s, d, "lineitem")
@@ -1336,6 +1364,8 @@ object RelationalQueries {
       """SELECT c_custkey, count(*)::BIGINT AS appearances FROM (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING' UNION ALL SELECT c_custkey FROM customer WHERE c_acctbal > 9000) GROUP BY c_custkey HAVING count(*) = 2 ORDER BY c_custkey""",
     "q_join_broadcast" ->
       """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(c_acctbal),2) AS bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' GROUP BY n_name ORDER BY n_name""",
+    "q_join_bloom" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS spend FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_sortmerge" ->
       """SELECT o_orderpriority, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_semi" ->

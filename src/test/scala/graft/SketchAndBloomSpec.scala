@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.BloomPrune
+import graft.queries.Tables.t
+
+/** Properties of the round-8 sketch/runtime-filter operators beyond
+  * their value-level DuckDB oracles: the count-min overestimate
+  * guarantee and fixed state bound, and the Bloom prefilter's
+  * no-false-negative contract (prefilter → exact join ≡ plain join)
+  * plus its actual pruning power on the fixtures. */
+class SketchAndBloomSpec extends SparkSpec {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, TestSpark.sfDir)
+
+  test("count-min estimates always dominate the exact counts") {
+    val rows = run("q_sketch_cms").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS underestimated: $r")
+    }
+  }
+
+  test("count-min state is bounded by d*w however many tokens stream through") {
+    // rebuild the cell table exactly as the query does and check the
+    // sketch never exceeds its declared d*w = 3*256 counters
+    val tok = t(spark, TestSpark.sfDir, "documents")
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val cells = tok.select(posexplode(array((0 until 3).map(r =>
+        (conv(substring(md5(concat(lit(s"$r|"), col("tok"))), 1, 8), 16, 10)
+          .cast("long") % 256).cast("int")): _*)))
+      .toDF("r", "c").groupBy("r", "c").count()
+    assert(cells.count() <= 3 * 256)
+    assert(cells.where(col("c") < 0 || col("c") >= 256).isEmpty,
+      "cell index out of the declared [0, w) range")
+  }
+
+  test("bloom prefilter never drops a true match (exact join unchanged)") {
+    val dim = t(spark, TestSpark.sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = t(spark, TestSpark.sfDir, "orders")
+    val bloom = BloomPrune.build(dim, "c_custkey", mBits = 1 << 14, h = 3)
+    val withBloom = o
+      .where(BloomPrune.mightContain(bloom, 1 << 14, 3, col("o_custkey")))
+      .join(dim, o("o_custkey") === dim("c_custkey"), "left_semi")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val plain = o.join(dim, o("o_custkey") === dim("c_custkey"), "left_semi")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(withBloom == plain)
+  }
+
+  test("bloom prefilter actually prunes non-matching fact rows") {
+    val dim = t(spark, TestSpark.sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val o = t(spark, TestSpark.sfDir, "orders")
+    val bloom = BloomPrune.build(dim, "c_custkey", mBits = 1 << 14, h = 3)
+    val kept = o.where(BloomPrune.mightContain(bloom, 1 << 14, 3, col("o_custkey"))).count()
+    val total = o.count()
+    val matches = o.join(dim, o("o_custkey") === dim("c_custkey"), "left_semi").count()
+    assert(kept >= matches, "bloom can never keep fewer than the true matches")
+    assert(kept < total, s"bloom pruned nothing ($kept of $total kept) — " +
+      "filter is degenerate (all bits set?)")
+  }
+
+  test("bloom membership is exact-positive for every built key") {
+    // every inserted key must probe true (zero false negatives by
+    // construction — this pins the build/probe position parity)
+    val dim = t(spark, TestSpark.sfDir, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bloom = BloomPrune.build(dim, "c_custkey", mBits = 1 << 14, h = 3)
+    val missed = dim.where(!BloomPrune.mightContain(bloom, 1 << 14, 3, col("c_custkey"))).count()
+    assert(missed == 0)
+  }
+}

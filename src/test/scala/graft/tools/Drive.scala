@@ -2,25 +2,47 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev driver: exercises the public API end-to-end.
-  * Run: sbt "Test/runMain graft.tools.Drive" */
+  * Run: sbt "Test/runMain graft.tools.Drive"
+  *
+  * ROTATES per round: each round's drive targets that round's new
+  * paths; past rounds' drivers (as-of NULL-key semantics, streaming
+  * left-outer interval join, catalog append/compaction, ...) live in
+  * git history, and the permanent coverage for those paths is the
+  * ScalaTest suite — this main is a smoke/inspection tool, not the
+  * regression gate. */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]").appName("drive")
       .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
     val q = graft.SparkEntry.queries
 
-    // --- round-7 additions: results + the plan properties that make
-    // them scale (WindowGroupLimit pushdown, broadcast eval probe)
-    for (name <- Seq("q_sample_stratified", "q_mix_weights", "q_text_decontaminate")) {
+    // --- round-8 additions: bloom runtime-filter join + CMS sketch
+    for (name <- Seq("q_join_bloom", "q_sketch_cms")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
-      df.show(5, false)
-      val plan = df.queryExecution.executedPlan.toString
-      println(s"$name WINDOWGROUPLIMIT=" + plan.contains("WindowGroupLimit"))
-      println(s"$name BROADCASTJOIN=" + plan.contains("BroadcastHashJoin"))
+      df.show(10, false)
     }
+    // BloomPrune public API: build over a key set, probe selectivity
+    val dim = graft.queries.Tables.t(spark, sf, "customer")
+      .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bloom = graft.operators.BloomPrune.build(dim, "c_custkey", mBits = 1 << 14, h = 3)
+    println("BLOOM_WORDS=" + bloom.length + " SET_BITS=" +
+      bloom.map(java.lang.Long.bitCount).sum)
+    val o = graft.queries.Tables.t(spark, sf, "orders")
+    val kept = o.where(graft.operators.BloomPrune
+      .mightContain(bloom, 1 << 14, 3, col("o_custkey"))).count()
+    println(s"BLOOM_KEPT=$kept OF=" + o.count())
+
+    // checkpoint hygiene: after an iterative operator, superseded
+    // superstep blocks must be gone (only the final tables linger)
+    graft.operators.Traversals.pageRankDeterministic(
+      o.select((col("o_orderkey") % 500).as("src"), (col("o_custkey") % 500).as("dst")),
+      iters = 5).count()
+    val live = spark.sparkContext.getPersistentRDDs.size
+    println(s"PERSISTENT_RDDS_AFTER_PAGERANK=$live")
     spark.stop()
   }
 }
