@@ -34,8 +34,10 @@ object Bench {
     "q_graph_triangles_big", "q_dedup_incremental", "q_text_lmscore",
     "q_pipeline_curation",
     // round-8 operator families: broadcast bloom runtime-filter join,
-    // count-min sketch heavy hitters
-    "q_join_bloom", "q_sketch_cms")
+    // count-min sketch heavy hitters, per-edge jaccard link scoring,
+    // SCD-2 interval build, exact repeated-span dedup
+    "q_join_bloom", "q_sketch_cms", "q_graph_jaccard", "q_events_scd2",
+    "q_dedup_substring")
 
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").

@@ -87,6 +87,57 @@ object GraphAlgos {
       .agg(count(lit(1)).as("triangles"))
   }
 
+  /** Per-edge neighborhood Jaccard similarity — the classic
+    * link-prediction / graph-cleaning feature: for every undirected
+    * edge {a,b}, |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, where
+    * |N(a) ∩ N(b)| is exactly the edge's TRIANGLE SUPPORT — so the
+    * common-neighbor counts come from the same degree-ordered-
+    * orientation wedge machinery as [[trianglesByMinVertex]] (every
+    * vertex's oriented out-degree is O(√m), so a celebrity hub
+    * generates O(m) wedges instead of O(deg²)), with each closed
+    * triangle crediting all three of its edges. Union size is
+    * deg(a) + deg(b) − common (degrees over the deduplicated
+    * undirected edge set). Output: (src, dst, jac) per canonical
+    * src < dst edge with at least one common neighbor. */
+  def jaccardPerEdge(edges: DataFrame): DataFrame = {
+    // pin rule: und feeds the degree union (2x), the orientation
+    // join, the closing join, and the final result join
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val lower = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(when(lower, col("a")).otherwise(col("b")).as("u"),
+        when(lower, col("b")).otherwise(col("a")).as("w"))
+      .localCheckpoint(true)
+    val wedges = oriented.select(col("u"), col("w").as("w1"))
+      .join(oriented.select(col("u"), col("w").as("w2")), "u")
+      .where(col("w1") < col("w2"))
+      .select(col("u"), col("w1").as("a"), col("w2").as("b"))
+    // closed triangles (u, a, b): every unordered pair inside is an
+    // edge; explode the three canonical edges, count support per edge
+    val support = wedges.join(und, Seq("a", "b"))
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(least(col("u"), col("a")).as("a"), greatest(col("u"), col("a")).as("b")),
+        struct(least(col("u"), col("b")).as("a"), greatest(col("u"), col("b")).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("common"))
+    support
+      .join(und, Seq("a", "b")) // support keys are always real edges; keeps partition keys aligned
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(col("a").as("src"), col("b").as("dst"),
+        round(col("common").cast("double")
+          / (col("da") + col("db") - col("common")), 4).as("jac"))
+  }
+
   /** In/out degree per vertex. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("vertex"), lit(1).as("out"), lit(0).as("in"))

@@ -168,6 +168,17 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("vertex")).limit(20)
     }),
+    "q_graph_jaccard" -> ((s, d) => {
+      // per-edge neighborhood Jaccard (link prediction / edge
+      // cleaning) over the same data-scale key-derived graph as
+      // q_graph_triangles_big; common-neighbor counts come from the
+      // degree-oriented wedge machinery (skew-safe), the oracle from
+      // the textbook symmetric-adjacency self-join — different
+      // physical strategy, same similarity values.
+      val e = t(s, d, "orders").select(
+        (col("o_orderkey") % 300).as("src"), (col("o_custkey") % 300).as("dst"))
+      graft.operators.GraphAlgos.jaccardPerEdge(e).orderBy("src", "dst")
+    }),
     "q_graph_lpa" -> ((s, d) => {
       // Deterministic synchronous label propagation, 2 fixed rounds
       // (most-frequent neighbour label, ties to the smallest) — the
@@ -295,5 +306,7 @@ object GraphQueries {
     "q_graph_triangles" ->
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""",
     "q_graph_triangles_big" ->
-      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), tri AS (SELECT e1.a AS x FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) SELECT x AS vertex, count(*)::BIGINT AS triangles FROM tri GROUP BY x ORDER BY vertex""")
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), tri AS (SELECT e1.a AS x FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) SELECT x AS vertex, count(*)::BIGINT AS triangles FROM tri GROUP BY x ORDER BY vertex""",
+    "q_graph_jaccard" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT v, count(*)::BIGINT AS deg FROM sym GROUP BY v), common AS (SELECT u.a, u.b, count(*)::BIGINT AS c FROM und u JOIN sym x ON x.v = u.a JOIN sym y ON y.v = u.b AND y.w = x.w GROUP BY u.a, u.b) SELECT c0.a AS src, c0.b AS dst, round(c::DOUBLE / (da.deg + db.deg - c), 4) AS jac FROM common c0 JOIN deg da ON da.v = c0.a JOIN deg db ON db.v = c0.b ORDER BY src, dst""")
 }

@@ -322,6 +322,23 @@ object PipelineQueries {
           setsOpt = Some(memoTable(s, d, "ngram_sets_3")(
             Dedup.ngramShingleSets(t(s, d, "documents"), shingleN = 3))))
         .orderBy("doc_a", "doc_b")),
+    "q_dedup_substring" -> ((s, d) =>
+      // exact repeated-SPAN dedup (the substring-level pass of
+      // "Deduplicating Training Data Makes Language Models Better",
+      // Lee et al. 2022 — distinct from the doc-level MinHash family):
+      // hash every 20-token rolling window; a span occurring in 2+
+      // docs is duplicated text a pipeline would cut from all but the
+      // keeper. One window pass to form spans + one hash agg on the
+      // span hash — candidate volume tracks TRUE duplication (shared
+      // spans), never document pairs, so the shuffle is
+      // output-bounded at 100 TB exactly like a suffix-array pass.
+      Dedup.shingleRows(t(s, d, "documents"), 20)
+        .select(col("doc_id"), md5(col("g")).as("span"))
+        .groupBy("span")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"), min(col("doc_id")).as("keeper"))
+        .where(col("n_docs") >= 2)
+        .orderBy("span")),
     "q_dedup_embed" -> ((s, d) =>
       embedLshPairs(s, d, minCos = 0.4).orderBy("i", "j")),
     "q_dedup_embed_cluster" -> ((s, d) => {
@@ -876,6 +893,8 @@ object PipelineQueries {
       s"""WITH $qualityScoreSql, uu AS (SELECT doc_id, score, ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS u FROM qscore) SELECT doc_id, score FROM uu WHERE u < score ORDER BY doc_id""",
     "q_text_lmscore" ->
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_substring" ->
+      s"""WITH $toksSql, sh20 AS (SELECT doc_id, CASE WHEN len(tk) < 20 THEN [] ELSE list_transform(range(1, len(tk) - 18), i -> array_to_string(tk[i:i+19], ' ')) END AS gs FROM toks), spans AS (SELECT doc_id, md5(unnest(gs)) AS span FROM sh20) SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS keeper FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""",
     "q_sketch_cms" ->
       s"""WITH $toksSql, tokr AS (SELECT unnest(tk) AS tok FROM toks), rc AS (SELECT tok, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256)::INT AS c FROM tokr CROSS JOIN (SELECT unnest(range(3)) AS r) rr), cells AS (SELECT r, c, count(*)::BIGINT AS cell_cnt FROM rc GROUP BY r, c), exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tokr GROUP BY tok), top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10), probe AS (SELECT t.tok, t.exact_cnt, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || t.tok), 1, 8))::BIGINT % 256)::INT AS c FROM top t CROSS JOIN (SELECT unnest(range(3)) AS r) rr) SELECT p.tok, p.exact_cnt, min(cl.cell_cnt)::BIGINT AS est_cnt FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok""",
     "q_pipeline_curation" ->

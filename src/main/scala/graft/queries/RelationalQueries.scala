@@ -1327,6 +1327,27 @@ object RelationalQueries {
         .orderBy("user_id")
       } finally deleteRecursively(streamDir)
     }),
+    "q_events_scd2" -> ((s, d) => {
+      // type-2 slowly-changing-dimension build from an event stream —
+      // the lakehouse CDC-merge shape: per user, collapse consecutive
+      // same-state events into validity intervals (gaps-and-islands by
+      // VALUE change, where q_events_sessionize islands by TIME gap).
+      // One window pass (lag + running change-flag sum) + one hash
+      // agg; at 100 TB this is a single user-partitioned exchange, and
+      // version ordinals/validity bounds are exact integers (epoch
+      // micros) so the oracle hash-matches bit-for-bit.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d).where(col("user_id") <= 50)
+        .withColumn("chg", when(lag(col("event_type"), 1).over(w).isNull ||
+          lag(col("event_type"), 1).over(w) =!= col("event_type"), 1).otherwise(0))
+        .withColumn("ver", sum(col("chg"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("ver"), col("event_type"))
+        .agg(unix_micros(min(col("ts"))).as("valid_from"),
+          unix_micros(max(col("ts"))).as("valid_to"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id", "ver")
+    }),
     "q_events_sessionize" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       Tables.events(s, d)
@@ -1499,6 +1520,8 @@ object RelationalQueries {
       """WITH big AS (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150) SELECT c_custkey, o_orderkey, round(o_totalprice, 2) AS price, sum_qty FROM big JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey ORDER BY price DESC, o_orderkey LIMIT 100""",
     "q_tpch_q10" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q_events_scd2" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id <= 50), c AS (SELECT user_id, ts, event_id, event_type, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), v AS (SELECT user_id, ts, event_type, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM c) SELECT user_id, ver::BIGINT AS ver, event_type, epoch_us(min(ts))::BIGINT AS valid_from, epoch_us(max(ts))::BIGINT AS valid_to, count(*)::BIGINT AS n_events FROM v GROUP BY user_id, ver, event_type ORDER BY user_id, ver""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
     "q_events_locf" ->

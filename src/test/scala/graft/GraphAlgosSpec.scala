@@ -102,4 +102,28 @@ class GraphAlgosSpec extends SparkSpec {
     assert(Set(0L, 1L, 2L).map(l) subsetOf Set(0L, 1L, 2L))
     assert(Set(10L, 11L, 12L).map(l) subsetOf Set(10L, 11L, 12L))
   }
+
+  test("jaccardPerEdge matches the hand-computed diamond graph") {
+    // diamond 0-1, 0-2, 1-2, 1-3, 2-3 (edge 1-2 sits in two triangles):
+    //   N(0)={1,2} N(1)={0,2,3} N(2)={0,1,3} N(3)={1,2}
+    //   {0,1}: ∩={2}      ∪={0,1,2,3}\{}  -> 1/(2+3-1) = 0.25
+    //   {0,2}: ∩={1}                      -> 1/(2+3-1) = 0.25
+    //   {1,2}: ∩={0,3}                    -> 2/(3+3-2) = 0.5
+    //   {1,3}: ∩={2}                      -> 1/(3+2-1) = 0.25
+    //   {2,3}: ∩={1}                      -> 1/(3+2-1) = 0.25
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = graft.operators.GraphAlgos.jaccardPerEdge(e).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) -> r.getAs[Double]("jac"))
+      .toMap
+    assert(got === Map((0L, 1L) -> 0.25, (0L, 2L) -> 0.25, (1L, 2L) -> 0.5,
+      (1L, 3L) -> 0.25, (2L, 3L) -> 0.25))
+  }
+
+  test("jaccardPerEdge is orientation/duplicate-insensitive") {
+    val e1 = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val e2 = Seq((1L, 0L), (2L, 0L), (2L, 1L), (0L, 1L), (0L, 1L)).toDF("src", "dst")
+    val a = graft.operators.GraphAlgos.jaccardPerEdge(e1).orderBy("src", "dst").collect().toSeq
+    val b = graft.operators.GraphAlgos.jaccardPerEdge(e2).orderBy("src", "dst").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -19,11 +19,13 @@ object Drive {
     val sf = "/root/testdata/sf0.001"
     val q = graft.SparkEntry.queries
 
-    // --- round-8 additions: bloom runtime-filter join + CMS sketch
-    for (name <- Seq("q_join_bloom", "q_sketch_cms")) {
+    // --- round-8 additions: bloom runtime-filter join, CMS sketch,
+    // per-edge jaccard, SCD-2 intervals, repeated-span dedup
+    for (name <- Seq("q_join_bloom", "q_sketch_cms", "q_graph_jaccard",
+        "q_events_scd2", "q_dedup_substring")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
-      df.show(10, false)
+      df.show(5, false)
     }
     // BloomPrune public API: build over a key set, probe selectivity
     val dim = graft.queries.Tables.t(spark, sf, "customer")
