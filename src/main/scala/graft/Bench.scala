@@ -35,9 +35,9 @@ object Bench {
     "q_pipeline_curation",
     // round-8 operator families: broadcast bloom runtime-filter join,
     // count-min sketch heavy hitters, per-edge jaccard link scoring,
-    // SCD-2 interval build, exact repeated-span dedup
+    // SCD-2 interval build, exact repeated-span dedup, z-order layout
     "q_join_bloom", "q_sketch_cms", "q_graph_jaccard", "q_events_scd2",
-    "q_dedup_substring")
+    "q_dedup_substring", "q_layout_zorder")
 
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").

@@ -15,9 +15,13 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // same block hygiene as Bench: ~156 queries each leave dead
+      // same block hygiene as Bench: ~160 queries each leave dead
       // checkpoint blocks the ContextCleaner only reaps on GC
       .config("spark.cleaner.periodicGC.interval", "1min")
+      // and the same scheduling hygiene: local[] has no locality to
+      // wait for, and the 3 s default stalls iterative operators'
+      // per-superstep barriers (pure wall-clock, zero semantics)
+      .config("spark.locality.wait", "0")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -342,6 +342,28 @@ object RelationalQueries {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
         .orderBy("o_orderpriority")
     }),
+    "q_layout_zorder" -> ((s, d) => {
+      // Z-order layout clustering (the lakehouse OPTIMIZE ZORDER BY
+      // primitive): bit-interleave two dimensions and bucket by the
+      // top 6 z bits — fixing 6 z-bits fixes the top 3 bits of EACH
+      // dimension, so every bucket's bounding box spans <= 128 of the
+      // 1024-value range in BOTH x and y (asserted per-bucket in
+      // SketchAndBloomSpec). That tight two-dimensional box is what
+      // lets min/max file statistics skip data for predicates on
+      // EITHER column at 100 TB, where a linear sort clusters only
+      // its leading column. Output: per-bucket row count + bounding
+      // box, exactly reproduced by the DuckDB twin (layout keys must
+      // be engine-portable).
+      t(s, d, "orders")
+        .select((col("o_custkey") % 1024).cast("long").as("x"),
+          (floor(col("o_totalprice") / 500.0).cast("long") % 1024).as("y"))
+        .withColumn("z", graft.operators.ZOrder.interleave2(col("x"), col("y")))
+        .groupBy(shiftright(col("z"), 14).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy("zbucket")
+    }),
     "q_join_sortmerge" -> ((s, d) => {
       val li = t(s, d, "lineitem")
       val o = t(s, d, "orders")
@@ -1241,6 +1263,44 @@ object RelationalQueries {
         .orderBy("user_id")
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_scd2" -> ((s, d) => {
+      // Streaming type-2 SCD build EXECUTED AS A STREAM inside the
+      // exact-match gate (same drive pattern as q_stream_sessionize):
+      // all events land in batch 1, sentinel files advance the
+      // watermark so every user's buffered suffix folds and the final
+      // open interval is timeout-emitted; result must equal the batch
+      // gaps-and-islands build (q_events_scd2's oracle).
+      import org.apache.spark.sql.functions.{col => c}
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-scd2-stream")
+      try {
+      val e0 = java.nio.file.Files.createDirectory(streamDir.resolve("e0"))
+      stageEventsInto(d, e0)
+      val maxNanos = Tables.events(s, d).agg(max(col("ts"))).head()
+        .getTimestamp(0).getTime * 1000000L
+      def sentinel(tag: String, plusDays: Long): Unit = {
+        import s.implicits._
+        Seq((-1L, maxNanos + plusDays * 86400L * 1000000000L, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+      }
+      val sink = "stream_scd2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val events = graft.streaming.EventStreams.eventsStream(s, streamDir.toString + "/*")
+        .select(c("event_id"), c("ts"), c("user_id"), c("event_type"), c("value"))
+        .as[graft.streaming.EventStreams.Event](
+          org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event])
+      val q = graft.streaming.EventStreams.scd2(events)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        q.processAllAvailable()
+        sentinel("s1", 10); q.processAllAvailable()
+        sentinel("s2", 20); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).where(col("user_id").between(0L, 50L))
+        .select("user_id", "ver", "event_type", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "ver")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_events_locf" -> ((s, d) => {
       // time-series gap filling: per-user daily values on a dense date
       // spine, missing days filled last-observation-carried-forward —
@@ -1387,6 +1447,10 @@ object RelationalQueries {
       """SELECT n_name, count(*)::BIGINT AS cnt, round(sum(c_acctbal),2) AS bal FROM customer JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE' GROUP BY n_name ORDER BY n_name""",
     "q_join_bloom" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n, sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS spend FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_layout_zorder" ->
+      ("""WITH b AS (SELECT (o_custkey % 1024)::BIGINT AS x, (floor(o_totalprice / 500.0)::BIGINT % 1024) AS y FROM orders), zt AS (SELECT x, y, (""" +
+        (0 until 10).map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ") +
+        """) AS z FROM b) SELECT (z >> 14)::BIGINT AS zbucket, count(*)::BIGINT AS n, min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max, min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max FROM zt GROUP BY 1 ORDER BY zbucket"""),
     "q_join_sortmerge" ->
       """SELECT o_orderpriority, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_semi" ->
@@ -1522,6 +1586,8 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, c_acctbal, n_name, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_scd2" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id <= 50), c AS (SELECT user_id, ts, event_id, event_type, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), v AS (SELECT user_id, ts, event_type, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM c) SELECT user_id, ver::BIGINT AS ver, event_type, epoch_us(min(ts))::BIGINT AS valid_from, epoch_us(max(ts))::BIGINT AS valid_to, count(*)::BIGINT AS n_events FROM v GROUP BY user_id, ver, event_type ORDER BY user_id, ver""",
+    "q_stream_scd2" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id BETWEEN 0 AND 50), c AS (SELECT user_id, ts, event_id, event_type, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), v AS (SELECT user_id, ts, event_type, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM c) SELECT user_id, ver::BIGINT AS ver, event_type, epoch_us(min(ts))::BIGINT AS valid_from, epoch_us(max(ts))::BIGINT AS valid_to, count(*)::BIGINT AS n_events FROM v GROUP BY user_id, ver, event_type ORDER BY user_id, ver""",
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
     "q_events_locf" ->

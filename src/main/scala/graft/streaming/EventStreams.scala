@@ -94,6 +94,98 @@ object EventStreams {
 
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                    event_type: String, value: Double)
+
+  case class Scd2Open(ver: Long, etype: String, from: Long, to: Long, n: Long)
+  case class Scd2State(buf: List[(Long, Long, String)], open: Option[Scd2Open])
+  case class Scd2Out(user_id: Long, ver: Long, event_type: String,
+                     valid_from: Long, valid_to: Long, n_events: Long)
+
+  /** Type-2 SCD interval build EXECUTED AS A STREAM — the streaming
+    * counterpart of the batch `q_events_scd2` CDC-merge: per user,
+    * consecutive same-state events collapse into validity intervals
+    * (epoch-micro bounds), versions numbered in event-time order.
+    *
+    * State discipline (the 100 TB story): events are buffered ONLY
+    * until the watermark passes them — each invocation folds the
+    * ready prefix (ts strictly below the watermark, sorted by
+    * (ts, event_id)) into the carried open interval, emits intervals
+    * CLOSED by a state change immediately, and keeps just the
+    * still-ambiguous suffix plus the single open interval in state.
+    * So state size tracks the lateness window and one interval per
+    * active user — never user history. Ordering is safe because every
+    * buffered-pending event has ts above the watermark and therefore
+    * above every ready event.
+    *
+    * Completion contract: the event-time timeout fires only once the
+    * watermark passes the entity's last event by the FINALIZATION
+    * HORIZON (`finalizeAfterDays` of event time) — then the final
+    * open interval is emitted and the state entry pruned. The horizon
+    * is deliberately SEPARATE from (and much longer than) the
+    * `lateness` watermark delay: lateness bounds out-of-ORDER
+    * arrival, while finalization declares a DORMANT entity closed.
+    * Conflating them (finalizing at the lateness bound) split any
+    * entity quiet for more than the watermark delay mid-stream and
+    * restarted its version chain — measured as exactly that split in
+    * the cross-batch spec before the horizon existed. An entity
+    * resuming after `finalizeAfterDays` of event-time silence starts
+    * a fresh version chain BY CONTRACT (the dormant-entity
+    * re-registration case); exact batch parity holds whenever
+    * per-entity activity gaps stay below the horizon, which is how
+    * the exact-match gate (and any bounded replay) drives it. */
+  def scd2(events: Dataset[Event], lateness: String = "2 hours",
+           finalizeAfterDays: Int = 7): Dataset[Scd2Out] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness).as[Event].groupByKey(_.user_id)
+      .flatMapGroupsWithState[Scd2State, Scd2Out](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
+          def out(o: Scd2Open) = Scd2Out(userId, o.ver, o.etype, o.from, o.to, o.n)
+          // fold (ts, event_id, type) rows, ascending, into the open interval
+          def fold(sorted: Seq[(Long, Long, String)], open0: Option[Scd2Open]):
+              (List[Scd2Out], Option[Scd2Open]) = {
+            var open = open0
+            var closed = List.empty[Scd2Out]
+            sorted.foreach { case (t, _, typ) =>
+              open = open match {
+                case Some(o) if o.etype == typ => Some(o.copy(to = t, n = o.n + 1))
+                case Some(o) => closed ::= out(o); Some(Scd2Open(o.ver + 1, typ, t, t, 1))
+                case None => Some(Scd2Open(1, typ, t, t, 1))
+              }
+            }
+            (closed.reverse, open)
+          }
+          if (state.hasTimedOut) {
+            val st = state.getOption.getOrElse(Scd2State(Nil, None))
+            state.remove()
+            val (closed, open) = fold(st.buf.sortBy(r => (r._1, r._2)), st.open)
+            (closed ++ open.map(out).toList).iterator
+          } else {
+            val st = state.getOption.getOrElse(Scd2State(Nil, None))
+            // exact epoch MICROS: getTime is millis (would zero the
+            // sub-milli digits the batch twin's unix_micros keeps);
+            // the sub-milli remainder lives in getNanos
+            val incoming = rows.map(e =>
+              (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000,
+                e.event_id, e.event_type)).toList
+            val wmMicros = scala.util.Try(state.getCurrentWatermarkMs())
+              .getOrElse(0L) * 1000
+            val buf = st.buf ++ incoming
+            val (ready, pending) = buf.partition(_._1 < wmMicros)
+            val (closed, open) = fold(ready.sortBy(r => (r._1, r._2)), st.open)
+            state.update(Scd2State(pending, open))
+            // finalize only after the HORIZON of event-time silence
+            // past the entity's last known activity (buffered or
+            // already folded) — not merely past the lateness window
+            val wmMs = wmMicros / 1000
+            val lastSeenMs = math.max(
+              pending.map(_._1).foldLeft(0L)(math.max) / 1000,
+              open.map(_.to / 1000).getOrElse(0L))
+            state.setTimeoutTimestamp(
+              math.max(wmMs + 1, lastSeenMs + finalizeAfterDays * 86400000L))
+            closed.iterator
+          }
+      }
+  }
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long)

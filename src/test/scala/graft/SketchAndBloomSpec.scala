@@ -4,11 +4,12 @@ import org.apache.spark.sql.functions._
 import graft.operators.BloomPrune
 import graft.queries.Tables.t
 
-/** Properties of the round-8 sketch/runtime-filter operators beyond
-  * their value-level DuckDB oracles: the count-min overestimate
-  * guarantee and fixed state bound, and the Bloom prefilter's
-  * no-false-negative contract (prefilter → exact join ≡ plain join)
-  * plus its actual pruning power on the fixtures. */
+/** Properties of the round-8 sketch/runtime-filter/layout operators
+  * beyond their value-level DuckDB oracles: the count-min
+  * overestimate guarantee and fixed state bound, the Bloom
+  * prefilter's no-false-negative contract (prefilter → exact join ≡
+  * plain join) plus its actual pruning power on the fixtures, and the
+  * z-order bucket bounding-box guarantee. */
 class SketchAndBloomSpec extends SparkSpec {
 
   private def run(name: String) =
@@ -62,6 +63,21 @@ class SketchAndBloomSpec extends SparkSpec {
     assert(kept >= matches, "bloom can never keep fewer than the true matches")
     assert(kept < total, s"bloom pruned nothing ($kept of $total kept) — " +
       "filter is degenerate (all bits set?)")
+  }
+
+  test("z-order buckets bound BOTH dimensions (the file-skipping guarantee)") {
+    // top-6 z-bits fix the top-3 bits of each 10-bit dimension, so a
+    // bucket's bounding box spans at most 2^7 = 128 values per dim —
+    // the property that makes min/max stats skip files on EITHER column
+    val rows = run("q_layout_zorder").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (xSpan, ySpan) = (r.getLong(3) - r.getLong(2), r.getLong(5) - r.getLong(4))
+      assert(xSpan <= 127 && ySpan <= 127, s"bucket box too wide: $r")
+    }
+    // and the interleave is a bijection into [0, 2^20): buckets cover
+    // disjoint z ranges by construction, so bucket ids stay < 64
+    assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b < 64))
   }
 
   test("bloom membership is exact-positive for every built key") {

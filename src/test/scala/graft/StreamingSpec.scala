@@ -267,4 +267,49 @@ class StreamingSpec extends SparkSpec {
         s"got $got — the unmatched view must surface null-padded after eviction")
     } finally q.stop()
   }
+
+  test("streaming SCD-2 folds across micro-batches and matches the batch build") {
+    // the gate (q_stream_scd2) delivers all events in ONE batch; this
+    // test splits them at the median timestamp so intervals spanning
+    // the batch boundary must continue through the carried open-state
+    // — the incremental-fold path the gate alone doesn't exercise
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts = raw nanos long
+    val mid = raw.agg(expr("percentile_approx(ts, 0.5, 1000)")).head().getLong(0)
+    raw.where(col("ts") <= mid).coalesce(1).write.parquet(streamDir.resolve("f1").toString)
+    val q = EventStreams.scd2(
+      EventStreams.eventsStream(spark, streamDir.toString + "/*")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event]))
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("scd2x").start()
+    try {
+      q.processAllAvailable()
+      raw.where(col("ts") > mid).coalesce(1).write.parquet(streamDir.resolve("f2").toString)
+      q.processAllAvailable()
+      // far-future sentinel advances the watermark so every user's
+      // final interval is timeout-emitted
+      // TWO sentinel batches (same as the gate's s1/s2): the first
+      // advances the watermark at its END, the second lets the
+      // now-expired timeouts actually fire
+      val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+      def sentinel(tag: String, plusDays: Long): Unit =
+        Seq((-1L, maxNanos + plusDays * 86400L * 1000000000L, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+      sentinel("f3", 30); q.processAllAvailable()
+      sentinel("f4", 60); q.processAllAvailable()
+      val got = spark.table("scd2x").where(col("user_id").between(0L, 50L))
+        .select("user_id", "ver", "event_type", "valid_from", "valid_to", "n_events")
+        .collect().map(_.toSeq).toSet
+      val expected = SparkEntry.queries("q_events_scd2")(spark, dir)
+        .collect().map(_.toSeq).toSet
+      assert(got === expected,
+        s"streaming fold diverged from batch: ${got.size} vs ${expected.size} rows; " +
+          s"extra=${(got -- expected).toSeq.sortBy(_.head.toString.toLong).take(6)} " +
+          s"missing=${(expected -- got).toSeq.sortBy(_.head.toString.toLong).take(6)}")
+    } finally q.stop()
+  }
 }

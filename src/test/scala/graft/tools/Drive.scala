@@ -20,9 +20,11 @@ object Drive {
     val q = graft.SparkEntry.queries
 
     // --- round-8 additions: bloom runtime-filter join, CMS sketch,
-    // per-edge jaccard, SCD-2 intervals, repeated-span dedup
+    // per-edge jaccard, SCD-2 intervals (batch + streaming-executed),
+    // repeated-span dedup, z-order layout clustering
     for (name <- Seq("q_join_bloom", "q_sketch_cms", "q_graph_jaccard",
-        "q_events_scd2", "q_dedup_substring")) {
+        "q_events_scd2", "q_dedup_substring", "q_layout_zorder",
+        "q_stream_scd2")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
       df.show(5, false)

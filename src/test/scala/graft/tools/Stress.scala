@@ -16,6 +16,13 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]").appName("stress")
       .config("spark.sql.shuffle.partitions", "32")
+      // same two hygiene settings as Bench, for the same reasons:
+      // local[] has no locality to wait for (the 3 s default stalls
+      // every barrier of the iterative probes — measured 3x swings on
+      // identical code), and the cleaner must actually reap dead
+      // checkpoint blocks inside one long probe session
+      .config("spark.locality.wait", "0")
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
@@ -157,6 +164,46 @@ object Stress {
     }
     time("triangles_x4", tri4.count()) {
       graft.operators.GraphAlgos.trianglesByMinVertex(tri4).count()
+    }
+
+    // round-8 families: per-edge jaccard over the 4x disjoint-copy
+    // graph (per-copy similarity values unchanged; the wedge+support
+    // machinery is what's measured); repeated-span dedup over 10x
+    // docs (the distinct-span domain is FIXED while occurrences go
+    // x10 — the output-bounded groupBy claim); bloom probe over 10x
+    // facts (build constant, probe linear scan-side arithmetic); CMS
+    // cell build over 10x tokens (cell domain fixed at d*w)
+    time("jaccard_x1", tri1.count()) {
+      graft.operators.GraphAlgos.jaccardPerEdge(tri1).count()
+    }
+    time("jaccard_x4", tri4.count()) {
+      graft.operators.GraphAlgos.jaccardPerEdge(tri4).count()
+    }
+    time("substring_x1", nd) {
+      graft.operators.Dedup.shingleRows(docs, 20)
+        .select(col("doc_id"), md5(col("g")).as("span"))
+        .groupBy("span").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2).count()
+    }
+    time("substring_x10", nd10) {
+      graft.operators.Dedup.shingleRows(docs10, 20)
+        .select(col("doc_id"), md5(col("g")).as("span"))
+        .groupBy("span").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_docs") >= 2).count()
+    }
+    time("bloom_probe_x10", 1500000L) {
+      val dim = spark.read.parquet(s"$d/customer.parquet")
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val bits = graft.operators.BloomPrune.build(dim, "c_custkey", 1 << 14, 3)
+      o10.where(graft.operators.BloomPrune
+        .mightContain(bits, 1 << 14, 3, col("o_custkey"))).count()
+    }
+    time("cms_cells_x10", nd10) {
+      val tok = docs10.select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      tok.select(posexplode(array((0 until 3).map(r =>
+          (conv(substring(md5(concat(lit(s"$r|"), col("tok"))), 1, 8), 16, 10)
+            .cast("long") % 256).cast("int")): _*)))
+        .toDF("r", "c").groupBy("r", "c").count().count()
     }
     spark.stop()
   }
