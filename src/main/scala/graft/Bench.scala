@@ -37,7 +37,11 @@ object Bench {
     // count-min sketch heavy hitters, per-edge jaccard link scoring,
     // SCD-2 interval build, exact repeated-span dedup, z-order layout
     "q_join_bloom", "q_sketch_cms", "q_graph_jaccard", "q_events_scd2",
-    "q_dedup_substring", "q_layout_zorder")
+    "q_dedup_substring", "q_layout_zorder",
+    // wave-6 families: market-basket pair mining (lineitem self-join
+    // on the basket key) and CDC latest-wins snapshot (max_by-style
+    // partial+final struct agg)
+    "q_basket_pairs", "q_cdc_snapshot")
 
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").

@@ -580,6 +580,79 @@ object RelationalQueries {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
         .orderBy("hr", "event_type")
     }),
+    "q_cdc_snapshot" -> ((s, d) => {
+      // CDC latest-wins snapshot (the batch MERGE/upsert apply): the
+      // events table read as a change stream keyed by user — the last
+      // change per key (event-time order, event_id tie-break) is the
+      // key's current state, and a key whose last change is the
+      // tombstone type ('error') is dropped from the snapshot.
+      // Partial+final max(struct) aggregation, NOT a window sort: the
+      // latest-change-per-key reduction is associative, so at 100 TB
+      // it map-side combines inside the scan stage instead of
+      // shuffle-sorting every change row per key.
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("tus"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("tus"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .select(col("user_id"), col("m.event_type").as("last_type"),
+          col("m.value").as("last_value"), col("m.tus").as("last_ts"))
+        .where(col("last_type") =!= "error")
+        .orderBy("user_id")
+    }),
+    "q_events_transitions" -> ((s, d) => {
+      // user-journey transition matrix (the Markov building block of
+      // path analysis): adjacent event-type pairs per user in
+      // event-time order, counted over all users. The window sort is
+      // per-user within the hash shuffle — never a global sort — and
+      // the output domain is |event_types|^2, driver-safe at any SF.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .where(col("from_type").isNotNull)
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy("from_type", "to_type")
+    }),
+    "q_basket_pairs" -> ((s, d) => {
+      // frequent co-occurring item pairs (market-basket support
+      // counts): parts appearing together in >= 3 orders. Pair
+      // generation is a self-equi-join on the basket key — per-basket
+      // quadratic but bounded by basket size (TPC-H baskets hold <= 13
+      // distinct parts), so the cost is two basket-keyed shuffles,
+      // never |parts|^2; the support filter keeps output sparse.
+      val li = t(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey"))
+      li.toDF("ok", "pi").join(li.toDF("ok", "pj"), "ok")
+        .where(col("pi") < col("pj"))
+        .select("ok", "pi", "pj").distinct()
+        .groupBy("pi", "pj").agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= 3)
+        .orderBy(desc("n_orders"), col("pi"), col("pj"))
+    }),
+    "q_events_twa" -> ((s, d) => {
+      // time-weighted average value per user (the sensor/price rollup
+      // shape): each event's value is held until the user's next
+      // event; weight = hold duration in micros. Exact oracle parity:
+      // values are 6-decimal-quantized into small decimals BEFORE the
+      // multiply so every term (decimal x exact integer micros) and
+      // the sum are exact in both engines — only the final division
+      // happens in (deterministic IEEE) double arithmetic.
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("tus"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      e.withColumn("dur", lead(col("tus"), 1).over(w) - col("tus"))
+        .where(col("dur").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_holds"),
+          sum(col("dur")).as("held_us"),
+          round(sum(round(col("value"), 6).cast("decimal(19,6)") *
+              col("dur").cast("decimal(19,0)")).cast("double") /
+            sum(col("dur")).cast("double"), 6).as("twa"))
+        .orderBy("user_id")
+    }),
     "q_window_extras" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1499,6 +1572,14 @@ object RelationalQueries {
       """SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL AND json_extract_string(props, '$.k')::INT % 10 = 0 ORDER BY event_id""",
     "q_events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
+    "q_cdc_snapshot" ->
+      """WITH r AS (SELECT user_id, event_type, value, epoch_us(ts)::BIGINT AS tus, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) SELECT user_id, event_type AS last_type, value AS last_value, tus AS last_ts FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    "q_events_transitions" ->
+      """WITH o AS (SELECT user_id, event_type AS to_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type FROM events) SELECT from_type, to_type, count(*)::BIGINT AS n, count(DISTINCT user_id)::BIGINT AS n_users FROM o WHERE from_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    "q_basket_pairs" ->
+      """WITH p AS (SELECT DISTINCT a.l_orderkey, a.l_partkey AS pi, b.l_partkey AS pj FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) SELECT pi, pj, count(*)::BIGINT AS n_orders FROM p GROUP BY pi, pj HAVING count(*) >= 3 ORDER BY n_orders DESC, pi, pj""",
+    "q_events_twa" ->
+      """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts)::BIGINT AS tus FROM events), o AS (SELECT user_id, value, tus, lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur FROM e) SELECT user_id, count(*)::BIGINT AS n_holds, sum(dur)::BIGINT AS held_us, round(sum(round(value,6)::DECIMAL(19,6) * dur::DECIMAL(19,0))::DOUBLE / sum(dur)::DOUBLE, 6) AS twa FROM o WHERE dur IS NOT NULL GROUP BY user_id ORDER BY user_id""",
     "q_window_extras" ->
       """SELECT o_custkey, o_orderkey, rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS rk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)::INT AS dr, ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)::INT AS quartile, first_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ord, last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord, round(percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS pr, round(cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 4) AS cd FROM orders WHERE o_custkey <= 50 ORDER BY o_custkey, o_orderkey""",
     "q_date_spine" ->
