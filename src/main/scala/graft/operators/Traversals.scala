@@ -51,6 +51,21 @@ object Traversals {
     * truncated). `keep` exempts blocks shared with a still-live
     * DataFrame (e.g. BFS's current frontier inside the old visited
     * union). */
+  /** Eager localCheckpoint + stats reset ([[graftshim.Bridge
+    * .resetCheckpointStats]]): `Dataset.localCheckpoint` inherits the
+    * pre-checkpoint size ESTIMATE, and the size-only estimator
+    * multiplies child sizes at every join — so an iterative
+    * self-joining loop compounds the estimate exponentially across
+    * rounds (measured: by round ~10 of the SCC fixpoint the BigInt
+    * had millions of digits and single iterations took minutes of
+    * driver-side BigInteger math). Every iterative operator here
+    * checkpoints through this instead. */
+  private implicit class SizedCheckpoint(df: DataFrame) {
+    def checkpointSized(): DataFrame =
+      org.apache.spark.sql.graftshim.Bridge.resetCheckpointStats(
+        df.localCheckpoint(eager = true))
+  }
+
   private[graft] def dropCheckpoint(df: DataFrame, keep: Set[Int] = Set.empty): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD
@@ -114,7 +129,7 @@ object Traversals {
     import spark.implicits._
     require(starts.nonEmpty, "at least one start vertex")
     var visited = starts.distinct.map((_, 0)).toDF("vertex", "level")
-      .localCheckpoint(eager = true)
+      .checkpointSized()
     var frontier = visited.select("vertex")
     var level = 0
     var sinceCompact = 0
@@ -128,7 +143,7 @@ object Traversals {
         .join(e, f("vertex") === e("src"))
         .select(e("dst").as("vertex")).distinct()
         .join(visited, Seq("vertex"), "left_anti")
-        .localCheckpoint(eager = true) // cut lineage growth per iteration
+        .checkpointSized() // cut lineage growth per iteration
       frontierSize = next.count()
       if (frontierSize > 0) {
         // visited stays a lazy union of already-checkpointed frontiers —
@@ -138,7 +153,7 @@ object Traversals {
         sinceCompact += 1
         if (sinceCompact >= 8) {
           val old = visited
-          visited = visited.localCheckpoint(eager = true); sinceCompact = 0
+          visited = visited.checkpointSized(); sinceCompact = 0
           // the compacted copy supersedes the per-level checkpoints it
           // unioned — except the current frontier (= next), which the
           // next superstep still joins
@@ -273,7 +288,7 @@ object Traversals {
     import spark.implicits._
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"),
       col("w").cast("long")).persist(StorageLevel.MEMORY_AND_DISK)
-    var dists = Seq((start, 0L)).toDF("vertex", "dist").localCheckpoint(eager = true)
+    var dists = Seq((start, 0L)).toDF("vertex", "dist").checkpointSized()
     // decimal(38,0) sum: a Long sum would wrap (non-ANSI) once
     // |V| × max(dist) passes 2^63 and the monotone-witness argument dies
     def witness(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -290,7 +305,7 @@ object Traversals {
         .select(e("dst").as("vertex"), (dists("dist") + e("w")).as("dist"))
         .union(dists)
         .groupBy("vertex").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(eager = true)
+        .checkpointSized()
       dropCheckpoint(dists) // superseded by the materialised `relaxed`
       dists = relaxed
       prev = cur
@@ -316,7 +331,7 @@ object Traversals {
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("odeg"))
     val verts = e.select(col("src").as("vertex"))
       .union(e.select(col("dst").as("vertex"))).distinct()
-      .localCheckpoint(eager = true)
+      .checkpointSized()
     // (src, dst, odeg) pre-joined ONCE and hash-partitioned on src
     // before caching: the cached partitioning is visible to the
     // planner (InMemoryRelation preserves outputPartitioning), so
@@ -327,7 +342,7 @@ object Traversals {
     // bit-identical to the unfused plan (the oracle contract).
     val eo = e.join(outDeg, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var r = verts.withColumn("rank", lit(1.0)).localCheckpoint(eager = true)
+    var r = verts.withColumn("rank", lit(1.0)).checkpointSized()
     (1 to iters).foreach { _ =>
       val sums = eo.join(r, eo("src") === r("vertex"))
         .select(eo("dst"), (col("rank") / col("odeg")).as("w"))
@@ -337,7 +352,7 @@ object Traversals {
       r = verts.join(sums, Seq("vertex"), "left_outer")
         .select(col("vertex"),
           (lit(reset) + lit(1 - reset) * coalesce(col("m"), lit(0.0))).as("rank"))
-        .localCheckpoint(eager = true)
+        .checkpointSized()
       dropCheckpoint(prev) // superseded: only the newest rank table is live
     }
     e.unpersist(blocking = false)
@@ -370,7 +385,7 @@ object Traversals {
   def kcore(edges: DataFrame, k: Int, maxIters: Int = 10000): DataFrame = {
     // self-loops don't count toward coreness
     var cur = symmetrize(edges.where(col("src") =!= col("dst")))
-      .localCheckpoint(eager = true)
+      .checkpointSized()
     var prevEdges = -1L
     var curEdges = cur.count()
     var it = 0
@@ -385,7 +400,7 @@ object Traversals {
         .join(ka, prev("src") === ka("ks"))
         .join(kb, prev("dst") === kb("kd"))
         .select(prev("src"), prev("dst"))
-        .localCheckpoint(eager = true)
+        .checkpointSized()
       dropCheckpoint(prev) // superseded by the materialised peel
       prevEdges = curEdges
       curEdges = cur.count()
@@ -413,7 +428,7 @@ object Traversals {
     var labels = sym.groupBy(col("dst").as("vertex"))
       .agg(min(col("src")).as("nbrMin"))
       .select(col("vertex"), least(col("vertex"), col("nbrMin")).as("component"))
-      .localCheckpoint(eager = true)
+      .checkpointSized()
     // Labels only ever decrease, so sum(component) is a strictly
     // monotone convergence witness — one cheap scan instead of a
     // change-detection join per round. Summed as decimal(38,0): a Long
@@ -446,13 +461,158 @@ object Traversals {
             least(jumped("component"), coalesce(col("cc"), jumped("component"))).as("component"))
       }
       val prevLabels = labels
-      labels = jumped.localCheckpoint(eager = true)
+      labels = jumped.checkpointSized()
       dropCheckpoint(prevLabels) // superseded: one label table live at a time
       prevSum = curSum
       curSum = labelSum(labels)
     }
     sym.unpersist(blocking = false)
     labels
+  }
+
+  /** Max-id label fixpoint over a directed propagation table
+    * `(from, to)`: label(to) adopts the greatest label among its
+    * `from` sources until stable, pointer-jumped — sound because the
+    * labels are realizable reachability witnesses that compose
+    * (label(v) = u means u reaches v — or v reaches u, depending on
+    * the caller's propagation direction — so label(label(v)) is
+    * transitively valid too). Labels only increase, so a decimal
+    * label-sum is the convergence witness (one cheap scan per round,
+    * same trick as [[connectedComponents]]). */
+  private def maxLabelFixpoint(prop: DataFrame, verts: DataFrame,
+                               maxIters: Int, jumps: Int): DataFrame = {
+    var labels = verts.select(col("vertex"), col("vertex").as("lab"))
+      .checkpointSized()
+    def labSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("lab").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labSum(labels)
+    var it = 0
+    while ((prevSum == null || curSum.compareTo(prevSum) > 0) && it < maxIters) {
+      it += 1
+      // Pointer jumps compose against the CHECKPOINTED label table
+      // (a LogicalRDD leaf), not against the in-flight jump result: a
+      // self-referencing jump pyramid (jumpK joins jumpK-1 with
+      // itself) re-executes its whole un-materialised subtree once
+      // per reference — stream side AND broadcast build — nesting
+      // broadcast builds through the aggregation shuffle, and was
+      // measured going exponential in wall-clock (~×7 per iteration
+      // by iteration 10 on a 128-vertex fixture). Leaf-composed jumps
+      // keep every join input a materialised block read; the label
+      // radius still compounds ×(jumps+1) per iteration on top of
+      // the radius already encoded in `labels`, so convergence stays
+      // O(log diameter) iterations.
+      var jumped: DataFrame = labels
+      (1 to jumps).foreach { _ =>
+        val ptr = labels.select(col("vertex").as("pv"), col("lab").as("pl"))
+        jumped = jumped.join(ptr, jumped("lab") === ptr("pv"), "left_outer")
+          .select(jumped("vertex"),
+            greatest(jumped("lab"), coalesce(col("pl"), jumped("lab"))).as("lab"))
+      }
+      val stepped = jumped.join(prop, jumped("vertex") === prop("from"))
+        .groupBy(col("to").as("vertex")).agg(max(col("lab")).as("nm"))
+      val merged = jumped.join(stepped, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          greatest(col("lab"), coalesce(col("nm"), col("lab"))).as("lab"))
+      val prev = labels
+      labels = merged.checkpointSized()
+      dropCheckpoint(prev)
+      prevSum = curSum
+      curSum = labSum(labels)
+    }
+    labels
+  }
+
+  /** Strongly connected components of a DIRECTED graph by iterated
+    * max-id coloring — the coloring/FW-BW family of the
+    * distributed-SCC literature (Orzan's algorithm, with vertex ids
+    * as colors). Each round, over the remaining subgraph:
+    *
+    *  1. `color(v)` = max id that reaches v (max-label fixpoint along
+    *     edge direction). Every color class c contains its root
+    *     vertex c (nothing higher reaches c, else the class would be
+    *     that higher id's), and class edges never leave the class.
+    *  2. `fm(v)` = max id v reaches WITHIN its color class (max-label
+    *     fixpoint against edge direction, over the class-restricted
+    *     edge set). `fm(v) = color(v) = c` iff v reaches the root c
+    *     inside the class — and since c also reaches v (that is what
+    *     color c means), exactly the members of SCC(c) qualify: an
+    *     intermediate vertex on any v→..→c path is reached by c and
+    *     reaches c, so whole paths stay in the class and membership
+    *     is exact.
+    *
+    * Every color root's SCC peels per round — sink-region SCCs all
+    * resolve in parallel (expected O(log n) rounds on random ids; the
+    * global max vertex is always a root, so progress is guaranteed).
+    * Assigned vertices and their incident edges leave the subgraph.
+    *
+    * Scale: both per-round fixpoints are pointer-jumped label
+    * propagations (O(log diameter) shuffle-join rounds each, each
+    * round one labels×edges join plus a hash agg); all state tables
+    * are localCheckpointed per step with superseded checkpoints
+    * dropped eagerly, so lineage and block storage stay O(1) across
+    * both loop levels; nothing collects to the driver but the
+    * convergence-witness scalars. Output: (vertex, component),
+    * component = MIN vertex id of the SCC (re-keyed from the max-id
+    * root by one small per-component agg, matching the convention of
+    * [[connectedComponents]]). Self-loops are dropped (they never
+    * affect SCC membership). */
+  def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 1000,
+                                  maxIters: Int = 10000, jumps: Int = 2): DataFrame = {
+    var e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .checkpointSized()
+    var verts = e.select(explode(array(col("src"), col("dst"))).as("vertex"))
+      .distinct().checkpointSized()
+    val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var peel = 0
+    var nVerts = verts.count()
+    while (nVerts > 0 && peel < maxPeels) {
+      peel += 1
+      // (1) colors: max id reaching each vertex (flows src -> dst)
+      val color = maxLabelFixpoint(
+        e.select(col("src").as("from"), col("dst").as("to")), verts,
+        maxIters, jumps)
+      // (2) class-restricted edges, then max id reached within the
+      // class (flows dst -> src against edge direction)
+      val cs = color.select(col("vertex").as("csv"), col("lab").as("csl"))
+      val cd = color.select(col("vertex").as("cdv"), col("lab").as("cdl"))
+      val ec = e.join(cs, e("src") === cs("csv")).join(cd, e("dst") === cd("cdv"))
+        .where(col("csl") === col("cdl"))
+        .select(e("src"), e("dst")).checkpointSized()
+      val fm = maxLabelFixpoint(
+        ec.select(col("dst").as("from"), col("src").as("to")), verts,
+        maxIters, jumps)
+      val cf = color.withColumnRenamed("lab", "color")
+        .join(fm.withColumnRenamed("lab", "fm"), Seq("vertex"))
+        .checkpointSized()
+      dropCheckpoint(color); dropCheckpoint(fm); dropCheckpoint(ec)
+      val members = cf.where(col("color") === col("fm"))
+        .select(col("vertex"), col("color"))
+      // re-key each SCC from its max-id root to its min member id
+      val minId = members.groupBy(col("color"))
+        .agg(min(col("vertex")).as("component"))
+      done += members.join(minId, Seq("color"))
+        .select(col("vertex"), col("component"))
+        .checkpointSized()
+      val remaining = cf.where(col("color") =!= col("fm"))
+        .select("vertex").checkpointSized()
+      dropCheckpoint(cf)
+      val vs = remaining.select(col("vertex").as("vs"))
+      val vd = remaining.select(col("vertex").as("vd"))
+      val prevE = e; val prevVerts = verts
+      e = e.join(vs, e("src") === vs("vs")).join(vd, e("dst") === vd("vd"))
+        .select(e("src"), e("dst")).checkpointSized()
+      verts = remaining
+      dropCheckpoint(prevE); dropCheckpoint(prevVerts)
+      nVerts = verts.count()
+    }
+    done.reduceOption(_.union(_)).getOrElse(
+      edges.sparkSession.range(0)
+        .select(col("id").as("vertex"), col("id").as("component")))
   }
 
   /** Synchronous label propagation (community detection), `iters`
@@ -476,7 +636,7 @@ object Traversals {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
-      .localCheckpoint(eager = true)
+      .checkpointSized()
     (1 to iters).foreach { _ =>
       val prev = labels
       labels = sym.join(labels, sym("src") === labels("vertex"))
@@ -485,7 +645,7 @@ object Traversals {
         .groupBy("vertex")
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("vertex"), (-col("m.nl")).as("label"))
-        .localCheckpoint(eager = true)
+        .checkpointSized()
       dropCheckpoint(prev)
     }
     sym.unpersist(blocking = false)

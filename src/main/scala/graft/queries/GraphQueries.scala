@@ -65,7 +65,38 @@ object GraphQueries {
       .select(col("src"), col("dst"))
   }
 
+  /** DIRECTED fixture for SCC: eight 16-vertex rings over the
+    * orderkey residues mod 128 (each ring a base SCC), overlaid with
+    * data-dependent cross edges — a sampled low-ring→high-ring "down"
+    * family that keeps the condensation a DAG, plus a rare (k % 997)
+    * high→low "up" family whose presence merges the ring interval it
+    * closes. SCC structure therefore varies with SF (sf0.001: six
+    * rings + one 32-merge; sf0.01: four rings + two 32-merges) while
+    * staying exactly reproducible in the DuckDB twin. */
+  private def sccEdges(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderkey").cast("long").as("k"))
+    val ring = o.select((col("k") % 128).as("src")).distinct()
+      .withColumn("dst",
+        when(col("src") % 16 < 15, col("src") + 1).otherwise(col("src") - 15))
+    def cross(filterMod: Long, srcRing: org.apache.spark.sql.Column,
+              dstRing: org.apache.spark.sql.Column) =
+      o.where((col("k") % filterMod === 0) &&
+          ((col("k") * 7) % 8 < (col("k") * 3) % 8))
+        .select((srcRing * 16 + col("k") % 16).as("src"),
+          (dstRing * 16 + shiftright(col("k"), 4) % 16).as("dst"))
+        .distinct()
+    val dn = cross(13, (col("k") * 7) % 8, (col("k") * 3) % 8)
+    val up = cross(997, (col("k") * 3) % 8, (col("k") * 7) % 8)
+    ring.union(dn).union(up).distinct()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_scc" -> ((s, d) =>
+      // strongly connected components of the directed ring+cross
+      // fixture via FW-BW min-label peeling (Traversals.scala) — the
+      // oracle is ground truth from the full mutual-reachability
+      // closure, so it validates ANY correct SCC algorithm
+      Traversals.stronglyConnectedComponents(sccEdges(s, d)).orderBy("vertex")),
     // -- the reference's own sample graphs, bundled as resources; the
     // oracles are the hand-derived goldens of FIXTURES.md (from
     // secondary_server.c:142-248 semantics) as literal VALUES --------
@@ -244,6 +275,8 @@ object GraphQueries {
     """e0 AS (SELECT n_nationkey::BIGINT AS src, (n_nationkey + 1)::BIGINT AS dst FROM nation WHERE n_nationkey < 10 OR (n_nationkey >= 12 AND n_nationkey < 20)), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
 
   val oracles: Map[String, String] = Map(
+    "q_graph_scc" ->
+      """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders), ring AS (SELECT DISTINCT (k % 128) AS src, CASE WHEN (k % 128) % 16 < 15 THEN (k % 128) + 1 ELSE (k % 128) - 15 END AS dst FROM o), dn AS (SELECT DISTINCT ((k*7) % 8) * 16 + (k % 16) AS src, ((k*3) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 13 = 0 AND (k*7) % 8 < (k*3) % 8), up AS (SELECT DISTINCT ((k*3) % 8) * 16 + (k % 16) AS src, ((k*7) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 997 = 0 AND (k*7) % 8 < (k*3) % 8), e AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM dn UNION SELECT src, dst FROM up), e2 AS (SELECT src, dst FROM e WHERE src <> dst), r AS (SELECT src AS a, dst AS b FROM e2 UNION SELECT r.a, e2.dst FROM r JOIN e2 ON e2.src = r.b), v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e), m AS (SELECT a, b FROM r UNION SELECT vertex, vertex FROM v) SELECT m1.a::BIGINT AS vertex, min(m1.b)::BIGINT AS component FROM m m1 JOIN m m2 ON m1.b = m2.a AND m2.b = m1.a GROUP BY m1.a ORDER BY vertex""",
     // golden literals per FIXTURES.md (G7 from 0: levels {0},{1,4},
     // {2,5,6},{3}; from 3: chain back up; leaves {3,5,6} / G5 {2,3,4})
     "q_ref_g7_bfs" ->

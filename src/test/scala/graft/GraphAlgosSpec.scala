@@ -126,4 +126,77 @@ class GraphAlgosSpec extends SparkSpec {
     val b = graft.operators.GraphAlgos.jaccardPerEdge(e2).orderBy("src", "dst").collect().toSeq
     assert(a == b)
   }
+
+  /** Reference SCC: iterative Tarjan (explicit stack, so deep graphs
+    * don't blow the JVM stack), component keyed by its min vertex. */
+  private def tarjanScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- verts if !index.contains(root)) {
+      // frames: (vertex, iterator over its successors)
+      val work = scala.collection.mutable.Stack((root, adj.getOrElse(root, Nil).iterator))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack.push(root); onStack += root
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack.push(w); onStack += w
+            work.push((w, adj.getOrElse(w, Nil).iterator))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ListBuffer.empty[Long]
+            var w = -1L
+            while ({ w = stack.pop(); onStack -= w; members += w; w != v }) ()
+            val cid = members.min
+            members.foreach(m => comp(m) = cid)
+          }
+        }
+      }
+    }
+    comp.toMap
+  }
+
+  private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    graft.operators.Traversals.stronglyConnectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("SCC: cycles, DAGs, and one-way-bridged cycles") {
+    // pure 4-cycle: one SCC keyed by 0
+    assert(sccOf(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) ===
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+    // DAG: all singletons
+    assert(sccOf(Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L))) ===
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // two 3-cycles bridged ONE way stay separate; bridged both ways merge
+    val c2 = Seq((0L, 1L), (1L, 2L), (2L, 0L), (10L, 11L), (11L, 12L), (12L, 10L))
+    assert(sccOf(c2 :+ (2L -> 10L)).values.toSet === Set(0L, 10L))
+    assert(sccOf(c2 :+ (2L -> 10L) :+ (12L -> 1L)).values.toSet === Set(0L))
+  }
+
+  test("SCC matches iterative Tarjan on random digraphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 3) {
+      val n = 40
+      // sparse enough for rich SCC structure (~1.5 edges/vertex)
+      val edges = (0 until 60)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      assert(sccOf(edges) === tarjanScc(edges), s"trial $trial: $edges")
+    }
+  }
 }

@@ -80,6 +80,52 @@ class SketchAndBloomSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).forall(b => b >= 0 && b < 64))
   }
 
+  test("z-order file layout concentrates single-column predicates into few files") {
+    // The end-to-end layout claim behind q_layout_zorder: WRITE the
+    // table in z-key ranges and a predicate on EITHER dimension only
+    // touches the files whose clustered range intersects it, because
+    // each z-range file fixes leading bits of BOTH columns (here 8
+    // z-range files fix y9,x9,y8 — interleave2 puts y on odd/high bit
+    // positions) — that is what per-file min/max statistics prune on.
+    // A linear sort on x clusters ONLY x, so the same y-slab predicate
+    // has matching rows in EVERY file. Files-holding-matches is the
+    // engine-portable proxy for files-read-after-stats-pruning: a
+    // file with no matching rows is exactly one whose y min/max
+    // excludes the slab and is skipped by any stats-aware reader.
+    import graft.operators.ZOrder
+    val base = t(spark, TestSpark.sfDir, "orders")
+      .select((col("o_custkey") % 1024).cast("long").as("x"),
+        (floor(col("o_totalprice") / 500.0).cast("long") % 1024).as("y"))
+      .withColumn("z", ZOrder.interleave2(col("x"), col("y")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-zorder-layout")
+    try {
+      val zDir = tmp.resolve("byz").toString
+      val xDir = tmp.resolve("byx").toString
+      base.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+        .write.parquet(zDir)
+      base.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+        .write.parquet(xDir)
+      def filesMatching(dir: String): Long =
+        spark.read.parquet(dir).where(col("y").between(256, 319))
+          .select(input_file_name()).distinct().count()
+      val (zFiles, xFiles) = (filesMatching(zDir), filesMatching(xDir))
+      // y in [256,319] fixes y9y8 = 01 -> at most the 2 z-range files
+      // with (y9,x9,y8) in {010, 011} hold matches (range-boundary
+      // straddle can add one more)
+      assert(zFiles <= 3, s"z-ordered layout touched $zFiles of 8 files")
+      assert(xFiles >= 7, s"x-sorted layout should spread the y-slab " +
+        s"across ~all files, got $xFiles — fixture degenerate?")
+    } finally {
+      def rm(p: java.nio.file.Path): Unit = {
+        val w = java.nio.file.Files.walk(p)
+        try w.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => java.nio.file.Files.deleteIfExists(q))
+        finally w.close()
+      }
+      rm(tmp)
+    }
+  }
+
   test("bloom membership is exact-positive for every built key") {
     // every inserted key must probe true (zero false negatives by
     // construction — this pins the build/probe position parity)
