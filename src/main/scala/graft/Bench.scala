@@ -42,6 +42,13 @@ object Bench {
     // on the basket key) and CDC latest-wins snapshot (max_by-style
     // partial+final struct agg)
     "q_basket_pairs", "q_cdc_snapshot")
+  // SCC (q_graph_scc, q_graph_scc_big) stays gate-only: its superstep
+  // count is O(graph diameter) (~27 label fixpoint iterations on the
+  // order-chain fixture), and at local[*] each superstep is
+  // job-latency-bound — a headline entry would measure barrier
+  // latency, not data throughput (measured 24.9 s at sf0.1 while the
+  // data work per superstep is a 150k-row join). PLANS.md has the
+  // cluster-scale story.
 
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").

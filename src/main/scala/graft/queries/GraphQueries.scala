@@ -91,6 +91,36 @@ object GraphQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_scc_big" -> ((s, d) => {
+      // SCC at DATA scale (~150k vertices at sf0.1): per-customer
+      // order chains directed ascending, plus sampled back-to-first
+      // edges (every 23rd orderkey) that close a cycle over the
+      // customer's prefix. Ground truth has a closed form — the SCC
+      // is exactly the prefix up to the LARGEST back-edge source
+      // (every prefix vertex reaches it forward, it returns to the
+      // first) — so the oracle needs no reachability closure and the
+      // gate stays exact at any SF. Output: component-size histogram
+      // (bounded). The coloring algorithm resolves this shape in ONE
+      // peel: ids ascend along each chain, so every vertex past the
+      // last back-edge source is its own color root, and the prefix
+      // class resolves through its root in the same round.
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey").cast("long").as("k"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("k"))
+      val chain = o.withColumn("nxt", lead(col("k"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("k").as("src"), col("nxt").as("dst"))
+      val firsts = o.groupBy("o_custkey")
+        .agg(min(col("k")).as("f"), count(lit(1)).as("n"))
+      val back = o.join(firsts, "o_custkey")
+        .where((col("n") >= 2) && (col("k") % 23 === 0) && (col("k") =!= col("f")))
+        .select(col("k").as("src"), col("f").as("dst"))
+      Traversals.stronglyConnectedComponents(chain.union(back))
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"))
+        .orderBy("sz")
+    }),
     "q_graph_scc" -> ((s, d) =>
       // strongly connected components of the directed ring+cross
       // fixture via FW-BW min-label peeling (Traversals.scala) — the
@@ -275,6 +305,8 @@ object GraphQueries {
     """e0 AS (SELECT n_nationkey::BIGINT AS src, (n_nationkey + 1)::BIGINT AS dst FROM nation WHERE n_nationkey < 10 OR (n_nationkey >= 12 AND n_nationkey < 20)), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
 
   val oracles: Map[String, String] = Map(
+    "q_graph_scc_big" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey AS k FROM orders), agg AS (SELECT o_custkey, min(k) AS f, count(*) AS n FROM o GROUP BY o_custkey), jm AS (SELECT o.o_custkey, max(k) AS jmax FROM o JOIN agg USING (o_custkey) WHERE n >= 2 AND k % 23 = 0 AND k <> f GROUP BY o.o_custkey), v AS (SELECT o.o_custkey, k, f FROM o JOIN agg USING (o_custkey) WHERE n >= 2), cv AS (SELECT v.k, CASE WHEN jm.jmax IS NOT NULL AND v.k <= jm.jmax THEN v.f ELSE v.k END AS component FROM v LEFT JOIN jm ON v.o_custkey = jm.o_custkey), szs AS (SELECT component, count(*) AS sz FROM cv GROUP BY component) SELECT sz::BIGINT AS sz, count(*)::BIGINT AS n_components FROM szs GROUP BY sz ORDER BY sz""",
     "q_graph_scc" ->
       """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders), ring AS (SELECT DISTINCT (k % 128) AS src, CASE WHEN (k % 128) % 16 < 15 THEN (k % 128) + 1 ELSE (k % 128) - 15 END AS dst FROM o), dn AS (SELECT DISTINCT ((k*7) % 8) * 16 + (k % 16) AS src, ((k*3) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 13 = 0 AND (k*7) % 8 < (k*3) % 8), up AS (SELECT DISTINCT ((k*3) % 8) * 16 + (k % 16) AS src, ((k*7) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 997 = 0 AND (k*7) % 8 < (k*3) % 8), e AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM dn UNION SELECT src, dst FROM up), e2 AS (SELECT src, dst FROM e WHERE src <> dst), r AS (SELECT src AS a, dst AS b FROM e2 UNION SELECT r.a, e2.dst FROM r JOIN e2 ON e2.src = r.b), v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e), m AS (SELECT a, b FROM r UNION SELECT vertex, vertex FROM v) SELECT m1.a::BIGINT AS vertex, min(m1.b)::BIGINT AS component FROM m m1 JOIN m m2 ON m1.b = m2.a AND m2.b = m1.a GROUP BY m1.a ORDER BY vertex""",
     // golden literals per FIXTURES.md (G7 from 0: levels {0},{1,4},
