@@ -41,7 +41,9 @@ object Bench {
     // wave-6 families: market-basket pair mining (lineitem self-join
     // on the basket key) and CDC latest-wins snapshot (max_by-style
     // partial+final struct agg)
-    "q_basket_pairs", "q_cdc_snapshot")
+    "q_basket_pairs", "q_cdc_snapshot",
+    // wave-8: one-scan constraint suite + per-user outlier detection
+    "q_quality_checks", "q_events_anomaly")
   // SCC (q_graph_scc, q_graph_scc_big) stays gate-only: its superstep
   // count is O(graph diameter) (~27 label fixpoint iterations on the
   // order-chain fixture), and at local[*] each superstep is

@@ -653,6 +653,56 @@ object RelationalQueries {
             sum(col("dur")).cast("double"), 6).as("twa"))
         .orderBy("user_id")
     }),
+    "q_quality_checks" -> ((s, d) => {
+      // data-quality constraint suite (the Deequ/expectations shape):
+      // five single-table constraints evaluated in ONE scan as
+      // conditional aggregates — a constraint suite must not cost one
+      // pass per check at 100 TB — plus a referential check as a
+      // broadcast anti-join. Output: (check_name, violations).
+      val o = t(s, d, "orders")
+      val single = o.agg(
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("pk_unique_orderkey"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("notnull_custkey"),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("positive_totalprice"),
+          sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+            .as("status_in_domain"),
+          sum(when(col("o_orderdate") < lit("1992-01-01").cast("timestamp") ||
+              col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("orderdate_in_range"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column],
+          Array(col("pk_unique_orderkey"), col("notnull_custkey"),
+            col("positive_totalprice"), col("status_in_domain"),
+            col("orderdate_in_range")),
+          "check_name", "violations")
+      val fk = o.join(broadcast(t(s, d, "customer").select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .select(lit("fk_orders_customer").as("check_name"), col("violations"))
+      single.union(fk).orderBy("check_name")
+    }),
+    "q_events_anomaly" -> ((s, d) => {
+      // per-user outlier detection (2-sigma rule) with the repo's
+      // exact-moments convention: decimal power sums -> identical
+      // double closed form both engines, and the outlier predicate is
+      // squared ((v-mean)^2 > 4*var) so no sqrt enters the compare.
+      // Stats join back via broadcast (per-user stats are tiny).
+      val e = Tables.events(s, d).select(col("user_id"), col("value"))
+      val stats = e.groupBy("user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 6).cast("double").as("s1"),
+        round(sum(col("value").cast("decimal(18,6)") *
+          col("value").cast("decimal(18,6)")), 6).cast("double").as("s2"))
+      val m = col("s1") / col("n")
+      val v = col("s2") / col("n") - m * m
+      e.join(broadcast(stats), "user_id")
+        .select(col("user_id"), col("value"), col("n"), m.as("mean"), v.as("var"))
+        .groupBy("user_id")
+        .agg(first(col("n")).cast("long").as("n_events"),
+          round(first(col("mean")), 4).as("mean_value"),
+          sum(when((col("value") - col("mean")) * (col("value") - col("mean")) >
+            lit(4.0) * col("var"), 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy("user_id")
+    }),
     "q_window_extras" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -1574,6 +1624,10 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_cdc_snapshot" ->
       """WITH r AS (SELECT user_id, event_type, value, epoch_us(ts)::BIGINT AS tus, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) SELECT user_id, event_type AS last_type, value AS last_value, tus AS last_ts FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
+    "q_quality_checks" ->
+      """WITH s AS (SELECT (count(*) - count(DISTINCT o_orderkey))::BIGINT AS pk_unique_orderkey, count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS notnull_custkey, count(*) FILTER (WHERE o_totalprice <= 0)::BIGINT AS positive_totalprice, count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))::BIGINT AS status_in_domain, count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate >= TIMESTAMP '1999-01-01')::BIGINT AS orderdate_in_range FROM orders) SELECT check_name, violations FROM (SELECT 'pk_unique_orderkey' AS check_name, pk_unique_orderkey AS violations FROM s UNION ALL SELECT 'notnull_custkey', notnull_custkey FROM s UNION ALL SELECT 'positive_totalprice', positive_totalprice FROM s UNION ALL SELECT 'status_in_domain', status_in_domain FROM s UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM s UNION ALL SELECT 'fk_orders_customer', count(*)::BIGINT FROM orders LEFT JOIN customer ON o_custkey = c_custkey WHERE c_custkey IS NULL) ORDER BY check_name""",
+    "q_events_anomaly" ->
+      """WITH st AS (SELECT user_id, count(*)::DOUBLE AS n, round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS s1, round(sum(value::DECIMAL(18,6) * value::DECIMAL(18,6)), 6)::DOUBLE AS s2 FROM events GROUP BY user_id) SELECT e.user_id, max(st.n)::BIGINT AS n_events, round(max(st.s1/st.n), 4) AS mean_value, count(*) FILTER (WHERE (e.value - st.s1/st.n) * (e.value - st.s1/st.n) > 4.0 * (st.s2/st.n - (st.s1/st.n)*(st.s1/st.n)))::BIGINT AS n_outliers FROM events e JOIN st ON e.user_id = st.user_id GROUP BY e.user_id ORDER BY e.user_id""",
     "q_events_transitions" ->
       """WITH o AS (SELECT user_id, event_type AS to_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type FROM events) SELECT from_type, to_type, count(*)::BIGINT AS n, count(DISTINCT user_id)::BIGINT AS n_users FROM o WHERE from_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type""",
     "q_basket_pairs" ->
