@@ -43,7 +43,9 @@ object Bench {
     // partial+final struct agg)
     "q_basket_pairs", "q_cdc_snapshot",
     // wave-8: one-scan constraint suite + per-user outlier detection
-    "q_quality_checks", "q_events_anomaly")
+    "q_quality_checks", "q_events_anomaly",
+    // wave-9: product quantization ANN (codebook assign + ADC LUT)
+    "q_embed_pq")
   // SCC (q_graph_scc, q_graph_scc_big) stays gate-only: its superstep
   // count is O(graph diameter) (~27 label fixpoint iterations on the
   // order-chain fixture), and at local[*] each superstep is

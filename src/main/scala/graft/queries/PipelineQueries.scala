@@ -719,6 +719,46 @@ object PipelineQueries {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       Similarity.ivfTopK(Similarity.assignCells(e, cents), 0L, 10)
     }),
+    "q_embed_pq" -> ((s, d) => {
+      // Product quantization — the classic ANN codebook path,
+      // completing the family (IVF cells, hyperplane LSH, int8 scalar
+      // quant, ADC rerank): 8 subspaces x 8 dims, codebook = the
+      // subvectors of vectors 1..16, so each vector compresses to 8
+      // one-byte codes (64x smaller than the double vector). Query
+      // scoring is ADC: a 128-entry lookup table of query-subvector .
+      // codeword dots (built once, broadcast), summed per vector
+      // through its codes — the scan side touches only the narrow
+      // code table, never the full vectors; exact cosine rescores
+      // just the top-50 candidates. Subspace folds are the codegen'd
+      // l2sq_fold/dot_fold expressions; the per-vector ADC sum is
+      // decimal-cast so the 8-term accumulation is order-free for the
+      // oracle hash-match.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val vs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("v"))
+        .select(col("vec_id"), col("sub"), expr("slice(v, sub * 8 + 1, 8)").as("sv"))
+      val cb = vs.where(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("code"), col("sub"), col("sv").as("scv"))
+      val codes = vs.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"),
+          expr("l2sq_fold(sv, scv)").as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+      val lut = cb.join(
+          vs.where(col("vec_id") === 0).select(col("sub"), col("sv").as("qsv")), "sub")
+        .select(col("sub"), col("code"), expr("dot_fold(scv, qsv)").as("pdot"))
+      val approx = codes.where(col("vec_id") =!= 0)
+        .join(broadcast(lut), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(round(sum(col("pdot").cast("decimal(28,12)")).cast("double"), 4).as("approx"))
+      val cand = approx.orderBy(desc("approx"), col("vec_id")).limit(50)
+      val q0 = e.where(col("vec_id") === 0).select(col("v").as("qfull"))
+      cand.join(e, "vec_id").crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("approx"),
+          round(expr("cosine_sim(v, qfull)"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+    }),
     "q_embed_recall" -> ((s, d) => {
       // ANN QUALITY measurement: recall@10 of the single-cell IVF probe
       // against the exact brute-force top-10 — the number that tunes
@@ -939,6 +979,8 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE label = 0), sc AS (SELECT q.qid, e.vec_id, round(${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})), 4) AS score FROM e CROSS JOIN q WHERE e.vec_id <> q.qid), rk AS (SELECT qid, vec_id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)::INT AS rk FROM sc) SELECT qid, vec_id, score, rk FROM rk WHERE rk <= 5 ORDER BY qid, rk""",
     "q_embed_lsh" ->
       s"""WITH s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(8) tp(p) CROSS JOIN range(64) ti(i) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), b AS (SELECT vec_id, sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END)::BIGINT AS bucket FROM dt GROUP BY vec_id) SELECT bucket, count(*)::BIGINT AS cnt, min(vec_id)::BIGINT AS min_vec FROM b GROUP BY bucket ORDER BY bucket""",
+    "q_embed_pq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS sv FROM e CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, sv AS qsv FROM vs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 50), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_embed_recall" ->

@@ -26,7 +26,7 @@ object Drive {
         "q_events_scd2", "q_dedup_substring", "q_layout_zorder",
         "q_stream_scd2", "q_cdc_snapshot", "q_events_transitions",
         "q_basket_pairs", "q_events_twa", "q_graph_scc", "q_graph_scc_big",
-        "q_quality_checks", "q_events_anomaly")) {
+        "q_quality_checks", "q_events_anomaly", "q_embed_pq")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
       df.show(5, false)
