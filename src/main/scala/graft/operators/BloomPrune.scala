@@ -48,6 +48,9 @@ object BloomPrune {
             h: Int = 3): Array[Long] = {
     require(mBits > 0 && mBits % 64 == 0, s"mBits ($mBits) must be a positive multiple of 64")
     val rows = keys
+      // NULL keys never match an equi-/semi-join, and a null key would
+      // null every hash position and NPE the primitive word fold below
+      .where(col(keyCol).isNotNull)
       .select(explode(array(bitPositions(col(keyCol), mBits, h): _*)).as("pos"))
       .select((col("pos") / 64).cast("int").as("w"),
         call_function("shiftleft", lit(1L), col("pos") % 64).as("m"))

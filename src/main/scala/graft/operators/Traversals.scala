@@ -557,15 +557,17 @@ object Traversals {
     * convergence-witness scalars. Output: (vertex, component),
     * component = MIN vertex id of the SCC (re-keyed from the max-id
     * root by one small per-component agg, matching the convention of
-    * [[connectedComponents]]). Self-loops are dropped (they never
-    * affect SCC membership). */
+    * [[connectedComponents]]). Self-loop EDGES are dropped (they
+    * never affect SCC membership) but their vertices are kept — a
+    * vertex whose only incident edge is a self-loop is a singleton
+    * SCC, so the vertex set derives from the UNFILTERED edge list. */
   def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 1000,
                                   maxIters: Int = 10000, jumps: Int = 2): DataFrame = {
-    var e = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
+    val e0 = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    var e = e0.where(col("src") =!= col("dst")).distinct()
       .checkpointSized()
-    var verts = e.select(explode(array(col("src"), col("dst"))).as("vertex"))
+    var verts = e0.select(explode(array(col("src"), col("dst"))).as("vertex"))
       .distinct().checkpointSized()
     val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var peel = 0
@@ -650,5 +652,88 @@ object Traversals {
     }
     sym.unpersist(blocking = false)
     labels
+  }
+
+  /** Minimum spanning forest of an UNDIRECTED weighted graph
+    * `(src, dst, weight)` by Borůvka rounds — the textbook
+    * distributed-MST algorithm (each round every component picks its
+    * cheapest outgoing edge, picked edges merge components, component
+    * count at least halves, so O(log V) rounds).
+    *
+    * Determinism: the effective edge order is the LEXICOGRAPHIC triple
+    * `(weight, a, b)` over canonicalised endpoints `a < b` — so the
+    * forest is unique even with duplicate scalar weights (the classic
+    * uniqueness argument applies to any total order on edges), and an
+    * exact cross-engine oracle is possible. Parallel (a,b) multi-edges
+    * collapse to their min weight; self-loops are dropped (never in an
+    * MSF).
+    *
+    * Scale: each round is (1) one edges×labels join pair to tag
+    * endpoint components, (2) a per-component min-struct hash agg (the
+    * cheapest-edge pick — partial-aggregated, no window sort), and
+    * (3) a [[connectedComponents]] contraction over the PICKED edge
+    * graph only, which has at most one edge per live component and
+    * shrinks geometrically — so the contraction input is tiny relative
+    * to the data graph after round 1. State tables are re-checkpointed
+    * per round with superseded blocks dropped; nothing collects to the
+    * driver but the cross-edge-count witness. Output: one row per
+    * forest edge `(src, dst, weight)` with `src < dst`. */
+  def minimumSpanningForest(edges: DataFrame, maxRounds: Int = 100,
+                            maxIters: Int = 10000, jumps: Int = 2): DataFrame = {
+    val e = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"),
+        col("weight").cast("double").as("w"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+      .checkpointSized()
+    var comp = e.select(explode(array(col("a"), col("b"))).as("vertex"))
+      .distinct().select(col("vertex"), col("vertex").as("comp"))
+      .checkpointSized()
+    val picked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var round = 0
+    var cross = 1L
+    while (cross > 0 && round < maxRounds) {
+      round += 1
+      val ca = comp.select(col("vertex").as("va"), col("comp").as("ca"))
+      val cb = comp.select(col("vertex").as("vb"), col("comp").as("cb"))
+      val ex = e.join(ca, e("a") === ca("va")).join(cb, e("b") === cb("vb"))
+        .where(col("ca") =!= col("cb"))
+        .select(e("a"), e("b"), e("w"), col("ca"), col("cb"))
+        .checkpointSized()
+      cross = ex.count()
+      if (cross > 0) {
+        // cheapest outgoing edge per component, min over (w, a, b)
+        val cand = ex.select(col("ca").as("c"),
+            struct(col("w"), col("a"), col("b"), col("cb").as("oc")).as("e"))
+          .union(ex.select(col("cb").as("c"),
+            struct(col("w"), col("a"), col("b"), col("ca").as("oc")).as("e")))
+        val pick = cand.groupBy("c").agg(min(col("e")).as("e"))
+          .select(col("c"), col("e.w").as("w"), col("e.a").as("a"),
+            col("e.b").as("b"), col("e.oc").as("oc"))
+          .checkpointSized()
+        // mutual picks surface the same (a, b) from both sides — dedup
+        picked += pick.select(col("a"), col("b"), col("w")).distinct()
+        // contract along picked edges: CC over the component graph
+        // (≤ one edge per live component — tiny, shrinks geometrically)
+        val cc = connectedComponents(
+          pick.select(col("c").as("src"), col("oc").as("dst")),
+          maxIters, jumps)
+        val prevComp = comp
+        comp = comp.join(
+            cc.select(col("vertex").as("oc0"), col("component").as("nc")),
+            comp("comp") === col("oc0"), "left_outer")
+          .select(col("vertex"), coalesce(col("nc"), col("comp")).as("comp"))
+          .checkpointSized()
+        dropCheckpoint(prevComp); dropCheckpoint(cc)
+      }
+      dropCheckpoint(ex) // superseded by the materialised pick table
+    }
+    dropCheckpoint(e); dropCheckpoint(comp) // result reads only pick tables
+    picked.reduceOption(_.union(_))
+      .map(_.select(col("a").as("src"), col("b").as("dst"), col("w").as("weight")))
+      .getOrElse(edges.sparkSession.range(0)
+        .select(col("id").as("src"), col("id").as("dst"),
+          col("id").cast("double").as("weight")))
   }
 }

@@ -468,7 +468,11 @@ object PipelineQueries {
       // oracle needs, and est_cnt >= exact_cnt is also asserted as a
       // property in SketchSpec.
       val D = 3; val W = 256
+      // ONE pin (repo read-twice rule): the exploded token table feeds
+      // both the cell build and the exact top-10 — unpinned, the full
+      // tokenize pass would execute twice
       val tok = t(s, d, "documents").select(explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true)
       def cellOf(r: Int): Column =
         (conv(substring(md5(concat(lit(s"$r|"), col("tok"))), 1, 8), 16, 10)
           .cast("long") % W).cast("int")
@@ -735,8 +739,12 @@ object PipelineQueries {
       // oracle hash-match.
       graft.functions.expressions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      // ONE pin (repo read-twice rule): the subvector table feeds the
+      // codebook, the assignment join, and the query LUT — unpinned,
+      // the embeddings scan + explode would execute three times
       val vs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("v"))
         .select(col("vec_id"), col("sub"), expr("slice(v, sub * 8 + 1, 8)").as("sv"))
+        .localCheckpoint(true)
       val cb = vs.where(col("vec_id").between(1, 16))
         .select(col("vec_id").as("code"), col("sub"), col("sv").as("scv"))
       val codes = vs.join(broadcast(cb), "sub")

@@ -27,18 +27,24 @@ object Bridge {
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         val sc = df.sparkSession.sparkContext
-        val actual = sc.getRDDStorageInfo.find(_.id == lr.rdd.id)
-          .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0)
-          // fallback (blocks not yet visible): a modest constant —
-          // anything bounded beats the compounding estimate
-          .getOrElse(BigInt(8L * 1024 * 1024))
-        ofRows(df.sparkSession, new org.apache.spark.sql.execution.LogicalRDD(
-          lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
-          lr.isStreaming, lr.stream)(
-          df.sparkSession.asInstanceOf[classic.SparkSession],
-          Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
-            sizeInBytes = actual)),
-          None))
+        sc.getRDDStorageInfo.find(_.id == lr.rdd.id)
+          .map(i => BigInt(i.memSize + i.diskSize)).filter(_ > 0) match {
+          case Some(actual) =>
+            ofRows(df.sparkSession, new org.apache.spark.sql.execution.LogicalRDD(
+              lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
+              lr.isStreaming, lr.stream)(
+              df.sparkSession.asInstanceOf[classic.SparkSession],
+              Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+                sizeInBytes = actual)),
+              None))
+          // block status not visible yet (the master update is async)
+          // or blocks evicted: keep the inherited estimate rather than
+          // stamping a small constant — an under-estimate would flip
+          // the planner into BROADCASTING an arbitrarily large state
+          // table, which is far worse than one round of a compounding
+          // (always upward) estimate
+          case None => df
+        }
       case _ => df
     }
 }

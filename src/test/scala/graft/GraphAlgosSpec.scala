@@ -188,6 +188,15 @@ class GraphAlgosSpec extends SparkSpec {
     assert(sccOf(c2 :+ (2L -> 10L) :+ (12L -> 1L)).values.toSet === Set(0L))
   }
 
+  test("SCC keeps self-loop-only vertices as singletons") {
+    // self-loop EDGES never affect membership, but a vertex whose only
+    // incident edge is a self-loop must still appear (as a singleton) —
+    // the vertex set derives from the unfiltered edge list
+    assert(sccOf(Seq((5L, 5L))) === Map(5L -> 5L))
+    assert(sccOf(Seq((0L, 1L), (1L, 0L), (7L, 7L))) ===
+      Map(0L -> 0L, 1L -> 0L, 7L -> 7L))
+  }
+
   test("SCC matches iterative Tarjan on random digraphs") {
     val rnd = new scala.util.Random(17)
     for (trial <- 0 until 3) {

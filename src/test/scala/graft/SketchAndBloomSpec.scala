@@ -126,6 +126,15 @@ class SketchAndBloomSpec extends SparkSpec {
     }
   }
 
+  test("bloom build tolerates NULL keys (they never match a join anyway)") {
+    import spark.implicits._
+    val keys = Seq(Some(1L), None, Some(7L)).toDF("k")
+    val bits = BloomPrune.build(keys, "k", 1 << 10, 3) // NPE'd before the null filter
+    val probe = Seq(1L, 7L).toDF("k")
+      .where(BloomPrune.mightContain(bits, 1 << 10, 3, col("k"))).count()
+    assert(probe == 2, "non-null built keys must still probe true")
+  }
+
   test("bloom membership is exact-positive for every built key") {
     // every inserted key must probe true (zero false negatives by
     // construction — this pins the build/probe position parity)

@@ -205,6 +205,45 @@ object Stress {
             .cast("long") % 256).cast("int")): _*)))
         .toDF("r", "c").groupBy("r", "c").count().count()
     }
+
+    // wave-8/9 families: PQ code assignment over 10x vectors (the
+    // codebook is constant 128 subvectors, broadcast; cost = one scan
+    // + per-(vector,subspace) argmin over 16 codes); constraint suite
+    // over 10x orders (single conditional-agg scan + broadcast
+    // anti-join — must scale as ONE pass); basket pairs over 10x
+    // orders-worth of lineitem (per-basket-bounded quadratic: basket
+    // sizes are data-constant, so pair volume scales linearly)
+    time("pq_assign_x10", ne * 10) {
+      import graft.functions.VectorFunctions.toDouble
+      graft.functions.expressions.GraftFunctions.register(spark)
+      val e = emb10.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val vs = e.select(col("vec_id"), explode(sequence(lit(0), lit(7))).as("sub"), col("v"))
+        .select(col("vec_id"), col("sub"), expr("slice(v, sub * 8 + 1, 8)").as("sv"))
+      val cb = vs.where(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("code"), col("sub"), col("sv").as("scv"))
+      vs.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"),
+          expr("l2sq_fold(sv, scv)").as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("code"))).as("m"))
+        .count()
+    }
+    time("quality_checks_x10", 1500000L) {
+      o10.agg(
+        (count(lit(1)) - countDistinct(col("o_orderkey"))),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)),
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L)))
+        .collect()
+    }
+    time("basket_pairs_x10", n10) {
+      val b = li10.select(col("l_orderkey").as("ok"), col("l_partkey"))
+      b.toDF("ok", "pi").join(b.toDF("ok", "pj"), "ok")
+        .where(col("pi") < col("pj"))
+        .select("ok", "pi", "pj").distinct()
+        .groupBy("pi", "pj").agg(count(lit(1)).as("n_orders"))
+        .where(col("n_orders") >= 3).count()
+    }
     spark.stop()
   }
 }
