@@ -127,6 +127,36 @@ object GraphQueries {
       // oracle is ground truth from the full mutual-reachability
       // closure, so it validates ANY correct SCC algorithm
       Traversals.stronglyConnectedComponents(sccEdges(s, d)).orderBy("vertex")),
+    "q_graph_mst" -> ((s, d) => {
+      // Borůvka minimum spanning forest at DATA scale, over
+      // per-customer order CYCLES (the scc_big chain shape closed
+      // back to the first order; customers with ≥3 orders so the
+      // back edge never parallels a chain edge). Weight is the
+      // deterministic (a·7 + b·13) % 997 + 1 on canonical a<b, total
+      // order (w, a, b). Ground truth has a closed form — the MSF of
+      // a cycle is the cycle minus its maximum edge under the SAME
+      // total order — so the oracle needs no MST search and the gate
+      // stays exact at any SF. Output: per-customer forest weight.
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey").cast("long").as("k"))
+      val n = o.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), min(col("k")).as("f"), max(col("k")).as("l"))
+        .where(col("n") >= 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("k"))
+      val chain = o.join(n.select("o_custkey"), "o_custkey")
+        .withColumn("nxt", lead(col("k"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .select(col("k").as("src"), col("nxt").as("dst"))
+      val back = n.select(col("f").as("src"), col("l").as("dst"))
+      val edges = chain.union(back).select(col("src"), col("dst"),
+        ((col("src") * 7 + col("dst") * 13) % 997 + 1).cast("double").as("weight"))
+      Traversals.minimumSpanningForest(edges)
+        .join(o.select(col("k").as("src"), col("o_custkey")), "src")
+        .groupBy("o_custkey")
+        .agg(sum(col("weight")).cast("long").as("mst_w"))
+        .orderBy("o_custkey")
+    }),
     // -- the reference's own sample graphs, bundled as resources; the
     // oracles are the hand-derived goldens of FIXTURES.md (from
     // secondary_server.c:142-248 semantics) as literal VALUES --------
@@ -309,6 +339,8 @@ object GraphQueries {
       """WITH o AS (SELECT o_custkey, o_orderkey AS k FROM orders), agg AS (SELECT o_custkey, min(k) AS f, count(*) AS n FROM o GROUP BY o_custkey), jm AS (SELECT o.o_custkey, max(k) AS jmax FROM o JOIN agg USING (o_custkey) WHERE n >= 2 AND k % 23 = 0 AND k <> f GROUP BY o.o_custkey), v AS (SELECT o.o_custkey, k, f FROM o JOIN agg USING (o_custkey) WHERE n >= 2), cv AS (SELECT v.k, CASE WHEN jm.jmax IS NOT NULL AND v.k <= jm.jmax THEN v.f ELSE v.k END AS component FROM v LEFT JOIN jm ON v.o_custkey = jm.o_custkey), szs AS (SELECT component, count(*) AS sz FROM cv GROUP BY component) SELECT sz::BIGINT AS sz, count(*)::BIGINT AS n_components FROM szs GROUP BY sz ORDER BY sz""",
     "q_graph_scc" ->
       """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders), ring AS (SELECT DISTINCT (k % 128) AS src, CASE WHEN (k % 128) % 16 < 15 THEN (k % 128) + 1 ELSE (k % 128) - 15 END AS dst FROM o), dn AS (SELECT DISTINCT ((k*7) % 8) * 16 + (k % 16) AS src, ((k*3) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 13 = 0 AND (k*7) % 8 < (k*3) % 8), up AS (SELECT DISTINCT ((k*3) % 8) * 16 + (k % 16) AS src, ((k*7) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 997 = 0 AND (k*7) % 8 < (k*3) % 8), e AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM dn UNION SELECT src, dst FROM up), e2 AS (SELECT src, dst FROM e WHERE src <> dst), r AS (SELECT src AS a, dst AS b FROM e2 UNION SELECT r.a, e2.dst FROM r JOIN e2 ON e2.src = r.b), v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e), m AS (SELECT a, b FROM r UNION SELECT vertex, vertex FROM v) SELECT m1.a::BIGINT AS vertex, min(m1.b)::BIGINT AS component FROM m m1 JOIN m m2 ON m1.b = m2.a AND m2.b = m1.a GROUP BY m1.a ORDER BY vertex""",
+    "q_graph_mst" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey::BIGINT AS k FROM orders), g AS (SELECT o_custkey FROM o GROUP BY o_custkey HAVING count(*) >= 3), c AS (SELECT o.o_custkey, k, lead(k) OVER (PARTITION BY o.o_custkey ORDER BY k) AS nxt FROM o JOIN g USING (o_custkey)), chain AS (SELECT o_custkey, k AS a, nxt AS b FROM c WHERE nxt IS NOT NULL), back AS (SELECT o_custkey, min(k) AS a, max(k) AS b FROM c GROUP BY o_custkey), e AS (SELECT o_custkey, a, b, (a * 7 + b * 13) % 997 + 1 AS w FROM (SELECT * FROM chain UNION ALL SELECT * FROM back) u), r AS (SELECT o_custkey, w, row_number() OVER (PARTITION BY o_custkey ORDER BY w DESC, a DESC, b DESC) AS rn FROM e) SELECT o_custkey, sum(w)::BIGINT AS mst_w FROM r WHERE rn > 1 GROUP BY o_custkey ORDER BY o_custkey""",
     // golden literals per FIXTURES.md (G7 from 0: levels {0},{1,4},
     // {2,5,6},{3}; from 3: chain back up; leaves {3,5,6} / G5 {2,3,4})
     "q_ref_g7_bfs" ->

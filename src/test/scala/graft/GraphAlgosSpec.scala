@@ -208,4 +208,56 @@ class GraphAlgosSpec extends SparkSpec {
       assert(sccOf(edges) === tarjanScc(edges), s"trial $trial: $edges")
     }
   }
+
+  /** Local Kruskal under the SAME total edge order the operator uses —
+    * lexicographic (w, a, b) on canonical a<b — so the forest is unique
+    * and sets compare exactly. */
+  private def kruskal(edges: Seq[(Long, Long, Double)]): Set[(Long, Long, Double)] = {
+    val canon = edges.filter { case (a, b, _) => a != b }
+      .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .groupBy { case (a, b, _) => (a, b) }
+      .map { case (_, es) => es.minBy(_._3) }.toSeq
+      .sortBy { case (a, b, w) => (w, a, b) }
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    canon.filter { case (a, b, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; true } else false
+    }.toSet
+  }
+
+  private def msfOf(edges: Seq[(Long, Long, Double)]): Set[(Long, Long, Double)] =
+    graft.operators.Traversals.minimumSpanningForest(
+      edges.toDF("src", "dst", "weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("MSF: cycle, forest, parallel edges, self-loops") {
+    // cycle: drop the max edge under (w, a, b)
+    val cyc = Seq((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0), (3L, 0L, 4.0))
+    assert(msfOf(cyc) === Set((0L, 1L, 1.0), (1L, 2L, 2.0), (2L, 3L, 3.0)))
+    // already a forest: returned whole (canonicalised a<b)
+    val forest = Seq((5L, 4L, 9.0), (6L, 4L, 1.0), (10L, 11L, 2.0))
+    assert(msfOf(forest) === Set((4L, 5L, 9.0), (4L, 6L, 1.0), (10L, 11L, 2.0)))
+    // parallel edges collapse to min weight; self-loops never appear
+    val par = Seq((0L, 1L, 5.0), (1L, 0L, 2.0), (1L, 1L, 0.5))
+    assert(msfOf(par) === Set((0L, 1L, 2.0)))
+    // duplicate weights: tie broken by (a, b) — unique forest either way
+    val ties = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0))
+    assert(msfOf(ties) === kruskal(ties))
+  }
+
+  test("MSF matches local Kruskal on random weighted graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val n = 30
+      val edges = (0 until 70).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong,
+          (rnd.nextInt(20) + 1).toDouble) // duplicate weights on purpose
+      }.filter { case (a, b, _) => a != b }
+      assert(msfOf(edges) === kruskal(edges), s"trial $trial: $edges")
+    }
+  }
 }
