@@ -1118,6 +1118,56 @@ object RelationalQueries {
         .select(col("op"), col("l_suppkey"), col("l_returnflag"), col("cnt"))
         .orderBy("op", "l_suppkey", "l_returnflag")
     }),
+    "q_join_interval" -> ((s, d) => {
+      // interval OVERLAP join via bin-explode: order activity windows
+      // [orderdate, +orderkey%25 d] against 45-day-strided audit
+      // windows of 15 days. Each interval explodes to the 30-day bins
+      // it touches (≤2 per side — bounded, data-independent), the join
+      // is an EQUI-join on bin (+ exact overlap re-check + distinct),
+      // so no unbounded inequality cross product ever forms. The
+      // oracle is the plain inequality join — binning must be
+      // result-invisible. At 100 TB the bin key shuffles both sides
+      // into co-located hash partitions; the audit side is tiny and
+      // broadcasts, so the fact side never shuffles at all.
+      val epoch = to_date(lit("1970-01-01"))
+      def bin(c: org.apache.spark.sql.Column) = floor(datediff(c, epoch) / 30)
+      val o = t(s, d, "orders").select(col("o_orderkey"), to_date(col("o_orderdate")).as("os"),
+        date_add(col("o_orderdate"), (col("o_orderkey") % 25).cast("int")).as("oe"))
+      val win = s.range(0, 56).select(col("id").as("window_id"),
+          date_add(to_date(lit("1992-01-05")), (col("id") * 45).cast("int")).as("ws"))
+        .withColumn("we", date_add(col("ws"), 14))
+      val ob = o.withColumn("bin", explode(sequence(bin(col("os")), bin(col("oe")))))
+      val wb = win.withColumn("bin", explode(sequence(bin(col("ws")), bin(col("we")))))
+      ob.join(broadcast(wb), "bin")
+        .where(col("os") <= col("we") && col("oe") >= col("ws"))
+        .select("window_id", "o_orderkey").distinct()
+        .groupBy("window_id").agg(count(lit(1)).as("n_orders"))
+        .orderBy("window_id")
+    }),
+    "q_window_pattern" -> ((s, d) => {
+      // MATCH_RECOGNIZE-style sequence detection as gaps-and-islands:
+      // per customer (orders ascending), maximal streaks of strictly
+      // increasing o_totalprice; report the streak-length histogram
+      // for streaks of ≥2 rises. Two row_numbers over the same sort
+      // (island id = rn - rn-within-flag) — both window passes share
+      // one partition sort, no self-join, no iteration; the heavy
+      // lifting is a single per-customer sort that scales as one
+      // shuffle at any SF.
+      val wk = Window.partitionBy("o_custkey").orderBy("k")
+      val wu = Window.partitionBy("o_custkey", "up").orderBy("k")
+      val o = t(s, d, "orders").select(col("o_custkey"),
+        col("o_orderkey").cast("long").as("k"), col("o_totalprice"))
+      o.withColumn("up",
+          (col("o_totalprice") > lag(col("o_totalprice"), 1).over(wk)).cast("int"))
+        .where(col("up").isNotNull)
+        .withColumn("rn", row_number().over(wk))
+        .withColumn("island", col("rn") - row_number().over(wu))
+        .where(col("up") === 1)
+        .groupBy("o_custkey", "island").agg(count(lit(1)).as("streak_len"))
+        .where(col("streak_len") >= 2)
+        .groupBy("streak_len").agg(count(lit(1)).as("n_streaks"))
+        .orderBy("streak_len")
+    }),
     "q_join_skew" -> ((s, d) => {
       // salted skew join in the gate: a deliberately hot modulo key is
       // spread over 8 salts (deterministic hash salt, not rand()); the
@@ -1662,6 +1712,12 @@ object RelationalQueries {
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
     "q_join_skew" ->
       """SELECT l_suppkey % 10 AS k, n_name, count(*)::BIGINT AS cnt FROM lineitem JOIN nation ON l_suppkey % 10 = n_nationkey % 10 GROUP BY 1, 2 ORDER BY k, n_name""",
+    // the oracle is the PLAIN inequality join — the bin-explode
+    // candidate generation must be result-invisible
+    "q_join_interval" ->
+      """WITH w AS (SELECT i::BIGINT AS window_id, (DATE '1992-01-05' + (i * 45)::INT) AS ws FROM range(56) t(i)), w2 AS (SELECT window_id, ws, ws + 14 AS we FROM w), o AS (SELECT o_orderkey, o_orderdate::DATE AS os, o_orderdate::DATE + (o_orderkey % 25)::INT AS oe FROM orders) SELECT window_id, count(*)::BIGINT AS n_orders FROM o JOIN w2 ON os <= we AND oe >= ws GROUP BY window_id ORDER BY window_id""",
+    "q_window_pattern" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey::BIGINT AS k, o_totalprice FROM orders), f AS (SELECT o_custkey, k, CASE WHEN o_totalprice > lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY k) THEN 1 ELSE 0 END AS up, lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY k) AS pv FROM o), g AS (SELECT o_custkey, k, up, row_number() OVER (PARTITION BY o_custkey ORDER BY k) - row_number() OVER (PARTITION BY o_custkey, up ORDER BY k) AS island FROM f WHERE pv IS NOT NULL), runs AS (SELECT o_custkey, island, count(*) AS streak_len FROM g WHERE up = 1 GROUP BY o_custkey, island HAVING count(*) >= 2) SELECT streak_len::BIGINT AS streak_len, count(*)::BIGINT AS n_streaks FROM runs GROUP BY streak_len ORDER BY streak_len""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_source_orc" ->
