@@ -167,6 +167,60 @@ object Traversals {
     visited
   }
 
+  /** Per-root hop distances from a SET of root vertices — the
+    * landmark-distance table behind closeness / harmonic centrality.
+    * Unlike [[bfsLevelsMulti]] (which folds all seeds into one
+    * min-distance), state and frontier here are keyed `(root,
+    * vertex)`, so k roots run as ONE level-synchronous BFS with
+    * k-fold state: each superstep is a single frontier⋈edges join no
+    * matter how many roots are in flight, not k sequential BFS jobs
+    * (k jobs would pay k× the superstep barrier latency — the
+    * dominant cost of iterative ops on a cluster). At 100 TB the
+    * roots are a sampled landmark set, state is O(k·V) rows
+    * hash-partitioned like any other table; exact centrality (roots =
+    * all vertices) is only for small/medium graphs by construction.
+    * Output: `(root: Long, vertex: Long, level: Int)`, one row per
+    * reachable pair, level = shortest hop distance (root itself 0). */
+  def multiSourceDistances(edges: DataFrame, roots: DataFrame,
+                           maxLevels: Int = 10000): DataFrame = {
+    val e = partitionEdges(edges)
+    try {
+      var visited = roots.select(col("root").cast("long"))
+        .distinct()
+        .select(col("root"), col("root").as("vertex"), lit(0).as("level"))
+        .checkpointSized()
+      var frontier = visited.select("root", "vertex")
+      var level = 0
+      var sinceCompact = 0
+      var frontierSize = frontier.count()
+      while (frontierSize > 0 && level < maxLevels) {
+        level += 1
+        val f = if (frontierSize <= broadcastFrontierMax) frontier.hint("broadcast")
+                else frontier
+        val next = f
+          .join(e, f("vertex") === e("src"))
+          .select(f("root"), e("dst").as("vertex")).distinct()
+          .join(visited, Seq("root", "vertex"), "left_anti")
+          .checkpointSized()
+        frontierSize = next.count()
+        if (frontierSize > 0) {
+          visited = visited.union(
+            next.select(col("root"), col("vertex"), lit(level).as("level")))
+          sinceCompact += 1
+          if (sinceCompact >= 8) {
+            val old = visited
+            visited = visited.checkpointSized(); sinceCompact = 0
+            dropCheckpoint(old, keep = checkpointRddIds(next))
+          }
+          frontier = next
+        } else {
+          dropCheckpoint(next)
+        }
+      }
+      visited
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Reference op=4: BFS traversal sequence. Output
     * `(order: Long, level: Int, vertex: Long)`, order 0-based over
     * (level asc, vertex asc).

@@ -226,6 +226,24 @@ object GraphQueries {
         .select(col("vertex"), col("level").cast("int").as("level"))
         .orderBy("vertex")
     }),
+    "q_graph_closeness" -> ((s, d) => {
+      // closeness centrality via the landmark-distance table
+      // (Traversals.multiSourceDistances): per-root BFS state keyed
+      // (root, vertex), ONE superstep loop for all roots. The
+      // 25-vertex tree keeps roots = ALL vertices, so sum_dist/n_reach
+      // is exact closeness and the recursive-CTE oracle can verify it;
+      // at 100 TB the same operator runs with a sampled landmark root
+      // set (state O(k·V)) — the standard scalable approximation.
+      // Integer outputs (distance sum + reach count), no division —
+      // oracle-stable.
+      val e = treeEdges(s, d)
+      val roots = e.select(col("src").as("root")).distinct()
+      Traversals.multiSourceDistances(e, roots)
+        .groupBy(col("root").as("vertex"))
+        .agg(sum("level").cast("long").as("sum_dist"),
+             count(lit(1)).cast("long").as("n_reach"))
+        .orderBy("vertex")
+    }),
     "q_graph_sssp" -> ((s, d) => {
       // weighted SSSP over the heap tree, weight = (src+dst) % 5 + 1
       val e = treeEdges(s, d)
@@ -361,6 +379,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $chainEdgeSql, r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b) SELECT a AS vertex, min(b)::BIGINT AS component FROM r GROUP BY a ORDER BY vertex""",
     "q_graph_bfs_multi" ->
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT vertex, 0 AS level FROM (VALUES (0::BIGINT), (24::BIGINT)) s(vertex) UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
+    "q_graph_closeness" ->
+      s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, sum(level)::BIGINT AS sum_dist, count(*)::BIGINT AS n_reach FROM lv GROUP BY root ORDER BY vertex""",
     "q_graph_sssp" ->
       s"""WITH RECURSIVE $treeEdgeSql, we AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e), r AS (SELECT 0::BIGINT AS vertex, 0::BIGINT AS dist UNION SELECT we.dst, r.dist + we.w FROM r JOIN we ON we.src = r.vertex WHERE r.dist < 100) SELECT vertex, min(dist)::BIGINT AS dist FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_degree" ->

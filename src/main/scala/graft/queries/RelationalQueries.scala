@@ -1168,6 +1168,90 @@ object RelationalQueries {
         .groupBy("streak_len").agg(count(lit(1)).as("n_streaks"))
         .orderBy("streak_len")
     }),
+    "q_merge_upsert" -> ((s, d) => {
+      // MERGE INTO (the lakehouse upsert primitive) as ONE full-outer
+      // join: target = customer snapshot; source = a deterministic
+      // change batch derived from orders — updates (op=U) for every
+      // ordering customer, deletes (op=D) for custkey%13=0, inserts
+      // (op=I) keyed above the target key space for custkey%17=0.
+      // Clause resolution: MATCHED & D → delete, MATCHED → update,
+      // NOT MATCHED BY SOURCE → carry, NOT MATCHED & I → insert.
+      // NOT one full-outer join — Spark cannot broadcast either side
+      // of a full-outer, so that shape shuffles the whole snapshot on
+      // k. Instead the broadcast-only decomposition a lakehouse MERGE
+      // compiles to: (1) upsert pass = target LEFT OUTER
+      // broadcast(delta) — deletes filtered, updates resolved, the
+      // 100 TB target never shuffles; (2) matched-keys = target SEMI
+      // broadcast(delta keys), ≤|delta| rows out of a key-pruned
+      // column scan; (3) inserts = delta 'I' rows ANTI
+      // broadcast(matched-keys) — both sides delta-sized. Output
+      // folded per segment; balances are 2-decimal-exact so the
+      // decimal sum is order-independent (Parity).
+      val tgt = t(s, d, "customer").select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      val chg = t(s, d, "orders").groupBy(col("o_custkey").as("k"))
+        .agg(max(col("o_totalprice")).as("new_bal"))
+      val src = chg.select(col("k"), col("new_bal"),
+          when(col("k") % 13 === 0, lit("D")).otherwise(lit("U")).as("op"))
+        .unionByName(chg.where(col("k") % 17 === 0)
+          .select((col("k") + 1000000L).as("k"), col("new_bal"), lit("I").as("op")))
+        .withColumn("in_s", lit(1))
+      val upserted = tgt.join(broadcast(src), Seq("k"), "left_outer")
+        .where(col("in_s").isNull || col("op") =!= "D")
+        .select(col("seg"),
+          when(col("in_s").isNotNull, col("new_bal")).otherwise(col("bal")).as("bal"))
+      val matchedKeys = tgt.select("k").join(broadcast(src.select("k")), Seq("k"), "left_semi")
+      val inserts = src.where(col("op") === "I")
+        .join(broadcast(matchedKeys), Seq("k"), "left_anti")
+        .select(lit("NEW").as("seg"), col("new_bal").as("bal"))
+      upserted.unionByName(inserts)
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n"), Parity.decSum2(col("bal")).as("total"))
+        .orderBy("seg")
+    }),
+    "q_agg_incremental" -> ((s, d) => {
+      // Incremental view maintenance: history lives as per-batch
+      // PARTIAL aggregate states (decimal sums + counts per group); a
+      // newly-arrived batch computes only ITS partials and the
+      // refreshed view is the O(groups) state merge — never a rescan
+      // of history. Modeled as the two-level shape over one scan:
+      // level 1 materializes per-(group, batch) states, level 2 merges
+      // them. The oracle recomputes over the full table, so the
+      // split+merge must be result-invisible — decimal partials make
+      // the merge order-independent (a double sum would drift).
+      val li = t(s, d, "lineitem")
+      val states = li
+        .groupBy(col("l_returnflag"), pmod(col("l_orderkey"), lit(4)).as("batch"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("s_qty"),
+             sum(col("l_extendedprice").cast("decimal(18,2)")).as("s_price"),
+             count(lit(1)).as("pn"))
+      states.groupBy("l_returnflag")
+        .agg(sum(col("s_qty")).cast("double").as("sum_qty"),
+             sum(col("s_price")).cast("double").as("sum_price"),
+             sum(col("pn")).as("n"))
+        .orderBy("l_returnflag")
+    }),
+    "q_agg_bitmap" -> ((s, d) => {
+      // BITMAP_UNION exact distinct (the Doris/ClickHouse bitmap
+      // aggregate re-expressed relationally): suppkeys pack into
+      // 64-bit words (word = k>>6, bit = k&63), bit_or folds each
+      // group's words, popcount-sum reads the cardinality — two
+      // codegen'd hash aggs with mergeable state, no Expand rewrite
+      // and no per-group sort. This is the exact-distinct shape that
+      // survives 100 TB: state is bounded by keyspace/64 words per
+      // group and partials combine map-side. Oracle: plain
+      // count(DISTINCT) — the bitmap must be result-invisible.
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), shiftright(col("l_suppkey"), 6).as("w"),
+          // functions.shiftleft only takes a literal shift — the
+          // column-shift form goes through the SQL parser
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 64 AS INT))").as("m"))
+        .groupBy(col("l_returnflag"), col("w"))
+        .agg(bit_or(col("m")).as("bits"))
+        .groupBy("l_returnflag")
+        .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
+        .orderBy("l_returnflag")
+    }),
     "q_join_skew" -> ((s, d) => {
       // salted skew join in the gate: a deliberately hot modulo key is
       // spread over 8 salts (deterministic hash salt, not rand()); the
@@ -1718,6 +1802,17 @@ object RelationalQueries {
       """WITH w AS (SELECT i::BIGINT AS window_id, (DATE '1992-01-05' + (i * 45)::INT) AS ws FROM range(56) t(i)), w2 AS (SELECT window_id, ws, ws + 14 AS we FROM w), o AS (SELECT o_orderkey, o_orderdate::DATE AS os, o_orderdate::DATE + (o_orderkey % 25)::INT AS oe FROM orders) SELECT window_id, count(*)::BIGINT AS n_orders FROM o JOIN w2 ON os <= we AND oe >= ws GROUP BY window_id ORDER BY window_id""",
     "q_window_pattern" ->
       """WITH o AS (SELECT o_custkey, o_orderkey::BIGINT AS k, o_totalprice FROM orders), f AS (SELECT o_custkey, k, CASE WHEN o_totalprice > lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY k) THEN 1 ELSE 0 END AS up, lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY k) AS pv FROM o), g AS (SELECT o_custkey, k, up, row_number() OVER (PARTITION BY o_custkey ORDER BY k) - row_number() OVER (PARTITION BY o_custkey, up ORDER BY k) AS island FROM f WHERE pv IS NOT NULL), runs AS (SELECT o_custkey, island, count(*) AS streak_len FROM g WHERE up = 1 GROUP BY o_custkey, island HAVING count(*) >= 2) SELECT streak_len::BIGINT AS streak_len, count(*)::BIGINT AS n_streaks FROM runs GROUP BY streak_len ORDER BY streak_len""",
+    // MERGE expressed relationally — clause semantics mirrored 1:1
+    "q_merge_upsert" ->
+      """WITH tgt AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer), chg AS (SELECT o_custkey AS k, max(o_totalprice) AS new_bal FROM orders GROUP BY o_custkey), src AS (SELECT k, new_bal, CASE WHEN k % 13 = 0 THEN 'D' ELSE 'U' END AS op FROM chg UNION ALL SELECT k + 1000000, new_bal, 'I' FROM chg WHERE k % 17 = 0), m AS (SELECT t.k AS tk, s.k AS sk, t.seg, t.bal, s.new_bal, s.op FROM tgt t FULL OUTER JOIN src s ON t.k = s.k), o AS (SELECT coalesce(seg, 'NEW') AS seg, CASE WHEN sk IS NOT NULL THEN new_bal ELSE bal END AS bal FROM m WHERE (tk IS NOT NULL AND sk IS NULL) OR (tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D') OR (tk IS NULL AND op = 'I')) SELECT seg, count(*)::BIGINT AS n, sum(bal::DECIMAL(18,2))::DOUBLE AS total FROM o GROUP BY seg ORDER BY seg""",
+    // the oracle recomputes over the FULL table: the per-batch
+    // partial-state split + merge must be result-invisible
+    "q_agg_incremental" ->
+      """SELECT l_returnflag, sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty, sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_price, count(*)::BIGINT AS n FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the oracle is plain count(DISTINCT): the word/bit packing and
+    // bit_or/popcount fold must be result-invisible
+    "q_agg_bitmap" ->
+      """SELECT l_returnflag, count(DISTINCT l_suppkey)::BIGINT AS n_distinct FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_source_orc" ->

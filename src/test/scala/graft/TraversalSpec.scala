@@ -70,6 +70,25 @@ class TraversalSpec extends SparkSpec {
     assert(leaves("G7", 3) === Seq(5L, 6L))
   }
 
+  test("multiSourceDistances: per-root rows match single-source BFS on G7") {
+    import org.apache.spark.sql.functions.col
+    val e = edges("G7")
+    val roots = e.select(col("src").as("root")).distinct()
+    val got = Traversals.multiSourceDistances(e, roots).collect()
+      .map(r => (r.getAs[Long]("root"), r.getAs[Long]("vertex")) -> r.getAs[Int]("level"))
+      .toMap
+    // every root's slice equals a fresh single-source BFS from it
+    for (root <- Seq(0L, 3L, 6L)) {
+      val want = Traversals.bfsLevels(e, root).collect()
+        .map(r => r.getAs[Long]("vertex") -> r.getAs[Int]("level")).toMap
+      val slice = got.collect { case ((r, v), l) if r == root => v -> l }
+      assert(slice === want, s"root $root")
+    }
+    // G7 is connected: all 7×7 pairs present, roots at level 0
+    assert(got.size === 49)
+    assert(got.count { case ((r, v), l) => r == v && l == 0 } === 7)
+  }
+
   test("unreached vertices appear in neither output (G1 from 0)") {
     assert(!bfsOrder("G1", 0).contains(1L))
     assert(!leaves("G1", 0).contains(1L))
