@@ -1168,6 +1168,68 @@ object RelationalQueries {
         .groupBy("streak_len").agg(count(lit(1)).as("n_streaks"))
         .orderBy("streak_len")
     }),
+    "q_skyline" -> ((s, d) => {
+      // 2-D skyline / Pareto frontier (minimize price, maximize size)
+      // WITHOUT the O(n²) dominance self-join: fold to per-price max
+      // size (bounded by DISTINCT prices — the big shrink), one
+      // ascending prefix-max over that bounded table, and a part is
+      // on the frontier iff its size equals its price's max AND
+      // strictly exceeds every lower price's max. Dominance
+      // (o.price≤p.price, o.size≥p.size, one strict) is exactly
+      // (prevmax ≥ size) OR (same-price max > size). At 100 TB the
+      // only single-task step is the prefix-max over distinct prices;
+      // the per-row work is two hash aggs + a broadcast join back.
+      // Oracle: the textbook NOT EXISTS dominance query — the
+      // prefix-max rewrite must be result-invisible.
+      val p = t(s, d, "part").select(col("p_partkey"),
+        col("p_retailprice").as("price"), col("p_size").as("size"))
+      val perPrice = p.groupBy("price").agg(max("size").as("msz"))
+      val w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+      val pref = perPrice.withColumn("prevmax", max(col("msz")).over(w))
+      p.join(broadcast(pref), Seq("price"))
+        .where(col("size") === col("msz") &&
+               (col("prevmax").isNull || col("prevmax") < col("size")))
+        .groupBy(col("price"), col("size"))
+        .agg(count(lit(1)).as("n_parts"))
+        .orderBy("price")
+    }),
+    "q_events_rolling_distinct" -> ((s, d) => {
+      // 7-day rolling DISTINCT users per day. Sliding-window distinct
+      // does not decompose into window-function prefix state, and the
+      // per-day self-join is O(days × events). Scalable shape: fold
+      // to distinct (user, day) first (the big shrink), explode each
+      // into the 7 target days it serves (BOUNDED ×7 multiplier on
+      // the folded table, not the raw events), keep only observed
+      // days, then a plain count(DISTINCT) per target day.
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select("day").distinct().withColumnRenamed("day", "tday")
+      ud.select(col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("tday"))
+        .join(days, Seq("tday"), "left_semi")
+        .groupBy("tday")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("tday").cast("string").as("day"), col("n_users"))
+        .orderBy("day")
+    }),
+    "q_events_paths" -> ((s, d) => {
+      // per-user 3-step event-type path mining (clickstream n-grams):
+      // two leads over ONE per-user time sort produce every
+      // consecutive triple, then a hash agg ranks paths — one shuffle
+      // (the per-user sort) + partial/final agg, no self-joins. The
+      // top-10 boundary is deterministic: (n desc, path asc), and ts
+      // ties inside a user are broken by event_id in the sort.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e3").isNotNull)
+        .select(concat_ws("->", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(10)
+    }),
     "q_merge_upsert" -> ((s, d) => {
       // MERGE INTO (the lakehouse upsert primitive) as ONE full-outer
       // join: target = customer snapshot; source = a deterministic
@@ -1802,6 +1864,16 @@ object RelationalQueries {
       """WITH w AS (SELECT i::BIGINT AS window_id, (DATE '1992-01-05' + (i * 45)::INT) AS ws FROM range(56) t(i)), w2 AS (SELECT window_id, ws, ws + 14 AS we FROM w), o AS (SELECT o_orderkey, o_orderdate::DATE AS os, o_orderdate::DATE + (o_orderkey % 25)::INT AS oe FROM orders) SELECT window_id, count(*)::BIGINT AS n_orders FROM o JOIN w2 ON os <= we AND oe >= ws GROUP BY window_id ORDER BY window_id""",
     "q_window_pattern" ->
       """WITH o AS (SELECT o_custkey, o_orderkey::BIGINT AS k, o_totalprice FROM orders), f AS (SELECT o_custkey, k, CASE WHEN o_totalprice > lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY k) THEN 1 ELSE 0 END AS up, lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY k) AS pv FROM o), g AS (SELECT o_custkey, k, up, row_number() OVER (PARTITION BY o_custkey ORDER BY k) - row_number() OVER (PARTITION BY o_custkey, up ORDER BY k) AS island FROM f WHERE pv IS NOT NULL), runs AS (SELECT o_custkey, island, count(*) AS streak_len FROM g WHERE up = 1 GROUP BY o_custkey, island HAVING count(*) >= 2) SELECT streak_len::BIGINT AS streak_len, count(*)::BIGINT AS n_streaks FROM runs GROUP BY streak_len ORDER BY streak_len""",
+    // the oracle is the textbook O(n²) NOT EXISTS dominance query;
+    // the engine's prefix-max rewrite must be result-invisible
+    "q_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part), f AS (SELECT * FROM p a WHERE NOT EXISTS (SELECT 1 FROM p o WHERE o.price <= a.price AND o.size >= a.size AND (o.price < a.price OR o.size > a.size))) SELECT price, size::INT AS size, count(*)::BIGINT AS n_parts FROM f GROUP BY price, size ORDER BY price""",
+    // the oracle is the naive day×activity range join; the engine's
+    // bounded explode must be result-invisible
+    "q_events_rolling_distinct" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), days AS (SELECT DISTINCT day FROM ud) SELECT d.day::VARCHAR AS day, count(DISTINCT u.user_id)::BIGINT AS n_users FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY d.day ORDER BY day""",
+    "q_events_paths" ->
+      """WITH q AS (SELECT event_type, lead(event_type, 1) OVER w AS e2, lead(event_type, 2) OVER w AS e3 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) SELECT event_type || '->' || e2 || '->' || e3 AS path, count(*)::BIGINT AS n FROM q WHERE e3 IS NOT NULL GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
     // MERGE expressed relationally — clause semantics mirrored 1:1
     "q_merge_upsert" ->
       """WITH tgt AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal FROM customer), chg AS (SELECT o_custkey AS k, max(o_totalprice) AS new_bal FROM orders GROUP BY o_custkey), src AS (SELECT k, new_bal, CASE WHEN k % 13 = 0 THEN 'D' ELSE 'U' END AS op FROM chg UNION ALL SELECT k + 1000000, new_bal, 'I' FROM chg WHERE k % 17 = 0), m AS (SELECT t.k AS tk, s.k AS sk, t.seg, t.bal, s.new_bal, s.op FROM tgt t FULL OUTER JOIN src s ON t.k = s.k), o AS (SELECT coalesce(seg, 'NEW') AS seg, CASE WHEN sk IS NOT NULL THEN new_bal ELSE bal END AS bal FROM m WHERE (tk IS NOT NULL AND sk IS NULL) OR (tk IS NOT NULL AND sk IS NOT NULL AND op <> 'D') OR (tk IS NULL AND op = 'I')) SELECT seg, count(*)::BIGINT AS n, sum(bal::DECIMAL(18,2))::DOUBLE AS total FROM o GROUP BY seg ORDER BY seg""",
