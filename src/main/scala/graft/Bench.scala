@@ -45,7 +45,17 @@ object Bench {
     // wave-8: one-scan constraint suite + per-user outlier detection
     "q_quality_checks", "q_events_anomaly",
     // wave-9: product quantization ANN (codebook assign + ADC LUT)
-    "q_embed_pq")
+    "q_embed_pq",
+    // wave-10: bin-explode interval join, gaps-and-islands pattern
+    // windows, broadcast-decomposed MERGE upsert, IVM partial-state
+    // merge, bitmap exact distinct, prefix-max skyline, bounded-
+    // explode rolling distinct, clickstream path mining
+    "q_join_interval", "q_window_pattern", "q_merge_upsert",
+    "q_agg_incremental", "q_agg_bitmap", "q_skyline",
+    "q_events_rolling_distinct", "q_events_paths")
+  // q_graph_closeness stays gate-only for the same superstep-latency
+  // reason as SCC below: all-roots BFS on the 25-vertex tree is ~8
+  // barrier-bound supersteps of millisecond-sized joins.
   // SCC (q_graph_scc, q_graph_scc_big) stays gate-only: its superstep
   // count is O(graph diameter) (~27 label fixpoint iterations on the
   // order-chain fixture), and at local[*] each superstep is

@@ -160,6 +160,17 @@ object GraphQueries {
     // -- the reference's own sample graphs, bundled as resources; the
     // oracles are the hand-derived goldens of FIXTURES.md (from
     // secondary_server.c:142-248 semantics) as literal VALUES --------
+    "q_source_matrixv2" -> ((s, _) => {
+      // the DataSource V2 path over the reference matrix format:
+      // shortname lookup, src-range pushdown (row partitions [4, 7)
+      // pruned before any cell parses — pushedFilters carries the
+      // predicate, no post-scan Filter on src), canonical edge schema.
+      // Oracle: G7's literal edge list with src >= 4.
+      s.read.format("graft-matrix")
+        .load(graft.sources.MatrixIO.resourcePath("G7.txt"))
+        .where(col("src") >= 4)
+        .orderBy("src", "dst")
+    }),
     "q_ref_g7_bfs" -> ((s, _) => {
       Traversals.bfs(graft.sources.MatrixIO.readMatrixResource(s, "G7.txt"), 0L)
         .select(col("order").as("ord"), col("level"), col("vertex"))
@@ -361,6 +372,9 @@ object GraphQueries {
       """WITH o AS (SELECT o_custkey, o_orderkey::BIGINT AS k FROM orders), g AS (SELECT o_custkey FROM o GROUP BY o_custkey HAVING count(*) >= 3), c AS (SELECT o.o_custkey, k, lead(k) OVER (PARTITION BY o.o_custkey ORDER BY k) AS nxt FROM o JOIN g USING (o_custkey)), chain AS (SELECT o_custkey, k AS a, nxt AS b FROM c WHERE nxt IS NOT NULL), back AS (SELECT o_custkey, min(k) AS a, max(k) AS b FROM c GROUP BY o_custkey), e AS (SELECT o_custkey, a, b, (a * 7 + b * 13) % 997 + 1 AS w FROM (SELECT * FROM chain UNION ALL SELECT * FROM back) u), r AS (SELECT o_custkey, w, row_number() OVER (PARTITION BY o_custkey ORDER BY w DESC, a DESC, b DESC) AS rn FROM e) SELECT o_custkey, sum(w)::BIGINT AS mst_w FROM r WHERE rn > 1 GROUP BY o_custkey ORDER BY o_custkey""",
     // golden literals per FIXTURES.md (G7 from 0: levels {0},{1,4},
     // {2,5,6},{3}; from 3: chain back up; leaves {3,5,6} / G5 {2,3,4})
+    // G7 directed edges (FIXTURES.md) with src >= 4
+    "q_source_matrixv2" ->
+      """SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM (VALUES (4,0),(4,5),(4,6),(5,4),(6,4)) t(src, dst) ORDER BY src, dst""",
     "q_ref_g7_bfs" ->
       """SELECT ord::BIGINT AS ord, level::INT AS level, vertex::BIGINT AS vertex FROM (VALUES (0,0,0),(1,1,1),(2,1,4),(3,2,2),(4,2,5),(5,2,6),(6,3,3)) t(ord, level, vertex) ORDER BY ord""",
     "q_ref_g7_bfs_from3" ->

@@ -56,15 +56,25 @@ object MatrixIO {
   /** Read a bundled reference graph (src/main/resources/graphs/<name>)
     * — the reference's own sample data (`/root/reference/G*.txt`),
     * shipped with the library so its traversal queries run anywhere. */
-  def readMatrixResource(spark: SparkSession, name: String): DataFrame = {
-    val in = getClass.getClassLoader.getResourceAsStream(s"graphs/$name")
-    require(in != null, s"no bundled graph: $name")
-    val tmp = java.nio.file.Files.createTempFile("graft-graph-", ".txt")
-    try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    finally in.close()
-    tmp.toFile.deleteOnExit()
-    readMatrix(spark, tmp.toString)
-  }
+  def readMatrixResource(spark: SparkSession, name: String): DataFrame =
+    readMatrix(spark, resourcePath(name))
+
+  /** Extract a bundled graph resource to a (memoized, exit-reaped)
+    * temp file and return its filesystem path — for readers that need
+    * a real path (the `graft-matrix` V2 source, spark.read.text). */
+  def resourcePath(name: String): String =
+    resourcePathMemo.computeIfAbsent(name, { n =>
+      val in = getClass.getClassLoader.getResourceAsStream(s"graphs/$n")
+      require(in != null, s"no bundled graph: $n")
+      val tmp = java.nio.file.Files.createTempFile("graft-graph-", ".txt")
+      try java.nio.file.Files.copy(in, tmp, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    })
+
+  private val resourcePathMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Vertex count declared in the file header (needed because isolated
     * vertices carry no edges). */

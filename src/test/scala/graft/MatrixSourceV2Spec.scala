@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions.col
+
+import graft.sources.{MatrixIO, MatrixSourceV2}
+
+/** The `graft-matrix` DataSource V2 connector: parity with the
+  * declarative MatrixIO parse, filter pushdown that PRUNES row
+  * partitions (not just reports filters), and column pruning. */
+class MatrixSourceV2Spec extends SparkSpec {
+
+  private def v2(name: String) =
+    spark.read.format("graft-matrix").load(MatrixIO.resourcePath(name))
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+    df.queryExecution.executedPlan.collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+
+  test("v2 read matches MatrixIO.readMatrix on every fixture") {
+    for (g <- Seq("G1", "G2", "G3", "G5", "G6", "G7")) {
+      val want = MatrixIO.readMatrix(spark, MatrixIO.resourcePath(s"$g.txt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = v2(s"$g.txt").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"fixture $g")
+    }
+  }
+
+  test("src range filters are pushed and prune row partitions") {
+    val df = v2("G7.txt").where(col("src") >= 4 && col("src") < 6)
+    val scan = scanOf(df)
+    // pushed: the scan narrowed to rows [4, 6) — fewer partitions than
+    // the unfiltered 4, and the description records the range
+    assert(scan.scan.description().contains("rows=[4,6)"))
+    assert(scan.inputRDD.getNumPartitions <
+      scanOf(v2("G7.txt")).inputRDD.getNumPartitions)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((4L, 0L), (4L, 5L), (4L, 6L), (5L, 4L)))
+  }
+
+  test("residual dst filter is applied post-scan, src EqualTo prunes to one row") {
+    val df = v2("G7.txt").where(col("src") === 4 && col("dst") > 0)
+    assert(scanOf(df).scan.description().contains("rows=[4,5)"))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((4L, 5L), (4L, 6L)))
+  }
+
+  test("column pruning: dst-only projection and pure count") {
+    val dst = v2("G7.txt").select("dst")
+    assert(scanOf(dst).scan.readSchema().fieldNames.toSeq === Seq("dst"))
+    assert(dst.collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 4L, 4L, 4L, 5L, 6L))
+    assert(v2("G7.txt").count() === 12L)
+  }
+
+  test("contradictory pushed range yields an empty scan, not an error") {
+    assert(v2("G7.txt").where(col("src") > 5 && col("src") < 3).count() === 0L)
+  }
+}

@@ -26,7 +26,13 @@ object Drive {
         "q_events_scd2", "q_dedup_substring", "q_layout_zorder",
         "q_stream_scd2", "q_cdc_snapshot", "q_events_transitions",
         "q_basket_pairs", "q_events_twa", "q_graph_scc", "q_graph_scc_big",
-        "q_quality_checks", "q_events_anomaly", "q_embed_pq")) {
+        "q_quality_checks", "q_events_anomaly", "q_embed_pq",
+        // wave-10: interval bin-join, streak patterns, MERGE upsert,
+        // IVM partial-state merge, bitmap exact distinct, skyline,
+        // rolling distinct, path mining, landmark closeness
+        "q_join_interval", "q_window_pattern", "q_merge_upsert",
+        "q_agg_incremental", "q_agg_bitmap", "q_skyline",
+        "q_events_rolling_distinct", "q_events_paths", "q_graph_closeness")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
       df.show(5, false)
