@@ -415,6 +415,50 @@ object Traversals {
     r
   }
 
+  /** Personalized PageRank: identical recurrence to
+    * [[pageRankDeterministic]] except the restart mass returns ONLY
+    * to the seed set — `r(v) = reset·[v ∈ seeds] + (1−reset)·Σ` with
+    * `r₀(v) = [v ∈ seeds]` — so rank concentrates around the seeds'
+    * neighborhoods (the recsys/similar-items ranking primitive; at
+    * scale seeds are per-query and small, the edge table is the same
+    * pre-joined, src-partitioned cache as the global variant, and one
+    * loop serves any seed set). Deterministic decimal-summed
+    * contributions keep ranks bit-identical to an unrolled SQL twin.
+    * Dangling mass is dropped, matching [[pageRankDeterministic]]'s
+    * documented contract. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int = 10,
+                           reset: Double = 0.15): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("odeg"))
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+      .checkpointSized()
+    val eo = e.join(outDeg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val isSeed = col("vertex").isInCollection(seeds)
+    var r = verts.withColumn("rank", when(isSeed, lit(1.0)).otherwise(lit(0.0)))
+      .checkpointSized()
+    (1 to iters).foreach { _ =>
+      val sums = eo.join(r, eo("src") === r("vertex"))
+        .select(eo("dst"), (col("rank") / col("odeg")).as("w"))
+        .groupBy(col("dst").as("vertex"))
+        .agg(sum(col("w").cast("decimal(38,18)")).cast("double").as("m"))
+      val prev = r
+      r = verts.join(sums, Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          (when(isSeed, lit(reset)).otherwise(lit(0.0)) +
+            lit(1 - reset) * coalesce(col("m"), lit(0.0))).as("rank"))
+        .checkpointSized()
+      dropCheckpoint(prev)
+    }
+    e.unpersist(blocking = false)
+    eo.unpersist(blocking = false)
+    dropCheckpoint(verts, keep = checkpointRddIds(r))
+    r
+  }
+
   /** Symmetrize a directed edge list in ONE pass over the (possibly
     * derived) source: explode each row into both directions, then
     * dedup. union(e, e.reversed) would execute the upstream plan once

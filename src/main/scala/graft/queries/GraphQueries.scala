@@ -237,6 +237,27 @@ object GraphQueries {
         .select(col("vertex"), col("level").cast("int").as("level"))
         .orderBy("vertex")
     }),
+    "q_graph_ppr" -> ((s, d) => {
+      // personalized PageRank from seeds {0, 24}: restart mass returns
+      // only to the seeds, so rank localizes around their neighborhoods
+      // — the similar-items ranking primitive. Deterministic decimal
+      // sums → EXACT 10-iteration-unrolled DuckDB oracle.
+      Traversals.personalizedPageRank(treeEdges(s, d), Seq(0L, 24L), iters = 10)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")
+    }),
+    "q_graph_eccentricity" -> ((s, d) => {
+      // per-vertex eccentricity (max hop distance to any reachable
+      // vertex) off the SAME landmark distance table as closeness —
+      // one multi-root BFS serves every distance-derived metric; the
+      // graph diameter/radius are one more agg over this output.
+      val e = treeEdges(s, d)
+      val roots = e.select(col("src").as("root")).distinct()
+      Traversals.multiSourceDistances(e, roots)
+        .groupBy(col("root").as("vertex"))
+        .agg(max("level").cast("long").as("ecc"))
+        .orderBy("vertex")
+    }),
     "q_graph_closeness" -> ((s, d) => {
       // closeness centrality via the landmark-distance table
       // (Traversals.multiSourceDistances): per-root BFS state keyed
@@ -401,6 +422,21 @@ object GraphQueries {
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
     "q_graph_lpa" ->
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",
+    "q_graph_ppr" -> {
+      // ten unrolled iterations of the PERSONALIZED recurrence: the
+      // reset term is seed-gated, r0 is the seed indicator; same
+      // decimal-cast contribution sums as the engine
+      val seedCase = "CASE WHEN v.vertex IN (0, 24) THEN 0.15 ELSE 0.0 END"
+      val iters = (1 to 10).map { i =>
+        s"r$i AS (SELECT v.vertex, $seedCase + 0.85 * coalesce(s.m, 0.0) AS rank FROM v LEFT JOIN " +
+          s"(SELECT e.dst AS vertex, sum((r${i - 1}.rank / od.odeg)::DECIMAL(38,18))::DOUBLE AS m " +
+          s"FROM r${i - 1} JOIN od ON r${i - 1}.vertex = od.src JOIN e ON e.src = od.src GROUP BY e.dst) s " +
+          s"ON v.vertex = s.vertex)"
+      }.mkString(", ")
+      s"""WITH $treeEdgeSql, od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, CASE WHEN vertex IN (0, 24) THEN 1.0 ELSE 0.0 END::DOUBLE AS rank FROM v), $iters SELECT vertex, round(rank, 6) AS rank FROM r10 ORDER BY vertex"""
+    },
+    "q_graph_eccentricity" ->
+      s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, max(level)::BIGINT AS ecc FROM lv GROUP BY root ORDER BY vertex""",
     "q_graph_pagerank" -> {
       // ten unrolled iterations of the deterministic recurrence;
       // per-edge contributions decimal-cast before summing, mirroring

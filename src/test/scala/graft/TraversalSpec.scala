@@ -89,6 +89,23 @@ class TraversalSpec extends SparkSpec {
     assert(got.count { case ((r, v), l) => r == v && l == 0 } === 7)
   }
 
+  test("personalizedPageRank: all-seeds degenerates to global PR bit-exactly; single seed localizes") {
+    val e = edges("G7")
+    val global = Traversals.pageRankDeterministic(e, iters = 6).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+    val allSeeds = Traversals.personalizedPageRank(e, (0L to 6L), iters = 6).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+    // same recurrence when every vertex is a seed — bit-identical
+    assert(allSeeds === global)
+    val fromZero = Traversals.personalizedPageRank(e, Seq(0L), iters = 6).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+    // restart mass only returns to the seed: it outranks everything
+    assert(fromZero(0L) === fromZero.values.max)
+    // distance-3 vertex gets less mass than the seed's direct neighbor
+    assert(fromZero(3L) < fromZero(1L))
+    assert(fromZero.values.forall(_ >= 0.0))
+  }
+
   test("unreached vertices appear in neither output (G1 from 0)") {
     assert(!bfsOrder("G1", 0).contains(1L))
     assert(!leaves("G1", 0).contains(1L))
