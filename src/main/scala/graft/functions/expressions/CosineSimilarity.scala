@@ -97,7 +97,10 @@ object GraftFunctions {
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (exprs => CosineSimilarity(exprs(0), exprs(1))),
     "dot_fold" -> (exprs => DotFold(exprs(0), exprs(1))),
-    "l2sq_fold" -> (exprs => L2SqFold(exprs(0), exprs(1))))
+    "l2sq_fold" -> (exprs => L2SqFold(exprs(0), exprs(1))),
+    // aggregate builders return the bare AggregateFunction — the
+    // analyzer wraps it in an AggregateExpression at resolution
+    "bitmap_distinct" -> (exprs => BitmapDistinct(exprs(0))))
 
   /** Imperative registration (any existing session). Idempotent: a
     * name already present (from a prior call or [[GraftExtensions]]

@@ -1314,6 +1314,20 @@ object RelationalQueries {
         .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
         .orderBy("l_returnflag")
     }),
+    "q_agg_bitmap_native" -> ((s, d) => {
+      // the SAME bitmap-distinct semantics as q_agg_bitmap, but as the
+      // native TypedImperativeAggregate (functions/expressions/
+      // BitmapDistinct): the bitmap IS the aggregation buffer, so one
+      // agg pass (map-side partial, reduce-side merge of sparse word
+      // maps) replaces the relational two-level word fold — the
+      // sketch-library extension tier, exercised through the SQL
+      // function registry. Oracle: plain count(DISTINCT), again.
+      graft.functions.expressions.GraftFunctions.register(s)
+      t(s, d, "lineitem")
+        .groupBy(col("l_linestatus"), (col("l_orderkey") % 2).as("side"))
+        .agg(expr("bitmap_distinct(l_partkey)").as("n_parts"))
+        .orderBy("l_linestatus", "side")
+    }),
     "q_join_skew" -> ((s, d) => {
       // salted skew join in the gate: a deliberately hot modulo key is
       // spread over 8 salts (deterministic hash salt, not rand()); the
@@ -1885,6 +1899,8 @@ object RelationalQueries {
     // bit_or/popcount fold must be result-invisible
     "q_agg_bitmap" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey)::BIGINT AS n_distinct FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_agg_bitmap_native" ->
+      """SELECT l_linestatus, (l_orderkey % 2)::BIGINT AS side, count(DISTINCT l_partkey)::BIGINT AS n_parts FROM lineitem GROUP BY 1, 2 ORDER BY l_linestatus, side""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_source_orc" ->

@@ -15,6 +15,29 @@ class SketchAndBloomSpec extends SparkSpec {
   private def run(name: String) =
     SparkEntry.queries(name)(spark, TestSpark.sfDir)
 
+  test("bitmap_distinct: exact under shuffle merge, null-blind, sign-safe, 0 on empty") {
+    import spark.implicits._
+    graft.functions.expressions.GraftFunctions.register(spark)
+    // keys spanning negative/positive across many partitions force the
+    // partial-buffer serialize → merge path; nulls must be ignored
+    val df = (-500L to 500L).flatMap(k => Seq(k, k)).toDF("k")
+      .repartition(8)
+      .union(Seq.empty[Long].toDF("k").select(lit(null).cast("long").as("k")))
+    val got = df.agg(expr("bitmap_distinct(k)")).head().getLong(0)
+    assert(got === 1001L)
+    val withNulls = Seq(Some(1L), None, Some(1L), Some(-64L), None).toDF("k")
+    assert(withNulls.agg(expr("bitmap_distinct(k)")).head().getLong(0) === 2L)
+    assert(Seq.empty[Long].toDF("k").agg(expr("bitmap_distinct(k)"))
+      .head().getLong(0) === 0L)
+    // grouped: agrees with countDistinct on fixture data
+    val li = t(spark, TestSpark.sfDir, "lineitem")
+    val a = li.groupBy("l_returnflag").agg(expr("bitmap_distinct(l_suppkey)").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = li.groupBy("l_returnflag").agg(countDistinct("l_suppkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("count-min estimates always dominate the exact counts") {
     val rows = run("q_sketch_cms").collect()
     assert(rows.length == 10)
