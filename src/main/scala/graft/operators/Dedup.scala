@@ -334,4 +334,29 @@ object Dedup {
       .where(col("jac0") >= minJac)
       .select(col("doc_a"), col("doc_b"), round(col("jac0"), 4).as("jac"))
   }
+
+  /** Asymmetric n-gram CONTAINMENT pairs: `c(A,B) = |A∩B| /
+    * min(|A|,|B|)` — the near-superset detector that symmetric
+    * Jaccard structurally under-scores (a doc pasted verbatim inside
+    * a 10× larger one has jac ≤ 0.1 but containment 1.0; pretraining
+    * pipelines dedup quote-expansions and boilerplate-wrapped copies
+    * this way). Candidate generation and the pinned shingle-set table
+    * are shared with [[ngramJaccardPairs]] — same blocking, same
+    * scale shape, only the denominator differs. */
+  def ngramContainmentPairs(docs: DataFrame, shingleN: Int = 3,
+                            minCont: Double = 0.5,
+                            setsOpt: Option[DataFrame] = None): DataFrame = {
+    val gs = setsOpt.getOrElse(ngramShingleSets(docs, shingleN).localCheckpoint(true))
+    val a = gs.select(col("doc_id").as("doc_a"), col("lang"), col("source"),
+      col("band"), col("gs").as("ga"))
+    val b = gs.select(col("doc_id").as("doc_b"), col("lang"), col("source"),
+      col("band"), col("gs").as("gb"))
+    a.join(b, Seq("lang", "source", "band"))
+      .where(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("ga"), col("gb"))).cast("double") /
+          least(size(col("ga")), size(col("gb"))).cast("double")).as("c0"))
+      .where(col("c0") >= minCont)
+      .select(col("doc_a"), col("doc_b"), round(col("c0"), 4).as("containment"))
+  }
 }

@@ -322,6 +322,17 @@ object PipelineQueries {
           setsOpt = Some(memoTable(s, d, "ngram_sets_3")(
             Dedup.ngramShingleSets(t(s, d, "documents"), shingleN = 3))))
         .orderBy("doc_a", "doc_b")),
+    "q_dedup_containment" -> ((s, d) =>
+      // asymmetric containment |A∩B|/min(|A|,|B|): the near-superset
+      // detector — reuses the SAME memoized shingle-set table and
+      // blocked candidates as q_dedup_ngram, only the denominator
+      // changes (containment >= jaccard always, so its threshold sits
+      // higher). A doc embedded in a larger doc scores 1.0 here while
+      // symmetric jaccard dilutes toward 0.
+      Dedup.ngramContainmentPairs(t(s, d, "documents"), shingleN = 3, minCont = 0.3,
+          setsOpt = Some(memoTable(s, d, "ngram_sets_3")(
+            Dedup.ngramShingleSets(t(s, d, "documents"), shingleN = 3))))
+        .orderBy("doc_a", "doc_b")),
     "q_dedup_substring" -> ((s, d) =>
       // exact repeated-SPAN dedup (the substring-level pass of
       // "Deduplicating Training Data Makes Language Models Better",
@@ -971,6 +982,8 @@ object PipelineQueries {
         """)::BIGINT AS simhash FROM v) SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.simhash, b.simhash))::INT AS dist FROM h a JOIN h b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.simhash, b.simhash)) <= 3 ORDER BY doc_a, doc_b"""),
     "q_dedup_ngram" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i)::DOUBLE AS jac0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(jac0, 4) AS jac FROM j WHERE jac0 >= 0.15 ORDER BY doc_a, doc_b""",
+    "q_dedup_containment" ->
+      s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / least(ca.c, cb.c)::DOUBLE AS c0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(c0, 4) AS containment FROM j WHERE c0 >= 0.3 ORDER BY doc_a, doc_b""",
     "q_dedup_incremental" ->
       s"""WITH $minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), est AS (SELECT p.new_id, p.corpus_id, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.new_id AND y.doc_id = p.corpus_id)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT new_id, corpus_id, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY new_id, corpus_id""",
     "q_dedup_embed" ->

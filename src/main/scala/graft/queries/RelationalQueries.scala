@@ -1314,6 +1314,49 @@ object RelationalQueries {
         .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
         .orderBy("l_returnflag")
     }),
+    "q_agg_histo_quantile" -> ((s, d) => {
+      // mergeable fixed-bin histogram quantiles: state is ≤25 bins per
+      // group regardless of NDV — the percentile pattern that scales
+      // where exact percentile must sort every group (and the batch
+      // twin of streaming/t-digest-style quantile state). Quantile =
+      // lower edge of the first bin whose cumulative count clears p·n,
+      // with the threshold checks in INTEGER arithmetic (cum·2 ≥ n,
+      // cum·10 ≥ 9n, cum·100 ≥ 99n) so no float boundary enters the
+      // oracle compare. Bin width 2 over l_quantity ∈ [1, 50].
+      val b = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"),
+          floor(col("l_quantity") / 2).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val cum = b
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("l_returnflag").orderBy("bin")))
+        .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+      cum.groupBy("l_returnflag")
+        .agg(min(when(col("cum") * 2 >= col("n"), col("bin") * 2)).as("p50"),
+             min(when(col("cum") * 10 >= col("n") * 9, col("bin") * 2)).as("p90"),
+             min(when(col("cum") * 100 >= col("n") * 99, col("bin") * 2)).as("p99"))
+        .orderBy("l_returnflag")
+    }),
+    "q_join_nullsafe" -> ((s, d) => {
+      // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL
+      // keys MATCH each other instead of vanishing — the semantics
+      // dimension joins add over plain =. Both sides fold first
+      // (grouped to a handful of keys), so the null-safe full-outer
+      // is a trivially small join; at scale the fold is where the
+      // data volume dies. returnflag 'N' and linestatus 'F' are
+      // nulled: the NULL row pairs up, A/R/O stay unmatched.
+      val a = t(s, d, "lineitem")
+        .groupBy(expr("nullif(l_returnflag, 'N')").as("k"))
+        .agg(count(lit(1)).as("cnt_l"))
+      val b = t(s, d, "lineitem")
+        .groupBy(expr("nullif(l_linestatus, 'F')").as("k"))
+        .agg(count(lit(1)).as("cnt_r"))
+      a.join(b, a("k") <=> b("k"), "full_outer")
+        .select(coalesce(a("k"), b("k")).as("k"),
+          a("cnt_l").as("cnt_l"), b("cnt_r").as("cnt_r"),
+          (a("cnt_l").isNotNull && b("cnt_r").isNotNull).as("matched"))
+        .orderBy(col("k").asc_nulls_first)
+    }),
     "q_agg_bitmap_native" -> ((s, d) => {
       // the SAME bitmap-distinct semantics as q_agg_bitmap, but as the
       // native TypedImperativeAggregate (functions/expressions/
@@ -1901,6 +1944,12 @@ object RelationalQueries {
       """SELECT l_returnflag, count(DISTINCT l_suppkey)::BIGINT AS n_distinct FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_agg_bitmap_native" ->
       """SELECT l_linestatus, (l_orderkey % 2)::BIGINT AS side, count(DISTINCT l_partkey)::BIGINT AS n_parts FROM lineitem GROUP BY 1, 2 ORDER BY l_linestatus, side""",
+    // integer-threshold cumulative picks — the binning is the
+    // operator; the oracle rebuilds the same histogram exactly
+    "q_agg_histo_quantile" ->
+      """WITH b AS (SELECT l_returnflag, (floor(l_quantity / 2))::BIGINT AS bin, count(*) AS c FROM lineitem GROUP BY 1, 2), cum AS (SELECT l_returnflag, bin, c, sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM b) SELECT l_returnflag, min(CASE WHEN cum * 2 >= n THEN bin * 2 END)::BIGINT AS p50, min(CASE WHEN cum * 10 >= n * 9 THEN bin * 2 END)::BIGINT AS p90, min(CASE WHEN cum * 100 >= n * 99 THEN bin * 2 END)::BIGINT AS p99 FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_join_nullsafe" ->
+      """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*)::BIGINT AS cnt_l FROM lineitem GROUP BY 1), b AS (SELECT nullif(l_linestatus, 'F') AS k, count(*)::BIGINT AS cnt_r FROM lineitem GROUP BY 1) SELECT coalesce(a.k, b.k) AS k, a.cnt_l, b.cnt_r, (a.cnt_l IS NOT NULL AND b.cnt_r IS NOT NULL) AS matched FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY k NULLS FIRST""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_source_orc" ->
