@@ -52,7 +52,11 @@ object Bench {
     // explode rolling distinct, clickstream path mining
     "q_join_interval", "q_window_pattern", "q_merge_upsert",
     "q_agg_incremental", "q_agg_bitmap", "q_skyline",
-    "q_events_rolling_distinct", "q_events_paths")
+    "q_events_rolling_distinct", "q_events_paths",
+    // wave-11: native bitmap aggregate (ObjectHashAggregate path),
+    // mergeable histogram quantiles, null-safe join, containment dedup
+    "q_agg_bitmap_native", "q_agg_histo_quantile", "q_join_nullsafe",
+    "q_dedup_containment")
   // q_graph_closeness stays gate-only for the same superstep-latency
   // reason as SCC below: all-roots BFS on the 25-vertex tree is ~8
   // barrier-bound supersteps of millisecond-sized joins.

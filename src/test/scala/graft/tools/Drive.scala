@@ -32,7 +32,11 @@ object Drive {
         // rolling distinct, path mining, landmark closeness
         "q_join_interval", "q_window_pattern", "q_merge_upsert",
         "q_agg_incremental", "q_agg_bitmap", "q_skyline",
-        "q_events_rolling_distinct", "q_events_paths", "q_graph_closeness")) {
+        "q_events_rolling_distinct", "q_events_paths", "q_graph_closeness",
+        // wave-11: native bitmap agg, histogram quantiles, null-safe
+        // join, containment dedup, personalized PR, eccentricity
+        "q_agg_bitmap_native", "q_agg_histo_quantile", "q_join_nullsafe",
+        "q_dedup_containment", "q_graph_ppr", "q_graph_eccentricity")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
       df.show(5, false)
