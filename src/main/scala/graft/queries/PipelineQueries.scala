@@ -166,6 +166,24 @@ object PipelineQueries {
           greatest(col("ws_tokens"), lit(1)).cast("double"), 4))
         .orderBy("doc_id")
     }),
+    "q_multimodal_dedup" -> ((s, d) => {
+      // content-hash dedup over BINARY payloads — the image/video
+      // dedup pass of a multimodal pipeline hashes bytes, never
+      // decodes. Keeper = min doc_id per digest; clusters of 2+ report
+      // the bytes a dedup pass reclaims. Same hash-groupBy shape as
+      // q_dedup_exact, but only the 16-byte digest ever shuffles — the
+      // payload itself stays in the scan stage.
+      val b = col("text").cast("binary")
+      t(s, d, "documents")
+        .select(col("doc_id"), md5(b).as("digest"), length(b).as("nbytes"))
+        .groupBy("digest")
+        .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keeper"),
+             max("nbytes").as("nbytes"))
+        .where(col("n_copies") >= 2)
+        .select(col("digest"), col("n_copies"), col("keeper"),
+          ((col("n_copies") - 1) * col("nbytes")).as("bytes_reclaimed"))
+        .orderBy("keeper")
+    }),
     "q_multimodal_hist" -> ((s, d) => {
       // the INTEGER byte histogram underlying Multimodal's stub
       // feature extractor (bin = byte div 32, 8 bins), oracled exactly
@@ -934,6 +952,8 @@ object PipelineQueries {
       """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
     "q_multimodal_resize" ->
       """SELECT doc_id, length(text)::INT AS orig_bytes, ((length(text) + 3) // 4)::INT AS resized_bytes, md5(array_to_string(list_transform(range(1, length(text) + 1, 4), i -> substr(text, i, 1)), '')) AS h FROM documents ORDER BY doc_id""",
+    "q_multimodal_dedup" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS digest, length(text)::INT AS nbytes FROM documents), g AS (SELECT digest, count(*)::BIGINT AS n_copies, min(doc_id) AS keeper, max(nbytes) AS nbytes FROM h GROUP BY digest) SELECT digest, n_copies, keeper, ((n_copies - 1) * nbytes)::BIGINT AS bytes_reclaimed FROM g WHERE n_copies >= 2 ORDER BY keeper""",
     "q_multimodal_hist" ->
       ("""WITH tr0 AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text FROM documents), tr AS (SELECT doc_id, ascii(substr(text, i, 1)) // 32 AS bin FROM tr0) SELECT doc_id, """ +
         (0 until 8).map(k => s"sum(CASE WHEN bin = $k THEN 1 ELSE 0 END)::BIGINT AS b$k").mkString(", ") +

@@ -928,6 +928,35 @@ object RelationalQueries {
       // and the outer finally also covers a throw during staging/start
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_cdc" -> ((s, d) => {
+      // Streaming CDC apply: q_cdc_snapshot's associative latest-wins
+      // max(struct) fold EXECUTED AS A STREAM — complete-mode agg
+      // means each micro-batch merges its partial latest into running
+      // state without re-reading history (the incremental snapshot-
+      // maintenance loop; at 100 TB/day of changes the snapshot costs
+      // O(delta) per batch). Tombstone semantics identical to batch: a
+      // key whose latest change is 'error' leaves the snapshot and
+      // re-enters when a newer non-tombstone change lands. Oracle =
+      // the batch latest-wins SQL, so stream must equal batch exactly.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-cdc-stream")
+      try {
+      stageEventsInto(d, streamDir)
+      val sink = "stream_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .select(col("user_id"), col("event_type"), col("value"),
+          unix_micros(col("ts")).as("tus"), col("event_id"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("tus"), col("event_id"), col("event_type"),
+          col("value"))).as("m"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("m.event_type").as("last_type"),
+          col("m.value").as("last_value"), col("m.tus").as("last_ts"))
+        .where(col("last_type") =!= "error")
+        .orderBy("user_id")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_stream_dedup" -> ((s, d) => {
       // Streaming exact-dedup in the gate: the events file is staged
       // TWICE (a full replay), dropDuplicatesWithinWatermark removes the
@@ -1313,6 +1342,22 @@ object RelationalQueries {
         .groupBy("l_returnflag")
         .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
         .orderBy("l_returnflag")
+    }),
+    "q_window_distinct" -> ((s, d) => {
+      // distinct-count-in-window via the dense_rank idiom: windows
+      // can't host count(DISTINCT), but max(dense_rank over the value
+      // order) per partition IS the distinct count — no second
+      // aggregation pass over the base table, both windows share one
+      // per-customer sort/shuffle. Emitted per customer with their
+      // order count for the oracle to cross-check.
+      val wv = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+      t(s, d, "orders")
+        .where(col("o_custkey") % 50 === 0)
+        .withColumn("dr", dense_rank().over(wv))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+             max(col("dr")).cast("long").as("n_priorities"))
+        .orderBy("o_custkey")
     }),
     "q_agg_histo_quantile" -> ((s, d) => {
       // mergeable fixed-bin histogram quantiles: state is ≤25 bins per
@@ -1948,6 +1993,13 @@ object RelationalQueries {
     // operator; the oracle rebuilds the same histogram exactly
     "q_agg_histo_quantile" ->
       """WITH b AS (SELECT l_returnflag, (floor(l_quantity / 2))::BIGINT AS bin, count(*) AS c FROM lineitem GROUP BY 1, 2), cum AS (SELECT l_returnflag, bin, c, sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM b) SELECT l_returnflag, min(CASE WHEN cum * 2 >= n THEN bin * 2 END)::BIGINT AS p50, min(CASE WHEN cum * 10 >= n * 9 THEN bin * 2 END)::BIGINT AS p90, min(CASE WHEN cum * 100 >= n * 99 THEN bin * 2 END)::BIGINT AS p99 FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the dense_rank max must equal plain count(DISTINCT)
+    "q_window_distinct" ->
+      """SELECT o_custkey, count(*)::BIGINT AS n_orders, count(DISTINCT o_orderpriority)::BIGINT AS n_priorities FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey ORDER BY o_custkey""",
+    // identical to q_cdc_snapshot's oracle: the stream must land
+    // exactly where the batch fold lands
+    "q_stream_cdc" ->
+      """WITH r AS (SELECT user_id, event_type, value, epoch_us(ts)::BIGINT AS tus, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) SELECT user_id, event_type AS last_type, value AS last_value, tus AS last_ts FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
     "q_join_nullsafe" ->
       """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*)::BIGINT AS cnt_l FROM lineitem GROUP BY 1), b AS (SELECT nullif(l_linestatus, 'F') AS k, count(*)::BIGINT AS cnt_r FROM lineitem GROUP BY 1) SELECT coalesce(a.k, b.k) AS k, a.cnt_l, b.cnt_r, (a.cnt_l IS NOT NULL AND b.cnt_r IS NOT NULL) AS matched FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY k NULLS FIRST""",
     "q_source_partitioned" ->

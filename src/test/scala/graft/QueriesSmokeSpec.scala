@@ -6,7 +6,10 @@ package graft
   * regressions in `sbt test`.) */
 class QueriesSmokeSpec extends SparkSpec {
 
-  val nonEmptyExempt = Set("q_dedup_minhash", "q_dedup_ngram", "q_join_anti")
+  // pair/cluster queries whose tiny-SF fixture legitimately has no
+  // qualifying pairs (and the empty-by-construction anti join)
+  val nonEmptyExempt = Set("q_dedup_minhash", "q_dedup_ngram", "q_join_anti",
+    "q_multimodal_dedup")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
