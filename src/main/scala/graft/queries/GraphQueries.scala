@@ -362,6 +362,28 @@ object GraphQueries {
         .where(col("triangles") > 0)
         .orderBy("vertex")
     }),
+    "q_graph_clustcoef" -> ((s, d) => {
+      // global clustering coefficient C = 3·triangles / wedges — the
+      // cohesion summary metric. Triangles reuse the distributed
+      // triple-join formulation on the mod-4 synthetic graph; wedges
+      // are Σ C(deg,2) from ONE degree agg over the mirrored edges.
+      // Both terms exact integers, so only the single closing
+      // division is floating point — the same IEEE op both engines.
+      val n = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+      val e = n.as("a").join(n.as("b"),
+          col("a.k") < col("b.k") && (col("a.k") + col("b.k")) % 4 === 0)
+        .select(col("a.k").as("u"), col("b.k").as("v"))
+        .localCheckpoint(true) // read 4×: triple join + degrees
+      val tri = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+        .join(e.as("e3"), col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = mirror(e.select(col("u").as("src"), col("v").as("dst")))
+        .groupBy("src").agg(count(lit(1)).as("dg"))
+        .agg(sum(col("dg") * (col("dg") - 1) / lit(2)).cast("long").as("n_wedges"))
+      tri.crossJoin(wedges)
+        .select(col("n_triangles"), col("n_wedges"),
+          round(col("n_triangles") * lit(3.0) / col("n_wedges"), 6).as("cc"))
+    }),
     "q_graph_triangles" -> ((s, d) => {
       // Undirected pairs (a<b) with (a+b)%4==0 over nations; count
       // triangles a<b<c via triple self-join (the distributed-join
@@ -472,6 +494,8 @@ object GraphQueries {
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), pv AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) SELECT vertex, count(*)::BIGINT AS triangles FROM pv GROUP BY vertex ORDER BY vertex""",
     "q_graph_triangles" ->
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""",
+    "q_graph_clustcoef" ->
+      """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), m AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), deg AS (SELECT src, count(*) AS dg FROM m GROUP BY src), w AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS n_wedges FROM deg) SELECT n_triangles, n_wedges, round(n_triangles * 3.0 / n_wedges, 6) AS cc FROM tri, w""",
     "q_graph_triangles_big" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), tri AS (SELECT e1.a AS x FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) SELECT x AS vertex, count(*)::BIGINT AS triangles FROM tri GROUP BY x ORDER BY vertex""",
     "q_graph_jaccard" ->

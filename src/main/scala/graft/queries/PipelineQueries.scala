@@ -480,6 +480,37 @@ object PipelineQueries {
           / count(lit(1)), 4).as("lm_nll"))
         .orderBy("doc_id")
     }),
+    "q_sketch_hll" -> ((s, d) => {
+      // Deterministic HyperLogLog (Flajolet et al. 2007), exact-oracle
+      // edition: md5-derived register index (6 bits) and 32-bit rank
+      // value, so the DuckDB twin rebuilds the IDENTICAL 64 registers
+      // — the same determinism trick q_sketch_cms uses, upgrading
+      // approx-distinct from the rows-only q_agg_approx exemption to
+      // a hash-matched gate row. rho is computed with INTEGER string
+      // ops (33 - length(bin(v))), never float log2; the register
+      // harmonic sum is ≤64 dyadic terms spanning 2^0..2^-33, exactly
+      // representable in a double, so both engines compute the same
+      // IEEE estimate bit-for-bit. Raw estimator by spec (no
+      // small-range correction — the oracle replicates the estimator,
+      // SketchAndBloomSpec checks its accuracy). Scale shape: state
+      // is 64 registers however many rows stream through; the
+      // register fold is a partial+final max agg.
+      val h = md5(concat(lit("hll|"), col("k")))
+      val regs = t(s, d, "orders").select(col("o_custkey").cast("string").as("k"))
+        .select(
+          (conv(substring(h, 1, 8), 16, 10).cast("long") % 64).cast("int").as("idx"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("v"))
+        .select(col("idx"),
+          when(col("v") === 0, lit(33)).otherwise(lit(33) - length(bin(col("v")))).as("rho"))
+        .groupBy("idx").agg(max("rho").as("m"))
+      val exact = t(s, d, "orders").agg(countDistinct("o_custkey").as("n_exact"))
+      regs.agg(
+          sum(pow(lit(2.0), -col("m"))).as("ssum"), count(lit(1)).as("nreg"))
+        .crossJoin(exact)
+        .select(col("n_exact"),
+          round(lit(0.709) * 4096.0 /
+            (col("ssum") + (lit(64) - col("nreg")) * 1.0), 4).as("n_est"))
+    }),
     "q_sketch_cms" -> ((s, d) => {
       // Count-min sketch heavy hitters: the fixed-size frequency
       // sketch (Cormode & Muthukrishnan, J. Algorithms 2005) — d=3 rows ×
@@ -974,6 +1005,10 @@ object PipelineQueries {
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_substring" ->
       s"""WITH $toksSql, sh20 AS (SELECT doc_id, CASE WHEN len(tk) < 20 THEN [] ELSE list_transform(range(1, len(tk) - 18), i -> array_to_string(tk[i:i+19], ' ')) END AS gs FROM toks), spans AS (SELECT doc_id, md5(unnest(gs)) AS span FROM sh20) SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS keeper FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""",
+    // the twin rebuilds the identical 64 registers from the shared
+    // md5 hashes; estimator formula replicated term-for-term
+    "q_sketch_hll" ->
+      """WITH h AS (SELECT ('0x' || substr(md5('hll|' || o_custkey::VARCHAR), 1, 8))::BIGINT % 64 AS idx, ('0x' || substr(md5('hll|' || o_custkey::VARCHAR), 9, 8))::BIGINT AS v FROM orders), rg AS (SELECT idx, max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(format('{:b}', v)) END) AS m FROM h GROUP BY idx) SELECT (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT AS n_exact, round(0.709 * 4096.0 / (sum(pow(2.0, -m)) + (64 - count(*)) * 1.0), 4) AS n_est FROM rg""",
     "q_sketch_cms" ->
       s"""WITH $toksSql, tokr AS (SELECT unnest(tk) AS tok FROM toks), rc AS (SELECT tok, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256)::INT AS c FROM tokr CROSS JOIN (SELECT unnest(range(3)) AS r) rr), cells AS (SELECT r, c, count(*)::BIGINT AS cell_cnt FROM rc GROUP BY r, c), exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tokr GROUP BY tok), top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10), probe AS (SELECT t.tok, t.exact_cnt, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || t.tok), 1, 8))::BIGINT % 256)::INT AS c FROM top t CROSS JOIN (SELECT unnest(range(3)) AS r) rr) SELECT p.tok, p.exact_cnt, min(cl.cell_cnt)::BIGINT AS est_cnt FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok""",
     "q_pipeline_curation" ->

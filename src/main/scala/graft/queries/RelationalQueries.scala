@@ -1343,6 +1343,34 @@ object RelationalQueries {
         .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
         .orderBy("l_returnflag")
     }),
+    "q_catalog_timetravel" -> ((s, d) => {
+      // O7's versioning surface oracle-checked in the gate (it was
+      // spec-only before): commit v1 = nation-derived edges, commit
+      // v2 = v1 + a delta, read BOTH back — v1 through explicit time
+      // travel, v2 through the atomic _latest pointer — and fold to
+      // per-version fingerprints. The oracle computes the same counts
+      // closed-form from nation, so a torn/misdirected version read
+      // hash-mismatches. Catalog rooted in a reaped temp dir; the
+      // result is checkpointed before the files go (withTempDir).
+      withTempDir("graft-q-catalog") { dir =>
+        val cat = new graft.operators.GraphCatalog(s, dir)
+        val base = t(s, d, "nation").where(col("n_nationkey") > 0)
+          .select(col("n_nationkey").cast("long").as("src"),
+            floor(col("n_nationkey") / 2).cast("long").as("dst"))
+        val delta = t(s, d, "nation").where(col("n_nationkey") < 10)
+          .select(col("n_nationkey").cast("long").as("src"),
+            (col("n_nationkey") + 100).cast("long").as("dst"))
+        val v1 = cat.commitVersion("g", base)
+        cat.commitVersion("g", base.unionByName(delta))
+        def fold(df: DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n_edges"), sum("dst").cast("long").as("sum_dst"))
+            .withColumn("version", lit(tag))
+        fold(cat.loadVersion("g", v1), "v1")
+          .unionByName(fold(cat.loadLatest("g"), "v2"))
+          .select(col("version"), col("n_edges"), col("sum_dst"))
+          .orderBy("version")
+      }
+    }),
     "q_window_distinct" -> ((s, d) => {
       // distinct-count-in-window via the dense_rank idiom: windows
       // can't host count(DISTINCT), but max(dense_rank over the value
@@ -1993,6 +2021,9 @@ object RelationalQueries {
     // operator; the oracle rebuilds the same histogram exactly
     "q_agg_histo_quantile" ->
       """WITH b AS (SELECT l_returnflag, (floor(l_quantity / 2))::BIGINT AS bin, count(*) AS c FROM lineitem GROUP BY 1, 2), cum AS (SELECT l_returnflag, bin, c, sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM b) SELECT l_returnflag, min(CASE WHEN cum * 2 >= n THEN bin * 2 END)::BIGINT AS p50, min(CASE WHEN cum * 10 >= n * 9 THEN bin * 2 END)::BIGINT AS p90, min(CASE WHEN cum * 100 >= n * 99 THEN bin * 2 END)::BIGINT AS p99 FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // closed-form per-version fingerprints from the same source rows
+    "q_catalog_timetravel" ->
+      """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
     // the dense_rank max must equal plain count(DISTINCT)
     "q_window_distinct" ->
       """SELECT o_custkey, count(*)::BIGINT AS n_orders, count(DISTINCT o_orderpriority)::BIGINT AS n_priorities FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey ORDER BY o_custkey""",

@@ -38,6 +38,15 @@ class SketchAndBloomSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("HLL estimate lands within the m=64 error envelope") {
+    val r = run("q_sketch_hll").head()
+    val (exact, est) = (r.getAs[Long]("n_exact").toDouble, r.getAs[Double]("n_est"))
+    // standard error at m=64 is 1.04/sqrt(64) = 13%; raw estimator
+    // (no small-range correction) still belongs within ~3 sigma
+    assert(math.abs(est - exact) / exact < 0.4,
+      s"HLL estimate $est too far from exact $exact")
+  }
+
   test("count-min estimates always dominate the exact counts") {
     val rows = run("q_sketch_cms").collect()
     assert(rows.length == 10)
