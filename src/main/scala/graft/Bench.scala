@@ -56,7 +56,14 @@ object Bench {
     // wave-11: native bitmap aggregate (ObjectHashAggregate path),
     // mergeable histogram quantiles, null-safe join, containment dedup
     "q_agg_bitmap_native", "q_agg_histo_quantile", "q_join_nullsafe",
-    "q_dedup_containment")
+    "q_dedup_containment",
+    // wave-12: deterministic HLL (exact-oracled sketch), dense_rank
+    // window distinct, payload-hash multimodal dedup
+    "q_sketch_hll", "q_window_distinct", "q_multimodal_dedup")
+  // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
+  // times temp-dir commit IO, the latter is a streaming entry
+  // (streaming entries never headline). q_graph_clustcoef is
+  // fixture-sized (nation), like q_graph_triangles.
   // q_graph_closeness stays gate-only for the same superstep-latency
   // reason as SCC below: all-roots BFS on the 25-vertex tree is ~8
   // barrier-bound supersteps of millisecond-sized joins.

@@ -36,7 +36,11 @@ object Drive {
         // wave-11: native bitmap agg, histogram quantiles, null-safe
         // join, containment dedup, personalized PR, eccentricity
         "q_agg_bitmap_native", "q_agg_histo_quantile", "q_join_nullsafe",
-        "q_dedup_containment", "q_graph_ppr", "q_graph_eccentricity")) {
+        "q_dedup_containment", "q_graph_ppr", "q_graph_eccentricity",
+        // wave-12: exact-oracled HLL, window distinct, payload dedup,
+        // streaming CDC apply, clustering coefficient, time travel
+        "q_sketch_hll", "q_window_distinct", "q_multimodal_dedup",
+        "q_stream_cdc", "q_graph_clustcoef", "q_catalog_timetravel")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
       df.show(5, false)
