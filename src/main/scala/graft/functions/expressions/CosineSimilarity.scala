@@ -100,7 +100,9 @@ object GraftFunctions {
     "l2sq_fold" -> (exprs => L2SqFold(exprs(0), exprs(1))),
     // aggregate builders return the bare AggregateFunction — the
     // analyzer wraps it in an AggregateExpression at resolution
-    "bitmap_distinct" -> (exprs => BitmapDistinct(exprs(0))))
+    "bitmap_distinct" -> (exprs => BitmapDistinct(exprs(0))),
+    // generator (UDTF) — the analyzer lifts it into a Generate node
+    "word_ngrams" -> (exprs => WordNGrams(exprs(0), exprs(1))))
 
   /** Imperative registration (any existing session). Idempotent: a
     * name already present (from a prior call or [[GraftExtensions]]

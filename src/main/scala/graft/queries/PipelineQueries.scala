@@ -480,6 +480,22 @@ object PipelineQueries {
           / count(lit(1)), 4).as("lm_nll"))
         .orderBy("doc_id")
     }),
+    "q_udtf_ngrams" -> ((s, d) => {
+      // the word_ngrams GENERATOR (native Catalyst UDTF) in the gate:
+      // shingles emitted inside the scan stage's Generate node — no
+      // posexplode + window lead, no per-document sort — then folded
+      // per doc. Oracle rebuilds the same 3-gram rows with the shared
+      // tokenizer fragment, so generator semantics (position range,
+      // token normalization, short-doc emptiness) are value-checked.
+      graft.functions.expressions.GraftFunctions.register(s)
+      t(s, d, "documents").where(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), expr("word_ngrams(text, 3)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+             countDistinct(col("gram")).as("n_unique"),
+             min("gram").as("first_gram"))
+        .orderBy("doc_id")
+    }),
     "q_sketch_hll" -> ((s, d) => {
       // Deterministic HyperLogLog (Flajolet et al. 2007), exact-oracle
       // edition: md5-derived register index (6 bits) and 32-bit rank
@@ -1005,6 +1021,8 @@ object PipelineQueries {
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_substring" ->
       s"""WITH $toksSql, sh20 AS (SELECT doc_id, CASE WHEN len(tk) < 20 THEN [] ELSE list_transform(range(1, len(tk) - 18), i -> array_to_string(tk[i:i+19], ' ')) END AS gs FROM toks), spans AS (SELECT doc_id, md5(unnest(gs)) AS span FROM sh20) SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS keeper FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""",
+    "q_udtf_ngrams" ->
+      s"""WITH $toksSql, g AS (SELECT t.doc_id, i - 1 AS pos, array_to_string(t.tk[i:i+2], ' ') AS gram FROM toks t CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.tk) - 1)) AS i) r WHERE len(t.tk) >= 3 AND t.doc_id % 25 = 0) SELECT doc_id, count(*)::BIGINT AS n_grams, count(DISTINCT gram)::BIGINT AS n_unique, min(gram) AS first_gram FROM g GROUP BY doc_id ORDER BY doc_id""",
     // the twin rebuilds the identical 64 registers from the shared
     // md5 hashes; estimator formula replicated term-for-term
     "q_sketch_hll" ->

@@ -9,6 +9,25 @@ class TextFunctionsSpec extends SparkSpec {
   def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("text").select(c.as("r")).head().get(0)
 
+  test("word_ngrams generator equals the window-lead shingleRows formulation") {
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val docs = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+    val viaGen = docs.select(col("doc_id"), expr("word_ngrams(text, 3)"))
+      .select(col("doc_id"), col("gram"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    val viaWin = graft.operators.Dedup.shingleRows(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(viaGen.nonEmpty)
+    assert(viaGen === viaWin)
+    // positions are 0-based and contiguous per doc
+    val pos = docs.select(col("doc_id"), expr("word_ngrams(text, 3)"))
+      .groupBy("doc_id").agg(min("pos").as("p0"), max("pos").as("p1"),
+        count(lit(1)).as("n"))
+      .collect()
+    pos.foreach(r => assert(r.getInt(1) === 0 &&
+      r.getInt(2).toLong === r.getLong(3) - 1, s"non-contiguous: $r"))
+  }
+
   test("tokens and shingles") {
     assert(one(tokenCount(col("text")), "The quick  brown fox") === 4)
     assert(one(wordShingles(col("text"), 3), "a b c d")
