@@ -40,7 +40,8 @@ object Drive {
         // wave-12: exact-oracled HLL, window distinct, payload dedup,
         // streaming CDC apply, clustering coefficient, time travel
         "q_sketch_hll", "q_window_distinct", "q_multimodal_dedup",
-        "q_stream_cdc", "q_graph_clustcoef", "q_catalog_timetravel")) {
+        "q_stream_cdc", "q_graph_clustcoef", "q_catalog_timetravel",
+        "q_udtf_ngrams")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
       df.show(5, false)
