@@ -362,6 +362,34 @@ object GraphQueries {
         .where(col("triangles") > 0)
         .orderBy("vertex")
     }),
+    "q_graph_subtree_sum" -> ((s, d) => {
+      // bottom-up subtree aggregation (hierarchical rollup — the
+      // org-chart / category-tree OLAP op): per-level upward fold
+      // over the heap tree. Depths are closed-form for THIS fixture's
+      // parent rule (parent(k) = k/2, so depth = bit length of k —
+      // integer string ops, no float log); each
+      // superstep groups the deepest unabsorbed level's accumulated
+      // sums by parent and adds them one level up, so after
+      // depth-many supersteps every vertex holds its full subtree
+      // sum. Supersteps = tree depth, each one small hash agg + join
+      // — the BSP shape that holds for any forest at 100 TB. Oracle:
+      // recursive ancestor-chain CTE.
+      val v = t(s, d, "nation").select(col("n_nationkey").cast("long").as("vertex"))
+        .withColumn("depth",
+          when(col("vertex") === 0, lit(0)).otherwise(length(bin(col("vertex")))).cast("int"))
+      val maxD = v.agg(max("depth")).head().getInt(0) // scalar witness
+      var acc = v.withColumn("ssum", col("vertex"))
+      for (dep <- maxD to 1 by -1) {
+        val up = acc.where(col("depth") === dep)
+          .select(floor(col("vertex") / 2).cast("long").as("vertex"), col("ssum"))
+          .groupBy("vertex").agg(sum("ssum").as("up"))
+        acc = acc.join(up, Seq("vertex"), "left_outer")
+          .withColumn("ssum", col("ssum") + coalesce(col("up"), lit(0L)))
+          .drop("up")
+      }
+      acc.select(col("vertex"), col("ssum").cast("long").as("subtree_sum"))
+        .orderBy("vertex")
+    }),
     "q_graph_clustcoef" -> ((s, d) => {
       // global clustering coefficient C = 3·triangles / wedges — the
       // cohesion summary metric. Triangles reuse the distributed
@@ -494,6 +522,8 @@ object GraphQueries {
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), pv AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) SELECT vertex, count(*)::BIGINT AS triangles FROM pv GROUP BY vertex ORDER BY vertex""",
     "q_graph_triangles" ->
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""",
+    "q_graph_subtree_sum" ->
+      """WITH RECURSIVE n AS (SELECT n_nationkey::BIGINT AS k FROM nation), up AS (SELECT k AS v, k AS a FROM n UNION ALL SELECT v, a // 2 FROM up WHERE a > 0) SELECT a AS vertex, sum(v)::BIGINT AS subtree_sum FROM up GROUP BY a ORDER BY vertex""",
     "q_graph_clustcoef" ->
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), m AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), deg AS (SELECT src, count(*) AS dg FROM m GROUP BY src), w AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS n_wedges FROM deg) SELECT n_triangles, n_wedges, round(n_triangles * 3.0 / n_wedges, 6) AS cc FROM tri, w""",
     "q_graph_triangles_big" ->
