@@ -244,6 +244,64 @@ object Stress {
         .groupBy("pi", "pj").agg(count(lit(1)).as("n_orders"))
         .where(col("n_orders") >= 3).count()
     }
+
+    // wave 10-12 families at 10x: the interval bin-join's candidate
+    // volume must track rows (bins/row bounded at 2), the MERGE
+    // upsert's target pass must stay broadcast-shaped, the rolling
+    // distinct's x7 multiplier rides the FOLDED table, and the bitmap
+    // distinct shuffles only (group x word) cells however many rows
+    // stream through
+    time("interval_join_x10", 150000L * 10) {
+      val epoch = to_date(lit("1970-01-01"))
+      def bin(c: org.apache.spark.sql.Column) = floor(datediff(c, epoch) / 30)
+      val ox = o10.select(col("o_orderkey"), to_date(col("o_orderdate")).as("os"),
+        date_add(col("o_orderdate"), (col("o_orderkey") % 25).cast("int")).as("oe"))
+      val win = spark.range(0, 56).select(col("id").as("window_id"),
+          date_add(to_date(lit("1992-01-05")), (col("id") * 45).cast("int")).as("ws"))
+        .withColumn("we", date_add(col("ws"), 14))
+      val ob = ox.withColumn("bin", explode(sequence(bin(col("os")), bin(col("oe")))))
+      val wb = win.withColumn("bin", explode(sequence(bin(col("ws")), bin(col("we")))))
+      ob.join(broadcast(wb), "bin")
+        .where(col("os") <= col("we") && col("oe") >= col("ws"))
+        .select("window_id", "o_orderkey").distinct()
+        .groupBy("window_id").agg(count(lit(1))).collect()
+    }
+    val cust = spark.read.parquet(s"$d/customer.parquet")
+    val cust10 = (0 until 10).map(i =>
+      cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L)))
+      .reduce(_ union _)
+    time("merge_upsert_x10target", cust.count() * 10) {
+      // 10x TARGET, same-size delta: the realistic MERGE asymmetry
+      val chg = o.groupBy(col("o_custkey").as("k"))
+        .agg(max(col("o_totalprice")).as("new_bal"))
+        .withColumn("op", when(col("k") % 13 === 0, lit("D")).otherwise(lit("U")))
+        .withColumn("in_s", lit(1))
+      val tgt = cust10.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+      tgt.join(broadcast(chg), Seq("k"), "left_outer")
+        .where(col("in_s").isNull || col("op") =!= "D")
+        .groupBy("seg").agg(count(lit(1))).collect()
+    }
+    // conf BEFORE the read: the nanos ts column is illegal otherwise
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$d/events.parquet")
+    time("rolling_distinct_x10", ev.count() * 10) {
+      val ev10 = (0 until 10).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ union _)
+        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      val ud = ev10.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select("day").distinct().withColumnRenamed("day", "tday")
+      ud.select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"), col("day"))
+        .select(col("user_id"), date_add(col("day"), col("off")).as("tday"))
+        .join(days, Seq("tday"), "left_semi")
+        .groupBy("tday").agg(countDistinct(col("user_id"))).collect()
+    }
+    time("bitmap_distinct_x10", n10) {
+      graft.functions.expressions.GraftFunctions.register(spark)
+      li10.groupBy("l_returnflag")
+        .agg(expr("bitmap_distinct(l_suppkey)")).collect()
+    }
     spark.stop()
   }
 }
