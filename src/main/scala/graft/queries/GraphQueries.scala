@@ -237,6 +237,21 @@ object GraphQueries {
         .select(col("vertex"), col("level").cast("int").as("level"))
         .orderBy("vertex")
     }),
+    "q_graph_bfs_bidir" -> ((s, d) => {
+      // point-to-point distances via bidirectional BFS (meet in the
+      // middle): the driver assembles 3 fixture pairs' results — each
+      // search is its own bounded superstep loop and the output is 3
+      // rows by construction, so the collect is the contract, not a
+      // scale leak. Oracle: the 3 pairs' distances from the
+      // recursive-CTE distance table.
+      import s.implicits._
+      val e = treeEdges(s, d)
+      Seq((15L, 24L), (0L, 23L), (9L, 12L))
+        .map { case (a, b) =>
+          (a, b, Traversals.bfsBidirectional(e, a, b).getOrElse(-1L)) }
+        .toDF("a", "b", "dist")
+        .orderBy("a")
+    }),
     "q_graph_ppr" -> ((s, d) => {
       // personalized PageRank from seeds {0, 24}: restart mass returns
       // only to the seeds, so rank localizes around their neighborhoods
@@ -485,6 +500,8 @@ object GraphQueries {
       }.mkString(", ")
       s"""WITH $treeEdgeSql, od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, CASE WHEN vertex IN (0, 24) THEN 1.0 ELSE 0.0 END::DOUBLE AS rank FROM v), $iters SELECT vertex, round(rank, 6) AS rank FROM r10 ORDER BY vertex"""
     },
+    "q_graph_bfs_bidir" ->
+      s"""WITH RECURSIVE $treeEdgeSql, p AS (SELECT * FROM (VALUES (15::BIGINT, 24::BIGINT), (0::BIGINT, 23::BIGINT), (9::BIGINT, 12::BIGINT)) v(a, b)), r AS (SELECT a AS root, a AS vertex, 0 AS lvl FROM p UNION SELECT r.root, e.dst, r.lvl + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.lvl < 30), lv AS (SELECT root, vertex, min(lvl) AS lvl FROM r GROUP BY root, vertex) SELECT p.a, p.b, lv.lvl::BIGINT AS dist FROM p JOIN lv ON lv.root = p.a AND lv.vertex = p.b ORDER BY a""",
     "q_graph_eccentricity" ->
       s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, max(level)::BIGINT AS ecc FROM lv GROUP BY root ORDER BY vertex""",
     "q_graph_pagerank" -> {

@@ -1430,6 +1430,25 @@ object RelationalQueries {
           (a("cnt_l").isNotNull && b("cnt_r").isNotNull).as("matched"))
         .orderBy(col("k").asc_nulls_first)
     }),
+    "q_agg_bitmap_intersect" -> ((s, d) => {
+      // bitmap SET ALGEBRA (the Theta-sketch intersection analog,
+      // exact): distinct suppliers active in BOTH 1995 and 2000 —
+      // build one word-packed bitmap per year, AND them word-wise
+      // (equi-join on word index + bitwise &), popcount-sum the
+      // result. Distinct-set intersection without ever materializing
+      // either distinct set: state is keyspace/64 words per side, the
+      // join carries only word cells. The same word tables answer
+      // union/difference with | / & ~ — one build, any set expression.
+      val li = t(s, d, "lineitem").select(col("l_suppkey"),
+        year(col("l_shipdate")).as("yr"))
+      def words(y: Int) = li.where(col("yr") === y)
+        .select(shiftright(col("l_suppkey"), 6).as("w"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(l_suppkey % 64 AS INT))").as("m"))
+        .groupBy("w").agg(bit_or(col("m")).as(s"bits$y"))
+      words(1995).join(words(2000), "w")
+        .select(bit_count(col("bits1995").bitwiseAND(col("bits2000"))).as("pc"))
+        .agg(coalesce(sum(col("pc")), lit(0)).cast("long").as("n_both"))
+    }),
     "q_agg_bitmap_native" -> ((s, d) => {
       // the SAME bitmap-distinct semantics as q_agg_bitmap, but as the
       // native TypedImperativeAggregate (functions/expressions/
@@ -2015,6 +2034,10 @@ object RelationalQueries {
     // bit_or/popcount fold must be result-invisible
     "q_agg_bitmap" ->
       """SELECT l_returnflag, count(DISTINCT l_suppkey)::BIGINT AS n_distinct FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the intersection bitmap must be result-invisible: oracle is the
+    // plain two-sided distinct intersection
+    "q_agg_bitmap_intersect" ->
+      """SELECT count(*)::BIGINT AS n_both FROM (SELECT DISTINCT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1995 INTERSECT SELECT DISTINCT l_suppkey FROM lineitem WHERE year(l_shipdate) = 2000)""",
     "q_agg_bitmap_native" ->
       """SELECT l_linestatus, (l_orderkey % 2)::BIGINT AS side, count(DISTINCT l_partkey)::BIGINT AS n_parts FROM lineitem GROUP BY 1, 2 ORDER BY l_linestatus, side""",
     // integer-threshold cumulative picks — the binning is the

@@ -89,6 +89,20 @@ class TraversalSpec extends SparkSpec {
     assert(got.count { case ((r, v), l) => r == v && l == 0 } === 7)
   }
 
+  test("bfsBidirectional agrees with single-source BFS on every G7 pair; None when disconnected") {
+    val e = edges("G7")
+    for (src <- 0L to 6L) {
+      val want = Traversals.bfsLevels(e, src).collect()
+        .map(r => r.getAs[Long]("vertex") -> r.getAs[Int]("level").toLong).toMap
+      for (dst <- 0L to 6L)
+        assert(Traversals.bfsBidirectional(e, src, dst) === want.get(dst),
+          s"pair ($src, $dst)")
+    }
+    // G1 is two self-loop vertices — no path between them
+    assert(Traversals.bfsBidirectional(edges("G1"), 0L, 1L) === None)
+    assert(Traversals.bfsBidirectional(edges("G1"), 0L, 0L) === Some(0L))
+  }
+
   test("personalizedPageRank: all-seeds degenerates to global PR bit-exactly; single seed localizes") {
     val e = edges("G7")
     val global = Traversals.pageRankDeterministic(e, iters = 6).collect()
