@@ -302,6 +302,16 @@ object Stress {
       li10.groupBy("l_returnflag")
         .agg(expr("bitmap_distinct(l_suppkey)")).collect()
     }
+    // point-to-point on the 1.2M-edge bipartite graph: full BFS floods
+    // the whole component to answer one pair; bidirectional touches
+    // two shallow balls and should win on supersteps AND state
+    val (pa, pb) = (2L, 1201L) // an order vertex and a supplier vertex
+    time("p2p_full_bfs", eb.count()) {
+      Traversals.bfsLevels(eb, pa).where(col("vertex") === pb).count()
+    }
+    time("p2p_bidirectional", eb.count()) {
+      require(Traversals.bfsBidirectional(eb, pa, pb).nonEmpty)
+    }
     spark.stop()
   }
 }
