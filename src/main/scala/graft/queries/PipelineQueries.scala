@@ -480,6 +480,33 @@ object PipelineQueries {
           / count(lit(1)), 4).as("lm_nll"))
         .orderBy("doc_id")
     }),
+    "q_text_lift" -> ((s, d) => {
+      // collocation strength as LIFT = N·c(xy) / (c(x)·c(y)) — the
+      // PMI numerator/denominator without the log, so the only float
+      // op is ONE division of exact integer products (cross-engine
+      // log() is not reliably bit-identical; lift ranks identically
+      // to PMI since log is monotone). Unigrams AND bigrams both come
+      // from the word_ngrams Generator — two Generate-stage passes,
+      // two hash aggs, two broadcast joins of the bigram table
+      // against the unigram counts.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+      val uni = docs.select(expr("word_ngrams(text, 1)"))
+        .groupBy(col("gram").as("w")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // joined twice + totalled once
+      val total = uni.agg(sum("c").cast("long").as("n"))
+      val bi = docs.select(expr("word_ngrams(text, 2)"))
+        .groupBy("gram").agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 20)
+        .withColumn("w1", element_at(split(col("gram"), " "), 1))
+        .withColumn("w2", element_at(split(col("gram"), " "), 2))
+      bi.join(broadcast(uni.select(col("w").as("w1"), col("c").as("cx"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cy"))), "w2")
+        .crossJoin(broadcast(total))
+        .select(col("gram"), col("cxy"),
+          round(col("cxy").cast("double") * col("n") / (col("cx") * col("cy")), 4).as("lift"))
+        .orderBy(col("lift").desc, col("gram")).limit(15)
+    }),
     "q_udtf_ngrams" -> ((s, d) => {
       // the word_ngrams GENERATOR (native Catalyst UDTF) in the gate:
       // shingles emitted inside the scan stage's Generate node — no
@@ -1021,6 +1048,10 @@ object PipelineQueries {
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_substring" ->
       s"""WITH $toksSql, sh20 AS (SELECT doc_id, CASE WHEN len(tk) < 20 THEN [] ELSE list_transform(range(1, len(tk) - 18), i -> array_to_string(tk[i:i+19], ' ')) END AS gs FROM toks), spans AS (SELECT doc_id, md5(unnest(gs)) AS span FROM sh20) SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS keeper FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""",
+    // lift ranks like PMI (log is monotone) but stays in exact
+    // integer products + one rounded division
+    "q_text_lift" ->
+      s"""WITH $toksSql, u AS (SELECT unnest(tk) AS w FROM toks), uni AS (SELECT w, count(*)::BIGINT AS c FROM u GROUP BY w), tot AS (SELECT sum(c)::BIGINT AS n FROM uni), bg AS (SELECT tk[i] || ' ' || tk[i+1] AS gram, tk[i] AS w1, tk[i+1] AS w2 FROM toks CROSS JOIN LATERAL (SELECT unnest(range(1, len(tk))) AS i) r WHERE len(tk) >= 2), bi AS (SELECT gram, w1, w2, count(*)::BIGINT AS cxy FROM bg GROUP BY gram, w1, w2 HAVING count(*) >= 20) SELECT b.gram, b.cxy, round(b.cxy::DOUBLE * tot.n / (ux.c * uy.c), 4) AS lift FROM bi b JOIN uni ux ON ux.w = b.w1 JOIN uni uy ON uy.w = b.w2 CROSS JOIN tot ORDER BY lift DESC, gram LIMIT 15""",
     "q_udtf_ngrams" ->
       s"""WITH $toksSql, g AS (SELECT t.doc_id, i - 1 AS pos, array_to_string(t.tk[i:i+2], ' ') AS gram FROM toks t CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.tk) - 1)) AS i) r WHERE len(t.tk) >= 3 AND t.doc_id % 25 = 0) SELECT doc_id, count(*)::BIGINT AS n_grams, count(DISTINCT gram)::BIGINT AS n_unique, min(gram) AS first_gram FROM g GROUP BY doc_id ORDER BY doc_id""",
     // the twin rebuilds the identical 64 registers from the shared

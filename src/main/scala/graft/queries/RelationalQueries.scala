@@ -1222,6 +1222,23 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_parts"))
         .orderBy("price")
     }),
+    "q_events_growth" -> ((s, d) => {
+      // growth accounting: per day, NEW users (first-ever activity)
+      // vs RETURNING. first-seen day is one per-user agg; the daily
+      // split is a distinct-fold join on user_id — both sides arrive
+      // hash-partitioned by the same key, so the join adds no extra
+      // shuffle at any scale.
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val first = ud.groupBy("user_id").agg(min("day").as("first_day"))
+      ud.join(first, "user_id")
+        .groupBy("day")
+        .agg(count(when(col("day") === col("first_day"), 1)).as("new_users"),
+             count(when(col("day") =!= col("first_day"), 1)).as("returning_users"))
+        .select(col("day").cast("string").as("day"),
+          col("new_users"), col("returning_users"))
+        .orderBy("day")
+    }),
     "q_events_rolling_distinct" -> ((s, d) => {
       // 7-day rolling DISTINCT users per day. Sliding-window distinct
       // does not decompose into window-function prefix state, and the
@@ -2017,6 +2034,8 @@ object RelationalQueries {
     // the engine's prefix-max rewrite must be result-invisible
     "q_skyline" ->
       """WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part), f AS (SELECT * FROM p a WHERE NOT EXISTS (SELECT 1 FROM p o WHERE o.price <= a.price AND o.size >= a.size AND (o.price < a.price OR o.size > a.size))) SELECT price, size::INT AS size, count(*)::BIGINT AS n_parts FROM f GROUP BY price, size ORDER BY price""",
+    "q_events_growth" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id) SELECT ud.day::VARCHAR AS day, count(CASE WHEN ud.day = f.first_day THEN 1 END)::BIGINT AS new_users, count(CASE WHEN ud.day <> f.first_day THEN 1 END)::BIGINT AS returning_users FROM ud JOIN f USING (user_id) GROUP BY ud.day ORDER BY day""",
     // the oracle is the naive day×activity range join; the engine's
     // bounded explode must be result-invisible
     "q_events_rolling_distinct" ->
