@@ -61,7 +61,9 @@ object Bench {
     // window distinct, payload-hash multimodal dedup
     "q_sketch_hll", "q_window_distinct", "q_multimodal_dedup",
     // wave-13: native Generator UDTF shingling; bitmap set algebra
-    "q_udtf_ngrams", "q_agg_bitmap_intersect")
+    "q_udtf_ngrams", "q_agg_bitmap_intersect",
+    // wave-14: growth accounting, collocation lift
+    "q_events_growth", "q_text_lift")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
