@@ -11,11 +11,36 @@ class QueriesSmokeSpec extends SparkSpec {
   val nonEmptyExempt = Set("q_dedup_minhash", "q_dedup_ngram", "q_join_anti",
     "q_multimodal_dedup")
 
+  /** Plan lint: CartesianProduct is NEVER acceptable; a
+    * BroadcastNestedLoopJoin only where the inventory deliberately
+    * crosses a broadcast SCALAR / tiny-constant side (audited one by
+    * one — centroid tables, query vectors, scalar-subquery totals,
+    * the 25-row nation non-equi edge generator). A new query landing
+    * a BNLJ outside this list is an unreviewed cross product. */
+  val bnljAudited = Set(
+    "q_dedup_pipeline",                              // corpus-total scalar
+    "q_embed_ivf", "q_embed_ivf_multiprobe",         // broadcast centroid table
+    "q_embed_kmeans",                                // broadcast centroids
+    "q_embed_knn_join", "q_embed_pq",                // broadcast query/codebook side
+    "q_embed_recall", "q_embed_rerank", "q_embed_topk", // broadcast query vector
+    "q_events_funnel",                               // scalar step totals
+    "q_graph_clustcoef", "q_graph_triangles",        // 25-row nation non-equi generator / scalar terms
+    "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold
+    "q_subquery", "q_tpch_q22")                      // scalar subqueries
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, TestSpark.sfDir)
       val n = df.count()
       if (!nonEmptyExempt(name)) assert(n > 0, s"$name returned no rows")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — unbounded cross product")
+      if (!bnljAudited(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unaudited BroadcastNestedLoopJoin — add it to " +
+            "bnljAudited ONLY after confirming the broadcast side is scalar/tiny")
     }
   }
 
