@@ -56,4 +56,29 @@ class MatrixSourceV2Spec extends SparkSpec {
   test("contradictory pushed range yields an empty scan, not an error") {
     assert(v2("G7.txt").where(col("src") > 5 && col("src") < 3).count() === 0L)
   }
+
+  test("malformed files fail loudly at scan build, not silently mis-parse") {
+    def tmpWith(content: String): String = {
+      val p = java.nio.file.Files.createTempFile("graft-badmatrix-", ".txt")
+      java.nio.file.Files.write(p, content.getBytes)
+      p.toFile.deleteOnExit()
+      p.toString
+    }
+    // truncated cell matrix: must refuse (silently re-interpreting
+    // row-major cells against the declared n is the failure mode
+    // MatrixIO guards against too)
+    val truncated = tmpWith("3\n0 1 0 1 0\n")
+    val e1 = intercept[IllegalArgumentException] {
+      spark.read.format("graft-matrix").load(truncated).count()
+    }
+    assert(e1.getMessage.contains("expected 9 matrix cells"))
+    // negative header
+    val negative = tmpWith("-2\n")
+    val e2 = intercept[Exception] {
+      spark.read.format("graft-matrix").load(negative).count()
+    }
+    assert(e2.getMessage.contains("non-negative") || e2.getMessage.contains("expected"))
+    // n = 0 is a VALID empty graph, not an error
+    assert(spark.read.format("graft-matrix").load(tmpWith("0\n")).count() === 0L)
+  }
 }
