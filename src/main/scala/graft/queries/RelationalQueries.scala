@@ -1360,6 +1360,30 @@ object RelationalQueries {
         .agg(sum(bit_count(col("bits"))).cast("long").as("n_distinct"))
         .orderBy("l_returnflag")
     }),
+    "q_source_evolution" -> ((s, d) => {
+      // schema evolution across file generations — the lakehouse
+      // reality that columns get ADDED mid-corpus: generation 1 wrote
+      // (k, name); generation 2 added score. mergeSchema unifies the
+      // footer schemas at planning time (no rewrite of old files —
+      // at 100 TB rewriting history for a new column is a non-
+      // starter), old rows surface NULL score, and the fold must
+      // count/sum accordingly. Oracle: closed form from the same
+      // source rows.
+      withTempDir("graft-q-evolve") { dir =>
+        val n = t(s, d, "nation")
+        n.where(col("n_nationkey") < 13)
+          .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"))
+          .write.parquet(s"$dir/gen1")
+        n.where(col("n_nationkey") >= 13)
+          .select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"),
+            (col("n_nationkey") * 10L).as("score"))
+          .write.parquet(s"$dir/gen2")
+        s.read.option("mergeSchema", "true").parquet(s"$dir/gen1", s"$dir/gen2")
+          .agg(count(lit(1)).as("n_rows"),
+               count(col("score")).as("n_scored"),
+               coalesce(sum("score"), lit(0L)).cast("long").as("sum_score"))
+      }
+    }),
     "q_catalog_timetravel" -> ((s, d) => {
       // O7's versioning surface oracle-checked in the gate (it was
       // spec-only before): commit v1 = nation-derived edges, commit
@@ -2063,6 +2087,10 @@ object RelationalQueries {
     // operator; the oracle rebuilds the same histogram exactly
     "q_agg_histo_quantile" ->
       """WITH b AS (SELECT l_returnflag, (floor(l_quantity / 2))::BIGINT AS bin, count(*) AS c FROM lineitem GROUP BY 1, 2), cum AS (SELECT l_returnflag, bin, c, sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM b) SELECT l_returnflag, min(CASE WHEN cum * 2 >= n THEN bin * 2 END)::BIGINT AS p50, min(CASE WHEN cum * 10 >= n * 9 THEN bin * 2 END)::BIGINT AS p90, min(CASE WHEN cum * 100 >= n * 99 THEN bin * 2 END)::BIGINT AS p99 FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // old-generation rows must read as NULL score: count(col) skips
+    // them, the sum sees only generation-2 values
+    "q_source_evolution" ->
+      """SELECT count(*)::BIGINT AS n_rows, count(CASE WHEN n_nationkey >= 13 THEN 1 END)::BIGINT AS n_scored, coalesce(sum(CASE WHEN n_nationkey >= 13 THEN n_nationkey * 10 END), 0)::BIGINT AS sum_score FROM nation""",
     // closed-form per-version fingerprints from the same source rows
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
