@@ -63,7 +63,9 @@ object Bench {
     // wave-13: native Generator UDTF shingling; bitmap set algebra
     "q_udtf_ngrams", "q_agg_bitmap_intersect",
     // wave-14: growth accounting, collocation lift
-    "q_events_growth", "q_text_lift")
+    "q_events_growth", "q_text_lift",
+    // wave-15: nearest-direction as-of
+    "q_asof_nearest")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -886,6 +886,40 @@ object RelationalQueries {
             .cast("long").as("gap_sec"))
         .orderBy("event_id")
     }),
+    "q_asof_nearest" -> ((s, d) => {
+      // NEAREST as-of: each click pairs with its temporally closest
+      // purchase in EITHER direction (tie → the backward/earlier one)
+      // — completes the as-of family next to backward (q_asof_join)
+      // and forward (q_asof_forward). Composed from the two
+      // directional operators + a per-row least-gap pick, so both
+      // sides reuse the union+window as-of plan; no inequality join
+      // ever forms. NULL direction (no purchase that side) loses to
+      // any real match.
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max(col("event_id")).as("purchase_id"))
+        .withColumn("purchase_ts", col("ts"))
+      val clicks = ev.where(col("event_type") === "click")
+      def gap(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        (floor(a.cast("double")) - floor(b.cast("double"))).cast("long")
+      val back = graft.operators.AsOfJoin.asof(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_ts"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("purchase_id").as("b_id"), gap(col("ts"), col("purchase_ts")).as("b_gap"))
+      val fwd = graft.operators.AsOfJoin.asofForward(clicks, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_ts"))
+        .select(col("event_id"),
+          col("purchase_id").as("f_id"), gap(col("purchase_ts"), col("ts")).as("f_gap"))
+      back.join(fwd, "event_id")
+        .select(col("event_id"), col("user_id"),
+          when(col("f_gap").isNull ||
+               (col("b_gap").isNotNull && col("b_gap") <= col("f_gap")),
+            col("b_id")).otherwise(col("f_id")).as("purchase_id"),
+          when(col("f_gap").isNull ||
+               (col("b_gap").isNotNull && col("b_gap") <= col("f_gap")),
+            col("b_gap")).otherwise(col("f_gap")).as("gap_sec"))
+        .orderBy("event_id")
+    }),
     "q_events_attribution" -> ((s, d) => {
       // last-touch attribution with a tolerance: each purchase gets the
       // latest preceding click by the same user, but only if it landed
@@ -2040,6 +2074,10 @@ object RelationalQueries {
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_forward" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), m AS (SELECT c.event_id, c.user_id, c.ts, (SELECT min(p.ts) FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS mts FROM c) SELECT m.event_id, m.user_id, p.purchase_id, CASE WHEN m.mts IS NULL THEN NULL ELSE (floor(epoch(m.mts)) - floor(epoch(m.ts)))::BIGINT END AS gap_sec FROM m LEFT JOIN p ON p.user_id = m.user_id AND p.ts = m.mts ORDER BY m.event_id""",
+    // both directional correlated picks, then the same least-gap
+    // CASE the engine applies (tie -> backward)
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'), m AS (SELECT c.event_id, c.user_id, c.ts, (SELECT max(p.ts) FROM p WHERE p.user_id = c.user_id AND p.ts <= c.ts) AS bts, (SELECT min(p.ts) FROM p WHERE p.user_id = c.user_id AND p.ts >= c.ts) AS fts FROM c), g AS (SELECT event_id, user_id, ts, bts, fts, CASE WHEN bts IS NULL THEN NULL ELSE (floor(epoch(ts)) - floor(epoch(bts)))::BIGINT END AS b_gap, CASE WHEN fts IS NULL THEN NULL ELSE (floor(epoch(fts)) - floor(epoch(ts)))::BIGINT END AS f_gap FROM m), sel AS (SELECT event_id, user_id, CASE WHEN f_gap IS NULL OR (b_gap IS NOT NULL AND b_gap <= f_gap) THEN bts ELSE fts END AS sts, CASE WHEN f_gap IS NULL OR (b_gap IS NOT NULL AND b_gap <= f_gap) THEN b_gap ELSE f_gap END AS gap_sec FROM g) SELECT s.event_id, s.user_id, p.purchase_id, s.gap_sec FROM sel s LEFT JOIN p ON p.user_id = s.user_id AND p.ts = s.sts ORDER BY s.event_id""",
     "q_events_attribution" ->
       """WITH c AS (SELECT user_id, ts, max(event_id) AS click_id FROM events WHERE event_type = 'click' GROUP BY user_id, ts), p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') SELECT p.event_id, p.user_id, CASE WHEN floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 3600 THEN c.click_id END AS click_id, CASE WHEN floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 3600 THEN (floor(epoch(p.ts)) - floor(epoch(c.ts)))::BIGINT END AS gap_sec FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts ORDER BY p.event_id""",
     "q_stream_hourly" ->

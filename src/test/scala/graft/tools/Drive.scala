@@ -42,7 +42,8 @@ object Drive {
         "q_sketch_hll", "q_window_distinct", "q_multimodal_dedup",
         "q_stream_cdc", "q_graph_clustcoef", "q_catalog_timetravel",
         "q_udtf_ngrams", "q_agg_bitmap_intersect", "q_graph_bfs_bidir",
-        "q_graph_subtree_sum", "q_events_growth", "q_text_lift")) {
+        "q_graph_subtree_sum", "q_events_growth", "q_text_lift",
+        "q_asof_nearest", "q_source_evolution")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
       df.show(5, false)
