@@ -64,8 +64,8 @@ object Bench {
     "q_udtf_ngrams", "q_agg_bitmap_intersect",
     // wave-14: growth accounting, collocation lift
     "q_events_growth", "q_text_lift",
-    // wave-15: nearest-direction as-of
-    "q_asof_nearest")
+    // wave-15: nearest-direction as-of, cohort matrix
+    "q_asof_nearest", "q_events_cohort")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -1256,6 +1256,25 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_parts"))
         .orderBy("price")
     }),
+    "q_events_cohort" -> ((s, d) => {
+      // the full cohort matrix (q_events_retention generalized):
+      // users grouped by first-seen WEEK, activity counted at every
+      // (cohort_week, weeks_since) cell — the standard triangular
+      // retention artifact. Weeks are epoch-day/7 integer arithmetic
+      // (no calendar/locale ambiguity cross-engine); the matrix is
+      // one distinct fold + first-seen agg + a same-key join + one
+      // count(DISTINCT) per cell.
+      val epoch = to_date(lit("1970-01-01"))
+      val ud = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(datediff(to_date(col("ts")), epoch) / 7).cast("long").as("wk"))
+        .distinct()
+      val first = ud.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      ud.join(first, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("weeks_since"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy("cohort_wk", "weeks_since")
+    }),
     "q_events_growth" -> ((s, d) => {
       // growth accounting: per day, NEW users (first-ever activity)
       // vs RETURNING. first-seen day is one per-user agg; the daily
@@ -2096,6 +2115,8 @@ object RelationalQueries {
     // the engine's prefix-max rewrite must be result-invisible
     "q_skyline" ->
       """WITH p AS (SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part), f AS (SELECT * FROM p a WHERE NOT EXISTS (SELECT 1 FROM p o WHERE o.price <= a.price AND o.size >= a.size AND (o.price < a.price OR o.size > a.size))) SELECT price, size::INT AS size, count(*)::BIGINT AS n_parts FROM f GROUP BY price, size ORDER BY price""",
+    "q_events_cohort" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ((ts::DATE - DATE '1970-01-01') // 7)::BIGINT AS wk FROM events), f AS (SELECT user_id, min(wk) AS cohort_wk FROM ud GROUP BY user_id) SELECT f.cohort_wk, (ud.wk - f.cohort_wk)::BIGINT AS weeks_since, count(DISTINCT ud.user_id)::BIGINT AS n_active FROM ud JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY cohort_wk, weeks_since""",
     "q_events_growth" ->
       """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), f AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id) SELECT ud.day::VARCHAR AS day, count(CASE WHEN ud.day = f.first_day THEN 1 END)::BIGINT AS new_users, count(CASE WHEN ud.day <> f.first_day THEN 1 END)::BIGINT AS returning_users FROM ud JOIN f USING (user_id) GROUP BY ud.day ORDER BY day""",
     // the oracle is the naive day×activity range join; the engine's
