@@ -65,7 +65,9 @@ object Bench {
     // wave-14: growth accounting, collocation lift
     "q_events_growth", "q_text_lift",
     // wave-15: nearest-direction as-of, cohort matrix
-    "q_asof_nearest", "q_events_cohort")
+    "q_asof_nearest", "q_events_cohort",
+    // wave-16: data-scale degree distribution, vocabulary statistics
+    "q_graph_degree_dist", "q_text_vocab")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -377,6 +377,22 @@ object GraphQueries {
         .where(col("triangles") > 0)
         .orderBy("vertex")
     }),
+    "q_graph_degree_dist" -> ((s, d) => {
+      // degree distribution of the DATA-SCALE bipartite graph,
+      // log2-binned (the power-law fingerprint — how skew is this
+      // graph, does it need salting): two hash aggs over the 600k-
+      // edge table (sf0.1), bucket = bit length of degree via integer
+      // string ops — no float log anywhere. Output is ≤64 rows at any
+      // scale.
+      val deg = bipartiteEdges(s, d)
+        .groupBy(col("src").as("vertex"))
+        .agg(count(lit(1)).as("deg"))
+      deg.groupBy(length(bin(col("deg"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_vertices"),
+             min("deg").cast("long").as("min_deg"),
+             max("deg").cast("long").as("max_deg"))
+        .orderBy("bucket")
+    }),
     "q_graph_subtree_sum" -> ((s, d) => {
       // bottom-up subtree aggregation (hierarchical rollup — the
       // org-chart / category-tree OLAP op): per-level upward fold
@@ -539,6 +555,8 @@ object GraphQueries {
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), pv AS (SELECT a AS vertex FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) SELECT vertex, count(*)::BIGINT AS triangles FROM pv GROUP BY vertex ORDER BY vertex""",
     "q_graph_triangles" ->
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""",
+    "q_graph_degree_dist" ->
+      """WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), deg AS (SELECT src AS vertex, count(*) AS deg FROM e GROUP BY src) SELECT length(format('{:b}', deg))::INT AS bucket, count(*)::BIGINT AS n_vertices, min(deg)::BIGINT AS min_deg, max(deg)::BIGINT AS max_deg FROM deg GROUP BY bucket ORDER BY bucket""",
     "q_graph_subtree_sum" ->
       """WITH RECURSIVE n AS (SELECT n_nationkey::BIGINT AS k FROM nation), up AS (SELECT k AS v, k AS a FROM n UNION ALL SELECT v, a // 2 FROM up WHERE a > 0) SELECT a AS vertex, sum(v)::BIGINT AS subtree_sum FROM up GROUP BY a ORDER BY vertex""",
     "q_graph_clustcoef" ->

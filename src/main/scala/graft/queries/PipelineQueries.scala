@@ -480,6 +480,20 @@ object PipelineQueries {
           / count(lit(1)), 4).as("lm_nll"))
         .orderBy("doc_id")
     }),
+    "q_text_vocab" -> ((s, d) => {
+      // vocabulary statistics: frequency-of-frequencies, log2-binned
+      // — the Zipf fingerprint plus the hapax mass (bucket 1), the
+      // corpus-quality signal dedup/filter thresholds are tuned
+      // against. Tokens via the word_ngrams Generator, then two hash
+      // aggs; bucket = integer bit length (no float log). Output
+      // ≤64 rows at any corpus size.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val tc = t(s, d, "documents").select(expr("word_ngrams(text, 1)"))
+        .groupBy("gram").agg(count(lit(1)).as("c"))
+      tc.groupBy(length(bin(col("c"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_terms"), sum("c").cast("long").as("n_tokens"))
+        .orderBy("bucket")
+    }),
     "q_text_lift" -> ((s, d) => {
       // collocation strength as LIFT = N·c(xy) / (c(x)·c(y)) — the
       // PMI numerator/denominator without the log, so the only float
@@ -1048,6 +1062,8 @@ object PipelineQueries {
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_substring" ->
       s"""WITH $toksSql, sh20 AS (SELECT doc_id, CASE WHEN len(tk) < 20 THEN [] ELSE list_transform(range(1, len(tk) - 18), i -> array_to_string(tk[i:i+19], ' ')) END AS gs FROM toks), spans AS (SELECT doc_id, md5(unnest(gs)) AS span FROM sh20) SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS keeper FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""",
+    "q_text_vocab" ->
+      s"""WITH $toksSql, u AS (SELECT unnest(tk) AS w FROM toks), tc AS (SELECT w, count(*) AS c FROM u GROUP BY w) SELECT length(format('{:b}', c))::INT AS bucket, count(*)::BIGINT AS n_terms, sum(c)::BIGINT AS n_tokens FROM tc GROUP BY bucket ORDER BY bucket""",
     // lift ranks like PMI (log is monotone) but stays in exact
     // integer products + one rounded division
     "q_text_lift" ->

@@ -43,7 +43,8 @@ object Drive {
         "q_stream_cdc", "q_graph_clustcoef", "q_catalog_timetravel",
         "q_udtf_ngrams", "q_agg_bitmap_intersect", "q_graph_bfs_bidir",
         "q_graph_subtree_sum", "q_events_growth", "q_text_lift",
-        "q_asof_nearest", "q_source_evolution", "q_events_cohort")) {
+        "q_asof_nearest", "q_source_evolution", "q_events_cohort",
+        "q_graph_degree_dist", "q_text_vocab")) {
       val df = q(name)(spark, sf)
       println(s"$name ROWS=" + df.count())
       df.show(5, false)
