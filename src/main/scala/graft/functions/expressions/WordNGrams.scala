@@ -54,8 +54,12 @@ case class WordNGrams(child: Expression, nExpr: Expression)
     val raw = child.eval(input)
     if (raw == null) Nil
     else {
+      // Locale.ROOT: default-locale toLowerCase diverges on e.g. tr_TR
+      // JVMs ('I' → dotless 'ı'), breaking token parity with the
+      // locale-independent `lower()` the rest of the tokenizer family
+      // (TextFunctions.tokens) and the DuckDB oracle use.
       val toks = raw.asInstanceOf[UTF8String].toString
-        .trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .trim.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
       if (toks.length < n) Nil
       else (0 to toks.length - n).map { i =>
         InternalRow(i, UTF8String.fromString(toks.slice(i, i + n).mkString(" ")))

@@ -286,7 +286,8 @@ object Traversals {
     * n=100; this guard is ~5 orders of magnitude above that). */
   val dfsReplayMaxEdges: Long = 50000000L
 
-  def dfsLeaves(edges: DataFrame, start: Long): DataFrame = {
+  def dfsLeaves(edges: DataFrame, start: Long,
+                maxReplayEdges: Long = dfsReplayMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val reach = bfsLevels(edges, start).select("vertex")
@@ -294,9 +295,9 @@ object Traversals {
       .join(reach, edges("src") === reach("vertex"), "left_semi")
       .select(col("src").cast("long"), col("dst").cast("long"))
     val nEdges = reachableEdges.count()
-    require(nEdges <= dfsReplayMaxEdges,
+    require(nEdges <= maxReplayEdges,
       s"DFS-tree replay needs the reachable adjacency on the driver: " +
-        s"$nEdges edges exceeds dfsReplayMaxEdges=$dfsReplayMaxEdges " +
+        s"$nEdges edges exceeds dfsReplayMaxEdges=$maxReplayEdges " +
         "(DFS order is inherently sequential; use bfsLevels/sssp for " +
         "traversals that must scale past driver memory)")
     val adjRows = reachableEdges.as[(Long, Long)].collect()

@@ -118,11 +118,12 @@ private[sources] class MatrixScanBuilder(path: String, parts: Int)
     required = requiredSchema
   }
 
-  override def build(): Scan = new MatrixScan(path, n, lo.max(0), hi.min(n), required)
+  override def build(): Scan =
+    new MatrixScan(path, n, lo.max(0), hi.min(n), required, parts)
 }
 
 private[sources] class MatrixScan(path: String, n: Int, lo: Long, hi: Long,
-                                  required: StructType) extends Scan with Batch {
+                                  required: StructType, parts: Int) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -131,7 +132,9 @@ private[sources] class MatrixScan(path: String, n: Int, lo: Long, hi: Long,
   override def planInputPartitions(): Array[InputPartition] = {
     val rows = (hi - lo).max(0)
     if (rows == 0) return Array.empty
-    val nParts = math.min(rows, 4L).toInt
+    // honor the `partitions` read option (default 4) — clamped to the
+    // surviving row range so empty splits are never planned
+    val nParts = math.min(rows, parts.max(1).toLong).toInt
     val step = (rows + nParts - 1) / nParts
     (0 until nParts).map { i =>
       val s = lo + i * step

@@ -96,7 +96,12 @@ object EventStreams {
                    event_type: String, value: Double)
 
   case class Scd2Open(ver: Long, etype: String, from: Long, to: Long, n: Long)
-  case class Scd2State(buf: List[(Long, Long, String)], open: Option[Scd2Open])
+  /** `lastVer`: tombstone carry — the final version number of a chain
+    * finalized by timeout, kept (buf=Nil, open=None) for one more
+    * horizon so a dormant entity resuming soon CONTINUES its version
+    * numbering instead of silently restarting at 1. */
+  case class Scd2State(buf: List[(Long, Long, String)], open: Option[Scd2Open],
+                       lastVer: Long = 0L)
   case class Scd2Out(user_id: Long, ver: Long, event_type: String,
                      valid_from: Long, valid_to: Long, n_events: Long)
 
@@ -131,7 +136,15 @@ object EventStreams {
     * a fresh version chain BY CONTRACT (the dormant-entity
     * re-registration case); exact batch parity holds whenever
     * per-entity activity gaps stay below the horizon, which is how
-    * the exact-match gate (and any bounded replay) drives it. */
+    * the exact-match gate (and any bounded replay) drives it.
+    *
+    * Restart DETECTABILITY: finalization leaves a version-carrying
+    * tombstone in state for one further horizon, so a chain that
+    * resumes within it continues `ver` monotonically (its first new
+    * interval has ver = lastVer + 1 — downstream consumers can tell a
+    * restarted chain from a brand-new entity by ver > 1). Only after
+    * a second horizon of silence is the tombstone pruned and the
+    * numbering genuinely reset; state stays bounded either way. */
   def scd2(events: Dataset[Event], lateness: String = "2 hours",
            finalizeAfterDays: Int = 7): Dataset[Scd2Out] = {
     import events.sparkSession.implicits._
@@ -140,8 +153,11 @@ object EventStreams {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[Scd2State]) =>
           def out(o: Scd2Open) = Scd2Out(userId, o.ver, o.etype, o.from, o.to, o.n)
-          // fold (ts, event_id, type) rows, ascending, into the open interval
-          def fold(sorted: Seq[(Long, Long, String)], open0: Option[Scd2Open]):
+          // fold (ts, event_id, type) rows, ascending, into the open
+          // interval; a chain (re)started with no open interval numbers
+          // from baseVer + 1 (baseVer > 0 only on a tombstone resume)
+          def fold(sorted: Seq[(Long, Long, String)], open0: Option[Scd2Open],
+                   baseVer: Long):
               (List[Scd2Out], Option[Scd2Open]) = {
             var open = open0
             var closed = List.empty[Scd2Out]
@@ -149,15 +165,29 @@ object EventStreams {
               open = open match {
                 case Some(o) if o.etype == typ => Some(o.copy(to = t, n = o.n + 1))
                 case Some(o) => closed ::= out(o); Some(Scd2Open(o.ver + 1, typ, t, t, 1))
-                case None => Some(Scd2Open(1, typ, t, t, 1))
+                case None => Some(Scd2Open(baseVer + 1, typ, t, t, 1))
               }
             }
             (closed.reverse, open)
           }
           if (state.hasTimedOut) {
             val st = state.getOption.getOrElse(Scd2State(Nil, None))
-            state.remove()
-            val (closed, open) = fold(st.buf.sortBy(r => (r._1, r._2)), st.open)
+            val (closed, open) = fold(st.buf.sortBy(r => (r._1, r._2)), st.open,
+              st.lastVer)
+            open match {
+              case Some(o) =>
+                // finalize the chain but leave a version-carrying
+                // tombstone for one more horizon (restart detectability
+                // — see the scaladoc contract); it holds no events, so
+                // state stays O(1) per dormant entity and is pruned at
+                // the next timeout below
+                state.update(Scd2State(Nil, None, o.ver))
+                state.setTimeoutTimestamp(scala.util.Try(
+                  state.getCurrentWatermarkMs()).getOrElse(0L) +
+                  finalizeAfterDays * 86400000L)
+              case None =>
+                state.remove() // tombstone (or empty state) expired
+            }
             (closed ++ open.map(out).toList).iterator
           } else {
             val st = state.getOption.getOrElse(Scd2State(Nil, None))
@@ -171,8 +201,12 @@ object EventStreams {
               .getOrElse(0L) * 1000
             val buf = st.buf ++ incoming
             val (ready, pending) = buf.partition(_._1 < wmMicros)
-            val (closed, open) = fold(ready.sortBy(r => (r._1, r._2)), st.open)
-            state.update(Scd2State(pending, open))
+            val (closed, open) = fold(ready.sortBy(r => (r._1, r._2)), st.open,
+              st.lastVer)
+            // once an interval is open its ver carries the numbering;
+            // until then the tombstone's lastVer must survive the batch
+            state.update(Scd2State(pending, open,
+              if (open.isDefined) 0L else st.lastVer))
             // finalize only after the HORIZON of event-time silence
             // past the entity's last known activity (buffered or
             // already folded) — not merely past the lateness window

@@ -57,6 +57,22 @@ class MatrixSourceV2Spec extends SparkSpec {
     assert(v2("G7.txt").where(col("src") > 5 && col("src") < 3).count() === 0L)
   }
 
+  test("the partitions read option controls planned input splits") {
+    def partsOf(n: Int) = scanOf(spark.read.format("graft-matrix")
+      .option("partitions", n).load(MatrixIO.resourcePath("G7.txt")))
+      .inputRDD.getNumPartitions
+    assert(partsOf(2) === 2)
+    assert(partsOf(7) === 7)          // G7 has 7 rows — one per split
+    assert(partsOf(100) === 7)        // clamped to the row count
+    assert(partsOf(0) === 1)          // degenerate values clamp to 1
+    // option respected alongside row-range pruning: [4,6) has 2 rows
+    val pruned = spark.read.format("graft-matrix").option("partitions", 1)
+      .load(MatrixIO.resourcePath("G7.txt"))
+      .where(col("src") >= 4 && col("src") < 6)
+    assert(scanOf(pruned).inputRDD.getNumPartitions === 1)
+    assert(pruned.count() === 4L)
+  }
+
   test("malformed files fail loudly at scan build, not silently mis-parse") {
     def tmpWith(content: String): String = {
       val p = java.nio.file.Files.createTempFile("graft-badmatrix-", ".txt")

@@ -346,4 +346,47 @@ class StreamingSpec extends SparkSpec {
           s"missing=${(expected -- got).toSeq.sortBy(_.head.toString.toLong).take(6)}")
     } finally q.stop()
   }
+
+  test("scd2 dormant-entity restart continues ver via the tombstone (detectable)") {
+    // contract under test (EventStreams.scd2 scaladoc): an entity silent
+    // past the finalization horizon has its chain closed, but a resume
+    // within ONE further horizon continues version numbering from the
+    // tombstone — ver > 1 on the restarted chain's first interval is the
+    // downstream-visible restart marker
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-tomb")
+    val base = 1600000000L * 1000000000L // nanos
+    val hour = 3600L * 1000000000L
+    val day = 24L * hour
+    def stage(tag: String, rows: Seq[(Long, Long, Long, String)]): Unit =
+      rows.map { case (id, ts, uid, typ) => (id, ts, uid, typ, 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage("f1", Seq((1L, base, 1L, "a"), (2L, base + hour, 1L, "a")))
+    val q = EventStreams.scd2(
+      EventStreams.eventsStream(spark, streamDir.toString + "/*")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event]))
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("scd2tomb").start()
+    try {
+      q.processAllAvailable()
+      // two sentinel batches past the horizon: first advances the
+      // watermark, second fires the now-expired timeout → chain 1
+      // finalized, tombstone (lastVer=1) retained
+      stage("f2", Seq((901L, base + 10 * day, 99L, "view"))); q.processAllAvailable()
+      stage("f3", Seq((902L, base + 10 * day + hour, 99L, "view"))); q.processAllAvailable()
+      // entity resumes ~4 days after finalization — within the tombstone
+      // horizon, so numbering must CONTINUE (ver 2, 3), not restart at 1
+      stage("f4", Seq((3L, base + 11 * day, 1L, "b"), (4L, base + 11 * day + hour, 1L, "c")))
+      q.processAllAvailable()
+      stage("f5", Seq((903L, base + 30 * day, 99L, "view"))); q.processAllAvailable()
+      stage("f6", Seq((904L, base + 31 * day, 99L, "view"))); q.processAllAvailable()
+      val got = spark.table("scd2tomb").where(col("user_id") === 1L)
+        .select("ver", "event_type", "n_events")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set((1L, "a", 2L), (2L, "b", 1L), (3L, "c", 1L)),
+        s"restarted chain must continue ver from the tombstone; got $got")
+    } finally q.stop()
+  }
 }

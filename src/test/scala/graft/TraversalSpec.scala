@@ -22,6 +22,20 @@ class TraversalSpec extends SparkSpec {
   def leaves(g: String, start: Long): Seq[Long] =
     Traversals.dfsLeaves(edges(g), start).collect().map(_.getLong(0)).toSeq
 
+  test("DFS replay refuses a reachable edge set over maxReplayEdges") {
+    // the guard protects the driver from collecting an unbounded
+    // adjacency; drive it with a tiny cap so the negative path runs
+    // without materializing 50M edges
+    val e = intercept[IllegalArgumentException] {
+      Traversals.dfsLeaves(edges("G7"), 0, maxReplayEdges = 3L)
+    }
+    assert(e.getMessage.contains("exceeds dfsReplayMaxEdges=3"))
+    assert(e.getMessage.contains("bfsLevels"), "message should point at the scalable alternative")
+    // at exactly the bound the replay proceeds (G7 component from 0 has 12 edges)
+    assert(Traversals.dfsLeaves(edges("G7"), 0, maxReplayEdges = 12L)
+      .collect().map(_.getLong(0)).toSeq === leaves("G7", 0))
+  }
+
   test("MatrixIO parses G7 into 12 directed edges") {
     val e = edges("G7").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(e === Set((0, 1), (1, 0), (0, 4), (4, 0), (1, 2), (2, 1),
