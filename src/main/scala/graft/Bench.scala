@@ -69,7 +69,11 @@ object Bench {
     // wave-15: nearest-direction as-of, cohort matrix
     "q_asof_nearest", "q_events_cohort",
     // wave-16: data-scale degree distribution, vocabulary statistics
-    "q_graph_degree_dist", "q_text_vocab")
+    "q_graph_degree_dist", "q_text_vocab",
+    // round-9: the partsupp-derived TPC-H five (q9 is the heavy one —
+    // lineitem × derived-partsupp two-key join; q2/q11/q16/q20 are
+    // dimension-bound probes of the same derivation)
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -26,7 +26,11 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_events_funnel",                               // scalar step totals
     "q_graph_clustcoef", "q_graph_triangles",        // 25-row nation non-equi generator / scalar terms
     "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold
-    "q_subquery", "q_tpch_q22")                      // scalar subqueries
+    "q_subquery", "q_tpch_q22",                      // scalar subqueries
+    // the derived-partsupp five: the derivation itself crossJoins ONE
+    // broadcast scalar (the supplier count) into the part projection —
+    // TpchQueries.partsupp; q11 adds the threshold scalar on top
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
