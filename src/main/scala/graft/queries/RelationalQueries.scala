@@ -813,11 +813,41 @@ object RelationalQueries {
                ORDER BY c.c_custkey""")
     }),
     "q_agg_approx" -> ((s, d) => {
-      // HLL sketch — engine capability; no oracle (estimator-specific)
-      t(s, d, "lineitem").groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_med"))
-        .orderBy("l_returnflag")
+      // approximate aggregates, exact-oracle edition: the estimators
+      // are DETERMINISTIC so the oracle rebuilds them bit-for-bit —
+      // per-group 64-register HLL distinct (the q_sketch_hll
+      // machinery, registers keyed by (group, idx)) and a fixed-bin
+      // histogram median (the q_agg_histo_quantile machinery). The
+      // built-in approx_count_distinct / approx_percentile offer the
+      // same capability with engine-private estimators; these twins
+      // measure the same state-bounded shapes (64 registers / ~70
+      // bins per group, however many rows stream through) while
+      // keeping the row hash-checkable. Two partial+final aggs and
+      // two ≤O(groups·bins) windows — no sort of the raw data.
+      val li = t(s, d, "lineitem")
+      val h = md5(concat(lit("hll|"), col("k")))
+      val hll = li.select(col("l_returnflag"), col("l_partkey").cast("string").as("k"))
+        .select(col("l_returnflag"),
+          (conv(substring(h, 1, 8), 16, 10).cast("long") % 64).cast("int").as("idx"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("v"))
+        .select(col("l_returnflag"), col("idx"),
+          when(col("v") === 0, lit(33)).otherwise(lit(33) - length(bin(col("v")))).as("rho"))
+        .groupBy("l_returnflag", "idx").agg(max("rho").as("m"))
+        .groupBy("l_returnflag")
+        .agg(sum(pow(lit(2.0), -col("m"))).as("ssum"), count(lit(1)).as("nreg"))
+        .select(col("l_returnflag"),
+          round(lit(0.709) * 4096.0 / (col("ssum") + (lit(64) - col("nreg")) * 1.0), 4)
+            .as("approx_parts"))
+      val bins = li.groupBy(col("l_returnflag"),
+          floor(col("l_extendedprice") / 2000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val med = bins
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("l_returnflag").orderBy("bin")))
+        .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+        .groupBy("l_returnflag")
+        .agg(min(when(col("cum") * 2 >= col("n"), col("bin") * 2000)).as("approx_med"))
+      hll.join(med, Seq("l_returnflag")).orderBy("l_returnflag")
     }),
     "q_asof_join" -> ((s, d) => {
       val ev = Tables.events(s, d)
@@ -2142,6 +2172,10 @@ object RelationalQueries {
       """SELECT count(*)::BIGINT AS n_both FROM (SELECT DISTINCT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1995 INTERSECT SELECT DISTINCT l_suppkey FROM lineitem WHERE year(l_shipdate) = 2000)""",
     "q_agg_bitmap_native" ->
       """SELECT l_linestatus, (l_orderkey % 2)::BIGINT AS side, count(DISTINCT l_partkey)::BIGINT AS n_parts FROM lineitem GROUP BY 1, 2 ORDER BY l_linestatus, side""",
+    // deterministic estimators (per-group HLL registers + fixed-bin
+    // median) — the oracle rebuilds the identical sketch state
+    "q_agg_approx" ->
+      """WITH r0 AS (SELECT l_returnflag, ('0x' || substr(md5('hll|' || l_partkey::VARCHAR), 1, 8))::BIGINT % 64 AS idx, ('0x' || substr(md5('hll|' || l_partkey::VARCHAR), 9, 8))::BIGINT AS v FROM lineitem), rg AS (SELECT l_returnflag, idx, max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(format('{:b}', v)) END) AS m FROM r0 GROUP BY 1, 2), hll AS (SELECT l_returnflag, round(0.709 * 4096.0 / (sum(pow(2.0, -m)) + (64 - count(*)) * 1.0), 4) AS approx_parts FROM rg GROUP BY 1), b AS (SELECT l_returnflag, floor(l_extendedprice / 2000)::BIGINT AS bin, count(*) AS c FROM lineitem GROUP BY 1, 2), cb AS (SELECT l_returnflag, bin, sum(c) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM b), md AS (SELECT l_returnflag, min(CASE WHEN cum * 2 >= n THEN bin * 2000 END)::BIGINT AS approx_med FROM cb GROUP BY 1) SELECT l_returnflag, approx_parts, approx_med FROM hll JOIN md USING (l_returnflag) ORDER BY l_returnflag""",
     // integer-threshold cumulative picks — the binning is the
     // operator; the oracle rebuilds the same histogram exactly
     "q_agg_histo_quantile" ->

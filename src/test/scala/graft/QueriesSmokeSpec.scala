@@ -54,9 +54,10 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("every query has an oracle or a documented exemption") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // dfs_leaves: traversal-order-dependent; approx: HLL estimator-
-    // specific — both golden-tested instead (pagerank graduated to an
-    // exact oracle via the deterministic decimal-sum implementation)
-    assert(noOracle === Set("q_graph_dfs_leaves", "q_agg_approx"))
+    // dfs_leaves is traversal-order-dependent — golden-tested instead
+    // (pagerank graduated to an exact oracle via deterministic decimal
+    // sums; q_agg_approx via the deterministic-HLL + histogram-median
+    // estimators)
+    assert(noOracle === Set("q_graph_dfs_leaves"))
   }
 }
