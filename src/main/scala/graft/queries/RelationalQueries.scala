@@ -618,15 +618,29 @@ object RelationalQueries {
     }),
     "q_basket_pairs" -> ((s, d) => {
       // frequent co-occurring item pairs (market-basket support
-      // counts): parts appearing together in >= 3 orders. Pair
-      // generation is a self-equi-join on the basket key — per-basket
-      // quadratic but bounded by basket size (TPC-H baskets hold <= 13
-      // distinct parts), so the cost is two basket-keyed shuffles,
-      // never |parts|^2; the support filter keeps output sparse.
-      val li = t(s, d, "lineitem").select(col("l_orderkey").as("ok"), col("l_partkey"))
-      li.toDF("ok", "pi").join(li.toDF("ok", "pj"), "ok")
+      // counts): parts appearing together in >= 3 orders. Two guards
+      // keep the per-basket-quadratic self-join bounded at any scale:
+      // (1) APRIORI PRUNE — an item in < 3 baskets cannot be in a
+      // pair with support >= 3, so the self-join input is semi-joined
+      // against the frequent-item set first (the A-Priori downward-
+      // closure property, Agrawal & Srikant VLDB'94); (2) BASKET CAP —
+      // baskets over 1000 distinct frequent items are excluded (both
+      // engines apply the cap, so the oracle stays exact), bounding
+      // any single basket's pair fan-out at ~500k instead of letting
+      // one pathological mega-basket go quadratic unchecked. The
+      // (order, part) dedup happens BEFORE the join, so the join
+      // output needs no distinct pass.
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey")).distinct()
+      val frequent = li.groupBy("l_partkey").agg(count(lit(1)).as("sup"))
+        .where(col("sup") >= 3).select(col("l_partkey"))
+      val pruned = li.join(frequent, Seq("l_partkey"), "left_semi")
+      val small = pruned.groupBy("ok").agg(count(lit(1)).as("bsz"))
+        .where(col("bsz") <= 1000).select(col("ok"))
+      val items = pruned.join(small, Seq("ok"), "left_semi")
+      items.select(col("ok"), col("l_partkey").as("pi"))
+        .join(items.select(col("ok"), col("l_partkey").as("pj")), "ok")
         .where(col("pi") < col("pj"))
-        .select("ok", "pi", "pj").distinct()
         .groupBy("pi", "pj").agg(count(lit(1)).as("n_orders"))
         .where(col("n_orders") >= 3)
         .orderBy(desc("n_orders"), col("pi"), col("pj"))
@@ -2099,8 +2113,11 @@ object RelationalQueries {
       """WITH st AS (SELECT user_id, count(*)::DOUBLE AS n, round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS s1, round(sum(value::DECIMAL(18,6) * value::DECIMAL(18,6)), 6)::DOUBLE AS s2 FROM events GROUP BY user_id) SELECT e.user_id, max(st.n)::BIGINT AS n_events, round(max(st.s1/st.n), 4) AS mean_value, count(*) FILTER (WHERE (e.value - st.s1/st.n) * (e.value - st.s1/st.n) > 4.0 * (st.s2/st.n - (st.s1/st.n)*(st.s1/st.n)))::BIGINT AS n_outliers FROM events e JOIN st ON e.user_id = st.user_id GROUP BY e.user_id ORDER BY e.user_id""",
     "q_events_transitions" ->
       """WITH o AS (SELECT user_id, event_type AS to_type, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type FROM events) SELECT from_type, to_type, count(*)::BIGINT AS n, count(DISTINCT user_id)::BIGINT AS n_users FROM o WHERE from_type IS NOT NULL GROUP BY from_type, to_type ORDER BY from_type, to_type""",
+    // mirrors the apriori prune + 1000-item basket cap (both are
+    // no-ops on fixture data — baskets hold <= 13 parts — but the
+    // oracle encodes the FULL semantics so it stays exact on any data)
     "q_basket_pairs" ->
-      """WITH p AS (SELECT DISTINCT a.l_orderkey, a.l_partkey AS pi, b.l_partkey AS pj FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) SELECT pi, pj, count(*)::BIGINT AS n_orders FROM p GROUP BY pi, pj HAVING count(*) >= 3 ORDER BY n_orders DESC, pi, pj""",
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey FROM lineitem), fr AS (SELECT l_partkey FROM li GROUP BY l_partkey HAVING count(*) >= 3), pr AS (SELECT ok, l_partkey FROM li WHERE l_partkey IN (SELECT l_partkey FROM fr)), sm AS (SELECT ok FROM pr GROUP BY ok HAVING count(*) <= 1000), it AS (SELECT ok, l_partkey FROM pr WHERE ok IN (SELECT ok FROM sm)) SELECT a.l_partkey AS pi, b.l_partkey AS pj, count(*)::BIGINT AS n_orders FROM it a JOIN it b ON a.ok = b.ok AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY n_orders DESC, pi, pj""",
     "q_events_twa" ->
       """WITH e AS (SELECT user_id, event_id, value, epoch_us(ts)::BIGINT AS tus FROM events), o AS (SELECT user_id, value, tus, lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus AS dur FROM e) SELECT user_id, count(*)::BIGINT AS n_holds, sum(dur)::BIGINT AS held_us, round(sum(round(value,6)::DECIMAL(19,6) * dur::DECIMAL(19,0))::DOUBLE / sum(dur)::DOUBLE, 6) AS twa FROM o WHERE dur IS NOT NULL GROUP BY user_id ORDER BY user_id""",
     "q_window_extras" ->

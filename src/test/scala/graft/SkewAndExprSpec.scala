@@ -106,4 +106,22 @@ class SkewAndExprSpec extends SparkSpec {
     assert(CosineSimilarity(lit(Seq(1.0, null)), lit(Seq(1.0, 2.0))).eval(null) === null)
     assert(CosineSimilarity(lit(Seq(3.0, 4.0)), lit(Seq(3.0, 4.0))).eval(null) === 1.0)
   }
+
+  test("q_basket_pairs mega-basket stress: the cap excludes pathological baskets") {
+    // adversarial input the fixture can't produce: three identical
+    // 1500-item baskets (every item frequent, so the apriori prune
+    // keeps them all — without the basket cap this alone would emit
+    // 3 x ~1.1M candidate pairs), plus three 2-item baskets whose pair
+    // reaches support 3. The cap must drop the mega-baskets entirely
+    // and keep the small-basket pair — and finish quickly.
+    val dir = java.nio.file.Files.createTempDirectory("graft-megabasket")
+    val mega = for (ok <- 1L to 3L; pk <- 0L until 1500L) yield (ok, pk)
+    val small = for (ok <- 10L to 12L; pk <- Seq(9000L, 9001L)) yield (ok, pk)
+    (mega ++ small).toDF("l_orderkey", "l_partkey")
+      .write.parquet(dir.resolve("lineitem.parquet").toString)
+    val got = SparkEntry.queries("q_basket_pairs")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((9000L, 9001L, 3L)),
+      s"mega-baskets must be excluded by the 1000-item cap; got $got")
+  }
 }
