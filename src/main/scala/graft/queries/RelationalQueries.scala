@@ -94,6 +94,32 @@ object RelationalQueries {
     } else java.nio.file.Files.copy(src, dst.resolve(s"${prefix}events.parquet"))
   }
 
+  /** Writes a single far-future sentinel event (user -1, `plusDays`
+    * past the fixture's max ts) as parquet under `streamDir/tag`,
+    * with `ts` encoded in the SAME dtype as the staged fixture — the
+    * file-stream's schema is fixed from the staged files at
+    * definition time, so a sentinel written in any other dtype would
+    * be rejected or (for long vs timestamp int64) silently
+    * mis-scaled. */
+  private def writeSentinel(s: SparkSession, d: String,
+                            streamDir: java.nio.file.Path, tag: String,
+                            plusDays: Long): Unit = {
+    import s.implicits._
+    val rawTs = Tables.t(s, d, "events").schema("ts").dataType
+    val maxMicros = Tables.events(s, d)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val tsMicros = maxMicros + plusDays * 86400L * 1000000L
+    val base = Seq((-1L, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+    val withTs = rawTs match {
+      case org.apache.spark.sql.types.LongType => // nanos-long fixtures
+        base.withColumn("ts", lit(tsMicros * 1000L))
+      case t => base.withColumn("ts", timestamp_micros(lit(tsMicros)).cast(t))
+    }
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+  }
+
   /** Session-scoped memo of the purchases reference table staged as a
     * BUCKETED catalog table (32 buckets on p_user, file-sorted by
     * (p_user, p_ts)) — the pre-partitioned-reference-side layout
@@ -1840,16 +1866,10 @@ object RelationalQueries {
       try {
       val e0 = java.nio.file.Files.createDirectory(streamDir.resolve("e0"))
       stageEventsInto(d, e0)
-      // sentinel writer: one far-future event for user -1, raw nanos ts
-      // (matches EventStreams.rawSchema so the file-stream accepts it)
-      val maxNanos = Tables.events(s, d).agg(max(col("ts"))).head()
-        .getTimestamp(0).getTime * 1000000L
-      def sentinel(tag: String, plusDays: Long): Unit = {
-        import s.implicits._
-        Seq((-1L, maxNanos + plusDays * 86400L * 1000000000L, -1L, "view", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
-      }
+      // sentinel writer: one far-future event for user -1, ts encoded
+      // in the staged fixture's dtype (see writeSentinel)
+      def sentinel(tag: String, plusDays: Long): Unit =
+        writeSentinel(s, d, streamDir, tag, plusDays)
       val sink = "stream_sess_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val events = graft.streaming.EventStreams.eventsStream(s, streamDir.toString + "/*")
         .select(c("event_id"), c("ts"), c("user_id"), c("event_type"), c("value"))
@@ -1881,14 +1901,8 @@ object RelationalQueries {
       try {
       val e0 = java.nio.file.Files.createDirectory(streamDir.resolve("e0"))
       stageEventsInto(d, e0)
-      val maxNanos = Tables.events(s, d).agg(max(col("ts"))).head()
-        .getTimestamp(0).getTime * 1000000L
-      def sentinel(tag: String, plusDays: Long): Unit = {
-        import s.implicits._
-        Seq((-1L, maxNanos + plusDays * 86400L * 1000000000L, -1L, "view", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
-      }
+      def sentinel(tag: String, plusDays: Long): Unit =
+        writeSentinel(s, d, streamDir, tag, plusDays)
       val sink = "stream_scd2_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val events = graft.streaming.EventStreams.eventsStream(s, streamDir.toString + "/*")
         .select(c("event_id"), c("ts"), c("user_id"), c("event_type"), c("value"))

@@ -19,18 +19,43 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
-  /** Schema the `events` parquet stream arrives with (ts read as
-    * nanos-long, converted on ingest — see [[eventsStream]]). */
+  /** The events-stream column set (ts normalized to TimestampType on
+    * ingest — see [[eventsStream]]). Retained as the reference shape
+    * for staging helpers; the live source derives its raw schema from
+    * the files themselves, never from this. */
   val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-stream source over an events directory. */
+  /** File-stream source over an events directory.
+    *
+    * A file stream needs a user-supplied schema, and supplying a WRONG
+    * one is the worst failure mode this engine has: parquet happily
+    * reinterprets int64 micros as nanos and every timestamp silently
+    * collapses 1000×. So the schema is never assumed — it is read from
+    * the files already present (batch footer read; at least one file
+    * must exist when the stream is defined, which every caller
+    * guarantees by staging before starting). The ts normalization then
+    * branches on the FOOTER dtype, exactly like the batch
+    * [[graft.queries.Tables.events]]:
+    * nanos-long → integer-truncate to micros; TIMESTAMP_NTZ → session
+    * zone; TIMESTAMP → pass through. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    val fileSchema = spark.read.parquet(dir).schema
+    require(fileSchema.fieldNames.contains("ts"),
+      s"events stream dir $dir has no ts column: $fileSchema")
+    val stream = spark.readStream.schema(fileSchema).parquet(dir)
+    fileSchema("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => stream
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet type $other (expected " +
+          "nanos-long, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 
   /** Hourly tumbling-window counts/sums per event type, 2h watermark

@@ -8,6 +8,21 @@ class StreamingSpec extends SparkSpec {
 
   val dir = TestSpark.sfDir
 
+  /** Stage synthetic events in the CURRENT fixture dtype: `ts` =
+    * TIMESTAMP_NTZ micros (the post-refresh /root/testdata shape;
+    * under the UTC test session the NTZ wall clock equals the epoch).
+    * Rows carry (event_id, epochMicros, user_id, event_type). One
+    * suite member below stages nanos-long instead — the pre-refresh
+    * dtype — to keep the adaptive source's legacy path covered. */
+  private def stageMicros(dst: java.nio.file.Path, tag: String,
+                          rows: Seq[(Long, Long, Long, String)]): Unit = {
+    rows.map { case (id, us, u, tpe) => (id, us, u, tpe, 0.0, "{}") }
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us")).cast("timestamp_ntz"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(dst.resolve(tag).toString)
+  }
+
   test("streaming hourly agg over events matches the batch result") {
     // file-stream sources need a directory; stage the single parquet file
     val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
@@ -94,8 +109,8 @@ class StreamingSpec extends SparkSpec {
   test("event-time timeout emits final sessions once the watermark passes") {
     import org.apache.spark.sql.functions._
     val streamDir = java.nio.file.Files.createTempDirectory("graft-timeout-stream")
-    // keep ts as raw nanos-long so the staged files match rawSchema
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // re-write fixture rows verbatim (ts stays in the fixture's own
+    // dtype, so the staged files look exactly like /root/testdata)
     val raw = spark.read.parquet(s"$dir/events.parquet")
     // file1: even users (full time range); file2: odd users — even users
     // get no further events, so their final sessions can ONLY surface
@@ -126,11 +141,10 @@ class StreamingSpec extends SparkSpec {
   test("a cross-batch late event parks in the tail; the open session is NOT split") {
     import org.apache.spark.sql.functions._
     val dir2 = java.nio.file.Files.createTempDirectory("graft-late")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def write(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
       import spark.implicits._
       rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
-        .withColumn("ts", unix_timestamp(col("tss")) * 1000000000L).drop("tss")
+        .withColumn("ts", to_timestamp(col("tss")).cast("timestamp_ntz")).drop("tss")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(dir2.resolve(name).toString)
     }
@@ -164,11 +178,10 @@ class StreamingSpec extends SparkSpec {
   test("late events bridging two parked sessions coalesce into one") {
     import org.apache.spark.sql.functions._
     val dir3 = java.nio.file.Files.createTempDirectory("graft-bridge")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def write(name: String, rows: Seq[(Long, String, Long, String, Double, String)]): Unit = {
       import spark.implicits._
       rows.toDF("event_id", "tss", "user_id", "event_type", "value", "props")
-        .withColumn("ts", unix_timestamp(col("tss")) * 1000000000L).drop("tss")
+        .withColumn("ts", to_timestamp(col("tss")).cast("timestamp_ntz")).drop("tss")
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.parquet(dir3.resolve(name).toString)
     }
@@ -225,6 +238,9 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream interval join matches across batches; beyond-gap clicks don't pair") {
+    // deliberately staged as raw NANOS-LONG ts — the pre-refresh
+    // fixture dtype — so the adaptive source's legacy branch stays
+    // exercised (every other suite member stages micros NTZ)
     val streamDir = java.nio.file.Files.createTempDirectory("graft-join-stream")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = 1700000000L * 1000000000L // raw nanos
@@ -261,12 +277,9 @@ class StreamingSpec extends SparkSpec {
 
   test("left-outer interval join null-pads unmatched views once the watermark passes") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-join-outer")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = 1700000000L * 1000000000L // raw nanos
+    val base = 1700000000L * 1000000L // epoch micros
     def stage(tag: String, rows: Seq[(Long, Long, Long, String)]): Unit =
-      rows.map { case (id, ns, u, tpe) => (id, ns, u, tpe, 0.0, "{}") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+      stageMicros(streamDir, tag, rows)
     // user 1: view that will NEVER match; user 2: view that will
     stage("b1", Seq((100L, base, 1L, "view"), (200L, base, 2L, "view")))
     val views = EventStreams.eventsStream(spark, streamDir.toString + "/*")
@@ -283,7 +296,7 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       // user 2 clicks 10 min after the view: pairs and emits immediately
-      stage("b2", Seq((201L, base + 600L * 1000000000L, 2L, "click")))
+      stage("b2", Seq((201L, base + 600L * 1000000L, 2L, "click")))
       q.processAllAvailable()
       val afterB2 = spark.table("ivouter").collect()
         .map(r => r.getAs[Long]("view_id") -> Option(r.getAs[Any]("click_id"))).toMap
@@ -292,7 +305,7 @@ class StreamingSpec extends SparkSpec {
       // far-future view+click (user 99) push BOTH sides' watermarks past
       // user 1's interval end + 2h delay; the eviction no-data batch then
       // releases the unmatched view null-padded
-      val far = base + 4L * 3600L * 1000000000L
+      val far = base + 4L * 3600L * 1000000L
       stage("b3", Seq((900L, far, 99L, "view"), (901L, far, 99L, "click")))
       q.processAllAvailable()
       val got = spark.table("ivouter").collect()
@@ -309,10 +322,14 @@ class StreamingSpec extends SparkSpec {
     // — the incremental-fold path the gate alone doesn't exercise
     import org.apache.spark.sql.functions._
     val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet") // ts = raw nanos long
-    val mid = raw.agg(expr("percentile_approx(ts, 0.5, 1000)")).head().getLong(0)
-    raw.where(col("ts") <= mid).coalesce(1).write.parquet(streamDir.resolve("f1").toString)
+    // fixture rows re-written verbatim (ts keeps the fixture dtype);
+    // the split point is computed on epoch micros either way
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val mid = raw
+      .agg(expr("percentile_approx(unix_micros(cast(ts AS timestamp)), 0.5, 1000)"))
+      .head().getLong(0)
+    val tsUs = expr("unix_micros(cast(ts AS timestamp))")
+    raw.where(tsUs <= mid).coalesce(1).write.parquet(streamDir.resolve("f1").toString)
     val q = EventStreams.scd2(
       EventStreams.eventsStream(spark, streamDir.toString + "/*")
         .select("event_id", "ts", "user_id", "event_type", "value")
@@ -321,18 +338,17 @@ class StreamingSpec extends SparkSpec {
       .writeStream.outputMode("append").format("memory").queryName("scd2x").start()
     try {
       q.processAllAvailable()
-      raw.where(col("ts") > mid).coalesce(1).write.parquet(streamDir.resolve("f2").toString)
+      raw.where(tsUs > mid).coalesce(1).write.parquet(streamDir.resolve("f2").toString)
       q.processAllAvailable()
       // far-future sentinel advances the watermark so every user's
       // final interval is timeout-emitted
       // TWO sentinel batches (same as the gate's s1/s2): the first
       // advances the watermark at its END, the second lets the
       // now-expired timeouts actually fire
-      val maxNanos = raw.agg(max(col("ts"))).head().getLong(0)
+      val maxMicros = raw.agg(max(tsUs)).head().getLong(0)
       def sentinel(tag: String, plusDays: Long): Unit =
-        Seq((-1L, maxNanos + plusDays * 86400L * 1000000000L, -1L, "view", 0.0, "{}"))
-          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-          .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+        stageMicros(streamDir, tag,
+          Seq((-1L, maxMicros + plusDays * 86400L * 1000000L, -1L, "view")))
       sentinel("f3", 30); q.processAllAvailable()
       sentinel("f4", 60); q.processAllAvailable()
       val got = spark.table("scd2x").where(col("user_id").between(0L, 50L))
@@ -354,14 +370,11 @@ class StreamingSpec extends SparkSpec {
     // tombstone — ver > 1 on the restarted chain's first interval is the
     // downstream-visible restart marker
     val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-tomb")
-    val base = 1600000000L * 1000000000L // nanos
-    val hour = 3600L * 1000000000L
+    val base = 1600000000L * 1000000L // epoch micros
+    val hour = 3600L * 1000000L
     val day = 24L * hour
     def stage(tag: String, rows: Seq[(Long, Long, Long, String)]): Unit =
-      rows.map { case (id, ts, uid, typ) => (id, ts, uid, typ, 0.0, "{}") }
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      stageMicros(streamDir, tag, rows)
     stage("f1", Seq((1L, base, 1L, "a"), (2L, base + hour, 1L, "a")))
     val q = EventStreams.scd2(
       EventStreams.eventsStream(spark, streamDir.toString + "/*")

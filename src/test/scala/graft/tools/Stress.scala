@@ -282,14 +282,12 @@ object Stress {
         .where(col("in_s").isNull || col("op") =!= "D")
         .groupBy("seg").agg(count(lit(1))).collect()
     }
-    // conf BEFORE the read: the nanos ts column is illegal otherwise
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = spark.read.parquet(s"$d/events.parquet")
+    // dtype-adaptive events load (nanos-long or micros fixtures alike)
+    val ev = graft.queries.Tables.events(spark, d)
     time("rolling_distinct_x10", ev.count() * 10) {
       val ev10 = (0 until 10).map(i =>
         ev.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L)))
         .reduce(_ union _)
-        .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
       val ud = ev10.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
       val days = ud.select("day").distinct().withColumnRenamed("day", "tday")
       ud.select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"), col("day"))
