@@ -382,35 +382,53 @@ object Traversals {
   def pageRankDeterministic(edges: DataFrame, iters: Int = 10,
                             reset: Double = 0.15): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("odeg"))
-    val verts = e.select(col("src").as("vertex"))
-      .union(e.select(col("dst").as("vertex"))).distinct()
-      .checkpointSized()
-    // (src, dst, odeg) pre-joined ONCE and hash-partitioned on src
-    // before caching: the cached partitioning is visible to the
-    // planner (InMemoryRelation preserves outputPartitioning), so
-    // every iteration's src-keyed join shuffles only the small
-    // (vertex, rank) table — the big edge side never re-shuffles, and
-    // the per-iteration out-degree re-aggregation the old plan paid is
-    // gone. Same per-edge w = rank/odeg doubles, so ranks are
+    // ONE cached table, (src, dst, odeg), hash-partitioned on src: the
+    // cached partitioning is visible to the planner (InMemoryRelation
+    // preserves outputPartitioning), so every iteration's src-keyed
+    // join shuffles only the small (vertex, rank) table — the big edge
+    // side never re-shuffles. The input plan appears in both the
+    // outDeg branch and the edge branch of the join; exchange reuse
+    // computes any derivation (e.g. a distinct) once, so caching `e`
+    // separately first — a second full materialization pass — buys
+    // nothing. Same per-edge w = rank/odeg doubles, so ranks are
     // bit-identical to the unfused plan (the oracle contract).
     val eo = e.join(outDeg, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var r = verts.withColumn("rank", lit(1.0)).checkpointSized()
+    // every edge's src has odeg >= 1 by construction, so the inner
+    // join drops no edge row — eo's endpoint set IS the vertex set,
+    // and deriving it from the cache spares a third pass over `edges`
+    val verts = eo.select(col("src").as("vertex"))
+      .union(eo.select(col("dst").as("vertex"))).distinct()
+      .checkpointSized()
+    // Missing-vertex fill by UNION, not by a per-iteration left-outer
+    // rebuild join: a zero-contribution row per vertex rides into the
+    // same hash agg that sums the edge contributions, so each
+    // superstep is ONE exchange (contrib ∪ zeros, keyed by vertex)
+    // instead of two (agg, then verts ⋈ sums). Decimal addition of an
+    // exact 0 term leaves the sum bit-identical, and a vertex with no
+    // in-edges gets m = 0 exactly as coalesce(null, 0.0) did — the
+    // oracle contract is unchanged. Fewer barriers per superstep is
+    // also the noisy-host story: less steal surface under suite load.
+    val zeros = verts.select(col("vertex"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)").as("w"))
+    // The loop builds ONE lazy plan across all supersteps (iters is a
+    // small fixed constant, so plan depth is bounded — unlike BFS,
+    // whose unbounded frontier loop must checkpoint per level), then
+    // materializes once: a single job whose stages pipeline under AQE,
+    // instead of `iters` sequential checkpoint jobs each paying
+    // scheduling + barrier latency. On a noisy host that barrier count
+    // was the dominant recorded cost, not the shuffled bytes.
+    var r = verts.withColumn("rank", lit(1.0))
     (1 to iters).foreach { _ =>
-      val sums = eo.join(r, eo("src") === r("vertex"))
-        .select(eo("dst"), (col("rank") / col("odeg")).as("w"))
-        .groupBy(col("dst").as("vertex"))
-        .agg(sum(col("w").cast("decimal(38,18)")).cast("double").as("m"))
-      val prev = r
-      r = verts.join(sums, Seq("vertex"), "left_outer")
-        .select(col("vertex"),
-          (lit(reset) + lit(1 - reset) * coalesce(col("m"), lit(0.0))).as("rank"))
-        .checkpointSized()
-      dropCheckpoint(prev) // superseded: only the newest rank table is live
+      val contrib = eo.join(r, eo("src") === r("vertex"))
+        .select(eo("dst").as("vertex"),
+          (col("rank") / col("odeg")).cast("decimal(38,18)").as("w"))
+      r = contrib.union(zeros)
+        .groupBy("vertex")
+        .agg((lit(reset) + lit(1 - reset) * sum(col("w")).cast("double")).as("rank"))
     }
-    e.unpersist(blocking = false)
+    r = r.checkpointSized() // cut the multi-superstep lineage once
     eo.unpersist(blocking = false)
     dropCheckpoint(verts, keep = checkpointRddIds(r))
     r
