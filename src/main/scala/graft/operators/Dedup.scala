@@ -140,14 +140,21 @@ object Dedup {
     * scoring. Output: (doc_a, doc_b) distinct. */
   def minhashBandCandidates(docs: DataFrame, k: Int = 16, bands: Int = 4,
                             sigOpt: Option[DataFrame] = None,
-                            shingleN: Int = 3): DataFrame = {
+                            shingleN: Int = 3,
+                            maxBucket: Int = Similarity.maxBucketDefault): DataFrame = {
     sigOpt.foreach(requireSig(_, k, shingleN))
     val sig = sigOpt.getOrElse(
       minhashSignatures(docs, k, shingleN).localCheckpoint(true))
-    val bandDf = bandRows(sig, k, bands, "doc_id")
+    // mega-bucket guard (see Similarity.saltMembers): a degenerate
+    // bucket — every doc identical — would otherwise cross-join with
+    // itself O(n²); salting bounds it at O(n × maxBucket) per band
+    val raw = bandRows(sig, k, bands, "doc_id")
+    val bandDf = Similarity.saltMembers(raw,
+      Similarity.splitCounts(raw, Seq("band_id", "bkey"), maxBucket),
+      Seq("band_id", "bkey"), "doc_id")
     bandDf.as("a").join(bandDf.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
   }
 
@@ -169,12 +176,22 @@ object Dedup {
     * re-materialization. */
   def minhashPairsBetween(batchSig: DataFrame, corpusSig: DataFrame,
                           k: Int = 16, bands: Int = 4, minEst: Double = 0.25,
-                          shingleN: Int = 3, prePinned: Boolean = false): DataFrame = {
+                          shingleN: Int = 3, prePinned: Boolean = false,
+                          maxBucket: Int = Similarity.maxBucketDefault): DataFrame = {
     requireSig(batchSig, k, shingleN); requireSig(corpusSig, k, shingleN)
     val bSig = if (prePinned) batchSig else batchSig.localCheckpoint(true)
     val cSig = if (prePinned) corpusSig else corpusSig.localCheckpoint(true)
-    val cand = bandRows(bSig, k, bands, "new_id")
-      .join(bandRows(cSig, k, bands, "corpus_id"), Seq("band_id", "bkey"))
+    // skew guard: a degenerate corpus bucket (constant column) is
+    // salted into ≤maxBucket sub-buckets and each batch row probes
+    // every sub-bucket — per-join-key fan-in is bounded WITHOUT losing
+    // pairs (this join's output is its semantics; only the symmetric
+    // self-join may shed intra-bucket pairs)
+    val cRaw = bandRows(cSig, k, bands, "corpus_id")
+    val splits = Similarity.splitCounts(cRaw, Seq("band_id", "bkey"), maxBucket)
+    val cand = Similarity.probeAllSalts(bandRows(bSig, k, bands, "new_id"),
+        splits, Seq("band_id", "bkey"))
+      .join(Similarity.saltMembers(cRaw, splits, Seq("band_id", "bkey"), "corpus_id"),
+        Seq("band_id", "bkey", "salt"))
       // a doc id present on BOTH sides (a re-ingested batch — routine
       // production retry) would band-join with itself and survive as a
       // bogus (x, x, 1.0) "near-dup"; the symmetric path's doc_a <
@@ -203,11 +220,12 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 16, bands: Int = 4,
                    minEst: Double = 0.25,
                    sigOpt: Option[DataFrame] = None,
-                   shingleN: Int = 3): DataFrame = {
+                   shingleN: Int = 3,
+                   maxBucket: Int = Similarity.maxBucketDefault): DataFrame = {
     sigOpt.foreach(requireSig(_, k, shingleN))
     val sig = sigOpt.getOrElse(
       minhashSignatures(docs, k, shingleN).localCheckpoint(true))
-    val pairs = minhashBandCandidates(docs, k, bands, Some(sig), shingleN)
+    val pairs = minhashBandCandidates(docs, k, bands, Some(sig), shingleN, maxBucket)
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")

@@ -21,6 +21,57 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Default membership cap before [[splitCounts]]/[[saltMembers]]
+    * split a bucket — far above any organic near-dup group (fixture
+    * p99.9 bucket sizes are < 32), so the guard only engages on
+    * degenerate input (an all-identical corpus, a constant column). */
+  val maxBucketDefault: Int = 1024
+
+  /** Buckets of `bandDf` (grouped by `keyCols`) whose membership
+    * exceeds `maxBucket`, with the number of salt sub-buckets each
+    * splits into: `keyCols :+ nsplit`. The list is bounded by
+    * |rows| / maxBucket, so it stays small relative to the band table
+    * by construction. */
+  private[graft] def splitCounts(bandDf: DataFrame, keyCols: Seq[String],
+                                 maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must be >= 2")
+    bandDf.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") > maxBucket)
+      .select(keyCols.map(col) :+
+        ceil(col("bsz") / maxBucket.toDouble).cast("int").as("nsplit"): _*)
+  }
+
+  /** Deterministically assigns every member of an oversized bucket
+    * (per `splits` from [[splitCounts]]) to one of its salt
+    * sub-buckets by id hash; members of normal buckets get salt 0.
+    * A SYMMETRIC bucket self-join on `keyCols :+ "salt"` then forms
+    * pairs only within a sub-bucket, bounding the join's output at
+    * O(members × maxBucket) per bucket instead of O(members²) — the
+    * mega-bucket guard. Pairs split across sub-buckets of the same
+    * band are sacrificed recall on DEGENERATE buckets only (cap »
+    * organic group sizes), and OR-amplified multi-band hashing gives
+    * such a pair `bands` further chances to collide. For an
+    * ASYMMETRIC join that must stay exact (batch × corpus), salt the
+    * big side with this and replicate the small side across all
+    * nsplit sub-buckets instead ([[probeAllSalts]]) — same per-key
+    * fan-in bound, no lost pairs. */
+  private[graft] def saltMembers(bandDf: DataFrame, splits: DataFrame,
+                                 keyCols: Seq[String], idCol: String): DataFrame =
+    bandDf.join(splits, keyCols, "left_outer")
+      .withColumn("salt",
+        coalesce(pmod(xxhash64(col(idCol)), col("nsplit")).cast("int"), lit(0)))
+      .drop("nsplit")
+
+  /** Replicates each row across every salt sub-bucket of its bucket
+    * (salt 0 for normal buckets) — the probe side of an exact
+    * asymmetric join against a [[saltMembers]]-salted build side. */
+  private[graft] def probeAllSalts(bandDf: DataFrame, splits: DataFrame,
+                                   keyCols: Seq[String]): DataFrame =
+    bandDf.join(splits, keyCols, "left_outer")
+      .withColumn("salt",
+        explode(sequence(lit(0), coalesce(col("nsplit") - 1, lit(0)))))
+      .drop("nsplit")
+
   /** Codegen'd cosine via the native Catalyst expression (bit-identical
     * to [[graft.functions.VectorFunctions.cosine]], asserted in
     * SimilaritySpec; registered lazily on the input's session). */

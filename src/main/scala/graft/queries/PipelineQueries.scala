@@ -96,11 +96,20 @@ object PipelineQueries {
     // vector table stays a bare columnar scan re-read by the two
     // rescore joins. Candidates dedup BEFORE the rescore so a pair
     // colliding in several bands scores once.
-    val bands = Similarity
+    val raw = Similarity
       .lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
       .localCheckpoint(true)
-    val cand = bands.toDF("i", "band_id", "bucket")
-      .join(bands.toDF("j", "band_id", "bucket"), Seq("band_id", "bucket"))
+    // mega-bucket guard (no-op on organic data, cap » bucket p99.9):
+    // a degenerate embedding column collapses every vector into one
+    // 8-bit bucket per band; salting bounds the self-join output at
+    // O(n × cap) per band instead of O(n²)
+    val bands = Similarity.saltMembers(raw,
+      Similarity.splitCounts(raw, Seq("band_id", "bucket"),
+        Similarity.maxBucketDefault),
+      Seq("band_id", "bucket"), "vec_id")
+    val cand = bands.select(col("vec_id").as("i"), col("band_id"), col("bucket"), col("salt"))
+      .join(bands.select(col("vec_id").as("j"), col("band_id"), col("bucket"), col("salt")),
+        Seq("band_id", "bucket", "salt"))
       .where(col("i") < col("j"))
       .select("i", "j").distinct()
     val joined = cand

@@ -119,4 +119,55 @@ class DedupSpec extends SparkSpec {
     assert(pairs((0L, 2L)) > 0.4 && pairs((0L, 2L)) < 1.0)
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
+
+  // ---- mega-bucket guards (adversarial: every doc identical, so every
+  // band bucket holds the WHOLE corpus — unguarded, the band self-join
+  // is a full n² cross product) -----------------------------------------
+
+  lazy val constantCorpus = (0L until 400L).map(i =>
+    (i, "the quick brown fox jumps over the lazy dog every single day", "en", "s1", 61L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("minhash band self-join stays bounded on an all-identical corpus") {
+    val cap = 40
+    val n = 400L
+    val got = Dedup.minhashBandCandidates(constantCorpus, k = 16, bands = 4,
+      maxBucket = cap).count()
+    // bound: per band, ceil(n/cap) sub-buckets of ~cap members each →
+    // ≤ n·cap/2 pairs per band (vs n(n-1)/2 ≈ 79.8k unguarded); bands
+    // overlap after distinct, so the union is ≤ bands · n · cap / 2
+    val bound = 4L * n * cap / 2
+    assert(got > 0, "guarded self-join must still emit intra-sub-bucket pairs")
+    assert(got <= bound, s"guarded pairs $got exceed the O(n·cap) bound $bound")
+    assert(got < n * (n - 1) / 2, s"guard did not engage: $got = full cross product")
+  }
+
+  test("default cap is a no-op on organic buckets (pairs identical with and without)") {
+    val guarded = Dedup.minhashPairs(docs, k = 16, bands = 4, minEst = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unguarded = Dedup.minhashPairs(docs, k = 16, bands = 4, minEst = 0.25,
+      maxBucket = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(guarded === unguarded)
+  }
+
+  test("batch×corpus salting is EXACT: same pairs with a tiny cap as with none") {
+    // 40 identical corpus docs + 5 identical batch docs of the same
+    // text: every batch doc must pair with every corpus doc, cap or no
+    // cap — between-join salting is a skew guard, not a recall trade
+    val corpus = (100L until 140L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog every single day", "en", "s1", 61L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = (0L until 5L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog every single day", "en", "s1", 61L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cSig = Dedup.minhashSignatures(corpus).localCheckpoint(true)
+    val bSig = Dedup.minhashSignatures(batch).localCheckpoint(true)
+    def run(cap: Int) = Dedup.minhashPairsBetween(bSig, cSig, prePinned = true,
+        maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tiny = run(8)
+    assert(tiny === run(Int.MaxValue))
+    assert(tiny.size === 5 * 40, s"expected every batch×corpus pair, got ${tiny.size}")
+  }
 }
