@@ -1921,6 +1921,37 @@ object RelationalQueries {
         .orderBy("user_id", "ver")
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_asof" -> ((s, d) => {
+      // STREAM-STREAM as-of enrichment executed as a stream inside the
+      // exact-match gate (same drive pattern as q_stream_scd2): all
+      // events land in batch 1, sentinel files advance the watermark so
+      // every real left row's emission is released; result must equal
+      // the batch union+window as-of (q_asof_join's DuckDB ASOF oracle).
+      import org.apache.spark.sql.functions.{col => c}
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-asof-stream")
+      try {
+      val e0 = java.nio.file.Files.createDirectory(streamDir.resolve("e0"))
+      stageEventsInto(d, e0)
+      def sentinel(tag: String, plusDays: Long): Unit =
+        writeSentinel(s, d, streamDir, tag, plusDays)
+      val sink = "stream_asof_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val events = graft.streaming.EventStreams.eventsStream(s, streamDir.toString + "/*")
+        .select(c("event_id"), c("ts"), c("user_id"), c("event_type"), c("value"))
+        .as[graft.streaming.EventStreams.Event](
+          org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event])
+      val q = graft.streaming.EventStreams.asofEnrich(events)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        q.processAllAvailable()
+        sentinel("s1", 10); q.processAllAvailable()
+        sentinel("s2", 20); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).where(col("user_id") >= 0)
+        .select("event_id", "user_id", "purchase_id", "gap_sec")
+        .orderBy("event_id")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_events_locf" -> ((s, d) => {
       // time-series gap filling: per-user daily values on a dense date
       // spine, missing days filled last-observation-carried-forward —
@@ -2149,6 +2180,9 @@ object RelationalQueries {
     "q_asof_join" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_exec" ->
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
+    // streaming twin of q_asof_join — stream must equal batch exactly
+    "q_stream_asof" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_exec_bucketed" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",

@@ -245,6 +245,81 @@ object EventStreams {
           }
       }
   }
+  case class AsofOut(event_id: Long, user_id: Long,
+                     purchase_id: Option[Long], gap_sec: Option[Long])
+  /** `purchases`: (tsMicros, purchase_id), sorted ascending — every
+    * purchase at/above the watermark plus the single latest one below
+    * it (older ones are dominated for every future left row).
+    * `pending`: left rows (tsMicros, event_id) whose ts the watermark
+    * has not passed. `lastSeen`: max event time observed, for the
+    * dormancy horizon. */
+  case class AsofState(purchases: List[(Long, Long)],
+                       pending: List[(Long, Long)], lastSeen: Long)
+
+  /** STREAM-STREAM as-of enrichment: every non-purchase event is
+    * joined to the user's latest purchase with `purchase_ts <= ts`
+    * (inclusive, matching the batch union+window operator and DuckDB
+    * ASOF) — the streaming counterpart of the batch `q_asof_join`
+    * family, same output row shape (event_id, user_id, purchase_id,
+    * gap_sec), purchases deduplicated per (user, ts) by max event_id
+    * exactly like the batch pre-aggregation.
+    *
+    * State discipline (the 100 TB story): a left row is held ONLY
+    * until the watermark passes its event time — at that point every
+    * purchase that could match it (purchase_ts <= ts < watermark) is
+    * guaranteed to have arrived, so the emission is exact, never
+    * revised. Purchases below the watermark are pruned to the single
+    * latest one (it dominates older ones for every future left row,
+    * whose ts is >= the watermark), so per-user state is the lateness
+    * window of pending rows plus O(1) purchase history — never the
+    * stream's history. A user silent past `dormantAfterDays` of event
+    * time has the entry dropped entirely (a later left row then
+    * enriches as purchase-less BY CONTRACT, like scd2's dormant
+    * re-registration); exactness vs the batch oracle holds whenever
+    * per-user gaps stay under the horizon, which is how the gate
+    * drives it. */
+  def asofEnrich(events: Dataset[Event], lateness: String = "2 hours",
+                 dormantAfterDays: Int = 30): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", lateness).as[Event].groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofState, AsofOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[AsofState]) =>
+          // exact epoch micros (getTime is millis; sub-milli lives in getNanos)
+          def micros(e: Event) = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+          val wmMicros = scala.util.Try(state.getCurrentWatermarkMs())
+            .getOrElse(0L) * 1000
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil, 0L))
+          val (pRows, lRows) = rows.toList.partition(_.event_type == "purchase")
+          val purchases = (st.purchases ++ pRows.map(e => (micros(e), e.event_id)))
+            .groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).max) }
+            .toList.sorted
+          val buf = st.pending ++ lRows.map(e => (micros(e), e.event_id))
+          val (ready, pending) = buf.partition(_._1 < wmMicros)
+          val out = ready.sorted.map { case (lt, eid) =>
+            val m = purchases.takeWhile(_._1 <= lt).lastOption
+            AsofOut(eid, userId, m.map(_._2),
+              m.map(p => Math.floorDiv(lt, 1000000L) - Math.floorDiv(p._1, 1000000L)))
+          }
+          val (below, above) = purchases.partition(_._1 < wmMicros)
+          val kept = below.lastOption.toList ++ above
+          val lastSeen = (st.lastSeen :: kept.map(_._1) ::: pending.map(_._1)).max
+          val horizonUs = dormantAfterDays * 86400000000L
+          if (pending.isEmpty && wmMicros > 0 && lastSeen + horizonUs < wmMicros) {
+            state.remove() // dormant past the horizon: drop the entry
+          } else {
+            state.update(AsofState(kept, pending, lastSeen))
+            val wmMs = wmMicros / 1000
+            // pending rows emit as soon as the watermark moves again;
+            // an idle entry waits out the dormancy horizon
+            state.setTimeoutTimestamp(
+              if (pending.nonEmpty) wmMs + 1
+              else math.max(wmMs + 1, lastSeen / 1000 + dormantAfterDays * 86400000L))
+          }
+          out.iterator
+      }
+  }
+
   case class SessionState(start: Long, last: Long, n: Long)
   case class SessionOut(user_id: Long, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long)

@@ -363,6 +363,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of enrich folds across micro-batches and matches the batch join") {
+    // the gate (q_stream_asof) delivers all events in ONE batch; this
+    // test splits them at the median timestamp so purchases arriving in
+    // batch 1 must enrich left rows arriving in batch 2 through the
+    // carried state (including the dominated-purchase pruning path)
+    import org.apache.spark.sql.functions._
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-asof-stream")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsUs = expr("unix_micros(cast(ts AS timestamp))")
+    val mid = raw
+      .agg(expr("percentile_approx(unix_micros(cast(ts AS timestamp)), 0.5, 1000)"))
+      .head().getLong(0)
+    raw.where(tsUs <= mid).coalesce(1).write.parquet(streamDir.resolve("f1").toString)
+    val q = EventStreams.asofEnrich(
+      EventStreams.eventsStream(spark, streamDir.toString + "/*")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[EventStreams.Event](org.apache.spark.sql.Encoders.product[EventStreams.Event]))
+      .toDF()
+      .writeStream.outputMode("append").format("memory").queryName("asofx").start()
+    try {
+      q.processAllAvailable()
+      raw.where(tsUs > mid).coalesce(1).write.parquet(streamDir.resolve("f2").toString)
+      q.processAllAvailable()
+      val maxMicros = raw.agg(max(tsUs)).head().getLong(0)
+      def sentinel(tag: String, plusDays: Long): Unit =
+        stageMicros(streamDir, tag,
+          Seq((-1L, maxMicros + plusDays * 86400L * 1000000L, -1L, "view")))
+      sentinel("f3", 10); q.processAllAvailable()
+      sentinel("f4", 20); q.processAllAvailable()
+      val got = spark.table("asofx").where(col("user_id") >= 0)
+        .select("event_id", "user_id", "purchase_id", "gap_sec")
+        .collect().map(_.toSeq).toSet
+      val expected = SparkEntry.queries("q_asof_join")(spark, dir)
+        .select("event_id", "user_id", "purchase_id", "gap_sec")
+        .collect().map(_.toSeq).toSet
+      assert(got === expected,
+        s"streaming as-of diverged from batch: ${got.size} vs ${expected.size} rows; " +
+          s"extra=${(got -- expected).take(5)} missing=${(expected -- got).take(5)}")
+    } finally q.stop()
+  }
+
   test("scd2 dormant-entity restart continues ver via the tombstone (detectable)") {
     // contract under test (EventStreams.scd2 scaladoc): an entity silent
     // past the finalization horizon has its chain closed, but a resume
