@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
 
@@ -262,8 +262,13 @@ object Bench {
     // number was scheduling noise, not a regression.
     val bestKnown = results.collect { case (n, m, mn) if m >= 0 =>
       n -> math.min(mn, histMin.getOrElse(n, Double.MaxValue)) }.toMap
+    // trigger on the suite MIN drifting past 2x the cross-round minimum
+    // too, not just the median vs best-known: r9 carried three entries
+    // whose medians stayed under the trigger while their minima had
+    // quietly doubled — those went unexonerated for a whole round
     val outliers = results.collect {
-      case (n, med, _) if med >= 0 && med > 2.0 * bestKnown(n) => n }
+      case (n, med, mn) if med >= 0 && (med > 2.0 * bestKnown(n) ||
+        mn > 2.0 * histMin.getOrElse(n, Double.MaxValue)) => n }
     val isolated = outliers.map { name =>
       System.gc()
       Thread.sleep(200) // let the ContextCleaner drain before timing
@@ -297,7 +302,14 @@ object Bench {
       if (anyFailed) "null"
       else fmt(results.map { case (n, _, mn) =>
         isoMap.get(n).filter(_ >= 0).map(math.min(_, mn)).getOrElse(mn) }.sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the artifact line to a file: the r9 record was lost
+    // because the capture wrapper kept only the tail of stdout and the
+    // JSON head fell off — a bench whose record can vanish in transit
+    // isn't a record. Best-effort (a read-only cwd must not fail the run).
+    try Files.writeString(Paths.get("bench_out.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }
