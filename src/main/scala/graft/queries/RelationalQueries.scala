@@ -1921,6 +1921,43 @@ object RelationalQueries {
         .orderBy("user_id", "ver")
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_hll" -> ((s, d) => {
+      // Streaming approximate-distinct: the deterministic 64-register
+      // HLL (q_sketch_hll's estimator) executed as a STREAM. The only
+      // streaming state is the per-(event_type, register) max-rank —
+      // a complete-mode partial+final max agg holding 64 registers per
+      // group no matter how many events stream through, the canonical
+      // bounded-state stream sketch. The register→estimate fold runs
+      // batch-side from the sink (stacked streaming aggregations are
+      // unsupported by design, and the fold is O(groups×64)). Oracle =
+      // the identical deterministic estimator in DuckDB, hash-exact.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-hll-stream")
+      try {
+      stageEventsInto(d, streamDir)
+      val sink = "stream_hll_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val h = md5(concat(lit("hll|"), col("k")))
+      val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .select(col("event_type"), col("user_id").cast("string").as("k"))
+        .select(col("event_type"),
+          (conv(substring(h, 1, 8), 16, 10).cast("long") % 64).cast("int").as("idx"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("v"))
+        .select(col("event_type"), col("idx"),
+          when(col("v") === 0, lit(33)).otherwise(lit(33) - length(bin(col("v")))).as("rho"))
+        .groupBy("event_type", "idx").agg(max("rho").as("m"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val exact = Tables.events(s, d).groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      s.table(sink)
+        .groupBy("event_type")
+        .agg(sum(pow(lit(2.0), -col("m"))).as("ssum"), count(lit(1)).as("nreg"))
+        .join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          round(lit(0.709) * 4096.0 / (col("ssum") + (lit(64) - col("nreg")) * 1.0), 4)
+            .as("n_est"))
+        .orderBy("event_type")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_stream_asof" -> ((s, d) => {
       // STREAM-STREAM as-of enrichment executed as a stream inside the
       // exact-match gate (same drive pattern as q_stream_scd2): all
@@ -2181,6 +2218,9 @@ object RelationalQueries {
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_exec" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
+    // streaming twin of q_sketch_hll over events: identical registers
+    "q_stream_hll" ->
+      """WITH h AS (SELECT event_type, ('0x' || substr(md5('hll|' || user_id::VARCHAR), 1, 8))::BIGINT % 64 AS idx, ('0x' || substr(md5('hll|' || user_id::VARCHAR), 9, 8))::BIGINT AS v FROM events), rg AS (SELECT event_type, idx, max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(format('{:b}', v)) END) AS m FROM h GROUP BY event_type, idx), ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact FROM events GROUP BY event_type) SELECT rg.event_type, ex.n_exact, round(0.709 * 4096.0 / (sum(pow(2.0, -m)) + (64 - count(*)) * 1.0), 4) AS n_est FROM rg JOIN ex ON rg.event_type = ex.event_type GROUP BY rg.event_type, ex.n_exact ORDER BY rg.event_type""",
     // streaming twin of q_asof_join — stream must equal batch exactly
     "q_stream_asof" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
