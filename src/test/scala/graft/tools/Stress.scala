@@ -309,6 +309,65 @@ object Stress {
     }
     time("p2p_bidirectional", eb.count()) {
       require(Traversals.bfsBidirectional(eb, pa, pb).nonEmpty)
+    };
+    // Adversarial LSH probe: 20k IDENTICAL docs — every MinHash band
+    // bucket holds the whole corpus, so the unguarded self-join would
+    // be 4 bands × 200M pairs. With the salted cap the candidate count
+    // (and runtime) must stay O(n × cap): ~20k × 256 bound.
+    {
+      import spark.implicits._
+      val constDocs = spark.range(20000)
+        .select(col("id").as("doc_id"),
+          lit("the quick brown fox jumps over the lazy dog every single day").as("text"),
+          lit("en").as("lang"), lit("s1").as("source"), lit(61L).as("n_chars"))
+      time("lsh_megabucket_x20k", 20000L) {
+        val n = graft.operators.Dedup
+          .minhashBandCandidates(constDocs, k = 16, bands = 4, maxBucket = 256)
+          .count()
+        require(n > 0 && n <= 4L * 20000L * 256L / 2,
+          s"salted candidate count $n outside the O(n x cap) bound")
+      }
+    };
+    // Streaming as-of at 10x: the state-discipline probe — left rows
+    // held only to the watermark, purchases pruned to the dominating
+    // one. 10x users via shifted user_id copies of the events fixture;
+    // one batch + sentinel advance, same drive as the gate.
+    {
+      import spark.implicits._
+      val ev = graft.queries.Tables.events(spark, d)
+      val ev10 = (0 until 10).map(i =>
+        ev.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
+        .reduce(_ union _)
+      val n = ev10.count()
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-stress-asof")
+      ev10.coalesce(4).write.parquet(streamDir.resolve("e0").toString)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      def sentinel(tag: String, plusDays: Long): Unit =
+        Seq((-1L, -1L, "view", 0.0, "{}"))
+          .toDF("event_id", "user_id", "event_type", "value", "props")
+          .withColumn("ts", timestamp_micros(lit(maxUs + plusDays * 86400L * 1000000L))
+            .cast("timestamp_ntz"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
+      time("stream_asof_x10", n) {
+        val events = graft.streaming.EventStreams
+          .eventsStream(spark, streamDir.toString + "/*")
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+          .as[graft.streaming.EventStreams.Event]
+        val q = graft.streaming.EventStreams.asofEnrich(events).toDF()
+          .writeStream.outputMode("append").format("memory")
+          .queryName("stress_asof").start()
+        try {
+          q.processAllAvailable()
+          sentinel("s1", 10); q.processAllAvailable()
+          sentinel("s2", 20); q.processAllAvailable()
+        } finally q.stop()
+        val emitted = spark.table("stress_asof").where(col("user_id") >= 0).count()
+        val expected = ev10.where(col("event_type") =!= "purchase").count()
+        require(emitted == expected,
+          s"stream as-of emitted $emitted of $expected left rows")
+      }
     }
     spark.stop()
   }
