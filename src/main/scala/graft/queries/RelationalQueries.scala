@@ -1921,6 +1921,33 @@ object RelationalQueries {
         .orderBy("user_id", "ver")
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_topn" -> ((s, d) => {
+      // Streaming heavy-hitters: per-event-type top-3 users by event
+      // count, computed from a complete-mode streaming count agg (the
+      // running (type, user) counts ARE the stream state — a standard
+      // partial+final hash agg whose state tracks key cardinality,
+      // not stream length) with the rank cut applied batch-side from
+      // the sink (streaming queries cannot stack a window over an
+      // agg). Deterministic tie-break (cnt desc, user asc) keeps the
+      // row hash-exact vs the batch oracle.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-topn-stream")
+      try {
+      stageEventsInto(d, streamDir)
+      val sink = "stream_topn_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("cnt"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt").desc, col("user_id"))
+      s.table(sink)
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("event_type"), col("rk"), col("user_id"), col("cnt"))
+        .orderBy("event_type", "rk")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_stream_hll" -> ((s, d) => {
       // Streaming approximate-distinct: the deterministic 64-register
       // HLL (q_sketch_hll's estimator) executed as a STREAM. The only
@@ -2218,6 +2245,9 @@ object RelationalQueries {
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_exec" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
+    // streaming heavy-hitters vs the same batch window cut
+    "q_stream_topn" ->
+      """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS cnt FROM events GROUP BY event_type, user_id), r AS (SELECT event_type, user_id, cnt, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk FROM c) SELECT event_type, rk::INT AS rk, user_id, cnt FROM r WHERE rk <= 3 ORDER BY event_type, rk""",
     // streaming twin of q_sketch_hll over events: identical registers
     "q_stream_hll" ->
       """WITH h AS (SELECT event_type, ('0x' || substr(md5('hll|' || user_id::VARCHAR), 1, 8))::BIGINT % 64 AS idx, ('0x' || substr(md5('hll|' || user_id::VARCHAR), 9, 8))::BIGINT AS v FROM events), rg AS (SELECT event_type, idx, max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(format('{:b}', v)) END) AS m FROM h GROUP BY event_type, idx), ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact FROM events GROUP BY event_type) SELECT rg.event_type, ex.n_exact, round(0.709 * 4096.0 / (sum(pow(2.0, -m)) + (64 - count(*)) * 1.0), 4) AS n_est FROM rg JOIN ex ON rg.event_type = ex.event_type GROUP BY rg.event_type, ex.n_exact ORDER BY rg.event_type""",
