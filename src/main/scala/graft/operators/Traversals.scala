@@ -124,10 +124,44 @@ object Traversals {
   def bfsLevelsPrepared(e: DataFrame, start: Long, maxLevels: Int): DataFrame =
     bfsLevelsPrepared(e, Seq(start), maxLevels)
 
-  def bfsLevelsPrepared(e: DataFrame, starts: Seq[Long], maxLevels: Int): DataFrame = {
+  /** Edge-count bound for the driver-local BFS fast path: covers the
+    * reference's whole graph envelope (≤100 vertices, dense adjacency
+    * ⇒ ≤10 000 edges, `client.c:11`) with headroom, while staying a
+    * trivially-bounded collect (≤16k × 16 B) — the same bounded-
+    * collect contract as the DFS replay (`dfsReplayMaxEdges`). Below
+    * it, each BSP superstep's fixed job-scheduling latency (~0.3 s ×
+    * depth on a contended host) dwarfs the actual work; at/above it
+    * the distributed level loop runs unchanged. */
+  val bfsLocalMaxEdges: Long = 16384L
+
+  def bfsLevelsPrepared(e: DataFrame, starts: Seq[Long], maxLevels: Int): DataFrame =
+    bfsLevelsPrepared(e, starts, maxLevels, bfsLocalMaxEdges)
+
+  def bfsLevelsPrepared(e: DataFrame, starts: Seq[Long], maxLevels: Int,
+                        localMaxEdges: Long): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
     require(starts.nonEmpty, "at least one start vertex")
+    // Tiny-graph fast path: identical (vertex, min-hop level) output,
+    // computed in one pass on the driver. The count also materialises
+    // the persisted edge cache, which the distributed loop's first
+    // superstep would otherwise pay.
+    if (e.count() <= localMaxEdges) {
+      val adj = e.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2) }
+      val lvl = scala.collection.mutable.LinkedHashMap[Long, Int](
+        starts.distinct.map(_ -> 0): _*)
+      var frontier = starts.distinct
+      var level = 0
+      while (frontier.nonEmpty && level < maxLevels) {
+        level += 1
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+          .distinct.filterNot(lvl.contains)
+        frontier.foreach(v => lvl(v) = level)
+      }
+      return lvl.toSeq.toDF("vertex", "level")
+    }
     var visited = starts.distinct.map((_, 0)).toDF("vertex", "level")
       .checkpointSized()
     var frontier = visited.select("vertex")

@@ -61,6 +61,22 @@ class TraversalSpec extends SparkSpec {
     assert(bfsOrder("G7", 3) === Seq(3L, 2L, 1L, 0L, 4L, 5L, 6L))
   }
 
+  test("local fast-path BFS agrees with the distributed superstep loop (G7, both starts)") {
+    // the default path takes the bounded local route on tiny graphs;
+    // forcing localMaxEdges=0 runs the distributed BSP loop on the
+    // same input — outputs must be identical row sets
+    Seq(0L, 3L).foreach { start =>
+      val e = Traversals.partitionEdges(edges("G7"))
+      try {
+        val fast = Traversals.bfsLevelsPrepared(e, Seq(start), 10000)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        val dist = Traversals.bfsLevelsPrepared(e, Seq(start), 10000, localMaxEdges = 0L)
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(fast === dist, s"paths diverged from start $start")
+      } finally e.unpersist(blocking = false)
+    }
+  }
+
   test("Pregel BFS agrees with driver-loop BFS on G7") {
     val a = bfsLevelOf("G7", 0)
     val b = Traversals.bfsLevelsPregel(edges("G7"), 0).collect()
