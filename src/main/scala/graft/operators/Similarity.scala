@@ -49,8 +49,12 @@ object Similarity {
     * O(members × maxBucket) per bucket instead of O(members²) — the
     * mega-bucket guard. Pairs split across sub-buckets of the same
     * band are sacrificed recall on DEGENERATE buckets only (cap »
-    * organic group sizes), and OR-amplified multi-band hashing gives
-    * such a pair `bands` further chances to collide. For an
+    * organic group sizes). The salt hashes the BUCKET KEY together
+    * with the member id — deliberately, so the same two ids landing in
+    * another band's oversized bucket draw an independent sub-bucket
+    * assignment there and OR-amplification genuinely gives a split
+    * pair `bands` further chances to co-locate (an id-only salt would
+    * split the same pair identically in every band). For an
     * ASYMMETRIC join that must stay exact (batch × corpus), salt the
     * big side with this and replicate the small side across all
     * nsplit sub-buckets instead ([[probeAllSalts]]) — same per-key
@@ -59,7 +63,8 @@ object Similarity {
                                  keyCols: Seq[String], idCol: String): DataFrame =
     bandDf.join(splits, keyCols, "left_outer")
       .withColumn("salt",
-        coalesce(pmod(xxhash64(col(idCol)), col("nsplit")).cast("int"), lit(0)))
+        coalesce(pmod(xxhash64((keyCols :+ idCol).map(col): _*), col("nsplit"))
+          .cast("int"), lit(0)))
       .drop("nsplit")
 
   /** Replicates each row across every salt sub-bucket of its bucket

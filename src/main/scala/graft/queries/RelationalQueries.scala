@@ -101,13 +101,27 @@ object RelationalQueries {
     * definition time, so a sentinel written in any other dtype would
     * be rejected or (for long vs timestamp int64) silently
     * mis-scaled. */
+  /** Per-(session, fixture-dir) memo of (raw ts dtype, max epoch
+    * micros): each streaming gate query writes two sentinels and three
+    * of them run per Verify pass — without the memo that is six
+    * redundant full scans of the events fixture. */
+  private val sentinelMetaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (org.apache.spark.sql.types.DataType, Long)]()
+
   private def writeSentinel(s: SparkSession, d: String,
                             streamDir: java.nio.file.Path, tag: String,
                             plusDays: Long): Unit = {
     import s.implicits._
-    val rawTs = Tables.t(s, d, "events").schema("ts").dataType
-    val maxMicros = Tables.events(s, d)
-      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val (rawTs, maxMicros) = sentinelMetaMemo.computeIfAbsent(
+      (s, new java.io.File(d).getCanonicalPath), { _ =>
+        // Tables.events sets legacy.parquet.nanosAsLong BEFORE its
+        // read, so probe through it first — a bare Tables.t footer
+        // read on a nanos fixture would throw if nothing else had set
+        // the conf yet in this session
+        val maxUs = Tables.events(s, d)
+          .agg(max(unix_micros(col("ts")))).head().getLong(0)
+        (Tables.t(s, d, "events").schema("ts").dataType, maxUs)
+      })
     val tsMicros = maxMicros + plusDays * 86400L * 1000000L
     val base = Seq((-1L, -1L, "view", 0.0, "{}"))
       .toDF("event_id", "user_id", "event_type", "value", "props")

@@ -19,15 +19,6 @@ import java.sql.Timestamp
   */
 object EventStreams {
 
-  /** The events-stream column set (ts normalized to TimestampType on
-    * ingest — see [[eventsStream]]). Retained as the reference shape
-    * for staging helpers; the live source derives its raw schema from
-    * the files themselves, never from this. */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", TimestampType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-stream source over an events directory.
     *
     * A file stream needs a user-supplied schema, and supplying a WRONG

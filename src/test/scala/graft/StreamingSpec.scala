@@ -14,6 +14,16 @@ class StreamingSpec extends SparkSpec {
     * Rows carry (event_id, epochMicros, user_id, event_type). One
     * suite member below stages nanos-long instead — the pre-refresh
     * dtype — to keep the adaptive source's legacy path covered. */
+  /** Epoch-micros Column over a RAW fixture frame, branching on the
+    * on-disk ts dtype exactly like the adaptive loaders — nanos-long
+    * fixtures must integer-truncate (casting a raw nanos long to
+    * timestamp would read it as epoch SECONDS and overflow). */
+  private def rawTsUs(df: org.apache.spark.sql.DataFrame) =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
+      case _ => expr("unix_micros(cast(ts AS timestamp))")
+    }
+
   private def stageMicros(dst: java.nio.file.Path, tag: String,
                           rows: Seq[(Long, Long, Long, String)]): Unit = {
     rows.map { case (id, us, u, tpe) => (id, us, u, tpe, 0.0, "{}") }
@@ -323,12 +333,12 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val streamDir = java.nio.file.Files.createTempDirectory("graft-scd2-stream")
     // fixture rows re-written verbatim (ts keeps the fixture dtype);
-    // the split point is computed on epoch micros either way
+    // the split point is computed on dtype-adaptive epoch micros
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val mid = raw
-      .agg(expr("percentile_approx(unix_micros(cast(ts AS timestamp)), 0.5, 1000)"))
+    val tsUs = rawTsUs(raw)
+    val mid = raw.agg(percentile_approx(tsUs, lit(0.5), lit(1000)))
       .head().getLong(0)
-    val tsUs = expr("unix_micros(cast(ts AS timestamp))")
     raw.where(tsUs <= mid).coalesce(1).write.parquet(streamDir.resolve("f1").toString)
     val q = EventStreams.scd2(
       EventStreams.eventsStream(spark, streamDir.toString + "/*")
@@ -370,10 +380,10 @@ class StreamingSpec extends SparkSpec {
     // carried state (including the dominated-purchase pruning path)
     import org.apache.spark.sql.functions._
     val streamDir = java.nio.file.Files.createTempDirectory("graft-asof-stream")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val tsUs = expr("unix_micros(cast(ts AS timestamp))")
-    val mid = raw
-      .agg(expr("percentile_approx(unix_micros(cast(ts AS timestamp)), 0.5, 1000)"))
+    val tsUs = rawTsUs(raw)
+    val mid = raw.agg(percentile_approx(tsUs, lit(0.5), lit(1000)))
       .head().getLong(0)
     raw.where(tsUs <= mid).coalesce(1).write.parquet(streamDir.resolve("f1").toString)
     val q = EventStreams.asofEnrich(

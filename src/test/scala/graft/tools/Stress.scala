@@ -16,6 +16,7 @@ object Stress {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]").appName("stress")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       // same two hygiene settings as Bench, for the same reasons:
       // local[] has no locality to wait for (the 3 s default stalls
       // every barrier of the iterative probes — measured 3x swings on
@@ -343,11 +344,14 @@ object Stress {
       val streamDir = java.nio.file.Files.createTempDirectory("graft-stress-asof")
       ev10.coalesce(4).write.parquet(streamDir.resolve("e0").toString)
       val maxUs = ev.agg(max(unix_micros(col("ts")))).head().getLong(0)
+      // the staged files were written from Tables.events output, whose
+      // ts is TimestampType — the sentinel must match that dtype (a
+      // mixed-dtype stream dir is exactly what the adaptive source's
+      // schema derivation exists to reject)
       def sentinel(tag: String, plusDays: Long): Unit =
         Seq((-1L, -1L, "view", 0.0, "{}"))
           .toDF("event_id", "user_id", "event_type", "value", "props")
-          .withColumn("ts", timestamp_micros(lit(maxUs + plusDays * 86400L * 1000000L))
-            .cast("timestamp_ntz"))
+          .withColumn("ts", timestamp_micros(lit(maxUs + plusDays * 86400L * 1000000L)))
           .select("event_id", "ts", "user_id", "event_type", "value", "props")
           .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
       time("stream_asof_x10", n) {
