@@ -1935,6 +1935,37 @@ object RelationalQueries {
         .orderBy("user_id", "ver")
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_quantile" -> ((s, d) => {
+      // Streaming quantiles, completing the stream-sketch trio (HLL
+      // distinct, top-n heavy hitters, and this): per-event-type
+      // p50/p90/p99 of `value` from a mergeable fixed-bin histogram —
+      // the streaming state is the (event_type, bin) counts, ≤50 bins
+      // per group no matter how many events arrive (the shape t-digest
+      // style quantile state takes at scale; exact percentile would
+      // have to buffer every value). Complete-mode count agg is the
+      // stream; the cumulative fold + integer-arithmetic quantile
+      // picks run batch-side from the sink (same cut rules as the
+      // batch q_agg_histo_quantile oracle twin).
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-quant-stream")
+      try {
+      stageEventsInto(d, streamDir)
+      val sink = "stream_quant_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .groupBy(col("event_type"), floor(col("value") / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      val cum = s.table(sink)
+        .withColumn("cum", sum("c").over(
+          Window.partitionBy("event_type").orderBy("bin")))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      cum.groupBy("event_type")
+        .agg(min(when(col("cum") * 2 >= col("n"), col("bin") * 10)).as("p50"),
+             min(when(col("cum") * 10 >= col("n") * 9, col("bin") * 10)).as("p90"),
+             min(when(col("cum") * 100 >= col("n") * 99, col("bin") * 10)).as("p99"))
+        .orderBy("event_type")
+      } finally deleteRecursively(streamDir)
+    }),
     "q_stream_topn" -> ((s, d) => {
       // Streaming heavy-hitters: per-event-type top-3 users by event
       // count, computed from a complete-mode streaming count agg (the
@@ -2259,6 +2290,9 @@ object RelationalQueries {
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     "q_asof_exec" ->
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
+    // streaming histogram quantiles vs the identical bin/cut rules
+    "q_stream_quantile" ->
+      """WITH b AS (SELECT event_type, floor(value / 10)::BIGINT AS bin, count(*)::BIGINT AS c FROM events GROUP BY 1, 2), cu AS (SELECT event_type, bin, c, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY event_type) AS n FROM b) SELECT event_type, min(CASE WHEN cum * 2 >= n THEN bin * 10 END)::BIGINT AS p50, min(CASE WHEN cum * 10 >= n * 9 THEN bin * 10 END)::BIGINT AS p90, min(CASE WHEN cum * 100 >= n * 99 THEN bin * 10 END)::BIGINT AS p99 FROM cu GROUP BY event_type ORDER BY event_type""",
     // streaming heavy-hitters vs the same batch window cut
     "q_stream_topn" ->
       """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS cnt FROM events GROUP BY event_type, user_id), r AS (SELECT event_type, user_id, cnt, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk FROM c) SELECT event_type, rk::INT AS rk, user_id, cnt FROM r WHERE rk <= 3 ORDER BY event_type, rk""",
