@@ -99,13 +99,48 @@ object GraphAlgos {
     * deg(a) + deg(b) − common (degrees over the deduplicated
     * undirected edge set). Output: (src, dst, jac) per canonical
     * src < dst edge with at least one common neighbor. */
-  def jaccardPerEdge(edges: DataFrame): DataFrame = {
+  /** Edge bound for the driver-local Jaccard fast path — same
+    * bounded-collect contract as `Traversals.bfsLocalMaxEdges` (≤64k
+    * × 16 B ≈ 1 MB). DENSE small graphs are exactly where the wedge
+    * pipeline hurts: wedge volume is Σ deg², so a few hundred
+    * well-connected vertices generate millions of wedge rows whose
+    * shuffles cost multiples of the whole local computation. */
+  val jaccardLocalMaxEdges: Long = 65536L
+
+  def jaccardPerEdge(edges: DataFrame): DataFrame =
+    jaccardPerEdge(edges, jaccardLocalMaxEdges)
+
+  def jaccardPerEdge(edges: DataFrame, localMaxEdges: Long): DataFrame = {
     // pin rule: und feeds the degree union (2x), the orientation
     // join, the closing join, and the final result join
     val und = edges.select(
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    if (und.count() <= localMaxEdges) {
+      import edges.sparkSession.implicits._
+      val e = und.select(col("a"), col("b")).as[(Long, Long)].collect()
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashSet[Long]]
+      e.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+      }
+      // |N(a) ∩ N(b)| never counts a or b themselves (no self-loops,
+      // so a ∉ N(a)); edges in no triangle are ABSENT, matching the
+      // distributed support inner-join. Spark's round() is HALF_UP on
+      // the double — mirror it exactly for hash parity.
+      val rows = e.flatMap { case (a, b) =>
+        val sa = adj(a); val sb = adj(b)
+        val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+        val common = small.count(big.contains)
+        if (common == 0) None
+        else Some((a, b, java.math.BigDecimal.valueOf(
+          common.toDouble / (sa.size + sb.size - common))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()))
+      }
+      return rows.toSeq.toDF("src", "dst", "jac")
+    }
     val deg = und.select(col("a").as("v")).union(und.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val lower = col("da") < col("db") ||

@@ -119,6 +119,23 @@ class GraphAlgosSpec extends SparkSpec {
       (1L, 3L) -> 0.25, (2L, 3L) -> 0.25))
   }
 
+  test("jaccardPerEdge local fast path agrees with the distributed wedge pipeline") {
+    // a 60-vertex random-ish derived graph with triangles; forcing
+    // localMaxEdges=0 runs the wedge machinery on the same input
+    // triangle-rich 30-vertex fixture: all a<b with (a+b)%3==0
+    // (e.g. 0-3, 0-6, 3-6 close a triangle)
+    val e = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L if (a + b) % 3 == 0
+    } yield (a, b)).toDF("src", "dst")
+    def run(localMax: Long) = graft.operators.GraphAlgos
+      .jaccardPerEdge(e, localMax).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")) -> r.getAs[Double]("jac"))
+      .toMap
+    val fast = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(fast.nonEmpty && fast === dist)
+  }
+
   test("jaccardPerEdge is orientation/duplicate-insensitive") {
     val e1 = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
     val e2 = Seq((1L, 0L), (2L, 0L), (2L, 1L), (0L, 1L), (0L, 1L)).toDF("src", "dst")
