@@ -59,7 +59,10 @@ object GraphAlgos {
     * Input: (src, dst) edge list, treated as undirected (self-loops
     * and duplicate/reverse edges removed). Output: (vertex, triangles)
     * where vertex is the smallest id in the triangle. */
-  def trianglesByMinVertex(edges: DataFrame): DataFrame = {
+  def trianglesByMinVertex(edges: DataFrame): DataFrame =
+    trianglesByMinVertex(edges, jaccardLocalMaxEdges)
+
+  def trianglesByMinVertex(edges: DataFrame, localMaxEdges: Long): DataFrame = {
     // pin: und feeds the degree union (2x), the orientation join, and
     // the closing join; oriented is self-joined for wedges — unpinned,
     // the canonicalize+distinct shuffle would re-execute per consumer
@@ -68,6 +71,29 @@ object GraphAlgos {
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // dense-small-graph fast path: count each triangle once at its
+    // min vertex from driver-local adjacency sets — same bounded-
+    // collect contract and rationale as [[jaccardPerEdge]]
+    if (und.count() <= localMaxEdges) {
+      import edges.sparkSession.implicits._
+      val e = und.select(col("a"), col("b")).as[(Long, Long)].collect()
+      val adj = scala.collection.mutable.HashMap
+        .empty[Long, scala.collection.mutable.HashSet[Long]]
+      e.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+      }
+      val counts = scala.collection.mutable.HashMap.empty[Long, Long]
+      e.foreach { case (a, b) => // a < b canonical; count at min(a,b,c)
+        val sa = adj(a); val sb = adj(b)
+        val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+        small.foreach { c =>
+          if (c > b && big.contains(c)) // each triangle from its min edge only
+            counts(a) = counts.getOrElse(a, 0L) + 1L
+        }
+      }
+      return counts.toSeq.toDF("vertex", "triangles")
+    }
     val deg = und.select(col("a").as("v")).union(und.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     val lower = col("da") < col("db") ||

@@ -136,6 +136,17 @@ class GraphAlgosSpec extends SparkSpec {
     assert(fast.nonEmpty && fast === dist)
   }
 
+  test("trianglesByMinVertex local fast path agrees with the wedge pipeline") {
+    val e = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L if (a + b) % 3 == 0
+    } yield (a, b)).toDF("src", "dst")
+    def run(localMax: Long) = graft.operators.GraphAlgos
+      .trianglesByMinVertex(e, localMax).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("triangles")).toMap
+    val fast = run(Long.MaxValue)
+    assert(fast.nonEmpty && fast === run(0L))
+  }
+
   test("jaccardPerEdge is orientation/duplicate-insensitive") {
     val e1 = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
     val e2 = Seq((1L, 0L), (2L, 0L), (2L, 1L), (0L, 1L), (0L, 1L)).toDF("src", "dst")
