@@ -207,11 +207,16 @@ object GraphQueries {
     }),
     "q_graph_cc_big" -> ((s, d) => {
       // components of the per-customer order chains == customers.
-      // GraphX's Pregel CC measured 2.7x faster than the DataFrame
-      // label-propagation loop on these long chains (4.4s vs 11.9s at
-      // sf0.1) — deep/narrow graphs favour GraphX's in-core supersteps;
-      // Traversals.connectedComponents stays the pure-DataFrame path
-      // (exercised by q_graph_cc and the union-find property suite).
+      // GraphX's Pregel CC stays the choice here: re-measured in the
+      // bench harness (r10, same noisy window, median-of-reps with
+      // per-query GC) at 3.8 s vs 7.3 s for the pointer-jumping
+      // DataFrame loop — deep/narrow graphs favour GraphX's in-core
+      // supersteps even after the loop's fused-first-round + 2-jump
+      // improvements. (An in-session A/B without the harness's GC
+      // hygiene shows the OPPOSITE ordering — RDD cache pressure from
+      // prior queries inflates GraphX 3x — so only harness numbers
+      // decide this.) Traversals.connectedComponents stays the
+      // pure-DataFrame path (q_graph_cc + union-find property suite).
       graft.operators.GraphAlgos.connectedComponentsGraphX(chainOrdersEdges(s, d))
         .groupBy("component")
         .agg(count(lit(1)).as("sz"))
