@@ -89,6 +89,47 @@ object Bench {
   // data work per superstep is a 150k-row join). PLANS.md has the
   // cluster-scale story.
 
+  /** Per-query timing entries in any past artifact. The driver's
+    * BENCH_r{N}.json wraps this program's stdout inside an escaped JSON
+    * string field ("tail": "...\"q_x\":1.23..."), so every quote in the
+    * embedded line is `\"` — the r10 parser required raw `"q_x":` and a
+    * raw `/sf0.1"` scale marker, matched NOTHING in any driver artifact,
+    * and the cross-round-min outlier trigger silently never armed
+    * (pagerank_big's 19.4 s driver recording stood unexonerated a whole
+    * round). The entry regex and the scale marker accept both forms. */
+  private[graft] val qEntry = """\\?"(q_[A-Za-z0-9_]+)\\?":(-?\d+(?:\.\d+)?)""".r
+
+  private[graft] def parseMins(txt: String): Seq[(String, Double)] =
+    qEntry.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 >= 0).toSeq
+
+  /** Best (minimum) recorded time per query at scale `sfName`, merged
+    * across driver artifacts (BENCH_r*.json, escaped), this program's
+    * own artifact (bench_out.json, raw), and the self-maintained
+    * merged-minima file (bench_minima_<sf>.json — survives any future
+    * change to the driver's artifact wrapping). Best-effort: a bench
+    * must never fail on a malformed old artifact. */
+  private[graft] def historicalMinima(sfName: String, dir: java.io.File): Map[String, Double] = {
+    val artifacts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("BENCH_r\\d+\\.json") ||
+        f.getName == "bench_out.json")
+    val pairs = artifacts.toSeq.flatMap { f =>
+      try {
+        val txt = Files.readString(f.toPath)
+        // only artifacts recorded at the SAME scale are comparable; the
+        // sf dir appears raw (bench_out.json) or escaped (driver tail)
+        if (!txt.contains("/" + sfName + "\"") &&
+            !txt.contains("/" + sfName + "\\\"")) Seq.empty
+        else parseMins(txt)
+      } catch { case _: Throwable => Seq.empty }
+    } ++ (try {
+      val p = new java.io.File(dir, s"bench_minima_$sfName.json").toPath
+      if (Files.exists(p)) parseMins(Files.readString(p)) else Seq.empty
+    } catch { case _: Throwable => Seq.empty })
+    pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").
     // FULL-match anchored: "q_tpch_q1" selects exactly q_tpch_q1, not
@@ -238,22 +279,8 @@ object Bench {
     // a bench must never fail on a malformed old artifact) so outliers
     // can be re-run in isolation below instead of standing unexplained.
     val sfName = new java.io.File(sfCanon).getName
-    val histMin: Map[String, Double] = {
-      val qEntry = """"(q_[A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
-      val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      val pairs = files.flatMap { f =>
-        try {
-          val txt = Files.readString(f.toPath)
-          // only artifacts recorded at the SAME scale are comparable
-          if (!txt.contains("/" + sfName + "\"")) Seq.empty
-          else qEntry.findAllMatchIn(txt)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._2 >= 0).toSeq
-        } catch { case _: Throwable => Seq.empty }
-      }
-      pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
-    }
+    val minimaPath = Paths.get(s"bench_minima_$sfName.json")
+    val histMin: Map[String, Double] = historicalMinima(sfName, new java.io.File("."))
     // Isolated-rerun exoneration pass: any query whose suite median reads
     // > 2x its best-known minimum (this suite's min-of-reps, or the
     // cross-round minimum at this scale) gets one more timed execution
@@ -317,6 +344,24 @@ object Bench {
     // isn't a record. Best-effort (a read-only cwd must not fail the run).
     try Files.writeString(Paths.get("bench_out.json"), line + "\n")
     catch { case _: Throwable => () }
+    // Merge this run's demonstrated per-query minima (best of reps and
+    // any isolated rerun) into the per-scale minima file the histMin
+    // parse above reads. Min-merge is subset-safe (a local regex-filtered
+    // run only improves the entries it ran), and a stale minimum after a
+    // legitimate slowdown only costs one extra isolated execution per
+    // run — visible, not silent. Best-effort like bench_out.json.
+    try {
+      val prior = if (Files.exists(minimaPath))
+        parseMins(Files.readString(minimaPath)).groupBy(_._1)
+          .map { case (k, vs) => k -> vs.map(_._2).min }
+      else Map.empty[String, Double]
+      val current = results.collect { case (n, _, mn) if mn >= 0 =>
+        n -> isoMap.get(n).filter(_ >= 0).map(math.min(_, mn)).getOrElse(mn) }
+      val merged = (prior.toSeq ++ current).groupBy(_._1)
+        .map { case (k, vs) => k -> vs.map(_._2).min }
+      Files.writeString(minimaPath,
+        obj(merged.toSeq.sortBy(_._1)) + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }
