@@ -24,9 +24,9 @@ object SparkEntry {
       TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops
-    * (q_graph_dfs_leaves: traversal-order-dependent — covered by the
-    * G1–G7 golden suite instead). */
+    * the same parquet tables. Every query has one as of r11 —
+    * q_graph_dfs_leaves (the last no_oracle row) now replays the
+    * sequential DFS in a list-state recursive CTE. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ GraphQueries.oracles ++ PipelineQueries.oracles ++
       TpchQueries.oracles

@@ -498,6 +498,18 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT 0::BIGINT AS vertex, 0 AS level UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT vertex, min(level) AS level FROM r GROUP BY vertex) SELECT (row_number() OVER (ORDER BY level, vertex) - 1)::BIGINT AS ord, level::INT AS level, vertex FROM lv ORDER BY ord""",
     "q_graph_cc" ->
       s"""WITH RECURSIVE $chainEdgeSql, r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b) SELECT a AS vertex, min(b)::BIGINT AS component FROM r GROUP BY a ORDER BY vertex""",
+    // Full sequential-DFS replay as SQL (r10 VERDICT #4: the last
+    // no_oracle row). A single-row recursive CTE steps the exact
+    // explicit-stack algorithm Traversals.dfsLeaves runs — list-typed
+    // (stack, visited) state, one DFS step per iteration: push the
+    // smallest unvisited neighbor of the stack top, else pop. A DFS-tree
+    // leaf is a reachable vertex that never becomes a push parent —
+    // equivalent to dfsLeaves' childCount==0 frames (validated against
+    // the G5/G7 goldens, which include cycles and cross edges).
+    // Terminates in <= 2|V| steps; fixture-scale only, like the
+    // operator's own bounded driver replay.
+    "q_graph_dfs_leaves" ->
+      s"""WITH RECURSIVE $treeEdgeSql, walk AS (SELECT [0::BIGINT] AS stack, [0::BIGINT] AS visited, NULL::BIGINT AS parent, NULL::BIGINT AS child UNION ALL SELECT CASE WHEN nu IS NULL THEN stack[:-2] ELSE list_append(stack, nu) END, CASE WHEN nu IS NULL THEN visited ELSE list_append(visited, nu) END, CASE WHEN nu IS NULL THEN NULL ELSE stack[-1] END, nu FROM (SELECT stack, visited, (SELECT min(e.dst) FROM e WHERE e.src = stack[-1] AND NOT list_contains(visited, e.dst)) AS nu FROM walk WHERE len(stack) > 0)), reach AS (SELECT DISTINCT child AS vertex FROM walk WHERE child IS NOT NULL UNION SELECT 0::BIGINT), parents AS (SELECT DISTINCT parent FROM walk WHERE parent IS NOT NULL) SELECT vertex FROM reach WHERE vertex NOT IN (SELECT parent FROM parents) ORDER BY vertex""",
     "q_graph_bfs_multi" ->
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT vertex, 0 AS level FROM (VALUES (0::BIGINT), (24::BIGINT)) s(vertex) UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_closeness" ->
