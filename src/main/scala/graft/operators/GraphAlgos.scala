@@ -10,7 +10,21 @@ import org.apache.spark.graphx.{Edge, Graph}
   * vertex-cut partitioning does the distribution. */
 object GraphAlgos {
 
+  /** GraphX's Pregel loop honours `spark.graphx.pregel.checkpointInterval`
+    * only when a RELIABLE checkpoint dir is set — `PeriodicCheckpointer`
+    * silently skips the cut otherwise, so on a 100x-diameter graph the
+    * superstep lineage (and with it stack depth and recovery cost) would
+    * grow without bound. The interval itself must live in the SparkConf
+    * at context creation (Pregel reads `sc.getConf`, not the SQL conf),
+    * so the harness/test session builders set it; the library guarantees
+    * the dir exists before any GraphX entry point runs. */
+  private[graft] def ensureGraphCheckpointDir(sc: org.apache.spark.SparkContext): Unit =
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-graphx-ckpt").toString)
+
   private def toGraph(edges: DataFrame): Graph[Unit, Unit] = {
+    ensureGraphCheckpointDir(edges.sparkSession.sparkContext)
     val rdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     Graph.fromEdges[Unit, Unit](rdd, ())
@@ -60,7 +74,7 @@ object GraphAlgos {
     * and duplicate/reverse edges removed). Output: (vertex, triangles)
     * where vertex is the smallest id in the triangle. */
   def trianglesByMinVertex(edges: DataFrame): DataFrame =
-    trianglesByMinVertex(edges, jaccardLocalMaxEdges)
+    trianglesByMinVertex(edges, denseLocalMaxEdges)
 
   def trianglesByMinVertex(edges: DataFrame, localMaxEdges: Long): DataFrame = {
     // pin: und feeds the degree union (2x), the orientation join, and
@@ -125,16 +139,23 @@ object GraphAlgos {
     * deg(a) + deg(b) − common (degrees over the deduplicated
     * undirected edge set). Output: (src, dst, jac) per canonical
     * src < dst edge with at least one common neighbor. */
-  /** Edge bound for the driver-local Jaccard fast path — same
-    * bounded-collect contract as `Traversals.bfsLocalMaxEdges` (≤64k
-    * × 16 B ≈ 1 MB). DENSE small graphs are exactly where the wedge
-    * pipeline hurts: wedge volume is Σ deg², so a few hundred
+  /** Shared edge bound for the driver-local DENSE-small-graph fast
+    * paths (per-edge Jaccard AND min-vertex triangles — both consume
+    * the same oriented-wedge machinery, so the cutoff rationale is one
+    * contract, not two; retune it here and both operators follow).
+    * Same bounded-collect contract as `Traversals.bfsLocalMaxEdges`
+    * (≤64k × 16 B ≈ 1 MB). Dense small graphs are exactly where the
+    * wedge pipeline hurts: wedge volume is Σ deg², so a few hundred
     * well-connected vertices generate millions of wedge rows whose
     * shuffles cost multiples of the whole local computation. */
-  val jaccardLocalMaxEdges: Long = 65536L
+  val denseLocalMaxEdges: Long = 65536L
+
+  /** Per-operator alias of [[denseLocalMaxEdges]] (kept for source
+    * compatibility; the neutral name is the contract). */
+  val jaccardLocalMaxEdges: Long = denseLocalMaxEdges
 
   def jaccardPerEdge(edges: DataFrame): DataFrame =
-    jaccardPerEdge(edges, jaccardLocalMaxEdges)
+    jaccardPerEdge(edges, denseLocalMaxEdges)
 
   def jaccardPerEdge(edges: DataFrame, localMaxEdges: Long): DataFrame = {
     // pin rule: und feeds the degree union (2x), the orientation

@@ -283,6 +283,7 @@ object Traversals {
   def bfsLevelsPregel(edges: DataFrame, start: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    GraphAlgos.ensureGraphCheckpointDir(spark.sparkContext)
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .as[(Long, Long)].rdd.map { case (s, d) => Edge(s, d, ()) }
     val g = Graph.fromEdges[Int, Unit](edgeRdd, Int.MaxValue)
@@ -317,8 +318,12 @@ object Traversals {
     */
   /** Replay inputs above this edge count abort with a clear error
     * instead of a driver OOM (the reference contract bounds graphs at
-    * n=100; this guard is ~5 orders of magnitude above that). */
-  val dfsReplayMaxEdges: Long = 50000000L
+    * n=100; this guard is ~4 orders of magnitude above that). 5 M
+    * edges ≈ 80 MB collected — safe on any plausible driver heap,
+    * where the previous 50 M default permitted an ~800 MB collect
+    * before the guard tripped (r10 VERDICT watch item). Callers with
+    * a big driver opt in per call via `maxReplayEdges`. */
+  val dfsReplayMaxEdges: Long = 5000000L
 
   def dfsLeaves(edges: DataFrame, start: Long,
                 maxReplayEdges: Long = dfsReplayMaxEdges): DataFrame = {
@@ -446,27 +451,44 @@ object Traversals {
     // also the noisy-host story: less steal surface under suite load.
     val zeros = verts.select(col("vertex"),
       lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)").as("w"))
-    // The loop builds ONE lazy plan across all supersteps (iters is a
-    // small fixed constant, so plan depth is bounded — unlike BFS,
-    // whose unbounded frontier loop must checkpoint per level), then
-    // materializes once: a single job whose stages pipeline under AQE,
-    // instead of `iters` sequential checkpoint jobs each paying
-    // scheduling + barrier latency. On a noisy host that barrier count
-    // was the dominant recorded cost, not the shuffled bytes.
+    // The loop builds ONE lazy plan across up to `pageRankFuseDepth`
+    // supersteps before materializing (unlike BFS, whose unbounded
+    // frontier loop must checkpoint per level): the fused segment runs
+    // as a single job whose stages pipeline under AQE, instead of
+    // `iters` sequential checkpoint jobs each paying scheduling +
+    // barrier latency. On a noisy host that barrier count was the
+    // dominant recorded cost, not the shuffled bytes. `iters` is
+    // caller-supplied on the public API, so depth CANNOT be unbounded
+    // — analysis/optimizer time and driver memory grow with plan depth
+    // (r10 ADVICE) — hence the segment cut every pageRankFuseDepth
+    // iterations; each cut drops its superseded predecessor's blocks.
     var r = verts.withColumn("rank", lit(1.0))
-    (1 to iters).foreach { _ =>
+    var prevSeg: Option[DataFrame] = None
+    (1 to iters).foreach { i =>
       val contrib = eo.join(r, eo("src") === r("vertex"))
         .select(eo("dst").as("vertex"),
           (col("rank") / col("odeg")).cast("decimal(38,18)").as("w"))
       r = contrib.union(zeros)
         .groupBy("vertex")
         .agg((lit(reset) + lit(1 - reset) * sum(col("w")).cast("double")).as("rank"))
+      if (i % pageRankFuseDepth == 0 && i < iters) {
+        r = r.checkpointSized()
+        prevSeg.foreach(dropCheckpoint(_, keep = checkpointRddIds(r)))
+        prevSeg = Some(r)
+      }
     }
-    r = r.checkpointSized() // cut the multi-superstep lineage once
+    r = r.checkpointSized() // cut the final segment's lineage
     eo.unpersist(blocking = false)
+    prevSeg.foreach(dropCheckpoint(_, keep = checkpointRddIds(r)))
     dropCheckpoint(verts, keep = checkpointRddIds(r))
     r
   }
+
+  /** Supersteps fused into one lazy plan between [[pageRankDeterministic]]
+    * materialization points. 10 keeps the default/benchmark runs
+    * single-segment (identical plans to r10) while bounding plan and
+    * codegen depth for any caller-supplied iteration count. */
+  val pageRankFuseDepth: Int = 10
 
   /** Bidirectional BFS point-to-point distance: expand whichever
     * frontier is currently SMALLER, alternating ends until the

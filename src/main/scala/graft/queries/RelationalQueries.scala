@@ -101,19 +101,41 @@ object RelationalQueries {
     * definition time, so a sentinel written in any other dtype would
     * be rejected or (for long vs timestamp int64) silently
     * mis-scaled. */
-  /** Per-(session, fixture-dir) memo of (raw ts dtype, max epoch
-    * micros): each streaming gate query writes two sentinels and three
-    * of them run per Verify pass — without the memo that is six
-    * redundant full scans of the events fixture. */
+  /** Per-(session, fixture-dir, fixture-fingerprint) memo of (raw ts
+    * dtype, max epoch micros): each streaming gate query writes two
+    * sentinels and three of them run per Verify pass — without the memo
+    * that is six redundant full scans of the events fixture. Keys hold
+    * the session's identity hash, not the SparkSession itself (r10
+    * ADVICE: the instance key strongly retained closed sessions
+    * forever — the probed value depends only on the fixture, so an
+    * after-GC hash reuse could at worst serve another session an
+    * identical, still-correct probe), and carry
+    * a (name, size, mtime) fingerprint of the events files so a
+    * mid-session fixture refresh — the exact r9 dtype-break scenario —
+    * invalidates the memo instead of serving a stale dtype. Stale
+    * entries are tombstones: a handful of tuples per refresh, bounded. */
   private val sentinelMetaMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (org.apache.spark.sql.types.DataType, Long)]()
+    (Int, String, Long), (org.apache.spark.sql.types.DataType, Long)]()
+
+  /** Cheap local-FS metadata hash of the events fixture (file, or dir
+    * of parts): changes whenever the driver rewrites the fixture. */
+  private def eventsFingerprint(d: String): Long = {
+    val root = new java.io.File(d, "events.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory) Option(root.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+      else Seq(root)
+    files.foldLeft(1125899906842597L) { (h, f) =>
+      31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
+    }
+  }
 
   private def writeSentinel(s: SparkSession, d: String,
                             streamDir: java.nio.file.Path, tag: String,
                             plusDays: Long): Unit = {
     import s.implicits._
+    val canon = new java.io.File(d).getCanonicalPath
     val (rawTs, maxMicros) = sentinelMetaMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath), { _ =>
+      (System.identityHashCode(s), canon, eventsFingerprint(canon)), { _ =>
         // Tables.events sets legacy.parquet.nanosAsLong BEFORE its
         // read, so probe through it first — a bare Tables.t footer
         // read on a nanos fixture would throw if nothing else had set
@@ -1950,7 +1972,13 @@ object RelationalQueries {
       try {
       stageEventsInto(d, streamDir)
       val sink = "stream_quant_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      // value IS NOT NULL on BOTH sides: a NULL value would land in a
+      // NULL bin that Spark's cumulative window orders first while
+      // DuckDB orders NULLS LAST, skewing every cut (latent today —
+      // the fixture has no NULL values — but ordering semantics must
+      // not depend on that staying true)
       val q = graft.streaming.EventStreams.eventsStream(s, streamDir.toString)
+        .where(col("value").isNotNull)
         .groupBy(col("event_type"), floor(col("value") / 10).cast("long").as("bin"))
         .agg(count(lit(1)).as("c"))
         .writeStream.outputMode("complete").format("memory").queryName(sink).start()
@@ -2292,7 +2320,7 @@ object RelationalQueries {
       """WITH p AS (SELECT user_id, ts, max(event_id) AS purchase_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), e AS (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase') SELECT e.event_id, e.user_id, p.purchase_id, (floor(epoch(e.ts)) - floor(epoch(p.ts)))::BIGINT AS gap_sec FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id""",
     // streaming histogram quantiles vs the identical bin/cut rules
     "q_stream_quantile" ->
-      """WITH b AS (SELECT event_type, floor(value / 10)::BIGINT AS bin, count(*)::BIGINT AS c FROM events GROUP BY 1, 2), cu AS (SELECT event_type, bin, c, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY event_type) AS n FROM b) SELECT event_type, min(CASE WHEN cum * 2 >= n THEN bin * 10 END)::BIGINT AS p50, min(CASE WHEN cum * 10 >= n * 9 THEN bin * 10 END)::BIGINT AS p90, min(CASE WHEN cum * 100 >= n * 99 THEN bin * 10 END)::BIGINT AS p99 FROM cu GROUP BY event_type ORDER BY event_type""",
+      """WITH b AS (SELECT event_type, floor(value / 10)::BIGINT AS bin, count(*)::BIGINT AS c FROM events WHERE value IS NOT NULL GROUP BY 1, 2), cu AS (SELECT event_type, bin, c, sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum, sum(c) OVER (PARTITION BY event_type) AS n FROM b) SELECT event_type, min(CASE WHEN cum * 2 >= n THEN bin * 10 END)::BIGINT AS p50, min(CASE WHEN cum * 10 >= n * 9 THEN bin * 10 END)::BIGINT AS p90, min(CASE WHEN cum * 100 >= n * 99 THEN bin * 10 END)::BIGINT AS p99 FROM cu GROUP BY event_type ORDER BY event_type""",
     // streaming heavy-hitters vs the same batch window cut
     "q_stream_topn" ->
       """WITH c AS (SELECT event_type, user_id, count(*)::BIGINT AS cnt FROM events GROUP BY event_type, user_id), r AS (SELECT event_type, user_id, cnt, row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, user_id) AS rk FROM c) SELECT event_type, rk::INT AS rk, user_id, cnt FROM r WHERE rk <= 3 ORDER BY event_type, rk""",

@@ -288,4 +288,47 @@ class GraphAlgosSpec extends SparkSpec {
       assert(msfOf(edges) === kruskal(edges), s"trial $trial: $edges")
     }
   }
+
+  test("GraphX Pregel checkpoint cadence is armed: interval conf set, dir guaranteed") {
+    // r10 VERDICT #5: Pregel reads spark.graphx.pregel.checkpointInterval
+    // from the SparkConf fixed at context creation — assert the session
+    // builders actually carry it (a silent drop here means unbounded RDD
+    // lineage on 100x-diameter graphs, invisible at fixture scale)...
+    assert(spark.sparkContext.getConf
+      .getInt("spark.graphx.pregel.checkpointInterval", -1) == 25)
+    // ...and PeriodicCheckpointer silently skips without a RELIABLE
+    // checkpoint dir, so every GraphX entry point must guarantee one
+    GraphAlgos.connectedComponentsGraphX(ring).count()
+    assert(spark.sparkContext.getCheckpointDir.nonEmpty,
+      "GraphX entry ran without ensuring a checkpoint dir")
+  }
+
+  test("pageRankDeterministic: segment cuts past pageRankFuseDepth leave ranks unchanged") {
+    import graft.operators.Traversals
+    // 12 iters crosses the fuse-depth-10 segment boundary, so the run
+    // exercises checkpoint-cut-resume; an unfused single-plan reference
+    // loop (the pre-r11 shape, inlined here) must agree bit-for-bit
+    import org.apache.spark.sql.functions._
+    val iters = 12
+    val got = Traversals.pageRankDeterministic(ring, iters).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+    val e = ring.select(col("src").cast("long"), col("dst").cast("long"))
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("odeg"))
+    val eo = e.join(outDeg, "src")
+    val verts = eo.select(col("src").as("vertex"))
+      .union(eo.select(col("dst").as("vertex"))).distinct()
+    val zeros = verts.select(col("vertex"),
+      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)").as("w"))
+    var r = verts.withColumn("rank", lit(1.0))
+    (1 to iters).foreach { _ =>
+      val contrib = eo.join(r, eo("src") === r("vertex"))
+        .select(eo("dst").as("vertex"),
+          (col("rank") / col("odeg")).cast("decimal(38,18)").as("w"))
+      r = contrib.union(zeros).groupBy("vertex")
+        .agg((lit(0.15) + lit(0.85) * sum(col("w")).cast("double")).as("rank"))
+    }
+    val want = r.collect()
+      .map(x => x.getAs[Long]("vertex") -> x.getAs[Double]("rank")).toMap
+    assert(got == want, "fused/segmented loop diverged from the unfused reference")
+  }
 }
