@@ -40,16 +40,19 @@ object PipelineQueries {
     * Size: one (doc_id, 16×8-char array) row per doc per corpus —
     * negligible next to the corpus itself. */
   private val sigMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Int, Int), DataFrame]()
+    (SparkSession, String, Long, Int, Int), DataFrame]()
 
   private def docSignatures(s: SparkSession, d: String,
                             k: Int = 16, shingleN: Int = 3): DataFrame = {
     // sweep dead sessions' entries (same rationale as
     // RelationalQueries.bucketedPurchases: no unbounded cross-session
-    // retention of checkpointed plans in a session-cycling JVM)
+    // retention of checkpointed plans in a session-cycling JVM); the
+    // key's fixture fingerprint makes a mid-session refresh re-derive
+    // instead of serving stale signatures (r9 failure class)
     sigMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
     sigMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath, k, shingleN),
+      (s, new java.io.File(d).getCanonicalPath,
+        Tables.fingerprint(d, "documents"), k, shingleN),
       _ => Dedup.minhashSignatures(t(s, d, "documents"), k, shingleN)
         .localCheckpoint(true))
   }
@@ -61,13 +64,14 @@ object PipelineQueries {
     * it, and every downstream dedup pass joins against the pinned
     * table instead of re-running the corpus-wide aggregation. */
   private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, String), DataFrame]()
+    (SparkSession, String, Long, String), DataFrame]()
 
   private def memoTable(s: SparkSession, d: String, tag: String)
                        (build: => DataFrame): DataFrame = {
     tableMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
     tableMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath, tag),
+      (s, new java.io.File(d).getCanonicalPath,
+        Tables.fingerprint(d, "documents"), tag),
       _ => build.localCheckpoint(true))
   }
 

@@ -117,25 +117,13 @@ object RelationalQueries {
   private val sentinelMetaMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Long), (org.apache.spark.sql.types.DataType, Long)]()
 
-  /** Cheap local-FS metadata hash of the events fixture (file, or dir
-    * of parts): changes whenever the driver rewrites the fixture. */
-  private def eventsFingerprint(d: String): Long = {
-    val root = new java.io.File(d, "events.parquet")
-    val files: Seq[java.io.File] =
-      if (root.isDirectory) Option(root.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
-      else Seq(root)
-    files.foldLeft(1125899906842597L) { (h, f) =>
-      31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
-    }
-  }
-
   private def writeSentinel(s: SparkSession, d: String,
                             streamDir: java.nio.file.Path, tag: String,
                             plusDays: Long): Unit = {
     import s.implicits._
     val canon = new java.io.File(d).getCanonicalPath
     val (rawTs, maxMicros) = sentinelMetaMemo.computeIfAbsent(
-      (System.identityHashCode(s), canon, eventsFingerprint(canon)), { _ =>
+      (System.identityHashCode(s), canon, Tables.fingerprint(canon, "events")), { _ =>
         // Tables.events sets legacy.parquet.nanosAsLong BEFORE its
         // read, so probe through it first — a bare Tables.t footer
         // read on a nanos fixture would throw if nothing else had set

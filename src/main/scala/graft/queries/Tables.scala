@@ -9,6 +9,22 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Cheap local-FS metadata hash of one fixture table (single file or
+    * a dir of parts): changes whenever the driver rewrites the fixture,
+    * so memo keys that include it re-derive instead of serving stale
+    * state after a mid-session refresh (the r9 failure class — schema
+    * AND content changes both move size/mtime). */
+  def fingerprint(dir: String, name: String): Long = {
+    val root = new java.io.File(dir, s"$name.parquet")
+    val files: Seq[java.io.File] =
+      if (root.isDirectory)
+        Option(root.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+      else Seq(root)
+    files.foldLeft(1125899906842597L) { (h, f) =>
+      31 * (31 * (31 * h + f.getName.hashCode) + f.length()) + f.lastModified()
+    }
+  }
+
   /** Loads `events` with a session-timezone TIMESTAMP `ts`, adapting to
     * whatever physical type the fixture was written with. The driver's
     * fixtures have shipped `ts` as TIMESTAMP(NANOS) (Spark 4 surfaces

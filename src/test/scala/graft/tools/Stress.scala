@@ -143,9 +143,14 @@ object Stress {
 
     // round-7 families: two-stage rerank over 10x vectors (prefilter is
     // the full-corpus pass, rescore stays 50 rows regardless of scale),
-    // degree-oriented triangles over a 4x (disjoint-copy) graph
-    // (triangle count scales linearly with copies; wedge machinery is
-    // what's being measured)
+    // degree-oriented triangles over a 4x (disjoint-copy) graph.
+    // NOTE the x1/x4 pair spans the denseLocalMaxEdges cutoff BY
+    // DESIGN: tri1 (~45k distinct edges, dense 300-vertex) takes the
+    // driver-local fast path, tri4 (~180k) the distributed wedge
+    // pipeline — so their ratio measures the local-path win on dense
+    // small graphs, NOT same-path scaling (a dense graph maximises
+    // wedge volume Σdeg², the wedge pipeline's worst case; that is
+    // exactly why the local path exists below the cutoff)
     time("rerank_x1", ne) {
       graft.SparkEntry.queries("q_embed_rerank")(spark, d).count()
     }
@@ -371,6 +376,83 @@ object Stress {
         val expected = ev10.where(col("event_type") =!= "purchase").count()
         require(emitted == expected,
           s"stream as-of emitted $emitted of $expected left rows")
+        // state PLATEAU (r10 VERDICT #7): once the sentinels advance the
+        // watermark past every real event, all buffered left rows must
+        // be evicted and the purchase side pruned to the dominating set
+        // — final state must scale with purchases (~4% of events), never
+        // with stream volume. A pruning regression would leave ~10^6
+        // rows here and fail loudly.
+        val finalState = q.recentProgress.reverse
+          .find(_.stateOperators.nonEmpty)
+          .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+        val nPurch = ev10.where(col("event_type") === "purchase").count()
+        require(finalState >= 0 && finalState <= nPurch + 16,
+          s"stream as-of final state $finalState rows; want <= purchases($nPurch)+16 " +
+            s"(volume $n) — watermark eviction or dominated-purchase pruning regressed")
+      }
+    }
+    // Streaming sketch STATE bounds at 10x volume (r10 VERDICT #7):
+    // complete-mode agg state must track KEY CARDINALITY, never stream
+    // length. Stage the 10x events fixture once and assert each
+    // sketch's state-store row count (from StreamingQueryProgress)
+    // equals its batch-side key count and sits under its design bound
+    // — the "plateau": growing the stream another 10x changes event
+    // volume but none of these key bounds (hll: types x 64 registers;
+    // quantile: types x <=51 bins; topn: keyed by (type, user), so its
+    // bound is key cardinality by design, not volume).
+    {
+      val ev1 = graft.queries.Tables.events(spark, d)
+      val ev10 = (0 until 10).map(i =>
+        ev1.withColumn("user_id", col("user_id") + lit(i.toLong * 10000000L))
+          .withColumn("event_id", col("event_id") + lit(i.toLong * 1000000000L)))
+        .reduce(_ union _)
+      val nEv10 = ev10.count()
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-stress-sketch")
+      ev10.coalesce(4).write.parquet(streamDir.resolve("e0").toString)
+      def runStateRows(name: String)(
+          build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+        val q = build(graft.streaming.EventStreams
+            .eventsStream(spark, streamDir.toString + "/*"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("stress_state_" + name).start()
+        try q.processAllAvailable() finally q.stop()
+        q.recentProgress.flatMap(_.stateOperators).map(_.numRowsTotal)
+          .foldLeft(0L)(math.max)
+      }
+      val nTypes = ev10.select("event_type").distinct().count()
+      time("stream_hll_x10_state", nEv10) {
+        val st = runStateRows("hll") { df =>
+          val h = md5(concat(lit("hll|"), col("k")))
+          df.select(col("event_type"), col("user_id").cast("string").as("k"))
+            .select(col("event_type"),
+              (conv(substring(h, 1, 8), 16, 10).cast("long") % 64).cast("int").as("idx"),
+              conv(substring(h, 9, 8), 16, 10).cast("long").as("v"))
+            .select(col("event_type"), col("idx"),
+              when(col("v") === 0, lit(33))
+                .otherwise(lit(33) - length(bin(col("v")))).as("rho"))
+            .groupBy("event_type", "idx").agg(max("rho").as("m"))
+        }
+        require(st > 0 && st <= nTypes * 64,
+          s"HLL stream state $st rows exceeds types(${nTypes}) x 64 registers")
+      }
+      time("stream_quantile_x10_state", nEv10) {
+        val st = runStateRows("quantile") { df =>
+          df.where(col("value").isNotNull)
+            .groupBy(col("event_type"), floor(col("value") / 10).cast("long").as("bin"))
+            .agg(count(lit(1)).as("c"))
+        }
+        val nBins = ev10.where(col("value").isNotNull)
+          .select(col("event_type"), floor(col("value") / 10)).distinct().count()
+        require(st > 0 && st == nBins && st <= nTypes * 51,
+          s"quantile stream state $st rows; want $nBins (<= types x 51 bins)")
+      }
+      time("stream_topn_x10_state", nEv10) {
+        val st = runStateRows("topn") { df =>
+          df.groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+        }
+        val nKeys = ev10.select("event_type", "user_id").distinct().count()
+        require(st > 0 && st == nKeys && st < nEv10,
+          s"topn stream state $st rows; want key cardinality $nKeys << volume $nEv10")
       }
     }
     spark.stop()
