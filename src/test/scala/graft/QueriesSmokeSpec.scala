@@ -52,12 +52,14 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query has an oracle or a documented exemption") {
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // dfs_leaves is traversal-order-dependent — golden-tested instead
-    // (pagerank graduated to an exact oracle via deterministic decimal
-    // sums; q_agg_approx via the deterministic-HLL + histogram-median
+  test("every query has an oracle — no exemptions remain") {
+    // r11 retired the last exemption: q_graph_dfs_leaves (traversal-
+    // order-dependent, golden-tested through r10) now has a list-state
+    // recursive-CTE oracle that replays the sequential DFS exactly
+    // (pagerank graduated earlier via deterministic decimal sums;
+    // q_agg_approx via the deterministic-HLL + histogram-median
     // estimators)
-    assert(noOracle === Set("q_graph_dfs_leaves"))
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === Set.empty[String])
   }
 }
