@@ -155,7 +155,32 @@ object Dedup {
     bandDf.as("a").join(bandDf.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
           col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      .select(col("a.doc_id").as("doc_a", candMetadata(k, bands, shingleN)),
+        col("b.doc_id").as("doc_b")).distinct()
+  }
+
+  /** Stamp on `doc_a` of a [[minhashBandCandidates]] table, mirroring
+    * [[sigMetadata]]: a memoized/persisted candidate table built with
+    * one (k, bands, shingleN) must not be silently reused by a caller
+    * expecting another — mismatched banding changes the candidate SET,
+    * which skews recall rather than failing. */
+  private def candMetadata(k: Int, bands: Int, shingleN: Int) =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong("minhash_k", k.toLong).putLong("minhash_bands", bands.toLong)
+      .putLong("minhash_shingle_n", shingleN.toLong).build()
+
+  /** [[requireSig]]'s twin for candidate tables: enforceable only for
+    * tables produced by [[minhashBandCandidates]] (others lack the
+    * stamp and are accepted as-is). */
+  private def requireCand(cand: DataFrame, k: Int, bands: Int, shingleN: Int): Unit = {
+    val md = cand.schema("doc_a").metadata
+    Seq(("minhash_k", k), ("minhash_bands", bands), ("minhash_shingle_n", shingleN))
+      .foreach { case (key, want) =>
+        if (md.contains(key))
+          require(md.getLong(key) == want.toLong,
+            s"candidate table was built with $key=${md.getLong(key)} " +
+              s"but caller expects $key=$want")
+      }
   }
 
   /** Incremental-ingest dedup: near-dup pairs BETWEEN a new batch and
@@ -221,11 +246,17 @@ object Dedup {
                    minEst: Double = 0.25,
                    sigOpt: Option[DataFrame] = None,
                    shingleN: Int = 3,
-                   maxBucket: Int = Similarity.maxBucketDefault): DataFrame = {
+                   maxBucket: Int = Similarity.maxBucketDefault,
+                   candOpt: Option[DataFrame] = None): DataFrame = {
     sigOpt.foreach(requireSig(_, k, shingleN))
     val sig = sigOpt.getOrElse(
       minhashSignatures(docs, k, shingleN).localCheckpoint(true))
-    val pairs = minhashBandCandidates(docs, k, bands, Some(sig), shingleN, maxBucket)
+    // candOpt: a persisted/memoized candidate table (the production
+    // pattern — compute the candidate graph once, rescore many times
+    // with different thresholds); validated against (k, bands,
+    // shingleN) via the metadata stamp, same contract as sigOpt
+    val pairs = candOpt.map { c => requireCand(c, k, bands, shingleN); c }
+      .getOrElse(minhashBandCandidates(docs, k, bands, Some(sig), shingleN, maxBucket))
     val sa = sig.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
     val sb = sig.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     pairs.join(sa, "doc_a").join(sb, "doc_b")

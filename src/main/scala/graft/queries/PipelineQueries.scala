@@ -57,6 +57,23 @@ object PipelineQueries {
         .localCheckpoint(true))
   }
 
+  /** Session-scoped memo of the symmetric MinHash band-candidate
+    * table (doc_a, doc_b distinct; k=16, bands=4) — the second reusable
+    * artifact of the production dedup pattern: compute the candidate
+    * GRAPH once over the persisted signatures, then rescore it many
+    * times (Jaccard estimate at two thresholds, banded edit distance)
+    * without re-paying the band explode + mega-bucket salt agg +
+    * self-join per query (measured ~0.5-0.8 s each at sf0.1 after the
+    * r10 salting guard; 4 gate queries consume it). The (k, bands,
+    * shingleN) metadata stamp travels with the table, so a consumer
+    * expecting different banding fails fast instead of silently
+    * changing recall. */
+  private def docCandidates(s: SparkSession, d: String): DataFrame =
+    memoTable(s, d, "minhash_cand_k16_b4")(
+      graft.operators.Dedup.minhashBandCandidates(
+        t(s, d, "documents"), k = 16, bands = 4,
+        sigOpt = Some(docSignatures(s, d))))
+
   /** Session-scoped memo for the OTHER persisted signature tables the
     * dedup family reuses across invocations (wide-SimHash signatures,
     * n-gram shingle sets) — same lifecycle contract and rationale as
@@ -307,7 +324,7 @@ object PipelineQueries {
         .where(col("doc_id") =!= col("keeper"))
         .select(col("doc_id"))
       val nearLosers = Dedup.minhashPairs(docs, minEst = 0.5,
-          sigOpt = Some(docSignatures(s, d)))
+          sigOpt = Some(docSignatures(s, d)), candOpt = Some(docCandidates(s, d)))
         .select(col("doc_b").as("doc_id")).distinct()
         .join(exactLosers, Seq("doc_id"), "left_anti")
       val total = docs.select(count(lit(1)).as("n_total"))
@@ -335,7 +352,7 @@ object PipelineQueries {
       Dedup.exact(t(s, d, "documents")).orderBy("h")),
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.25,
-          sigOpt = Some(docSignatures(s, d)))
+          sigOpt = Some(docSignatures(s, d)), candOpt = Some(docCandidates(s, d)))
         .orderBy("doc_a", "doc_b")),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashBuckets(t(s, d, "documents")).orderBy("simhash")),
@@ -402,7 +419,7 @@ object PipelineQueries {
       // pair generation in a real dedup pipeline (pick one keeper per
       // cluster, not per pair). cluster id = min doc_id.
       val pairs = Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.5,
-          sigOpt = Some(docSignatures(s, d)))
+          sigOpt = Some(docSignatures(s, d)), candOpt = Some(docCandidates(s, d)))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       graft.operators.Traversals.connectedComponents(pairs)
         .groupBy("component")
@@ -703,8 +720,7 @@ object PipelineQueries {
       // bucket join was measured to blow up quadratically at 10x scale
       // (tools/Stress), this formulation survives it.
       val docs = t(s, d, "documents")
-      val cand = Dedup.minhashBandCandidates(docs, k = 16, bands = 4,
-        sigOpt = Some(docSignatures(s, d)))
+      val cand = docCandidates(s, d)
       val ta = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
       val tb = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
       cand.join(ta, "doc_a").join(tb, "doc_b")

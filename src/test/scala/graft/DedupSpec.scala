@@ -170,4 +170,27 @@ class DedupSpec extends SparkSpec {
     assert(tiny === run(Int.MaxValue))
     assert(tiny.size === 5 * 40, s"expected every batch×corpus pair, got ${tiny.size}")
   }
+
+  test("candOpt: a supplied candidate table yields identical pairs; mismatched banding fails fast") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy cat today"),
+      (4L, "completely different words about spark dataframes here"))
+      .toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs)
+    val cand = Dedup.minhashBandCandidates(docs, sigOpt = Some(sig))
+    def pairsOf(c: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minhashPairs(docs, minEst = 0.25, sigOpt = Some(sig), candOpt = c)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairsOf(Some(cand)) === pairsOf(None),
+      "memoized-candidate path diverged from the inline path")
+    // the metadata stamp must reject a candidate table built with
+    // different banding (a silent mismatch changes recall, not results)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairs(docs, bands = 2, sigOpt = None, candOpt = Some(cand)).collect()
+    }
+    assert(e.getMessage.contains("minhash_bands"))
+  }
 }
