@@ -687,7 +687,11 @@ object RelationalQueries {
       val pruned = li.join(frequent, Seq("l_partkey"), "left_semi")
       val small = pruned.groupBy("ok").agg(count(lit(1)).as("bsz"))
         .where(col("bsz") <= 1000).select(col("ok"))
-      val items = pruned.join(small, Seq("ok"), "left_semi")
+      // self-join pin rule (Dedup.scala header): without the pin each
+      // join side re-executes the whole distinct + double-semi-join
+      // derivation (the frequent-set semi joins broadcast, so there is
+      // no exchange for ReuseExchange to dedupe)
+      val items = pruned.join(small, Seq("ok"), "left_semi").localCheckpoint(true)
       items.select(col("ok"), col("l_partkey").as("pi"))
         .join(items.select(col("ok"), col("l_partkey").as("pj")), "ok")
         .where(col("pi") < col("pj"))
