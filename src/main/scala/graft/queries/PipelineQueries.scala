@@ -467,6 +467,10 @@ object PipelineQueries {
       val docs = t(s, d, "documents")
       val keeper = docs.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
+      // deliberately NOT pinned despite feeding two consumers: an r11
+      // harness A/B measured the pin SLOWER (2.00 vs 1.72 s median at
+      // sf0.1) — materializing the wide text column costs more than
+      // re-running the cheap scan + keeper join + score projection
       val qual = docs.join(keeper.select("doc_id"), "doc_id")
         .withColumn("score", graft.functions.TextFunctions.qualityScore(col("text")))
         .where(col("score") >= 0.5)
