@@ -169,19 +169,24 @@ object Dedup {
       .putLong("minhash_k", k.toLong).putLong("minhash_bands", bands.toLong)
       .putLong("minhash_shingle_n", shingleN.toLong).build()
 
-  /** [[requireSig]]'s twin for candidate tables: enforceable only for
-    * tables produced by [[minhashBandCandidates]] (others lack the
-    * stamp and are accepted as-is). */
-  private def requireCand(cand: DataFrame, k: Int, bands: Int, shingleN: Int): Unit = {
-    val md = cand.schema("doc_a").metadata
+  /** [[requireSig]]'s twin for banded artifacts (candidate tables,
+    * corpus band indexes): enforceable only for tables produced by the
+    * stamping builders (others lack the stamp and are accepted
+    * as-is). */
+  private def requireStamp(df: DataFrame, colName: String,
+                           k: Int, bands: Int, shingleN: Int): Unit = {
+    val md = df.schema(colName).metadata
     Seq(("minhash_k", k), ("minhash_bands", bands), ("minhash_shingle_n", shingleN))
       .foreach { case (key, want) =>
         if (md.contains(key))
           require(md.getLong(key) == want.toLong,
-            s"candidate table was built with $key=${md.getLong(key)} " +
+            s"banded table was built with $key=${md.getLong(key)} " +
               s"but caller expects $key=$want")
       }
   }
+
+  private def requireCand(cand: DataFrame, k: Int, bands: Int, shingleN: Int): Unit =
+    requireStamp(cand, "doc_a", k, bands, shingleN)
 
   /** Incremental-ingest dedup: near-dup pairs BETWEEN a new batch and
     * an existing corpus — never corpus×corpus. This is the production
@@ -199,10 +204,34 @@ object Dedup {
     * ALREADY-pinned table (the session memo, a persisted production
     * signature store) pass `prePinned = true` to skip the redundant
     * re-materialization. */
+  /** Salted corpus band index — THE persistable corpus-side artifact
+    * of incremental dedup: `(band_id, bkey, salt, corpus_id, nsplit)`
+    * with `nsplit` non-null only for oversized (salted) buckets. A
+    * production pipeline computes this once per corpus generation
+    * (right next to the signature table) and every arriving batch
+    * probes it through [[minhashPairsBetween]]'s `corpusIndexOpt`,
+    * skipping the per-arrival band explode + bucket-count agg + salt
+    * join. Salt assignment comes from the ONE [[Similarity
+    * .saltMembers]] definition (nsplit re-joined after), so the index
+    * and inline paths cannot drift. Stamped like candidate tables. */
+  def corpusBandIndex(corpusSig: DataFrame, k: Int = 16, bands: Int = 4,
+                      shingleN: Int = 3,
+                      maxBucket: Int = Similarity.maxBucketDefault): DataFrame = {
+    requireSig(corpusSig, k, shingleN)
+    val cRaw = bandRows(corpusSig, k, bands, "corpus_id")
+    val splits = Similarity.splitCounts(cRaw, Seq("band_id", "bkey"), maxBucket)
+    Similarity.saltMembers(cRaw, splits, Seq("band_id", "bkey"), "corpus_id")
+      .join(splits, Seq("band_id", "bkey"), "left_outer")
+      .select(col("band_id"), col("bkey"), col("salt"),
+        col("corpus_id").as("corpus_id", candMetadata(k, bands, shingleN)),
+        col("nsplit"))
+  }
+
   def minhashPairsBetween(batchSig: DataFrame, corpusSig: DataFrame,
                           k: Int = 16, bands: Int = 4, minEst: Double = 0.25,
                           shingleN: Int = 3, prePinned: Boolean = false,
-                          maxBucket: Int = Similarity.maxBucketDefault): DataFrame = {
+                          maxBucket: Int = Similarity.maxBucketDefault,
+                          corpusIndexOpt: Option[DataFrame] = None): DataFrame = {
     requireSig(batchSig, k, shingleN); requireSig(corpusSig, k, shingleN)
     val bSig = if (prePinned) batchSig else batchSig.localCheckpoint(true)
     val cSig = if (prePinned) corpusSig else corpusSig.localCheckpoint(true)
@@ -210,13 +239,22 @@ object Dedup {
     // salted into ≤maxBucket sub-buckets and each batch row probes
     // every sub-bucket — per-join-key fan-in is bounded WITHOUT losing
     // pairs (this join's output is its semantics; only the symmetric
-    // self-join may shed intra-bucket pairs)
-    val cRaw = bandRows(cSig, k, bands, "corpus_id")
-    val splits = Similarity.splitCounts(cRaw, Seq("band_id", "bkey"), maxBucket)
+    // self-join may shed intra-bucket pairs). A caller-persisted
+    // [[corpusBandIndex]] supplies the salted members + splits
+    // pre-built; otherwise they are derived inline from cSig.
+    val (salted, splits) = corpusIndexOpt.map { idx =>
+      requireStamp(idx, "corpus_id", k, bands, shingleN)
+      (idx.drop("nsplit"),
+        idx.where(col("nsplit").isNotNull)
+          .select("band_id", "bkey", "nsplit").distinct())
+    }.getOrElse {
+      val cRaw = bandRows(cSig, k, bands, "corpus_id")
+      val sp = Similarity.splitCounts(cRaw, Seq("band_id", "bkey"), maxBucket)
+      (Similarity.saltMembers(cRaw, sp, Seq("band_id", "bkey"), "corpus_id"), sp)
+    }
     val cand = Similarity.probeAllSalts(bandRows(bSig, k, bands, "new_id"),
         splits, Seq("band_id", "bkey"))
-      .join(Similarity.saltMembers(cRaw, splits, Seq("band_id", "bkey"), "corpus_id"),
-        Seq("band_id", "bkey", "salt"))
+      .join(salted, Seq("band_id", "bkey", "salt"))
       // a doc id present on BOTH sides (a re-ingested batch — routine
       // production retry) would band-join with itself and survive as a
       // bogus (x, x, 1.0) "near-dup"; the symmetric path's doc_a <

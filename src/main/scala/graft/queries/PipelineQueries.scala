@@ -342,10 +342,17 @@ object PipelineQueries {
       // table, exactly as a production pipeline reuses its persisted
       // signatures across arrivals.
       val sig = docSignatures(s, d)
+      // the memoized corpus band index is the second persisted artifact
+      // of the arrival pattern (next to the signatures): arriving
+      // batches probe it instead of re-paying the corpus band explode +
+      // bucket-count agg + salt join per ingest
+      val idx = memoTable(s, d, "corpus_band_index_k16_b4")(
+        Dedup.corpusBandIndex(sig.where(col("doc_id") % 5 =!= 0)))
       Dedup.minhashPairsBetween(
         sig.where(col("doc_id") % 5 === 0),
         sig.where(col("doc_id") % 5 =!= 0),
-        prePinned = true) // slices of the already-checkpointed memo
+        prePinned = true, // slices of the already-checkpointed memo
+        corpusIndexOpt = Some(idx))
         .orderBy("new_id", "corpus_id")
     }),
     "q_dedup_exact" -> ((s, d) =>

@@ -193,4 +193,27 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("minhash_bands"))
   }
+
+  test("corpusBandIndex: indexed batch×corpus pairs identical to the inline path; stamp enforced") {
+    import spark.implicits._
+    val docs = (0L until 60L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta token$i"
+      (i, if (i % 3 == 0) base.replace(s"token$i", "token0") else base)
+    }.toDF("doc_id", "text")
+    val sig = Dedup.minhashSignatures(docs).localCheckpoint(true)
+    val batch = sig.where($"doc_id" % 5 === 0)
+    val corpus = sig.where($"doc_id" % 5 =!= 0)
+    val idx = Dedup.corpusBandIndex(corpus)
+    def run(i: Option[org.apache.spark.sql.DataFrame]) =
+      Dedup.minhashPairsBetween(batch, corpus, prePinned = true, corpusIndexOpt = i)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIdx = run(Some(idx))
+    assert(viaIdx === run(None), "index path diverged from inline path")
+    assert(viaIdx.nonEmpty, "fixture should produce at least one cross pair")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashPairsBetween(batch, corpus, bands = 2, prePinned = true,
+        corpusIndexOpt = Some(idx)).collect()
+    }
+    assert(e.getMessage.contains("minhash_bands"))
+  }
 }
