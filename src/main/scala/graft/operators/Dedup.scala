@@ -446,4 +446,42 @@ object Dedup {
       .where(col("c0") >= minCont)
       .select(col("doc_a"), col("doc_b"), round(col("c0"), 4).as("containment"))
   }
+
+  /** Corpus-frequency boilerplate profile (the CCNet / RefinedWeb
+    * "remove lines repeated across documents" pass, re-expressed on
+    * word shingles since the fixture corpus is single-line): a
+    * shingle is boilerplate when it occurs in >= `minDocs` DISTINCT
+    * documents; each doc reports how much of it is boilerplate.
+    * Output: (doc_id, n_sh, n_boiler, boiler_frac, flagged) — flagged
+    * docs are the template-heavy ones a curation pass drops or strips.
+    *
+    * Scale shape: shingles explode to rows once; the document
+    * frequency is ONE partial+final hash agg keyed by shingle; the
+    * doc↔frequency attach is an equi-join on the shingle hash whose
+    * key cardinality is the corpus vocabulary of n-grams — no window
+    * over the corpus, no per-doc collect. At 100 TB the frequent-set
+    * side (df >= minDocs, a tiny fraction by Zipf) can broadcast as a
+    * semi-join; here it rides the same shuffle as the count. */
+  def boilerplateProfile(docs: DataFrame, shingleN: Int = 3,
+                         minDocs: Int = 3): DataFrame = {
+    // pin: the shingle rows feed both the df-count side and the
+    // per-doc attach (repo read-twice rule)
+    val sh = shingleRows(docs, shingleN)
+      .select(col("doc_id"), md5(col("g")).as("h")).localCheckpoint(true)
+    val df_ = sh.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("nd"))
+    val stats = sh.join(df_, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+    // left-join back so shingle-less (short) docs still report a row
+    docs.select(col("doc_id")).join(stats, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_sh"), lit(0L)).as("n_sh"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler") / col("n_sh"), lit(0.0)), 4)
+          .as("boiler_frac"))
+      .withColumn("flagged", (col("boiler_frac") > 0.5).cast("int"))
+      .orderBy("doc_id")
+  }
 }

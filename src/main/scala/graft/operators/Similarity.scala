@@ -282,4 +282,35 @@ object Similarity {
       .orderBy(col("score").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup =
+    * k-means partition + pairwise cosine ONLY within a cluster. A
+    * vector is dropped when a lower-id vector in its cluster scores
+    * cosine >= `tau` against it (the paper keeps one representative
+    * per semantic-dup group; lowest-id is the deterministic,
+    * SQL-expressible stand-in for its centroid-distance tie-break).
+    * Returns the per-cluster audit row a curation run logs:
+    * (cid, sz, n_drop, n_kept).
+    *
+    * Scale contract: the quadratic is CLUSTER-scoped — the self-join
+    * shuffles on `cid` once and each reducer does |cell|² work, so k
+    * is the lever: scale k with corpus size (the paper uses 50k
+    * clusters for LAION) and the per-cell population stays bounded;
+    * [[splitCounts]]-style salting applies if a degenerate cell
+    * forms. No all-pairs stage exists at any scale. */
+  def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
+    val a = assigned.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"))
+    val pairs = a.join(b, "cid").where(col("ia") < col("ib"))
+    val dropped = pairs
+      .where(round(fastCosine(pairs, "va", "vb"), 4) >= tau)
+      .select(col("cid"), col("ib")).distinct()
+      .groupBy("cid").agg(count(lit(1)).as("n_drop"))
+    assigned.groupBy("cid").agg(count(lit(1)).as("sz"))
+      .join(dropped, Seq("cid"), "left_outer")
+      .select(col("cid"), col("sz"),
+        coalesce(col("n_drop"), lit(0L)).as("n_drop"),
+        (col("sz") - coalesce(col("n_drop"), lit(0L))).as("n_kept"))
+      .orderBy("cid")
+  }
 }

@@ -279,6 +279,12 @@ object PipelineQueries {
           (col("top_tok_frac") > 0.2 || col("dup_bigram_frac") > 0.3).cast("int"))
         .orderBy("doc_id")
     }),
+    "q_text_boilerplate" -> ((s, d) =>
+      // CCNet/RefinedWeb-style corpus-frequency boilerplate profile:
+      // word-3-gram occurs in >= 3 distinct docs -> boilerplate; docs
+      // report their boilerplate coverage (see Dedup.boilerplateProfile
+      // for the one-agg-one-join scale shape).
+      Dedup.boilerplateProfile(t(s, d, "documents"), shingleN = 3, minDocs = 3)),
     "q_text_pack" -> ((s, d) => {
       // sequence packing: fill 512-token bins per language in doc_id
       // order — bin = floor(running-token-count-before / 512), the
@@ -420,6 +426,20 @@ object PipelineQueries {
         .agg(count(lit(1)).as("sz"), max(col("vertex")).as("max_vec"))
         .orderBy("component")
     }),
+    "q_dedup_semantic" -> ((s, d) => {
+      // SemDeDup (Abbas et al. '23): cluster partition (IVF cells,
+      // centroids = vec_ids 1-8 like q_embed_ivf) + within-cluster
+      // cosine >= 0.4 drop rule — the embedding-space dedup that
+      // catches paraphrases exact/MinHash dedup cannot. Quadratic
+      // work is cluster-bounded; k scales with corpus so cells stay
+      // small (see Similarity.semDedup).
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      Similarity.semDedup(
+        Similarity.assignCells(e, cents).localCheckpoint(true), tau = 0.4)
+    }),
     "q_dedup_cluster" -> ((s, d) => {
       // near-dup CLUSTERS: transitive closure over MinHash pairs
       // (est >= 0.5) via the distributed CC operator — the step after
@@ -461,6 +481,29 @@ object PipelineQueries {
         .withColumn("rk", row_number().over(w).cast("int"))
         .where(col("rk") <= 40)
         .orderBy("lang", "source", "rk")
+    }),
+    "q_sample_budget" -> ((s, d) => {
+      // token-BUDGET sampling: per language, take docs in
+      // hash-of-id order until 2 000 tokens are admitted (exclusive
+      // prefix sum < B, so the budget overflows by at most one doc —
+      // the standard "sample N tokens per domain" mixture step).
+      // Scale shape: ONE window per language (exchange keyed by lang,
+      // skew bounded by |langs|); the running sum is the same
+      // two-phase scan q_text_pack uses. The Bernoulli alternative
+      // (rate = B/total, no global order) is q_sample_split's shape —
+      // this is the exact-budget path.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), tokenCount(col("text")).cast("long").as("ntok"))
+        .withColumn("before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+        .where(col("before") < 2000L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy("lang")
     }),
     "q_pipeline_curation" -> ((s, d) => {
       // END-TO-END curation capstone, composing the verified stages a
@@ -1096,6 +1139,10 @@ object PipelineQueries {
       """WITH h AS (SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS h FROM documents), sp AS (SELECT doc_id, lang, CASE WHEN h < '0d' THEN 'test' WHEN h < '1a' THEN 'val' ELSE 'train' END AS split FROM h) SELECT split, lang, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS first_doc FROM sp GROUP BY split, lang ORDER BY split, lang""",
     "q_sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk FROM documents) SELECT doc_id, lang, source, rk FROM r WHERE rk <= 40 ORDER BY lang, source, rk""",
+    "q_sample_budget" ->
+      s"""WITH $toksSql, n AS (SELECT d.doc_id, d.lang, len(t.tk)::BIGINT AS ntok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), c AS (SELECT doc_id, lang, ntok, coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM n) SELECT lang, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens, min(doc_id)::BIGINT AS first_doc FROM c WHERE before < 2000 GROUP BY lang ORDER BY lang""",
+    "q_text_boilerplate" ->
+      s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, md5(unnest(gs)) AS h FROM sh), dfq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM g GROUP BY h), st AS (SELECT g.doc_id, count(*)::BIGINT AS n_sh, sum(CASE WHEN dfq.nd >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_boiler FROM g JOIN dfq ON g.h = dfq.h GROUP BY g.doc_id) SELECT d.doc_id, coalesce(st.n_sh, 0)::BIGINT AS n_sh, coalesce(st.n_boiler, 0)::BIGINT AS n_boiler, round(coalesce(st.n_boiler / st.n_sh, 0.0), 4) AS boiler_frac, (CASE WHEN round(coalesce(st.n_boiler / st.n_sh, 0.0), 4) > 0.5 THEN 1 ELSE 0 END)::INT AS flagged FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id ORDER BY d.doc_id""",
     "q_sample_weighted" ->
       s"""WITH $qualityScoreSql, uu AS (SELECT doc_id, score, ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS u FROM qscore) SELECT doc_id, score FROM uu WHERE u < score ORDER BY doc_id""",
     "q_text_lmscore" ->
@@ -1148,6 +1195,8 @@ object PipelineQueries {
       s"""WITH $minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), est AS (SELECT p.new_id, p.corpus_id, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.new_id AND y.doc_id = p.corpus_id)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT new_id, corpus_id, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY new_id, corpus_id""",
     "q_dedup_embed" ->
       s"""WITH $embedPairsSql SELECT i, j, round(c, 4) AS cos FROM pr ORDER BY i, j""",
+    "q_dedup_semantic" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), p AS (SELECT a.cid, b.vec_id AS ib, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id), dr AS (SELECT cid, count(DISTINCT ib) AS n_drop FROM p WHERE round(c, 4) >= 0.4 GROUP BY cid), sz AS (SELECT cid, count(*) AS sz FROM assigned GROUP BY cid) SELECT sz.cid, sz.sz::BIGINT AS sz, coalesce(dr.n_drop, 0)::BIGINT AS n_drop, (sz.sz - coalesce(dr.n_drop, 0))::BIGINT AS n_kept FROM sz LEFT JOIN dr ON sz.cid = dr.cid ORDER BY sz.cid""",
     "q_dedup_embed_cluster" ->
       s"""WITH RECURSIVE $embedPairsSql, ed AS (SELECT i AS src, j AS dst FROM pr UNION ALL SELECT j, i FROM pr), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component::BIGINT AS component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_vec FROM cmp GROUP BY component ORDER BY component""",
     "q_text_repetition" ->

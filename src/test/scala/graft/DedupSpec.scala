@@ -216,4 +216,30 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("minhash_bands"))
   }
+
+  test("boilerplate profile: coverage bounded, every doc reported, frequent shingle flagged") {
+    import spark.implicits._
+    // doc 1/2/3 share the same 5-token template (every 3-gram df=3);
+    // doc 4 is unique text; doc 5 too short to shingle
+    val docs = Seq(
+      (1L, "click here to read more"),
+      (2L, "click here to read more"),
+      (3L, "click here to read more"),
+      (4L, "entirely novel words appear once"),
+      (5L, "hi")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateProfile(docs, shingleN = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L), "every doc must report a row")
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(got(id) == ((3L, 3L, 1.0, 1)), s"template doc $id: ${got(id)}")
+    }
+    assert(got(4L) == ((3L, 0L, 0.0, 0)), s"unique doc: ${got(4L)}")
+    assert(got(5L) == ((0L, 0L, 0.0, 0)), s"short doc: ${got(5L)}")
+    // raising minDocs beyond the corpus degrades to all-zero boilerplate
+    val none = Dedup.boilerplateProfile(docs, shingleN = 3, minDocs = 99)
+      .collect()
+    assert(none.forall(_.getLong(2) == 0L))
+  }
 }

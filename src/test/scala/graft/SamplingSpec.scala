@@ -120,4 +120,39 @@ class SamplingSpec extends SparkSpec {
     val expect = trainG.filter { case (_, g) => evalG(g) }.map(_._1).toSet
     assert(hits == expect)
   }
+
+  test("budget sample fills each language's token budget (or exhausts the language)") {
+    val totals = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+      .groupBy("lang")
+      .agg(sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")).as("tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = run("q_sample_budget").collect()
+    assert(got.map(_.getString(0)).toSet == totals.keySet,
+      "a language with tokens is missing from the budget sample")
+    got.foreach { r =>
+      val (lang, nTok) = (r.getString(0), r.getLong(2))
+      // admit-while-exclusive-prefix<B ⇒ admitted tokens reach the
+      // budget unless the language runs out first
+      assert(nTok >= math.min(2000L, totals(lang)), s"under-filled: $r")
+    }
+  }
+
+  test("budget sample overflows the budget by at most one document") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val admitted = graft.queries.Tables.t(spark, TestSpark.sfDir, "documents")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+      .withColumn("before", coalesce(sum(col("ntok")).over(w), lit(0L)))
+      .where(col("before") < 2000L)
+    val slack = admitted.groupBy("lang")
+      .agg((sum(col("ntok")) - max(col("ntok"))).as("sum_minus_largest"))
+      .collect()
+    slack.foreach { r =>
+      assert(r.getLong(1) < 2000L,
+        s"budget overflow exceeds one doc's tokens: $r")
+    }
+  }
 }

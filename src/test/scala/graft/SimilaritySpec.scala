@@ -195,4 +195,31 @@ class SimilaritySpec extends SparkSpec {
       e.where($"vec_id" =!= 0), e.where($"vec_id" === 0).select($"v".as("qv")), 50, 10)
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
+
+  test("semDedup accounting: clusters partition the corpus, kept+dropped=size") {
+    val e = graft.queries.Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
+    val cents = e.where($"vec_id".between(1, 8))
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val assigned = Similarity.assignCells(e, cents).localCheckpoint(true)
+    val total = e.count()
+    val rows = Similarity.semDedup(assigned, tau = 0.4).collect()
+    assert(rows.map(_.getLong(1)).sum == total, "cluster sizes don't sum to corpus")
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3), s"sz != n_drop + n_kept: $r")
+    }
+  }
+
+  test("semDedup threshold extremes: tau>1 drops nothing, tau=-1.1 keeps one per cluster") {
+    val e = graft.queries.Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
+    val cents = e.where($"vec_id".between(1, 8))
+      .select($"vec_id".as("cid"), $"v".as("cv"))
+    val assigned = Similarity.assignCells(e, cents).localCheckpoint(true)
+    val none = Similarity.semDedup(assigned, tau = 1.01).collect()
+    assert(none.forall(_.getLong(2) == 0L), "tau > 1 must drop nothing")
+    val all = Similarity.semDedup(assigned, tau = -1.1).collect()
+    assert(all.forall(_.getLong(3) == 1L),
+      "tau below every cosine must keep exactly the min-id vector per cluster")
+  }
 }
