@@ -73,7 +73,11 @@ object Bench {
     // round-9: the partsupp-derived TPC-H five (q9 is the heavy one —
     // lineitem × derived-partsupp two-key join; q2/q11/q16/q20 are
     // dimension-bound probes of the same derivation)
-    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20")
+    "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
+    // round-11: semantic dedup (cluster-scoped pairwise — the cell
+    // self-join is the scale watch), corpus-frequency boilerplate
+    // (shingle df hash-agg + hash equi-join), token-budget sampling
+    "q_dedup_semantic", "q_text_boilerplate", "q_sample_budget")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
