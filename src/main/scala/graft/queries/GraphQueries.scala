@@ -278,6 +278,32 @@ object GraphQueries {
         .agg(max("level").cast("long").as("ecc"))
         .orderBy("vertex")
     }),
+    "q_graph_betweenness" -> ((s, d) => {
+      // betweenness centrality off the SAME landmark distance table:
+      // on a graph with unique shortest paths (the tree fixture), v
+      // lies on the s→t path iff d(s,v) + d(v,t) = d(s,t), so bc(v)
+      // is a count over the distance-table triple join — no per-path
+      // enumeration (Brandes' observation, restated as joins). The
+      // count is over ORDERED (s,t) pairs (2× the undirected bc).
+      // Scale shape: at 100 TB roots become a sampled landmark set
+      // (state O(k·V), the standard approximation); the triple join
+      // shuffles on vertex keys only. The distance table feeds three
+      // join sides -> pinned (repo read-twice rule).
+      val e = treeEdges(s, d)
+      val roots = e.select(col("src").as("root")).distinct()
+      val dist = Traversals.multiSourceDistances(e, roots).localCheckpoint(true)
+      val sv = dist.select(col("root").as("s"), col("vertex").as("v"), col("level").as("a"))
+      val vt = dist.select(col("root").as("v2"), col("vertex").as("t"), col("level").as("b"))
+      val st = dist.select(col("root").as("s2"), col("vertex").as("t2"), col("level").as("c"))
+      val bc = sv.join(vt, col("v") === col("v2"))
+        .where(col("s") =!= col("v") && col("t") =!= col("v"))
+        .join(st, col("s") === col("s2") && col("t") === col("t2"))
+        .where(col("a") + col("b") === col("c"))
+        .groupBy(col("v")).agg(count(lit(1)).as("bc"))
+      roots.join(bc, col("root") === col("v"), "left_outer")
+        .select(col("root").as("vertex"), coalesce(col("bc"), lit(0L)).as("bc"))
+        .orderBy("vertex")
+    }),
     "q_graph_closeness" -> ((s, d) => {
       // closeness centrality via the landmark-distance table
       // (Traversals.multiSourceDistances): per-root BFS state keyed
@@ -537,6 +563,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, p AS (SELECT * FROM (VALUES (15::BIGINT, 24::BIGINT), (0::BIGINT, 23::BIGINT), (9::BIGINT, 12::BIGINT)) v(a, b)), r AS (SELECT a AS root, a AS vertex, 0 AS lvl FROM p UNION SELECT r.root, e.dst, r.lvl + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.lvl < 30), lv AS (SELECT root, vertex, min(lvl) AS lvl FROM r GROUP BY root, vertex) SELECT p.a, p.b, lv.lvl::BIGINT AS dist FROM p JOIN lv ON lv.root = p.a AND lv.vertex = p.b ORDER BY a""",
     "q_graph_eccentricity" ->
       s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, max(level)::BIGINT AS ecc FROM lv GROUP BY root ORDER BY vertex""",
+    "q_graph_betweenness" ->
+      s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex), bcp AS (SELECT sv.vertex AS v, count(*) AS bc FROM lv sv JOIN lv vt ON sv.vertex = vt.root JOIN lv st ON st.root = sv.root AND st.vertex = vt.vertex WHERE sv.root <> sv.vertex AND vt.vertex <> sv.vertex AND sv.level + vt.level = st.level GROUP BY sv.vertex) SELECT v.root AS vertex, coalesce(bcp.bc, 0)::BIGINT AS bc FROM v LEFT JOIN bcp ON v.root = bcp.v ORDER BY vertex""",
     "q_graph_pagerank" -> {
       // ten unrolled iterations of the deterministic recurrence;
       // per-edge contributions decimal-cast before summing, mirroring

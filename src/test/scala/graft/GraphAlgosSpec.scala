@@ -331,4 +331,29 @@ class GraphAlgosSpec extends SparkSpec {
       .map(x => x.getAs[Long]("vertex") -> x.getAs[Double]("rank")).toMap
     assert(got == want, "fused/segmented loop diverged from the unfused reference")
   }
+
+  test("betweenness satisfies the unique-path identity: sum bc = sum over pairs (d-1)") {
+    import org.apache.spark.sql.functions._
+    val bc = SparkEntry.queries("q_graph_betweenness")(spark, TestSpark.sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // on a tree (unique shortest paths), every s->t path of length d
+    // has exactly d-1 interior vertices, so the bc mass equals
+    // sum_{s != t} (d(s,t) - 1) — an independent whole-output check
+    val k = graft.queries.Tables.t(spark, TestSpark.sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("k"))
+    import spark.implicits._
+    val e0 = k.where($"k" > 0).select($"k".as("src"), floor($"k" / 2).cast("long").as("dst"))
+    val edges = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val roots = edges.select($"src".as("root")).distinct()
+    val dist = graft.operators.Traversals.multiSourceDistances(edges, roots)
+    val pairMass = dist.where($"root" =!= $"vertex")
+      .agg(sum($"level" - 1)).head().getLong(0)
+    assert(bc.values.sum == pairMass,
+      s"bc mass ${bc.values.sum} != pair mass $pairMass")
+    // leaves of the tree (v >= 13, i.e. 2v > 24: no children) lie on
+    // no interior position
+    Seq(13L, 17L, 24L).foreach(v => assert(bc(v) == 0L, s"leaf $v has bc ${bc(v)}"))
+    // the root separates the two subtrees — it must be interior to many paths
+    assert(bc(1L) > 0L && bc(2L) > 0L)
+  }
 }
