@@ -297,7 +297,11 @@ object Similarity {
     * is the lever: scale k with corpus size (the paper uses 50k
     * clusters for LAION) and the per-cell population stays bounded;
     * [[splitCounts]]-style salting applies if a degenerate cell
-    * forms. No all-pairs stage exists at any scale. */
+    * forms. No all-pairs stage exists at any scale. Measured caveat
+    * (tools/Stress semdedup_x10 pair): raising k also raises the k·n
+    * assignment cost, which DOMINATES until cells exceed ~10⁴ members
+    * (20k vectors: k=8 with 2.5k-member cells beat k=80) — size k to
+    * the corpus, not defensively high. */
   def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"))

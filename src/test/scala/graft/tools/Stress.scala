@@ -216,6 +216,49 @@ object Stress {
         .toDF("r", "c").groupBy("r", "c").count().count()
     }
 
+    // round-11 families: corpus-frequency boilerplate over 10x docs
+    // (shingle df domain FIXED while occurrences go x10 — same
+    // output-bounded groupBy claim as substring_x10; measured 1.8 s vs
+    // substring's 2.7, ~linear); SemDeDup at 10x corpus with k FIXED
+    // vs k SCALED. MEASURED HONESTLY (first run): k8 identical-copy
+    // worst case = 1.44 s (25M codegen'd within-cell cosines — the
+    // 100x pairwise blowup is real but the folds are cheap at 20k
+    // vectors), k80 scaled = 2.06 s — the k-lever LOST here because
+    // the k·n assignment stage (1.6M folds, 10x the k8 assignment)
+    // still outweighs the shrunken quadratic at this size. The
+    // crossover the scaladoc's lever argument rests on arrives when
+    // cells exceed ~10^4 members (sum-of-cell^2 >> k·n); below it,
+    // prefer small k. Both stages are single-shuffle data-parallel, so
+    // the probe's value is the measured cost model, not a pass/fail.
+    time("boilerplate_x10", nd10) {
+      graft.operators.Dedup.boilerplateProfile(docs10, 3, 3).count()
+    }
+    locally {
+      import graft.functions.VectorFunctions.toDouble
+      val e10 = emb10.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents8 = e10.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      time("semdedup_x10_k8_worstcase", ne * 10) {
+        graft.operators.Similarity.semDedup(
+          graft.operators.Similarity.assignCells(e10, cents8)
+            .localCheckpoint(true), 0.4).count()
+      }
+      // shift each copy far apart along dim 64 so the 10 copies form
+      // distinct regions, then give every region its own 8 centroids:
+      // cells return to x1 population and the quadratic stays bounded
+      val eSep = e10.withColumn("v",
+        concat(expr("slice(v, 1, 63)"),
+          array(expr("element_at(v, 64)") +
+            (col("vec_id") / lit(10000000L)).cast("long").cast("double") * lit(100.0))))
+      val cents80 = eSep.where(col("vec_id") % 10000000L <= 8 && col("vec_id") % 10000000L >= 1)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      time("semdedup_x10_k80_scaledk", ne * 10) {
+        graft.operators.Similarity.semDedup(
+          graft.operators.Similarity.assignCells(eSep, cents80)
+            .localCheckpoint(true), 0.4).count()
+      }
+    }
+
     // wave-8/9 families: PQ code assignment over 10x vectors (the
     // codebook is constant 128 subvectors, broadcast; cost = one scan
     // + per-(vector,subspace) argmin over 16 codes); constraint suite
