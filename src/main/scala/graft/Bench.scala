@@ -77,7 +77,9 @@ object Bench {
     // round-11: semantic dedup (cluster-scoped pairwise — the cell
     // self-join is the scale watch), corpus-frequency boilerplate
     // (shingle df hash-agg + hash equi-join), token-budget sampling
-    "q_dedup_semantic", "q_text_boilerplate", "q_sample_budget")
+    "q_dedup_semantic", "q_text_boilerplate", "q_sample_budget",
+    // persisted-index ANN probe (staging memoized: reps time the probe)
+    "q_embed_ivf_indexed")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -100,6 +100,29 @@ object PipelineQueries {
     * near-dup density, not corpus size, and the bucket equi-join is a
     * plain shuffle join. Shared by q_dedup_embed (pair listing) and
     * q_dedup_embed_cluster (transitive closure). */
+  /** The IVF cell assignment (vec_id, v, cid; centroids = vec_ids
+    * 1–8, same as q_embed_ivf) persisted as a catalog table
+    * PARTITIONED by cid — each cell its own directory, the inverted-
+    * list layout ANN indexes use on disk, so a literal-cid probe
+    * prunes to one cell's files before any row is read. (bucketBy was
+    * measured first: Spark's planner auto-disables bucketed scans for
+    * filter-only probes — "Bucketed: false (disabled by query
+    * planner)" — so bucket pruning never fired; directory partitioning
+    * prunes in the FileIndex regardless of the plan shape.) Staging
+    * lifecycle in [[Staging.bucketedTable]]. */
+  private def ivfIndex(s: SparkSession, d: String): DataFrame =
+    Staging.bucketedTable(s, d, "ivf_index") { (name, dir) =>
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      Similarity.assignCells(e, cents)
+        .write.format("parquet").mode("overwrite")
+        .partitionBy("cid")
+        .option("path", dir.resolve("index").toString)
+        .saveAsTable(name)
+    }
+
   private def embedLshPairs(s: SparkSession, d: String,
                             minCos: Double = 0.4): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
@@ -923,6 +946,32 @@ object PipelineQueries {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       Similarity.ivfTopK(Similarity.assignCells(e, cents), 0L, 10)
     }),
+    "q_embed_ivf_indexed" -> ((s, d) => {
+      // the PERSISTED-index ANN probe: the IVF cell assignment is
+      // materialized ONCE as a catalog table PARTITIONED by cid
+      // (Staging.bucketedTable — built on first touch, reused by every
+      // later probe, the "index build once, probe many" layout a real
+      // ANN service maintains; one directory per cell = the on-disk
+      // inverted-list layout). A probe is (1) a bounded 1-row driver
+      // lookup of the query vector's cell — the inherent index-probe
+      // shape, like reading an index root — then (2) a LITERAL-cid
+      // scan whose partition filter prunes to that one cell's files
+      // before any row is read (spec-asserted), then (3) exact cosine
+      // top-10 inside the cell. No centroid cross-score, no
+      // assignment agg, no exchange at probe time — q_embed_ivf
+      // recomputes all three per query; same results, same oracle.
+      val idx = ivfIndex(s, d)
+      val qRow = idx.where(col("vec_id") === 0)
+        .select(col("cid"), col("v")).head()
+      val qcid = qRow.getLong(0)
+      val qv = idx.sparkSession.createDataFrame(
+        java.util.List.of(qRow), qRow.schema)
+        .select(col("v").as("qv"))
+      Similarity.bruteForceTopK(
+        idx.where(col("cid") === qcid && col("vec_id") =!= 0)
+          .select(col("vec_id"), col("v")),
+        qv, 10)
+    }),
     "q_embed_pq" -> ((s, d) => {
       // Product quantization — the classic ANN codebook path,
       // completing the family (IVF cells, hyperplane LSH, int8 scalar
@@ -1212,6 +1261,11 @@ object PipelineQueries {
     "q_embed_pq" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS sv FROM e CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, sv AS qsv FROM vs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 50), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_embed_ivf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // identical semantics to q_embed_ivf — the engine-side difference
+    // (persisted bucketed index + literal-cid bucket-pruned probe vs
+    // recompute-per-query) is a LAYOUT choice, invisible to the oracle
+    "q_embed_ivf_indexed" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_embed_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",

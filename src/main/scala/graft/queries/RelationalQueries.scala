@@ -144,62 +144,23 @@ object RelationalQueries {
       .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
   }
 
-  /** Session-scoped memo of the purchases reference table staged as a
-    * BUCKETED catalog table (32 buckets on p_user, file-sorted by
-    * (p_user, p_ts)) — the pre-partitioned-reference-side layout
+  /** The purchases reference table staged as a BUCKETED catalog table
+    * (32 buckets on p_user, file-sorted by (p_user, p_ts)) — the
+    * pre-partitioned-reference-side layout
     * [[graft.operators.AsOfJoin.asofExec]] is designed for (the
     * catalog-maintained dimension a 100 TB as-of enrichment would join
-    * against). Memoized so repeated bench reps time the join, not the
-    * staging write; keyed by session so a fresh session re-stages. */
-  private val bucketedPurchasesMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, java.nio.file.Path)]()
-
-  // last-resort reaper: staged dirs still memoized at JVM exit (normal
-  // bench/verify runs end here without ever cycling a session) must not
-  // outlive the process as orphaned temp dirs
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    bucketedPurchasesMemo.values.forEach(v => deleteRecursively(v._2))))
-
-  private def bucketedPurchases(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    // sweep entries of stopped sessions — and reap what they created:
-    // the staged temp dir always, the catalog table when the shared
-    // context is still up (a long-lived JVM cycling sessions would
-    // otherwise accumulate orphaned dirs and stale table entries)
-    val it = bucketedPurchasesMemo.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1.sparkContext.isStopped) {
-        try s.sql(s"DROP TABLE IF EXISTS ${e.getValue._1}") catch { case _: Throwable => () }
-        deleteRecursively(e.getValue._2)
-        it.remove()
-      }
+    * against). Staging lifecycle (memoization, stopped-session sweep,
+    * exit reaper) lives in [[Staging.bucketedTable]]. */
+  private def bucketedPurchases(s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Staging.bucketedTable(s, d, "asof_purchases") { (name, dir) =>
+      Tables.events(s, d).where(col("event_type") === "purchase")
+        .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .agg(max(col("event_id")).as("purchase_id"))
+        .write.format("parquet").mode("overwrite")
+        .bucketBy(32, "p_user").sortBy("p_user", "p_ts")
+        .option("path", dir.resolve("purchases").toString)
+        .saveAsTable(name)
     }
-    val tbl = bucketedPurchasesMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath), { key =>
-        // md5 of the canonical path, not String.hashCode — a 32-bit
-        // collision would silently join against the WRONG dataset's
-        // purchases; and mode(Overwrite) replaces any stale same-name
-        // catalog entry (e.g. pointing at a vanished temp dir) instead
-        // of trusting it. The session identity is salted in too: the
-        // external catalog is shared across sessions of one context,
-        // so a path-only name would let the stopped-session sweep
-        // above DROP a table a DIFFERENT live session still memoizes.
-        val name = "graft_asof_purchases_" + java.security.MessageDigest
-          .getInstance("MD5")
-          .digest(s"${key._2}#${System.identityHashCode(key._1)}".getBytes("UTF-8"))
-          .take(8).map("%02x".format(_)).mkString
-        val dir = java.nio.file.Files.createTempDirectory("graft-asof-bucketed")
-        Tables.events(s, d).where(col("event_type") === "purchase")
-          .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
-          .agg(max(col("event_id")).as("purchase_id"))
-          .write.format("parquet").mode("overwrite")
-          .bucketBy(32, "p_user").sortBy("p_user", "p_ts")
-          .option("path", dir.resolve("purchases").toString)
-          .saveAsTable(name)
-        (name, dir)
-      })
-    s.table(tbl._1)
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- scan / projection / filter --------------------------------------

@@ -23,6 +23,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_kmeans",                                // broadcast centroids
     "q_embed_knn_join", "q_embed_pq",                // broadcast query/codebook side
     "q_embed_recall", "q_embed_rerank", "q_embed_topk", // broadcast query vector
+    "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
     "q_events_funnel",                               // scalar step totals
     "q_graph_clustcoef", "q_graph_triangles",        // 25-row nation non-equi generator / scalar terms
     "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold

@@ -196,6 +196,22 @@ class SimilaritySpec extends SparkSpec {
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"))
   }
 
+  test("ivf_indexed: probe partition-prunes to the query's cell and matches recomputed IVF") {
+    val indexed = SparkEntry.queries("q_embed_ivf_indexed")(spark, TestSpark.sfDir)
+    val plan = indexed.queryExecution.executedPlan.toString
+    // the literal-cid predicate must land in PartitionFilters (the
+    // FileIndex prunes to one cell directory), NOT in the row filter
+    assert("PartitionFilters: \\[[^\\]]*cid[^\\]]* = \\d+".r
+      .findFirstIn(plan).isDefined,
+      s"probe's cell id is not a partition filter:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      "probe plan recomputes an aggregation — the index exists to avoid that")
+    val recomputed = SparkEntry.queries("q_embed_ivf")(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = indexed.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == recomputed, "persisted-index probe diverged from recompute-per-query IVF")
+  }
+
   test("semDedup accounting: clusters partition the corpus, kept+dropped=size") {
     val e = graft.queries.Tables.t(spark, TestSpark.sfDir, "embeddings")
       .select($"vec_id", VectorFunctions.toDouble($"embedding").as("v"))
