@@ -100,6 +100,27 @@ object PipelineQueries {
     * near-dup density, not corpus size, and the bucket equi-join is a
     * plain shuffle join. Shared by q_dedup_embed (pair listing) and
     * q_dedup_embed_cluster (transitive closure). */
+  /** Stages one chunk of documents as a single flat parquet FILE in
+    * `streamDir` (file-stream sources list data files, not Spark
+    * dataset directories): Spark writes to an underscore-prefixed
+    * stage dir — invisible to the source's file listing — and the one
+    * part file moves up as `<tag>.parquet`. */
+  private def stageDocsChunk(df: DataFrame, streamDir: java.nio.file.Path,
+                             tag: String): Unit = {
+    val stage = streamDir.resolve(s"_stage_$tag")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val ls = java.nio.file.Files.list(stage)
+    try {
+      val it = ls.iterator()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.move(f, streamDir.resolve(s"$tag.parquet"))
+      }
+    } finally ls.close()
+    Staging.deleteRecursively(stage)
+  }
+
   /** The IVF cell assignment (vec_id, v, cid; centroids = vec_ids
     * 1–8, same as q_embed_ivf) persisted as a catalog table
     * PARTITIONED by cid — each cell its own directory, the inverted-
@@ -383,6 +404,47 @@ object PipelineQueries {
         prePinned = true, // slices of the already-checkpointed memo
         corpusIndexOpt = Some(idx))
         .orderBy("new_id", "corpus_id")
+    }),
+    "q_stream_dedup_corpus" -> ((s, d) => {
+      // STREAMING incremental dedup — the production arrival loop run
+      // as a stream: the corpus's two persisted artifacts (signature
+      // table + band index, shared with q_dedup_incremental) stay
+      // static; arriving documents land as a file stream and each
+      // micro-batch computes its OWN MinHash signatures and
+      // band-probes the index. foreachBatch, not a streaming plan:
+      // shingling needs a window (unsupported on streaming frames),
+      // and per-batch batch-machinery IS the production shape for
+      // index maintenance. maxFilesPerTrigger=1 forces the two staged
+      // chunks through as two real micro-batches; candidates are
+      // batch×corpus only, so arrival order cannot change the answer
+      // and the batch q_dedup_incremental oracle applies verbatim.
+      val sig = docSignatures(s, d)
+      val corpusSig = sig.where(col("doc_id") % 5 =!= 0)
+      val idx = memoTable(s, d, "corpus_band_index_k16_b4")(
+        Dedup.corpusBandIndex(corpusSig))
+      val arriving = t(s, d, "documents").where(col("doc_id") % 5 === 0)
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-dedup-corpus-in")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-q-dedup-corpus-out")
+      try {
+        stageDocsChunk(arriving.where(col("doc_id") % 10 === 0), streamDir, "a")
+        stageDocsChunk(arriving.where(col("doc_id") % 10 =!= 0), streamDir, "b")
+        val stream = s.readStream.schema(t(s, d, "documents").schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        val out = outDir.resolve("pairs").toString
+        val perBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (batch, _) => {
+            val bSig = Dedup.minhashSignatures(batch).localCheckpoint(true)
+            Dedup.minhashPairsBetween(bSig, corpusSig,
+                prePinned = true, corpusIndexOpt = Some(idx))
+              .write.mode("append").parquet(out)
+          }
+        val q = stream.writeStream.foreachBatch(perBatch).start()
+        try q.processAllAvailable() finally q.stop()
+        // detach from the temp dir (eager blocks) so cleanup can run
+        s.read.parquet(out).orderBy("new_id", "corpus_id").localCheckpoint(true)
+      } finally {
+        Staging.deleteRecursively(streamDir); Staging.deleteRecursively(outDir)
+      }
     }),
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy("h")),
@@ -1241,6 +1303,11 @@ object PipelineQueries {
     "q_dedup_containment" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / least(ca.c, cb.c)::DOUBLE AS c0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(c0, 4) AS containment FROM j WHERE c0 >= 0.3 ORDER BY doc_a, doc_b""",
     "q_dedup_incremental" ->
+      s"""WITH $minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), est AS (SELECT p.new_id, p.corpus_id, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.new_id AND y.doc_id = p.corpus_id)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT new_id, corpus_id, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY new_id, corpus_id""",
+    // the STREAMING arrival loop must reconstruct exactly the batch
+    // incremental-dedup answer (batch x corpus candidates are
+    // arrival-order-independent) — oracle shared verbatim
+    "q_stream_dedup_corpus" ->
       s"""WITH $minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), est AS (SELECT p.new_id, p.corpus_id, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.new_id AND y.doc_id = p.corpus_id)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT new_id, corpus_id, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY new_id, corpus_id""",
     "q_dedup_embed" ->
       s"""WITH $embedPairsSql SELECT i, j, round(c, 4) AS cos FROM pr ORDER BY i, j""",

@@ -453,4 +453,15 @@ class StreamingSpec extends SparkSpec {
         s"restarted chain must continue ver from the tombstone; got $got")
     } finally q.stop()
   }
+
+  test("streaming corpus dedup reproduces the batch incremental answer exactly") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, TestSpark.sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = rows("q_stream_dedup_corpus")
+    val batch = rows("q_dedup_incremental")
+    assert(streamed.nonEmpty, "fixture should yield at least one arriving-vs-corpus pair")
+    assert(streamed == batch,
+      "micro-batched arrival diverged from the one-shot batch ingest — " +
+        "batch x corpus candidates must be arrival-order-independent")
+  }
 }
