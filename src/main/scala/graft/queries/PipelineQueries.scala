@@ -791,6 +791,24 @@ object PipelineQueries {
         .select(col("doc_id"), col("score"))
         .orderBy("doc_id")
     }),
+    "q_mix_temperature" -> ((s, d) => {
+      // temperature-scaled language sampling (α = 0.7, the mT5/XLM-R
+      // rule): sampling share q_i ∝ p_i^α flattens the head languages
+      // and boosts the tail. The transcendental pow crosses engines at
+      // 6dp-rounded terms (q_text_lmscore's ln precedent); the
+      // normalizer sums those DECIMAL terms exactly, so the final
+      // division divides identical doubles. One hash agg over the
+      // corpus; the window runs on the 5-row language table.
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      t(s, d, "documents")
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .withColumn("p", col("n_docs") / sum(col("n_docs")).over(w))
+        .withColumn("q0", round(pow(col("p"), lit(0.7)), 6).cast("decimal(18,6)"))
+        .select(col("lang"), col("n_docs"), round(col("p"), 4).as("p"),
+          round(col("q0").cast("double") /
+            sum(col("q0")).over(w).cast("double"), 4).as("rate"))
+        .orderBy("lang")
+    }),
     "q_mix_weights" -> ((s, d) => {
       // domain-mixture reweighting: per-source multiplier that turns
       // the observed source distribution into a uniform target mix
@@ -1276,6 +1294,8 @@ object PipelineQueries {
       s"""WITH $toksSql, tokr AS (SELECT unnest(tk) AS tok FROM toks), rc AS (SELECT tok, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256)::INT AS c FROM tokr CROSS JOIN (SELECT unnest(range(3)) AS r) rr), cells AS (SELECT r, c, count(*)::BIGINT AS cell_cnt FROM rc GROUP BY r, c), exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tokr GROUP BY tok), top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10), probe AS (SELECT t.tok, t.exact_cnt, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || t.tok), 1, 8))::BIGINT % 256)::INT AS c FROM top t CROSS JOIN (SELECT unnest(range(3)) AS r) rr) SELECT p.tok, p.exact_cnt, min(cl.cell_cnt)::BIGINT AS est_cnt FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok""",
     "q_pipeline_curation" ->
       s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT doc_id, lang, score FROM q WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0' AND doc_id NOT IN (SELECT doc_id FROM cont)), r AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM cl) SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""",
+    "q_mix_temperature" ->
+      """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, n_docs / (SELECT sum(n_docs)::DOUBLE FROM g) AS p FROM g), q AS (SELECT lang, n_docs, p, round(pow(p, 0.7), 6)::DECIMAL(18,6) AS q0 FROM t) SELECT lang, n_docs, round(p, 4) AS p, round(q0::DOUBLE / (SELECT sum(q0) FROM q)::DOUBLE, 4) AS rate FROM q ORDER BY lang""",
     "q_mix_weights" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars FROM documents GROUP BY source) SELECT source, n_docs, n_chars, round((SELECT sum(n_docs) FROM s)::DOUBLE / ((SELECT count(*) FROM s) * n_docs)::DOUBLE, 4) AS weight FROM s ORDER BY source""",
     "q_text_decontaminate" ->

@@ -709,6 +709,64 @@ object RelationalQueries {
         .select(lit("fk_orders_customer").as("check_name"), col("violations"))
       single.union(fk).orderBy("check_name")
     }),
+    "q_events_abtest" -> ((s, d) => {
+      // Welch's two-sample test between the view/click value
+      // populations — the A/B-experiment readout. ONE conditional-agg
+      // scan produces both groups' exact decimal power sums; the
+      // t-statistic is reported SQUARED (t², no sqrt crosses engines —
+      // q_events_anomaly precedent) with the Welch–Satterthwaite df
+      // from the same terms. All downstream arithmetic is the same
+      // double expression tree on identically-derived inputs, so the
+      // oracle hash-matches. Scale: one partial+final agg, no join.
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+      val e = Tables.events(s, d)
+        .where(col("event_type").isin("view", "click") && col("value").isNotNull)
+      val g = e.agg(
+        sum(when(col("event_type") === "view", 1L)).cast("double").as("na"),
+        round(sum(when(col("event_type") === "view", dec(col("value")))), 6)
+          .cast("double").as("sa1"),
+        round(sum(when(col("event_type") === "view",
+          dec(col("value")) * dec(col("value")))), 6).cast("double").as("sa2"),
+        sum(when(col("event_type") === "click", 1L)).cast("double").as("nb"),
+        round(sum(when(col("event_type") === "click", dec(col("value")))), 6)
+          .cast("double").as("sb1"),
+        round(sum(when(col("event_type") === "click",
+          dec(col("value")) * dec(col("value")))), 6).cast("double").as("sb2"))
+      val ma = col("sa1") / col("na"); val mb = col("sb1") / col("nb")
+      val va = (col("sa2") - col("sa1") * col("sa1") / col("na")) / (col("na") - 1)
+      val vb = (col("sb2") - col("sb1") * col("sb1") / col("nb")) / (col("nb") - 1)
+      val sea = va / col("na"); val seb = vb / col("nb")
+      val se2 = sea + seb
+      g.select(
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        round(ma, 4).as("mean_a"), round(mb, 4).as("mean_b"),
+        round((ma - mb) * (ma - mb) / se2, 4).as("t2"),
+        round(se2 * se2 / (sea * sea / (col("na") - 1) + seb * seb / (col("nb") - 1)), 2)
+          .as("df"))
+    }),
+    "q_window_ewma" -> ((s, d) => {
+      // per-user EWMA (w = 0.2·x + 0.8·w_prev, seeded with the first
+      // value) — the recursive smoothing no SQL window frame expresses.
+      // Folded over the per-user time-ordered value list with the SAME
+      // left fold order as DuckDB's list_reduce, so the double chain is
+      // bit-identical. The collect_list is per-user and bounded by user
+      // activity (the events fixture's per-user cardinality; a 100 TB
+      // deployment bounds it with a time window first) — state shape
+      // identical to the sessionize operators'.
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("value")).as("p"))
+      e.groupBy("user_id")
+        .agg(array_sort(collect_list(col("p"))).as("ps"))
+        .withColumn("vals", expr("transform(ps, x -> x.value)"))
+        .select(col("user_id"), size(col("vals")).cast("long").as("n_events"),
+          // element_at is 1-based like the slice; vals[1] would be the
+          // SECOND element (bracket indexing is 0-based) and seed the
+          // fold off by one — caught by the oracle at 4dp
+          round(expr("aggregate(slice(vals, 2, size(vals) - 1), element_at(vals, 1)," +
+            " (acc, x) -> 0.2D * x + 0.8D * acc)"), 4).as("ewma"))
+        .orderBy("user_id")
+    }),
     "q_events_anomaly" -> ((s, d) => {
       // per-user outlier detection (2-sigma rule) with the repo's
       // exact-moments convention: decimal power sums -> identical
@@ -2244,6 +2302,10 @@ object RelationalQueries {
       """WITH r AS (SELECT user_id, event_type, value, epoch_us(ts)::BIGINT AS tus, row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events) SELECT user_id, event_type AS last_type, value AS last_value, tus AS last_ts FROM r WHERE rn = 1 AND event_type <> 'error' ORDER BY user_id""",
     "q_quality_checks" ->
       """WITH s AS (SELECT (count(*) - count(DISTINCT o_orderkey))::BIGINT AS pk_unique_orderkey, count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS notnull_custkey, count(*) FILTER (WHERE o_totalprice <= 0)::BIGINT AS positive_totalprice, count(*) FILTER (WHERE o_orderstatus NOT IN ('F','O','P'))::BIGINT AS status_in_domain, count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate >= TIMESTAMP '1999-01-01')::BIGINT AS orderdate_in_range FROM orders) SELECT check_name, violations FROM (SELECT 'pk_unique_orderkey' AS check_name, pk_unique_orderkey AS violations FROM s UNION ALL SELECT 'notnull_custkey', notnull_custkey FROM s UNION ALL SELECT 'positive_totalprice', positive_totalprice FROM s UNION ALL SELECT 'status_in_domain', status_in_domain FROM s UNION ALL SELECT 'orderdate_in_range', orderdate_in_range FROM s UNION ALL SELECT 'fk_orders_customer', count(*)::BIGINT FROM orders LEFT JOIN customer ON o_custkey = c_custkey WHERE c_custkey IS NULL) ORDER BY check_name""",
+    "q_events_abtest" ->
+      """WITH g AS (SELECT sum(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE AS na, round(sum(CASE WHEN event_type = 'view' THEN value::DECIMAL(18,6) END), 6)::DOUBLE AS sa1, round(sum(CASE WHEN event_type = 'view' THEN value::DECIMAL(18,6) * value::DECIMAL(18,6) END), 6)::DOUBLE AS sa2, sum(CASE WHEN event_type = 'click' THEN 1 END)::DOUBLE AS nb, round(sum(CASE WHEN event_type = 'click' THEN value::DECIMAL(18,6) END), 6)::DOUBLE AS sb1, round(sum(CASE WHEN event_type = 'click' THEN value::DECIMAL(18,6) * value::DECIMAL(18,6) END), 6)::DOUBLE AS sb2 FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL) SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(sa1 / na, 4) AS mean_a, round(sb1 / nb, 4) AS mean_b, round((sa1 / na - sb1 / nb) * (sa1 / na - sb1 / nb) / ((sa2 - sa1 * sa1 / na) / (na - 1) / na + (sb2 - sb1 * sb1 / nb) / (nb - 1) / nb), 4) AS t2, round(((sa2 - sa1 * sa1 / na) / (na - 1) / na + (sb2 - sb1 * sb1 / nb) / (nb - 1) / nb) * ((sa2 - sa1 * sa1 / na) / (na - 1) / na + (sb2 - sb1 * sb1 / nb) / (nb - 1) / nb) / ((sa2 - sa1 * sa1 / na) / (na - 1) / na * ((sa2 - sa1 * sa1 / na) / (na - 1) / na) / (na - 1) + (sb2 - sb1 * sb1 / nb) / (nb - 1) / nb * ((sb2 - sb1 * sb1 / nb) / (nb - 1) / nb) / (nb - 1)), 2) AS df FROM g""",
+    "q_window_ewma" ->
+      """WITH l AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals FROM events WHERE value IS NOT NULL GROUP BY user_id) SELECT user_id, len(vals)::BIGINT AS n_events, round(list_reduce(vals, (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 4) AS ewma FROM l ORDER BY user_id""",
     "q_events_anomaly" ->
       """WITH st AS (SELECT user_id, count(*)::DOUBLE AS n, round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS s1, round(sum(value::DECIMAL(18,6) * value::DECIMAL(18,6)), 6)::DOUBLE AS s2 FROM events GROUP BY user_id) SELECT e.user_id, max(st.n)::BIGINT AS n_events, round(max(st.s1/st.n), 4) AS mean_value, count(*) FILTER (WHERE (e.value - st.s1/st.n) * (e.value - st.s1/st.n) > 4.0 * (st.s2/st.n - (st.s1/st.n)*(st.s1/st.n)))::BIGINT AS n_outliers FROM events e JOIN st ON e.user_id = st.user_id GROUP BY e.user_id ORDER BY e.user_id""",
     "q_events_transitions" ->
