@@ -79,7 +79,9 @@ object Bench {
     // (shingle df hash-agg + hash equi-join), token-budget sampling
     "q_dedup_semantic", "q_text_boilerplate", "q_sample_budget",
     // persisted-index ANN probe (staging memoized: reps time the probe)
-    "q_embed_ivf_indexed")
+    "q_embed_ivf_indexed",
+    // Welch A/B one-scan readout; per-user EWMA list fold
+    "q_events_abtest", "q_window_ewma")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
