@@ -657,6 +657,39 @@ object Traversals {
                           jumps: Int = 2): DataFrame = {
     val sym = symmetrize(edges)
       .persist(StorageLevel.MEMORY_AND_DISK) // reused every round
+    // Tiny-graph fast path (same bounded-collect contract as
+    // bfsLevelsPrepared, same <=16k-edge gate): the distributed loop
+    // costs O(log diameter) superstep BARRIERS, which dominate
+    // data work by 100x on fixture-sized graphs (q_graph_cc's 20-edge
+    // chains measured ~1.5 s of pure scheduling). Union-find on the
+    // driver emits the identical (vertex, min-id component) labels.
+    // The count also materialises the persisted edge cache the
+    // distributed first round would otherwise pay.
+    if (sym.count() <= bfsLocalMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      sym.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // union toward the smaller root: the surviving root of any
+        // merge chain is the component's min id, matching the
+        // distributed min-label fixpoint exactly
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.sorted.map(v => (v, find(v)))
+        .toDF("vertex", "component")
+    }
     // Fused first round: with identity labels, round 1's neighbour-min
     // join degenerates to component := min(v, min of in-neighbours) —
     // one hash aggregate over the edge table, no labels join. At scale
