@@ -81,7 +81,12 @@ object Bench {
     // persisted-index ANN probe (staging memoized: reps time the probe)
     "q_embed_ivf_indexed",
     // Welch A/B one-scan readout; per-user EWMA list fold
-    "q_events_abtest", "q_window_ewma")
+    "q_events_abtest", "q_window_ewma",
+    // wave-18: forward-fill window, OHLC struct-extreme bars, +1/-1
+    // concurrency sweep, one-scan column profiler, wedge-join link
+    // prediction, integer-exact HITS
+    "q_window_locf", "q_events_ohlc", "q_events_concurrency",
+    "q_profile_table", "q_graph_linkpred", "q_graph_hits")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

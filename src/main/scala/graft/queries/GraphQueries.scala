@@ -366,6 +366,66 @@ object GraphQueries {
         (col("o_orderkey") % 300).as("src"), (col("o_custkey") % 300).as("dst"))
       graft.operators.GraphAlgos.jaccardPerEdge(e).orderBy("src", "dst")
     }),
+    "q_graph_linkpred" -> ((s, d) => {
+      // Link prediction over the same data-scale key-derived graph as
+      // q_graph_jaccard: for every NON-adjacent pair with at least one
+      // common neighbour, score by common-neighbour count (exact int)
+      // with preferential attachment deg(a)·deg(b) as the tiebreak —
+      // the two classic integer-exact predictors (Adamic-Adar's 1/log
+      // weight is deliberately not used: cross-engine float logs break
+      // hash parity; CN ordering is what the benchmark literature
+      // ranks by anyway). Wedge generation is the same per-center
+      // bounded pair expansion as the triangle machinery; candidates
+      // anti-join the edge set, degrees broadcast (≤300 vertices by
+      // construction at any SF — the modulus bounds the vertex set,
+      // not the data). Deterministic top-100 by (cn, pa, a, b).
+      val e0 = t(s, d, "orders").select(
+        (col("o_orderkey") % 300).as("x"), (col("o_custkey") % 300).as("y"))
+      val und = e0.where(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct()
+      val sym = mirror(und.select(col("a").as("src"), col("b").as("dst")))
+      val cn = sym.as("p").join(sym.as("q"),
+          col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+        .groupBy(col("p.dst").as("a"), col("q.dst").as("b"))
+        .agg(count(lit(1)).as("cn"))
+      val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      cn.join(und, Seq("a", "b"), "left_anti")
+        .join(broadcast(deg).as("da"), col("a") === col("da.v"))
+        .join(broadcast(deg).as("db"), col("b") === col("db.v"))
+        .select(col("a"), col("b"), col("cn"),
+          (col("da.deg") * col("db.deg")).as("pa"))
+        .orderBy(col("cn").desc, col("pa").desc, col("a"), col("b"))
+        .limit(100)
+    }),
+    "q_graph_hits" -> ((s, d) => {
+      // HITS hubs & authorities on a DIRECTED key-derived graph —
+      // 2 power iterations in EXACT integer arithmetic (h₀=1;
+      // aᵢ=Σ_{u→v}hᵢ₋₁(u); hᵢ=Σ_{u→v}aᵢ(v)): the per-iteration L2
+      // normalisation is rank-invariant presentation, so deferring it
+      // keeps every score a BIGINT and the oracle exact (the same
+      // deferral q_text_lift uses to avoid cross-engine floats). Each
+      // half-iteration is one equi-join + one hash agg keyed by
+      // vertex — the pagerank superstep shape; the edge list is pinned
+      // tiny here (modulus 150) but the plan is partition-wise at any
+      // scale. Zero-fill keeps sink/source vertices in the report.
+      val e = t(s, d, "orders").select(
+          (col("o_orderkey") % 150).as("src"), (col("o_custkey") % 150).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+      val verts = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v"))).distinct()
+      val a1 = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("a1"))
+      val h1 = e.join(a1, e("dst") === a1("v"))
+        .groupBy(col("src").as("v")).agg(sum(col("a1")).as("h1"))
+      val a2 = e.join(h1, e("src") === h1("v"))
+        .groupBy(col("dst").as("v")).agg(sum(col("h1")).as("a2"))
+      verts.join(h1.select(col("v"), col("h1")), Seq("v"), "left_outer")
+        .join(a2.select(col("v"), col("a2")), Seq("v"), "left_outer")
+        .select(col("v").as("vertex"),
+          coalesce(col("h1"), lit(0L)).cast("long").as("hub"),
+          coalesce(col("a2"), lit(0L)).cast("long").as("auth"))
+        .orderBy("vertex")
+    }),
     "q_graph_lpa" -> ((s, d) => {
       // Deterministic synchronous label propagation, 2 fixed rounds
       // (most-frequent neighbour label, ties to the smallest) — the
@@ -608,6 +668,10 @@ object GraphQueries {
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), m AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), deg AS (SELECT src, count(*) AS dg FROM m GROUP BY src), w AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS n_wedges FROM deg) SELECT n_triangles, n_wedges, round(n_triangles * 3.0 / n_wedges, 6) AS cc FROM tri, w""",
     "q_graph_triangles_big" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), tri AS (SELECT e1.a AS x FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) SELECT x AS vertex, count(*)::BIGINT AS triangles FROM tri GROUP BY x ORDER BY vertex""",
+    "q_graph_linkpred" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), cn AS (SELECT p.dst AS a, q.dst AS b, count(*)::BIGINT AS cn FROM sym p JOIN sym q ON p.src = q.src AND p.dst < q.dst GROUP BY 1, 2), deg AS (SELECT src AS v, count(*)::BIGINT AS deg FROM sym GROUP BY src) SELECT c.a, c.b, c.cn, (da.deg * db.deg)::BIGINT AS pa FROM cn c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = c.a AND u.b = c.b) ORDER BY c.cn DESC, pa DESC, c.a, c.b LIMIT 100""",
+    "q_graph_hits" ->
+      """WITH e AS (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS src, (o_custkey % 150)::BIGINT AS dst FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), a1 AS (SELECT dst AS v, count(*)::BIGINT AS a1 FROM e GROUP BY dst), h1 AS (SELECT e.src AS v, sum(a1.a1)::BIGINT AS h1 FROM e JOIN a1 ON e.dst = a1.v GROUP BY e.src), a2 AS (SELECT e.dst AS v, sum(h1.h1)::BIGINT AS a2 FROM e JOIN h1 ON e.src = h1.v GROUP BY e.dst) SELECT verts.v AS vertex, coalesce(h1.h1, 0)::BIGINT AS hub, coalesce(a2.a2, 0)::BIGINT AS auth FROM verts LEFT JOIN h1 ON verts.v = h1.v LEFT JOIN a2 ON verts.v = a2.v ORDER BY vertex""",
     "q_graph_jaccard" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT v, count(*)::BIGINT AS deg FROM sym GROUP BY v), common AS (SELECT u.a, u.b, count(*)::BIGINT AS c FROM und u JOIN sym x ON x.v = u.a JOIN sym y ON y.v = u.b AND y.w = x.w GROUP BY u.a, u.b) SELECT c0.a AS src, c0.b AS dst, round(c::DOUBLE / (da.deg + db.deg - c), 4) AS jac FROM common c0 JOIN deg da ON da.v = c0.a JOIN deg db ON db.v = c0.b ORDER BY src, dst""")
 }

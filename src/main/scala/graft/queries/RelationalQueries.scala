@@ -767,6 +767,139 @@ object RelationalQueries {
             " (acc, x) -> 0.2D * x + 0.8D * acc)"), 4).as("ewma"))
         .orderBy("user_id")
     }),
+    "q_window_locf" -> ((s, d) => {
+      // Forward fill (last observation carried forward) — the
+      // time-series gap-repair primitive: error rows carry no reading
+      // (value masked to NULL), and each user's series repairs from
+      // its most recent non-null observation. `last(_, ignoreNulls)`
+      // over a running row frame is ONE window pass over ONE exchange
+      // keyed by user — no self-join, no correlated subquery; at
+      // 100 TB this is the same single hash-partition + sort-window
+      // shape as every other per-key series operator here. Values
+      // pass through untouched (no arithmetic), so the oracle
+      // hash-matches bit-for-bit.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .where(col("user_id") % 25 === 0)
+        .withColumn("reading", when(col("event_type") =!= "error", col("value")))
+        .select(col("user_id"), col("event_id"), col("reading"),
+          last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("user_id", "event_id")
+    }),
+    "q_events_ohlc" -> ((s, d) => {
+      // Time-bucketed OHLC bars (the metrics-downsampling shape:
+      // open/high/low/close + volume per hour per series). Open and
+      // close are deterministic argmin/argmax by the unique
+      // (ts, event_id) order, computed as ONE partial+final struct
+      // min/max agg — no window sort, no second scan; high/low/volume
+      // ride the same agg. Turnover is the repo's exact-decimal money
+      // sum. At 100 TB: one exchange keyed by (series, bucket), state
+      // one struct per group — the same mergeable-agg shape as
+      // q_cdc_snapshot's latest-wins fold.
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+          unix_micros(col("ts")).as("tus"), col("event_id"), col("value"))
+      def key = struct(col("tus").as("tus"), col("event_id").as("eid"),
+        col("value").as("v"))
+      e.groupBy("event_type", "hr").agg(
+          min(key).getField("v").as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(key).getField("v").as("close"),
+          count(lit(1)).as("volume"),
+          round(sum(col("value").cast("decimal(18,6)")), 2).cast("double")
+            .as("turnover"))
+        .select(col("event_type"),
+          date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("turnover"))
+        .orderBy("event_type", "hr")
+    }),
+    "q_events_concurrency" -> ((s, d) => {
+      // Peak-concurrency (interval stabbing count): each event opens a
+      // 5-minute half-open activity interval [ts, ts+300s); per event
+      // type, find the maximum number of simultaneously open intervals
+      // and the first instant it is reached. The classic +1/-1
+      // boundary sweep: 2 boundary rows per event, running sum ordered
+      // by (t, delta) so a close at instant t sorts before an open at
+      // t (half-open semantics). ONE exchange keyed by type carries
+      // both windows AND the final agg — boundary generation is a
+      // single-scan explode, never a self-join. At 100 TB the sweep is
+      // exactly the interval-join bin trick's degenerate form: work is
+      // O(2n log n) per key, state O(1).
+      val gapUs = 300L * 1000000L
+      val e = Tables.events(s, d)
+        .select(col("event_type"), unix_micros(col("ts")).as("tus"))
+      val bounds = e.select(col("event_type"), explode(array(
+          struct(col("tus").as("t"), lit(1).as("delta")),
+          struct((col("tus") + gapUs).as("t"), lit(-1).as("delta")))).as("b"))
+        .select(col("event_type"), col("b.t").as("t"), col("b.delta").as("delta"))
+      val sweep = Window.partitionBy("event_type").orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val conc = bounds.withColumn("conc", sum(col("delta")).over(sweep))
+        .withColumn("peak", max(col("conc")).over(Window.partitionBy("event_type")))
+      conc.groupBy("event_type").agg(
+          max(col("conc")).cast("long").as("peak"),
+          min(when(col("conc") === col("peak"), col("t"))).as("first_peak_us"),
+          sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_intervals"))
+        .orderBy("event_type")
+    }),
+    "q_profile_table" -> ((s, d) => {
+      // One-scan table profiling (the `DESCRIBE`/data-catalog
+      // statistics primitive): per column — null count, exact distinct
+      // count, numeric/temporal min and max — computed in a SINGLE
+      // aggregation over ONE scan (the multi-column count(DISTINCT)
+      // plans one Expand pass, the standard exact-NDV shape; a 100 TB
+      // profiler swaps in approx_count_distinct and drops the Expand,
+      // same query shape). The wide one-row result unpivots to one row
+      // per column entirely driver-free. String min/max are reported
+      // NULL (cross-engine collation is not part of the contract).
+      val o = t(s, d, "orders")
+      def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      val wide = o.agg(
+        nulls("o_orderkey").as("nn_orderkey"),
+        countDistinct(col("o_orderkey")).as("nd_orderkey"),
+        min(col("o_orderkey")).cast("double").as("mn_orderkey"),
+        max(col("o_orderkey")).cast("double").as("mx_orderkey"),
+        nulls("o_custkey").as("nn_custkey"),
+        countDistinct(col("o_custkey")).as("nd_custkey"),
+        min(col("o_custkey")).cast("double").as("mn_custkey"),
+        max(col("o_custkey")).cast("double").as("mx_custkey"),
+        nulls("o_orderstatus").as("nn_orderstatus"),
+        countDistinct(col("o_orderstatus")).as("nd_orderstatus"),
+        nulls("o_totalprice").as("nn_totalprice"),
+        countDistinct(col("o_totalprice")).as("nd_totalprice"),
+        min(col("o_totalprice")).as("mn_totalprice"),
+        max(col("o_totalprice")).as("mx_totalprice"),
+        nulls("o_orderdate").as("nn_orderdate"),
+        countDistinct(col("o_orderdate")).as("nd_orderdate"),
+        // fixtures ship o_orderdate as TIMESTAMP_NTZ since the 08-13
+        // refresh; the session-zone cast (UTC in Verify/Bench) makes
+        // unix_micros read the same naive wall clock DuckDB's epoch_us
+        // sees (Tables.events precedent)
+        unix_micros(min(col("o_orderdate")).cast("timestamp")).cast("double")
+          .as("mn_orderdate"),
+        unix_micros(max(col("o_orderdate")).cast("timestamp")).cast("double")
+          .as("mx_orderdate"),
+        nulls("o_orderpriority").as("nn_orderpriority"),
+        countDistinct(col("o_orderpriority")).as("nd_orderpriority"))
+      def row(name: String, hasMinMax: Boolean) = struct(
+        lit(name).as("col_name"), col(s"nn_$name").as("n_null"),
+        col(s"nd_$name").as("n_distinct"),
+        (if (hasMinMax) col(s"mn_$name") else lit(null).cast("double")).as("min_v"),
+        (if (hasMinMax) col(s"mx_$name") else lit(null).cast("double")).as("max_v"))
+      wide.select(explode(array(
+          row("orderkey", hasMinMax = true), row("custkey", hasMinMax = true),
+          row("orderstatus", hasMinMax = false),
+          row("totalprice", hasMinMax = true),
+          row("orderdate", hasMinMax = true),
+          row("orderpriority", hasMinMax = false))).as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.n_null").as("n_null"),
+          col("p.n_distinct").as("n_distinct"), col("p.min_v").as("min_v"),
+          col("p.max_v").as("max_v"))
+        .orderBy("col_name")
+    }),
     "q_events_anomaly" -> ((s, d) => {
       // per-user outlier detection (2-sigma rule) with the repo's
       // exact-moments convention: decimal power sums -> identical
@@ -2306,6 +2439,17 @@ object RelationalQueries {
       """WITH g AS (SELECT sum(CASE WHEN event_type = 'view' THEN 1 END)::DOUBLE AS na, round(sum(CASE WHEN event_type = 'view' THEN value::DECIMAL(18,6) END), 6)::DOUBLE AS sa1, round(sum(CASE WHEN event_type = 'view' THEN value::DECIMAL(18,6) * value::DECIMAL(18,6) END), 6)::DOUBLE AS sa2, sum(CASE WHEN event_type = 'click' THEN 1 END)::DOUBLE AS nb, round(sum(CASE WHEN event_type = 'click' THEN value::DECIMAL(18,6) END), 6)::DOUBLE AS sb1, round(sum(CASE WHEN event_type = 'click' THEN value::DECIMAL(18,6) * value::DECIMAL(18,6) END), 6)::DOUBLE AS sb2 FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL) SELECT na::BIGINT AS n_a, nb::BIGINT AS n_b, round(sa1 / na, 4) AS mean_a, round(sb1 / nb, 4) AS mean_b, round((sa1 / na - sb1 / nb) * (sa1 / na - sb1 / nb) / ((sa2 - sa1 * sa1 / na) / (na - 1) / na + (sb2 - sb1 * sb1 / nb) / (nb - 1) / nb), 4) AS t2, round(((sa2 - sa1 * sa1 / na) / (na - 1) / na + (sb2 - sb1 * sb1 / nb) / (nb - 1) / nb) * ((sa2 - sa1 * sa1 / na) / (na - 1) / na + (sb2 - sb1 * sb1 / nb) / (nb - 1) / nb) / ((sa2 - sa1 * sa1 / na) / (na - 1) / na * ((sa2 - sa1 * sa1 / na) / (na - 1) / na) / (na - 1) + (sb2 - sb1 * sb1 / nb) / (nb - 1) / nb * ((sb2 - sb1 * sb1 / nb) / (nb - 1) / nb) / (nb - 1)), 2) AS df FROM g""",
     "q_window_ewma" ->
       """WITH l AS (SELECT user_id, list(value ORDER BY ts, event_id) AS vals FROM events WHERE value IS NOT NULL GROUP BY user_id) SELECT user_id, len(vals)::BIGINT AS n_events, round(list_reduce(vals, (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc), 4) AS ewma FROM l ORDER BY user_id""",
+    "q_window_locf" ->
+      """SELECT user_id, event_id, CASE WHEN event_type <> 'error' THEN value END AS reading, last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM events WHERE user_id % 25 = 0 ORDER BY user_id, event_id""",
+    // open/close via row_number (DuckDB arg_min takes no struct key);
+    // the engine's struct-min/max picks the same unique (tus,event_id)
+    // extremes, so the raw doubles agree bit-for-bit
+    "q_events_ohlc" ->
+      """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr0, epoch_us(ts)::BIGINT AS tus, event_id, value FROM events WHERE value IS NOT NULL), r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hr0 ORDER BY tus, event_id) AS rf, row_number() OVER (PARTITION BY event_type, hr0 ORDER BY tus DESC, event_id DESC) AS rl FROM e) SELECT event_type, strftime(hr0, '%Y-%m-%d %H:%M:%S') AS hr, max(CASE WHEN rf = 1 THEN value END) AS open, max(value) AS high, min(value) AS low, max(CASE WHEN rl = 1 THEN value END) AS close, count(*)::BIGINT AS volume, round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS turnover FROM r GROUP BY event_type, hr0 ORDER BY event_type, hr""",
+    "q_events_concurrency" ->
+      """WITH b AS (SELECT event_type, epoch_us(ts)::BIGINT AS t, 1 AS delta FROM events UNION ALL SELECT event_type, epoch_us(ts)::BIGINT + 300000000, -1 FROM events), c AS (SELECT event_type, t, delta, sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b), p AS (SELECT *, max(conc) OVER (PARTITION BY event_type) AS peak FROM c) SELECT event_type, max(conc)::BIGINT AS peak, min(CASE WHEN conc = peak THEN t END)::BIGINT AS first_peak_us, sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intervals FROM p GROUP BY event_type ORDER BY event_type""",
+    "q_profile_table" ->
+      """WITH s AS (SELECT count(*) FILTER (WHERE o_orderkey IS NULL)::BIGINT AS nn_orderkey, count(DISTINCT o_orderkey)::BIGINT AS nd_orderkey, min(o_orderkey)::DOUBLE AS mn_orderkey, max(o_orderkey)::DOUBLE AS mx_orderkey, count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS nn_custkey, count(DISTINCT o_custkey)::BIGINT AS nd_custkey, min(o_custkey)::DOUBLE AS mn_custkey, max(o_custkey)::DOUBLE AS mx_custkey, count(*) FILTER (WHERE o_orderstatus IS NULL)::BIGINT AS nn_orderstatus, count(DISTINCT o_orderstatus)::BIGINT AS nd_orderstatus, count(*) FILTER (WHERE o_totalprice IS NULL)::BIGINT AS nn_totalprice, count(DISTINCT o_totalprice)::BIGINT AS nd_totalprice, min(o_totalprice) AS mn_totalprice, max(o_totalprice) AS mx_totalprice, count(*) FILTER (WHERE o_orderdate IS NULL)::BIGINT AS nn_orderdate, count(DISTINCT o_orderdate)::BIGINT AS nd_orderdate, epoch_us(min(o_orderdate))::DOUBLE AS mn_orderdate, epoch_us(max(o_orderdate))::DOUBLE AS mx_orderdate, count(*) FILTER (WHERE o_orderpriority IS NULL)::BIGINT AS nn_orderpriority, count(DISTINCT o_orderpriority)::BIGINT AS nd_orderpriority FROM orders) SELECT col_name, n_null, n_distinct, min_v, max_v FROM (SELECT 'orderkey' AS col_name, nn_orderkey AS n_null, nd_orderkey AS n_distinct, mn_orderkey AS min_v, mx_orderkey AS max_v FROM s UNION ALL SELECT 'custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey FROM s UNION ALL SELECT 'orderstatus', nn_orderstatus, nd_orderstatus, NULL, NULL FROM s UNION ALL SELECT 'totalprice', nn_totalprice, nd_totalprice, mn_totalprice, mx_totalprice FROM s UNION ALL SELECT 'orderdate', nn_orderdate, nd_orderdate, mn_orderdate, mx_orderdate FROM s UNION ALL SELECT 'orderpriority', nn_orderpriority, nd_orderpriority, NULL, NULL FROM s) ORDER BY col_name""",
     "q_events_anomaly" ->
       """WITH st AS (SELECT user_id, count(*)::DOUBLE AS n, round(sum(value::DECIMAL(18,6)), 6)::DOUBLE AS s1, round(sum(value::DECIMAL(18,6) * value::DECIMAL(18,6)), 6)::DOUBLE AS s2 FROM events GROUP BY user_id) SELECT e.user_id, max(st.n)::BIGINT AS n_events, round(max(st.s1/st.n), 4) AS mean_value, count(*) FILTER (WHERE (e.value - st.s1/st.n) * (e.value - st.s1/st.n) > 4.0 * (st.s2/st.n - (st.s1/st.n)*(st.s1/st.n)))::BIGINT AS n_outliers FROM events e JOIN st ON e.user_id = st.user_id GROUP BY e.user_id ORDER BY e.user_id""",
     "q_events_transitions" ->
