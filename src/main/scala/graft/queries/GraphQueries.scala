@@ -381,9 +381,14 @@ object GraphQueries {
       // not the data). Deterministic top-100 by (cn, pa, a, b).
       val e0 = t(s, d, "orders").select(
         (col("o_orderkey") % 300).as("x"), (col("o_custkey") % 300).as("y"))
+      // pin rule (basket_pairs precedent): und feeds the wedge join
+      // twice (via sym), the anti-join build, and both degree joins —
+      // unpinned, the orders scan + distinct re-executes for each;
+      // the pinned table is ≤ |V|²/2 rows by the modulus bound
       val und = e0.where(col("x") =!= col("y"))
         .select(least(col("x"), col("y")).as("a"),
           greatest(col("x"), col("y")).as("b")).distinct()
+        .localCheckpoint(true)
       val sym = mirror(und.select(col("a").as("src"), col("b").as("dst")))
       val cn = sym.as("p").join(sym.as("q"),
           col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
@@ -409,9 +414,12 @@ object GraphQueries {
       // vertex — the pagerank superstep shape; the edge list is pinned
       // tiny here (modulus 150) but the plan is partition-wise at any
       // scale. Zero-fill keeps sink/source vertices in the report.
+      // pin rule: e feeds the vertex union plus three join/agg passes
+      // (a1, h1, a2) — pinned once, the orders scan + distinct runs once
       val e = t(s, d, "orders").select(
           (col("o_orderkey") % 150).as("src"), (col("o_custkey") % 150).as("dst"))
         .where(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true)
       val verts = e.select(col("src").as("v"))
         .union(e.select(col("dst").as("v"))).distinct()
       val a1 = e.groupBy(col("dst").as("v")).agg(count(lit(1)).as("a1"))
