@@ -86,7 +86,10 @@ object Bench {
     // concurrency sweep, one-scan column profiler, wedge-join link
     // prediction, integer-exact HITS
     "q_window_locf", "q_events_ohlc", "q_events_concurrency",
-    "q_profile_table", "q_graph_linkpred", "q_graph_hits")
+    "q_profile_table", "q_graph_linkpred", "q_graph_hits",
+    // wave-19: bounded k-truss peel, winnowing fingerprints, blocked
+    // entity resolution with the banded levenshtein
+    "q_graph_ktruss", "q_text_winnow", "q_er_match")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

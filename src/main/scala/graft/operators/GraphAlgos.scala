@@ -190,6 +190,24 @@ object GraphAlgos {
     }
     val deg = und.select(col("a").as("v")).union(und.select(col("b")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
+    val support = orientedSupport(und, deg)
+    support
+      .join(und, Seq("a", "b")) // support keys are always real edges; keeps partition keys aligned
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(col("a").as("src"), col("b").as("dst"),
+        round(col("common").cast("double")
+          / (col("da") + col("db") - col("common")), 4).as("jac"))
+  }
+
+  /** Triangle support per canonical undirected edge {a<b}:
+    * |N(a) ∩ N(b)| over the given edge set, via the degree-ordered
+    * orientation wedge machinery (see [[trianglesByMinVertex]] for the
+    * skew rationale — a celebrity hub generates O(m) wedges, not
+    * O(deg²)). Input `und` must already be canonicalised (a<b),
+    * deduped, and pinned; `deg` is its degree table. Edges in no
+    * triangle are ABSENT from the output (inner closing join). */
+  private def orientedSupport(und: DataFrame, deg: DataFrame): DataFrame = {
     val lower = col("da") < col("db") ||
       (col("da") === col("db") && col("a") < col("b"))
     val oriented = und
@@ -204,20 +222,55 @@ object GraphAlgos {
       .select(col("u"), col("w1").as("a"), col("w2").as("b"))
     // closed triangles (u, a, b): every unordered pair inside is an
     // edge; explode the three canonical edges, count support per edge
-    val support = wedges.join(und, Seq("a", "b"))
+    wedges.join(und, Seq("a", "b"))
       .select(explode(array(
         struct(col("a"), col("b")),
         struct(least(col("u"), col("a")).as("a"), greatest(col("u"), col("a")).as("b")),
         struct(least(col("u"), col("b")).as("a"), greatest(col("u"), col("b")).as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
-    support
-      .join(und, Seq("a", "b")) // support keys are always real edges; keeps partition keys aligned
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-      .select(col("a").as("src"), col("b").as("dst"),
-        round(col("common").cast("double")
-          / (col("da") + col("db") - col("common")), 4).as("jac"))
+  }
+
+  /** Bounded k-truss peel (graph-mining edge analogue of k-core):
+    * `rounds` synchronous rounds of dropping every edge whose triangle
+    * support over the CURRENT surviving edge set is below k-2, then the
+    * survivors with their last-round support. Rounds are FIXED, not
+    * run-to-fixpoint: the inventory entry pins a round count so the
+    * DuckDB oracle can unroll the identical peels at every scale factor
+    * (the q_graph_kcore contract); callers wanting the true k-truss run
+    * with rounds ≥ the peel depth of their graph. Each round is one
+    * support computation (degree agg + orientation + wedge join — all
+    * key-partitioned) + one filter; per-round checkpoints keep lineage
+    * flat, and superseded checkpoint blocks are dropped eagerly. */
+  def trussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"trussPeel needs rounds >= 1, got $rounds")
+    var und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var lastSupport: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val sup = orientedSupport(und, deg)
+      // left join: an edge in no triangle has support 0 and must be
+      // PEELED (k >= 3), not silently survive by absence
+      lastSupport = und.join(sup, Seq("a", "b"), "left_outer")
+        .select(col("a"), col("b"),
+          coalesce(col("common"), lit(0L)).as("support"))
+        .localCheckpoint(true)
+      val prev = und
+      und = lastSupport.where(col("support") >= k - 2)
+        .select("a", "b").localCheckpoint(true)
+      // prev's blocks are superseded (lastSupport is materialised);
+      // drop them eagerly rather than waiting on the ContextCleaner
+      Traversals.dropCheckpoint(prev,
+        keep = Traversals.checkpointRddIds(und) ++
+          Traversals.checkpointRddIds(lastSupport))
+    }
+    und.join(lastSupport, Seq("a", "b"))
+      .select(col("a").as("src"), col("b").as("dst"), col("support"))
   }
 
   /** In/out degree per vertex. */

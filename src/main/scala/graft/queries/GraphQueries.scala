@@ -366,6 +366,19 @@ object GraphQueries {
         (col("o_orderkey") % 300).as("src"), (col("o_custkey") % 300).as("dst"))
       graft.operators.GraphAlgos.jaccardPerEdge(e).orderBy("src", "dst")
     }),
+    "q_graph_ktruss" -> ((s, d) => {
+      // 4-truss of the data-scale key-derived graph (edge analogue of
+      // q_graph_kcore): 2 fixed peel rounds dropping edges with
+      // triangle support < 2, survivors reported with their round-2
+      // support. Fixed rounds — not fixpoint — so the oracle unrolls
+      // the identical peels (kcore contract); support comes from the
+      // degree-oriented wedge machinery (skew-safe at scale), the
+      // oracle from the textbook symmetric-adjacency triple join.
+      val e = t(s, d, "orders").select(
+        (col("o_orderkey") % 300).as("src"), (col("o_custkey") % 300).as("dst"))
+      graft.operators.GraphAlgos.trussPeel(e, k = 4, rounds = 2)
+        .orderBy("src", "dst")
+    }),
     "q_graph_linkpred" -> ((s, d) => {
       // Link prediction over the same data-scale key-derived graph as
       // q_graph_jaccard: for every NON-adjacent pair with at least one
@@ -676,6 +689,11 @@ object GraphQueries {
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), m AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), deg AS (SELECT src, count(*) AS dg FROM m GROUP BY src), w AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS n_wedges FROM deg) SELECT n_triangles, n_wedges, round(n_triangles * 3.0 / n_wedges, 6) AS cc FROM tri, w""",
     "q_graph_triangles_big" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), tri AS (SELECT e1.a AS x FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) SELECT x AS vertex, count(*)::BIGINT AS triangles FROM tri GROUP BY x ORDER BY vertex""",
+    // two unrolled peels; support = common-neighbour count within the
+    // round's surviving edge set (left join + coalesce 0 mirrors the
+    // engine's "no triangle -> support 0 -> peeled" rule)
+    "q_graph_ktruss" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym0 AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und), s1 AS (SELECT u.a, u.b, count(*)::BIGINT AS sup FROM und u JOIN sym0 x ON x.v = u.a JOIN sym0 y ON y.v = u.b AND y.w = x.w GROUP BY u.a, u.b), e1 AS (SELECT u.a, u.b FROM und u LEFT JOIN s1 ON s1.a = u.a AND s1.b = u.b WHERE coalesce(s1.sup, 0) >= 2), sym1 AS (SELECT a AS v, b AS w FROM e1 UNION ALL SELECT b, a FROM e1), s2 AS (SELECT u.a, u.b, count(*)::BIGINT AS sup FROM e1 u JOIN sym1 x ON x.v = u.a JOIN sym1 y ON y.v = u.b AND y.w = x.w GROUP BY u.a, u.b) SELECT e1.a AS src, e1.b AS dst, coalesce(s2.sup, 0)::BIGINT AS support FROM e1 LEFT JOIN s2 ON s2.a = e1.a AND s2.b = e1.b WHERE coalesce(s2.sup, 0) >= 2 ORDER BY src, dst""",
     "q_graph_linkpred" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), cn AS (SELECT p.dst AS a, q.dst AS b, count(*)::BIGINT AS cn FROM sym p JOIN sym q ON p.src = q.src AND p.dst < q.dst GROUP BY 1, 2), deg AS (SELECT src AS v, count(*)::BIGINT AS deg FROM sym GROUP BY src) SELECT c.a, c.b, c.cn, (da.deg * db.deg)::BIGINT AS pa FROM cn c JOIN deg da ON da.v = c.a JOIN deg db ON db.v = c.b WHERE NOT EXISTS (SELECT 1 FROM und u WHERE u.a = c.a AND u.b = c.b) ORDER BY c.cn DESC, pa DESC, c.a, c.b LIMIT 100""",
     "q_graph_hits" ->

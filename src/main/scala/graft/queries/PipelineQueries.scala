@@ -706,6 +706,63 @@ object PipelineQueries {
              min("gram").as("first_gram"))
         .orderBy("doc_id")
     }),
+    "q_text_winnow" -> ((s, d) => {
+      // Winnowing fingerprints (Schleimer et al., SIGMOD 2003 — the
+      // MOSS local document fingerprint): hash every word-3-gram, then
+      // in each window of 5 consecutive shingles select the minimum
+      // hash; the distinct selected hashes are the doc's fingerprints.
+      // Guarantees any shared run of >= w+k-1 tokens yields a shared
+      // fingerprint, with density 2/(w+1) — the local-sampling
+      // counterpart to q_dedup_substring's exact spans. Shingles come
+      // from the word_ngrams Generator (positions included), the
+      // window min is a per-doc ROWS frame — ONE exchange keyed by
+      // doc_id carries the count window, the min window, the distinct,
+      // and the final fold. md5-string min is engine-identical, so the
+      // oracle rebuilds the exact fingerprint sets. Short docs (< 7
+      // tokens: no complete window) report 0 via the left join.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val w = 5
+      import org.apache.spark.sql.expressions.Window
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), expr("word_ngrams(text, 3)"))
+        .select(col("doc_id"), col("pos"), md5(col("gram")).as("h"))
+      val winMin = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+      val fps = sh
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .withColumn("fp", min(col("h")).over(winMin))
+        .where(col("pos") <= col("n_sh") - w) // complete windows only (pos 0-based)
+        .select(col("doc_id"), col("fp")).distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_fp"),
+          min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      t(s, d, "documents").select(col("doc_id"))
+        .join(fps, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("n_fp"), lit(0L)).as("n_fp"),
+          col("min_fp"), col("max_fp"))
+        .orderBy("doc_id")
+    }),
+    "q_er_match" -> ((s, d) => {
+      // Entity resolution: blocking + bounded pairwise match — the
+      // record-linkage primitive. Candidate pairs come from an
+      // EQUI-join on the composite blocking key (nation, segment) —
+      // never an all-pairs cross — then the thresholded levenshtein
+      // (3-arg built-in: banded O(k·n) DP, returns -1 past the bound)
+      // scores each candidate and keeps dist <= 2. At 100 TB blocking
+      // keys bound every reducer at |block|² like SemDeDup's cells;
+      // skewed blocks would take the same salting the dedup band
+      // joins carry. Customer names are fixed-format, so the distance
+      // is integer-exact in both engines.
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"))
+      c.as("x").join(c.as("y"),
+          col("x.c_nationkey") === col("y.c_nationkey") &&
+          col("x.c_mktsegment") === col("y.c_mktsegment") &&
+          col("x.c_custkey") < col("y.c_custkey"))
+        .select(col("x.c_custkey").as("a"), col("y.c_custkey").as("b"),
+          levenshtein(col("x.c_name"), col("y.c_name"), 3).as("dist"))
+        .where(col("dist").between(0, 2))
+        .orderBy("a", "b")
+    }),
     "q_sketch_hll" -> ((s, d) => {
       // Deterministic HyperLogLog (Flajolet et al. 2007), exact-oracle
       // edition: md5-derived register index (6 bits) and 32-bit rank
@@ -1290,6 +1347,13 @@ object PipelineQueries {
     // md5 hashes; estimator formula replicated term-for-term
     "q_sketch_hll" ->
       """WITH h AS (SELECT ('0x' || substr(md5('hll|' || o_custkey::VARCHAR), 1, 8))::BIGINT % 64 AS idx, ('0x' || substr(md5('hll|' || o_custkey::VARCHAR), 9, 8))::BIGINT AS v FROM orders), rg AS (SELECT idx, max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(format('{:b}', v)) END) AS m FROM h GROUP BY idx) SELECT (SELECT count(DISTINCT o_custkey) FROM orders)::BIGINT AS n_exact, round(0.709 * 4096.0 / (sum(pow(2.0, -m)) + (64 - count(*)) * 1.0), 4) AS n_est FROM rg""",
+    // zipped same-length unnests rebuild the engine's (pos, hash)
+    // shingle rows 1-based; the window-set filter (pos <= n-4 here,
+    // pos <= n-5 on the 0-based engine side) selects the same windows
+    "q_text_winnow" ->
+      s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(list_transform(gs, x -> md5(x))) AS h FROM sh), wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g), sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - 4), ag AS (SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM sel GROUP BY doc_id) SELECT d.doc_id, coalesce(ag.n_fp, 0)::BIGINT AS n_fp, ag.min_fp, ag.max_fp FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id ORDER BY d.doc_id""",
+    "q_er_match" ->
+      """SELECT x.c_custkey AS a, y.c_custkey AS b, levenshtein(x.c_name, y.c_name)::INT AS dist FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment AND x.c_custkey < y.c_custkey WHERE levenshtein(x.c_name, y.c_name) <= 2 ORDER BY a, b""",
     "q_sketch_cms" ->
       s"""WITH $toksSql, tokr AS (SELECT unnest(tk) AS tok FROM toks), rc AS (SELECT tok, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256)::INT AS c FROM tokr CROSS JOIN (SELECT unnest(range(3)) AS r) rr), cells AS (SELECT r, c, count(*)::BIGINT AS cell_cnt FROM rc GROUP BY r, c), exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tokr GROUP BY tok), top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10), probe AS (SELECT t.tok, t.exact_cnt, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || t.tok), 1, 8))::BIGINT % 256)::INT AS c FROM top t CROSS JOIN (SELECT unnest(range(3)) AS r) rr) SELECT p.tok, p.exact_cnt, min(cl.cell_cnt)::BIGINT AS est_cnt FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok""",
     "q_pipeline_curation" ->
