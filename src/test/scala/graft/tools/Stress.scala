@@ -502,6 +502,71 @@ object Stress {
           s"topn stream state $st rows; want key cardinality $nKeys << volume $nEv10")
       }
     }
+
+    // wave-18/19 families. winnow_x10: per-doc windows — work is linear
+    // in shingle volume, the doc-keyed exchange carries everything.
+    // er_blocking: 10x customers under the SAME (nation, segment)
+    // blocking key is the honest worst case — blocks go x10, candidate
+    // pairs x100 (measured below); the production lever is REFINING the
+    // key (here: + the name's last-two-digit bucket, x100 more blocks)
+    // which returns pair counts to ~x1 per block AT A RECALL COST —
+    // pairs differing inside the refined key's digits are no longer
+    // candidates (blocking-key design is precision/recall/cost, the
+    // probe measures the cost axis). ktruss_x10: modulus
+    // scaled with data (3000 on 10x orders) — vertices x10 at similar
+    // density, wedge volume grows ~linearly.
+    locally {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val docs10b = (0 until 10).map(i =>
+        docs.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ union _)
+      time("winnow_x10", nd10) {
+        import org.apache.spark.sql.expressions.Window
+        val sh = docs10b.select(col("doc_id"),
+            posexplode(graft.functions.TextFunctions.wordShingles(col("text"), 3)))
+          .select(col("doc_id"), col("pos"), md5(col("col")).as("h"))
+        val winMin = Window.partitionBy("doc_id").orderBy("pos")
+          .rowsBetween(Window.currentRow, 4)
+        sh.withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+          .withColumn("fp", min(col("h")).over(winMin))
+          .where(col("pos") <= col("n_sh") - 5)
+          .select(col("doc_id"), col("fp")).distinct()
+          .groupBy("doc_id").agg(count(lit(1))).count()
+      }
+      val cust = spark.read.parquet(s"$d/customer.parquet")
+      val cust10 = (0 until 10).map(i =>
+        cust.withColumn("c_custkey", col("c_custkey") + lit(i.toLong * 10000000L)))
+        .reduce(_ union _)
+      val nc10 = cust.count() * 10
+      time("er_blocking_x10_coarse", nc10) {
+        cust10.as("x").join(cust10.as("y"),
+            col("x.c_nationkey") === col("y.c_nationkey") &&
+            col("x.c_mktsegment") === col("y.c_mktsegment") &&
+            col("x.c_custkey") < col("y.c_custkey"))
+          .select(levenshtein(col("x.c_name"), col("y.c_name"), 3).as("dist"))
+          .where(col("dist").between(0, 2)).count()
+      }
+      time("er_blocking_x10_refined", nc10) {
+        val keyed = cust10.withColumn("blk",
+          substring(col("c_name"), -2, 2))
+        keyed.as("x").join(keyed.as("y"),
+            col("x.c_nationkey") === col("y.c_nationkey") &&
+            col("x.c_mktsegment") === col("y.c_mktsegment") &&
+            col("x.blk") === col("y.blk") &&
+            col("x.c_custkey") < col("y.c_custkey"))
+          .select(levenshtein(col("x.c_name"), col("y.c_name"), 3).as("dist"))
+          .where(col("dist").between(0, 2)).count()
+      }
+      val o10b = (0 until 10).map(i =>
+        o.withColumn("o_orderkey", col("o_orderkey") + lit(i.toLong * 10000000L))
+         .withColumn("o_custkey", col("o_custkey") + lit(i.toLong * 1000000L)))
+        .reduce(_ union _)
+      time("ktruss_x10_scaled_modulus", n10 / 4) {
+        graft.operators.GraphAlgos.trussPeel(
+          o10b.select((col("o_orderkey") % 3000).as("src"),
+            (col("o_custkey") % 3000).as("dst")), k = 4, rounds = 2).count()
+      }
+    }
     spark.stop()
   }
 }
