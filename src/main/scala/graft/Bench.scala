@@ -89,7 +89,11 @@ object Bench {
     "q_profile_table", "q_graph_linkpred", "q_graph_hits",
     // wave-19: bounded k-truss peel, winnowing fingerprints, blocked
     // entity resolution with the banded levenshtein
-    "q_graph_ktruss", "q_text_winnow", "q_er_match")
+    "q_graph_ktruss", "q_text_winnow", "q_er_match",
+    // wave-20: diagonal-pair square counting, merged-register HLL
+    // rollup, MinHash est-vs-true accuracy readout (q_catalog_diff is
+    // gate-only: it times temp-dir commit IO, like catalog_timetravel)
+    "q_graph_squares", "q_sketch_hll_merge", "q_dedup_minhash_acc")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -366,6 +366,33 @@ object GraphQueries {
         (col("o_orderkey") % 300).as("src"), (col("o_custkey") % 300).as("dst"))
       graft.operators.GraphAlgos.jaccardPerEdge(e).orderBy("src", "dst")
     }),
+    "q_graph_squares" -> ((s, d) => {
+      // 4-cycle (square) counting — the motif family beyond triangles:
+      // every square a–w1–b–w2 is determined by a diagonal pair {a,b}
+      // plus 2 of its codeg(a,b) common neighbours, and each square
+      // has exactly two diagonals, so #C4 = Σ_pairs C(codeg,2) / 2 —
+      // all integer arithmetic, no cycle enumeration. Codegrees come
+      // from the same wedge equi-join as link prediction (modulus-
+      // bounded graph); output is the top-10 diagonal pairs by squares
+      // carried, with the graph total as a broadcast-scalar column.
+      val e0 = t(s, d, "orders").select(
+        (col("o_orderkey") % 150).as("x"), (col("o_custkey") % 150).as("y"))
+      val und = e0.where(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct()
+        .localCheckpoint(true) // pin rule: feeds sym twice via the wedge join
+      val sym = mirror(und.select(col("a").as("src"), col("b").as("dst")))
+      val sq = sym.as("p").join(sym.as("q"),
+          col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+        .groupBy(col("p.dst").as("a"), col("q.dst").as("b"))
+        .agg(count(lit(1)).as("cn"))
+        .withColumn("nsq", expr("cn * (cn - 1) DIV 2"))
+        .where(col("nsq") > 0)
+      val total = sq.agg(expr("sum(nsq) DIV 2").as("total_squares"))
+      sq.crossJoin(broadcast(total))
+        .orderBy(col("nsq").desc, col("a"), col("b")).limit(10)
+        .select(col("a"), col("b"), col("cn"), col("nsq"), col("total_squares"))
+    }),
     "q_graph_ktruss" -> ((s, d) => {
       // 4-truss of the data-scale key-derived graph (edge analogue of
       // q_graph_kcore): 2 fixed peel rounds dropping edges with
@@ -689,6 +716,8 @@ object GraphQueries {
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), tri AS (SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v), m AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e), deg AS (SELECT src, count(*) AS dg FROM m GROUP BY src), w AS (SELECT sum(dg * (dg - 1) // 2)::BIGINT AS n_wedges FROM deg) SELECT n_triangles, n_wedges, round(n_triangles * 3.0 / n_wedges, 6) AS cc FROM tri, w""",
     "q_graph_triangles_big" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), tri AS (SELECT e1.a AS x FROM und e1 JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) SELECT x AS vertex, count(*)::BIGINT AS triangles FROM tri GROUP BY x ORDER BY vertex""",
+    "q_graph_squares" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 150, o_custkey % 150)::BIGINT AS a, greatest(o_orderkey % 150, o_custkey % 150)::BIGINT AS b FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), cn AS (SELECT p.dst AS a, q.dst AS b, count(*)::BIGINT AS cn FROM sym p JOIN sym q ON p.src = q.src AND p.dst < q.dst GROUP BY 1, 2), sq AS (SELECT a, b, cn, (cn * (cn - 1)) // 2 AS nsq FROM cn WHERE (cn * (cn - 1)) // 2 > 0), tot AS (SELECT sum(nsq) // 2 AS total_squares FROM sq) SELECT sq.a, sq.b, sq.cn, sq.nsq, tot.total_squares FROM sq, tot ORDER BY sq.nsq DESC, sq.a, sq.b LIMIT 10""",
     // two unrolled peels; support = common-neighbour count within the
     // round's surviving edge set (left join + coalesce 0 mirrors the
     // engine's "no triangle -> support 0 -> peeled" rule)

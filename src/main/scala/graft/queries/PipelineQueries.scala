@@ -763,6 +763,66 @@ object PipelineQueries {
         .where(col("dist").between(0, 2))
         .orderBy("a", "b")
     }),
+    "q_sketch_hll_merge" -> ((s, d) => {
+      // HLL MERGEABILITY in-gate: per-event-type register sets are
+      // max-merged into a corpus-wide register set, and the union
+      // estimate is computed from the MERGE — never by rescanning the
+      // data. Register max is associative/commutative, so the merged
+      // estimate is bit-identical to a direct build; this is the
+      // property that lets a 100 TB deployment keep per-partition /
+      // per-day sketches and union them at query time (the Druid /
+      // ClickHouse rollup pattern). Same md5-derived deterministic
+      // registers as q_sketch_hll / q_stream_hll, so the DuckDB twin
+      // rebuilds both the per-type and merged registers exactly.
+      val e = Tables.events(s, d)
+        .select(col("event_type"), col("user_id").cast("string").as("k"))
+        .localCheckpoint(true) // feeds registers + both exact counts
+      val h = md5(concat(lit("hll|"), col("k")))
+      val perType = e.select(col("event_type"),
+          (conv(substring(h, 1, 8), 16, 10).cast("long") % 64).cast("int").as("idx"),
+          conv(substring(h, 9, 8), 16, 10).cast("long").as("v"))
+        .select(col("event_type"), col("idx"),
+          when(col("v") === 0, lit(33))
+            .otherwise(lit(33) - length(bin(col("v")))).as("rho"))
+        .groupBy("event_type", "idx").agg(max("rho").as("m"))
+        .localCheckpoint(true) // read twice: per-type rows + the merge
+      val merged = perType.groupBy("idx").agg(max("m").as("m"))
+        .select(lit("_all").as("event_type"), col("idx"), col("m"))
+      val exact = e.groupBy("event_type").agg(countDistinct("k").as("n_exact"))
+        .unionByName(e.agg(countDistinct("k").as("n_exact"))
+          .select(lit("_all").as("event_type"), col("n_exact")))
+      perType.select(col("event_type"), col("idx"), col("m")).unionByName(merged)
+        .groupBy("event_type")
+        .agg(sum(pow(lit(2.0), -col("m"))).as("ssum"), count(lit(1)).as("nreg"))
+        .join(exact, "event_type")
+        .select(col("event_type").as("grp"), col("n_exact"),
+          round(lit(0.709) * 4096.0 /
+            (col("ssum") + (lit(64) - col("nreg")) * 1.0), 4).as("n_est"))
+        .orderBy("grp")
+    }),
+    "q_dedup_minhash_acc" -> ((s, d) => {
+      // MinHash accuracy readout (the embed_recall counterpart for the
+      // text side): every LSH candidate pair carries its 16-component
+      // signature ESTIMATE next to the TRUE shingle-set Jaccard — the
+      // in-engine measurement of what the k=16 signature buys. Both
+      // sides come from the session memos (signatures + candidate
+      // graph + shingle sets), so the query costs two joins and an
+      // array intersect per candidate, not a corpus rescan. True
+      // Jaccard is an integer ratio, est is matches/16 — both exact.
+      val est = Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4,
+        minEst = 0.0, sigOpt = Some(docSignatures(s, d)),
+        candOpt = Some(docCandidates(s, d)))
+      val sets = memoTable(s, d, "ngram_sets_3")(
+        Dedup.ngramShingleSets(t(s, d, "documents"), shingleN = 3))
+      val a = sets.select(col("doc_id").as("doc_a"), col("gs").as("ga"))
+      val b = sets.select(col("doc_id").as("doc_b"), col("gs").as("gb"))
+      est.join(a, "doc_a").join(b, "doc_b")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+        .select(col("doc_a"), col("doc_b"), col("est"),
+          round(col("inter").cast("double") /
+            (size(col("ga")) + size(col("gb")) - col("inter")), 4).as("jac"))
+        .orderBy("doc_a", "doc_b")
+    }),
     "q_sketch_hll" -> ((s, d) => {
       // Deterministic HyperLogLog (Flajolet et al. 2007), exact-oracle
       // edition: md5-derived register index (6 bits) and 32-bit rank
@@ -1354,6 +1414,14 @@ object PipelineQueries {
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(list_transform(gs, x -> md5(x))) AS h FROM sh), wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g), sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - 4), ag AS (SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM sel GROUP BY doc_id) SELECT d.doc_id, coalesce(ag.n_fp, 0)::BIGINT AS n_fp, ag.min_fp, ag.max_fp FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id ORDER BY d.doc_id""",
     "q_er_match" ->
       """SELECT x.c_custkey AS a, y.c_custkey AS b, levenshtein(x.c_name, y.c_name)::INT AS dist FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment AND x.c_custkey < y.c_custkey WHERE levenshtein(x.c_name, y.c_name) <= 2 ORDER BY a, b""",
+    // per-type registers, then the merged set as max-over-types per
+    // index — the same registers a direct over-all-rows build yields
+    "q_sketch_hll_merge" ->
+      """WITH h AS (SELECT event_type, ('0x' || substr(md5('hll|' || user_id::VARCHAR), 1, 8))::BIGINT % 64 AS idx, ('0x' || substr(md5('hll|' || user_id::VARCHAR), 9, 8))::BIGINT AS v FROM events), rt AS (SELECT event_type, idx, max(CASE WHEN v = 0 THEN 33 ELSE 33 - length(format('{:b}', v)) END) AS m FROM h GROUP BY event_type, idx), rall AS (SELECT '_all' AS event_type, idx, max(m) AS m FROM rt GROUP BY idx), regs AS (SELECT * FROM rt UNION ALL SELECT * FROM rall), ex AS (SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact FROM events GROUP BY event_type UNION ALL SELECT '_all', count(DISTINCT user_id)::BIGINT FROM events) SELECT r.event_type AS grp, ex.n_exact, round(0.709 * 4096.0 / (sum(pow(2.0, -r.m)) + (64 - count(*)) * 1.0), 4) AS n_est FROM regs r JOIN ex ON r.event_type = ex.event_type GROUP BY r.event_type, ex.n_exact ORDER BY grp""",
+    // the est CTE chain is threshold-free; true Jaccard joins the
+    // distinct per-doc shingle sets only for the candidate pairs
+    "q_dedup_minhash_acc" ->
+      s"""WITH $minhashEstSql, ash AS (SELECT DISTINCT doc_id, g FROM shr), nsh AS (SELECT doc_id, count(*)::BIGINT AS n FROM ash GROUP BY doc_id), iv AS (SELECT e.doc_a, e.doc_b, round(e.est0, 4) AS est, (SELECT count(*) FROM ash x JOIN ash y ON x.g = y.g WHERE x.doc_id = e.doc_a AND y.doc_id = e.doc_b) AS inter FROM est e) SELECT iv.doc_a, iv.doc_b, iv.est, round(iv.inter::DOUBLE / (na.n + nb.n - iv.inter), 4) AS jac FROM iv JOIN nsh na ON na.doc_id = iv.doc_a JOIN nsh nb ON nb.doc_id = iv.doc_b ORDER BY iv.doc_a, iv.doc_b""",
     "q_sketch_cms" ->
       s"""WITH $toksSql, tokr AS (SELECT unnest(tk) AS tok FROM toks), rc AS (SELECT tok, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256)::INT AS c FROM tokr CROSS JOIN (SELECT unnest(range(3)) AS r) rr), cells AS (SELECT r, c, count(*)::BIGINT AS cell_cnt FROM rc GROUP BY r, c), exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tokr GROUP BY tok), top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10), probe AS (SELECT t.tok, t.exact_cnt, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || t.tok), 1, 8))::BIGINT % 256)::INT AS c FROM top t CROSS JOIN (SELECT unnest(range(3)) AS r) rr) SELECT p.tok, p.exact_cnt, min(cl.cell_cnt)::BIGINT AS est_cnt FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok""",
     "q_pipeline_curation" ->

@@ -1715,6 +1715,37 @@ object RelationalQueries {
           .orderBy("version")
       }
     }),
+    "q_catalog_diff" -> ((s, d) => {
+      // Snapshot DIFF between two catalog versions — the "what changed
+      // between v1 and v2" audit every versioned lakehouse exposes
+      // (Delta CDF / Iceberg changelog shape). v2 drops the high-key
+      // edges and adds a delta; the diff time-travels BOTH versions
+      // and EXCEPT ALLs each way, folding to per-direction
+      // fingerprints. The oracle computes the same counts closed-form
+      // from nation (25 rows at every SF), so a misdirected version
+      // read or a lossy EXCEPT hash-mismatches.
+      withTempDir("graft-q-catdiff") { dir =>
+        val cat = new graft.operators.GraphCatalog(s, dir)
+        val base = t(s, d, "nation").where(col("n_nationkey") > 0)
+          .select(col("n_nationkey").cast("long").as("src"),
+            floor(col("n_nationkey") / 2).cast("long").as("dst"))
+        val delta = t(s, d, "nation").where(col("n_nationkey") < 10)
+          .select(col("n_nationkey").cast("long").as("src"),
+            (col("n_nationkey") + 100).cast("long").as("dst"))
+        val v1 = cat.commitVersion("g", base)
+        cat.commitVersion("g",
+          base.where(col("src") < 20).unionByName(delta))
+        def fold(df: DataFrame, tag: String) =
+          df.agg(count(lit(1)).as("n_edges"),
+              sum("dst").cast("long").as("sum_dst"))
+            .select(lit(tag).as("change"), col("n_edges"), col("sum_dst"))
+        val old = cat.loadVersion("g", v1)
+        val neu = cat.loadLatest("g")
+        fold(neu.exceptAll(old), "added")
+          .unionByName(fold(old.exceptAll(neu), "removed"))
+          .orderBy("change")
+      }
+    }),
     "q_window_distinct" -> ((s, d) => {
       // distinct-count-in-window via the dense_rank idiom: windows
       // can't host count(DISTINCT), but max(dense_rank over the value
@@ -2557,6 +2588,10 @@ object RelationalQueries {
     // closed-form per-version fingerprints from the same source rows
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
+    // closed-form: removed = base edges with key >= 20, added = the
+    // delta rows (dst >= 100 so no collision with any base row)
+    "q_catalog_diff" ->
+      """WITH rem AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey >= 20), ad AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey + 100)::BIGINT AS sum_dst FROM nation WHERE n_nationkey < 10) SELECT 'added' AS change, n_edges, sum_dst FROM ad UNION ALL SELECT 'removed', n_edges, sum_dst FROM rem ORDER BY change""",
     // the dense_rank max must equal plain count(DISTINCT)
     "q_window_distinct" ->
       """SELECT o_custkey, count(*)::BIGINT AS n_orders, count(DISTINCT o_orderpriority)::BIGINT AS n_priorities FROM orders WHERE o_custkey % 50 = 0 GROUP BY o_custkey ORDER BY o_custkey""",

@@ -26,6 +26,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
     "q_events_funnel",                               // scalar step totals
     "q_graph_clustcoef", "q_graph_triangles",        // 25-row nation non-equi generator / scalar terms
+    "q_graph_squares",                               // broadcast 1-row total_squares scalar
     "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold
     "q_subquery", "q_tpch_q22",                      // scalar subqueries
     // the derived-partsupp five: the derivation itself crossJoins ONE
