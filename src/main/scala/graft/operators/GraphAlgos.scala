@@ -249,28 +249,30 @@ object GraphAlgos {
         least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
-    var lastSupport: DataFrame = null
+    var survivors: DataFrame = null
     (1 to rounds).foreach { _ =>
       val deg = und.select(col("a").as("v")).union(und.select(col("b")))
         .groupBy("v").agg(count(lit(1)).as("deg"))
-      val sup = orientedSupport(und, deg)
-      // left join: an edge in no triangle has support 0 and must be
-      // PEELED (k >= 3), not silently survive by absence
-      lastSupport = und.join(sup, Seq("a", "b"), "left_outer")
-        .select(col("a"), col("b"),
-          coalesce(col("common"), lit(0L)).as("support"))
+      // orientedSupport's keys are exactly the edges in >= 1 triangle,
+      // so the threshold filter alone implements the peel: an edge
+      // ABSENT from the support table has support 0 < k-2 (k >= 3 is
+      // required above) and is peeled by omission — no zero-fill
+      // left-join needed. ONE checkpoint per round materialises the
+      // surviving (edge, support) rows; the next round's edge set is a
+      // plain projection of it, and the final round IS the result.
+      val surv = orientedSupport(und, deg)
+        .where(col("common") >= k - 2)
+        .select(col("a"), col("b"), col("common").as("support"))
         .localCheckpoint(true)
       val prev = und
-      und = lastSupport.where(col("support") >= k - 2)
-        .select("a", "b").localCheckpoint(true)
-      // prev's blocks are superseded (lastSupport is materialised);
-      // drop them eagerly rather than waiting on the ContextCleaner
+      survivors = surv
+      und = surv.select("a", "b")
+      // prev's blocks are superseded (surv is materialised); drop them
+      // eagerly rather than waiting on the ContextCleaner
       Traversals.dropCheckpoint(prev,
-        keep = Traversals.checkpointRddIds(und) ++
-          Traversals.checkpointRddIds(lastSupport))
+        keep = Traversals.checkpointRddIds(surv))
     }
-    und.join(lastSupport, Seq("a", "b"))
-      .select(col("a").as("src"), col("b").as("dst"), col("support"))
+    survivors.select(col("a").as("src"), col("b").as("dst"), col("support"))
   }
 
   /** In/out degree per vertex. */
