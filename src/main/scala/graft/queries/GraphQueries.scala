@@ -171,6 +171,39 @@ object GraphQueries {
         .where(col("src") >= 4)
         .orderBy("src", "dst")
     }),
+    "q_sink_matrixv2" -> ((s, d) => {
+      // the V2 WRITE path in-gate: overwrite-commit a nation-derived
+      // edge set into the dense interop format (explicit n), APPEND a
+      // disjoint delta (op=2 modify semantics — cells OR in, commit is
+      // atomic temp+rename), then read the merged matrix back through
+      // the V2 scan and fold to a fingerprint. The oracle computes the
+      // same counts closed-form from nation, so a lost delta, a torn
+      // write, or an n mismatch hash-mismatches.
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-mxsink")
+      try {
+        val p = dir.resolve("g.txt").toString
+        val nat = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+        nat.where(col("k") > 0 && col("k") < 12)
+          .select(col("k").as("src"), floor(col("k") / 2).cast("long").as("dst"))
+          .write.format("graft-matrix").mode("overwrite").option("n", 12).save(p)
+        nat.where(col("k") < 5)
+          .select(col("k").as("src"), (col("k") + 7).as("dst"))
+          .write.format("graft-matrix").mode("append").save(p)
+        s.read.format("graft-matrix").load(p)
+          .agg(count(lit(1)).as("n_edges"),
+            sum("src").cast("long").as("sum_src"),
+            sum("dst").cast("long").as("sum_dst"))
+          .localCheckpoint(true) // sever from the reaped temp file
+      } finally {
+        try {
+          val walk = java.nio.file.Files.walk(dir)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(q => try java.nio.file.Files.deleteIfExists(q)
+                          catch { case _: Exception => () })
+          finally walk.close()
+        } catch { case _: Exception => () }
+      }
+    }),
     "q_ref_g7_bfs" -> ((s, _) => {
       Traversals.bfs(graft.sources.MatrixIO.readMatrixResource(s, "G7.txt"), 0L)
         .select(col("order").as("ord"), col("level"), col("vertex"))
@@ -616,6 +649,10 @@ object GraphQueries {
     // G7 directed edges (FIXTURES.md) with src >= 4
     "q_source_matrixv2" ->
       """SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM (VALUES (4,0),(4,5),(4,6),(5,4),(6,4)) t(src, dst) ORDER BY src, dst""",
+    // base: nation keys 1..11 -> (k, k//2); delta: keys 0..4 -> (k, k+7)
+    // (disjoint by construction: k+7 > k//2 on 0..4)
+    "q_sink_matrixv2" ->
+      """WITH b AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey > 0 AND n_nationkey < 12), dl AS (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5) SELECT ((SELECT count(*) FROM b) + (SELECT count(*) FROM dl))::BIGINT AS n_edges, ((SELECT sum(k) FROM b) + (SELECT sum(k) FROM dl))::BIGINT AS sum_src, ((SELECT sum(k // 2) FROM b) + (SELECT sum(k + 7) FROM dl))::BIGINT AS sum_dst""",
     "q_ref_g7_bfs" ->
       """SELECT ord::BIGINT AS ord, level::INT AS level, vertex::BIGINT AS vertex FROM (VALUES (0,0,0),(1,1,1),(2,1,4),(3,2,2),(4,2,5),(5,2,6),(6,3,3)) t(ord, level, vertex) ORDER BY ord""",
     "q_ref_g7_bfs_from3" ->

@@ -5,9 +5,10 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -70,13 +71,123 @@ object MatrixSourceV2 {
   }
 }
 
-private[sources] class MatrixTable(path: String) extends Table with SupportsRead {
+private[sources] class MatrixTable(path: String)
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-matrix:$path"
   override def schema(): StructType = MatrixSourceV2.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MatrixScanBuilder(path, options.getInt("partitions", 4))
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new MatrixWriteBuilder(path, info)
+}
+
+/** V2 WRITE tier for the same format — the sink counterpart of the
+  * scan connector, completing read/write symmetry with the reference's
+  * add/modify ops (`primary_server.c:70-99`). The shape is the
+  * standard two-phase DSv2 commit: each task buffers its partition's
+  * edges (bounded by the reference contract n <= 100 — a guard trips
+  * at `maxBufferedEdges` with a scale-pointing error) and ships them
+  * as a `WriterCommitMessage`; nothing touches the filesystem until
+  * the driver's `commit`, which assembles the dense matrix and
+  * replaces the file ATOMICALLY (temp + ATOMIC_MOVE, the GraphCatalog
+  * pointer pattern) — a failed job leaves the previous file intact.
+  * `mode("overwrite")` maps to `SupportsTruncate`; `mode("append")`
+  * ORs the incoming cells into the existing matrix (reference op=2
+  * modify semantics: adding an edge twice is idempotent). */
+private[sources] class MatrixWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var replace = false
+  override def truncate(): WriteBuilder = { replace = true; this }
+  override def build(): Write = new MatrixWrite(path, info, replace)
+}
+
+private[sources] class MatrixWrite(path: String, info: LogicalWriteInfo,
+                                   replace: Boolean) extends Write with BatchWrite {
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-matrix write $path mode=${if (replace) "overwrite" else "append"}"
+
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DataWriterFactory = {
+    val s = info.schema()
+    require(s.fields.length == 2 &&
+        s.fields.forall(f => f.dataType == LongType || f.dataType == IntegerType),
+      s"graft-matrix write expects two integral columns (src, dst), got ${s.simpleString}")
+    MatrixWriterFactory(s.fields(0).dataType == LongType,
+      s.fields(1).dataType == LongType,
+      info.options().getLong("maxBufferedEdges", 1L << 20))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val incoming = messages.iterator.flatMap {
+      case MatrixEdgesMessage(flat) => flat.grouped(2).map(p => (p(0), p(1)))
+    }.toSet
+    val clean = if (path.startsWith("file:"))
+      new java.net.URI(path).getPath else path
+    val target = java.nio.file.Paths.get(clean)
+    val existing: Set[(Long, Long)] =
+      if (!replace && java.nio.file.Files.exists(target)) {
+        val toks = MatrixSourceV2.tokens(path)
+        val en = toks(0).toInt
+        (for { i <- 0 until en; j <- 0 until en
+               if toks(i * en + j + 1) == "1" } yield (i.toLong, j.toLong)).toSet
+      } else Set.empty
+    val cells = existing ++ incoming
+    val maxId = (cells.iterator.flatMap(c => Iterator(c._1, c._2)) ++ Iterator(-1L)).max
+    // explicit n wins (callers writing a fixed-capacity interop file);
+    // otherwise size to the data. Existing-file n is respected on append.
+    val optN = info.options().getInt("n", -1)
+    val existN = if (existing.nonEmpty) MatrixSourceV2.tokens(path)(0).toInt else 0
+    val n = math.max(if (optN > 0) optN else (maxId + 1).toInt, existN)
+    require(n >= 1, "graft-matrix write: empty input and no explicit n option")
+    require(maxId < n,
+      s"graft-matrix write: edge endpoint $maxId outside [0,$n) — pass a larger n option")
+    val sb = new StringBuilder
+    sb.append(n).append('\n')
+    (0 until n).foreach { i =>
+      sb.append((0 until n).map(j =>
+        if (cells((i.toLong, j.toLong))) "1" else "0").mkString(" ")).append('\n')
+    }
+    val tmp = target.resolveSibling(target.getFileName.toString + ".tmp-" +
+      java.util.UUID.randomUUID().toString)
+    java.nio.file.Files.write(tmp, sb.toString.getBytes("UTF-8"))
+    try java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+      java.nio.file.Files.move(tmp, target,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING) }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] case class MatrixEdgesMessage(flat: Array[Long])
+    extends WriterCommitMessage
+
+private[sources] case class MatrixWriterFactory(srcLong: Boolean, dstLong: Boolean,
+                                                maxEdges: Long)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      override def write(row: InternalRow): Unit = {
+        require(buf.length / 2 < maxEdges,
+          s"graft-matrix write: task buffered > $maxEdges edges — the dense " +
+            "interop format is for reference-contract graphs (n <= 100); " +
+            "persist data-scale graphs as Parquet edge lists via GraphCatalog")
+        val s = if (srcLong) row.getLong(0) else row.getInt(0).toLong
+        val t = if (dstLong) row.getLong(1) else row.getInt(1).toLong
+        require(s >= 0 && t >= 0,
+          s"graft-matrix write: negative vertex id ($s,$t)")
+        buf += s; buf += t
+      }
+      override def commit(): WriterCommitMessage = MatrixEdgesMessage(buf.toArray)
+      override def abort(): Unit = buf.clear()
+      override def close(): Unit = ()
+    }
 }
 
 /** Accepts `src` bounds (their conjunction narrows the scanned row

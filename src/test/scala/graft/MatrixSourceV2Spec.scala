@@ -97,4 +97,61 @@ class MatrixSourceV2Spec extends SparkSpec {
     // n = 0 is a VALID empty graph, not an error
     assert(spark.read.format("graft-matrix").load(tmpWith("0\n")).count() === 0L)
   }
+
+  private def edgesDf(pairs: (Long, Long)*) = {
+    import org.apache.spark.sql.Row
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs.map(p => Row(p._1, p._2)), 2),
+      MatrixSourceV2.schema)
+  }
+
+  test("v2 write: overwrite roundtrips through the v2 read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mxw")
+    try {
+      val p = dir.resolve("g.txt").toString
+      val in = Seq((0L, 1L), (1L, 2L), (2L, 0L), (3L, 3L))
+      edgesDf(in: _*).write.format("graft-matrix").mode("overwrite").save(p)
+      val back = spark.read.format("graft-matrix").load(p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(back === in.toSet)
+      // inferred n = maxId + 1
+      assert(MatrixIO.readVertexCount(spark, p) === 4)
+    } finally graft.tools.TestCleanup.deleteRecursively(dir)
+  }
+
+  test("v2 write: append ORs cells into the existing matrix (op=2 modify)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mxw")
+    try {
+      val p = dir.resolve("g.txt").toString
+      edgesDf((0L, 1L), (1L, 2L)).write.format("graft-matrix")
+        .mode("overwrite").option("n", 5).save(p)
+      // append a delta incl. a duplicate edge — idempotent OR semantics
+      edgesDf((1L, 2L), (4L, 0L)).write.format("graft-matrix")
+        .mode("append").save(p)
+      val back = spark.read.format("graft-matrix").load(p)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(back === Set((0L, 1L), (1L, 2L), (4L, 0L)))
+      assert(MatrixIO.readVertexCount(spark, p) === 5) // existing n respected
+    } finally graft.tools.TestCleanup.deleteRecursively(dir)
+  }
+
+  test("v2 write: endpoint outside an explicit n fails loudly, file intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mxw")
+    try {
+      val p = dir.resolve("g.txt").toString
+      edgesDf((0L, 1L)).write.format("graft-matrix").mode("overwrite").save(p)
+      val before = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      val e = intercept[Exception] {
+        edgesDf((9L, 0L)).write.format("graft-matrix")
+          .mode("overwrite").option("n", 3).save(p)
+      }
+      assert(e.getMessage.contains("outside [0,3)") ||
+        Option(e.getCause).exists(_.getMessage.contains("outside [0,3)")))
+      // commit never ran — the previous file is untouched (atomicity)
+      val after = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8")
+      assert(after === before)
+    } finally graft.tools.TestCleanup.deleteRecursively(dir)
+  }
 }
