@@ -1715,6 +1715,29 @@ object RelationalQueries {
           .orderBy("version")
       }
     }),
+    "q_stream_source_synth" -> ((s, _) => {
+      // the custom MicroBatchStream source executed AS A STREAM in the
+      // gate: admission control paces 5000 rows into 5 micro-batches
+      // of 1000 (SynthSourceSpec pins the batch count); the complete-
+      // mode aggregate must equal the closed-form DuckDB range()
+      // rebuild of the identical md5-derived rows — the determinism
+      // convention extended to a streaming SOURCE, so even the
+      // connector's generator is oracle-checked. (No count(DISTINCT):
+      // streaming aggregation doesn't support it — max/sum/count are
+      // the mergeable-state subset.)
+      val sink = "stream_synth_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val src = s.readStream.format("graft-synth-events")
+        .option("totalRows", 5000L).option("rowsPerBatch", 1000L)
+        .option("partitions", 4).load()
+      val q = src.groupBy("event_type")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+            .as("total_value"),
+          max(col("user_id")).as("max_user"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink).start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).orderBy("event_type")
+    }),
     "q_catalog_diff" -> ((s, d) => {
       // Snapshot DIFF between two catalog versions — the "what changed
       // between v1 and v2" audit every versioned lakehouse exposes
@@ -2588,6 +2611,10 @@ object RelationalQueries {
     // closed-form per-version fingerprints from the same source rows
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
+    // closed-form rebuild of the synthetic generator: same md5 hex
+    // slices, same modulus derivations, over range(5000)
+    "q_stream_source_synth" ->
+      """WITH g AS (SELECT i, md5('ev|' || i) AS h FROM range(5000) t(i)), r AS (SELECT i AS event_id, ('0x' || substr(h, 1, 4))::BIGINT % 50 AS user_id, ['view','click','purchase','signup','error'][(('0x' || substr(h, 5, 1))::BIGINT % 5) + 1] AS event_type, (('0x' || substr(h, 6, 4))::BIGINT % 10000) / 100.0 AS value FROM g) SELECT event_type, count(*)::BIGINT AS cnt, round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value, max(user_id)::BIGINT AS max_user FROM r GROUP BY event_type ORDER BY event_type""",
     // closed-form: removed = base edges with key >= 20, added = the
     // delta rows (dst >= 100 so no collision with any base row)
     "q_catalog_diff" ->
