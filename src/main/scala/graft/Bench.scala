@@ -93,7 +93,14 @@ object Bench {
     // wave-20: diagonal-pair square counting, merged-register HLL
     // rollup, MinHash est-vs-true accuracy readout (q_catalog_diff is
     // gate-only: it times temp-dir commit IO, like catalog_timetravel)
-    "q_graph_squares", "q_sketch_hll_merge", "q_dedup_minhash_acc")
+    "q_graph_squares", "q_sketch_hll_merge", "q_dedup_minhash_acc",
+    // wave-21: degree assortativity (exact power sums over the mirrored
+    // edge ends). q_graph_harmonic stays gate-only: it shares
+    // q_graph_closeness's all-roots superstep loop on the 25-vertex
+    // tree (barrier-latency-bound, not data-bound — same reason).
+    // q_sink_matrixv2 and q_stream_source_synth stay gate-only:
+    // commit/trigger IO, not data throughput.
+    "q_graph_assortativity")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -355,6 +355,53 @@ object GraphQueries {
              count(lit(1)).cast("long").as("n_reach"))
         .orderBy("vertex")
     }),
+    "q_graph_harmonic" -> ((s, d) => {
+      // harmonic centrality off the same all-roots distance table as
+      // closeness — the centrality that stays defined on disconnected
+      // graphs. Emitted LCM-SCALED: h2520 = Σ floor(2520 / d), and
+      // 2520 = lcm(1..10) makes every term exact for d <= 10 (the
+      // 25-vertex tree's diameter is 8), so the sum is a plain BIGINT
+      // and the oracle needs no float reciprocal sum (order-dependent
+      // double addition is exactly what the determinism convention
+      // bans). Same 100 TB story as closeness: sampled landmark roots.
+      val e = treeEdges(s, d)
+      val roots = e.select(col("src").as("root")).distinct()
+      Traversals.multiSourceDistances(e, roots)
+        .where(col("level") > 0)
+        .groupBy(col("root").as("vertex"))
+        .agg(sum(expr("2520 DIV level")).cast("long").as("h2520"),
+          count(lit(1)).cast("long").as("n_reach"))
+        .orderBy("vertex")
+    }),
+    "q_graph_assortativity" -> ((s, d) => {
+      // degree assortativity (Newman 2002) of the data-scale key-
+      // derived graph: Pearson correlation of endpoint degrees over
+      // the mirrored edge ends. The repo's exact-moments convention:
+      // every power sum is an exact BIGINT over integer degrees; the
+      // coefficient is reported SQUARED with its sign (r² + sign_num,
+      // the q_events_abtest t² precedent) so no sqrt crosses engines.
+      val e0 = t(s, d, "orders").select(
+        (col("o_orderkey") % 300).as("x"), (col("o_custkey") % 300).as("y"))
+      val und = e0.where(col("x") =!= col("y"))
+        .select(least(col("x"), col("y")).as("a"),
+          greatest(col("x"), col("y")).as("b")).distinct()
+        .localCheckpoint(true) // feeds sym + the degree agg
+      val sym = mirror(und.select(col("a").as("src"), col("b").as("dst")))
+      val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      val ends = sym
+        .join(broadcast(deg).as("dx"), col("src") === col("dx.v"))
+        .join(broadcast(deg).as("dy"), col("dst") === col("dy.v"))
+        .select(col("dx.deg").as("x"), col("dy.deg").as("y"))
+      val g = ends.agg(count(lit(1)).as("m"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sx2"), sum(col("y") * col("y")).as("sy2"))
+      val num = col("m") * col("sxy") - col("sx") * col("sy")
+      val dx = (col("m") * col("sx2") - col("sx") * col("sx")).cast("double")
+      val dy = (col("m") * col("sy2") - col("sy") * col("sy")).cast("double")
+      g.select(col("m").cast("long").as("m"), num.cast("long").as("num"),
+        round(num.cast("double") * num.cast("double") / (dx * dy), 6).as("r2"),
+        signum(num.cast("double")).cast("int").as("sign_num"))
+    }),
     "q_graph_sssp" -> ((s, d) => {
       // weighted SSSP over the heap tree, weight = (src+dst) % 5 + 1
       val e = treeEdges(s, d)
@@ -685,6 +732,10 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT vertex, 0 AS level FROM (VALUES (0::BIGINT), (24::BIGINT)) s(vertex) UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_closeness" ->
       s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, sum(level)::BIGINT AS sum_dist, count(*)::BIGINT AS n_reach FROM lv GROUP BY root ORDER BY vertex""",
+    "q_graph_harmonic" ->
+      s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, sum(2520 // level)::BIGINT AS h2520, count(*)::BIGINT AS n_reach FROM lv WHERE level > 0 GROUP BY root ORDER BY vertex""",
+    "q_graph_assortativity" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT src AS v, count(*)::BIGINT AS deg FROM sym GROUP BY src), ends AS (SELECT dx.deg AS x, dy.deg AS y FROM sym JOIN deg dx ON sym.src = dx.v JOIN deg dy ON sym.dst = dy.v), g AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2 FROM ends) SELECT m, (m * sxy - sx * sy)::BIGINT AS num, round((m * sxy - sx * sy)::DOUBLE * (m * sxy - sx * sy)::DOUBLE / ((m * sx2 - sx * sx)::DOUBLE * (m * sy2 - sy * sy)::DOUBLE), 6) AS r2, sign((m * sxy - sx * sy)::DOUBLE)::INT AS sign_num FROM g""",
     "q_graph_sssp" ->
       s"""WITH RECURSIVE $treeEdgeSql, we AS (SELECT src, dst, (src + dst) % 5 + 1 AS w FROM e), r AS (SELECT 0::BIGINT AS vertex, 0::BIGINT AS dist UNION SELECT we.dst, r.dist + we.w FROM r JOIN we ON we.src = r.vertex WHERE r.dist < 100) SELECT vertex, min(dist)::BIGINT AS dist FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_degree" ->
