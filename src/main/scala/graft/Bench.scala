@@ -100,7 +100,10 @@ object Bench {
     // tree (barrier-latency-bound, not data-bound — same reason).
     // q_sink_matrixv2 and q_stream_source_synth stay gate-only:
     // commit/trigger IO, not data throughput.
-    "q_graph_assortativity")
+    "q_graph_assortativity",
+    // wave-22: exact MAD (two engineered-parity median passes), LATERAL
+    // decorrelated top-k, KMV sketch + union, bigram Laplace LM
+    "q_agg_mad", "q_join_lateral", "q_sketch_kmv", "q_text_lmscore2")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -772,6 +772,69 @@ object PipelineQueries {
         .where(col("dist") >= 0)
         .orderBy("a", "b")
     }),
+    "q_sketch_kmv" -> ((s, d) => {
+      // KMV (k-minimum-values) distinct sketch — the OTHER classic
+      // estimator family next to HLL (Bar-Yossef et al. 2002): keep
+      // the k smallest normalized hashes; est = (k-1)/θ where θ is the
+      // k-th smallest. Deterministic md5 hashes (exact 48-bit-integer
+      // / 2^48 doubles) make θ — and so the ESTIMATE — bit-identical
+      // in the DuckDB twin. Groups holding < k distinct keys report
+      // exactly (the sketch degenerates to the full set — the standard
+      // small-cardinality exactness). The '_all' row re-ranks the
+      // union of per-type key sets: a KMV union is just "k smallest of
+      // the merged candidate sets", the mergeability HLL gets from
+      // register max. State: k hashes per group, however many rows
+      // stream through.
+      val K = 32
+      val e = Tables.events(s, d).select(col("event_type"),
+          col("user_id").cast("string").as("k0")).distinct()
+        .localCheckpoint(true) // feeds per-type rows AND the _all union
+      val grps = e.unionByName(
+        e.select(lit("_all").as("event_type"), col("k0")).distinct())
+      val u = (conv(substring(md5(concat(lit("kmv|"), col("k0"))), 1, 12), 16, 10)
+        .cast("double") / lit(281474976710656.0)).as("u")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+      val ranked = grps.select(col("event_type"), u)
+        .withColumn("rn", row_number().over(w.orderBy("u")))
+        .withColumn("n", count(lit(1)).over(w))
+      ranked.groupBy("event_type")
+        .agg(max(col("n")).cast("long").as("n_exact"),
+          max(when(col("rn") === K, col("u"))).as("theta"))
+        .select(col("event_type").as("grp"), col("n_exact"),
+          round(when(col("n_exact") < K, col("n_exact").cast("double"))
+            .otherwise(lit(K - 1).cast("double") / col("theta")), 4).as("kmv_est"))
+        .orderBy("grp")
+    }),
+    "q_text_lmscore2" -> ((s, d) => {
+      // bigram LM scoring with Laplace smoothing — the sharper
+      // perplexity proxy over q_text_lmscore's unigram model:
+      // P(w|prev) = (c(prev w) + 1) / (c(prev ·) + V), history counts
+      // from the bigram table itself, V = corpus vocabulary size
+      // (broadcast scalar). Bigrams come from the word_ngrams
+      // Generator; the corpus model is two hash aggs; scoring is two
+      // hash joins keyed by gram/history. Per-position NLL rounds then
+      // decimal-sums (the accumulation-order-independence pattern).
+      graft.functions.expressions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+      // pin: the bigram subtree feeds the model build (2 aggs) AND the
+      // probe side
+      val bi = docs.select(col("doc_id"), expr("word_ngrams(text, 2)"))
+        .select(col("doc_id"), col("gram"),
+          element_at(split(col("gram"), " "), 1).as("prev"))
+        .localCheckpoint(true)
+      val bcnt = bi.groupBy("gram").agg(count(lit(1)).as("cb"))
+      val hist = bi.groupBy("prev").agg(count(lit(1)).as("ch"))
+      val vocab = docs.select(explode(tokens(col("text"))).as("tok"))
+        .agg(countDistinct(col("tok")).cast("double").as("v"))
+      bi.join(bcnt, "gram").join(hist, "prev").crossJoin(broadcast(vocab))
+        .select(col("doc_id"), round(-log((col("cb") + 1).cast("double") /
+          (col("ch").cast("double") + col("v"))), 6).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(sum(col("nll").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 4).as("bi_nll"))
+        .orderBy("doc_id")
+    }),
     "q_sketch_hll_merge" -> ((s, d) => {
       // HLL MERGEABILITY in-gate: per-event-type register sets are
       // max-merged into a corpus-wide register set, and the union
@@ -1423,6 +1486,14 @@ object PipelineQueries {
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(list_transform(gs, x -> md5(x))) AS h FROM sh), wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g), sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - 4), ag AS (SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM sel GROUP BY doc_id) SELECT d.doc_id, coalesce(ag.n_fp, 0)::BIGINT AS n_fp, ag.min_fp, ag.max_fp FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id ORDER BY d.doc_id""",
     "q_er_match" ->
       """SELECT x.c_custkey AS a, y.c_custkey AS b, levenshtein(x.c_name, y.c_name)::INT AS dist FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment AND x.c_custkey < y.c_custkey WHERE levenshtein(x.c_name, y.c_name) <= 2 ORDER BY a, b""",
+    // distinct keys per group (plus the _all union), exact 48-bit
+    // normalized hashes, k-th smallest via the same rank window
+    "q_sketch_kmv" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id::VARCHAR AS k0 FROM events), g AS (SELECT event_type, k0 FROM e UNION ALL SELECT DISTINCT '_all', k0 FROM e), r AS (SELECT event_type, ('0x' || substr(md5('kmv|' || k0), 1, 12))::BIGINT / 281474976710656.0 AS u FROM g), rk AS (SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM r) SELECT event_type AS grp, max(n)::BIGINT AS n_exact, round(CASE WHEN max(n) < 32 THEN max(n)::DOUBLE ELSE 31.0 / max(CASE WHEN rn = 32 THEN u END) END, 4) AS kmv_est FROM rk GROUP BY event_type ORDER BY grp""",
+    // bigram rows with their history tokens; V from the shared
+    // tokenizer; same Laplace expression and decimal-sum mean
+    "q_text_lmscore2" ->
+      s"""WITH $toksSql, bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS gram FROM toks), br AS (SELECT doc_id, gram, string_split(gram, ' ')[1] AS prev FROM bg), bcnt AS (SELECT gram, count(*) AS cb FROM br GROUP BY gram), hist AS (SELECT prev, count(*) AS ch FROM br GROUP BY prev), voc AS (SELECT count(DISTINCT tok)::DOUBLE AS v FROM (SELECT unnest(tk) AS tok FROM toks)), sc AS (SELECT br.doc_id, round(-ln((bcnt.cb + 1)::DOUBLE / (hist.ch::DOUBLE + voc.v)), 6) AS nll FROM br JOIN bcnt USING (gram) JOIN hist USING (prev) CROSS JOIN voc) SELECT doc_id, count(*)::BIGINT AS n_bigrams, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS bi_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
     // per-type registers, then the merged set as max-over-types per
     // index — the same registers a direct over-all-rows build yields
     "q_sketch_hll_merge" ->

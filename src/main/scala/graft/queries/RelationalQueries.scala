@@ -1715,6 +1715,59 @@ object RelationalQueries {
           .orderBy("version")
       }
     }),
+    "q_agg_mad" -> ((s, d) => {
+      // robust statistics: exact median + median-absolute-deviation
+      // per group, both via the q_agg_percentile ENGINEERED-parity
+      // formula (rank-addressed lo/hi + the same IEEE interpolation
+      // expression both engines) — MAD is the outlier-scale measure
+      // the 2-sigma anomaly query can't give on heavy-tailed data.
+      // Two rank windows (one per pass) + a broadcast stats join; no
+      // per-group array collection anywhere.
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      def medianOf(df: DataFrame, valCol: String, out: String) = {
+        val w = Window.partitionBy("event_type")
+        val pos = (col("n") - 1).cast("double") * 0.5
+        df.withColumn("rn", row_number().over(w.orderBy(valCol)))
+          .withColumn("n", count(lit(1)).over(w))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"),
+            max(when(col("rn") === floor(pos) + 1, col(valCol))).as("lo"),
+            max(when(col("rn") === ceil(pos) + 1, col(valCol))).as("hi"))
+          .select(col("event_type"), col("n"),
+            (col("lo") + (((col("n") - 1).cast("double") * 0.5) -
+              floor((col("n") - 1).cast("double") * 0.5)) *
+              (col("hi") - col("lo"))).as(out))
+      }
+      val med = medianOf(e, "value", "med")
+      val dev = e.join(broadcast(med.select(col("event_type"), col("med"))),
+          "event_type")
+        .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
+      val mad = medianOf(dev, "dev", "mad")
+      med.join(mad.select(col("event_type"), col("mad")), "event_type")
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"))
+        .orderBy("event_type")
+    }),
+    "q_join_lateral" -> ((s, d) => {
+      // LATERAL correlated subquery (SQL:2016 / Spark 3.4 lateral
+      // join): top-3 orders PER customer written the declarative way —
+      // the correlated ORDER BY ... LIMIT decorrelates into the same
+      // per-key rank machinery the window form uses, proving the SQL
+      // surface without a hand-rolled row_number. Sampled key space
+      // bounds the output.
+      t(s, d, "customer").createOrReplaceTempView("customer_lat")
+      t(s, d, "orders").createOrReplaceTempView("orders_lat")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer_lat c
+        JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey % 100 = 0
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
     "q_stream_source_synth" -> ((s, _) => {
       // the custom MicroBatchStream source executed AS A STREAM in the
       // gate: admission control paces 5000 rows into 5 micro-batches
@@ -2611,6 +2664,12 @@ object RelationalQueries {
     // closed-form per-version fingerprints from the same source rows
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
+    // same rank-addressed lo/hi + identical interpolation expression
+    // in both passes (median, then median of absolute deviations)
+    "q_agg_mad" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), b1 AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), m1 AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN value END) AS lo, max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN value END) AS hi FROM b1 GROUP BY event_type), med AS (SELECT event_type, n, lo + (((n - 1)::DOUBLE * 0.5) - floor((n - 1)::DOUBLE * 0.5)) * (hi - lo) AS med FROM m1), d2 AS (SELECT e.event_type, abs(e.value - med.med) AS dev FROM e JOIN med ON e.event_type = med.event_type), b2 AS (SELECT event_type, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM d2), m2 AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN dev END) AS lo, max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN dev END) AS hi FROM b2 GROUP BY event_type), mad AS (SELECT event_type, lo + (((n - 1)::DOUBLE * 0.5) - floor((n - 1)::DOUBLE * 0.5)) * (hi - lo) AS mad FROM m2) SELECT med.event_type, med.n::BIGINT AS n, round(med.med, 4) AS med, round(mad.mad, 4) AS mad FROM med JOIN mad ON med.event_type = mad.event_type ORDER BY med.event_type""",
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice FROM customer c, LATERAL (SELECT o_orderkey, o_totalprice FROM orders o WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t WHERE c.c_custkey % 100 = 0 ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""",
     // closed-form rebuild of the synthetic generator: same md5 hex
     // slices, same modulus derivations, over range(5000)
     "q_stream_source_synth" ->

@@ -28,6 +28,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_graph_clustcoef", "q_graph_triangles",        // 25-row nation non-equi generator / scalar terms
     "q_graph_squares",                               // broadcast 1-row total_squares scalar
     "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold
+    "q_text_lmscore2",                               // broadcast vocab-size scalar
     "q_subquery", "q_tpch_q22",                      // scalar subqueries
     // the derived-partsupp five: the derivation itself crossJoins ONE
     // broadcast scalar (the supplier count) into the part projection —
