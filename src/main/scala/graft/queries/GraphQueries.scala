@@ -355,6 +355,33 @@ object GraphQueries {
              count(lit(1)).cast("long").as("n_reach"))
         .orderBy("vertex")
     }),
+    "q_sql_recursive" -> ((s, d) => {
+      // Spark 4's WITH RECURSIVE executed IN-ENGINE (SPARK-24497):
+      // BFS reachability over the mirrored heap tree written as the
+      // same recursive SQL the DuckDB oracles have used all along —
+      // the declarative traversal surface next to the operator-level
+      // Traversals.bfs. The level bound caps recursion depth (the
+      // tree's diameter is 8); UNION ALL + min(level) is the standard
+      // acyclic-reachability shape.
+      t(s, d, "nation").createOrReplaceTempView("nation_rec")
+      s.sql("""
+        WITH RECURSIVE r(vertex, level) AS (
+          SELECT CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, r.level + 1
+          FROM r JOIN (
+            SELECT CAST(n_nationkey AS BIGINT) AS src,
+                   CAST(FLOOR(n_nationkey / 2) AS BIGINT) AS dst
+            FROM nation_rec WHERE n_nationkey > 0
+            UNION ALL
+            SELECT CAST(FLOOR(n_nationkey / 2) AS BIGINT),
+                   CAST(n_nationkey AS BIGINT)
+            FROM nation_rec WHERE n_nationkey > 0) e
+          ON e.src = r.vertex
+          WHERE r.level < 10)
+        SELECT vertex, CAST(min(level) AS INT) AS level
+        FROM r GROUP BY vertex ORDER BY vertex""")
+    }),
     "q_graph_harmonic" -> ((s, d) => {
       // harmonic centrality off the same all-roots distance table as
       // closeness — the centrality that stays defined on disconnected
@@ -732,6 +759,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT vertex, 0 AS level FROM (VALUES (0::BIGINT), (24::BIGINT)) s(vertex) UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_closeness" ->
       s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, sum(level)::BIGINT AS sum_dist, count(*)::BIGINT AS n_reach FROM lv GROUP BY root ORDER BY vertex""",
+    "q_sql_recursive" ->
+      s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT 0::BIGINT AS vertex, 0 AS level UNION ALL SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 10) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_harmonic" ->
       s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, sum(2520 // level)::BIGINT AS h2520, count(*)::BIGINT AS n_reach FROM lv WHERE level > 0 GROUP BY root ORDER BY vertex""",
     "q_graph_assortativity" ->

@@ -1715,6 +1715,45 @@ object RelationalQueries {
           .orderBy("version")
       }
     }),
+    "q_observe" -> ((s, d) => {
+      // the `Dataset.observe` / CollectMetrics observability API
+      // in-gate: production pipelines attach named metric aggregates
+      // to a flowing query (row counts, checksums, freshness) and read
+      // them from the listener/Observation without a second scan —
+      // this query proves the plumbing end to end by returning the
+      // OBSERVED values themselves, which must equal the oracle's
+      // direct aggregation. The decimal sum keeps the money metric
+      // accumulation-order independent.
+      val obs = org.apache.spark.sql.Observation()
+      val df = t(s, d, "orders").observe(obs,
+        count(lit(1)).as("n_rows"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_price"),
+        max(col("o_orderkey")).as("max_key"))
+      df.count() // flow the data; metrics land in the Observation
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long], m("total_price").asInstanceOf[Double],
+        m("max_key").asInstanceOf[Long]))
+        .toDF("n_rows", "total_price", "max_key")
+    }),
+    "q_scalar_try" -> ((s, d) => {
+      // ANSI-safe error handling surface: try_divide / try_cast /
+      // try_element_at return NULL where the strict forms would raise
+      // (divide-by-zero, malformed cast, out-of-bounds index) — the
+      // functions a 100 TB pipeline uses so one malformed row cannot
+      // kill a stage. Oracle via the NULLIF/CASE equivalents.
+      t(s, d, "orders").where(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          round(expr("try_divide(o_totalprice, o_custkey % 3)"), 4).as("td"),
+          expr("try_cast(o_orderpriority AS INT)").as("tc"),
+          // +1 keeps the index in 1..4: index 0 is INVALID even for the
+          // try_ form (Spark raises INVALID_INDEX_OF_ZERO); 3 and 4
+          // are out of bounds -> NULL, which is what try_ suppresses
+          expr("try_element_at(array(o_custkey, o_custkey + 1), " +
+            "CAST(o_custkey % 4 AS INT) + 1)").as("te"))
+        .orderBy("o_orderkey")
+    }),
     "q_agg_mad" -> ((s, d) => {
       // robust statistics: exact median + median-absolute-deviation
       // per group, both via the q_agg_percentile ENGINEERED-parity
@@ -2664,6 +2703,12 @@ object RelationalQueries {
     // closed-form per-version fingerprints from the same source rows
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
+    "q_observe" ->
+      """SELECT count(*)::BIGINT AS n_rows, round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price, max(o_orderkey)::BIGINT AS max_key FROM orders""",
+    // try_element_at is 1-based and NULL out of bounds; the engine
+    // probes indices 1..4 over a 2-element array — the CASE mirrors it
+    "q_scalar_try" ->
+      """SELECT o_orderkey, round(o_totalprice / nullif(o_custkey % 3, 0), 4) AS td, TRY_CAST(o_orderpriority AS INT) AS tc, CASE WHEN o_custkey % 4 = 0 THEN o_custkey WHEN o_custkey % 4 = 1 THEN o_custkey + 1 ELSE NULL END AS te FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""",
     // same rank-addressed lo/hi + identical interpolation expression
     // in both passes (median, then median of absolute deviations)
     "q_agg_mad" ->
