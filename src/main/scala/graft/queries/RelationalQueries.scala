@@ -855,6 +855,9 @@ object RelationalQueries {
       // same query shape). The wide one-row result unpivots to one row
       // per column entirely driver-free. String min/max are reported
       // NULL (cross-engine collation is not part of the contract).
+      // DELIBERATE sibling of q_profile, which takes the opposite
+      // trade (one pruned scan PER column, no Expand) — the two
+      // formulations bracket the profiling cost model.
       val o = t(s, d, "orders")
       def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
       val wide = o.agg(
