@@ -103,7 +103,9 @@ object Bench {
     "q_graph_assortativity",
     // wave-22: exact MAD (two engineered-parity median passes), LATERAL
     // decorrelated top-k, KMV sketch + union, bigram Laplace LM
-    "q_agg_mad", "q_join_lateral", "q_sketch_kmv", "q_text_lmscore2")
+    "q_agg_mad", "q_join_lateral", "q_sketch_kmv", "q_text_lmscore2",
+    // wave-23: WebDataset-style payload shard packing
+    "q_multimodal_shard")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -364,6 +364,37 @@ object PipelineQueries {
           min(col("doc_id")).as("first_doc"))
         .orderBy("lang", "bin")
     }),
+    "q_multimodal_shard" -> ((s, d) => {
+      // WebDataset-style shard packing: contiguous-by-id assignment of
+      // binary payloads into ~64 KB shards per source — the training-IO
+      // layout step (tar-shard writers consume exactly this
+      // assignment). Same TWO-PHASE prefix scan as q_text_pack (local
+      // cumsum within 1024-doc blocks, per-block offsets broadcast
+      // back) but over payload BYTES: no per-source global window ever
+      // sorts the corpus on one task. Shards overflow by at most one
+      // payload (the pack contract).
+      import org.apache.spark.sql.expressions.Window
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          length(col("text").cast("binary")).cast("long").as("nb"))
+        .withColumn("blk", floor(col("doc_id") / 1024))
+      val wLocal = Window.partitionBy(col("source"), col("blk")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wBlk = Window.partitionBy(col("source")).orderBy(col("blk"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = base.groupBy(col("source"), col("blk"))
+        .agg(sum(col("nb")).as("btot"))
+        .withColumn("off", coalesce(sum(col("btot")).over(wBlk), lit(0)))
+        .select(col("source"), col("blk"), col("off"))
+      base
+        .withColumn("lcum", coalesce(sum(col("nb")).over(wLocal), lit(0)))
+        .join(broadcast(offsets), Seq("source", "blk"))
+        .withColumn("shard", floor((col("lcum") + col("off")) / 65536))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("nb")).cast("long").as("bytes"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "shard")
+    }),
     "q_dedup_pipeline" -> ((s, d) => {
       // end-to-end dedup: drop exact-dup losers, then near-dup (MinHash
       // est >= 0.5) right-hand docs; emit corpus accounting
@@ -1451,6 +1482,10 @@ object PipelineQueries {
       s"""WITH $toksSql, tr0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM toks), tr AS (SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok FROM tr0), ch AS (SELECT doc_id, pos // 50 AS chunk, count(*) AS n_toks, substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS h FROM tr GROUP BY 1, 2) SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(n_toks)::BIGINT AS n_toks, max(CASE WHEN chunk = 0 THEN h END) AS h0 FROM ch GROUP BY doc_id ORDER BY doc_id""",
     "q_text_pack" ->
       s"""WITH $toksSql, tc AS (SELECT d.doc_id, d.lang, len(t.tk)::BIGINT AS tc FROM documents d JOIN toks t ON d.doc_id = t.doc_id), c AS (SELECT doc_id, lang, tc, coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM tc) SELECT lang, (cum // 512)::BIGINT AS bin, count(*)::BIGINT AS n_docs, sum(tc)::BIGINT AS n_toks, min(doc_id)::BIGINT AS first_doc FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
+    // one exclusive prefix sum of payload bytes per source; payload =
+    // utf-8 text bytes (octet_length, matching Spark's binary cast)
+    "q_multimodal_shard" ->
+      """WITH b AS (SELECT doc_id, source, octet_length(encode(text))::BIGINT AS nb FROM documents), c AS (SELECT doc_id, source, nb, coalesce(sum(nb) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM b) SELECT source, (cum // 65536)::BIGINT AS shard, count(*)::BIGINT AS n_docs, sum(nb)::BIGINT AS bytes, min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc FROM c GROUP BY 1, 2 ORDER BY source, shard""",
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $minhashEstSql, p2 AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.5), e AS (SELECT doc_a AS src, doc_b AS dst FROM p2 UNION ALL SELECT doc_b, doc_a FROM p2), r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_doc FROM cmp GROUP BY component ORDER BY component""",
     "q_sample_split" ->
