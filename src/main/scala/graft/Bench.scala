@@ -104,8 +104,10 @@ object Bench {
     // wave-22: exact MAD (two engineered-parity median passes), LATERAL
     // decorrelated top-k, KMV sketch + union, bigram Laplace LM
     "q_agg_mad", "q_join_lateral", "q_sketch_kmv", "q_text_lmscore2",
-    // wave-23: WebDataset-style payload shard packing
-    "q_multimodal_shard")
+    // wave-23: WebDataset-style payload shard packing; the extended
+    // capstone (dedup -> quality -> boilerplate -> decontaminate ->
+    // token budget -> shard layout, one composed query)
+    "q_multimodal_shard", "q_pipeline_curation2")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -657,6 +657,52 @@ object PipelineQueries {
             / count(lit(1)), 4).as("mean_score"))
         .orderBy("lang")
     }),
+    "q_pipeline_curation2" -> ((s, d) => {
+      // the EXTENDED capstone: curation v1's chain (exact dedup ->
+      // quality gate -> decontamination) with the three late-r11
+      // stages spliced in — corpus-frequency BOILERPLATE gate
+      // (flagged docs dropped), per-language exact TOKEN BUDGET
+      // (exclusive prefix sum, q_sample_budget semantics), and
+      // WebDataset SHARD assignment over the admitted payload bytes
+      // (q_multimodal_shard semantics) — so the whole training-data
+      // path from raw corpus to shard layout is ONE composed, oracle-
+      // checked query. Every stage reuses the exact logic its
+      // standalone entry verifies; the per-lang windows run on the
+      // survivor set, orders of magnitude below the corpus.
+      val docs = t(s, d, "documents")
+      val keeper = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val qual = docs.join(keeper.select("doc_id"), "doc_id")
+        .withColumn("score", graft.functions.TextFunctions.qualityScore(col("text")))
+        .where(col("score") >= 0.5)
+      val okBoiler = Dedup.boilerplateProfile(docs, shingleN = 3, minDocs = 3)
+        .where(col("flagged") === 0).select("doc_id")
+      val qual2 = qual.join(okBoiler, "doc_id")
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val evalG = broadcast(
+        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
+      val contaminated = Dedup.shingleRows(qual2.where(!isEval), 3).distinct()
+        .join(evalG, "g").select("doc_id").distinct()
+      val clean = qual2.where(!isEval)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      import org.apache.spark.sql.expressions.Window
+      val wPrev = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val adm = clean
+        .withColumn("tc", graft.functions.TextFunctions.tokenCount(col("text"))
+          .cast("long"))
+        .withColumn("nb", length(col("text").cast("binary")).cast("long"))
+        .withColumn("before", coalesce(sum(col("tc")).over(wPrev), lit(0L)))
+        .where(col("before") < 5000)
+      adm.withColumn("cb", coalesce(sum(col("nb")).over(wPrev), lit(0L)))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum(col("tc")).cast("long").as("n_toks"),
+          countDistinct(floor(col("cb") / 16384)).as("n_shards"),
+          min(col("doc_id")).as("first_doc"),
+          round(sum(col("score").cast("decimal(38,18)")).cast("double")
+            / count(lit(1)), 4).as("mean_score"))
+        .orderBy("lang")
+    }),
     "q_text_lmscore" -> ((s, d) => {
       // unigram-LM scoring (the CCNet-style perplexity-proxy quality
       // filter): train token frequencies on the corpus itself, score
@@ -1541,6 +1587,11 @@ object PipelineQueries {
       s"""WITH $toksSql, tokr AS (SELECT unnest(tk) AS tok FROM toks), rc AS (SELECT tok, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256)::INT AS c FROM tokr CROSS JOIN (SELECT unnest(range(3)) AS r) rr), cells AS (SELECT r, c, count(*)::BIGINT AS cell_cnt FROM rc GROUP BY r, c), exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tokr GROUP BY tok), top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10), probe AS (SELECT t.tok, t.exact_cnt, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || t.tok), 1, 8))::BIGINT % 256)::INT AS c FROM top t CROSS JOIN (SELECT unnest(range(3)) AS r) rr) SELECT p.tok, p.exact_cnt, min(cl.cell_cnt)::BIGINT AS est_cnt FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok""",
     "q_pipeline_curation" ->
       s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT doc_id, lang, score FROM q WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0' AND doc_id NOT IN (SELECT doc_id FROM cont)), r AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM cl) SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""",
+    // v1's chain + the boilerplate gate (occurrence-rows df like the
+    // q_text_boilerplate oracle), then the budget/shard windows over
+    // the survivor set only
+    "q_pipeline_curation2" ->
+      s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, d.text, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), bg AS (SELECT doc_id, md5(unnest(gs)) AS h FROM sh), dfq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM bg GROUP BY h), bst AS (SELECT bg.doc_id, count(*) AS n_sh, sum(CASE WHEN dfq.nd >= 3 THEN 1 ELSE 0 END) AS n_boiler FROM bg JOIN dfq ON bg.h = dfq.h GROUP BY bg.doc_id), okb AS (SELECT d.doc_id FROM documents d LEFT JOIN bst ON d.doc_id = bst.doc_id WHERE CASE WHEN round(coalesce(bst.n_boiler / bst.n_sh, 0.0), 4) > 0.5 THEN 1 ELSE 0 END = 0), q2 AS (SELECT q.* FROM q JOIN okb USING (doc_id)), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) JOIN q2 ON q2.doc_id = s.doc_id WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT q2.doc_id, q2.lang, q2.text, q2.score FROM q2 WHERE substr(md5(q2.doc_id::VARCHAR), 1, 1) <> '0' AND q2.doc_id NOT IN (SELECT doc_id FROM cont)), wtc AS (SELECT cl.doc_id, cl.lang, cl.score, len(t.tk)::BIGINT AS tc, octet_length(encode(cl.text))::BIGINT AS nb FROM cl JOIN toks t ON cl.doc_id = t.doc_id), bud AS (SELECT *, coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM wtc), adm AS (SELECT * FROM bud WHERE before < 5000), shd AS (SELECT *, coalesce(sum(nb) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM adm) SELECT lang, count(*)::BIGINT AS n_kept, sum(tc)::BIGINT AS n_toks, count(DISTINCT cb // 16384)::BIGINT AS n_shards, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM shd GROUP BY lang ORDER BY lang""",
     "q_mix_temperature" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, n_docs / (SELECT sum(n_docs)::DOUBLE FROM g) AS p FROM g), q AS (SELECT lang, n_docs, p, round(pow(p, 0.7), 6)::DECIMAL(18,6) AS q0 FROM t) SELECT lang, n_docs, round(p, 4) AS p, round(q0::DOUBLE / (SELECT sum(q0) FROM q)::DOUBLE, 4) AS rate FROM q ORDER BY lang""",
     "q_mix_weights" ->
