@@ -96,7 +96,7 @@ private[sources] class SynthEventsScan(total: Long, perBatch: Long, parts: Int)
     new SynthEventsStream(total, perBatch, parts)
 }
 
-private[sources] case class SynthOffset(n: Long) extends Offset {
+private[graft] case class SynthOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
@@ -105,7 +105,7 @@ private[sources] case class SynthRange(start: Long, end: Long) extends InputPart
 /** Offsets are cumulative row counts; admission control caps each
   * batch at `perBatch` rows, so `processAllAvailable` on a 5000-row /
   * 1000-per-batch source executes exactly 5 micro-batches. */
-private[sources] class SynthEventsStream(total: Long, perBatch: Long, parts: Int)
+private[graft] class SynthEventsStream(total: Long, perBatch: Long, parts: Int)
     extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = SynthOffset(0L)
   override def latestOffset(): Offset =

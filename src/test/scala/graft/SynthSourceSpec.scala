@@ -44,6 +44,17 @@ class SynthSourceSpec extends SparkSpec {
     assert(fed.forall(_.numInputRows == 500L))
   }
 
+  test("offsets roundtrip through json (checkpoint restart contract)") {
+    val stream = new graft.sources.SynthEventsStream(100L, 10L, 2)
+    val o = stream.latestOffset(stream.initialOffset(), stream.getDefaultReadLimit)
+    assert(stream.deserializeOffset(o.json()).json() === o.json())
+    // admission control advances by rowsPerBatch and clamps at total
+    assert(o.json() === "10")
+    val end = stream.latestOffset(stream.deserializeOffset("95"),
+      stream.getDefaultReadLimit)
+    assert(end.json() === "100")
+  }
+
   test("partitions option splits each batch's range") {
     val got = spark.read.format("graft-synth-events")
       .option("totalRows", 100L).option("partitions", 8).load()
