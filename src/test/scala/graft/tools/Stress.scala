@@ -566,6 +566,43 @@ object Stress {
           o10b.select((col("o_orderkey") % 3000).as("src"),
             (col("o_custkey") % 3000).as("dst")), k = 4, rounds = 2).count()
       }
+      // modulus-bounded families: 10x data on the SAME modulus
+      // saturates the derived graph, so wedge work is bounded by the
+      // modulus and extra data only adds scan+distinct cost — the
+      // probes demonstrate the bound (x10 ≈ x1 + one bigger scan)
+      time("linkpred_x10_same_modulus", n10 / 4) {
+        val e0 = o10b.select((col("o_orderkey") % 300).as("x"),
+          (col("o_custkey") % 300).as("y"))
+        val und = e0.where(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")).distinct()
+          .localCheckpoint(true)
+        val sym = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b"), col("a")))
+        sym.as("p").join(sym.as("q"),
+            col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+          .groupBy(col("p.dst"), col("q.dst")).agg(count(lit(1)))
+          .join(und, col("p.dst") === col("a") && col("q.dst") === col("b"),
+            "left_anti").count()
+      }
+      // KMV sketch at 10x events: state is k hashes per group however
+      // many rows stream through — the probe verifies the distinct
+      // stage bounds the rank window's input at key cardinality
+      time("kmv_x10_distinct_bound", 1000000L) {
+        val ev10 = (0 until 10).map(i =>
+          spark.read.parquet(s"$d/events.parquet")
+            .withColumn("user_id", col("user_id") + lit(i.toLong * 1000000L)))
+          .reduce(_ union _)
+        import org.apache.spark.sql.expressions.Window
+        val dst = ev10.select(col("event_type"), col("user_id").cast("string").as("k0"))
+          .distinct()
+        val u = (conv(substring(md5(concat(lit("kmv|"), col("k0"))), 1, 12), 16, 10)
+          .cast("double") / lit(281474976710656.0)).as("u")
+        val w = Window.partitionBy("event_type")
+        dst.select(col("event_type"), u)
+          .withColumn("rn", row_number().over(w.orderBy("u")))
+          .where(col("rn") <= 32).count()
+      }
     }
     spark.stop()
   }
