@@ -1718,6 +1718,65 @@ object RelationalQueries {
           .orderBy("version")
       }
     }),
+    "q_events_rfm" -> ((s, d) => {
+      // RFM segmentation (recency / frequency / monetary — the classic
+      // customer-scoring rollup): one agg per customer, three ntile(4)
+      // windows with id tiebreaks so quartile membership is total-
+      // ordered, segment = the concatenated score. The windows run
+      // over the ~|customers| aggregate, not the orders table; the
+      // sample filter applies AFTER scoring so quartiles are
+      // population-global (the correct RFM semantics). At 100 TB the
+      // global ntile becomes approx-percentile CUT-POINTS broadcast
+      // back (same scores, no single-task sort) — the exact window
+      // here is what makes the oracle bit-exact.
+      val o = t(s, d, "orders")
+      val refDate = o.agg(max(col("o_orderdate")).as("ref"))
+      val per = o.groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double")
+            .as("monetary"))
+        .crossJoin(broadcast(refDate))
+        .withColumn("recency_days", datediff(col("ref"), col("last_order")))
+      def nt(order: org.apache.spark.sql.Column*) = ntile(4).over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+      per
+        .withColumn("r_score", nt(col("recency_days"), col("o_custkey")))
+        .withColumn("f_score", nt(col("frequency").desc, col("o_custkey")))
+        .withColumn("m_score", nt(col("monetary").desc, col("o_custkey")))
+        .where(col("o_custkey") % 50 === 0)
+        .select(col("o_custkey").as("custkey"), col("recency_days"),
+          col("frequency"), col("monetary"),
+          concat(col("r_score"), col("f_score"), col("m_score")).as("segment"))
+        .orderBy("custkey")
+    }),
+    "q_events_window_funnel" -> ((s, d) => {
+      // windowFunnel (the ClickHouse-popularised funnel): deepest
+      // view -> click -> purchase chain per user where every step lands
+      // within 1 hour of ITS OWN anchor view — not the first-touch-only
+      // chain q_events_funnel measures (an anchor view with no click
+      // must not block a later complete chain). Exact anchor search:
+      // per-user equi-joins with time residuals, work bounded by each
+      // user's per-step event counts; one summary row.
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+      val hourUs = 3600L * 1000000L
+      def step(t: String) = e.where(col("event_type") === t)
+        .select(col("user_id"), col("tus"))
+      val v = step("view").select(col("user_id"), col("tus").as("vt"))
+      val c = step("click").select(col("user_id"), col("tus").as("ct"))
+      val p = step("purchase").select(col("user_id"), col("tus").as("pt"))
+      val l1 = v.select("user_id").distinct()
+      val vc = v.join(c, Seq("user_id"))
+        .where(col("ct") > col("vt") && col("ct") <= col("vt") + hourUs)
+      val l2 = vc.select("user_id").distinct()
+      val l3 = vc.join(p, Seq("user_id"))
+        .where(col("pt") > col("ct") && col("pt") <= col("vt") + hourUs)
+        .select("user_id").distinct()
+      l1.agg(count(lit(1)).as("n_level1"))
+        .crossJoin(l2.agg(count(lit(1)).as("n_level2")))
+        .crossJoin(l3.agg(count(lit(1)).as("n_level3")))
+    }),
     "q_observe" -> ((s, d) => {
       // the `Dataset.observe` / CollectMetrics observability API
       // in-gate: production pipelines attach named metric aggregates
@@ -2706,6 +2765,11 @@ object RelationalQueries {
     // closed-form per-version fingerprints from the same source rows
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
+    // ntile quartiles with the same id tiebreaks; sample AFTER scoring
+    "q_events_rfm" ->
+      """WITH ref AS (SELECT max(o_orderdate) AS ref FROM orders), per AS (SELECT o_custkey, max(o_orderdate) AS last_order, count(*)::BIGINT AS frequency, round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS monetary FROM orders GROUP BY o_custkey), rec AS (SELECT per.*, date_diff('day', last_order::DATE, ref::DATE)::INT AS recency_days FROM per, ref), sc AS (SELECT *, ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score, ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score, ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score FROM rec) SELECT o_custkey AS custkey, recency_days, frequency, monetary, r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment FROM sc WHERE o_custkey % 50 = 0 ORDER BY custkey""",
+    "q_events_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts)::BIGINT AS tus FROM events), v AS (SELECT user_id, tus AS vt FROM e WHERE event_type = 'view'), c AS (SELECT user_id, tus AS ct FROM e WHERE event_type = 'click'), p AS (SELECT user_id, tus AS pt FROM e WHERE event_type = 'purchase'), vc AS (SELECT v.user_id, v.vt, c.ct FROM v JOIN c ON v.user_id = c.user_id AND c.ct > v.vt AND c.ct <= v.vt + 3600000000), l3 AS (SELECT DISTINCT vc.user_id FROM vc JOIN p ON vc.user_id = p.user_id AND p.pt > vc.ct AND p.pt <= vc.vt + 3600000000) SELECT (SELECT count(DISTINCT user_id) FROM v)::BIGINT AS n_level1, (SELECT count(DISTINCT user_id) FROM vc)::BIGINT AS n_level2, (SELECT count(*) FROM l3)::BIGINT AS n_level3""",
     "q_observe" ->
       """SELECT count(*)::BIGINT AS n_rows, round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS total_price, max(o_orderkey)::BIGINT AS max_key FROM orders""",
     // try_element_at is 1-based and NULL out of bounds; the engine

@@ -25,6 +25,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_recall", "q_embed_rerank", "q_embed_topk", // broadcast query vector
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
     "q_events_funnel",                               // scalar step totals
+    "q_events_window_funnel",                        // scalar level totals
+    "q_events_rfm",                                  // broadcast 1-row reference date
     "q_graph_clustcoef", "q_graph_triangles",        // 25-row nation non-equi generator / scalar terms
     "q_graph_squares",                               // broadcast 1-row total_squares scalar
     "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold
