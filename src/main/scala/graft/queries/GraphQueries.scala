@@ -400,6 +400,24 @@ object GraphQueries {
           count(lit(1)).cast("long").as("n_reach"))
         .orderBy("vertex")
     }),
+    "q_graph_reciprocity" -> ((s, d) => {
+      // directed reciprocity: the fraction of directed edges whose
+      // reverse also exists — the directedness fingerprint (1.0 for a
+      // mirrored graph, ~0 for a DAG). One self equi-join on the
+      // swapped key pair over the pinned distinct edge list; integer
+      // counts, one closing division.
+      val e = t(s, d, "orders").select(
+          (col("o_orderkey") % 150).as("src"), (col("o_custkey") % 150).as("dst"))
+        .where(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true) // feeds both sides + the total
+      val recip = e.as("f").join(e.as("r"),
+        col("f.src") === col("r.dst") && col("f.dst") === col("r.src"))
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(recip.agg(count(lit(1)).as("n_reciprocal")))
+        .select(col("n_edges"), col("n_reciprocal"),
+          round(col("n_reciprocal").cast("double") / col("n_edges"), 4)
+            .as("reciprocity"))
+    }),
     "q_graph_assortativity" -> ((s, d) => {
       // degree assortativity (Newman 2002) of the data-scale key-
       // derived graph: Pearson correlation of endpoint degrees over
@@ -763,6 +781,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT 0::BIGINT AS vertex, 0 AS level UNION ALL SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 10) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_harmonic" ->
       s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, sum(2520 // level)::BIGINT AS h2520, count(*)::BIGINT AS n_reach FROM lv WHERE level > 0 GROUP BY root ORDER BY vertex""",
+    "q_graph_reciprocity" ->
+      """WITH e AS (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS src, (o_custkey % 150)::BIGINT AS dst FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), r AS (SELECT count(*)::BIGINT AS n_reciprocal FROM e f JOIN e rv ON f.src = rv.dst AND f.dst = rv.src), n AS (SELECT count(*)::BIGINT AS n_edges FROM e) SELECT n.n_edges, r.n_reciprocal, round(r.n_reciprocal::DOUBLE / n.n_edges, 4) AS reciprocity FROM n, r""",
     "q_graph_assortativity" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT src AS v, count(*)::BIGINT AS deg FROM sym GROUP BY src), ends AS (SELECT dx.deg AS x, dy.deg AS y FROM sym JOIN deg dx ON sym.src = dx.v JOIN deg dy ON sym.dst = dy.v), g AS (SELECT count(*)::BIGINT AS m, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sx2, sum(y * y)::BIGINT AS sy2 FROM ends) SELECT m, (m * sxy - sx * sy)::BIGINT AS num, round((m * sxy - sx * sy)::DOUBLE * (m * sxy - sx * sy)::DOUBLE / ((m * sx2 - sx * sx)::DOUBLE * (m * sy2 - sy * sy)::DOUBLE), 6) AS r2, sign((m * sxy - sx * sy)::DOUBLE)::INT AS sign_num FROM g""",
     "q_graph_sssp" ->

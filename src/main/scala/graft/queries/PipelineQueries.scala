@@ -1075,6 +1075,33 @@ object PipelineQueries {
             sum(col("q0")).over(w).cast("double"), 4).as("rate"))
         .orderBy("lang")
     }),
+    "q_mix_kl" -> ((s, d) => {
+      // distribution-shift measurement for mixture design: KL
+      // divergence of each language's token distribution from the
+      // corpus distribution — the quantitative "how different is this
+      // domain" input to reweighting (the mix_weights/temperature
+      // family's missing diagnostic). Per-token terms round(8) then
+      // decimal-sum, so the double ln/ratio arithmetic is term-local
+      // and the per-lang total is accumulation-order independent (the
+      // lmscore pattern). Two hash aggs + one token-keyed join; the
+      // per-lang totals broadcast.
+      val tok = t(s, d, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true) // feeds both count aggs and the probe
+      val cl = tok.groupBy("lang", "tok").agg(count(lit(1)).as("cl"))
+      val cg = tok.groupBy("tok").agg(count(lit(1)).as("cg"))
+      val nl = tok.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val ng = tok.agg(count(lit(1)).as("ng"))
+      cl.join(cg, "tok").join(broadcast(nl), "lang").crossJoin(broadcast(ng))
+        .select(col("lang"), col("nl"),
+          round((col("cl").cast("double") / col("nl")) *
+            log((col("cl").cast("double") / col("nl")) /
+                (col("cg").cast("double") / col("ng"))), 8).as("term"))
+        .groupBy("lang")
+        .agg(max(col("nl")).cast("long").as("n_toks"),
+          round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4).as("kl"))
+        .orderBy("lang")
+    }),
     "q_mix_weights" -> ((s, d) => {
       // domain-mixture reweighting: per-source multiplier that turns
       // the observed source distribution into a uniform target mix
@@ -1594,6 +1621,8 @@ object PipelineQueries {
       s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, d.text, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), bg AS (SELECT doc_id, md5(unnest(gs)) AS h FROM sh), dfq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM bg GROUP BY h), bst AS (SELECT bg.doc_id, count(*) AS n_sh, sum(CASE WHEN dfq.nd >= 3 THEN 1 ELSE 0 END) AS n_boiler FROM bg JOIN dfq ON bg.h = dfq.h GROUP BY bg.doc_id), okb AS (SELECT d.doc_id FROM documents d LEFT JOIN bst ON d.doc_id = bst.doc_id WHERE CASE WHEN round(coalesce(bst.n_boiler / bst.n_sh, 0.0), 4) > 0.5 THEN 1 ELSE 0 END = 0), q2 AS (SELECT q.* FROM q JOIN okb USING (doc_id)), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) JOIN q2 ON q2.doc_id = s.doc_id WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT q2.doc_id, q2.lang, q2.text, q2.score FROM q2 WHERE substr(md5(q2.doc_id::VARCHAR), 1, 1) <> '0' AND q2.doc_id NOT IN (SELECT doc_id FROM cont)), wtc AS (SELECT cl.doc_id, cl.lang, cl.score, len(t.tk)::BIGINT AS tc, octet_length(encode(cl.text))::BIGINT AS nb FROM cl JOIN toks t ON cl.doc_id = t.doc_id), bud AS (SELECT *, coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM wtc), adm AS (SELECT * FROM bud WHERE before < 5000), shd AS (SELECT *, coalesce(sum(nb) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM adm) SELECT lang, count(*)::BIGINT AS n_kept, sum(tc)::BIGINT AS n_toks, count(DISTINCT cb // 16384)::BIGINT AS n_shards, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM shd GROUP BY lang ORDER BY lang""",
     "q_mix_temperature" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, n_docs / (SELECT sum(n_docs)::DOUBLE FROM g) AS p FROM g), q AS (SELECT lang, n_docs, p, round(pow(p, 0.7), 6)::DECIMAL(18,6) AS q0 FROM t) SELECT lang, n_docs, round(p, 4) AS p, round(q0::DOUBLE / (SELECT sum(q0) FROM q)::DOUBLE, 4) AS rate FROM q ORDER BY lang""",
+    "q_mix_kl" ->
+      s"""WITH $toksSql, tr AS (SELECT d.lang, unnest(t.tk) AS tok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), cl AS (SELECT lang, tok, count(*)::BIGINT AS cl FROM tr GROUP BY 1, 2), cg AS (SELECT tok, count(*)::BIGINT AS cg FROM tr GROUP BY tok), nl AS (SELECT lang, count(*)::BIGINT AS nl FROM tr GROUP BY lang), ng AS (SELECT count(*)::BIGINT AS ng FROM tr), tm AS (SELECT cl.lang, nl.nl, round((cl.cl::DOUBLE / nl.nl) * ln((cl.cl::DOUBLE / nl.nl) / (cg.cg::DOUBLE / ng.ng)), 8) AS term FROM cl JOIN cg USING (tok) JOIN nl ON cl.lang = nl.lang CROSS JOIN ng) SELECT lang, max(nl)::BIGINT AS n_toks, round(sum(term::DECIMAL(38,18))::DOUBLE, 4) AS kl FROM tm GROUP BY lang ORDER BY lang""",
     "q_mix_weights" ->
       """WITH s AS (SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars FROM documents GROUP BY source) SELECT source, n_docs, n_chars, round((SELECT sum(n_docs) FROM s)::DOUBLE / ((SELECT count(*) FROM s) * n_docs)::DOUBLE, 4) AS weight FROM s ORDER BY source""",
     "q_text_decontaminate" ->

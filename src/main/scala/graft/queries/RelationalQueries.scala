@@ -1718,6 +1718,29 @@ object RelationalQueries {
           .orderBy("version")
       }
     }),
+    "q_agg_entropy" -> ((s, d) => {
+      // Shannon entropy of each event type's value-bucket distribution
+      // — the spread/imbalance diagnostic (uniform -> ln(bins), spiky
+      // -> 0). Per-bucket -p·ln(p) terms round(8) then decimal-sum
+      // (the accumulation-order-independence pattern), so the oracle
+      // is exact. Two hash aggs keyed by (type, bucket) then type.
+      val b = Tables.events(s, d).where(col("value").isNotNull)
+        .groupBy(col("event_type"),
+          floor(col("value") / 10).cast("long").as("bin"))
+        .agg(count(lit(1)).as("c"))
+      val n = b.groupBy("event_type").agg(sum(col("c")).as("n"),
+        count(lit(1)).as("n_bins"))
+      b.join(broadcast(n), "event_type")
+        .select(col("event_type"), col("n"), col("n_bins"),
+          round((col("c").cast("double") / col("n")) *
+            -log(col("c").cast("double") / col("n")), 8).as("term"))
+        .groupBy("event_type")
+        .agg(max(col("n")).cast("long").as("n"),
+          max(col("n_bins")).cast("long").as("n_bins"),
+          round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4)
+            .as("entropy"))
+        .orderBy("event_type")
+    }),
     "q_events_rfm" -> ((s, d) => {
       // RFM segmentation (recency / frequency / monetary — the classic
       // customer-scoring rollup): one agg per customer, three ntile(4)
@@ -2766,6 +2789,8 @@ object RelationalQueries {
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
     // ntile quartiles with the same id tiebreaks; sample AFTER scoring
+    "q_agg_entropy" ->
+      """WITH b AS (SELECT event_type, floor(value / 10)::BIGINT AS bin, count(*)::BIGINT AS c FROM events WHERE value IS NOT NULL GROUP BY 1, 2), n AS (SELECT event_type, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_bins FROM b GROUP BY event_type), tm AS (SELECT b.event_type, n.n, n.n_bins, round((b.c::DOUBLE / n.n) * -ln(b.c::DOUBLE / n.n), 8) AS term FROM b JOIN n ON b.event_type = n.event_type) SELECT event_type, max(n)::BIGINT AS n, max(n_bins)::BIGINT AS n_bins, round(sum(term::DECIMAL(38,18))::DOUBLE, 4) AS entropy FROM tm GROUP BY event_type ORDER BY event_type""",
     "q_events_rfm" ->
       """WITH ref AS (SELECT max(o_orderdate) AS ref FROM orders), per AS (SELECT o_custkey, max(o_orderdate) AS last_order, count(*)::BIGINT AS frequency, round(sum(o_totalprice::DECIMAL(18,2)), 2)::DOUBLE AS monetary FROM orders GROUP BY o_custkey), rec AS (SELECT per.*, date_diff('day', last_order::DATE, ref::DATE)::INT AS recency_days FROM per, ref), sc AS (SELECT *, ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_score, ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score, ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score FROM rec) SELECT o_custkey AS custkey, recency_days, frequency, monetary, r_score::VARCHAR || f_score::VARCHAR || m_score::VARCHAR AS segment FROM sc WHERE o_custkey % 50 = 0 ORDER BY custkey""",
     "q_events_window_funnel" ->

@@ -31,6 +31,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_graph_squares",                               // broadcast 1-row total_squares scalar
     "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold
     "q_text_lmscore2",                               // broadcast vocab-size scalar
+    "q_mix_kl",                                      // broadcast corpus-total scalar
+    "q_graph_reciprocity",                           // scalar edge totals
     "q_subquery", "q_tpch_q22",                      // scalar subqueries
     // the derived-partsupp five: the derivation itself crossJoins ONE
     // broadcast scalar (the supplier count) into the part projection —
