@@ -201,6 +201,18 @@ object PipelineQueries {
         .groupBy("lang_guess").agg(count(lit(1)).as("cnt"))
         .orderBy("lang_guess")
     }),
+    "q_text_langid_acc" -> ((s, d) => {
+      // language-ID ACCURACY readout (the measurement entry for the
+      // langid heuristic, like q_dedup_minhash_acc for MinHash and
+      // q_embed_recall for ANN): confusion counts of predicted vs the
+      // fixture's ground-truth lang, plus per-truth-label precision
+      // material. One scan, one hash agg keyed (lang, guess).
+      t(s, d, "documents")
+        .select(col("lang"), langId(col("text")).as("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_guess")
+    }),
     "q_text_quality" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), qualityScore(col("text")).as("score"))
@@ -1528,6 +1540,8 @@ object PipelineQueries {
   val oracles: Map[String, String] = Map(
     "q_text_stats" ->
       s"""WITH $toksSql SELECT d.doc_id, len(t.tk)::INT AS tok_cnt, length(d.text)::INT AS nchars, round((length(d.text) - length(regexp_replace(d.text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / greatest(length(d.text), 1)::DOUBLE, 4) AS punct_ratio, round(len(list_filter(t.tk, x -> x IN ($stopEn)))::DOUBLE / greatest(len(t.tk), 1)::DOUBLE, 4) AS stop_ratio FROM documents d JOIN toks t ON d.doc_id = t.doc_id ORDER BY d.doc_id""",
+    "q_text_langid_acc" ->
+      s"""WITH $toksSql, hits AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($stopEn))) AS en, len(list_filter(tk, x -> x IN ($stopEs))) AS es, len(list_filter(tk, x -> x IN ($stopDe))) AS de, len(list_filter(tk, x -> x IN ($stopFr))) AS fr FROM toks), g AS (SELECT doc_id, CASE WHEN greatest(en,es,de,fr) = 0 THEN 'und' WHEN en = greatest(en,es,de,fr) THEN 'en' WHEN es = greatest(en,es,de,fr) THEN 'es' WHEN de = greatest(en,es,de,fr) THEN 'de' ELSE 'fr' END AS lang_guess FROM hits) SELECT d.lang, g.lang_guess, count(*)::BIGINT AS n FROM documents d JOIN g ON d.doc_id = g.doc_id GROUP BY d.lang, g.lang_guess ORDER BY d.lang, g.lang_guess""",
     "q_text_langid" ->
       s"""WITH $toksSql, hits AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($stopEn))) AS en, len(list_filter(tk, x -> x IN ($stopEs))) AS es, len(list_filter(tk, x -> x IN ($stopDe))) AS de, len(list_filter(tk, x -> x IN ($stopFr))) AS fr FROM toks), g AS (SELECT doc_id, CASE WHEN greatest(en,es,de,fr) = 0 THEN 'und' WHEN en = greatest(en,es,de,fr) THEN 'en' WHEN es = greatest(en,es,de,fr) THEN 'es' WHEN de = greatest(en,es,de,fr) THEN 'de' ELSE 'fr' END AS lang_guess FROM hits) SELECT lang_guess, count(*)::BIGINT AS cnt FROM g GROUP BY lang_guess ORDER BY lang_guess""",
     "q_text_quality" ->

@@ -1718,6 +1718,30 @@ object RelationalQueries {
           .orderBy("version")
       }
     }),
+    "q_agg_gini" -> ((s, d) => {
+      // Gini coefficient of order value per priority class — the
+      // inequality/concentration diagnostic (0 = uniform spend, ->1 =
+      // one order dominates). Closed form over the ascending rank:
+      // G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n, with both sums EXACT
+      // decimals (rank·x is int×decimal) so only the final closed-form
+      // division is floating — identical IEEE ops both engines. Ties
+      // carry equal x, so Σ(rank·x) is permutation-invariant; one rank
+      // window per group + one agg.
+      val dec = col("o_totalprice").cast("decimal(18,2)")
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), sum(dec).as("sx"),
+          sum(col("rn") * dec).as("srx"))
+        .select(col("o_orderpriority"), col("n").cast("long").as("n"),
+          round(lit(2.0) * col("srx").cast("double") /
+              (col("n") * col("sx").cast("double")) -
+            (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+        .orderBy("o_orderpriority")
+    }),
     "q_agg_entropy" -> ((s, d) => {
       // Shannon entropy of each event type's value-bucket distribution
       // — the spread/imbalance diagnostic (uniform -> ln(bins), spiky
@@ -2789,6 +2813,8 @@ object RelationalQueries {
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
     // ntile quartiles with the same id tiebreaks; sample AFTER scoring
+    "q_agg_gini" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice::DECIMAL(18,2) AS x, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn FROM orders), g AS (SELECT o_orderpriority, count(*)::BIGINT AS n, sum(x) AS sx, sum(rn * x) AS srx FROM r GROUP BY o_orderpriority) SELECT o_orderpriority, n, round(2.0 * srx::DOUBLE / (n * sx::DOUBLE) - (n + 1)::DOUBLE / n, 6) AS gini FROM g ORDER BY o_orderpriority""",
     "q_agg_entropy" ->
       """WITH b AS (SELECT event_type, floor(value / 10)::BIGINT AS bin, count(*)::BIGINT AS c FROM events WHERE value IS NOT NULL GROUP BY 1, 2), n AS (SELECT event_type, sum(c)::BIGINT AS n, count(*)::BIGINT AS n_bins FROM b GROUP BY event_type), tm AS (SELECT b.event_type, n.n, n.n_bins, round((b.c::DOUBLE / n.n) * -ln(b.c::DOUBLE / n.n), 8) AS term FROM b JOIN n ON b.event_type = n.event_type) SELECT event_type, max(n)::BIGINT AS n, max(n_bins)::BIGINT AS n_bins, round(sum(term::DECIMAL(38,18))::DOUBLE, 4) AS entropy FROM tm GROUP BY event_type ORDER BY event_type""",
     "q_events_rfm" ->
