@@ -1939,6 +1939,49 @@ object RelationalQueries {
       try q.processAllAvailable() finally q.stop()
       s.table(sink).orderBy("event_type")
     }),
+    "q_catalog_vacuum" -> ((s, d) => {
+      // retention GC in-gate: commit three versions, expire all but
+      // the latest (the catalog's vacuum — time-travel window
+      // management), then report the surviving history: version count,
+      // the latest version number (commit numbering is deterministic),
+      // and the latest snapshot's fingerprint. A vacuum that deletes
+      // the wrong dir or breaks the pointer hash-mismatches.
+      withTempDir("graft-q-catvac") { dir =>
+        val cat = new graft.operators.GraphCatalog(s, dir)
+        val nat = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+        cat.commitVersion("g", nat.where(col("k") > 0)
+          .select(col("k").as("src"), floor(col("k") / 2).cast("long").as("dst")))
+        cat.commitVersion("g", nat.where(col("k") < 10)
+          .select(col("k").as("src"), (col("k") + 100).as("dst")))
+        cat.commitVersion("g", nat.where(col("k") >= 5)
+          .select(col("k").as("src"), (col("k") % 5).as("dst")))
+        cat.expireVersions("g", keep = 1, orphanGraceMs = 0)
+        val latest = cat.loadLatest("g")
+        latest.agg(count(lit(1)).as("n_edges"),
+            sum("dst").cast("long").as("sum_dst"))
+          .select(lit(cat.listVersions("g").size).as("n_versions"),
+            lit(cat.latestVersion("g").get).as("latest_version"),
+            col("n_edges"), col("sum_dst"))
+      }
+    }),
+    "q_source_corrupt" -> ((s, d) => {
+      // corrupt-file tolerance (the robustness surface a 100 TB lake
+      // needs: one torn object must not kill the job): a garbage
+      // .parquet file planted next to a good one is SKIPPED under
+      // ignoreCorruptFiles, and the good file's rows all survive —
+      // fingerprinted against the closed-form oracle.
+      withTempDir("graft-q-corrupt") { dir =>
+        val good = s"$dir/data"
+        t(s, d, "nation").where(col("n_nationkey") < 15)
+          .select(col("n_nationkey").cast("long").as("k"))
+          .coalesce(1).write.mode("overwrite").parquet(good)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(good, "part-corrupt.parquet"),
+          "this is not a parquet file".getBytes("UTF-8"))
+        s.read.option("ignoreCorruptFiles", "true").parquet(good)
+          .agg(count(lit(1)).as("n_rows"), sum(col("k")).cast("long").as("sum_k"))
+      }
+    }),
     "q_catalog_diff" -> ((s, d) => {
       // Snapshot DIFF between two catalog versions — the "what changed
       // between v1 and v2" audit every versioned lakehouse exposes
@@ -2837,6 +2880,11 @@ object RelationalQueries {
     // slices, same modulus derivations, over range(5000)
     "q_stream_source_synth" ->
       """WITH g AS (SELECT i, md5('ev|' || i) AS h FROM range(5000) t(i)), r AS (SELECT i AS event_id, ('0x' || substr(h, 1, 4))::BIGINT % 50 AS user_id, ['view','click','purchase','signup','error'][(('0x' || substr(h, 5, 1))::BIGINT % 5) + 1] AS event_type, (('0x' || substr(h, 6, 4))::BIGINT % 10000) / 100.0 AS value FROM g) SELECT event_type, count(*)::BIGINT AS cnt, round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value, max(user_id)::BIGINT AS max_user FROM r GROUP BY event_type ORDER BY event_type""",
+    // three deterministic commits (v0,v1,v2), keep=1 -> one survivor
+    "q_catalog_vacuum" ->
+      """SELECT 1::INT AS n_versions, 2::INT AS latest_version, count(*)::BIGINT AS n_edges, sum(n_nationkey % 5)::BIGINT AS sum_dst FROM nation WHERE n_nationkey >= 5""",
+    "q_source_corrupt" ->
+      """SELECT count(*)::BIGINT AS n_rows, sum(n_nationkey)::BIGINT AS sum_k FROM nation WHERE n_nationkey < 15""",
     // closed-form: removed = base edges with key >= 20, added = the
     // delta rows (dst >= 100 so no collision with any base row)
     "q_catalog_diff" ->
