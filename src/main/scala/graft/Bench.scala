@@ -113,7 +113,9 @@ object Bench {
     // wave-25: mixture KL shift, bucket entropy, directed reciprocity
     "q_mix_kl", "q_agg_entropy", "q_graph_reciprocity",
     // wave-26: Gini concentration, langid confusion readout
-    "q_agg_gini", "q_text_langid_acc")
+    "q_agg_gini", "q_text_langid_acc",
+    // clustering-quality purity readout
+    "q_embed_purity")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

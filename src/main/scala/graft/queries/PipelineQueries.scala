@@ -1261,6 +1261,52 @@ object PipelineQueries {
         .agg(count(lit(1)).as("sz"), min(col("vec_id")).as("min_vec"))
         .orderBy("cid")
     }),
+    "q_embed_purity" -> ((s, d) => {
+      // clustering-quality readout (the measurement entry for the
+      // k-means family, completing the accuracy trio with
+      // q_dedup_minhash_acc and q_text_langid_acc): the one-Lloyd-
+      // iteration assignment scored against the embeddings fixture's
+      // ground-truth labels — per-cluster majority label + overall
+      // PURITY, an integer ratio so the whole readout is exact. The
+      // assignment chain is q_embed_kmeans's verified derivation
+      // verbatim; the purity fold is a 4-row window.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents0 = e.where(col("vec_id").between(1, 4))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val d0 = e.crossJoin(broadcast(cents0))
+        .select(col("vec_id"), col("cid"), expr("l2sq_fold(v, cv)").as("dist"))
+      def argmin(df: DataFrame): DataFrame = df.groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val a1 = argmin(d0)
+      val pts = e.join(a1, "vec_id")
+        .select(col("cid"), posexplode(col("v"))).toDF("cid", "idx", "x")
+      val upd = pts.groupBy("cid", "idx")
+        .agg((sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1))).as("c"))
+      val updArr = upd.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("idx"), col("c")))),
+          p => p.getField("c")).as("cv"))
+      val d1 = e.crossJoin(broadcast(updArr))
+        .select(col("vec_id"), col("cid"), expr("l2sq_fold(v, cv)").as("dist"))
+      val a2 = argmin(d1)
+      val lab = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label").cast("int").as("label"))
+      val perLabel = a2.join(lab, "vec_id")
+        .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1)) // 4 cluster rows — the global fold is tiny
+      perLabel.groupBy("cid")
+        .agg(sum(col("n")).as("sz"),
+          min(struct((-col("n")).as("negn"), col("label").as("l"))).as("m"))
+        .select(col("cid"), col("sz").cast("long").as("sz"),
+          col("m.l").as("maj_label"), (-col("m.negn")).cast("long").as("n_maj"))
+        .withColumn("purity",
+          round(sum(col("n_maj")).over(w).cast("double") /
+            sum(col("sz")).over(w), 4))
+        .orderBy("cid")
+    }),
     "q_multimodal_resize" -> ((s, d) => {
       // typed-Dataset resize path end-to-end in the gate: per-doc
       // before/after byte counts + md5 of the resized payload (the
@@ -1713,6 +1759,9 @@ object PipelineQueries {
       """WITH ev AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events), f AS (SELECT user_id, min(day) AS d0 FROM ev GROUP BY user_id), j AS (SELECT ev.user_id, f.d0, date_diff('day', f.d0, ev.day) AS age FROM ev JOIN f ON ev.user_id = f.user_id) SELECT strftime(d0, '%Y-%m-%d') AS cohort, count(DISTINCT user_id)::BIGINT AS n_users, count(DISTINCT CASE WHEN age = 1 THEN user_id END)::BIGINT AS d1, count(DISTINCT CASE WHEN age = 7 THEN user_id END)::BIGINT AS d7 FROM j GROUP BY d0 ORDER BY cohort""",
     "q_embed_kmeans" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), d0 AS (SELECT e.vec_id, c0.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))")} AS dist FROM e CROSS JOIN c0), a1 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d0 GROUP BY vec_id), pts AS (SELECT a1.cid, t.i AS idx, e.v[t.i + 1] AS x FROM e JOIN a1 USING (vec_id) CROSS JOIN range(64) t(i)), upd AS (SELECT cid, idx, sum(x::DECIMAL(18,6))::DOUBLE / count(*) AS c FROM pts GROUP BY cid, idx), u2 AS (SELECT cid, list(c ORDER BY idx) AS cv FROM upd GROUP BY cid), d1 AS (SELECT e.vec_id, u2.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - u2.cv[i]) * (e.v[i] - u2.cv[i]))")} AS dist FROM e CROSS JOIN u2), a2 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d1 GROUP BY vec_id) SELECT cid, count(*)::BIGINT AS sz, min(vec_id)::BIGINT AS min_vec FROM a2 GROUP BY cid ORDER BY cid""",
+    // the kmeans oracle chain through a2, then label-majority + purity
+    "q_embed_purity" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), d0 AS (SELECT e.vec_id, c0.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - c0.cv[i]) * (e.v[i] - c0.cv[i]))")} AS dist FROM e CROSS JOIN c0), a1 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d0 GROUP BY vec_id), pts AS (SELECT a1.cid, t.i AS idx, e.v[t.i + 1] AS x FROM e JOIN a1 USING (vec_id) CROSS JOIN range(64) t(i)), upd AS (SELECT cid, idx, sum(x::DECIMAL(18,6))::DOUBLE / count(*) AS c FROM pts GROUP BY cid, idx), u2 AS (SELECT cid, list(c ORDER BY idx) AS cv FROM upd GROUP BY cid), d1 AS (SELECT e.vec_id, u2.cid, ${foldSql("list_transform(range(1, 65), i -> (e.v[i] - u2.cv[i]) * (e.v[i] - u2.cv[i]))")} AS dist FROM e CROSS JOIN u2), a2 AS (SELECT vec_id, (min({'d': dist, 'c': cid})).c AS cid FROM d1 GROUP BY vec_id), pl AS (SELECT a2.cid, em.label::INT AS label, count(*)::BIGINT AS n FROM a2 JOIN embeddings em ON a2.vec_id = em.vec_id GROUP BY 1, 2), mj AS (SELECT cid, sum(n)::BIGINT AS sz, (min({'negn': -n, 'l': label})).l AS maj_label, (-((min({'negn': -n, 'l': label})).negn))::BIGINT AS n_maj FROM pl GROUP BY cid) SELECT cid, sz, maj_label, n_maj, round(sum(n_maj) OVER ()::DOUBLE / sum(sz) OVER (), 4) AS purity FROM mj ORDER BY cid""",
     "q_multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text))::INT AS nbytes, (octet_length(encode(text)) % 64 + 1)::INT AS w, (octet_length(encode(text)) // 64 % 64 + 1)::INT AS h, ascii(substr(text, 1, 1))::INT AS b0 FROM documents ORDER BY doc_id""")
 }

@@ -20,7 +20,7 @@ class QueriesSmokeSpec extends SparkSpec {
   val bnljAudited = Set(
     "q_dedup_pipeline",                              // corpus-total scalar
     "q_embed_ivf", "q_embed_ivf_multiprobe",         // broadcast centroid table
-    "q_embed_kmeans",                                // broadcast centroids
+    "q_embed_kmeans", "q_embed_purity",              // broadcast centroids
     "q_embed_knn_join", "q_embed_pq",                // broadcast query/codebook side
     "q_embed_recall", "q_embed_rerank", "q_embed_topk", // broadcast query vector
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
