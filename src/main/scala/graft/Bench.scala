@@ -114,8 +114,8 @@ object Bench {
     "q_mix_kl", "q_agg_entropy", "q_graph_reciprocity",
     // wave-26: Gini concentration, langid confusion readout
     "q_agg_gini", "q_text_langid_acc",
-    // clustering-quality purity readout
-    "q_embed_purity")
+    // clustering-quality purity readout; session bounce rate
+    "q_embed_purity", "q_events_bounce")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -1765,6 +1765,35 @@ object RelationalQueries {
             .as("entropy"))
         .orderBy("event_type")
     }),
+    "q_events_bounce" -> ((s, d) => {
+      // bounce rate — the classic engagement metric: fraction of
+      // 30-minute sessions containing exactly one event, per event
+      // type of the session's FIRST event (what page type loses
+      // people). Sessions come from the same gaps-and-islands build as
+      // q_events_sessionize (one user-keyed exchange carries the lag,
+      // the running session id, and the fold); the first-event
+      // attribute is a struct-min, not a second sort.
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+        .withColumn("brk", when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1)
+          .otherwise(0))
+        .withColumn("sid", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val sess = e.groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("tus"), col("event_id"), col("event_type"))).as("f"))
+        .select(col("f.event_type").as("first_type"), col("n_events"))
+      sess.groupBy("first_type")
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+        .select(col("first_type"), col("n_sessions"), col("n_bounce"),
+          round(col("n_bounce").cast("double") / col("n_sessions"), 4)
+            .as("bounce_rate"))
+        .orderBy("first_type")
+    }),
     "q_events_rfm" -> ((s, d) => {
       // RFM segmentation (recency / frequency / monetary — the classic
       // customer-scoring rollup): one agg per customer, three ntile(4)
@@ -2855,7 +2884,10 @@ object RelationalQueries {
     // closed-form per-version fingerprints from the same source rows
     "q_catalog_timetravel" ->
       """WITH v1 AS (SELECT count(*)::BIGINT AS n_edges, sum(n_nationkey // 2)::BIGINT AS sum_dst FROM nation WHERE n_nationkey > 0), dlt AS (SELECT count(*)::BIGINT AS n, sum(n_nationkey + 100)::BIGINT AS sd FROM nation WHERE n_nationkey < 10) SELECT 'v1' AS version, n_edges, sum_dst FROM v1 UNION ALL SELECT 'v2', v1.n_edges + dlt.n, v1.sum_dst + dlt.sd FROM v1, dlt ORDER BY version""",
-    // ntile quartiles with the same id tiebreaks; sample AFTER scoring
+    "q_events_bounce" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type, epoch_us(ts)::BIGINT AS tus FROM events), g AS (SELECT *, tus - lag(tus) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM e), b AS (SELECT *, CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS brk FROM g), sx AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM b), sess AS (SELECT user_id, sid, count(*)::BIGINT AS n_events, (min({'t': tus, 'e': event_id, 'y': event_type})).y AS first_type FROM sx GROUP BY user_id, sid) SELECT first_type, count(*)::BIGINT AS n_sessions, sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce, round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 4) AS bounce_rate FROM sess GROUP BY first_type ORDER BY first_type""",
+    // gini: decimal rank sums; rfm below: ntile quartiles with id
+    // tiebreaks, sample AFTER scoring
     "q_agg_gini" ->
       """WITH r AS (SELECT o_orderpriority, o_totalprice::DECIMAL(18,2) AS x, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn FROM orders), g AS (SELECT o_orderpriority, count(*)::BIGINT AS n, sum(x) AS sx, sum(rn * x) AS srx FROM r GROUP BY o_orderpriority) SELECT o_orderpriority, n, round(2.0 * srx::DOUBLE / (n * sx::DOUBLE) - (n + 1)::DOUBLE / n, 6) AS gini FROM g ORDER BY o_orderpriority""",
     "q_agg_entropy" ->
