@@ -607,6 +607,45 @@ object GraphQueries {
       Traversals.labelPropagation(treeEdges(s, d), iters = 2)
         .orderBy("vertex")
     }),
+    "q_graph_modularity" -> ((s, d) => {
+      // community-quality readout: Newman modularity of the LPA
+      // communities (the measurement entry for community detection,
+      // like purity for clustering). Q = Σ_c [e_c/m − (d_c/2m)²]
+      // computed in INTEGER form — per-community numerator
+      // c_num = 4m·e_c − d_c², total Q = Σc_num / 4m² — so every sum
+      // is exact and only the closing division floats. Communities
+      // from the verified 2-round deterministic LPA; intra-edges via
+      // two label joins on the canonical edge list.
+      val e = treeEdges(s, d) // mirrored
+      val labels = Traversals.labelPropagation(e, iters = 2)
+      val und = e.where(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b")).distinct()
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
+      val m = und.count() // driver scalar: the graph is the 25-node fixture;
+      // at scale this is a broadcast scalar agg like the funnel totals
+      val dc = labels.join(deg, "vertex")
+        .groupBy("label").agg(count(lit(1)).as("n_vertices"),
+          sum(col("deg")).as("d_sum"))
+      val la = labels.select(col("vertex").as("a"), col("label").as("la"))
+      val lb = labels.select(col("vertex").as("b"), col("label").as("lb"))
+      val ein = und.join(la, "a").join(lb, "b")
+        .where(col("la") === col("lb"))
+        .groupBy(col("la").as("label")).agg(count(lit(1)).as("e_in"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      dc.join(ein, Seq("label"), "left_outer")
+        .select(col("label"), col("n_vertices").cast("long").as("n_vertices"),
+          coalesce(col("e_in"), lit(0L)).cast("long").as("e_in"),
+          col("d_sum").cast("long").as("d_sum"))
+        .withColumn("c_num",
+          lit(4L) * m * col("e_in") - col("d_sum") * col("d_sum"))
+        .withColumn("q_contrib",
+          round(col("c_num").cast("double") / (4.0 * m * m), 6))
+        .withColumn("modularity",
+          round(sum(col("c_num")).over(w).cast("double") / (4.0 * m * m), 6))
+        .select("label", "n_vertices", "e_in", "d_sum", "q_contrib", "modularity")
+        .orderBy("label")
+    }),
     "q_graph_kcore" -> ((s, d) => {
       // 6-core of the (a+b)%4 pair graph: two peel rounds drop 6
       // vertices (oracle unrolls four peels — safely past fixpoint)
@@ -791,6 +830,9 @@ object GraphQueries {
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
     "q_graph_lpa" ->
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",
+    // the LPA chain through l2, then integer-form modularity terms
+    "q_graph_modularity" ->
+      s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex), und AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src < dst), mm AS (SELECT count(*)::BIGINT AS m FROM und), deg AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM e GROUP BY src), dc AS (SELECT l2.label, count(*)::BIGINT AS n_vertices, sum(deg.deg)::BIGINT AS d_sum FROM l2 JOIN deg ON l2.vertex = deg.vertex GROUP BY l2.label), ein AS (SELECT la.label, count(*)::BIGINT AS e_in FROM und JOIN l2 la ON und.a = la.vertex JOIN l2 lb ON und.b = lb.vertex WHERE la.label = lb.label GROUP BY la.label), rows_ AS (SELECT dc.label, dc.n_vertices, coalesce(ein.e_in, 0)::BIGINT AS e_in, dc.d_sum, (4 * mm.m * coalesce(ein.e_in, 0) - dc.d_sum * dc.d_sum)::BIGINT AS c_num, mm.m FROM dc LEFT JOIN ein ON dc.label = ein.label CROSS JOIN mm) SELECT label::BIGINT AS label, n_vertices, e_in, d_sum, round(c_num::DOUBLE / (4.0 * m * m), 6) AS q_contrib, round(sum(c_num) OVER ()::DOUBLE / (4.0 * m * m), 6) AS modularity FROM rows_ ORDER BY label""",
     "q_graph_ppr" -> {
       // ten unrolled iterations of the PERSONALIZED recurrence: the
       // reset term is seed-gated, r0 is the seed indicator; same
