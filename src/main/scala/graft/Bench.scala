@@ -115,7 +115,9 @@ object Bench {
     // wave-26: Gini concentration, langid confusion readout
     "q_agg_gini", "q_text_langid_acc",
     // clustering-quality purity readout; session bounce rate
-    "q_embed_purity", "q_events_bounce")
+    "q_embed_purity", "q_events_bounce",
+    // eval-hygiene pair: split-leakage audit, per-source dup census
+    "q_sample_leakage", "q_text_dupe_stats")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

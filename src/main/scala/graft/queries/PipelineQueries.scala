@@ -581,6 +581,49 @@ object PipelineQueries {
         .agg(count(lit(1)).as("sz"), max(col("vertex")).as("max_doc"))
         .orderBy("component")
     }),
+    "q_sample_leakage" -> ((s, d) => {
+      // split-leakage audit (eval hygiene): documents with IDENTICAL
+      // text landing in different q_sample_split splits are leakage —
+      // the test set silently memorises the train set. Text-hash
+      // groupBy (never a text×text join), per-hash split census, and a
+      // leaked group is any hash spanning test/val AND train. Output:
+      // per-split doc counts plus the leaked-pair count (train×eval
+      // pairs within each leaking hash — the number a cleanup must
+      // break).
+      val sp = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          substring(md5(col("doc_id").cast("string")), 1, 2).as("hp"))
+        .withColumn("split",
+          when(col("hp") < "0d", "test").when(col("hp") < "1a", "val")
+            .otherwise("train"))
+      val perHash = sp.groupBy("h").agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") =!= "train", 1L).otherwise(0L)).as("n_eval"))
+      perHash.agg(
+          sum(col("n_train")).cast("long").as("n_train_docs"),
+          sum(col("n_eval")).cast("long").as("n_eval_docs"),
+          sum(when(col("n_train") > 0 && col("n_eval") > 0, 1L).otherwise(0L))
+            .as("n_leaking_texts"),
+          sum(col("n_train") * col("n_eval")).cast("long").as("n_leaked_pairs"))
+    }),
+    "q_text_dupe_stats" -> ((s, d) => {
+      // per-source duplication census (the data-card statistic): doc
+      // count, distinct-text count, dup ratio, and the largest clone
+      // family per source — two hash aggs keyed by (source, text-hash)
+      // then source; only 16-byte digests shuffle.
+      val h = t(s, d, "documents")
+        .groupBy(col("source"), md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      h.groupBy("source")
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_distinct"),
+          max(col("n")).cast("long").as("max_clones"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          col("max_clones"),
+          round((col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs"), 4).as("dup_ratio"))
+        .orderBy("source")
+    }),
     "q_sample_split" -> ((s, d) => {
       // deterministic train/val/test assignment by content-independent
       // hash of the stable id — reproducible splits at any scale, no
@@ -1621,6 +1664,10 @@ object PipelineQueries {
       """WITH b AS (SELECT doc_id, source, octet_length(encode(text))::BIGINT AS nb FROM documents), c AS (SELECT doc_id, source, nb, coalesce(sum(nb) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM b) SELECT source, (cum // 65536)::BIGINT AS shard, count(*)::BIGINT AS n_docs, sum(nb)::BIGINT AS bytes, min(doc_id)::BIGINT AS first_doc, max(doc_id)::BIGINT AS last_doc FROM c GROUP BY 1, 2 ORDER BY source, shard""",
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE $minhashEstSql, p2 AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.5), e AS (SELECT doc_a AS src, doc_b AS dst FROM p2 UNION ALL SELECT doc_b, doc_a FROM p2), r AS (SELECT src AS a, src AS b FROM e UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_doc FROM cmp GROUP BY component ORDER BY component""",
+    "q_sample_leakage" ->
+      """WITH sp AS (SELECT doc_id, md5(text) AS h, CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '0d' THEN 'test' WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '1a' THEN 'val' ELSE 'train' END AS split FROM documents), ph AS (SELECT h, sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train, sum(CASE WHEN split <> 'train' THEN 1 ELSE 0 END)::BIGINT AS n_eval FROM sp GROUP BY h) SELECT sum(n_train)::BIGINT AS n_train_docs, sum(n_eval)::BIGINT AS n_eval_docs, sum(CASE WHEN n_train > 0 AND n_eval > 0 THEN 1 ELSE 0 END)::BIGINT AS n_leaking_texts, sum(n_train * n_eval)::BIGINT AS n_leaked_pairs FROM ph""",
+    "q_text_dupe_stats" ->
+      """WITH h AS (SELECT source, md5(text) AS h, count(*)::BIGINT AS n FROM documents GROUP BY source, md5(text)) SELECT source, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct, max(n)::BIGINT AS max_clones, round((sum(n) - count(*))::DOUBLE / sum(n), 4) AS dup_ratio FROM h GROUP BY source ORDER BY source""",
     "q_sample_split" ->
       """WITH h AS (SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS h FROM documents), sp AS (SELECT doc_id, lang, CASE WHEN h < '0d' THEN 'test' WHEN h < '1a' THEN 'val' ELSE 'train' END AS split FROM h) SELECT split, lang, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS first_doc FROM sp GROUP BY split, lang ORDER BY split, lang""",
     "q_sample_stratified" ->
