@@ -11,15 +11,16 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // wave-18 entries end-to-end on the two iteration scales
+    // closing-wave entries end-to-end on the two iteration scales
+    val latest = Seq("q_embed_purity", "q_graph_modularity", "q_events_bounce",
+      "q_sample_leakage", "q_text_dupe_stats", "q_events_rfm",
+      "q_events_window_funnel", "q_mix_kl", "q_agg_gini", "q_agg_entropy")
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val d = s"/root/testdata/$sf"
-      for (q <- Seq("q_window_locf", "q_events_ohlc", "q_events_concurrency",
-                    "q_profile_table", "q_graph_linkpred", "q_graph_hits")) {
+      for (q <- latest) {
         val df = graft.SparkEntry.queries(q)(spark, d)
-        val n = df.count()
-        println(s"[drive] $sf $q rows=$n")
-        if (sf == "sf0.01") df.show(5, truncate = false)
+        println(s"[drive] $sf $q rows=${df.count()}")
+        if (sf == "sf0.01") df.show(4, truncate = false)
       }
     }
     spark.stop()
