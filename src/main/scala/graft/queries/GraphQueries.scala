@@ -382,6 +382,29 @@ object GraphQueries {
         SELECT vertex, CAST(min(level) AS INT) AS level
         FROM r GROUP BY vertex ORDER BY vertex""")
     }),
+    "q_graph_diameter" -> ((s, d) => {
+      // exact + effective diameter off the same all-roots distance
+      // table as closeness: the true diameter (max pairwise distance)
+      // and the 90th-percentile "effective diameter" (the robust
+      // small-world statistic — ANF/HyperANF's target), picked with
+      // the integer cut rule the quantile family uses (cum*10 >= n*9,
+      // no float percentile). All-roots is fixture-exact; at 100 TB
+      // the same fold runs over sampled landmark roots.
+      val e = treeEdges(s, d)
+      val roots = e.select(col("src").as("root")).distinct()
+      val dist = Traversals.multiSourceDistances(e, roots)
+        .where(col("level") > 0).select(col("level").cast("long").as("dl"))
+      val byd = dist.groupBy("dl").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("dl")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      byd.withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .agg(max(col("dl")).as("diameter"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("dl")))
+            .as("eff_diameter_p90"),
+          max(col("n")).as("n_pairs"))
+    }),
     "q_graph_harmonic" -> ((s, d) => {
       // harmonic centrality off the same all-roots distance table as
       // closeness — the centrality that stays defined on disconnected
@@ -818,6 +841,8 @@ object GraphQueries {
       s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, sum(level)::BIGINT AS sum_dist, count(*)::BIGINT AS n_reach FROM lv GROUP BY root ORDER BY vertex""",
     "q_sql_recursive" ->
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT 0::BIGINT AS vertex, 0 AS level UNION ALL SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 10) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
+    "q_graph_diameter" ->
+      s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex), dd AS (SELECT level::BIGINT AS dl, count(*)::BIGINT AS c FROM lv WHERE level > 0 GROUP BY level), cu AS (SELECT dl, c, sum(c) OVER (ORDER BY dl ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM dd) SELECT max(dl)::BIGINT AS diameter, min(CASE WHEN cum * 10 >= n * 9 THEN dl END)::BIGINT AS eff_diameter_p90, max(n)::BIGINT AS n_pairs FROM cu""",
     "q_graph_harmonic" ->
       s"""WITH RECURSIVE $treeEdgeSql, v AS (SELECT DISTINCT src AS root FROM e), r AS (SELECT root, root AS vertex, 0 AS level FROM v UNION SELECT r.root, e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30), lv AS (SELECT root, vertex, min(level) AS level FROM r GROUP BY root, vertex) SELECT root AS vertex, sum(2520 // level)::BIGINT AS h2520, count(*)::BIGINT AS n_reach FROM lv WHERE level > 0 GROUP BY root ORDER BY vertex""",
     "q_graph_reciprocity" ->
