@@ -145,13 +145,14 @@ object Dedup {
     sigOpt.foreach(requireSig(_, k, shingleN))
     val sig = sigOpt.getOrElse(
       minhashSignatures(docs, k, shingleN).localCheckpoint(true))
-    // mega-bucket guard (see Similarity.saltMembers): a degenerate
-    // bucket — every doc identical — would otherwise cross-join with
-    // itself O(n²); salting bounds it at O(n × maxBucket) per band
+    // ADAPTIVE mega-bucket guard (see Similarity.adaptiveSalt): a
+    // degenerate bucket — every doc identical — would otherwise
+    // cross-join with itself O(n²); salting bounds it at
+    // O(n × maxBucket) per band, and the salt join is only paid when
+    // splitCounts actually finds an oversized bucket
     val raw = bandRows(sig, k, bands, "doc_id")
-    val bandDf = Similarity.saltMembers(raw,
-      Similarity.splitCounts(raw, Seq("band_id", "bkey"), maxBucket),
-      Seq("band_id", "bkey"), "doc_id")
+    val (bandDf, _) =
+      Similarity.adaptiveSalt(raw, Seq("band_id", "bkey"), "doc_id", maxBucket)
     bandDf.as("a").join(bandDf.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
           col("a.salt") === col("b.salt") && col("a.doc_id") < col("b.doc_id"))
@@ -219,8 +220,9 @@ object Dedup {
                       maxBucket: Int = Similarity.maxBucketDefault): DataFrame = {
     requireSig(corpusSig, k, shingleN)
     val cRaw = bandRows(corpusSig, k, bands, "corpus_id")
-    val splits = Similarity.splitCounts(cRaw, Seq("band_id", "bkey"), maxBucket)
-    Similarity.saltMembers(cRaw, splits, Seq("band_id", "bkey"), "corpus_id")
+    val (salted, splits) =
+      Similarity.adaptiveSalt(cRaw, Seq("band_id", "bkey"), "corpus_id", maxBucket)
+    salted
       .join(splits, Seq("band_id", "bkey"), "left_outer")
       .select(col("band_id"), col("bkey"), col("salt"),
         col("corpus_id").as("corpus_id", candMetadata(k, bands, shingleN)),
@@ -249,11 +251,16 @@ object Dedup {
           .select("band_id", "bkey", "nsplit").distinct())
     }.getOrElse {
       val cRaw = bandRows(cSig, k, bands, "corpus_id")
-      val sp = Similarity.splitCounts(cRaw, Seq("band_id", "bkey"), maxBucket)
-      (Similarity.saltMembers(cRaw, sp, Seq("band_id", "bkey"), "corpus_id"), sp)
+      Similarity.adaptiveSalt(cRaw, Seq("band_id", "bkey"), "corpus_id", maxBucket)
     }
-    val cand = Similarity.probeAllSalts(bandRows(bSig, k, bands, "new_id"),
-        splits, Seq("band_id", "bkey"))
+    // probe side mirrors the adaptive guard: with no oversized corpus
+    // bucket there is nothing to replicate across, so the batch bands
+    // take a constant salt 0 instead of the explode + splits join
+    val bRaw = bandRows(bSig, k, bands, "new_id")
+    val probe =
+      if (splits.isEmpty) bRaw.withColumn("salt", lit(0))
+      else Similarity.probeAllSalts(bRaw, splits, Seq("band_id", "bkey"))
+    val cand = probe
       .join(salted, Seq("band_id", "bkey", "salt"))
       // a doc id present on BOTH sides (a re-ingested batch — routine
       // production retry) would band-join with itself and survive as a

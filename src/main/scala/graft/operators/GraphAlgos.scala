@@ -76,20 +76,39 @@ object GraphAlgos {
   def trianglesByMinVertex(edges: DataFrame): DataFrame =
     trianglesByMinVertex(edges, denseLocalMaxEdges)
 
-  def trianglesByMinVertex(edges: DataFrame, localMaxEdges: Long): DataFrame = {
+  /** Canonical undirected edge form `(a < b, deduped, long)` of a raw
+    * (src, dst) edge list, PINNED — the shared staging step of every
+    * wedge-machinery operator. Exposed so callers that run several
+    * motif/similarity operators over the SAME graph (the gate's
+    * modulus-graph family is four queries on one edge set) can stage
+    * it once and pass it to the `*Canon` entry points instead of
+    * re-paying the scan + distinct shuffle per operator — at 100 TB
+    * that staging pass is the dominant cost of small-output motif
+    * queries. */
+  def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+
+  def trianglesByMinVertex(edges: DataFrame, localMaxEdges: Long): DataFrame =
     // pin: und feeds the degree union (2x), the orientation join, and
     // the closing join; oriented is self-joined for wedges — unpinned,
     // the canonicalize+distinct shuffle would re-execute per consumer
     // (the repo's self-join pin rule, see Dedup.scala header)
-    val und = edges.select(
-        least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    trianglesByMinVertexCanon(canonicalUndirected(edges), localMaxEdges)
+
+  /** [[trianglesByMinVertex]] over an ALREADY canonical pinned edge
+    * table (contract of [[canonicalUndirected]]: a < b, deduped,
+    * long-typed, checkpointed). The input's checkpoint blocks are
+    * never dropped here — a memoized caller keeps serving them. */
+  def trianglesByMinVertexCanon(und: DataFrame,
+      localMaxEdges: Long = denseLocalMaxEdges): DataFrame = {
     // dense-small-graph fast path: count each triangle once at its
     // min vertex from driver-local adjacency sets — same bounded-
     // collect contract and rationale as [[jaccardPerEdge]]
     if (und.count() <= localMaxEdges) {
-      import edges.sparkSession.implicits._
+      import und.sparkSession.implicits._
       val e = und.select(col("a"), col("b")).as[(Long, Long)].collect()
       val adj = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.HashSet[Long]]
@@ -157,15 +176,17 @@ object GraphAlgos {
   def jaccardPerEdge(edges: DataFrame): DataFrame =
     jaccardPerEdge(edges, denseLocalMaxEdges)
 
-  def jaccardPerEdge(edges: DataFrame, localMaxEdges: Long): DataFrame = {
+  def jaccardPerEdge(edges: DataFrame, localMaxEdges: Long): DataFrame =
     // pin rule: und feeds the degree union (2x), the orientation
     // join, the closing join, and the final result join
-    val und = edges.select(
-        least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    jaccardPerEdgeCanon(canonicalUndirected(edges), localMaxEdges)
+
+  /** [[jaccardPerEdge]] over an ALREADY canonical pinned edge table
+    * ([[canonicalUndirected]] contract; blocks never dropped here). */
+  def jaccardPerEdgeCanon(und: DataFrame,
+      localMaxEdges: Long = denseLocalMaxEdges): DataFrame = {
     if (und.count() <= localMaxEdges) {
-      import edges.sparkSession.implicits._
+      import und.sparkSession.implicits._
       val e = und.select(col("a"), col("b")).as[(Long, Long)].collect()
       val adj = scala.collection.mutable.HashMap
         .empty[Long, scala.collection.mutable.HashSet[Long]]
@@ -242,13 +263,20 @@ object GraphAlgos {
     * support computation (degree agg + orientation + wedge join — all
     * key-partitioned) + one filter; per-round checkpoints keep lineage
     * flat, and superseded checkpoint blocks are dropped eagerly. */
-  def trussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def trussPeel(edges: DataFrame, k: Int, rounds: Int): DataFrame =
+    trussPeelCanon(canonicalUndirected(edges), k, rounds, ownsInput = true)
+
+  /** [[trussPeel]] over an ALREADY canonical pinned edge table. With
+    * `ownsInput = false` (the memoized-caller default) the INPUT's
+    * checkpoint blocks are left alive for the caller's other
+    * consumers; intermediate per-round checkpoints created here are
+    * always reaped eagerly either way. */
+  def trussPeelCanon(canonical: DataFrame, k: Int, rounds: Int,
+      ownsInput: Boolean = false): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1, s"trussPeel needs rounds >= 1, got $rounds")
-    var und = edges.select(
-        least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var und = canonical
+    var owned = ownsInput
     var survivors: DataFrame = null
     (1 to rounds).foreach { _ =>
       val deg = und.select(col("a").as("v")).union(und.select(col("b")))
@@ -268,9 +296,12 @@ object GraphAlgos {
       survivors = surv
       und = surv.select("a", "b")
       // prev's blocks are superseded (surv is materialised); drop them
-      // eagerly rather than waiting on the ContextCleaner
-      Traversals.dropCheckpoint(prev,
-        keep = Traversals.checkpointRddIds(surv))
+      // eagerly rather than waiting on the ContextCleaner — but never
+      // drop a caller-owned (memoized) input table
+      if (owned)
+        Traversals.dropCheckpoint(prev,
+          keep = Traversals.checkpointRddIds(surv))
+      owned = true
     }
     survivors.select(col("a").as("src"), col("b").as("dst"), col("support"))
   }

