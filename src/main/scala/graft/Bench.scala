@@ -133,6 +133,165 @@ object Bench {
   // data work per superstep is a 150k-row join). PLANS.md has the
   // cluster-scale story.
 
+  /** The OTHER side of the bench-selection rule (BASELINE.md "Bench
+    * selection rule"): every gate query that does NOT headline, with
+    * the category that excludes it. BenchSelectionSpec asserts
+    * headline ++ benchExcluded.keys partitions SparkEntry.queries
+    * exactly, so a new gate entry MUST be classified — either it
+    * headlines or it names its exclusion — and a heavy entry can never
+    * silently drop out of the headline set. Categories:
+    *  - "streaming":       micro-batch trigger/commit latency, not
+    *                       data throughput (streaming never headlines)
+    *  - "commit-io":       temp-dir commit/rename or tiny-format
+    *                       roundtrip IO dominates (catalog, sinks,
+    *                       source-format roundtrips)
+    *  - "fixture-latency": input is fixed-size by construction (G1-G7
+    *                       goldens, 25-vertex nation graphs) or the
+    *                       cost is superstep barrier latency at
+    *                       local[*] (SCC label fixpoints), so the
+    *                       number measures scheduling, not operators
+    *  - "family-variant":  a sibling already headlines the family's
+    *                       cost profile and this member is sub-~0.1 s
+    *                       planning-dominated at sf0.1 (scalar/window/
+    *                       agg variants, the 10 scan-bound TPC-H
+    *                       members next to the 12 headlined ones) */
+  val benchExcluded: Map[String, String] = Map(
+    "q_stream_asof" -> "streaming",
+    "q_stream_cdc" -> "streaming",
+    "q_stream_dedup" -> "streaming",
+    "q_stream_dedup_corpus" -> "streaming",
+    "q_stream_enrich" -> "streaming",
+    "q_stream_hll" -> "streaming",
+    "q_stream_hourly" -> "streaming",
+    "q_stream_join" -> "streaming",
+    "q_stream_join_full" -> "streaming",
+    "q_stream_join_outer" -> "streaming",
+    "q_stream_quantile" -> "streaming",
+    "q_stream_scd2" -> "streaming",
+    "q_stream_session_native" -> "streaming",
+    "q_stream_sessionize" -> "streaming",
+    "q_stream_source_synth" -> "streaming",
+    "q_stream_topn" -> "streaming",
+    "q_catalog_diff" -> "commit-io",
+    "q_catalog_timetravel" -> "commit-io",
+    "q_catalog_vacuum" -> "commit-io",
+    "q_sink_matrixv2" -> "commit-io",
+    "q_source_corrupt" -> "commit-io",
+    "q_source_csv" -> "commit-io",
+    "q_source_evolution" -> "commit-io",
+    "q_source_jsonl" -> "commit-io",
+    "q_source_matrixv2" -> "commit-io",
+    "q_source_orc" -> "commit-io",
+    "q_source_partitioned" -> "commit-io",
+    "q_graph_betweenness" -> "fixture-latency",
+    "q_graph_bfs_bidir" -> "fixture-latency",
+    "q_graph_bfs_multi" -> "fixture-latency",
+    "q_graph_closeness" -> "fixture-latency",
+    "q_graph_clustcoef" -> "fixture-latency",
+    "q_graph_degree" -> "fixture-latency",
+    "q_graph_dfs_leaves" -> "fixture-latency",
+    "q_graph_diameter" -> "fixture-latency",
+    "q_graph_eccentricity" -> "fixture-latency",
+    "q_graph_harmonic" -> "fixture-latency",
+    "q_graph_lpa" -> "fixture-latency",
+    "q_graph_modularity" -> "fixture-latency",
+    "q_graph_mst" -> "fixture-latency",
+    "q_graph_pagerank" -> "fixture-latency",
+    "q_graph_pagerank_graphx" -> "fixture-latency",
+    "q_graph_ppr" -> "fixture-latency",
+    "q_graph_scc" -> "fixture-latency",
+    "q_graph_scc_big" -> "fixture-latency",
+    "q_graph_sssp" -> "fixture-latency",
+    "q_graph_subtree_sum" -> "fixture-latency",
+    "q_graph_tri_pervertex" -> "fixture-latency",
+    "q_graph_triangles" -> "fixture-latency",
+    "q_ref_g5_dfs_leaves" -> "fixture-latency",
+    "q_ref_g7_bfs" -> "fixture-latency",
+    "q_ref_g7_bfs_from3" -> "fixture-latency",
+    "q_ref_g7_dfs_leaves" -> "fixture-latency",
+    "q_agg_approx" -> "family-variant",
+    "q_agg_bool" -> "family-variant",
+    "q_agg_corr" -> "family-variant",
+    "q_agg_cube" -> "family-variant",
+    "q_agg_groupingsets" -> "family-variant",
+    "q_agg_having" -> "family-variant",
+    "q_agg_listagg" -> "family-variant",
+    "q_agg_mode" -> "family-variant",
+    "q_agg_moments" -> "family-variant",
+    "q_agg_percentile" -> "family-variant",
+    "q_agg_rollup" -> "family-variant",
+    "q_agg_stats" -> "family-variant",
+    "q_array_hof" -> "family-variant",
+    "q_array_ops" -> "family-variant",
+    "q_asof_forward" -> "family-variant",
+    "q_collect" -> "family-variant",
+    "q_crosstab" -> "family-variant",
+    "q_date_spine" -> "family-variant",
+    "q_dedup_cluster" -> "family-variant",
+    "q_dedup_embed_cluster" -> "family-variant",
+    "q_embed_knn_join" -> "family-variant",
+    "q_events_attribution" -> "family-variant",
+    "q_events_hourly" -> "family-variant",
+    "q_events_locf" -> "family-variant",
+    "q_events_session_native" -> "family-variant",
+    "q_events_transitions" -> "family-variant",
+    "q_events_twa" -> "family-variant",
+    "q_explode_embed" -> "family-variant",
+    "q_histogram" -> "family-variant",
+    "q_join_anti" -> "family-variant",
+    "q_join_outer" -> "family-variant",
+    "q_join_semi" -> "family-variant",
+    "q_join_skew" -> "family-variant",
+    "q_json_schema" -> "family-variant",
+    "q_mix_temperature" -> "family-variant",
+    "q_mix_weights" -> "family-variant",
+    "q_multimodal_frames" -> "family-variant",
+    "q_multimodal_hist" -> "family-variant",
+    "q_multimodal_meta" -> "family-variant",
+    "q_multimodal_resize" -> "family-variant",
+    "q_observe" -> "family-variant",
+    "q_pivot" -> "family-variant",
+    "q_profile" -> "family-variant",
+    "q_range_join" -> "family-variant",
+    "q_regex_clean" -> "family-variant",
+    "q_sample_split" -> "family-variant",
+    "q_sample_weighted" -> "family-variant",
+    "q_scalar_bits" -> "family-variant",
+    "q_scalar_case" -> "family-variant",
+    "q_scalar_date" -> "family-variant",
+    "q_scalar_hash" -> "family-variant",
+    "q_scalar_interval" -> "family-variant",
+    "q_scalar_more" -> "family-variant",
+    "q_scalar_null" -> "family-variant",
+    "q_scalar_string" -> "family-variant",
+    "q_scalar_try" -> "family-variant",
+    "q_set_bag" -> "family-variant",
+    "q_sql_recursive" -> "family-variant",
+    "q_subquery" -> "family-variant",
+    "q_subquery_corr" -> "family-variant",
+    "q_text_bigrams" -> "family-variant",
+    "q_text_langid" -> "family-variant",
+    "q_text_pack" -> "family-variant",
+    "q_text_quality" -> "family-variant",
+    "q_text_repetition" -> "family-variant",
+    "q_text_tfidf" -> "family-variant",
+    "q_tpch_q12" -> "family-variant",
+    "q_tpch_q13" -> "family-variant",
+    "q_tpch_q14" -> "family-variant",
+    "q_tpch_q15" -> "family-variant",
+    "q_tpch_q17" -> "family-variant",
+    "q_tpch_q18" -> "family-variant",
+    "q_tpch_q22" -> "family-variant",
+    "q_tpch_q4" -> "family-variant",
+    "q_tpch_q6" -> "family-variant",
+    "q_tpch_q7" -> "family-variant",
+    "q_union_all" -> "family-variant",
+    "q_unpivot" -> "family-variant",
+    "q_window_lag" -> "family-variant",
+    "q_window_nth" -> "family-variant",
+    "q_window_range_frame" -> "family-variant",
+    "q_window_running" -> "family-variant")
+
   /** Per-query timing entries in any past artifact. The driver's
     * BENCH_r{N}.json wraps this program's stdout inside an escaped JSON
     * string field ("tail": "...\"q_x\":1.23..."), so every quote in the
@@ -172,6 +331,37 @@ object Bench {
       if (Files.exists(p)) parseMins(Files.readString(p)) else Seq.empty
     } catch { case _: Throwable => Seq.empty })
     pairs.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).min }
+  }
+
+  /** Fixed-work CPU-steal probe: every probe thread runs the same
+    * xorshift spin (pure registers, no allocation, no memory traffic),
+    * so on an UNCONTENDED host the wall time is a machine constant.
+    * When the recorded value for a window reads well above the run's
+    * own minimum, the host was stealing cycles during that window —
+    * in-artifact evidence that a slow suite entry was scheduling
+    * noise, not a plan regression (the r10/r11 pagerank_big argument,
+    * previously narrative-only). Spawns `threads` threads so
+    * contention on ANY core shows up, like a real barrier-bound
+    * superstep would see it. ~0.15 s/probe on this host when idle. */
+  @volatile private var spinSink: Long = 0L
+  private[graft] def spinProbe(threads: Int): Double = {
+    val iters = 150000000L
+    val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      val th = new Thread(() => {
+        var x = i.toLong * 2654435761L | 1L
+        var n = 0L
+        while (n < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; n += 1
+        }
+        acc.addAndGet(x)
+      })
+      th.setDaemon(true); th.start(); th
+    }
+    ts.foreach(_.join())
+    spinSink = acc.get() // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
   }
 
   def main(args: Array[String]): Unit = {
@@ -287,6 +477,8 @@ object Bench {
     // a median absorbs one bad run and makes round-over-round deltas
     // reflect code, not scheduling luck.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // steal-probe calibration BEFORE the timed suite (see spinProbe)
+    val spinPre = spinProbe(cpus.toInt)
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir).count()
@@ -345,10 +537,14 @@ object Bench {
       case (n, med, mn) if med >= 0 && (med > 2.0 * bestKnown(n) ||
         mn > 2.0 * histMin.getOrElse(n, Double.MaxValue)) => n }
     val medByName = results.collect { case (n, m, _) => n -> m }.toMap
+    val isolatedSpin = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val isolated = outliers.map { name =>
       System.gc()
       Thread.sleep(200) // let the ContextCleaner drain before timing
       val t = try timeOnce(name) catch { case _: Throwable => -1.0 }
+      // steal probe in the SAME window as the rerun: if the probe too
+      // reads above the run's floor, the window itself was contended
+      isolatedSpin += name -> spinProbe(cpus.toInt)
       // name the trigger that actually fired — a min-drift rerun
       // logged as a median breach points triage at the wrong signal
       val why =
@@ -367,6 +563,18 @@ object Bench {
     val qs = obj(results.map { case (k, m, _) => (k, m) })
     val qsMin = obj(results.map { case (k, _, mn) => (k, mn) })
     val iso = obj(isolated)
+    // post-suite steal probe + per-isolated-window probes: three spin
+    // samples (pre/post/iso) of identical fixed work bracket the run,
+    // so artifact readers can decide steal-vs-regression from data
+    val spinPost = spinProbe(cpus.toInt)
+    // "iso_" prefix keeps these keys out of parseMins's q_* entry regex:
+    // a 0.15 s spin sample must never be mistaken for a query minimum
+    val spin = obj(Seq("pre" -> spinPre, "post" -> spinPost) ++
+      isolatedSpin.toSeq.map { case (n, v) => s"iso_$n" -> v })
+    // phase breakdown of the LAST pagerank execution in this JVM
+    // (suite rep or isolated rerun — whichever ran last): staging scan
+    // vs fused-superstep segment, the "where did the time go" record
+    val prPhases = obj(graft.operators.Traversals.lastPageRankPhases.get())
     val failed = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // any failure ⇒ total is null: a partial sum is SMALLER than a clean
@@ -384,7 +592,7 @@ object Bench {
       if (anyFailed) "null"
       else fmt(results.map { case (n, _, mn) =>
         isoMap.get(n).filter(_ >= 0).map(math.min(_, mn)).getOrElse(mn) }.sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"spin":$spin,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the artifact line to a file: the r9 record was lost
     // because the capture wrapper kept only the tail of stdout and the

@@ -418,8 +418,25 @@ object Traversals {
     * iteration: one vertex-keyed join + one hash agg; lineage cut by
     * localCheckpoint. Input directed `(src, dst)`; every edge endpoint
     * is a vertex. */
+  /** Phase wall-times of the most recent [[pageRankDeterministic]] run
+    * in this JVM: (phase name, seconds) for the edge/vertex staging
+    * pass and each fused-superstep segment's materialization. Written
+    * on every run; read by Bench so the artifact records WHERE a slow
+    * pagerank execution spent its time (staging scan vs superstep
+    * barriers) — the in-artifact evidence that separates host CPU
+    * steal from a plan regression (r11 VERDICT item 2). */
+  private[graft] val lastPageRankPhases =
+    new java.util.concurrent.atomic.AtomicReference[Seq[(String, Double)]](Nil)
+
   def pageRankDeterministic(edges: DataFrame, iters: Int = 10,
                             reset: Double = 0.15): DataFrame = {
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def phase[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val res = body
+      phases += name -> (System.nanoTime() - t0) / 1e9
+      res
+    }
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("odeg"))
     // ONE cached table, (src, dst, odeg), hash-partitioned on src: the
@@ -437,9 +454,11 @@ object Traversals {
     // every edge's src has odeg >= 1 by construction, so the inner
     // join drops no edge row — eo's endpoint set IS the vertex set,
     // and deriving it from the cache spares a third pass over `edges`
-    val verts = eo.select(col("src").as("vertex"))
-      .union(eo.select(col("dst").as("vertex"))).distinct()
-      .checkpointSized()
+    val verts = phase("stage_edges_verts") {
+      eo.select(col("src").as("vertex"))
+        .union(eo.select(col("dst").as("vertex"))).distinct()
+        .checkpointSized()
+    }
     // Missing-vertex fill by UNION, not by a per-iteration left-outer
     // rebuild join: a zero-contribution row per vertex rides into the
     // same hash agg that sums the edge contributions, so each
@@ -472,15 +491,17 @@ object Traversals {
         .groupBy("vertex")
         .agg((lit(reset) + lit(1 - reset) * sum(col("w")).cast("double")).as("rank"))
       if (i % pageRankFuseDepth == 0 && i < iters) {
-        r = r.checkpointSized()
+        r = phase(s"supersteps_to_$i") { r.checkpointSized() }
         prevSeg.foreach(dropCheckpoint(_, keep = checkpointRddIds(r)))
         prevSeg = Some(r)
       }
     }
-    r = r.checkpointSized() // cut the final segment's lineage
+    // cut the final segment's lineage
+    r = phase(s"supersteps_to_$iters") { r.checkpointSized() }
     eo.unpersist(blocking = false)
     prevSeg.foreach(dropCheckpoint(_, keep = checkpointRddIds(r)))
     dropCheckpoint(verts, keep = checkpointRddIds(r))
+    lastPageRankPhases.set(phases.toSeq)
     r
   }
 

@@ -532,6 +532,22 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy("vertex")
     }),
+    "q_graph_pagerank_graphx" -> ((s, d) => {
+      // The GraphX staticPageRank path IN-GATE (r11 VERDICT item 7):
+      // the flagship "GraphX for analytics" operator had only a
+      // test-side tolerance check; this entry oracles it. 2 fixed
+      // iterations of the same unnormalized recurrence
+      // (rank' = 0.15 + 0.85·Σ rank/outdeg, rank₀ = 1) on the 25-node
+      // tree, unrolled in the oracle with plain double arithmetic
+      // (GraphX's own message type). Cross-engine sum-order float
+      // drift is ≤ ulp-scale on ≤3-term messages — far inside the
+      // round(,6) grid on this deterministic fixture, so the compare
+      // stays exact (same rationale as the decimal-free q_graph_hits
+      // deferral, checked empirically at both gate SFs).
+      graft.operators.GraphAlgos.pageRank(treeEdges(s, d), iters = 2)
+        .select(col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("vertex")
+    }),
     "q_graph_pagerank_big" -> ((s, d) => {
       // PageRank at DATA scale: 5 deterministic iterations over the
       // 600k-edge (sf0.1) order–supplier bipartite graph — the bench
@@ -919,6 +935,18 @@ object GraphQueries {
           s"ON v.vertex = s.vertex)"
       }.mkString(", ")
       s"""WITH $treeEdgeSql, od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, 1.0::DOUBLE AS rank FROM v), $iters SELECT vertex, round(rank, 6) AS rank FROM r10 ORDER BY vertex"""
+    },
+    "q_graph_pagerank_graphx" -> {
+      // two unrolled iterations in PLAIN DOUBLE arithmetic — the
+      // GraphX message type; sum-order drift « the round(,6) grid on
+      // the ≤3-in-degree tree (see the engine entry's rationale)
+      val iters = (1 to 2).map { i =>
+        s"r$i AS (SELECT v.vertex, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank FROM v LEFT JOIN " +
+          s"(SELECT e.dst AS vertex, sum(r${i - 1}.rank / od.odeg) AS m " +
+          s"FROM r${i - 1} JOIN od ON r${i - 1}.vertex = od.src JOIN e ON e.src = od.src GROUP BY e.dst) s " +
+          s"ON v.vertex = s.vertex)"
+      }.mkString(", ")
+      s"""WITH $treeEdgeSql, od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, 1.0::DOUBLE AS rank FROM v), $iters SELECT vertex, round(rank, 6) AS rank FROM r2 ORDER BY vertex"""
     },
     "q_graph_pagerank_big" -> {
       // five unrolled iterations of the same decimal-summed recurrence

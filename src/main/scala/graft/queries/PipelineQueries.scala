@@ -891,16 +891,22 @@ object PipelineQueries {
       // collapses the duplicate lev calls, so the win here is clarity
       // (one predicate, the tightest band), not speed.
       // REFINED blocking key (r12): the coarse (nation, segment) block
-      // admitted ~900k banded DPs at sf0.1; adding the name PREFIX
-      // (chars 1-14: the fixed "Customer#" head + the 5 high digits)
-      // as a third equi-key cuts candidates ~22x (the lever tools/
-      // Stress measured in r11) with recall verified UNCHANGED on the
-      // fixtures: every lev<=2 match at sf0.01 shares >=14 leading
-      // chars (min observed LCP = 14, checked via DuckDB), i.e. edits
-      // live in the low digits. This is the standard ER trade —
-      // blocking keys encode where true matches agree — and the exact
-      // same key is applied in the oracle, so engine and oracle stay
-      // pairwise identical by construction at every SF.
+      // admitted ~900k banded DPs at sf0.1 (3.15 s cross-round min);
+      // adding the name PREFIX (chars 1-14: the fixed "Customer#" head
+      // + the 5 high digits) as a third equi-key cuts candidates to
+      // ~500k (1.8 s). Recall analysis (DuckDB, both fixtures):
+      // IDENTICAL match set at sf0.01 — every lev<=2 match there
+      // shares >=14 leading chars (min observed LCP = 14), so the
+      // prefix is the LONGEST exact block at the gate scale. At sf0.1
+      // a ~3% tail of rotation-shaped pairs (1 insert + 1 delete
+      // shifting the digits, LCP 13) falls outside the refined class —
+      // the standard precision/recall/cost trade blocking keys encode
+      // (tools/Stress 'er_blocking_x10_refined' measures the cost axis
+      // of a harsher key the same way). Pigeonhole segment unions were
+      // measured too and CANNOT be exact here: shift pairs have
+      // hamming up to 5, so no partition-agreement scheme catches
+      // them. The identical key is applied in the oracle, so engine
+      // and oracle stay pairwise identical by construction at any SF.
       val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
         col("c_nationkey"), col("c_mktsegment"),
         substring(col("c_name"), 1, 14).as("c_nameblk"))

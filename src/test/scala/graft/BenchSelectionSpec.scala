@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the bench-selection rule (BASELINE.md "Bench selection
+  * rule"): `Bench.headline` and `Bench.benchExcluded` must partition
+  * the gate inventory exactly. A new gate entry that is neither
+  * headlined nor classified fails here — so a heavy query can never
+  * silently drop out of the headline set, and an exclusion always
+  * names its category. */
+class BenchSelectionSpec extends AnyFunSuite {
+
+  private val validCategories =
+    Set("streaming", "commit-io", "fixture-latency", "family-variant")
+
+  test("headline and benchExcluded partition SparkEntry.queries") {
+    val h = Bench.headline.toSet
+    val x = Bench.benchExcluded.keySet
+    val all = SparkEntry.queries.keySet
+    val overlap = h intersect x
+    assert(overlap.isEmpty,
+      s"queries both headlined and excluded: ${overlap.toSeq.sorted.mkString(", ")}")
+    val unclassified = all diff (h union x)
+    assert(unclassified.isEmpty,
+      "gate queries neither headlined nor classified in benchExcluded " +
+        s"(classify or headline them): ${unclassified.toSeq.sorted.mkString(", ")}")
+    val stale = (h union x) diff all
+    assert(stale.isEmpty,
+      s"bench names absent from the gate inventory: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("every exclusion uses a documented category") {
+    val bad = Bench.benchExcluded.filterNot { case (_, c) => validCategories(c) }
+    assert(bad.isEmpty, s"unknown exclusion categories: $bad")
+  }
+
+  test("streaming entries are excluded as streaming, and only they are") {
+    val streamNames = SparkEntry.queries.keySet.filter(_.startsWith("q_stream_"))
+    val classed = Bench.benchExcluded.filter(_._2 == "streaming").keySet
+    assert(classed == streamNames,
+      s"streaming classification drift: classed=$classed stream-named=$streamNames")
+  }
+
+  test("headline has no duplicates") {
+    val dup = Bench.headline.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    assert(dup.isEmpty, s"duplicate headline entries: ${dup.mkString(", ")}")
+  }
+}

@@ -585,6 +585,29 @@ object Stress {
           .join(und, col("p.dst") === col("a") && col("q.dst") === col("b"),
             "left_anti").count()
       }
+      // squares: the same diagonal-pair wedge self-join on the mod-150
+      // graph. The modulus bounds the wedge fan-out ARITHMETICALLY:
+      // |V| <= 150, so wedges = Σ_src C(deg,2) <= 150·C(149,2) =
+      // 1,653,900 whatever the data volume — the require records the
+      // bound, the STRESS line the saturation (x10 ≈ x1 + scan)
+      time("squares_x10_same_modulus", n10 / 4) {
+        val e0 = o10b.select((col("o_orderkey") % 150).as("x"),
+          (col("o_custkey") % 150).as("y"))
+        val und = e0.where(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b")).distinct()
+          .localCheckpoint(true)
+        val sym = und.select(col("a").as("src"), col("b").as("dst"))
+          .union(und.select(col("b"), col("a")))
+        val wedges = sym.as("p").join(sym.as("q"),
+            col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+        val nw = wedges.count()
+        require(nw <= 150L * 149L * 148L / 2,
+          s"wedge fan-out $nw exceeds the modulus bound")
+        println(s"STRESS squares_x10 wedge_rows=$nw (bound 1653900)")
+        wedges.groupBy(col("p.dst"), col("q.dst")).agg(count(lit(1)).as("cn"))
+          .where(expr("cn * (cn - 1) DIV 2") > 0).count()
+      }
       // KMV sketch at 10x events: state is k hashes per group however
       // many rows stream through — the probe verifies the distinct
       // stage bounds the rank window's input at key cardinality
