@@ -117,7 +117,12 @@ object Bench {
     // clustering-quality purity readout; session bounce rate
     "q_embed_purity", "q_events_bounce",
     // eval-hygiene pair: split-leakage audit, per-source dup census
-    "q_sample_leakage", "q_text_dupe_stats")
+    "q_sample_leakage", "q_text_dupe_stats",
+    // r12 wave: PII redaction scan (two-regex scrub + fingerprint),
+    // deterministic epoch upsampling (explode row amplification),
+    // data-card readout (argmax-lang + dup-census join), data-scale
+    // 2-round label propagation on the staged mod-300 graph
+    "q_text_pii", "q_mix_upsample", "q_pipeline_datacard", "q_graph_lpa_big")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
@@ -270,6 +275,7 @@ object Bench {
     "q_subquery" -> "family-variant",
     "q_subquery_corr" -> "family-variant",
     "q_text_bigrams" -> "family-variant",
+    "q_text_utf8" -> "family-variant",
     "q_text_langid" -> "family-variant",
     "q_text_pack" -> "family-variant",
     "q_text_quality" -> "family-variant",

@@ -678,6 +678,21 @@ object GraphQueries {
       Traversals.labelPropagation(treeEdges(s, d), iters = 2)
         .orderBy("vertex")
     }),
+    "q_graph_lpa_big" -> ((s, d) => {
+      // label propagation at DATA scale: the same deterministic
+      // 2-round synchronous LPA as q_graph_lpa (most-frequent
+      // neighbour label, ties to the smallest) but over the shared
+      // session-staged mod-300 graph (~45k edges at sf0.1) instead of
+      // the 25-node tree — the community-detection entry whose
+      // per-round cost is a real vertex-keyed join + hash agg. The
+      // oracle unrolls the identical two rounds over the mirrored
+      // edge CTE. Output bounded by the modulus (≤300 rows at any SF).
+      // labelPropagation symmetrizes internally — pass the canonical
+      // staged table directly, no pre-mirror
+      Traversals.labelPropagation(modulusUnd(s, d, 300)
+        .select(col("a").as("src"), col("b").as("dst")), iters = 2)
+        .orderBy("vertex")
+    }),
     "q_graph_modularity" -> ((s, d) => {
       // community-quality readout: Newman modularity of the LPA
       // communities (the measurement entry for community detection,
@@ -902,6 +917,9 @@ object GraphQueries {
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
     "q_graph_lpa" ->
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",
+    // same two unrolled LPA rounds over the mirrored mod-300 edge set
+    "q_graph_lpa_big" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",
     // the LPA chain through l2, then integer-form modularity terms
     "q_graph_modularity" ->
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex), und AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src < dst), mm AS (SELECT count(*)::BIGINT AS m FROM und), deg AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM e GROUP BY src), dc AS (SELECT l2.label, count(*)::BIGINT AS n_vertices, sum(deg.deg)::BIGINT AS d_sum FROM l2 JOIN deg ON l2.vertex = deg.vertex GROUP BY l2.label), ein AS (SELECT la.label, count(*)::BIGINT AS e_in FROM und JOIN l2 la ON und.a = la.vertex JOIN l2 lb ON und.b = lb.vertex WHERE la.label = lb.label GROUP BY la.label), rows_ AS (SELECT dc.label, dc.n_vertices, coalesce(ein.e_in, 0)::BIGINT AS e_in, dc.d_sum, (4 * mm.m * coalesce(ein.e_in, 0) - dc.d_sum * dc.d_sum)::BIGINT AS c_num, mm.m FROM dc LEFT JOIN ein ON dc.label = ein.label CROSS JOIN mm) SELECT label::BIGINT AS label, n_vertices, e_in, d_sum, round(c_num::DOUBLE / (4.0 * m * m), 6) AS q_contrib, round(sum(c_num) OVER ()::DOUBLE / (4.0 * m * m), 6) AS modularity FROM rows_ ORDER BY label""",

@@ -623,6 +623,120 @@ object PipelineQueries {
             col("n_docs"), 4).as("dup_ratio"))
         .orderBy("source")
     }),
+    "q_text_pii" -> ((s, d) => {
+      // PII redaction — the scrubbing pass every training corpus runs
+      // before release (emails, IPs → typed placeholders). The fixture
+      // text carries no PII, so a deterministic synthetic tail
+      // (doc_id-derived email + IPv4) is appended first — identically
+      // in the oracle — making the scrub provable: per-source match
+      // counts plus an order-independent fingerprint (sum of per-doc
+      // 48-bit md5 ints) of the REDACTED corpus. Patterns live in the
+      // Java∩RE2 common dialect (character classes + bounded repeats,
+      // no backrefs/lookaround), so Spark's java.util.regex and
+      // DuckDB's RE2 compile the same automaton. At 100 TB this is one
+      // narrow projection pass — no shuffle until the tiny per-source
+      // agg.
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val withPii = t(s, d, "documents").withColumn("txt",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7")))
+      withPii
+        .withColumn("n_email", size(expr(s"regexp_extract_all(txt, '$email', 0)")))
+        .withColumn("red", regexp_replace(
+          regexp_replace(col("txt"), email, "<EMAIL>"), ip, "<IP>"))
+        .withColumn("n_ip", size(expr(
+          "regexp_extract_all(red, '<IP>', 0)"))) // count AFTER email scrub:
+        // the injected email's host never double-counts as an IP
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_email")).cast("long").as("n_emails"),
+          sum(col("n_ip")).cast("long").as("n_ips"),
+          sum(conv(substring(md5(col("red")), 1, 12), 16, 10).cast("long"))
+            .cast("long").as("red_fp"))
+        .orderBy("source")
+    }),
+    "q_text_utf8" -> ((s, d) => {
+      // encoding-health stats (mojibake / multibyte detection): bytes
+      // vs chars per source — the cheap corpus-quality probe that
+      // catches double-encoded or binary-polluted shards. The fixture
+      // is all-ASCII, so a deterministic multibyte tail (é + €, 5
+      // UTF-8 bytes for 2 chars) is appended to every 7th doc in both
+      // engines — here via \\u source escapes (Spark's char(n) is NOT
+      // DuckDB's chr: it wraps at 256, so char(8364) would yield a
+      // different codepoint), in the oracle via chr() codepoints; no
+      // raw non-ASCII literal in either source file.
+      val marked = t(s, d, "documents").withColumn("txt",
+        concat(col("text"), when(col("doc_id") % 7 === 0,
+          lit("\u00e9\u20ac")).otherwise(lit(""))))
+      marked.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(octet_length(col("txt"))).cast("long").as("n_bytes"),
+          sum(length(col("txt"))).cast("long").as("n_chars"),
+          sum(when(octet_length(col("txt")) =!= length(col("txt")), 1L)
+            .otherwise(0L)).cast("long").as("n_multibyte_docs"))
+        .select(col("source"), col("n_docs"), col("n_bytes"), col("n_chars"),
+          col("n_multibyte_docs"),
+          round(col("n_bytes").cast("double") / col("n_chars"), 6).as("bloat"))
+        .orderBy("source")
+    }),
+    "q_mix_upsample" -> ((s, d) => {
+      // epoch-based upsampling — the mixture lever LLM pipelines pull
+      // to repeat high-quality sources (books 2-4 epochs, web 1):
+      // per-source factor 1.0/1.5/2.0/2.5 derived from the source id,
+      // integer part = guaranteed repeats, fractional part realised
+      // DETERMINISTICALLY (doc_id·37 mod 10 threshold — content-
+      // independent, so the same doc repeats identically on any
+      // cluster/run). explode(sequence) emits repeat rows with an
+      // epoch index; the readout checks emitted/docs against the
+      // factor. At 100 TB the explode is map-side row amplification —
+      // no shuffle until the per-source count.
+      val f = substring(col("source"), 4, 10).cast("int") % 4
+      val docs = t(s, d, "documents")
+        .withColumn("whole", lit(1) + (f / 2).cast("int")) // int div: / on
+        // Columns is double division; truncation matches DuckDB's //
+        .withColumn("extra",
+          when((col("doc_id") * 37) % 10 < (f % 2) * 5, 1).otherwise(0))
+        .withColumn("reps", col("whole") + col("extra"))
+      docs.select(col("source"), col("doc_id"),
+          explode(sequence(lit(1), col("reps"))).as("epoch"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_emitted"))
+        .select(col("source"), col("n_docs"), col("n_emitted"),
+          round(col("n_emitted").cast("double") / col("n_docs"), 4).as("realized"))
+        .orderBy("source")
+    }),
+    "q_pipeline_datacard" -> ((s, d) => {
+      // dataset datasheet (the "data card" releases ship): per-source
+      // doc count, language spread + dominant language (argmax by
+      // count, ties to the lexicographically smallest — the min-struct
+      // trick on (-cnt, lang)), exact text-dup ratio, char volume.
+      // Two hash aggs + one tiny join; every term integer-exact, only
+      // the closing ratios float.
+      val base = t(s, d, "documents")
+      val byLang = base.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+      val top = byLang.groupBy("source")
+        .agg(count(lit(1)).as("n_langs"),
+          min(struct((-col("c")).as("nc"), col("lang").as("l")))
+            .getField("l").as("top_lang"))
+      val stats = base.groupBy(col("source"), md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("source")
+        .agg(sum(col("n")).cast("long").as("n_docs"),
+          count(lit(1)).as("n_distinct"))
+      val chars = base.groupBy("source")
+        .agg(sum(col("n_chars")).cast("long").as("total_chars"))
+      stats.join(top, "source").join(chars, "source")
+        .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+          col("total_chars"),
+          round((col("n_docs") - col("n_distinct")).cast("double") /
+            col("n_docs"), 4).as("dup_ratio"),
+          round(col("total_chars").cast("double") / col("n_docs"), 2)
+            .as("avg_chars"))
+        .orderBy("source")
+    }),
     "q_sample_split" -> ((s, d) => {
       // deterministic train/val/test assignment by content-independent
       // hash of the stable id — reproducible splits at any scale, no
@@ -1715,6 +1829,24 @@ object PipelineQueries {
     // pos <= n-5 on the 0-based engine side) selects the same windows
     "q_text_winnow" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(list_transform(gs, x -> md5(x))) AS h FROM sh), wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g), sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - 4), ag AS (SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM sel GROUP BY doc_id) SELECT d.doc_id, coalesce(ag.n_fp, 0)::BIGINT AS n_fp, ag.min_fp, ag.max_fp FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id ORDER BY d.doc_id""",
+    // same synthetic-PII injection, the same two RE2-compatible scrub
+    // regexes ('g' = replace all, matching Spark's default), counts
+    // BEFORE (emails) / AFTER (ips on the scrubbed text), same 48-bit
+    // md5-int fingerprint of the redacted corpus
+    "q_text_pii" ->
+      """WITH w AS (SELECT source, doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 256) || '.7' AS txt FROM documents), r AS (SELECT source, len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, regexp_replace(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red FROM w) SELECT source, count(*)::BIGINT AS n_docs, sum(n_email)::BIGINT AS n_emails, sum(len(regexp_extract_all(red, '<IP>')))::BIGINT AS n_ips, sum(('0x' || substr(md5(red), 1, 12))::BIGINT)::BIGINT AS red_fp FROM r GROUP BY source ORDER BY source""",
+    // strlen = DuckDB's byte length; chr() codepoints keep both source
+    // files ASCII-only
+    "q_text_utf8" ->
+      """WITH m AS (SELECT source, text || CASE WHEN doc_id % 7 = 0 THEN chr(233) || chr(8364) ELSE '' END AS txt FROM documents) SELECT source, count(*)::BIGINT AS n_docs, sum(strlen(txt))::BIGINT AS n_bytes, sum(length(txt))::BIGINT AS n_chars, sum(CASE WHEN strlen(txt) <> length(txt) THEN 1 ELSE 0 END)::BIGINT AS n_multibyte_docs, round(sum(strlen(txt))::DOUBLE / sum(length(txt)), 6) AS bloat FROM m GROUP BY source ORDER BY source""",
+    // same factor derivation (1 + (srcnum % 4)/2) and deterministic
+    // fractional repeat (doc_id*37 mod 10); epoch rows via range unnest
+    "q_mix_upsample" ->
+      """WITH f AS (SELECT source, doc_id, 1 + (substr(source, 4)::INT % 4) // 2 + CASE WHEN (doc_id * 37) % 10 < ((substr(source, 4)::INT % 4) % 2) * 5 THEN 1 ELSE 0 END AS reps FROM documents), e AS (SELECT source, doc_id, unnest(range(1, reps + 1)) AS epoch FROM f) SELECT source, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_emitted, round(count(*)::DOUBLE / count(DISTINCT doc_id), 4) AS realized FROM e GROUP BY source ORDER BY source""",
+    // argmax lang via the min-struct trick on (-cnt, lang); dup ratio
+    // from the (source, md5) hash agg — all terms integer-exact
+    "q_pipeline_datacard" ->
+      """WITH bl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2), top AS (SELECT source, count(*)::BIGINT AS n_langs, (min({'nc': -c, 'l': lang})).l AS top_lang FROM bl GROUP BY source), st AS (SELECT source, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct FROM (SELECT source, md5(text) AS h, count(*) AS n FROM documents GROUP BY 1, 2) GROUP BY source), ch AS (SELECT source, sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY source) SELECT st.source, st.n_docs, top.n_langs, top.top_lang, ch.total_chars, round((st.n_docs - st.n_distinct)::DOUBLE / st.n_docs, 4) AS dup_ratio, round(ch.total_chars::DOUBLE / st.n_docs, 2) AS avg_chars FROM st JOIN top ON st.source = top.source JOIN ch ON st.source = ch.source ORDER BY st.source""",
     "q_er_match" ->
       """SELECT x.c_custkey AS a, y.c_custkey AS b, levenshtein(x.c_name, y.c_name)::INT AS dist FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment AND substr(x.c_name, 1, 14) = substr(y.c_name, 1, 14) AND x.c_custkey < y.c_custkey WHERE levenshtein(x.c_name, y.c_name) <= 2 ORDER BY a, b""",
     // distinct keys per group (plus the _all union), exact 48-bit

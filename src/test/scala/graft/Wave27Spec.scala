@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property checks for the r12 wave beyond their DuckDB oracles:
+  * PII redaction completeness, utf8 injection accounting, upsample
+  * factor realization, data-card internal consistency, and data-scale
+  * LPA label sanity. */
+class Wave27Spec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+  private def run(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("q_text_pii: every doc contributes exactly one email and one ip; no residue") {
+    val r = run("q_text_pii").collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_emails") == row.getAs[Long]("n_docs"),
+        s"source ${row.getAs[String]("source")}: email count != doc count")
+      assert(row.getAs[Long]("n_ips") == row.getAs[Long]("n_docs"))
+    }
+    // residue check: after the scrub no email/IP pattern survives
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val red = spark.read.parquet(s"$d/documents.parquet")
+      .withColumn("txt", concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.com from 10.0."),
+        (col("doc_id") % 256).cast("string"), lit(".7")))
+      .withColumn("red", regexp_replace(
+        regexp_replace(col("txt"), email, "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"))
+    assert(red.where(expr(s"red rlike '$email'")).count() == 0L,
+      "redacted text still matches the email pattern")
+  }
+
+  test("q_text_utf8: multibyte docs are exactly the doc_id % 7 == 0 docs") {
+    val got = run("q_text_utf8").agg(
+      sum("n_multibyte_docs"), sum("n_docs"), sum("n_bytes"), sum("n_chars")).head()
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val want = docs.where(col("doc_id") % 7 === 0).count()
+    assert(got.getLong(0) == want)
+    // injected tail: +2 chars and +5 bytes per marked doc
+    val baseChars = docs.agg(sum(length(col("text")))).head().getLong(0)
+    assert(got.getLong(3) == baseChars + 2 * want, "char accounting")
+    assert(got.getLong(2) == baseChars + 5 * want,
+      "byte accounting (fixture all-ASCII, tail é€ = 5 bytes)")
+  }
+
+  test("q_mix_upsample: realized factor lands within the fractional band") {
+    run("q_mix_upsample").collect().foreach { row =>
+      val src = row.getAs[String]("source")
+      val f = 1.0 + (src.stripPrefix("src").toInt % 4) * 0.5
+      val realized = row.getAs[Double]("realized")
+      // integer part guaranteed; fractional part is a deterministic
+      // ~50% doc subset, so realized is within 0.5 of the target
+      assert(realized >= math.floor(f) && realized <= math.ceil(f),
+        s"$src: realized $realized outside [${math.floor(f)}, ${math.ceil(f)}] for factor $f")
+      assert(row.getAs[Long]("n_emitted") >= row.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q_pipeline_datacard agrees with q_text_dupe_stats on the dup census") {
+    val card = run("q_pipeline_datacard")
+      .select("source", "n_docs", "dup_ratio").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val census = run("q_text_dupe_stats")
+      .select("source", "n_docs", "dup_ratio").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(card == census, "datacard and dupe census disagree")
+  }
+
+  test("q_graph_lpa_big: labels are existing vertex ids and rounds converge downward") {
+    val labels = run("q_graph_lpa_big").collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
+    val verts = labels.keySet
+    assert(labels.values.forall(verts.contains), "label not a vertex id")
+    // 2-round label count must not exceed the 1-round count's vertex
+    // total and community count should be <= |V| (sanity, not theory:
+    // LPA label counts usually shrink but can oscillate on bipartite
+    // structures — the oracle pins exact values; this pins shape)
+    assert(labels.values.toSet.size <= verts.size)
+    assert(verts.size <= 300, "modulus bound violated")
+  }
+}
