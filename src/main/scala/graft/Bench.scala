@@ -122,7 +122,10 @@ object Bench {
     // deterministic epoch upsampling (explode row amplification),
     // data-card readout (argmax-lang + dup-census join), data-scale
     // 2-round label propagation on the staged mod-300 graph
-    "q_text_pii", "q_mix_upsample", "q_pipeline_datacard", "q_graph_lpa_big")
+    "q_text_pii", "q_mix_upsample", "q_pipeline_datacard", "q_graph_lpa_big",
+    // hashing-trick featurizer (vocab-free token->bucket agg);
+    // deterministic hash-argmin walks (3 superstep joins)
+    "q_feature_hash", "q_graph_walks")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
@@ -276,6 +279,7 @@ object Bench {
     "q_subquery_corr" -> "family-variant",
     "q_text_bigrams" -> "family-variant",
     "q_text_utf8" -> "family-variant",
+    "q_embed_norms" -> "family-variant",
     "q_text_langid" -> "family-variant",
     "q_text_pack" -> "family-variant",
     "q_text_quality" -> "family-variant",

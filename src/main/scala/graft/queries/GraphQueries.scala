@@ -678,6 +678,33 @@ object GraphQueries {
       Traversals.labelPropagation(treeEdges(s, d), iters = 2)
         .orderBy("vertex")
     }),
+    "q_graph_walks" -> ((s, d) => {
+      // deterministic graph walks — the DeepWalk/node2vec sampling
+      // primitive with hash-argmin choice instead of an RNG: from
+      // every vertex of the staged mod-150 graph, 3 steps where
+      // step i moves to the neighbour minimizing md5("walk{i}|cur|n")
+      // — content-independent, so the walk corpus is bit-reproducible
+      // on any cluster (the property RNG-based samplers lose under
+      // retries/speculation). Each step is one vertex-keyed join +
+      // one argmin hash agg — the same superstep shape as BFS; at
+      // 100 TB walks fan out map-side and only the per-walk argmin
+      // shuffles. Output: (start, v1, v2, v3), ≤150 rows by modulus.
+      val sym = mirror(modulusUnd(s, d, 150)
+        .select(col("a").as("src"), col("b").as("dst")))
+        .localCheckpoint(true) // three step joins over one tiny table
+      def pick(i: Int, cur: String): org.apache.spark.sql.Column =
+        min(struct(md5(concat(lit(s"walk$i|"), col(cur).cast("string"),
+          lit("|"), col("dst").cast("string"))).as("h"),
+          col("dst").as("n"))).getField("n")
+      val w1 = sym.groupBy(col("src").as("start"))
+        .agg(pick(1, "src").as("v1"))
+      val w2 = w1.join(sym, w1("v1") === sym("src"))
+        .groupBy(col("start"), col("v1")).agg(pick(2, "v1").as("v2"))
+      w2.join(sym, w2("v2") === sym("src"))
+        .groupBy(col("start"), col("v1"), col("v2"))
+        .agg(pick(3, "v2").as("v3"))
+        .orderBy("start")
+    }),
     "q_graph_lpa_big" -> ((s, d) => {
       // label propagation at DATA scale: the same deterministic
       // 2-round synchronous LPA as q_graph_lpa (most-frequent
@@ -917,6 +944,11 @@ object GraphQueries {
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
     "q_graph_lpa" ->
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",
+    // three unrolled hash-argmin steps over the mirrored mod-150 set;
+    // min-struct on (md5 hex, neighbour) — binary string collation in
+    // both engines, so the argmin picks identically
+    "q_graph_walks" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 150, o_custkey % 150)::BIGINT AS a, greatest(o_orderkey % 150, o_custkey % 150)::BIGINT AS b FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), w1 AS (SELECT src AS start, (min({'h': md5('walk1|' || src::VARCHAR || '|' || dst::VARCHAR), 'n': dst})).n AS v1 FROM e GROUP BY src), w2 AS (SELECT w1.start, w1.v1, (min({'h': md5('walk2|' || w1.v1::VARCHAR || '|' || e.dst::VARCHAR), 'n': e.dst})).n AS v2 FROM w1 JOIN e ON e.src = w1.v1 GROUP BY w1.start, w1.v1), w3 AS (SELECT w2.start, w2.v1, w2.v2, (min({'h': md5('walk3|' || w2.v2::VARCHAR || '|' || e.dst::VARCHAR), 'n': e.dst})).n AS v3 FROM w2 JOIN e ON e.src = w2.v2 GROUP BY w2.start, w2.v1, w2.v2) SELECT start, v1, v2, v3 FROM w3 ORDER BY start""",
     // same two unrolled LPA rounds over the mirrored mod-300 edge set
     "q_graph_lpa_big" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",

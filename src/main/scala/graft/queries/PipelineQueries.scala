@@ -623,6 +623,43 @@ object PipelineQueries {
             col("n_docs"), 4).as("dup_ratio"))
         .orderBy("source")
     }),
+    "q_feature_hash" -> ((s, d) => {
+      // hashing-trick features (Weinberger et al. 2009 — the
+      // vocabulary-free featurizer): token → one of 16 md5-derived
+      // buckets, per-doc sparse count vector as (doc_id, bucket, cnt)
+      // rows. THE reason this scales where CountVectorizer doesn't:
+      // no global dictionary build, no broadcast vocab — the map side
+      // hashes tokens straight into bucket ids and only the (doc,
+      // bucket) hash agg shuffles. Shared whitespace tokenizer
+      // (toksSql twin) keeps oracle parity.
+      val toks = t(s, d, "documents").select(col("doc_id"),
+        explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      toks.where(col("tok") =!= "")
+        .withColumn("bucket",
+          (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 16)
+            .cast("int"))
+        .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "bucket")
+    }),
+    "q_embed_norms" -> ((s, d) => {
+      // vector-store health readout: per-label norm² distribution —
+      // the drift/collapse probe run before any ANN index build (a
+      // label whose norms collapse toward 0 or blow up breaks cosine
+      // vs dot consistency). norm² via the codegen'd dot_fold(v, v)
+      // (same left-fold order as the oracle's list_reduce), per-row
+      // round(6) BEFORE the decimal sum so the per-label mean is
+      // accumulation-order independent at any partitioning.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings").select(col("label"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      e.select(col("label"), round(expr("dot_fold(v, v)"), 6).as("n2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          min(col("n2")).as("min_n2"), max(col("n2")).as("max_n2"),
+          round(sum(col("n2").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 4).as("avg_n2"))
+        .orderBy("label")
+    }),
     "q_text_pii" -> ((s, d) => {
       // PII redaction — the scrubbing pass every training corpus runs
       // before release (emails, IPs → typed placeholders). The fixture
@@ -1829,6 +1866,13 @@ object PipelineQueries {
     // pos <= n-5 on the 0-based engine side) selects the same windows
     "q_text_winnow" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(list_transform(gs, x -> md5(x))) AS h FROM sh), wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g), sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - 4), ag AS (SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM sel GROUP BY doc_id) SELECT d.doc_id, coalesce(ag.n_fp, 0)::BIGINT AS n_fp, ag.min_fp, ag.max_fp FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id ORDER BY d.doc_id""",
+    // same whitespace tokenizer, 16-bit md5 prefix % 16 buckets
+    "q_feature_hash" ->
+      s"""WITH $toksSql, tr AS (SELECT doc_id, unnest(tk) AS tok FROM toks) SELECT doc_id, (('0x' || substr(md5(tok), 1, 4))::BIGINT % 16)::INT AS bucket, count(*)::BIGINT AS cnt FROM tr WHERE tok <> '' GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    // same ordered left fold (list_reduce) for norm², same per-row
+    // round-then-decimal-sum mean
+    "q_embed_norms" ->
+      s"""WITH e AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), n AS (SELECT label, round(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}, 6) AS n2 FROM e) SELECT label, count(*)::BIGINT AS n_vecs, min(n2) AS min_n2, max(n2) AS max_n2, round(sum(n2::DECIMAL(38,18))::DOUBLE / count(*), 4) AS avg_n2 FROM n GROUP BY label ORDER BY label""",
     // same synthetic-PII injection, the same two RE2-compatible scrub
     // regexes ('g' = replace all, matching Spark's default), counts
     // BEFORE (emails) / AFTER (ips on the scrubbed text), same 48-bit

@@ -66,6 +66,35 @@ class Wave27Spec extends SparkSpec {
     assert(card == census, "datacard and dupe census disagree")
   }
 
+  test("q_feature_hash: buckets in [0,16) and counts conserve the token volume") {
+    val r = run("q_feature_hash")
+    assert(r.where(col("bucket") < 0 || col("bucket") >= 16).count() == 0L)
+    val emitted = r.agg(sum("cnt")).head().getLong(0)
+    val toks = spark.read.parquet(s"$d/documents.parquet")
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .where(col("t") =!= "").count()
+    assert(emitted == toks, s"bucket counts $emitted != token volume $toks")
+  }
+
+  test("q_graph_walks: every step follows an existing edge") {
+    val w = run("q_graph_walks").collect()
+    val und = spark.read.parquet(s"$d/orders.parquet")
+      .select((col("o_orderkey") % 150).as("x"), (col("o_custkey") % 150).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).cast("long").as("a"),
+        greatest(col("x"), col("y")).cast("long").as("b"))
+      .distinct().collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    w.foreach { row =>
+      val p = Seq("start", "v1", "v2", "v3").map(c => row.getAs[Long](c))
+      p.sliding(2).foreach { case Seq(u, v) =>
+        assert(und.contains((u, v)), s"walk step $u->$v is not an edge")
+      }
+    }
+    assert(w.nonEmpty)
+  }
+
   test("q_graph_lpa_big: labels are existing vertex ids and rounds converge downward") {
     val labels = run("q_graph_lpa_big").collect()
       .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
