@@ -125,7 +125,11 @@ object Bench {
     "q_text_pii", "q_mix_upsample", "q_pipeline_datacard", "q_graph_lpa_big",
     // hashing-trick featurizer (vocab-free token->bucket agg);
     // deterministic hash-argmin walks (3 superstep joins)
-    "q_feature_hash", "q_graph_walks")
+    "q_feature_hash", "q_graph_walks",
+    // join-driven dynamic partition pruning over a year-partitioned
+    // staged fact (write + pruned join timed together — the commit IO
+    // is part of this entry's story like q_layout_zorder's)
+    "q_join_dpp")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
@@ -280,6 +284,8 @@ object Bench {
     "q_text_bigrams" -> "family-variant",
     "q_text_utf8" -> "family-variant",
     "q_embed_norms" -> "family-variant",
+    "q_sample_systematic" -> "family-variant",
+    "q_graph_coreness" -> "fixture-latency",
     "q_text_langid" -> "family-variant",
     "q_text_pack" -> "family-variant",
     "q_text_quality" -> "family-variant",

@@ -759,6 +759,34 @@ object GraphQueries {
         .select("label", "n_vertices", "e_in", "d_sum", "q_contrib", "modularity")
         .orderBy("label")
     }),
+    "q_graph_coreness" -> ((s, d) => {
+      // bounded core DECOMPOSITION (k-sweep): coreness(v) = max k in
+      // 2..7 with v in the k-core — the per-vertex peel-depth
+      // statistic one level up from q_graph_kcore's single-k
+      // membership (the graph-mining "how deep does this vertex sit"
+      // feature). Each k-core comes from the verified fixpoint peel;
+      // endpoints outside every 2-core report 1 (they have degree
+      // ≥ 1 by the edge-derived vertex set). The sweep is bounded by
+      // design: cores nest (k-core ⊆ (k-1)-core), so the oracle peels
+      // each k from the previous core's fixpoint edge set — and a
+      // production run at scale does exactly that incremental chain
+      // rather than 6 independent peels of the full graph.
+      val n = t(s, d, "nation").select(col("n_nationkey").cast("long").as("k"))
+      val e = n.as("a").join(n.as("b"),
+          col("a.k") < col("b.k") && (col("a.k") + col("b.k")) % 4 === 0)
+        .select(col("a.k").as("src"), col("b.k").as("dst"))
+        .localCheckpoint(true) // feeds 6 peel sweeps + the vertex union
+      val verts = e.select(col("src").as("vertex"))
+        .union(e.select(col("dst"))).distinct()
+      val members = (2 to 7).map(k =>
+          Traversals.kcore(e, k).withColumn("kk", lit(k.toLong)))
+        .reduce(_ unionByName _)
+      verts.join(members.groupBy("vertex").agg(max(col("kk")).as("mk")),
+          Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          coalesce(col("mk"), lit(1L)).cast("long").as("coreness"))
+        .orderBy("vertex")
+    }),
     "q_graph_kcore" -> ((s, d) => {
       // 6-core of the (a+b)%4 pair graph: two peel rounds drop 6
       // vertices (oracle unrolls four peels — safely past fixpoint)
@@ -1008,6 +1036,28 @@ object GraphQueries {
           s"ON v.vertex = s.vertex)"
       }.mkString(", ")
       s"""WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, 1.0::DOUBLE AS rank FROM v), $iters SELECT vertex::BIGINT AS vertex, round(rank, 6) AS rank FROM r5 ORDER BY round(rank, 6) DESC, vertex LIMIT 20"""
+    },
+    "q_graph_coreness" -> {
+      // incremental peel chains: each k peels 4 unrolled rounds from
+      // the PREVIOUS core's fixpoint edge set (cores nest, so the
+      // chained fixpoint equals the full-graph fixpoint the engine
+      // computes); membership union -> max k per vertex, absent -> 1
+      // MATERIALIZED is load-bearing: each round references its
+      // predecessor 3x (edge side + both endpoint-membership joins),
+      // so the default CTE inlining would expand the 24-round chain
+      // 3^24-fold at plan time; materialization keeps it linear
+      def chain(k: Int, prev: String): String =
+        (1 to 4).map { i =>
+          val p = if (i == 1) prev else s"e${k}_${i - 1}"
+          s"k${k}_$i AS MATERIALIZED (SELECT src AS v FROM (SELECT src, count(*) AS c FROM $p GROUP BY src) WHERE c >= $k), " +
+            s"e${k}_$i AS MATERIALIZED (SELECT e.src, e.dst FROM $p e JOIN k${k}_$i a ON e.src = a.v JOIN k${k}_$i b ON e.dst = b.v)"
+        }.mkString(", ")
+      val chains = (2 to 7)
+        .map(k => chain(k, if (k == 2) "e0" else s"e${k - 1}_4")).mkString(", ")
+      val members = (2 to 7)
+        .map(k => s"SELECT DISTINCT src AS vertex, $k AS kk FROM e${k}_4")
+        .mkString(" UNION ALL ")
+      s"""WITH p0 AS (SELECT a.n_nationkey::BIGINT AS src, b.n_nationkey::BIGINT AS dst FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0), e0 AS (SELECT src, dst FROM p0 UNION SELECT dst, src FROM p0), $chains, mem AS ($members), verts AS (SELECT DISTINCT src AS vertex FROM e0) SELECT verts.vertex AS vertex, coalesce(max(mem.kk), 1)::BIGINT AS coreness FROM verts LEFT JOIN mem ON verts.vertex = mem.vertex GROUP BY verts.vertex ORDER BY verts.vertex"""
     },
     "q_graph_kcore" -> {
       // four unrolled peel rounds (fixpoint is at two on this graph)

@@ -623,6 +623,28 @@ object PipelineQueries {
             col("n_docs"), 4).as("dup_ratio"))
         .orderBy("source")
     }),
+    "q_sample_systematic" -> ((s, d) => {
+      // systematic (interval) sampling — the deterministic weighted
+      // sampler survey methodology uses: within each source, docs
+      // ordered by doc_id accumulate weight (n_chars); a doc is
+      // selected iff its weight interval crosses a stride boundary
+      // (stride = source total DIV 10 → ~10 picks/source, selection
+      // probability ∝ weight). Content-independent, integer-exact,
+      // reproducible under any partitioning — and the prefix sum is
+      // per-source (partition-parallel windows), never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("source")
+      t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .withColumn("total", sum(col("n_chars")).over(tw))
+        .withColumn("stride", greatest(lit(1L), expr("total DIV 10")))
+        .where(expr("cum DIV stride") > expr("(cum - n_chars) DIV stride"))
+        .select(col("source"), col("doc_id"), col("cum").cast("long").as("cum"))
+        .orderBy("source", "doc_id")
+    }),
     "q_feature_hash" -> ((s, d) => {
       // hashing-trick features (Weinberger et al. 2009 — the
       // vocabulary-free featurizer): token → one of 16 md5-derived
@@ -1866,6 +1888,9 @@ object PipelineQueries {
     // pos <= n-5 on the 0-based engine side) selects the same windows
     "q_text_winnow" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(list_transform(gs, x -> md5(x))) AS h FROM sh), wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g), sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - 4), ag AS (SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM sel GROUP BY doc_id) SELECT d.doc_id, coalesce(ag.n_fp, 0)::BIGINT AS n_fp, ag.min_fp, ag.max_fp FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id ORDER BY d.doc_id""",
+    // same per-source ROWS prefix sum and integer stride crossing
+    "q_sample_systematic" ->
+      """WITH c AS (SELECT source, doc_id, n_chars, sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(n_chars) OVER (PARTITION BY source) AS total FROM documents), k AS (SELECT source, doc_id, cum, n_chars, greatest(1, total // 10) AS stride FROM c) SELECT source, doc_id, cum::BIGINT AS cum FROM k WHERE cum // stride > (cum - n_chars) // stride ORDER BY source, doc_id""",
     // same whitespace tokenizer, 16-bit md5 prefix % 16 buckets
     "q_feature_hash" ->
       s"""WITH $toksSql, tr AS (SELECT doc_id, unnest(tk) AS tok FROM toks) SELECT doc_id, (('0x' || substr(md5(tok), 1, 4))::BIGINT % 16)::INT AS bucket, count(*)::BIGINT AS cnt FROM tr WHERE tok <> '' GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",

@@ -1278,6 +1278,31 @@ object RelationalQueries {
           .orderBy("c_mktsegment")
       }
     }),
+    "q_join_dpp" -> ((s, d) => {
+      // DYNAMIC partition pruning — the 100 TB fact–dim shape: the
+      // fact side is a year-partitioned layout; which years survive is
+      // only known at runtime through the dim's parity filter, and
+      // Spark injects the dim's year set as a runtime partition filter
+      // on the fact scan (explain shows dynamicpruningexpression —
+      // pinned in Wave27Spec), so even-year directories are never
+      // read. Static pruning (q_source_partitioned) covers the
+      // literal-predicate case; THIS is the join-driven case that
+      // saves the scan on a real star schema. Oracle applies the
+      // parity filter directly to the unpartitioned table.
+      withTempDir("graft-q-dpp") { dir =>
+        t(s, d, "orders").withColumn("o_year", year(col("o_orderdate")))
+          .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/fact")
+        t(s, d, "orders").select(year(col("o_orderdate")).as("y")).distinct()
+          .withColumn("parity", pmod(col("y"), lit(2)))
+          .write.mode("overwrite").parquet(s"$dir/dim")
+        val fact = s.read.parquet(s"$dir/fact")
+        val dim = s.read.parquet(s"$dir/dim").where(col("parity") === 1)
+        fact.join(dim, fact("o_year") === dim("y"))
+          .groupBy(col("o_year")).agg(count(lit(1)).as("cnt"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy("o_year")
+      }
+    }),
     "q_source_partitioned" -> ((s, d) => {
       // hive-style partitioned layout INSIDE the gate: orders written
       // partitionBy(year), then one partition read back — the filter
@@ -2932,6 +2957,10 @@ object RelationalQueries {
       """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*)::BIGINT AS cnt_l FROM lineitem GROUP BY 1), b AS (SELECT nullif(l_linestatus, 'F') AS k, count(*)::BIGINT AS cnt_r FROM lineitem GROUP BY 1) SELECT coalesce(a.k, b.k) AS k, a.cnt_l, b.cnt_r, (a.cnt_l IS NOT NULL AND b.cnt_r IS NOT NULL) AS matched FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY k NULLS FIRST""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the runtime dim filter applied statically — semantics of DPP are
+    // pure pruning, so the plain filtered aggregate is the oracle
+    "q_join_dpp" ->
+      """SELECT year(o_orderdate)::INT AS o_year, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) % 2 = 1 GROUP BY 1 ORDER BY 1""",
     "q_source_orc" ->
       """SELECT p_brand, count(*)::BIGINT AS cnt, sum(p_size)::BIGINT AS total_size, min(p_name) AS first_name FROM part GROUP BY p_brand ORDER BY p_brand""",
     "q_source_jsonl" ->

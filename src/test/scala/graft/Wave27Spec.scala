@@ -95,6 +95,58 @@ class Wave27Spec extends SparkSpec {
     assert(w.nonEmpty)
   }
 
+  test("q_join_dpp: the fact scan carries a dynamic partition pruning filter") {
+    // build the same staged layout the query uses and pin the plan:
+    // the partitioned fact scan must show dynamicpruningexpression —
+    // i.e. the dim's runtime year set reaches the FileIndex, so
+    // even-year directories are never read
+    val dir = java.nio.file.Files.createTempDirectory("graft-dpp-spec").toString
+    try {
+      val orders = spark.read.parquet(s"$d/orders.parquet")
+      orders.withColumn("o_year", year(col("o_orderdate")))
+        .write.mode("overwrite").partitionBy("o_year").parquet(s"$dir/fact")
+      orders.select(year(col("o_orderdate")).as("y")).distinct()
+        .withColumn("parity", pmod(col("y"), lit(2)))
+        .write.mode("overwrite").parquet(s"$dir/dim")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").where(col("parity") === 1)
+      val plan = fact.join(dim, fact("o_year") === dim("y"))
+        .groupBy(col("o_year")).agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("dynamicpruning"),
+        s"expected dynamicpruningexpression in the fact scan, got:\n$plan")
+    } finally {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                        catch { case _: Throwable => () })
+      } finally walk.close()
+    }
+  }
+
+  test("q_sample_systematic: per-source pick count ~ total/stride and picks are weighted") {
+    val r = run("q_sample_systematic")
+    val bySrc = r.groupBy("source").agg(count(lit(1)).as("picks")).collect()
+    bySrc.foreach { row =>
+      val p = row.getAs[Long]("picks")
+      // stride = total DIV 10 → between 10 and 11 boundary crossings
+      assert(p >= 10 && p <= 11, s"${row.getString(0)}: $p picks, want ~10")
+    }
+  }
+
+  test("q_graph_coreness: consistent with q_graph_kcore membership at k=6") {
+    val core6 = run("q_graph_kcore").collect().map(_.getAs[Long]("vertex")).toSet
+    val cn = run("q_graph_coreness").collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("coreness")).toMap
+    cn.foreach { case (v, c) =>
+      assert(core6.contains(v) == (c >= 6),
+        s"vertex $v coreness $c vs 6-core membership ${core6.contains(v)}")
+    }
+    assert(cn.values.forall(c => c >= 1 && c <= 7))
+  }
+
   test("q_graph_lpa_big: labels are existing vertex ids and rounds converge downward") {
     val labels = run("q_graph_lpa_big").collect()
       .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
