@@ -88,12 +88,25 @@ object GraphQueries {
   }
 
   /** Scale-realistic graph: order—supplier bipartite from lineitem
-    * (600 k edges at sf0.1). Vertices: orderkey·2 (even) and
-    * suppkey·2+1 (odd). */
-  private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
-    mirror(t(s, d, "lineitem")
-      .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct())
+    * (600 k distinct pairs → 1.2 M mirrored rows at sf0.1). Vertices:
+    * orderkey·2 (even) and suppkey·2+1 (odd). Session-staged like the
+    * modulus graphs (r12): three gate entries (pagerank_big, bfs_big,
+    * degree_dist) consume the same derived edge table, and its
+    * scan + distinct + mirror is the dominant staging cost of each —
+    * the memo pins it once per fixture generation (keyed on the
+    * lineitem fingerprint, unlike the orders-keyed modulus memo). */
+  private val bipMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
+    bipMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
+    bipMemo.computeIfAbsent(
+      (s, new java.io.File(d).getCanonicalPath,
+        Tables.fingerprint(d, "lineitem")),
+      _ => mirror(t(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()).localCheckpoint(true))
+  }
 
   /** Per-customer order chains (consecutive orderkeys linked) —
     * components = customers; ~15 k vertices at sf0.01. Returned
