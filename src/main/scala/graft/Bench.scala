@@ -129,7 +129,9 @@ object Bench {
     // join-driven dynamic partition pruning over a year-partitioned
     // staged fact (write + pruned join timed together — the commit IO
     // is part of this entry's story like q_layout_zorder's)
-    "q_join_dpp")
+    "q_join_dpp",
+    // broadcast linear-classifier inference (one scan + dot fold)
+    "q_embed_classify")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

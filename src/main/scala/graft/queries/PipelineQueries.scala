@@ -663,6 +663,31 @@ object PipelineQueries {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("doc_id", "bucket")
     }),
+    "q_embed_classify" -> ((s, d) => {
+      // linear quality-classifier INFERENCE — the fastText-style
+      // filtering stage every corpus pipeline runs (train offline,
+      // score everything, keep above threshold). The "model" is a
+      // broadcast weight vector (vec_id 1's embedding — deterministic
+      // stand-in for trained weights); score = codegen'd dot_fold,
+      // decision = logit > 0. The repo's float discipline: report the
+      // LOGIT (rounded) and integer accept counts — no sigmoid, so no
+      // cross-engine exp() drift; the monotone threshold decision is
+      // identical either way. At 100 TB: one broadcast + one scan,
+      // shuffle only for the per-label readout.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      val wv = e.where(col("vec_id") === 1)
+        .select(col("v").as("w"))
+      e.where(col("vec_id") =!= 1).crossJoin(broadcast(wv))
+        .select(col("label"), round(expr("dot_fold(v, w)"), 6).as("logit"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("logit") > 0, 1L).otherwise(0L)).cast("long").as("n_accept"),
+          round(sum(col("logit").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 4).as("avg_logit"))
+        .orderBy("label")
+    }),
     "q_embed_norms" -> ((s, d) => {
       // vector-store health readout: per-label norm² distribution —
       // the drift/collapse probe run before any ANN index build (a
@@ -1894,6 +1919,10 @@ object PipelineQueries {
     // same whitespace tokenizer, 16-bit md5 prefix % 16 buckets
     "q_feature_hash" ->
       s"""WITH $toksSql, tr AS (SELECT doc_id, unnest(tk) AS tok FROM toks) SELECT doc_id, (('0x' || substr(md5(tok), 1, 4))::BIGINT % 16)::INT AS bucket, count(*)::BIGINT AS cnt FROM tr WHERE tok <> '' GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    // same broadcast weight row (vec_id 1), ordered dot fold, logit
+    // threshold, round-then-decimal-sum mean
+    "q_embed_classify" ->
+      s"""WITH w AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS wv FROM embeddings WHERE vec_id = 1), e AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 1), sc AS (SELECT label, round(${foldSql("list_transform(range(1, 65), i -> v[i] * wv[i])")}, 6) AS logit FROM e, w) SELECT label, count(*)::BIGINT AS n, sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END)::BIGINT AS n_accept, round(sum(logit::DECIMAL(38,18))::DOUBLE / count(*), 4) AS avg_logit FROM sc GROUP BY label ORDER BY label""",
     // same ordered left fold (list_reduce) for norm², same per-row
     // round-then-decimal-sum mean
     "q_embed_norms" ->

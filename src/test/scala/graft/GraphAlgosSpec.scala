@@ -356,4 +356,29 @@ class GraphAlgosSpec extends SparkSpec {
     // the root separates the two subtrees — it must be interior to many paths
     assert(bc(1L) > 0L && bc(2L) > 0L)
   }
+
+  test("Canon entry points match their self-canonicalizing wrappers (r12 refactor)") {
+    import org.apache.spark.sql.functions._
+    // messy input: duplicates, reverses, self-loops — the wrapper
+    // canonicalizes; the Canon path gets the staged table; results
+    // must be identical row sets
+    val messy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+        (3L, 3L), (3L, 4L), (4L, 1L), (2L, 3L))
+      .toDF("src", "dst")
+    val canon = GraphAlgos.canonicalUndirected(messy)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(GraphAlgos.trianglesByMinVertex(messy, 0)) ==
+      rows(GraphAlgos.trianglesByMinVertexCanon(canon, 0)),
+      "triangles: wrapper vs canon diverge (distributed path)")
+    assert(rows(GraphAlgos.jaccardPerEdge(messy, 0)) ==
+      rows(GraphAlgos.jaccardPerEdgeCanon(canon, 0)),
+      "jaccard: wrapper vs canon diverge (distributed path)")
+    assert(rows(GraphAlgos.trussPeel(messy, k = 3, rounds = 2)) ==
+      rows(GraphAlgos.trussPeelCanon(canon, k = 3, rounds = 2)),
+      "trussPeel: wrapper vs canon diverge")
+    // the memoized-caller contract: canon's blocks survive a peel
+    // (ownsInput defaults to false) and serve a second consumer
+    assert(rows(GraphAlgos.jaccardPerEdgeCanon(canon, 0)).nonEmpty)
+  }
 }
