@@ -131,7 +131,9 @@ object Bench {
     // is part of this entry's story like q_layout_zorder's)
     "q_join_dpp",
     // broadcast linear-classifier inference (one scan + dot fold)
-    "q_embed_classify")
+    "q_embed_classify",
+    // categorical-association readout (chi2 over the dimension grid)
+    "q_agg_cramers")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
@@ -288,6 +290,7 @@ object Bench {
     "q_embed_norms" -> "family-variant",
     "q_sample_systematic" -> "family-variant",
     "q_graph_coreness" -> "fixture-latency",
+    "q_layout_compaction" -> "commit-io",
     "q_text_langid" -> "family-variant",
     "q_text_pack" -> "family-variant",
     "q_text_quality" -> "family-variant",

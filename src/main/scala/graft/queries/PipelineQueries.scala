@@ -623,6 +623,43 @@ object PipelineQueries {
             col("n_docs"), 4).as("dup_ratio"))
         .orderBy("source")
     }),
+    "q_agg_cramers" -> ((s, d) => {
+      // categorical association (chi² / Cramér) between lang and
+      // source — the data-profiling readout that tells a pipeline
+      // whether two partitioning dimensions are independent (safe to
+      // stratify separately) or confounded. Repo float discipline:
+      // each cell's chi² term has an EXACT integer numerator
+      // (o·N − r·c)² over an exact integer denominator N·r·c; the
+      // double division is IEEE-identical cross-engine, terms are
+      // rounded then decimal-summed, and Cramér is reported SQUARED
+      // (chi²/(N·min(k−1,l−1))) per the r²/t² no-sqrt convention.
+      val base = t(s, d, "documents")
+      val cell = base.groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      val rt = base.groupBy("lang").agg(count(lit(1)).as("r"))
+      val ct = base.groupBy("source").agg(count(lit(1)).as("c"))
+      val tot = base.agg(count(lit(1)).as("n"),
+        countDistinct(col("lang")).as("nl"),
+        countDistinct(col("source")).as("ns"))
+      // chi² sums over the FULL dimension grid — observed-zero cells
+      // contribute r·c/N; the grid is dims × dims (≤100 rows here,
+      // dimension-sized by nature at any SF: it's a broadcast cross of
+      // two AGGREGATED dimension tables, never of facts)
+      val grid = rt.crossJoin(broadcast(ct))
+      grid.join(cell, Seq("lang", "source"), "left_outer")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("n"), col("nl"), col("ns"),
+          round(((col("o") * col("n") - col("r") * col("c")) *
+                 (col("o") * col("n") - col("r") * col("c"))).cast("double") /
+            (col("n") * col("r") * col("c")).cast("double"), 6).as("term"))
+        .groupBy("n", "nl", "ns")
+        .agg(round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4)
+          .as("chi2"))
+        .select(col("n").cast("long").as("n"), col("nl").cast("long").as("n_lang"),
+          col("ns").cast("long").as("n_source"), col("chi2"),
+          round(col("chi2") / (col("n") *
+            least(col("nl") - 1, col("ns") - 1)).cast("double"), 6).as("v2"))
+    }),
     "q_sample_systematic" -> ((s, d) => {
       // systematic (interval) sampling — the deterministic weighted
       // sampler survey methodology uses: within each source, docs
@@ -1913,6 +1950,11 @@ object PipelineQueries {
     // pos <= n-5 on the 0-based engine side) selects the same windows
     "q_text_winnow" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT doc_id, unnest(range(1, len(gs) + 1)) AS pos, unnest(list_transform(gs, x -> md5(x))) AS h FROM sh), wm AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM g), sel AS (SELECT DISTINCT doc_id, fp FROM wm WHERE pos <= n_sh - 4), ag AS (SELECT doc_id, count(*)::BIGINT AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM sel GROUP BY doc_id) SELECT d.doc_id, coalesce(ag.n_fp, 0)::BIGINT AS n_fp, ag.min_fp, ag.max_fp FROM documents d LEFT JOIN ag ON d.doc_id = ag.doc_id ORDER BY d.doc_id""",
+    // full dimension grid (cross of the two aggregated dimension
+    // tables), zero cells via left join; identical integer numerators,
+    // IEEE double division, round-then-decimal-sum, squared Cramér
+    "q_agg_cramers" ->
+      """WITH cell AS (SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2), rt AS (SELECT lang, count(*) AS r FROM documents GROUP BY 1), ct AS (SELECT source, count(*) AS c FROM documents GROUP BY 1), tot AS (SELECT count(*) AS n, count(DISTINCT lang) AS nl, count(DISTINCT source) AS ns FROM documents), g AS (SELECT rt.lang, ct.source, rt.r, ct.c, coalesce(cell.o, 0) AS o FROM rt CROSS JOIN ct LEFT JOIN cell ON cell.lang = rt.lang AND cell.source = ct.source), terms AS (SELECT round(((o * tot.n - r * c) * (o * tot.n - r * c))::DOUBLE / (tot.n * r * c)::DOUBLE, 6) AS term, tot.n, tot.nl, tot.ns FROM g, tot) SELECT n::BIGINT AS n, nl::BIGINT AS n_lang, ns::BIGINT AS n_source, round(sum(term::DECIMAL(38,18))::DOUBLE, 4) AS chi2, round(round(sum(term::DECIMAL(38,18))::DOUBLE, 4) / (n * least(nl - 1, ns - 1))::DOUBLE, 6) AS v2 FROM terms GROUP BY n, nl, ns""",
     // same per-source ROWS prefix sum and integer stride crossing
     "q_sample_systematic" ->
       """WITH c AS (SELECT source, doc_id, n_chars, sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(n_chars) OVER (PARTITION BY source) AS total FROM documents), k AS (SELECT source, doc_id, cum, n_chars, greatest(1, total // 10) AS stride FROM c) SELECT source, doc_id, cum::BIGINT AS cum FROM k WHERE cum // stride > (cum - n_chars) // stride ORDER BY source, doc_id""",

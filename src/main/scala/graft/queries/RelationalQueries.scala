@@ -1278,6 +1278,30 @@ object RelationalQueries {
           .orderBy("c_mktsegment")
       }
     }),
+    "q_layout_compaction" -> ((s, d) => {
+      // small-files compaction — the OPTIMIZE/maintenance operator
+      // every long-lived table needs (streaming ingest and per-key
+      // writers fragment layouts; 100 TB of 1 MB files kills scan
+      // throughput on open/footer overhead). A deliberately
+      // fragmented write (64 shards) is rewritten to 2 right-sized
+      // files; content survives bit-exactly, proven by the per-source
+      // order-independent fingerprint the oracle computes from the
+      // ORIGINAL table. The filesystem half (64 → 2 data files) is
+      // pinned in Wave27Spec — file counts aren't SQL-visible.
+      withTempDir("graft-q-compact") { dir =>
+        t(s, d, "documents").repartition(64)
+          .write.mode("overwrite").parquet(s"$dir/frag")
+        s.read.parquet(s"$dir/frag").repartition(2)
+          .write.mode("overwrite").parquet(s"$dir/compact")
+        s.read.parquet(s"$dir/compact")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).cast("long").as("total_chars"),
+            sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+              .cast("long").as("text_fp"))
+          .orderBy("source")
+      }
+    }),
     "q_join_dpp" -> ((s, d) => {
       // DYNAMIC partition pruning — the 100 TB fact–dim shape: the
       // fact side is a year-partitioned layout; which years survive is
@@ -2957,6 +2981,10 @@ object RelationalQueries {
       """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*)::BIGINT AS cnt_l FROM lineitem GROUP BY 1), b AS (SELECT nullif(l_linestatus, 'F') AS k, count(*)::BIGINT AS cnt_r FROM lineitem GROUP BY 1) SELECT coalesce(a.k, b.k) AS k, a.cnt_l, b.cnt_r, (a.cnt_l IS NOT NULL AND b.cnt_r IS NOT NULL) AS matched FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY k NULLS FIRST""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // compaction is pure layout: the oracle fingerprints the ORIGINAL
+    // table — any lost/duplicated/corrupted row changes the sum
+    "q_layout_compaction" ->
+      """SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, sum(('0x' || substr(md5(text), 1, 12))::BIGINT)::BIGINT AS text_fp FROM documents GROUP BY source ORDER BY source""",
     // the runtime dim filter applied statically — semantics of DPP are
     // pure pruning, so the plain filtered aggregate is the oracle
     "q_join_dpp" ->

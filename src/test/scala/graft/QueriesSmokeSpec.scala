@@ -24,6 +24,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_knn_join", "q_embed_pq",                // broadcast query/codebook side
     "q_embed_recall", "q_embed_rerank", "q_embed_topk", // broadcast query vector
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
+    "q_embed_classify",                              // broadcast 1-row weight vector
+    "q_agg_cramers",                                 // dims-sized grid cross + scalar totals
     "q_events_funnel",                               // scalar step totals
     "q_events_window_funnel",                        // scalar level totals
     "q_events_rfm",                                  // broadcast 1-row reference date

@@ -126,6 +126,40 @@ class Wave27Spec extends SparkSpec {
     }
   }
 
+  test("q_layout_compaction: 64 fragments compact to 2 data files, content intact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-spec")
+    try {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      docs.repartition(64).write.mode("overwrite").parquet(s"$dir/frag")
+      def dataFiles(p: String) =
+        Option(new java.io.File(p).listFiles()).getOrElse(Array.empty)
+          .count(_.getName.endsWith(".parquet"))
+      assert(dataFiles(s"$dir/frag") == 64, "fragmented layout not fragmented")
+      spark.read.parquet(s"$dir/frag").repartition(2)
+        .write.mode("overwrite").parquet(s"$dir/compact")
+      assert(dataFiles(s"$dir/compact") == 2, "compaction produced wrong file count")
+      val a = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+      val b = spark.read.parquet(s"$dir/compact")
+        .select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(a.sameElements(b), "compaction lost or duplicated rows")
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq.reverse
+          .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                        catch { case _: Throwable => () })
+      } finally walk.close()
+    }
+  }
+
+  test("q_agg_cramers: chi2 over the full grid, v2 in [0, 1]") {
+    val r = run("q_agg_cramers").head()
+    assert(r.getAs[Long]("n") > 0)
+    val v2 = r.getAs[Double]("v2")
+    assert(v2 >= 0.0 && v2 <= 1.0 + 1e-9, s"v2 $v2 out of range")
+  }
+
   test("q_sample_systematic: per-source pick count ~ total/stride and picks are weighted") {
     val r = run("q_sample_systematic")
     val bySrc = r.groupBy("source").agg(count(lit(1)).as("picks")).collect()
