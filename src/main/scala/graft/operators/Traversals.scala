@@ -641,6 +641,53 @@ object Traversals {
     * shuffled once; rounds = peel depth (bounded by the degeneracy
     * ordering, usually shallow on real graphs). Input `(src, dst)`
     * directed pairs, treated as undirected. Output `(vertex: Long)`. */
+  /** Bounded Luby maximal-independent-set rounds (Luby 1986) — the
+    * classic symmetry-breaking primitive distributed graph systems are
+    * built on (coloring, scheduling, parallel matching all reduce to
+    * it). Each round: a vertex with live neighbours joins the set iff
+    * its deterministic md5 priority is strictly smaller than every
+    * live neighbour's; a live vertex with NO live neighbours joins
+    * unconditionally; winners and their neighbours leave the graph.
+    * Rounds are FIXED, not run-to-fixpoint (the kcore/trussPeel
+    * contract: the DuckDB oracle unrolls the identical rounds at any
+    * SF); with rounds ≥ the graph's Luby depth the result is a true
+    * MIS. Priorities hash only the vertex id — content-independent and
+    * reproducible under retries/speculation, the same determinism
+    * argument as the hash-argmin walks; md5 on distinct ids cannot
+    * tie. Each round is two vertex-keyed aggs + two anti-joins — all
+    * key-partitioned, superstep shape. Output: (vertex, round)
+    * per selected vertex. */
+  def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"lubyMis needs rounds >= 1, got $rounds")
+    def pri(c: org.apache.spark.sql.Column) =
+      md5(concat(lit("mis|"), c.cast("string")))
+    var e = symmetrize(edges.where(col("src") =!= col("dst"))).checkpointSized()
+    var lv = e.select(col("src").as("vertex")).distinct().checkpointSized()
+    var out: DataFrame = null
+    (1 to rounds).foreach { r =>
+      val nm = e.groupBy("src").agg(min(pri(col("dst"))).as("nmin"))
+      val winE = nm.where(pri(col("src")) < col("nmin"))
+        .select(col("src").as("vertex"))
+      val winI = lv.join(e.select(col("src").as("vertex")).distinct(),
+        Seq("vertex"), "left_anti")
+      val win = winE.union(winI).distinct()
+        .select(col("vertex"), lit(r.toLong).as("round")).checkpointSized()
+      out = if (out == null) win else out.union(win)
+      val dead = win.select("vertex").union(
+          e.join(winE.select(col("vertex").as("w")), e("src") === col("w"))
+            .select(e("dst").as("vertex"))).distinct()
+      val prevE = e; val prevLv = lv
+      e = prevE
+        .join(dead.select(col("vertex").as("ds")), prevE("src") === col("ds"), "left_anti")
+        .join(dead.select(col("vertex").as("dd")), prevE("dst") === col("dd"), "left_anti")
+        .select(prevE("src"), prevE("dst")).checkpointSized()
+      lv = prevLv.join(dead, Seq("vertex"), "left_anti").checkpointSized()
+      dropCheckpoint(prevE, keep = checkpointRddIds(e) ++ checkpointRddIds(win))
+      dropCheckpoint(prevLv, keep = checkpointRddIds(lv) ++ checkpointRddIds(win))
+    }
+    out
+  }
+
   def kcore(edges: DataFrame, k: Int, maxIters: Int = 10000): DataFrame = {
     // self-loops don't count toward coreness
     var cur = symmetrize(edges.where(col("src") =!= col("dst")))

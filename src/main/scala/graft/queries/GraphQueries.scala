@@ -691,6 +691,18 @@ object GraphQueries {
       Traversals.labelPropagation(treeEdges(s, d), iters = 2)
         .orderBy("vertex")
     }),
+    "q_graph_mis" -> ((s, d) => {
+      // bounded Luby maximal-independent-set rounds over the staged
+      // mod-300 graph — the distributed symmetry-breaking primitive
+      // (see Traversals.lubyMis). 3 fixed rounds; on this graph the
+      // dense hash-priority competition selects most of the MIS in
+      // round 1 and the isolated-survivor rule sweeps stragglers.
+      // Output (vertex, round) — which round a vertex won in is part
+      // of the semantics (it is the parallel schedule depth).
+      Traversals.lubyMis(modulusUnd(s, d, 300)
+        .select(col("a").as("src"), col("b").as("dst")), rounds = 3)
+        .orderBy("vertex")
+    }),
     "q_graph_walks" -> ((s, d) => {
       // deterministic graph walks — the DeepWalk/node2vec sampling
       // primitive with hash-argmin choice instead of an RNG: from
@@ -985,6 +997,26 @@ object GraphQueries {
       s"""WITH $treeEdgeSql SELECT src AS vertex, count(*)::BIGINT AS degree FROM e GROUP BY src ORDER BY vertex""",
     "q_graph_lpa" ->
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",
+    // three unrolled Luby rounds (MATERIALIZED — each round references
+    // its predecessor several times; inlining would explode the plan
+    // like the coreness chain); same md5 priorities, same
+    // edge-winner + isolated-survivor rules, same dead-set removal
+    "q_graph_mis" -> {
+      def round(r: Int): String = {
+        val pe = s"e${r - 1}"; val plv = s"lv${r - 1}"
+        s"nm$r AS MATERIALIZED (SELECT src, min(md5('mis|' || dst::VARCHAR)) AS nmin FROM $pe GROUP BY src), " +
+          s"winE$r AS MATERIALIZED (SELECT src AS vertex FROM nm$r WHERE md5('mis|' || src::VARCHAR) < nmin), " +
+          s"winI$r AS MATERIALIZED (SELECT lv.vertex FROM $plv lv WHERE NOT EXISTS (SELECT 1 FROM $pe e WHERE e.src = lv.vertex)), " +
+          s"win$r AS MATERIALIZED (SELECT vertex FROM winE$r UNION SELECT vertex FROM winI$r), " +
+          s"dead$r AS MATERIALIZED (SELECT vertex FROM win$r UNION SELECT e.dst FROM $pe e JOIN winE$r w ON e.src = w.vertex), " +
+          s"e$r AS MATERIALIZED (SELECT e.src, e.dst FROM $pe e WHERE NOT EXISTS (SELECT 1 FROM dead$r d WHERE d.vertex = e.src) AND NOT EXISTS (SELECT 1 FROM dead$r d WHERE d.vertex = e.dst)), " +
+          s"lv$r AS MATERIALIZED (SELECT vertex FROM $plv EXCEPT SELECT vertex FROM dead$r)"
+      }
+      val rounds = (1 to 3).map(round).mkString(", ")
+      val out = (1 to 3)
+        .map(r => s"SELECT vertex, $r AS round FROM win$r").mkString(" UNION ALL ")
+      s"""WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), e0 AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), lv0 AS (SELECT DISTINCT src AS vertex FROM e0), $rounds SELECT vertex, round::BIGINT AS round FROM ($out) ORDER BY vertex"""
+    },
     // three unrolled hash-argmin steps over the mirrored mod-150 set;
     // min-struct on (md5 hex, neighbour) — binary string collation in
     // both engines, so the argmin picks identically

@@ -181,6 +181,29 @@ class Wave27Spec extends SparkSpec {
     assert(cn.values.forall(c => c >= 1 && c <= 7))
   }
 
+  test("lubyMis: independent every round, maximal with enough rounds") {
+    import spark.implicits._
+    // deterministic random-ish graph: 40 vertices, edges by modulus
+    val e = (0L until 40L).flatMap(i => Seq((i, (i * 7 + 3) % 40), (i, (i * 11 + 5) % 40)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val mis = graft.operators.Traversals.lubyMis(e, rounds = 10).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("round"))
+    val sel = mis.map(_._1).toSet
+    assert(mis.length == sel.size, "a vertex was selected twice")
+    val und = e.collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+      (r.getLong(1), r.getLong(0)))).toSet
+    // independence: no selected pair is adjacent
+    sel.foreach(a => sel.foreach(b =>
+      assert(a == b || !und.contains((a, b)), s"selected $a and $b are adjacent")))
+    // maximality (true MIS at 10 rounds on 40 vertices): every
+    // non-selected vertex has a selected neighbour
+    val verts = und.map(_._1)
+    (verts -- sel).foreach { v =>
+      assert(und.exists { case (a, b) => a == v && sel.contains(b) },
+        s"non-selected $v has no selected neighbour — not maximal")
+    }
+  }
+
   test("q_graph_lpa_big: labels are existing vertex ids and rounds converge downward") {
     val labels = run("q_graph_lpa_big").collect()
       .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
