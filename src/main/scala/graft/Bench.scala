@@ -135,7 +135,9 @@ object Bench {
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph
-    "q_graph_mis")
+    "q_graph_mis",
+    // greedy maximal-matching rounds (edge-side symmetry breaking)
+    "q_graph_matching")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -306,6 +306,56 @@ object GraphAlgos {
     survivors.select(col("a").as("src"), col("b").as("dst"), col("support"))
   }
 
+  /** Bounded greedy maximal-matching rounds — the edge-side sibling of
+    * [[Traversals.lubyMis]] (distributed matching: pair assignment,
+    * entity-pair arbitration, switch scheduling). Each round an edge
+    * joins the matching iff its deterministic md5 priority is the
+    * strict minimum among ALL edges sharing either endpoint (computed
+    * as two per-vertex min aggs — key-partitioned, superstep shape);
+    * matched endpoints and their incident edges leave. Rounds are
+    * FIXED (kcore contract) so the oracle unrolls identically at any
+    * SF; with rounds ≥ the greedy depth the result is a maximal
+    * matching. Output: (a, b, round) per matched canonical edge. */
+  def greedyMatching(edges: DataFrame, rounds: Int): DataFrame =
+    greedyMatchingCanon(canonicalUndirected(edges), rounds)
+
+  /** [[greedyMatching]] over an ALREADY canonical pinned edge table
+    * ([[canonicalUndirected]] contract; the input's blocks are never
+    * dropped — a memoized caller keeps serving them). */
+  def greedyMatchingCanon(canonical: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"greedyMatching needs rounds >= 1, got $rounds")
+    var und = canonical
+    var owned = false
+    var out: DataFrame = null
+    (1 to rounds).foreach { r =>
+      val withH = und.withColumn("h",
+        md5(concat(lit("match|"), col("a").cast("string"),
+          lit("|"), col("b").cast("string"))))
+      val vmin = withH.select(col("a").as("v"), col("h"))
+        .union(withH.select(col("b"), col("h")))
+        .groupBy("v").agg(min(col("h")).as("vmin"))
+      val win = withH
+        .join(vmin.select(col("v").as("va"), col("vmin").as("mina")), col("a") === col("va"))
+        .join(vmin.select(col("v").as("vb"), col("vmin").as("minb")), col("b") === col("vb"))
+        .where(col("h") === col("mina") && col("h") === col("minb"))
+        .select(col("a"), col("b"), lit(r.toLong).as("round"))
+        .localCheckpoint(true)
+      out = if (out == null) win else out.union(win)
+      val matched = win.select(col("a").as("v"))
+        .union(win.select(col("b"))).distinct()
+      val prev = und
+      und = prev
+        .join(matched.select(col("v").as("ma")), prev("a") === col("ma"), "left_anti")
+        .join(matched.select(col("v").as("mb")), prev("b") === col("mb"), "left_anti")
+        .select(prev("a"), prev("b")).localCheckpoint(true)
+      if (owned)
+        Traversals.dropCheckpoint(prev,
+          keep = Traversals.checkpointRddIds(und) ++ Traversals.checkpointRddIds(win))
+      owned = true
+    }
+    out
+  }
+
   /** In/out degree per vertex. */
   def degrees(edges: DataFrame): DataFrame =
     edges.select(col("src").cast("long").as("vertex"), lit(1).as("out"), lit(0).as("in"))

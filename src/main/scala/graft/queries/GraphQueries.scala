@@ -691,6 +691,16 @@ object GraphQueries {
       Traversals.labelPropagation(treeEdges(s, d), iters = 2)
         .orderBy("vertex")
     }),
+    "q_graph_matching" -> ((s, d) => {
+      // bounded greedy maximal-matching rounds over the staged mod-150
+      // graph (GraphAlgos.greedyMatching — the edge-side sibling of
+      // Luby MIS). 3 fixed rounds; output (a, b, round), the parallel
+      // pairing schedule. Matching feeds real pipeline work too:
+      // deterministic pair assignment for A/B dedup arbitration.
+      graft.operators.GraphAlgos
+        .greedyMatchingCanon(modulusUnd(s, d, 150), rounds = 3)
+        .orderBy("a", "b")
+    }),
     "q_graph_mis" -> ((s, d) => {
       // bounded Luby maximal-independent-set rounds over the staged
       // mod-300 graph — the distributed symmetry-breaking primitive
@@ -1001,6 +1011,24 @@ object GraphQueries {
     // its predecessor several times; inlining would explode the plan
     // like the coreness chain); same md5 priorities, same
     // edge-winner + isolated-survivor rules, same dead-set removal
+    // three unrolled greedy-matching rounds (MATERIALIZED, same
+    // rationale as the MIS/coreness chains): per-vertex min of the
+    // edge priorities, win iff the edge IS both endpoint minima,
+    // matched endpoints' edges removed
+    "q_graph_matching" -> {
+      def round(r: Int): String = {
+        val pe = s"m${r - 1}"
+        s"h$r AS MATERIALIZED (SELECT a, b, md5('match|' || a::VARCHAR || '|' || b::VARCHAR) AS h FROM $pe), " +
+          s"vm$r AS MATERIALIZED (SELECT v, min(h) AS vmin FROM (SELECT a AS v, h FROM h$r UNION ALL SELECT b, h FROM h$r) GROUP BY v), " +
+          s"win$r AS MATERIALIZED (SELECT e.a, e.b FROM h$r e JOIN vm$r x ON e.a = x.v AND e.h = x.vmin JOIN vm$r y ON e.b = y.v AND e.h = y.vmin), " +
+          s"mt$r AS MATERIALIZED (SELECT a AS v FROM win$r UNION SELECT b FROM win$r), " +
+          s"m$r AS MATERIALIZED (SELECT e.a, e.b FROM $pe e WHERE NOT EXISTS (SELECT 1 FROM mt$r m WHERE m.v = e.a) AND NOT EXISTS (SELECT 1 FROM mt$r m WHERE m.v = e.b))"
+      }
+      val rounds = (1 to 3).map(round).mkString(", ")
+      val out = (1 to 3)
+        .map(r => s"SELECT a, b, $r AS round FROM win$r").mkString(" UNION ALL ")
+      s"""WITH m0 AS (SELECT DISTINCT least(o_orderkey % 150, o_custkey % 150)::BIGINT AS a, greatest(o_orderkey % 150, o_custkey % 150)::BIGINT AS b FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), $rounds SELECT a, b, round::BIGINT AS round FROM ($out) ORDER BY a, b"""
+    },
     "q_graph_mis" -> {
       def round(r: Int): String = {
         val pe = s"e${r - 1}"; val plv = s"lv${r - 1}"

@@ -204,6 +204,25 @@ class Wave27Spec extends SparkSpec {
     }
   }
 
+  test("greedyMatching: a matching every round, maximal with enough rounds") {
+    import spark.implicits._
+    val e = (0L until 40L).flatMap(i => Seq((i, (i * 7 + 3) % 40), (i, (i * 11 + 5) % 40)))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val m = graft.operators.GraphAlgos.greedyMatching(e, rounds = 10).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+    val touched = m.flatMap { case (a, b) => Seq(a, b) }
+    assert(touched.length == touched.distinct.length,
+      "a vertex appears in two matched edges — not a matching")
+    // maximality: no surviving edge has both endpoints unmatched
+    val sel = touched.toSet
+    val und = e.collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+      math.max(r.getLong(0), r.getLong(1)))).toSet
+    und.foreach { case (a, b) =>
+      assert(sel.contains(a) || sel.contains(b),
+        s"edge ($a,$b) has both endpoints unmatched — not maximal")
+    }
+  }
+
   test("q_graph_lpa_big: labels are existing vertex ids and rounds converge downward") {
     val labels = run("q_graph_lpa_big").collect()
       .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
