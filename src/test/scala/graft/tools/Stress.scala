@@ -608,6 +608,41 @@ object Stress {
         wedges.groupBy(col("p.dst"), col("q.dst")).agg(count(lit(1)).as("cn"))
           .where(expr("cn * (cn - 1) DIV 2") > 0).count()
       }
+      // r12 family at 10x: the text/feature passes are LINEAR in doc
+      // volume (map-side work + one small agg each); the
+      // modulus-bounded graph primitives (MIS, matching, walks)
+      // saturate like linkpred/squares — 10x data costs the bigger
+      // scan + constant rounds, and outputs stay <= the modulus
+      time("pii_x10_linear", nd10) {
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        docs10b.withColumn("txt",
+            concat(col("text"), lit(" u"), col("doc_id").cast("string"),
+              lit("@example.com")))
+          .select(regexp_replace(col("txt"), email, "<EMAIL>").as("red"))
+          .groupBy().agg(count(lit(1))).count()
+      }
+      time("feature_hash_x10_linear", nd10) {
+        docs10b.select(col("doc_id"),
+            explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+          .withColumn("bucket",
+            (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 16).cast("int"))
+          .groupBy("doc_id", "bucket").agg(count(lit(1))).count()
+      }
+      time("mis_x10_same_modulus", n10 / 4) {
+        val sel = graft.operators.Traversals.lubyMis(
+          o10b.select((col("o_orderkey") % 300).as("src"),
+            (col("o_custkey") % 300).as("dst")), rounds = 3)
+        val n = sel.count()
+        require(n <= 300, s"MIS output $n exceeds the modulus vertex bound")
+      }
+      time("matching_x10_same_modulus", n10 / 4) {
+        val m = graft.operators.GraphAlgos.greedyMatching(
+          o10b.select((col("o_orderkey") % 150).as("src"),
+            (col("o_custkey") % 150).as("dst")), rounds = 3)
+        val n = m.count()
+        require(n <= 75, s"matching output $n exceeds |V|/2 for the modulus")
+      }
       // KMV sketch at 10x events: state is k hashes per group however
       // many rows stream through — the probe verifies the distinct
       // stage bounds the rank window's input at key cardinality
