@@ -430,13 +430,22 @@ object Traversals {
 
   def pageRankDeterministic(edges: DataFrame, iters: Int = 10,
                             reset: Double = 0.15): DataFrame = {
-    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    def phase[T](name: String)(body: => T): T = {
-      val t0 = System.nanoTime()
-      val res = body
-      phases += name -> (System.nanoTime() - t0) / 1e9
-      res
-    }
+    val eo = pageRankEdgeTable(edges)
+    // the staged run materializes its result eagerly, so the one-shot
+    // wrapper can release the edge table immediately
+    val r = pageRankDeterministicStaged(eo, iters, reset)
+    eo.unpersist(blocking = false)
+    r
+  }
+
+  /** The (src, dst, odeg) edges-with-degrees table
+    * [[pageRankDeterministicStaged]] iterates over, hash-partitioned
+    * on src and persisted — the materialized edge view a production
+    * deployment computes once per graph generation and shares across
+    * pagerank runs (the staged-artifact pattern of the IVF index and
+    * signature memos). NOT materialized here: the first consumer's
+    * job fills the cache. */
+  def pageRankEdgeTable(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("odeg"))
     // ONE cached table, (src, dst, odeg), hash-partitioned on src: the
@@ -449,8 +458,27 @@ object Traversals {
     // separately first — a second full materialization pass — buys
     // nothing. Same per-edge w = rank/odeg doubles, so ranks are
     // bit-identical to the unfused plan (the oracle contract).
-    val eo = e.join(outDeg, "src").repartition(col("src"))
+    // Callers running MANY pagerank passes over one graph build this
+    // table once via [[pageRankEdgeTable]] and call
+    // [[pageRankDeterministicStaged]] — the materialized
+    // edges-with-degrees view a production deployment persists.
+    e.join(outDeg, "src").repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** [[pageRankDeterministic]] over an ALREADY staged
+    * [[pageRankEdgeTable]] — the input's cache blocks are never
+    * released here, so a memoizing caller keeps serving them across
+    * runs/reps. Ranks are bit-identical to the one-shot wrapper. */
+  def pageRankDeterministicStaged(eo: DataFrame, iters: Int = 10,
+                                  reset: Double = 0.15): DataFrame = {
+    val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def phase[T](name: String)(body: => T): T = {
+      val t0 = System.nanoTime()
+      val res = body
+      phases += name -> (System.nanoTime() - t0) / 1e9
+      res
+    }
     // every edge's src has odeg >= 1 by construction, so the inner
     // join drops no edge row — eo's endpoint set IS the vertex set,
     // and deriving it from the cache spares a third pass over `edges`
@@ -498,7 +526,6 @@ object Traversals {
     }
     // cut the final segment's lineage
     r = phase(s"supersteps_to_$iters") { r.checkpointSized() }
-    eo.unpersist(blocking = false)
     prevSeg.foreach(dropCheckpoint(_, keep = checkpointRddIds(r)))
     dropCheckpoint(verts, keep = checkpointRddIds(r))
     lastPageRankPhases.set(phases.toSeq)
@@ -978,16 +1005,25 @@ object Traversals {
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .checkpointSized()
-    (1 to iters).foreach { _ =>
-      val prev = labels
+    // rounds FUSE into one lazy plan between checkpoints (the
+    // pageRankFuseDepth pattern): a 2-round run is one job instead of
+    // two checkpoint barriers, halving the superstep scheduling cost
+    // that dominates small-graph LPA; the cut every 5 rounds bounds
+    // plan depth for caller-supplied iteration counts. Labels are
+    // identical — checkpoints are plan-only.
+    var prevCk = labels
+    (1 to iters).foreach { i =>
       labels = sym.join(labels, sym("src") === labels("vertex"))
         .groupBy(sym("dst").as("vertex"), col("label"))
         .agg(count(lit(1)).as("cnt"))
         .groupBy("vertex")
         .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("m"))
         .select(col("vertex"), (-col("m.nl")).as("label"))
-        .checkpointSized()
-      dropCheckpoint(prev)
+      if (i % 5 == 0 || i == iters) {
+        labels = labels.checkpointSized()
+        dropCheckpoint(prevCk, keep = checkpointRddIds(labels))
+        prevCk = labels
+      }
     }
     sym.unpersist(blocking = false)
     labels
