@@ -137,7 +137,9 @@ object Bench {
     // bounded Luby MIS rounds on the staged mod-300 graph
     "q_graph_mis",
     // greedy maximal-matching rounds (edge-side symmetry breaking)
-    "q_graph_matching")
+    "q_graph_matching",
+    // event-time disorder profile (two-phase prefix max, no global sort)
+    "q_events_disorder")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

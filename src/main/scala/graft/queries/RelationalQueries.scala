@@ -903,6 +903,48 @@ object RelationalQueries {
           col("p.max_v").as("max_v"))
         .orderBy("col_name")
     }),
+    "q_events_disorder" -> ((s, d) => {
+      // event-time DISORDER profile — the statistic that picks a
+      // streaming watermark delay: lateness(e) = running-max event
+      // time over all earlier ARRIVALS minus e's event time. The
+      // fixture carries no arrival column (events are written
+      // time-ordered), so a deterministic md5 jitter (±60 positions)
+      // simulates network reordering — injected identically in the
+      // oracle, the pii/utf8 pattern. The global running max is
+      // computed WITHOUT a global sort via the two-phase prefix trick
+      // (q_text_pack precedent): per-batch windows (partition-
+      // parallel) + a running max over the tiny batch-maxima table;
+      // carry-in max ∪ batch-local prefix max = the exact global
+      // prefix max. Output: lateness histogram (hour buckets, capped)
+      // with exact integer max lateness per bucket.
+      import org.apache.spark.sql.expressions.Window
+      val a = Tables.events(s, d).select(col("event_id"),
+          unix_micros(col("ts")).as("tus"))
+        .withColumn("ak", col("event_id") +
+          (conv(substring(md5(concat(lit("arr|"),
+            col("event_id").cast("string"))), 1, 4), 16, 10)
+            .cast("long") % 120) - 60)
+        .withColumn("batch", expr("ak DIV 100"))
+      val wLoc = Window.partitionBy("batch").orderBy("ak", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bm = a.groupBy("batch").agg(max(col("tus")).as("bmax"))
+      val wCarry = Window.orderBy("batch")
+        .rowsBetween(Window.unboundedPreceding, -1) // tiny: one row per batch
+      val carry = bm.withColumn("carry", max(col("bmax")).over(wCarry))
+        .select(col("batch"), col("carry"))
+      a.withColumn("lmax", max(col("tus")).over(wLoc))
+        .join(broadcast(carry), Seq("batch"))
+        .select(greatest(lit(0L),
+          greatest(coalesce(col("lmax"), lit(0L)),
+            coalesce(col("carry"), lit(0L))) - col("tus")).as("late"))
+        .select(when(col("late") === 0, lit(0L))
+          .otherwise(least(expr("late DIV 3600000000") + 1, lit(10L)))
+          .as("bucket"), col("late"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_events"),
+          expr("max(late) DIV 1000000").cast("long").as("max_late_s"))
+        .orderBy("bucket")
+    }),
     "q_events_anomaly" -> ((s, d) => {
       // per-user outlier detection (2-sigma rule) with the repo's
       // exact-moments convention: decimal power sums -> identical
@@ -2981,6 +3023,10 @@ object RelationalQueries {
       """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*)::BIGINT AS cnt_l FROM lineitem GROUP BY 1), b AS (SELECT nullif(l_linestatus, 'F') AS k, count(*)::BIGINT AS cnt_r FROM lineitem GROUP BY 1) SELECT coalesce(a.k, b.k) AS k, a.cnt_l, b.cnt_r, (a.cnt_l IS NOT NULL AND b.cnt_r IS NOT NULL) AS matched FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY k NULLS FIRST""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // same md5 arrival jitter, same two-phase prefix max (batch-local
+    // window + carry over batch maxima), same hour buckets
+    "q_events_disorder" ->
+      """WITH a AS (SELECT event_id, epoch_us(ts)::BIGINT AS tus, event_id + (('0x' || substr(md5('arr|' || event_id::VARCHAR), 1, 4))::BIGINT % 120) - 60 AS ak FROM events), b AS (SELECT *, ak // 100 AS batch FROM a), bm AS (SELECT batch, max(tus) AS bmax FROM b GROUP BY batch), rm AS (SELECT batch, max(bmax) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS carry FROM bm), loc AS (SELECT event_id, batch, tus, max(tus) OVER (PARTITION BY batch ORDER BY ak, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lmax FROM b), lt AS (SELECT greatest(0, greatest(coalesce(lmax, 0), coalesce(carry, 0)) - tus) AS late FROM loc JOIN rm USING (batch)) SELECT (CASE WHEN late = 0 THEN 0 ELSE least(late // 3600000000 + 1, 10) END)::BIGINT AS bucket, count(*)::BIGINT AS n_events, (max(late) // 1000000)::BIGINT AS max_late_s FROM lt GROUP BY 1 ORDER BY bucket""",
     // compaction is pure layout: the oracle fingerprints the ORIGINAL
     // table — any lost/duplicated/corrupted row changes the sum
     "q_layout_compaction" ->
