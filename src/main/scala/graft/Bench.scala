@@ -295,6 +295,7 @@ object Bench {
     "q_text_utf8" -> "family-variant",
     "q_embed_norms" -> "family-variant",
     "q_sample_systematic" -> "family-variant",
+    "q_udf_scalar" -> "family-variant",
     "q_graph_coreness" -> "fixture-latency",
     "q_layout_compaction" -> "commit-io",
     "q_text_langid" -> "family-variant",

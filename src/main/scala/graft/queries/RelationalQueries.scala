@@ -903,6 +903,26 @@ object RelationalQueries {
           col("p.max_v").as("max_v"))
         .orderBy("col_name")
     }),
+    "q_udf_scalar" -> ((s, d) => {
+      // the BOTTOM rung of the extension ladder, present for
+      // completeness next to the native-expression tiers (the repo's
+      // order of preference is builtin functions > codegen Expression
+      // > typed Aggregator > this): a plain registered Scala UDF —
+      // opaque to Catalyst (no pushdown through it, breaks codegen
+      // into an invoke), which is exactly why everything hot in this
+      // engine is an Expression instead. Function: URL-style slugify;
+      // the oracle replicates it with SQL regexes.
+      s.udf.register("slugify", (name: String) =>
+        if (name == null) null
+        else {
+          val x = name.toLowerCase.replaceAll("[^a-z0-9]+", "-")
+          x.stripPrefix("-").stripSuffix("-")
+        })
+      t(s, d, "part")
+        .select(col("p_partkey"), expr("slugify(p_name)").as("slug"))
+        .where(col("p_partkey") % 37 === 0)
+        .orderBy("p_partkey")
+    }),
     "q_events_disorder" -> ((s, d) => {
       // event-time DISORDER profile — the statistic that picks a
       // streaming watermark delay: lateness(e) = running-max event
@@ -3023,6 +3043,10 @@ object RelationalQueries {
       """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*)::BIGINT AS cnt_l FROM lineitem GROUP BY 1), b AS (SELECT nullif(l_linestatus, 'F') AS k, count(*)::BIGINT AS cnt_r FROM lineitem GROUP BY 1) SELECT coalesce(a.k, b.k) AS k, a.cnt_l, b.cnt_r, (a.cnt_l IS NOT NULL AND b.cnt_r IS NOT NULL) AS matched FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY k NULLS FIRST""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the same slug pipeline in SQL: lower -> non-alnum runs to '-'
+    // -> strip edge dashes
+    "q_udf_scalar" ->
+      """SELECT p_partkey, trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
     // same md5 arrival jitter, same two-phase prefix max (batch-local
     // window + carry over batch maxima), same hour buckets
     "q_events_disorder" ->
