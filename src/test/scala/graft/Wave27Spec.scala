@@ -223,6 +223,47 @@ class Wave27Spec extends SparkSpec {
     }
   }
 
+  test("q_events_disorder: the two-phase prefix max equals a naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    val a = graft.queries.Tables.events(spark, d).select(col("event_id"),
+        unix_micros(col("ts")).as("tus"))
+      .withColumn("ak", col("event_id") +
+        (conv(substring(md5(concat(lit("arr|"),
+          col("event_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 120) - 60)
+    // naive: ONE global window over the full arrival order (the
+    // formulation that doesn't scale — a single-partition sort)
+    val wAll = Window.orderBy("ak", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = a.withColumn("late",
+        greatest(lit(0L), coalesce(max(col("tus")).over(wAll), lit(0L)) - col("tus")))
+      .select(when(col("late") === 0, lit(0L))
+        .otherwise(least(expr("late DIV 3600000000") + 1, lit(10L))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run("q_events_disorder").collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n_events")).toMap
+    assert(got == naive, s"two-phase $got != naive $naive")
+  }
+
+  test("pageRankDeterministicStaged is bit-identical to the one-shot wrapper") {
+    import graft.operators.Traversals
+    val e = spark.read.parquet(s"$d/orders.parquet")
+      .select((col("o_orderkey") % 97).as("src"), (col("o_custkey") % 97).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val oneShot = Traversals.pageRankDeterministic(e, iters = 4).collect()
+      .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+    val eo = Traversals.pageRankEdgeTable(e)
+    try {
+      val staged = Traversals.pageRankDeterministicStaged(eo, iters = 4).collect()
+        .map(r => r.getAs[Long]("vertex") -> r.getAs[Double]("rank")).toMap
+      assert(staged == oneShot, "staged vs one-shot ranks diverge")
+      // the staged table survives a run and serves a second one
+      val again = Traversals.pageRankDeterministicStaged(eo, iters = 4).count()
+      assert(again == oneShot.size.toLong)
+    } finally eo.unpersist(blocking = false)
+  }
+
   test("q_graph_lpa_big: labels are existing vertex ids and rounds converge downward") {
     val labels = run("q_graph_lpa_big").collect()
       .map(r => r.getAs[Long]("vertex") -> r.getAs[Long]("label")).toMap
