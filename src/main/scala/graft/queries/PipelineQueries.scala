@@ -1195,6 +1195,53 @@ object PipelineQueries {
             .otherwise(lit(K - 1).cast("double") / col("theta")), 4).as("kmv_est"))
         .orderBy("grp")
     }),
+    "q_sketch_kmv_intersect" -> ((s, d) => {
+      // KMV/theta-sketch INTERSECTION — the set-algebra capability HLL
+      // structurally lacks (register-max only unions) and the reason
+      // theta sketches exist: from each type's k-minimum-values
+      // retained set, |A∩B| ≈ |{u ∈ retainedA ∩ retainedB : u < θ}|/θ
+      // with θ = min(θ_A, θ_B) — overlap of user audiences estimated
+      // from two tiny per-type sketches, never re-scanning the raw
+      // pairs. Deterministic md5 hashes (the q_sketch_kmv encoding)
+      // keep the estimate — and so the gate compare — exact. Output
+      // per unordered type pair: exact common users vs the estimate.
+      val K = 32
+      val e = Tables.events(s, d).select(col("event_type"),
+          col("user_id").cast("string").as("k0")).distinct()
+        .localCheckpoint(true) // feeds the sketch build AND the exact join
+      val u = (conv(substring(md5(concat(lit("kmv|"), col("k0"))), 1, 12), 16, 10)
+        .cast("double") / lit(281474976710656.0)).as("u")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("u")
+      val ranked = e.select(col("event_type"), u)
+        .withColumn("rn", row_number().over(w))
+      val theta = ranked.groupBy("event_type")
+        .agg(coalesce(max(when(col("rn") === K, col("u"))), lit(1.0)).as("theta"))
+      val retained = ranked.where(col("rn") < K)
+        .select(col("event_type"), col("u"))
+      val common = retained.as("a").join(retained.as("b"),
+          col("a.u") === col("b.u") &&
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+          col("a.u").as("u"))
+        .join(broadcast(theta).select(col("event_type").as("ta"),
+          col("theta").as("tha")), Seq("ta"))
+        .join(broadcast(theta).select(col("event_type").as("tb"),
+          col("theta").as("thb")), Seq("tb"))
+        .where(col("u") < least(col("tha"), col("thb")))
+        .groupBy("ta", "tb")
+        .agg(count(lit(1)).as("c"), min(least(col("tha"), col("thb"))).as("th"))
+      val exact = e.as("x").join(e.as("y"),
+          col("x.k0") === col("y.k0") &&
+          col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+        .agg(count(lit(1)).as("n_exact"))
+      exact.join(common, Seq("ta", "tb"), "left_outer")
+        .select(col("ta"), col("tb"), col("n_exact").cast("long").as("n_exact"),
+          round(coalesce(col("c").cast("double") / col("th"), lit(0.0)), 4)
+            .as("kmv_est"))
+        .orderBy("ta", "tb")
+    }),
     "q_text_lmscore2" -> ((s, d) => {
       // bigram LM scoring with Laplace smoothing — the sharper
       // perplexity proxy over q_text_lmscore's unigram model:
@@ -2000,6 +2047,10 @@ object PipelineQueries {
     // normalized hashes, k-th smallest via the same rank window
     "q_sketch_kmv" ->
       """WITH e AS (SELECT DISTINCT event_type, user_id::VARCHAR AS k0 FROM events), g AS (SELECT event_type, k0 FROM e UNION ALL SELECT DISTINCT '_all', k0 FROM e), r AS (SELECT event_type, ('0x' || substr(md5('kmv|' || k0), 1, 12))::BIGINT / 281474976710656.0 AS u FROM g), rk AS (SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM r) SELECT event_type AS grp, max(n)::BIGINT AS n_exact, round(CASE WHEN max(n) < 32 THEN max(n)::DOUBLE ELSE 31.0 / max(CASE WHEN rn = 32 THEN u END) END, 4) AS kmv_est FROM rk GROUP BY event_type ORDER BY grp""",
+    // same retained sets (rn < K), same theta rule (u at rn=K else 1),
+    // same strict u < min(theta) intersection count
+    "q_sketch_kmv_intersect" ->
+      """WITH e AS (SELECT DISTINCT event_type, user_id::VARCHAR AS k0 FROM events), r AS (SELECT event_type, ('0x' || substr(md5('kmv|' || k0), 1, 12))::BIGINT / 281474976710656.0 AS u FROM e), rk AS (SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn FROM r), th AS (SELECT event_type, coalesce(max(CASE WHEN rn = 32 THEN u END), 1.0) AS theta FROM rk GROUP BY event_type), ret AS (SELECT event_type, u FROM rk WHERE rn < 32), cm AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c, min(least(x.theta, y.theta)) AS th FROM ret a JOIN ret b ON a.u = b.u AND a.event_type < b.event_type JOIN th x ON x.event_type = a.event_type JOIN th y ON y.event_type = b.event_type WHERE a.u < least(x.theta, y.theta) GROUP BY 1, 2), ex AS (SELECT x.event_type AS ta, y.event_type AS tb, count(*) AS n_exact FROM e x JOIN e y ON x.k0 = y.k0 AND x.event_type < y.event_type GROUP BY 1, 2) SELECT ex.ta AS ta, ex.tb AS tb, ex.n_exact::BIGINT AS n_exact, round(coalesce(cm.c::DOUBLE / cm.th, 0.0), 4) AS kmv_est FROM ex LEFT JOIN cm ON ex.ta = cm.ta AND ex.tb = cm.tb ORDER BY ex.ta, ex.tb""",
     // bigram rows with their history tokens; V from the shared
     // tokenizer; same Laplace expression and decimal-sum mean
     "q_text_lmscore2" ->
