@@ -711,6 +711,13 @@ object Traversals {
       lv = prevLv.join(dead, Seq("vertex"), "left_anti").checkpointSized()
       dropCheckpoint(prevE, keep = checkpointRddIds(e) ++ checkpointRddIds(win))
       dropCheckpoint(prevLv, keep = checkpointRddIds(lv) ++ checkpointRddIds(win))
+      // early exit once nothing is live: the remaining fixed rounds
+      // would emit empty winner sets either way (output-identical —
+      // the unrolled oracle's later rounds contribute zero rows), so
+      // skip their barrier cost; counts are cheap on the fresh
+      // checkpoints (a dense graph resolves in round 1 — the modulus
+      // fixture saturates — and paid 2 empty supersteps before this)
+      if (r < rounds && lv.isEmpty && e.isEmpty) return out
     }
     out
   }
