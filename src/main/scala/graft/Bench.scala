@@ -141,7 +141,9 @@ object Bench {
     // event-time disorder profile (two-phase prefix max, no global sort)
     "q_events_disorder",
     // theta-sketch intersection (the set algebra HLL can't do)
-    "q_sketch_kmv_intersect")
+    "q_sketch_kmv_intersect",
+    // cross-source duplicate resolution by priority tier
+    "q_dedup_priority")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

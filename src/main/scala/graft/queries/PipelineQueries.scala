@@ -1195,6 +1195,30 @@ object PipelineQueries {
             .otherwise(lit(K - 1).cast("double") / col("theta")), 4).as("kmv_est"))
         .orderBy("grp")
     }),
+    "q_dedup_priority" -> ((s, d) => {
+      // cross-source duplicate RESOLUTION — exact dedup's production
+      // sibling (the C4/RefinedWeb rule): when the same text appears
+      // in several sources, keep the copy from the highest-priority
+      // tier (curated > web), ties to the smallest doc_id. One
+      // digest-keyed hash agg with a min-struct argmin — only 16-byte
+      // hashes + the tiny (tier, id) struct shuffle. Readout: per
+      // source, docs kept vs docs lost to a higher-priority clone.
+      val tier = substring(col("source"), 4, 10).cast("int") % 3
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), col("source"), tier.as("tier"),
+          md5(col("text")).as("h"))
+      val keep = base.groupBy("h")
+        .agg(min(struct(col("tier"), col("doc_id").as("id")))
+          .getField("id").as("keep_id"), count(lit(1)).as("clones"))
+      base.join(keep, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+            .cast("long").as("n_kept"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .cast("long").as("n_dropped"))
+        .orderBy("source")
+    }),
     "q_sketch_kmv_intersect" -> ((s, d) => {
       // KMV/theta-sketch INTERSECTION — the set-algebra capability HLL
       // structurally lacks (register-max only unions) and the reason
@@ -2047,6 +2071,9 @@ object PipelineQueries {
     // normalized hashes, k-th smallest via the same rank window
     "q_sketch_kmv" ->
       """WITH e AS (SELECT DISTINCT event_type, user_id::VARCHAR AS k0 FROM events), g AS (SELECT event_type, k0 FROM e UNION ALL SELECT DISTINCT '_all', k0 FROM e), r AS (SELECT event_type, ('0x' || substr(md5('kmv|' || k0), 1, 12))::BIGINT / 281474976710656.0 AS u FROM g), rk AS (SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM r) SELECT event_type AS grp, max(n)::BIGINT AS n_exact, round(CASE WHEN max(n) < 32 THEN max(n)::DOUBLE ELSE 31.0 / max(CASE WHEN rn = 32 THEN u END) END, 4) AS kmv_est FROM rk GROUP BY event_type ORDER BY grp""",
+    // same tier derivation, same (tier, doc_id) min-struct winner
+    "q_dedup_priority" ->
+      """WITH b AS (SELECT doc_id, source, substr(source, 4)::INT % 3 AS tier, md5(text) AS h FROM documents), k AS (SELECT h, (min({'t': tier, 'i': doc_id})).i AS keep_id FROM b GROUP BY h) SELECT b.source AS source, count(*)::BIGINT AS n_docs, sum(CASE WHEN b.doc_id = k.keep_id THEN 1 ELSE 0 END)::BIGINT AS n_kept, sum(CASE WHEN b.doc_id <> k.keep_id THEN 1 ELSE 0 END)::BIGINT AS n_dropped FROM b JOIN k USING (h) GROUP BY b.source ORDER BY source""",
     // same retained sets (rn < K), same theta rule (u at rn=K else 1),
     // same strict u < min(theta) intersection count
     "q_sketch_kmv_intersect" ->
