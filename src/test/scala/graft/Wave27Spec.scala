@@ -223,6 +223,38 @@ class Wave27Spec extends SparkSpec {
     }
   }
 
+  test("q_sketch_kmv_intersect: estimates track the true overlaps") {
+    val r = run("q_sketch_kmv_intersect").collect()
+    assert(r.length == 10, s"expected C(5,2)=10 type pairs, got ${r.length}")
+    r.foreach { row =>
+      val exact = row.getAs[Long]("n_exact").toDouble
+      val est = row.getAs[Double]("kmv_est")
+      // k=32 sketch over ~150-element sets: generous 60% band — the
+      // gate pins the exact VALUE; this pins that it's an estimator,
+      // not noise
+      assert(est > 0.0 && math.abs(est - exact) / exact < 0.6,
+        s"${row.getString(0)}∩${row.getString(1)}: est $est vs exact $exact")
+    }
+  }
+
+  test("q_dedup_priority: conservation and tier-minimal winners") {
+    val r = run("q_dedup_priority").collect()
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val n = docs.count()
+    assert(r.map(x => x.getAs[Long]("n_docs")).sum == n)
+    r.foreach(x => assert(x.getAs[Long]("n_kept") + x.getAs[Long]("n_dropped")
+      == x.getAs[Long]("n_docs")))
+    // every clone family's winner has the minimal tier in the family
+    val fams = docs.select(col("doc_id"), col("source"),
+        (substring(col("source"), 4, 10).cast("int") % 3).as("tier"),
+        md5(col("text")).as("h")).collect()
+      .groupBy(_.getAs[String]("h"))
+    fams.values.foreach { rows =>
+      val win = rows.minBy(r => (r.getAs[Int]("tier"), r.getAs[Long]("doc_id")))
+      assert(win.getAs[Int]("tier") == rows.map(_.getAs[Int]("tier")).min)
+    }
+  }
+
   test("q_events_disorder: the two-phase prefix max equals a naive global window") {
     import org.apache.spark.sql.expressions.Window
     val a = graft.queries.Tables.events(spark, d).select(col("event_id"),
