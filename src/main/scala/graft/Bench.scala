@@ -143,7 +143,9 @@ object Bench {
     // theta-sketch intersection (the set algebra HLL can't do)
     "q_sketch_kmv_intersect",
     // cross-source duplicate resolution by priority tier
-    "q_dedup_priority")
+    "q_dedup_priority",
+    // Spark 4 VARIANT typed path access (parse once, binary encoding)
+    "q_json_variant")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
