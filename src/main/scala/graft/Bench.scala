@@ -302,6 +302,8 @@ object Bench {
     "q_embed_norms" -> "family-variant",
     "q_sample_systematic" -> "family-variant",
     "q_udf_scalar" -> "family-variant",
+    "q_udf_sql" -> "family-variant",
+    "q_scalar_collation" -> "family-variant",
     "q_graph_coreness" -> "fixture-latency",
     "q_layout_compaction" -> "commit-io",
     "q_text_langid" -> "family-variant",

@@ -903,6 +903,43 @@ object RelationalQueries {
           col("p.max_v").as("max_v"))
         .orderBy("col_name")
     }),
+    "q_udf_sql" -> ((s, d) => {
+      // SQL-language UDF (Spark 4 CREATE FUNCTION ... RETURN expr) —
+      // the declarative middle rung between builtins and Scala UDFs:
+      // the body is Catalyst-inlined at plan time, so unlike
+      // q_udf_scalar's opaque invoke it keeps codegen and pushdown
+      // (run .explain: no UDF node survives). Function: the TPC-H
+      // discounted price — UNROUNDED (a per-row double round lands on
+      // different HALF_UP ties across engines; the repo convention is
+      // decimal-sum then one closing round).
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+                 price DOUBLE, discount DOUBLE) RETURNS DOUBLE
+               RETURN price * (1.0 - discount)""")
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          expr("graft_disc_price(l_extendedprice, l_discount)").as("dp"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("dp").cast("decimal(38,6)")).cast("double"), 2)
+            .as("sum_disc_price"))
+        .orderBy("l_returnflag")
+    }),
+    "q_scalar_collation" -> ((s, d) => {
+      // Spark 4 COLLATION support: UTF8_LCASE comparisons make
+      // grouping/equality case-insensitive WITHOUT rewriting data
+      // through lower() — the engine-level answer to mixed-case keys
+      // (and at scale, collation-aware comparisons stay inside
+      // codegen). Deterministic mixed-casing is injected (fixture
+      // strings are uniform case), then grouped under the collation;
+      // the oracle groups by lower() — same classes by definition.
+      val mixed = t(s, d, "part").withColumn("brand_mixed",
+        when(col("p_partkey") % 2 === 0, upper(col("p_brand")))
+          .otherwise(lower(col("p_brand"))))
+      mixed.groupBy(expr("collate(brand_mixed, 'UTF8_LCASE')").as("b"))
+        .agg(count(lit(1)).as("n"), sum(col("p_size")).cast("long").as("sz"))
+        .select(lower(col("b")).as("brand"), col("n"), col("sz"))
+        .orderBy("brand")
+    }),
     "q_json_variant" -> ((s, d) => {
       // Spark 4 VARIANT — the open-schema semi-structured type: parse
       // the JSON ONCE into the binary variant encoding, then typed
@@ -3064,6 +3101,12 @@ object RelationalQueries {
       """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*)::BIGINT AS cnt_l FROM lineitem GROUP BY 1), b AS (SELECT nullif(l_linestatus, 'F') AS k, count(*)::BIGINT AS cnt_r FROM lineitem GROUP BY 1) SELECT coalesce(a.k, b.k) AS k, a.cnt_l, b.cnt_r, (a.cnt_l IS NOT NULL AND b.cnt_r IS NOT NULL) AS matched FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY k NULLS FIRST""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the UDF body inlined; same decimal-sum rounding
+    "q_udf_sql" ->
+      """SELECT l_returnflag, count(*)::BIGINT AS n, round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(38,6))::DOUBLE, 2) AS sum_disc_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the collation's equivalence classes == lower() classes
+    "q_scalar_collation" ->
+      """WITH m AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE lower(p_brand) END AS bm, p_size FROM part) SELECT lower(bm) AS brand, count(*)::BIGINT AS n, sum(p_size)::BIGINT AS sz FROM m GROUP BY lower(bm) ORDER BY brand""",
     // JSON path access in DuckDB; the schema fingerprint is the
     // constant OBJECT<k: BIGINT> (all props rows carry one int field)
     "q_json_variant" ->
