@@ -304,6 +304,7 @@ object Bench {
     "q_udf_scalar" -> "family-variant",
     "q_udf_sql" -> "family-variant",
     "q_scalar_collation" -> "family-variant",
+    "q_sql_params" -> "family-variant",
     "q_graph_coreness" -> "fixture-latency",
     "q_layout_compaction" -> "commit-io",
     "q_text_langid" -> "family-variant",

@@ -903,6 +903,23 @@ object RelationalQueries {
           col("p.max_v").as("max_v"))
         .orderBy("col_name")
     }),
+    "q_sql_params" -> ((s, d) => {
+      // parameterized SQL (Spark 4 named-parameter API) — the
+      // injection-safe interface a query service exposes: literals
+      // bind as :params, the plan is identical to the inlined query
+      // (parameters fold at analysis), and a cache can key on the
+      // template. The reference's client menu is exactly this shape —
+      // fixed request templates + user-supplied values.
+      t(s, d, "part").createOrReplaceTempView("graft_part_pv")
+      s.sql(
+        """SELECT p_brand, count(*) AS n, sum(p_size) AS sz
+           FROM graft_part_pv
+           WHERE p_size BETWEEN :lo AND :hi AND p_brand <> :excl
+           GROUP BY p_brand ORDER BY p_brand""",
+        Map("lo" -> 5, "hi" -> 20, "excl" -> "Brand#45"))
+        .select(col("p_brand"), col("n").cast("long").as("n"),
+          col("sz").cast("long").as("sz"))
+    }),
     "q_udf_sql" -> ((s, d) => {
       // SQL-language UDF (Spark 4 CREATE FUNCTION ... RETURN expr) —
       // the declarative middle rung between builtins and Scala UDFs:
@@ -3101,6 +3118,9 @@ object RelationalQueries {
       """WITH a AS (SELECT nullif(l_returnflag, 'N') AS k, count(*)::BIGINT AS cnt_l FROM lineitem GROUP BY 1), b AS (SELECT nullif(l_linestatus, 'F') AS k, count(*)::BIGINT AS cnt_r FROM lineitem GROUP BY 1) SELECT coalesce(a.k, b.k) AS k, a.cnt_l, b.cnt_r, (a.cnt_l IS NOT NULL AND b.cnt_r IS NOT NULL) AS matched FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k ORDER BY k NULLS FIRST""",
     "q_source_partitioned" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS cnt, round(sum(o_totalprice), 2) AS total FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the parameters inlined as literals
+    "q_sql_params" ->
+      """SELECT p_brand, count(*)::BIGINT AS n, sum(p_size)::BIGINT AS sz FROM part WHERE p_size BETWEEN 5 AND 20 AND p_brand <> 'Brand#45' GROUP BY p_brand ORDER BY p_brand""",
     // the UDF body inlined; same decimal-sum rounding
     "q_udf_sql" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n, round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(38,6))::DOUBLE, 2) AS sum_disc_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
