@@ -1195,6 +1195,44 @@ object PipelineQueries {
             .otherwise(lit(K - 1).cast("double") / col("theta")), 4).as("kmv_est"))
         .orderBy("grp")
     }),
+    "q_text_bleu" -> ((s, d) => {
+      // BLEU-style modified n-gram precision between near-dup
+      // CANDIDATE pairs — eval metrics computed in-engine (candidate-
+      // quality scoring, MT-style similarity): for each banded pair
+      // (a, b), clipped unigram and bigram precision of b against a
+      // (Σ min(count_a, count_b) / Σ count_b — the Papineni 2002
+      // clipping). Pairs come from the SAME memoized MinHash candidate
+      // table as the dedup family (never all-pairs); counts are two
+      // hash aggs over the word_ngrams Generator; integer arithmetic
+      // with one closing division per order.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val cand = docCandidates(s, d).select("doc_a", "doc_b")
+      def counts(n: Int) = t(s, d, "documents")
+        .select(col("doc_id"), expr(s"word_ngrams(text, $n)"))
+        .groupBy(col("doc_id"), col("gram")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds both pair sides + the totals
+      def hits(cnts: DataFrame) = cand
+        .join(cnts.select(col("doc_id").as("doc_a"), col("gram"),
+          col("c").as("ca")), Seq("doc_a"))
+        .join(cnts.select(col("doc_id").as("doc_b"), col("gram"),
+          col("c").as("cb")), Seq("doc_b", "gram"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum(least(col("ca"), col("cb"))).as("hit"))
+      def tots(cnts: DataFrame) =
+        cnts.groupBy(col("doc_id").as("doc_b")).agg(sum("c").as("tot"))
+      val u = counts(1); val b2 = counts(2)
+      cand
+        .join(hits(u).withColumnRenamed("hit", "h1"), Seq("doc_a", "doc_b"), "left_outer")
+        .join(tots(u).withColumnRenamed("tot", "t1"), Seq("doc_b"), "left_outer")
+        .join(hits(b2).withColumnRenamed("hit", "h2"), Seq("doc_a", "doc_b"), "left_outer")
+        .join(tots(b2).withColumnRenamed("tot", "t2"), Seq("doc_b"), "left_outer")
+        .select(col("doc_a"), col("doc_b"),
+          round(coalesce(col("h1"), lit(0L)).cast("double") /
+            coalesce(col("t1"), lit(1L)), 4).as("p1"),
+          round(coalesce(col("h2"), lit(0L)).cast("double") /
+            coalesce(col("t2"), lit(1L)), 4).as("p2"))
+        .orderBy("doc_a", "doc_b")
+    }),
     "q_dedup_priority" -> ((s, d) => {
       // cross-source duplicate RESOLUTION — exact dedup's production
       // sibling (the C4/RefinedWeb rule): when the same text appears
@@ -2071,6 +2109,10 @@ object PipelineQueries {
     // normalized hashes, k-th smallest via the same rank window
     "q_sketch_kmv" ->
       """WITH e AS (SELECT DISTINCT event_type, user_id::VARCHAR AS k0 FROM events), g AS (SELECT event_type, k0 FROM e UNION ALL SELECT DISTINCT '_all', k0 FROM e), r AS (SELECT event_type, ('0x' || substr(md5('kmv|' || k0), 1, 12))::BIGINT / 281474976710656.0 AS u FROM g), rk AS (SELECT event_type, u, row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM r) SELECT event_type AS grp, max(n)::BIGINT AS n_exact, round(CASE WHEN max(n) < 32 THEN max(n)::DOUBLE ELSE 31.0 / max(CASE WHEN rn = 32 THEN u END) END, 4) AS kmv_est FROM rk GROUP BY event_type ORDER BY grp""",
+    // same banded candidate pairs (the minhash oracle's CTE chain),
+    // same clipped-count precision with per-b-side totals
+    "q_text_bleu" ->
+      s"""WITH $toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, b.b * 4 + j.j AS seed, min(substr(md5(b.b::VARCHAR || '|' || g), j.j * 8 + 1, 8)) AS c FROM shr CROSS JOIN (SELECT unnest(range(4)) AS b) b CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY doc_id, b.b * 4 + j.j), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4), pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), ug AS (SELECT doc_id, unnest(tk) AS gram FROM toks), uc AS (SELECT doc_id, gram, count(*) AS c FROM ug GROUP BY 1, 2), ut AS (SELECT doc_id, count(*) AS tot FROM ug GROUP BY 1), bg AS (SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END) AS gram FROM toks), bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2), bt AS (SELECT doc_id, count(*) AS tot FROM bg GROUP BY 1), h1 AS (SELECT p.doc_a, p.doc_b, sum(least(a.c, b.c)) AS hit FROM pairs p JOIN uc a ON a.doc_id = p.doc_a JOIN uc b ON b.doc_id = p.doc_b AND b.gram = a.gram GROUP BY 1, 2), h2 AS (SELECT p.doc_a, p.doc_b, sum(least(a.c, b.c)) AS hit FROM pairs p JOIN bc a ON a.doc_id = p.doc_a JOIN bc b ON b.doc_id = p.doc_b AND b.gram = a.gram GROUP BY 1, 2) SELECT p.doc_a, p.doc_b, round(coalesce(h1.hit, 0)::DOUBLE / coalesce(ut.tot, 1), 4) AS p1, round(coalesce(h2.hit, 0)::DOUBLE / coalesce(bt.tot, 1), 4) AS p2 FROM pairs p LEFT JOIN h1 ON h1.doc_a = p.doc_a AND h1.doc_b = p.doc_b LEFT JOIN ut ON ut.doc_id = p.doc_b LEFT JOIN h2 ON h2.doc_a = p.doc_a AND h2.doc_b = p.doc_b LEFT JOIN bt ON bt.doc_id = p.doc_b ORDER BY p.doc_a, p.doc_b""",
     // same tier derivation, same (tier, doc_id) min-struct winner
     "q_dedup_priority" ->
       """WITH b AS (SELECT doc_id, source, substr(source, 4)::INT % 3 AS tier, md5(text) AS h FROM documents), k AS (SELECT h, (min({'t': tier, 'i': doc_id})).i AS keep_id FROM b GROUP BY h) SELECT b.source AS source, count(*)::BIGINT AS n_docs, sum(CASE WHEN b.doc_id = k.keep_id THEN 1 ELSE 0 END)::BIGINT AS n_kept, sum(CASE WHEN b.doc_id <> k.keep_id THEN 1 ELSE 0 END)::BIGINT AS n_dropped FROM b JOIN k USING (h) GROUP BY b.source ORDER BY source""",
