@@ -223,6 +223,30 @@ class Wave27Spec extends SparkSpec {
     }
   }
 
+  test("UDF ladder contrast: the SQL UDF inlines, the Scala UDF stays opaque") {
+    val sqlPlan = run("q_udf_sql").queryExecution.executedPlan.toString
+    assert(!sqlPlan.contains("BatchEvalPython") && !sqlPlan.toLowerCase.contains("scalaudf"),
+      s"SQL-language UDF was NOT inlined:\n$sqlPlan")
+    val scalaPlan = run("q_udf_scalar").queryExecution.executedPlan.toString
+    assert(scalaPlan.toLowerCase.contains("slugify") ||
+      scalaPlan.toLowerCase.contains("scalaudf"),
+      "expected the Scala UDF to appear as an opaque call in the plan")
+  }
+
+  test("q_text_bleu: precisions in [0,1] and the pair set is the candidate set") {
+    val r = run("q_text_bleu").collect()
+    r.foreach { row =>
+      Seq("p1", "p2").foreach { c =>
+        val v = row.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c = $v out of range")
+      }
+    }
+    val candN = SparkEntry.queries("q_dedup_minhash")(spark, d).count()
+    // q_dedup_minhash filters candidates at est >= 0.25; bleu scores
+    // ALL banded candidates, so it can only have >= as many pairs
+    assert(r.length >= candN.toInt, s"bleu pairs ${r.length} < filtered candidates $candN")
+  }
+
   test("q_sketch_kmv_intersect: estimates track the true overlaps") {
     val r = run("q_sketch_kmv_intersect").collect()
     assert(r.length == 10, s"expected C(5,2)=10 type pairs, got ${r.length}")
