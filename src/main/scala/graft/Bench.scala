@@ -147,7 +147,9 @@ object Bench {
     // Spark 4 VARIANT typed path access (parse once, binary encoding)
     "q_json_variant",
     // clipped n-gram precision over the banded candidate pairs
-    "q_text_bleu")
+    "q_text_bleu",
+    // ColBERT-style MaxSim late interaction (bounded query set)
+    "q_embed_maxsim")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -700,6 +700,38 @@ object PipelineQueries {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("doc_id", "bucket")
     }),
+    "q_embed_maxsim" -> ((s, d) => {
+      // ColBERT-style LATE INTERACTION (MaxSim): similarity of two
+      // vector SETS = mean over the query set of each vector's best
+      // match in the document set — the multi-vector retrieval scoring
+      // modern rerankers use. Sets here are the label groups; the
+      // pairwise stage is bounded by GROUP sizes within a fixed
+      // label-pair grid (the SemDeDup cell argument: dims-bounded,
+      // never corpus-quadratic). Determinism: cosine via the codegen
+      // expression rounded per pair, max per query vector, decimal-sum
+      // mean — order-independent at any partitioning.
+      graft.functions.expressions.GraftFunctions.register(s)
+      // the QUERY side is a deterministic ~6% sample (vec_id % 17) —
+      // MaxSim's production shape scores a SMALL query token set
+      // against the corpus side, so pair volume is |Q|·|corpus|, and
+      // |Q| is the knob (an unrestricted set-vs-set MaxSim would be
+      // corpus-quadratic — the exact thing the dedup family's banding
+      // exists to avoid)
+      val e = t(s, d, "embeddings").select(col("label"), col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+        .localCheckpoint(true) // feeds both sides of the label-pair join
+      val best = e.where(col("vec_id") % 17 === 0).as("q").join(e.as("t"),
+          col("q.label") < col("t.label"))
+        .select(col("q.label").as("la"), col("t.label").as("lb"),
+          col("q.vec_id").as("qid"),
+          round(expr("cosine_sim(q.v, t.v)"), 6).as("cos"))
+        .groupBy("la", "lb", "qid").agg(max(col("cos")).as("best"))
+      best.groupBy("la", "lb")
+        .agg(count(lit(1)).as("n_q"),
+          round(sum(col("best").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 4).as("maxsim"))
+        .orderBy("la", "lb")
+    }),
     "q_embed_classify" -> ((s, d) => {
       // linear quality-classifier INFERENCE — the fastText-style
       // filtering stage every corpus pipeline runs (train offline,
@@ -2077,6 +2109,9 @@ object PipelineQueries {
     // same whitespace tokenizer, 16-bit md5 prefix % 16 buckets
     "q_feature_hash" ->
       s"""WITH $toksSql, tr AS (SELECT doc_id, unnest(tk) AS tok FROM toks) SELECT doc_id, (('0x' || substr(md5(tok), 1, 4))::BIGINT % 16)::INT AS bucket, count(*)::BIGINT AS cnt FROM tr WHERE tok <> '' GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    // same per-pair rounded cosine, per-query-vector max, decimal mean
+    "q_embed_maxsim" ->
+      s"""WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), p AS (SELECT q.label AS la, t.label AS lb, q.vec_id AS qid, round(${foldSql("list_transform(range(1, 65), i -> q.v[i] * t.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> q.v[i] * q.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> t.v[i] * t.v[i])")})), 6) AS cos FROM e q JOIN e t ON q.label < t.label WHERE q.vec_id % 17 = 0), b AS (SELECT la, lb, qid, max(cos) AS best FROM p GROUP BY 1, 2, 3) SELECT la, lb, count(*)::BIGINT AS n_q, round(sum(best::DECIMAL(38,18))::DOUBLE / count(*), 4) AS maxsim FROM b GROUP BY la, lb ORDER BY la, lb""",
     // same broadcast weight row (vec_id 1), ordered dot fold, logit
     // threshold, round-then-decimal-sum mean
     "q_embed_classify" ->
