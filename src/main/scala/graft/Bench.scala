@@ -149,7 +149,9 @@ object Bench {
     // clipped n-gram precision over the banded candidate pairs
     "q_text_bleu",
     // ColBERT-style MaxSim late interaction (bounded query set)
-    "q_embed_maxsim")
+    "q_embed_maxsim",
+    // reciprocal-rank fusion of the exact and int8 rankers
+    "q_embed_rrf")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -700,6 +700,49 @@ object PipelineQueries {
         .groupBy("doc_id", "bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("doc_id", "bucket")
     }),
+    "q_embed_rrf" -> ((s, d) => {
+      // hybrid-retrieval fusion: RECIPROCAL RANK FUSION of two rankers
+      // (exact cosine; int8 quantized dot — the two stages q_embed_
+      // rerank pipelines) — rrf = Σ 1/(60+rank), the standard k=60
+      // fusion hybrid search uses to merge dense/sparse/quantized
+      // lists. Scale shape: fusion only ever sees each ranker's
+      // top-100 CANDIDATE list (TakeOrderedAndProject per ranker, then
+      // a 100-row rank window), never a corpus-wide rank. Absent-from-
+      // a-list contributes 0, the standard convention.
+      graft.functions.expressions.GraftFunctions.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+        .localCheckpoint(true)
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"),
+          array_max(transform(col("v"), x => abs(x))).as("qscale"))
+        .withColumn("qcodes", transform(col("qv"),
+          x => when(col("qscale") === 0, lit(0.0))
+            .otherwise(floor(x / col("qscale") * 127 + lit(0.5)))))
+      val scored = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("codes", transform(col("v"),
+          x => when(col("scale") === 0, lit(0.0))
+            .otherwise(floor(x / col("scale") * 127 + lit(0.5)))))
+        .select(col("vec_id"),
+          expr("cosine_sim(v, qv)").as("cos"),
+          (expr("dot_fold(codes, qcodes)") * col("scale") * col("qscale")
+            / lit(16129.0)).as("approx"))
+        .localCheckpoint(true) // feeds both ranker top-100s
+      def top(scoreCol: String, rankAs: String) =
+        scored.orderBy(col(scoreCol).desc, col("vec_id")).limit(100)
+          .withColumn(rankAs, row_number().over(
+            Window.orderBy(col(scoreCol).desc, col("vec_id"))))
+          .select(col("vec_id"), col(rankAs))
+      top("cos", "ra").join(top("approx", "rb"), Seq("vec_id"), "full_outer")
+        .select(col("vec_id"),
+          coalesce(col("ra"), lit(0)).cast("long").as("ra"),
+          coalesce(col("rb"), lit(0)).cast("long").as("rb"),
+          round(coalesce(lit(1.0) / (lit(60) + col("ra")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rb")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("vec_id")).limit(15)
+    }),
     "q_embed_maxsim" -> ((s, d) => {
       // ColBERT-style LATE INTERACTION (MaxSim): similarity of two
       // vector SETS = mean over the query set of each vector's best
@@ -2109,6 +2152,10 @@ object PipelineQueries {
     // same whitespace tokenizer, 16-bit md5 prefix % 16 buckets
     "q_feature_hash" ->
       s"""WITH $toksSql, tr AS (SELECT doc_id, unnest(tk) AS tok FROM toks) SELECT doc_id, (('0x' || substr(md5(tok), 1, 4))::BIGINT % 16)::INT AS bucket, count(*)::BIGINT AS cnt FROM tr WHERE tok <> '' GROUP BY doc_id, bucket ORDER BY doc_id, bucket""",
+    // same two rankers (exact cosine; int8 dot with the rerank
+    // encoding), top-100 each, same 1/(60+rank) fusion
+    "q_embed_rrf" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0), q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qscale FROM q0), qc AS (SELECT qv, qscale, list_transform(qv, x -> CASE WHEN qscale = 0 THEN 0.0 ELSE floor(x / qscale * 127 + 0.5) END) AS qcodes FROM q), sc AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS cos, (${foldSql("list_transform(range(1, 65), i -> (CASE WHEN list_max(list_transform(v, y -> abs(y))) = 0 THEN 0.0 ELSE floor(v[i] / list_max(list_transform(v, y -> abs(y))) * 127 + 0.5) END) * qcodes[i])")} * list_max(list_transform(v, y -> abs(y))) * qscale) / 16129.0 AS approx FROM e CROSS JOIN qc WHERE vec_id <> 0), ta AS (SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id) AS ra FROM sc ORDER BY cos DESC, vec_id LIMIT 100), tb AS (SELECT vec_id, row_number() OVER (ORDER BY approx DESC, vec_id) AS rb FROM sc ORDER BY approx DESC, vec_id LIMIT 100) SELECT coalesce(ta.vec_id, tb.vec_id) AS vec_id, coalesce(ta.ra, 0)::BIGINT AS ra, coalesce(tb.rb, 0)::BIGINT AS rb, round(coalesce(1.0 / (60 + ta.ra), 0.0) + coalesce(1.0 / (60 + tb.rb), 0.0), 6) AS rrf FROM ta FULL OUTER JOIN tb ON ta.vec_id = tb.vec_id ORDER BY rrf DESC, vec_id LIMIT 15""",
     // same per-pair rounded cosine, per-query-vector max, decimal mean
     "q_embed_maxsim" ->
       s"""WITH e AS (SELECT label, vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), p AS (SELECT q.label AS la, t.label AS lb, q.vec_id AS qid, round(${foldSql("list_transform(range(1, 65), i -> q.v[i] * t.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> q.v[i] * q.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> t.v[i] * t.v[i])")})), 6) AS cos FROM e q JOIN e t ON q.label < t.label WHERE q.vec_id % 17 = 0), b AS (SELECT la, lb, qid, max(cos) AS best FROM p GROUP BY 1, 2, 3) SELECT la, lb, count(*)::BIGINT AS n_q, round(sum(best::DECIMAL(38,18))::DOUBLE / count(*), 4) AS maxsim FROM b GROUP BY la, lb ORDER BY la, lb""",
