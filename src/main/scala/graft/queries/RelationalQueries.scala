@@ -998,6 +998,50 @@ object RelationalQueries {
         .where(col("p_partkey") % 37 === 0)
         .orderBy("p_partkey")
     }),
+    "q_events_survival" -> ((s, d) => {
+      // Kaplan-Meier survival (churn analysis with CENSORING): users
+      // enter at first signup, "die" at the first severe error
+      // (value > 80) after entry, and users with no such event are
+      // censored at their last activity — exactly the estimator's
+      // point (naive churn ratios are biased by censored users; KM's
+      // at-risk denominators aren't). Per death day t:
+      // S(t) = Π_{t'<=t} (1 - d/n) computed as an ORDERED fold with a
+      // per-step round(12) (the cross-engine float-product discipline,
+      // same as the EWMA fold); the day-term table is bounded by the
+      // study length, so it collects to one broadcast array. The
+      // at-risk counts use a tiny-side non-equi broadcast join
+      // (days × users — days is the study length, audited BNLJ).
+      val ev = Tables.events(s, d)
+      val st = ev.where(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("start"))
+      val deaths = ev.where(col("event_type") === "error" && col("value") > 80)
+        .join(st, "user_id").where(col("ts") > col("start"))
+        .groupBy("user_id").agg(min(col("ts")).as("death"))
+      val last = ev.groupBy("user_id").agg(max(col("ts")).as("last"))
+      val dur = st.join(last, "user_id")
+        .join(deaths, Seq("user_id"), "left_outer")
+        .select(col("user_id"),
+          datediff(coalesce(col("death"), col("last")).cast("date"),
+            col("start").cast("date")).as("dur"),
+          col("death").isNotNull.as("died"))
+        .localCheckpoint(true) // feeds d_t, n_t, and nothing else twice
+      val dt = dur.where(col("died"))
+        .groupBy(col("dur").as("t")).agg(count(lit(1)).as("d"))
+      val nt = broadcast(dt.select("t")).join(dur, col("dur") >= col("t"))
+        .groupBy("t").agg(count(lit(1)).as("n"))
+      val terms = dt.join(nt, "t")
+        .select(col("t"), col("d"), col("n"),
+          (lit(1.0) - col("d").cast("double") / col("n")).as("term"))
+      val all = terms.agg(sort_array(collect_list(
+        struct(col("t"), col("term")))).as("ts0"))
+      terms.crossJoin(broadcast(all))
+        .select(col("t").cast("long").as("t"), col("n"), col("d"),
+          round(aggregate(
+            filter(col("ts0"), x => x.getField("t") <= col("t")),
+            lit(1.0), (acc, x) => round(acc * x.getField("term"), 12)), 6)
+            .as("s_t"))
+        .orderBy("t")
+    }),
     "q_events_disorder" -> ((s, d) => {
       // event-time DISORDER profile — the statistic that picks a
       // streaming watermark delay: lateness(e) = running-max event
@@ -3135,6 +3179,9 @@ object RelationalQueries {
     // -> strip edge dashes
     "q_udf_scalar" ->
       """SELECT p_partkey, trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
+    // same entry/death/censor rules, same ordered per-step-rounded fold
+    "q_events_survival" ->
+      """WITH s AS (SELECT user_id, min(ts) AS start FROM events WHERE event_type = 'signup' GROUP BY 1), dth AS (SELECT e.user_id, min(e.ts) AS death FROM events e JOIN s ON e.user_id = s.user_id WHERE e.event_type = 'error' AND e.value > 80 AND e.ts > s.start GROUP BY 1), c AS (SELECT user_id, max(ts) AS last FROM events GROUP BY 1), dur AS (SELECT s.user_id, date_diff('day', s.start::DATE, coalesce(dth.death, c.last)::DATE) AS dur, dth.death IS NOT NULL AS died FROM s JOIN c USING (user_id) LEFT JOIN dth USING (user_id)), dt AS (SELECT dur AS t, count(*) AS d FROM dur WHERE died GROUP BY 1), nt AS (SELECT dt.t, count(*) AS n FROM (SELECT DISTINCT t FROM dt) dt JOIN dur ON dur.dur >= dt.t GROUP BY 1), tm AS (SELECT dt.t, dt.d, nt.n, 1.0 - dt.d::DOUBLE / nt.n AS term FROM dt JOIN nt USING (t)), al AS (SELECT list_sort(list(struct_pack(t := t, term := term))) AS ts0 FROM tm) SELECT tm.t::BIGINT AS t, tm.n::BIGINT AS n, tm.d::BIGINT AS d, round(list_reduce(list_prepend(1.0::DOUBLE, list_transform(list_filter(al.ts0, x -> x.t <= tm.t), x -> x.term)), (a, b) -> round(a * b, 12)), 6) AS s_t FROM tm, al ORDER BY t""",
     // same md5 arrival jitter, same two-phase prefix max (batch-local
     // window + carry over batch maxima), same hour buckets
     "q_events_disorder" ->
