@@ -153,7 +153,9 @@ object Bench {
     // reciprocal-rank fusion of the exact and int8 rankers
     "q_embed_rrf",
     // Kaplan-Meier churn survival with censoring
-    "q_events_survival")
+    "q_events_survival",
+    // CUSUM drift alarms over daily metric means
+    "q_events_cusum")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

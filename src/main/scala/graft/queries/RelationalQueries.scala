@@ -998,6 +998,39 @@ object RelationalQueries {
         .where(col("p_partkey") % 37 === 0)
         .orderBy("p_partkey")
     }),
+    "q_events_cusum" -> ((s, d) => {
+      // CUSUM drift detection — the sequential change-point monitor
+      // data-quality pipelines run on daily metrics: per event type,
+      // c_t = max(0, c_{t-1} + (x_t − target − slack)) over the
+      // per-day mean value, alarm when c_t crosses h. The recursion
+      // no window frame expresses is an ORDERED fold (the EWMA /
+      // survival pattern) over the study-length-bounded day list,
+      // with per-step round(8) for cross-engine stability; daily
+      // means and targets are decimal-exact before they enter.
+      // slack k=0.5, threshold h=2.0 (standard one-sided CUSUM form).
+      val ev = Tables.events(s, d)
+      val daily = ev.groupBy(col("event_type"),
+          col("ts").cast("date").as("day"))
+        .agg(round(sum(col("value").cast("decimal(38,6)")).cast("double") /
+          count(lit(1)), 6).as("x"))
+      val target = daily.groupBy("event_type")
+        .agg(round(sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1)), 6).as("tgt"))
+      val terms = daily.join(target, "event_type")
+        .select(col("event_type"), col("day"),
+          round(col("x") - col("tgt") - lit(0.5), 6).as("dev"))
+      val packed = terms.groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("day"), col("dev")))).as("ds"))
+      terms.join(packed, "event_type")
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          round(aggregate(
+            filter(col("ds"), x => x.getField("day") <= col("day")),
+            lit(0.0),
+            (acc, x) => round(greatest(lit(0.0),
+              acc + x.getField("dev")), 8)), 6).as("cusum"))
+        .withColumn("alarm", col("cusum") > 2.0)
+        .orderBy("event_type", "day")
+    }),
     "q_events_survival" -> ((s, d) => {
       // Kaplan-Meier survival (churn analysis with CENSORING): users
       // enter at first signup, "die" at the first severe error
@@ -3179,6 +3212,9 @@ object RelationalQueries {
     // -> strip edge dashes
     "q_udf_scalar" ->
       """SELECT p_partkey, trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
+    // same decimal daily means/targets, same ordered greatest-fold
+    "q_events_cusum" ->
+      """WITH daily AS (SELECT event_type, ts::DATE AS day, round(sum(value::DECIMAL(38,6))::DOUBLE / count(*), 6) AS x FROM events GROUP BY 1, 2), tgt AS (SELECT event_type, round(sum(x::DECIMAL(38,18))::DOUBLE / count(*), 6) AS tgt FROM daily GROUP BY 1), tm AS (SELECT d.event_type, d.day, round(d.x - t.tgt - 0.5, 6) AS dev FROM daily d JOIN tgt t USING (event_type)), pk AS (SELECT event_type, list_sort(list(struct_pack(day := day, dev := dev))) AS ds FROM tm GROUP BY 1) SELECT tm.event_type AS event_type, tm.day::VARCHAR AS day, round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_filter(pk.ds, x -> x.day <= tm.day), x -> x.dev)), (a, b) -> round(greatest(0.0, a + b), 8)), 6) AS cusum, round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_filter(pk.ds, x -> x.day <= tm.day), x -> x.dev)), (a, b) -> round(greatest(0.0, a + b), 8)), 6) > 2.0 AS alarm FROM tm JOIN pk USING (event_type) ORDER BY event_type, day""",
     // same entry/death/censor rules, same ordered per-step-rounded fold
     "q_events_survival" ->
       """WITH s AS (SELECT user_id, min(ts) AS start FROM events WHERE event_type = 'signup' GROUP BY 1), dth AS (SELECT e.user_id, min(e.ts) AS death FROM events e JOIN s ON e.user_id = s.user_id WHERE e.event_type = 'error' AND e.value > 80 AND e.ts > s.start GROUP BY 1), c AS (SELECT user_id, max(ts) AS last FROM events GROUP BY 1), dur AS (SELECT s.user_id, date_diff('day', s.start::DATE, coalesce(dth.death, c.last)::DATE) AS dur, dth.death IS NOT NULL AS died FROM s JOIN c USING (user_id) LEFT JOIN dth USING (user_id)), dt AS (SELECT dur AS t, count(*) AS d FROM dur WHERE died GROUP BY 1), nt AS (SELECT dt.t, count(*) AS n FROM (SELECT DISTINCT t FROM dt) dt JOIN dur ON dur.dur >= dt.t GROUP BY 1), tm AS (SELECT dt.t, dt.d, nt.n, 1.0 - dt.d::DOUBLE / nt.n AS term FROM dt JOIN nt USING (t)), al AS (SELECT list_sort(list(struct_pack(t := t, term := term))) AS ts0 FROM tm) SELECT tm.t::BIGINT AS t, tm.n::BIGINT AS n, tm.d::BIGINT AS d, round(list_reduce(list_prepend(1.0::DOUBLE, list_transform(list_filter(al.ts0, x -> x.t <= tm.t), x -> x.term)), (a, b) -> round(a * b, 12)), 6) AS s_t FROM tm, al ORDER BY t""",
