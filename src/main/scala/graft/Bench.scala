@@ -155,7 +155,9 @@ object Bench {
     // Kaplan-Meier churn survival with censoring
     "q_events_survival",
     // CUSUM drift alarms over daily metric means
-    "q_events_cusum")
+    "q_events_cusum",
+    // Benford first-digit audit (fraud/fabrication screen)
+    "q_agg_benford")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

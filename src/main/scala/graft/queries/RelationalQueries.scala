@@ -998,6 +998,37 @@ object RelationalQueries {
         .where(col("p_partkey") % 37 === 0)
         .orderBy("p_partkey")
     }),
+    "q_agg_benford" -> ((s, d) => {
+      // Benford's-law first-digit audit — the classic fraud /
+      // fabricated-data screen on financial columns: the first
+      // significant digit of o_totalprice against the Benford
+      // distribution. The digit comes from the decimal STRING form
+      // (both engines print these mid-range doubles identically —
+      // no exponent form in this value range), expected probabilities
+      // are fixed literals (log10(1+1/d) pre-evaluated, so no
+      // cross-engine log in the compare), deviation is per-digit
+      // (freq − p)² rounded.
+      val benford = Seq(0.30103, 0.176091, 0.124939, 0.09691, 0.079181,
+        0.066947, 0.057992, 0.051153, 0.045757)
+      val expected = benford.zipWithIndex
+        .map { case (p, i) => s"WHEN ${i + 1} THEN ${p}D" } // D: double
+        // literal — a bare 0.30103 parses as DECIMAL in Spark SQL and
+        // the column type would hash-mismatch the oracle's DOUBLE
+        .mkString("CASE digit ", " ", " END")
+      t(s, d, "orders")
+        .select(regexp_extract(col("o_totalprice").cast("string"),
+          "[1-9]", 0).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))))
+        .withColumn("benford_p", expr(expected))
+        .select(col("digit"), col("n"),
+          round(col("n").cast("double") / col("total"), 4).as("freq"),
+          col("benford_p"),
+          round(pow(col("n").cast("double") / col("total") -
+            col("benford_p"), 2), 6).as("dev2"))
+        .orderBy("digit")
+    }),
     "q_events_cusum" -> ((s, d) => {
       // CUSUM drift detection — the sequential change-point monitor
       // data-quality pipelines run on daily metrics: per event type,
@@ -3212,6 +3243,9 @@ object RelationalQueries {
     // -> strip edge dashes
     "q_udf_scalar" ->
       """SELECT p_partkey, trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
+    // same string-form first digit, same literal Benford table
+    "q_agg_benford" ->
+      """WITH dg AS (SELECT regexp_extract(o_totalprice::VARCHAR, '[1-9]')::INT AS digit FROM orders), c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1), t AS (SELECT sum(n)::DOUBLE AS total FROM c), b AS (SELECT digit, n, round(n::DOUBLE / t.total, 4) AS freq, CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS benford_p, round(pow(n::DOUBLE / t.total - (CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END), 2), 6) AS dev2 FROM c, t) SELECT digit, n::BIGINT AS n, freq, benford_p, dev2 FROM b ORDER BY digit""",
     // same decimal daily means/targets, same ordered greatest-fold
     "q_events_cusum" ->
       """WITH daily AS (SELECT event_type, ts::DATE AS day, round(sum(value::DECIMAL(38,6))::DOUBLE / count(*), 6) AS x FROM events GROUP BY 1, 2), tgt AS (SELECT event_type, round(sum(x::DECIMAL(38,18))::DOUBLE / count(*), 6) AS tgt FROM daily GROUP BY 1), tm AS (SELECT d.event_type, d.day, round(d.x - t.tgt - 0.5, 6) AS dev FROM daily d JOIN tgt t USING (event_type)), pk AS (SELECT event_type, list_sort(list(struct_pack(day := day, dev := dev))) AS ds FROM tm GROUP BY 1) SELECT tm.event_type AS event_type, tm.day::VARCHAR AS day, round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_filter(pk.ds, x -> x.day <= tm.day), x -> x.dev)), (a, b) -> round(greatest(0.0, a + b), 8)), 6) AS cusum, round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_filter(pk.ds, x -> x.day <= tm.day), x -> x.dev)), (a, b) -> round(greatest(0.0, a + b), 8)), 6) > 2.0 AS alarm FROM tm JOIN pk USING (event_type) ORDER BY event_type, day""",
