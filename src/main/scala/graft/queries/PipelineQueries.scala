@@ -762,12 +762,24 @@ object PipelineQueries {
       // exists to avoid)
       val e = t(s, d, "embeddings").select(col("label"), col("vec_id"),
           graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
-        .localCheckpoint(true) // feeds both sides of the label-pair join
-      val best = e.where(col("vec_id") % 17 === 0).as("q").join(e.as("t"),
-          col("q.label") < col("t.label"))
-        .select(col("q.label").as("la"), col("t.label").as("lb"),
-          col("q.vec_id").as("qid"),
-          round(expr("cosine_sim(q.v, t.v)"), 6).as("cos"))
+        .localCheckpoint(true) // feeds the grid + both pair sides
+      // label-pair GRID first (dims × dims — the cramers pattern; the
+      // only non-equi join touches the tiny label list), then two
+      // HASH equi-joins fan the query sample and the corpus into
+      // their grid rows — a raw q.label < t.label join would plan a
+      // BroadcastNestedLoopJoin over the CORPUS side, which is
+      // exactly the cross product the lint exists to catch
+      val labels = e.select(col("label")).distinct()
+      val grid = labels.as("x").join(labels.as("y"),
+          col("x.label") < col("y.label"))
+        .select(col("x.label").as("la"), col("y.label").as("lb"))
+      val best = grid
+        .join(e.where(col("vec_id") % 17 === 0)
+          .select(col("label").as("la"), col("vec_id").as("qid"),
+            col("v").as("qv")), Seq("la"))
+        .join(e.select(col("label").as("lb"), col("v").as("tv")), Seq("lb"))
+        .select(col("la"), col("lb"), col("qid"),
+          round(expr("cosine_sim(qv, tv)"), 6).as("cos"))
         .groupBy("la", "lb", "qid").agg(max(col("cos")).as("best"))
       best.groupBy("la", "lb")
         .agg(count(lit(1)).as("n_q"),

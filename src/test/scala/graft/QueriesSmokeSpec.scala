@@ -26,6 +26,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
     "q_embed_classify",                              // broadcast 1-row weight vector
     "q_agg_cramers",                                 // dims-sized grid cross + scalar totals
+    "q_embed_maxsim",                                // dims-sized label-pair grid
     "q_events_funnel",                               // scalar step totals
     "q_events_window_funnel",                        // scalar level totals
     "q_events_rfm",                                  // broadcast 1-row reference date
