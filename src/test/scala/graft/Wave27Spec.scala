@@ -181,6 +181,35 @@ class Wave27Spec extends SparkSpec {
     assert(cn.values.forall(c => c >= 1 && c <= 7))
   }
 
+  test("lubyMis/greedyMatching invariants hold across seeded random graphs") {
+    import spark.implicits._
+    (1 to 4).foreach { seed =>
+      // deterministic "random" graph family: 24 vertices, edges from
+      // two affine maps — structure varies with the seed, no RNG
+      val e = (0L until 24L).flatMap(i => Seq(
+          (i, (i * (5 + seed) + 1) % 24), (i, (i * (7 + 2 * seed) + 3) % 24)))
+        .filter { case (a, b) => a != b }.toDF("src", "dst")
+      val und = e.collect().flatMap(r => Seq((r.getLong(0), r.getLong(1)),
+        (r.getLong(1), r.getLong(0)))).toSet
+      val mis = graft.operators.Traversals.lubyMis(e, rounds = 8).collect()
+        .map(_.getAs[Long]("vertex")).toSet
+      mis.foreach(a => mis.foreach(b =>
+        assert(a == b || !und.contains((a, b)), s"seed $seed: MIS not independent")))
+      (und.map(_._1) -- mis).foreach { v =>
+        assert(und.exists { case (a, b) => a == v && mis.contains(b) },
+          s"seed $seed: MIS not maximal at $v")
+      }
+      val m = graft.operators.GraphAlgos.greedyMatching(e, rounds = 8).collect()
+        .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")))
+      val touched = m.flatMap { case (a, b) => Seq(a, b) }
+      assert(touched.length == touched.distinct.length, s"seed $seed: not a matching")
+      val sel = touched.toSet
+      und.foreach { case (a, b) =>
+        assert(sel.contains(a) || sel.contains(b), s"seed $seed: matching not maximal")
+      }
+    }
+  }
+
   test("lubyMis: independent every round, maximal with enough rounds") {
     import spark.implicits._
     // deterministic random-ish graph: 40 vertices, edges by modulus
