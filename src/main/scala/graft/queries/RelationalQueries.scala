@@ -998,6 +998,87 @@ object RelationalQueries {
         .where(col("p_partkey") % 37 === 0)
         .orderBy("p_partkey")
     }),
+    "q_events_markov_attribution" -> ((s, d) => {
+      // Markov REMOVAL-EFFECT attribution (Anderl et al.) — the
+      // data-driven alternative to first/last-touch: build the
+      // first-order journey chain (start → events → purchase | null,
+      // purchase/null absorbing with self-loops), compute the
+      // 6-step-bounded conversion probability from start, then for
+      // each channel rebuild the chain WITH THAT CHANNEL REMOVED
+      // (transitions into it divert to null, its outgoing rows drop)
+      // and report RE(c) = 1 − P₋c/P. The horizon is FIXED (the
+      // kcore/pagerank unroll contract) so the oracle replays the
+      // identical six steps; every step's state sum is decimal-cast
+      // per term (accumulation-order independent); the chain tables
+      // are state-count-sized (dims), so every join is a broadcast
+      // over a handful of rows at any SF.
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val firstP = ev.where(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("pts"))
+      val steps = ev.join(firstP, Seq("user_id"), "left_outer")
+        .where(col("pts").isNull || col("ts") <= col("pts"))
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val seq0 = steps
+        .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        .withColumn("rn", row_number().over(w))
+      val trans = seq0.where(col("rn") === 1)
+          .select(lit("start").as("src"), col("event_type").as("dst"))
+        .unionByName(seq0.where(col("nxt").isNotNull)
+          .select(col("event_type").as("src"), col("nxt").as("dst")))
+        .unionByName(seq0.where(col("nxt").isNull &&
+            col("event_type") =!= "purchase")
+          .select(col("event_type").as("src"), lit("null").as("dst")))
+        .where(col("src") =!= "purchase") // absorbing: no outgoing rows
+      val tShape = trans.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+        .withColumn("tot", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("src")))
+        .select(col("src"), col("dst"),
+          round(col("c").cast("double") / col("tot"), 8).as("p"))
+        .localCheckpoint(true) // dims-sized; feeds 5 chains x 6 steps
+      val absorb = Seq(("purchase", "purchase", 1.0), ("null", "null", 1.0))
+        .toDF("src", "dst", "p")
+      // each chain is ONE lazy 6-step plan (the pagerank fuse shape);
+      // per-step decimal-term sums + round(8) mirror the oracle
+      // exactly — the same machinery that keeps pagerank bit-identical
+      def pconv(removed: Option[String]): DataFrame = {
+        val base = removed match {
+          case None => tShape
+          case Some(c) => tShape.where(col("src") =!= c)
+            .withColumn("dst", when(col("dst") === c, lit("null"))
+              .otherwise(col("dst")))
+        }
+        // pinned: the dims-sized matrix feeds all six steps of ITS
+        // chain, and a fresh leaf keeps the iterated self-lineage
+        // resolvable (reusing one plan's attributes across the loop
+        // hits the reused-AttributeReference trap)
+        val tm = base.unionByName(absorb)
+          .groupBy("src", "dst").agg( // diverted mass merges into null
+            round(sum(col("p").cast("decimal(38,18)")).cast("double"), 8).as("p"))
+          .localCheckpoint(true)
+        var pv = Seq(("start", 1.0)).toDF("st", "m")
+        (1 to 6).foreach { _ =>
+          pv = tm.as("t").join(pv.as("v"), col("t.src") === col("v.st"))
+            .groupBy(col("t.dst"))
+            .agg(round(sum((col("v.m") * col("t.p")).cast("decimal(38,18)"))
+              .cast("double"), 8).as("m2"))
+            .select(col("dst").as("st"), col("m2").as("m"))
+        }
+        pv.where(col("st") === "purchase").select(round(col("m"), 6).as("p"))
+      }
+      val base = pconv(None).select(col("p").as("p_conv"))
+      Seq("click", "error", "signup", "view")
+        .map { c =>
+          pconv(Some(c)).select(lit(c).as("channel"), col("p").as("p_without"))
+        }.reduce(_ unionByName _)
+        .crossJoin(broadcast(base)) // 1-row scalar (audited BNLJ)
+        .select(col("channel"), col("p_conv"), col("p_without"),
+          round(lit(1.0) - col("p_without") / col("p_conv"), 4)
+            .as("removal_effect"))
+        .orderBy("channel")
+    }),
     "q_agg_benford" -> ((s, d) => {
       // Benford's-law first-digit audit — the classic fraud /
       // fabricated-data screen on financial columns: the first
@@ -3243,6 +3324,27 @@ object RelationalQueries {
     // -> strip edge dashes
     "q_udf_scalar" ->
       """SELECT p_partkey, trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug FROM part WHERE p_partkey % 37 = 0 ORDER BY p_partkey""",
+    // same journey-chain build, same absorbing rows, same removal
+    // diversion, same six decimal-term steps per chain
+    "q_events_markov_attribution" -> {
+      def chain(tag: String, tcte: String): String = {
+        val steps = (1 to 6).map { k =>
+          val prev = if (k == 1) s"p_${tag}_0" else s"p_${tag}_${k - 1}"
+          s"p_${tag}_$k AS (SELECT t.dst AS st, round(sum((p.m * t.p)::DECIMAL(38,18))::DOUBLE, 8) AS m FROM $prev p JOIN $tcte t ON t.src = p.st GROUP BY t.dst)"
+        }.mkString(", ")
+        s"p_${tag}_0 AS (SELECT 'start' AS st, 1.0::DOUBLE AS m), $steps"
+      }
+      val removedT = Seq("click", "error", "signup", "view").map { c =>
+        s"t_$c AS (SELECT src, CASE WHEN dst = '$c' THEN 'null' ELSE dst END AS dst, round(sum(p::DECIMAL(38,18))::DOUBLE, 8) AS p FROM (SELECT src, dst, p FROM tsh WHERE src <> '$c' UNION ALL SELECT * FROM ab) GROUP BY 1, 2)"
+      }.mkString(", ")
+      val chains = chain("all", "t_all") + ", " +
+        Seq("click", "error", "signup", "view")
+          .map(c => chain(c, s"t_$c")).mkString(", ")
+      val rows = Seq("click", "error", "signup", "view").map { c =>
+        s"SELECT '$c' AS channel, (SELECT round(m, 6) FROM p_all_6 WHERE st = 'purchase') AS p_conv, (SELECT round(m, 6) FROM p_${c}_6 WHERE st = 'purchase') AS p_without"
+      }.mkString(" UNION ALL ")
+      s"""WITH fp AS (SELECT user_id, min(ts) AS pts FROM events WHERE event_type = 'purchase' GROUP BY 1), st0 AS (SELECT e.user_id, e.event_type, e.ts, e.event_id FROM events e LEFT JOIN fp ON e.user_id = fp.user_id WHERE fp.pts IS NULL OR e.ts <= fp.pts), sq AS (SELECT user_id, event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM st0), tr AS (SELECT 'start' AS src, event_type AS dst FROM sq WHERE rn = 1 UNION ALL SELECT event_type, nxt FROM sq WHERE nxt IS NOT NULL UNION ALL SELECT event_type, 'null' FROM sq WHERE nxt IS NULL AND event_type <> 'purchase'), tr2 AS (SELECT src, dst FROM tr WHERE src <> 'purchase'), tsh AS (SELECT src, dst, round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY src), 8) AS p FROM tr2 GROUP BY src, dst), ab AS (SELECT 'purchase' AS src, 'purchase' AS dst, 1.0::DOUBLE AS p UNION ALL SELECT 'null', 'null', 1.0::DOUBLE), t_all AS (SELECT src, dst, round(sum(p::DECIMAL(38,18))::DOUBLE, 8) AS p FROM (SELECT * FROM tsh UNION ALL SELECT * FROM ab) GROUP BY 1, 2), $removedT, $chains SELECT channel, p_conv, p_without, round(1.0 - p_without / p_conv, 4) AS removal_effect FROM ($rows) ORDER BY channel"""
+    },
     // same string-form first digit, same literal Benford table
     "q_agg_benford" ->
       """WITH dg AS (SELECT regexp_extract(o_totalprice::VARCHAR, '[1-9]')::INT AS digit FROM orders), c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1), t AS (SELECT sum(n)::DOUBLE AS total FROM c), b AS (SELECT digit, n, round(n::DOUBLE / t.total, 4) AS freq, CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS benford_p, round(pow(n::DOUBLE / t.total - (CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END), 2), 6) AS dev2 FROM c, t) SELECT digit, n::BIGINT AS n, freq, benford_p, dev2 FROM b ORDER BY digit""",

@@ -31,6 +31,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_events_window_funnel",                        // scalar level totals
     "q_events_rfm",                                  // broadcast 1-row reference date
     "q_events_survival",                             // study-length days x users at-risk join
+    "q_events_markov_attribution",                   // 1-row baseline scalar join
     "q_graph_clustcoef", "q_graph_triangles",        // 25-row nation non-equi generator / scalar terms
     "q_graph_squares",                               // broadcast 1-row total_squares scalar
     "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold
