@@ -159,7 +159,9 @@ object Bench {
     // Benford first-digit audit (fraud/fabrication screen)
     "q_agg_benford",
     // Markov removal-effect attribution (absorbing chain, 6 steps)
-    "q_events_markov_attribution")
+    "q_events_markov_attribution",
+    // 2-approx vertex cover readout from the maximal matching
+    "q_graph_vcover")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

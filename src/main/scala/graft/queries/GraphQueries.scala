@@ -708,6 +708,31 @@ object GraphQueries {
       Traversals.labelPropagation(treeEdges(s, d), iters = 2)
         .orderBy("vertex")
     }),
+    "q_graph_vcover" -> ((s, d) => {
+      // 2-approximation VERTEX COVER from the maximal matching — the
+      // textbook guarantee (Gavril): both endpoints of a maximal
+      // matching cover every edge at ≤ 2·OPT. Built on the verified
+      // greedy matching over the staged mod-150 graph; the readout
+      // carries its own PROOF — n_uncovered counts edges missed by
+      // the cover (0 when the bounded rounds reached maximality,
+      // reported honestly either way).
+      val und = modulusUnd(s, d, 150)
+      val m = graft.operators.GraphAlgos.greedyMatchingCanon(und, rounds = 3)
+      val cover = m.select(col("a").as("v")).union(m.select(col("b")))
+        .distinct().localCheckpoint(true) // feeds the count + two anti-joins
+      val uncovered = und
+        .join(cover.select(col("v").as("ca")), col("a") === col("ca"), "left_anti")
+        .join(cover.select(col("v").as("cb")), col("b") === col("cb"), "left_anti")
+      und.agg(count(lit(1)).as("n_edges")).crossJoin(
+          cover.agg(count(lit(1)).as("n_cover")))
+        .crossJoin(und.select(col("a").as("v")).union(und.select(col("b")))
+          .distinct().agg(count(lit(1)).as("n_vertices")))
+        .crossJoin(uncovered.agg(count(lit(1)).as("n_uncovered")))
+        .select(col("n_edges").cast("long").as("n_edges"),
+          col("n_vertices").cast("long").as("n_vertices"),
+          col("n_cover").cast("long").as("n_cover"),
+          col("n_uncovered").cast("long").as("n_uncovered"))
+    }),
     "q_graph_matching" -> ((s, d) => {
       // bounded greedy maximal-matching rounds over the staged mod-150
       // graph (GraphAlgos.greedyMatching — the edge-side sibling of
@@ -1028,6 +1053,20 @@ object GraphQueries {
     // its predecessor several times; inlining would explode the plan
     // like the coreness chain); same md5 priorities, same
     // edge-winner + isolated-survivor rules, same dead-set removal
+    // the matching chain again, then cover endpoints + the uncovered
+    // proof count — one scalar row
+    "q_graph_vcover" -> {
+      def round(r: Int): String = {
+        val pe = s"m${r - 1}"
+        s"h$r AS MATERIALIZED (SELECT a, b, md5('match|' || a::VARCHAR || '|' || b::VARCHAR) AS h FROM $pe), " +
+          s"vm$r AS MATERIALIZED (SELECT v, min(h) AS vmin FROM (SELECT a AS v, h FROM h$r UNION ALL SELECT b, h FROM h$r) GROUP BY v), " +
+          s"win$r AS MATERIALIZED (SELECT e.a, e.b FROM h$r e JOIN vm$r x ON e.a = x.v AND e.h = x.vmin JOIN vm$r y ON e.b = y.v AND e.h = y.vmin), " +
+          s"mt$r AS MATERIALIZED (SELECT a AS v FROM win$r UNION SELECT b FROM win$r), " +
+          s"m$r AS MATERIALIZED (SELECT e.a, e.b FROM $pe e WHERE NOT EXISTS (SELECT 1 FROM mt$r m WHERE m.v = e.a) AND NOT EXISTS (SELECT 1 FROM mt$r m WHERE m.v = e.b))"
+      }
+      val rounds = (1 to 3).map(round).mkString(", ")
+      s"""WITH m0 AS (SELECT DISTINCT least(o_orderkey % 150, o_custkey % 150)::BIGINT AS a, greatest(o_orderkey % 150, o_custkey % 150)::BIGINT AS b FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), $rounds, allwin AS (SELECT a, b FROM win1 UNION ALL SELECT a, b FROM win2 UNION ALL SELECT a, b FROM win3), cover AS (SELECT DISTINCT v FROM (SELECT a AS v FROM allwin UNION ALL SELECT b FROM allwin)), verts AS (SELECT DISTINCT v FROM (SELECT a AS v FROM m0 UNION ALL SELECT b FROM m0)), unc AS (SELECT count(*) AS n FROM m0 e WHERE NOT EXISTS (SELECT 1 FROM cover c WHERE c.v = e.a) AND NOT EXISTS (SELECT 1 FROM cover c WHERE c.v = e.b)) SELECT (SELECT count(*) FROM m0)::BIGINT AS n_edges, (SELECT count(*) FROM verts)::BIGINT AS n_vertices, (SELECT count(*) FROM cover)::BIGINT AS n_cover, unc.n::BIGINT AS n_uncovered FROM unc"""
+    },
     // three unrolled greedy-matching rounds (MATERIALIZED, same
     // rationale as the MIS/coreness chains): per-vertex min of the
     // edge priorities, win iff the edge IS both endpoint minima,

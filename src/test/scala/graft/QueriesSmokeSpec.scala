@@ -34,6 +34,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_events_markov_attribution",                   // 1-row baseline scalar join
     "q_graph_clustcoef", "q_graph_triangles",        // 25-row nation non-equi generator / scalar terms
     "q_graph_squares",                               // broadcast 1-row total_squares scalar
+    "q_graph_vcover",                                // four scalar-count crosses
     "q_sketch_hll", "q_text_lift", "q_text_lmscore", // scalar total / register fold
     "q_text_lmscore2",                               // broadcast vocab-size scalar
     "q_mix_kl",                                      // broadcast corpus-total scalar
