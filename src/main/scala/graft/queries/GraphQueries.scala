@@ -39,17 +39,11 @@ object GraphQueries {
     * materialized edge view; at gate scale it cuts the repeated
     * scan+distinct (~0.3-0.5 s each) from every family member after
     * the first. */
-  private val modMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long, String), DataFrame]()
+  private[graft] val graphMemo = new SessionMemo
 
   private def modMemoized(s: SparkSession, d: String, tag: String)
-                         (build: => DataFrame): DataFrame = {
-    modMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
-    modMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath,
-        Tables.fingerprint(d, "orders"), tag),
-      _ => build)
-  }
+                         (build: => DataFrame): DataFrame =
+    graphMemo(s, d, s"mod_$tag", Tables.fingerprint(d, "orders"))(build)
 
   /** Canonical undirected (a < b, deduped, long, pinned) modulus-m
     * graph over orders — [[graft.operators.GraphAlgos.canonicalUndirected]]
@@ -95,29 +89,22 @@ object GraphQueries {
     * scan + distinct + mirror is the dominant staging cost of each —
     * the memo pins it once per fixture generation (keyed on the
     * lineitem fingerprint, unlike the orders-keyed modulus memo). */
-  private val bipMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), DataFrame]()
-
-  private def bipartiteEdges(s: SparkSession, d: String): DataFrame = {
-    bipMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
-    bipMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath,
-        Tables.fingerprint(d, "lineitem")),
-      _ => mirror(t(s, d, "lineitem")
+  private def bipartiteEdges(s: SparkSession, d: String): DataFrame =
+    graphMemo(s, d, "bip_edges", Tables.fingerprint(d, "lineitem"))(
+      mirror(t(s, d, "lineitem")
         .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()).localCheckpoint(true))
-  }
 
   /** Session-staged (src, dst, odeg) pagerank edge table over the
     * bipartite graph ([[Traversals.pageRankEdgeTable]] artifact,
     * memoized like the edge tables above; persisted blocks die with
-    * the session). */
+    * the session). The edge-table dependency is resolved BEFORE the
+    * memo insert (its own `graphMemo` call), which SessionMemo makes
+    * safe — the build runs outside any map mapping function. */
   private def bipartiteEo(s: SparkSession, d: String): DataFrame = {
-    bipMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
-    bipMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath + "#eo",
-        Tables.fingerprint(d, "lineitem")),
-      _ => Traversals.pageRankEdgeTable(bipartiteEdges(s, d)))
+    val edges = bipartiteEdges(s, d)
+    graphMemo(s, d, "bip_eo", Tables.fingerprint(d, "lineitem"))(
+      Traversals.pageRankEdgeTable(edges))
   }
 
   /** Per-customer order chains (consecutive orderkeys linked) —

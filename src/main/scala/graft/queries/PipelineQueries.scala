@@ -39,23 +39,15 @@ object PipelineQueries {
     * context's checkpoint blocks) recomputes instead of misreading.
     * Size: one (doc_id, 16×8-char array) row per doc per corpus —
     * negligible next to the corpus itself. */
-  private val sigMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long, Int, Int), DataFrame]()
+  // dead-session sweep, fixture-fingerprint refresh, re-entrant-safe
+  // builds, and stale-entry block release all live in SessionMemo
+  private[graft] val docMemo = new SessionMemo
 
   private def docSignatures(s: SparkSession, d: String,
-                            k: Int = 16, shingleN: Int = 3): DataFrame = {
-    // sweep dead sessions' entries (same rationale as
-    // RelationalQueries.bucketedPurchases: no unbounded cross-session
-    // retention of checkpointed plans in a session-cycling JVM); the
-    // key's fixture fingerprint makes a mid-session refresh re-derive
-    // instead of serving stale signatures (r9 failure class)
-    sigMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
-    sigMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath,
-        Tables.fingerprint(d, "documents"), k, shingleN),
-      _ => Dedup.minhashSignatures(t(s, d, "documents"), k, shingleN)
+                            k: Int = 16, shingleN: Int = 3): DataFrame =
+    docMemo(s, d, s"sig_k${k}_n$shingleN", Tables.fingerprint(d, "documents"))(
+      Dedup.minhashSignatures(t(s, d, "documents"), k, shingleN)
         .localCheckpoint(true))
-  }
 
   /** Session-scoped memo of the symmetric MinHash band-candidate
     * table (doc_a, doc_b distinct; k=16, bands=4) — the second reusable
@@ -77,20 +69,13 @@ object PipelineQueries {
   /** Session-scoped memo for the OTHER persisted signature tables the
     * dedup family reuses across invocations (wide-SimHash signatures,
     * n-gram shingle sets) — same lifecycle contract and rationale as
-    * [[sigMemo]]: a production pipeline computes each once, persists
+    * [[docSignatures]]: a production pipeline computes each once, persists
     * it, and every downstream dedup pass joins against the pinned
     * table instead of re-running the corpus-wide aggregation. */
-  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long, String), DataFrame]()
-
   private def memoTable(s: SparkSession, d: String, tag: String)
-                       (build: => DataFrame): DataFrame = {
-    tableMemo.keySet.removeIf(key => key._1.sparkContext.isStopped)
-    tableMemo.computeIfAbsent(
-      (s, new java.io.File(d).getCanonicalPath,
-        Tables.fingerprint(d, "documents"), tag),
-      _ => build.localCheckpoint(true))
-  }
+                       (build: => DataFrame): DataFrame =
+    docMemo(s, d, tag, Tables.fingerprint(d, "documents"))(
+      build.localCheckpoint(true))
 
   /** LSH-bucketed embedding near-dup pairs (i, j, cos >= minCos):
     * candidates from random-hyperplane buckets ([[Similarity.lshBuckets]],
