@@ -846,8 +846,13 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_email")).cast("long").as("n_emails"),
           sum(col("n_ip")).cast("long").as("n_ips"),
-          sum(conv(substring(md5(col("red")), 1, 12), 16, 10).cast("long"))
-            .cast("long").as("red_fp"))
+          // XOR, not SUM: a 48-bit-per-row LONG sum wraps silently in
+          // Spark past ~65k docs/source while DuckDB's HUGEINT sum
+          // hard-errors on the ::BIGINT cast — the engines diverge at
+          // larger SFs. XOR stays 48-bit at any corpus size and is
+          // order-independent; same expression in the oracle.
+          bit_xor(conv(substring(md5(col("red")), 1, 12), 16, 10)
+            .cast("long")).as("red_fp"))
         .orderBy("source")
     }),
     "q_text_utf8" -> ((s, d) => {
@@ -2169,7 +2174,7 @@ object PipelineQueries {
     // BEFORE (emails) / AFTER (ips on the scrubbed text), same 48-bit
     // md5-int fingerprint of the redacted corpus
     "q_text_pii" ->
-      """WITH w AS (SELECT source, doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 256) || '.7' AS txt FROM documents), r AS (SELECT source, len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, regexp_replace(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red FROM w) SELECT source, count(*)::BIGINT AS n_docs, sum(n_email)::BIGINT AS n_emails, sum(len(regexp_extract_all(red, '<IP>')))::BIGINT AS n_ips, sum(('0x' || substr(md5(red), 1, 12))::BIGINT)::BIGINT AS red_fp FROM r GROUP BY source ORDER BY source""",
+      """WITH w AS (SELECT source, doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 256) || '.7' AS txt FROM documents), r AS (SELECT source, len(regexp_extract_all(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email, regexp_replace(regexp_replace(txt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS red FROM w) SELECT source, count(*)::BIGINT AS n_docs, sum(n_email)::BIGINT AS n_emails, sum(len(regexp_extract_all(red, '<IP>')))::BIGINT AS n_ips, bit_xor(('0x' || substr(md5(red), 1, 12))::BIGINT)::BIGINT AS red_fp FROM r GROUP BY source ORDER BY source""",
     // strlen = DuckDB's byte length; chr() codepoints keep both source
     // files ASCII-only
     "q_text_utf8" ->

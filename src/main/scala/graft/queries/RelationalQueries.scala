@@ -1623,8 +1623,13 @@ object RelationalQueries {
           .groupBy("source")
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_chars")).cast("long").as("total_chars"),
-            sum(conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
-              .cast("long").as("text_fp"))
+            // XOR, not SUM (same rationale as q_text_pii's red_fp): the
+            // LONG sum of 48-bit row hashes wraps in Spark but errors
+            // in DuckDB's HUGEINT->BIGINT cast at larger SFs; XOR is
+            // bounded and order-free, and still moves on any
+            // lost/corrupted row
+            bit_xor(conv(substring(md5(col("text")), 1, 12), 16, 10)
+              .cast("long")).as("text_fp"))
           .orderBy("source")
       }
     }),
@@ -3317,7 +3322,10 @@ object RelationalQueries {
     "q_scalar_collation" ->
       """WITH m AS (SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand) ELSE lower(p_brand) END AS bm, p_size FROM part) SELECT lower(bm) AS brand, count(*)::BIGINT AS n, sum(p_size)::BIGINT AS sz FROM m GROUP BY lower(bm) ORDER BY brand""",
     // JSON path access in DuckDB; the schema fingerprint is the
-    // constant OBJECT<k: BIGINT> (all props rows carry one int field)
+    // constant OBJECT<k: BIGINT> (all props rows carry one int field —
+    // the assumption is pinned at every SF by FixtureCanarySpec's
+    // props canary, which fails by name if the fixture or Spark's
+    // schema_of_variant rendering drifts)
     "q_json_variant" ->
       """SELECT event_type, count(*)::BIGINT AS n, sum(json_extract_string(props, '$.k')::INT)::BIGINT AS sum_k, max(json_extract_string(props, '$.k')::INT)::BIGINT AS max_k, 'OBJECT<k: BIGINT>' AS variant_schema FROM events GROUP BY event_type ORDER BY event_type""",
     // the same slug pipeline in SQL: lower -> non-alnum runs to '-'
@@ -3361,7 +3369,7 @@ object RelationalQueries {
     // compaction is pure layout: the oracle fingerprints the ORIGINAL
     // table — any lost/duplicated/corrupted row changes the sum
     "q_layout_compaction" ->
-      """SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, sum(('0x' || substr(md5(text), 1, 12))::BIGINT)::BIGINT AS text_fp FROM documents GROUP BY source ORDER BY source""",
+      """SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars, bit_xor(('0x' || substr(md5(text), 1, 12))::BIGINT)::BIGINT AS text_fp FROM documents GROUP BY source ORDER BY source""",
     // the runtime dim filter applied statically — semantics of DPP are
     // pure pruning, so the plain filtered aggregate is the oracle
     "q_join_dpp" ->

@@ -45,4 +45,30 @@ class BenchSelectionSpec extends AnyFunSuite {
     val dup = Bench.headline.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
     assert(dup.isEmpty, s"duplicate headline entries: ${dup.mkString(", ")}")
   }
+
+  test("BASELINE.md's bench-selection paragraph states the ACTUAL counts") {
+    // r12 VERDICT caught the doc drifting (it said headline=144 —
+    // the EXCLUDED count — and family-variant=85 vs actual 89). The
+    // paragraph's numbers are now parsed out of the doc and compared
+    // to the code, so the two can't diverge silently again.
+    val text = scala.io.Source.fromFile("BASELINE.md", "UTF-8").mkString
+    val section = text.substring(text.indexOf("## Bench selection rule"))
+      .split("\n## ", 2)(0)
+    def documented(re: String): Int = {
+      val m = re.r.findFirstMatchIn(section)
+      assert(m.isDefined, s"BASELINE.md selection paragraph lost pattern: $re")
+      m.get.group(1).toInt
+    }
+    assert(documented("""`Bench\.headline`, (\d+) entries""") === Bench.headline.size,
+      s"documented headline count != Bench.headline.size (${Bench.headline.size})")
+    val actualByCat = Bench.benchExcluded.groupBy(_._2).view.mapValues(_.size).toMap
+    Seq("streaming" -> """streaming\*\* —[\s\S]*?\((\d+) entries\)""",
+        "commit-io" -> """commit-io\*\* —[\s\S]*?\((\d+) entries\)""",
+        "fixture-latency" -> """fixture-latency\*\* —[\s\S]*?\((\d+) entries\)""",
+        "family-variant" -> """family-variant\*\* —[\s\S]*?\((\d+) entries\)""")
+      .foreach { case (cat, re) =>
+        assert(documented(re) === actualByCat(cat),
+          s"documented $cat count != actual ${actualByCat(cat)}")
+      }
+  }
 }

@@ -84,4 +84,25 @@ class FixtureCanarySpec extends SparkSpec {
     assert(emb.find(_.name == "embedding").exists(_.dataType.isInstanceOf[ArrayType]),
       s"embeddings.embedding is not array-typed: $emb")
   }
+
+  test("events.props stays a single-int-field JSON object at every SF " +
+       "(q_json_variant's oracle pins the literal 'OBJECT<k: BIGINT>')") {
+    // The q_json_variant oracle hardcodes Spark's schema_of_variant
+    // rendering for {"k": <int>} — it cannot derive it in DuckDB. This
+    // canary fails BY NAME, at all three fixture SFs, the moment a
+    // refresh adds/removes a props field or Spark changes the
+    // schema_of_variant format, instead of surfacing as a confusing
+    // gate hash-mismatch (r12 ADVICE).
+    Seq("sf0.001", "sf0.01", "sf0.1").foreach { sf =>
+      val d = s"/root/testdata/$sf"
+      val schemas = Tables.events(spark, d)
+        .select(expr("schema_of_variant(parse_json(props))").as("sch"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      assert(schemas === Seq("OBJECT<k: BIGINT>"),
+        s"$sf events.props variant schemas are $schemas — q_json_variant's " +
+          "oracle assumes every row is a single-int object rendered " +
+          "'OBJECT<k: BIGINT>'; update the oracle literal (RelationalQueries " +
+          "q_json_variant) together with this pin")
+    }
+  }
 }
