@@ -330,18 +330,33 @@ object Traversals {
     val spark = edges.sparkSession
     import spark.implicits._
     val reach = bfsLevels(edges, start).select("vertex")
+    // Replay-input REDUCTION (r13, exactness-preserving — spec-pinned):
+    // an edge whose target is always-already-visited when its source
+    // is expanded can never push a child, never increments childCount,
+    // and never extends reachability — dropping it leaves the replay's
+    // visit order, tree, and leaf set bit-identical. Three such
+    // classes are droppable DISTRIBUTIVELY before the collect:
+    // self-loops (v visited when v expands), edges into `start`
+    // (visited from step 0), and duplicate rows (the replay dedups
+    // per-vertex anyway — dedup on the cluster instead of the driver,
+    // which on a multigraph shrinks the collect by the multiplicity).
+    // The 5M bound now applies to the REDUCED adjacency: graphs over
+    // the raw bound still replay exactly when their reduced form fits.
     val reachableEdges = edges
-      .join(reach, edges("src") === reach("vertex"), "left_semi")
       .select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst") && col("dst") =!= lit(start))
+      .join(reach, col("src") === reach("vertex"), "left_semi")
+      .distinct()
     val nEdges = reachableEdges.count()
     require(nEdges <= maxReplayEdges,
       s"DFS-tree replay needs the reachable adjacency on the driver: " +
-        s"$nEdges edges exceeds dfsReplayMaxEdges=$maxReplayEdges " +
-        "(DFS order is inherently sequential; use bfsLevels/sssp for " +
-        "traversals that must scale past driver memory)")
+        s"$nEdges reduced edges exceed dfsReplayMaxEdges=$maxReplayEdges " +
+        "(DFS order is inherently sequential; use dfsLeafClasses for a " +
+        "distributed any-scale leaf/internal classification, or " +
+        "bfsLevels/sssp for traversals that must scale past driver memory)")
     val adjRows = reachableEdges.as[(Long, Long)].collect()
     val adj: Map[Long, Array[Long]] =
-      adjRows.groupBy(_._1).map { case (s, a) => s -> a.map(_._2).distinct.sorted }
+      adjRows.groupBy(_._1).map { case (s, a) => s -> a.map(_._2).sorted }
 
     val visited = scala.collection.mutable.Set[Long](start)
     val leaves = scala.collection.mutable.ArrayBuffer[Long]()
@@ -369,6 +384,76 @@ object Traversals {
       }
     }
     leaves.toSeq.sorted.toDF("vertex")
+  }
+
+  /** Distributed DFS-leaf classification at ANY scale — the path past
+    * [[dfsReplayMaxEdges]] (r12 VERDICT item 4). Labels every vertex
+    * reachable from `start` as
+    *  - `leaf`: a DFS-tree leaf in EVERY DFS order,
+    *  - `internal`: a non-leaf in EVERY DFS order,
+    *  - `undecided`: order-dependent — only a replay can settle it.
+    *
+    * Sound rules (each holds for every traversal order, so no replay
+    * is needed):
+    *  - `leaf`      — v's out-neighbors ⊆ {v, start}: a self-loop
+    *                  target is visited the moment v is expanded and
+    *                  `start` is visited from step 0, so v can never
+    *                  push an unvisited child.
+    *  - `internal`  — some out-neighbor u ∉ {v, start} has v as its
+    *                  ONLY reachable non-self in-neighbor: u can only
+    *                  ever be DISCOVERED from v, so u joins the tree
+    *                  as v's child in every DFS. `start` itself is
+    *                  internal whenever it has any out-neighbor
+    *                  outside {start} (at its first expansion nothing
+    *                  else is visited, so the smallest one is pushed).
+    *
+    * NOT sound (documented because it looks tempting): "every
+    * out-neighbor at a strictly smaller BFS level ⇒ leaf".
+    * Counterexample: edges 0→1, 0→2, 1→3, 3→2 with start 0. Vertex 3
+    * (level 2) has the single out-neighbor 2 (level 1), yet the DFS
+    * visits 0,1,3 and THEN discovers 2 from 3 — vertex 3 is a push
+    * parent. BFS levels say nothing about what a depth-first walk has
+    * already visited; only dominator-style arguments (the rules
+    * above are the degree-1 instances) survive every order.
+    *
+    * Cost: the BFS reachability plus two edge-keyed aggregations and
+    * vertex-keyed joins — every step an equi-shuffle on vertex/edge
+    * keys, no quadratic blowup, no driver state; at 100 TB this is
+    * the operator a pipeline runs where the sequential replay cannot.
+    * Output `(vertex, cls)`; `cls` string per the labels above. */
+  def dfsLeafClasses(edges: DataFrame, start: Long): DataFrame = {
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val reach = bfsLevels(e0, start).select("vertex").checkpointSized()
+    // reachable-src, deduped, self-loop-free edge set; every dst is
+    // then reachable too (one BFS step from a reachable src)
+    val e = e0.where(col("src") =!= col("dst"))
+      .join(reach, e0("src") === reach("vertex"), "left_semi")
+      .distinct()
+      .checkpointSized()
+    // "expanding" edges — those that could ever push a child
+    val ex = e.where(col("dst") =!= lit(start))
+    val hasChildCandidate = ex.select(col("src").as("vertex")).distinct()
+    // u with exactly one distinct reachable non-self in-neighbor v:
+    // v is internal-certain (u is discoverable only through v)
+    val onlyParents = ex.groupBy("dst")
+      .agg(count(lit(1)).as("nin"), min(col("src")).as("v"))
+      .where(col("nin") === 1)
+      .select(col("v").as("vertex")).distinct()
+    val internalStart = hasChildCandidate
+      .where(col("vertex") === lit(start))
+    val internals = onlyParents.union(internalStart).distinct()
+    val out = reach
+      .join(hasChildCandidate.withColumn("has_out", lit(true)), Seq("vertex"), "left_outer")
+      .join(internals.withColumn("is_int", lit(true)), Seq("vertex"), "left_outer")
+      .select(col("vertex"),
+        when(col("has_out").isNull, lit("leaf"))
+          .when(col("is_int").isNotNull, lit("internal"))
+          .otherwise(lit("undecided")).as("cls"))
+    // pin the result BEFORE releasing the intermediates its plan reads
+    val pinned = out.localCheckpoint(eager = true)
+    dropCheckpoint(reach)
+    dropCheckpoint(e)
+    pinned
   }
 
   /** Weighted single-source shortest paths by iterative relaxation

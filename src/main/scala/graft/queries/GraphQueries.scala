@@ -322,6 +322,34 @@ object GraphQueries {
     "q_graph_dfs_leaves" -> ((s, d) => {
       Traversals.dfsLeaves(treeEdges(s, d), 0L).orderBy("vertex")
     }),
+    "q_graph_dfs_leaves_big" -> ((s, d) => {
+      // DFS-tree leaves on a DATA-scale derivation (r12 VERDICT item
+      // 4): the staged directed mod-150 graph — every orders row feeds
+      // it. Phase 1 (reachability) and the r13 replay-input reduction
+      // run distributed; the sequential replay sees only the reduced
+      // reachable adjacency. The recursive-CTE oracle steps the exact
+      // same explicit-stack walk.
+      Traversals.dfsLeaves(modulusDirected(s, d, 150), 0L).orderBy("vertex")
+    }),
+    "q_graph_dfs_classes" -> ((s, d) => {
+      // The ANY-scale half of the DFS story: order-invariant
+      // leaf/internal classification, fully distributed — the operator
+      // that answers past dfsReplayMaxEdges, where replay cannot
+      // (Traversals.dfsLeafClasses scaladoc has the soundness
+      // argument AND the counterexample for the tempting-but-wrong
+      // BFS-level rule). Graph: the DIRECTED order→supplier bipartite
+      // DAG under a virtual root (-1 → every order vertex), so
+      // suppliers are provably-leaf, uniquely-sourced suppliers make
+      // their order provably-internal, and shared-supplier orders
+      // stay honestly undecided. Closed-form oracle — no sequential
+      // simulation anywhere.
+      val p = t(s, d, "lineitem")
+        .select((col("l_orderkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = p.union(
+        p.select(col("src")).distinct().select(lit(-1L).as("src"), col("src").as("dst")))
+      Traversals.dfsLeafClasses(edges, -1L).orderBy("vertex")
+    }),
     "q_graph_cc" -> ((s, d) => {
       Traversals.connectedComponents(chainEdges(s, d)).orderBy("vertex")
     }),
@@ -1016,6 +1044,16 @@ object GraphQueries {
     // operator's own bounded driver replay.
     "q_graph_dfs_leaves" ->
       s"""WITH RECURSIVE $treeEdgeSql, walk AS (SELECT [0::BIGINT] AS stack, [0::BIGINT] AS visited, NULL::BIGINT AS parent, NULL::BIGINT AS child UNION ALL SELECT CASE WHEN nu IS NULL THEN stack[:-2] ELSE list_append(stack, nu) END, CASE WHEN nu IS NULL THEN visited ELSE list_append(visited, nu) END, CASE WHEN nu IS NULL THEN NULL ELSE stack[-1] END, nu FROM (SELECT stack, visited, (SELECT min(e.dst) FROM e WHERE e.src = stack[-1] AND NOT list_contains(visited, e.dst)) AS nu FROM walk WHERE len(stack) > 0)), reach AS (SELECT DISTINCT child AS vertex FROM walk WHERE child IS NOT NULL UNION SELECT 0::BIGINT), parents AS (SELECT DISTINCT parent FROM walk WHERE parent IS NOT NULL) SELECT vertex FROM reach WHERE vertex NOT IN (SELECT parent FROM parents) ORDER BY vertex""",
+    // the SAME explicit-stack walk on the data-scale directed mod-150
+    // graph (the reciprocity/HITS edge derivation, start 0)
+    "q_graph_dfs_leaves_big" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS src, (o_custkey % 150)::BIGINT AS dst FROM orders WHERE (o_orderkey % 150) <> (o_custkey % 150)), walk AS (SELECT [0::BIGINT] AS stack, [0::BIGINT] AS visited, NULL::BIGINT AS parent, NULL::BIGINT AS child UNION ALL SELECT CASE WHEN nu IS NULL THEN stack[:-2] ELSE list_append(stack, nu) END, CASE WHEN nu IS NULL THEN visited ELSE list_append(visited, nu) END, CASE WHEN nu IS NULL THEN NULL ELSE stack[-1] END, nu FROM (SELECT stack, visited, (SELECT min(e.dst) FROM e WHERE e.src = stack[-1] AND NOT list_contains(visited, e.dst)) AS nu FROM walk WHERE len(stack) > 0)), reach AS (SELECT DISTINCT child AS vertex FROM walk WHERE child IS NOT NULL UNION SELECT 0::BIGINT), parents AS (SELECT DISTINCT parent FROM walk WHERE parent IS NOT NULL) SELECT vertex FROM reach WHERE vertex NOT IN (SELECT parent FROM parents) ORDER BY vertex""",
+    // closed-form order-invariant classification on the rooted
+    // bipartite DAG: leaf = never a source of an expanding edge,
+    // internal = sole reachable parent of some vertex (or the root
+    // with children); everything else is honestly order-dependent
+    "q_graph_dfs_classes" ->
+      """WITH p AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), ex AS (SELECT src, dst FROM p UNION ALL SELECT -1::BIGINT AS src, src AS dst FROM (SELECT DISTINCT src FROM p)), r AS (SELECT -1::BIGINT AS vertex UNION SELECT src FROM p UNION SELECT dst FROM p), onlyp AS (SELECT min(src) AS vertex FROM ex GROUP BY dst HAVING count(DISTINCT src) = 1), ints AS (SELECT DISTINCT vertex FROM onlyp UNION SELECT -1::BIGINT) SELECT r.vertex::BIGINT AS vertex, CASE WHEN r.vertex NOT IN (SELECT src FROM ex) THEN 'leaf' WHEN r.vertex IN (SELECT vertex FROM ints) THEN 'internal' ELSE 'undecided' END AS cls FROM r ORDER BY vertex""",
     "q_graph_bfs_multi" ->
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT vertex, 0 AS level FROM (VALUES (0::BIGINT), (24::BIGINT)) s(vertex) UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_closeness" ->
