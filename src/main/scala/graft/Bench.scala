@@ -104,6 +104,8 @@ object Bench {
     // rollup, MinHash est-vs-true accuracy readout (q_catalog_diff is
     // gate-only: it times temp-dir commit IO, like catalog_timetravel)
     "q_graph_squares", "q_sketch_hll_merge", "q_dedup_minhash_acc",
+    // r13: the SemDeDup accuracy sibling (drop-rate vs tau curve)
+    "q_dedup_semantic_acc",
     // wave-21: degree assortativity (exact power sums over the mirrored
     // edge ends). q_graph_harmonic stays gate-only: it shares
     // q_graph_closeness's all-roots superstep loop on the 25-vertex

@@ -323,6 +323,56 @@ object Similarity {
     * assignment cost, which DOMINATES until cells exceed ~10⁴ members
     * (20k vectors: k=8 with 2.5k-member cells beat k=80) — size k to
     * the corpus, not defensively high. */
+  /** SemDeDup QUALITY curve (the measurement the paper reports next
+    * to the rule, r12 VERDICT item 8): drop-rate vs `tau`, plus the
+    * label-precision of the drop rule on a labeled corpus — of the
+    * pairs the rule fires on at each tau, what fraction share the
+    * ground-truth label. Completes the "every approximate family
+    * carries its own accuracy measurement" pattern
+    * (minhash_acc / embed_recall / langid_acc).
+    *
+    * ONE cluster-scoped pair pass (identical bounded quadratic to
+    * [[semDedup]]); the tau sweep is conditional aggregation over
+    * that single scored pair table — no per-tau re-join, so adding
+    * taus costs aggregation columns, not passes. Inputs:
+    * `assigned` (cid, vec_id, v), `labels` (vec_id, label).
+    * Output per tau: (tau, n_pairs, n_same_label, n_drop,
+    * drop_rate, label_prec), drop_rate over the assigned corpus. */
+  def semDedupCurve(assigned: DataFrame, labels: DataFrame,
+                    taus: Seq[Double]): DataFrame = {
+    val al = assigned.join(labels, "vec_id")
+    val a = al.select(col("cid"), col("vec_id").as("ia"),
+      col("v").as("va"), col("label").as("la"))
+    val b = al.select(col("cid"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("label").as("lb"))
+    val pr = a.join(b, "cid").where(col("ia") < col("ib"))
+    val scored = pr.select(col("ib"),
+      round(fastCosine(pr, "va", "vb"), 4).as("c"),
+      (col("la") === col("lb")).as("same")).localCheckpoint(true)
+    val nTotal = assigned.count()
+    def tag(t: Double) = math.round(t * 100).toString
+    val aggCols = taus.flatMap { t =>
+      Seq(
+        sum(when(col("c") >= t, 1L).otherwise(0L)).as(s"np_${tag(t)}"),
+        sum(when(col("c") >= t && col("same"), 1L).otherwise(0L)).as(s"ns_${tag(t)}"),
+        countDistinct(when(col("c") >= t, col("ib"))).as(s"nd_${tag(t)}"))
+    }
+    val one = scored.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = taus.map(t =>
+      s"CAST($t AS DOUBLE), np_${tag(t)}, ns_${tag(t)}, nd_${tag(t)}").mkString(", ")
+    one.selectExpr(
+        s"stack(${taus.size}, $stackArgs) AS (tau, n_pairs, n_same_label, n_drop)")
+      .select(col("tau"), col("n_pairs").cast("long").as("n_pairs"),
+        col("n_same_label").cast("long").as("n_same_label"),
+        col("n_drop").cast("long").as("n_drop"),
+        round(col("n_drop").cast("double") / lit(nTotal.toDouble), 4).as("drop_rate"),
+        // explicit 0.0 when no pair fires: engines disagree on x/0
+        when(col("n_pairs") === 0, lit(0.0))
+          .otherwise(round(col("n_same_label").cast("double") /
+            col("n_pairs").cast("double"), 4)).as("label_prec"))
+      .orderBy("tau")
+  }
+
   def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"))

@@ -552,6 +552,22 @@ object PipelineQueries {
       Similarity.semDedup(
         Similarity.assignCells(e, cents).localCheckpoint(true), tau = 0.4)
     }),
+    "q_dedup_semantic_acc" -> ((s, d) => {
+      // SemDeDup QUALITY readout (r12 VERDICT item 8): drop-rate vs
+      // tau curve + label-precision of the drop rule against the
+      // fixture's ground-truth labels — the in-engine measurement the
+      // paper reports, like q_dedup_minhash_acc / q_embed_recall /
+      // q_text_langid_acc for their families. One cluster-scoped pair
+      // pass, conditional aggregation per tau.
+      val emb = t(s, d, "embeddings")
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      Similarity.semDedupCurve(
+        Similarity.assignCells(e, cents).localCheckpoint(true),
+        emb.select(col("vec_id"), col("label")),
+        taus = Seq(0.3, 0.4, 0.5, 0.6))
+    }),
     "q_dedup_cluster" -> ((s, d) => {
       // near-dup CLUSTERS: transitive closure over MinHash pairs
       // (est >= 0.5) via the distributed CC operator — the step after
@@ -2266,6 +2282,10 @@ object PipelineQueries {
       s"""WITH $embedPairsSql SELECT i, j, round(c, 4) AS cos FROM pr ORDER BY i, j""",
     "q_dedup_semantic" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), p AS (SELECT a.cid, b.vec_id AS ib, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id), dr AS (SELECT cid, count(DISTINCT ib) AS n_drop FROM p WHERE round(c, 4) >= 0.4 GROUP BY cid), sz AS (SELECT cid, count(*) AS sz FROM assigned GROUP BY cid) SELECT sz.cid, sz.sz::BIGINT AS sz, coalesce(dr.n_drop, 0)::BIGINT AS n_drop, (sz.sz - coalesce(dr.n_drop, 0))::BIGINT AS n_kept FROM sz LEFT JOIN dr ON sz.cid = dr.cid ORDER BY sz.cid""",
+    // same cluster assignment + pair cosines as q_dedup_semantic,
+    // labels joined in, one aggregate row per tau of the sweep
+    "q_dedup_semantic_acc" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), al AS (SELECT a.vec_id, a.v, a.cid, em.label FROM assigned a JOIN embeddings em ON em.vec_id = a.vec_id), p AS (SELECT b.vec_id AS ib, round(${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})), 4) AS c, (a.label = b.label) AS same FROM al a JOIN al b ON a.cid = b.cid AND a.vec_id < b.vec_id), ts AS (SELECT unnest([0.3, 0.4, 0.5, 0.6]) AS tau), n AS (SELECT count(*)::DOUBLE AS n_total FROM assigned), agg AS (SELECT ts.tau, count(CASE WHEN p.c >= ts.tau THEN 1 END)::BIGINT AS n_pairs, count(CASE WHEN p.c >= ts.tau AND p.same THEN 1 END)::BIGINT AS n_same_label, count(DISTINCT CASE WHEN p.c >= ts.tau THEN p.ib END)::BIGINT AS n_drop FROM ts CROSS JOIN p GROUP BY ts.tau) SELECT agg.tau, agg.n_pairs, agg.n_same_label, agg.n_drop, round(agg.n_drop::DOUBLE / n.n_total, 4) AS drop_rate, CASE WHEN agg.n_pairs = 0 THEN 0.0 ELSE round(agg.n_same_label::DOUBLE / agg.n_pairs::DOUBLE, 4) END AS label_prec FROM agg, n ORDER BY agg.tau""",
     "q_dedup_embed_cluster" ->
       s"""WITH RECURSIVE $embedPairsSql, ed AS (SELECT i AS src, j AS dst FROM pr UNION ALL SELECT j, i FROM pr), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component::BIGINT AS component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_vec FROM cmp GROUP BY component ORDER BY component""",
     "q_text_repetition" ->
