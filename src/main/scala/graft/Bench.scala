@@ -217,6 +217,7 @@ object Bench {
     "q_stream_dedup" -> "streaming",
     "q_stream_dedup_corpus" -> "streaming",
     "q_stream_enrich" -> "streaming",
+    "q_stream_exactly_once" -> "streaming",
     "q_stream_hll" -> "streaming",
     "q_stream_hourly" -> "streaming",
     "q_stream_join" -> "streaming",

@@ -1589,6 +1589,50 @@ object RelationalQueries {
         .orderBy("event_type")
       } finally deleteRecursively(streamDir)
     }),
+    "q_stream_exactly_once" -> ((s, d) => {
+      // Exactly-once SINK evidence in the gate (r12 VERDICT item 7):
+      // batchId-keyed idempotent foreachBatch parquet writes, with the
+      // failure ACTUALLY forced — after the first run completes, the
+      // newest commit-log entry is deleted (the crashed-after-write-
+      // before-commit window every sink can hit) and the stream
+      // restarts from the same checkpoint, re-executing that
+      // micro-batch with the same batchId. The replayed write lands on
+      // its own batch_id directory (overwrite), so the read-back
+      // equals the plain batch oracle exactly; an append sink would
+      // double the replayed batch and hash-mismatch. Two micro-batches
+      // by construction: the staged fixture + a far-future sentinel
+      // file (filtered out of the readout), maxFilesPerTrigger = 1.
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-e1o-stream")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft-q-e1o-ckpt")
+      val out = java.nio.file.Files.createTempDirectory("graft-q-e1o-out")
+      try {
+        stageEventsInto(d, streamDir)
+        writeSentinel(s, d, streamDir, "e1o_sentinel", plusDays = 30)
+        def run(): Unit = {
+          val q = graft.streaming.EventStreams
+            .eventsStream(s, streamDir.toString, maxFilesPerTrigger = Some(1))
+            .select(col("event_id"), col("event_type"), col("value"))
+            .writeStream
+            .option("checkpointLocation", ckpt.toString)
+            .foreachBatch(graft.streaming.EventStreams
+              .idempotentBatchWrite(out.toString))
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+        run()
+        graft.streaming.EventStreams.forceReplayOfLastBatch(ckpt.toString)
+        run() // replays the last batch with the SAME batchId
+        s.read.parquet(out.toString)
+          .where(col("event_id") >= 0) // drop the sentinel
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("val"))
+          .orderBy("event_type")
+          .localCheckpoint(true) // sever from the reaped temp dirs
+      } finally {
+        deleteRecursively(streamDir); deleteRecursively(ckpt)
+        deleteRecursively(out)
+      }
+    }),
     "q_source_csv" -> ((s, d) => {
       // csv source INSIDE the oracle gate: customer is round-tripped
       // through csv (header + declared schema) and aggregated from the
@@ -3210,6 +3254,11 @@ object RelationalQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hr, event_type, count(*)::BIGINT AS cnt, round(sum(value),2) AS val FROM events GROUP BY 1, 2 ORDER BY hr, event_type""",
     "q_stream_dedup" ->
       """SELECT event_type, count(*)::BIGINT AS cnt FROM events GROUP BY event_type ORDER BY event_type""",
+    // the idempotent batchId-keyed sink must reconstruct the plain
+    // batch aggregate EXACTLY even though one micro-batch was
+    // force-replayed after its commit record was destroyed
+    "q_stream_exactly_once" ->
+      """SELECT event_type, count(*)::BIGINT AS cnt, round(sum(value), 2) AS val FROM events GROUP BY event_type ORDER BY event_type""",
     "q_join_skew" ->
       """SELECT l_suppkey % 10 AS k, n_name, count(*)::BIGINT AS cnt FROM lineitem JOIN nation ON l_suppkey % 10 = n_nationkey % 10 GROUP BY 1, 2 ORDER BY k, n_name""",
     // the oracle is the PLAIN inequality join — the bin-explode

@@ -32,12 +32,18 @@ object EventStreams {
     * [[graft.queries.Tables.events]]:
     * nanos-long → integer-truncate to micros; TIMESTAMP_NTZ → session
     * zone; TIMESTAMP → pass through. */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  def eventsStream(spark: SparkSession, dir: String,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val fileSchema = spark.read.parquet(dir).schema
     require(fileSchema.fieldNames.contains("ts"),
       s"events stream dir $dir has no ts column: $fileSchema")
-    val stream = spark.readStream.schema(fileSchema).parquet(dir)
+    val reader = spark.readStream.schema(fileSchema)
+    // bound files per micro-batch when the caller needs a MULTI-batch
+    // execution (the exactly-once replay entry splits its input so the
+    // forced replay re-executes one batch, not the whole stream)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(dir)
     fileSchema("ts").dataType match {
       case LongType =>
         stream.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
@@ -397,5 +403,42 @@ object EventStreams {
             closed.reverseIterator
           }
       }
+  }
+
+  /** Exactly-once SINK pattern (r12 VERDICT item 7): Structured
+    * Streaming guarantees every micro-batch a batchId that is STABLE
+    * across failure and replay, so a foreachBatch sink that writes
+    * batch b under a b-keyed location with overwrite semantics is
+    * idempotent — a replayed batch replaces its own earlier (possibly
+    * partial) output instead of appending a duplicate. This is the
+    * standard foreachBatch exactly-once recipe from the Structured
+    * Streaming guide, made concrete: one `batch_id=<b>` partition
+    * directory per micro-batch; read the root back with partition
+    * discovery. `counter` (optional) records invocations so a spec
+    * can prove a replay actually re-executed the batch. */
+  def idempotentBatchWrite(outDir: String,
+      counter: Option[java.util.concurrent.atomic.AtomicInteger] = None)
+      : (DataFrame, Long) => Unit = { (batch, batchId) =>
+    counter.foreach(_.incrementAndGet())
+    batch.write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
+  /** Force a REPLAY of the newest committed micro-batch: deleting the
+    * latest commit-log entry re-opens exactly the
+    * wrote-but-never-committed window a sink crash leaves behind; on
+    * restart from the same checkpoint the engine re-executes that
+    * batch — same offsets, same batchId. The idempotent sink must
+    * absorb it; an append sink would double it. */
+  def forceReplayOfLastBatch(checkpointDir: String): Unit = {
+    val commits = new java.io.File(checkpointDir, "commits")
+    val entries = Option(commits.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.nonEmpty && f.getName.forall(_.isDigit))
+    require(entries.nonEmpty, s"no commit-log entries under $commits to replay")
+    val last = entries.maxBy(_.getName.toLong)
+    require(last.delete(), s"could not remove commit entry $last")
+    // the local-FS checksum sibling must go WITH the entry: a stale
+    // .N.crc makes the replayed commit's rename fail and Spark reports
+    // it as a concurrent-modification of the checkpoint
+    new java.io.File(commits, s".${last.getName}.crc").delete()
   }
 }
