@@ -238,4 +238,78 @@ class SimilaritySpec extends SparkSpec {
     assert(all.forall(_.getLong(3) == 1L),
       "tau below every cosine must keep exactly the min-id vector per cluster")
   }
+
+  // ---- adaptive-salt result-invariance for the EMBED candidate path
+  // (r12 VERDICT item 6). Measured truth (r13, sf0.01/sf0.1 sweeps):
+  // with the DEFAULT cap the splits table is EMPTY on organic
+  // embeddings (bucket p99.9 ≈ 25 « 1024), so the salted plan IS the
+  // unsalted plan plus a constant column — result-invisible by
+  // construction. When a tiny cap forces splits, the sharp guarantee
+  // is: a pair sharing ANY unsplit band bucket is NEVER lost; only
+  // pairs whose every co-located bucket was split pay the documented
+  // degenerate-bucket recall trade (quantified in tools/Stress). ----
+
+  private def embedBandPairs(e: org.apache.spark.sql.DataFrame, cap: Int)
+      : Set[(Long, Long)] = {
+    val raw = Similarity.lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
+      .localCheckpoint(true)
+    val (bands, _) = Similarity.adaptiveSalt(
+      raw, Seq("band_id", "bucket"), "vec_id", cap)
+    bands.select(col("vec_id").as("i"), col("band_id"), col("bucket"), col("salt"))
+      .join(bands.select(col("vec_id").as("j"), col("band_id"), col("bucket"), col("salt")),
+        Seq("band_id", "bucket", "salt"))
+      .where(col("i") < col("j"))
+      .select("i", "j").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("embed salt guard with the default cap is result-invisible on the " +
+       "organic fixture (and provably never engaged: splits is empty)") {
+    val e = graft.queries.Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val raw = Similarity.lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
+      .localCheckpoint(true)
+    val (_, splits) = Similarity.adaptiveSalt(
+      raw, Seq("band_id", "bucket"), "vec_id", Similarity.maxBucketDefault)
+    assert(splits.isEmpty,
+      "default cap must not split organic embedding buckets — if this fires, " +
+        "the fixture's bucket profile changed and the recall claims need re-measuring")
+    val guarded = embedBandPairs(e, Similarity.maxBucketDefault)
+    val unguarded = embedBandPairs(e, Int.MaxValue)
+    assert(guarded === unguarded, "default-cap candidates must be identical")
+  }
+
+  test("forced splits lose ONLY pairs whose every shared band bucket split; " +
+       "pairs with any unsplit co-located bucket survive") {
+    val e = graft.queries.Tables.t(spark, TestSpark.sfDir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val raw = Similarity.lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
+      .localCheckpoint(true)
+    val cap = 4 // far below the fixture's bucket sizes: forces real splits
+    val (bands, splits) = Similarity.adaptiveSalt(
+      raw, Seq("band_id", "bucket"), "vec_id", cap)
+    val splitSet = splits.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(splitSet.nonEmpty, "cap=4 must force splits on this fixture")
+    val salted = bands.select(col("vec_id").as("i"), col("band_id"), col("bucket"), col("salt"))
+      .join(bands.select(col("vec_id").as("j"), col("band_id"), col("bucket"), col("salt")),
+        Seq("band_id", "bucket", "salt"))
+      .where(col("i") < col("j")).select("i", "j").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // membership table: (vec, band, bucket)
+    val mem = raw.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byVec = mem.groupBy(_._1)
+    val vecIds = byVec.keySet.toSeq.sorted
+    for {
+      ai <- vecIds.indices; bi <- (ai + 1) until vecIds.size
+      a = vecIds(ai); b = vecIds(bi)
+    } {
+      val shared = byVec(a).map(m => (m._2, m._3)).toSet
+        .intersect(byVec(b).map(m => (m._2, m._3)).toSet)
+      if (shared.nonEmpty && shared.exists(k => !splitSet.contains(k)))
+        assert(salted.contains((a, b)),
+          s"pair ($a,$b) shares unsplit bucket(s) ${shared.filterNot(splitSet)} " +
+            "but was lost — salting must only trade recall inside split buckets")
+    }
+  }
 }

@@ -1,6 +1,8 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -11,16 +13,38 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // closing-wave entries end-to-end on the two iteration scales
-    val latest = Seq("q_embed_purity", "q_graph_modularity", "q_events_bounce",
-      "q_sample_leakage", "q_text_dupe_stats", "q_events_rfm",
-      "q_events_window_funnel", "q_mix_kl", "q_agg_gini", "q_agg_entropy")
+    graft.functions.expressions.GraftFunctions.register(spark)
+    // embed LSH pairs with/without forced salting: is the final pair
+    // set invariant on the ORGANIC fixture when a tiny cap forces the
+    // salted path?
     for (sf <- Seq("sf0.01", "sf0.1")) {
-      val d = s"/root/testdata/$sf"
-      for (q <- latest) {
-        val df = graft.SparkEntry.queries(q)(spark, d)
-        println(s"[drive] $sf $q rows=${df.count()}")
-        if (sf == "sf0.01") df.show(4, truncate = false)
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val raw = Similarity.lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
+        .localCheckpoint(true)
+      // bucket-size profile
+      raw.groupBy("band_id", "bucket").count()
+        .agg(max("count"), expr("percentile(count, 0.999)"), count(lit(1))).show()
+      def pairs(cap: Int): Set[(Long, Long)] = {
+        val (bands, splits) = Similarity.adaptiveSalt(raw, Seq("band_id", "bucket"), "vec_id", cap)
+        println(s"[drive] $sf cap=$cap splits=${splits.count()}")
+        val cand = bands.select(col("vec_id").as("i"), col("band_id"), col("bucket"), col("salt"))
+          .join(bands.select(col("vec_id").as("j"), col("band_id"), col("bucket"), col("salt")),
+            Seq("band_id", "bucket", "salt"))
+          .where(col("i") < col("j"))
+          .select("i", "j").distinct()
+        val joined = cand
+          .join(e.select(col("vec_id").as("i"), col("v").as("va")), "i")
+          .join(e.select(col("vec_id").as("j"), col("v").as("vb")), "j")
+        joined.select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
+          .where(col("cos") >= 0.4)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      }
+      val unsalted = pairs(Int.MaxValue)
+      for (cap <- Seq(64, 16, 8, 4)) {
+        val p = pairs(cap)
+        println(s"[drive] $sf cap=$cap pairs=${p.size} unsalted=${unsalted.size} " +
+          s"lost=${(unsalted -- p).size} gained=${(p -- unsalted).size}")
       }
     }
     spark.stop()

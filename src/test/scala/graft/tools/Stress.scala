@@ -8,12 +8,18 @@ import graft.operators.Traversals
   * core plan shapes, to observe how they scale vs data volume.
   * Run: sbt "Test/runMain graft.tools.Stress" */
 object Stress {
-  def time[T](name: String, rows: Long)(f: => T): Unit = {
-    val t0 = System.nanoTime()
-    f
-    println(f"STRESS $name rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
-  }
+  // optional substring filter (first CLI arg): run only matching rows —
+  // local iteration on one probe without paying the whole battery
+  private var only: Option[String] = None
+  def time[T](name: String, rows: Long)(f: => T): Unit =
+    if (!only.forall(name.contains)) ()
+    else {
+      val t0 = System.nanoTime()
+      f
+      println(f"STRESS $name rows=$rows ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
   def main(args: Array[String]): Unit = {
+    only = args.headOption
     val spark = SparkSession.builder().master("local[32]").appName("stress")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -379,6 +385,42 @@ object Stress {
           .count()
         require(n > 0 && n <= 4L * 20000L * 256L / 2,
           s"salted candidate count $n outside the O(n x cap) bound")
+      }
+    };
+    // Adversarial EMBED LSH probe (r12 VERDICT item 6): 20k IDENTICAL
+    // vectors — every band bucket holds the whole corpus, the
+    // unguarded self-join would be 4 × 200M pairs. The salted cap must
+    // bound candidates at O(n × cap), and the OR-amplified recall the
+    // degenerate corpus retains is RECORDED here: this is the
+    // documented split-bucket trade (pairs split across sub-buckets of
+    // the same band get `bands` independent chances; analytic floor
+    // 1-(1-1/nsplit)^bands ≈ 5% at nsplit=79). On ORGANIC data the
+    // guard provably never engages — SimilaritySpec pins splits-empty
+    // at the default cap and unsplit-bucket pairs surviving any cap.
+    {
+      val n = 20000
+      val cap = 256
+      val constVecs = spark.range(n)
+        .select(col("id").as("vec_id"),
+          expr("transform(sequence(1, 64), i -> cast(i as double) / 64.0)").as("v"))
+      time("embed_megabucket_x20k", n.toLong) {
+        val raw = graft.operators.Similarity
+          .lshBandBuckets(constVecs, bands = 4, planesPerBand = 8, dims = 64)
+          .localCheckpoint(true)
+        val (bands, splits) = graft.operators.Similarity.adaptiveSalt(
+          raw, Seq("band_id", "bucket"), "vec_id", cap)
+        require(splits.count() > 0, "degenerate corpus must force splits")
+        val cand = bands.select(col("vec_id").as("i"), col("band_id"), col("bucket"), col("salt"))
+          .join(bands.select(col("vec_id").as("j"), col("band_id"), col("bucket"), col("salt")),
+            Seq("band_id", "bucket", "salt"))
+          .where(col("i") < col("j")).select("i", "j").distinct().count()
+        val bound = 4L * n * cap / 2
+        require(cand > 0 && cand <= bound,
+          s"salted embed candidates $cand outside the O(n x cap) bound $bound")
+        val truePairs = n.toLong * (n - 1) / 2
+        println(f"[stress] embed_megabucket recall on all-identical corpus: " +
+          f"$cand%d / $truePairs%d = ${cand.toDouble / truePairs}%.4f " +
+          f"(analytic floor ~${1 - math.pow(1 - cap.toDouble / n, 4)}%.4f)")
       }
     };
     // Streaming as-of at 10x: the state-discipline probe — left rows
