@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Derives an sf1-SCALE dataset (10× sf0.1) for the r12-VERDICT-item-2
+  * scaling measurement: the 100×-scale story previously rested on plan
+  * shape + 10× in-memory stress probes; this materializes a real 10×
+  * dataset on disk so the heavy bench entries get one measured larger-SF
+  * datapoint (wall time + slope vs sf0.1, recorded in BASELINE.md).
+  *
+  * Derivation = 10 key-shifted copies of each sf0.1 fact table (the
+  * tools/Stress union pattern, persisted): keys are offset per copy so
+  * copies stay disjoint where the semantics need disjointness
+  * (orders/lineitems/customers/users/docs/vectors), while dimension
+  * tables pass through unchanged. Content columns that would otherwise
+  * become exact 10× clones get a deterministic per-copy variation
+  * (documents text suffix; embedding per-copy jitter — cosine is
+  * scale-invariant, so a multiplicative change alone would NOT vary
+  * direction) so the dedup/similarity entries measure scale, not a
+  * degenerate all-duplicate corpus. Customer names are re-derived from
+  * the shifted key in the fixture's exact format so er_match blocks
+  * stay realistic instead of 10-deep identical-name stacks. */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("/tmp/sf1")
+    val src = "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("scalegen").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(out).mkdirs()
+
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until 10).map(i => shift(df, i)).reduce(_ union _)
+
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"[scalegen] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
+    }
+
+    val K = 10000000L // key offset per copy — clears every sf0.1 key range
+
+    // dims: unchanged
+    Seq("region", "nation", "part", "supplier").foreach { t =>
+      write(t, spark.read.parquet(s"$src/$t.parquet"))
+    }
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    write("orders", copies(orders) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * K))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * K))
+    })
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    write("lineitem", copies(li) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * K))
+    })
+    val cust = spark.read.parquet(s"$src/customer.parquet")
+    write("customer", copies(cust) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * K))
+        // fixture name format: 'Customer#' + 9-digit zero-padded key
+        .withColumn("c_name", format_string("Customer#%09d", col("c_custkey")))
+    })
+    val ev = graft.queries.Tables.events(spark, src)
+    write("events", copies(ev) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * K))
+    })
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    write("documents", copies(docs) { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * K))
+        .withColumn("text",
+          if (i == 0) col("text") else concat(col("text"), lit(s" variant$i")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    })
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    write("embeddings", copies(emb) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * K))
+        // per-copy direction jitter: add i-dependent epsilon to one
+        // dimension band so copies are near- but not exact duplicates
+        .withColumn("embedding",
+          if (i == 0) col("embedding")
+          else expr(s"transform(embedding, (x, j) -> cast(x + ((j * 31 + $i * 7) % 11 - 5) * 0.003 * $i as float))"))
+    })
+    spark.stop()
+  }
+}
