@@ -89,7 +89,7 @@ object Bench {
     // (shingle df hash-agg + hash equi-join), token-budget sampling
     "q_dedup_semantic", "q_text_boilerplate", "q_sample_budget",
     // persisted-index ANN probe (staging memoized: reps time the probe)
-    "q_embed_ivf_indexed",
+    "q_embed_ivf_indexed", "q_embed_ivf_append",
     // Welch A/B one-scan readout; per-user EWMA list fold
     "q_events_abtest", "q_window_ewma",
     // wave-18: forward-fill window, OHLC struct-extreme bars, +1/-1
@@ -144,6 +144,9 @@ object Bench {
     "q_join_dpp",
     // broadcast linear-classifier inference (one scan + dot fold)
     "q_embed_classify",
+    // r13: DSIR hashed-ngram importance selection + the classifier
+    // calibration readout
+    "q_sample_dsir", "q_embed_classify_cal",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -1617,6 +1617,66 @@ object PipelineQueries {
           round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4).as("kl"))
         .orderBy("lang")
     }),
+    "q_sample_dsir" -> ((s, d) => {
+      // DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
+      // score each document by how target-like its hashed-n-gram
+      // distribution is — importance weight w(doc) =
+      // Σ_tokens ln(p_target(b) / p_raw(b)) over B=64 md5-hashed
+      // unigram buckets, Laplace-smoothed; the target is the
+      // fixture's lang='en' slice (the high-quality-corpus stand-in).
+      // Float discipline: the ≤64 per-bucket log-ratios are computed
+      // once, rounded TERM-LOCAL (the q_mix_kl/lmscore pattern), and
+      // each doc's weight is a decimal sum of its tokens' terms —
+      // accumulation-order independent, so the top-k is stable on any
+      // partitioning. At 100 TB: two hash aggs build the 64-row ratio
+      // table, then one broadcast join + per-doc agg; top-k compiles
+      // to TakeOrdered, never a global sort.
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .withColumn("b",
+          (conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("long") % 64).cast("int"))
+        .localCheckpoint(true) // feeds the two count aggs + the probe join
+      val tgt = tok.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+      val src = tok.groupBy("b").agg(count(lit(1)).as("cs"))
+      val nt = tok.where(col("lang") === "en").agg(count(lit(1)).cast("double").as("n_t"))
+      val ns = tok.agg(count(lit(1)).cast("double").as("n_s"))
+      val ratio = src.join(tgt, Seq("b"), "left_outer")
+        .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
+        .select(col("b"),
+          round(log(((coalesce(col("ct"), lit(0L)) + lit(1)).cast("double") / (col("n_t") + 64)) /
+                    ((col("cs") + lit(1)).cast("double") / (col("n_s") + 64))), 8).as("lr"))
+      tok.join(broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(col("lr").cast("decimal(38,18)")).cast("double"), 4).as("w"))
+        .orderBy(col("w").desc, col("doc_id"))
+        .limit(50)
+    }),
+    "q_embed_classify_cal" -> ((s, d) => {
+      // classifier CALIBRATION readout (reliability diagram) — the
+      // measurement entry for the q_embed_classify family, like
+      // langid_acc / minhash_acc / embed_recall for theirs: bin the
+      // logit axis (width 0.25), report per-bin volume, ground-truth
+      // positives (label == the weight vector's own label) and the
+      // observed positive rate — predicted-confidence vs actual, the
+      // standard quality-filter audit. Integer-exact except the
+      // closing rate division; bin edges are exact binary fractions
+      // so floor() agrees across engines.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("label"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      val wv = e.where(col("vec_id") === 1)
+        .select(col("v").as("w"), col("label").as("lt"))
+      e.where(col("vec_id") =!= 1).crossJoin(broadcast(wv))
+        .select((col("label") === col("lt")).as("pos"),
+          floor(round(expr("dot_fold(v, w)"), 6) / 0.25).cast("long").as("bin"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pos"), 1L).otherwise(0L)).cast("long").as("n_pos"))
+        .select(col("bin"), round(col("bin") * 0.25, 2).as("lo"), col("n"), col("n_pos"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 4).as("pos_rate"))
+        .orderBy("bin")
+    }),
     "q_mix_weights" -> ((s, d) => {
       // domain-mixture reweighting: per-source multiplier that turns
       // the observed source distribution into a uniform target mix
@@ -1879,6 +1939,40 @@ object PipelineQueries {
       val cents = e.where(col("vec_id").between(1, 8))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       Similarity.ivfTopK(Similarity.assignCells(e, cents), 0L, 10)
+    }),
+    "q_embed_ivf_append" -> ((s, d) => {
+      // incremental ANN index MAINTENANCE: arrivals (vec_id % 10 == 0
+      // above the centroid range) are assigned to the EXISTING
+      // centroids — assignment is row-local, so no recluster and no
+      // rebuild — and APPENDED into the same cid-partitioned layout
+      // the base index uses: one partitionBy write of the new rows
+      // only, never touching existing cell files. Because per-row
+      // assignment is independent of every other row, the maintained
+      // index is content-identical to a full rebuild, and the probe
+      // answer matches the batch oracle exactly — the correctness
+      // argument for append-only ingest a production vector store
+      // relies on per batch. Probe = the ivf_indexed shape (1-row
+      // cell lookup, literal-cid partition-pruned scan, in-cell
+      // top-10).
+      val idx = Staging.bucketedTable(s, d, "ivf_index_app") { (name, dir) =>
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val cents = e.where(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val isArrival = (col("vec_id") % 10 === 0) && col("vec_id") > 8
+        Similarity.assignCells(e.where(!isArrival), cents)
+          .write.format("parquet").mode("overwrite").partitionBy("cid")
+          .option("path", dir.resolve("index").toString)
+          .saveAsTable(name)
+        Similarity.assignCells(e.where(isArrival), cents)
+          .write.mode("append").insertInto(name)
+      }
+      val qRow = idx.where(col("vec_id") === 0)
+        .select(col("cid"), col("v")).head()
+      val qv = idx.sparkSession.createDataFrame(
+        java.util.List.of(qRow), qRow.schema).select(col("v").as("qv"))
+      Similarity.bruteForceTopK(
+        idx.where(col("cid") === qRow.getLong(0) && col("vec_id") =!= 0), qv, 10)
     }),
     "q_embed_ivf_indexed" -> ((s, d) => {
       // the PERSISTED-index ANN probe: the IVF cell assignment is
@@ -2243,6 +2337,13 @@ object PipelineQueries {
       s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, d.text, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), bg AS (SELECT doc_id, md5(unnest(gs)) AS h FROM sh), dfq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM bg GROUP BY h), bst AS (SELECT bg.doc_id, count(*) AS n_sh, sum(CASE WHEN dfq.nd >= 3 THEN 1 ELSE 0 END) AS n_boiler FROM bg JOIN dfq ON bg.h = dfq.h GROUP BY bg.doc_id), okb AS (SELECT d.doc_id FROM documents d LEFT JOIN bst ON d.doc_id = bst.doc_id WHERE CASE WHEN round(coalesce(bst.n_boiler / bst.n_sh, 0.0), 4) > 0.5 THEN 1 ELSE 0 END = 0), q2 AS (SELECT q.* FROM q JOIN okb USING (doc_id)), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) JOIN q2 ON q2.doc_id = s.doc_id WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT q2.doc_id, q2.lang, q2.text, q2.score FROM q2 WHERE substr(md5(q2.doc_id::VARCHAR), 1, 1) <> '0' AND q2.doc_id NOT IN (SELECT doc_id FROM cont)), wtc AS (SELECT cl.doc_id, cl.lang, cl.score, len(t.tk)::BIGINT AS tc, octet_length(encode(cl.text))::BIGINT AS nb FROM cl JOIN toks t ON cl.doc_id = t.doc_id), bud AS (SELECT *, coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM wtc), adm AS (SELECT * FROM bud WHERE before < 5000), shd AS (SELECT *, coalesce(sum(nb) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM adm) SELECT lang, count(*)::BIGINT AS n_kept, sum(tc)::BIGINT AS n_toks, count(DISTINCT cb // 16384)::BIGINT AS n_shards, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM shd GROUP BY lang ORDER BY lang""",
     "q_mix_temperature" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, n_docs / (SELECT sum(n_docs)::DOUBLE FROM g) AS p FROM g), q AS (SELECT lang, n_docs, p, round(pow(p, 0.7), 6)::DECIMAL(18,6) AS q0 FROM t) SELECT lang, n_docs, round(p, 4) AS p, round(q0::DOUBLE / (SELECT sum(q0) FROM q)::DOUBLE, 4) AS rate FROM q ORDER BY lang""",
+    // same 64 md5 unigram buckets, same Laplace smoothing, same
+    // term-local round(8) log-ratio + per-doc decimal sum
+    "q_sample_dsir" ->
+      s"""WITH $toksSql, tr AS (SELECT d.doc_id, d.lang, unnest(t.tk) AS tok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), tb AS (SELECT doc_id, lang, ('0x' || substr(md5(tok), 1, 4))::BIGINT % 64 AS b FROM tr), tgt AS (SELECT b, count(*)::BIGINT AS ct FROM tb WHERE lang = 'en' GROUP BY b), srcc AS (SELECT b, count(*)::BIGINT AS cs FROM tb GROUP BY b), nt AS (SELECT count(*)::DOUBLE AS n_t FROM tb WHERE lang = 'en'), ns AS (SELECT count(*)::DOUBLE AS n_s FROM tb), r AS (SELECT s.b, round(ln(((coalesce(t.ct, 0) + 1)::DOUBLE / (nt.n_t + 64)) / ((s.cs + 1)::DOUBLE / (ns.n_s + 64))), 8) AS lr FROM srcc s LEFT JOIN tgt t USING (b) CROSS JOIN nt CROSS JOIN ns) SELECT tb.doc_id, count(*)::BIGINT AS n_toks, round(sum(r.lr::DECIMAL(38,18))::DOUBLE, 4) AS w FROM tb JOIN r USING (b) GROUP BY tb.doc_id ORDER BY w DESC, doc_id LIMIT 50""",
+    // same logit fold, same 0.25-wide bins (exact binary fractions)
+    "q_embed_classify_cal" ->
+      s"""WITH w AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS wv, label AS lt FROM embeddings WHERE vec_id = 1), e AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 1), sc AS (SELECT (label = lt) AS pos, floor(round(${foldSql("list_transform(range(1, 65), i -> v[i] * wv[i])")}, 6) / 0.25)::BIGINT AS bin FROM e, w) SELECT bin, round(bin * 0.25, 2) AS lo, count(*)::BIGINT AS n, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos, round(sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4) AS pos_rate FROM sc GROUP BY bin ORDER BY bin""",
     "q_mix_kl" ->
       s"""WITH $toksSql, tr AS (SELECT d.lang, unnest(t.tk) AS tok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), cl AS (SELECT lang, tok, count(*)::BIGINT AS cl FROM tr GROUP BY 1, 2), cg AS (SELECT tok, count(*)::BIGINT AS cg FROM tr GROUP BY tok), nl AS (SELECT lang, count(*)::BIGINT AS nl FROM tr GROUP BY lang), ng AS (SELECT count(*)::BIGINT AS ng FROM tr), tm AS (SELECT cl.lang, nl.nl, round((cl.cl::DOUBLE / nl.nl) * ln((cl.cl::DOUBLE / nl.nl) / (cg.cg::DOUBLE / ng.ng)), 8) AS term FROM cl JOIN cg USING (tok) JOIN nl ON cl.lang = nl.lang CROSS JOIN ng) SELECT lang, max(nl)::BIGINT AS n_toks, round(sum(term::DECIMAL(38,18))::DOUBLE, 4) AS kl FROM tm GROUP BY lang ORDER BY lang""",
     "q_mix_weights" ->
@@ -2303,6 +2404,10 @@ object PipelineQueries {
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // identical semantics to q_embed_ivf — the engine-side difference
+    // append-maintained index == full rebuild (assignment is
+    // row-local), so the same batch SQL oracles the append path too
+    "q_embed_ivf_append" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // (persisted bucketed index + literal-cid bucket-pruned probe vs
     // recompute-per-query) is a LAYOUT choice, invisible to the oracle
     "q_embed_ivf_indexed" ->

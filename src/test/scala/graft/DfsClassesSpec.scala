@@ -2,6 +2,8 @@ package graft
 
 import scala.util.Random
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Traversals
 
 /** Soundness of the distributed DFS-leaf classification and exactness
@@ -94,6 +96,24 @@ class DfsClassesSpec extends SparkSpec {
     assert(cls(1L) === "internal")  // sole parent of 3
     // and the actual ascending-order replay agrees: 3 is NOT a leaf
     assert(refLeaves(Set((0, 1), (0, 2), (1, 3), (3, 2)), 0, identity) === Set(2))
+  }
+
+  test("classes and exact replay agree on the data-scale mod-150 graph " +
+       "(the q_graph_dfs_leaves_big / q_graph_dfs_classes pair's fixture shape)") {
+    val orders = spark.read.parquet(s"${TestSpark.sfDir}/orders.parquet")
+    val e = orders.select((col("o_orderkey") % 150).as("src"),
+        (col("o_custkey") % 150).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val leaves = Traversals.dfsLeaves(e, 0L).collect().map(_.getLong(0)).toSet
+    val cls = Traversals.dfsLeafClasses(e, 0L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cls.nonEmpty)
+    val certainLeaves = cls.collect { case (v, "leaf") => v }.toSet
+    val certainInternal = cls.collect { case (v, "internal") => v }.toSet
+    assert(certainLeaves.subsetOf(leaves),
+      s"claimed leaves not in the replay leaf set: ${certainLeaves -- leaves}")
+    assert((certainInternal & leaves).isEmpty,
+      s"claimed internals that replay as leaves: ${certainInternal & leaves}")
   }
 
   test("replay-input reduction is exact and extends the replay envelope") {

@@ -24,7 +24,10 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_knn_join", "q_embed_pq",                // broadcast query/codebook side
     "q_embed_recall", "q_embed_rerank", "q_embed_topk", // broadcast query vector
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
+    "q_embed_ivf_append",                            // broadcast 1-row query vector (local)
     "q_embed_classify",                              // broadcast 1-row weight vector
+    "q_embed_classify_cal",                          // broadcast 1-row weight vector
+    "q_sample_dsir",                                 // broadcast scalar token totals
     "q_agg_cramers",                                 // dims-sized grid cross + scalar totals
     "q_embed_maxsim",                                // dims-sized label-pair grid
     "q_events_funnel",                               // scalar step totals

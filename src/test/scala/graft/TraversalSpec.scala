@@ -29,8 +29,9 @@ class TraversalSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       Traversals.dfsLeaves(edges("G7"), 0, maxReplayEdges = 3L)
     }
-    assert(e.getMessage.contains("exceeds dfsReplayMaxEdges=3"))
-    assert(e.getMessage.contains("bfsLevels"), "message should point at the scalable alternative")
+    assert(e.getMessage.contains("exceed dfsReplayMaxEdges=3"))
+    assert(e.getMessage.contains("dfsLeafClasses"),
+      "message should point at the distributed any-scale alternative")
     // at exactly the bound the replay proceeds (G7 component from 0 has 12 edges)
     assert(Traversals.dfsLeaves(edges("G7"), 0, maxReplayEdges = 12L)
       .collect().map(_.getLong(0)).toSeq === leaves("G7", 0))
