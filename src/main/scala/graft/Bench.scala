@@ -147,6 +147,11 @@ object Bench {
     // r13: DSIR hashed-ngram importance selection + the classifier
     // calibration readout
     "q_sample_dsir", "q_embed_classify_cal",
+    // r13 wave 2: layered-DAG toposort (data-scale distinct + 7
+    // supersteps), tombstone-masked ANN probe, blockhash payload
+    // near-dup (per-char explode), DoReMi one-step reweight
+    "q_graph_toposort", "q_embed_ivf_delete",
+    "q_multimodal_phash", "q_mix_doremi",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -928,6 +928,44 @@ object GraphQueries {
              max("deg").cast("long").as("max_deg"))
         .orderBy("bucket")
     }),
+    "q_graph_toposort" -> ((s, d) => {
+      // topological levels + DAG path counting — the scheduling-DAG
+      // primitive (stage depth = longest path ending at v; np = #
+      // distinct paths from the source layer, the dataflow fan-in
+      // statistic). Fixture: a LAYERED DAG over orders — vertex
+      // 0..199, layer(v) = v/25 (8 layers), edge (o_orderkey%200 →
+      // o_custkey%200) kept iff it crosses exactly one layer up, so
+      // acyclicity is by construction and depth is pinned at 7
+      // supersteps. Each superstep is one vertex-keyed join + hash
+      // agg over the PREVIOUS layer's finalized state — the BSP shape
+      // of any layer-synchronous DAG pass at 100 TB (supersteps =
+      // depth, shuffle keys = vertex ids, state one row per vertex).
+      // Both lp and np are integer-exact (np ≤ 25^7 < 2^63). Oracle:
+      // recursive-CTE longest path (distinct (v,len) rows, bounded by
+      // V·depth) + 7 unrolled layer sums for np.
+      val e = t(s, d, "orders")
+        .select((col("o_orderkey") % 200).as("src"), (col("o_custkey") % 200).as("dst"))
+        .where(floor(col("dst") / 25) === floor(col("src") / 25) + 1)
+        .distinct()
+        .localCheckpoint(true) // read once per superstep (7×)
+      val verts = e.select(col("src").as("vertex"))
+        .union(e.select(col("dst"))).distinct()
+      var state = verts.select(col("vertex"), lit(0L).as("lp"),
+        when(floor(col("vertex") / 25) === 0, lit(1L)).otherwise(lit(0L)).as("np"))
+      for (layer <- 1 to 7) {
+        val prev = state.where(floor(col("vertex") / 25) === layer - 1)
+          .select(col("vertex").as("pv"), col("lp").as("plp"), col("np").as("pnp"))
+        val up = e.join(prev, col("src") === col("pv"))
+          .groupBy(col("dst").as("uv"))
+          .agg(max(col("plp") + 1).as("ulp"), sum(col("pnp")).as("unp"))
+        state = state.join(up, col("vertex") === col("uv"), "left_outer")
+          .select(col("vertex"),
+            coalesce(col("ulp"), col("lp")).as("lp"),
+            coalesce(col("unp"), col("np")).as("np"))
+      }
+      state.select(col("vertex"), col("lp"), col("np").cast("long").as("np"))
+        .orderBy("vertex")
+    }),
     "q_graph_subtree_sum" -> ((s, d) => {
       // bottom-up subtree aggregation (hierarchical rollup — the
       // org-chart / category-tree OLAP op): per-level upward fold
@@ -1245,5 +1283,16 @@ object GraphQueries {
     "q_graph_hits" ->
       """WITH e AS (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS src, (o_custkey % 150)::BIGINT AS dst FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), a1 AS (SELECT dst AS v, count(*)::BIGINT AS a1 FROM e GROUP BY dst), h1 AS (SELECT e.src AS v, sum(a1.a1)::BIGINT AS h1 FROM e JOIN a1 ON e.dst = a1.v GROUP BY e.src), a2 AS (SELECT e.dst AS v, sum(h1.h1)::BIGINT AS a2 FROM e JOIN h1 ON e.src = h1.v GROUP BY e.dst) SELECT verts.v AS vertex, coalesce(h1.h1, 0)::BIGINT AS hub, coalesce(a2.a2, 0)::BIGINT AS auth FROM verts LEFT JOIN h1 ON verts.v = h1.v LEFT JOIN a2 ON verts.v = a2.v ORDER BY vertex""",
     "q_graph_jaccard" ->
-      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT v, count(*)::BIGINT AS deg FROM sym GROUP BY v), common AS (SELECT u.a, u.b, count(*)::BIGINT AS c FROM und u JOIN sym x ON x.v = u.a JOIN sym y ON y.v = u.b AND y.w = x.w GROUP BY u.a, u.b) SELECT c0.a AS src, c0.b AS dst, round(c::DOUBLE / (da.deg + db.deg - c), 4) AS jac FROM common c0 JOIN deg da ON da.v = c0.a JOIN deg db ON db.v = c0.b ORDER BY src, dst""")
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT v, count(*)::BIGINT AS deg FROM sym GROUP BY v), common AS (SELECT u.a, u.b, count(*)::BIGINT AS c FROM und u JOIN sym x ON x.v = u.a JOIN sym y ON y.v = u.b AND y.w = x.w GROUP BY u.a, u.b) SELECT c0.a AS src, c0.b AS dst, round(c::DOUBLE / (da.deg + db.deg - c), 4) AS jac FROM common c0 JOIN deg da ON da.v = c0.a JOIN deg db ON db.v = c0.b ORDER BY src, dst""",
+    // lp: recursive-CTE longest path — UNION-deduped (v, len) rows,
+    // bounded by V·depth on the layered fixture; np: 7 unrolled layer
+    // sums (path ENUMERATION would be exponential; layer sums are the
+    // engine's sweep restated)
+    "q_graph_toposort" ->
+      ("""WITH RECURSIVE e AS (SELECT DISTINCT (o_orderkey % 200)::BIGINT AS src, (o_custkey % 200)::BIGINT AS dst FROM orders WHERE (o_custkey % 200) // 25 = (o_orderkey % 200) // 25 + 1), verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)), p AS (SELECT v, 0::BIGINT AS l FROM verts UNION SELECT e.dst, p.l + 1 FROM p JOIN e ON e.src = p.v), lp AS (SELECT v, max(l)::BIGINT AS lp FROM p GROUP BY v), n0 AS (SELECT v, (CASE WHEN v // 25 = 0 THEN 1 ELSE 0 END)::BIGINT AS np FROM verts), """ +
+        (1 to 7).map { k =>
+          s"s$k AS (SELECT e.dst, sum(n${k - 1}.np)::BIGINT AS s FROM e JOIN n${k - 1} ON e.src = n${k - 1}.v WHERE n${k - 1}.v // 25 = ${k - 1} GROUP BY e.dst), " +
+          s"n$k AS (SELECT n${k - 1}.v, (CASE WHEN n${k - 1}.v // 25 <> $k THEN n${k - 1}.np ELSE coalesce(s$k.s, 0) END)::BIGINT AS np FROM n${k - 1} LEFT JOIN s$k ON s$k.dst = n${k - 1}.v)"
+        }.mkString(", ") +
+        """ SELECT lp.v AS vertex, lp.lp, n7.np FROM lp JOIN n7 ON lp.v = n7.v ORDER BY vertex"""))
 }

@@ -274,6 +274,66 @@ object PipelineQueries {
             sum(when(col("bin") === k, 1).otherwise(0)).as(s"b$k")): _*)
         .orderBy("doc_id")
     }),
+    "q_multimodal_phash" -> ((s, d) => {
+      // blockhash perceptual NEAR-dup over the opaque payload — the
+      // image near-dup stage the multimodal family was missing next
+      // to its exact content-hash dedup (with a real decoder the byte
+      // stream is pixel data and block-mean hashing is the standard
+      // perceptual hash; the byte-stream stand-in keeps the dataflow
+      // and the algebra real): 64 POSITION segments per payload
+      // (seg = i·64 div nbytes — length-invariant, so a truncated/
+      // re-encoded copy keeps most bits), bit k set iff segment
+      // byte-sum · 64 > total byte-sum (integer cross-multiplication,
+      // no float mean), packed into 4×16-bit bands. Candidates =
+      // band-LSH equi-join — by pigeonhole every hamming ≤ 3 pair
+      // collides on ≥ 1 band (the q_dedup_simhash_near guarantee);
+      // rescore = codegen'd popcount over the 4 band XORs. Scale:
+      // 2^16-value band keys keep buckets tracking clone density, not
+      // corpus size; never all-pairs.
+      val by = t(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).as("nb"),
+          posexplode(split(col("text"), "")))
+        .toDF("doc_id", "nb", "i", "c")
+        .where(col("c") =!= "")
+        // exact integer division for the segment id — a double divide
+        // + floor can land 1 ulp above an exact boundary and disagree
+        // with the oracle's `//`
+        .select(col("doc_id"), expr("cast((i * 64) div nb AS INT)").as("seg"),
+          ascii(col("c")).cast("long").as("b"))
+      val sg = by.groupBy("doc_id", "seg").agg(sum("b").as("ssum"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val bits = sg.withColumn("total", sum("ssum").over(w))
+        .select(col("doc_id"), col("seg"),
+          when(col("ssum") * 64 > col("total"), lit(1L)).otherwise(lit(0L)).as("bit"))
+      val ph = bits.groupBy("doc_id")
+        .agg(sum(when(floor(col("seg") / 16) === 0,
+            expr("shiftleft(bit, cast(seg % 16 AS INT))")).otherwise(lit(0L)))
+            .cast("long").as("p0"),
+          (1 until 4).map(j =>
+            sum(when(floor(col("seg") / 16) === j,
+              expr("shiftleft(bit, cast(seg % 16 AS INT))")).otherwise(lit(0L)))
+              .cast("long").as(s"p$j")): _*)
+        .localCheckpoint(true) // the band self-join reads it twice
+      val banded = ph.select(col("doc_id"),
+          col("p0"), col("p1"), col("p2"), col("p3"),
+          posexplode(array(col("p0"), col("p1"), col("p2"), col("p3"))))
+        .toDF("doc_id", "p0", "p1", "p2", "p3", "band_id", "bkey")
+      banded.as("a").join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.p0").as("a0"), col("a.p1").as("a1"),
+          col("a.p2").as("a2"), col("a.p3").as("a3"),
+          col("b.p0").as("b0"), col("b.p1").as("b1"),
+          col("b.p2").as("b2"), col("b.p3").as("b3"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+            "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("int").as("dist"))
+        .where(col("dist") <= 3)
+        .orderBy("doc_a", "doc_b")
+    }),
     "q_text_chunks" -> ((s, d) => {
       // fixed-size token chunking (50-token windows, the pre-training
       // "split long documents" step): posexplode to token rows, chunk
@@ -1617,6 +1677,47 @@ object PipelineQueries {
           round(sum(col("term").cast("decimal(38,18)")).cast("double"), 4).as("kl"))
         .orderBy("lang")
     }),
+    "q_mix_doremi" -> ((s, d) => {
+      // DoReMi-style one-step domain reweighting (Xie et al. 2023,
+      // arXiv:2305.10429): per-domain EXCESS LOSS — the domain's mean
+      // unigram-LM NLL minus the corpus mean, the "hardest domains"
+      // proxy — drives one exponentiated-gradient update from uniform
+      // weights, then the paper's uniform smoothing (1-c)·ŵ + c/K
+      // with c = 0.1. Float discipline: per-token NLL terms are
+      // rounded then decimal-summed (the lmscore pattern); domain and
+      // corpus means divide exact decimal sums; excess is rounded
+      // before exp and the exp output rounded before the normalizing
+      // decimal sum — every accumulation order-free, transcendental
+      // outputs pinned by round() on both engines. At 100 TB: two
+      // token hash aggs + one broadcast frequency join; the update
+      // itself is K domain rows of arithmetic.
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true) // feeds the frequency build AND the probe
+      val freq = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).cast("double").as("n"))
+      val dom = tok.join(freq, "tok").crossJoin(broadcast(tot))
+        .select(col("source"), round(-log(col("cnt") / col("n")), 6).as("nll"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(col("nll").cast("decimal(38,18)")).as("snll"))
+        .localCheckpoint(true) // K rows; feeds the corpus scalar + the update
+      val all = dom.agg(
+        (sum(col("snll")).cast("double") / sum(col("n_toks")).cast("double"))
+          .as("m_all"),
+        count(lit(1)).cast("double").as("kd"))
+      val ew = dom.crossJoin(broadcast(all))
+        .select(col("source"), col("n_toks"), col("kd"),
+          round(greatest(col("snll").cast("double") / col("n_toks") - col("m_all"),
+            lit(0.0)), 6).as("excess"))
+        .withColumn("ew", round(exp(col("excess")), 6))
+        .localCheckpoint(true) // K rows; feeds the Z scalar + the output
+      val z = ew.agg(sum(col("ew").cast("decimal(38,18)")).cast("double").as("z"))
+      ew.crossJoin(broadcast(z))
+        .select(col("source"), col("n_toks"), col("excess"),
+          round(lit(0.9) * col("ew") / col("z") + lit(0.1) / col("kd"), 4).as("weight"))
+        .orderBy("source")
+    }),
     "q_sample_dsir" -> ((s, d) => {
       // DSIR data selection (Xie et al. 2023, arXiv:2302.03169):
       // score each document by how target-like its hashed-n-gram
@@ -2000,6 +2101,32 @@ object PipelineQueries {
           .select(col("vec_id"), col("v")),
         qv, 10)
     }),
+    "q_embed_ivf_delete" -> ((s, d) => {
+      // incremental ANN index DELETE — the other half of maintenance
+      // next to q_embed_ivf_append, completing the index CRUD story:
+      // deletes arrive as a TOMBSTONE SET (ids, not a storage
+      // rewrite), and probes apply one broadcast anti-join against it
+      // — the production vector-store delete path (rewriting cell
+      // files per delete is O(cell) write amplification; tombstones
+      // make delete O(1) and defer the rewrite to compaction once the
+      // tombstone ratio crosses a threshold). Probe = the ivf_indexed
+      // shape (1-row cell lookup, literal-cid partition-pruned scan,
+      // in-cell top-10) + the anti-join. Oracle: the batch IVF SQL
+      // minus the deleted ids — a tombstone-masked index answers
+      // exactly like one rebuilt without those rows.
+      val idx = ivfIndex(s, d)
+      val tomb = t(s, d, "embeddings").where(col("vec_id") % 7 === 3)
+        .select(col("vec_id"))
+      val qRow = idx.where(col("vec_id") === 0)
+        .select(col("cid"), col("v")).head()
+      val qv = idx.sparkSession.createDataFrame(
+        java.util.List.of(qRow), qRow.schema).select(col("v").as("qv"))
+      Similarity.bruteForceTopK(
+        idx.where(col("cid") === qRow.getLong(0) && col("vec_id") =!= 0)
+          .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("v")),
+        qv, 10)
+    }),
     "q_embed_pq" -> ((s, d) => {
       // Product quantization — the classic ANN codebook path,
       // completing the family (IVF cells, hyperplane LSH, int8 scalar
@@ -2208,6 +2335,13 @@ object PipelineQueries {
       ("""WITH tr0 AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS i, text FROM documents), tr AS (SELECT doc_id, ascii(substr(text, i, 1)) // 32 AS bin FROM tr0) SELECT doc_id, """ +
         (0 until 8).map(k => s"sum(CASE WHEN bin = $k THEN 1 ELSE 0 END)::BIGINT AS b$k").mkString(", ") +
         """ FROM tr GROUP BY doc_id ORDER BY doc_id"""),
+    // same integer blockhash (seg = i·64 // nb, bit = ssum·64 > total),
+    // same 4×16-bit bands, same any-band candidate rule + popcount
+    "q_multimodal_phash" ->
+      ("""WITH b0 AS (SELECT doc_id, length(text) AS nb, unnest(range(length(text))) AS i, text FROM documents WHERE length(text) > 0), byv AS (SELECT doc_id, (i * 64) // nb AS seg, ascii(substr(text, i + 1, 1))::BIGINT AS b FROM b0), sg AS (SELECT doc_id, seg, sum(b)::BIGINT AS ssum FROM byv GROUP BY 1, 2), bits AS (SELECT doc_id, seg, CASE WHEN ssum * 64 > sum(ssum) OVER (PARTITION BY doc_id) THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM sg), ph AS (SELECT doc_id, """ +
+        (0 until 4).map(j =>
+          s"sum(CASE WHEN seg // 16 = $j THEN bit << (seg % 16)::INT ELSE 0 END)::BIGINT AS p$j").mkString(", ") +
+        """ FROM bits GROUP BY doc_id), pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p0 AS a0, a.p1 AS a1, a.p2 AS a2, a.p3 AS a3, b.p0 AS b0, b.p1 AS b1, b.p2 AS b2, b.p3 AS b3 FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND (a.p0 = b.p0 OR a.p1 = b.p1 OR a.p2 = b.p2 OR a.p3 = b.p3)), sc AS (SELECT doc_a, doc_b, (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)))::INT AS dist FROM pr) SELECT doc_a, doc_b, dist FROM sc WHERE dist <= 3 ORDER BY doc_a, doc_b"""),
     "q_text_chunks" ->
       s"""WITH $toksSql, tr0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM toks), tr AS (SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok FROM tr0), ch AS (SELECT doc_id, pos // 50 AS chunk, count(*) AS n_toks, substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS h FROM tr GROUP BY 1, 2) SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(n_toks)::BIGINT AS n_toks, max(CASE WHEN chunk = 0 THEN h END) AS h0 FROM ch GROUP BY doc_id ORDER BY doc_id""",
     "q_text_pack" ->
@@ -2337,6 +2471,10 @@ object PipelineQueries {
       s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, d.text, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), bg AS (SELECT doc_id, md5(unnest(gs)) AS h FROM sh), dfq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM bg GROUP BY h), bst AS (SELECT bg.doc_id, count(*) AS n_sh, sum(CASE WHEN dfq.nd >= 3 THEN 1 ELSE 0 END) AS n_boiler FROM bg JOIN dfq ON bg.h = dfq.h GROUP BY bg.doc_id), okb AS (SELECT d.doc_id FROM documents d LEFT JOIN bst ON d.doc_id = bst.doc_id WHERE CASE WHEN round(coalesce(bst.n_boiler / bst.n_sh, 0.0), 4) > 0.5 THEN 1 ELSE 0 END = 0), q2 AS (SELECT q.* FROM q JOIN okb USING (doc_id)), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) JOIN q2 ON q2.doc_id = s.doc_id WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT q2.doc_id, q2.lang, q2.text, q2.score FROM q2 WHERE substr(md5(q2.doc_id::VARCHAR), 1, 1) <> '0' AND q2.doc_id NOT IN (SELECT doc_id FROM cont)), wtc AS (SELECT cl.doc_id, cl.lang, cl.score, len(t.tk)::BIGINT AS tc, octet_length(encode(cl.text))::BIGINT AS nb FROM cl JOIN toks t ON cl.doc_id = t.doc_id), bud AS (SELECT *, coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM wtc), adm AS (SELECT * FROM bud WHERE before < 5000), shd AS (SELECT *, coalesce(sum(nb) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM adm) SELECT lang, count(*)::BIGINT AS n_kept, sum(tc)::BIGINT AS n_toks, count(DISTINCT cb // 16384)::BIGINT AS n_shards, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM shd GROUP BY lang ORDER BY lang""",
     "q_mix_temperature" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, n_docs / (SELECT sum(n_docs)::DOUBLE FROM g) AS p FROM g), q AS (SELECT lang, n_docs, p, round(pow(p, 0.7), 6)::DECIMAL(18,6) AS q0 FROM t) SELECT lang, n_docs, round(p, 4) AS p, round(q0::DOUBLE / (SELECT sum(q0) FROM q)::DOUBLE, 4) AS rate FROM q ORDER BY lang""",
+    // same NLL terms (round 6 then decimal sum), same exact-sum means,
+    // same round-before-exp / round-before-Z discipline
+    "q_mix_doremi" ->
+      s"""WITH $toksSql, tokr AS (SELECT d.source, unnest(t.tk) AS tok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT source, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot), dom AS (SELECT source, count(*)::BIGINT AS n_toks, sum(nll::DECIMAL(38,18)) AS snll FROM sc GROUP BY source), al AS (SELECT sum(snll)::DOUBLE / sum(n_toks)::DOUBLE AS m_all, count(*)::DOUBLE AS kd FROM dom), ex AS (SELECT source, n_toks, kd, round(greatest(snll::DOUBLE / n_toks - m_all, 0.0), 6) AS excess FROM dom CROSS JOIN al), ew AS (SELECT source, n_toks, kd, excess, round(exp(excess), 6) AS ew FROM ex), z AS (SELECT sum(ew::DECIMAL(38,18))::DOUBLE AS z FROM ew) SELECT source, n_toks, excess, round(0.9 * ew / z + 0.1 / kd, 4) AS weight FROM ew CROSS JOIN z ORDER BY source""",
     // same 64 md5 unigram buckets, same Laplace smoothing, same
     // term-local round(8) log-ratio + per-doc decimal sum
     "q_sample_dsir" ->
@@ -2408,6 +2546,10 @@ object PipelineQueries {
     // row-local), so the same batch SQL oracles the append path too
     "q_embed_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // the same batch IVF minus the tombstoned ids — a tombstone-masked
+    // index answers exactly like one rebuilt without those rows
+    "q_embed_ivf_delete" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0 AND a.vec_id % 7 <> 3) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // (persisted bucketed index + literal-cid bucket-pruned probe vs
     // recompute-per-query) is a LAYOUT choice, invisible to the oracle
     "q_embed_ivf_indexed" ->

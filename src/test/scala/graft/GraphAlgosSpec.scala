@@ -381,4 +381,29 @@ class GraphAlgosSpec extends SparkSpec {
     // (ownsInput defaults to false) and serve a second consumer
     assert(rows(GraphAlgos.jaccardPerEdgeCanon(canon, 0)).nonEmpty)
   }
+
+  test("q_graph_toposort satisfies the longest-path and path-count identities") {
+    // independent check of the BSP sweep against the DEFINING
+    // recurrences, re-derived in memory from the same fixture edges:
+    // lp(v) = max over in-edges of lp(u)+1 (0 if none), and for every
+    // layer>=1 vertex np(v) = sum of in-neighbour np (layer-0 vertices
+    // are the unit sources).
+    import org.apache.spark.sql.functions._
+    val d = TestSpark.sfDir
+    val e = spark.read.parquet(s"$d/orders.parquet")
+      .select((col("o_orderkey") % 200).as("src"), (col("o_custkey") % 200).as("dst"))
+      .where(floor(col("dst") / 25) === floor(col("src") / 25) + 1)
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val out = SparkEntry.queries("q_graph_toposort")(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    val inEdges = e.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    out.foreach { case (v, (lp, np)) =>
+      val ins = inEdges.getOrElse(v, Array.empty[Long])
+      val expLp = if (ins.isEmpty) 0L else ins.map(u => out(u)._1).max + 1
+      assert(lp === expLp, s"lp($v): got $lp expected $expLp")
+      if (v / 25 == 0) assert(np === 1L, s"np($v): layer-0 source must be 1")
+      else assert(np === ins.map(u => out(u)._2).sum, s"np($v) mismatch")
+    }
+  }
 }
