@@ -152,6 +152,8 @@ object Bench {
     // near-dup (per-char explode), DoReMi one-step reweight
     "q_graph_toposort", "q_embed_ivf_delete",
     "q_multimodal_phash", "q_mix_doremi",
+    // r13 wave 3: binned-KS drift readout, C4 heuristic filter census
+    "q_events_ks", "q_text_c4_filters",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

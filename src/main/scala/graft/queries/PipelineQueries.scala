@@ -202,6 +202,37 @@ object PipelineQueries {
         .select(col("doc_id"), qualityScore(col("text")).as("score"))
         .orderBy("doc_id")
     }),
+    "q_text_c4_filters" -> ((s, d) => {
+      // the C4 heuristic filter set (Raffel et al. 2020 §2.2) as a
+      // per-source census: how many docs each rule would drop and
+      // what survives — curly brace (code marker), "lorem ipsum"
+      // (placeholder boilerplate), fewer than 3 terminal-punctuation
+      // sentences, fewer than 5 words. Rules are INDEPENDENT flags so
+      // the census decomposes drop rate by cause (the filter-tuning
+      // readout); the kept-set fingerprint is the overflow-safe
+      // order-free bit_xor (the q_text_pii pattern). One scan, one
+      // hash agg — trivially parallel at any SF.
+      val keep = !col("r_brace") && !col("r_lorem") &&
+        !col("r_sent") && !col("r_words")
+      t(s, d, "documents")
+        .select(col("source"), col("text"),
+          col("text").contains("{").as("r_brace"),
+          lower(col("text")).contains("lorem ipsum").as("r_lorem"),
+          (size(filter(split(col("text"), "[.!?]"),
+            x => length(trim(x)) > 0)) < 3).as("r_sent"),
+          (size(tokens(col("text"))) < 5).as("r_words"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("r_brace"), 1L).otherwise(0L)).as("n_brace"),
+          sum(when(col("r_lorem"), 1L).otherwise(0L)).as("n_lorem"),
+          sum(when(col("r_sent"), 1L).otherwise(0L)).as("n_short_sent"),
+          sum(when(col("r_words"), 1L).otherwise(0L)).as("n_few_words"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+          bit_xor(when(keep,
+            conv(substring(md5(col("text")), 1, 12), 16, 10).cast("long"))
+            .otherwise(lit(0L))).as("kept_fp"))
+        .orderBy("source")
+    }),
     "q_text_fingerprint" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
@@ -2316,6 +2347,9 @@ object PipelineQueries {
       s"""WITH $toksSql, hits AS (SELECT doc_id, len(list_filter(tk, x -> x IN ($stopEn))) AS en, len(list_filter(tk, x -> x IN ($stopEs))) AS es, len(list_filter(tk, x -> x IN ($stopDe))) AS de, len(list_filter(tk, x -> x IN ($stopFr))) AS fr FROM toks), g AS (SELECT doc_id, CASE WHEN greatest(en,es,de,fr) = 0 THEN 'und' WHEN en = greatest(en,es,de,fr) THEN 'en' WHEN es = greatest(en,es,de,fr) THEN 'es' WHEN de = greatest(en,es,de,fr) THEN 'de' ELSE 'fr' END AS lang_guess FROM hits) SELECT lang_guess, count(*)::BIGINT AS cnt FROM g GROUP BY lang_guess ORDER BY lang_guess""",
     "q_text_quality" ->
       s"""WITH $qualityScoreSql SELECT doc_id, score FROM qscore ORDER BY doc_id""",
+    // same four independent rule flags, same bit_xor kept fingerprint
+    "q_text_c4_filters" ->
+      s"""WITH $toksSql, f AS (SELECT d.source, d.text, contains(d.text, '{') AS r_brace, contains(lower(d.text), 'lorem ipsum') AS r_lorem, (len(list_filter(string_split_regex(d.text, '[.!?]'), x -> length(trim(x)) > 0)) < 3) AS r_sent, (len(t.tk) < 5) AS r_words FROM documents d JOIN toks t ON d.doc_id = t.doc_id) SELECT source, count(*)::BIGINT AS n_docs, sum(CASE WHEN r_brace THEN 1 ELSE 0 END)::BIGINT AS n_brace, sum(CASE WHEN r_lorem THEN 1 ELSE 0 END)::BIGINT AS n_lorem, sum(CASE WHEN r_sent THEN 1 ELSE 0 END)::BIGINT AS n_short_sent, sum(CASE WHEN r_words THEN 1 ELSE 0 END)::BIGINT AS n_few_words, sum(CASE WHEN NOT r_brace AND NOT r_lorem AND NOT r_sent AND NOT r_words THEN 1 ELSE 0 END)::BIGINT AS n_kept, bit_xor(CASE WHEN NOT r_brace AND NOT r_lorem AND NOT r_sent AND NOT r_words THEN ('0x' || substr(md5(text), 1, 12))::BIGINT ELSE 0 END)::BIGINT AS kept_fp FROM f GROUP BY source ORDER BY source""",
     "q_text_fingerprint" ->
       """SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM documents ORDER BY doc_id""",
     "q_text_tfidf" ->

@@ -1110,6 +1110,37 @@ object RelationalQueries {
             col("benford_p"), 2), 6).as("dev2"))
         .orderBy("digit")
     }),
+    "q_events_ks" -> ((s, d) => {
+      // two-sample Kolmogorov–Smirnov drift statistic between the
+      // click and error value distributions — the standard
+      // distribution-shift test an ML-ops pipeline runs between
+      // snapshots (next to CUSUM's sequential monitor). Exact integer
+      // core: values carry 2 decimals so ·100 quantizes losslessly;
+      // per-bucket counts hash-agg in parallel; ECDFs are cumulative
+      // sums over the BOUNDED bucket axis (support size tracks the
+      // value RANGE, not the row count — the binned-KS scale lever,
+      // the q_graph_degree_dist bounded-support trick, so the one
+      // ordered window runs over ≤ range·100 rows at any SF); the D
+      // numerator is max |cumA·m − cumB·n| — cross-multiplied
+      // integers, the single closing division is the only float op.
+      val g = Tables.events(s, d)
+        .where(col("event_type").isin("click", "error"))
+        .select(col("event_type"), round(col("value") * 100).cast("long").as("b"))
+        .groupBy("b")
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("cb"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = g.agg(sum("ca").cast("long").as("n"), sum("cb").cast("long").as("m"))
+      g.select(col("b"), sum("ca").over(w).as("cuma"), sum("cb").over(w).as("cumb"))
+        .crossJoin(broadcast(tot))
+        .groupBy("n", "m")
+        .agg(max(abs(col("cuma") * col("m") - col("cumb") * col("n")))
+          .cast("long").as("d_num"))
+        .select(col("n"), col("m"), col("d_num"),
+          round(col("d_num").cast("double") / (col("n") * col("m")), 6).as("d"))
+    }),
     "q_events_cusum" -> ((s, d) => {
       // CUSUM drift detection — the sequential change-point monitor
       // data-quality pipelines run on daily metrics: per event type,
@@ -3405,6 +3436,10 @@ object RelationalQueries {
     // same string-form first digit, same literal Benford table
     "q_agg_benford" ->
       """WITH dg AS (SELECT regexp_extract(o_totalprice::VARCHAR, '[1-9]')::INT AS digit FROM orders), c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1), t AS (SELECT sum(n)::DOUBLE AS total FROM c), b AS (SELECT digit, n, round(n::DOUBLE / t.total, 4) AS freq, CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS benford_p, round(pow(n::DOUBLE / t.total - (CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END), 2), 6) AS dev2 FROM c, t) SELECT digit, n::BIGINT AS n, freq, benford_p, dev2 FROM b ORDER BY digit""",
+    // same lossless ·100 quantization, same cross-multiplied integer
+    // ECDF numerator, one closing division
+    "q_events_ks" ->
+      """WITH v AS (SELECT event_type, round(value * 100)::BIGINT AS b FROM events WHERE event_type IN ('click', 'error')), g AS (SELECT b, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS ca, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS cb FROM v GROUP BY b), c AS (SELECT b, sum(ca) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma, sum(cb) OVER (ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb FROM g), t AS (SELECT sum(ca)::BIGINT AS n, sum(cb)::BIGINT AS m FROM g) SELECT t.n, t.m, max(abs(c.cuma * t.m - c.cumb * t.n))::BIGINT AS d_num, round(max(abs(c.cuma * t.m - c.cumb * t.n))::DOUBLE / (t.n * t.m), 6) AS d FROM c CROSS JOIN t GROUP BY t.n, t.m""",
     // same decimal daily means/targets, same ordered greatest-fold
     "q_events_cusum" ->
       """WITH daily AS (SELECT event_type, ts::DATE AS day, round(sum(value::DECIMAL(38,6))::DOUBLE / count(*), 6) AS x FROM events GROUP BY 1, 2), tgt AS (SELECT event_type, round(sum(x::DECIMAL(38,18))::DOUBLE / count(*), 6) AS tgt FROM daily GROUP BY 1), tm AS (SELECT d.event_type, d.day, round(d.x - t.tgt - 0.5, 6) AS dev FROM daily d JOIN tgt t USING (event_type)), pk AS (SELECT event_type, list_sort(list(struct_pack(day := day, dev := dev))) AS ds FROM tm GROUP BY 1) SELECT tm.event_type AS event_type, tm.day::VARCHAR AS day, round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_filter(pk.ds, x -> x.day <= tm.day), x -> x.dev)), (a, b) -> round(greatest(0.0, a + b), 8)), 6) AS cusum, round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_filter(pk.ds, x -> x.day <= tm.day), x -> x.dev)), (a, b) -> round(greatest(0.0, a + b), 8)), 6) > 2.0 AS alarm FROM tm JOIN pk USING (event_type) ORDER BY event_type, day""",

@@ -33,6 +33,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_agg_cramers",                                 // dims-sized grid cross + scalar totals
     "q_embed_maxsim",                                // dims-sized label-pair grid
     "q_events_funnel",                               // scalar step totals
+    "q_events_ks",                                   // broadcast 1-row sample-size scalar
     "q_events_window_funnel",                        // scalar level totals
     "q_events_rfm",                                  // broadcast 1-row reference date
     "q_events_survival",                             // study-length days x users at-risk join
