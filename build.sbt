@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g through r12): the r13 ktruss investigation
+  // found multi-second G1 mixed/full GCs landing inside the largest
+  // allocator stages late in the 166-query bench suite (7.1-7.7 s for
+  // a 1.6 s wedge join, quiet spin trace, fresh-JVM rerun fast) —
+  // old-gen headroom is the fix, the host has 128 GiB, and every
+  // consumer (tests, Verify, Bench) shares the forked options.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -154,6 +154,8 @@ object Bench {
     "q_multimodal_phash", "q_mix_doremi",
     // r13 wave 3: binned-KS drift readout, C4 heuristic filter census
     "q_events_ks", "q_text_c4_filters",
+    // r13 wave 4: URL canonicalization dedup, Okapi BM25 scoring
+    "q_dedup_url", "q_text_bm25",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph
@@ -490,14 +492,21 @@ object Bench {
   private final class StageTrace
       extends org.apache.spark.scheduler.SparkListener {
     private val t0 = System.currentTimeMillis()
-    private val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    private val buf =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double)]
     override def onStageCompleted(
         e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
       val si = e.stageInfo
+      // 4th field: the stage's summed task JVM-GC seconds — the r13
+      // ktruss finding's missing datum. A 7 s stage with ~6 s of GC is
+      // a dirty-JVM (old-gen pressure) event, not operator work; with
+      // quiet spins it was previously indistinguishable from a real
+      // plan regression inside the artifact.
+      val gc = Option(si.taskMetrics).map(_.jvmGCTime / 1e3).getOrElse(0.0)
       for (s <- si.submissionTime; c <- si.completionTime)
-        buf.synchronized { buf += ((si.stageId, (s - t0) / 1e3, (c - s) / 1e3)) }
+        buf.synchronized { buf += ((si.stageId, (s - t0) / 1e3, (c - s) / 1e3, gc)) }
     }
-    def snapshot(): Seq[(Int, Double, Double)] =
+    def snapshot(): Seq[(Int, Double, Double, Double)] =
       buf.synchronized { buf.sortBy(_._2).toSeq }
   }
 
@@ -696,7 +705,7 @@ object Bench {
     // (all three reps slow with quiet spins and dense stages).
     val isoReps = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val isoSpinTraces = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
-    val isoStages = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Double)]]
+    val isoStages = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Int, Double, Double, Double)]]
     val isolated = outliers.map { name =>
       System.gc()
       Thread.sleep(200) // let the ContextCleaner drain before timing
@@ -746,8 +755,9 @@ object Bench {
         .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val isoStagesJson = isoStages.map { case (n, st) =>
-      "\"" + n + "\":" + st.map { case (id, o, d) =>
-        "[" + id + "," + fmt(o) + "," + fmt(d) + "]" }.mkString("[", ",", "]")
+      "\"" + n + "\":" + st.map { case (id, o, d, gc) =>
+        "[" + id + "," + fmt(o) + "," + fmt(d) + "," + fmt(gc) + "]" }
+        .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // post-suite steal probe + per-rerun in-window min/max summaries:
     // spins of identical fixed work bracket the run AND the rerun

@@ -238,6 +238,72 @@ object PipelineQueries {
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     }),
+    "q_dedup_url" -> ((s, d) => {
+      // URL canonicalization dedup — the RefinedWeb/CommonCrawl
+      // front-door dedup stage (crawls reach the same page via scheme/
+      // case/www/tracking-param/fragment variants long before content
+      // dedup runs). URLs are deterministically injected (the
+      // q_text_pii pattern — the fixture has no URL column; the
+      // OPERATOR is real), then canonicalized by a Java∩RE2-dialect
+      // regex chain: lowercase → fragment strip → utm-param strip →
+      // scheme+www strip → trailing-slash strip (each pattern anchored
+      // so it matches at most once — Spark replaces all, DuckDB
+      // replaces first; anchoring makes the dialects agree). One scan
+      // + one hash agg on the canonical key; output is the
+      // clone-family census.
+      val style = col("doc_id") % 4
+      val page = (col("doc_id") % 50).cast("string")
+      val url = when(style === 0, concat(lit("https://www.example.com/p/"), page))
+        .when(style === 1, concat(lit("HTTPS://WWW.EXAMPLE.COM/p/"), page, lit("/")))
+        .when(style === 2, concat(lit("https://example.com/p/"), page,
+          lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(concat(lit("http://www.example.com/p/"), page, lit("#section")))
+      val canon = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        lower(url), "#.*$", ""), "\\?utm[^#]*$", ""),
+        "^https?://(www\\.)?", ""), "/$", "")
+      t(s, d, "documents")
+        .select(col("doc_id"), url.as("url"), canon.as("canon"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url")).as("n_variants"),
+          min(col("doc_id")).as("keeper"))
+        .orderBy("canon")
+    }),
+    "q_text_bm25" -> ((s, d) => {
+      // Okapi BM25 (Robertson & Zaragoza 2009; k1=1.2, b=0.75) — the
+      // retrieval scoring function next to the classic tf-idf entry:
+      // idf = ln((N−df+0.5)/(df+0.5)+1) (the non-negative variant),
+      // tf saturation with document-length normalization dl/avgdl.
+      // Every input is an exact integer (tf, df, dl, N, Σdl); idf is
+      // rounded right after its ln; the score is ONE fixed
+      // parenthesization of IEEE double ops, identical in the oracle
+      // — the tfidf determinism recipe extended to the length-norm
+      // term (dl/avgdl computed as dl·N/Σdl, no pre-divided average).
+      // Two hash aggs + a broadcast totals scalar; top-3 per doc via
+      // the same window as tfidf.
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .localCheckpoint(true) // feeds tf, df, AND dl
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val df_ = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tots = dl.agg(count(lit(1)).cast("double").as("n"),
+        sum("dl").cast("double").as("tt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score0").desc, col("term"))
+      tf.join(df_, "term").join(dl, "doc_id").crossJoin(broadcast(tots))
+        .withColumn("idf",
+          round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+        .withColumn("score0", round(col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") * col("n") / col("tt"))), 4))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("score0").as("score"), col("rk"))
+        .orderBy("doc_id", "rk")
+    }),
     "q_text_tfidf" -> ((s, d) => {
       // classic tf-idf: top-3 terms per doc, idf = ln(N/df); integer
       // counts + one ln keep exact oracle parity
@@ -2354,6 +2420,13 @@ object PipelineQueries {
       """SELECT doc_id, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, length(text) + 1), i -> ascii(substr(text, i, 1))::BIGINT)), (acc, c) -> (acc * 31 + c) % 1000000007) AS fp FROM documents ORDER BY doc_id""",
     "q_text_tfidf" ->
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*) AS tf FROM tokr GROUP BY 1, 2), df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), sc AS (SELECT tf.doc_id, tf.term, round(tf.tf * ln((SELECT count(*) FROM documents)::DOUBLE / df.df), 4) AS score0 FROM tf JOIN df USING (term)), rk AS (SELECT doc_id, term, score0, row_number() OVER (PARTITION BY doc_id ORDER BY score0 DESC, term)::INT AS rk FROM sc) SELECT doc_id, term, score0 AS score, rk FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // same anchored one-match-per-pattern regex chain, same injection
+    "q_dedup_url" ->
+      """WITH u AS (SELECT doc_id, CASE doc_id % 4 WHEN 0 THEN 'https://www.example.com/p/' || (doc_id % 50) WHEN 1 THEN 'HTTPS://WWW.EXAMPLE.COM/p/' || (doc_id % 50) || '/' WHEN 2 THEN 'https://example.com/p/' || (doc_id % 50) || '?utm_source=feed&utm_campaign=x' ELSE 'http://www.example.com/p/' || (doc_id % 50) || '#section' END AS url FROM documents), c AS (SELECT doc_id, url, regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url), '#.*$', ''), '\?utm[^#]*$', ''), '^https?://(www\.)?', ''), '/$', '') AS canon FROM u) SELECT canon, count(*)::BIGINT AS n_docs, count(DISTINCT url)::BIGINT AS n_variants, min(doc_id)::BIGINT AS keeper FROM c GROUP BY canon ORDER BY canon""",
+    // same exact-integer inputs, same idf round(6), same single
+    // parenthesization of the saturation/length-norm expression
+    "q_text_bm25" ->
+      s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokr GROUP BY 1, 2), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tokr GROUP BY doc_id), df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), tot AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tt FROM dl), sc AS (SELECT tf.doc_id, tf.term, round(round(ln((tot.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * tot.n / tot.tt)), 4) AS score0 FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot), rk AS (SELECT doc_id, term, score0, row_number() OVER (PARTITION BY doc_id ORDER BY score0 DESC, term)::INT AS rk FROM sc) SELECT doc_id, term, score0 AS score, rk FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
     "q_text_tokens_bpe" ->
       """SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+'))::INT AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens, round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)::DOUBLE, 4) AS ratio FROM documents ORDER BY doc_id""",
     "q_dedup_pipeline" ->
