@@ -156,6 +156,8 @@ object Bench {
     "q_events_ks", "q_text_c4_filters",
     // r13 wave 4: URL canonicalization dedup, Okapi BM25 scoring
     "q_dedup_url", "q_text_bm25",
+    // r13 wave 5: SQL-standard REGR_* family from exact power sums
+    "q_agg_regr",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

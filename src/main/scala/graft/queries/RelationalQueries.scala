@@ -238,6 +238,37 @@ object RelationalQueries {
         .groupBy("bucket").agg(count(lit(1)).as("cnt"))
         .orderBy("bucket")
     }),
+    "q_agg_regr" -> ((s, d) => {
+      // the SQL-standard REGR_* family (REGR_COUNT/SLOPE/INTERCEPT/R2)
+      // per group, from the same exact-decimal power sums as
+      // q_agg_corr: the builtins stream engine-specific co-moment
+      // updates whose low bits differ across engines; decimal sums are
+      // accumulation-order independent and each rounded sum stays
+      // exactly double-representable, so the closed forms — evaluated
+      // with the IDENTICAL parenthesization in the oracle — are
+      // bit-identical. slope = (nSxy−SxSy)/(nSxx−Sx²), intercept =
+      // (Sy − slope·Sx)/n, r² = slope_yx · slope_xy. One partial+final
+      // hash agg; the regression itself is K group rows of arithmetic.
+      val l = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("x"),
+        col("l_extendedprice").cast("decimal(18,2)").as("y"))
+      val g = l.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("x")), 2).cast("double").as("sx"),
+        round(sum(col("y")), 2).cast("double").as("sy"),
+        round(sum(col("x") * col("y")), 2).cast("double").as("sxy"),
+        round(sum(col("x") * col("x")), 2).cast("double").as("sxx"),
+        round(sum(col("y") * col("y")), 0).cast("double").as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denx = col("n") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("l_returnflag"),
+          col("n").cast("long").as("regr_count"),
+          round(num / denx, 6).as("slope"),
+          round((col("sy") - num / denx * col("sx")) / col("n"), 6).as("intercept"),
+          round(num / denx * (num / deny), 6).as("r2"))
+        .orderBy("l_returnflag")
+    }),
     "q_agg_corr" -> ((s, d) => {
       // Pearson corr + sample covariance from EXACT decimal sums, then a
       // closed-form formula evaluated in double with the identical
@@ -3195,6 +3226,9 @@ object RelationalQueries {
       """SELECT CASE WHEN c_acctbal < -1000.0 THEN 0 WHEN c_acctbal >= 10000.0 THEN 12 ELSE floor((c_acctbal - (-1000.0)) / ((10000.0 - (-1000.0)) / 11)) + 1 END::BIGINT AS bucket, count(*)::BIGINT AS cnt FROM customer GROUP BY 1 ORDER BY bucket""",
     "q_agg_moments" ->
       """WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS n, round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s1, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s2, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s3, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 0)::DOUBLE AS s4 FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n)) / sqrt((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))), 6) + 0.0 AS skew, round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n) - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) + 0.0 AS kurt FROM g ORDER BY l_returnflag""",
+    // same decimal power sums, same closed forms, same parenthesization
+    "q_agg_regr" ->
+      """WITH l AS (SELECT l_returnflag, l_quantity::DECIMAL(18,2) AS x, l_extendedprice::DECIMAL(18,2) AS y FROM lineitem), g AS (SELECT l_returnflag, count(*)::DOUBLE AS n, round(sum(x), 2)::DOUBLE AS sx, round(sum(y), 2)::DOUBLE AS sy, round(sum(x * y), 2)::DOUBLE AS sxy, round(sum(x * x), 2)::DOUBLE AS sxx, round(sum(y * y), 0)::DOUBLE AS syy FROM l GROUP BY l_returnflag) SELECT l_returnflag, n::BIGINT AS regr_count, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept, round((n * sxy - sx * sy) / (n * sxx - sx * sx) * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6) AS r2 FROM g ORDER BY l_returnflag""",
     "q_agg_corr" ->
       """WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS n, round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sx, round(sum(l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sy, round(sum(l_quantity::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)), 2)::DOUBLE AS sxy, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS sxx, round(sum(l_extendedprice::DECIMAL(18,2) * l_extendedprice::DECIMAL(18,2)), 0)::DOUBLE AS syy, round(sum(l_discount::DECIMAL(18,2)), 2)::DOUBLE AS sd, round(sum(l_tax::DECIMAL(18,2)), 2)::DOUBLE AS st, round(sum(l_discount::DECIMAL(18,2) * l_tax::DECIMAL(18,2)), 4)::DOUBLE AS sdt FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) + 0.0 AS corr_qp, round((sdt - sd * st / n) / (n - 1.0), 6) + 0.0 AS cov_dt FROM g ORDER BY l_returnflag""",
     "q_scalar_more" ->
