@@ -348,6 +348,8 @@ object Bench {
     "q_udf_sql" -> "family-variant",
     "q_scalar_collation" -> "family-variant",
     "q_sql_params" -> "family-variant",
+    "q_sql_pipe" -> "family-variant", // pipe markers strip at analysis: times the same scan+agg the agg family headlines
+
     "q_graph_coreness" -> "fixture-latency",
     "q_layout_compaction" -> "commit-io",
     "q_text_langid" -> "family-variant",

@@ -934,6 +934,25 @@ object RelationalQueries {
           col("p.max_v").as("max_v"))
         .orderBy("col_name")
     }),
+    "q_sql_pipe" -> ((s, d) => {
+      // SQL pipe syntax (Spark 4 `|>` operators — the linear
+      // composition form): each stage parses into the SAME logical
+      // operators as the nested query (EliminatePipeOperators strips
+      // the markers at analysis), so the plan is identical to the
+      // plain SQL the oracle runs. The linear form is the natural
+      // query-service surface for composed request templates — the
+      // reference's menu-driven request chain, as one statement.
+      t(s, d, "orders").createOrReplaceTempView("graft_orders_pipe")
+      s.sql(
+        """FROM graft_orders_pipe
+           |> WHERE o_orderstatus = 'O'
+           |> AGGREGATE count(*) AS n,
+                round(sum(cast(o_totalprice AS decimal(38,6))), 2) AS tot0
+              GROUP BY o_orderpriority
+           |> SELECT o_orderpriority, n, cast(tot0 AS double) AS tot
+           |> ORDER BY o_orderpriority""")
+        .select(col("o_orderpriority"), col("n").cast("long").as("n"), col("tot"))
+    }),
     "q_sql_params" -> ((s, d) => {
       // parameterized SQL (Spark 4 named-parameter API) — the
       // injection-safe interface a query service exposes: literals
@@ -3429,6 +3448,9 @@ object RelationalQueries {
     // the parameters inlined as literals
     "q_sql_params" ->
       """SELECT p_brand, count(*)::BIGINT AS n, sum(p_size)::BIGINT AS sz FROM part WHERE p_size BETWEEN 5 AND 20 AND p_brand <> 'Brand#45' GROUP BY p_brand ORDER BY p_brand""",
+    // pipe markers are analysis-time only — the oracle IS the nested form
+    "q_sql_pipe" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n, round(sum(o_totalprice::DECIMAL(38,6)), 2)::DOUBLE AS tot FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     // the UDF body inlined; same decimal-sum rounding
     "q_udf_sql" ->
       """SELECT l_returnflag, count(*)::BIGINT AS n, round(sum((l_extendedprice * (1.0 - l_discount))::DECIMAL(38,6))::DOUBLE, 2) AS sum_disc_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
