@@ -158,6 +158,8 @@ object Bench {
     "q_dedup_url", "q_text_bm25",
     // r13 wave 5: SQL-standard REGR_* family from exact power sums
     "q_agg_regr",
+    // r13 wave 6: ER clustering (match graph -> CC entity census)
+    "q_er_cluster",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

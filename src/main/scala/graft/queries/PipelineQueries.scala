@@ -1412,6 +1412,39 @@ object PipelineQueries {
         .where(col("dist") >= 0)
         .orderBy("a", "b")
     }),
+    "q_er_cluster" -> ((s, d) => {
+      // ER CLUSTERING — the golden-record step after pairwise
+      // matching: q_er_match's pairs become an undirected match graph
+      // and connected components assign each record its entity id
+      // (min custkey in the cluster); the output is the multi-record
+      // entity census a survivorship rule would consume. Same blocked
+      // pair generation (equi-join on the composite key, never
+      // all-pairs); the CC input tracks MATCH density, not corpus
+      // size, so the component loop is bounded by clone-family
+      // diameter at any SF. Oracle: recursive min-label closure over
+      // the identical pair set (lev<=2 clusters are tiny, so the
+      // closure row count is bounded by sum of squared cluster sizes).
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_mktsegment"),
+        substring(col("c_name"), 1, 14).as("c_nameblk"),
+        substring(col("c_name"), 15, 4).as("c_nametail"))
+      val pairs = c.as("x").join(c.as("y"),
+          col("x.c_nationkey") === col("y.c_nationkey") &&
+          col("x.c_mktsegment") === col("y.c_mktsegment") &&
+          col("x.c_nameblk") === col("y.c_nameblk") &&
+          col("x.c_custkey") < col("y.c_custkey"))
+        .select(col("x.c_custkey").as("src"), col("y.c_custkey").as("dst"),
+          levenshtein(col("x.c_nametail"), col("y.c_nametail"), 2).as("dist"))
+        .where(col("dist") >= 0)
+        .select(col("src"), col("dst"))
+      // connectedComponents symmetrizes its input itself — the a<b
+      // pair list goes in as-is
+      graft.operators.Traversals.connectedComponents(pairs)
+        .groupBy(col("component").as("entity"))
+        .agg(count(lit(1)).as("n_records"),
+          min("vertex").as("min_key"), max("vertex").as("max_key"))
+        .orderBy("entity")
+    }),
     "q_sketch_kmv" -> ((s, d) => {
       // KMV (k-minimum-values) distinct sketch — the OTHER classic
       // estimator family next to HLL (Bar-Yossef et al. 2002): keep
@@ -2540,6 +2573,9 @@ object PipelineQueries {
       """WITH bl AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2), top AS (SELECT source, count(*)::BIGINT AS n_langs, (min({'nc': -c, 'l': lang})).l AS top_lang FROM bl GROUP BY source), st AS (SELECT source, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_distinct FROM (SELECT source, md5(text) AS h, count(*) AS n FROM documents GROUP BY 1, 2) GROUP BY source), ch AS (SELECT source, sum(n_chars)::BIGINT AS total_chars FROM documents GROUP BY source) SELECT st.source, st.n_docs, top.n_langs, top.top_lang, ch.total_chars, round((st.n_docs - st.n_distinct)::DOUBLE / st.n_docs, 4) AS dup_ratio, round(ch.total_chars::DOUBLE / st.n_docs, 2) AS avg_chars FROM st JOIN top ON st.source = top.source JOIN ch ON st.source = ch.source ORDER BY st.source""",
     "q_er_match" ->
       """SELECT x.c_custkey AS a, y.c_custkey AS b, levenshtein(x.c_name, y.c_name)::INT AS dist FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment AND substr(x.c_name, 1, 14) = substr(y.c_name, 1, 14) AND x.c_custkey < y.c_custkey WHERE levenshtein(x.c_name, y.c_name) <= 2 ORDER BY a, b""",
+    // identical pair set; recursive min-label closure = the CC entity id
+    "q_er_cluster" ->
+      """WITH RECURSIVE p AS (SELECT x.c_custkey AS a, y.c_custkey AS b FROM customer x JOIN customer y ON x.c_nationkey = y.c_nationkey AND x.c_mktsegment = y.c_mktsegment AND substr(x.c_name, 1, 14) = substr(y.c_name, 1, 14) AND x.c_custkey < y.c_custkey WHERE levenshtein(x.c_name, y.c_name) <= 2), e AS (SELECT a AS src, b AS dst FROM p UNION ALL SELECT b, a FROM p), verts AS (SELECT DISTINCT src AS v FROM e), r AS (SELECT v, v AS m FROM verts UNION SELECT e.dst, r.m FROM r JOIN e ON e.src = r.v), comp AS (SELECT v, min(m) AS entity FROM r GROUP BY v) SELECT entity, count(*)::BIGINT AS n_records, min(v)::BIGINT AS min_key, max(v)::BIGINT AS max_key FROM comp GROUP BY entity ORDER BY entity""",
     // distinct keys per group (plus the _all union), exact 48-bit
     // normalized hashes, k-th smallest via the same rank window
     "q_sketch_kmv" ->
