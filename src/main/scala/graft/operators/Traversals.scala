@@ -841,18 +841,25 @@ object Traversals {
     * a long-chain 100 TB graph. Output `(vertex, component)`,
     * component = min vertex id; edges treated as undirected. */
   def connectedComponents(edges: DataFrame, maxIters: Int = 10000,
-                          jumps: Int = 2): DataFrame = {
+                          jumps: Int = 2,
+                          localMaxEdges: Long = 65536L): DataFrame = {
     val sym = symmetrize(edges)
       .persist(StorageLevel.MEMORY_AND_DISK) // reused every round
-    // Tiny-graph fast path (same bounded-collect contract as
-    // bfsLevelsPrepared, same <=16k-edge gate): the distributed loop
-    // costs O(log diameter) superstep BARRIERS, which dominate
-    // data work by 100x on fixture-sized graphs (q_graph_cc's 20-edge
-    // chains measured ~1.5 s of pure scheduling). Union-find on the
-    // driver emits the identical (vertex, min-id component) labels.
-    // The count also materialises the persisted edge cache the
-    // distributed first round would otherwise pay.
-    if (sym.count() <= bfsLocalMaxEdges) {
+    // Small-graph fast path (same bounded-collect contract as
+    // bfsLevelsPrepared): the distributed loop costs O(log diameter)
+    // superstep BARRIERS, which dominate data work by 100x on
+    // fixture-sized graphs (q_graph_cc's 20-edge chains measured
+    // ~1.5 s of pure scheduling). Union-find on the driver emits the
+    // identical (vertex, min-id component) labels. The count also
+    // materialises the persisted edge cache the distributed first
+    // round would otherwise pay. CC's own bound is 64k (vs BFS's 16k
+    // reference-envelope bound): union-find's collect is a flat edge
+    // array (64k x 16 B = 1 MB, trivially driver-safe), and r13's
+    // q_er_cluster measured the cliff directly — its 30.7k-edge match
+    // graph paid 6.4 s of pointer-jump barriers for work union-find
+    // does in microseconds. Graphs that GROW with the data (cc_big's
+    // 600k+, any 100 TB input) stay on the distributed loop.
+    if (sym.count() <= localMaxEdges) {
       val spark = edges.sparkSession
       import spark.implicits._
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
