@@ -89,7 +89,7 @@ object Bench {
     // (shingle df hash-agg + hash equi-join), token-budget sampling
     "q_dedup_semantic", "q_text_boilerplate", "q_sample_budget",
     // persisted-index ANN probe (staging memoized: reps time the probe)
-    "q_embed_ivf_indexed", "q_embed_ivf_append",
+    "q_embed_ivf_indexed", "q_embed_ivf_append", "q_embed_ivf_compact",
     // Welch A/B one-scan readout; per-user EWMA list fold
     "q_events_abtest", "q_window_ewma",
     // wave-18: forward-fill window, OHLC struct-extreme bars, +1/-1

@@ -2205,6 +2205,36 @@ object PipelineQueries {
       Similarity.bruteForceTopK(
         idx.where(col("cid") === qRow.getLong(0) && col("vec_id") =!= 0), qv, 10)
     }),
+    "q_embed_ivf_compact" -> ((s, d) => {
+      // index COMPACTION — the third maintenance op, closing the
+      // append/delete/compact cycle: once the tombstone ratio
+      // justifies the write amplification, cells are rewritten
+      // WITHOUT the tombstoned rows into a fresh cid-partitioned
+      // layout and probes drop their anti-join. The compacted index
+      // must answer exactly like the tombstone-masked one — this
+      // entry IS that equivalence (it shares q_embed_ivf_delete's
+      // oracle verbatim). The rewrite is one partitionBy write of
+      // surviving rows; with per-cell files only cells holding
+      // tombstones need rewriting at scale.
+      val idx = Staging.bucketedTable(s, d, "ivf_index_cmp") { (name, dir) =>
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        val cents = e.where(col("vec_id").between(1, 8))
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        Similarity.assignCells(e.where(col("vec_id") % 7 =!= 3), cents)
+          .write.format("parquet").mode("overwrite").partitionBy("cid")
+          .option("path", dir.resolve("index").toString)
+          .saveAsTable(name)
+      }
+      val qRow = idx.where(col("vec_id") === 0)
+        .select(col("cid"), col("v")).head()
+      val qv = idx.sparkSession.createDataFrame(
+        java.util.List.of(qRow), qRow.schema).select(col("v").as("qv"))
+      Similarity.bruteForceTopK(
+        idx.where(col("cid") === qRow.getLong(0) && col("vec_id") =!= 0)
+          .select(col("vec_id"), col("v")),
+        qv, 10)
+    }),
     "q_embed_ivf_indexed" -> ((s, d) => {
       // the PERSISTED-index ANN probe: the IVF cell assignment is
       // materialized ONCE as a catalog table PARTITIONED by cid
@@ -2689,6 +2719,10 @@ object PipelineQueries {
     // row-local), so the same batch SQL oracles the append path too
     "q_embed_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // compaction == the tombstone mask, exactly: the delete oracle
+    // verbatim (rebuilt-without-rows is what compaction materializes)
+    "q_embed_ivf_compact" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0 AND a.vec_id % 7 <> 3) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // the same batch IVF minus the tombstoned ids — a tombstone-masked
     // index answers exactly like one rebuilt without those rows
     "q_embed_ivf_delete" ->

@@ -26,6 +26,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
     "q_embed_ivf_append",                            // broadcast 1-row query vector (local)
     "q_embed_ivf_delete",                            // broadcast 1-row query vector (local)
+    "q_embed_ivf_compact",                           // broadcast 1-row query vector (local)
     "q_mix_doremi",                                  // broadcast scalar NLL totals
     "q_text_bm25",                                   // broadcast 1-row corpus totals
     "q_embed_classify",                              // broadcast 1-row weight vector
