@@ -160,6 +160,8 @@ object Bench {
     "q_agg_regr",
     // r13 wave 6: ER clustering (match graph -> CC entity census)
     "q_er_cluster",
+    // r13 wave 7: per-label centroid-shift drift monitor
+    "q_embed_drift",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -2205,6 +2205,32 @@ object PipelineQueries {
       Similarity.bruteForceTopK(
         idx.where(col("cid") === qRow.getLong(0) && col("vec_id") =!= 0), qv, 10)
     }),
+    "q_embed_drift" -> ((s, d) => {
+      // vector-store DRIFT monitor — per-label centroid shift between
+      // the reference half (even vec_ids) and the current half (odd):
+      // the embedding-ops readout next to q_embed_norms' collapse
+      // probe (re-embedding or upstream-model drift shows up here
+      // before retrieval quality visibly degrades). Per (label, dim):
+      // components are rounded TERM-LOCAL then decimal-summed, so
+      // both means are accumulation-order free; drift² per label is
+      // the rounded-term decimal sum of squared mean gaps. One
+      // explode + two hash aggs; dims (64) are the bounded axis.
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .toDF("vec_id", "label", "pos", "x0")
+        .select(col("vec_id"), col("label"), col("pos"),
+          round(col("x0").cast("double"), 6).cast("decimal(38,8)").as("x"))
+      val g = ex.groupBy("label", "pos").agg(
+        round(sum(when(col("vec_id") % 2 === 0, col("x"))).cast("double") /
+          sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)), 6).as("mref"),
+        round(sum(when(col("vec_id") % 2 === 1, col("x"))).cast("double") /
+          sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)), 6).as("mcur"))
+      g.select(col("label"),
+          round((col("mcur") - col("mref")) * (col("mcur") - col("mref")), 8).as("t"))
+        .groupBy("label")
+        .agg(round(sum(col("t").cast("decimal(38,18)")).cast("double"), 6).as("drift2"))
+        .orderBy("label")
+    }),
     "q_embed_ivf_compact" -> ((s, d) => {
       // index COMPACTION — the third maintenance op, closing the
       // append/delete/compact cycle: once the tombstone ratio
@@ -2719,6 +2745,10 @@ object PipelineQueries {
     // row-local), so the same batch SQL oracles the append path too
     "q_embed_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // same term-local round(6) components, same decimal-sum means,
+    // same rounded squared-gap terms
+    "q_embed_drift" ->
+      """WITH ex AS (SELECT vec_id, label, t.i AS pos, round(embedding[t.i + 1]::DOUBLE, 6)::DECIMAL(38,8) AS x FROM embeddings CROSS JOIN range(64) t(i)), g AS (SELECT label, pos, round(sum(CASE WHEN vec_id % 2 = 0 THEN x END)::DOUBLE / sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END), 6) AS mref, round(sum(CASE WHEN vec_id % 2 = 1 THEN x END)::DOUBLE / sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END), 6) AS mcur FROM ex GROUP BY 1, 2), tm AS (SELECT label, round((mcur - mref) * (mcur - mref), 8) AS t FROM g) SELECT label, round(sum(t::DECIMAL(38,18))::DOUBLE, 6) AS drift2 FROM tm GROUP BY label ORDER BY label""",
     // compaction == the tombstone mask, exactly: the delete oracle
     // verbatim (rebuilt-without-rows is what compaction materializes)
     "q_embed_ivf_compact" ->
