@@ -162,6 +162,9 @@ object Bench {
     "q_er_cluster",
     // r13 wave 7: per-label centroid-shift drift monitor
     "q_embed_drift",
+    // r13 wave 8: Newman-weighted bipartite projection (bounded
+    // per-order fanout), per-user inter-arrival profile
+    "q_graph_coproj", "q_events_interarrival",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

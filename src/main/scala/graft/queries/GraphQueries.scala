@@ -928,6 +928,35 @@ object GraphQueries {
              max("deg").cast("long").as("max_deg"))
         .orderBy("bucket")
     }),
+    "q_graph_coproj" -> ((s, d) => {
+      // one-mode bipartite PROJECTION with Newman collaboration
+      // weighting (Newman 2001, PNAS 98): suppliers co-supplying an
+      // order get an edge; next to the raw co-count, each shared
+      // order contributes 1/(deg(order)−1) — hub orders are
+      // discounted, the standard fix for projection inflation. The
+      // order side's degree is schema-bounded (≤ 7 lineitems), so the
+      // per-key quadratic is ≤ C(7,2) pairs — the bounded-fanout
+      // shape that keeps projections tractable at 100 TB (an
+      // unbounded hub key would take the basket_pairs cap). Exactness:
+      // deg−1 ∈ 1..6 divides 720, so newman_w·720 = Σ 720/(deg−1) is
+      // an EXACT integer — no float sum; the closing /720 is the only
+      // float op. Top-50 via TakeOrdered.
+      val e = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+        .distinct()
+        .localCheckpoint(true) // feeds the degree agg AND both join sides
+      val deg = e.groupBy(col("o").as("od")).agg(count(lit(1)).as("dg"))
+      e.as("a").join(e.as("b"),
+          col("a.o") === col("b.o") && col("a.s") < col("b.s"))
+        .join(deg, col("a.o") === col("od"))
+        .groupBy(col("a.s").as("sa"), col("b.s").as("sb"))
+        .agg(count(lit(1)).as("w"),
+          sum(expr("720 div (dg - 1)")).cast("long").as("nw720"))
+        .select(col("sa"), col("sb"), col("w"),
+          round(col("nw720") / lit(720.0), 4).as("newman_w"))
+        .orderBy(col("w").desc, col("sa"), col("sb"))
+        .limit(50)
+    }),
     "q_graph_toposort" -> ((s, d) => {
       // topological levels + DAG path counting — the scheduling-DAG
       // primitive (stage depth = longest path ending at v; np = #
@@ -1284,6 +1313,10 @@ object GraphQueries {
       """WITH e AS (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS src, (o_custkey % 150)::BIGINT AS dst FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), a1 AS (SELECT dst AS v, count(*)::BIGINT AS a1 FROM e GROUP BY dst), h1 AS (SELECT e.src AS v, sum(a1.a1)::BIGINT AS h1 FROM e JOIN a1 ON e.dst = a1.v GROUP BY e.src), a2 AS (SELECT e.dst AS v, sum(h1.h1)::BIGINT AS a2 FROM e JOIN h1 ON e.src = h1.v GROUP BY e.dst) SELECT verts.v AS vertex, coalesce(h1.h1, 0)::BIGINT AS hub, coalesce(a2.a2, 0)::BIGINT AS auth FROM verts LEFT JOIN h1 ON verts.v = h1.v LEFT JOIN a2 ON verts.v = a2.v ORDER BY vertex""",
     "q_graph_jaccard" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT v, count(*)::BIGINT AS deg FROM sym GROUP BY v), common AS (SELECT u.a, u.b, count(*)::BIGINT AS c FROM und u JOIN sym x ON x.v = u.a JOIN sym y ON y.v = u.b AND y.w = x.w GROUP BY u.a, u.b) SELECT c0.a AS src, c0.b AS dst, round(c::DOUBLE / (da.deg + db.deg - c), 4) AS jac FROM common c0 JOIN deg da ON da.v = c0.a JOIN deg db ON db.v = c0.b ORDER BY src, dst""",
+    // same bounded per-order pair expansion, same exact 720-scaled
+    // Newman weights, one closing division
+    "q_graph_coproj" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s FROM lineitem), deg AS (SELECT o, count(*) AS dg FROM e GROUP BY o), p AS (SELECT a.s AS sa, b.s AS sb, d.dg FROM e a JOIN e b ON a.o = b.o AND a.s < b.s JOIN deg d ON a.o = d.o), g AS (SELECT sa, sb, count(*)::BIGINT AS w, sum(720 // (dg - 1))::BIGINT AS nw720 FROM p GROUP BY sa, sb) SELECT sa, sb, w, round(nw720 / 720.0, 4) AS newman_w FROM g ORDER BY w DESC, sa, sb LIMIT 50""",
     // lp: recursive-CTE longest path — UNION-deduped (v, len) rows,
     // bounded by V·depth on the layered fixture; np: 7 unrolled layer
     // sums (path ENUMERATION would be exponential; layer sums are the

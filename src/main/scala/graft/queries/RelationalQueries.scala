@@ -1160,6 +1160,31 @@ object RelationalQueries {
             col("benford_p"), 2), 6).as("dev2"))
         .orderBy("digit")
     }),
+    "q_events_interarrival" -> ((s, d) => {
+      // per-user inter-arrival-time profile — the traffic-model
+      // fingerprint (burstiness = mass in the low buckets, dead
+      // instrumentation = mass in the high ones; the input to any
+      // session-gap or rate-limit threshold choice): gap = ts −
+      // lag(ts) per user in whole seconds, log2-binned by integer
+      // bit length (the q_graph_degree_dist bucket rule — no float
+      // log). One per-user window + one hash agg; buckets are the
+      // bounded output axis at any SF.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(expr("(unix_micros(ts) - unix_micros(prev)) div 1000000").as("gap_s"))
+        .select(when(col("gap_s") <= 0, lit(0))
+          .otherwise(length(bin(col("gap_s")))).cast("int").as("bucket"),
+          col("gap_s"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_gaps"),
+          min("gap_s").cast("long").as("min_s"),
+          max("gap_s").cast("long").as("max_s"))
+        .orderBy("bucket")
+    }),
     "q_events_ks" -> ((s, d) => {
       // two-sample Kolmogorov–Smirnov drift statistic between the
       // click and error value distributions — the standard
@@ -3492,6 +3517,10 @@ object RelationalQueries {
     // same string-form first digit, same literal Benford table
     "q_agg_benford" ->
       """WITH dg AS (SELECT regexp_extract(o_totalprice::VARCHAR, '[1-9]')::INT AS digit FROM orders), c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1), t AS (SELECT sum(n)::DOUBLE AS total FROM c), b AS (SELECT digit, n, round(n::DOUBLE / t.total, 4) AS freq, CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS benford_p, round(pow(n::DOUBLE / t.total - (CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END), 2), 6) AS dev2 FROM c, t) SELECT digit, n::BIGINT AS n, freq, benford_p, dev2 FROM b ORDER BY digit""",
+    // same (ts, event_id) lag order, same integer-second gaps, same
+    // bit-length buckets
+    "q_events_interarrival" ->
+      """WITH g AS (SELECT user_id, ts, event_id, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), gp AS (SELECT (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_s FROM g WHERE prev IS NOT NULL), b AS (SELECT gap_s, (CASE WHEN gap_s <= 0 THEN 0 ELSE length(format('{:b}', gap_s)) END)::INT AS bucket FROM gp) SELECT bucket, count(*)::BIGINT AS n_gaps, min(gap_s)::BIGINT AS min_s, max(gap_s)::BIGINT AS max_s FROM b GROUP BY bucket ORDER BY bucket""",
     // same lossless ·100 quantization, same cross-multiplied integer
     // ECDF numerator, one closing division
     "q_events_ks" ->
