@@ -165,6 +165,8 @@ object Bench {
     // r13 wave 8: Newman-weighted bipartite projection (bounded
     // per-order fanout), per-user inter-arrival profile
     "q_graph_coproj", "q_events_interarrival",
+    // r13 wave 9: rich-club coefficient on the staged mod-300 graph
+    "q_graph_richclub",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph
@@ -356,6 +358,8 @@ object Bench {
     "q_scalar_collation" -> "family-variant",
     "q_sql_params" -> "family-variant",
     "q_sql_pipe" -> "family-variant", // pipe markers strip at analysis: times the same scan+agg the agg family headlines
+    "q_sql_exec_immediate" -> "family-variant", // dynamic statement inlines to the same scan+agg; also times DECLARE/SET VAR session-state round-trips
+
 
     "q_graph_coreness" -> "fixture-latency",
     "q_layout_compaction" -> "commit-io",

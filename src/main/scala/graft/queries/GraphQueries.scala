@@ -928,6 +928,36 @@ object GraphQueries {
              max("deg").cast("long").as("max_deg"))
         .orderBy("bucket")
     }),
+    "q_graph_richclub" -> ((s, d) => {
+      // rich-club coefficient φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))
+      // (Colizza et al. 2006) — do the high-degree vertices wire to
+      // EACH OTHER more than chance? The hub-interconnection
+      // fingerprint next to assortativity's correlation readout.
+      // Shares the session-staged mod-300 canonical graph. One degree
+      // agg + one edges⋈degrees double-join; the 4 thresholds ride a
+      // posexplode so the edge table is scanned ONCE for every k.
+      // All terms exact integers; φ's division is the only float op.
+      val und = modulusUnd(s, d, 300)
+      val deg = mirror(und.select(col("a").as("src"), col("b").as("dst")))
+        .groupBy(col("src").as("v")).agg(count(lit(1)).as("dg"))
+        .localCheckpoint(true) // feeds N_k AND both edge-join sides
+      val ks = array(lit(2), lit(4), lit(8), lit(16))
+      val nk = deg.select(explode(ks).as("k"), col("dg"))
+        .where(col("dg") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+      val ek = und
+        .join(deg.select(col("v").as("va"), col("dg").as("da")), col("a") === col("va"))
+        .join(deg.select(col("v").as("vb"), col("dg").as("db")), col("b") === col("vb"))
+        .select(explode(ks).as("k"), col("da"), col("db"))
+        .where(col("da") > col("k") && col("db") > col("k"))
+        .groupBy("k").agg(count(lit(1)).as("n_edges"))
+      nk.join(ek, Seq("k"), "left_outer")
+        .select(col("k"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          round(coalesce(col("n_edges"), lit(0L)) * lit(2.0) /
+            (col("n_nodes") * (col("n_nodes") - 1)), 6).as("phi"))
+        .orderBy("k")
+    }),
     "q_graph_coproj" -> ((s, d) => {
       // one-mode bipartite PROJECTION with Newman collaboration
       // weighting (Newman 2001, PNAS 98): suppliers co-supplying an
@@ -1313,6 +1343,10 @@ object GraphQueries {
       """WITH e AS (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS src, (o_custkey % 150)::BIGINT AS dst FROM orders WHERE o_orderkey % 150 <> o_custkey % 150), verts AS (SELECT src AS v FROM e UNION SELECT dst FROM e), a1 AS (SELECT dst AS v, count(*)::BIGINT AS a1 FROM e GROUP BY dst), h1 AS (SELECT e.src AS v, sum(a1.a1)::BIGINT AS h1 FROM e JOIN a1 ON e.dst = a1.v GROUP BY e.src), a2 AS (SELECT e.dst AS v, sum(h1.h1)::BIGINT AS a2 FROM e JOIN h1 ON e.src = h1.v GROUP BY e.dst) SELECT verts.v AS vertex, coalesce(h1.h1, 0)::BIGINT AS hub, coalesce(a2.a2, 0)::BIGINT AS auth FROM verts LEFT JOIN h1 ON verts.v = h1.v LEFT JOIN a2 ON verts.v = a2.v ORDER BY vertex""",
     "q_graph_jaccard" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), sym AS (SELECT a AS v, b AS w FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT v, count(*)::BIGINT AS deg FROM sym GROUP BY v), common AS (SELECT u.a, u.b, count(*)::BIGINT AS c FROM und u JOIN sym x ON x.v = u.a JOIN sym y ON y.v = u.b AND y.w = x.w GROUP BY u.a, u.b) SELECT c0.a AS src, c0.b AS dst, round(c::DOUBLE / (da.deg + db.deg - c), 4) AS jac FROM common c0 JOIN deg da ON da.v = c0.a JOIN deg db ON db.v = c0.b ORDER BY src, dst""",
+    // same mod-300 canonical graph, same integer E/N terms per k,
+    // one closing division
+    "q_graph_richclub" ->
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), m AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT src AS v, count(*)::BIGINT AS dg FROM m GROUP BY src), ks AS (SELECT unnest([2, 4, 8, 16]) AS k), nk AS (SELECT k, count(*)::BIGINT AS n_nodes FROM deg CROSS JOIN ks WHERE dg > k GROUP BY k), ek AS (SELECT k, count(*)::BIGINT AS n_edges FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v CROSS JOIN ks WHERE da.dg > k AND db.dg > k GROUP BY k) SELECT nk.k::INT AS k, nk.n_nodes, coalesce(ek.n_edges, 0)::BIGINT AS n_edges, round(coalesce(ek.n_edges, 0) * 2.0 / (nk.n_nodes * (nk.n_nodes - 1)), 6) AS phi FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY k""",
     // same bounded per-order pair expansion, same exact 720-scaled
     // Newman weights, one closing division
     "q_graph_coproj" ->

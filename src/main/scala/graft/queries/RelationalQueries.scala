@@ -934,6 +934,26 @@ object RelationalQueries {
           col("p.max_v").as("max_v"))
         .orderBy("col_name")
     }),
+    "q_sql_exec_immediate" -> ((s, d) => {
+      // EXECUTE IMMEDIATE (Spark 4) — dynamic SQL with USING-clause
+      // parameter binding: the stored-template execution surface a
+      // query service exposes when the statement itself is data (the
+      // reference's opcode->template dispatch, one step further than
+      // q_sql_params' fixed template). The bound markers are typed
+      // parameters, not string splices — injection-safe by
+      // construction; the executed plan is the inlined query's.
+      t(s, d, "supplier").createOrReplaceTempView("graft_supp_ei")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_ei_sql STRING")
+      s.sql("""SET VAR graft_ei_sql =
+        'SELECT s_nationkey, count(*) AS n,
+                sum(cast(s_acctbal AS decimal(38,6))) AS bal0
+         FROM graft_supp_ei WHERE s_acctbal > ? GROUP BY s_nationkey'""")
+      s.sql("EXECUTE IMMEDIATE graft_ei_sql USING 1000")
+        .select(col("s_nationkey"),
+          col("n").cast("long").as("n"),
+          round(col("bal0").cast("double"), 2).as("bal"))
+        .orderBy("s_nationkey")
+    }),
     "q_sql_pipe" -> ((s, d) => {
       // SQL pipe syntax (Spark 4 `|>` operators — the linear
       // composition form): each stage parses into the SAME logical
@@ -3473,6 +3493,9 @@ object RelationalQueries {
     // the parameters inlined as literals
     "q_sql_params" ->
       """SELECT p_brand, count(*)::BIGINT AS n, sum(p_size)::BIGINT AS sz FROM part WHERE p_size BETWEEN 5 AND 20 AND p_brand <> 'Brand#45' GROUP BY p_brand ORDER BY p_brand""",
+    // the dynamic statement inlined, parameter bound as a literal
+    "q_sql_exec_immediate" ->
+      """SELECT s_nationkey, count(*)::BIGINT AS n, round(sum(s_acctbal::DECIMAL(38,6))::DOUBLE, 2) AS bal FROM supplier WHERE s_acctbal > 1000 GROUP BY s_nationkey ORDER BY s_nationkey""",
     // pipe markers are analysis-time only — the oracle IS the nested form
     "q_sql_pipe" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n, round(sum(o_totalprice::DECIMAL(38,6)), 2)::DOUBLE AS tot FROM orders WHERE o_orderstatus = 'O' GROUP BY o_orderpriority ORDER BY o_orderpriority""",
