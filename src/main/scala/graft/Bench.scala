@@ -167,6 +167,8 @@ object Bench {
     "q_graph_coproj", "q_events_interarrival",
     // r13 wave 9: rich-club coefficient on the staged mod-300 graph
     "q_graph_richclub",
+    // r13 wave 10: exact MIPS retrieval, daily-count autocorrelation
+    "q_embed_mips", "q_events_acf",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

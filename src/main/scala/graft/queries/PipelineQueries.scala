@@ -2205,6 +2205,34 @@ object PipelineQueries {
       Similarity.bruteForceTopK(
         idx.where(col("cid") === qRow.getLong(0) && col("vec_id") =!= 0), qv, 10)
     }),
+    "q_embed_mips" -> ((s, d) => {
+      // MIPS — max-INNER-PRODUCT retrieval, the recommendation-model
+      // scoring op (user·item, where vector norms carry popularity —
+      // cosine is deliberately the WRONG ranking here, and the family
+      // had only cosine/L2 retrieval): exact top-10 by raw dot via
+      // the codegen dot_fold, compiling to TakeOrderedAndProject —
+      // never a global sort. The fixture embeddings are UNIT-norm, so
+      // the norm variation MIPS exists for is supplied by a
+      // deterministic integer popularity weight (1 + vec_id mod 7)
+      // scaling each corpus vector — cosine is invariant to that
+      // scale, dot is not, which is the whole point (Wave28Spec pins
+      // the two rankings apart). The standard ANN reduction (augment
+      // corpus vectors with sqrt(M²−‖x‖²) so augmented-cosine ranks
+      // == dot ranks; Bachrach et al. 2014) is pinned in Wave28Spec
+      // as the scale path's correctness argument. Exact-float: the
+      // weight is integer-valued, so weight*dot is one deterministic
+      // IEEE product before the single round(4).
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      e.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          round(((col("vec_id") % 7) + lit(1)).cast("double") *
+            expr("dot_fold(v, qv)"), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    }),
     "q_embed_drift" -> ((s, d) => {
       // vector-store DRIFT monitor — per-label centroid shift between
       // the reference half (even vec_ids) and the current half (odd):
@@ -2745,6 +2773,10 @@ object PipelineQueries {
     // row-local), so the same batch SQL oracles the append path too
     "q_embed_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // same integer popularity weight, same raw dot fold, same single
+    // round(4) after the product, same (score desc, id) tiebreak
+    "q_embed_mips" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0) SELECT vec_id, round(((vec_id % 7) + 1)::DOUBLE * ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")}, 4) AS score FROM e CROSS JOIN q WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10""",
     // same term-local round(6) components, same decimal-sum means,
     // same rounded squared-gap terms
     "q_embed_drift" ->

@@ -1180,6 +1180,38 @@ object RelationalQueries {
             col("benford_p"), 2), 6).as("dev2"))
         .orderBy("digit")
     }),
+    "q_events_acf" -> ((s, d) => {
+      // lag-k autocorrelation of the daily event-count series
+      // (k = 1..7) — the seasonality detector (a weekly cycle peaks
+      // at lag 7; the time-series diagnostic behind forecast-model
+      // choice): ACF_k = Pearson corr of (x_t, x_{t+k}) over aligned
+      // day pairs, from EXACT integer power sums per lag (the
+      // q_agg_corr recipe) with the identical closed-form
+      // parenthesization in the oracle. Day counts are one hash agg;
+      // the lag alignment is a date-key equi-join over the
+      // study-length-bounded day list; 7 output rows at any SF.
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true) // both alignment sides
+      val a = daily.select(explode(array((1 to 7).map(lit): _*)).as("k"),
+        col("day"), col("x").as("xa"))
+      val b = daily.select(col("day").as("day2"), col("x").as("xb"))
+      val g = a.join(b, expr("date_add(day, k) = day2"))
+        .groupBy("k").agg(
+          count(lit(1)).cast("double").as("n"),
+          sum("xa").cast("double").as("sx"),
+          sum("xb").cast("double").as("sy"),
+          sum(col("xa") * col("xb")).cast("double").as("sxy"),
+          sum(col("xa") * col("xa")).cast("double").as("sxx"),
+          sum(col("xb") * col("xb")).cast("double").as("syy"))
+      g.select(col("k"), col("n").cast("long").as("n_pairs"),
+          (round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+                 (col("n") * col("syy") - col("sy") * col("sy"))), 6) + 0.0)
+            .as("acf"))
+        .orderBy("k")
+    }),
     "q_events_interarrival" -> ((s, d) => {
       // per-user inter-arrival-time profile — the traffic-model
       // fingerprint (burstiness = mass in the low buckets, dead
@@ -3540,6 +3572,9 @@ object RelationalQueries {
     // same string-form first digit, same literal Benford table
     "q_agg_benford" ->
       """WITH dg AS (SELECT regexp_extract(o_totalprice::VARCHAR, '[1-9]')::INT AS digit FROM orders), c AS (SELECT digit, count(*) AS n FROM dg GROUP BY 1), t AS (SELECT sum(n)::DOUBLE AS total FROM c), b AS (SELECT digit, n, round(n::DOUBLE / t.total, 4) AS freq, CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END AS benford_p, round(pow(n::DOUBLE / t.total - (CASE digit WHEN 1 THEN 0.30103 WHEN 2 THEN 0.176091 WHEN 3 THEN 0.124939 WHEN 4 THEN 0.09691 WHEN 5 THEN 0.079181 WHEN 6 THEN 0.066947 WHEN 7 THEN 0.057992 WHEN 8 THEN 0.051153 WHEN 9 THEN 0.045757 END), 2), 6) AS dev2 FROM c, t) SELECT digit, n::BIGINT AS n, freq, benford_p, dev2 FROM b ORDER BY digit""",
+    // same integer power sums per lag, same closed form + -0.0 guard
+    "q_events_acf" ->
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), ks AS (SELECT unnest(range(1, 8)) AS k), p AS (SELECT ks.k, a.x AS xa, b.x AS xb FROM daily a CROSS JOIN ks JOIN daily b ON a.day + to_days(ks.k::INT) = b.day), g AS (SELECT k, count(*)::DOUBLE AS n, sum(xa)::DOUBLE AS sx, sum(xb)::DOUBLE AS sy, sum(xa * xb)::DOUBLE AS sxy, sum(xa * xa)::DOUBLE AS sxx, sum(xb * xb)::DOUBLE AS syy FROM p GROUP BY k) SELECT k::INT AS k, n::BIGINT AS n_pairs, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS acf FROM g ORDER BY k""",
     // same (ts, event_id) lag order, same integer-second gaps, same
     // bit-length buckets
     "q_events_interarrival" ->

@@ -111,6 +111,48 @@ class Wave28Spec extends SparkSpec {
     }
   }
 
+  test("q_embed_mips: the norm-augmentation reduction ranks identically " +
+       "(the scale path's correctness argument) and dot order differs from cosine") {
+    val e = spark.read.parquet(s"$d/embeddings.parquet").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = e(0L)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // the query's popularity weight: corpus vector i is scaled by
+    // (1 + i mod 7) — cosine ignores the scale, dot does not
+    val corpus = e.filter(_._1 != 0L).map { case (id, v) =>
+      id -> v.map(_ * (1 + id % 7)) }
+    val bigM = math.sqrt(corpus.values.map(v => dot(v, v)).max) + 1e-9
+    // augmented corpus vector: [v, sqrt(M^2 - |v|^2)]; query: [q, 0].
+    // cos_aug(q, v) = dot(q, v) / (M * |q|) — a fixed positive scale,
+    // so the augmented-cosine ranking IS the dot ranking.
+    def key(score: Double, id: Long) = (-score, id)
+    val byDot = corpus.toSeq.sortBy { case (id, v) => key(dot(q, v), id) }
+      .take(10).map(_._1)
+    val byAug = corpus.toSeq.sortBy { case (id, v) =>
+      val aug = dot(q, v) / (bigM * math.sqrt(dot(q, q)))
+      key(aug, id)
+    }.take(10).map(_._1)
+    assert(byDot === byAug, "augmented-cosine ranking diverged from dot")
+    val engine = run("q_embed_mips").collect().map(_.getLong(0)).toSeq
+    assert(engine === byDot.toSeq, "engine MIPS top-10 != in-memory dot top-10")
+    val byCos = corpus.toSeq.sortBy { case (id, v) =>
+      key(dot(q, v) / math.sqrt(dot(v, v)), id) }.take(10).map(_._1)
+    assert(byCos !== byDot,
+      "fixture degenerate: cosine and dot rank identically, MIPS adds nothing")
+  }
+
+  test("q_events_acf: coefficients are valid correlations in [-1, 1]") {
+    val r = run("q_events_acf").collect()
+    assert(r.map(_.getAs[Int]("k")).sorted.sameElements(1 to 7))
+    r.foreach { row =>
+      val a = row.getAs[Double]("acf")
+      assert(a >= -1.0 - 1e-9 && a <= 1.0 + 1e-9, s"acf $a outside [-1,1]")
+      assert(row.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
