@@ -169,6 +169,8 @@ object Bench {
     "q_graph_richclub",
     // r13 wave 10: exact MIPS retrieval, daily-count autocorrelation
     "q_embed_mips", "q_events_acf",
+    // r13 wave 11: Zipf rank-frequency fit, seasonal-naive MASE readout
+    "q_text_zipf", "q_events_forecast",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

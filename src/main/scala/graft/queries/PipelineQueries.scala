@@ -1279,6 +1279,47 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_terms"), sum("c").cast("long").as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_text_zipf" -> ((s, d) => {
+      // Zipf rank-frequency FIT — log-log OLS over the top-200 terms:
+      // slope ≈ −1 is the healthy-natural-text signature; a flat slope
+      // flags template/boilerplate corpora and a cliff flags
+      // vocabulary collapse (the corpus-level twin of q_text_vocab's
+      // frequency-of-frequencies fingerprint, which bins but does not
+      // fit). Float discipline: ln(rank)/ln(count) rounded immediately
+      // after the transcendental (the q_text_bm25 round-after-ln
+      // rule), stored as DECIMAL(12,6) so the power sums are exact and
+      // accumulation-order free, then the q_agg_regr closed forms with
+      // the identical parenthesization in the oracle. Token counts are
+      // one Generate-stage pass + hash agg; the top-200 selection is a
+      // TakeOrderedAndProject, so the window rank runs on 200 rows.
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.expressions.GraftFunctions.register(s)
+      val tc = t(s, d, "documents").select(expr("word_ngrams(text, 1)"))
+        .groupBy("gram").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("gram")).limit(200)
+      val pts = tc
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("gram"))))
+        .select(
+          round(log(col("rk").cast("double")), 6)
+            .cast("decimal(12,6)").as("lx"),
+          round(log(col("c").cast("double")), 6)
+            .cast("decimal(12,6)").as("ly"))
+      val g = pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("lx")), 6).cast("double").as("sx"),
+        round(sum(col("ly")), 6).cast("double").as("sy"),
+        round(sum(col("lx") * col("ly")), 6).cast("double").as("sxy"),
+        round(sum(col("lx") * col("lx")), 6).cast("double").as("sxx"),
+        round(sum(col("ly") * col("ly")), 6).cast("double").as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denx = col("n") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("n").cast("long").as("n_terms"),
+        round(num / denx, 6).as("slope"),
+        round((col("sy") - num / denx * col("sx")) / col("n"), 6).as("intercept"),
+        round(num / denx * (num / deny), 6).as("r2"))
+    }),
     "q_text_lift" -> ((s, d) => {
       // collocation strength as LIFT = N·c(xy) / (c(x)·c(y)) — the
       // PMI numerator/denominator without the log, so the only float
@@ -2596,6 +2637,10 @@ object PipelineQueries {
       s"""WITH $toksSql, sh20 AS (SELECT doc_id, CASE WHEN len(tk) < 20 THEN [] ELSE list_transform(range(1, len(tk) - 18), i -> array_to_string(tk[i:i+19], ' ')) END AS gs FROM toks), spans AS (SELECT doc_id, md5(unnest(gs)) AS span FROM sh20) SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS keeper FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""",
     "q_text_vocab" ->
       s"""WITH $toksSql, u AS (SELECT unnest(tk) AS w FROM toks), tc AS (SELECT w, count(*) AS c FROM u GROUP BY w) SELECT length(format('{:b}', c))::INT AS bucket, count(*)::BIGINT AS n_terms, sum(c)::BIGINT AS n_tokens FROM tc GROUP BY bucket ORDER BY bucket""",
+    // same top-200 by (count desc, term), same round-after-ln into
+    // DECIMAL(12,6) exact sums, same closed-form parenthesization
+    "q_text_zipf" ->
+      s"""WITH $toksSql, u AS (SELECT unnest(tk) AS w FROM toks), tc AS (SELECT w, count(*)::BIGINT AS c FROM u GROUP BY w ORDER BY c DESC, w LIMIT 200), rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM tc), p AS (SELECT round(ln(r), 6)::DECIMAL(12,6) AS lx, round(ln(c), 6)::DECIMAL(12,6) AS ly FROM rk), g AS (SELECT count(*)::DOUBLE AS n, round(sum(lx), 6)::DOUBLE AS sx, round(sum(ly), 6)::DOUBLE AS sy, round(sum(lx * ly), 6)::DOUBLE AS sxy, round(sum(lx * lx), 6)::DOUBLE AS sxx, round(sum(ly * ly), 6)::DOUBLE AS syy FROM p) SELECT n::BIGINT AS n_terms, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept, round((n * sxy - sx * sy) / (n * sxx - sx * sx) * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6) AS r2 FROM g""",
     // lift ranks like PMI (log is monotone) but stays in exact
     // integer products + one rounded division
     "q_text_lift" ->

@@ -1212,6 +1212,34 @@ object RelationalQueries {
             .as("acf"))
         .orderBy("k")
     }),
+    "q_events_forecast" -> ((s, d) => {
+      // forecast-baseline accuracy readout over the daily event-count
+      // series — seasonal-naive (ŷ_t = y_{t−7}) scored against the
+      // naive random walk (ŷ_t = y_{t−1}) by MASE = SAE_seasonal /
+      // SAE_naive on the same evaluation days (both references must
+      // exist). MASE < 1 says last-week beats yesterday — i.e. the
+      // weekly cycle q_events_acf detects is strong enough to forecast
+      // with; the go/no-go gate before fitting anything fancier. All
+      // arithmetic is integer absolute errors on counts; the single
+      // float op is the closing MASE division. One hash agg to the
+      // day series (bounded by study length), then two day-key
+      // equi-joins over the checkpointed spine — day-count-sized work
+      // at any SF.
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true) // spine reused as target + both refs
+      val m1 = daily.select(col("day").as("d1"), col("x").as("x1"))
+      val m7 = daily.select(col("day").as("d7"), col("x").as("x7"))
+      daily.join(m1, expr("date_add(d1, 1) = day"))
+        .join(m7, expr("date_add(d7, 7) = day"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("x") - col("x1"))).cast("long").as("sae_naive"),
+          sum(abs(col("x") - col("x7"))).cast("long").as("sae_seasonal"))
+        .select(col("n_eval"), col("sae_naive"), col("sae_seasonal"),
+          round(col("sae_seasonal").cast("double") /
+            col("sae_naive").cast("double"), 6).as("mase7"))
+    }),
     "q_events_interarrival" -> ((s, d) => {
       // per-user inter-arrival-time profile — the traffic-model
       // fingerprint (burstiness = mass in the low buckets, dead
@@ -3575,6 +3603,10 @@ object RelationalQueries {
     // same integer power sums per lag, same closed form + -0.0 guard
     "q_events_acf" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), ks AS (SELECT unnest(range(1, 8)) AS k), p AS (SELECT ks.k, a.x AS xa, b.x AS xb FROM daily a CROSS JOIN ks JOIN daily b ON a.day + to_days(ks.k::INT) = b.day), g AS (SELECT k, count(*)::DOUBLE AS n, sum(xa)::DOUBLE AS sx, sum(xb)::DOUBLE AS sy, sum(xa * xb)::DOUBLE AS sxy, sum(xa * xa)::DOUBLE AS sxx, sum(xb * xb)::DOUBLE AS syy FROM p GROUP BY k) SELECT k::INT AS k, n::BIGINT AS n_pairs, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS acf FROM g ORDER BY k""",
+    // same integer absolute-error sums on the same evaluation days,
+    // same single closing division
+    "q_events_forecast" ->
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), j AS (SELECT a.x, b.x AS x1, c.x AS x7 FROM daily a JOIN daily b ON b.day + to_days(1) = a.day JOIN daily c ON c.day + to_days(7) = a.day) SELECT count(*)::BIGINT AS n_eval, sum(abs(x - x1))::BIGINT AS sae_naive, sum(abs(x - x7))::BIGINT AS sae_seasonal, round(sum(abs(x - x7))::DOUBLE / sum(abs(x - x1))::DOUBLE, 6) AS mase7 FROM j""",
     // same (ts, event_id) lag order, same integer-second gaps, same
     // bit-length buckets
     "q_events_interarrival" ->

@@ -143,6 +143,31 @@ class Wave28Spec extends SparkSpec {
       "fixture degenerate: cosine and dot rank identically, MIPS adds nothing")
   }
 
+  test("q_text_zipf: slope is negative (frequency decays with rank), r2 in [0, 1]") {
+    val r = run("q_text_zipf").collect()
+    assert(r.length === 1)
+    val row = r.head
+    // the fixture vocabulary can be smaller than the 200-term cap
+    val nTerms = row.getAs[Long]("n_terms")
+    assert(nTerms >= 2L && nTerms <= 200L)
+    assert(row.getAs[Double]("slope") < 0.0, "Zipf slope must be negative")
+    val r2 = row.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9, s"r2 $r2 outside [0,1]")
+  }
+
+  test("q_events_forecast: MASE equals the ratio of the two integer error sums") {
+    val r = run("q_events_forecast").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_eval") > 0)
+    val sn = row.getAs[Long]("sae_naive")
+    val ss = row.getAs[Long]("sae_seasonal")
+    assert(sn > 0 && ss >= 0)
+    val expected = BigDecimal(ss.toDouble / sn.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getAs[Double]("mase7") === expected)
+  }
+
   test("q_events_acf: coefficients are valid correlations in [-1, 1]") {
     val r = run("q_events_acf").collect()
     assert(r.map(_.getAs[Int]("k")).sorted.sameElements(1 to 7))
