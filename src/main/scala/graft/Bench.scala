@@ -171,6 +171,8 @@ object Bench {
     "q_embed_mips", "q_events_acf",
     // r13 wave 11: Zipf rank-frequency fit, seasonal-naive MASE readout
     "q_text_zipf", "q_events_forecast",
+    // r13 wave 12: Theil-Sen robust trend vs OLS
+    "q_agg_theilsen",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -269,6 +269,55 @@ object RelationalQueries {
           round(num / denx * (num / deny), 6).as("r2"))
         .orderBy("l_returnflag")
     }),
+    "q_agg_theilsen" -> ((s, d) => {
+      // Theil-Sen ROBUST slope of the daily event-count series —
+      // median of all pairwise slopes (x_j−x_i)/(day_j−day_i), the
+      // breakdown-point-29% trend estimate that shrugs off the outlier
+      // days that drag OLS (reported side-by-side with the OLS slope
+      // from exact integer power sums, so the gap IS the outlier
+      // diagnostic). The pair set is study-length-bounded (days², not
+      // data-sized — ~4k pairs for a 90-day study at ANY SF), so the
+      // single-partition median window is a constant-size tail after
+      // one hash agg to the day series. Float discipline: each slope
+      // is one IEEE division rounded to 6; the median picks the two
+      // middle VALUES by explicit row_number positions (no builtin
+      // percentile interpolation semantics in the compare).
+      import org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint(true) // both pair sides + the OLS pass
+      val a = daily.select(col("day").as("da"), col("x").as("xa"))
+      val b = daily.select(col("day").as("db"), col("x").as("xb"))
+      val slopes = a.join(b, col("da") < col("db"))
+        .select(col("da"), col("db"),
+          round((col("xb") - col("xa")).cast("double") /
+            datediff(col("db"), col("da")).cast("double"), 6).as("sl"))
+      val ranked = slopes.withColumn("rk", row_number().over(
+        Window.orderBy(col("sl"), col("da"), col("db"))))
+        .localCheckpoint(true) // count + two positional probes
+      val n = ranked.count()
+      val p1 = (n + 1) / 2
+      val p2 = (n + 2) / 2
+      // avg covers both parities: one middle row when n is odd
+      // (p1 == p2), the mean of the two when even
+      val med = ranked.where(col("rk") === p1 || col("rk") === p2)
+        .agg(round(avg(col("sl")), 6).as("theilsen"))
+      val ols = daily.select(
+          datediff(col("day"), lit(java.sql.Date.valueOf("1970-01-01")))
+            .cast("long").as("t"), col("x"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("t").cast("double").as("sx"),
+          sum("x").cast("double").as("sy"),
+          sum(col("t") * col("x")).cast("double").as("sxy"),
+          sum(col("t") * col("t")).cast("double").as("sxx"))
+        .select(col("n").cast("long").as("n_days"),
+          round((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("ols_slope"))
+      ols.crossJoin(broadcast(med))
+        .select(col("n_days"), lit(n).as("n_pairs"),
+          col("theilsen"), col("ols_slope"))
+    }),
     "q_agg_corr" -> ((s, d) => {
       // Pearson corr + sample covariance from EXACT decimal sums, then a
       // closed-form formula evaluated in double with the identical
@@ -3350,6 +3399,10 @@ object RelationalQueries {
       """SELECT CASE WHEN c_acctbal < -1000.0 THEN 0 WHEN c_acctbal >= 10000.0 THEN 12 ELSE floor((c_acctbal - (-1000.0)) / ((10000.0 - (-1000.0)) / 11)) + 1 END::BIGINT AS bucket, count(*)::BIGINT AS cnt FROM customer GROUP BY 1 ORDER BY bucket""",
     "q_agg_moments" ->
       """WITH g AS (SELECT l_returnflag, count(*)::DOUBLE AS n, round(sum(l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s1, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s2, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 2)::DOUBLE AS s3, round(sum(l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2) * l_quantity::DECIMAL(18,2)), 0)::DOUBLE AS s4 FROM lineitem GROUP BY l_returnflag) SELECT l_returnflag, round((s3/n - 3.0*(s1/n)*(s2/n) + 2.0*(s1/n)*(s1/n)*(s1/n)) / sqrt((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))), 6) + 0.0 AS skew, round((s4/n - 4.0*(s1/n)*(s3/n) + 6.0*(s1/n)*(s1/n)*(s2/n) - 3.0*(s1/n)*(s1/n)*(s1/n)*(s1/n)) / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 6) + 0.0 AS kurt FROM g ORDER BY l_returnflag""",
+    // same per-pair rounded division, same explicit middle-position
+    // median, same integer OLS power sums + closed form
+    "q_agg_theilsen" ->
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), p AS (SELECT a.day AS da, b.day AS db, round((b.x - a.x)::DOUBLE / date_diff('day', a.day, b.day)::DOUBLE, 6) AS sl FROM daily a JOIN daily b ON a.day < b.day), rk AS (SELECT sl, row_number() OVER (ORDER BY sl, da, db) AS rk, count(*) OVER () AS n FROM p), med AS (SELECT round(avg(sl), 6) AS theilsen, max(n)::BIGINT AS n_pairs FROM rk WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2), o AS (SELECT count(*)::DOUBLE AS n, sum(t)::DOUBLE AS sx, sum(x)::DOUBLE AS sy, sum(t * x)::DOUBLE AS sxy, sum(t * t)::DOUBLE AS sxx FROM (SELECT date_diff('day', DATE '1970-01-01', day)::BIGINT AS t, x FROM daily)) SELECT o.n::BIGINT AS n_days, med.n_pairs, med.theilsen, round((o.n * o.sxy - o.sx * o.sy) / (o.n * o.sxx - o.sx * o.sx), 6) AS ols_slope FROM o CROSS JOIN med""",
     // same decimal power sums, same closed forms, same parenthesization
     "q_agg_regr" ->
       """WITH l AS (SELECT l_returnflag, l_quantity::DECIMAL(18,2) AS x, l_extendedprice::DECIMAL(18,2) AS y FROM lineitem), g AS (SELECT l_returnflag, count(*)::DOUBLE AS n, round(sum(x), 2)::DOUBLE AS sx, round(sum(y), 2)::DOUBLE AS sy, round(sum(x * y), 2)::DOUBLE AS sxy, round(sum(x * x), 2)::DOUBLE AS sxx, round(sum(y * y), 0)::DOUBLE AS syy FROM l GROUP BY l_returnflag) SELECT l_returnflag, n::BIGINT AS regr_count, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept, round((n * sxy - sx * sy) / (n * sxx - sx * sx) * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6) AS r2 FROM g ORDER BY l_returnflag""",

@@ -34,6 +34,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_classify_cal",                          // broadcast 1-row weight vector
     "q_sample_dsir",                                 // broadcast scalar token totals
     "q_agg_cramers",                                 // dims-sized grid cross + scalar totals
+    "q_agg_theilsen",                                // broadcast 1-row median scalar
     "q_embed_maxsim",                                // dims-sized label-pair grid
     "q_events_funnel",                               // scalar step totals
     "q_events_ks",                                   // broadcast 1-row sample-size scalar

