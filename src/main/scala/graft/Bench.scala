@@ -173,6 +173,8 @@ object Bench {
     "q_text_zipf", "q_events_forecast",
     // r13 wave 12: Theil-Sen robust trend vs OLS
     "q_agg_theilsen",
+    // r13 wave 13: power-iteration top principal component
+    "q_embed_pca",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -2274,6 +2274,66 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     }),
+    "q_embed_pca" -> ((s, d) => {
+      // top PRINCIPAL COMPONENT of the embedding corpus by power
+      // iteration — the dimensionality-reduction/whitening primitive
+      // (PCA compression, anisotropy diagnosis: a dominant component
+      // with a large eigenvalue share flags the rogue-dimension
+      // pathology common in LM embeddings). Three stages, all exact:
+      // (1) per-dim means from decimal sums; (2) the 64×64 covariance
+      // via a double-posexplode outer product — 4096 terms generated
+      // IN PLACE per vector (no self-join shuffle) into one partial+
+      // final hash agg with d² = 4096 groups, the shape that holds at
+      // any corpus size; (3) six fixed power-iteration steps on the
+      // checkpointed cell table — each a broadcast 64-row mat-vec with
+      // term-local round(12) decimal sums, norm rounded after the
+      // sqrt, components rounded to 6 (the q_events_markov_attribution
+      // fixed-step recipe). v0 = 0.125 uniform (exact binary), so the
+      // sign and every low bit are deterministic cross-engine.
+      val e = t(s, d, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> round(cast(x as double), 6))").as("v"))
+      val n = e.count().toDouble
+      val x = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j0", "vj")))
+        .select(col("vec_id"), (col("j0") + 1).as("j"), col("vj"))
+      val mu = x.groupBy("j").agg(
+        (round(sum(col("vj").cast("decimal(12,6)")), 6).cast("double") /
+          lit(n)).as("mu0"))
+        .select(col("j"), round(col("mu0"), 6).as("mu"))
+      val cArr = x.join(broadcast(mu), "j")
+        .select(col("vec_id"), col("j"), round(col("vj") - col("mu"), 6).as("cj"))
+        .groupBy("vec_id")
+        .agg(expr("transform(sort_array(collect_list(struct(j, cj))), s -> s.cj)")
+          .as("ca"))
+      val cov = cArr
+        .select(posexplode(col("ca")).as(Seq("j0", "cj")), col("ca"))
+        .select((col("j0") + 1).as("j"), col("cj"),
+          posexplode(col("ca")).as(Seq("k0", "ck")))
+        .select(col("j"), (col("k0") + 1).as("k"),
+          round(col("cj") * col("ck"), 12).cast("decimal(20,12)").as("term"))
+        .groupBy("j", "k")
+        .agg((round(sum(col("term")), 6).cast("double") / lit(n)).as("c0"))
+        .select(col("j"), col("k"), round(col("c0"), 8).as("cjk"))
+        .localCheckpoint(true) // consumed by all six mat-vec steps
+      var v = s.range(1, 65).select(col("id").as("j"), lit(0.125).as("vj"))
+      var lastNorm: DataFrame = null
+      for (_ <- 1 to 6) {
+        val w = cov.join(broadcast(v.select(col("j").as("k"), col("vj"))), "k")
+          .groupBy("j")
+          .agg(round(sum(round(col("cjk") * col("vj"), 12)
+            .cast("decimal(20,12)")), 6).cast("double").as("wj"))
+          .localCheckpoint(true) // norm + normalize both read it
+        val nrm = w.agg(round(sqrt(round(sum(round(col("wj") * col("wj"), 12)
+          .cast("decimal(20,12)")), 12).cast("double")), 8).as("nrm"))
+        lastNorm = nrm
+        v = w.crossJoin(broadcast(nrm))
+          .select(col("j"), round(col("wj") / col("nrm"), 6).as("vj"))
+          .localCheckpoint(true)
+      }
+      v.crossJoin(broadcast(lastNorm))
+        .select(col("j").cast("int").as("dim"), col("vj").as("loading"),
+          round(col("nrm"), 6).as("eigenvalue"))
+        .orderBy("dim")
+    }),
     "q_embed_drift" -> ((s, d) => {
       // vector-store DRIFT monitor — per-label centroid shift between
       // the reference half (even vec_ids) and the current half (odd):
@@ -2529,6 +2589,17 @@ object PipelineQueries {
     """sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gs FROM toks)"""
   private def foldSql(elems: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
+  /** The six unrolled power-iteration steps of the q_embed_pca oracle
+    * (mat-vec → norm → normalize per step), generated so the per-step
+    * float discipline is written once and cannot drift between
+    * steps. */
+  private def pcaStepsSql(steps: Int): String =
+    (1 to steps).map { t =>
+      val p = if (t == 1) "v0" else s"v${t - 1}"
+      s"w$t AS (SELECT cov.j, round(sum(round(cjk * p.vj, 12)::DECIMAL(20,12)), 6)::DOUBLE AS wj FROM cov JOIN $p p ON cov.k = p.j GROUP BY cov.j), " +
+      s"n$t AS (SELECT round(sqrt(round(sum(round(wj * wj, 12)::DECIMAL(20,12)), 12)::DOUBLE), 8) AS nrm FROM w$t), " +
+      s"v$t AS (SELECT j, round(wj / (SELECT nrm FROM n$t), 6) AS vj FROM w$t)"
+    }.mkString(", ")
   /** Quality-score CTE chain (mirrors
     * [[graft.functions.TextFunctions.qualityScore]]); terminal CTE
     * `qscore(doc_id, score)` with the 4-decimal-rounded composite
@@ -2822,6 +2893,11 @@ object PipelineQueries {
     // round(4) after the product, same (score desc, id) tiebreak
     "q_embed_mips" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0) SELECT vec_id, round(((vec_id % 7) + 1)::DOUBLE * ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")}, 4) AS score FROM e CROSS JOIN q WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10""",
+    // same decimal mean/covariance sums (the oracle builds the outer
+    // product via a vec_id self-join — different plan, identical
+    // cells), same six per-step-rounded power iterations
+    "q_embed_pca" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE, 6)) AS v FROM embeddings), nn AS (SELECT count(*)::DOUBLE AS n FROM e), x AS (SELECT vec_id, j, v[j] AS vj FROM e CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), mu AS (SELECT j, round(round(sum(vj::DECIMAL(12,6)), 6)::DOUBLE / (SELECT n FROM nn), 6) AS mu FROM x GROUP BY j), c AS (SELECT vec_id, x.j, round(vj - mu, 6) AS cj FROM x JOIN mu ON x.j = mu.j), cov AS (SELECT a.j, b.j AS k, round(round(sum(round(a.cj * b.cj, 12)::DECIMAL(20,12)), 6)::DOUBLE / (SELECT n FROM nn), 8) AS cjk FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DOUBLE AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj AS loading, (SELECT round(nrm, 6) FROM n6) AS eigenvalue FROM v6 ORDER BY dim""",
     // same term-local round(6) components, same decimal-sum means,
     // same rounded squared-gap terms
     "q_embed_drift" ->

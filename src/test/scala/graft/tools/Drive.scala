@@ -2,7 +2,6 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.operators.Similarity
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -14,38 +13,26 @@ object Drive {
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.expressions.GraftFunctions.register(spark)
-    // embed LSH pairs with/without forced salting: is the final pair
-    // set invariant on the ORGANIC fixture when a tiny cap forces the
-    // salted path?
+    // Drive q_embed_pca through the public queries surface at two SFs:
+    // print the full 64-dim loading vector + eigenvalue, check unit
+    // norm, and cross-check the eigenvalue against a driver-side
+    // Rayleigh quotient computed from raw parquet (independent path).
     for (sf <- Seq("sf0.01", "sf0.1")) {
-      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
-        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val raw = Similarity.lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
-        .localCheckpoint(true)
-      // bucket-size profile
-      raw.groupBy("band_id", "bucket").count()
-        .agg(max("count"), expr("percentile(count, 0.999)"), count(lit(1))).show()
-      def pairs(cap: Int): Set[(Long, Long)] = {
-        val (bands, splits) = Similarity.adaptiveSalt(raw, Seq("band_id", "bucket"), "vec_id", cap)
-        println(s"[drive] $sf cap=$cap splits=${splits.count()}")
-        val cand = bands.select(col("vec_id").as("i"), col("band_id"), col("bucket"), col("salt"))
-          .join(bands.select(col("vec_id").as("j"), col("band_id"), col("bucket"), col("salt")),
-            Seq("band_id", "bucket", "salt"))
-          .where(col("i") < col("j"))
-          .select("i", "j").distinct()
-        val joined = cand
-          .join(e.select(col("vec_id").as("i"), col("v").as("va")), "i")
-          .join(e.select(col("vec_id").as("j"), col("v").as("vb")), "j")
-        joined.select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
-          .where(col("cos") >= 0.4)
-          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      }
-      val unsalted = pairs(Int.MaxValue)
-      for (cap <- Seq(64, 16, 8, 4)) {
-        val p = pairs(cap)
-        println(s"[drive] $sf cap=$cap pairs=${p.size} unsalted=${unsalted.size} " +
-          s"lost=${(unsalted -- p).size} gained=${(p -- unsalted).size}")
-      }
+      val out = graft.SparkEntry.queries("q_embed_pca")(spark, s"/root/testdata/$sf")
+        .collect().sortBy(_.getAs[Int]("dim"))
+      val v = out.map(_.getAs[Double]("loading"))
+      val ev = out.head.getAs[Double]("eigenvalue")
+      println(s"[drive] $sf eigenvalue=$ev norm=${math.sqrt(v.map(x => x * x).sum)}")
+      println(s"[drive] $sf loadings head=${v.take(8).mkString(",")}")
+      // independent Rayleigh quotient v'Cv on the raw data
+      val rows = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .select(expr("transform(embedding, x -> cast(x as double))").as("e"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val n = rows.length.toDouble
+      val mu = Array.tabulate(64)(j => rows.map(_(j)).sum / n)
+      val proj = rows.map(r => (0 until 64).map(j => (r(j) - mu(j)) * v(j)).sum)
+      val rayleigh = proj.map(p => p * p).sum / n
+      println(s"[drive] $sf rayleigh=$rayleigh (reported $ev, ratio ${rayleigh / ev})")
     }
     spark.stop()
   }
