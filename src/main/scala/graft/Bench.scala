@@ -106,6 +106,9 @@ object Bench {
     "q_graph_squares", "q_sketch_hll_merge", "q_dedup_minhash_acc",
     // r13: the SemDeDup accuracy sibling (drop-rate vs tau curve)
     "q_dedup_semantic_acc",
+    // r13 wave 13: SimHash est-vs-true accuracy over the band
+    // candidates (the minhash_acc sibling)
+    "q_dedup_simhash_acc",
     // wave-21: degree assortativity (exact power sums over the mirrored
     // edge ends). q_graph_harmonic stays gate-only: it shares
     // q_graph_closeness's all-roots superstep loop on the 25-vertex

@@ -367,17 +367,27 @@ object Dedup {
     * dist <= maxDist. */
   def simhashHammingPairs(docs: DataFrame, maxDist: Int = 3,
                           sigOpt: Option[DataFrame] = None): DataFrame = {
-    val bands = 4
-    require(maxDist < bands,
-      s"band-LSH over $bands bands only guarantees completeness for dist < $bands")
+    require(maxDist < 4,
+      s"band-LSH over 4 bands only guarantees completeness for dist < 4")
     // the wide-signature aggregation (2 md5/token over the whole
     // corpus) dominates this operator; a production pipeline computes
     // it once and persists it, so callers can inject that table via
     // sigOpt (same contract as minhashPairs) — the default pins a
     // fresh one because the band self-join reads it twice
     val sig = sigOpt.getOrElse(simhashWidePerDoc(docs).localCheckpoint(true))
+    simhashBandPairs(sig).where(col("dist") <= maxDist)
+  }
+
+  /** ALL band-LSH candidate pairs over a [[simhashWidePerDoc]] table —
+    * pairs colliding on at least one of the 4 × 15-bit bands, with
+    * their popcount hamming distance, NO ball threshold. This is the
+    * candidate surface [[simhashHammingPairs]] filters, exposed so the
+    * accuracy readout (q_dedup_simhash_acc) can score every candidate
+    * the index would ever consider; pair volume tracks band-collision
+    * density, never corpus². Output: (doc_a, doc_b, dist). */
+  def simhashBandPairs(sig: DataFrame): DataFrame = {
     val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until bands).map(b =>
+      posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .toDF("doc_id", "simhash", "band_id", "bkey")
     banded.as("a").join(banded.as("b"),
@@ -388,7 +398,6 @@ object Dedup {
       .distinct()
       .select(col("doc_a"), col("doc_b"),
         expr("bit_count(ha ^ hb)").cast("int").as("dist"))
-      .where(col("dist") <= maxDist)
   }
 
   /** Exact n-gram Jaccard between candidate pairs sharing a

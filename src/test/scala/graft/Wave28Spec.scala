@@ -203,6 +203,29 @@ class Wave28Spec extends SparkSpec {
     assert(r.forall(_.getAs[Double]("eigenvalue") == ev))
   }
 
+  test("q_dedup_simhash_acc: ranges hold, near-ball pairs are a subset with " +
+       "est >= 0.95, and clones score est = 1 with cos_true = 1") {
+    val acc = run("q_dedup_simhash_acc").collect()
+    acc.foreach { r =>
+      val dist = r.getAs[Int]("dist")
+      val est = r.getAs[Double]("est")
+      val cosT = r.getAs[Double]("cos_true")
+      assert(dist >= 0 && dist <= 60)
+      // est is round(1 - dist/60, 4) — tolerance is the rounding grain
+      assert(est >= 0.0 && est <= 1.0 && math.abs(est - (1.0 - dist / 60.0)) <= 5e-5)
+      assert(cosT >= 0.0 && cosT <= 1.0 + 1e-9, s"cos_true $cosT out of range")
+      if (dist == 0) assert(est == 1.0)
+    }
+    // every hamming-ball near-dup pair appears among the scored
+    // candidates (the acc surface is the unfiltered superset)
+    val accPairs = acc.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val near = run("q_dedup_simhash_near").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(near.nonEmpty && near.forall(accPairs.contains))
+    acc.filter(_.getAs[Int]("dist") <= 3)
+      .foreach(r => assert(r.getAs[Double]("est") >= 0.95))
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
