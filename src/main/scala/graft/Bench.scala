@@ -178,6 +178,8 @@ object Bench {
     "q_agg_theilsen",
     // r13 wave 13: power-iteration top principal component
     "q_embed_pca",
+    // r13 wave 13: Heaps'-law vocabulary-growth fit (the zipf sibling)
+    "q_text_heaps",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -1309,6 +1309,62 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_terms"), sum("c").cast("long").as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_text_heaps" -> ((s, d) => {
+      // Heaps'-law vocabulary-GROWTH fit V(n) = K·n^β — the zipf
+      // sibling along the other axis: zipf fingerprints the frequency
+      // profile at a point in time, Heaps fingerprints how vocabulary
+      // scales as the corpus grows (β ≈ 0.5–0.8 for natural text; a
+      // low β flags template/duplicated corpora, β ≈ 1 flags noise/
+      // random tokens). Types here are word 3-GRAMS, not unigrams —
+      // the synthetic fixture draws from a tiny closed word list
+      // (31 words at sf0.001), so the unigram vocabulary saturates in
+      // the first handful of docs and the unigram fit is degenerate
+      // (β = 0 in BOTH engines); the 3-gram type space is the
+      // combinatorial one whose growth the law is about. Shape: two
+      // corpus-wide hash aggs (per-doc type counts; per-type
+      // FIRST-occurrence doc via min(doc_id), re-aggregated to
+      // per-doc new-vocab counts) reduce the corpus to one tiny
+      // (doc_id, nt, nv) summary; 16 evenly-spaced doc_id thresholds
+      // then turn cumulative (types-seen, vocab) checkpoints into one
+      // 16-group agg over a broadcast range join — no global window,
+      // no sort, the summary is the only thing the cumulative step
+      // touches. Fit: round-after-ln DECIMAL(12,6) power sums + the
+      // q_agg_regr closed forms, exactly the q_text_zipf recipe.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+      val tokr = docs.select(col("doc_id"), expr("word_ngrams(text, 3)"))
+        .select(col("doc_id"), col("gram").as("tok"))
+      val perDoc = tokr.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+        .join(tokr.groupBy("tok").agg(min(col("doc_id")).as("fdoc"))
+            .groupBy(col("fdoc").as("doc_id")).agg(count(lit(1)).as("nv")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("nt"), coalesce(col("nv"), lit(0L)).as("nv"))
+      val ck = s.range(1, 17).select(col("id").as("k"))
+        .crossJoin(broadcast(docs.agg(max(col("doc_id")).as("m"))))
+        .select(col("k"), expr("m * k div 16").as("thr"))
+      val pts = perDoc.join(broadcast(ck), col("doc_id") <= col("thr"))
+        .groupBy("k").agg(sum("nt").as("n_toks"), sum("nv").as("vocab"))
+        .where(col("n_toks") > 0 && col("vocab") > 0)
+        .select(
+          round(log(col("n_toks").cast("double")), 6)
+            .cast("decimal(12,6)").as("lx"),
+          round(log(col("vocab").cast("double")), 6)
+            .cast("decimal(12,6)").as("ly"))
+      val g = pts.agg(
+        count(lit(1)).cast("double").as("n"),
+        round(sum(col("lx")), 6).cast("double").as("sx"),
+        round(sum(col("ly")), 6).cast("double").as("sy"),
+        round(sum(col("lx") * col("ly")), 6).cast("double").as("sxy"),
+        round(sum(col("lx") * col("lx")), 6).cast("double").as("sxx"),
+        round(sum(col("ly") * col("ly")), 6).cast("double").as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val denx = col("n") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n") * col("syy") - col("sy") * col("sy")
+      g.select(col("n").cast("long").as("n_pts"),
+        round(num / denx, 6).as("beta"),
+        round((col("sy") - num / denx * col("sx")) / col("n"), 6).as("lnk"),
+        round(num / denx * (num / deny), 6).as("r2"))
+    }),
     "q_text_zipf" -> ((s, d) => {
       // Zipf rank-frequency FIT — log-log OLS over the top-200 terms:
       // slope ≈ −1 is the healthy-natural-text signature; a flat slope
@@ -2740,6 +2796,12 @@ object PipelineQueries {
       s"""WITH $toksSql, u AS (SELECT unnest(tk) AS w FROM toks), tc AS (SELECT w, count(*) AS c FROM u GROUP BY w) SELECT length(format('{:b}', c))::INT AS bucket, count(*)::BIGINT AS n_terms, sum(c)::BIGINT AS n_tokens FROM tc GROUP BY bucket ORDER BY bucket""",
     // same top-200 by (count desc, term), same round-after-ln into
     // DECIMAL(12,6) exact sums, same closed-form parenthesization
+    // same 3-gram type rows, same two hash aggs (per-doc counts,
+    // first-occurrence vocab), same 16 integer doc_id thresholds,
+    // same round-after-ln DECIMAL(12,6) power sums and closed-form
+    // parenthesization
+    "q_text_heaps" ->
+      s"""WITH $toksSql, $shinglesSql, tokr AS (SELECT doc_id, unnest(gs) AS tok FROM sh), pt AS (SELECT doc_id, count(*)::BIGINT AS nt FROM tokr GROUP BY doc_id), fo AS (SELECT tok, min(doc_id) AS fdoc FROM tokr GROUP BY tok), pv AS (SELECT fdoc AS doc_id, count(*)::BIGINT AS nv FROM fo GROUP BY fdoc), pd AS (SELECT pt.doc_id, pt.nt, coalesce(pv.nv, 0) AS nv FROM pt LEFT JOIN pv ON pt.doc_id = pv.doc_id), mx AS (SELECT max(doc_id) AS m FROM documents), ck AS (SELECT k, (SELECT m FROM mx) * k // 16 AS thr FROM (SELECT unnest(range(1, 17)) AS k)), cp AS (SELECT ck.k, sum(pd.nt)::BIGINT AS n_toks, sum(pd.nv)::BIGINT AS vocab FROM ck JOIN pd ON pd.doc_id <= ck.thr GROUP BY ck.k), p AS (SELECT round(ln(n_toks), 6)::DECIMAL(12,6) AS lx, round(ln(vocab), 6)::DECIMAL(12,6) AS ly FROM cp WHERE n_toks > 0 AND vocab > 0), g AS (SELECT count(*)::DOUBLE AS n, round(sum(lx), 6)::DOUBLE AS sx, round(sum(ly), 6)::DOUBLE AS sy, round(sum(lx * ly), 6)::DOUBLE AS sxy, round(sum(lx * lx), 6)::DOUBLE AS sxx, round(sum(ly * ly), 6)::DOUBLE AS syy FROM p) SELECT n::BIGINT AS n_pts, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta, round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS lnk, round((n * sxy - sx * sy) / (n * sxx - sx * sx) * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6) AS r2 FROM g""",
     "q_text_zipf" ->
       s"""WITH $toksSql, u AS (SELECT unnest(tk) AS w FROM toks), tc AS (SELECT w, count(*)::BIGINT AS c FROM u GROUP BY w ORDER BY c DESC, w LIMIT 200), rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) AS r FROM tc), p AS (SELECT round(ln(r), 6)::DECIMAL(12,6) AS lx, round(ln(c), 6)::DECIMAL(12,6) AS ly FROM rk), g AS (SELECT count(*)::DOUBLE AS n, round(sum(lx), 6)::DOUBLE AS sx, round(sum(ly), 6)::DOUBLE AS sy, round(sum(lx * ly), 6)::DOUBLE AS sxy, round(sum(lx * lx), 6)::DOUBLE AS sxx, round(sum(ly * ly), 6)::DOUBLE AS syy FROM p) SELECT n::BIGINT AS n_terms, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept, round((n * sxy - sx * sy) / (n * sxx - sx * sx) * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6) AS r2 FROM g""",
     // lift ranks like PMI (log is monotone) but stays in exact

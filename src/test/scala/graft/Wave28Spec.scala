@@ -226,6 +226,21 @@ class Wave28Spec extends SparkSpec {
       .foreach(r => assert(r.getAs[Double]("est") >= 0.95))
   }
 
+  test("q_text_heaps: 16 checkpoints, beta in (0, 1], healthy r2") {
+    val r = run("q_text_heaps").collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_pts") == 16L)
+    val beta = r.head.getAs[Double]("beta")
+    // sublinear vocabulary growth: 0 < beta <= 1 (1 would mean every
+    // token is new forever; natural corpora sit around 0.5-0.8)
+    assert(beta > 0.0 && beta <= 1.0, s"beta $beta outside (0, 1]")
+    val r2 = r.head.getAs[Double]("r2")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-6, s"r2 $r2 out of range")
+    // cumulative log-log growth is near-linear for any real corpus —
+    // the fit should explain most variance
+    assert(r2 >= 0.8, s"r2 $r2 suspiciously low for a cumulative fit")
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
