@@ -180,6 +180,8 @@ object Bench {
     "q_embed_pca",
     // r13 wave 13: Heaps'-law vocabulary-growth fit (the zipf sibling)
     "q_text_heaps",
+    // r13 wave 13: Flesch-Kincaid readability grade per source
+    "q_text_readability",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -171,6 +171,34 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- text analysis ----------------------------------------------------
+    "q_text_readability" -> ((s, d) => {
+      // Flesch-Kincaid-style READABILITY grade per source — the
+      // classic pre-LLM quality heuristic still used as a pipeline
+      // filter signal (too-low grade = fragment soup, too-high =
+      // OCR/legal sludge). Syllables are proxied by vowel-group runs
+      // ([aeiouy]+, the standard cheap estimator) and sentences by
+      // terminal-punctuation runs — all three per-doc counts are
+      // integer-exact regexp/array counts, so the only floats are the
+      // grade's two divisions + linear combination, one fixed
+      // parenthesization, round(4) per doc, then the round-then-
+      // decimal-sum mean per source. One scan, one tiny hash agg —
+      // trivially partitionable at any corpus size.
+      val m = t(s, d, "documents").select(col("source"),
+        size(tokens(col("text"))).cast("long").as("w"),
+        greatest(expr("regexp_count(text, '[.!?]+')"), lit(1)).cast("long").as("sn"),
+        greatest(expr("regexp_count(lower(text), '[aeiouy]+')"), lit(1)).cast("long").as("sy"))
+      m.select(col("source"), col("w"),
+          round(lit(0.39) * col("w") / col("sn") +
+            lit(11.8) * col("sy") / col("w") - lit(15.59), 4).as("grade"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("w").as("n_words"),
+          round(sum(col("grade").cast("decimal(38,18)")).cast("double") /
+            count(lit(1)), 4).as("mean_grade"),
+          min("grade").as("min_grade"),
+          max("grade").as("max_grade"))
+        .orderBy("source")
+    }),
     "q_text_stats" -> ((s, d) => {
       t(s, d, "documents")
         .select(col("doc_id"), tokenCount(col("text")).as("tok_cnt"),
@@ -2800,6 +2828,12 @@ object PipelineQueries {
     // first-occurrence vocab), same 16 integer doc_id thresholds,
     // same round-after-ln DECIMAL(12,6) power sums and closed-form
     // parenthesization
+    // same integer word/sentence/syllable counts, same fixed
+    // parenthesization of the grade (constants forced ::DOUBLE so
+    // DuckDB doesn't run the arithmetic in DECIMAL), same
+    // round-then-decimal-sum mean
+    "q_text_readability" ->
+      s"""WITH $toksSql, m AS (SELECT d.source, len(t.tk)::BIGINT AS w, greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1)::BIGINT AS sn, greatest(len(regexp_extract_all(lower(d.text), '[aeiouy]+')), 1)::BIGINT AS sy FROM documents d JOIN toks t ON d.doc_id = t.doc_id), g AS (SELECT source, w, round(0.39::DOUBLE * w / sn + 11.8::DOUBLE * sy / w - 15.59::DOUBLE, 4) AS grade FROM m) SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words, round(sum(grade::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_grade, min(grade) AS min_grade, max(grade) AS max_grade FROM g GROUP BY source ORDER BY source""",
     "q_text_heaps" ->
       s"""WITH $toksSql, $shinglesSql, tokr AS (SELECT doc_id, unnest(gs) AS tok FROM sh), pt AS (SELECT doc_id, count(*)::BIGINT AS nt FROM tokr GROUP BY doc_id), fo AS (SELECT tok, min(doc_id) AS fdoc FROM tokr GROUP BY tok), pv AS (SELECT fdoc AS doc_id, count(*)::BIGINT AS nv FROM fo GROUP BY fdoc), pd AS (SELECT pt.doc_id, pt.nt, coalesce(pv.nv, 0) AS nv FROM pt LEFT JOIN pv ON pt.doc_id = pv.doc_id), mx AS (SELECT max(doc_id) AS m FROM documents), ck AS (SELECT k, (SELECT m FROM mx) * k // 16 AS thr FROM (SELECT unnest(range(1, 17)) AS k)), cp AS (SELECT ck.k, sum(pd.nt)::BIGINT AS n_toks, sum(pd.nv)::BIGINT AS vocab FROM ck JOIN pd ON pd.doc_id <= ck.thr GROUP BY ck.k), p AS (SELECT round(ln(n_toks), 6)::DECIMAL(12,6) AS lx, round(ln(vocab), 6)::DECIMAL(12,6) AS ly FROM cp WHERE n_toks > 0 AND vocab > 0), g AS (SELECT count(*)::DOUBLE AS n, round(sum(lx), 6)::DOUBLE AS sx, round(sum(ly), 6)::DOUBLE AS sy, round(sum(lx * ly), 6)::DOUBLE AS sxy, round(sum(lx * lx), 6)::DOUBLE AS sxx, round(sum(ly * ly), 6)::DOUBLE AS syy FROM p) SELECT n::BIGINT AS n_pts, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta, round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS lnk, round((n * sxy - sx * sy) / (n * sxx - sx * sx) * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6) AS r2 FROM g""",
     "q_text_zipf" ->

@@ -241,6 +241,20 @@ class Wave28Spec extends SparkSpec {
     assert(r2 >= 0.8, s"r2 $r2 suspiciously low for a cumulative fit")
   }
 
+  test("q_text_readability: grades bounded by the formula's extremes and " +
+       "mean within [min, max]") {
+    run("q_text_readability").collect().foreach { r =>
+      val (mn, mx, mean) = (r.getAs[Double]("min_grade"),
+        r.getAs[Double]("max_grade"), r.getAs[Double]("mean_grade"))
+      assert(mn <= mean + 1e-4 && mean <= mx + 1e-4,
+        s"mean $mean outside [$mn, $mx]")
+      // FK grade floor: w>=1, sn<=w terms bound the grade below by
+      // 0.39*1 + 11.8*0 - 15.59 > -16; anything lower is a count bug
+      assert(mn > -16.0 && mx < 200.0, s"grades [$mn, $mx] implausible")
+      assert(r.getAs[Long]("n_docs") > 0 && r.getAs[Long]("n_words") > 0)
+    }
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
