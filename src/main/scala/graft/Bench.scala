@@ -182,6 +182,8 @@ object Bench {
     "q_text_heaps",
     // r13 wave 13: Flesch-Kincaid readability grade per source
     "q_text_readability",
+    // r13 wave 13: per-label centroid-distance z-score outlier probe
+    "q_embed_outlier",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

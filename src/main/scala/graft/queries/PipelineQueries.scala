@@ -2393,60 +2393,128 @@ object PipelineQueries {
       // iteration — the dimensionality-reduction/whitening primitive
       // (PCA compression, anisotropy diagnosis: a dominant component
       // with a large eigenvalue share flags the rogue-dimension
-      // pathology common in LM embeddings). Three stages, all exact:
-      // (1) per-dim means from decimal sums; (2) the 64×64 covariance
-      // via a double-posexplode outer product — 4096 terms generated
-      // IN PLACE per vector (no self-join shuffle) into one partial+
-      // final hash agg with d² = 4096 groups, the shape that holds at
-      // any corpus size; (3) six fixed power-iteration steps on the
-      // checkpointed cell table — each a broadcast 64-row mat-vec with
-      // term-local round(12) decimal sums, norm rounded after the
-      // sqrt, components rounded to 6 (the q_events_markov_attribution
-      // fixed-step recipe). v0 = 0.125 uniform (exact binary), so the
-      // sign and every low bit are deterministic cross-engine.
-      val e = t(s, d, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> round(cast(x as double), 6))").as("v"))
-      val n = e.count().toDouble
-      val x = e.select(col("vec_id"), posexplode(col("v")).as(Seq("j0", "vj")))
-        .select(col("vec_id"), (col("j0") + 1).as("j"), col("vj"))
-      val mu = x.groupBy("j").agg(
-        (round(sum(col("vj").cast("decimal(12,6)")), 6).cast("double") /
-          lit(n)).as("mu0"))
-        .select(col("j"), round(col("mu0"), 6).as("mu"))
-      val cArr = x.join(broadcast(mu), "j")
-        .select(col("vec_id"), col("j"), round(col("vj") - col("mu"), 6).as("cj"))
+      // pathology common in LM embeddings). Float discipline: NO
+      // intermediate division (the first cut divided by n for the
+      // means and covariance and rounded the quotients — at sf0.1
+      // n = 5000 divides a power of ten, the quotients terminate, and
+      // a loading diverged at an exact rounding half). Instead the
+      // iteration runs on the n³-SCALED covariance M = Y'Y where
+      // y_ij = n·x_ij − Σx_j is an exact decimal — per-step
+      // normalization absorbs any label-constant scale, so the
+      // eigenvector is unchanged and the eigenvalue is recovered as
+      // ‖Mv‖/n³ at the end (a quotient under a sqrt — irrational,
+      // never on a rounding boundary). Stages: (1) exact scaled
+      // centering; (2) the 64×64 scaled covariance via a
+      // double-posexplode outer product — 4096 EXACT-decimal terms
+      // generated in place per vector (no self-join shuffle) into one
+      // partial+final hash agg with d² = 4096 groups, the shape that
+      // holds at any corpus size; (3) six fixed power-iteration steps
+      // on the checkpointed cell table — each mat-vec is EXACT decimal
+      // arithmetic (decimal(24,12) cells × decimal(8,6) components),
+      // its output integer-rounded (relative error ~1e-12 at the
+      // cells' 1e11 magnitude) so the norm's squares stay exact; the
+      // only floats are the two sqrt quotients, both boundary-safe.
+      // v0 = 0.125 uniform (exact), so every step is deterministic
+      // cross-engine to the last bit.
+      val x = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x0")))
+        .select(col("vec_id"), (col("j0") + 1).as("j"),
+          round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
+      val g = x.groupBy("j").agg(
+        sum(col("x")).cast("decimal(24,6)").as("sx"),
+        count(lit(1)).cast("decimal(6,0)").as("n"))
+      val nD = t(s, d, "embeddings").count().toDouble
+      val yArr = x.join(broadcast(g), "j")
+        .select(col("vec_id"), col("j"),
+          (col("x") * col("n") - col("sx")).cast("decimal(18,6)").as("y"))
         .groupBy("vec_id")
-        .agg(expr("transform(sort_array(collect_list(struct(j, cj))), s -> s.cj)")
-          .as("ca"))
-      val cov = cArr
-        .select(posexplode(col("ca")).as(Seq("j0", "cj")), col("ca"))
-        .select((col("j0") + 1).as("j"), col("cj"),
-          posexplode(col("ca")).as(Seq("k0", "ck")))
+        .agg(expr("transform(sort_array(collect_list(struct(j, y))), s -> s.y)")
+          .as("ya"))
+      val cov = yArr
+        .select(posexplode(col("ya")).as(Seq("j0", "yj")), col("ya"))
+        .select((col("j0") + 1).as("j"), col("yj"),
+          posexplode(col("ya")).as(Seq("k0", "yk")))
         .select(col("j"), (col("k0") + 1).as("k"),
-          round(col("cj") * col("ck"), 12).cast("decimal(20,12)").as("term"))
+          (col("yj") * col("yk")).cast("decimal(38,12)").as("term"))
         .groupBy("j", "k")
-        .agg((round(sum(col("term")), 6).cast("double") / lit(n)).as("c0"))
-        .select(col("j"), col("k"), round(col("c0"), 8).as("cjk"))
+        .agg(sum(col("term")).cast("decimal(24,12)").as("mjk"))
         .localCheckpoint(true) // consumed by all six mat-vec steps
-      var v = s.range(1, 65).select(col("id").as("j"), lit(0.125).as("vj"))
+      var v = s.range(1, 65).select(col("id").as("j"),
+        lit(0.125).cast("decimal(8,6)").as("vj"))
       var lastNorm: DataFrame = null
       for (_ <- 1 to 6) {
         val w = cov.join(broadcast(v.select(col("j").as("k"), col("vj"))), "k")
           .groupBy("j")
-          .agg(round(sum(round(col("cjk") * col("vj"), 12)
-            .cast("decimal(20,12)")), 6).cast("double").as("wj"))
+          .agg(round(sum((col("mjk") * col("vj")).cast("decimal(33,18)")), 0)
+            .cast("decimal(15,0)").as("wj"))
           .localCheckpoint(true) // norm + normalize both read it
-        val nrm = w.agg(round(sqrt(round(sum(round(col("wj") * col("wj"), 12)
-          .cast("decimal(20,12)")), 12).cast("double")), 8).as("nrm"))
+        val nrm = w.agg(
+          sqrt(sum((col("wj") * col("wj")).cast("decimal(38,0)"))
+            .cast("double")).as("nrm"))
         lastNorm = nrm
         v = w.crossJoin(broadcast(nrm))
-          .select(col("j"), round(col("wj") / col("nrm"), 6).as("vj"))
+          .select(col("j"), round(col("wj").cast("double") / col("nrm"), 6)
+            .cast("decimal(8,6)").as("vj"))
           .localCheckpoint(true)
       }
       v.crossJoin(broadcast(lastNorm))
-        .select(col("j").cast("int").as("dim"), col("vj").as("loading"),
-          round(col("nrm"), 6).as("eigenvalue"))
+        .select(col("j").cast("int").as("dim"),
+          col("vj").cast("double").as("loading"),
+          round(col("nrm") / lit(nD * nD * nD), 6).as("eigenvalue"))
         .orderBy("dim")
+    }),
+    "q_embed_outlier" -> ((s, d) => {
+      // embedding-space OUTLIER probe — per-label distance-to-centroid
+      // z-scores, top-20: the mislabeled/garbage-vector detector that
+      // runs before near-dup or semantic dedup trusts the space
+      // (q_embed_norms catches collapse, q_embed_drift catches shift;
+      // this catches individual rogue points). Float discipline: NO
+      // intermediate division at all. The centroid gap is scaled by
+      // the label count (e = n·x − Σx, exact decimal), the squared
+      // distance lives in that scaled space (d2s = Σe², exact — the
+      // 1/n² factor is label-constant, so z is unchanged), and the
+      // deviation dd = n·d2s − Σd2s is rounded to an exact INTEGER
+      // before squaring — every value both engines touch before the
+      // final division is an exact decimal, so the first cut's
+      // round-a-mean-at-an-exact-half divergence (2.0421 vs 2.042 at
+      // sf0.001) cannot occur; the one rounded float, z itself, is a
+      // quotient under a sqrt and never sits on a rounding boundary.
+      // Shape: three hash-agg passes, label-sized broadcasts, pinned
+      // per-vector table, TakeOrdered top-20.
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+        .toDF("vec_id", "label", "pos", "x0")
+        .select(col("vec_id"), col("label"), col("pos"),
+          round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
+      val g = ex.groupBy("label", "pos").agg(
+        sum(col("x")).cast("decimal(24,6)").as("sx"),
+        count(lit(1)).cast("decimal(4,0)").as("nl"))
+      val d2s = ex.join(broadcast(g), Seq("label", "pos"))
+        .select(col("vec_id"), col("label"),
+          (col("x") * col("nl") - col("sx")).cast("decimal(18,6)").as("e"))
+        .select(col("vec_id"), col("label"),
+          (col("e") * col("e")).cast("decimal(38,12)").as("e2"))
+        .groupBy("vec_id", "label")
+        .agg(sum(col("e2")).cast("decimal(24,12)").as("d2s"))
+        .localCheckpoint(true) // sum pass and deviation pass both read it
+      val st = d2s.groupBy("label").agg(
+        sum(col("d2s")).cast("decimal(28,12)").as("sd2"),
+        count(lit(1)).cast("decimal(4,0)").as("n"))
+      val dd = d2s.join(broadcast(st), "label")
+        .select(col("vec_id"), col("label"), col("n"),
+          round(col("d2s") * col("n") - col("sd2"), 0)
+            .cast("decimal(18,0)").as("dd"))
+        .localCheckpoint(true) // T pass and z pass both read it
+      val tt = dd.groupBy("label").agg(
+        sum((col("dd") * col("dd")).cast("decimal(38,0)")).as("tt"),
+        max(col("n")).as("n2"))
+      dd.join(broadcast(tt), "label")
+        .where(col("tt") > 0)
+        .select(col("vec_id"), col("label"),
+          round(col("dd").cast("double") /
+            sqrt(col("tt").cast("double") / col("n2").cast("double")), 4).as("z"))
+        .orderBy(col("z").desc, col("vec_id"))
+        .limit(20)
     }),
     "q_embed_drift" -> ((s, d) => {
       // vector-store DRIFT monitor — per-label centroid shift between
@@ -2704,15 +2772,15 @@ object PipelineQueries {
   private def foldSql(elems: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
   /** The six unrolled power-iteration steps of the q_embed_pca oracle
-    * (mat-vec → norm → normalize per step), generated so the per-step
-    * float discipline is written once and cannot drift between
-    * steps. */
+    * (exact-decimal mat-vec → integer-rounded output → exact-square
+    * norm → normalize per step), generated so the per-step float
+    * discipline is written once and cannot drift between steps. */
   private def pcaStepsSql(steps: Int): String =
     (1 to steps).map { t =>
       val p = if (t == 1) "v0" else s"v${t - 1}"
-      s"w$t AS (SELECT cov.j, round(sum(round(cjk * p.vj, 12)::DECIMAL(20,12)), 6)::DOUBLE AS wj FROM cov JOIN $p p ON cov.k = p.j GROUP BY cov.j), " +
-      s"n$t AS (SELECT round(sqrt(round(sum(round(wj * wj, 12)::DECIMAL(20,12)), 12)::DOUBLE), 8) AS nrm FROM w$t), " +
-      s"v$t AS (SELECT j, round(wj / (SELECT nrm FROM n$t), 6) AS vj FROM w$t)"
+      s"w$t AS (SELECT cov.j, round(sum((mjk * p.vj)::DECIMAL(33,18)), 0)::DECIMAL(15,0) AS wj FROM cov JOIN $p p ON cov.k = p.j GROUP BY cov.j), " +
+      s"n$t AS (SELECT sqrt(sum((wj::DECIMAL(19,0) * wj::DECIMAL(19,0))::DECIMAL(38,0))::DOUBLE) AS nrm FROM w$t), " +
+      s"v$t AS (SELECT j, round(wj::DOUBLE / (SELECT nrm FROM n$t), 6)::DECIMAL(8,6) AS vj FROM w$t)"
     }.mkString(", ")
   /** Quality-score CTE chain (mirrors
     * [[graft.functions.TextFunctions.qualityScore]]); terminal CTE
@@ -3030,13 +3098,20 @@ object PipelineQueries {
     // round(4) after the product, same (score desc, id) tiebreak
     "q_embed_mips" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0) SELECT vec_id, round(((vec_id % 7) + 1)::DOUBLE * ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")}, 4) AS score FROM e CROSS JOIN q WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10""",
-    // same decimal mean/covariance sums (the oracle builds the outer
-    // product via a vec_id self-join — different plan, identical
-    // cells), same six per-step-rounded power iterations
+    // same exact-decimal scaled centering y = n·x − Σx and scaled
+    // covariance cells (the oracle builds the outer product via a
+    // vec_id self-join — different plan, identical cells), same six
+    // exact-decimal power iterations, same ‖Mv‖/n³ eigenvalue readout
     "q_embed_pca" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> round(x::DOUBLE, 6)) AS v FROM embeddings), nn AS (SELECT count(*)::DOUBLE AS n FROM e), x AS (SELECT vec_id, j, v[j] AS vj FROM e CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), mu AS (SELECT j, round(round(sum(vj::DECIMAL(12,6)), 6)::DOUBLE / (SELECT n FROM nn), 6) AS mu FROM x GROUP BY j), c AS (SELECT vec_id, x.j, round(vj - mu, 6) AS cj FROM x JOIN mu ON x.j = mu.j), cov AS (SELECT a.j, b.j AS k, round(round(sum(round(a.cj * b.cj, 12)::DECIMAL(20,12)), 6)::DOUBLE / (SELECT n FROM nn), 8) AS cjk FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DOUBLE AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj AS loading, (SELECT round(nrm, 6) FROM n6) AS eigenvalue FROM v6 ORDER BY dim""",
+      s"""WITH e AS (SELECT vec_id, j, round(va[j], 6)::DECIMAL(18,6) AS x FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), g AS (SELECT j, sum(x)::DECIMAL(24,6) AS sx, count(*)::DECIMAL(6,0) AS n FROM e GROUP BY j), y AS (SELECT vec_id, e.j, (x * n - sx)::DECIMAL(18,6) AS y FROM e JOIN g ON e.j = g.j), cov AS (SELECT a.j, b.j AS k, sum((a.y::DECIMAL(19,6) * b.y::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS mjk FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DECIMAL(8,6) AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj::DOUBLE AS loading, (SELECT round(nrm / (n * n * n), 6) FROM n6 CROSS JOIN nn) AS eigenvalue FROM v6 ORDER BY dim""",
     // same term-local round(6) components, same decimal-sum means,
     // same rounded squared-gap terms
+    // same division-free exact-decimal pipeline: scaled centroid gap
+    // e = n·x − Σx, scaled squared distance d2s = Σe², integer-rounded
+    // deviation dd = round(n·d2s − Σd2s) — only the final z divides,
+    // under the sqrt, so no rounded value can sit on a half boundary
+    "q_embed_outlier" ->
+      """WITH ev AS (SELECT vec_id, label, list_transform(embedding, y -> y::DOUBLE) AS v FROM embeddings), e AS (SELECT vec_id, label, j, round(v[j], 6)::DECIMAL(18,6) AS x FROM ev CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), g AS (SELECT label, j, sum(x)::DECIMAL(24,6) AS sx, count(*)::DECIMAL(4,0) AS nl FROM e GROUP BY label, j), d2 AS (SELECT vec_id, e.label, sum(((x * nl - sx)::DECIMAL(19,6) * (x * nl - sx)::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS d2s FROM e JOIN g ON e.label = g.label AND e.j = g.j GROUP BY vec_id, e.label), st AS (SELECT label, sum(d2s)::DECIMAL(28,12) AS sd2, count(*)::DECIMAL(4,0) AS n FROM d2 GROUP BY label), ddt AS (SELECT vec_id, d2.label, n, round(d2.d2s * n - sd2, 0)::DECIMAL(18,0) AS dd FROM d2 JOIN st ON d2.label = st.label), tt AS (SELECT label, sum((dd::DECIMAL(19,0) * dd::DECIMAL(19,0))::DECIMAL(38,0)) AS tt, max(n) AS n2 FROM ddt GROUP BY label) SELECT ddt.vec_id, ddt.label, round(ddt.dd::DOUBLE / sqrt(tt.tt::DOUBLE / tt.n2::DOUBLE), 4) AS z FROM ddt JOIN tt ON ddt.label = tt.label WHERE tt.tt > 0 ORDER BY z DESC, vec_id LIMIT 20""",
     "q_embed_drift" ->
       """WITH ex AS (SELECT vec_id, label, t.i AS pos, round(embedding[t.i + 1]::DOUBLE, 6)::DECIMAL(38,8) AS x FROM embeddings CROSS JOIN range(64) t(i)), g AS (SELECT label, pos, round(sum(CASE WHEN vec_id % 2 = 0 THEN x END)::DOUBLE / sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END), 6) AS mref, round(sum(CASE WHEN vec_id % 2 = 1 THEN x END)::DOUBLE / sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END), 6) AS mcur FROM ex GROUP BY 1, 2), tm AS (SELECT label, round((mcur - mref) * (mcur - mref), 8) AS t FROM g) SELECT label, round(sum(t::DECIMAL(38,18))::DOUBLE, 6) AS drift2 FROM tm GROUP BY label ORDER BY label""",
     // compaction == the tombstone mask, exactly: the delete oracle

@@ -255,6 +255,17 @@ class Wave28Spec extends SparkSpec {
     }
   }
 
+  test("q_embed_outlier: 20 rows, z sorted descending and genuinely extreme " +
+       "at the top") {
+    val r = run("q_embed_outlier").collect()
+    assert(r.length == 20)
+    val zs = r.map(_.getAs[Double]("z"))
+    assert(zs.sameElements(zs.sortBy(-_)), "z not sorted descending")
+    // a top-20 of standardized scores over hundreds of vectors must
+    // sit above the mean
+    assert(zs.head > 1.0 && zs.last > 0.0, s"top z ${zs.head}, 20th ${zs.last}")
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))

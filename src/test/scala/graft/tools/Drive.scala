@@ -13,26 +13,40 @@ object Drive {
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.expressions.GraftFunctions.register(spark)
-    // Drive q_embed_pca through the public queries surface at two SFs:
-    // print the full 64-dim loading vector + eigenvalue, check unit
-    // norm, and cross-check the eigenvalue against a driver-side
-    // Rayleigh quotient computed from raw parquet (independent path).
-    for (sf <- Seq("sf0.01", "sf0.1")) {
-      val out = graft.SparkEntry.queries("q_embed_pca")(spark, s"/root/testdata/$sf")
-        .collect().sortBy(_.getAs[Int]("dim"))
-      val v = out.map(_.getAs[Double]("loading"))
-      val ev = out.head.getAs[Double]("eigenvalue")
-      println(s"[drive] $sf eigenvalue=$ev norm=${math.sqrt(v.map(x => x * x).sum)}")
-      println(s"[drive] $sf loadings head=${v.take(8).mkString(",")}")
-      // independent Rayleigh quotient v'Cv on the raw data
-      val rows = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
-        .select(expr("transform(embedding, x -> cast(x as double))").as("e"))
-        .collect().map(_.getSeq[Double](0).toArray)
-      val n = rows.length.toDouble
-      val mu = Array.tabulate(64)(j => rows.map(_(j)).sum / n)
-      val proj = rows.map(r => (0 until 64).map(j => (r(j) - mu(j)) * v(j)).sum)
-      val rayleigh = proj.map(p => p * p).sum / n
-      println(s"[drive] $sf rayleigh=$rayleigh (reported $ev, ratio ${rayleigh / ev})")
+    val d = "/root/testdata/sf0.001"
+    import graft.queries.Tables.t
+    val ex = t(spark, d, "embeddings")
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
+      .toDF("vec_id", "label", "pos", "x0")
+      .select(col("vec_id"), col("label"), col("pos"),
+        round(col("x0").cast("double"), 6).as("x"))
+    val mu = ex.groupBy("label", "pos").agg(
+      round(sum(col("x").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("mu"))
+    val d2 = ex.join(broadcast(mu), Seq("label", "pos"))
+      .select(col("vec_id"), col("label"),
+        round((col("x") - col("mu")) * (col("x") - col("mu")), 8)
+          .cast("decimal(38,18)").as("t"))
+      .groupBy("vec_id", "label")
+      .agg(round(sum(col("t")).cast("double"), 6).as("d2"))
+      .localCheckpoint(true)
+    val st = d2.groupBy("label").agg(
+      round(sum(col("d2").cast("decimal(38,18)")).cast("double") /
+        count(lit(1)), 6).as("m"))
+    val va = d2.join(broadcast(st), "label")
+      .select(col("label"), col("m"),
+        round((col("d2") - col("m")) * (col("d2") - col("m")), 8)
+          .cast("decimal(38,18)").as("q"))
+      .groupBy("label", "m")
+      .agg(round(sqrt(round(sum(col("q")).cast("double") /
+        count(lit(1)), 8)), 6).as("sd"))
+    val z = d2.join(broadcast(va), "label")
+      .where(col("vec_id") === 252)
+      .select(col("vec_id"), col("d2"), col("m"), col("sd"),
+        ((col("d2") - col("m")) / col("sd")).as("zraw"),
+        round((col("d2") - col("m")) / col("sd"), 4).as("z"))
+    z.collect().foreach { r =>
+      println(s"[drive] vec=${r.getAs[Long]("vec_id")} d2=${r.getAs[Double]("d2")} m=${r.getAs[Double]("m")} sd=${r.getAs[Double]("sd")} zraw=${r.getAs[Double]("zraw")} z=${r.getAs[Double]("z")}")
     }
     spark.stop()
   }
