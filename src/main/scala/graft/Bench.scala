@@ -184,6 +184,9 @@ object Bench {
     "q_text_readability",
     // r13 wave 13: per-label centroid-distance z-score outlier probe
     "q_embed_outlier",
+    // r13 wave 13: bow-tie decomposition (SCC core + two reachability
+    // fixpoints over the directed fixture)
+    "q_graph_bowtie",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -1026,6 +1026,43 @@ object Traversals {
     * never affect SCC membership) but their vertices are kept — a
     * vertex whose only incident edge is a self-loop is a singleton
     * SCC, so the vertex set derives from the UNFILTERED edge list. */
+  /** Vertices reachable (along edge direction) from a SEED SET given
+    * as a DataFrame — the set-source sibling of [[bfsLevels]] for
+    * callers whose seeds are themselves a distributed result (e.g.
+    * the bow-tie decomposition's core SCC) and must never transit the
+    * driver. Level-synchronous frontier loop: each superstep is one
+    * src-keyed equi-join + left-anti against the visited set, both
+    * checkpoint-reaped, so state per superstep is (frontier ∪
+    * visited) and the edge cache is shared across supersteps via
+    * [[partitionEdges]]. Output: one `vertex` column, seeds included.
+    * Reverse the edge columns at the call site for reaches-TO-set. */
+  def reachableFrom(edges: DataFrame, seeds: DataFrame,
+                    maxIters: Int = 10000): DataFrame = {
+    val e = partitionEdges(edges)
+    try {
+      var visited = seeds.select(col("vertex").cast("long").as("vertex"))
+        .distinct().checkpointSized()
+      var frontier = visited
+      var n = frontier.count()
+      var it = 0
+      while (n > 0 && it < maxIters) {
+        it += 1
+        val next = e.join(frontier.select(col("vertex").as("src")), "src")
+          .select(col("dst").as("vertex")).distinct()
+          .join(visited, Seq("vertex"), "left_anti")
+          .checkpointSized()
+        val prevVisited = visited
+        visited = visited.union(next).checkpointSized()
+        if (it > 1) dropCheckpoint(frontier)
+        dropCheckpoint(prevVisited)
+        frontier = next
+        n = next.count()
+      }
+      if (it > 0) dropCheckpoint(frontier)
+      visited
+    } finally e.unpersist(blocking = false)
+  }
+
   def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 1000,
                                   maxIters: Int = 10000, jumps: Int = 2): DataFrame = {
     val e0 = edges.select(col("src").cast("long").as("src"),

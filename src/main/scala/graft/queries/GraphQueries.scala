@@ -184,6 +184,55 @@ object GraphQueries {
       // oracle is ground truth from the full mutual-reachability
       // closure, so it validates ANY correct SCC algorithm
       Traversals.stronglyConnectedComponents(sccEdges(s, d)).orderBy("vertex")),
+    "q_graph_bowtie" -> ((s, d) => {
+      // BOW-TIE decomposition (Broder et al., WWW 2000) of the
+      // directed ring+cross fixture — the structural census every
+      // web-corpus crawl audit reports: the largest SCC is the CORE,
+      // IN reaches it, OUT is reached from it, everything else is
+      // tendril/disconnected OTHER. Composition of two existing
+      // primitives: the FW-BW SCC peel picks the core, then two
+      // set-seeded reachability fixpoints (Traversals.reachableFrom,
+      // seeds stay distributed — no driver collect) classify the
+      // rest; a vertex in both frontiers would be in the core's SCC,
+      // so the four classes partition. Per-class size + min-vertex
+      // census output, bounded at 4 rows. The oracle derives all
+      // three sets independently from the same recursive-CTE
+      // reachability closure ground truth q_graph_scc uses. The scc
+      // fixture's ring-level edge structure only allows 1→5 and 3→7
+      // (so its core has NO in/out fringe — every class but core/other
+      // would be vacuously empty); two deterministic 16-edge rails,
+      // ring1→ring3 (an IN candidate) and ring7→ring5 (an OUT
+      // candidate), give the decomposition a real tie to cut at every
+      // SF (at larger SFs a sampled up-edge may merge them into the
+      // core — the oracle recomputes ground truth either way).
+      val rails = s.range(0, 16).select(col("id"))
+        .select(explode(array(
+          struct((col("id") + 16).as("src"), (col("id") + 48).as("dst")),
+          struct((col("id") + 112).as("src"), (col("id") + 80).as("dst")))))
+        .select(col("col.src").as("src"), col("col.dst").as("dst"))
+      val edges = sccEdges(s, d).union(rails).distinct()
+        .localCheckpoint(true) // scc + fwd + bwd scans
+      val comp = Traversals.stronglyConnectedComponents(edges)
+      val coreId = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+        .orderBy(col("sz").desc, col("component")).limit(1).select("component")
+      val cv = comp.join(broadcast(coreId), "component").select("vertex")
+        .localCheckpoint(true) // both reachability seeds + the class check
+      val fwd = Traversals.reachableFrom(edges, cv)
+      val bwd = Traversals.reachableFrom(
+        edges.select(col("dst").as("src"), col("src").as("dst")), cv)
+      edges.select(explode(array(col("src"), col("dst"))).as("vertex")).distinct()
+        .join(cv.withColumn("isCore", lit(1)), Seq("vertex"), "left")
+        .join(bwd.withColumn("isBwd", lit(1)), Seq("vertex"), "left")
+        .join(fwd.withColumn("isFwd", lit(1)), Seq("vertex"), "left")
+        .select(col("vertex"),
+          when(col("isCore") === 1, "core")
+            .when(col("isBwd") === 1, "in")
+            .when(col("isFwd") === 1, "out")
+            .otherwise("other").as("cls"))
+        .groupBy("cls").agg(count(lit(1)).as("n_vertices"),
+          min("vertex").as("first_vertex"))
+        .orderBy("cls")
+    }),
     "q_graph_mst" -> ((s, d) => {
       // Borůvka minimum spanning forest at DATA scale, over
       // per-customer order CYCLES (the scc_big chain shape closed
@@ -1102,6 +1151,15 @@ object GraphQueries {
       """WITH o AS (SELECT o_custkey, o_orderkey AS k FROM orders), agg AS (SELECT o_custkey, min(k) AS f, count(*) AS n FROM o GROUP BY o_custkey), jm AS (SELECT o.o_custkey, max(k) AS jmax FROM o JOIN agg USING (o_custkey) WHERE n >= 2 AND k % 23 = 0 AND k <> f GROUP BY o.o_custkey), v AS (SELECT o.o_custkey, k, f FROM o JOIN agg USING (o_custkey) WHERE n >= 2), cv AS (SELECT v.k, CASE WHEN jm.jmax IS NOT NULL AND v.k <= jm.jmax THEN v.f ELSE v.k END AS component FROM v LEFT JOIN jm ON v.o_custkey = jm.o_custkey), szs AS (SELECT component, count(*) AS sz FROM cv GROUP BY component) SELECT sz::BIGINT AS sz, count(*)::BIGINT AS n_components FROM szs GROUP BY sz ORDER BY sz""",
     "q_graph_scc" ->
       """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders), ring AS (SELECT DISTINCT (k % 128) AS src, CASE WHEN (k % 128) % 16 < 15 THEN (k % 128) + 1 ELSE (k % 128) - 15 END AS dst FROM o), dn AS (SELECT DISTINCT ((k*7) % 8) * 16 + (k % 16) AS src, ((k*3) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 13 = 0 AND (k*7) % 8 < (k*3) % 8), up AS (SELECT DISTINCT ((k*3) % 8) * 16 + (k % 16) AS src, ((k*7) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 997 = 0 AND (k*7) % 8 < (k*3) % 8), e AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM dn UNION SELECT src, dst FROM up), e2 AS (SELECT src, dst FROM e WHERE src <> dst), r AS (SELECT src AS a, dst AS b FROM e2 UNION SELECT r.a, e2.dst FROM r JOIN e2 ON e2.src = r.b), v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e), m AS (SELECT a, b FROM r UNION SELECT vertex, vertex FROM v) SELECT m1.a::BIGINT AS vertex, min(m1.b)::BIGINT AS component FROM m m1 JOIN m m2 ON m1.b = m2.a AND m2.b = m1.a GROUP BY m1.a ORDER BY vertex""",
+    // same fixture + the two 16-edge rails + reachability-closure
+    // ground truth as q_graph_scc; core/IN/OUT derived set-
+    // theoretically from the closure pairs. The vertex CTE is
+    // re-deduped before the census (DISTINCT-FROM-UNION-ALL rule:
+    // under WITH RECURSIVE DuckDB may not dedup a plain UNION in a
+    // non-recursive CTE — q_graph_scc tolerates the duplicates via
+    // its closing GROUP BY, a census does not)
+    "q_graph_bowtie" ->
+      """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders), ring AS (SELECT DISTINCT (k % 128) AS src, CASE WHEN (k % 128) % 16 < 15 THEN (k % 128) + 1 ELSE (k % 128) - 15 END AS dst FROM o), dn AS (SELECT DISTINCT ((k*7) % 8) * 16 + (k % 16) AS src, ((k*3) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 13 = 0 AND (k*7) % 8 < (k*3) % 8), up AS (SELECT DISTINCT ((k*3) % 8) * 16 + (k % 16) AS src, ((k*7) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 997 = 0 AND (k*7) % 8 < (k*3) % 8), rails AS (SELECT i + 16 AS src, i + 48 AS dst FROM (SELECT unnest(range(0, 16)) AS i) UNION ALL SELECT i + 112 AS src, i + 80 AS dst FROM (SELECT unnest(range(0, 16)) AS i)), e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM dn UNION ALL SELECT src, dst FROM up UNION ALL SELECT src, dst FROM rails)), e2 AS (SELECT src, dst FROM e WHERE src <> dst), r AS (SELECT src AS a, dst AS b FROM e2 UNION SELECT r.a, e2.dst FROM r JOIN e2 ON e2.src = r.b), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), m AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM r UNION ALL SELECT vertex, vertex FROM v)), comp AS (SELECT m1.a AS vertex, min(m1.b) AS component FROM m m1 JOIN m m2 ON m1.b = m2.a AND m2.b = m1.a GROUP BY m1.a), core AS (SELECT component FROM (SELECT component, count(*) AS sz FROM comp GROUP BY component ORDER BY sz DESC, component LIMIT 1)), cv AS (SELECT vertex FROM comp WHERE component = (SELECT component FROM core)), fwd AS (SELECT DISTINCT r.b AS vertex FROM r JOIN cv ON r.a = cv.vertex), bwd AS (SELECT DISTINCT r.a AS vertex FROM r JOIN cv ON r.b = cv.vertex), cls AS (SELECT v.vertex, CASE WHEN v.vertex IN (SELECT vertex FROM cv) THEN 'core' WHEN v.vertex IN (SELECT vertex FROM bwd) THEN 'in' WHEN v.vertex IN (SELECT vertex FROM fwd) THEN 'out' ELSE 'other' END AS cls FROM v) SELECT cls, count(*)::BIGINT AS n_vertices, min(vertex)::BIGINT AS first_vertex FROM cls GROUP BY cls ORDER BY cls""",
     "q_graph_mst" ->
       """WITH o AS (SELECT o_custkey, o_orderkey::BIGINT AS k FROM orders), g AS (SELECT o_custkey FROM o GROUP BY o_custkey HAVING count(*) >= 3), c AS (SELECT o.o_custkey, k, lead(k) OVER (PARTITION BY o.o_custkey ORDER BY k) AS nxt FROM o JOIN g USING (o_custkey)), chain AS (SELECT o_custkey, k AS a, nxt AS b FROM c WHERE nxt IS NOT NULL), back AS (SELECT o_custkey, min(k) AS a, max(k) AS b FROM c GROUP BY o_custkey), e AS (SELECT o_custkey, a, b, (a * 7 + b * 13) % 997 + 1 AS w FROM (SELECT * FROM chain UNION ALL SELECT * FROM back) u), r AS (SELECT o_custkey, w, row_number() OVER (PARTITION BY o_custkey ORDER BY w DESC, a DESC, b DESC) AS rn FROM e) SELECT o_custkey, sum(w)::BIGINT AS mst_w FROM r WHERE rn > 1 GROUP BY o_custkey ORDER BY o_custkey""",
     // golden literals per FIXTURES.md (G7 from 0: levels {0},{1,4},

@@ -266,6 +266,20 @@ class Wave28Spec extends SparkSpec {
     assert(zs.head > 1.0 && zs.last > 0.0, s"top z ${zs.head}, 20th ${zs.last}")
   }
 
+  test("q_graph_bowtie: classes partition the 128 fixture vertices and every " +
+       "bow-tie region is exercised") {
+    val r = run("q_graph_bowtie").collect()
+      .map(row => row.getAs[String]("cls") -> row.getAs[Long]("n_vertices")).toMap
+    // the ring fixture has exactly 128 vertices; rails add edges only
+    assert(r.values.sum == 128L, s"classes sum ${r.values.sum} != 128")
+    // the rails guarantee a nonempty IN (ring1 -> core) and OUT
+    // (core -> ring5) unless a sampled up-edge merges them INTO the
+    // core — either way the core holds at least the two merged rings
+    assert(r.getOrElse("core", 0L) >= 32L, s"core ${r.get("core")} < 32")
+    assert(r.getOrElse("in", 0L) + r.getOrElse("out", 0L) > 0L ||
+      r("core") > 32L, s"no in/out fringe and core not merged: $r")
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))

@@ -2,6 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import graft.operators.Traversals
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -12,42 +13,37 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.functions.expressions.GraftFunctions.register(spark)
     val d = "/root/testdata/sf0.001"
-    import graft.queries.Tables.t
-    val ex = t(spark, d, "embeddings")
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")))
-      .toDF("vec_id", "label", "pos", "x0")
-      .select(col("vec_id"), col("label"), col("pos"),
-        round(col("x0").cast("double"), 6).as("x"))
-    val mu = ex.groupBy("label", "pos").agg(
-      round(sum(col("x").cast("decimal(38,18)")).cast("double") /
-        count(lit(1)), 6).as("mu"))
-    val d2 = ex.join(broadcast(mu), Seq("label", "pos"))
-      .select(col("vec_id"), col("label"),
-        round((col("x") - col("mu")) * (col("x") - col("mu")), 8)
-          .cast("decimal(38,18)").as("t"))
-      .groupBy("vec_id", "label")
-      .agg(round(sum(col("t")).cast("double"), 6).as("d2"))
-      .localCheckpoint(true)
-    val st = d2.groupBy("label").agg(
-      round(sum(col("d2").cast("decimal(38,18)")).cast("double") /
-        count(lit(1)), 6).as("m"))
-    val va = d2.join(broadcast(st), "label")
-      .select(col("label"), col("m"),
-        round((col("d2") - col("m")) * (col("d2") - col("m")), 8)
-          .cast("decimal(38,18)").as("q"))
-      .groupBy("label", "m")
-      .agg(round(sqrt(round(sum(col("q")).cast("double") /
-        count(lit(1)), 8)), 6).as("sd"))
-    val z = d2.join(broadcast(va), "label")
-      .where(col("vec_id") === 252)
-      .select(col("vec_id"), col("d2"), col("m"), col("sd"),
-        ((col("d2") - col("m")) / col("sd")).as("zraw"),
-        round((col("d2") - col("m")) / col("sd"), 4).as("z"))
-    z.collect().foreach { r =>
-      println(s"[drive] vec=${r.getAs[Long]("vec_id")} d2=${r.getAs[Double]("d2")} m=${r.getAs[Double]("m")} sd=${r.getAs[Double]("sd")} zraw=${r.getAs[Double]("zraw")} z=${r.getAs[Double]("z")}")
-    }
+    val scc = graft.SparkEntry.queries("q_graph_scc")(spark, d).collect()
+    val core = scc.filter(_.getAs[Long]("component") == 48L).map(_.getAs[Long]("vertex"))
+    println(s"[drive] core size ${core.length}: ${core.sorted.take(40).mkString(",")}")
+    // rebuild edges like sccEdges via the public scc entry's shape:
+    // recompute from orders directly
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey").cast("long").as("k"))
+    val ring = o.select((col("k") % 128).as("src")).distinct()
+      .withColumn("dst",
+        when(col("src") % 16 < 15, col("src") + 1).otherwise(col("src") - 15))
+    def cross(filterMod: Long, srcRing: org.apache.spark.sql.Column,
+              dstRing: org.apache.spark.sql.Column) =
+      o.where((col("k") % filterMod === 0) &&
+          ((col("k") * 7) % 8 < (col("k") * 3) % 8))
+        .select((srcRing * 16 + col("k") % 16).as("src"),
+          (dstRing * 16 + shiftright(col("k"), 4) % 16).as("dst"))
+        .distinct()
+    val dn = cross(13, (col("k") * 7) % 8, (col("k") * 3) % 8)
+    val up = cross(997, (col("k") * 3) % 8, (col("k") * 7) % 8)
+    val edges = ring.union(dn).union(up).distinct().localCheckpoint(true)
+    println(s"[drive] edges=${edges.count()} dn=${dn.count()} up=${up.count()}")
+    val cv = spark.createDataFrame(spark.sparkContext.parallelize(
+      core.toSeq.map(org.apache.spark.sql.Row(_))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vertex",
+          org.apache.spark.sql.types.LongType))))
+    val fwd = Traversals.reachableFrom(edges, cv)
+    val bwd = Traversals.reachableFrom(
+      edges.select(col("dst").as("src"), col("src").as("dst")), cv)
+    println(s"[drive] fwd=${fwd.count()} bwd=${bwd.count()}")
     spark.stop()
   }
 }
