@@ -187,6 +187,8 @@ object Bench {
     // r13 wave 13: bow-tie decomposition (SCC core + two reachability
     // fixpoints over the directed fixture)
     "q_graph_bowtie",
+    // r13 wave 13: winsorized/trimmed means (the q_agg_mad siblings)
+    "q_agg_winsor",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -2551,6 +2551,52 @@ object RelationalQueries {
             "CAST(o_custkey % 4 AS INT) + 1)").as("te"))
         .orderBy("o_orderkey")
     }),
+    "q_agg_winsor" -> ((s, d) => {
+      // robust statistics, the clamping siblings of q_agg_mad:
+      // WINSORIZED mean (values clamped into [p10, p90]) and TRIMMED
+      // mean (values outside dropped) per group — the standard
+      // heavy-tail-resistant location estimates reported next to MAD.
+      // Both percentiles come from ONE rank window via the
+      // q_agg_percentile engineered-parity formula (rank-addressed
+      // lo/hi + the identical IEEE interpolation both engines — ties
+      // in the sort are harmless because only the VALUE at the rank
+      // is read); the clamp/trim pass is a broadcast join of the
+      // group-level bounds. Means follow the term-local round(8) →
+      // decimal-sum recipe, output round(4) — terms two orders finer
+      // than the output so a mean quotient cannot sit near a rounding
+      // half (the r13 division-boundary rule).
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val w = Window.partitionBy("event_type")
+      val rk = e.withColumn("rn", row_number().over(w.orderBy("value")))
+        .withColumn("n", count(lit(1)).over(w))
+      def pos(p: Double) = (col("n") - 1).cast("double") * p
+      val pct = rk.groupBy("event_type").agg(
+          max(col("n")).as("n"),
+          max(when(col("rn") === floor(pos(0.1)) + 1, col("value"))).as("lo10"),
+          max(when(col("rn") === ceil(pos(0.1)) + 1, col("value"))).as("hi10"),
+          max(when(col("rn") === floor(pos(0.9)) + 1, col("value"))).as("lo90"),
+          max(when(col("rn") === ceil(pos(0.9)) + 1, col("value"))).as("hi90"))
+        .select(col("event_type"), col("n"),
+          (col("lo10") + (pos(0.1) - floor(pos(0.1))) *
+            (col("hi10") - col("lo10"))).as("p10"),
+          (col("lo90") + (pos(0.9) - floor(pos(0.9))) *
+            (col("hi90") - col("lo90"))).as("p90"))
+      e.join(broadcast(pct), "event_type")
+        .select(col("event_type"), col("n"), col("p10"), col("p90"),
+          round(least(greatest(col("value"), col("p10")), col("p90")), 8)
+            .cast("decimal(38,18)").as("wv"),
+          when(col("value") >= col("p10") && col("value") <= col("p90"),
+            round(col("value"), 8).cast("decimal(38,18)")).as("tv"))
+        .groupBy("event_type")
+        .agg(max(col("n")).cast("long").as("n"),
+          round(max(col("p10")), 4).as("p10"),
+          round(max(col("p90")), 4).as("p90"),
+          round(sum(col("wv")).cast("double") / max(col("n")), 4).as("wmean"),
+          count(col("tv")).as("n_trim"),
+          round(sum(col("tv")).cast("double") / count(col("tv")), 4).as("tmean"))
+        .orderBy("event_type")
+    }),
     "q_agg_mad" -> ((s, d) => {
       // robust statistics: exact median + median-absolute-deviation
       // per group, both via the q_agg_percentile ENGINEERED-parity
@@ -3575,6 +3621,10 @@ object RelationalQueries {
       """SELECT o_orderkey, round(o_totalprice / nullif(o_custkey % 3, 0), 4) AS td, TRY_CAST(o_orderpriority AS INT) AS tc, CASE WHEN o_custkey % 4 = 0 THEN o_custkey WHEN o_custkey % 4 = 1 THEN o_custkey + 1 ELSE NULL END AS te FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""",
     // same rank-addressed lo/hi + identical interpolation expression
     // in both passes (median, then median of absolute deviations)
+    // same one-window rank-addressed percentiles, same IEEE clamp and
+    // inclusive trim bounds, same round(8)-term decimal-sum means
+    "q_agg_winsor" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), p AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n-1) * 0.1) + 1 THEN value END) AS lo10, max(CASE WHEN rn = ceil((n-1) * 0.1) + 1 THEN value END) AS hi10, max(CASE WHEN rn = floor((n-1) * 0.9) + 1 THEN value END) AS lo90, max(CASE WHEN rn = ceil((n-1) * 0.9) + 1 THEN value END) AS hi90 FROM rk GROUP BY event_type), pp AS (SELECT event_type, n, lo10 + ((n-1) * 0.1 - floor((n-1) * 0.1)) * (hi10 - lo10) AS p10, lo90 + ((n-1) * 0.9 - floor((n-1) * 0.9)) * (hi90 - lo90) AS p90 FROM p), c AS (SELECT e.event_type, pp.n, pp.p10, pp.p90, round(least(greatest(e.value, pp.p10), pp.p90), 8)::DECIMAL(38,18) AS wv, CASE WHEN e.value >= pp.p10 AND e.value <= pp.p90 THEN round(e.value, 8)::DECIMAL(38,18) END AS tv FROM e JOIN pp ON e.event_type = pp.event_type) SELECT event_type, max(n)::BIGINT AS n, round(max(p10), 4) AS p10, round(max(p90), 4) AS p90, round(sum(wv)::DOUBLE / max(n), 4) AS wmean, count(tv)::BIGINT AS n_trim, round(sum(tv)::DOUBLE / count(tv), 4) AS tmean FROM c GROUP BY event_type ORDER BY event_type""",
     "q_agg_mad" ->
       """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), b1 AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), m1 AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN value END) AS lo, max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN value END) AS hi FROM b1 GROUP BY event_type), med AS (SELECT event_type, n, lo + (((n - 1)::DOUBLE * 0.5) - floor((n - 1)::DOUBLE * 0.5)) * (hi - lo) AS med FROM m1), d2 AS (SELECT e.event_type, abs(e.value - med.med) AS dev FROM e JOIN med ON e.event_type = med.event_type), b2 AS (SELECT event_type, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM d2), m2 AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN dev END) AS lo, max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN dev END) AS hi FROM b2 GROUP BY event_type), mad AS (SELECT event_type, lo + (((n - 1)::DOUBLE * 0.5) - floor((n - 1)::DOUBLE * 0.5)) * (hi - lo) AS mad FROM m2) SELECT med.event_type, med.n::BIGINT AS n, round(med.med, 4) AS med, round(mad.mad, 4) AS mad FROM med JOIN mad ON med.event_type = mad.event_type ORDER BY med.event_type""",
     "q_join_lateral" ->

@@ -280,6 +280,20 @@ class Wave28Spec extends SparkSpec {
       r("core") > 32L, s"no in/out fringe and core not merged: $r")
   }
 
+  test("q_agg_winsor: bounds ordered, trimmed subset, and both robust means " +
+       "inside the clamp interval") {
+    run("q_agg_winsor").collect().foreach { r =>
+      val (p10, p90) = (r.getAs[Double]("p10"), r.getAs[Double]("p90"))
+      assert(p10 <= p90, s"p10 $p10 > p90 $p90")
+      assert(r.getAs[Long]("n_trim") <= r.getAs[Long]("n"))
+      val (wm, tm) = (r.getAs[Double]("wmean"), r.getAs[Double]("tmean"))
+      // clamped values live in [p10, p90]; their mean must too (and the
+      // trimmed mean a fortiori) — tolerance is the output rounding
+      assert(wm >= p10 - 1e-4 && wm <= p90 + 1e-4, s"wmean $wm outside")
+      assert(tm >= p10 - 1e-4 && tm <= p90 + 1e-4, s"tmean $tm outside")
+    }
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
