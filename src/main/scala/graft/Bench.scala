@@ -189,6 +189,8 @@ object Bench {
     "q_graph_bowtie",
     // r13 wave 13: winsorized/trimmed means (the q_agg_mad siblings)
     "q_agg_winsor",
+    // r13 wave 13: pairwise source-distribution JSD matrix
+    "q_text_jsd",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -1935,6 +1935,56 @@ object PipelineQueries {
             sum(col("q0")).over(w).cast("double"), 4).as("rate"))
         .orderBy("lang")
     }),
+    "q_text_jsd" -> ((s, d) => {
+      // pairwise Jensen-Shannon divergence between SOURCE token
+      // distributions — the symmetric, bounded (≤ ln 2) corpus-
+      // comparison matrix that q_mix_kl's one-vs-corpus readout
+      // can't give: which crawls/dumps are near-duplicates of each
+      // other at the distribution level (dedup between SOURCES, not
+      // documents). Terms are the q_mix_kl recipe with the mixture
+      // denominator cross-multiplied into an exact integer ratio
+      // inside the ln — 2·ca·nb / (ca·nb + cb·na) — so the only
+      // floats are one ratio + one ln per (pair, token), rounded
+      // term-local at 8 into decimal sums; no final division at all
+      // (the ½ scaling is exact binary). Shape: one token-count agg;
+      // the (source-pair × vocab) grid is vocab-linear with the tiny
+      // pair table broadcast; one-sided tokens kept via left joins.
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true) // count agg + vocab + totals
+      val tc = tok.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // probed once per pair side
+      val ns = tok.groupBy("source").agg(count(lit(1)).as("n"))
+      val pairs = ns.select(col("source").as("sa"), col("n").as("na"))
+        .crossJoin(ns.select(col("source").as("sb"), col("n").as("nb")))
+        .where(col("sa") < col("sb"))
+      val grid = tok.select("tok").distinct().crossJoin(broadcast(pairs))
+        .join(tc.select(col("source").as("sa"), col("tok"), col("c").as("ca")),
+          Seq("sa", "tok"), "left")
+        .join(tc.select(col("source").as("sb"), col("tok"), col("c").as("cb")),
+          Seq("sb", "tok"), "left")
+        .select(col("sa"), col("sb"), col("na"), col("nb"),
+          coalesce(col("ca"), lit(0L)).as("ca"),
+          coalesce(col("cb"), lit(0L)).as("cb"))
+        .where(col("ca") + col("cb") > 0)
+      grid.select(col("sa"), col("sb"), col("na"), col("nb"),
+          when(col("ca") > 0,
+            round((col("ca").cast("double") / col("na")) *
+              log(lit(2.0) * col("ca") * col("nb") /
+                (col("ca") * col("nb") + col("cb") * col("na"))), 8))
+            .otherwise(lit(0.0)).cast("decimal(38,18)").as("ta"),
+          when(col("cb") > 0,
+            round((col("cb").cast("double") / col("nb")) *
+              log(lit(2.0) * col("cb") * col("na") /
+                (col("cb") * col("na") + col("ca") * col("nb"))), 8))
+            .otherwise(lit(0.0)).cast("decimal(38,18)").as("tb"))
+        .groupBy("sa", "sb")
+        .agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          round(lit(0.5) * (sum(col("ta")) + sum(col("tb"))).cast("double"), 4)
+            .as("jsd"))
+        .orderBy("sa", "sb")
+    }),
     "q_mix_kl" -> ((s, d) => {
       // distribution-shift measurement for mixture design: KL
       // divergence of each language's token distribution from the
@@ -3019,6 +3069,11 @@ object PipelineQueries {
     // same logit fold, same 0.25-wide bins (exact binary fractions)
     "q_embed_classify_cal" ->
       s"""WITH w AS (SELECT list_transform(embedding, x -> x::DOUBLE) AS wv, label AS lt FROM embeddings WHERE vec_id = 1), e AS (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings WHERE vec_id <> 1), sc AS (SELECT (label = lt) AS pos, floor(round(${foldSql("list_transform(range(1, 65), i -> v[i] * wv[i])")}, 6) / 0.25)::BIGINT AS bin FROM e, w) SELECT bin, round(bin * 0.25, 2) AS lo, count(*)::BIGINT AS n, sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos, round(sum(CASE WHEN pos THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 4) AS pos_rate FROM sc GROUP BY bin ORDER BY bin""",
+    // same integer-ratio-inside-ln terms (cross-multiplied mixture
+    // denominator), same term-local round(8) decimal sums, same exact
+    // binary ½ scaling
+    "q_text_jsd" ->
+      s"""WITH $toksSql, tr AS (SELECT d.source, unnest(t.tk) AS tok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), tc AS (SELECT source, tok, count(*)::BIGINT AS c FROM tr GROUP BY 1, 2), ns AS (SELECT source, count(*)::BIGINT AS n FROM tr GROUP BY source), vv AS (SELECT DISTINCT tok FROM tr), pr AS (SELECT a.source AS sa, a.n AS na, b.source AS sb, b.n AS nb FROM ns a JOIN ns b ON a.source < b.source), g AS (SELECT pr.sa, pr.sb, pr.na, pr.nb, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb FROM pr CROSS JOIN vv LEFT JOIN tc ca ON ca.source = pr.sa AND ca.tok = vv.tok LEFT JOIN tc cb ON cb.source = pr.sb AND cb.tok = vv.tok WHERE coalesce(ca.c, 0) + coalesce(cb.c, 0) > 0), tm AS (SELECT sa, sb, na, nb, CASE WHEN ca > 0 THEN round((ca::DOUBLE / na) * ln(2.0 * ca * nb / (ca * nb + cb * na)), 8) ELSE 0.0 END::DECIMAL(38,18) AS ta, CASE WHEN cb > 0 THEN round((cb::DOUBLE / nb) * ln(2.0 * cb * na / (cb * na + ca * nb)), 8) ELSE 0.0 END::DECIMAL(38,18) AS tb FROM g) SELECT sa, sb, max(na)::BIGINT AS n_a, max(nb)::BIGINT AS n_b, round(0.5 * (sum(ta) + sum(tb))::DOUBLE, 4) AS jsd FROM tm GROUP BY sa, sb ORDER BY sa, sb""",
     "q_mix_kl" ->
       s"""WITH $toksSql, tr AS (SELECT d.lang, unnest(t.tk) AS tok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), cl AS (SELECT lang, tok, count(*)::BIGINT AS cl FROM tr GROUP BY 1, 2), cg AS (SELECT tok, count(*)::BIGINT AS cg FROM tr GROUP BY tok), nl AS (SELECT lang, count(*)::BIGINT AS nl FROM tr GROUP BY lang), ng AS (SELECT count(*)::BIGINT AS ng FROM tr), tm AS (SELECT cl.lang, nl.nl, round((cl.cl::DOUBLE / nl.nl) * ln((cl.cl::DOUBLE / nl.nl) / (cg.cg::DOUBLE / ng.ng)), 8) AS term FROM cl JOIN cg USING (tok) JOIN nl ON cl.lang = nl.lang CROSS JOIN ng) SELECT lang, max(nl)::BIGINT AS n_toks, round(sum(term::DECIMAL(38,18))::DOUBLE, 4) AS kl FROM tm GROUP BY lang ORDER BY lang""",
     "q_mix_weights" ->

@@ -294,6 +294,18 @@ class Wave28Spec extends SparkSpec {
     }
   }
 
+  test("q_text_jsd: one row per unordered source pair, jsd within [0, ln 2]") {
+    val r = run("q_text_jsd").collect()
+    val srcs = r.flatMap(row => Seq(row.getAs[String]("sa"), row.getAs[String]("sb")))
+      .distinct.length
+    assert(r.length == srcs * (srcs - 1) / 2,
+      s"${r.length} rows for $srcs sources")
+    r.foreach { row =>
+      val jsd = row.getAs[Double]("jsd")
+      assert(jsd >= -1e-4 && jsd <= math.log(2.0) + 1e-4, s"jsd $jsd out of range")
+    }
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
