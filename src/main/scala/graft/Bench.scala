@@ -191,6 +191,8 @@ object Bench {
     "q_agg_winsor",
     // r13 wave 13: pairwise source-distribution JSD matrix
     "q_text_jsd",
+    // r13 wave 13: greedy k-center coreset selection (farthest-point)
+    "q_sample_coreset",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

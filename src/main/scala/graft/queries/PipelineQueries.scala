@@ -2513,6 +2513,58 @@ object PipelineQueries {
           round(col("nrm") / lit(nD * nD * nD), 6).as("eigenvalue"))
         .orderBy("dim")
     }),
+    "q_sample_coreset" -> ((s, d) => {
+      // greedy k-CENTER coreset selection (farthest-point traversal —
+      // the Sener & Savarese 2018 active-learning/data-pruning
+      // primitive): seed at vec_id 0, then 8 rounds of "select the
+      // vector farthest from everything selected so far". The
+      // selection sequence doubles as the coverage-radius curve (each
+      // round's max-min distance), the readout data-pruning papers
+      // plot. Determinism is TOTAL: components round to 6 → exact
+      // decimal(18,6); squared distances are exact decimal(24,12)
+      // sums; the running min-distance and every argmax comparison
+      // happen on exact decimals with a vec_id tiebreak — no float
+      // exists anywhere until the radius is cast (exactly) for
+      // output. Shape per round: the 1-row selection broadcasts into
+      // a 64-row center probe, one j-keyed join + per-vector hash agg
+      // updates the min-distance table (pinned per round, reaped) —
+      // k passes over the corpus, the honest k-center cost, each
+      // pass embarrassingly parallel.
+      val ex = t(s, d, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x0")))
+        .select(col("vec_id"), (col("j0") + 1).as("j"),
+          round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
+        .localCheckpoint(true) // probed once per round
+      def distTo(sel: DataFrame): DataFrame =
+        ex.join(broadcast(ex.join(broadcast(sel.select("vec_id")), "vec_id")
+            .select(col("j"), col("x").as("cx"))), "j")
+          .select(col("vec_id"),
+            (col("x") - col("cx")).cast("decimal(18,6)").as("e"))
+          // (18,6)² stays at precision 37 — no silent Spark scale loss
+          .select(col("vec_id"),
+            (col("e") * col("e")).cast("decimal(38,12)").as("t"))
+          .groupBy("vec_id").agg(sum(col("t")).cast("decimal(24,12)").as("nd"))
+      val seed = ex.select("vec_id").where(col("vec_id") === 0).distinct()
+      var md = distTo(seed).where(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("nd").as("md")).localCheckpoint(true)
+      val picks = scala.collection.mutable.ListBuffer[DataFrame](
+        seed.select(lit(0).as("step"), col("vec_id"),
+          lit(0.0).as("radius")))
+      for (k <- 1 to 8) {
+        val sel = md.orderBy(col("md").desc, col("vec_id")).limit(1)
+          .localCheckpoint(true) // pick + center probe + anti filter
+        picks += sel.select(lit(k).as("step"), col("vec_id"),
+          col("md").cast("double").as("radius"))
+        val nd = distTo(sel)
+        val prev = md
+        md = md.join(broadcast(sel.select("vec_id")), Seq("vec_id"), "left_anti")
+          .join(nd, "vec_id")
+          .select(col("vec_id"), least(col("md"), col("nd")).as("md"))
+          .localCheckpoint(true)
+        graft.operators.Traversals.dropCheckpoint(prev)
+      }
+      picks.reduce(_.union(_)).orderBy("step")
+    }),
     "q_embed_outlier" -> ((s, d) => {
       // embedding-space OUTLIER probe — per-label distance-to-centroid
       // z-scores, top-20: the mislabeled/garbage-vector detector that
@@ -2821,6 +2873,19 @@ object PipelineQueries {
     """sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gs FROM toks)"""
   private def foldSql(elems: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
+  /** The unrolled farthest-point rounds of the q_sample_coreset
+    * oracle (argmax pick → center probe → least-update per round),
+    * generated so the per-round exact-decimal discipline is written
+    * once. `sK` selects from `d(K-1)`; `dK` excludes the pick and
+    * min-updates against it. */
+  private def coresetStepsSql(steps: Int): String =
+    (1 to steps).map { k =>
+      val prev = s"d${k - 1}"
+      val pick = s"s$k AS MATERIALIZED (SELECT vec_id, md FROM $prev ORDER BY md DESC, vec_id LIMIT 1)"
+      if (k == steps) pick
+      else pick + s", d$k AS MATERIALIZED (SELECT p.vec_id, least(p.md, n.nd) AS md FROM $prev p JOIN (SELECT e2.vec_id, sum(((e2.x - c.x)::DECIMAL(19,6) * (e2.x - c.x)::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS nd FROM ex e2 JOIN (SELECT j, x FROM ex WHERE vec_id = (SELECT vec_id FROM s$k)) c ON e2.j = c.j GROUP BY e2.vec_id) n ON n.vec_id = p.vec_id WHERE p.vec_id <> (SELECT vec_id FROM s$k))"
+    }.mkString(", ")
+
   /** The six unrolled power-iteration steps of the q_embed_pca oracle
     * (exact-decimal mat-vec → integer-rounded output → exact-square
     * norm → normalize per step), generated so the per-step float
@@ -3161,6 +3226,13 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, j, round(va[j], 6)::DECIMAL(18,6) AS x FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), g AS (SELECT j, sum(x)::DECIMAL(24,6) AS sx, count(*)::DECIMAL(6,0) AS n FROM e GROUP BY j), y AS (SELECT vec_id, e.j, (x * n - sx)::DECIMAL(18,6) AS y FROM e JOIN g ON e.j = g.j), cov AS (SELECT a.j, b.j AS k, sum((a.y::DECIMAL(19,6) * b.y::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS mjk FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DECIMAL(8,6) AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj::DOUBLE AS loading, (SELECT round(nrm / (n * n * n), 6) FROM n6 CROSS JOIN nn) AS eigenvalue FROM v6 ORDER BY dim""",
     // same term-local round(6) components, same decimal-sum means,
     // same rounded squared-gap terms
+    // same exact-decimal distances and argmax/tiebreak chain, rounds
+    // unrolled as generated CTEs
+    "q_sample_coreset" ->
+      (s"""WITH ex AS MATERIALIZED (SELECT vec_id, j, round(va[j], 6)::DECIMAL(18,6) AS x FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), d0 AS MATERIALIZED (SELECT e2.vec_id, sum(((e2.x - c.x)::DECIMAL(19,6) * (e2.x - c.x)::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS md FROM ex e2 JOIN (SELECT j, x FROM ex WHERE vec_id = 0) c ON e2.j = c.j WHERE e2.vec_id <> 0 GROUP BY e2.vec_id), ${coresetStepsSql(8)} SELECT 0::INT AS step, 0::BIGINT AS vec_id, 0.0::DOUBLE AS radius """ +
+        (1 to 8).map(k =>
+          s"UNION ALL SELECT $k::INT, (SELECT vec_id FROM s$k)::BIGINT, (SELECT md::DOUBLE FROM s$k)").mkString(" ") +
+        " ORDER BY step"),
     // same division-free exact-decimal pipeline: scaled centroid gap
     // e = n·x − Σx, scaled squared distance d2s = Σe², integer-rounded
     // deviation dd = round(n·d2s − Σd2s) — only the final z divides,

@@ -306,6 +306,20 @@ class Wave28Spec extends SparkSpec {
     }
   }
 
+  test("q_sample_coreset: 9 distinct picks and a non-increasing coverage " +
+       "radius (the k-center invariant)") {
+    val r = run("q_sample_coreset").collect().sortBy(_.getAs[Int]("step"))
+    assert(r.length == 9)
+    assert(r.map(_.getAs[Long]("vec_id")).distinct.length == 9, "picks repeat")
+    assert(r.head.getAs[Long]("vec_id") == 0L && r.head.getAs[Double]("radius") == 0.0)
+    // each round's max-min distance cannot exceed the previous round's
+    // (adding a center only shrinks min-distances)
+    val radii = r.tail.map(_.getAs[Double]("radius"))
+    radii.toSeq.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-9, s"radius increased: $a -> $b") }
+    assert(radii.head > 0.0)
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
