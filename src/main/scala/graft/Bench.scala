@@ -193,6 +193,8 @@ object Bench {
     "q_text_jsd",
     // r13 wave 13: greedy k-center coreset selection (farthest-point)
     "q_sample_coreset",
+    // r13 wave 13: Matryoshka prefix-dims retrieval recall
+    "q_embed_matryoshka",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

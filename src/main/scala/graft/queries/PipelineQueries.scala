@@ -2770,6 +2770,38 @@ object PipelineQueries {
           round(expr("cosine_sim(v, qfull)"), 4).as("score"))
         .orderBy(desc("score"), col("vec_id")).limit(10)
     }),
+    "q_embed_matryoshka" -> ((s, d) => {
+      // MATRYOSHKA truncation quality (Kusupati et al. 2022 — the MRL
+      // serving trick: rank with a cheap PREFIX of the embedding,
+      // fall back to full dims only for the finalists): recall@10 of
+      // the 16-dim and 32-dim prefix cosine rankings against the full
+      // 64-dim exact top-10 — the measurement that decides how many
+      // dims the first-pass scan can drop at 100 TB (a 16-dim prefix
+      // reads a quarter of the bytes). Same deterministic ranking
+      // recipe as q_embed_recall (rounded score desc, vec_id
+      // tiebreak); prefix dot/norms are explicit left folds so the
+      // oracle replays them term-for-term.
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      def topkPrefix(p: Int): DataFrame =
+        e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+          .select(col("vec_id"), round(expr(
+            s"aggregate(zip_with(slice(v, 1, $p), slice(qv, 1, $p), (a, b) -> a * b), 0.0D, (acc, x) -> acc + x)" +
+            s" / sqrt(aggregate(slice(v, 1, $p), 0.0D, (acc, x) -> acc + x * x)" +
+            s" * aggregate(slice(qv, 1, $p), 0.0D, (acc, x) -> acc + x * x))"), 4)
+            .as("score"))
+          .orderBy(col("score").desc, col("vec_id")).limit(10)
+      val full = topkPrefix(64).select(col("vec_id").as("fv"))
+        .localCheckpoint(true) // compared against twice
+      Seq(16, 32).map { p =>
+        topkPrefix(p)
+          .join(full, col("vec_id") === col("fv"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(p).as("dims"), col("hits"),
+            round(col("hits") / 10.0, 4).as("recall_at_10"))
+      }.reduce(_.union(_)).orderBy("dims")
+    }),
     "q_embed_recall" -> ((s, d) => {
       // ANN QUALITY measurement: recall@10 of the single-cell IVF probe
       // against the exact brute-force top-10 — the number that tunes
@@ -3253,6 +3285,14 @@ object PipelineQueries {
     // recompute-per-query) is a LAYOUT choice, invisible to the oracle
     "q_embed_ivf_indexed" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // same prefix folds (dot, both norms), same round(4)/tiebreak
+    // rankings, hits counted against the full-dims top-10
+    "q_embed_matryoshka" ->
+      (s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), """ +
+        Seq(16, 32, 64).map { p =>
+          s"s$p AS (SELECT vec_id, round(${foldSql(s"list_transform(range(1, ${p + 1}), i -> v[i] * qv[i])")} / sqrt(${foldSql(s"list_transform(range(1, ${p + 1}), i -> v[i] * v[i])")} * ${foldSql(s"list_transform(range(1, ${p + 1}), i -> qv[i] * qv[i])")}), 4) AS score FROM e CROSS JOIN q WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 10)"
+        }.mkString(", ") +
+        """ SELECT 16::INT AS dims, (SELECT count(*) FROM s16 WHERE vec_id IN (SELECT vec_id FROM s64))::BIGINT AS hits, round((SELECT count(*) FROM s16 WHERE vec_id IN (SELECT vec_id FROM s64)) / 10.0, 4) AS recall_at_10 UNION ALL SELECT 32::INT, (SELECT count(*) FROM s32 WHERE vec_id IN (SELECT vec_id FROM s64))::BIGINT, round((SELECT count(*) FROM s32 WHERE vec_id IN (SELECT vec_id FROM s64)) / 10.0, 4) ORDER BY dims"""),
     "q_embed_recall" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
     "q_embed_ivf_multiprobe" ->

