@@ -195,6 +195,8 @@ object Bench {
     "q_sample_coreset",
     // r13 wave 13: Matryoshka prefix-dims retrieval recall
     "q_embed_matryoshka",
+    // r13 wave 13: Holt double exponential smoothing + 3-step forecast
+    "q_events_holt",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

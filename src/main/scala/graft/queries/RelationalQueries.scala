@@ -1261,6 +1261,51 @@ object RelationalQueries {
             .as("acf"))
         .orderBy("k")
     }),
+    "q_events_holt" -> ((s, d) => {
+      // Holt LINEAR-TREND double exponential smoothing over the last
+      // 16 days of the daily event-count series, plus a 3-step-ahead
+      // forecast — the first model up from q_events_forecast's
+      // seasonal-naive baseline. α = β = ½ EXACTLY: every update is
+      // l ← (y + l + b)·½, b ← (l' − l + b)·½ — dyadic scaling of
+      // exact decimals, re-rounded to 6 in DECIMAL arithmetic each
+      // step (decimal rounding is deterministic in both engines; no
+      // double appears until the exact final cast). The 16-day tail
+      // is fixed-size by construction, so the 15 unrolled updates are
+      // 1-row broadcast stages over a pinned spine — study-length
+      // work at any SF (the q_events_markov_attribution fixed-step
+      // shape).
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val series = daily
+        .withColumn("rd", row_number().over(Window.orderBy(col("day").desc)))
+        .where(col("rd") <= 16)
+        .select((lit(17) - col("rd")).as("rn"),
+          col("x").cast("decimal(20,6)").as("y"))
+        .localCheckpoint(true) // probed once per unrolled step
+      val half = lit(0.5).cast("decimal(2,1)")
+      def yAt(t: Int) = broadcast(series.where(col("rn") === t).select("y"))
+      var st = yAt(1).select(col("y").cast("decimal(24,6)").as("l"))
+        .crossJoin(yAt(2).select(col("y").as("y2")))
+        .select(col("l"), (col("y2") - col("l")).cast("decimal(24,6)").as("b"))
+        .localCheckpoint(true)
+      for (t <- 2 to 16) {
+        st = st.crossJoin(yAt(t))
+          .select(col("l"), col("b"),
+            round((col("y") + col("l") + col("b")) * half, 6)
+              .cast("decimal(24,6)").as("lt"))
+          .select(col("lt").as("l"),
+            round((col("lt") - col("l") + col("b")) * half, 6)
+              .cast("decimal(24,6)").as("b"))
+          .localCheckpoint(true)
+      }
+      st.select(lit(16).as("n_days"),
+        col("l").cast("double").as("level"),
+        col("b").cast("double").as("trend"),
+        (col("l") + col("b")).cast("double").as("f1"),
+        (col("l") + col("b") * lit(2)).cast("double").as("f2"),
+        (col("l") + col("b") * lit(3)).cast("double").as("f3"))
+    }),
     "q_events_forecast" -> ((s, d) => {
       // forecast-baseline accuracy readout over the daily event-count
       // series — seasonal-naive (ŷ_t = y_{t−7}) scored against the
@@ -3708,6 +3753,13 @@ object RelationalQueries {
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), ks AS (SELECT unnest(range(1, 8)) AS k), p AS (SELECT ks.k, a.x AS xa, b.x AS xb FROM daily a CROSS JOIN ks JOIN daily b ON a.day + to_days(ks.k::INT) = b.day), g AS (SELECT k, count(*)::DOUBLE AS n, sum(xa)::DOUBLE AS sx, sum(xb)::DOUBLE AS sy, sum(xa * xb)::DOUBLE AS sxy, sum(xa * xa)::DOUBLE AS sxx, sum(xb * xb)::DOUBLE AS syy FROM p GROUP BY k) SELECT k::INT AS k, n::BIGINT AS n_pairs, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS acf FROM g ORDER BY k""",
     // same integer absolute-error sums on the same evaluation days,
     // same single closing division
+    // same dyadic half-scaling in exact decimals, same per-step
+    // decimal round(6), same exact final casts
+    "q_events_holt" ->
+      ("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), tl AS (SELECT x, row_number() OVER (ORDER BY day DESC) AS rd FROM daily), se AS (SELECT (17 - rd)::INT AS rn, x::DECIMAL(20,6) AS y FROM tl WHERE rd <= 16), h1 AS (SELECT (SELECT y FROM se WHERE rn = 1)::DECIMAL(24,6) AS l, ((SELECT y FROM se WHERE rn = 2) - (SELECT y FROM se WHERE rn = 1))::DECIMAL(24,6) AS b), """ +
+        (2 to 16).map(t =>
+          s"h$t AS (SELECT lt::DECIMAL(24,6) AS l, round((lt - l + b) * 0.5::DECIMAL(2,1), 6)::DECIMAL(24,6) AS b FROM (SELECT l, b, round(((SELECT y FROM se WHERE rn = $t) + l + b) * 0.5::DECIMAL(2,1), 6) AS lt FROM h${t - 1}))").mkString(", ") +
+        """ SELECT 16::INT AS n_days, l::DOUBLE AS level, b::DOUBLE AS trend, (l + b)::DOUBLE AS f1, (l + 2 * b)::DOUBLE AS f2, (l + 3 * b)::DOUBLE AS f3 FROM h16"""),
     "q_events_forecast" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), j AS (SELECT a.x, b.x AS x1, c.x AS x7 FROM daily a JOIN daily b ON b.day + to_days(1) = a.day JOIN daily c ON c.day + to_days(7) = a.day) SELECT count(*)::BIGINT AS n_eval, sum(abs(x - x1))::BIGINT AS sae_naive, sum(abs(x - x7))::BIGINT AS sae_seasonal, round(sum(abs(x - x7))::DOUBLE / sum(abs(x - x1))::DOUBLE, 6) AS mase7 FROM j""",
     // same (ts, event_id) lag order, same integer-second gaps, same

@@ -28,6 +28,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_pca",                                   // broadcast 1-row norm scalar per step
     "q_text_heaps",                                  // broadcast 16-row threshold table + 1-row max scalar
     "q_text_jsd",                                    // broadcast source-pair grid (sources² rows)
+    "q_events_holt",                                 // broadcast 1-row smoothing state per unrolled step
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
     "q_embed_ivf_append",                            // broadcast 1-row query vector (local)
     "q_embed_ivf_delete",                            // broadcast 1-row query vector (local)

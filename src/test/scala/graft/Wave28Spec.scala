@@ -330,6 +330,20 @@ class Wave28Spec extends SparkSpec {
     }
   }
 
+  test("q_events_holt: forecasts extrapolate linearly and the level sits " +
+       "inside the recent count range") {
+    val r = run("q_events_holt").collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (l, b) = (row.getAs[Double]("level"), row.getAs[Double]("trend"))
+    val (f1, f2, f3) = (row.getAs[Double]("f1"), row.getAs[Double]("f2"),
+      row.getAs[Double]("f3"))
+    assert(math.abs(f1 - (l + b)) < 1e-9)
+    assert(math.abs((f3 - f2) - (f2 - f1)) < 1e-9, "forecast not linear")
+    // the smoothed level is a convex-ish combination of recent counts
+    assert(l > 0.0, s"level $l not positive for a count series")
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
