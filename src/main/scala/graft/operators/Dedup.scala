@@ -378,19 +378,26 @@ object Dedup {
     simhashBandPairs(sig).where(col("dist") <= maxDist)
   }
 
-  /** ALL band-LSH candidate pairs over a [[simhashWidePerDoc]] table —
+  /** Band-LSH candidate pairs over a [[simhashWidePerDoc]] table —
     * pairs colliding on at least one of the 4 × 15-bit bands, with
     * their popcount hamming distance, NO ball threshold. This is the
-    * candidate surface [[simhashHammingPairs]] filters, exposed so the
-    * accuracy readout (q_dedup_simhash_acc) can score every candidate
-    * the index would ever consider; pair volume tracks band-collision
-    * density, never corpus². Output: (doc_a, doc_b, dist). */
-  def simhashBandPairs(sig: DataFrame): DataFrame = {
+    * candidate surface [[simhashHammingPairs]] filters. `probeEvery`
+    * restricts the SMALLER-id side of each pair to every k-th doc —
+    * the sampled-audit shape the accuracy readout uses: on a
+    * clone-heavy corpus the unthresholded candidate set is quadratic
+    * inside mega-buckets (3.47M pairs at sf0.1 on the 31-word
+    * fixture), and a measurement doesn't need every pair, it needs an
+    * unbiased deterministic sample probed against the FULL index.
+    * `probeEvery = 1` keeps completeness (the dedup path's contract).
+    * Output: (doc_a, doc_b, dist). */
+  def simhashBandPairs(sig: DataFrame, probeEvery: Long = 1L): DataFrame = {
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*)))
       .toDF("doc_id", "simhash", "band_id", "bkey")
-    banded.as("a").join(banded.as("b"),
+    val probes =
+      if (probeEvery <= 1L) banded else banded.where(col("doc_id") % probeEvery === 0)
+    probes.as("a").join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -1040,6 +1040,28 @@ object Traversals {
                     maxIters: Int = 10000): DataFrame = {
     val e = partitionEdges(edges)
     try {
+      // Tiny-graph fast path (same contract and bound as the BFS
+      // local path): below bfsLocalMaxEdges the distributed loop's
+      // per-superstep scheduling latency dwarfs the work, and the
+      // seed set is bounded by the vertex count, so both collects are
+      // trivially bounded. Identical output set.
+      if (e.count() <= bfsLocalMaxEdges) {
+        val spark = e.sparkSession
+        import spark.implicits._
+        val adj = e.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)].collect()
+          .groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2) }
+        val sd = seeds.select(col("vertex").cast("long")).as[Long]
+          .collect().distinct
+        val seen = scala.collection.mutable.LinkedHashSet[Long](sd: _*)
+        var frontier: Seq[Long] = sd.toSeq
+        while (frontier.nonEmpty) {
+          frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+            .distinct.filterNot(seen.contains)
+          seen ++= frontier
+        }
+        return seen.toSeq.toDF("vertex")
+      }
       var visited = seeds.select(col("vertex").cast("long").as("vertex"))
         .distinct().checkpointSized()
       var frontier = visited
@@ -1063,10 +1085,68 @@ object Traversals {
     } finally e.unpersist(blocking = false)
   }
 
+  /** Driver-local SCC for the tiny-graph fast path: iterative Tarjan
+    * (explicit stack), component keyed by its min member — the same
+    * output contract as the distributed FW-BW peel. An independent
+    * copy lives in GraphAlgosSpec as the equivalence-test reference
+    * (deliberately NOT shared: the test's value is two separate
+    * derivations agreeing). */
+  private def localTarjanScc(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- verts if !index.contains(root)) {
+      val work = scala.collection.mutable.Stack(
+        (root, adj.getOrElse(root, Array.empty[Long]).iterator))
+      index(root) = counter; low(root) = counter; counter += 1
+      stack.push(root); onStack += root
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) {
+            index(w) = counter; low(w) = counter; counter += 1
+            stack.push(w); onStack += w
+            work.push((w, adj.getOrElse(w, Array.empty[Long]).iterator))
+          } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val p = work.top._1
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ListBuffer.empty[Long]
+            var w = -1L
+            while ({ w = stack.pop(); onStack -= w; members += w; w != v }) ()
+            val cid = members.min
+            members.foreach(m => comp(m) = cid)
+          }
+        }
+      }
+    }
+    comp.toSeq
+  }
+
   def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 1000,
-                                  maxIters: Int = 10000, jumps: Int = 2): DataFrame = {
+                                  maxIters: Int = 10000, jumps: Int = 2,
+                                  localMaxEdges: Long = bfsLocalMaxEdges): DataFrame = {
     val e0 = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst"))
+    // Tiny-graph fast path (the BFS/CC localMaxEdges contract): below
+    // the bound, each FW-BW peel round's fixed job latency dwarfs the
+    // work. Identical output (vertex, min-member component).
+    if (localMaxEdges > 0 && e0.count() <= localMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return localTarjanScc(e0.as[(Long, Long)].collect())
+        .toDF("vertex", "component")
+    }
     var e = e0.where(col("src") =!= col("dst")).distinct()
       .checkpointSized()
     var verts = e0.select(explode(array(col("src"), col("dst"))).as("vertex"))

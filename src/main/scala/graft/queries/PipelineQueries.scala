@@ -685,14 +685,18 @@ object PipelineQueries {
       // to the TRUE token-set cosine |A∩B|/√(|A|·|B|) — the in-engine
       // measurement of what 60 bits buy. Signatures come from the
       // session memo shared with q_dedup_simhash_near; candidates are
-      // the band join only (never all-pairs), so pair volume tracks
-      // collision density, not corpus². dist and the intersection are
+      // the band join with every-37th-doc PROBES against the full
+      // index (the sampled-audit shape — the unthresholded candidate
+      // set is mega-bucket-quadratic on a clone-heavy corpus, and a
+      // measurement needs an unbiased sample, not every pair; the
+      // dedup path itself keeps probeEvery = 1). dist and the
+      // intersection are
       // integer-exact; est is one IEEE division; cos is an integer
       // ratio under a correctly-rounded sqrt — all round(4),
       // hash-exact cross-engine.
       val docs = t(s, d, "documents")
       val pairs = Dedup.simhashBandPairs(memoTable(s, d, "simhash_wide")(
-        Dedup.simhashWidePerDoc(docs)))
+        Dedup.simhashWidePerDoc(docs)), probeEvery = 37L)
       val ts = docs.select(col("doc_id"),
         array_distinct(tokens(col("text"))).as("ts"))
       pairs
@@ -3205,7 +3209,7 @@ object PipelineQueries {
         (0 until 60).map(s => s"sum(CASE WHEN substr(m${s / 30}, ${s % 30 + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$s").mkString(", ") +
         """ FROM tk GROUP BY doc_id), h AS (SELECT doc_id, (""" +
         (0 until 60).map(s => s"CASE WHEN s$s > 0 THEN ${1L << s} ELSE 0 END").mkString(" + ") +
-        """)::BIGINT AS simhash FROM v), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, xor(a.simhash, b.simhash) AS x FROM h a JOIN h b ON a.doc_id < b.doc_id), cand AS (SELECT doc_a, doc_b, bit_count(x)::INT AS dist FROM p WHERE ((x >> 0) & 32767) = 0 OR ((x >> 15) & 32767) = 0 OR ((x >> 30) & 32767) = 0 OR ((x >> 45) & 32767) = 0), tsr AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok FROM documents), nts AS (SELECT doc_id, count(*)::BIGINT AS n FROM tsr GROUP BY doc_id), iv AS (SELECT c.doc_a, c.doc_b, c.dist, (SELECT count(*) FROM tsr x JOIN tsr y ON x.tok = y.tok WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b) AS inter FROM cand c) SELECT iv.doc_a, iv.doc_b, iv.dist, round(1 - iv.dist / 60.0, 4) AS est, round(iv.inter::DOUBLE / sqrt((na.n * nb.n)::DOUBLE), 4) AS cos_true FROM iv JOIN nts na ON na.doc_id = iv.doc_a JOIN nts nb ON nb.doc_id = iv.doc_b ORDER BY iv.doc_a, iv.doc_b"""),
+        """)::BIGINT AS simhash FROM v), p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, xor(a.simhash, b.simhash) AS x FROM h a JOIN h b ON a.doc_id < b.doc_id), cand AS (SELECT doc_a, doc_b, bit_count(x)::INT AS dist FROM p WHERE doc_a % 37 = 0 AND (((x >> 0) & 32767) = 0 OR ((x >> 15) & 32767) = 0 OR ((x >> 30) & 32767) = 0 OR ((x >> 45) & 32767) = 0)), tsr AS (SELECT DISTINCT doc_id, unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok FROM documents), nts AS (SELECT doc_id, count(*)::BIGINT AS n FROM tsr GROUP BY doc_id), iv AS (SELECT c.doc_a, c.doc_b, c.dist, (SELECT count(*) FROM tsr x JOIN tsr y ON x.tok = y.tok WHERE x.doc_id = c.doc_a AND y.doc_id = c.doc_b) AS inter FROM cand c) SELECT iv.doc_a, iv.doc_b, iv.dist, round(1 - iv.dist / 60.0, 4) AS est, round(iv.inter::DOUBLE / sqrt((na.n * nb.n)::DOUBLE), 4) AS cos_true FROM iv JOIN nts na ON na.doc_id = iv.doc_a JOIN nts nb ON nb.doc_id = iv.doc_b ORDER BY iv.doc_a, iv.doc_b"""),
     "q_dedup_ngram" ->
       s"""WITH $toksSql, $shinglesSql, g AS (SELECT d.doc_id, d.lang, d.source, d.n_chars // 100 AS band, list_distinct(s.gs) AS gs FROM documents d JOIN sh s ON d.doc_id = s.doc_id), shr AS (SELECT doc_id, lang, source, band, unnest(gs) AS g FROM g), cnt AS (SELECT doc_id, count(*) AS c FROM shr GROUP BY doc_id), inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i FROM shr a JOIN shr b ON a.g = b.g AND a.lang = b.lang AND a.source = b.source AND a.band = b.band AND a.doc_id < b.doc_id GROUP BY 1, 2), j AS (SELECT doc_a, doc_b, i::DOUBLE / (ca.c + cb.c - i)::DOUBLE AS jac0 FROM inter JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b) SELECT doc_a, doc_b, round(jac0, 4) AS jac FROM j WHERE jac0 >= 0.15 ORDER BY doc_a, doc_b""",
     "q_dedup_containment" ->

@@ -200,7 +200,11 @@ class GraphAlgosSpec extends SparkSpec {
   }
 
   private def sccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    graft.operators.Traversals.stronglyConnectedComponents(edges.toDF("src", "dst"))
+    // localMaxEdges = 0 forces the DISTRIBUTED FW-BW peel — the whole
+    // point of this spec is the distributed path agreeing with the
+    // in-memory Tarjan reference below
+    graft.operators.Traversals.stronglyConnectedComponents(
+        edges.toDF("src", "dst"), localMaxEdges = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("SCC: cycles, DAGs, and one-way-bridged cycles") {
