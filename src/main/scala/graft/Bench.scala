@@ -197,6 +197,8 @@ object Bench {
     "q_embed_matryoshka",
     // r13 wave 13: Holt double exponential smoothing + 3-step forecast
     "q_events_holt",
+    // r13 wave 13: directed triad motif census (cyclic vs feed-forward)
+    "q_graph_triads",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -184,6 +184,35 @@ object GraphQueries {
       // oracle is ground truth from the full mutual-reachability
       // closure, so it validates ANY correct SCC algorithm
       Traversals.stronglyConnectedComponents(sccEdges(s, d)).orderBy("vertex")),
+    "q_graph_triads" -> ((s, d) => {
+      // directed TRIAD motif census — cyclic (a→b→c→a) vs
+      // feed-forward (a→b→c with the a→c shortcut) triangle counts
+      // over the ring+cross fixture, plus their ratio's integer
+      // parts: the motif fingerprint that separates hierarchy
+      // (feed-forward dominant — the web, citation graphs, food
+      // webs) from circulation (cycle dominant). Two wedge joins on
+      // the pinned edge table, integer-exact; cycles counted once
+      // per rotation then divided by exactly 3 (`div`). The same
+      // degree-bounded wedge shape as the undirected triangle
+      // machinery — no enumeration beyond wedges.
+      val e = sccEdges(s, d).where(col("src") =!= col("dst")).distinct()
+        .localCheckpoint(true) // both wedge joins + the closing probes
+      val ab = e.select(col("src").as("a"), col("dst").as("b"))
+      val bc = e.select(col("src").as("b2"), col("dst").as("c"))
+      val wedge = ab.join(bc, col("b") === col("b2"))
+        .where(col("a") =!= col("c"))
+        .select(col("a"), col("b"), col("c"))
+      val cyc = wedge.join(e.select(col("src").as("c2"), col("dst").as("a2")),
+          col("c") === col("c2") && col("a") === col("a2"))
+        .agg(count(lit(1)).as("n3"))
+        .select(expr("n3 div 3").as("cyclic"))
+      val ffd = wedge.join(e.select(col("src").as("a3"), col("dst").as("c3")),
+          col("a") === col("a3") && col("c") === col("c3"))
+        .agg(count(lit(1)).as("feedforward"))
+      cyc.crossJoin(ffd)
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .select(col("n_edges"), col("cyclic"), col("feedforward"))
+    }),
     "q_graph_bowtie" -> ((s, d) => {
       // BOW-TIE decomposition (Broder et al., WWW 2000) of the
       // directed ring+cross fixture — the structural census every
@@ -1151,6 +1180,10 @@ object GraphQueries {
       """WITH o AS (SELECT o_custkey, o_orderkey AS k FROM orders), agg AS (SELECT o_custkey, min(k) AS f, count(*) AS n FROM o GROUP BY o_custkey), jm AS (SELECT o.o_custkey, max(k) AS jmax FROM o JOIN agg USING (o_custkey) WHERE n >= 2 AND k % 23 = 0 AND k <> f GROUP BY o.o_custkey), v AS (SELECT o.o_custkey, k, f FROM o JOIN agg USING (o_custkey) WHERE n >= 2), cv AS (SELECT v.k, CASE WHEN jm.jmax IS NOT NULL AND v.k <= jm.jmax THEN v.f ELSE v.k END AS component FROM v LEFT JOIN jm ON v.o_custkey = jm.o_custkey), szs AS (SELECT component, count(*) AS sz FROM cv GROUP BY component) SELECT sz::BIGINT AS sz, count(*)::BIGINT AS n_components FROM szs GROUP BY sz ORDER BY sz""",
     "q_graph_scc" ->
       """WITH RECURSIVE o AS (SELECT o_orderkey AS k FROM orders), ring AS (SELECT DISTINCT (k % 128) AS src, CASE WHEN (k % 128) % 16 < 15 THEN (k % 128) + 1 ELSE (k % 128) - 15 END AS dst FROM o), dn AS (SELECT DISTINCT ((k*7) % 8) * 16 + (k % 16) AS src, ((k*3) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 13 = 0 AND (k*7) % 8 < (k*3) % 8), up AS (SELECT DISTINCT ((k*3) % 8) * 16 + (k % 16) AS src, ((k*7) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 997 = 0 AND (k*7) % 8 < (k*3) % 8), e AS (SELECT src, dst FROM ring UNION SELECT src, dst FROM dn UNION SELECT src, dst FROM up), e2 AS (SELECT src, dst FROM e WHERE src <> dst), r AS (SELECT src AS a, dst AS b FROM e2 UNION SELECT r.a, e2.dst FROM r JOIN e2 ON e2.src = r.b), v AS (SELECT src AS vertex FROM e UNION SELECT dst FROM e), m AS (SELECT a, b FROM r UNION SELECT vertex, vertex FROM v) SELECT m1.a::BIGINT AS vertex, min(m1.b)::BIGINT AS component FROM m m1 JOIN m m2 ON m1.b = m2.a AND m2.b = m1.a GROUP BY m1.a ORDER BY vertex""",
+    // same fixture edge CTEs, wedge self-joins expressed directly;
+    // cycles div 3 in integer arithmetic
+    "q_graph_triads" ->
+      """WITH o AS (SELECT o_orderkey AS k FROM orders), ring AS (SELECT DISTINCT (k % 128) AS src, CASE WHEN (k % 128) % 16 < 15 THEN (k % 128) + 1 ELSE (k % 128) - 15 END AS dst FROM o), dn AS (SELECT DISTINCT ((k*7) % 8) * 16 + (k % 16) AS src, ((k*3) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 13 = 0 AND (k*7) % 8 < (k*3) % 8), up AS (SELECT DISTINCT ((k*3) % 8) * 16 + (k % 16) AS src, ((k*7) % 8) * 16 + ((k >> 4) % 16) AS dst FROM o WHERE k % 997 = 0 AND (k*7) % 8 < (k*3) % 8), e AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM ring UNION ALL SELECT src, dst FROM dn UNION ALL SELECT src, dst FROM up) WHERE src <> dst), w AS (SELECT x.src AS a, x.dst AS b, y.dst AS c FROM e x JOIN e y ON x.dst = y.src WHERE x.src <> y.dst), cyc AS (SELECT count(*) // 3 AS cyclic FROM w JOIN e z ON w.c = z.src AND w.a = z.dst), ffd AS (SELECT count(*) AS feedforward FROM w JOIN e z ON w.a = z.src AND w.c = z.dst) SELECT (SELECT count(*) FROM e)::BIGINT AS n_edges, cyclic::BIGINT AS cyclic, feedforward::BIGINT AS feedforward FROM cyc CROSS JOIN ffd""",
     // same fixture + the two 16-edge rails + reachability-closure
     // ground truth as q_graph_scc; core/IN/OUT derived set-
     // theoretically from the closure pairs. The vertex CTE is

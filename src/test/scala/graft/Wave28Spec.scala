@@ -268,6 +268,31 @@ class Wave28Spec extends SparkSpec {
     assert(zs.head > 1.0 && zs.last > 0.0, s"top z ${zs.head}, 20th ${zs.last}")
   }
 
+  test("q_graph_triads: counts nonnegative and consistent with an in-memory " +
+       "motif enumeration of the same fixture") {
+    val r = run("q_graph_triads").collect().head
+    val cyc = r.getAs[Long]("cyclic"); val ffd = r.getAs[Long]("feedforward")
+    assert(cyc >= 0 && ffd >= 0 && r.getAs[Long]("n_edges") > 0)
+    // independent in-memory recount on the collected edge list
+    val o = spark.read.parquet(s"$d/orders.parquet")
+      .select(org.apache.spark.sql.functions.col("o_orderkey").cast("long"))
+      .collect().map(_.getLong(0))
+    def ringE(k: Long) = { val s0 = k % 128; (s0, if (s0 % 16 < 15) s0 + 1 else s0 - 15) }
+    val dn = o.filter(k => k % 13 == 0 && (k * 7) % 8 < (k * 3) % 8)
+      .map(k => (((k * 7) % 8) * 16 + k % 16, ((k * 3) % 8) * 16 + (k >> 4) % 16))
+    val up = o.filter(k => k % 997 == 0 && (k * 7) % 8 < (k * 3) % 8)
+      .map(k => (((k * 3) % 8) * 16 + k % 16, ((k * 7) % 8) * 16 + (k >> 4) % 16))
+    val es = (o.map(ringE) ++ dn ++ up).filter(e => e._1 != e._2).distinct.toSet
+    val adj = es.groupBy(_._1).map { case (a, xs) => a -> xs.map(_._2) }
+    var c3 = 0L; var ff = 0L
+    for ((a, b) <- es; c <- adj.getOrElse(b, Set.empty) if c != a) {
+      if (es.contains((c, a))) c3 += 1
+      if (es.contains((a, c))) ff += 1
+    }
+    assert(cyc == c3 / 3, s"cyclic $cyc != ${c3 / 3}")
+    assert(ffd == ff, s"feedforward $ffd != $ff")
+  }
+
   test("q_graph_bowtie: classes partition the 128 fixture vertices and every " +
        "bow-tie region is exercised") {
     val r = run("q_graph_bowtie").collect()
