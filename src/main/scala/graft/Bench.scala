@@ -199,6 +199,8 @@ object Bench {
     "q_events_holt",
     // r13 wave 13: directed triad motif census (cyclic vs feed-forward)
     "q_graph_triads",
+    // r13 wave 13: binary-segmentation changepoint on daily counts
+    "q_events_changepoint",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

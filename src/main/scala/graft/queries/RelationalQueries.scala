@@ -1261,6 +1261,45 @@ object RelationalQueries {
             .as("acf"))
         .orderBy("k")
     }),
+    "q_events_changepoint" -> ((s, d) => {
+      // binary-segmentation CHANGEPOINT detection on the daily event-
+      // count series — the structural sibling of q_events_cusum (which
+      // alarms on drift; this finds WHERE the level shifted): the
+      // split day maximizing the between-segment sum-of-squares
+      // reduction gain(t) = (S₁n₂ − S₂n₁)² / (n·n₁·n₂). Both the
+      // numerator and denominator are exact BIGINT products of
+      // running sums over the bounded day spine (a window over study-
+      // length rows, the q_agg_theilsen precedent), so the gain is
+      // one IEEE division of exact integers — identical doubles both
+      // engines, argmax + day tiebreak deterministic. The float
+      // outputs are deliberately UNROUNDED: each is a single IEEE op
+      // chain on exact integer inputs (bit-identical cross-engine),
+      // while rounding them would reintroduce the terminating-
+      // quotient half-boundary hazard (s1/n1 with n1 = 32 lands on
+      // x.xxxx5 exactly). Output: the split plus both segment means.
+      val daily = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val run = daily
+        .select(col("day"), col("x"),
+          sum(col("x")).over(w).as("s1"),
+          count(lit(1)).over(w).as("n1"))
+      val tot = daily.agg(sum(col("x")).as("st"), count(lit(1)).as("nt"))
+      run.crossJoin(broadcast(tot))
+        .where(col("n1") < col("nt")) // a split needs a nonempty right side
+        .select(col("day").cast("string").as("split_day"), col("n1"),
+          (col("nt") - col("n1")).as("n2"), col("s1"),
+          (col("st") - col("s1")).as("s2"), col("nt"))
+        .select(col("split_day"), col("n1"), col("n2"),
+          ((col("s1") * col("n2") - col("s2") * col("n1")).cast("double") *
+            (col("s1") * col("n2") - col("s2") * col("n1")).cast("double") /
+            (col("nt") * col("n1") * col("n2")).cast("double")).as("gain"),
+          (col("s1").cast("double") / col("n1")).as("mean_before"),
+          (col("s2").cast("double") / col("n2")).as("mean_after"))
+        .orderBy(col("gain").desc, col("split_day"))
+        .limit(1)
+    }),
     "q_events_holt" -> ((s, d) => {
       // Holt LINEAR-TREND double exponential smoothing over the last
       // 16 days of the daily event-count series, plus a 3-step-ahead
@@ -3753,6 +3792,10 @@ object RelationalQueries {
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), ks AS (SELECT unnest(range(1, 8)) AS k), p AS (SELECT ks.k, a.x AS xa, b.x AS xb FROM daily a CROSS JOIN ks JOIN daily b ON a.day + to_days(ks.k::INT) = b.day), g AS (SELECT k, count(*)::DOUBLE AS n, sum(xa)::DOUBLE AS sx, sum(xb)::DOUBLE AS sy, sum(xa * xb)::DOUBLE AS sxy, sum(xa * xa)::DOUBLE AS sxx, sum(xb * xb)::DOUBLE AS syy FROM p GROUP BY k) SELECT k::INT AS k, n::BIGINT AS n_pairs, round((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) + 0.0 AS acf FROM g ORDER BY k""",
     // same integer absolute-error sums on the same evaluation days,
     // same single closing division
+    // same exact-integer running sums, same single-IEEE-op unrounded
+    // float outputs, same (gain desc, day) argmax tiebreak
+    "q_events_changepoint" ->
+      """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), run AS (SELECT day, sum(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1, count(*) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1 FROM daily), tot AS (SELECT sum(x)::BIGINT AS st, count(*)::BIGINT AS nt FROM daily), g AS (SELECT day::VARCHAR AS split_day, n1, nt - n1 AS n2, s1, st - s1 AS s2, nt FROM run CROSS JOIN tot WHERE n1 < nt) SELECT split_day, n1::BIGINT AS n1, n2::BIGINT AS n2, ((s1 * n2 - s2 * n1)::DOUBLE * (s1 * n2 - s2 * n1)::DOUBLE / (nt * n1 * n2)::DOUBLE) AS gain, (s1::DOUBLE / n1) AS mean_before, (s2::DOUBLE / n2) AS mean_after FROM g ORDER BY gain DESC, split_day LIMIT 1""",
     // same dyadic half-scaling in exact decimals, same per-step
     // decimal round(6), same exact final casts
     "q_events_holt" ->

@@ -30,6 +30,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_text_jsd",                                    // broadcast source-pair grid (sources² rows)
     "q_events_holt",                                 // broadcast 1-row smoothing state per unrolled step
     "q_graph_triads",                                // broadcast 1-row count scalars at the close
+    "q_events_changepoint",                          // broadcast 1-row totals scalar
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
     "q_embed_ivf_append",                            // broadcast 1-row query vector (local)
     "q_embed_ivf_delete",                            // broadcast 1-row query vector (local)

@@ -357,6 +357,17 @@ class Wave28Spec extends SparkSpec {
     }
   }
 
+  test("q_events_changepoint: one split, positive segment sizes, gain " +
+       "nonnegative, and the means straddle plausibly") {
+    val r = run("q_events_changepoint").collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n1") > 0 && row.getAs[Long]("n2") > 0)
+    assert(row.getAs[Double]("gain") >= 0.0)
+    assert(row.getAs[Double]("mean_before") > 0.0 &&
+      row.getAs[Double]("mean_after") > 0.0)
+  }
+
   test("q_events_holt: forecasts extrapolate linearly and the level sits " +
        "inside the recent count range") {
     val r = run("q_events_holt").collect()
