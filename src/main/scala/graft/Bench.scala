@@ -201,6 +201,8 @@ object Bench {
     "q_graph_triads",
     // r13 wave 13: binary-segmentation changepoint on daily counts
     "q_events_changepoint",
+    // r13 wave 13: Tukey-fence outlier census (the boxplot rule)
+    "q_agg_tukey",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -2635,6 +2635,48 @@ object RelationalQueries {
             "CAST(o_custkey % 4 AS INT) + 1)").as("te"))
         .orderBy("o_orderkey")
     }),
+    "q_agg_tukey" -> ((s, d) => {
+      // Tukey-fence OUTLIER census per group — the boxplot rule
+      // (fences at q1/q3 ± 1.5·IQR) that q_events_anomaly's 2-sigma
+      // gate misses on heavy tails: per event_type, the quartiles,
+      // fences, and how many observations fall outside each. One
+      // rank window yields both quartile interpolations (the
+      // q_agg_winsor recipe); the fence arithmetic is a fixed IEEE
+      // expression of the interpolated doubles (1.5 is exact binary);
+      // the census is one conditional aggregate under a broadcast
+      // bounds join. Counts are integer-exact; the four float outputs
+      // round at 4 like the rest of the percentile family.
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val w = Window.partitionBy("event_type")
+      val rk = e.withColumn("rn", row_number().over(w.orderBy("value")))
+        .withColumn("n", count(lit(1)).over(w))
+      def pos(p: Double) = (col("n") - 1).cast("double") * p
+      val pct = rk.groupBy("event_type").agg(
+          max(col("n")).as("n"),
+          max(when(col("rn") === floor(pos(0.25)) + 1, col("value"))).as("lo25"),
+          max(when(col("rn") === ceil(pos(0.25)) + 1, col("value"))).as("hi25"),
+          max(when(col("rn") === floor(pos(0.75)) + 1, col("value"))).as("lo75"),
+          max(when(col("rn") === ceil(pos(0.75)) + 1, col("value"))).as("hi75"))
+        .select(col("event_type"), col("n"),
+          (col("lo25") + (pos(0.25) - floor(pos(0.25))) *
+            (col("hi25") - col("lo25"))).as("q1"),
+          (col("lo75") + (pos(0.75) - floor(pos(0.75))) *
+            (col("hi75") - col("lo75"))).as("q3"))
+        .select(col("event_type"), col("n"), col("q1"), col("q3"),
+          (col("q1") - lit(1.5) * (col("q3") - col("q1"))).as("lof"),
+          (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hif"))
+      e.join(broadcast(pct), "event_type")
+        .groupBy("event_type")
+        .agg(max(col("n")).cast("long").as("n"),
+          round(max(col("q1")), 4).as("q1"),
+          round(max(col("q3")), 4).as("q3"),
+          round(max(col("lof")), 4).as("lo_fence"),
+          round(max(col("hif")), 4).as("hi_fence"),
+          sum(when(col("value") < col("lof"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("value") > col("hif"), 1L).otherwise(0L)).as("n_above"))
+        .orderBy("event_type")
+    }),
     "q_agg_winsor" -> ((s, d) => {
       // robust statistics, the clamping siblings of q_agg_mad:
       // WINSORIZED mean (values clamped into [p10, p90]) and TRIMMED
@@ -3705,6 +3747,10 @@ object RelationalQueries {
       """SELECT o_orderkey, round(o_totalprice / nullif(o_custkey % 3, 0), 4) AS td, TRY_CAST(o_orderpriority AS INT) AS tc, CASE WHEN o_custkey % 4 = 0 THEN o_custkey WHEN o_custkey % 4 = 1 THEN o_custkey + 1 ELSE NULL END AS te FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""",
     // same rank-addressed lo/hi + identical interpolation expression
     // in both passes (median, then median of absolute deviations)
+    // same one-window rank-addressed quartiles, same IEEE fence
+    // expression (1.5 exact binary), same strict outside comparisons
+    "q_agg_tukey" ->
+      """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), p AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n-1) * 0.25) + 1 THEN value END) AS lo25, max(CASE WHEN rn = ceil((n-1) * 0.25) + 1 THEN value END) AS hi25, max(CASE WHEN rn = floor((n-1) * 0.75) + 1 THEN value END) AS lo75, max(CASE WHEN rn = ceil((n-1) * 0.75) + 1 THEN value END) AS hi75 FROM rk GROUP BY event_type), q AS (SELECT event_type, n, lo25 + ((n-1) * 0.25 - floor((n-1) * 0.25)) * (hi25 - lo25) AS q1, lo75 + ((n-1) * 0.75 - floor((n-1) * 0.75)) * (hi75 - lo75) AS q3 FROM p), f AS (SELECT event_type, n, q1, q3, q1 - 1.5 * (q3 - q1) AS lof, q3 + 1.5 * (q3 - q1) AS hif FROM q) SELECT e.event_type, max(f.n)::BIGINT AS n, round(max(f.q1), 4) AS q1, round(max(f.q3), 4) AS q3, round(max(f.lof), 4) AS lo_fence, round(max(f.hif), 4) AS hi_fence, sum(CASE WHEN e.value < f.lof THEN 1 ELSE 0 END)::BIGINT AS n_below, sum(CASE WHEN e.value > f.hif THEN 1 ELSE 0 END)::BIGINT AS n_above FROM e JOIN f ON e.event_type = f.event_type GROUP BY e.event_type ORDER BY e.event_type""",
     // same one-window rank-addressed percentiles, same IEEE clamp and
     // inclusive trim bounds, same round(8)-term decimal-sum means
     "q_agg_winsor" ->

@@ -307,6 +307,20 @@ class Wave28Spec extends SparkSpec {
       r("core") > 32L, s"no in/out fringe and core not merged: $r")
   }
 
+  test("q_agg_tukey: fences bracket the quartiles and outlier counts are " +
+       "a small minority") {
+    run("q_agg_tukey").collect().foreach { r =>
+      val (q1, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("q3"))
+      val (lo, hi) = (r.getAs[Double]("lo_fence"), r.getAs[Double]("hi_fence"))
+      assert(lo <= q1 + 1e-4 && q1 <= q3 + 1e-4 && q3 <= hi + 1e-4,
+        s"ordering broke: $lo $q1 $q3 $hi")
+      val n = r.getAs[Long]("n")
+      val out = r.getAs[Long]("n_below") + r.getAs[Long]("n_above")
+      // by construction at least half the data is inside [q1, q3]
+      assert(out <= n / 2, s"$out outliers of $n")
+    }
+  }
+
   test("q_agg_winsor: bounds ordered, trimmed subset, and both robust means " +
        "inside the clamp interval") {
     run("q_agg_winsor").collect().foreach { r =>
