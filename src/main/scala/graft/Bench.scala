@@ -203,6 +203,8 @@ object Bench {
     "q_events_changepoint",
     // r13 wave 13: Tukey-fence outlier census (the boxplot rule)
     "q_agg_tukey",
+    // r13 wave 13: Spearman rank fidelity of the int8 prefilter
+    "q_embed_spearman",
     // categorical-association readout (chi2 over the dimension grid)
     "q_agg_cramers",
     // bounded Luby MIS rounds on the staged mod-300 graph

@@ -2825,6 +2825,55 @@ object PipelineQueries {
         .agg(count(lit(1)).as("hits"))
         .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
     }),
+    "q_embed_spearman" -> ((s, d) => {
+      // RANK-FIDELITY readout for the int8 prefilter: Spearman ρ
+      // between the exact-cosine ranking and the quantized int8
+      // ranking over the exact top-100 candidates — the measurement
+      // that justifies q_embed_rerank's stage-1 candidate count c
+      // (ρ near 1 ⇒ a small c already contains the true top-k; the
+      // acc-readout sibling of embed_recall for the quantized
+      // family). Both rankings are deterministic (score desc, vec_id
+      // tiebreak); ranks and Σd² are exact integers, so
+      // ρ = 1 − 6Σd²/(n(n²−1)) is ONE IEEE division of exact
+      // integers, output unrounded (bit-identical cross-engine — the
+      // q_events_changepoint float rule). The rank windows run over
+      // 100 rows.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+        .withColumn("qscale", array_max(transform(col("qv"), x => abs(x))))
+        .withColumn("qcodes", transform(col("qv"), x =>
+          when(col("qscale") === 0, lit(0.0))
+            .otherwise(floor(x / col("qscale") * 127 + lit(0.5)))))
+      val ex = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), col("v"), col("qcodes"), col("qscale"),
+          round(expr("cosine_sim(v, qv)"), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(100)
+        .localCheckpoint(true) // both rank windows read it
+      val wExact = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("vec_id"))
+      val wQuant = org.apache.spark.sql.expressions.Window
+        .orderBy(col("approx").desc, col("vec_id"))
+      ex.withColumn("re", row_number().over(wExact))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("codes", transform(col("v"), x =>
+          when(col("scale") === 0, lit(0.0))
+            .otherwise(floor(x / col("scale") * 127 + lit(0.5)))))
+        .withColumn("idot", aggregate(
+          zip_with(col("codes"), col("qcodes"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+        .withColumn("approx",
+          col("idot") * col("scale") * col("qscale") / lit(16129.0))
+        .withColumn("rq", row_number().over(wQuant))
+        .agg(count(lit(1)).as("n"),
+          sum((col("re") - col("rq")) * (col("re") - col("rq")))
+            .cast("long").as("sum_d2"))
+        .select(col("n"), col("sum_d2"),
+          ((col("n") * (col("n") * col("n") - 1) - lit(6L) * col("sum_d2"))
+            .cast("double") /
+            (col("n") * (col("n") * col("n") - 1)).cast("double")).as("rho"))
+    }),
     "q_embed_rerank" -> ((s, d) => {
       // two-stage retrieval: int8 integer-dot prefilter over the whole
       // corpus -> exact float cosine rescore of the top-50 candidates
@@ -3305,6 +3354,10 @@ object PipelineQueries {
       """WITH ex AS (SELECT vec_id, label, t.i AS pos, embedding[t.i + 1]::DOUBLE AS x FROM embeddings CROSS JOIN range(64) t(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM ex GROUP BY vec_id), coded AS (SELECT label, x, CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale * 127 + 0.5) END AS code, scale FROM ex JOIN sc USING (vec_id)), werr AS (SELECT label, code, x - code * scale / 127 AS err FROM coded) SELECT label, count(*)::BIGINT AS n_vals, max(abs(code))::BIGINT AS max_code, sum(abs(code))::BIGINT AS sum_abs_code, round(max(abs(err)), 6) AS max_abs_err FROM werr GROUP BY label ORDER BY label""",
     "q_explode_embed" ->
       """SELECT t.i::INT AS pos, round(avg(embedding[t.i + 1]::DOUBLE), 4) AS mean, round(min(embedding[t.i + 1]::DOUBLE), 4) AS mn, round(max(embedding[t.i + 1]::DOUBLE), 4) AS mx FROM embeddings, range(64) t(i) GROUP BY t.i ORDER BY pos""",
+    // same exact-cosine top-100, same int8 code/idot/approx chain,
+    // same integer ranks and one unrounded IEEE division
+    "q_embed_spearman" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0), q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qscale FROM q0), qc AS (SELECT qv, qscale, list_transform(qv, x -> CASE WHEN qscale = 0 THEN 0.0 ELSE floor(x / qscale * 127 + 0.5) END) AS qcodes FROM q), ex AS (SELECT vec_id, v, qcodes, qscale, round(${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})), 4) AS score FROM e CROSS JOIN qc WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 100), re AS (SELECT vec_id, v, qcodes, qscale, score, row_number() OVER (ORDER BY score DESC, vec_id) AS re FROM ex), cc AS (SELECT vec_id, re, qscale, qcodes, scale, list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale * 127 + 0.5) END) AS codes FROM (SELECT vec_id, re, qscale, qcodes, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM re)), ap AS (SELECT vec_id, re, (${foldSql("list_transform(range(1, 65), i -> codes[i] * qcodes[i])")} * scale * qscale) / 16129.0 AS approx FROM cc), rqt AS (SELECT re, row_number() OVER (ORDER BY approx DESC, vec_id) AS rq FROM ap) SELECT count(*)::BIGINT AS n, sum((re - rq) * (re - rq))::BIGINT AS sum_d2, ((count(*) * (count(*) * count(*) - 1) - 6 * sum((re - rq) * (re - rq)))::DOUBLE / (count(*) * (count(*) * count(*) - 1))::DOUBLE) AS rho FROM rqt""",
     "q_embed_rerank" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0), q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qscale FROM q0), qc AS (SELECT qv, qscale, list_transform(qv, x -> CASE WHEN qscale = 0 THEN 0.0 ELSE floor(x / qscale * 127 + 0.5) END) AS qcodes FROM q), c0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e WHERE vec_id <> 0), cc AS (SELECT vec_id, v, scale, list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale * 127 + 0.5) END) AS codes FROM c0), ap AS (SELECT vec_id, v, qv, (${foldSql("list_transform(range(1, 65), i -> codes[i] * qcodes[i])")} * scale * qscale) / 16129.0 AS approx FROM cc CROSS JOIN qc), cand AS (SELECT vec_id, v, qv, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 50), sc AS (SELECT vec_id, approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand) SELECT vec_id, round(approx, 4) AS approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_multimodal_frames" ->

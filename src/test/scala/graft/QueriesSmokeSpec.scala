@@ -25,6 +25,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_recall", "q_embed_rerank", "q_embed_topk", // broadcast query vector
     "q_embed_mips",                                  // broadcast query vector
     "q_embed_matryoshka",                            // broadcast query vector (three prefix rankings)
+    "q_embed_spearman",                              // broadcast query vector + codes
     "q_embed_pca",                                   // broadcast 1-row norm scalar per step
     "q_text_heaps",                                  // broadcast 16-row threshold table + 1-row max scalar
     "q_text_jsd",                                    // broadcast source-pair grid (sources² rows)

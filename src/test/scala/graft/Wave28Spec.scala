@@ -396,6 +396,18 @@ class Wave28Spec extends SparkSpec {
     assert(l > 0.0, s"level $l not positive for a count series")
   }
 
+  test("q_embed_spearman: rho in [-1, 1] over exactly 100 ranks and high " +
+       "for an int8 quantization of the same scores") {
+    val r = run("q_embed_spearman").collect().head
+    assert(r.getAs[Long]("n") == 100L)
+    val rho = r.getAs[Double]("rho")
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"rho $rho out of range")
+    // int8 keeps ~2 decimal digits of the score — rank order should
+    // survive substantially
+    assert(rho > 0.5, s"rho $rho suspiciously low for int8 quantization")
+    assert(r.getAs[Long]("sum_d2") >= 0L)
+  }
+
   test("q_embed_drift: drift2 is nonnegative and zero for an identical split") {
     run("q_embed_drift").collect()
       .foreach(row => assert(row.getAs[Double]("drift2") >= 0.0))
