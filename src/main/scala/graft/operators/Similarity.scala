@@ -304,25 +304,6 @@ object Similarity {
       .limit(k)
   }
 
-  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup =
-    * k-means partition + pairwise cosine ONLY within a cluster. A
-    * vector is dropped when a lower-id vector in its cluster scores
-    * cosine >= `tau` against it (the paper keeps one representative
-    * per semantic-dup group; lowest-id is the deterministic,
-    * SQL-expressible stand-in for its centroid-distance tie-break).
-    * Returns the per-cluster audit row a curation run logs:
-    * (cid, sz, n_drop, n_kept).
-    *
-    * Scale contract: the quadratic is CLUSTER-scoped — the self-join
-    * shuffles on `cid` once and each reducer does |cell|² work, so k
-    * is the lever: scale k with corpus size (the paper uses 50k
-    * clusters for LAION) and the per-cell population stays bounded;
-    * [[splitCounts]]-style salting applies if a degenerate cell
-    * forms. No all-pairs stage exists at any scale. Measured caveat
-    * (tools/Stress semdedup_x10 pair): raising k also raises the k·n
-    * assignment cost, which DOMINATES until cells exceed ~10⁴ members
-    * (20k vectors: k=8 with 2.5k-member cells beat k=80) — size k to
-    * the corpus, not defensively high. */
   /** SemDeDup QUALITY curve (the measurement the paper reports next
     * to the rule, r12 VERDICT item 8): drop-rate vs `tau`, plus the
     * label-precision of the drop rule on a labeled corpus — of the
@@ -373,6 +354,25 @@ object Similarity {
       .orderBy("tau")
   }
 
+  /** SemDeDup (Abbas et al. '23, arXiv:2303.09540): semantic dedup =
+    * k-means partition + pairwise cosine ONLY within a cluster. A
+    * vector is dropped when a lower-id vector in its cluster scores
+    * cosine >= `tau` against it (the paper keeps one representative
+    * per semantic-dup group; lowest-id is the deterministic,
+    * SQL-expressible stand-in for its centroid-distance tie-break).
+    * Returns the per-cluster audit row a curation run logs:
+    * (cid, sz, n_drop, n_kept).
+    *
+    * Scale contract: the quadratic is CLUSTER-scoped — the self-join
+    * shuffles on `cid` once and each reducer does |cell|² work, so k
+    * is the lever: scale k with corpus size (the paper uses 50k
+    * clusters for LAION) and the per-cell population stays bounded;
+    * [[splitCounts]]-style salting applies if a degenerate cell
+    * forms. No all-pairs stage exists at any scale. Measured caveat
+    * (tools/Stress semdedup_x10 pair): raising k also raises the k·n
+    * assignment cost, which DOMINATES until cells exceed ~10⁴ members
+    * (20k vectors: k=8 with 2.5k-member cells beat k=80) — size k to
+    * the corpus, not defensively high. */
   def semDedup(assigned: DataFrame, tau: Double): DataFrame = {
     val a = assigned.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"))

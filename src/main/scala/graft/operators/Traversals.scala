@@ -990,42 +990,6 @@ object Traversals {
     labels
   }
 
-  /** Strongly connected components of a DIRECTED graph by iterated
-    * max-id coloring — the coloring/FW-BW family of the
-    * distributed-SCC literature (Orzan's algorithm, with vertex ids
-    * as colors). Each round, over the remaining subgraph:
-    *
-    *  1. `color(v)` = max id that reaches v (max-label fixpoint along
-    *     edge direction). Every color class c contains its root
-    *     vertex c (nothing higher reaches c, else the class would be
-    *     that higher id's), and class edges never leave the class.
-    *  2. `fm(v)` = max id v reaches WITHIN its color class (max-label
-    *     fixpoint against edge direction, over the class-restricted
-    *     edge set). `fm(v) = color(v) = c` iff v reaches the root c
-    *     inside the class — and since c also reaches v (that is what
-    *     color c means), exactly the members of SCC(c) qualify: an
-    *     intermediate vertex on any v→..→c path is reached by c and
-    *     reaches c, so whole paths stay in the class and membership
-    *     is exact.
-    *
-    * Every color root's SCC peels per round — sink-region SCCs all
-    * resolve in parallel (expected O(log n) rounds on random ids; the
-    * global max vertex is always a root, so progress is guaranteed).
-    * Assigned vertices and their incident edges leave the subgraph.
-    *
-    * Scale: both per-round fixpoints are pointer-jumped label
-    * propagations (O(log diameter) shuffle-join rounds each, each
-    * round one labels×edges join plus a hash agg); all state tables
-    * are localCheckpointed per step with superseded checkpoints
-    * dropped eagerly, so lineage and block storage stay O(1) across
-    * both loop levels; nothing collects to the driver but the
-    * convergence-witness scalars. Output: (vertex, component),
-    * component = MIN vertex id of the SCC (re-keyed from the max-id
-    * root by one small per-component agg, matching the convention of
-    * [[connectedComponents]]). Self-loop EDGES are dropped (they
-    * never affect SCC membership) but their vertices are kept — a
-    * vertex whose only incident edge is a self-loop is a singleton
-    * SCC, so the vertex set derives from the UNFILTERED edge list. */
   /** Vertices reachable (along edge direction) from a SEED SET given
     * as a DataFrame — the set-source sibling of [[bfsLevels]] for
     * callers whose seeds are themselves a distributed result (e.g.
@@ -1133,6 +1097,42 @@ object Traversals {
     comp.toSeq
   }
 
+  /** Strongly connected components of a DIRECTED graph by iterated
+    * max-id coloring — the coloring/FW-BW family of the
+    * distributed-SCC literature (Orzan's algorithm, with vertex ids
+    * as colors). Each round, over the remaining subgraph:
+    *
+    *  1. `color(v)` = max id that reaches v (max-label fixpoint along
+    *     edge direction). Every color class c contains its root
+    *     vertex c (nothing higher reaches c, else the class would be
+    *     that higher id's), and class edges never leave the class.
+    *  2. `fm(v)` = max id v reaches WITHIN its color class (max-label
+    *     fixpoint against edge direction, over the class-restricted
+    *     edge set). `fm(v) = color(v) = c` iff v reaches the root c
+    *     inside the class — and since c also reaches v (that is what
+    *     color c means), exactly the members of SCC(c) qualify: an
+    *     intermediate vertex on any v→..→c path is reached by c and
+    *     reaches c, so whole paths stay in the class and membership
+    *     is exact.
+    *
+    * Every color root's SCC peels per round — sink-region SCCs all
+    * resolve in parallel (expected O(log n) rounds on random ids; the
+    * global max vertex is always a root, so progress is guaranteed).
+    * Assigned vertices and their incident edges leave the subgraph.
+    *
+    * Scale: both per-round fixpoints are pointer-jumped label
+    * propagations (O(log diameter) shuffle-join rounds each, each
+    * round one labels×edges join plus a hash agg); all state tables
+    * are localCheckpointed per step with superseded checkpoints
+    * dropped eagerly, so lineage and block storage stay O(1) across
+    * both loop levels; nothing collects to the driver but the
+    * convergence-witness scalars. Output: (vertex, component),
+    * component = MIN vertex id of the SCC (re-keyed from the max-id
+    * root by one small per-component agg, matching the convention of
+    * [[connectedComponents]]). Self-loop EDGES are dropped (they
+    * never affect SCC membership) but their vertices are kept — a
+    * vertex whose only incident edge is a self-loop is a singleton
+    * SCC, so the vertex set derives from the UNFILTERED edge list. */
   def stronglyConnectedComponents(edges: DataFrame, maxPeels: Int = 1000,
                                   maxIters: Int = 10000, jumps: Int = 2,
                                   localMaxEdges: Long = bfsLocalMaxEdges): DataFrame = {

@@ -1023,6 +1023,9 @@ object GraphQueries {
       val nk = deg.select(explode(ks).as("k"), col("dg"))
         .where(col("dg") > col("k"))
         .groupBy("k").agg(count(lit(1)).as("n_nodes"))
+        // φ is undefined below 2 qualifying nodes (denominator 0 →
+        // IEEE Inf here vs DuckDB's rendering); drop the degenerate k
+        .where(col("n_nodes") >= 2)
       val ek = und
         .join(deg.select(col("v").as("va"), col("dg").as("da")), col("a") === col("va"))
         .join(deg.select(col("v").as("vb"), col("dg").as("db")), col("b") === col("vb"))
@@ -1437,7 +1440,7 @@ object GraphQueries {
     // same mod-300 canonical graph, same integer E/N terms per k,
     // one closing division
     "q_graph_richclub" ->
-      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), m AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT src AS v, count(*)::BIGINT AS dg FROM m GROUP BY src), ks AS (SELECT unnest([2, 4, 8, 16]) AS k), nk AS (SELECT k, count(*)::BIGINT AS n_nodes FROM deg CROSS JOIN ks WHERE dg > k GROUP BY k), ek AS (SELECT k, count(*)::BIGINT AS n_edges FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v CROSS JOIN ks WHERE da.dg > k AND db.dg > k GROUP BY k) SELECT nk.k::INT AS k, nk.n_nodes, coalesce(ek.n_edges, 0)::BIGINT AS n_edges, round(coalesce(ek.n_edges, 0) * 2.0 / (nk.n_nodes * (nk.n_nodes - 1)), 6) AS phi FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY k""",
+      """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), m AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), deg AS (SELECT src AS v, count(*)::BIGINT AS dg FROM m GROUP BY src), ks AS (SELECT unnest([2, 4, 8, 16]) AS k), nk AS (SELECT k, count(*)::BIGINT AS n_nodes FROM deg CROSS JOIN ks WHERE dg > k GROUP BY k HAVING count(*) >= 2), ek AS (SELECT k, count(*)::BIGINT AS n_edges FROM und JOIN deg da ON und.a = da.v JOIN deg db ON und.b = db.v CROSS JOIN ks WHERE da.dg > k AND db.dg > k GROUP BY k) SELECT nk.k::INT AS k, nk.n_nodes, coalesce(ek.n_edges, 0)::BIGINT AS n_edges, round(coalesce(ek.n_edges, 0) * 2.0 / (nk.n_nodes * (nk.n_nodes - 1)), 6) AS phi FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY k""",
     // same bounded per-order pair expansion, same exact 720-scaled
     // Newman weights, one closing division
     "q_graph_coproj" ->

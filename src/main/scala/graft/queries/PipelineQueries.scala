@@ -2873,6 +2873,9 @@ object PipelineQueries {
           ((col("n") * (col("n") * col("n") - 1) - lit(6L) * col("sum_d2"))
             .cast("double") /
             (col("n") * (col("n") * col("n") - 1)).cast("double")).as("rho"))
+        // ρ needs n ≥ 2 (n(n²−1) = 0 at n ≤ 1 → IEEE NaN here vs
+        // DuckDB NULL); drop the degenerate single-candidate case
+        .where(col("n") >= 2)
     }),
     "q_embed_rerank" -> ((s, d) => {
       // two-stage retrieval: int8 integer-dot prefilter over the whole
@@ -3357,7 +3360,7 @@ object PipelineQueries {
     // same exact-cosine top-100, same int8 code/idot/approx chain,
     // same integer ranks and one unrounded IEEE division
     "q_embed_spearman" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0), q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qscale FROM q0), qc AS (SELECT qv, qscale, list_transform(qv, x -> CASE WHEN qscale = 0 THEN 0.0 ELSE floor(x / qscale * 127 + 0.5) END) AS qcodes FROM q), ex AS (SELECT vec_id, v, qcodes, qscale, round(${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})), 4) AS score FROM e CROSS JOIN qc WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 100), re AS (SELECT vec_id, v, qcodes, qscale, score, row_number() OVER (ORDER BY score DESC, vec_id) AS re FROM ex), cc AS (SELECT vec_id, re, qscale, qcodes, scale, list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale * 127 + 0.5) END) AS codes FROM (SELECT vec_id, re, qscale, qcodes, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM re)), ap AS (SELECT vec_id, re, (${foldSql("list_transform(range(1, 65), i -> codes[i] * qcodes[i])")} * scale * qscale) / 16129.0 AS approx FROM cc), rqt AS (SELECT re, row_number() OVER (ORDER BY approx DESC, vec_id) AS rq FROM ap) SELECT count(*)::BIGINT AS n, sum((re - rq) * (re - rq))::BIGINT AS sum_d2, ((count(*) * (count(*) * count(*) - 1) - 6 * sum((re - rq) * (re - rq)))::DOUBLE / (count(*) * (count(*) * count(*) - 1))::DOUBLE) AS rho FROM rqt""",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0), q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qscale FROM q0), qc AS (SELECT qv, qscale, list_transform(qv, x -> CASE WHEN qscale = 0 THEN 0.0 ELSE floor(x / qscale * 127 + 0.5) END) AS qcodes FROM q), ex AS (SELECT vec_id, v, qcodes, qscale, round(${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})), 4) AS score FROM e CROSS JOIN qc WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 100), re AS (SELECT vec_id, v, qcodes, qscale, score, row_number() OVER (ORDER BY score DESC, vec_id) AS re FROM ex), cc AS (SELECT vec_id, re, qscale, qcodes, scale, list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale * 127 + 0.5) END) AS codes FROM (SELECT vec_id, re, qscale, qcodes, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM re)), ap AS (SELECT vec_id, re, (${foldSql("list_transform(range(1, 65), i -> codes[i] * qcodes[i])")} * scale * qscale) / 16129.0 AS approx FROM cc), rqt AS (SELECT re, row_number() OVER (ORDER BY approx DESC, vec_id) AS rq FROM ap) SELECT count(*)::BIGINT AS n, sum((re - rq) * (re - rq))::BIGINT AS sum_d2, ((count(*) * (count(*) * count(*) - 1) - 6 * sum((re - rq) * (re - rq)))::DOUBLE / (count(*) * (count(*) * count(*) - 1))::DOUBLE) AS rho FROM rqt HAVING count(*) >= 2""",
     "q_embed_rerank" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q0 AS (SELECT v AS qv FROM e WHERE vec_id = 0), q AS (SELECT qv, list_max(list_transform(qv, x -> abs(x))) AS qscale FROM q0), qc AS (SELECT qv, qscale, list_transform(qv, x -> CASE WHEN qscale = 0 THEN 0.0 ELSE floor(x / qscale * 127 + 0.5) END) AS qcodes FROM q), c0 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM e WHERE vec_id <> 0), cc AS (SELECT vec_id, v, scale, list_transform(v, x -> CASE WHEN scale = 0 THEN 0.0 ELSE floor(x / scale * 127 + 0.5) END) AS codes FROM c0), ap AS (SELECT vec_id, v, qv, (${foldSql("list_transform(range(1, 65), i -> codes[i] * qcodes[i])")} * scale * qscale) / 16129.0 AS approx FROM cc CROSS JOIN qc), cand AS (SELECT vec_id, v, qv, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 50), sc AS (SELECT vec_id, approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand) SELECT vec_id, round(approx, 4) AS approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_multimodal_frames" ->

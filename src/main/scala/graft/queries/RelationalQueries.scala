@@ -1338,7 +1338,14 @@ object RelationalQueries {
               .cast("decimal(24,6)").as("b"))
           .localCheckpoint(true)
       }
-      st.select(lit(16).as("n_days"),
+      // Degenerate-series guard (r13 advice): on a study shorter than
+      // 16 days the unrolled chain empties at the first missing yAt(t)
+      // while the oracle's scalar subqueries would propagate NULLs —
+      // pin BOTH engines to "zero rows unless the full 16-day tail
+      // exists" (oracle carries the matching count(*)=16 WHERE).
+      val full16 = broadcast(series.agg(count(lit(1)).as("nd"))
+        .where(col("nd") === 16))
+      st.crossJoin(full16).select(lit(16).as("n_days"),
         col("l").cast("double").as("level"),
         col("b").cast("double").as("trend"),
         (col("l") + col("b")).cast("double").as("f1"),
@@ -3848,7 +3855,7 @@ object RelationalQueries {
       ("""WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), tl AS (SELECT x, row_number() OVER (ORDER BY day DESC) AS rd FROM daily), se AS (SELECT (17 - rd)::INT AS rn, x::DECIMAL(20,6) AS y FROM tl WHERE rd <= 16), h1 AS (SELECT (SELECT y FROM se WHERE rn = 1)::DECIMAL(24,6) AS l, ((SELECT y FROM se WHERE rn = 2) - (SELECT y FROM se WHERE rn = 1))::DECIMAL(24,6) AS b), """ +
         (2 to 16).map(t =>
           s"h$t AS (SELECT lt::DECIMAL(24,6) AS l, round((lt - l + b) * 0.5::DECIMAL(2,1), 6)::DECIMAL(24,6) AS b FROM (SELECT l, b, round(((SELECT y FROM se WHERE rn = $t) + l + b) * 0.5::DECIMAL(2,1), 6) AS lt FROM h${t - 1}))").mkString(", ") +
-        """ SELECT 16::INT AS n_days, l::DOUBLE AS level, b::DOUBLE AS trend, (l + b)::DOUBLE AS f1, (l + 2 * b)::DOUBLE AS f2, (l + 3 * b)::DOUBLE AS f3 FROM h16"""),
+        """ SELECT 16::INT AS n_days, l::DOUBLE AS level, b::DOUBLE AS trend, (l + b)::DOUBLE AS f1, (l + 2 * b)::DOUBLE AS f2, (l + 3 * b)::DOUBLE AS f3 FROM h16 WHERE (SELECT count(*) FROM se) = 16"""),
     "q_events_forecast" ->
       """WITH daily AS (SELECT ts::DATE AS day, count(*)::BIGINT AS x FROM events GROUP BY 1), j AS (SELECT a.x, b.x AS x1, c.x AS x7 FROM daily a JOIN daily b ON b.day + to_days(1) = a.day JOIN daily c ON c.day + to_days(7) = a.day) SELECT count(*)::BIGINT AS n_eval, sum(abs(x - x1))::BIGINT AS sae_naive, sum(abs(x - x7))::BIGINT AS sae_seasonal, round(sum(abs(x - x7))::DOUBLE / sum(abs(x - x1))::DOUBLE, 6) AS mase7 FROM j""",
     // same (ts, event_id) lag order, same integer-second gaps, same

@@ -37,6 +37,18 @@ import graft.operators.Traversals
   *    shares its LogicalRDD leaf), so a dependency chain drains as its
   *    dependents refresh — which they do immediately, because every
   *    dependent stages after its dependency in the same call.
+  *
+  * Concurrency bound (r13 advice): eager release on a fingerprint
+  * refresh truncates the OLD entry's checkpoint lineage, so a caller
+  * still executing a query against the stale DataFrame when a refresh
+  * lands would fail unrecoverably. This is safe under the harness's
+  * actual execution model — Verify/Bench run queries sequentially per
+  * session, and the concurrent-traversal spec uses per-thread staging
+  * tags — but the memo does NOT support concurrent queries against
+  * the same (dir, tag) across a fixture refresh. If that ever becomes
+  * a requirement, defer stale-block release to the stopped-session
+  * sweep (trading executor storage for lifetime) instead of weakening
+  * the refresh semantics.
   */
 private[graft] final class SessionMemo {
 

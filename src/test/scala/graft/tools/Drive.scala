@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 object Drive {
   def main(args: Array[String]): Unit = {
@@ -11,21 +12,32 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
-    val names = Seq("q_embed_pca", "q_dedup_simhash_acc", "q_text_heaps",
-      "q_text_readability", "q_embed_outlier", "q_graph_bowtie",
-      "q_agg_winsor", "q_text_jsd", "q_sample_coreset",
-      "q_embed_matryoshka", "q_events_holt")
-    // warmup pass (codegen/JIT), then two timed reps, report min
-    for (n <- names) { graft.SparkEntry.queries(n)(spark, d).collect() }
-    for (n <- names) {
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        graft.SparkEntry.queries(n)(spark, d).collect()
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(f"[drive] $n%-22s min=${times.min}%.2fs")
-    }
+    import spark.implicits._
+
+    // Degenerate-fixture drive for the r13-advice guards: a 3-day
+    // events study (holt needs 16), and the real fixtures as control.
+    val tmp = "/tmp/drive_degenerate"
+    val full = "/root/testdata/sf0.01"
+    // copy every table holt's deps DON'T need, then a 3-day events
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "documents", "embeddings"))
+      spark.read.parquet(s"$full/$t.parquet")
+        .write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    // take the first 3 distinct days regardless of fixture dates
+    val ev = spark.read.parquet(s"$full/events.parquet")
+    val d3 = ev.select(col("ts").cast("date").as("day")).distinct()
+      .orderBy("day").limit(3)
+    ev.join(broadcast(d3), ev("ts").cast("date") === d3("day"))
+      .drop("day").write.mode("overwrite").parquet(s"$tmp/events.parquet")
+
+    val holtDeg = graft.SparkEntry.queries("q_events_holt")(spark, tmp).collect()
+    println(s"[drive] holt on 3-day study rows=${holtDeg.length} (want 0)")
+    val holtFull = graft.SparkEntry.queries("q_events_holt")(spark, full).collect()
+    println(s"[drive] holt on full study rows=${holtFull.length} (want 1): ${holtFull.headOption}")
+    val rc = graft.SparkEntry.queries("q_graph_richclub")(spark, full).collect()
+    println(s"[drive] richclub rows=${rc.length}, phi finite=${rc.forall(r => !r.getDouble(3).isInfinite && !r.getDouble(3).isNaN)}")
+    val sp = graft.SparkEntry.queries("q_embed_spearman")(spark, full).collect()
+    println(s"[drive] spearman rows=${sp.length}, rho=${sp.headOption.map(_.get(2))}")
     spark.stop()
   }
 }
