@@ -438,6 +438,29 @@ object Bench {
       .map(m => m.group(1) -> m.group(2).toDouble)
       .filter(_._2 >= 0).toSeq
 
+  /** Per-floor spin constant entries in bench_minima_<sf>.json:
+    * `"spinref_q_x":0.29` is the fixed-work [[spinProbe]] reading of
+    * the window in which q_x's recorded minimum was set. The outlier
+    * trigger divides current drift by (spin_now / spin_at_floor), so
+    * a uniformly contended window (r13: every carried entry at ~1.65x
+    * floors under a 1.63x spin ratio) no longer re-runs the whole
+    * suite in isolation, and genuine regressions in QUIET windows
+    * trigger at a tighter 1.5x. Keys deliberately do not start with
+    * `q_` so [[parseMins]]'s entry regex can never mistake a spin
+    * constant for a query minimum. */
+  private[graft] val spinrefEntry =
+    """"spinref_(q_[A-Za-z0-9_]+)":(\d+(?:\.\d+)?)""".r
+
+  private[graft] def parseSpinrefs(txt: String): Map[String, Double] =
+    spinrefEntry.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2).toDouble).toMap
+
+  /** Idle [[spinProbe]] constant on the reference host (32 threads,
+    * no contention): the fallback spin-at-floor for minima recorded
+    * before spinrefs existed (r1–r13). Floors re-ratchet with real
+    * spinrefs on every merge. */
+  private[graft] val quietSpinRef = 0.29
+
   /** Best (minimum) recorded time per query at scale `sfName`, merged
     * across driver artifacts (BENCH_r*.json, escaped), this program's
     * own artifact (bench_out.json, raw), and the self-maintained
@@ -731,6 +754,17 @@ object Bench {
     val sfName = new java.io.File(sfCanon).getName
     val minimaPath = Paths.get(s"bench_minima_$sfName.json")
     val histMin: Map[String, Double] = historicalMinima(sfName, new java.io.File("."))
+    // spin constants recorded when each floor was set (r14): the
+    // drift trigger below normalizes by the host-noise ratio between
+    // NOW and floor time, so contended windows stop mass-triggering
+    // isolated reruns and quiet windows trigger tighter
+    val spinrefs: Map[String, Double] =
+      try {
+        if (Files.exists(minimaPath)) parseSpinrefs(Files.readString(minimaPath))
+        else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    def noiseRatio(n: String): Double =
+      math.max(1.0, spinPre / spinrefs.getOrElse(n, quietSpinRef))
     // Isolated-rerun exoneration pass: any query whose suite median reads
     // > 2x its best-known minimum (this suite's min-of-reps, or the
     // cross-round minimum at this scale) gets one more timed execution
@@ -739,13 +773,19 @@ object Bench {
     // number was scheduling noise, not a regression.
     val bestKnown = results.collect { case (n, m, mn) if m >= 0 =>
       n -> math.min(mn, histMin.getOrElse(n, Double.MaxValue)) }.toMap
-    // trigger on the suite MIN drifting past 2x the cross-round minimum
+    // trigger on the suite MIN drifting past the cross-round minimum
     // too, not just the median vs best-known: r9 carried three entries
     // whose medians stayed under the trigger while their minima had
-    // quietly doubled — those went unexonerated for a whole round
+    // quietly doubled — those went unexonerated for a whole round.
+    // r14: drift is spin-NORMALIZED (÷ noiseRatio) at a tighter 1.5x —
+    // a uniformly contended window exonerates itself arithmetically
+    // instead of through 27 isolated reruns (the r13 shape), while a
+    // 1.6x code regression in a quiet window now fires where the old
+    // raw-2.0x trigger stayed silent
     val outliers = results.collect {
-      case (n, med, mn) if med >= 0 && (med > 2.0 * bestKnown(n) ||
-        mn > 2.0 * histMin.getOrElse(n, Double.MaxValue)) => n }
+      case (n, med, mn) if med >= 0 &&
+        (med > 1.5 * bestKnown(n) * noiseRatio(n) ||
+          mn > 1.5 * histMin.getOrElse(n, Double.MaxValue) * noiseRatio(n)) => n }
     val medByName = results.collect { case (n, m, _) => n -> m }.toMap
     // r13 rerun protocol (r12 VERDICT item 1): the single rerun +
     // single AFTER-the-fact spin sample could not adjudicate a 22 s
@@ -780,14 +820,59 @@ object Bench {
       // name the trigger that actually fired — a min-drift rerun
       // logged as a median breach points triage at the wrong signal
       val why =
-        if (medByName(name) > 2.0 * bestKnown(name))
-          f"suite median exceeded 2x best-known ${bestKnown(name)}%.3f s"
+        if (medByName(name) > 1.5 * bestKnown(name) * noiseRatio(name))
+          f"suite median exceeded 1.5x best-known ${bestKnown(name)}%.3f s " +
+            f"(spin-normalized x${noiseRatio(name)}%.2f)"
         else
-          f"suite min exceeded 2x cross-round min ${histMin(name)}%.3f s"
+          f"suite min exceeded 1.5x cross-round min ${histMin(name)}%.3f s " +
+            f"(spin-normalized x${noiseRatio(name)}%.2f)"
       System.err.println(f"[bench] isolated rerun $name: best-of-3 $t%.3f s " +
         s"(reps ${times.map(v => f"$v%.3f").mkString("/")}; $why)")
       (name, t)
     }
+    // Fresh-JVM probe (r13 VERDICT item 1c): a heavy GRAPH entry whose
+    // ISOLATED best still reads above the normalized floor gets one
+    // run in a brand-new JVM — empty old-gen, clean code cache, zero
+    // suite history. The r13 ktruss investigation proved this one rep
+    // adjudicates dirty-JVM inflation vs a real slowdown; recording it
+    // in-artifact (with the child's actual heap + collector) also
+    // answers whether the harness honors build.sbt's 16g default. The
+    // allowlist is the barrier-heavy superstep family — the only
+    // entries whose suite-position sensitivity has recurred.
+    val freshCandidates = Seq("q_graph_pagerank_big", "q_graph_ktruss",
+      "q_graph_dfs_classes", "q_graph_triangles_big", "q_graph_cc_big")
+    val isoByName = isolated.toMap
+    val freshJvm: Seq[(String, String)] = freshCandidates
+      .filter(n => isoByName.get(n).exists(t => t < 0 ||
+        t > 1.5 * histMin.getOrElse(n, Double.MaxValue) * noiseRatio(n)))
+      .flatMap { n =>
+        try {
+          import scala.jdk.CollectionConverters._
+          val jvmArgs = java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          val javaBin = new java.io.File(
+            new java.io.File(System.getProperty("java.home"), "bin"), "java").toString
+          val wd = if (warmDir.isDirectory) warmDir.toString else sfDir
+          val cmd = Seq(javaBin, "-cp", System.getProperty("java.class.path")) ++
+            jvmArgs ++ Seq("graft.BenchFreshRep", n, sfDir, wd)
+          val pb = new ProcessBuilder(cmd: _*)
+          // child stderr (Spark logs) flows to ours — a blocked pipe
+          // must never deadlock the probe; stdout carries FRESHREP
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val proc = pb.start()
+          val out = new String(proc.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+          if (!done) proc.destroyForcibly()
+          out.linesIterator.find(_.startsWith("FRESHREP "))
+            .map(l => n -> l.stripPrefix("FRESHREP ").trim)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] fresh-JVM probe for $n failed: ${e.getMessage}")
+          None
+        }
+      }
+    freshJvm.foreach { case (n, j) =>
+      System.err.println(s"[bench] fresh-JVM $n: $j") }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // print 0,123 and break the JSON consumer
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -844,7 +929,19 @@ object Bench {
       if (anyFailed) "null"
       else fmt(results.map { case (n, _, mn) =>
         isoMap.get(n).filter(_ >= 0).map(math.min(_, mn)).getOrElse(mn) }.sum)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"isolated_reps":$isoRepsJson,"isolated_spin":$isoSpinJson,"isolated_stages":$isoStagesJson,"spin":$spin,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
+    // the suite JVM's actual limits, in-artifact: three rounds of
+    // pagerank_big triage could not tell "driver harness ignores the
+    // 16g default" from "genuine allocation pressure" because nothing
+    // recorded the heap the bench REALLY ran with
+    val heapMib = Runtime.getRuntime.maxMemory() / (1L << 20)
+    val gcNames = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getName).mkString("+")
+    }
+    val freshJson = freshJvm
+      .map { case (n, j) => "\"" + n + "\":" + j }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","heap_max_mib":$heapMib,"gc":"$gcNames","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"isolated_reps":$isoRepsJson,"isolated_spin":$isoSpinJson,"isolated_stages":$isoStagesJson,"fresh_jvm":$freshJson,"spin":$spin,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the artifact line to a file: the r9 record was lost
     // because the capture wrapper kept only the tail of stdout and the
@@ -863,12 +960,33 @@ object Bench {
         parseMins(Files.readString(minimaPath)).groupBy(_._1)
           .map { case (k, vs) => k -> vs.map(_._2).min }
       else Map.empty[String, Double]
+      // a fresh-JVM probe's best is as demonstrated as a suite rep:
+      // same code, same data, same host — only the JVM is clean
+      val freshBest: Map[String, Double] = freshJvm.flatMap { case (n, j) =>
+        """"best":(\d+(?:\.\d+)?)""".r.findFirstMatchIn(j)
+          .map(m => n -> m.group(1).toDouble)
+      }.toMap
       val current = results.collect { case (n, _, mn) if mn >= 0 =>
-        n -> isoMap.get(n).filter(_ >= 0).map(math.min(_, mn)).getOrElse(mn) }
+        n -> Seq(Some(mn), isoMap.get(n).filter(_ >= 0),
+          freshBest.get(n)).flatten.min }
       val merged = (prior.toSeq ++ current).groupBy(_._1)
         .map { case (k, vs) => k -> vs.map(_._2).min }
+      // spinref maintenance: a floor this run just set/lowered gets
+      // THIS window's spin constant; a standing floor keeps its
+      // recorded spinref (pre-r14 floors backfill the documented
+      // quiet constant so the normalization base is always explicit)
+      val spinAtRun = math.min(spinPre, spinPost)
+      val curByName = current.toMap
+      val refs = merged.map { case (k, v) =>
+        val lowered = curByName.get(k).exists(_ <= v) &&
+          prior.get(k).forall(v < _)
+        val ref =
+          if (lowered) spinAtRun
+          else spinrefs.getOrElse(k, quietSpinRef)
+        s"spinref_$k" -> ref
+      }
       Files.writeString(minimaPath,
-        obj(merged.toSeq.sortBy(_._1)) + "\n")
+        obj(merged.toSeq.sortBy(_._1) ++ refs.toSeq.sortBy(_._1)) + "\n")
     } catch { case _: Throwable => () }
     spark.stop()
   }

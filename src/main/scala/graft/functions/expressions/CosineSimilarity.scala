@@ -102,7 +102,10 @@ object GraftFunctions {
     // analyzer wraps it in an AggregateExpression at resolution
     "bitmap_distinct" -> (exprs => BitmapDistinct(exprs(0))),
     // generator (UDTF) — the analyzer lifts it into a Generate node
-    "word_ngrams" -> (exprs => WordNGrams(exprs(0), exprs(1))))
+    "word_ngrams" -> (exprs => WordNGrams(exprs(0), exprs(1))),
+    // fixed-point kernels for deterministic primitive-long sums
+    "fixed18" -> (exprs => Fixed18(exprs(0))),
+    "fixed_combine" -> (exprs => FixedCombine(exprs(0), exprs(1), exprs(2))))
 
   /** Imperative registration (any existing session). Idempotent: a
     * name already present (from a prior call or [[GraftExtensions]]

@@ -496,10 +496,13 @@ object Traversals {
 
   /** Deterministic PageRank (fixed iteration count): the standard
     * recurrence rank' = reset + (1-reset)·Σ rank(u)/outdeg(u), with
-    * each edge contribution cast to decimal(38,18) before the sum so
-    * the aggregation is accumulation-order independent — the same
-    * ranks bit-for-bit on any partitioning/engine (unlike GraphX's
-    * double message-sums, whose low bits vary run to run). Per
+    * each edge contribution converted to an exact fixed-point long at
+    * 1e-18 (graft.functions.expressions.FixedPoint — allocation-free,
+    * half-up at the 18th decimal) before the sum, so the aggregation
+    * is accumulation-order independent — the same ranks bit-for-bit
+    * on any partitioning (unlike GraphX's double message-sums, whose
+    * low bits vary run to run) — AND a primitive Tungsten long sum
+    * rather than a per-edge-allocating decimal(38,18) sum. Per
     * iteration: one vertex-keyed join + one hash agg; lineage cut by
     * localCheckpoint. Input directed `(src, dst)`; every edge endpoint
     * is a vertex. */
@@ -576,13 +579,15 @@ object Traversals {
     // rebuild join: a zero-contribution row per vertex rides into the
     // same hash agg that sums the edge contributions, so each
     // superstep is ONE exchange (contrib ∪ zeros, keyed by vertex)
-    // instead of two (agg, then verts ⋈ sums). Decimal addition of an
-    // exact 0 term leaves the sum bit-identical, and a vertex with no
-    // in-edges gets m = 0 exactly as coalesce(null, 0.0) did — the
-    // oracle contract is unchanged. Fewer barriers per superstep is
-    // also the noisy-host story: less steal surface under suite load.
-    val zeros = verts.select(col("vertex"),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)").as("w"))
+    // instead of two (agg, then verts ⋈ sums). Adding an exact 0 term
+    // leaves the sum bit-identical, and a vertex with no in-edges gets
+    // m = 0 exactly as coalesce(null, 0.0) did — the oracle contract
+    // is unchanged. Fewer barriers per superstep is also the
+    // noisy-host story: less steal surface under suite load.
+    graft.functions.expressions.GraftFunctions.register(eo.sparkSession)
+    val splitMod = graft.functions.expressions.FixedPoint.SplitMod
+    val zeros = verts.select(col("vertex"), lit(0L).as("u"),
+      lit(null).cast("decimal(38,18)").as("wbig"))
     // The loop builds ONE lazy plan across up to `pageRankFuseDepth`
     // supersteps before materializing (unlike BFS, whose unbounded
     // frontier loop must checkpoint per level): the fused segment runs
@@ -597,12 +602,30 @@ object Traversals {
     var r = verts.withColumn("rank", lit(1.0))
     var prevSeg: Option[DataFrame] = None
     (1 to iters).foreach { i =>
+      // Per-edge contribution as a PRIMITIVE fixed-point long (exact
+      // binary value rounded half-up at 1e-18 — see FixedPoint's value
+      // contract), split hi/lo so per-vertex partial sums stay exact
+      // without 128-bit state: the superstep's hash agg is then pure
+      // Tungsten long addition instead of a decimal(38,18) sum whose
+      // every add allocates BigDecimals (r13: 9–28 s of task GC in the
+      // big superstep stages was this allocation pressure). The rare
+      // |w| ≥ 9 contribution (a rank ≥ 9·odeg hub) falls back to the
+      // exact decimal cast and is recombined exactly per vertex.
       val contrib = eo.join(r, eo("src") === r("vertex"))
         .select(eo("dst").as("vertex"),
-          (col("rank") / col("odeg")).cast("decimal(38,18)").as("w"))
+          (col("rank") / col("odeg")).as("w"))
+        .select(col("vertex"), expr("fixed18(w)").as("u"), col("w"))
+        .select(col("vertex"), col("u"),
+          when(col("u").isNull && col("w").isNotNull,
+            col("w").cast("decimal(38,18)")).as("wbig"))
       r = contrib.union(zeros)
         .groupBy("vertex")
-        .agg((lit(reset) + lit(1 - reset) * sum(col("w")).cast("double")).as("rank"))
+        .agg(sum(expr(s"u div $splitMod")).as("shi"),
+             sum(expr(s"u % $splitMod")).as("slo"),
+             sum(col("wbig")).as("sbig"))
+        .select(col("vertex"),
+          (lit(reset) + lit(1 - reset) *
+            expr("fixed_combine(shi, slo, sbig)")).as("rank"))
       if (i % pageRankFuseDepth == 0 && i < iters) {
         r = phase(s"supersteps_to_$i") { r.checkpointSized() }
         prevSeg.foreach(dropCheckpoint(_, keep = checkpointRddIds(r)))
@@ -695,10 +718,11 @@ object Traversals {
     * neighborhoods (the recsys/similar-items ranking primitive; at
     * scale seeds are per-query and small, the edge table is the same
     * pre-joined, src-partitioned cache as the global variant, and one
-    * loop serves any seed set). Deterministic decimal-summed
-    * contributions keep ranks bit-identical to an unrolled SQL twin.
-    * Dangling mass is dropped, matching [[pageRankDeterministic]]'s
-    * documented contract. */
+    * loop serves any seed set). Contributions are summed through the
+    * same fixed-point long path as [[pageRankDeterministic]] —
+    * deterministic AND primitive — so all-seeds PPR degenerates to
+    * global PR bit-exactly (spec-pinned). Dangling mass is dropped,
+    * matching [[pageRankDeterministic]]'s documented contract. */
   def personalizedPageRank(edges: DataFrame, seeds: Seq[Long], iters: Int = 10,
                            reset: Double = 0.15): DataFrame = {
     require(seeds.nonEmpty, "personalized PageRank needs at least one seed")
@@ -713,11 +737,23 @@ object Traversals {
     val isSeed = col("vertex").isInCollection(seeds)
     var r = verts.withColumn("rank", when(isSeed, lit(1.0)).otherwise(lit(0.0)))
       .checkpointSized()
+    graft.functions.expressions.GraftFunctions.register(eo.sparkSession)
+    val splitModP = graft.functions.expressions.FixedPoint.SplitMod
     (1 to iters).foreach { _ =>
       val sums = eo.join(r, eo("src") === r("vertex"))
         .select(eo("dst"), (col("rank") / col("odeg")).as("w"))
+        .select(col("dst"), expr("fixed18(w)").as("u"), col("w"))
+        .select(col("dst"), col("u"),
+          when(col("u").isNull && col("w").isNotNull,
+            col("w").cast("decimal(38,18)")).as("wbig"))
         .groupBy(col("dst").as("vertex"))
-        .agg(sum(col("w").cast("decimal(38,18)")).cast("double").as("m"))
+        .agg(sum(expr(s"u div $splitModP")).as("shi"),
+             sum(expr(s"u % $splitModP")).as("slo"),
+             sum(col("wbig")).as("sbig"))
+        // coalesce: a group whose every contribution took the decimal
+        // fallback leaves the long sums NULL
+        .select(col("vertex"),
+          expr("fixed_combine(coalesce(shi, 0L), coalesce(slo, 0L), sbig)").as("m"))
       val prev = r
       r = verts.join(sums, Seq("vertex"), "left_outer")
         .select(col("vertex"),

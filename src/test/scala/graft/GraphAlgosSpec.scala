@@ -321,15 +321,23 @@ class GraphAlgosSpec extends SparkSpec {
     val eo = e.join(outDeg, "src")
     val verts = eo.select(col("src").as("vertex"))
       .union(eo.select(col("dst").as("vertex"))).distinct()
-    val zeros = verts.select(col("vertex"),
-      lit(java.math.BigDecimal.ZERO).cast("decimal(38,18)").as("w"))
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val zeros = verts.select(col("vertex"), lit(0L).as("u"),
+      lit(null).cast("decimal(38,18)").as("wbig"))
     var r = verts.withColumn("rank", lit(1.0))
     (1 to iters).foreach { _ =>
       val contrib = eo.join(r, eo("src") === r("vertex"))
-        .select(eo("dst").as("vertex"),
-          (col("rank") / col("odeg")).cast("decimal(38,18)").as("w"))
+        .select(eo("dst").as("vertex"), (col("rank") / col("odeg")).as("w"))
+        .select(col("vertex"), expr("fixed18(w)").as("u"), col("w"))
+        .select(col("vertex"), col("u"),
+          when(col("u").isNull && col("w").isNotNull,
+            col("w").cast("decimal(38,18)")).as("wbig"))
       r = contrib.union(zeros).groupBy("vertex")
-        .agg((lit(0.15) + lit(0.85) * sum(col("w")).cast("double")).as("rank"))
+        .agg(sum(expr("u div 1000000000")).as("shi"),
+             sum(expr("u % 1000000000")).as("slo"),
+             sum(col("wbig")).as("sbig"))
+        .select(col("vertex"),
+          (lit(0.15) + lit(0.85) * expr("fixed_combine(shi, slo, sbig)")).as("rank"))
     }
     val want = r.collect()
       .map(x => x.getAs[Long]("vertex") -> x.getAs[Double]("rank")).toMap
