@@ -18,8 +18,10 @@ object Bench {
     "q_set_ops", "q_scalar_math", "q_json", "q_events_sessionize",
     "q_graph_bfs", "q_graph_cc", "q_graph_bfs_big", "q_graph_cc_big",
     // r13: data-scale DFS pair — bounded exact replay (reduced
-    // adjacency) and the any-scale distributed classification
-    "q_graph_dfs_leaves_big", "q_graph_dfs_classes",
+    // adjacency) and the any-scale distributed classification;
+    // r14: + the residual settle (rule classes + certain-parent
+    // reduction + residual replay, undecided fraction in-output)
+    "q_graph_dfs_leaves_big", "q_graph_dfs_classes", "q_graph_dfs_residual",
     "q_text_stats", "q_text_tokens_bpe", "q_text_fingerprint",
     "q_dedup_exact", "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_pipeline", "q_embed_topk", "q_embed_ivf",

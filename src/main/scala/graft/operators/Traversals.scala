@@ -355,12 +355,20 @@ object Traversals {
         "distributed any-scale leaf/internal classification, or " +
         "bfsLevels/sssp for traversals that must scale past driver memory)")
     val adjRows = reachableEdges.as[(Long, Long)].collect()
+    replayDfsLeaves(adjRows, start).toSeq.sorted.toDF("vertex")
+  }
+
+  /** The sequential explicit-stack DFS replay (smallest-unvisited-
+    * neighbor order — the reference's recursion with childCount per
+    * frame): returns the DFS-tree leaf set. Shared by [[dfsLeaves]]
+    * and [[dfsLeafResidual]]; both feed it a REDUCED adjacency whose
+    * dropped edges provably never push a child, so the walk is
+    * bit-identical to the full-graph replay. */
+  private def replayDfsLeaves(adjRows: Array[(Long, Long)], start: Long): Array[Long] = {
     val adj: Map[Long, Array[Long]] =
       adjRows.groupBy(_._1).map { case (s, a) => s -> a.map(_._2).sorted }
-
     val visited = scala.collection.mutable.Set[Long](start)
     val leaves = scala.collection.mutable.ArrayBuffer[Long]()
-    // Explicit stack == the reference's recursion; childCount per frame.
     final class Frame(val v: Long) {
       val it: Iterator[Long] = adj.getOrElse(v, Array.empty[Long]).iterator
       var childCount = 0
@@ -383,7 +391,7 @@ object Traversals {
         if (f.childCount == 0) leaves += f.v
       }
     }
-    leaves.toSeq.sorted.toDF("vertex")
+    leaves.toArray
   }
 
   /** Distributed DFS-leaf classification at ANY scale — the path past
@@ -453,6 +461,89 @@ object Traversals {
     val pinned = out.localCheckpoint(eager = true)
     dropCheckpoint(reach)
     dropCheckpoint(e)
+    pinned
+  }
+
+  /** [[dfsLeafClasses]] with the `undecided` residue SETTLED exactly
+    * (r13 VERDICT item 4): output `(vertex, cls_rule, cls_final)` —
+    * `cls_rule` is the order-invariant rule label (leaf / internal /
+    * undecided), `cls_final` the exact class under the deterministic
+    * smallest-neighbor DFS, obtained by a RESIDUAL replay when rules
+    * alone don't settle everything.
+    *
+    * The residual replay's input is the reachable adjacency after two
+    * exactness-preserving reductions, both distributed:
+    *  1. the [[dfsLeaves]] r13 reduction (self-loops, edges into
+    *     `start`, duplicate rows — never push, never count);
+    *  2. iterated CERTAIN-PARENT back-edge drops: when v's only live
+    *     in-neighbor is p, every DFS discovers v from p, so p is
+    *     always visited before v and the back-edge v→p can never push
+    *     — drop it. Each drop shrinks in-neighbor sets, which can
+    *     mint new unique parents, so the rule iterates to fixpoint
+    *     (each round: one dst-keyed agg + one anti-join). Dropped
+    *     edges provably never discover their target, so unique-
+    *     in-neighbor over the LIVE set remains "unique possible
+    *     discoverer" at every round — the induction that keeps the
+    *     replay bit-identical. (Deeper ancestor back-edges — v→g
+    *     where g is the certain GRANDparent — are also provably inert
+    *     but need forest-ancestor labeling to find; not implemented,
+    *     the bound below states what the residual path needs.)
+    *
+    * When the reduced adjacency still exceeds `maxResidualEdges`, the
+    * replay is refused with the same honest error as [[dfsLeaves]] —
+    * callers keep the rule classes (with `undecided` as the measured
+    * residue) via [[dfsLeafClasses]]. When no vertex is undecided the
+    * replay is skipped outright. */
+  def dfsLeafResidual(edges: DataFrame, start: Long,
+                      maxResidualEdges: Long = dfsReplayMaxEdges,
+                      maxReduceRounds: Int = 30): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val classes = dfsLeafClasses(edges, start)
+    val nUndecided = classes.where(col("cls") === "undecided").count()
+    if (nUndecided == 0L) {
+      val settled = classes
+        .select(col("vertex"), col("cls").as("cls_rule"), col("cls").as("cls_final"))
+        .localCheckpoint(true)
+      dropCheckpoint(classes)
+      return settled
+    }
+    val reachVerts = classes.select(col("vertex"))
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .where(col("src") =!= col("dst") && col("dst") =!= lit(start))
+    var e = e0.join(reachVerts, e0("src") === reachVerts("vertex"), "left_semi")
+      .distinct().checkpointSized()
+    var nLive = e.count()
+    var round = 0
+    var dropped = 1L
+    while (dropped > 0 && round < maxReduceRounds) {
+      round += 1
+      val uniq = e.groupBy("dst")
+        .agg(count(lit(1)).as("nin"), min(col("src")).as("p"))
+        .where(col("nin") === 1)
+        .select(col("dst").as("cv"), col("p"))
+      val e2 = e.join(uniq, e("src") === col("cv") && e("dst") === col("p"),
+          "left_anti")
+        .checkpointSized()
+      val n2 = e2.count()
+      dropped = nLive - n2
+      dropCheckpoint(e)
+      e = e2
+      nLive = n2
+    }
+    require(nLive <= maxResidualEdges,
+      s"DFS residual replay needs the reduced reachable adjacency on the " +
+        s"driver: $nLive live edges exceed maxResidualEdges=$maxResidualEdges " +
+        "(use dfsLeafClasses for the rule classes with the undecided residue)")
+    val leaves = replayDfsLeaves(e.as[(Long, Long)].collect(), start)
+    dropCheckpoint(e)
+    val leafDf = leaves.toSeq.toDF("lv").withColumn("is_leaf", lit(true))
+    val out = classes.join(leafDf, classes("vertex") === col("lv"), "left_outer")
+      .select(col("vertex"), col("cls").as("cls_rule"),
+        when(col("is_leaf").isNotNull, lit("leaf"))
+          .otherwise(lit("internal")).as("cls_final"))
+    val pinned = out.localCheckpoint(true)
+    dropCheckpoint(classes)
     pinned
   }
 

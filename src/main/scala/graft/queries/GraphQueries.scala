@@ -428,6 +428,32 @@ object GraphQueries {
         p.select(col("src")).distinct().select(lit(-1L).as("src"), col("src").as("dst")))
       Traversals.dfsLeafClasses(edges, -1L).orderBy("vertex")
     }),
+    "q_graph_dfs_residual" -> ((s, d) => {
+      // The undecided residue SETTLED (r13 VERDICT item 4): rule
+      // classes + residual replay on the data-scale mod-150 graph
+      // (dfs_leaves_big's fixture, so the walk oracle machinery is
+      // shared). Output is the operator's honesty audit: per class,
+      // the rule-settled count, the exact final count, and the rule
+      // fraction in exact ppm (integer division — no float quotient
+      // can straddle a round boundary cross-engine). The undecided
+      // row's frac_ppm_rule IS the measured order-dependence of this
+      // graph; its n_final is 0 because the replay settles everything.
+      val r = Traversals.dfsLeafResidual(modulusDirected(s, d, 150), 0L)
+      val tot = r.count()
+      val byRule = r.groupBy(col("cls_rule").as("cls"))
+        .agg(count(lit(1)).as("n_rule"))
+      val byFinal = r.groupBy(col("cls_final").as("cls"))
+        .agg(count(lit(1)).as("n_final"))
+      // FULL outer: a class can exist only on one side (a dense graph
+      // has no rule-leaf, yet the replay settles leaves; undecided
+      // exists only on the rule side)
+      byRule.join(byFinal, Seq("cls"), "full_outer")
+        .select(col("cls"),
+          coalesce(col("n_rule"), lit(0L)).as("n_rule"),
+          coalesce(col("n_final"), lit(0L)).as("n_final"),
+          expr(s"coalesce(n_rule, 0L) * 1000000 div $tot").as("frac_ppm_rule"))
+        .orderBy("cls")
+    }),
     "q_graph_cc" -> ((s, d) => {
       Traversals.connectedComponents(chainEdges(s, d)).orderBy("vertex")
     }),
@@ -1245,6 +1271,11 @@ object GraphQueries {
     // with children); everything else is honestly order-dependent
     "q_graph_dfs_classes" ->
       """WITH p AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), ex AS (SELECT src, dst FROM p UNION ALL SELECT -1::BIGINT AS src, src AS dst FROM (SELECT DISTINCT src FROM p)), r AS (SELECT -1::BIGINT AS vertex UNION SELECT src FROM p UNION SELECT dst FROM p), onlyp AS (SELECT min(src) AS vertex FROM ex GROUP BY dst HAVING count(DISTINCT src) = 1), ints AS (SELECT DISTINCT vertex FROM onlyp UNION SELECT -1::BIGINT) SELECT r.vertex::BIGINT AS vertex, CASE WHEN r.vertex NOT IN (SELECT src FROM ex) THEN 'leaf' WHEN r.vertex IN (SELECT vertex FROM ints) THEN 'internal' ELSE 'undecided' END AS cls FROM r ORDER BY vertex""",
+    // rule classes (closed form, reach-restricted) + exact final
+    // classes from the same list-state walk as dfs_leaves_big;
+    // fraction in exact integer ppm
+    "q_graph_dfs_residual" ->
+      """WITH RECURSIVE e AS (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS src, (o_custkey % 150)::BIGINT AS dst FROM orders WHERE (o_orderkey % 150) <> (o_custkey % 150)), r0 AS (SELECT 0::BIGINT AS vertex UNION SELECT e.dst FROM r0 JOIN e ON e.src = r0.vertex), ex AS (SELECT e.src, e.dst FROM e JOIN r0 ON e.src = r0.vertex WHERE e.dst <> 0), onlyp AS (SELECT min(src) AS vertex FROM ex GROUP BY dst HAVING count(DISTINCT src) = 1), ints AS (SELECT DISTINCT vertex FROM onlyp UNION SELECT DISTINCT 0::BIGINT FROM ex WHERE ex.src = 0), cr AS (SELECT r0.vertex, CASE WHEN r0.vertex NOT IN (SELECT src FROM ex) THEN 'leaf' WHEN r0.vertex IN (SELECT vertex FROM ints) THEN 'internal' ELSE 'undecided' END AS cls_rule FROM r0), walk AS (SELECT [0::BIGINT] AS stack, [0::BIGINT] AS visited, NULL::BIGINT AS parent, NULL::BIGINT AS child UNION ALL SELECT CASE WHEN nu IS NULL THEN stack[:-2] ELSE list_append(stack, nu) END, CASE WHEN nu IS NULL THEN visited ELSE list_append(visited, nu) END, CASE WHEN nu IS NULL THEN NULL ELSE stack[-1] END, nu FROM (SELECT stack, visited, (SELECT min(e.dst) FROM e WHERE e.src = stack[-1] AND NOT list_contains(visited, e.dst)) AS nu FROM walk WHERE len(stack) > 0)), wpar AS (SELECT DISTINCT parent FROM walk WHERE parent IS NOT NULL), cf AS (SELECT r0.vertex, CASE WHEN r0.vertex NOT IN (SELECT parent FROM wpar) THEN 'leaf' ELSE 'internal' END AS cls_final FROM r0), a AS (SELECT cls_rule AS cls, count(*)::BIGINT AS n_rule FROM cr GROUP BY 1), b AS (SELECT cls_final AS cls, count(*)::BIGINT AS n_final FROM cf GROUP BY 1), t AS (SELECT count(*)::BIGINT AS tot FROM r0) SELECT cls, coalesce(a.n_rule, 0)::BIGINT AS n_rule, coalesce(b.n_final, 0)::BIGINT AS n_final, (coalesce(a.n_rule, 0) * 1000000 // t.tot)::BIGINT AS frac_ppm_rule FROM a FULL OUTER JOIN b USING (cls) CROSS JOIN t ORDER BY cls""",
     "q_graph_bfs_multi" ->
       s"""WITH RECURSIVE $treeEdgeSql, r AS (SELECT vertex, 0 AS level FROM (VALUES (0::BIGINT), (24::BIGINT)) s(vertex) UNION SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.level < 30) SELECT vertex, min(level)::INT AS level FROM r GROUP BY vertex ORDER BY vertex""",
     "q_graph_closeness" ->

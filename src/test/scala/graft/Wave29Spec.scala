@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Traversals
+
+/** r14 wave: DFS residual settle + supporting invariants. */
+class Wave29Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("dfsLeafResidual settles the scaladoc counterexample exactly") {
+    // 0→1, 0→2, 1→3, 3→2: vertex 3 is rule-undecided (its only
+    // out-neighbor 2 has two possible discoverers), but the
+    // deterministic DFS visits 0,1,3 then discovers 2 FROM 3 —
+    // replay must settle 3 = internal, 2 = leaf
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r = Traversals.dfsLeafResidual(e, 0L).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(r(3L) === ("undecided", "internal"))
+    assert(r(2L) === ("leaf", "leaf"))
+    assert(r(0L)._2 === "internal")
+    assert(r(1L)._2 === "internal")
+  }
+
+  test("dfsLeafResidual final classes equal the full dfsLeaves replay on random digraphs") {
+    val rnd = new scala.util.Random(14L)
+    for (trial <- 1 to 8) {
+      val n = 12 + rnd.nextInt(20)
+      val edges = (1 to n * 3).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)) :+ (0L, 1L + rnd.nextInt(n - 1))
+      val e = edges.toDF("src", "dst")
+      val fullLeaves = Traversals.dfsLeaves(e, 0L).collect()
+        .map(_.getLong(0)).toSet
+      val res = Traversals.dfsLeafResidual(e, 0L).collect()
+      val resLeaves = res.filter(_.getString(2) == "leaf").map(_.getLong(0)).toSet
+      assert(resLeaves === fullLeaves, s"trial=$trial edges=$edges")
+      // rule classes never contradict the exact classes
+      for (row <- res) {
+        val (rule, fin) = (row.getString(1), row.getString(2))
+        if (rule != "undecided") assert(rule === fin,
+          s"sound rule contradicted at ${row.getLong(0)} (trial=$trial)")
+      }
+    }
+  }
+
+  test("certain-parent back-edge reduction lets the residual replay fit a tighter bound") {
+    // chain 0→1→2→3→4 with every back-edge k→k−1: each vertex's only
+    // in-neighbor is its chain parent, so all 4 back-edges drop and
+    // the residual adjacency is exactly the 4 chain edges — a replay
+    // bound of 4 suffices where the raw reachable set has 8
+    val chain = (0L to 3L).map(k => (k, k + 1))
+    val back = (1L to 4L).map(k => (k, k - 1))
+    val e = (chain ++ back).toDF("src", "dst")
+    // full replay input (r13 reduction only) keeps all 8 edges minus
+    // the into-start backedge 1→0 ⇒ 7 > 4, so dfsLeaves at bound 4 refuses
+    intercept[IllegalArgumentException] {
+      Traversals.dfsLeaves(e, 0L, maxReplayEdges = 4L)
+    }
+    // the residual path reduces to the 4 chain edges and settles
+    val r = Traversals.dfsLeafResidual(e, 0L, maxResidualEdges = 4L).collect()
+      .map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r === Map(0L -> "internal", 1L -> "internal", 2L -> "internal",
+      3L -> "internal", 4L -> "leaf"))
+  }
+
+  test("dfsLeafResidual skips the replay when rules settle everything") {
+    // pure out-tree: every vertex is rule-certain
+    val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
+    // maxResidualEdges=0 would refuse any replay — proving none runs
+    val r = Traversals.dfsLeafResidual(e, 0L, maxResidualEdges = 0L).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(r(3L) === ("leaf", "leaf"))
+    assert(r(4L) === ("leaf", "leaf"))
+    assert(r(2L) === ("leaf", "leaf"))
+    assert(r(1L) === ("internal", "internal"))
+    assert(r(0L) === ("internal", "internal"))
+  }
+}
