@@ -388,4 +388,47 @@ object Similarity {
         (col("sz") - coalesce(col("n_drop"), lit(0L))).as("n_kept"))
       .orderBy("cid")
   }
+
+  /** Exact-decimal scaled covariance M = Y'Y over centered-and-scaled
+    * per-vector rows, computed BLOCK-WISE in the j dimension (r13
+    * VERDICT item 5 — the q_embed_pca dimension-cliff fix).
+    *
+    * Input `yArr`: (vec_id, ya: array<decimal(18,6)>) with |ya| = d.
+    * Output: (j, k, mjk decimal(24,12)), 1-indexed, all d² cells.
+    *
+    * Scale story, stated precisely: the outer product is generated
+    * IN PLACE (posexplode × posexplode — Generate pipelines, so d²
+    * rows per vector stream through the partial aggregate and are
+    * never materialized), and total work is inherently n·d² multiply-
+    * adds for an exact covariance. What does NOT hold at large d is
+    * the partial-aggregate STATE: an unblocked explode gives every
+    * task a d²-group hash table (d=1024 → 1M decimal cells per task;
+    * d=4096 → 16M — the real cliff, spilling long before the CPU
+    * bound matters). Blocking the j side into ⌈d/blockDim⌉ passes
+    * caps per-pass agg state at blockDim·d groups; each pass re-scans
+    * the (checkpointed) yArr once, so the knob trades bounded memory
+    * for scan count exactly like IVF's nProbe trades recall for
+    * probes. Per-cell sums are identical to the unblocked plan
+    * (disjoint j ranges, same exact-decimal terms — spec-pinned
+    * bit-identical), so callers choose blockDim freely:
+    * blockDim = d (default cap 64) reproduces the single-pass r13
+    * plan at fixture widths, and max(1, 65536/d) keeps state ≤ ~65k
+    * cells at any modern embedding width. */
+  def scaledCovarianceBlocked(yArr: DataFrame, d: Int,
+                              blockDim: Int = 64): DataFrame = {
+    require(d >= 1 && blockDim >= 1,
+      s"scaledCovarianceBlocked needs d >= 1 and blockDim >= 1 (got d=$d, blockDim=$blockDim)")
+    val b = math.min(blockDim, d)
+    (0 until d by b).map { j0 =>
+      yArr
+        .select(posexplode(slice(col("ya"), j0 + 1, b)).as(Seq("jb", "yj")),
+          col("ya"))
+        .select((col("jb") + 1 + j0).as("j"), col("yj"),
+          posexplode(col("ya")).as(Seq("k0", "yk")))
+        .select(col("j"), (col("k0") + 1).as("k"),
+          (col("yj") * col("yk")).cast("decimal(38,12)").as("term"))
+        .groupBy("j", "k")
+        .agg(sum(col("term")).cast("decimal(24,12)").as("mjk"))
+    }.reduce(_ union _)
+  }
 }

@@ -2484,14 +2484,12 @@ object PipelineQueries {
         .groupBy("vec_id")
         .agg(expr("transform(sort_array(collect_list(struct(j, y))), s -> s.y)")
           .as("ya"))
-      val cov = yArr
-        .select(posexplode(col("ya")).as(Seq("j0", "yj")), col("ya"))
-        .select((col("j0") + 1).as("j"), col("yj"),
-          posexplode(col("ya")).as(Seq("k0", "yk")))
-        .select(col("j"), (col("k0") + 1).as("k"),
-          (col("yj") * col("yk")).cast("decimal(38,12)").as("term"))
-        .groupBy("j", "k")
-        .agg(sum(col("term")).cast("decimal(24,12)").as("mjk"))
+      // block-wise outer product (Similarity.scaledCovarianceBlocked —
+      // the d-cliff knob; blockDim = d = 64 here is single-pass, the
+      // identical r13 plan, while d ≥ 1024 callers bound per-task agg
+      // state with blockDim = 65536/d; blocked ≡ unblocked spec-pinned)
+      val cov = Similarity
+        .scaledCovarianceBlocked(yArr, d = 64, blockDim = 64)
         .localCheckpoint(true) // consumed by all six mat-vec steps
       var v = s.range(1, 65).select(col("id").as("j"),
         lit(0.125).cast("decimal(8,6)").as("vj"))

@@ -62,6 +62,34 @@ class Wave29Spec extends SparkSpec {
       3L -> "internal", 4L -> "leaf"))
   }
 
+  test("scaledCovarianceBlocked is bit-identical across block sizes") {
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x0")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
+    val g = x.groupBy("j").agg(sum(col("x")).cast("decimal(24,6)").as("sx"),
+      count(lit(1)).cast("decimal(6,0)").as("n"))
+    val yArr = x.join(broadcast(g), "j")
+      .select(col("vec_id"), col("j"),
+        (col("x") * col("n") - col("sx")).cast("decimal(18,6)").as("y"))
+      .groupBy("vec_id")
+      .agg(expr("transform(sort_array(collect_list(struct(j, y))), s -> s.y)").as("ya"))
+      .localCheckpoint(true)
+    def cells(blockDim: Int) =
+      Similarity.scaledCovarianceBlocked(yArr, d = 64, blockDim = blockDim)
+        .selectExpr("CAST(j AS BIGINT) AS j", "CAST(k AS BIGINT) AS k", "mjk")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDecimal(2)).toMap
+    val single = cells(64)
+    val blocked = cells(16)
+    assert(single.size === 64 * 64)
+    assert(blocked.size === 64 * 64)
+    // exact-decimal equality, cell by cell — blocking must not change
+    // a single term's sum
+    assert(single === blocked)
+  }
+
   test("dfsLeafResidual skips the replay when rules settle everything") {
     // pure out-tree: every vertex is rule-certain
     val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")

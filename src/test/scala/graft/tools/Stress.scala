@@ -704,6 +704,37 @@ object Stress {
           .where(col("rn") <= 32).count()
       }
     }
+
+    // PCA covariance width-scaling probe (r13 VERDICT item 5): the
+    // exact-decimal outer product is n·d² work with per-pass agg
+    // state bounded by blockDim·d. Synthesize n=2000 deterministic
+    // vectors at d=256 (16x the fixture's 4096 cells per vector) and
+    // time the single-pass vs blocked (state-capped at 64·256 = 16k
+    // cells/pass, 4 passes) plans — the d-cliff knob measured.
+    {
+      import graft.operators.Similarity
+      val dDim = 256
+      val n = 2000
+      val base = spark.range(0, n.toLong).select(col("id").as("vec_id"))
+      val ya = base.select(col("vec_id"),
+        expr(s"transform(sequence(1, $dDim), i -> " +
+          "CAST(CAST(conv(substr(md5(concat('pca|', CAST(vec_id AS STRING), '|', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE) / 16777216.0 - 0.5 AS DECIMAL(18,6)))").as("ya"))
+        .localCheckpoint(true)
+      time(s"pca_cov_d${dDim}_single_pass", n.toLong * dDim * dDim) {
+        Similarity.scaledCovarianceBlocked(ya, dDim, blockDim = dDim).count()
+      }
+      time(s"pca_cov_d${dDim}_blocked64", n.toLong * dDim * dDim) {
+        Similarity.scaledCovarianceBlocked(ya, dDim, blockDim = 64).count()
+      }
+      // fixture-width control on the same synthetic corpus
+      val ya64 = base.select(col("vec_id"),
+        expr("transform(sequence(1, 64), i -> " +
+          "CAST(CAST(conv(substr(md5(concat('pca|', CAST(vec_id AS STRING), '|', CAST(i AS STRING))), 1, 6), 16, 10) AS DOUBLE) / 16777216.0 - 0.5 AS DECIMAL(18,6)))").as("ya"))
+        .localCheckpoint(true)
+      time("pca_cov_d64_single_pass", n.toLong * 64 * 64) {
+        Similarity.scaledCovarianceBlocked(ya64, 64, blockDim = 64).count()
+      }
+    }
     spark.stop()
   }
 }
