@@ -658,6 +658,61 @@ object PipelineQueries {
         Staging.deleteRecursively(streamDir); Staging.deleteRecursively(outDir)
       }
     }),
+    "q_stream_ivf_upsert" -> ((s, d) => {
+      // STREAMING ANN index maintenance (r13 VERDICT item 6): the
+      // q_stream_dedup_corpus arrival loop applied to the vector
+      // store. The base IVF index is the cid-partitioned catalog
+      // table; arriving vectors land as a file stream and each
+      // micro-batch ASSIGNS its rows to the existing centroids
+      // (row-local — no recluster, no rebuild) and APPENDS them into
+      // the same partitioned layout, so a probe sees them the next
+      // micro-batch. Assignment independence per row ⇒ the maintained
+      // index is content-identical to a batch rebuild under ANY
+      // arrival order/batching (Wave29 spec swaps the chunk order and
+      // the probe answers match row-for-row), so the batch
+      // q_embed_ivf_append oracle applies verbatim. foreachBatch for
+      // the same reason as the dedup loop: per-batch batch machinery
+      // IS the production index-maintenance shape.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val cents = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val isArrival = (col("vec_id") % 10 === 0) && col("vec_id") > 8
+      val idx = Staging.bucketedTable(s, d, "ivf_index_upsert") { (name, dir) =>
+        val e = t(s, d, "embeddings")
+          .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        Similarity.assignCells(e.where(!isArrival), cents)
+          .write.format("parquet").mode("overwrite").partitionBy("cid")
+          .option("path", dir.resolve("index").toString)
+          .saveAsTable(name)
+        val streamDir = java.nio.file.Files.createTempDirectory("graft-q-ivf-upsert-in")
+        try {
+          val arrivals = t(s, d, "embeddings").where(isArrival)
+          stageDocsChunk(arrivals.where(col("vec_id") % 20 === 0), streamDir, "a")
+          stageDocsChunk(arrivals.where(col("vec_id") % 20 =!= 0), streamDir, "b")
+          val stream = s.readStream.schema(t(s, d, "embeddings").schema)
+            .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+          val perBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+            (batch, _) => {
+              Similarity.assignCells(
+                  batch.select(col("vec_id"), toDouble(col("embedding")).as("v")),
+                  cents)
+                .write.mode("append").insertInto(name)
+            }
+          val q = stream.writeStream.foreachBatch(perBatch).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally Staging.deleteRecursively(streamDir)
+      }
+      // probe = the ivf_indexed shape: 1-row cell lookup, then
+      // literal-cid partition-pruned in-cell top-10
+      val qRow = idx.where(col("vec_id") === 0)
+        .select(col("cid"), col("v")).head()
+      val qv = idx.sparkSession.createDataFrame(
+        java.util.List.of(qRow), qRow.schema).select(col("v").as("qv"))
+      Similarity.bruteForceTopK(
+        idx.where(col("cid") === qRow.getLong(0) && col("vec_id") =!= 0), qv, 10)
+    }),
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy("h")),
     "q_dedup_minhash" -> ((s, d) =>
@@ -3299,6 +3354,11 @@ object PipelineQueries {
     // append-maintained index == full rebuild (assignment is
     // row-local), so the same batch SQL oracles the append path too
     "q_embed_ivf_append" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // the streamed upsert maintains an index content-identical to the
+    // full batch assignment (row-local centroid assignment, append-only
+    // partition writes), so its probe oracle is ivf_append's verbatim
+    "q_stream_ivf_upsert" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // same integer popularity weight, same raw dot fold, same single
     // round(4) after the product, same (score desc, id) tiebreak

@@ -90,6 +90,66 @@ class Wave29Spec extends SparkSpec {
     assert(single === blocked)
   }
 
+  test("streaming IVF upsert is arrival-order independent and equals the batch rebuild") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions.toDouble
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val e = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val cents = e.where(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val isArrival = (col("vec_id") % 10 === 0) && col("vec_id") > 8
+    val batchRebuild = Similarity.assignCells(e, cents)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def streamed(order: Seq[String]): Map[Long, Long] = {
+      val raw = spark.read.parquet(s"${TestSpark.sfDir}/embeddings.parquet")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-upsert-spec-out")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-upsert-spec-in")
+      try {
+        // base index content = non-arrivals
+        Similarity.assignCells(e.where(!isArrival), cents)
+          .select("vec_id", "cid")
+          .write.mode("overwrite").parquet(outDir.resolve("idx").toString)
+        val chunks = Map(
+          "a" -> raw.where(isArrival && col("vec_id") % 20 === 0),
+          "b" -> raw.where(isArrival && col("vec_id") % 20 =!= 0))
+        order.zipWithIndex.foreach { case (tag, i) =>
+          val stage = streamDir.resolve(s"_st_$i")
+          chunks(tag).coalesce(1).write.parquet(stage.toString)
+          val ls = java.nio.file.Files.list(stage)
+          try ls.forEach(f => if (f.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.move(f, streamDir.resolve(s"c$i.parquet")))
+          finally ls.close()
+        }
+        val stream = spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        val q = stream.writeStream.foreachBatch(
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            Similarity.assignCells(
+                batch.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
+              .select("vec_id", "cid")
+              .write.mode("append").parquet(outDir.resolve("idx").toString)).start()
+        try q.processAllAvailable() finally q.stop()
+        spark.read.parquet(outDir.resolve("idx").toString).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      } finally {
+        def rm(dir: java.nio.file.Path): Unit = {
+          import scala.jdk.CollectionConverters._
+          if (java.nio.file.Files.exists(dir))
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(p => try java.nio.file.Files.deleteIfExists(p)
+                catch { case _: Throwable => () })
+        }
+        rm(streamDir); rm(outDir)
+      }
+    }
+    val ab = streamed(Seq("a", "b"))
+    val ba = streamed(Seq("b", "a"))
+    assert(ab === batchRebuild, "streamed upsert (a,b) != batch rebuild")
+    assert(ba === batchRebuild, "streamed upsert (b,a) != batch rebuild")
+  }
+
   test("dfsLeafResidual skips the replay when rules settle everything") {
     // pure out-tree: every vertex is rule-certain
     val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
