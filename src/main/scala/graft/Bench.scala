@@ -156,7 +156,7 @@ object Bench {
     // supersteps), tombstone-masked ANN probe, blockhash payload
     // near-dup (per-char explode), DoReMi one-step reweight
     "q_graph_toposort", "q_embed_ivf_delete",
-    "q_multimodal_phash", "q_mix_doremi",
+    "q_multimodal_phash", "q_multimodal_agree", "q_mix_doremi",
     // r13 wave 3: binned-KS drift readout, C4 heuristic filter census
     "q_events_ks", "q_text_c4_filters",
     // r13 wave 4: URL canonicalization dedup, Okapi BM25 scoring

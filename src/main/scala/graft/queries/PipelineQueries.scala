@@ -129,6 +129,69 @@ object PipelineQueries {
         .saveAsTable(name)
     }
 
+  /** Memoized blockhash perceptual NEAR-dup pair set (doc_a, doc_b,
+    * hamming dist <= 3) over the opaque payload — the image near-dup
+    * stage next to the exact content-hash dedup (with a real decoder
+    * the byte stream is pixel data and block-mean hashing is the
+    * standard perceptual hash; the byte-stream stand-in keeps the
+    * dataflow and the algebra real): 64 POSITION segments per payload
+    * (seg = i*64 div nbytes — length-invariant, so a truncated/
+    * re-encoded copy keeps most bits), bit k set iff segment
+    * byte-sum * 64 > total byte-sum (integer cross-multiplication, no
+    * float mean), packed into 4x16-bit bands. Candidates = band-LSH
+    * equi-join — by pigeonhole every hamming <= 3 pair collides on
+    * >= 1 band (the q_dedup_simhash_near guarantee); rescore =
+    * codegen'd popcount over the 4 band XORs. Scale: 2^16-value band
+    * keys keep buckets tracking clone density, not corpus size; never
+    * all-pairs. Memoized (memoTable) because two gate entries consume
+    * it: the pair listing and the cross-modal agreement readout. */
+  private def phashPairs(s: SparkSession, d: String): DataFrame =
+    memoTable(s, d, "phash_pairs_d3") {
+
+      val by = t(s, d, "documents")
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), length(col("text")).as("nb"),
+          posexplode(split(col("text"), "")))
+        .toDF("doc_id", "nb", "i", "c")
+        .where(col("c") =!= "")
+        // exact integer division for the segment id — a double divide
+        // + floor can land 1 ulp above an exact boundary and disagree
+        // with the oracle's `//`
+        .select(col("doc_id"), expr("cast((i * 64) div nb AS INT)").as("seg"),
+          ascii(col("c")).cast("long").as("b"))
+      val sg = by.groupBy("doc_id", "seg").agg(sum("b").as("ssum"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val bits = sg.withColumn("total", sum("ssum").over(w))
+        .select(col("doc_id"), col("seg"),
+          when(col("ssum") * 64 > col("total"), lit(1L)).otherwise(lit(0L)).as("bit"))
+      val ph = bits.groupBy("doc_id")
+        .agg(sum(when(floor(col("seg") / 16) === 0,
+            expr("shiftleft(bit, cast(seg % 16 AS INT))")).otherwise(lit(0L)))
+            .cast("long").as("p0"),
+          (1 until 4).map(j =>
+            sum(when(floor(col("seg") / 16) === j,
+              expr("shiftleft(bit, cast(seg % 16 AS INT))")).otherwise(lit(0L)))
+              .cast("long").as(s"p$j")): _*)
+        .localCheckpoint(true) // the band self-join reads it twice
+      val banded = ph.select(col("doc_id"),
+          col("p0"), col("p1"), col("p2"), col("p3"),
+          posexplode(array(col("p0"), col("p1"), col("p2"), col("p3"))))
+        .toDF("doc_id", "p0", "p1", "p2", "p3", "band_id", "bkey")
+      banded.as("a").join(banded.as("b"),
+          col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.p0").as("a0"), col("a.p1").as("a1"),
+          col("a.p2").as("a2"), col("a.p3").as("a3"),
+          col("b.p0").as("b0"), col("b.p1").as("b1"),
+          col("b.p2").as("b2"), col("b.p3").as("b3"))
+        .distinct()
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
+            "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("int").as("dist"))
+        .where(col("dist") <= 3)
+    }
+
   private def embedLshPairs(s: SparkSession, d: String,
                             minCos: Double = 0.4): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
@@ -399,66 +462,37 @@ object PipelineQueries {
             sum(when(col("bin") === k, 1).otherwise(0)).as(s"b$k")): _*)
         .orderBy("doc_id")
     }),
-    "q_multimodal_phash" -> ((s, d) => {
-      // blockhash perceptual NEAR-dup over the opaque payload — the
-      // image near-dup stage the multimodal family was missing next
-      // to its exact content-hash dedup (with a real decoder the byte
-      // stream is pixel data and block-mean hashing is the standard
-      // perceptual hash; the byte-stream stand-in keeps the dataflow
-      // and the algebra real): 64 POSITION segments per payload
-      // (seg = i·64 div nbytes — length-invariant, so a truncated/
-      // re-encoded copy keeps most bits), bit k set iff segment
-      // byte-sum · 64 > total byte-sum (integer cross-multiplication,
-      // no float mean), packed into 4×16-bit bands. Candidates =
-      // band-LSH equi-join — by pigeonhole every hamming ≤ 3 pair
-      // collides on ≥ 1 band (the q_dedup_simhash_near guarantee);
-      // rescore = codegen'd popcount over the 4 band XORs. Scale:
-      // 2^16-value band keys keep buckets tracking clone density, not
-      // corpus size; never all-pairs.
-      val by = t(s, d, "documents")
-        .where(length(col("text")) > 0)
-        .select(col("doc_id"), length(col("text")).as("nb"),
-          posexplode(split(col("text"), "")))
-        .toDF("doc_id", "nb", "i", "c")
-        .where(col("c") =!= "")
-        // exact integer division for the segment id — a double divide
-        // + floor can land 1 ulp above an exact boundary and disagree
-        // with the oracle's `//`
-        .select(col("doc_id"), expr("cast((i * 64) div nb AS INT)").as("seg"),
-          ascii(col("c")).cast("long").as("b"))
-      val sg = by.groupBy("doc_id", "seg").agg(sum("b").as("ssum"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-      val bits = sg.withColumn("total", sum("ssum").over(w))
-        .select(col("doc_id"), col("seg"),
-          when(col("ssum") * 64 > col("total"), lit(1L)).otherwise(lit(0L)).as("bit"))
-      val ph = bits.groupBy("doc_id")
-        .agg(sum(when(floor(col("seg") / 16) === 0,
-            expr("shiftleft(bit, cast(seg % 16 AS INT))")).otherwise(lit(0L)))
-            .cast("long").as("p0"),
-          (1 until 4).map(j =>
-            sum(when(floor(col("seg") / 16) === j,
-              expr("shiftleft(bit, cast(seg % 16 AS INT))")).otherwise(lit(0L)))
-              .cast("long").as(s"p$j")): _*)
-        .localCheckpoint(true) // the band self-join reads it twice
-      val banded = ph.select(col("doc_id"),
-          col("p0"), col("p1"), col("p2"), col("p3"),
-          posexplode(array(col("p0"), col("p1"), col("p2"), col("p3"))))
-        .toDF("doc_id", "p0", "p1", "p2", "p3", "band_id", "bkey")
-      banded.as("a").join(banded.as("b"),
-          col("a.band_id") === col("b.band_id") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.p0").as("a0"), col("a.p1").as("a1"),
-          col("a.p2").as("a2"), col("a.p3").as("a3"),
-          col("b.p0").as("b0"), col("b.p1").as("b1"),
-          col("b.p2").as("b2"), col("b.p3").as("b3"))
-        .distinct()
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(a0 ^ b0) + bit_count(a1 ^ b1) + " +
-            "bit_count(a2 ^ b2) + bit_count(a3 ^ b3)").cast("int").as("dist"))
-        .where(col("dist") <= 3)
-        .orderBy("doc_a", "doc_b")
+    "q_multimodal_phash" -> ((s, d) =>
+      phashPairs(s, d).orderBy("doc_a", "doc_b")),
+    "q_multimodal_agree" -> ((s, d) => {
+      // CROSS-MODAL dedup agreement (r13 VERDICT item 7): the
+      // standard multimodal-corpus audit — of the pairs flagged by
+      // the image hash (blockhash hamming ≤ 3) and the pairs flagged
+      // by the text shingles (MinHash estimate ≥ 0.25), how many
+      // agree? One FULL OUTER join of the two memoized candidate
+      // sets (both already staged for their own gate entries — this
+      // readout costs one join, the point of persisted candidate
+      // artifacts), then a single conditional agg; agreement as
+      // exact integer ppm of the union (guarded for the empty-union
+      // degenerate case identically in both engines).
+      val img = phashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), lit(true).as("im"))
+      val txt = Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4,
+          minEst = 0.25, sigOpt = Some(docSignatures(s, d)),
+          candOpt = Some(docCandidates(s, d)))
+        .select(col("doc_a"), col("doc_b"), lit(true).as("tx"))
+      img.join(txt, Seq("doc_a", "doc_b"), "full_outer")
+        .agg(
+          sum(when(col("im").isNotNull, 1L).otherwise(0L)).as("n_image"),
+          sum(when(col("tx").isNotNull, 1L).otherwise(0L)).as("n_text"),
+          sum(when(col("im").isNotNull && col("tx").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .select(col("n_image"), col("n_text"), col("n_both"), col("n_union"),
+          when(col("n_union") === 0, lit(0L))
+            .otherwise(expr("n_both * 1000000 div n_union")).as("agree_ppm"))
     }),
+
     "q_text_chunks" -> ((s, d) => {
       // fixed-size token chunking (50-token windows, the pre-training
       // "split long documents" step): posexplode to token rows, chunk
@@ -3056,6 +3090,15 @@ object PipelineQueries {
   /** MinHash signature → band → candidate-pair → estimate CTE chain
     * (mirrors [[Dedup.minhashPairs]]); terminal CTE `est(doc_a, doc_b,
     * est0)`. */
+  /** Blockhash perceptual-hash CTE chain (mirrors [[phashPairs]]);
+    * terminal CTE `phsc(doc_a, doc_b, dist)` holding every band-
+    * colliding pair with its 64-bit hamming distance. */
+  private val phashPairsSql =
+    ("""phb0 AS (SELECT doc_id, length(text) AS nb, unnest(range(length(text))) AS i, text FROM documents WHERE length(text) > 0), phby AS (SELECT doc_id, (i * 64) // nb AS seg, ascii(substr(text, i + 1, 1))::BIGINT AS b FROM phb0), phsg AS (SELECT doc_id, seg, sum(b)::BIGINT AS ssum FROM phby GROUP BY 1, 2), phbits AS (SELECT doc_id, seg, CASE WHEN ssum * 64 > sum(ssum) OVER (PARTITION BY doc_id) THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM phsg), phh AS (SELECT doc_id, """ +
+      (0 until 4).map(j =>
+        s"sum(CASE WHEN seg // 16 = $j THEN bit << (seg % 16)::INT ELSE 0 END)::BIGINT AS p$j").mkString(", ") +
+      """ FROM phbits GROUP BY doc_id), phpr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p0 AS a0, a.p1 AS a1, a.p2 AS a2, a.p3 AS a3, b.p0 AS b0, b.p1 AS b1, b.p2 AS b2, b.p3 AS b3 FROM phh a JOIN phh b ON a.doc_id < b.doc_id AND (a.p0 = b.p0 OR a.p1 = b.p1 OR a.p2 = b.p2 OR a.p3 = b.p3)), phsc AS (SELECT doc_a, doc_b, (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)))::INT AS dist FROM phpr)""")
+
   private val minhashEstSql =
     s"""$minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), est AS (SELECT p.doc_a, p.doc_b, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.doc_a AND y.doc_id = p.doc_b)::DOUBLE / 16.0 AS est0 FROM pairs p)"""
   /** Banded-LSH bucket → any-band candidate-pair → exact-cosine CTE
@@ -3112,10 +3155,12 @@ object PipelineQueries {
     // same integer blockhash (seg = i·64 // nb, bit = ssum·64 > total),
     // same 4×16-bit bands, same any-band candidate rule + popcount
     "q_multimodal_phash" ->
-      ("""WITH b0 AS (SELECT doc_id, length(text) AS nb, unnest(range(length(text))) AS i, text FROM documents WHERE length(text) > 0), byv AS (SELECT doc_id, (i * 64) // nb AS seg, ascii(substr(text, i + 1, 1))::BIGINT AS b FROM b0), sg AS (SELECT doc_id, seg, sum(b)::BIGINT AS ssum FROM byv GROUP BY 1, 2), bits AS (SELECT doc_id, seg, CASE WHEN ssum * 64 > sum(ssum) OVER (PARTITION BY doc_id) THEN 1::BIGINT ELSE 0::BIGINT END AS bit FROM sg), ph AS (SELECT doc_id, """ +
-        (0 until 4).map(j =>
-          s"sum(CASE WHEN seg // 16 = $j THEN bit << (seg % 16)::INT ELSE 0 END)::BIGINT AS p$j").mkString(", ") +
-        """ FROM bits GROUP BY doc_id), pr AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p0 AS a0, a.p1 AS a1, a.p2 AS a2, a.p3 AS a3, b.p0 AS b0, b.p1 AS b1, b.p2 AS b2, b.p3 AS b3 FROM ph a JOIN ph b ON a.doc_id < b.doc_id AND (a.p0 = b.p0 OR a.p1 = b.p1 OR a.p2 = b.p2 OR a.p3 = b.p3)), sc AS (SELECT doc_a, doc_b, (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) + bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)))::INT AS dist FROM pr) SELECT doc_a, doc_b, dist FROM sc WHERE dist <= 3 ORDER BY doc_a, doc_b"""),
+      s"""WITH $phashPairsSql SELECT doc_a, doc_b, dist FROM phsc WHERE dist <= 3 ORDER BY doc_a, doc_b""",
+    // image pairs (blockhash hamming <= 3) FULL OUTER text pairs
+    // (minhash est >= 0.25); one conditional agg; exact integer ppm
+    // with the empty-union guard matching the engine
+    "q_multimodal_agree" ->
+      s"""WITH $minhashEstSql, $phashPairsSql, txp AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.25), imp AS (SELECT doc_a, doc_b FROM phsc WHERE dist <= 3), u AS (SELECT (i.doc_a IS NOT NULL)::INT AS im, (t.doc_a IS NOT NULL)::INT AS tx FROM imp i FULL OUTER JOIN txp t ON i.doc_a = t.doc_a AND i.doc_b = t.doc_b), g AS (SELECT coalesce(sum(im), 0)::BIGINT AS n_image, coalesce(sum(tx), 0)::BIGINT AS n_text, coalesce(sum(im * tx), 0)::BIGINT AS n_both, count(*)::BIGINT AS n_union FROM u) SELECT n_image, n_text, n_both, n_union, (CASE WHEN n_union = 0 THEN 0 ELSE n_both * 1000000 // n_union END)::BIGINT AS agree_ppm FROM g""",
     "q_text_chunks" ->
       s"""WITH $toksSql, tr0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM toks), tr AS (SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok FROM tr0), ch AS (SELECT doc_id, pos // 50 AS chunk, count(*) AS n_toks, substr(md5(string_agg(tok, ' ' ORDER BY pos)), 1, 16) AS h FROM tr GROUP BY 1, 2) SELECT doc_id, count(*)::BIGINT AS n_chunks, sum(n_toks)::BIGINT AS n_toks, max(CASE WHEN chunk = 0 THEN h END) AS h0 FROM ch GROUP BY doc_id ORDER BY doc_id""",
     "q_text_pack" ->
