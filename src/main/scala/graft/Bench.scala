@@ -236,7 +236,17 @@ object Bench {
     // Markov removal-effect attribution (absorbing chain, 6 steps)
     "q_events_markov_attribution",
     // 2-approx vertex cover readout from the maximal matching
-    "q_graph_vcover")
+    "q_graph_vcover",
+    // r14 wave: Katz centrality (dyadic beta=1/2, 4 unrolled steps)
+    "q_graph_katz",
+    // r14 wave: 1-bit binary-quantization retrieval (hamming prefilter)
+    "q_embed_binary",
+    // r14 wave: PMI collocation mining (integer-ppm ranking)
+    "q_text_colloc",
+    // r14 wave: per-stage curation yield funnel
+    "q_pipeline_yield",
+    // r14 wave: revenue concentration deciles (the 80/20 audit)
+    "q_events_pareto")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

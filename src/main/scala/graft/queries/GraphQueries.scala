@@ -488,6 +488,37 @@ object GraphQueries {
         .select(col("vertex"), round(col("rank"), 6).as("rank"))
         .orderBy("vertex")
     }),
+    "q_graph_katz" -> ((s, d) => {
+      // Katz centrality (Katz 1953): katz(v) = Σ_k β^k·walks_k(v),
+      // the walk-count centrality between degree (k=1 truncation) and
+      // eigenvector centrality (k→∞) — the missing member of the
+      // centrality family (pagerank/HITS/closeness/harmonic/
+      // betweenness/eccentricity all in-gate). β = 1/2 EXACTLY and 4
+      // unrolled steps, so katz16 = Σ_k 2^(4−k)·walks_k is an exact
+      // integer (the dyadic-β sibling of holt's α=β=½ discipline) and
+      // the /16 readout is exact in binary AND decimal — no rounding
+      // anywhere. Each step is one src-keyed join + hash agg (the
+      // pagerank superstep shape; fixed k, so plan depth is bounded).
+      val e = treeEdges(s, d)
+      val verts = e.select(col("src").as("vertex"))
+        .union(e.select(col("dst").as("vertex"))).distinct()
+        .localCheckpoint(true) // walk base + final spine
+      var p = verts.withColumn("w", lit(1L))
+      var acc: DataFrame = null
+      for (k <- 1 to 4) {
+        p = e.join(p, e("src") === p("vertex"))
+          .groupBy(e("dst").as("vertex")).agg(sum(col("w")).as("w"))
+        val contrib = p.select(col("vertex"),
+          (col("w") * lit(1L << (4 - k))).as("c"))
+        acc = if (acc == null) contrib else acc.union(contrib)
+      }
+      verts.join(acc.groupBy("vertex").agg(sum(col("c")).as("katz16")),
+          Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          coalesce(col("katz16"), lit(0L)).as("katz16"),
+          (coalesce(col("katz16"), lit(0L)) / lit(16.0)).as("katz"))
+        .orderBy("vertex")
+    }),
     "q_graph_eccentricity" -> ((s, d) => {
       // per-vertex eccentricity (max hop distance to any reachable
       // vertex) off the SAME landmark distance table as closeness —
@@ -1372,6 +1403,10 @@ object GraphQueries {
       }.mkString(", ")
       s"""WITH $treeEdgeSql, od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), r0 AS (SELECT vertex, CASE WHEN vertex IN (0, 24) THEN 1.0 ELSE 0.0 END::DOUBLE AS rank FROM v), $iters SELECT vertex, round(rank, 6) AS rank FROM r10 ORDER BY vertex"""
     },
+    // four unrolled walk-count steps, integer 2^(4−k) weights, exact
+    // dyadic /16 readout — no rounding in either engine
+    "q_graph_katz" ->
+      s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), p0 AS (SELECT vertex, 1::BIGINT AS w FROM v), p1 AS (SELECT e.dst AS vertex, sum(p0.w)::BIGINT AS w FROM p0 JOIN e ON e.src = p0.vertex GROUP BY e.dst), p2 AS (SELECT e.dst AS vertex, sum(p1.w)::BIGINT AS w FROM p1 JOIN e ON e.src = p1.vertex GROUP BY e.dst), p3 AS (SELECT e.dst AS vertex, sum(p2.w)::BIGINT AS w FROM p2 JOIN e ON e.src = p2.vertex GROUP BY e.dst), p4 AS (SELECT e.dst AS vertex, sum(p3.w)::BIGINT AS w FROM p3 JOIN e ON e.src = p3.vertex GROUP BY e.dst), a AS (SELECT vertex, w * 8 AS c FROM p1 UNION ALL SELECT vertex, w * 4 FROM p2 UNION ALL SELECT vertex, w * 2 FROM p3 UNION ALL SELECT vertex, w FROM p4), k AS (SELECT vertex, sum(c)::BIGINT AS katz16 FROM a GROUP BY vertex) SELECT v.vertex, coalesce(k.katz16, 0)::BIGINT AS katz16, (coalesce(k.katz16, 0) / 16.0)::DOUBLE AS katz FROM v LEFT JOIN k USING (vertex) ORDER BY vertex""",
     "q_graph_bfs_bidir" ->
       s"""WITH RECURSIVE $treeEdgeSql, p AS (SELECT * FROM (VALUES (15::BIGINT, 24::BIGINT), (0::BIGINT, 23::BIGINT), (9::BIGINT, 12::BIGINT)) v(a, b)), r AS (SELECT a AS root, a AS vertex, 0 AS lvl FROM p UNION SELECT r.root, e.dst, r.lvl + 1 FROM r JOIN e ON e.src = r.vertex WHERE r.lvl < 30), lv AS (SELECT root, vertex, min(lvl) AS lvl FROM r GROUP BY root, vertex) SELECT p.a, p.b, lv.lvl::BIGINT AS dist FROM p JOIN lv ON lv.root = p.a AND lv.vertex = p.b ORDER BY a""",
     "q_graph_eccentricity" ->

@@ -1430,6 +1430,79 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_terms"), sum("c").cast("long").as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_text_colloc" -> ((s, d) => {
+      // PMI COLLOCATION mining (phrase extraction — the vocabulary/
+      // tokenizer-curation step that finds "new york"-style units):
+      // adjacent-token bigrams with count ≥ 5, ranked by pointwise
+      // mutual information. log is monotone, so the ranking runs on
+      // the exact rational c_xy·N/(c_x·c_y) in integer ppm — decimal
+      // (38,0) product, one integral division, zero floats; ties
+      // break (count desc, tokens asc). One token scan feeds both the
+      // bigram window (per-doc, bounded partitions) and the unigram
+      // hash agg; top-30 via TakeOrdered.
+      val tr = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.tokens(col("text"))))
+        .toDF("doc_id", "pos", "tok")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      val bg = tr.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .where(col("nxt").isNotNull)
+        .localCheckpoint(true) // feeds the pair counts AND the total
+      val nTot = bg.count()
+      val cxy = bg.groupBy(col("tok").as("x"), col("nxt").as("y"))
+        .agg(count(lit(1)).as("cxy")).where(col("cxy") >= 5)
+      val cx = tr.groupBy(col("tok").as("x")).agg(count(lit(1)).as("cx"))
+        .localCheckpoint(true) // both join sides
+      cxy.join(cx, "x")
+        .join(cx.select(col("x").as("y"), col("cx").as("cy")), "y")
+        .select(col("x"), col("y"), col("cxy"),
+          expr(s"CAST(cxy AS DECIMAL(38,0)) * $nTot * 1000000 div (cx * cy)")
+            .cast("long").as("pmi_ppm"))
+        .orderBy(col("pmi_ppm").desc, col("cxy").desc, col("x"), col("y"))
+        .limit(30)
+    }),
+    "q_pipeline_yield" -> ((s, d) => {
+      // per-stage YIELD funnel of the curation chain — the pipeline-
+      // observability readout next to the capstones (a curation run
+      // without stage attrition numbers can't be audited): document
+      // counts surviving each q_pipeline_curation stage, with the
+      // keep rate vs the raw corpus in exact integer ppm. The six
+      // stage counts are scalars by construction (the q_graph_bfs_
+      // bidir assembly precedent) — each an aggregate of the same
+      // distributed predicates the capstone runs.
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val total = docs.count()
+      val keeper = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val nDedup = keeper.count()
+      val qual = docs.join(keeper.select("doc_id"), "doc_id")
+        .withColumn("score",
+          graft.functions.TextFunctions.qualityScore(col("text")))
+        .where(col("score") >= 0.5)
+      val nQual = qual.count()
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val held = qual.where(!isEval)
+      val nHeld = held.count()
+      val evalG = broadcast(
+        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
+      val contaminated = Dedup.shingleRows(held, 3).distinct()
+        .join(evalG, "g").select("doc_id").distinct()
+      val clean = held.join(contaminated, Seq("doc_id"), "left_anti")
+      val nClean = clean.count()
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val nFinal = clean.withColumn("rk", row_number().over(wq))
+        .where(col("rk") <= 100).count()
+      Seq(("00_total", total), ("10_dedup", nDedup), ("20_quality", nQual),
+          ("30_holdout", nHeld), ("40_decontam", nClean), ("50_quota", nFinal))
+        .toDF("stage", "n_out")
+        .select(col("stage"), col("n_out"),
+          expr(s"n_out * 1000000 div $total").as("keep_ppm"))
+        .orderBy("stage")
+    }),
     "q_text_heaps" -> ((s, d) => {
       // Heaps'-law vocabulary-GROWTH fit V(n) = K·n^β — the zipf
       // sibling along the other axis: zipf fingerprints the frequency
@@ -2995,6 +3068,37 @@ object PipelineQueries {
         .agg(count(lit(1)).as("hits"))
         .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
     }),
+    "q_embed_binary" -> ((s, d) => {
+      // 1-BIT binary quantization retrieval — the 64×-compression
+      // rung below q_embed_rerank's int8 path (binary embeddings are
+      // the production first pass when the corpus must fit RAM: sign
+      // bits only, hamming distance = XOR + popcount, SIMD-friendly).
+      // Codes pack into two 32-bit halves (a single 64-bit pack would
+      // need bit 63 — BIGINT-overflow territory in either engine);
+      // stage 1 = hamming top-50 (asc, id tiebreak — exact integer
+      // distances, deterministic), stage 2 = exact cosine rescore →
+      // top-10. Same two-stage TakeOrdered shape as rerank: cheap
+      // integer math over the full scan, float math only on the
+      // candidate set.
+      graft.functions.expressions.GraftFunctions.register(s)
+      def packBits(vcol: String, lo: Int) =
+        expr(s"aggregate(zip_with(slice($vcol, $lo, 32), sequence(0, 31), " +
+          "(x, i) -> IF(x >= CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("b0", packBits("v", 1))
+        .withColumn("b1", packBits("v", 33))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("b0").as("qb0"), col("b1").as("qb1"))
+      val cand = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("hamming",
+          expr("bit_count(b0 ^ qb0) + bit_count(b1 ^ qb1)").cast("int"))
+        .orderBy(col("hamming"), col("vec_id")).limit(50)
+      cand.select(col("vec_id"), col("hamming"),
+          round(expr("cosine_sim(v, qv)"), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+    }),
     "q_embed_quant" -> ((s, d) => {
       // int8 symmetric quantization — the storage form a 100 TB vector
       // corpus ships: per-vector max-abs scale, code = floor(x/scale*
@@ -3203,6 +3307,10 @@ object PipelineQueries {
     // round-then-decimal-sum mean
     "q_text_readability" ->
       s"""WITH $toksSql, m AS (SELECT d.source, len(t.tk)::BIGINT AS w, greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1)::BIGINT AS sn, greatest(len(regexp_extract_all(lower(d.text), '[aeiouy]+')), 1)::BIGINT AS sy FROM documents d JOIN toks t ON d.doc_id = t.doc_id), g AS (SELECT source, w, round(0.39::DOUBLE * w / sn + 11.8::DOUBLE * sy / w - 15.59::DOUBLE, 4) AS grade FROM m) SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words, round(sum(grade::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_grade, min(grade) AS min_grade, max(grade) AS max_grade FROM g GROUP BY source ORDER BY source""",
+    // same per-doc adjacent bigrams over the shared tokenizer, same
+    // count>=5 gate, same HUGEINT-exact ppm ranking and tiebreaks
+    "q_text_colloc" ->
+      s"""WITH $toksSql, tr0 AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM toks), tr AS (SELECT doc_id, (i - 1)::BIGINT AS pos, tk[i] AS tok FROM tr0), bg0 AS (SELECT doc_id, tok AS x, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS y FROM tr), b2 AS (SELECT x, y FROM bg0 WHERE y IS NOT NULL), nn AS (SELECT count(*)::BIGINT AS n FROM b2), cxy AS (SELECT x, y, count(*)::BIGINT AS cxy FROM b2 GROUP BY x, y HAVING count(*) >= 5), cx AS (SELECT tok AS x, count(*)::BIGINT AS cx FROM tr GROUP BY tok) SELECT cxy.x, cxy.y, cxy.cxy, (cxy.cxy::HUGEINT * nn.n * 1000000 // (cx.cx::HUGEINT * cy.cx))::BIGINT AS pmi_ppm FROM cxy JOIN cx ON cx.x = cxy.x JOIN cx cy ON cy.x = cxy.y CROSS JOIN nn ORDER BY pmi_ppm DESC, cxy.cxy DESC, cxy.x, cxy.y LIMIT 30""",
     "q_text_heaps" ->
       s"""WITH $toksSql, $shinglesSql, tokr AS (SELECT doc_id, unnest(gs) AS tok FROM sh), pt AS (SELECT doc_id, count(*)::BIGINT AS nt FROM tokr GROUP BY doc_id), fo AS (SELECT tok, min(doc_id) AS fdoc FROM tokr GROUP BY tok), pv AS (SELECT fdoc AS doc_id, count(*)::BIGINT AS nv FROM fo GROUP BY fdoc), pd AS (SELECT pt.doc_id, pt.nt, coalesce(pv.nv, 0) AS nv FROM pt LEFT JOIN pv ON pt.doc_id = pv.doc_id), mx AS (SELECT max(doc_id) AS m FROM documents), ck AS (SELECT k, (SELECT m FROM mx) * k // 16 AS thr FROM (SELECT unnest(range(1, 17)) AS k)), cp AS (SELECT ck.k, sum(pd.nt)::BIGINT AS n_toks, sum(pd.nv)::BIGINT AS vocab FROM ck JOIN pd ON pd.doc_id <= ck.thr GROUP BY ck.k), p AS (SELECT round(ln(n_toks), 6)::DECIMAL(12,6) AS lx, round(ln(vocab), 6)::DECIMAL(12,6) AS ly FROM cp WHERE n_toks > 0 AND vocab > 0), g AS (SELECT count(*)::DOUBLE AS n, round(sum(lx), 6)::DOUBLE AS sx, round(sum(ly), 6)::DOUBLE AS sy, round(sum(lx * ly), 6)::DOUBLE AS sxy, round(sum(lx * lx), 6)::DOUBLE AS sxx, round(sum(ly * ly), 6)::DOUBLE AS syy FROM p) SELECT n::BIGINT AS n_pts, round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta, round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS lnk, round((n * sxy - sx * sy) / (n * sxx - sx * sx) * ((n * sxy - sx * sy) / (n * syy - sy * sy)), 6) AS r2 FROM g""",
     "q_text_zipf" ->
@@ -3300,6 +3408,10 @@ object PipelineQueries {
       s"""WITH $minhashEstSql, ash AS (SELECT DISTINCT doc_id, g FROM shr), nsh AS (SELECT doc_id, count(*)::BIGINT AS n FROM ash GROUP BY doc_id), iv AS (SELECT e.doc_a, e.doc_b, round(e.est0, 4) AS est, (SELECT count(*) FROM ash x JOIN ash y ON x.g = y.g WHERE x.doc_id = e.doc_a AND y.doc_id = e.doc_b) AS inter FROM est e) SELECT iv.doc_a, iv.doc_b, iv.est, round(iv.inter::DOUBLE / (na.n + nb.n - iv.inter), 4) AS jac FROM iv JOIN nsh na ON na.doc_id = iv.doc_a JOIN nsh nb ON nb.doc_id = iv.doc_b ORDER BY iv.doc_a, iv.doc_b""",
     "q_sketch_cms" ->
       s"""WITH $toksSql, tokr AS (SELECT unnest(tk) AS tok FROM toks), rc AS (SELECT tok, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || tok), 1, 8))::BIGINT % 256)::INT AS c FROM tokr CROSS JOIN (SELECT unnest(range(3)) AS r) rr), cells AS (SELECT r, c, count(*)::BIGINT AS cell_cnt FROM rc GROUP BY r, c), exact AS (SELECT tok, count(*)::BIGINT AS exact_cnt FROM tokr GROUP BY tok), top AS (SELECT tok, exact_cnt FROM exact ORDER BY exact_cnt DESC, tok LIMIT 10), probe AS (SELECT t.tok, t.exact_cnt, rr.r, (('0x' || substr(md5(rr.r::VARCHAR || '|' || t.tok), 1, 8))::BIGINT % 256)::INT AS c FROM top t CROSS JOIN (SELECT unnest(range(3)) AS r) rr) SELECT p.tok, p.exact_cnt, min(cl.cell_cnt)::BIGINT AS est_cnt FROM probe p JOIN cells cl ON p.r = cl.r AND p.c = cl.c GROUP BY p.tok, p.exact_cnt ORDER BY p.exact_cnt DESC, p.tok""",
+    // the same stage chain as the curation oracle, counted per stage;
+    // keep rate in exact integer ppm of the raw corpus
+    "q_pipeline_yield" ->
+      s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), held AS (SELECT * FROM q WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT doc_id, lang, score FROM held WHERE doc_id NOT IN (SELECT doc_id FROM cont)), r AS (SELECT doc_id, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM cl), u AS (SELECT '00_total' AS stage, (SELECT count(*) FROM documents) AS n_out UNION ALL SELECT '10_dedup', (SELECT count(*) FROM keep) UNION ALL SELECT '20_quality', (SELECT count(*) FROM q) UNION ALL SELECT '30_holdout', (SELECT count(*) FROM held) UNION ALL SELECT '40_decontam', (SELECT count(*) FROM cl) UNION ALL SELECT '50_quota', (SELECT count(*) FROM r WHERE rk <= 100)) SELECT stage, n_out::BIGINT AS n_out, (n_out * 1000000 // (SELECT count(*) FROM documents))::BIGINT AS keep_ppm FROM u ORDER BY stage""",
     "q_pipeline_curation" ->
       s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT doc_id, lang, score FROM q WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0' AND doc_id NOT IN (SELECT doc_id FROM cont)), r AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk FROM cl) SELECT lang, count(*)::BIGINT AS n, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM r WHERE rk <= 100 GROUP BY lang ORDER BY lang""",
     // v1's chain + the boilerplate gate (occurrence-rows df like the
@@ -3456,6 +3568,10 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
     "q_embed_ivf_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), qc AS (SELECT cid AS qcid FROM (SELECT c.cid, ${foldSql("list_transform(range(1, 65), i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))")} AS qd FROM cents c CROSS JOIN q ORDER BY qd, c.cid LIMIT 2)), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qc ON a.cid = qc.qcid CROSS JOIN q WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
+    // same two-halves sign-bit pack, same integer hamming top-50
+    // (asc, id), same exact-cosine rescore and single round(4)
+    "q_embed_binary" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c AS (SELECT vec_id, v, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 33), i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)), (x, y) -> x + y) AS b0, list_reduce(list_prepend(0::BIGINT, list_transform(range(33, 65), i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)), (x, y) -> x + y) AS b1 FROM e), q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1 FROM c WHERE vec_id = 0), h AS (SELECT c.vec_id, c.v, q.qv, (bit_count(xor(c.b0, q.qb0)) + bit_count(xor(c.b1, q.qb1)))::INT AS hamming FROM c CROSS JOIN q WHERE c.vec_id <> 0), cand AS (SELECT * FROM h ORDER BY hamming, vec_id LIMIT 50), sc AS (SELECT vec_id, hamming, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand) SELECT vec_id, hamming, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_embed_quant" ->
       """WITH ex AS (SELECT vec_id, label, t.i AS pos, embedding[t.i + 1]::DOUBLE AS x FROM embeddings CROSS JOIN range(64) t(i)), sc AS (SELECT vec_id, max(abs(x)) AS scale FROM ex GROUP BY vec_id), coded AS (SELECT label, x, CASE WHEN scale = 0 THEN 0 ELSE floor(x / scale * 127 + 0.5) END AS code, scale FROM ex JOIN sc USING (vec_id)), werr AS (SELECT label, code, x - code * scale / 127 AS err FROM coded) SELECT label, count(*)::BIGINT AS n_vals, max(abs(code))::BIGINT AS max_code, sum(abs(code))::BIGINT AS sum_abs_code, round(max(abs(err)), 6) AS max_abs_err FROM werr GROUP BY label ORDER BY label""",
     "q_explode_embed" ->

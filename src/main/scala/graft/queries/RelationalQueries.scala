@@ -2730,6 +2730,37 @@ object RelationalQueries {
           round(sum(col("tv")).cast("double") / count(col("tv")), 4).as("tmean"))
         .orderBy("event_type")
     }),
+    "q_events_pareto" -> ((s, d) => {
+      // revenue CONCENTRATION curve (the 80/20 audit): per-user exact
+      // value totals in integer micros, users ranked into value
+      // deciles (ntile with id tiebreak — the q_events_rfm shape),
+      // per-decile user count + value sum + CUMULATIVE share of the
+      // total in exact integer ppm. All arithmetic integer-exact:
+      // round(value,6)·1e6 is an integer by construction, the ppm is
+      // one HUGEINT-safe integer division. The 10-row decile axis
+      // bounds every window.
+      val perUser = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(expr("CAST(round(value, 6) AS DECIMAL(19,6)) * 1000000")
+          .cast("long")).as("mi"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("mi").desc, col("user_id"))
+      val dec10 = perUser.withColumn("decile", ntile(10).over(w))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_users"), sum(col("mi")).as("mi"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .orderBy("decile")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      dec10
+        .withColumn("cum_mi", sum(col("mi")).over(wc))
+        .withColumn("total_mi", sum(col("mi")).over(wt))
+        .select(col("decile"), col("n_users"), col("mi").as("val_micros"),
+          expr("CAST(cum_mi AS DECIMAL(38,0)) * 1000000 div total_mi")
+            .cast("long").as("cum_ppm"))
+        .orderBy("decile")
+    }),
     "q_agg_mad" -> ((s, d) => {
       // robust statistics: exact median + median-absolute-deviation
       // per group, both via the q_agg_percentile ENGINEERED-parity
@@ -3762,6 +3793,10 @@ object RelationalQueries {
     // inclusive trim bounds, same round(8)-term decimal-sum means
     "q_agg_winsor" ->
       """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), p AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n-1) * 0.1) + 1 THEN value END) AS lo10, max(CASE WHEN rn = ceil((n-1) * 0.1) + 1 THEN value END) AS hi10, max(CASE WHEN rn = floor((n-1) * 0.9) + 1 THEN value END) AS lo90, max(CASE WHEN rn = ceil((n-1) * 0.9) + 1 THEN value END) AS hi90 FROM rk GROUP BY event_type), pp AS (SELECT event_type, n, lo10 + ((n-1) * 0.1 - floor((n-1) * 0.1)) * (hi10 - lo10) AS p10, lo90 + ((n-1) * 0.9 - floor((n-1) * 0.9)) * (hi90 - lo90) AS p90 FROM p), c AS (SELECT e.event_type, pp.n, pp.p10, pp.p90, round(least(greatest(e.value, pp.p10), pp.p90), 8)::DECIMAL(38,18) AS wv, CASE WHEN e.value >= pp.p10 AND e.value <= pp.p90 THEN round(e.value, 8)::DECIMAL(38,18) END AS tv FROM e JOIN pp ON e.event_type = pp.event_type) SELECT event_type, max(n)::BIGINT AS n, round(max(p10), 4) AS p10, round(max(p90), 4) AS p90, round(sum(wv)::DOUBLE / max(n), 4) AS wmean, count(tv)::BIGINT AS n_trim, round(sum(tv)::DOUBLE / count(tv), 4) AS tmean FROM c GROUP BY event_type ORDER BY event_type""",
+    // same integer-micros totals, same ntile(10) (value desc, id)
+    // deciles, same HUGEINT-safe cumulative ppm
+    "q_events_pareto" ->
+      """WITH pu AS (SELECT user_id, sum((round(value, 6)::DECIMAL(19,6) * 1000000)::BIGINT)::BIGINT AS mi FROM events GROUP BY user_id), dd AS (SELECT ntile(10) OVER (ORDER BY mi DESC, user_id)::INT AS decile, mi FROM pu), g AS (SELECT decile, count(*)::BIGINT AS n_users, sum(mi)::BIGINT AS val_micros FROM dd GROUP BY decile), cu AS (SELECT decile, n_users, val_micros, sum(val_micros) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_mi, sum(val_micros) OVER () AS total_mi FROM g) SELECT decile, n_users, val_micros, (cum_mi::HUGEINT * 1000000 // total_mi)::BIGINT AS cum_ppm FROM cu ORDER BY decile""",
     "q_agg_mad" ->
       """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), b1 AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), m1 AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN value END) AS lo, max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN value END) AS hi FROM b1 GROUP BY event_type), med AS (SELECT event_type, n, lo + (((n - 1)::DOUBLE * 0.5) - floor((n - 1)::DOUBLE * 0.5)) * (hi - lo) AS med FROM m1), d2 AS (SELECT e.event_type, abs(e.value - med.med) AS dev FROM e JOIN med ON e.event_type = med.event_type), b2 AS (SELECT event_type, dev, row_number() OVER (PARTITION BY event_type ORDER BY dev) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM d2), m2 AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN dev END) AS lo, max(CASE WHEN rn = ceil((n - 1)::DOUBLE * 0.5)::BIGINT + 1 THEN dev END) AS hi FROM b2 GROUP BY event_type), mad AS (SELECT event_type, lo + (((n - 1)::DOUBLE * 0.5) - floor((n - 1)::DOUBLE * 0.5)) * (hi - lo) AS mad FROM m2) SELECT med.event_type, med.n::BIGINT AS n, round(med.med, 4) AS med, round(mad.mad, 4) AS mad FROM med JOIN mad ON med.event_type = mad.event_type ORDER BY med.event_type""",
     "q_join_lateral" ->

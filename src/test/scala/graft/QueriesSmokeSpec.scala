@@ -34,6 +34,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_events_changepoint",                          // broadcast 1-row totals scalar
     "q_embed_ivf_indexed",                           // broadcast 1-row query vector (local)
     "q_embed_ivf_append",                            // broadcast 1-row query vector (local)
+    "q_stream_ivf_upsert",                           // broadcast 1-row query vector (local)
+    "q_embed_binary",                                // broadcast 1-row query vector + codes
     "q_embed_ivf_delete",                            // broadcast 1-row query vector (local)
     "q_embed_ivf_compact",                           // broadcast 1-row query vector (local)
     "q_mix_doremi",                                  // broadcast scalar NLL totals
