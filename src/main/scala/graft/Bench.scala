@@ -246,7 +246,15 @@ object Bench {
     // r14 wave: per-stage curation yield funnel
     "q_pipeline_yield",
     // r14 wave: revenue concentration deciles (the 80/20 audit)
-    "q_events_pareto")
+    "q_events_pareto",
+    // r14 wave 2: Population Stability Index drift (the industry score)
+    "q_events_psi",
+    // r14 wave 2: binary-prefilter recall readout
+    "q_embed_binary_recall",
+    // r14 wave 2: IVF-PQ composed serving stack (FAISS IndexIVFPQ shape)
+    "q_embed_ivfpq",
+    // r14 wave 2: eval n-gram novelty / memorization-risk rate
+    "q_text_novelty")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

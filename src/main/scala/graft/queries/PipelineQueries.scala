@@ -1430,6 +1430,30 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_terms"), sum("c").cast("long").as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_text_novelty" -> ((s, d) => {
+      // eval-set n-gram NOVELTY rate — the memorization/contamination
+      // quantifier next to q_text_decontaminate's drop list: of the
+      // eval split's distinct 3-gram types, what fraction never
+      // appears in the train split? (Low novelty ⇒ the eval set can't
+      // measure generalization.) Type-level set semantics, one
+      // anti-joinable hash join over the shared shingle derivation;
+      // rate in exact integer ppm.
+      val docs = t(s, d, "documents")
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val evalG = Dedup.shingleRows(docs.where(isEval), 3)
+        .select("g").distinct().localCheckpoint(true) // count + join
+      val trainG = Dedup.shingleRows(docs.where(!isEval), 3)
+        .select("g").distinct()
+      val nEval = evalG.count()
+      val nHit = evalG.join(trainG, "g").count()
+      import s.implicits._
+      Seq((nEval, nHit)).toDF("n_eval_types", "n_overlap")
+        .select(col("n_eval_types"), col("n_overlap"),
+          when(col("n_eval_types") === 0, lit(0L))
+            .otherwise(expr(
+              "(n_eval_types - n_overlap) * 1000000 div n_eval_types"))
+            .as("novel_ppm"))
+    }),
     "q_text_colloc" -> ((s, d) => {
       // PMI COLLOCATION mining (phrase extraction — the vocabulary/
       // tokenizer-curation step that finds "new york"-style units):
@@ -3099,6 +3123,85 @@ object PipelineQueries {
           round(expr("cosine_sim(v, qv)"), 4).as("score"))
         .orderBy(col("score").desc, col("vec_id")).limit(10)
     }),
+    "q_embed_binary_recall" -> ((s, d) => {
+      // the ACCURACY readout for the binary family (one measurement
+      // per approximate family — minhash_acc / embed_recall /
+      // spearman precedent): recall@10 of the hamming top-50
+      // candidate set against the exact brute-force top-10. High
+      // recall here is what licenses the 64× compression as a first
+      // pass; the q_embed_recall shape verbatim.
+      graft.functions.expressions.GraftFunctions.register(s)
+      def packBits(vcol: String, lo: Int) =
+        expr(s"aggregate(zip_with(slice($vcol, $lo, 32), sequence(0, 31), " +
+          "(x, i) -> IF(x >= CAST(0 AS DOUBLE), shiftleft(CAST(1 AS BIGINT), i), " +
+          "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (acc, t) -> acc + t)")
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .withColumn("b0", packBits("v", 1))
+        .withColumn("b1", packBits("v", 33))
+      val q = e.where(col("vec_id") === 0)
+        .select(col("v").as("qv"), col("b0").as("qb0"), col("b1").as("qb1"))
+      val cand = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("hamming",
+          expr("bit_count(b0 ^ qb0) + bit_count(b1 ^ qb1)").cast("int"))
+        .orderBy(col("hamming"), col("vec_id")).limit(50)
+        .select(col("vec_id"))
+      val exact = Similarity.bruteForceTopK(
+          e.select("vec_id", "v").where(col("vec_id") =!= 0),
+          e.where(col("vec_id") === 0).select(col("v").as("qv")), 10)
+        .select(col("vec_id").as("ev"))
+      cand.join(exact, col("vec_id") === col("ev"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
+    }),
+    "q_embed_ivfpq" -> ((s, d) => {
+      // IVF-PQ COMPOSITION — the FAISS IndexIVFPQ serving stack as
+      // one query, closing the ANN family's capstone: coarse IVF cell
+      // prune FIRST (the query's cell only), ADC codebook scoring
+      // over just that cell's precomputed codes, exact cosine rescore
+      // of the top-20. At scale each stage touches what a production
+      // index reads: O(cells) coarse scan, O(|cell|)·8 one-byte LUT
+      // adds, O(20) float cosines — never the full vector corpus.
+      // Codes are corpus-wide (the persisted index model, ivf_indexed
+      // precedent); the probe restricts by cell membership.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val assigned = Similarity.assignCells(e, cents)
+      val qcell = assigned.where(col("vec_id") === 0)
+        .select(col("cid").as("qcid"), col("v").as("qv"))
+      val cellIds = assigned.join(broadcast(qcell), col("cid") === col("qcid"))
+        .select(col("vec_id"))
+      val vs = e.select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("v"))
+        .select(col("vec_id"), col("sub"), expr("slice(v, sub * 8 + 1, 8)").as("sv"))
+        .localCheckpoint(true) // codebook + assignment + query LUT
+      val cb = vs.where(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("code"), col("sub"), col("sv").as("scv"))
+      val codes = vs.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"),
+          expr("l2sq_fold(sv, scv)").as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+      val lut = cb.join(
+          vs.where(col("vec_id") === 0).select(col("sub"), col("sv").as("qsv")), "sub")
+        .select(col("sub"), col("code"), expr("dot_fold(scv, qsv)").as("pdot"))
+      val approx = codes.join(cellIds, "vec_id")
+        .where(col("vec_id") =!= 0)
+        .join(broadcast(lut), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(round(sum(col("pdot").cast("decimal(28,12)")).cast("double"), 4)
+          .as("approx"))
+      val cand = approx.orderBy(desc("approx"), col("vec_id")).limit(20)
+      val q0 = e.where(col("vec_id") === 0).select(col("v").as("qfull"))
+      cand.join(e, "vec_id").crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("approx"),
+          round(expr("cosine_sim(v, qfull)"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+    }),
     "q_embed_quant" -> ((s, d) => {
       // int8 symmetric quantization — the storage form a 100 TB vector
       // corpus ships: per-vector max-abs scale, code = floor(x/scale*
@@ -3307,6 +3410,10 @@ object PipelineQueries {
     // round-then-decimal-sum mean
     "q_text_readability" ->
       s"""WITH $toksSql, m AS (SELECT d.source, len(t.tk)::BIGINT AS w, greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1)::BIGINT AS sn, greatest(len(regexp_extract_all(lower(d.text), '[aeiouy]+')), 1)::BIGINT AS sy FROM documents d JOIN toks t ON d.doc_id = t.doc_id), g AS (SELECT source, w, round(0.39::DOUBLE * w / sn + 11.8::DOUBLE * sy / w - 15.59::DOUBLE, 4) AS grade FROM m) SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words, round(sum(grade::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_grade, min(grade) AS min_grade, max(grade) AS max_grade FROM g GROUP BY source ORDER BY source""",
+    // same md5-split eval slice, same distinct 3-gram types, same
+    // integer-ppm novelty with the zero guard
+    "q_text_novelty" ->
+      s"""WITH $toksSql, $shinglesSql, shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), tn AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) <> '0'), n1 AS (SELECT count(*)::BIGINT AS n_eval_types FROM ev), n2 AS (SELECT count(*)::BIGINT AS n_overlap FROM ev JOIN tn USING (g)) SELECT n_eval_types, n_overlap, (CASE WHEN n_eval_types = 0 THEN 0 ELSE (n_eval_types - n_overlap) * 1000000 // n_eval_types END)::BIGINT AS novel_ppm FROM n1 CROSS JOIN n2""",
     // same per-doc adjacent bigrams over the shared tokenizer, same
     // count>=5 gate, same HUGEINT-exact ppm ranking and tiebreaks
     "q_text_colloc" ->
@@ -3568,6 +3675,14 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
     "q_embed_ivf_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), qc AS (SELECT cid AS qcid FROM (SELECT c.cid, ${foldSql("list_transform(range(1, 65), i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))")} AS qd FROM cents c CROSS JOIN q ORDER BY qd, c.cid LIMIT 2)), sci AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qc ON a.cid = qc.qcid CROSS JOIN q WHERE a.vec_id <> 0), ivf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sci ORDER BY score DESC, vec_id LIMIT 10)), scb AS (SELECT vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e, q WHERE e.vec_id <> 0), bf AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM scb ORDER BY score DESC, vec_id LIMIT 10)) SELECT count(*)::BIGINT AS hits, round(count(*) / 10.0, 4) AS recall_at_10 FROM ivf JOIN bf USING (vec_id)""",
+    // same hamming top-50 candidates, same exact top-10, same
+    // recall formula as q_embed_recall
+    "q_embed_binary_recall" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), c AS (SELECT vec_id, v, list_reduce(list_prepend(0::BIGINT, list_transform(range(1, 33), i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)), (x, y) -> x + y) AS b0, list_reduce(list_prepend(0::BIGINT, list_transform(range(33, 65), i -> CASE WHEN v[i] >= 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END)), (x, y) -> x + y) AS b1 FROM e), q AS (SELECT v AS qv, b0 AS qb0, b1 AS qb1 FROM c WHERE vec_id = 0), h AS (SELECT c.vec_id, (bit_count(xor(c.b0, q.qb0)) + bit_count(xor(c.b1, q.qb1)))::INT AS hamming FROM c CROSS JOIN q WHERE c.vec_id <> 0), cand AS (SELECT vec_id FROM h ORDER BY hamming, vec_id LIMIT 50), sc AS (SELECT e.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM e CROSS JOIN q WHERE e.vec_id <> 0), ex AS (SELECT vec_id FROM (SELECT vec_id, round(score0, 4) AS score FROM sc) ORDER BY score DESC, vec_id LIMIT 10), ht AS (SELECT count(*)::BIGINT AS hits FROM cand JOIN ex USING (vec_id)) SELECT hits, round(hits / 10.0, 4) AS recall_at_10 FROM ht""",
+    // the pq oracle chain with the IVF cell restriction spliced into
+    // the ADC stage; top-20 candidates, same exact rescore
+    "q_embed_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qc AS (SELECT cid AS qcid FROM assigned WHERE vec_id = 0), cellids AS (SELECT vec_id FROM assigned JOIN qc ON assigned.cid = qc.qcid), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS sv FROM e CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, sv AS qsv FROM vs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN cellids USING (vec_id) JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 20), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // same two-halves sign-bit pack, same integer hamming top-50
     // (asc, id), same exact-cosine rescore and single round(4)
     "q_embed_binary" ->

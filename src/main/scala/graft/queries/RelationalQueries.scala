@@ -2730,6 +2730,53 @@ object RelationalQueries {
           round(sum(col("tv")).cast("double") / count(col("tv")), 4).as("tmean"))
         .orderBy("event_type")
     }),
+    "q_events_psi" -> ((s, d) => {
+      // Population Stability Index — THE industry drift score next to
+      // KS (max ECDF gap) and CUSUM (sequential alarm): per event
+      // type, PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) between the study's
+      // first 8 days (reference window) and the rest (monitoring
+      // window), over 12 fixed 25-unit value buckets with add-1
+      // smoothing (the full bucket spine is generated, so empty
+      // buckets contribute their smoothed term in both engines).
+      // Float discipline = the q_text_jsd recipe: the ln argument is
+      // a cross-multiplied exact integer ratio, each bucket term is
+      // ONE fixed expression of exact-integer-derived doubles rounded
+      // term-local at 8 into a decimal sum; psi is a round of that
+      // exact sum — no closing division.
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          greatest(least(
+            expr("CAST(round(value, 2) AS DECIMAL(12,2)) * 100 div 2500"),
+            lit(11L)), lit(0L)).as("b"))
+        .localCheckpoint(true) // min-day scalar + spine + counts
+      val minDay = broadcast(ev.agg(min(col("day")).as("d0")))
+      val counts = ev.crossJoin(minDay)
+        .groupBy("event_type", "b")
+        .agg(sum(when(datediff(col("day"), col("d0")) < 8, 1L)
+            .otherwise(0L)).as("na"),
+          sum(when(datediff(col("day"), col("d0")) >= 8, 1L)
+            .otherwise(0L)).as("nb"))
+      val spine = ev.select("event_type").distinct()
+        .select(col("event_type"), explode(sequence(lit(0L), lit(11L))).as("b"))
+      val full = spine.join(counts, Seq("event_type", "b"), "left_outer")
+        .select(col("event_type"), col("b"),
+          coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+      val tot = full.groupBy("event_type")
+        .agg((sum(col("na")) + 12).as("na1"), (sum(col("nb")) + 12).as("nb1"))
+      full.join(tot, "event_type")
+        .select(col("event_type"), col("na1"), col("nb1"),
+          round((((col("na") + 1).cast("double") / col("na1")) -
+              ((col("nb") + 1).cast("double") / col("nb1"))) *
+            log(((col("na") + 1) * col("nb1")).cast("double") /
+              ((col("nb") + 1) * col("na1")).cast("double")), 8)
+            .cast("decimal(38,18)").as("term"))
+        .groupBy("event_type")
+        .agg((max(col("na1")) - 12).cast("long").as("n_ref"),
+          (max(col("nb1")) - 12).cast("long").as("n_mon"),
+          round(sum(col("term")).cast("double"), 6).as("psi"))
+        .orderBy("event_type")
+    }),
     "q_events_pareto" -> ((s, d) => {
       // revenue CONCENTRATION curve (the 80/20 audit): per-user exact
       // value totals in integer micros, users ranked into value
@@ -3793,6 +3840,10 @@ object RelationalQueries {
     // inclusive trim bounds, same round(8)-term decimal-sum means
     "q_agg_winsor" ->
       """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), p AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n-1) * 0.1) + 1 THEN value END) AS lo10, max(CASE WHEN rn = ceil((n-1) * 0.1) + 1 THEN value END) AS hi10, max(CASE WHEN rn = floor((n-1) * 0.9) + 1 THEN value END) AS lo90, max(CASE WHEN rn = ceil((n-1) * 0.9) + 1 THEN value END) AS hi90 FROM rk GROUP BY event_type), pp AS (SELECT event_type, n, lo10 + ((n-1) * 0.1 - floor((n-1) * 0.1)) * (hi10 - lo10) AS p10, lo90 + ((n-1) * 0.9 - floor((n-1) * 0.9)) * (hi90 - lo90) AS p90 FROM p), c AS (SELECT e.event_type, pp.n, pp.p10, pp.p90, round(least(greatest(e.value, pp.p10), pp.p90), 8)::DECIMAL(38,18) AS wv, CASE WHEN e.value >= pp.p10 AND e.value <= pp.p90 THEN round(e.value, 8)::DECIMAL(38,18) END AS tv FROM e JOIN pp ON e.event_type = pp.event_type) SELECT event_type, max(n)::BIGINT AS n, round(max(p10), 4) AS p10, round(max(p90), 4) AS p90, round(sum(wv)::DOUBLE / max(n), 4) AS wmean, count(tv)::BIGINT AS n_trim, round(sum(tv)::DOUBLE / count(tv), 4) AS tmean FROM c GROUP BY event_type ORDER BY event_type""",
+    // same 12-bucket spine + add-1 smoothing, same cross-multiplied
+    // integer ratio inside ln, same term-local round(8) decimal sum
+    "q_events_psi" ->
+      """WITH ev AS (SELECT event_type, ts::DATE AS day, greatest(least((round(value, 2)::DECIMAL(12,2) * 100)::BIGINT // 2500, 11), 0) AS b FROM events WHERE value IS NOT NULL), d0 AS (SELECT min(day) AS d0 FROM ev), cnt AS (SELECT event_type, b, sum(CASE WHEN date_diff('day', d0.d0, ev.day) < 8 THEN 1 ELSE 0 END)::BIGINT AS na, sum(CASE WHEN date_diff('day', d0.d0, ev.day) >= 8 THEN 1 ELSE 0 END)::BIGINT AS nb FROM ev CROSS JOIN d0 GROUP BY event_type, b), spine AS (SELECT DISTINCT event_type, unnest(range(12)) AS b FROM ev), fl AS (SELECT s.event_type, s.b, coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb FROM spine s LEFT JOIN cnt c ON s.event_type = c.event_type AND s.b = c.b), tt AS (SELECT event_type, sum(na) + 12 AS na1, sum(nb) + 12 AS nb1 FROM fl GROUP BY event_type), tm AS (SELECT fl.event_type, tt.na1, tt.nb1, round((((fl.na + 1)::DOUBLE / tt.na1) - ((fl.nb + 1)::DOUBLE / tt.nb1)) * ln(((fl.na + 1) * tt.nb1)::DOUBLE / ((fl.nb + 1) * tt.na1)::DOUBLE), 8)::DECIMAL(38,18) AS term FROM fl JOIN tt USING (event_type)) SELECT event_type, (max(na1) - 12)::BIGINT AS n_ref, (max(nb1) - 12)::BIGINT AS n_mon, round(sum(term)::DOUBLE, 6) AS psi FROM tm GROUP BY event_type ORDER BY event_type""",
     // same integer-micros totals, same ntile(10) (value desc, id)
     // deciles, same HUGEINT-safe cumulative ppm
     "q_events_pareto" ->

@@ -36,6 +36,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_ivf_append",                            // broadcast 1-row query vector (local)
     "q_stream_ivf_upsert",                           // broadcast 1-row query vector (local)
     "q_embed_binary",                                // broadcast 1-row query vector + codes
+    "q_embed_binary_recall",                         // broadcast 1-row query vector + codes
+    "q_embed_ivfpq",                                 // broadcast 1-row query vector / cell
+    "q_events_psi",                                  // broadcast 1-row min-day scalar
     "q_embed_ivf_delete",                            // broadcast 1-row query vector (local)
     "q_embed_ivf_compact",                           // broadcast 1-row query vector (local)
     "q_mix_doremi",                                  // broadcast scalar NLL totals
