@@ -254,7 +254,13 @@ object Bench {
     // r14 wave 2: IVF-PQ composed serving stack (FAISS IndexIVFPQ shape)
     "q_embed_ivfpq",
     // r14 wave 2: eval n-gram novelty / memorization-risk rate
-    "q_text_novelty")
+    "q_text_novelty",
+    // r14 wave 3: LPA community conductance (boundary quality)
+    "q_graph_conductance",
+    // r14 wave 3: weekly seasonal index (epoch-dow, integer ppm)
+    "q_events_seasonal",
+    // r14 wave 3: LSH S-curve audit (measured vs analytic per decile)
+    "q_dedup_lsh_curve")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -947,6 +947,45 @@ object GraphQueries {
         .select(col("a").as("src"), col("b").as("dst")), iters = 2)
         .orderBy("vertex")
     }),
+    "q_graph_conductance" -> ((s, d) => {
+      // conductance φ(c) = cut(c) / min(vol(c), 2m − vol(c)) of the
+      // LPA communities — the BOUNDARY-quality sibling of
+      // modularity's density readout (a community can score high Q
+      // yet leak; φ is the normalized-cut number sweep/partition
+      // papers report). Same deterministic 2-round LPA labels, same
+      // mirrored tree fixture; cut counts each cross-community edge
+      // toward BOTH endpoint communities, vol = degree mass. All
+      // terms exact integers; φ in exact integer ppm with the
+      // whole-graph-community guard (min = 0 → 0) identical in both
+      // engines. m is a driver scalar like modularity's (broadcast-
+      // scalar agg at scale).
+      val e = treeEdges(s, d)
+      val labels = Traversals.labelPropagation(e, iters = 2)
+      val und = e.where(col("src") < col("dst"))
+        .select(col("src").as("a"), col("dst").as("b")).distinct()
+        .localCheckpoint(true)
+      val deg = e.groupBy(col("src").as("vertex")).agg(count(lit(1)).as("deg"))
+      val m = und.count()
+      val la = labels.select(col("vertex").as("a"), col("label").as("la"))
+      val lb = labels.select(col("vertex").as("b"), col("label").as("lb"))
+      val cross = und.join(la, "a").join(lb, "b")
+        .where(col("la") =!= col("lb"))
+        .localCheckpoint(true) // both cut projections
+      val cut = cross.select(col("la").as("label"))
+        .union(cross.select(col("lb").as("label")))
+        .groupBy("label").agg(count(lit(1)).as("cut"))
+      labels.join(deg, "vertex")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("vol"))
+        .join(cut, Seq("label"), "left_outer")
+        .select(col("label"), col("n_vertices"),
+          coalesce(col("cut"), lit(0L)).as("cut"),
+          col("vol").cast("long").as("vol"),
+          when(least(col("vol"), lit(2L * m) - col("vol")) === 0, lit(0L))
+            .otherwise(expr(s"coalesce(cut, 0L) * 1000000 div " +
+              s"least(vol, ${2L * m} - vol)")).as("phi_ppm"))
+        .orderBy("label")
+    }),
     "q_graph_modularity" -> ((s, d) => {
       // community-quality readout: Newman modularity of the LPA
       // communities (the measurement entry for community detection,
@@ -1388,6 +1427,10 @@ object GraphQueries {
     "q_graph_lpa_big" ->
       """WITH und AS (SELECT DISTINCT least(o_orderkey % 300, o_custkey % 300)::BIGINT AS a, greatest(o_orderkey % 300, o_custkey % 300)::BIGINT AS b FROM orders WHERE o_orderkey % 300 <> o_custkey % 300), e AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und), v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex) SELECT vertex, label::BIGINT AS label FROM l2 ORDER BY vertex""",
     // the LPA chain through l2, then integer-form modularity terms
+    // same 2-round LPA labels, same both-endpoint cut counting, same
+    // integer ppm with the min=0 guard
+    "q_graph_conductance" ->
+      s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex), und AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src < dst), mm AS (SELECT count(*)::BIGINT AS m FROM und), cross_ AS (SELECT la.label AS la, lb.label AS lb FROM und JOIN l2 la ON und.a = la.vertex JOIN l2 lb ON und.b = lb.vertex WHERE la.label <> lb.label), cut AS (SELECT label, count(*)::BIGINT AS cut FROM (SELECT la AS label FROM cross_ UNION ALL SELECT lb FROM cross_) GROUP BY label), deg AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM e GROUP BY src), vol AS (SELECT l2.label, count(*)::BIGINT AS n_vertices, sum(deg.deg)::BIGINT AS vol FROM l2 JOIN deg ON l2.vertex = deg.vertex GROUP BY l2.label) SELECT vol.label::BIGINT AS label, vol.n_vertices, coalesce(cut.cut, 0)::BIGINT AS cut, vol.vol, (CASE WHEN least(vol.vol, 2 * mm.m - vol.vol) = 0 THEN 0 ELSE coalesce(cut.cut, 0) * 1000000 // least(vol.vol, 2 * mm.m - vol.vol) END)::BIGINT AS phi_ppm FROM vol LEFT JOIN cut ON vol.label = cut.label CROSS JOIN mm ORDER BY label""",
     "q_graph_modularity" ->
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex), und AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src < dst), mm AS (SELECT count(*)::BIGINT AS m FROM und), deg AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM e GROUP BY src), dc AS (SELECT l2.label, count(*)::BIGINT AS n_vertices, sum(deg.deg)::BIGINT AS d_sum FROM l2 JOIN deg ON l2.vertex = deg.vertex GROUP BY l2.label), ein AS (SELECT la.label, count(*)::BIGINT AS e_in FROM und JOIN l2 la ON und.a = la.vertex JOIN l2 lb ON und.b = lb.vertex WHERE la.label = lb.label GROUP BY la.label), rows_ AS (SELECT dc.label, dc.n_vertices, coalesce(ein.e_in, 0)::BIGINT AS e_in, dc.d_sum, (4 * mm.m * coalesce(ein.e_in, 0) - dc.d_sum * dc.d_sum)::BIGINT AS c_num, mm.m FROM dc LEFT JOIN ein ON dc.label = ein.label CROSS JOIN mm) SELECT label::BIGINT AS label, n_vertices, e_in, d_sum, round(c_num::DOUBLE / (4.0 * m * m), 6) AS q_contrib, round(sum(c_num) OVER ()::DOUBLE / (4.0 * m * m), 6) AS modularity FROM rows_ ORDER BY label""",
     "q_graph_ppr" -> {

@@ -1430,6 +1430,74 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_terms"), sum("c").cast("long").as("n_tokens"))
         .orderBy("bucket")
     }),
+    "q_dedup_lsh_curve" -> ((s, d) => {
+      // LSH DESIGN audit — the S-curve measured against theory: for
+      // k=16/b=4/r=4 banding, theory says a pair with true Jaccard j
+      // collides on ≥1 band with p = 1−(1−j⁴)⁴; this entry buckets
+      // the SAMPLED ground-truth pairs (every-37th-doc sample, the
+      // simhash_acc audit shape — exact Jaccard needs the shingle
+      // sets, so the truth set must be a sample, never all pairs) by
+      // true-Jaccard decile and reports the measured band-collision
+      // rate next to the analytic curve. This is the number that
+      // chooses (b, r) in a production dedup deployment. Integer
+      // discipline: decile = 10·inter div union; measured rate in
+      // exact ppm; the analytic column is generated ONCE in exact
+      // BigDecimal arithmetic and embedded as the same literals in
+      // both engines (the Benford literal-table precedent). Pairs
+      // with zero shared shingles are out of frame (their analytic
+      // p(0⁺)≈0 and they can only collide by md5 accident).
+      //
+      // Sampling is CONTENT-keyed, not id-keyed: the sample key is
+      // the doc's MINIMUM shingle md5 (itself a MinHash!), keep when
+      // it starts '0'/'1' (1/8). An id sample of rate s keeps a
+      // ground-truth pair w.p. s² and destroys exactly the rare
+      // high-Jaccard pairs the curve audits (measured here: every
+      // sf0.01 near-dup pair lost at 1/37); near-dups almost surely
+      // SHARE their min shingle, so the min-hash key samples whole
+      // near-dup families in or out together — pair retention ≈ s,
+      // curve shape preserved.
+      val docs = t(s, d, "documents")
+      val allSh = Dedup.shingleRows(docs, 3)
+        .select("doc_id", "g").distinct()
+        .localCheckpoint(true) // sample keys + sampled pair join
+      // md5 OF the min shingle, not min of md5s: the minimum of ~150
+      // hashes is an extreme order statistic whose first hex digit is
+      // almost surely '0' (measured: a min-of-md5 key kept 99% of the
+      // corpus); hashing the lexicographic-min shingle string keeps
+      // the key uniform AND shared across near-dups
+      val sampleIds = allSh.groupBy("doc_id")
+        .agg(md5(min(col("g"))).as("sk"))
+        .where(substring(col("sk"), 1, 1).isin("0", "1"))
+        .select("doc_id")
+      val ss = allSh.join(sampleIds, "doc_id")
+        .localCheckpoint(true) // sizes + the pair self-join
+      val nsh = ss.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = ss.as("a").join(ss.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      val pairs = inter
+        .join(nsh.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(nsh.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          least(lit(9L), expr("inter * 10 div (na + nb - inter)")).as("decile"))
+      val cand = docCandidates(s, d)
+        .select(col("doc_a").as("ca"), col("doc_b").as("cb"), lit(true).as("hit"))
+      val measured = pairs.join(cand,
+          pairs("doc_a") === col("ca") && pairs("doc_b") === col("cb"),
+          "left_outer")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_collide"))
+      import s.implicits._
+      val analytic = (0 to 9).map(dd => (dd.toLong, lshAnalyticPpm(dd)))
+        .toDF("decile", "analytic_ppm")
+      measured.join(analytic, "decile")
+        .select(col("decile"), col("n_pairs"), col("n_collide"),
+          expr("n_collide * 1000000 div n_pairs").as("measured_ppm"),
+          col("analytic_ppm"))
+        .orderBy("decile")
+    }),
     "q_text_novelty" -> ((s, d) => {
       // eval-set n-gram NOVELTY rate — the memorization/contamination
       // quantifier next to q_text_decontaminate's drop list: of the
@@ -3292,6 +3360,21 @@ object PipelineQueries {
   /** MinHash signature-component + band CTE chain (mirrors
     * [[Dedup.minhashSignatures]]); terminal CTEs `comp(doc_id, seed,
     * c)` and `bands(doc_id, band_id, bkey)`. */
+  /** Analytic any-band collision probability of the k=16/b=4/r=4
+    * banding at the decile-d midpoint Jaccard j = (2d+1)/20:
+    * 1 − (1 − j⁴)⁴ in exact BigDecimal arithmetic, rounded half-up to
+    * ppm — evaluated ONCE here and embedded as identical literals in
+    * the q_dedup_lsh_curve engine plan and oracle SQL (the Benford
+    * literal-expected-table precedent). */
+  private[queries] def lshAnalyticPpm(d: Int): Long = {
+    val one = java.math.BigDecimal.ONE
+    val j = new java.math.BigDecimal(2 * d + 1)
+      .divide(new java.math.BigDecimal(20))
+    val p = one.subtract(one.subtract(j.pow(4)).pow(4))
+    p.multiply(new java.math.BigDecimal(1000000))
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+  }
+
   private val minhashSigSql =
     s"""$toksSql, $shinglesSql, shr AS (SELECT doc_id, unnest(gs) AS g FROM sh), comp AS (SELECT doc_id, b.b * 4 + j.j AS seed, min(substr(md5(b.b::VARCHAR || '|' || g), j.j * 8 + 1, 8)) AS c FROM shr CROSS JOIN (SELECT unnest(range(4)) AS b) b CROSS JOIN (SELECT unnest(range(4)) AS j) j GROUP BY doc_id, b.b * 4 + j.j), bands AS (SELECT doc_id, seed // 4 AS band_id, string_agg(c, '' ORDER BY seed) AS bkey FROM comp GROUP BY doc_id, seed // 4)"""
   /** MinHash signature → band → candidate-pair → estimate CTE chain
@@ -3410,6 +3493,13 @@ object PipelineQueries {
     // round-then-decimal-sum mean
     "q_text_readability" ->
       s"""WITH $toksSql, m AS (SELECT d.source, len(t.tk)::BIGINT AS w, greatest(len(regexp_extract_all(d.text, '[.!?]+')), 1)::BIGINT AS sn, greatest(len(regexp_extract_all(lower(d.text), '[aeiouy]+')), 1)::BIGINT AS sy FROM documents d JOIN toks t ON d.doc_id = t.doc_id), g AS (SELECT source, w, round(0.39::DOUBLE * w / sn + 11.8::DOUBLE * sy / w - 15.59::DOUBLE, 4) AS grade FROM m) SELECT source, count(*)::BIGINT AS n_docs, sum(w)::BIGINT AS n_words, round(sum(grade::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_grade, min(grade) AS min_grade, max(grade) AS max_grade FROM g GROUP BY source ORDER BY source""",
+    // same min-shingle-hash content-keyed sample, same banding
+    // candidates, same integer decile/ppm and the same generated
+    // analytic literals
+    "q_dedup_lsh_curve" ->
+      (s"""WITH $minhashSigSql, cand AS (SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), shr_all AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), smp AS (SELECT doc_id FROM (SELECT doc_id, md5(min(g)) AS sk FROM shr_all GROUP BY doc_id) WHERE substr(sk, 1, 1) IN ('0', '1')), ssr AS (SELECT shr_all.doc_id, g FROM shr_all JOIN smp USING (doc_id)), nsh AS (SELECT doc_id, count(*)::BIGINT AS n FROM ssr GROUP BY doc_id), iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter FROM ssr a JOIN ssr b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT iv.doc_a, iv.doc_b, least(9, iv.inter * 10 // (na.n + nb.n - iv.inter))::BIGINT AS decile FROM iv JOIN nsh na ON na.doc_id = iv.doc_a JOIN nsh nb ON nb.doc_id = iv.doc_b), ms AS (SELECT decile, count(*)::BIGINT AS n_pairs, sum(CASE WHEN cand.ca IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_collide FROM pr LEFT JOIN cand ON pr.doc_a = cand.ca AND pr.doc_b = cand.cb GROUP BY decile), an AS (SELECT * FROM (VALUES """ +
+        (0 to 9).map(dd => s"(${dd}::BIGINT, ${lshAnalyticPpm(dd)}::BIGINT)").mkString(", ") +
+        """) t(decile, analytic_ppm)) SELECT ms.decile, ms.n_pairs, ms.n_collide, (ms.n_collide * 1000000 // ms.n_pairs)::BIGINT AS measured_ppm, an.analytic_ppm FROM ms JOIN an USING (decile) ORDER BY decile"""),
     // same md5-split eval slice, same distinct 3-gram types, same
     // integer-ppm novelty with the zero guard
     "q_text_novelty" ->

@@ -2730,6 +2730,29 @@ object RelationalQueries {
           round(sum(col("tv")).cast("double") / count(col("tv")), 4).as("tmean"))
         .orderBy("event_type")
     }),
+    "q_events_seasonal" -> ((s, d) => {
+      // weekly SEASONAL INDEX — the seasonal-adjustment companion to
+      // q_events_acf's cycle detector: per day-of-week, the ratio of
+      // the dow's daily mean to the overall daily mean, in exact
+      // integer ppm (cnt_dow·n_days·1e6 div (n_dow_days·total) —
+      // cross-multiplied, HUGEINT-safe, zero floats). dow derives
+      // from epoch-days mod 7 — locale-free and identical across
+      // engines (dayofweek() conventions differ). One day hash agg
+      // (study-length-bounded) + a 7-row window.
+      val byDay = Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(expr("datediff(day, DATE'1970-01-01') % 7").as("dow"), col("cnt"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      byDay.groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), sum(col("cnt")).as("n_events"))
+        .withColumn("tot_days", sum(col("n_days")).over(w))
+        .withColumn("tot_events", sum(col("n_events")).over(w))
+        .select(col("dow").cast("long").as("dow"), col("n_days"), col("n_events"),
+          expr("CAST(n_events AS DECIMAL(38,0)) * tot_days * 1000000 div " +
+            "(n_days * tot_events)").cast("long").as("idx_ppm"))
+        .orderBy("dow")
+    }),
     "q_events_psi" -> ((s, d) => {
       // Population Stability Index — THE industry drift score next to
       // KS (max ECDF gap) and CUSUM (sequential alarm): per event
@@ -3840,6 +3863,9 @@ object RelationalQueries {
     // inclusive trim bounds, same round(8)-term decimal-sum means
     "q_agg_winsor" ->
       """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), p AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n-1) * 0.1) + 1 THEN value END) AS lo10, max(CASE WHEN rn = ceil((n-1) * 0.1) + 1 THEN value END) AS hi10, max(CASE WHEN rn = floor((n-1) * 0.9) + 1 THEN value END) AS lo90, max(CASE WHEN rn = ceil((n-1) * 0.9) + 1 THEN value END) AS hi90 FROM rk GROUP BY event_type), pp AS (SELECT event_type, n, lo10 + ((n-1) * 0.1 - floor((n-1) * 0.1)) * (hi10 - lo10) AS p10, lo90 + ((n-1) * 0.9 - floor((n-1) * 0.9)) * (hi90 - lo90) AS p90 FROM p), c AS (SELECT e.event_type, pp.n, pp.p10, pp.p90, round(least(greatest(e.value, pp.p10), pp.p90), 8)::DECIMAL(38,18) AS wv, CASE WHEN e.value >= pp.p10 AND e.value <= pp.p90 THEN round(e.value, 8)::DECIMAL(38,18) END AS tv FROM e JOIN pp ON e.event_type = pp.event_type) SELECT event_type, max(n)::BIGINT AS n, round(max(p10), 4) AS p10, round(max(p90), 4) AS p90, round(sum(wv)::DOUBLE / max(n), 4) AS wmean, count(tv)::BIGINT AS n_trim, round(sum(tv)::DOUBLE / count(tv), 4) AS tmean FROM c GROUP BY event_type ORDER BY event_type""",
+    // same epoch-days-mod-7 dow, same cross-multiplied HUGEINT ppm
+    "q_events_seasonal" ->
+      """WITH bd AS (SELECT ts::DATE AS day, count(*)::BIGINT AS cnt FROM events GROUP BY 1), dw AS (SELECT date_diff('day', DATE '1970-01-01', day) % 7 AS dow, cnt FROM bd), g AS (SELECT dow, count(*)::BIGINT AS n_days, sum(cnt)::BIGINT AS n_events FROM dw GROUP BY dow), t AS (SELECT sum(n_days)::BIGINT AS tot_days, sum(n_events)::BIGINT AS tot_events FROM g) SELECT g.dow::BIGINT AS dow, g.n_days, g.n_events, (g.n_events::HUGEINT * t.tot_days * 1000000 // (g.n_days::HUGEINT * t.tot_events))::BIGINT AS idx_ppm FROM g CROSS JOIN t ORDER BY dow""",
     // same 12-bucket spine + add-1 smoothing, same cross-multiplied
     // integer ratio inside ln, same term-local round(8) decimal sum
     "q_events_psi" ->
