@@ -304,6 +304,7 @@ object Bench {
     "q_stream_dedup" -> "streaming",
     "q_stream_dedup_corpus" -> "streaming",
     "q_stream_ivf_upsert" -> "streaming",
+    "q_stream_psi" -> "streaming",
     "q_stream_enrich" -> "streaming",
     "q_stream_exactly_once" -> "streaming",
     "q_stream_hll" -> "streaming",

@@ -692,6 +692,77 @@ object PipelineQueries {
         Staging.deleteRecursively(streamDir); Staging.deleteRecursively(outDir)
       }
     }),
+    "q_stream_psi" -> ((s, d) => {
+      // STREAMING drift monitor — q_events_psi run the way production
+      // monitoring runs it: the reference window's bucket counts are
+      // a STATIC table; monitoring-window events ARRIVE as a file
+      // stream and every micro-batch appends its (type, bucket)
+      // counts through foreachBatch; PSI evaluates over the
+      // accumulated counts. Bucket counts are additive, so the
+      // monitor's final reading equals the batch computation under
+      // ANY batching/arrival order — q_events_psi's oracle applies
+      // verbatim (the q_stream_dedup_corpus equality-with-batch
+      // pattern, for drift).
+      val ev = Tables.events(s, d).where(col("value").isNotNull)
+      val minDay = broadcast(
+        ev.select(col("ts").cast("date").as("day")).agg(min("day").as("d0")))
+      def bucketed(df: DataFrame) = df
+        .select(col("event_type"), col("ts").cast("date").as("day"),
+          greatest(least(
+            expr("CAST(round(value, 2) AS DECIMAL(12,2)) * 100 div 2500"),
+            lit(11L)), lit(0L)).as("b"))
+      val evb = bucketed(ev).crossJoin(minDay)
+        .select(col("event_type"), col("b"),
+          (datediff(col("day"), col("d0")) < 8).as("isRef"))
+        .localCheckpoint(true) // ref counts + arriving split + spine
+      val ref = evb.where(col("isRef"))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("na"))
+      val outDir = java.nio.file.Files.createTempDirectory("graft-q-psi-out")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-psi-in")
+      val monitored = try {
+        val arriving = ev.crossJoin(minDay)
+          .where(datediff(col("ts").cast("date"), col("d0")) >= 8)
+          .drop("d0")
+        stageDocsChunk(arriving.where(col("event_id") % 2 === 0), streamDir, "a")
+        stageDocsChunk(arriving.where(col("event_id") % 2 =!= 0), streamDir, "b")
+        val stream = s.readStream.schema(Tables.events(s, d).schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        val cnts = outDir.resolve("counts").toString
+        val perBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (batch, _) => bucketed(batch.where(col("value").isNotNull))
+            .groupBy("event_type", "b").agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(cnts)
+        val q = stream.writeStream.foreachBatch(perBatch).start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(cnts).groupBy("event_type", "b")
+          .agg(sum(col("cnt")).as("nb")).localCheckpoint(true)
+      } finally Staging.deleteRecursively(streamDir)
+      try {
+        val spine = evb.select("event_type").distinct()
+          .select(col("event_type"), explode(sequence(lit(0L), lit(11L))).as("b"))
+        val full = spine
+          .join(ref, Seq("event_type", "b"), "left_outer")
+          .join(monitored, Seq("event_type", "b"), "left_outer")
+          .select(col("event_type"), col("b"),
+            coalesce(col("na"), lit(0L)).as("na"),
+            coalesce(col("nb"), lit(0L)).as("nb"))
+        val tot = full.groupBy("event_type")
+          .agg((sum(col("na")) + 12).as("na1"), (sum(col("nb")) + 12).as("nb1"))
+        full.join(tot, "event_type")
+          .select(col("event_type"), col("na1"), col("nb1"),
+            round((((col("na") + 1).cast("double") / col("na1")) -
+                ((col("nb") + 1).cast("double") / col("nb1"))) *
+              log(((col("na") + 1) * col("nb1")).cast("double") /
+                ((col("nb") + 1) * col("na1")).cast("double")), 8)
+              .cast("decimal(38,18)").as("term"))
+          .groupBy("event_type")
+          .agg((max(col("na1")) - 12).cast("long").as("n_ref"),
+            (max(col("nb1")) - 12).cast("long").as("n_mon"),
+            round(sum(col("term")).cast("double"), 6).as("psi"))
+          .orderBy("event_type")
+          .localCheckpoint(true)
+      } finally Staging.deleteRecursively(outDir)
+    }),
     "q_stream_ivf_upsert" -> ((s, d) => {
       // STREAMING ANN index maintenance (r13 VERDICT item 6): the
       // q_stream_dedup_corpus arrival loop applied to the vector
@@ -3709,6 +3780,10 @@ object PipelineQueries {
     // row-local), so the same batch SQL oracles the append path too
     "q_embed_ivf_append" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // the monitor's accumulated counts equal the batch window counts
+    // (additive), so this is q_events_psi's oracle verbatim
+    "q_stream_psi" ->
+      """WITH ev AS (SELECT event_type, ts::DATE AS day, greatest(least((round(value, 2)::DECIMAL(12,2) * 100)::BIGINT // 2500, 11), 0) AS b FROM events WHERE value IS NOT NULL), d0 AS (SELECT min(day) AS d0 FROM ev), cnt AS (SELECT event_type, b, sum(CASE WHEN date_diff('day', d0.d0, ev.day) < 8 THEN 1 ELSE 0 END)::BIGINT AS na, sum(CASE WHEN date_diff('day', d0.d0, ev.day) >= 8 THEN 1 ELSE 0 END)::BIGINT AS nb FROM ev CROSS JOIN d0 GROUP BY event_type, b), spine AS (SELECT DISTINCT event_type, unnest(range(12)) AS b FROM ev), fl AS (SELECT s.event_type, s.b, coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb FROM spine s LEFT JOIN cnt c ON s.event_type = c.event_type AND s.b = c.b), tt AS (SELECT event_type, sum(na) + 12 AS na1, sum(nb) + 12 AS nb1 FROM fl GROUP BY event_type), tm AS (SELECT fl.event_type, tt.na1, tt.nb1, round((((fl.na + 1)::DOUBLE / tt.na1) - ((fl.nb + 1)::DOUBLE / tt.nb1)) * ln(((fl.na + 1) * tt.nb1)::DOUBLE / ((fl.nb + 1) * tt.na1)::DOUBLE), 8)::DECIMAL(38,18) AS term FROM fl JOIN tt USING (event_type)) SELECT event_type, (max(na1) - 12)::BIGINT AS n_ref, (max(nb1) - 12)::BIGINT AS n_mon, round(sum(term)::DOUBLE, 6) AS psi FROM tm GROUP BY event_type ORDER BY event_type""",
     // the streamed upsert maintains an index content-identical to the
     // full batch assignment (row-local centroid assignment, append-only
     // partition writes), so its probe oracle is ivf_append's verbatim
