@@ -1640,13 +1640,18 @@ object PipelineQueries {
       val keeper = docs.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
       val nDedup = keeper.count()
+      // pinned: unlike the capstone (ONE pass, where the pin measured
+      // slower than re-scanning), the funnel takes FOUR counts over
+      // suffixes of this chain — without the pin each count re-derives
+      // dedup+score from the raw scan (measured 4.4 s; pinned ~2 s)
       val qual = docs.join(keeper.select("doc_id"), "doc_id")
         .withColumn("score",
           graft.functions.TextFunctions.qualityScore(col("text")))
         .where(col("score") >= 0.5)
+        .localCheckpoint(true)
       val nQual = qual.count()
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-      val held = qual.where(!isEval)
+      val held = qual.where(!isEval).localCheckpoint(true)
       val nHeld = held.count()
       val evalG = broadcast(
         Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
