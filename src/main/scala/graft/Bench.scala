@@ -345,6 +345,7 @@ object Bench {
     "q_graph_pagerank" -> "fixture-latency",
     "q_graph_pagerank_graphx" -> "fixture-latency",
     "q_graph_ppr" -> "fixture-latency",
+    "q_graph_ppr_multi" -> "fixture-latency",
     "q_graph_scc" -> "fixture-latency",
     "q_graph_scc_big" -> "fixture-latency",
     "q_graph_sssp" -> "fixture-latency",

@@ -859,6 +859,68 @@ object Traversals {
     r
   }
 
+  /** BATCH personalized PageRank — the per-seed PPR vector for EVERY
+    * seed computed in ONE superstep loop: state is keyed
+    * (seed, vertex), each iteration is one src-keyed join + one
+    * (seed, vertex)-keyed hash agg for ALL seeds together, so k seeds
+    * cost k× the shuffled rows but 1× the supersteps/barriers — the
+    * shape a recsys/GNN-sampling precompute runs nightly over
+    * thousands of query seeds, where per-seed loops would pay the
+    * scheduling latency k times. Semantics: for each seed s
+    * independently, the single-seed [[personalizedPageRank]]
+    * recurrence with seeds = {s} — same fixed-point contribution path,
+    * so each (seed, ·) slice is BIT-IDENTICAL to the single-seed
+    * operator (spec-pinned). Output (seed, vertex, rank). */
+  def personalizedPageRankBatch(edges: DataFrame, seeds: Seq[Long],
+                                iters: Int = 10,
+                                reset: Double = 0.15): DataFrame = {
+    require(seeds.nonEmpty, "batch PPR needs at least one seed")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).cast("double").as("odeg"))
+    val verts = e.select(col("src").as("vertex"))
+      .union(e.select(col("dst").as("vertex"))).distinct()
+      .checkpointSized()
+    val eo = e.join(outDeg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seedDf = seeds.distinct.toDF("seed")
+    val spine = verts.crossJoin(broadcast(seedDf))
+    graft.functions.expressions.GraftFunctions.register(spark)
+    val splitModB = graft.functions.expressions.FixedPoint.SplitMod
+    var r = spine
+      .select(col("seed"), col("vertex"),
+        when(col("vertex") === col("seed"), lit(1.0))
+          .otherwise(lit(0.0)).as("rank"))
+      .checkpointSized()
+    (1 to iters).foreach { _ =>
+      val sums = eo.join(r, eo("src") === r("vertex"))
+        .select(col("seed"), eo("dst"), (col("rank") / col("odeg")).as("w"))
+        .select(col("seed"), col("dst"), expr("fixed18(w)").as("u"), col("w"))
+        .select(col("seed"), col("dst"), col("u"),
+          when(col("u").isNull && col("w").isNotNull,
+            col("w").cast("decimal(38,18)")).as("wbig"))
+        .groupBy(col("seed"), col("dst").as("vertex"))
+        .agg(sum(expr(s"u div $splitModB")).as("shi"),
+             sum(expr(s"u % $splitModB")).as("slo"),
+             sum(col("wbig")).as("sbig"))
+        .select(col("seed"), col("vertex"),
+          expr("fixed_combine(coalesce(shi, 0L), coalesce(slo, 0L), sbig)").as("m"))
+      val prev = r
+      r = spine.join(sums, Seq("seed", "vertex"), "left_outer")
+        .select(col("seed"), col("vertex"),
+          (when(col("vertex") === col("seed"), lit(reset)).otherwise(lit(0.0)) +
+            lit(1 - reset) * coalesce(col("m"), lit(0.0))).as("rank"))
+        .checkpointSized()
+      dropCheckpoint(prev)
+    }
+    e.unpersist(blocking = false)
+    eo.unpersist(blocking = false)
+    dropCheckpoint(verts, keep = checkpointRddIds(r))
+    r
+  }
+
   /** Symmetrize a directed edge list in ONE pass over the (possibly
     * derived) source: explode each row into both directions, then
     * dedup. union(e, e.reversed) would execute the upstream plan once

@@ -519,6 +519,18 @@ object GraphQueries {
           (coalesce(col("katz16"), lit(0L)) / lit(16.0)).as("katz"))
         .orderBy("vertex")
     }),
+    "q_graph_ppr_multi" -> ((s, d) => {
+      // BATCH PPR: independent per-seed PPR vectors for seeds {0, 24}
+      // computed in ONE superstep loop (state keyed (seed, vertex) —
+      // k seeds cost kx the shuffled rows but 1x the barriers; the
+      // recsys/GNN-sampling nightly precompute shape). Each seed's
+      // slice is bit-identical to the single-seed operator
+      // (spec-pinned), so the oracle is two unrolled single-seed
+      // chains unioned.
+      Traversals.personalizedPageRankBatch(treeEdges(s, d), Seq(0L, 24L), iters = 10)
+        .select(col("seed"), col("vertex"), round(col("rank"), 6).as("rank"))
+        .orderBy("seed", "vertex")
+    }),
     "q_graph_eccentricity" -> ((s, d) => {
       // per-vertex eccentricity (max hop distance to any reachable
       // vertex) off the SAME landmark distance table as closeness —
@@ -1433,6 +1445,22 @@ object GraphQueries {
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex), und AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src < dst), mm AS (SELECT count(*)::BIGINT AS m FROM und), cross_ AS (SELECT la.label AS la, lb.label AS lb FROM und JOIN l2 la ON und.a = la.vertex JOIN l2 lb ON und.b = lb.vertex WHERE la.label <> lb.label), cut AS (SELECT label, count(*)::BIGINT AS cut FROM (SELECT la AS label FROM cross_ UNION ALL SELECT lb FROM cross_) GROUP BY label), deg AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM e GROUP BY src), vol AS (SELECT l2.label, count(*)::BIGINT AS n_vertices, sum(deg.deg)::BIGINT AS vol FROM l2 JOIN deg ON l2.vertex = deg.vertex GROUP BY l2.label) SELECT vol.label::BIGINT AS label, vol.n_vertices, coalesce(cut.cut, 0)::BIGINT AS cut, vol.vol, (CASE WHEN least(vol.vol, 2 * mm.m - vol.vol) = 0 THEN 0 ELSE coalesce(cut.cut, 0) * 1000000 // least(vol.vol, 2 * mm.m - vol.vol) END)::BIGINT AS phi_ppm FROM vol LEFT JOIN cut ON vol.label = cut.label CROSS JOIN mm ORDER BY label""",
     "q_graph_modularity" ->
       s"""WITH $treeEdgeSql, v AS (SELECT DISTINCT src AS vertex FROM e), l0 AS (SELECT vertex, vertex AS label FROM v), c1 AS (SELECT e.dst AS vertex, l0.label AS label, count(*) AS cnt FROM e JOIN l0 ON e.src = l0.vertex GROUP BY 1, 2), l1 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c1 GROUP BY vertex), c2 AS (SELECT e.dst AS vertex, l1.label AS label, count(*) AS cnt FROM e JOIN l1 ON e.src = l1.vertex GROUP BY 1, 2), l2 AS (SELECT vertex, (max({'c': cnt, 'n': -label})).n * -1 AS label FROM c2 GROUP BY vertex), und AS (SELECT DISTINCT src AS a, dst AS b FROM e WHERE src < dst), mm AS (SELECT count(*)::BIGINT AS m FROM und), deg AS (SELECT src AS vertex, count(*)::BIGINT AS deg FROM e GROUP BY src), dc AS (SELECT l2.label, count(*)::BIGINT AS n_vertices, sum(deg.deg)::BIGINT AS d_sum FROM l2 JOIN deg ON l2.vertex = deg.vertex GROUP BY l2.label), ein AS (SELECT la.label, count(*)::BIGINT AS e_in FROM und JOIN l2 la ON und.a = la.vertex JOIN l2 lb ON und.b = lb.vertex WHERE la.label = lb.label GROUP BY la.label), rows_ AS (SELECT dc.label, dc.n_vertices, coalesce(ein.e_in, 0)::BIGINT AS e_in, dc.d_sum, (4 * mm.m * coalesce(ein.e_in, 0) - dc.d_sum * dc.d_sum)::BIGINT AS c_num, mm.m FROM dc LEFT JOIN ein ON dc.label = ein.label CROSS JOIN mm) SELECT label::BIGINT AS label, n_vertices, e_in, d_sum, round(c_num::DOUBLE / (4.0 * m * m), 6) AS q_contrib, round(sum(c_num) OVER ()::DOUBLE / (4.0 * m * m), 6) AS modularity FROM rows_ ORDER BY label""",
+    "q_graph_ppr_multi" -> {
+      // two independent unrolled single-seed chains (seed 0 and seed
+      // 24), unioned — the batch loop's per-seed slices are
+      // bit-identical to the single-seed recurrence by construction
+      def chain(seed: Long) = {
+        val seedCase = s"CASE WHEN v.vertex = $seed THEN 0.15 ELSE 0.0 END"
+        val iters = (1 to 10).map { i =>
+          s"s${seed}r$i AS (SELECT v.vertex, $seedCase + 0.85 * coalesce(s.m, 0.0) AS rank FROM v LEFT JOIN " +
+            s"(SELECT e.dst AS vertex, sum((s${seed}r${i - 1}.rank / od.odeg)::DECIMAL(38,18))::DOUBLE AS m " +
+            s"FROM s${seed}r${i - 1} JOIN od ON s${seed}r${i - 1}.vertex = od.src JOIN e ON e.src = od.src GROUP BY e.dst) s " +
+            s"ON v.vertex = s.vertex)"
+        }.mkString(", ")
+        s"s${seed}r0 AS (SELECT vertex, CASE WHEN vertex = $seed THEN 1.0 ELSE 0.0 END::DOUBLE AS rank FROM v), $iters"
+      }
+      s"""WITH $treeEdgeSql, od AS (SELECT src, count(*)::DOUBLE AS odeg FROM e GROUP BY src), v AS (SELECT DISTINCT vertex FROM (SELECT src AS vertex FROM e UNION ALL SELECT dst FROM e)), ${chain(0L)}, ${chain(24L)} SELECT seed, vertex, round(rank, 6) AS rank FROM (SELECT 0::BIGINT AS seed, vertex, rank FROM s0r10 UNION ALL SELECT 24::BIGINT, vertex, rank FROM s24r10) ORDER BY seed, vertex"""
+    },
     "q_graph_ppr" -> {
       // ten unrolled iterations of the PERSONALIZED recurrence: the
       // reset term is seed-gated, r0 is the seed indicator; same

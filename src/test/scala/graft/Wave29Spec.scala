@@ -150,6 +150,21 @@ class Wave29Spec extends SparkSpec {
     assert(ba === batchRebuild, "streamed upsert (b,a) != batch rebuild")
   }
 
+  test("batch PPR slices are bit-identical to the single-seed operator") {
+    import graft.operators.Traversals
+    val e = (Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L), (4L, 2L),
+      (1L, 4L))).toDF("src", "dst")
+    val batch = Traversals.personalizedPageRankBatch(e, Seq(0L, 3L), iters = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for (seed <- Seq(0L, 3L)) {
+      val single = Traversals.personalizedPageRank(e, Seq(seed), iters = 8)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      for ((v, rank) <- single)
+        assert(batch((seed, v)) === rank, s"seed=$seed v=$v")
+      assert(single.keySet === batch.keySet.filter(_._1 == seed).map(_._2))
+    }
+  }
+
   test("dfsLeafResidual skips the replay when rules settle everything") {
     // pure out-tree: every vertex is rule-certain
     val e = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L)).toDF("src", "dst")
