@@ -260,7 +260,9 @@ object Bench {
     // r14 wave 3: weekly seasonal index (epoch-dow, integer ppm)
     "q_events_seasonal",
     // r14 wave 3: LSH S-curve audit (measured vs analytic per decile)
-    "q_dedup_lsh_curve")
+    "q_dedup_lsh_curve",
+    // r14 wave 5: HHI concentration audit; type-token vocabulary ratio
+    "q_agg_hhi", "q_text_ttr")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

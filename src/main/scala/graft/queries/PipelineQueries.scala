@@ -1569,6 +1569,22 @@ object PipelineQueries {
           col("analytic_ppm"))
         .orderBy("decile")
     }),
+    "q_text_ttr" -> ((s, d) => {
+      // type-token ratio per source — the simplest vocabulary-
+      // richness signal next to Heaps' growth fit and the Zipf slope
+      // (low TTR flags template/boilerplate sources): distinct token
+      // types over token occurrences, in exact integer ppm. One
+      // token scan, two hash aggs.
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .localCheckpoint(true) // types + occurrences
+      val n = tok.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      val ty = tok.distinct().groupBy("source").agg(count(lit(1)).as("n_types"))
+      n.join(ty, "source")
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          expr("n_types * 1000000 div n_tokens").as("ttr_ppm"))
+        .orderBy("source")
+    }),
     "q_text_novelty" -> ((s, d) => {
       // eval-set n-gram NOVELTY rate — the memorization/contamination
       // quantifier next to q_text_decontaminate's drop list: of the
@@ -3576,6 +3592,10 @@ object PipelineQueries {
       (s"""WITH $minhashSigSql, cand AS (SELECT DISTINCT a.doc_id AS ca, b.doc_id AS cb FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id), shr_all AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), smp AS (SELECT doc_id FROM (SELECT doc_id, md5(min(g)) AS sk FROM shr_all GROUP BY doc_id) WHERE substr(sk, 1, 1) IN ('0', '1')), ssr AS (SELECT shr_all.doc_id, g FROM shr_all JOIN smp USING (doc_id)), nsh AS (SELECT doc_id, count(*)::BIGINT AS n FROM ssr GROUP BY doc_id), iv AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS inter FROM ssr a JOIN ssr b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2), pr AS (SELECT iv.doc_a, iv.doc_b, least(9, iv.inter * 10 // (na.n + nb.n - iv.inter))::BIGINT AS decile FROM iv JOIN nsh na ON na.doc_id = iv.doc_a JOIN nsh nb ON nb.doc_id = iv.doc_b), ms AS (SELECT decile, count(*)::BIGINT AS n_pairs, sum(CASE WHEN cand.ca IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_collide FROM pr LEFT JOIN cand ON pr.doc_a = cand.ca AND pr.doc_b = cand.cb GROUP BY decile), an AS (SELECT * FROM (VALUES """ +
         (0 to 9).map(dd => s"(${dd}::BIGINT, ${lshAnalyticPpm(dd)}::BIGINT)").mkString(", ") +
         """) t(decile, analytic_ppm)) SELECT ms.decile, ms.n_pairs, ms.n_collide, (ms.n_collide * 1000000 // ms.n_pairs)::BIGINT AS measured_ppm, an.analytic_ppm FROM ms JOIN an USING (decile) ORDER BY decile"""),
+    // same shared tokenizer, same distinct-type and occurrence aggs,
+    // same integer ppm
+    "q_text_ttr" ->
+      s"""WITH $toksSql, tr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), st AS (SELECT d.source, tr.tok FROM tr JOIN documents d USING (doc_id)), n AS (SELECT source, count(*)::BIGINT AS n_tokens FROM st GROUP BY source), ty AS (SELECT source, count(*)::BIGINT AS n_types FROM (SELECT DISTINCT source, tok FROM st) GROUP BY source) SELECT n.source, n.n_tokens, ty.n_types, (ty.n_types * 1000000 // n.n_tokens)::BIGINT AS ttr_ppm FROM n JOIN ty USING (source) ORDER BY source""",
     // same md5-split eval slice, same distinct 3-gram types, same
     // integer-ppm novelty with the zero guard
     "q_text_novelty" ->

@@ -2730,6 +2730,28 @@ object RelationalQueries {
           round(sum(col("tv")).cast("double") / count(col("tv")), 4).as("tmean"))
         .orderBy("event_type")
     }),
+    "q_agg_hhi" -> ((s, d) => {
+      // Herfindahl–Hirschman concentration index per market — the
+      // antitrust/portfolio concentration audit next to Gini's
+      // inequality and entropy's spread: HHI = Σ share_i² over
+      // suppliers within a nation's order volume, in exact integer
+      // ppm of the 0..1 scale (Σ c_i² · 1e6 div total² — one
+      // HUGEINT-safe cross-multiplied division, zero floats). One
+      // (nation, supplier) hash agg + one nation agg.
+      val c = t(s, d, "lineitem")
+        .join(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nation"), col("l_suppkey"))
+        .agg(count(lit(1)).as("ci"))
+      c.groupBy("nation")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("ci")).as("total"),
+          sum(col("ci") * col("ci")).as("sq"))
+        .select(col("nation"), col("n_suppliers"), col("total"),
+          expr("CAST(sq AS DECIMAL(38,0)) * 1000000 div (total * total)")
+            .cast("long").as("hhi_ppm"))
+        .orderBy("nation")
+    }),
     "q_events_seasonal" -> ((s, d) => {
       // weekly SEASONAL INDEX — the seasonal-adjustment companion to
       // q_events_acf's cycle detector: per day-of-week, the ratio of
@@ -3863,6 +3885,9 @@ object RelationalQueries {
     // inclusive trim bounds, same round(8)-term decimal-sum means
     "q_agg_winsor" ->
       """WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL), rk AS (SELECT event_type, value, row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM e), p AS (SELECT event_type, max(n) AS n, max(CASE WHEN rn = floor((n-1) * 0.1) + 1 THEN value END) AS lo10, max(CASE WHEN rn = ceil((n-1) * 0.1) + 1 THEN value END) AS hi10, max(CASE WHEN rn = floor((n-1) * 0.9) + 1 THEN value END) AS lo90, max(CASE WHEN rn = ceil((n-1) * 0.9) + 1 THEN value END) AS hi90 FROM rk GROUP BY event_type), pp AS (SELECT event_type, n, lo10 + ((n-1) * 0.1 - floor((n-1) * 0.1)) * (hi10 - lo10) AS p10, lo90 + ((n-1) * 0.9 - floor((n-1) * 0.9)) * (hi90 - lo90) AS p90 FROM p), c AS (SELECT e.event_type, pp.n, pp.p10, pp.p90, round(least(greatest(e.value, pp.p10), pp.p90), 8)::DECIMAL(38,18) AS wv, CASE WHEN e.value >= pp.p10 AND e.value <= pp.p90 THEN round(e.value, 8)::DECIMAL(38,18) END AS tv FROM e JOIN pp ON e.event_type = pp.event_type) SELECT event_type, max(n)::BIGINT AS n, round(max(p10), 4) AS p10, round(max(p90), 4) AS p90, round(sum(wv)::DOUBLE / max(n), 4) AS wmean, count(tv)::BIGINT AS n_trim, round(sum(tv)::DOUBLE / count(tv), 4) AS tmean FROM c GROUP BY event_type ORDER BY event_type""",
+    // same per-supplier counts, same HUGEINT-safe squared-share ppm
+    "q_agg_hhi" ->
+      """WITH c AS (SELECT s.s_nationkey AS nation, l.l_suppkey, count(*)::BIGINT AS ci FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey GROUP BY 1, 2) SELECT nation, count(*)::BIGINT AS n_suppliers, sum(ci)::BIGINT AS total, (sum(ci * ci)::HUGEINT * 1000000 // (sum(ci)::HUGEINT * sum(ci)))::BIGINT AS hhi_ppm FROM c GROUP BY nation ORDER BY nation""",
     // same epoch-days-mod-7 dow, same cross-multiplied HUGEINT ppm
     "q_events_seasonal" ->
       """WITH bd AS (SELECT ts::DATE AS day, count(*)::BIGINT AS cnt FROM events GROUP BY 1), dw AS (SELECT date_diff('day', DATE '1970-01-01', day) % 7 AS dow, cnt FROM bd), g AS (SELECT dow, count(*)::BIGINT AS n_days, sum(cnt)::BIGINT AS n_events FROM dw GROUP BY dow), t AS (SELECT sum(n_days)::BIGINT AS tot_days, sum(n_events)::BIGINT AS tot_events FROM g) SELECT g.dow::BIGINT AS dow, g.n_days, g.n_events, (g.n_events::HUGEINT * t.tot_days * 1000000 // (g.n_days::HUGEINT * t.tot_events))::BIGINT AS idx_ppm FROM g CROSS JOIN t ORDER BY dow""",
