@@ -888,15 +888,30 @@ object Bench {
             jvmArgs ++ Seq("graft.BenchFreshRep", n, sfDir, wd)
           val pb = new ProcessBuilder(cmd: _*)
           // child stderr (Spark logs) flows to ours — a blocked pipe
-          // must never deadlock the probe; stdout carries FRESHREP
+          // must never deadlock the probe. stdout goes to a TEMP FILE,
+          // not a pipe: readAllBytes on the pipe would block until the
+          // child closes stdout, making waitFor's 15-minute timeout
+          // dead code against a hung child (r14 ADVICE). With the file
+          // redirect, waitFor-with-timeout is the only blocking call.
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val outFile = Files.createTempFile("freshrep_", ".out").toFile
+          outFile.deleteOnExit()
+          pb.redirectOutput(ProcessBuilder.Redirect.to(outFile))
           val proc = pb.start()
-          val out = new String(proc.getInputStream.readAllBytes(),
-            java.nio.charset.StandardCharsets.UTF_8)
           val done = proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
-          if (!done) proc.destroyForcibly()
-          out.linesIterator.find(_.startsWith("FRESHREP "))
-            .map(l => n -> l.stripPrefix("FRESHREP ").trim)
+          if (!done) {
+            proc.destroyForcibly()
+            System.err.println(s"[bench] fresh-JVM probe for $n timed out; discarded")
+          }
+          // a killed child's partial FRESHREP line must never reach the
+          // minima merge — only parse output from a clean exit
+          val parsed =
+            if (!done) None
+            else Files.readString(outFile.toPath).linesIterator
+              .find(_.startsWith("FRESHREP "))
+              .map(l => n -> l.stripPrefix("FRESHREP ").trim)
+          outFile.delete()
+          parsed
         } catch { case e: Throwable =>
           System.err.println(s"[bench] fresh-JVM probe for $n failed: ${e.getMessage}")
           None
@@ -993,9 +1008,12 @@ object Bench {
       else Map.empty[String, Double]
       // a fresh-JVM probe's best is as demonstrated as a suite rep:
       // same code, same data, same host — only the JVM is clean
+      // the regex already rejects the probe's -1 failure sentinel (no
+      // minus sign in the pattern); the > 0 filter makes the contract
+      // explicit — a failed or degenerate probe never sets a floor
       val freshBest: Map[String, Double] = freshJvm.flatMap { case (n, j) =>
         """"best":(\d+(?:\.\d+)?)""".r.findFirstMatchIn(j)
-          .map(m => n -> m.group(1).toDouble)
+          .map(m => n -> m.group(1).toDouble).filter(_._2 > 0)
       }.toMap
       val current = results.collect { case (n, _, mn) if mn >= 0 =>
         n -> Seq(Some(mn), isoMap.get(n).filter(_ >= 0),

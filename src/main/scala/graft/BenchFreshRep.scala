@@ -36,12 +36,21 @@ object BenchFreshRep {
     try SparkEntry.queries(name)(spark, warmDir).count()
     catch { case _: Throwable => () }
     System.gc()
+    // a throwing rep records -1, never its elapsed time: a query that
+    // dies instantly (bad fixture path, OOM) would otherwise yield a
+    // tiny bogus "best" that Bench's freshBest merge ratchets into the
+    // minima file as a permanent floor (r14 ADVICE). Mirrors the
+    // suite's own `filter(_ >= 0)` discipline.
     val reps = (1 to 2).map { _ =>
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[freshrep] $name rep failed: ${e.getMessage}"); false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    val goodReps = reps.filter(_ >= 0)
+    val best = if (goodReps.nonEmpty) goodReps.min else -1.0
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val heapMib = Runtime.getRuntime.maxMemory() / (1L << 20)
     val gc = {
@@ -50,7 +59,7 @@ object BenchFreshRep {
         .asScala.map(_.getName).mkString("+")
     }
     println(s"""FRESHREP {"name":"$name","reps":[${reps.map(fmt).mkString(",")}],""" +
-      s""""best":${fmt(reps.min)},"heap_mib":$heapMib,"gc":"$gc"}""")
+      s""""best":${fmt(best)},"heap_mib":$heapMib,"gc":"$gc"}""")
     spark.stop()
   }
 }

@@ -1487,7 +1487,16 @@ object GraphQueries {
     "q_graph_pagerank" -> {
       // ten unrolled iterations of the deterministic recurrence;
       // per-edge contributions decimal-cast before summing, mirroring
-      // Traversals.pageRankDeterministic exactly
+      // Traversals.pageRankDeterministic exactly.
+      // Residual cross-engine risk (r14 ADVICE, theoretical): the
+      // engine's fixed18 rounds the EXACT binary expansion half-up at
+      // 1e-18 while DuckDB's ::DECIMAL(38,18) rounds the SHORTEST
+      // decimal representation — a documented ≤1-unit-of-1e-18
+      // divergence per edge. A final rank would have to sit within
+      // ~1e-12 of a round(,6) boundary for the engines to straddle;
+      // no fixture has produced one (gate green at every SF). If a
+      // q_graph_pagerank*/q_graph_ppr* hash flake ever appears, THIS
+      // is the first suspect — see FixedPoint.scala's scaladoc.
       val iters = (1 to 10).map { i =>
         s"r$i AS (SELECT v.vertex, 0.15 + 0.85 * coalesce(s.m, 0.0) AS rank FROM v LEFT JOIN " +
           s"(SELECT e.dst AS vertex, sum((r${i - 1}.rank / od.odeg)::DECIMAL(38,18))::DOUBLE AS m " +

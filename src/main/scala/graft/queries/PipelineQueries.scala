@@ -483,10 +483,16 @@ object PipelineQueries {
         .select(col("doc_a"), col("doc_b"), lit(true).as("tx"))
       img.join(txt, Seq("doc_a", "doc_b"), "full_outer")
         .agg(
-          sum(when(col("im").isNotNull, 1L).otherwise(0L)).as("n_image"),
-          sum(when(col("tx").isNotNull, 1L).otherwise(0L)).as("n_text"),
-          sum(when(col("im").isNotNull && col("tx").isNotNull, 1L)
-            .otherwise(0L)).as("n_both"),
+          // coalesce: sum over ZERO rows is NULL in Spark while the
+          // oracle's coalesce(sum(...), 0) yields 0 — all three counts
+          // must match the oracle in the empty-union degenerate case,
+          // not just agree_ppm (r14 ADVICE)
+          coalesce(sum(when(col("im").isNotNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_image"),
+          coalesce(sum(when(col("tx").isNotNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_text"),
+          coalesce(sum(when(col("im").isNotNull && col("tx").isNotNull, 1L)
+            .otherwise(0L)), lit(0L)).as("n_both"),
           count(lit(1)).as("n_union"))
         .select(col("n_image"), col("n_text"), col("n_both"), col("n_union"),
           when(col("n_union") === 0, lit(0L))
