@@ -77,6 +77,33 @@ object PipelineQueries {
     docMemo(s, d, tag, Tables.fingerprint(d, "documents"))(
       build.localCheckpoint(true))
 
+  /** The corpus band index ([[Dedup.corpusBandIndex]] over the
+    * doc_id % 5 ≠ 0 "existing corpus") persisted as a PARQUET-backed
+    * catalog table (Staging lifecycle), NOT a checkpoint memo — for a
+    * plan-statistics reason, found diagnosing the r14 q_dedup_
+    * incremental floor drift: `localCheckpoint` snapshots the
+    * PRE-materialization size estimate into the LogicalRDD's stats,
+    * and the index's build plan contains a join, so Catalyst carried
+    * a ~32 GB estimate for a ~1 MB artifact. Every consumer then
+    * planned against fiction: probe joins were judged un-broadcastable
+    * at optimize time and InjectRuntimeFilter fired two bloom-filter
+    * subqueries (4 extra jobs/rep) whose build and application keys
+    * were slices of the SAME table — selectivity ~1 at any scale. A
+    * file-backed scan reports its real bytes, so probes plan broadcast
+    * hash joins statically and no runtime filter is injected. It is
+    * also literally the production artifact the operator's scaladoc
+    * promises: "computed once per corpus generation, persisted right
+    * next to the signature table". Shared by q_dedup_incremental and
+    * q_stream_dedup_corpus. */
+  private def corpusBandIdx(s: SparkSession, d: String): DataFrame =
+    Staging.bucketedTable(s, d, "corpus_band_idx") { (name, dir) =>
+      Dedup.corpusBandIndex(
+          docSignatures(s, d).where(col("doc_id") % 5 =!= 0))
+        .write.format("parquet").mode("overwrite")
+        .option("path", dir.resolve("index").toString)
+        .saveAsTable(name)
+    }
+
   /** LSH-bucketed embedding near-dup pairs (i, j, cos >= minCos):
     * candidates from random-hyperplane buckets ([[Similarity.lshBuckets]],
     * 8 planes) + exact codegen'd cosine rescore. NEVER all-pairs within
@@ -644,12 +671,11 @@ object PipelineQueries {
       // table, exactly as a production pipeline reuses its persisted
       // signatures across arrivals.
       val sig = docSignatures(s, d)
-      // the memoized corpus band index is the second persisted artifact
+      // the persisted corpus band index is the second corpus artifact
       // of the arrival pattern (next to the signatures): arriving
       // batches probe it instead of re-paying the corpus band explode +
       // bucket-count agg + salt join per ingest
-      val idx = memoTable(s, d, "corpus_band_index_k16_b4")(
-        Dedup.corpusBandIndex(sig.where(col("doc_id") % 5 =!= 0)))
+      val idx = corpusBandIdx(s, d)
       Dedup.minhashPairsBetween(
         sig.where(col("doc_id") % 5 === 0),
         sig.where(col("doc_id") % 5 =!= 0),
@@ -672,8 +698,7 @@ object PipelineQueries {
       // and the batch q_dedup_incremental oracle applies verbatim.
       val sig = docSignatures(s, d)
       val corpusSig = sig.where(col("doc_id") % 5 =!= 0)
-      val idx = memoTable(s, d, "corpus_band_index_k16_b4")(
-        Dedup.corpusBandIndex(corpusSig))
+      val idx = corpusBandIdx(s, d)
       val arriving = t(s, d, "documents").where(col("doc_id") % 5 === 0)
       val streamDir = java.nio.file.Files.createTempDirectory("graft-q-dedup-corpus-in")
       val outDir = java.nio.file.Files.createTempDirectory("graft-q-dedup-corpus-out")
