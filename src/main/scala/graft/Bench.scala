@@ -316,6 +316,7 @@ object Bench {
     "q_stream_join_outer" -> "streaming",
     "q_stream_quantile" -> "streaming",
     "q_stream_scd2" -> "streaming",
+    "q_stream_scd2_rocksdb" -> "streaming",
     "q_stream_session_native" -> "streaming",
     "q_stream_sessionize" -> "streaming",
     "q_stream_source_synth" -> "streaming",

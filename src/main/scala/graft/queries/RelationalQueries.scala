@@ -144,6 +144,47 @@ object RelationalQueries {
       .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
   }
 
+  /** The one batch gaps-and-islands oracle both streaming SCD-2 gate
+    * entries (default store + RocksDB) are checked against. */
+  private val streamScd2OracleSql: String =
+    """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id BETWEEN 0 AND 50), c AS (SELECT user_id, ts, event_id, event_type, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), v AS (SELECT user_id, ts, event_type, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM c) SELECT user_id, ver::BIGINT AS ver, event_type, epoch_us(min(ts))::BIGINT AS valid_from, epoch_us(max(ts))::BIGINT AS valid_to, count(*)::BIGINT AS n_events FROM v GROUP BY user_id, ver, event_type ORDER BY user_id, ver"""
+
+  /** Streaming type-2 SCD build EXECUTED AS A STREAM inside the
+    * exact-match gate (same drive pattern as q_stream_sessionize):
+    * all events land in batch 1, sentinel files advance the
+    * watermark so every user's buffered suffix folds and the final
+    * open interval is timeout-emitted; result must equal the batch
+    * gaps-and-islands build (q_events_scd2's oracle). Shared
+    * byte-for-byte by q_stream_scd2 (default state store) and
+    * q_stream_scd2_rocksdb (RocksDB provider) so the two gate entries
+    * differ ONLY in the state-store provider. */
+  private def streamScd2(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-q-scd2-stream")
+    try {
+      val e0 = java.nio.file.Files.createDirectory(streamDir.resolve("e0"))
+      stageEventsInto(d, e0)
+      def sentinel(tag: String, plusDays: Long): Unit =
+        writeSentinel(s, d, streamDir, tag, plusDays)
+      val sink = "stream_scd2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val events = graft.streaming.EventStreams.eventsStream(s, streamDir.toString + "/*")
+        .select(c("event_id"), c("ts"), c("user_id"), c("event_type"), c("value"))
+        .as[graft.streaming.EventStreams.Event](
+          org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event])
+      val q = graft.streaming.EventStreams.scd2(events)
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(sink).start()
+      try {
+        q.processAllAvailable()
+        sentinel("s1", 10); q.processAllAvailable()
+        sentinel("s2", 20); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).where(col("user_id").between(0L, 50L))
+        .select("user_id", "ver", "event_type", "valid_from", "valid_to", "n_events")
+        .orderBy("user_id", "ver")
+    } finally deleteRecursively(streamDir)
+  }
+
   /** The purchases reference table staged as a BUCKETED catalog table
     * (32 buckets on p_user, file-sorted by (p_user, p_ts)) — the
     * pre-partitioned-reference-side layout
@@ -3357,38 +3398,16 @@ object RelationalQueries {
         .orderBy("user_id")
       } finally deleteRecursively(streamDir)
     }),
-    "q_stream_scd2" -> ((s, d) => {
-      // Streaming type-2 SCD build EXECUTED AS A STREAM inside the
-      // exact-match gate (same drive pattern as q_stream_sessionize):
-      // all events land in batch 1, sentinel files advance the
-      // watermark so every user's buffered suffix folds and the final
-      // open interval is timeout-emitted; result must equal the batch
-      // gaps-and-islands build (q_events_scd2's oracle).
-      import org.apache.spark.sql.functions.{col => c}
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-scd2-stream")
-      try {
-      val e0 = java.nio.file.Files.createDirectory(streamDir.resolve("e0"))
-      stageEventsInto(d, e0)
-      def sentinel(tag: String, plusDays: Long): Unit =
-        writeSentinel(s, d, streamDir, tag, plusDays)
-      val sink = "stream_scd2_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val events = graft.streaming.EventStreams.eventsStream(s, streamDir.toString + "/*")
-        .select(c("event_id"), c("ts"), c("user_id"), c("event_type"), c("value"))
-        .as[graft.streaming.EventStreams.Event](
-          org.apache.spark.sql.Encoders.product[graft.streaming.EventStreams.Event])
-      val q = graft.streaming.EventStreams.scd2(events)
-        .toDF()
-        .writeStream.outputMode("append").format("memory").queryName(sink).start()
-      try {
-        q.processAllAvailable()
-        sentinel("s1", 10); q.processAllAvailable()
-        sentinel("s2", 20); q.processAllAvailable()
-      } finally q.stop()
-      s.table(sink).where(col("user_id").between(0L, 50L))
-        .select("user_id", "ver", "event_type", "valid_from", "valid_to", "n_events")
-        .orderBy("user_id", "ver")
-      } finally deleteRecursively(streamDir)
-    }),
+    "q_stream_scd2" -> ((s, d) => streamScd2(s, d)),
+    "q_stream_scd2_rocksdb" -> ((s, d) =>
+      // the IDENTICAL streaming SCD-2 drive, executed on the RocksDB
+      // state store (r14 verdict item 2): flatMapGroupsWithState's
+      // per-user buffered suffixes are exactly the keyed state that
+      // must spill to executor-local disk at 100 TB — the default
+      // HDFS-backed provider holds it in heap. Same oracle as
+      // q_stream_scd2: the provider must be invisible in the result.
+      graft.streaming.StateStores.withProvider(
+        s, graft.streaming.StateStores.RocksDb)(streamScd2(s, d))),
     "q_stream_quantile" -> ((s, d) => {
       // Streaming quantiles, completing the stream-sketch trio (HLL
       // distinct, top-n heavy hitters, and this): per-event-type
@@ -4078,8 +4097,10 @@ object RelationalQueries {
       """SELECT c_custkey, c_name, c_acctbal, n_name, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON o_orderkey = l_orderkey JOIN nation ON c_nationkey = n_nationkey WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY c_custkey, c_name, c_acctbal, n_name ORDER BY revenue DESC, c_custkey LIMIT 20""",
     "q_events_scd2" ->
       """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id <= 50), c AS (SELECT user_id, ts, event_id, event_type, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), v AS (SELECT user_id, ts, event_type, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM c) SELECT user_id, ver::BIGINT AS ver, event_type, epoch_us(min(ts))::BIGINT AS valid_from, epoch_us(max(ts))::BIGINT AS valid_to, count(*)::BIGINT AS n_events FROM v GROUP BY user_id, ver, event_type ORDER BY user_id, ver""",
-    "q_stream_scd2" ->
-      """WITH e AS (SELECT user_id, ts, event_id, event_type FROM events WHERE user_id BETWEEN 0 AND 50), c AS (SELECT user_id, ts, event_id, event_type, CASE WHEN lag(event_type) OVER w IS NULL OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), v AS (SELECT user_id, ts, event_type, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS ver FROM c) SELECT user_id, ver::BIGINT AS ver, event_type, epoch_us(min(ts))::BIGINT AS valid_from, epoch_us(max(ts))::BIGINT AS valid_to, count(*)::BIGINT AS n_events FROM v GROUP BY user_id, ver, event_type ORDER BY user_id, ver""",
+    "q_stream_scd2" -> streamScd2OracleSql,
+    // IDENTICAL oracle by construction: the RocksDB entry runs the
+    // same drive, so any provider-visible divergence hash-mismatches
+    "q_stream_scd2_rocksdb" -> streamScd2OracleSql,
     "q_events_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id, epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events), b AS (SELECT user_id, ts, event_id, CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END AS boundary FROM g), s AS (SELECT user_id, sum(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM b) SELECT user_id, max(sess)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events FROM s GROUP BY user_id ORDER BY user_id""",
     "q_events_locf" ->

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.StateStores
+
+/** The RocksDB state-store leg of the streaming story (r14 verdict
+  * item 2): at 100 TB the keyed state of the large-state streaming
+  * operators (flatMapGroupsWithState SCD-2 suffixes, stream-stream
+  * join buffers, native session windows) must spill to executor-local
+  * disk — `RocksDBStateStoreProvider` is the production provider. The
+  * contract these tests pin: the provider is an EXECUTION choice that
+  * must be invisible in results (bit-identical outputs on the three
+  * largest-state gate entries), and it must be demonstrably ENGAGED
+  * (RocksDB-specific custom metrics in the query progress), not
+  * silently falling back to the default store. */
+class RocksDbStateStoreSpec extends SparkSpec {
+
+  private val dir = TestSpark.sfDir
+
+  private def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("q_stream_scd2_rocksdb equals q_stream_scd2 exactly (the in-gate pair)") {
+    val default = sortedRows(SparkEntry.queries("q_stream_scd2")(spark, dir))
+    val rocks = sortedRows(SparkEntry.queries("q_stream_scd2_rocksdb")(spark, dir))
+    assert(rocks.nonEmpty, "SCD-2 stream produced no rows")
+    assert(rocks == default)
+  }
+
+  test("q_stream_join_full is provider-invariant (stream-stream full-outer buffers)") {
+    val q = SparkEntry.queries("q_stream_join_full")
+    val default = sortedRows(q(spark, dir))
+    val rocks = StateStores.withProvider(spark, StateStores.RocksDb)(
+      sortedRows(q(spark, dir)))
+    assert(rocks.nonEmpty && rocks == default)
+  }
+
+  test("q_stream_session_native is provider-invariant (native session-window state)") {
+    val q = SparkEntry.queries("q_stream_session_native")
+    val default = sortedRows(q(spark, dir))
+    val rocks = StateStores.withProvider(spark, StateStores.RocksDb)(
+      sortedRows(q(spark, dir)))
+    assert(rocks.nonEmpty && rocks == default)
+  }
+
+  test("RocksDB provider is genuinely engaged: rocksdb custom metrics in progress") {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-rocks-engaged")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val custom: Set[String] = StateStores.withProvider(spark, StateStores.RocksDb) {
+        val q = graft.streaming.EventStreams.eventsStream(spark, streamDir.toString)
+          .groupBy("event_type").agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName("rocks_engaged").start()
+        try q.processAllAvailable() finally q.stop()
+        import scala.jdk.CollectionConverters._
+        q.recentProgress.flatMap(_.stateOperators)
+          .flatMap(_.customMetrics.keySet().asScala.map(String.valueOf(_))).toSet
+      }
+      // HDFS-backed progress carries loadedMapCache* metrics only; any
+      // rocksdb*-prefixed key proves the native provider served the run
+      assert(custom.exists(_.startsWith("rocksdb")),
+        s"no rocksdb custom metrics in progress — provider fell back? saw: $custom")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(streamDir).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("withProvider restores the prior conf, set or unset") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    StateStores.withProvider(spark, StateStores.RocksDb) {
+      assert(spark.conf.get(key) == StateStores.RocksDb)
+    }
+    assert(spark.conf.getOption(key) == before)
+    spark.conf.set(key, "x.y.Z")
+    try
+      StateStores.withProvider(spark, StateStores.RocksDb)(())
+    finally {
+      assert(spark.conf.get(key) == "x.y.Z")
+      spark.conf.unset(key)
+    }
+  }
+}

@@ -543,6 +543,40 @@ object Stress {
         require(st > 0 && st == nKeys && st < nEv10,
           s"topn stream state $st rows; want key cardinality $nKeys << volume $nEv10")
       }
+      // RocksDB state store at 10x (r14 VERDICT item 2): run the SAME
+      // keyed agg under both providers — identical state row counts,
+      // identical results, and the provider-specific SIZE readout the
+      // 100 TB story needs: the default provider reports state as heap
+      // memoryUsedBytes (its scaling wall), RocksDB reports native/sst
+      // bytes (disk-backed — the wall moves to executor-local disk).
+      time("stream_rocksdb_x10_state", nEv10) {
+        def runKeyed(tag: String): (Long, Long, Long, Seq[String]) = {
+          val name = "stress_rocks_" + tag
+          val q = graft.streaming.EventStreams
+            .eventsStream(spark, streamDir.toString + "/*")
+            .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+          val ops = q.recentProgress.flatMap(_.stateOperators)
+          import scala.jdk.CollectionConverters._
+          val sst = ops.flatMap(_.customMetrics.asScala)
+            .collect { case (k, v) if String.valueOf(k) == "rocksdbSstFileSize" =>
+              Long2long(v) }
+            .foldLeft(0L)(math.max)
+          (ops.map(_.numRowsTotal).foldLeft(0L)(math.max),
+            ops.map(_.memoryUsedBytes).foldLeft(0L)(math.max),
+            sst,
+            spark.table(name).collect().map(_.toString).sorted.toSeq)
+        }
+        val (dRows, dMem, _, dOut) = runKeyed("default")
+        val (rRows, rMem, rSst, rOut) = graft.streaming.StateStores
+          .withProvider(spark, graft.streaming.StateStores.RocksDb)(runKeyed("rocksdb"))
+        require(dRows == rRows, s"state rows differ: default $dRows vs rocksdb $rRows")
+        require(dOut == rOut, "keyed agg results differ across providers")
+        println(s"STRESS-META rocksdb_x10 state_rows=$rRows " +
+          s"default_heap_bytes=$dMem rocksdb_mem_bytes=$rMem rocksdb_sst_bytes=$rSst")
+      }
     }
 
     // wave-18/19 families. winnow_x10: per-doc windows — work is linear
