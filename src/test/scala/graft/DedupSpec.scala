@@ -142,6 +142,48 @@ class DedupSpec extends SparkSpec {
     assert(got < n * (n - 1) / 2, s"guard did not engage: $got = full cross product")
   }
 
+  test("lshTruthPairs df cap: stopword-shingle corpus stays bounded, exclusion counted") {
+    // adversarial truth corpus (r14 VERDICT item 3): every doc shares
+    // an 8-word sentence, so its 3-gram shingles are corpus-ubiquitous
+    // — unguarded, the sampled truth self-join is |sample|² on those
+    // shingles. Two leading per-doc tokens sort BEFORE the common
+    // words ('a0…' < 'c…'), keeping each doc's min shingle unique so
+    // the 1/8 content-keyed sample stays per-doc uniform.
+    val common = "common words that appear inside every single document"
+    val stopCorpus = (0L until 600L).map(i =>
+      (i, f"a$i%04d b$i%04d $common", "en", "s1", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val capped = graft.queries.PipelineQueries
+      .lshTruthPairs(spark, stopCorpus, dfCap = 8)
+    val cappedRows = capped.collect()
+    val nCapped = capped.select(max("n_sh_capped")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.toString.toLong)).getOrElse(0L)
+    val uncapped = graft.queries.PipelineQueries
+      .lshTruthPairs(spark, stopCorpus, dfCap = Int.MaxValue)
+    val nUncapped = uncapped.count()
+    // ~75 sampled docs all pair through the shared shingles uncapped
+    assert(nUncapped > 500,
+      s"fixture not adversarial enough: uncapped truth join only $nUncapped pairs")
+    assert(cappedRows.length < nUncapped / 10,
+      s"df cap did not bound the join: ${cappedRows.length} vs uncapped $nUncapped")
+    // the exclusion is REPORTED, not silent — when any pair survives;
+    // with zero surviving pairs the empty table is itself the evidence
+    if (cappedRows.nonEmpty)
+      assert(nCapped > 0, "ubiquitous shingles excluded but n_sh_capped = 0")
+  }
+
+  test("lshTruthPairs df cap is a no-op on the organic fixture (capped == uncapped)") {
+    val fixture = spark.read.parquet(s"${TestSpark.sfDir}/documents.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_a", "doc_b", "decile")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val capped = graft.queries.PipelineQueries.lshTruthPairs(spark, fixture, dfCap = 256)
+    assert(rows(capped) ===
+      rows(graft.queries.PipelineQueries.lshTruthPairs(spark, fixture, dfCap = Int.MaxValue)))
+    assert(capped.select(max("n_sh_capped")).head().getLong(0) === 0L,
+      "organic fixture unexpectedly has a df>256 shingle — cap no longer a no-op")
+  }
+
   test("default cap is a no-op on organic buckets (pairs identical with and without)") {
     val guarded = Dedup.minhashPairs(docs, k = 16, bands = 4, minEst = 0.25)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
