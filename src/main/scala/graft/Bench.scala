@@ -22,6 +22,7 @@ object Bench {
     // r14: + the residual settle (rule classes + certain-parent
     // reduction + residual replay, undecided fraction in-output)
     "q_graph_dfs_leaves_big", "q_graph_dfs_classes", "q_graph_dfs_residual",
+    "q_graph_dfs_reduce",
     "q_text_stats", "q_text_tokens_bpe", "q_text_fingerprint",
     "q_dedup_exact", "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_pipeline", "q_embed_topk", "q_embed_ivf",

@@ -484,10 +484,16 @@ object Traversals {
     *     edges provably never discover their target, so unique-
     *     in-neighbor over the LIVE set remains "unique possible
     *     discoverer" at every round — the induction that keeps the
-    *     replay bit-identical. (Deeper ancestor back-edges — v→g
-    *     where g is the certain GRANDparent — are also provably inert
-    *     but need forest-ancestor labeling to find; not implemented,
-    *     the bound below states what the residual path needs.)
+    *     replay bit-identical;
+    *  3. when the parent rule stalls, one forest-ANCESTOR pass
+    *     ([[certainAncestorInert]], r14 VERDICT item 5): deeper
+    *     back-edges v→g where g sits anywhere on v's certain-parent
+    *     CHAIN are equally inert (every DFS visits g strictly before
+    *     v, same induction) but invisible to the length-1 rule; the
+    *     pointer-jump walk finds them in O(log depth) rounds. An
+    *     ancestor drop shrinks in-neighbor sets and can mint new
+    *     unique parents, so the cheap parent fixpoint resumes after
+    *     any movement — alternating until neither rule drops.
     *
     * When the reduced adjacency still exceeds `maxResidualEdges`, the
     * replay is refused with the same honest error as [[dfsLeaves]] —
@@ -515,21 +521,39 @@ object Traversals {
       .distinct().checkpointSized()
     var nLive = e.count()
     var round = 0
-    var dropped = 1L
-    while (dropped > 0 && round < maxReduceRounds) {
-      round += 1
-      val uniq = e.groupBy("dst")
-        .agg(count(lit(1)).as("nin"), min(col("src")).as("p"))
-        .where(col("nin") === 1)
-        .select(col("dst").as("cv"), col("p"))
-      val e2 = e.join(uniq, e("src") === col("cv") && e("dst") === col("p"),
-          "left_anti")
-        .checkpointSized()
-      val n2 = e2.count()
-      dropped = nLive - n2
-      dropCheckpoint(e)
-      e = e2
-      nLive = n2
+    var outer = 1L
+    while (outer > 0 && round < maxReduceRounds) {
+      // the cheap certain-PARENT rounds, to their own fixpoint
+      var dropped = 1L
+      while (dropped > 0 && round < maxReduceRounds) {
+        round += 1
+        val uniq = e.groupBy("dst")
+          .agg(count(lit(1)).as("nin"), min(col("src")).as("p"))
+          .where(col("nin") === 1)
+          .select(col("dst").as("cv"), col("p"))
+        val e2 = e.join(uniq, e("src") === col("cv") && e("dst") === col("p"),
+            "left_anti")
+          .checkpointSized()
+        val n2 = e2.count()
+        dropped = nLive - n2
+        dropCheckpoint(e)
+        e = e2
+        nLive = n2
+      }
+      // parent rule stalled: one forest-ANCESTOR pass (rule 3 above);
+      // any movement can mint new unique parents, so resume the cheap
+      // fixpoint — alternate until neither rule drops an edge
+      if (round < maxReduceRounds) {
+        round += 1
+        val inert = certainAncestorInert(e)
+        val e2 = e.join(inert, Seq("src", "dst"), "left_anti").checkpointSized()
+        dropCheckpoint(inert)
+        dropCheckpoint(e)
+        e = e2
+        val n2 = e.count()
+        outer = nLive - n2
+        nLive = n2
+      } else outer = 0L
     }
     require(nLive <= maxResidualEdges,
       s"DFS residual replay needs the reduced reachable adjacency on the " +
@@ -545,6 +569,141 @@ object Traversals {
     val pinned = out.localCheckpoint(true)
     dropCheckpoint(classes)
     pinned
+  }
+
+  /** Forest-ancestor back-edge detection (r14 VERDICT item 5), the
+    * generalization of the certain-PARENT rule: over the live edge set
+    * `e`, build the unique-parent forest F (v → its unique live
+    * in-neighbor), and return every edge (v, a) whose dst `a` lies on
+    * v's certain-ancestor CHAIN — v, parent(v), parent(parent(v)), …
+    * Such an edge can never push: by induction each chain vertex is
+    * discoverable only from the next, so EVERY DFS visits a strictly
+    * before v, and when v expands, a is already visited. (The parent
+    * rule is the chain-length-1 case.)
+    *
+    * F restricted to reachable vertices is ACYCLIC: a certain-parent
+    * cycle would make every member discoverable only from inside the
+    * cycle, contradicting reachability from `start` (edges into
+    * `start` are already excluded from `e`), so pointer machinery
+    * terminates. All state is bounded and distributed:
+    *   - depth(v) = exact chain length to v's root, by pointer
+    *     DOUBLING on F (≤ ⌈log₂ depth⌉ rounds, table ≤ |F| rows);
+    *   - jump tables J_k (v → ancestor at exactly 2^k), J_{k+1} =
+    *     J_k ∘ J_k, each ≤ |F| rows;
+    *   - the ancestry test per candidate edge (v, a): walk v up
+    *     exactly depth(v) − depth(a) steps by binary decomposition
+    *     over the J_k (≤ ⌈log₂ depth⌉ joins over ≤ |E| rows) and
+    *     compare the landing vertex to a. depth is exact, so the
+    *     required jumps always exist; a lands on the chain iff the
+    *     walk hits it. No transitive-closure materialization — the
+    *     ancestor-PAIR set is O(V·depth) on a path graph, while this
+    *     is O((V+E)·log depth). */
+  private[graft] def certainAncestorInert(e: DataFrame): DataFrame = {
+    val f = e.groupBy("dst")
+      .agg(count(lit(1)).as("nin"), min(col("src")).as("p"))
+      .where(col("nin") === 1)
+      .select(col("dst").as("v"), col("p"))
+      .checkpointSized()
+    // jump tables: J_0 = F; J_{k+1} = J_k ∘ J_k (empty once 2^k
+    // exceeds the max depth — the loop's termination witness)
+    var jk = f.select(col("v"), col("p").as("a")).checkpointSized()
+    val jumps = scala.collection.mutable.ArrayBuffer(jk)
+    var jn = jk.count()
+    while (jn > 0 && jumps.size < 34) {
+      val nxt = jk.as("x").join(jk.as("y"), col("x.a") === col("y.v"))
+        .select(col("x.v").as("v"), col("y.a").as("a"))
+        .checkpointSized()
+      jumps += nxt
+      jk = nxt
+      jn = nxt.count()
+    }
+    // depth by doubling over the same forest: (v, up, d) with up the
+    // farthest known ancestor and d its distance; converged when no
+    // up still has a parent
+    var depth = f.select(col("v"), col("p").as("up"), lit(1L).as("d"))
+      .checkpointSized()
+    var open = 1L
+    var dk = 0
+    while (open > 0 && dk < 34) {
+      dk += 1
+      val nd = depth.as("x").join(depth.as("y"),
+          col("x.up") === col("y.v"), "left_outer")
+        .select(col("x.v").as("v"),
+          coalesce(col("y.up"), col("x.up")).as("up"),
+          (col("x.d") + coalesce(col("y.d"), lit(0L))).as("d"))
+        .checkpointSized()
+      dropCheckpoint(depth)
+      depth = nd
+      open = depth.as("x").join(f.as("y"),
+        col("x.up") === col("y.v"), "left_semi").count()
+    }
+    val dep = depth.select(col("v"), col("d"))
+    // candidate edges: dst strictly shallower than src on SOME chain
+    val cand = e
+      .join(dep.select(col("v").as("src"), col("d").as("ds")), Seq("src"), "left_outer")
+      .join(dep.select(col("v").as("dst"), col("d").as("dd")), Seq("dst"), "left_outer")
+      .select(col("src"), col("dst"),
+        (coalesce(col("ds"), lit(0L)) - coalesce(col("dd"), lit(0L))).as("delta"))
+      .where(col("delta") >= 1)
+    var w = cand.select(col("src"), col("dst"),
+        col("src").as("cur"), col("delta").as("rem"))
+      .checkpointSized()
+    for (k <- jumps.indices.reverse) {
+      val step = 1L << k
+      val m = jumps(k).select(col("v").as("jv"), col("a").as("ja"))
+      val nw = w.join(m, w("cur") === col("jv") && w("rem") >= lit(step), "left_outer")
+        .select(w("src"), w("dst"),
+          when(col("ja").isNotNull, col("ja")).otherwise(w("cur")).as("cur"),
+          when(col("ja").isNotNull, w("rem") - lit(step)).otherwise(w("rem")).as("rem"))
+        .checkpointSized()
+      dropCheckpoint(w)
+      w = nw
+    }
+    val inert = w.where(col("rem") === 0 && col("cur") === col("dst"))
+      .select("src", "dst")
+      .checkpointSized()
+    dropCheckpoint(f)
+    jumps.foreach(dropCheckpoint(_))
+    dropCheckpoint(depth)
+    dropCheckpoint(w)
+    inert
+  }
+
+  /** Per-round live-edge trace of the unified certain-ANCESTOR
+    * reduction on the reachable adjacency — the measured evidence
+    * that the r14 forest-ancestor rule shrinks the residual replay
+    * input (gate entry q_graph_dfs_reduce; the DuckDB oracle
+    * replays the identical rounds with a recursive ancestor-closure
+    * CTE). Round r: build the unique-parent forest over the current
+    * live set, drop every edge whose dst is a certain ancestor of its
+    * src (parent = chain length 1 included), count. Dropping edges
+    * shrinks in-neighbor sets and can mint new unique parents — the
+    * reason the rule iterates. Output (round, n_live, n_dropped),
+    * one row per round 1..rounds. */
+  def certainReductionTrace(edges: DataFrame, start: Long,
+                            rounds: Int = 3): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val reach = bfsLevels(e0, start).select("vertex").checkpointSized()
+    var e = e0.where(col("src") =!= col("dst") && col("dst") =!= lit(start))
+      .join(reach, e0("src") === reach("vertex"), "left_semi")
+      .distinct().checkpointSized()
+    var nLive = e.count()
+    val trace = (1 to rounds).map { r =>
+      val inert = certainAncestorInert(e)
+      val e2 = e.join(inert, Seq("src", "dst"), "left_anti").checkpointSized()
+      dropCheckpoint(inert)
+      dropCheckpoint(e)
+      e = e2
+      val n2 = e.count()
+      val row = (r.toLong, n2, nLive - n2)
+      nLive = n2
+      row
+    }
+    dropCheckpoint(reach)
+    dropCheckpoint(e)
+    trace.toDF("round", "n_live", "n_dropped")
   }
 
   /** Weighted single-source shortest paths by iterative relaxation

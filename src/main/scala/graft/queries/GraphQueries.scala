@@ -428,6 +428,34 @@ object GraphQueries {
         p.select(col("src")).distinct().select(lit(-1L).as("src"), col("src").as("dst")))
       Traversals.dfsLeafClasses(edges, -1L).orderBy("vertex")
     }),
+    "q_graph_dfs_reduce" -> ((s, d) => {
+      // The r14 forest-ancestor reduction MEASURED in-gate (verdict
+      // item 5): per-round live-edge counts of the unified
+      // certain-ANCESTOR drop rule. Fixture: the mod-150 CHAIN graph
+      // (k → k+1 per present orders residue — data-scale scan,
+      // saturating vertex set, the modulus-graph convention) with two
+      // LAYERS of deep back-edges at k % 31 = 5: k → k−9 and
+      // k → k−18. The −9 layer is provably inert on the raw live set
+      // but INVISIBLE to the r13 parent rule (no edge targets its own
+      // unique in-neighbor); the −18 layer is blocked in round 1
+      // because each −9 target sits two-in-neighbored on its chain —
+      // round 1's drop MINTS those parents and round 2 clears the
+      // −18 layer; round 3's n_dropped = 0 is the fixpoint witness.
+      // The oracle replays the identical rounds with a recursive
+      // ancestor-closure CTE — the closure and the engine's
+      // pointer-jump walk must name the same edge set.
+      val ks = Tables.t(s, d, "orders")
+        .select((col("o_orderkey") % 150).cast("long").as("k")).distinct()
+      val chain = ks.where(col("k") < 149)
+        .select(col("k").as("src"), (col("k") + 1).as("dst"))
+      val back1 = ks.where(col("k") % 31 === 5 && col("k") > 9)
+        .select(col("k").as("src"), (col("k") - 9).as("dst"))
+      val back2 = ks.where(col("k") % 31 === 5 && col("k") > 18)
+        .select(col("k").as("src"), (col("k") - 18).as("dst"))
+      Traversals.certainReductionTrace(
+          chain.union(back1).union(back2), 0L, rounds = 3)
+        .orderBy("round")
+    }),
     "q_graph_dfs_residual" -> ((s, d) => {
       // The undecided residue SETTLED (r13 VERDICT item 4): rule
       // classes + residual replay on the data-scale mod-150 graph
@@ -1356,6 +1384,8 @@ object GraphQueries {
     // rule classes (closed form, reach-restricted) + exact final
     // classes from the same list-state walk as dfs_leaves_big;
     // fraction in exact integer ppm
+    "q_graph_dfs_reduce" ->
+      """WITH RECURSIVE ks AS MATERIALIZED (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS k FROM orders), e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (SELECT k AS src, k + 1 AS dst FROM ks WHERE k < 149 UNION ALL SELECT k, k - 9 FROM ks WHERE k % 31 = 5 AND k > 9 UNION ALL SELECT k, k - 18 FROM ks WHERE k % 31 = 5 AND k > 18)), r0 AS (SELECT 0::BIGINT AS vertex UNION SELECT e.dst FROM r0 JOIN e ON e.src = r0.vertex), l0 AS MATERIALIZED (SELECT e.src, e.dst FROM e JOIN r0 ON e.src = r0.vertex WHERE e.dst <> 0 AND e.src <> e.dst), f1 AS MATERIALIZED (SELECT dst AS v, min(src) AS p FROM l0 GROUP BY dst HAVING count(*) = 1), a1 AS (SELECT v, p AS an FROM f1 UNION SELECT a1.v, f1.p FROM a1 JOIN f1 ON f1.v = a1.an), l1 AS MATERIALIZED (SELECT l.src, l.dst FROM l0 l WHERE NOT EXISTS (SELECT 1 FROM a1 WHERE a1.v = l.src AND a1.an = l.dst)), f2 AS MATERIALIZED (SELECT dst AS v, min(src) AS p FROM l1 GROUP BY dst HAVING count(*) = 1), a2 AS (SELECT v, p AS an FROM f2 UNION SELECT a2.v, f2.p FROM a2 JOIN f2 ON f2.v = a2.an), l2 AS MATERIALIZED (SELECT l.src, l.dst FROM l1 l WHERE NOT EXISTS (SELECT 1 FROM a2 WHERE a2.v = l.src AND a2.an = l.dst)), f3 AS MATERIALIZED (SELECT dst AS v, min(src) AS p FROM l2 GROUP BY dst HAVING count(*) = 1), a3 AS (SELECT v, p AS an FROM f3 UNION SELECT a3.v, f3.p FROM a3 JOIN f3 ON f3.v = a3.an), l3 AS MATERIALIZED (SELECT l.src, l.dst FROM l2 l WHERE NOT EXISTS (SELECT 1 FROM a3 WHERE a3.v = l.src AND a3.an = l.dst)), c0 AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM l0), c1 AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM l1), c2 AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM l2), c3 AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM l3) SELECT 1::BIGINT AS round, c1.n AS n_live, (c0.n - c1.n)::BIGINT AS n_dropped FROM c0, c1 UNION ALL SELECT 2::BIGINT, c2.n, (c1.n - c2.n)::BIGINT FROM c1, c2 UNION ALL SELECT 3::BIGINT, c3.n, (c2.n - c3.n)::BIGINT FROM c2, c3 ORDER BY round""",
     "q_graph_dfs_residual" ->
       """WITH RECURSIVE e AS (SELECT DISTINCT (o_orderkey % 150)::BIGINT AS src, (o_custkey % 150)::BIGINT AS dst FROM orders WHERE (o_orderkey % 150) <> (o_custkey % 150)), r0 AS (SELECT 0::BIGINT AS vertex UNION SELECT e.dst FROM r0 JOIN e ON e.src = r0.vertex), ex AS (SELECT e.src, e.dst FROM e JOIN r0 ON e.src = r0.vertex WHERE e.dst <> 0), onlyp AS (SELECT min(src) AS vertex FROM ex GROUP BY dst HAVING count(DISTINCT src) = 1), ints AS (SELECT DISTINCT vertex FROM onlyp UNION SELECT DISTINCT 0::BIGINT FROM ex WHERE ex.src = 0), cr AS (SELECT r0.vertex, CASE WHEN r0.vertex NOT IN (SELECT src FROM ex) THEN 'leaf' WHEN r0.vertex IN (SELECT vertex FROM ints) THEN 'internal' ELSE 'undecided' END AS cls_rule FROM r0), walk AS (SELECT [0::BIGINT] AS stack, [0::BIGINT] AS visited, NULL::BIGINT AS parent, NULL::BIGINT AS child UNION ALL SELECT CASE WHEN nu IS NULL THEN stack[:-2] ELSE list_append(stack, nu) END, CASE WHEN nu IS NULL THEN visited ELSE list_append(visited, nu) END, CASE WHEN nu IS NULL THEN NULL ELSE stack[-1] END, nu FROM (SELECT stack, visited, (SELECT min(e.dst) FROM e WHERE e.src = stack[-1] AND NOT list_contains(visited, e.dst)) AS nu FROM walk WHERE len(stack) > 0)), wpar AS (SELECT DISTINCT parent FROM walk WHERE parent IS NOT NULL), cf AS (SELECT r0.vertex, CASE WHEN r0.vertex NOT IN (SELECT parent FROM wpar) THEN 'leaf' ELSE 'internal' END AS cls_final FROM r0), a AS (SELECT cls_rule AS cls, count(*)::BIGINT AS n_rule FROM cr GROUP BY 1), b AS (SELECT cls_final AS cls, count(*)::BIGINT AS n_final FROM cf GROUP BY 1), t AS (SELECT count(*)::BIGINT AS tot FROM r0) SELECT cls, coalesce(a.n_rule, 0)::BIGINT AS n_rule, coalesce(b.n_final, 0)::BIGINT AS n_final, (coalesce(a.n_rule, 0) * 1000000 // t.tot)::BIGINT AS frac_ppm_rule FROM a FULL OUTER JOIN b USING (cls) CROSS JOIN t ORDER BY cls""",
     "q_graph_bfs_multi" ->

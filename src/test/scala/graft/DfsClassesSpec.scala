@@ -134,4 +134,56 @@ class DfsClassesSpec extends SparkSpec {
       assert(got === expect, s"graph #$i: reduction changed the leaf set")
     }
   }
+
+  // ---- forest-ancestor back-edge rule (r14 VERDICT item 5) -------------
+
+  /** Chain 0→1→…→8 plus two deep back-edges. 6→3 targets a depth-3
+    * ancestor; 8→2 targets a depth-6 ancestor but is INVISIBLE in
+    * round 1 (the 6→3 edge gives vertex 3 two in-neighbors, so 8's
+    * certain chain stops below 3) — dropping 6→3 MINTS 3's certain
+    * parent and round 2 reaches 2. The certain-PARENT rule alone
+    * drops NOTHING here (no edge targets its own src's unique
+    * in-neighbor): the fixture where the r13 reduction stalls and
+    * the ancestor rule moves. */
+  private lazy val chainBackEdges =
+    ((0 until 8).map(i => (i.toLong, i + 1L)) ++ Seq((6L, 3L), (8L, 2L)))
+      .toDF("src", "dst")
+
+  test("forest-ancestor rule: finds chain back-edges the parent rule stalls on") {
+    val e = chainBackEdges
+      .where(col("src") =!= col("dst") && col("dst") =!= 0L)
+      .distinct().localCheckpoint(true)
+    // the certain-parent rule is provably stalled on this fixture
+    val uniq = e.groupBy("dst")
+      .agg(count(lit(1)).as("nin"), min(col("src")).as("p"))
+      .where(col("nin") === 1).select(col("dst").as("cv"), col("p"))
+    assert(e.join(uniq, e("src") === col("cv") && e("dst") === col("p")).count() === 0L,
+      "fixture broken: the parent rule is supposed to stall here")
+    // one ancestor pass finds EXACTLY the currently-provable edge
+    val inert1 = Traversals.certainAncestorInert(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inert1 === Set((6L, 3L)),
+      s"round-1 inert set wrong: $inert1 (8→2 must wait for the minted parent)")
+    // the iterated trace: round 1 drops 6→3, round 2 drops the minted
+    // 8→2, round 3 is the fixpoint witness — the MEASURED residual
+    // reduction on a parent-rule-stalled graph (10 live edges → 8)
+    val tr = Traversals.certainReductionTrace(chainBackEdges, 0L, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(tr === Seq((1L, 9L, 1L), (2L, 8L, 1L), (3L, 8L, 0L)))
+  }
+
+  test("dfsLeafResidual with the ancestor pass stays bit-identical to the unreduced replay") {
+    val fixtures = chainBackEdges +:
+      (0 until 6).map { i =>
+        genEdges(140 + i).filter { case (a, b) => a != b && b != 0 }
+          .toSeq.map { case (a, b) => (a.toLong, b.toLong) }.toDF("src", "dst")
+      }
+    fixtures.zipWithIndex.foreach { case (df, i) =>
+      def rows(maxRounds: Int) =
+        Traversals.dfsLeafResidual(df, 0L, maxReduceRounds = maxRounds)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(rows(30) === rows(0),
+        s"fixture #$i: the reduction changed the settled classes")
+    }
+  }
 }
