@@ -380,6 +380,7 @@ object Bench {
     "q_date_spine" -> "family-variant",
     "q_dedup_cluster" -> "family-variant",
     "q_dedup_embed_cluster" -> "family-variant",
+    "q_dedup_families" -> "family-variant",
     "q_embed_knn_join" -> "family-variant",
     "q_events_attribution" -> "family-variant",
     "q_events_hourly" -> "family-variant",

@@ -966,6 +966,25 @@ object PipelineQueries {
         .agg(count(lit(1)).as("sz"), max(col("vertex")).as("max_vec"))
         .orderBy("component")
     }),
+    "q_dedup_families" -> ((s, d) => {
+      // near-dup FAMILY accounting over the MinHash candidate graph —
+      // the text-side sibling of q_dedup_embed_cluster and the keeper
+      // -selection step a production dedup runs after pair generation:
+      // est >= 0.5 pairs from the memoized signature/candidate
+      // artifacts, transitive closure via the distributed
+      // pointer-jumping CC, then per-family size, the cut count the
+      // dedup pass would drop (sz − 1 — keeper = the min doc_id,
+      // which IS the component label), and the family's last doc.
+      val pairs = Dedup.minhashPairs(t(s, d, "documents"), minEst = 0.5,
+          sigOpt = Some(docSignatures(s, d)), candOpt = Some(docCandidates(s, d)))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      graft.operators.Traversals.connectedComponents(pairs)
+        .groupBy("component")
+        .agg(count(lit(1)).as("family_sz"),
+          (count(lit(1)) - lit(1L)).as("n_dropped"),
+          max(col("vertex")).as("max_doc"))
+        .orderBy("component")
+    }),
     "q_dedup_semantic" -> ((s, d) => {
       // SemDeDup (Abbas et al. '23): cluster partition (IVF cells,
       // centroids = vec_ids 1-8 like q_embed_ivf) + within-cluster
@@ -3876,6 +3895,8 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), al AS (SELECT a.vec_id, a.v, a.cid, em.label FROM assigned a JOIN embeddings em ON em.vec_id = a.vec_id), p AS (SELECT b.vec_id AS ib, round(${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})), 4) AS c, (a.label = b.label) AS same FROM al a JOIN al b ON a.cid = b.cid AND a.vec_id < b.vec_id), ts AS (SELECT unnest([0.3, 0.4, 0.5, 0.6]) AS tau), n AS (SELECT count(*)::DOUBLE AS n_total FROM assigned), agg AS (SELECT ts.tau, count(CASE WHEN p.c >= ts.tau THEN 1 END)::BIGINT AS n_pairs, count(CASE WHEN p.c >= ts.tau AND p.same THEN 1 END)::BIGINT AS n_same_label, count(DISTINCT CASE WHEN p.c >= ts.tau THEN p.ib END)::BIGINT AS n_drop FROM ts CROSS JOIN p GROUP BY ts.tau) SELECT agg.tau, agg.n_pairs, agg.n_same_label, agg.n_drop, round(agg.n_drop::DOUBLE / n.n_total, 4) AS drop_rate, CASE WHEN agg.n_pairs = 0 THEN 0.0 ELSE round(agg.n_same_label::DOUBLE / agg.n_pairs::DOUBLE, 4) END AS label_prec FROM agg, n ORDER BY agg.tau""",
     "q_dedup_embed_cluster" ->
       s"""WITH RECURSIVE $embedPairsSql, ed AS (SELECT i AS src, j AS dst FROM pr UNION ALL SELECT j, i FROM pr), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component::BIGINT AS component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_vec FROM cmp GROUP BY component ORDER BY component""",
+    "q_dedup_families" ->
+      s"""WITH RECURSIVE $minhashEstSql, prf AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.5), ed AS (SELECT doc_a AS src, doc_b AS dst FROM prf UNION ALL SELECT doc_b, doc_a FROM prf), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component::BIGINT AS component, count(*)::BIGINT AS family_sz, (count(*) - 1)::BIGINT AS n_dropped, max(vertex)::BIGINT AS max_doc FROM cmp GROUP BY component ORDER BY component""",
     "q_text_repetition" ->
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), tt AS (SELECT doc_id, sum(c)::BIGINT AS n_toks, max(c) AS top_c FROM (SELECT doc_id, tok, count(*) AS c FROM tokr GROUP BY 1, 2) GROUP BY doc_id), sh2 AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS gs FROM toks), bg AS (SELECT doc_id, len(gs) AS n_big, len(list_distinct(gs)) AS n_dist FROM sh2 WHERE len(gs) > 0), j AS (SELECT tt.doc_id, tt.n_toks, round(tt.top_c::DOUBLE / tt.n_toks::DOUBLE, 4) AS top_tok_frac, round(coalesce((bg.n_big - bg.n_dist)::DOUBLE / bg.n_big::DOUBLE, 0.0), 4) AS dup_bigram_frac FROM tt LEFT JOIN bg ON tt.doc_id = bg.doc_id) SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, (CASE WHEN top_tok_frac > 0.2 OR dup_bigram_frac > 0.3 THEN 1 ELSE 0 END)::INT AS flagged FROM j ORDER BY doc_id""",
     "q_range_join" ->

@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
   * the shifted key in the fixture's exact format so er_match blocks
   * stay realistic instead of 10-deep identical-name stacks. */
 object ScaleGen {
+  /** args: [outDir] [srcDir] [keyOffsetPerCopy] [variantTag]
+    * Defaults derive sf1 (10x sf0.1). For sf10, chain: derive sf1
+    * first, then `ScaleGen /tmp/sf10 /tmp/sf1 100000000 w` — the key
+    * offset must clear the SOURCE's whole key range (sf1 keys reach
+    * ~96M, so 100M per copy), and the variant tag keeps the per-copy
+    * text/vector variation from colliding with the tags the source
+    * generation already appended. */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1")
-    val src = "/root/testdata/sf0.1"
+    val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -41,7 +48,9 @@ object ScaleGen {
       println(s"[scalegen] $name -> ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
-    val K = 10000000L // key offset per copy — clears every sf0.1 key range
+    val K = if (args.length > 2) args(2).toLong
+            else 10000000L // key offset per copy — clears every sf0.1 key range
+    val tag = if (args.length > 3) args(3) else "variant"
 
     // dims: unchanged
     Seq("region", "nation", "part", "supplier").foreach { t =>
@@ -71,7 +80,7 @@ object ScaleGen {
     write("documents", copies(docs) { (df, i) =>
       df.withColumn("doc_id", col("doc_id") + lit(i * K))
         .withColumn("text",
-          if (i == 0) col("text") else concat(col("text"), lit(s" variant$i")))
+          if (i == 0) col("text") else concat(col("text"), lit(s" $tag$i")))
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
