@@ -263,7 +263,10 @@ object Bench {
     // r14 wave 3: LSH S-curve audit (measured vs analytic per decile)
     "q_dedup_lsh_curve",
     // r14 wave 5: HHI concentration audit; type-token vocabulary ratio
-    "q_agg_hhi", "q_text_ttr")
+    "q_agg_hhi", "q_text_ttr",
+    // r15 wave: densest-subgraph batched peel on the data-scale
+    // bipartite graph; exact-decimal batch perceptron training
+    "q_graph_densest", "q_embed_perceptron")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -363,4 +363,71 @@ object GraphAlgos {
       .groupBy("vertex")
       .agg(sum(col("out")).cast("long").as("out_degree"),
         sum(col("in")).cast("long").as("in_degree"))
+
+  /** Densest-subgraph greedy peel (Charikar 2000 2-approximation, in
+    * the parallel batched form of Bahmani/Kumar/Vassilvitskii 2012):
+    * each round removes EVERY vertex whose degree is at most c·ρ of
+    * the current subgraph (ρ = E/V, c = 3 here, i.e. ε = 1/2), which
+    * bounds the rounds at O(log_{3/2} V) — the MapReduce-friendly
+    * variant of the strictly sequential min-degree peel. The densest
+    * prefix of the peel trace is a 2(1+ε)-approximation of the true
+    * densest subgraph (the data-mining "find the dense core" op:
+    * spam/link farms, community cores, near-clique mining).
+    *
+    * Everything is integer-exact: the peel test cross-multiplies
+    * (deg·V ≤ 3·E, no float ρ), and the reported density is exact
+    * integer ppm ⌊10⁶·E/V⌋. Per round: one degree hash-agg + two
+    * semi-joins — all equi-shuffles on the vertex key; the per-round
+    * E/V scalars are two count jobs (O(1) driver data, the same
+    * bounded-BSP contract as [[Traversals.kcore]]'s fixpoint check).
+    * Rounds are FIXED so the oracle unrolls identically at any SF.
+    *
+    * Input: canonical undirected (a, b) pinned edge table
+    * ([[canonicalUndirected]] contract; blocks never dropped — a
+    * memoized caller keeps serving them). Output: one row per round
+    * with the subgraph stats BEFORE that round's peel — (round,
+    * n_vertices, n_edges, density_ppm, n_peeled, is_best), is_best
+    * marking the densest observed prefix (earliest round on ties). */
+  def densestPeelCanon(canonical: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"densestPeel needs rounds >= 1, got $rounds")
+    val spark = canonical.sparkSession
+    var und = canonical
+    var owned = false
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    (1 to rounds).foreach { r =>
+      val nE = und.count()
+      val deg = und.select(col("a").as("v")).union(und.select(col("b")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val nV = deg.count()
+      // keep v iff deg(v) > 3·E/V, cross-multiplied exact
+      val kept = deg.where(col("deg") * lit(nV) > lit(3L) * lit(nE))
+        .select("v")
+      val surv = und
+        .join(kept.withColumnRenamed("v", "a"), Seq("a"), "left_semi")
+        .join(kept.withColumnRenamed("v", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+        .localCheckpoint(true)
+      val nKept = surv.select(col("a").as("v")).union(surv.select(col("b")))
+        .distinct().count()
+      val ppm = if (nV > 0) 1000000L * nE / nV else 0L
+      stats += ((r, nV, nE, ppm, nV - nKept))
+      val prev = und
+      Traversals.dropCheckpoint(deg)
+      if (owned)
+        Traversals.dropCheckpoint(prev,
+          keep = Traversals.checkpointRddIds(surv))
+      und = surv
+      owned = true
+    }
+    if (owned) Traversals.dropCheckpoint(und)
+    val best = stats.maxBy(s => (s._4, -s._1))._1
+    import spark.implicits._
+    stats.toSeq
+      .map { case (r, nv, ne, ppm, np) =>
+        (r, nv, ne, ppm, np, if (r == best) 1 else 0) }
+      .toDF("round", "n_vertices", "n_edges", "density_ppm", "n_peeled",
+        "is_best")
+  }
 }

@@ -431,4 +431,66 @@ object Similarity {
         .agg(sum(col("term")).cast("decimal(24,12)").as("mjk"))
     }.reduce(_ union _)
   }
+
+  /** Full-batch perceptron training — the in-engine "fit the linear
+    * quality classifier" op (the train half of the fastText-style
+    * filter whose inference is the broadcast-weights scan). Each
+    * epoch: margins via one `(example, dim)` scan joined with the
+    * broadcast d-row weight vector, misclassification by the exact
+    * sign test y·⟨w,x⟩ ≤ 0, and the batch update w += Σ_miss y·x as a
+    * d-bounded hash agg with map-side combine — the shape a
+    * 1000-executor full-batch fit runs (epochs × one corpus pass; no
+    * per-row sequential dependence, unlike SGD). EXACT decimal
+    * arithmetic end to end: x is DECIMAL(12,6) (caller rounds), w
+    * folds in DECIMAL(20,6), margins in DECIMAL(38,12); the
+    * misclassification test is sign-conditional so the decimal margin
+    * never multiplies an int (either engine would widen past
+    * precision 38). Epochs are FIXED so an oracle unrolls them.
+    *
+    * Input `xr`: (vec_id, y ∈ {−1, 1}, j ∈ 1..dims,
+    * x DECIMAL(12,6)) — one row per (example, dimension). Output: one
+    * row per (epoch, dim) — (epoch, dim, w, err) with w the weight
+    * AFTER that epoch's update (exact 6-dp decimal read out as
+    * double — ≤ 2⁵³ scaled units, so the conversion is exact) and err
+    * that epoch's misclassified count (w₀ = 0 ⇒ err₁ = corpus size,
+    * the standard convention). */
+  def perceptronEpochs(xr: DataFrame, dims: Int, epochs: Int): DataFrame = {
+    require(dims >= 1 && epochs >= 1,
+      s"perceptronEpochs needs dims >= 1 and epochs >= 1 (got dims=$dims, epochs=$epochs)")
+    val s = xr.sparkSession
+    val xc = xr.localCheckpoint(true) // scanned twice per epoch
+    var w = s.range(1, dims + 1).select(col("id").as("j"),
+      lit(0).cast("decimal(20,6)").as("w"))
+    val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val keepIds = scala.collection.mutable.Set.empty[Int]
+    (1 to epochs).foreach { e =>
+      val miss = xc.join(broadcast(w), "j")
+        .groupBy("vec_id")
+        .agg(max(col("y")).as("y"),
+          sum((col("w") * col("x")).cast("decimal(38,12)")).as("mg"))
+        .where((col("y") === 1 && col("mg") <= 0) ||
+               (col("y") === -1 && col("mg") >= 0))
+        .select("vec_id")
+        .localCheckpoint(true) // gradient semi-join + the err count
+      val grad = xc.join(miss, Seq("vec_id"), "left_semi")
+        .groupBy("j")
+        .agg(sum(col("y") * col("x")).cast("decimal(20,6)").as("g"))
+      w = w.join(grad, Seq("j"), "left_outer")
+        .select(col("j"),
+          (col("w") + coalesce(col("g"), lit(0).cast("decimal(20,6)")))
+            .cast("decimal(20,6)").as("w"))
+        .localCheckpoint(true) // next epoch's margins + the output
+      val err = miss.count()
+      Traversals.dropCheckpoint(miss,
+        keep = Traversals.checkpointRddIds(w) ++ Traversals.checkpointRddIds(xc))
+      keepIds ++= Traversals.checkpointRddIds(w)
+      outs += w.select(lit(e).as("epoch"), col("j"), col("w"),
+        lit(err).as("err"))
+    }
+    Traversals.dropCheckpoint(xc, keep = keepIds.toSet)
+    outs.reduce(_ unionByName _)
+      .select(col("epoch").cast("int").as("epoch"),
+        col("j").cast("int").as("dim"),
+        col("w").cast("double").as("w"), col("err").cast("long").as("err"))
+  }
 }

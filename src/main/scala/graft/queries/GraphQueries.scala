@@ -1142,6 +1142,23 @@ object GraphQueries {
              max("deg").cast("long").as("max_deg"))
         .orderBy("bucket")
     }),
+    "q_graph_densest" -> ((s, d) => {
+      // densest-subgraph greedy peel (Charikar 2-approx, Bahmani et
+      // al.'s parallel batched rounds) on the DATA-SCALE bipartite
+      // graph — the "find the dense core" miner (spam/link farms,
+      // community cores). The skewed order–supplier degrees make the
+      // trace non-trivial (sf0.1: 148k vertices → 479 → 12 → ∅ in 3
+      // peels): round 1 drops the ≤3ρ order side and most edges with
+      // it, so the trace PROVES the full graph is its own densest
+      // prefix (ρ≈4.0) — bipartite graphs keep no order-free core,
+      // and the best-round flag reports exactly that. 5 fixed rounds
+      // (unrollable oracle at any SF), peel test cross-multiplied
+      // exact (deg·V ≤ 3·E), density in integer ppm — no float ρ.
+      graft.operators.GraphAlgos.densestPeelCanon(
+        bipartiteEdges(s, d).where(col("src") < col("dst"))
+          .select(col("src").as("a"), col("dst").as("b")),
+        rounds = 5).orderBy("round")
+    }),
     "q_graph_richclub" -> ((s, d) => {
       // rich-club coefficient φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1))
       // (Colizza et al. 2006) — do the high-degree vertices wire to
@@ -1594,6 +1611,26 @@ object GraphQueries {
       """WITH e AS (SELECT a.n_nationkey::BIGINT AS u, b.n_nationkey::BIGINT AS v FROM nation a JOIN nation b ON a.n_nationkey < b.n_nationkey AND (a.n_nationkey + b.n_nationkey) % 4 = 0) SELECT count(*)::BIGINT AS n_triangles FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v""",
     "q_graph_degree_dist" ->
       """WITH e0 AS (SELECT DISTINCT l_orderkey * 2 AS src, l_suppkey * 2 + 1 AS dst FROM lineitem), e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0), deg AS (SELECT src AS vertex, count(*) AS deg FROM e GROUP BY src) SELECT length(format('{:b}', deg))::INT AS bucket, count(*)::BIGINT AS n_vertices, min(deg)::BIGINT AS min_deg, max(deg)::BIGINT AS max_deg FROM deg GROUP BY bucket ORDER BY bucket""",
+    // same canonical bipartite pairs, same 5 unrolled batched-peel
+    // rounds with the cross-multiplied integer threshold deg·V > 3·E,
+    // same ⌊10⁶·E/V⌋ integer density; n_peeled = nv_r − nv_{r+1}
+    // (edge-derived vertex sets — isolation counts as leaving)
+    "q_graph_densest" -> {
+      val rounds = (1 to 5).map { r =>
+        s"m$r AS MATERIALIZED (SELECT count(*)::BIGINT AS ne FROM e${r - 1}), " +
+          s"d$r AS MATERIALIZED (SELECT v, count(*)::BIGINT AS dg FROM (SELECT a AS v FROM e${r - 1} UNION ALL SELECT b FROM e${r - 1}) GROUP BY v), " +
+          s"n$r AS MATERIALIZED (SELECT count(*)::BIGINT AS nv FROM d$r), " +
+          s"k$r AS MATERIALIZED (SELECT v FROM d$r, m$r, n$r WHERE dg * nv > 3 * ne), " +
+          s"e$r AS MATERIALIZED (SELECT e.a, e.b FROM e${r - 1} e JOIN k$r x ON e.a = x.v JOIN k$r y ON e.b = y.v)"
+      }.mkString(", ")
+      val post =
+        "n6 AS (SELECT count(*)::BIGINT AS nv FROM (SELECT DISTINCT v FROM (SELECT a AS v FROM e5 UNION ALL SELECT b FROM e5)))"
+      val rows = (1 to 5).map { r =>
+        val next = if (r == 5) "n6" else s"n${r + 1}"
+        s"SELECT $r::INT AS round, n$r.nv AS n_vertices, m$r.ne AS n_edges, (CASE WHEN n$r.nv > 0 THEN (1000000 * m$r.ne) // n$r.nv ELSE 0 END)::BIGINT AS density_ppm, (n$r.nv - $next.nv)::BIGINT AS n_peeled FROM m$r, n$r, $next"
+      }.mkString(" UNION ALL ")
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT least(l_orderkey * 2, l_suppkey * 2 + 1)::BIGINT AS a, greatest(l_orderkey * 2, l_suppkey * 2 + 1)::BIGINT AS b FROM lineitem), $rounds, $post, st AS ($rows) SELECT round, n_vertices, n_edges, density_ppm, n_peeled, (CASE WHEN row_number() OVER (ORDER BY density_ppm DESC, round) = 1 THEN 1 ELSE 0 END)::INT AS is_best FROM st ORDER BY round"""
+    },
     "q_graph_subtree_sum" ->
       """WITH RECURSIVE n AS (SELECT n_nationkey::BIGINT AS k FROM nation), up AS (SELECT k AS v, k AS a FROM n UNION ALL SELECT v, a // 2 FROM up WHERE a > 0) SELECT a AS vertex, sum(v)::BIGINT AS subtree_sum FROM up GROUP BY a ORDER BY vertex""",
     "q_graph_clustcoef" ->

@@ -1260,6 +1260,29 @@ object PipelineQueries {
             count(lit(1)), 4).as("avg_logit"))
         .orderBy("label")
     }),
+    "q_embed_perceptron" -> ((s, d) => {
+      // linear quality-classifier TRAINING in-engine — the other half
+      // of q_embed_classify's train-offline/score-everything split:
+      // 3 unrolled FULL-BATCH perceptron epochs (w += Σ_misclassified
+      // y·x over the whole corpus per epoch — the batch-gradient scan
+      // shape a 1000-executor fit runs: one corpus pass + one d-row
+      // broadcast per epoch, gradient agg is d-bounded with map-side
+      // combine). EXACT arithmetic end to end (the repo's float rule):
+      // features round(6)→DECIMAL(12,6), weights DECIMAL(20,6),
+      // margins DECIMAL(38,12) — no sigmoid/learning-rate float, the
+      // perceptron's sign test and ±1·x updates are decimal-exact, so
+      // every epoch is bit-reproducible cross-engine. y = ±1 from the
+      // label's parity; margin ≤ 0 counts as misclassified (w₀ = 0 ⇒
+      // epoch-1 updates on ALL rows — the standard convention).
+      val xr = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          when(col("label") % 2 === 0, 1).otherwise(-1).as("y"),
+          posexplode(col("embedding")).as(Seq("j0", "x0")))
+        .select(col("vec_id"), col("y"), (col("j0") + 1).as("j"),
+          round(col("x0").cast("double"), 6).cast("decimal(12,6)").as("x"))
+      Similarity.perceptronEpochs(xr, dims = 64, epochs = 3)
+        .orderBy("epoch", "dim")
+    }),
     "q_embed_norms" -> ((s, d) => {
       // vector-store health readout: per-label norm² distribution —
       // the drift/collapse probe run before any ANN index build (a
@@ -3933,6 +3956,24 @@ object PipelineQueries {
     // covariance cells (the oracle builds the outer product via a
     // vec_id self-join — different plan, identical cells), same six
     // exact-decimal power iterations, same ‖Mv‖/n³ eigenvalue readout
+    // same ±1 parity targets, same round(6)→DECIMAL(12,6) features,
+    // same three unrolled exact-decimal batch epochs (margins
+    // DECIMAL(38,12), sign-conditional misclassification test,
+    // DECIMAL(20,6) weight folds) — no float enters until the final
+    // ::DOUBLE readout of 6-dp decimals (exact in binary)
+    "q_embed_perceptron" -> {
+      val epochs = (1 to 3).map { r =>
+        s"m$r AS MATERIALIZED (SELECT vec_id, max(y) AS y, sum((w * x)::DECIMAL(38,12)) AS mg FROM ex JOIN w${r - 1} USING (j) GROUP BY vec_id), " +
+          s"b$r AS MATERIALIZED (SELECT vec_id FROM m$r WHERE (y = 1 AND mg <= 0) OR (y = -1 AND mg >= 0)), " +
+          s"g$r AS (SELECT j, sum(y * x)::DECIMAL(20,6) AS g FROM ex JOIN b$r USING (vec_id) GROUP BY j), " +
+          s"w$r AS MATERIALIZED (SELECT w${r - 1}.j, (w${r - 1}.w + coalesce(g$r.g, 0))::DECIMAL(20,6) AS w FROM w${r - 1} LEFT JOIN g$r ON w${r - 1}.j = g$r.j), " +
+          s"er$r AS (SELECT count(*)::BIGINT AS err FROM b$r)"
+      }.mkString(", ")
+      val rows = (1 to 3).map { r =>
+        s"SELECT $r::INT AS epoch, j::INT AS dim, w::DOUBLE AS w, (SELECT err FROM er$r) AS err FROM w$r"
+      }.mkString(" UNION ALL ")
+      s"""WITH ex AS MATERIALIZED (SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS y, j, round(va[j], 6)::DECIMAL(12,6) AS x FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), w0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0::DECIMAL(20,6) AS w), $epochs SELECT epoch, dim, w, err FROM ($rows) ORDER BY epoch, dim"""
+    },
     "q_embed_pca" ->
       s"""WITH e AS (SELECT vec_id, j, round(va[j], 6)::DECIMAL(18,6) AS x FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), g AS (SELECT j, sum(x)::DECIMAL(24,6) AS sx, count(*)::DECIMAL(6,0) AS n FROM e GROUP BY j), y AS (SELECT vec_id, e.j, (x * n - sx)::DECIMAL(18,6) AS y FROM e JOIN g ON e.j = g.j), cov AS (SELECT a.j, b.j AS k, sum((a.y::DECIMAL(19,6) * b.y::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS mjk FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DECIMAL(8,6) AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj::DOUBLE AS loading, (SELECT round(nrm / (n * n * n), 6) FROM n6 CROSS JOIN nn) AS eigenvalue FROM v6 ORDER BY dim""",
     // same term-local round(6) components, same decimal-sum means,

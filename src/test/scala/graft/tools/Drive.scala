@@ -13,20 +13,19 @@ object Drive {
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    // count runtime-bloom subqueries in each memo-consuming dedup entry
-    val names = Seq("q_dedup_minhash", "q_dedup_pipeline", "q_dedup_editdist",
-      "q_text_bleu", "q_dedup_minhash_acc", "q_dedup_lsh_curve",
-      "q_multimodal_agree", "q_dedup_ngram", "q_dedup_containment")
-    names.foreach { n =>
-      try {
-        val df = graft.SparkEntry.queries(n)(spark, d)
-        df.collect()
-        val blooms = "might_contain".r
-          .findAllIn(df.queryExecution.executedPlan.toString).size
-        println(s"[drive] $n might_contain=$blooms")
-      } catch { case e: Throwable =>
-        println(s"[drive] $n FAILED ${e.getMessage.take(80)}") }
+    // r15 wave: drive the two new public operators end-to-end at sf0.1
+    // (the gate verifies sf0.001/sf0.01; this is the bigger-data smoke)
+    Seq("q_graph_densest", "q_embed_perceptron").foreach { n =>
+      val t0 = System.nanoTime()
+      val df = graft.SparkEntry.queries(n)(spark, d)
+      df.show(200, truncate = false)
+      println(f"[drive] $n rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
+    // and the operators through their public API directly
+    import spark.implicits._
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    graft.operators.GraphAlgos.densestPeelCanon(tri.localCheckpoint(true), 3)
+      .show(false)
     spark.stop()
   }
 }
