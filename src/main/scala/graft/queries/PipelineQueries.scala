@@ -1493,8 +1493,14 @@ object PipelineQueries {
         .withColumn("score", graft.functions.TextFunctions.qualityScore(col("text")))
         .where(col("score") >= 0.5)
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-      val evalG = broadcast(
-        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
+      // NOT broadcast-hinted (r15): the eval shingle set is O(corpus)
+      // — ~60k types at sf0.1 but ~6M at sf10 — so a forced broadcast
+      // silently breaks the "small dim" premise as data grows; AQE's
+      // stats-based choice broadcasts while it is genuinely small and
+      // shuffles past that (measured: equal at sf0.1, −11% at sf10,
+      // result-identical — CurationScaleProbe)
+      val evalG =
+        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct()
       val contaminated = Dedup.shingleRows(qual.where(!isEval), 3).distinct()
         .join(evalG, "g").select("doc_id").distinct()
       val clean = qual.where(!isEval)
@@ -1531,8 +1537,14 @@ object PipelineQueries {
         .where(col("flagged") === 0).select("doc_id")
       val qual2 = qual.join(okBoiler, "doc_id")
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-      val evalG = broadcast(
-        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
+      // NOT broadcast-hinted (r15): the eval shingle set is O(corpus)
+      // — ~60k types at sf0.1 but ~6M at sf10 — so a forced broadcast
+      // silently breaks the "small dim" premise as data grows; AQE's
+      // stats-based choice broadcasts while it is genuinely small and
+      // shuffles past that (measured: equal at sf0.1, −11% at sf10,
+      // result-identical — CurationScaleProbe)
+      val evalG =
+        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct()
       val contaminated = Dedup.shingleRows(qual2.where(!isEval), 3).distinct()
         .join(evalG, "g").select("doc_id").distinct()
       val clean = qual2.where(!isEval)
@@ -1746,8 +1758,14 @@ object PipelineQueries {
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
       val held = qual.where(!isEval).localCheckpoint(true)
       val nHeld = held.count()
-      val evalG = broadcast(
-        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
+      // NOT broadcast-hinted (r15): the eval shingle set is O(corpus)
+      // — ~60k types at sf0.1 but ~6M at sf10 — so a forced broadcast
+      // silently breaks the "small dim" premise as data grows; AQE's
+      // stats-based choice broadcasts while it is genuinely small and
+      // shuffles past that (measured: equal at sf0.1, −11% at sf10,
+      // result-identical — CurationScaleProbe)
+      val evalG =
+        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct()
       val contaminated = Dedup.shingleRows(held, 3).distinct()
         .join(evalG, "g").select("doc_id").distinct()
       val clean = held.join(contaminated, Seq("doc_id"), "left_anti")
@@ -2563,12 +2581,19 @@ object PipelineQueries {
       // A train doc is contaminated if it shares any token 3-gram
       // with any eval doc. The eval shingle set is tiny relative to
       // the corpus — exactly the real-world shape — so it broadcasts
-      // and the train side streams through a broadcast semi-probe;
-      // no shuffle of the 100 TB side beyond the per-doc hit count
+      // and the train side probes it with AQE picking the strategy
+      // (broadcast while the eval set is small); the only shuffle of
+      // the 100 TB side past that is the per-doc hit count agg
       val docs = t(s, d, "documents")
       val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
-      val evalG = broadcast(
-        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct())
+      // NOT broadcast-hinted (r15): the eval shingle set is O(corpus)
+      // — ~60k types at sf0.1 but ~6M at sf10 — so a forced broadcast
+      // silently breaks the "small dim" premise as data grows; AQE's
+      // stats-based choice broadcasts while it is genuinely small and
+      // shuffles past that (measured: equal at sf0.1, −11% at sf10,
+      // result-identical — CurationScaleProbe)
+      val evalG =
+        Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct()
       Dedup.shingleRows(docs.where(!isEval), 3).distinct()
         .join(evalG, "g")
         .groupBy("doc_id")
