@@ -266,7 +266,10 @@ object Bench {
     "q_agg_hhi", "q_text_ttr",
     // r15 wave: densest-subgraph batched peel on the data-scale
     // bipartite graph; exact-decimal batch perceptron training
-    "q_graph_densest", "q_embed_perceptron")
+    "q_graph_densest", "q_embed_perceptron",
+    // r15 wave 2: content-defined chunking dedup (per-position window
+    // hash); cell-bounded hard-negative mining
+    "q_dedup_cdc", "q_embed_hardneg")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -951,6 +951,36 @@ object PipelineQueries {
           count(lit(1)).as("n_occ"), min(col("doc_id")).as("keeper"))
         .where(col("n_docs") >= 2)
         .orderBy("span")),
+    "q_dedup_cdc" -> ((s, d) => {
+      // CONTENT-DEFINED chunking dedup (LBFS, Muthitacharoen et al.
+      // 2001 — the rsync/backup-store primitive): chunk boundaries
+      // come from the CONTENT (position i opens a chunk iff the hash
+      // of the 8-char window at i lands in a 1/64 target band), so a
+      // one-character insertion shifts ONE chunk instead of every
+      // downstream fixed-width window — the shift-resilient span
+      // dedup q_dedup_substring's token windows can't give for byte
+      // payloads. All-SQL, no explode of characters: the boundary
+      // list is a filter over sequence(1, len−7) evaluated inside
+      // codegen, chunks are a transform over it, then one hash agg on
+      // the chunk digest — candidate volume tracks TRUE duplication
+      // (shared chunks), output-bounded at 100 TB exactly like the
+      // span pass. Avg chunk ≈ 64 chars (band '00'–'03' of the first
+      // two md5 hex digits).
+      t(s, d, "documents")
+        .withColumn("bs", expr(
+          "filter(sequence(1, greatest(length(text) - 7, 1)), " +
+            "i -> i = 1 OR substring(md5(substring(text, i, 8)), 1, 2) <= '03')"))
+        .select(col("doc_id"), explode(expr(
+          "transform(bs, (b, k) -> substring(text, b, " +
+            "coalesce(try_element_at(bs, k + 2), length(text) + 1) - b))")).as("c"))
+        .groupBy(md5(col("c")).as("chunk_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          max(length(col("c"))).cast("long").as("chunk_chars"),
+          min(col("doc_id")).as("keeper"))
+        .where(col("n_docs") >= 2)
+        .orderBy("chunk_hash")
+    }),
     "q_dedup_embed" -> ((s, d) =>
       embedLshPairs(s, d, minCos = 0.4).orderBy("i", "j")),
     "q_dedup_embed_cluster" -> ((s, d) => {
@@ -984,6 +1014,39 @@ object PipelineQueries {
           (count(lit(1)) - lit(1L)).as("n_dropped"),
           max(col("vertex")).as("max_doc"))
         .orderBy("component")
+    }),
+    "q_embed_hardneg" -> ((s, d) => {
+      // HARD-NEGATIVE mining — the contrastive-training data op
+      // (DPR/SimCSE/E5 all train on them): for each anchor, the most
+      // similar vectors with a DIFFERENT label are exactly the
+      // negatives that teach the boundary. Same IVF cell partition as
+      // SemDeDup (centroids = vec_ids 1-8), so the quadratic is
+      // cluster-scoped and k is the scale lever; candidates never
+      // leave their cell, ranking is a per-anchor window over the
+      // cell-bounded pair set, top-3 per anchor. round(4) cosine with
+      // the neg-id tiebreak keeps the cut deterministic cross-engine.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val asg = Similarity.assignCells(e, cents)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .localCheckpoint(true) // both sides of the cell pair join
+      val pairs = asg
+        .select(col("cid"), col("vec_id").as("anchor"), col("v").as("va"),
+          col("label").as("la"))
+        .join(asg.select(col("cid"), col("vec_id").as("neg"),
+          col("v").as("vb"), col("label").as("lb")), "cid")
+        .where(col("anchor") =!= col("neg") && col("la") =!= col("lb"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor")).orderBy(col("cos").desc, col("neg"))
+      pairs
+        .select(col("anchor"), col("neg"),
+          round(expr("cosine_sim(va, vb)"), 4).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .orderBy("anchor", "rk")
     }),
     "q_dedup_semantic" -> ((s, d) => {
       // SemDeDup (Abbas et al. '23): cluster partition (IVF cells,
@@ -3728,6 +3791,13 @@ object PipelineQueries {
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), freq AS (SELECT tok, count(*) AS cnt FROM tokr GROUP BY tok), tot AS (SELECT sum(cnt)::DOUBLE AS n FROM freq), sc AS (SELECT doc_id, round(-ln(cnt::DOUBLE / n), 6) AS nll FROM tokr JOIN freq USING (tok) CROSS JOIN tot) SELECT doc_id, round(sum(nll::DECIMAL(38,18))::DOUBLE / count(*), 4) AS lm_nll FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_substring" ->
       s"""WITH $toksSql, sh20 AS (SELECT doc_id, CASE WHEN len(tk) < 20 THEN [] ELSE list_transform(range(1, len(tk) - 18), i -> array_to_string(tk[i:i+19], ' ')) END AS gs FROM toks), spans AS (SELECT doc_id, md5(unnest(gs)) AS span FROM sh20) SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ, min(doc_id)::BIGINT AS keeper FROM spans GROUP BY span HAVING count(DISTINCT doc_id) >= 2 ORDER BY span""",
+    // same 8-char-window boundary rule (md5 first two hex digits in
+    // '00'..'03', position 1 always opens), same next-boundary chunk
+    // slicing (DuckDB's index lambda is 1-based where Spark's is
+    // 0-based — bs[i+1] here IS element_at(bs, k+2) there), same
+    // digest census
+    "q_dedup_cdc" ->
+      """WITH b AS (SELECT doc_id, text, list_filter(range(1, greatest(length(text) - 7, 1) + 1), i -> i = 1 OR substr(md5(substr(text, i, 8)), 1, 2) <= '03') AS bs FROM documents), ch AS (SELECT doc_id, unnest(list_transform(bs, (x, i) -> substr(text, x, coalesce(bs[i + 1], length(text) + 1) - x))) AS c FROM b) SELECT md5(c) AS chunk_hash, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ, max(length(c))::BIGINT AS chunk_chars, min(doc_id)::BIGINT AS keeper FROM ch GROUP BY md5(c) HAVING count(DISTINCT doc_id) >= 2 ORDER BY chunk_hash""",
     "q_text_vocab" ->
       s"""WITH $toksSql, u AS (SELECT unnest(tk) AS w FROM toks), tc AS (SELECT w, count(*) AS c FROM u GROUP BY w) SELECT length(format('{:b}', c))::INT AS bucket, count(*)::BIGINT AS n_terms, sum(c)::BIGINT AS n_tokens FROM tc GROUP BY bucket ORDER BY bucket""",
     // same top-200 by (count desc, term), same round-after-ln into
@@ -3941,6 +4011,11 @@ object PipelineQueries {
     // labels joined in, one aggregate row per tau of the sweep
     "q_dedup_semantic_acc" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), al AS (SELECT a.vec_id, a.v, a.cid, em.label FROM assigned a JOIN embeddings em ON em.vec_id = a.vec_id), p AS (SELECT b.vec_id AS ib, round(${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})), 4) AS c, (a.label = b.label) AS same FROM al a JOIN al b ON a.cid = b.cid AND a.vec_id < b.vec_id), ts AS (SELECT unnest([0.3, 0.4, 0.5, 0.6]) AS tau), n AS (SELECT count(*)::DOUBLE AS n_total FROM assigned), agg AS (SELECT ts.tau, count(CASE WHEN p.c >= ts.tau THEN 1 END)::BIGINT AS n_pairs, count(CASE WHEN p.c >= ts.tau AND p.same THEN 1 END)::BIGINT AS n_same_label, count(DISTINCT CASE WHEN p.c >= ts.tau THEN p.ib END)::BIGINT AS n_drop FROM ts CROSS JOIN p GROUP BY ts.tau) SELECT agg.tau, agg.n_pairs, agg.n_same_label, agg.n_drop, round(agg.n_drop::DOUBLE / n.n_total, 4) AS drop_rate, CASE WHEN agg.n_pairs = 0 THEN 0.0 ELSE round(agg.n_same_label::DOUBLE / agg.n_pairs::DOUBLE, 4) END AS label_prec FROM agg, n ORDER BY agg.tau""",
+    // same cell assignment + labels as q_dedup_semantic_acc, pairs
+    // directed per anchor (vec_id <> vec_id, label <> label), same
+    // round(4) cosine, same (cos desc, neg) rank cut at 3
+    "q_embed_hardneg" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), al AS (SELECT a.vec_id, a.v, a.cid, em.label FROM assigned a JOIN embeddings em ON em.vec_id = a.vec_id), p AS (SELECT a.vec_id AS anchor, b.vec_id AS neg, round(${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})), 4) AS cos FROM al a JOIN al b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.label <> b.label), rk AS (SELECT anchor, neg, cos, row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg)::INT AS rk FROM p) SELECT anchor, neg, cos, rk FROM rk WHERE rk <= 3 ORDER BY anchor, rk""",
     "q_dedup_embed_cluster" ->
       s"""WITH RECURSIVE $embedPairsSql, ed AS (SELECT i AS src, j AS dst FROM pr UNION ALL SELECT j, i FROM pr), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component::BIGINT AS component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_vec FROM cmp GROUP BY component ORDER BY component""",
     "q_dedup_families" ->

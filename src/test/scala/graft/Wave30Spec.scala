@@ -121,6 +121,39 @@ class Wave30Spec extends SparkSpec {
     assert(w2(1) == 8.0 && w2(2) == 0.0)
   }
 
+  /** The engine's CDC chunking expressions, applied to a 1-doc frame. */
+  private def cdcChunks(text: String): Seq[String] =
+    Seq((1L, text)).toDF("doc_id", "text")
+      .withColumn("bs", expr(
+        "filter(sequence(1, greatest(length(text) - 7, 1)), " +
+          "i -> i = 1 OR substring(md5(substring(text, i, 8)), 1, 2) <= '03')"))
+      .select(explode(expr(
+        "transform(bs, (b, k) -> substring(text, b, " +
+          "coalesce(try_element_at(bs, k + 2), length(text) + 1) - b))")).as("c"))
+      .as[String].collect().toSeq
+
+  test("CDC chunking is shift-resilient: a 1-char insertion disturbs O(1) chunks") {
+    val rnd = new Random(64)
+    val s0 = (1 to 2000).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val c0 = cdcChunks(s0)
+    val c1 = cdcChunks("X" + s0)
+    // chunks rebuild the text exactly, in order
+    assert(c0.mkString === s0)
+    assert(c1.mkString === "X" + s0)
+    assert(c0.size > 10, s"fixture too short to test (got ${c0.size} chunks)")
+    // every window of s0 at position i reappears in X+s0 at i+1, so
+    // every boundary except (possibly) the forced first survives the
+    // shift: all but the first chunk of s0 must reappear verbatim
+    val shared = c0.tail.toSet intersect c1.toSet
+    assert(shared.size >= c0.size - 1,
+      s"insertion disturbed ${c0.size - shared.size} of ${c0.size} chunks")
+    // the CONTRAST that motivates CDC: fixed-width 64-char windows all
+    // shift — zero survive the same insertion
+    val f0 = s0.grouped(64).toSet
+    val f1 = ("X" + s0).grouped(64).toSet
+    assert((f0 intersect f1).size <= 1)
+  }
+
   test("perceptron matches the exact-decimal in-memory reference on random data") {
     val rnd = new Random(30)
     val dims = 5
