@@ -413,7 +413,16 @@ object Similarity {
     * bit-identical), so callers choose blockDim freely:
     * blockDim = d (default cap 64) reproduces the single-pass r13
     * plan at fixture widths, and max(1, 65536/d) keeps state ≤ ~65k
-    * cells at any modern embedding width. */
+    * cells at any modern embedding width.
+    *
+    * Capacity envelope (r15, MEASURED): cells are n³-scaled (y =
+    * n·x − Σx), so |mjk| ≈ n³·cov — Decimal(24,12) holds 10¹², which
+    * these covariances cross at n ≈ 10⁵ rows (sf10's 200 k vectors
+    * overflow LOUDLY under ANSI; sf1's 8·10¹⁰ fit). The n³ scaling
+    * is the price of a division-free bit-exact oracle; past the
+    * ceiling, estimate the covariance on a uniform sample (it is an
+    * expectation — any caller-side filter works) or accept float
+    * accumulation and lose oracle-exactness. */
   def scaledCovarianceBlocked(yArr: DataFrame, d: Int,
                               blockDim: Int = 64): DataFrame = {
     require(d >= 1 && blockDim >= 1,
