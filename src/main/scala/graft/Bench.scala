@@ -269,7 +269,10 @@ object Bench {
     "q_graph_densest", "q_embed_perceptron",
     // r15 wave 2: content-defined chunking dedup (per-position window
     // hash); cell-bounded hard-negative mining
-    "q_dedup_cdc", "q_embed_hardneg")
+    "q_dedup_cdc", "q_embed_hardneg",
+    // r15 wave 3: join-key skew census (the salt-decision readout);
+    // deterministic training-order shuffle + mixture-balance audit
+    "q_profile_skew", "q_mix_shuffle")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

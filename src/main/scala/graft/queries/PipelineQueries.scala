@@ -2425,6 +2425,42 @@ object PipelineQueries {
         .select(col("doc_id"), col("score"))
         .orderBy("doc_id")
     }),
+    "q_mix_shuffle" -> ((s, d) => {
+      // deterministic TRAINING-ORDER shuffle + mixture-balance audit:
+      // training data must be read in a decorrelated order (curated
+      // corpora arrive source- and time-clustered; a sequential read
+      // feeds the model long runs of one domain), so the standard move
+      // is hash-resharding — shard = md5(doc_id) mod 16 — which is
+      // reproducible, seekable, and needs no global sort. The audit
+      // PROVES the property the shuffle is for: per shard, the worst
+      // per-language deviation from the global mixture, as the exact
+      // cross-multiplied integer |n_sl·N − n_l·N_s| (zero would be a
+      // perfectly proportional shard; hash placement keeps it near
+      // the binomial band). A full shard×lang spine (16 × |langs|
+      // broadcast rows) makes missing languages count at full weight.
+      // Two hash aggs over one scan; every join side is tiny.
+      val sh = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"))
+        .withColumn("shard",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10) % 16)
+            .cast("int"))
+      val sl = sh.groupBy("shard", "lang").agg(count(lit(1)).as("nsl"))
+      val lt = sh.groupBy("lang").agg(count(lit(1)).as("nl"))
+      val st = sh.groupBy("shard").agg(count(lit(1)).as("ns"))
+      val nTot = sh.agg(count(lit(1)).as("nn"))
+      val spine = st.crossJoin(broadcast(lt)).crossJoin(broadcast(nTot))
+      val dev = spine
+        .join(sl, Seq("shard", "lang"), "left_outer")
+        .select(col("shard"), col("lang"), col("ns"),
+          abs(coalesce(col("nsl"), lit(0L)) * col("nn") -
+            col("nl") * col("ns")).as("dev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("dev").desc, col("lang"))
+      dev.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+        .select(col("shard"), col("ns").cast("long").as("n_docs"),
+          col("dev").cast("long").as("max_dev"), col("lang").as("dev_lang"))
+        .orderBy("shard")
+    }),
     "q_mix_temperature" -> ((s, d) => {
       // temperature-scaled language sampling (α = 0.7, the mT5/XLM-R
       // rule): sampling share q_i ∝ p_i^α flattens the head languages
@@ -3939,6 +3975,11 @@ object PipelineQueries {
     // the survivor set only
     "q_pipeline_curation2" ->
       s"""WITH $qualityScoreSql, $shinglesSql, keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)), q AS (SELECT d.doc_id, d.lang, d.text, s.score FROM documents d JOIN keep k ON d.doc_id = k.doc_id JOIN qscore s ON s.doc_id = d.doc_id WHERE s.score >= 0.5), bg AS (SELECT doc_id, md5(unnest(gs)) AS h FROM sh), dfq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM bg GROUP BY h), bst AS (SELECT bg.doc_id, count(*) AS n_sh, sum(CASE WHEN dfq.nd >= 3 THEN 1 ELSE 0 END) AS n_boiler FROM bg JOIN dfq ON bg.h = dfq.h GROUP BY bg.doc_id), okb AS (SELECT d.doc_id FROM documents d LEFT JOIN bst ON d.doc_id = bst.doc_id WHERE CASE WHEN round(coalesce(bst.n_boiler / bst.n_sh, 0.0), 4) > 0.5 THEN 1 ELSE 0 END = 0), q2 AS (SELECT q.* FROM q JOIN okb USING (doc_id)), shr AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, unnest(gs) AS g FROM sh)), ev AS (SELECT DISTINCT g FROM shr WHERE substr(md5(doc_id::VARCHAR), 1, 1) = '0'), cont AS (SELECT DISTINCT s.doc_id FROM shr s JOIN ev USING (g) JOIN q2 ON q2.doc_id = s.doc_id WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) <> '0'), cl AS (SELECT q2.doc_id, q2.lang, q2.text, q2.score FROM q2 WHERE substr(md5(q2.doc_id::VARCHAR), 1, 1) <> '0' AND q2.doc_id NOT IN (SELECT doc_id FROM cont)), wtc AS (SELECT cl.doc_id, cl.lang, cl.score, len(t.tk)::BIGINT AS tc, octet_length(encode(cl.text))::BIGINT AS nb FROM cl JOIN toks t ON cl.doc_id = t.doc_id), bud AS (SELECT *, coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM wtc), adm AS (SELECT * FROM bud WHERE before < 5000), shd AS (SELECT *, coalesce(sum(nb) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb FROM adm) SELECT lang, count(*)::BIGINT AS n_kept, sum(tc)::BIGINT AS n_toks, count(DISTINCT cb // 16384)::BIGINT AS n_shards, min(doc_id)::BIGINT AS first_doc, round(sum(score::DECIMAL(38,18))::DOUBLE / count(*), 4) AS mean_score FROM shd GROUP BY lang ORDER BY lang""",
+    // same md5-mod-16 shard assignment, same full shard×lang spine,
+    // same cross-multiplied |n_sl·N − n_l·N_s| integer deviation,
+    // same (dev desc, lang) argmax
+    "q_mix_shuffle" ->
+      """WITH sh AS (SELECT doc_id, lang, (('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 16)::INT AS shard FROM documents), sl AS (SELECT shard, lang, count(*)::BIGINT AS nsl FROM sh GROUP BY shard, lang), lt AS (SELECT lang, count(*)::BIGINT AS nl FROM sh GROUP BY lang), st AS (SELECT shard, count(*)::BIGINT AS ns FROM sh GROUP BY shard), nn AS (SELECT count(*)::BIGINT AS nn FROM sh), dev AS (SELECT st.shard, lt.lang, st.ns, abs(coalesce(sl.nsl, 0) * nn.nn - lt.nl * st.ns)::BIGINT AS dev FROM st CROSS JOIN lt CROSS JOIN nn LEFT JOIN sl ON sl.shard = st.shard AND sl.lang = lt.lang), rk AS (SELECT shard, ns, dev, lang, row_number() OVER (PARTITION BY shard ORDER BY dev DESC, lang) AS rk FROM dev) SELECT shard, ns AS n_docs, dev AS max_dev, lang AS dev_lang FROM rk WHERE rk = 1 ORDER BY shard""",
     "q_mix_temperature" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, n_docs / (SELECT sum(n_docs)::DOUBLE FROM g) AS p FROM g), q AS (SELECT lang, n_docs, p, round(pow(p, 0.7), 6)::DECIMAL(18,6) AS q0 FROM t) SELECT lang, n_docs, round(p, 4) AS p, round(q0::DOUBLE / (SELECT sum(q0) FROM q)::DOUBLE, 4) AS rate FROM q ORDER BY lang""",
     // same NLL terms (round 6 then decimal sum), same exact-sum means,

@@ -966,6 +966,30 @@ object RelationalQueries {
           sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_intervals"))
         .orderBy("event_type")
     }),
+    "q_profile_skew" -> ((s, d) => {
+      // JOIN-KEY skew census — the "should this join be salted"
+      // decision input the adaptive-salting machinery consumes, as a
+      // first-class readout: per-key counts of the natural join key
+      // (o_custkey), log2-bucketed like q_graph_degree_dist (the
+      // 100 TB skew fingerprint is ≤64 rows at any scale), plus the
+      // global skew ratio max_cnt/avg_cnt in exact integer ppm
+      // (cross-multiplied: max·K·10⁶ DIV N — no float division). Two
+      // hash aggs over one scan + one broadcast 1-row scalar.
+      val c = t(s, d, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("cnt"))
+      val g = c.agg(count(lit(1)).as("kk"), sum("cnt").as("n"),
+        max("cnt").as("mx"))
+      c.groupBy(length(bin(col("cnt"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum("cnt").cast("long").as("n_rows"),
+          min("cnt").cast("long").as("min_cnt"),
+          max("cnt").cast("long").as("max_cnt"))
+        .crossJoin(broadcast(g))
+        .select(col("bucket"), col("n_keys"), col("n_rows"),
+          col("min_cnt"), col("max_cnt"),
+          expr("mx * kk * 1000000 DIV n").cast("long").as("skew_ppm"))
+        .orderBy("bucket")
+    }),
     "q_profile_table" -> ((s, d) => {
       // One-scan table profiling (the `DESCRIBE`/data-catalog
       // statistics primitive): per column — null count, exact distinct
@@ -3762,6 +3786,10 @@ object RelationalQueries {
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr0, epoch_us(ts)::BIGINT AS tus, event_id, value FROM events WHERE value IS NOT NULL), r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hr0 ORDER BY tus, event_id) AS rf, row_number() OVER (PARTITION BY event_type, hr0 ORDER BY tus DESC, event_id DESC) AS rl FROM e) SELECT event_type, strftime(hr0, '%Y-%m-%d %H:%M:%S') AS hr, max(CASE WHEN rf = 1 THEN value END) AS open, max(value) AS high, min(value) AS low, max(CASE WHEN rl = 1 THEN value END) AS close, count(*)::BIGINT AS volume, round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS turnover FROM r GROUP BY event_type, hr0 ORDER BY event_type, hr""",
     "q_events_concurrency" ->
       """WITH b AS (SELECT event_type, epoch_us(ts)::BIGINT AS t, 1 AS delta FROM events UNION ALL SELECT event_type, epoch_us(ts)::BIGINT + 300000000, -1 FROM events), c AS (SELECT event_type, t, delta, sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b), p AS (SELECT *, max(conc) OVER (PARTITION BY event_type) AS peak FROM c) SELECT event_type, max(conc)::BIGINT AS peak, min(CASE WHEN conc = peak THEN t END)::BIGINT AS first_peak_us, sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intervals FROM p GROUP BY event_type ORDER BY event_type""",
+    // same per-key counts, same bit-length buckets, same
+    // cross-multiplied max·K·10⁶ // N integer skew ratio
+    "q_profile_skew" ->
+      """WITH c AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY o_custkey), g AS (SELECT count(*)::BIGINT AS kk, sum(cnt)::BIGINT AS n, max(cnt)::BIGINT AS mx FROM c) SELECT length(format('{:b}', cnt))::INT AS bucket, count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows, min(cnt)::BIGINT AS min_cnt, max(cnt)::BIGINT AS max_cnt, (SELECT mx * kk * 1000000 // n FROM g)::BIGINT AS skew_ppm FROM c GROUP BY bucket ORDER BY bucket""",
     "q_profile_table" ->
       """WITH s AS (SELECT count(*) FILTER (WHERE o_orderkey IS NULL)::BIGINT AS nn_orderkey, count(DISTINCT o_orderkey)::BIGINT AS nd_orderkey, min(o_orderkey)::DOUBLE AS mn_orderkey, max(o_orderkey)::DOUBLE AS mx_orderkey, count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS nn_custkey, count(DISTINCT o_custkey)::BIGINT AS nd_custkey, min(o_custkey)::DOUBLE AS mn_custkey, max(o_custkey)::DOUBLE AS mx_custkey, count(*) FILTER (WHERE o_orderstatus IS NULL)::BIGINT AS nn_orderstatus, count(DISTINCT o_orderstatus)::BIGINT AS nd_orderstatus, count(*) FILTER (WHERE o_totalprice IS NULL)::BIGINT AS nn_totalprice, count(DISTINCT o_totalprice)::BIGINT AS nd_totalprice, min(o_totalprice) AS mn_totalprice, max(o_totalprice) AS mx_totalprice, count(*) FILTER (WHERE o_orderdate IS NULL)::BIGINT AS nn_orderdate, count(DISTINCT o_orderdate)::BIGINT AS nd_orderdate, epoch_us(min(o_orderdate))::DOUBLE AS mn_orderdate, epoch_us(max(o_orderdate))::DOUBLE AS mx_orderdate, count(*) FILTER (WHERE o_orderpriority IS NULL)::BIGINT AS nn_orderpriority, count(DISTINCT o_orderpriority)::BIGINT AS nd_orderpriority FROM orders) SELECT col_name, n_null, n_distinct, min_v, max_v FROM (SELECT 'orderkey' AS col_name, nn_orderkey AS n_null, nd_orderkey AS n_distinct, mn_orderkey AS min_v, mx_orderkey AS max_v FROM s UNION ALL SELECT 'custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey FROM s UNION ALL SELECT 'orderstatus', nn_orderstatus, nd_orderstatus, NULL, NULL FROM s UNION ALL SELECT 'totalprice', nn_totalprice, nd_totalprice, mn_totalprice, mx_totalprice FROM s UNION ALL SELECT 'orderdate', nn_orderdate, nd_orderdate, mn_orderdate, mx_orderdate FROM s UNION ALL SELECT 'orderpriority', nn_orderpriority, nd_orderpriority, NULL, NULL FROM s) ORDER BY col_name""",
     "q_events_anomaly" ->
