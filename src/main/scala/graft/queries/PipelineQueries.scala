@@ -239,7 +239,15 @@ object PipelineQueries {
     // 4 bands × 8 planes with OR-amplification: a single 8-bit bucket
     // misses ~31% of cosine-0.99 pairs (one flipped sign bit splits
     // the bucket); any-band collision recovers them the same way
-    // MinHash banding does. ONE pin (repo self-join rule), on the
+    // MinHash banding does. GEOMETRY IS THE SCALE KNOB (r15,
+    // measured): at fixed 256 buckets/band the candidate volume
+    // Σ C(n_b,2) is quadratic in per-bucket density — 453M pairs at
+    // 200k vectors (sf10), whose vector-carrying rescore shuffle
+    // exceeds any sane spill budget; planesPerBand ≈
+    // log2(corpus/targetBucket) returns it to ~linear (12 planes →
+    // 45M candidates, 10.1× less; LshScaleProbe). The gate pins 8
+    // because the candidate set IS this entry's oracle semantics at
+    // fixture SFs. ONE pin (repo self-join rule), on the
     // NARROW (vec_id, band_id, bucket) band table: its 32-dot_fold
     // projection feeds both sides of the self-join (measured: pinned
     // 1.53 s vs unpinned 2.44 s at sf0.1 — ReuseExchange does NOT
