@@ -471,7 +471,6 @@ object Similarity {
     var w = s.range(1, dims + 1).select(col("id").as("j"),
       lit(0).cast("decimal(20,6)").as("w"))
     val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    val keepIds = scala.collection.mutable.Set.empty[Int]
     (1 to epochs).foreach { e =>
       val miss = xc.join(broadcast(w), "j")
         .groupBy("vec_id")
@@ -490,13 +489,14 @@ object Similarity {
             .cast("decimal(20,6)").as("w"))
         .localCheckpoint(true) // next epoch's margins + the output
       val err = miss.count()
-      Traversals.dropCheckpoint(miss,
-        keep = Traversals.checkpointRddIds(w) ++ Traversals.checkpointRddIds(xc))
-      keepIds ++= Traversals.checkpointRddIds(w)
+      // each dropped frame holds exactly its own checkpoint blocks
+      // (w and xc are separate eager checkpoints), so plain drops —
+      // every epoch's w is intentionally retained for the output
+      Traversals.dropCheckpoint(miss)
       outs += w.select(lit(e).as("epoch"), col("j"), col("w"),
         lit(err).as("err"))
     }
-    Traversals.dropCheckpoint(xc, keep = keepIds.toSet)
+    Traversals.dropCheckpoint(xc)
     outs.reduce(_ unionByName _)
       .select(col("epoch").cast("int").as("epoch"),
         col("j").cast("int").as("dim"),

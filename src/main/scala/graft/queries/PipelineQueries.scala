@@ -2446,16 +2446,22 @@ object PipelineQueries {
       // perfectly proportional shard; hash placement keeps it near
       // the binomial band). A full shard×lang spine (16 × |langs|
       // broadcast rows) makes missing languages count at full weight.
-      // Two hash aggs over one scan; every join side is tiny.
+      // ONE corpus scan: the marginals lt/st/nn are derived from the
+      // pinned ≤16×|langs| sl table, not re-aggregated from the scan.
+      // Capacity envelope: n_l·n_s ≤ N²/16, so Long holds the
+      // cross-product up to N ≈ 1.2·10¹⁰ docs — past that the two
+      // products need one decimal(38,0) cast (loud ANSI refusal
+      // before then, the pca-envelope convention).
       val sh = t(s, d, "documents")
         .select(col("doc_id"), col("lang"))
         .withColumn("shard",
           (conv(substring(md5(col("doc_id").cast("string")), 1, 6), 16, 10) % 16)
             .cast("int"))
       val sl = sh.groupBy("shard", "lang").agg(count(lit(1)).as("nsl"))
-      val lt = sh.groupBy("lang").agg(count(lit(1)).as("nl"))
-      val st = sh.groupBy("shard").agg(count(lit(1)).as("ns"))
-      val nTot = sh.agg(count(lit(1)).as("nn"))
+        .localCheckpoint(true) // the three marginals + the dev join
+      val lt = sl.groupBy("lang").agg(sum("nsl").cast("long").as("nl"))
+      val st = sl.groupBy("shard").agg(sum("nsl").cast("long").as("ns"))
+      val nTot = sl.agg(sum("nsl").cast("long").as("nn"))
       val spine = st.crossJoin(broadcast(lt)).crossJoin(broadcast(nTot))
       val dev = spine
         .join(sl, Seq("shard", "lang"), "left_outer")
