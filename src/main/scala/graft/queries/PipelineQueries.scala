@@ -107,14 +107,21 @@ object PipelineQueries {
     * the pre-materialization size ESTIMATE (a join in the build plan
     * → a multi-GB guess for a ~1 MB artifact — see [[corpusBandIdx]]),
     * while a file-backed scan reports real bytes, so consumers get
-    * static broadcast joins and skip runtime-filter subqueries. */
+    * static broadcast joins and skip runtime-filter subqueries.
+    * The documents FINGERPRINT is folded into the staging key (r15
+    * review): [[memoTable]] invalidates when the fixture under the
+    * same path is regenerated mid-session, and the staged artifacts
+    * must keep that contract — a stale corpus index probed by fresh
+    * batch signatures would silently diverge from the oracle. */
   private def stagedTable(s: SparkSession, d: String, tag: String)
-                         (build: => DataFrame): DataFrame =
-    Staging.bucketedTable(s, d, tag) { (name, dir) =>
+                         (build: => DataFrame): DataFrame = {
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(d, "documents"))
+    Staging.bucketedTable(s, d, s"${tag}_$fp") { (name, dir) =>
       build.write.format("parquet").mode("overwrite")
         .option("path", dir.resolve("t").toString)
         .saveAsTable(name)
     }
+  }
 
   /** LSH-bucketed embedding near-dup pairs (i, j, cos >= minCos):
     * candidates from random-hyperplane buckets ([[Similarity.lshBuckets]],
@@ -1006,20 +1013,26 @@ object PipelineQueries {
     }),
     "q_dedup_families" -> ((s, d) => {
       // near-dup FAMILY accounting over the MinHash candidate graph —
-      // the text-side sibling of q_dedup_embed_cluster and the keeper
-      // -selection step a production dedup runs after pair generation:
-      // est >= 0.5 pairs from the memoized signature/candidate
+      // what q_dedup_cluster's census does NOT tell you: the BYTE
+      // bill. est >= 0.5 pairs from the memoized signature/candidate
       // artifacts, transitive closure via the distributed
-      // pointer-jumping CC, then per-family size, the cut count the
-      // dedup pass would drop (sz − 1 — keeper = the min doc_id,
-      // which IS the component label), and the family's last doc.
+      // pointer-jumping CC, then per family the drop count (sz − 1 —
+      // keeper = the min doc_id, which IS the component label) and
+      // the CHARACTER MASS a dedup pass reclaims (Σ n_chars over the
+      // non-keeper members — the storage/token savings estimate that
+      // justifies running the pass at all; one member-keyed join
+      // against the docs table, only (doc_id, n_chars) shuffles).
       val pairs = Dedup.minhashPairs(t(s, d, "documents"), minEst = 0.5,
           sigOpt = Some(docSignatures(s, d)), candOpt = Some(docCandidates(s, d)))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       graft.operators.Traversals.connectedComponents(pairs)
+        .join(t(s, d, "documents").select(col("doc_id").as("vertex"),
+          col("n_chars")), "vertex")
         .groupBy("component")
         .agg(count(lit(1)).as("family_sz"),
           (count(lit(1)) - lit(1L)).as("n_dropped"),
+          sum(when(col("vertex") =!= col("component"), col("n_chars"))
+            .otherwise(lit(0L))).cast("long").as("chars_dropped"),
           max(col("vertex")).as("max_doc"))
         .orderBy("component")
     }),
@@ -4073,8 +4086,10 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), al AS (SELECT a.vec_id, a.v, a.cid, em.label FROM assigned a JOIN embeddings em ON em.vec_id = a.vec_id), p AS (SELECT a.vec_id AS anchor, b.vec_id AS neg, round(${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})), 4) AS cos FROM al a JOIN al b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.label <> b.label), rk AS (SELECT anchor, neg, cos, row_number() OVER (PARTITION BY anchor ORDER BY cos DESC, neg)::INT AS rk FROM p) SELECT anchor, neg, cos, rk FROM rk WHERE rk <= 3 ORDER BY anchor, rk""",
     "q_dedup_embed_cluster" ->
       s"""WITH RECURSIVE $embedPairsSql, ed AS (SELECT i AS src, j AS dst FROM pr UNION ALL SELECT j, i FROM pr), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component::BIGINT AS component, count(*)::BIGINT AS sz, max(vertex)::BIGINT AS max_vec FROM cmp GROUP BY component ORDER BY component""",
+    // same closure, plus the reclaimed-character accounting: one
+    // member-keyed join to documents, non-keeper n_chars summed
     "q_dedup_families" ->
-      s"""WITH RECURSIVE $minhashEstSql, prf AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.5), ed AS (SELECT doc_a AS src, doc_b AS dst FROM prf UNION ALL SELECT doc_b, doc_a FROM prf), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a) SELECT component::BIGINT AS component, count(*)::BIGINT AS family_sz, (count(*) - 1)::BIGINT AS n_dropped, max(vertex)::BIGINT AS max_doc FROM cmp GROUP BY component ORDER BY component""",
+      s"""WITH RECURSIVE $minhashEstSql, prf AS (SELECT doc_a, doc_b FROM est WHERE est0 >= 0.5), ed AS (SELECT doc_a AS src, doc_b AS dst FROM prf UNION ALL SELECT doc_b, doc_a FROM prf), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a), cm AS (SELECT cmp.vertex, cmp.component, d.n_chars FROM cmp JOIN documents d ON d.doc_id = cmp.vertex) SELECT component::BIGINT AS component, count(*)::BIGINT AS family_sz, (count(*) - 1)::BIGINT AS n_dropped, sum(CASE WHEN vertex <> component THEN n_chars ELSE 0 END)::BIGINT AS chars_dropped, max(vertex)::BIGINT AS max_doc FROM cm GROUP BY component ORDER BY component""",
     "q_text_repetition" ->
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS tok FROM toks), tt AS (SELECT doc_id, sum(c)::BIGINT AS n_toks, max(c) AS top_c FROM (SELECT doc_id, tok, count(*) AS c FROM tokr GROUP BY 1, 2) GROUP BY doc_id), sh2 AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN [] ELSE list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) END AS gs FROM toks), bg AS (SELECT doc_id, len(gs) AS n_big, len(list_distinct(gs)) AS n_dist FROM sh2 WHERE len(gs) > 0), j AS (SELECT tt.doc_id, tt.n_toks, round(tt.top_c::DOUBLE / tt.n_toks::DOUBLE, 4) AS top_tok_frac, round(coalesce((bg.n_big - bg.n_dist)::DOUBLE / bg.n_big::DOUBLE, 0.0), 4) AS dup_bigram_frac FROM tt LEFT JOIN bg ON tt.doc_id = bg.doc_id) SELECT doc_id, n_toks, top_tok_frac, dup_bigram_frac, (CASE WHEN top_tok_frac > 0.2 OR dup_bigram_frac > 0.3 THEN 1 ELSE 0 END)::INT AS flagged FROM j ORDER BY doc_id""",
     "q_range_join" ->

@@ -73,7 +73,11 @@ object ScaleGen {
     })
     val ev = graft.queries.Tables.events(spark, src)
     write("events", copies(ev) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+      // event_id offset scales WITH K (r15 review): the old fixed 1e9
+      // collided on chained runs — sf1's event_ids already reach ~9e9,
+      // so the sf10 derivation must stride past the whole source range
+      // (K·100 = 1e9 for the default sf1 run, 1e10 for the chained one)
+      df.withColumn("event_id", col("event_id") + lit(i * K * 100L))
         .withColumn("user_id", col("user_id") + lit(i * K))
     })
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -84,13 +88,20 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")).cast("long"))
     })
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    // chain-level-dependent jitter scale (r15 review): a pure
+    // function of i commutes across chained runs — base+eps(s)+eps(i)
+    // equals base+eps(i)+eps(s), so the (s=0,i=k) and (s=k,i=0)
+    // copies came out bit-identical (cos = 1.0 exact duplicates).
+    // Deriving the scale from the variant tag makes each chain
+    // level's epsilon family distinct, so sums no longer collide.
+    val tscale = 0.003 * (1.0 + (math.abs(tag.hashCode) % 5) * 0.3)
     write("embeddings", copies(emb) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * K))
         // per-copy direction jitter: add i-dependent epsilon to one
         // dimension band so copies are near- but not exact duplicates
         .withColumn("embedding",
           if (i == 0) col("embedding")
-          else expr(s"transform(embedding, (x, j) -> cast(x + ((j * 31 + $i * 7) % 11 - 5) * 0.003 * $i as float))"))
+          else expr(s"transform(embedding, (x, j) -> cast(x + ((j * 31 + $i * 7) % 11 - 5) * $tscale * $i as float))"))
     })
     spark.stop()
   }
