@@ -271,8 +271,9 @@ object Bench {
     // hash); cell-bounded hard-negative mining
     "q_dedup_cdc", "q_embed_hardneg",
     // r15 wave 3: join-key skew census (the salt-decision readout);
-    // deterministic training-order shuffle + mixture-balance audit
-    "q_profile_skew", "q_mix_shuffle")
+    // deterministic training-order shuffle + mixture-balance audit;
+    // k-anonymity census (the data-release governance gate)
+    "q_profile_skew", "q_mix_shuffle", "q_privacy_kanon")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

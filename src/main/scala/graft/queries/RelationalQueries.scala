@@ -966,6 +966,35 @@ object RelationalQueries {
           sum(when(col("delta") === 1, 1L).otherwise(0L)).as("n_intervals"))
         .orderBy("event_type")
     }),
+    "q_privacy_kanon" -> ((s, d) => {
+      // k-ANONYMITY census (Sweeney 2002) — the governance gate a
+      // dataset passes before release: group by the quasi-identifier
+      // tuple (nation, segment, account-balance band), then the
+      // dataset's k-anonymity is the SMALLEST group (any group of 1
+      // is a re-identifiable individual). Log2-bucketed group-size
+      // census (≤64 rows at any scale) + the k and singleton-count
+      // readouts. The balance band uses shift-then-DIV on exact
+      // integer cents ((cents + 100000) DIV 100000): truncating DIV
+      // (Spark) and floor // (DuckDB) agree on non-negative operands,
+      // and the shift makes the operand non-negative — no float
+      // division, no negative-floor divergence. One hash agg over one
+      // scan; the stats side is a broadcast 1-row scalar.
+      val g = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000) DIV 100000")
+            .as("bal_band"))
+        .agg(count(lit(1)).as("gsz"))
+      val st = g.agg(min("gsz").as("kanon"),
+        sum(when(col("gsz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+      g.groupBy(length(bin(col("gsz"))).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum("gsz").cast("long").as("n_rows"))
+        .crossJoin(broadcast(st))
+        .select(col("bucket"), col("n_groups"), col("n_rows"),
+          col("kanon").cast("long").as("kanon"),
+          col("n_singletons").cast("long").as("n_singletons"))
+        .orderBy("bucket")
+    }),
     "q_profile_skew" -> ((s, d) => {
       // JOIN-KEY skew census — the "should this join be salted"
       // decision input the adaptive-salting machinery consumes, as a
@@ -3786,6 +3815,11 @@ object RelationalQueries {
       """WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr0, epoch_us(ts)::BIGINT AS tus, event_id, value FROM events WHERE value IS NOT NULL), r AS (SELECT *, row_number() OVER (PARTITION BY event_type, hr0 ORDER BY tus, event_id) AS rf, row_number() OVER (PARTITION BY event_type, hr0 ORDER BY tus DESC, event_id DESC) AS rl FROM e) SELECT event_type, strftime(hr0, '%Y-%m-%d %H:%M:%S') AS hr, max(CASE WHEN rf = 1 THEN value END) AS open, max(value) AS high, min(value) AS low, max(CASE WHEN rl = 1 THEN value END) AS close, count(*)::BIGINT AS volume, round(sum(value::DECIMAL(18,6)), 2)::DOUBLE AS turnover FROM r GROUP BY event_type, hr0 ORDER BY event_type, hr""",
     "q_events_concurrency" ->
       """WITH b AS (SELECT event_type, epoch_us(ts)::BIGINT AS t, 1 AS delta FROM events UNION ALL SELECT event_type, epoch_us(ts)::BIGINT + 300000000, -1 FROM events), c AS (SELECT event_type, t, delta, sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b), p AS (SELECT *, max(conc) OVER (PARTITION BY event_type) AS peak FROM c) SELECT event_type, max(conc)::BIGINT AS peak, min(CASE WHEN conc = peak THEN t END)::BIGINT AS first_peak_us, sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intervals FROM p GROUP BY event_type ORDER BY event_type""",
+    // same quasi-identifier tuple with the shift-then-floor-division
+    // balance band on exact integer cents, same bit-length census,
+    // same min-group / singleton readouts
+    "q_privacy_kanon" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, ((c_acctbal * 100)::BIGINT + 100000) // 100000 AS bal_band, count(*) AS gsz FROM customer GROUP BY 1, 2, 3), st AS (SELECT min(gsz)::BIGINT AS kanon, sum(CASE WHEN gsz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons FROM g) SELECT length(format('{:b}', gsz))::INT AS bucket, count(*)::BIGINT AS n_groups, sum(gsz)::BIGINT AS n_rows, (SELECT kanon FROM st) AS kanon, (SELECT n_singletons FROM st) AS n_singletons FROM g GROUP BY bucket ORDER BY bucket""",
     // same per-key counts, same bit-length buckets, same
     // cross-multiplied max·K·10⁶ // N integer skew ratio
     "q_profile_skew" ->

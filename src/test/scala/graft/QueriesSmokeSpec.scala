@@ -68,6 +68,7 @@ class QueriesSmokeSpec extends SparkSpec {
     // TpchQueries.partsupp; q11 adds the threshold scalar on top
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_profile_skew",                                // broadcast 1-row skew scalars
+    "q_privacy_kanon",                               // broadcast 1-row k/singleton scalars
     "q_mix_shuffle")                                 // broadcast lang-count table + 1-row total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
