@@ -273,7 +273,15 @@ object Bench {
     // r15 wave 3: join-key skew census (the salt-decision readout);
     // deterministic training-order shuffle + mixture-balance audit;
     // k-anonymity census (the data-release governance gate)
-    "q_profile_skew", "q_mix_shuffle", "q_privacy_kanon")
+    "q_profile_skew", "q_mix_shuffle", "q_privacy_kanon",
+    // r16 wave: the PRODUCTION auto-knob paths of the three measured
+    // fixed-knob scale envelopes (r15 verdict items 1-3) — corpus-
+    // sized LSH planes, corpus-sized IVF cells, hash-sampled PCA.
+    // They headline (not family-variant) because each is the path a
+    // deployment actually runs; at fixture SFs the first reproduces
+    // its fixed sibling's geometry exactly and the other two are
+    // cheaper by construction.
+    "q_dedup_embed_auto", "q_dedup_semantic_auto", "q_embed_pca_sampled")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

@@ -250,6 +250,62 @@ object Similarity {
     * sizes still track near-dup density. All bands' sign projections
     * run in ONE codegen projection; output (vec_id, band_id, bucket)
     * is narrow for the band equi-join. */
+  /** Auto-sized LSH planes-per-band from the corpus count — the
+    * production entry point for the measured 100×-scale knob (r15
+    * verdict item 1): at FIXED geometry the candidate volume
+    * Σ C(n_b, 2) is quadratic in per-bucket density (453 M pairs at
+    * 200 k vectors under 4×8 planes — the rescore shuffle exceeds any
+    * sane spill budget), while planes ≈ log2(corpus / targetBucket)
+    * keeps expected bucket population ≈ targetBucket and the volume
+    * ~linear (measured: 12 planes at 200 k → 45 M candidates, 10.1×
+    * less, completes).
+    *
+    * The rule is INTEGER-exact so a SQL oracle reproduces it
+    * verbatim: p = bitLength((n−1) div targetBucket) clamped to
+    * [minPlanes, maxPlanes] — the smallest p with
+    * 2^p · targetBucket ≥ n, i.e. `length(bin((n-1) // 96))` in
+    * DuckDB / `length(bin(...))` in Spark SQL (spec-pinned). With the
+    * defaults the rule reproduces the gate's fixed p = 8 at every
+    * fixture SF (n ≤ 96·2⁸ = 24 576) and picks the measured p = 12 at
+    * sf10's 200 k. The 16-plane cap bounds per-band selectivity
+    * (more planes trade recall for volume — at 16 planes a cosine-0.99
+    * pair still collides in ≥1 of 4 bands with p ≈ 0.87); past
+    * n = 96·2¹⁶ ≈ 6.3 M vectors the knob to raise is `targetBucket`
+    * (bucket population, cost-linear) together with `bands` (recall),
+    * not planes — the documented envelope, loud here rather than
+    * silent in a clamp. */
+  def autoPlanesPerBand(n: Long, targetBucket: Long = 96L,
+                        minPlanes: Int = 8, maxPlanes: Int = 16): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    val q = (n - 1) / targetBucket
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(q)
+    math.min(maxPlanes, math.max(minPlanes, bits))
+  }
+
+  /** Auto-sized IVF cell count from the corpus count — the same
+    * production auto-knob for the cell-scoped quadratics (SemDeDup,
+    * hard-negative mining, IVF probes; r15 verdict item 2): fixed
+    * k = 8 cells make per-cell population n/8 and the within-cell
+    * pair volume O(n²), reproducing the dedup_embed bend by design at
+    * 100× scale. k = ceil(n / targetCell) bounds expected per-cell
+    * population at targetCell, so pair volume ≈ n·targetCell/2 —
+    * linear in the corpus. Integer-exact ((n + targetCell − 1) div
+    * targetCell, clamped) so the DuckDB oracle re-derives the same k
+    * from count(*). The 4096 cap keeps the centroid table broadcast-
+    * sized (4096 × 64 doubles ≈ 2 MB); past n ≈ 2 M the documented
+    * path is a two-level (coarse-then-fine) assignment, not a bigger
+    * flat centroid table. Defaults reproduce the gate's fixed k = 8
+    * at sf0.001/sf0.01 (n ≤ 4000) and give the measured-scale k = 40
+    * at sf0.1 / 400 at sf10. */
+  def autoCellCount(n: Long, targetCell: Long = 500L,
+                    minCells: Int = 8, maxCells: Int = 4096): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    require(targetCell > 0, s"targetCell must be positive, got $targetCell")
+    val k = (n + targetCell - 1) / targetCell
+    math.min(maxCells.toLong, math.max(minCells.toLong, k)).toInt
+  }
+
   def lshBandBuckets(embeddings: DataFrame, bands: Int = 4,
                      planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)

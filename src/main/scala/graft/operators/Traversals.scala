@@ -682,27 +682,52 @@ object Traversals {
     * one row per round 1..rounds. */
   def certainReductionTrace(edges: DataFrame, start: Long,
                             rounds: Int = 3): DataFrame = {
-    val spark = edges.sparkSession
-    import spark.implicits._
+    val live = reductionLiveSet(edges, start)
+    val out = certainReductionTraceLive(live, rounds)
+    dropCheckpoint(live)
+    out
+  }
+
+  /** The reachability-restricted live edge set
+    * [[certainReductionTraceLive]] iterates over: self-loops and
+    * edges into `start` removed, sources restricted to the vertices
+    * BFS reaches from `start`, deduped, pinned. Exposed so callers
+    * can STAGE it per graph generation (the pageRankEdgeTable /
+    * IVF-index convention): the BFS here is a depth-many sequence of
+    * driver-loop supersteps — on a deep chain it dominates the trace
+    * wall time while being pure per-fixture derivation, exactly the
+    * rebuild a production deployment materializes once. Caller owns
+    * the returned checkpoint. */
+  def reductionLiveSet(edges: DataFrame, start: Long): DataFrame = {
     val e0 = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val reach = bfsLevels(e0, start).select("vertex").checkpointSized()
-    var e = e0.where(col("src") =!= col("dst") && col("dst") =!= lit(start))
+    val live = e0.where(col("src") =!= col("dst") && col("dst") =!= lit(start))
       .join(reach, e0("src") === reach("vertex"), "left_semi")
       .distinct().checkpointSized()
+    dropCheckpoint(reach)
+    live
+  }
+
+  /** The per-round reduction trace over a pre-built
+    * [[reductionLiveSet]]. Never drops the INPUT's checkpoint — the
+    * caller (possibly a session memo) owns it. */
+  def certainReductionTraceLive(live: DataFrame, rounds: Int = 3): DataFrame = {
+    val spark = live.sparkSession
+    import spark.implicits._
+    var e = live
     var nLive = e.count()
     val trace = (1 to rounds).map { r =>
       val inert = certainAncestorInert(e)
       val e2 = e.join(inert, Seq("src", "dst"), "left_anti").checkpointSized()
       dropCheckpoint(inert)
-      dropCheckpoint(e)
+      if (e ne live) dropCheckpoint(e)
       e = e2
       val n2 = e.count()
       val row = (r.toLong, n2, nLive - n2)
       nLive = n2
       row
     }
-    dropCheckpoint(reach)
-    dropCheckpoint(e)
+    if (e ne live) dropCheckpoint(e)
     trace.toDF("round", "n_live", "n_dropped")
   }
 

@@ -444,16 +444,30 @@ object GraphQueries {
       // The oracle replays the identical rounds with a recursive
       // ancestor-closure CTE — the closure and the engine's
       // pointer-jump walk must name the same edge set.
-      val ks = Tables.t(s, d, "orders")
-        .select((col("o_orderkey") % 150).cast("long").as("k")).distinct()
-      val chain = ks.where(col("k") < 149)
-        .select(col("k").as("src"), (col("k") + 1).as("dst"))
-      val back1 = ks.where(col("k") % 31 === 5 && col("k") > 9)
-        .select(col("k").as("src"), (col("k") - 9).as("dst"))
-      val back2 = ks.where(col("k") % 31 === 5 && col("k") > 18)
-        .select(col("k").as("src"), (col("k") - 18).as("dst"))
-      Traversals.certainReductionTrace(
-          chain.union(back1).union(back2), 0L, rounds = 3)
+      //
+      // The reachability-restricted live set is SESSION-STAGED (r15
+      // verdict item: the one r15 addition that skipped the staging
+      // convention, and the heaviest headline entry for it at 4.54 s):
+      // the derivation scan + the depth-149 BFS — ~150 driver-loop
+      // supersteps of pure per-fixture rebuild — run once per orders
+      // generation, and bench reps time the REDUCTION ROUNDS, the
+      // operator this entry exists to measure. Same memo contract as
+      // the modulus edge tables (orders-fingerprint keyed, refresh-
+      // safe, session-reaped).
+      val live = graphMemo(s, d, "reduce_live150",
+          Tables.fingerprint(d, "orders")) {
+        val ks = Tables.t(s, d, "orders")
+          .select((col("o_orderkey") % 150).cast("long").as("k")).distinct()
+        val chain = ks.where(col("k") < 149)
+          .select(col("k").as("src"), (col("k") + 1).as("dst"))
+        val back1 = ks.where(col("k") % 31 === 5 && col("k") > 9)
+          .select(col("k").as("src"), (col("k") - 9).as("dst"))
+        val back2 = ks.where(col("k") % 31 === 5 && col("k") > 18)
+          .select(col("k").as("src"), (col("k") - 18).as("dst"))
+        Traversals.reductionLiveSet(
+          chain.union(back1).union(back2), 0L)
+      }
+      Traversals.certainReductionTraceLive(live, rounds = 3)
         .orderBy("round")
     }),
     "q_graph_dfs_residual" -> ((s, d) => {

@@ -108,14 +108,18 @@ object PipelineQueries {
     * → a multi-GB guess for a ~1 MB artifact — see [[corpusBandIdx]]),
     * while a file-backed scan reports real bytes, so consumers get
     * static broadcast joins and skip runtime-filter subqueries.
-    * The documents FINGERPRINT is folded into the staging key (r15
-    * review): [[memoTable]] invalidates when the fixture under the
-    * same path is regenerated mid-session, and the staged artifacts
-    * must keep that contract — a stale corpus index probed by fresh
-    * batch signatures would silently diverge from the oracle. */
-  private def stagedTable(s: SparkSession, d: String, tag: String)
+    * The source-fixture FINGERPRINT is folded into the staging key
+    * (r15 review): [[memoTable]] invalidates when the fixture under
+    * the same path is regenerated mid-session, and the staged
+    * artifacts must keep that contract — a stale corpus index probed
+    * by fresh batch signatures would silently diverge from the
+    * oracle. Each staging site names its TRUE source table via
+    * `fpTable` (r15 advice — a documents-hardcoded key would silently
+    * skip invalidation for an embeddings-derived artifact). */
+  private def stagedTable(s: SparkSession, d: String, tag: String,
+                          fpTable: String = "documents")
                          (build: => DataFrame): DataFrame = {
-    val fp = java.lang.Long.toHexString(Tables.fingerprint(d, "documents"))
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(d, fpTable))
     Staging.bucketedTable(s, d, s"${tag}_$fp") { (name, dir) =>
       build.write.format("parquet").mode("overwrite")
         .option("path", dir.resolve("t").toString)
@@ -239,7 +243,8 @@ object PipelineQueries {
     }
 
   private def embedLshPairs(s: SparkSession, d: String,
-                            minCos: Double = 0.4): DataFrame = {
+                            minCos: Double = 0.4,
+                            planesPerBand: Int = 8): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(s)
     val e = t(s, d, "embeddings")
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -264,7 +269,7 @@ object PipelineQueries {
     // rescore joins. Candidates dedup BEFORE the rescore so a pair
     // colliding in several bands scores once.
     val raw = Similarity
-      .lshBandBuckets(e, bands = 4, planesPerBand = 8, dims = 64)
+      .lshBandBuckets(e, bands = 4, planesPerBand = planesPerBand, dims = 64)
       .localCheckpoint(true)
     // ADAPTIVE mega-bucket guard (no-op on organic data, cap » bucket
     // p99.9): a degenerate embedding column collapses every vector
@@ -284,6 +289,61 @@ object PipelineQueries {
     joined
       .select(col("i"), col("j"), round(expr("cosine_sim(va, vb)"), 4).as("cos"))
       .where(col("cos") >= minCos)
+  }
+
+  /** The q_embed_pca pipeline body over an arbitrary (vec_id,
+    * embedding) source — shared by the full-corpus entry and the
+    * hash-deterministic SAMPLED entry (q_embed_pca_sampled, the
+    * capacity path past the exact-decimal n ≈ 10⁵ ceiling). All the
+    * float-discipline invariants documented at the q_embed_pca call
+    * site hold for any row subset: the scaled centering uses the
+    * SOURCE's own count, so sampling changes n, not the arithmetic. */
+  private def pcaTopComponent(emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x0")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
+    val g = x.groupBy("j").agg(
+      sum(col("x")).cast("decimal(24,6)").as("sx"),
+      count(lit(1)).cast("decimal(6,0)").as("n"))
+    val nD = emb.count().toDouble
+    val yArr = x.join(broadcast(g), "j")
+      .select(col("vec_id"), col("j"),
+        (col("x") * col("n") - col("sx")).cast("decimal(18,6)").as("y"))
+      .groupBy("vec_id")
+      .agg(expr("transform(sort_array(collect_list(struct(j, y))), s -> s.y)")
+        .as("ya"))
+    // block-wise outer product (Similarity.scaledCovarianceBlocked —
+    // the d-cliff knob; blockDim = d = 64 here is single-pass, the
+    // identical r13 plan, while d ≥ 1024 callers bound per-task agg
+    // state with blockDim = 65536/d; blocked ≡ unblocked spec-pinned)
+    val cov = Similarity
+      .scaledCovarianceBlocked(yArr, d = 64, blockDim = 64)
+      .localCheckpoint(true) // consumed by all six mat-vec steps
+    var v = s.range(1, 65).select(col("id").as("j"),
+      lit(0.125).cast("decimal(8,6)").as("vj"))
+    var lastNorm: DataFrame = null
+    for (_ <- 1 to 6) {
+      val w = cov.join(broadcast(v.select(col("j").as("k"), col("vj"))), "k")
+        .groupBy("j")
+        .agg(round(sum((col("mjk") * col("vj")).cast("decimal(33,18)")), 0)
+          .cast("decimal(15,0)").as("wj"))
+        .localCheckpoint(true) // norm + normalize both read it
+      val nrm = w.agg(
+        sqrt(sum((col("wj") * col("wj")).cast("decimal(38,0)"))
+          .cast("double")).as("nrm"))
+      lastNorm = nrm
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("j"), round(col("wj").cast("double") / col("nrm"), 6)
+          .cast("decimal(8,6)").as("vj"))
+        .localCheckpoint(true)
+    }
+    v.crossJoin(broadcast(lastNorm))
+      .select(col("j").cast("int").as("dim"),
+        col("vj").cast("double").as("loading"),
+        round(col("nrm") / lit(nD * nD * nD), 6).as("eigenvalue"))
+      .orderBy("dim")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -998,6 +1058,29 @@ object PipelineQueries {
     }),
     "q_dedup_embed" -> ((s, d) =>
       embedLshPairs(s, d, minCos = 0.4).orderBy("i", "j")),
+    "q_dedup_embed_auto" -> ((s, d) => {
+      // the PRODUCTION path of the embedding near-dup operator (r15
+      // verdict item 1): the LSH geometry is COMPUTED from the corpus
+      // count (Similarity.autoPlanesPerBand — planes = bitLength(
+      // (n−1) div 96) clamped to [8,16], expected bucket ≈ 96) instead
+      // of taken as a constant. q_dedup_embed keeps the fixed 4×8
+      // geometry because its candidate set IS that entry's oracle
+      // semantics; this entry is the same operator with the knob
+      // closed-loop — at every fixture SF the rule reproduces p = 8
+      // (so the pair set matches q_dedup_embed exactly, spec-pinned),
+      // and at sf10's 200 k vectors it picks the measured p = 12 that
+      // turns the 453 M-candidate quadratic back to ~linear (45 M)
+      // and completes. The chosen geometry rides on every row
+      // (`planes` — no silent knobs), re-derived by the DuckDB oracle
+      // from count(*) with the same integer formula. The count() is
+      // one columnless parquet-footer scan — the corpus stat a
+      // production deployment reads from table metadata.
+      val n = t(s, d, "embeddings").count()
+      val p = Similarity.autoPlanesPerBand(n)
+      embedLshPairs(s, d, minCos = 0.4, planesPerBand = p)
+        .withColumn("planes", lit(p))
+        .orderBy("i", "j")
+    }),
     "q_dedup_embed_cluster" -> ((s, d) => {
       // end-to-end embedding dedup: LSH-bucket candidates -> exact
       // cosine >= 0.4 pairs -> transitive closure (distributed
@@ -1082,6 +1165,30 @@ object PipelineQueries {
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       Similarity.semDedup(
         Similarity.assignCells(e, cents).localCheckpoint(true), tau = 0.4)
+    }),
+    "q_dedup_semantic_auto" -> ((s, d) => {
+      // SemDeDup with the cell count COMPUTED from the corpus
+      // (Similarity.autoCellCount: k = ceil(n/500) clamped to
+      // [8, 4096]) — the production path for the OTHER fixed-knob
+      // quadratic (r15 verdict item 2): fixed k = 8 makes per-cell
+      // population n/8 and the within-cell pair volume O(n²),
+      // reproducing the dedup_embed bend at 100× by design; auto-k
+      // bounds expected cell population at 500 so pair volume stays
+      // ~n·250. Centroids are vec_ids 1..k (the fixture convention);
+      // the chosen k rides on every row and the oracle re-derives it
+      // from count(*) with the same integer formula. At sf0.001/0.01
+      // the rule reproduces the gate's fixed k = 8; at sf0.1 it picks
+      // 40 (both engines agree, so the gate stays exact); at sf10 it
+      // picks 400 — the measured-scale row in BASELINE.md.
+      val emb = t(s, d, "embeddings")
+      val n = emb.count()
+      val k = Similarity.autoCellCount(n)
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, k))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      Similarity.semDedup(
+          Similarity.assignCells(e, cents).localCheckpoint(true), tau = 0.4)
+        .withColumn("cells", lit(k))
     }),
     "q_dedup_semantic_acc" -> ((s, d) => {
       // SemDeDup QUALITY readout (r12 VERDICT item 8): drop-rate vs
@@ -3044,50 +3151,26 @@ object PipelineQueries {
       // only floats are the two sqrt quotients, both boundary-safe.
       // v0 = 0.125 uniform (exact), so every step is deterministic
       // cross-engine to the last bit.
-      val x = t(s, d, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x0")))
-        .select(col("vec_id"), (col("j0") + 1).as("j"),
-          round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
-      val g = x.groupBy("j").agg(
-        sum(col("x")).cast("decimal(24,6)").as("sx"),
-        count(lit(1)).cast("decimal(6,0)").as("n"))
-      val nD = t(s, d, "embeddings").count().toDouble
-      val yArr = x.join(broadcast(g), "j")
-        .select(col("vec_id"), col("j"),
-          (col("x") * col("n") - col("sx")).cast("decimal(18,6)").as("y"))
-        .groupBy("vec_id")
-        .agg(expr("transform(sort_array(collect_list(struct(j, y))), s -> s.y)")
-          .as("ya"))
-      // block-wise outer product (Similarity.scaledCovarianceBlocked —
-      // the d-cliff knob; blockDim = d = 64 here is single-pass, the
-      // identical r13 plan, while d ≥ 1024 callers bound per-task agg
-      // state with blockDim = 65536/d; blocked ≡ unblocked spec-pinned)
-      val cov = Similarity
-        .scaledCovarianceBlocked(yArr, d = 64, blockDim = 64)
-        .localCheckpoint(true) // consumed by all six mat-vec steps
-      var v = s.range(1, 65).select(col("id").as("j"),
-        lit(0.125).cast("decimal(8,6)").as("vj"))
-      var lastNorm: DataFrame = null
-      for (_ <- 1 to 6) {
-        val w = cov.join(broadcast(v.select(col("j").as("k"), col("vj"))), "k")
-          .groupBy("j")
-          .agg(round(sum((col("mjk") * col("vj")).cast("decimal(33,18)")), 0)
-            .cast("decimal(15,0)").as("wj"))
-          .localCheckpoint(true) // norm + normalize both read it
-        val nrm = w.agg(
-          sqrt(sum((col("wj") * col("wj")).cast("decimal(38,0)"))
-            .cast("double")).as("nrm"))
-        lastNorm = nrm
-        v = w.crossJoin(broadcast(nrm))
-          .select(col("j"), round(col("wj").cast("double") / col("nrm"), 6)
-            .cast("decimal(8,6)").as("vj"))
-          .localCheckpoint(true)
-      }
-      v.crossJoin(broadcast(lastNorm))
-        .select(col("j").cast("int").as("dim"),
-          col("vj").cast("double").as("loading"),
-          round(col("nrm") / lit(nD * nD * nD), 6).as("eigenvalue"))
-        .orderBy("dim")
+      pcaTopComponent(t(s, d, "embeddings"))
+    }),
+    "q_embed_pca_sampled" -> ((s, d) => {
+      // the SAMPLED-covariance PCA path (r15 verdict item 3) — the
+      // 100 TB answer to q_embed_pca's exact-decimal capacity ceiling:
+      // the scaled-centering decimals overflow Decimal(24,12) at
+      // n ≈ 10⁵ (a loud ANSI refusal at sf10's 200 k, measured), so
+      // at scale the covariance is estimated on a HASH-DETERMINISTIC
+      // row sample — content-independent, engine-exact (the
+      // q_sample_split md5 idiom: first hex digit of md5(vec_id)
+      // < '4', an exact 4/16 rate), so the DuckDB oracle samples the
+      // identical rows and the result stays hash-matched, unlike an
+      // rng sample. The rate is the caller's capacity knob: it keeps
+      // the sampled n under the decimal envelope at 4× the full-path
+      // ceiling, and the top component of a 25% uniform sample is the
+      // estimator every large-scale PCA ships (the eigenvector
+      // perturbation is O(1/√n) — quantified vs the full path in
+      // BASELINE.md at the SFs where both complete).
+      pcaTopComponent(t(s, d, "embeddings")
+        .where(substring(md5(col("vec_id").cast("string")), 1, 1) < "4"))
     }),
     "q_sample_coreset" -> ((s, d) => {
       // greedy k-CENTER coreset selection (farthest-point traversal —
@@ -3667,6 +3750,15 @@ object PipelineQueries {
       s"n$t AS (SELECT sqrt(sum((wj::DECIMAL(19,0) * wj::DECIMAL(19,0))::DECIMAL(38,0))::DOUBLE) AS nrm FROM w$t), " +
       s"v$t AS (SELECT j, round(wj::DOUBLE / (SELECT nrm FROM n$t), 6)::DECIMAL(8,6) AS vj FROM w$t)"
     }.mkString(", ")
+  /** The q_embed_pca oracle over `embeddings` restricted by
+    * `srcPred` (SQL appended to the source FROM clauses — empty for
+    * the full corpus, the md5 sample predicate for
+    * q_embed_pca_sampled). Both the element table and the centering
+    * count see the SAME predicate, mirroring [[pcaTopComponent]]'s
+    * single-source contract. */
+  private def pcaOracleSql(srcPred: String): String =
+    s"""WITH e AS (SELECT vec_id, j, round(va[j], 6)::DECIMAL(18,6) AS x FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings$srcPred) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), g AS (SELECT j, sum(x)::DECIMAL(24,6) AS sx, count(*)::DECIMAL(6,0) AS n FROM e GROUP BY j), y AS (SELECT vec_id, e.j, (x * n - sx)::DECIMAL(18,6) AS y FROM e JOIN g ON e.j = g.j), cov AS (SELECT a.j, b.j AS k, sum((a.y::DECIMAL(19,6) * b.y::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS mjk FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings$srcPred), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DECIMAL(8,6) AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj::DOUBLE AS loading, (SELECT round(nrm / (n * n * n), 6) FROM n6 CROSS JOIN nn) AS eigenvalue FROM v6 ORDER BY dim"""
+
   /** Quality-score CTE chain (mirrors
     * [[graft.functions.TextFunctions.qualityScore]]); terminal CTE
     * `qscore(doc_id, score)` with the 4-decimal-rounded composite
@@ -4073,8 +4165,20 @@ object PipelineQueries {
       s"""WITH $minhashSigSql, pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0), est AS (SELECT p.new_id, p.corpus_id, (SELECT count(*) FROM comp x JOIN comp y ON x.seed = y.seed AND x.c = y.c WHERE x.doc_id = p.new_id AND y.doc_id = p.corpus_id)::DOUBLE / 16.0 AS est0 FROM pairs p) SELECT new_id, corpus_id, round(est0, 4) AS est FROM est WHERE est0 >= 0.25 ORDER BY new_id, corpus_id""",
     "q_dedup_embed" ->
       s"""WITH $embedPairsSql SELECT i, j, round(c, 4) AS cos FROM pr ORDER BY i, j""",
+    // the same banded-LSH chain with the plane count RE-DERIVED from
+    // count(*) by the same integer rule as Similarity.autoPlanesPerBand
+    // (bitLength((n−1) // 96) clamped to [8,16] — length(bin(..)) is
+    // that bit length in both engines), and the chosen geometry
+    // verified on every row
+    "q_dedup_embed_auto" ->
+      s"""WITH pp AS (SELECT greatest(8, least(16, length(bin((count(*) - 1) // 96))))::INT AS pl FROM embeddings), s AS (SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || '|' || i::VARCHAR), 1, 1) >= '8' THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv FROM range(64) tp(p) CROSS JOIN range(64) ti(i) WHERE p < 4 * (SELECT pl FROM pp) GROUP BY p), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), dt AS (SELECT vec_id, p, ${foldSql("list_transform(range(1, 65), i -> v[i] * sv[i])")} AS dot FROM e CROSS JOIN s), bk AS (SELECT vec_id, p // (SELECT pl FROM pp) AS band_id, CASE WHEN bool_or(dot IS NULL) THEN NULL ELSE sum(CASE WHEN dot >= 0 THEN (1 << (p % (SELECT pl FROM pp))) ELSE 0 END)::BIGINT END AS bucket FROM dt GROUP BY vec_id, p // (SELECT pl FROM pp)), eb AS (SELECT e.vec_id, e.v, bk.band_id, bk.bucket FROM e JOIN bk USING (vec_id)), cp AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j FROM eb a JOIN eb b ON a.band_id = b.band_id AND a.bucket = b.bucket AND a.vec_id < b.vec_id), p AS (SELECT cp.i, cp.j, ${foldSql("list_transform(range(1, 65), i -> ea.v[i] * eb2.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> ea.v[i] * ea.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> eb2.v[i] * eb2.v[i])")})) AS c FROM cp JOIN e ea ON ea.vec_id = cp.i JOIN e eb2 ON eb2.vec_id = cp.j), pr AS (SELECT i, j, c FROM p WHERE round(c, 4) >= 0.4) SELECT i, j, round(c, 4) AS cos, (SELECT pl FROM pp) AS planes FROM pr ORDER BY i, j""",
     "q_dedup_semantic" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), p AS (SELECT a.cid, b.vec_id AS ib, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id), dr AS (SELECT cid, count(DISTINCT ib) AS n_drop FROM p WHERE round(c, 4) >= 0.4 GROUP BY cid), sz AS (SELECT cid, count(*) AS sz FROM assigned GROUP BY cid) SELECT sz.cid, sz.sz::BIGINT AS sz, coalesce(dr.n_drop, 0)::BIGINT AS n_drop, (sz.sz - coalesce(dr.n_drop, 0))::BIGINT AS n_kept FROM sz LEFT JOIN dr ON sz.cid = dr.cid ORDER BY sz.cid""",
+    // the same SemDeDup chain with the cell count RE-DERIVED from
+    // count(*) by the same integer rule as Similarity.autoCellCount
+    // (ceil(n/500) clamped to [8, 4096]), verified on every row
+    "q_dedup_semantic_auto" ->
+      s"""WITH kk AS (SELECT greatest(8, least(4096, (count(*) + 499) // 500))::BIGINT AS k FROM embeddings), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), p AS (SELECT a.cid, b.vec_id AS ib, ${foldSql("list_transform(range(1, 65), i -> a.v[i] * b.v[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a.v[i] * a.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> b.v[i] * b.v[i])")})) AS c FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id), dr AS (SELECT cid, count(DISTINCT ib) AS n_drop FROM p WHERE round(c, 4) >= 0.4 GROUP BY cid), sz AS (SELECT cid, count(*) AS sz FROM assigned GROUP BY cid) SELECT sz.cid, sz.sz::BIGINT AS sz, coalesce(dr.n_drop, 0)::BIGINT AS n_drop, (sz.sz - coalesce(dr.n_drop, 0))::BIGINT AS n_kept, (SELECT k FROM kk)::INT AS cells FROM sz LEFT JOIN dr ON sz.cid = dr.cid ORDER BY sz.cid""",
     // same cluster assignment + pair cosines as q_dedup_semantic,
     // labels joined in, one aggregate row per tau of the sweep
     "q_dedup_semantic_acc" ->
@@ -4144,8 +4248,12 @@ object PipelineQueries {
       }.mkString(" UNION ALL ")
       s"""WITH ex AS MATERIALIZED (SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS y, j, round(va[j], 6)::DECIMAL(12,6) AS x FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), w0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0::DECIMAL(20,6) AS w), $epochs SELECT epoch, dim, w, err FROM ($rows) ORDER BY epoch, dim"""
     },
-    "q_embed_pca" ->
-      s"""WITH e AS (SELECT vec_id, j, round(va[j], 6)::DECIMAL(18,6) AS x FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), g AS (SELECT j, sum(x)::DECIMAL(24,6) AS sx, count(*)::DECIMAL(6,0) AS n FROM e GROUP BY j), y AS (SELECT vec_id, e.j, (x * n - sx)::DECIMAL(18,6) AS y FROM e JOIN g ON e.j = g.j), cov AS (SELECT a.j, b.j AS k, sum((a.y::DECIMAL(19,6) * b.y::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS mjk FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DECIMAL(8,6) AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj::DOUBLE AS loading, (SELECT round(nrm / (n * n * n), 6) FROM n6 CROSS JOIN nn) AS eigenvalue FROM v6 ORDER BY dim""",
+    "q_embed_pca" -> pcaOracleSql(""),
+    // the identical pipeline over the md5-deterministic 4/16 row
+    // sample — both engines pick the same rows, and the centering n
+    // is the SAMPLE count on both sides
+    "q_embed_pca_sampled" ->
+      pcaOracleSql(" WHERE substr(md5(vec_id::VARCHAR), 1, 1) < '4'"),
     // same term-local round(6) components, same decimal-sum means,
     // same rounded squared-gap terms
     // same exact-decimal distances and argmax/tiebreak chain, rounds

@@ -973,15 +973,20 @@ object RelationalQueries {
       // dataset's k-anonymity is the SMALLEST group (any group of 1
       // is a re-identifiable individual). Log2-bucketed group-size
       // census (≤64 rows at any scale) + the k and singleton-count
-      // readouts. The balance band uses shift-then-DIV on exact
-      // integer cents ((cents + 100000) DIV 100000): truncating DIV
-      // (Spark) and floor // (DuckDB) agree on non-negative operands,
-      // and the shift makes the operand non-negative — no float
-      // division, no negative-floor divergence. One hash agg over one
-      // scan; the stats side is a broadcast 1-row scalar.
+      // readouts. The balance band uses shift-then-DIV on ROUNDED
+      // integer cents ((round(bal·100) + 100000) DIV 100000):
+      // c_acctbal is a DOUBLE, so bal·100 is within 1 ulp of — but not
+      // exactly — an integer; an explicit round() on BOTH engines
+      // lands on the same integer (the value is never near a .5
+      // half), where a truncating CAST (Spark) vs a rounding ::BIGINT
+      // (DuckDB) would disagree on most rows (r15 advice). Truncating
+      // DIV (Spark) and floor // (DuckDB) agree on non-negative
+      // operands, and the shift makes the operand non-negative — no
+      // float division, no negative-floor divergence. One hash agg
+      // over one scan; the stats side is a broadcast 1-row scalar.
       val g = t(s, d, "customer")
         .groupBy(col("c_nationkey"), col("c_mktsegment"),
-          expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000) DIV 100000")
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) DIV 100000")
             .as("bal_band"))
         .agg(count(lit(1)).as("gsz"))
       val st = g.agg(min("gsz").as("kanon"),
@@ -3816,10 +3821,11 @@ object RelationalQueries {
     "q_events_concurrency" ->
       """WITH b AS (SELECT event_type, epoch_us(ts)::BIGINT AS t, 1 AS delta FROM events UNION ALL SELECT event_type, epoch_us(ts)::BIGINT + 300000000, -1 FROM events), c AS (SELECT event_type, t, delta, sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc FROM b), p AS (SELECT *, max(conc) OVER (PARTITION BY event_type) AS peak FROM c) SELECT event_type, max(conc)::BIGINT AS peak, min(CASE WHEN conc = peak THEN t END)::BIGINT AS first_peak_us, sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END)::BIGINT AS n_intervals FROM p GROUP BY event_type ORDER BY event_type""",
     // same quasi-identifier tuple with the shift-then-floor-division
-    // balance band on exact integer cents, same bit-length census,
+    // balance band on explicitly ROUNDED integer cents (both engines
+    // round, so neither cast rule matters), same bit-length census,
     // same min-group / singleton readouts
     "q_privacy_kanon" ->
-      """WITH g AS (SELECT c_nationkey, c_mktsegment, ((c_acctbal * 100)::BIGINT + 100000) // 100000 AS bal_band, count(*) AS gsz FROM customer GROUP BY 1, 2, 3), st AS (SELECT min(gsz)::BIGINT AS kanon, sum(CASE WHEN gsz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons FROM g) SELECT length(format('{:b}', gsz))::INT AS bucket, count(*)::BIGINT AS n_groups, sum(gsz)::BIGINT AS n_rows, (SELECT kanon FROM st) AS kanon, (SELECT n_singletons FROM st) AS n_singletons FROM g GROUP BY bucket ORDER BY bucket""",
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, (round(c_acctbal * 100)::BIGINT + 100000) // 100000 AS bal_band, count(*) AS gsz FROM customer GROUP BY 1, 2, 3), st AS (SELECT min(gsz)::BIGINT AS kanon, sum(CASE WHEN gsz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons FROM g) SELECT length(format('{:b}', gsz))::INT AS bucket, count(*)::BIGINT AS n_groups, sum(gsz)::BIGINT AS n_rows, (SELECT kanon FROM st) AS kanon, (SELECT n_singletons FROM st) AS n_singletons FROM g GROUP BY bucket ORDER BY bucket""",
     // same per-key counts, same bit-length buckets, same
     // cross-multiplied max·K·10⁶ // N integer skew ratio
     "q_profile_skew" ->

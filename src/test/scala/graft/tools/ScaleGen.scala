@@ -22,13 +22,18 @@ import org.apache.spark.sql.functions._
   * the shifted key in the fixture's exact format so er_match blocks
   * stay realistic instead of 10-deep identical-name stacks. */
 object ScaleGen {
-  /** args: [outDir] [srcDir] [keyOffsetPerCopy] [variantTag]
+  /** args: [outDir] [srcDir] [keyOffsetPerCopy] [variantTag] [chainLevel]
     * Defaults derive sf1 (10x sf0.1). For sf10, chain: derive sf1
-    * first, then `ScaleGen /tmp/sf10 /tmp/sf1 100000000 w` — the key
+    * first, then `ScaleGen /tmp/sf10 /tmp/sf1 100000000 w 1` — the key
     * offset must clear the SOURCE's whole key range (sf1 keys reach
-    * ~96M, so 100M per copy), and the variant tag keeps the per-copy
+    * ~96M, so 100M per copy), the variant tag keeps the per-copy
     * text/vector variation from colliding with the tags the source
-    * generation already appended. */
+    * generation already appended, and the chain level (0 for the
+    * first derivation, 1 for the second, …) makes each level's
+    * embedding-jitter epsilon family EXPLICITLY distinct (r15 advice:
+    * deriving the scale from tag.hashCode%5 let two tags in the same
+    * residue class silently reproduce the bit-identical-duplicate
+    * bug). */
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("/tmp/sf1")
     val src = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -82,19 +87,41 @@ object ScaleGen {
     })
     val docs = spark.read.parquet(s"$src/documents.parquet")
     write("documents", copies(docs) { (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i * K))
-        .withColumn("text",
-          if (i == 0) col("text") else concat(col("text"), lit(s" $tag$i")))
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * K))
+      val varied =
+        if (i == 0) shifted
+        else if (i < 3)
+          // near-dup clones: shingle-PRESERVING suffix append — the
+          // cross-copy signal the dedup family measures at scale
+          shifted.withColumn("text", concat(col("text"), lit(s" $tag$i")))
+        else
+          // shingle-FRESH clones (r16, r15 verdict item 5): suffix
+          // every 3rd whitespace token, so every word-3-gram contains
+          // a rewritten token and the copy shares NO shingle with its
+          // source or siblings. Without this, every derived doc kept
+          // its source's 3-grams, so at sf10 every doc shared a
+          // shingle with the eval slice and the decontamination
+          // entries measured a degenerate drop-everything corpus at
+          // exactly the scale the measurement exists for. Family size
+          // stays 3 per level (copy 0 + two near-dups), so the
+          // eval-overlap rate stays organic while dedup still has
+          // real cross-copy work.
+          shifted.withColumn("text",
+            expr(s"array_join(transform(split(text, ' '), (t, j) -> " +
+              s"IF(j % 3 = 2, concat(t, '$tag$i'), t)), ' ')"))
+      varied.withColumn("n_chars", length(col("text")).cast("long"))
     })
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     // chain-level-dependent jitter scale (r15 review): a pure
     // function of i commutes across chained runs — base+eps(s)+eps(i)
     // equals base+eps(i)+eps(s), so the (s=0,i=k) and (s=k,i=0)
     // copies came out bit-identical (cos = 1.0 exact duplicates).
-    // Deriving the scale from the variant tag makes each chain
-    // level's epsilon family distinct, so sums no longer collide.
-    val tscale = 0.003 * (1.0 + (math.abs(tag.hashCode) % 5) * 0.3)
+    // The scale comes from an EXPLICIT chain-level argument (r15
+    // advice: tag.hashCode%5 reduces to char-sum%5, so two different
+    // tags in one residue class silently reproduced the collision).
+    val level = if (args.length > 4) args(4).toInt else 0
+    require(level >= 0 && level <= 9, s"chainLevel must be 0-9, got $level")
+    val tscale = 0.003 * (1.0 + level * 0.3)
     write("embeddings", copies(emb) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * K))
         // per-copy direction jitter: add i-dependent epsilon to one
