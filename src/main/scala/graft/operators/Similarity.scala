@@ -296,8 +296,8 @@ object Similarity {
     * sized (4096 × 64 doubles ≈ 2 MB); past n ≈ 2 M the documented
     * path is a two-level (coarse-then-fine) assignment, not a bigger
     * flat centroid table. Defaults reproduce the gate's fixed k = 8
-    * at sf0.001/sf0.01 (n ≤ 4000) and give the measured-scale k = 40
-    * at sf0.1 / 400 at sf10. */
+    * at every fixture SF (n ≤ 4000) and give the measured-scale
+    * k = 40 at sf1's 20 k / 400 at sf10's 200 k. */
   def autoCellCount(n: Long, targetCell: Long = 500L,
                     minCells: Int = 8, maxCells: Int = 4096): Int = {
     require(n > 0, s"corpus count must be positive, got $n")

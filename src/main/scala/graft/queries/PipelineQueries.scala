@@ -1176,10 +1176,10 @@ object PipelineQueries {
       // bounds expected cell population at 500 so pair volume stays
       // ~n·250. Centroids are vec_ids 1..k (the fixture convention);
       // the chosen k rides on every row and the oracle re-derives it
-      // from count(*) with the same integer formula. At sf0.001/0.01
-      // the rule reproduces the gate's fixed k = 8; at sf0.1 it picks
-      // 40 (both engines agree, so the gate stays exact); at sf10 it
-      // picks 400 — the measured-scale row in BASELINE.md.
+      // from count(*) with the same integer formula. At every fixture
+      // SF (n ≤ 2000) the rule reproduces the gate's fixed k = 8
+      // (spec-pinned); at sf1's 20 k it picks 40 and at sf10's 200 k
+      // it picks 400 — the measured-scale rows in BASELINE.md.
       val emb = t(s, d, "embeddings")
       val n = emb.count()
       val k = Similarity.autoCellCount(n)
