@@ -281,7 +281,12 @@ object Bench {
     // deployment actually runs; at fixture SFs the first reproduces
     // its fixed sibling's geometry exactly and the other two are
     // cheaper by construction.
-    "q_dedup_embed_auto", "q_dedup_semantic_auto", "q_embed_pca_sampled")
+    "q_dedup_embed_auto", "q_dedup_semantic_auto", "q_embed_pca_sampled",
+    // r16 wave 2: l-diversity (kanon's homogeneity-attack sibling),
+    // z-order data-skipping audit, sequence-packing audit, two-level
+    // IVF (the past-4096-cells index layout)
+    "q_privacy_ldiversity", "q_layout_skipping", "q_pack_sequences",
+    "q_embed_ivf_2level")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

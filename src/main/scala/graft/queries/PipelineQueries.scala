@@ -2595,6 +2595,43 @@ object PipelineQueries {
           col("dev").cast("long").as("max_dev"), col("lang").as("dev_lang"))
         .orderBy("shard")
     }),
+    "q_pack_sequences" -> ((s, d) => {
+      // SEQUENCE-PACKING audit — the batch-assembly step between a
+      // curated corpus and the training loop: documents concatenate
+      // in deterministic doc_id order per language stream and split
+      // into fixed 2048-token training sequences (the GPT-style
+      // concat-and-chunk packer). Per language the readouts a packing
+      // job reports: sequence count ⌈Σtc/2048⌉, the number of
+      // documents SPLIT across a sequence boundary (each split is an
+      // attention-fragmentation / loss-masking site — the quantity
+      // that decides whether to pay for boundary-respecting packing),
+      // and the tail sequence's fill rate in exact integer ppm (the
+      // padding waste). The boundary census needs each doc's token
+      // offset in its stream — ONE running-sum window per language
+      // partition (the training-order contract already sorts by
+      // doc_id), then one hash agg; all integer DIV/% on non-negative
+      // operands, divergence-free cross-engine.
+      val c = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("tc"))
+        .withColumn("before", coalesce(
+          sum(col("tc")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("doc_id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+          lit(0L)))
+      c.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tc")).cast("long").as("nt"),
+          sum(when(col("tc") > 0 &&
+              expr("before DIV 2048") =!= expr("(before + tc - 1) DIV 2048"),
+            1L).otherwise(0L)).as("n_split_docs"))
+        .select(col("lang"), col("n_docs"), col("nt").as("n_toks"),
+          expr("(nt + 2047) DIV 2048").as("n_seqs"),
+          col("n_split_docs"),
+          expr("CASE WHEN nt = 0 THEN 0 WHEN nt % 2048 = 0 THEN 1000000 " +
+            "ELSE (nt % 2048) * 1000000 DIV 2048 END").as("tail_fill_ppm"))
+        .orderBy("lang")
+    }),
     "q_mix_temperature" -> ((s, d) => {
       // temperature-scaled language sampling (α = 0.7, the mT5/XLM-R
       // rule): sampling share q_i ∝ p_i^α flattens the head languages
@@ -3060,6 +3097,48 @@ object PipelineQueries {
       val cents = e.where(col("vec_id").between(1, 8))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       Similarity.ivfTopK(Similarity.assignCells(e, cents), 0L, 10)
+    }),
+    "q_embed_ivf_2level" -> ((s, d) => {
+      // TWO-LEVEL (coarse → fine) IVF — the documented path past
+      // Similarity.autoCellCount's 4096-cell broadcast cap, as a gate
+      // entry instead of prose: a FLAT k-cell index needs a k-row
+      // centroid broadcast and n·k assignment work, so k stops
+      // scaling once the centroid table stops being broadcast-sized;
+      // splitting into k1 coarse × k2 fine cells keeps every
+      // broadcast tiny (k1 rows, then k1·k2 rows) and assignment at
+      // n·(k1 + k2) — the IMI/residual-IVF layout FAISS ships for
+      // billion-vector corpora. Fixture geometry k1 = k2 = 4 (16
+      // leaf cells, same order as the flat entries' 8). Coarse
+      // centroids are vec_ids 1..4; fine centroids per coarse cell
+      // are its 4 lowest-vec_id members (deterministic, re-derivable
+      // in SQL). The probe descends: query vec 0's coarse cell →
+      // its fine cell → exact top-10 cosine inside that one leaf.
+      // Every stage is an equi-join on (cid) or (cid, fid) after a
+      // broadcast-scalar descent — no stage ever touches more than
+      // one leaf's rows.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings").select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val coarse = e.where(col("vec_id").between(1, 4))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val a1 = Similarity.assignCells(e, coarse).localCheckpoint(true)
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("vec_id"))
+      val fine = a1.withColumn("rk", row_number().over(wf)).where(col("rk") <= 4)
+        .select(col("cid"), col("vec_id").as("fid"), col("v").as("fv"))
+      val wa = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("fid"))
+      val a2 = a1.join(broadcast(fine), "cid")
+        .withColumn("dist", expr("l2sq_fold(v, fv)"))
+        .withColumn("rk", row_number().over(wa)).where(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("fid"))
+      val q0 = a2.where(col("vec_id") === 0)
+        .select(col("cid").as("qcid"), col("fid").as("qfid"), col("v").as("qv"))
+      a2.join(broadcast(q0),
+          col("cid") === col("qcid") && col("fid") === col("qfid"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(expr("cosine_sim(v, qv)"), 4).as("score"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
     }),
     "q_embed_ivf_append" -> ((s, d) => {
       // incremental ANN index MAINTENANCE: arrivals (vec_id % 10 == 0
@@ -4099,6 +4178,11 @@ object PipelineQueries {
     // same (dev desc, lang) argmax
     "q_mix_shuffle" ->
       """WITH sh AS (SELECT doc_id, lang, (('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 16)::INT AS shard FROM documents), sl AS (SELECT shard, lang, count(*)::BIGINT AS nsl FROM sh GROUP BY shard, lang), lt AS (SELECT lang, count(*)::BIGINT AS nl FROM sh GROUP BY lang), st AS (SELECT shard, count(*)::BIGINT AS ns FROM sh GROUP BY shard), nn AS (SELECT count(*)::BIGINT AS nn FROM sh), dev AS (SELECT st.shard, lt.lang, st.ns, abs(coalesce(sl.nsl, 0) * nn.nn - lt.nl * st.ns)::BIGINT AS dev FROM st CROSS JOIN lt CROSS JOIN nn LEFT JOIN sl ON sl.shard = st.shard AND sl.lang = lt.lang), rk AS (SELECT shard, ns, dev, lang, row_number() OVER (PARTITION BY shard ORDER BY dev DESC, lang) AS rk FROM dev) SELECT shard, ns AS n_docs, dev AS max_dev, lang AS dev_lang FROM rk WHERE rk = 1 ORDER BY shard""",
+    // same per-lang doc_id-ordered running token sum, same 2048 DIV
+    // boundary census, same ceil-div sequence count and integer-ppm
+    // tail fill
+    "q_pack_sequences" ->
+      s"""WITH $toksSql, tc AS (SELECT d.doc_id, d.lang, len(t.tk)::BIGINT AS tc FROM documents d JOIN toks t ON d.doc_id = t.doc_id), c AS (SELECT lang, doc_id, tc, coalesce(sum(tc) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS a_before FROM tc) SELECT lang, count(*)::BIGINT AS n_docs, sum(tc)::BIGINT AS n_toks, ((sum(tc) + 2047) // 2048)::BIGINT AS n_seqs, sum(CASE WHEN tc > 0 AND a_before // 2048 <> (a_before + tc - 1) // 2048 THEN 1 ELSE 0 END)::BIGINT AS n_split_docs, (CASE WHEN sum(tc) = 0 THEN 0 WHEN sum(tc) % 2048 = 0 THEN 1000000 ELSE (sum(tc) % 2048) * 1000000 // 2048 END)::BIGINT AS tail_fill_ppm FROM c GROUP BY lang ORDER BY lang""",
     "q_mix_temperature" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang), t AS (SELECT lang, n_docs, n_docs / (SELECT sum(n_docs)::DOUBLE FROM g) AS p FROM g), q AS (SELECT lang, n_docs, p, round(pow(p, 0.7), 6)::DECIMAL(18,6) AS q0 FROM t) SELECT lang, n_docs, round(p, 4) AS p, round(q0::DOUBLE / (SELECT sum(q0) FROM q)::DOUBLE, 4) AS rate FROM q ORDER BY lang""",
     // same NLL terms (round 6 then decimal sum), same exact-sum means,
@@ -4208,6 +4292,11 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS sv FROM e CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, sv AS qsv FROM vs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 50), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     "q_embed_ivf" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qcell AS (SELECT cid AS qcid, v AS qv FROM assigned WHERE vec_id = 0), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN qcell ON a.cid = qcell.qcid WHERE a.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // same coarse assignment (vec_ids 1..4), same per-cell 4
+    // lowest-vec_id fine centroids, same fold-order L2 descent, same
+    // leaf-scoped exact top-10
+    "q_embed_ivf_2level" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), a1 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), fine AS (SELECT cid, vec_id AS fid, v AS fv FROM (SELECT a1.*, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk FROM a1) WHERE rk <= 4), d2 AS (SELECT a1.vec_id, a1.v, a1.cid, f.fid, ${foldSql("list_transform(range(1, 65), i -> (a1.v[i] - f.fv[i]) * (a1.v[i] - f.fv[i]))")} AS dist FROM a1 JOIN fine f ON a1.cid = f.cid), a2 AS (SELECT vec_id, v, cid, fid FROM (SELECT vec_id, v, cid, fid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, fid) AS rk FROM d2) WHERE rk = 1), qc AS (SELECT cid AS qcid, fid AS qfid, v AS qv FROM a2 WHERE vec_id = 0), sc AS (SELECT a2.vec_id, ${foldSql("list_transform(range(1, 65), i -> a2.v[i] * qc.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a2.v[i] * a2.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qc.qv[i] * qc.qv[i])")})) AS score0 FROM a2 JOIN qc ON a2.cid = qc.qcid AND a2.fid = qc.qfid WHERE a2.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // identical semantics to q_embed_ivf — the engine-side difference
     // append-maintained index == full rebuild (assignment is
     // row-local), so the same batch SQL oracles the append path too

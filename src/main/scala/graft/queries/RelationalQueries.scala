@@ -144,6 +144,15 @@ object RelationalQueries {
       .coalesce(1).write.parquet(streamDir.resolve(tag).toString)
   }
 
+  /** The Morton bit-interleave of the two low-8-bit (x, y)
+    * coordinates, as the integer SQL BOTH engines evaluate
+    * (q_layout_zorder): bit i of x lands at position 2i, bit i of y
+    * at 2i + 1 — generated once so the plane constants can never
+    * drift between the Spark expression and the DuckDB oracle. */
+  private[queries] val zInterleaveSql: String = (0 until 8).map { i =>
+    s"(((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)})"
+  }.mkString(" + ")
+
   /** The one batch gaps-and-islands oracle both streaming SCD-2 gate
     * entries (default store + RocksDB) are checked against. */
   private val streamScd2OracleSql: String =
@@ -1000,6 +1009,40 @@ object RelationalQueries {
           col("n_singletons").cast("long").as("n_singletons"))
         .orderBy("bucket")
     }),
+    "q_privacy_ldiversity" -> ((s, d) => {
+      // l-DIVERSITY census (Machanavajjhala et al. 2007) — k-anonymity's
+      // stricter sibling in the release-governance ladder: a group can
+      // be k-large yet still leak its sensitive attribute if every
+      // member SHARES one value (the homogeneity attack k-anonymity
+      // misses). Quasi-identifier = (nation, segment) — one band
+      // coarser than q_privacy_kanon's tuple, so groups are large and
+      // the question shifts from "how small" to "how uniform";
+      // sensitive attribute = the same rounded-cents $1000 balance
+      // band (the kanon discipline: round() on BOTH engines, then
+      // non-negative shift-then-DIV). l per group = COUNT(DISTINCT
+      // band); readout = census of groups per l + the dataset's l
+      // (the minimum) and the homogeneous-group count (l = 1 — the
+      // groups an adversary reads exactly). Distinct-inside-group is
+      // one partial-agg pass (Spark expands to a two-level agg keyed
+      // by (group, band) — both shuffles on bounded keys); the stats
+      // side is a broadcast 1-row scalar.
+      val g = t(s, d, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(countDistinct(
+            expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) DIV 100000"))
+          .as("l"),
+          count(lit(1)).as("gsz"))
+      val st = g.agg(min("l").as("ldiv"),
+        sum(when(col("l") === 1, 1L).otherwise(0L)).as("n_homogeneous"))
+      g.groupBy(col("l").cast("long").as("l"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum("gsz").cast("long").as("n_rows"))
+        .crossJoin(broadcast(st))
+        .select(col("l"), col("n_groups"), col("n_rows"),
+          col("ldiv").cast("long").as("ldiv"),
+          col("n_homogeneous").cast("long").as("n_homogeneous"))
+        .orderBy("l")
+    }),
     "q_profile_skew" -> ((s, d) => {
       // JOIN-KEY skew census — the "should this join be salted"
       // decision input the adaptive-salting machinery consumes, as a
@@ -1023,6 +1066,55 @@ object RelationalQueries {
           col("min_cnt"), col("max_cnt"),
           expr("mx * kk * 1000000 DIV n").cast("long").as("skew_ppm"))
         .orderBy("bucket")
+    }),
+    "q_layout_skipping" -> ((s, d) => {
+      // Data-SKIPPING effectiveness audit — q_layout_zorder's
+      // MEASUREMENT sibling (the one-readout-per-family convention):
+      // that entry produces the clustered layout's bounding boxes;
+      // this one quantifies what the clustering BUYS at 100 TB, where
+      // multi-dimensional layout decides how many files a two-column
+      // predicate touches.
+      // Each row's (x, y) = the low 8 bits of (l_partkey, l_suppkey);
+      // z = bit-interleave(x, y) (Morton order), bucket = z DIV 2048
+      // (32 z-range "files", each a 64×32 tile of (x, y) space) vs the
+      // NATURAL ingest layout (32 equal l_orderkey ranges — the order
+      // data arrives in, uncorrelated with either key). Per (layout,
+      // bucket): row count, the zone-map [min, max] of BOTH keys, and
+      // scan_hit = whether a zone map on x can prune the bucket for
+      // the probe predicate x BETWEEN 10 AND 20 — under z-order every
+      // bucket's x-range is 64 wide (≈¾ of buckets prune), under
+      // natural every bucket spans the full 0..255 (nothing prunes).
+      // ONE scan: the two layouts explode from the same row (2× rows,
+      // narrow), one hash agg on ≤64 groups; the orderkey-range
+      // denominator is a broadcast 1-row scalar. The interleave is
+      // pure integer shift/mask arithmetic inside codegen — the
+      // identical formula the oracle evaluates.
+      val omax = t(s, d, "lineitem").agg(max("l_orderkey").as("omax"))
+      val zbits = (0 until 8).map { i =>
+        (shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+          (shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      }.reduce(_ + _)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"),
+          (col("l_partkey") % 256).cast("long").as("x"),
+          (col("l_suppkey") % 256).cast("long").as("y"))
+        .withColumn("z", zbits)
+        .crossJoin(broadcast(omax))
+        .select(col("x"), col("y"), explode(array(
+          struct(lit("zorder").as("layout"),
+            expr("z DIV 2048").cast("long").as("bucket")),
+          struct(lit("natural").as("layout"),
+            expr("(l_orderkey * 32) DIV (omax + 1)").cast("long").as("bucket"))))
+          .as("lb"))
+        .select(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"),
+          col("x"), col("y"))
+        .groupBy("layout", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .withColumn("scan_hit",
+          when(col("max_x") < 10 || col("min_x") > 20, 0L).otherwise(1L))
+        .orderBy("layout", "bucket")
     }),
     "q_profile_table" -> ((s, d) => {
       // One-scan table profiling (the `DESCRIBE`/data-catalog
@@ -3826,10 +3918,19 @@ object RelationalQueries {
     // same min-group / singleton readouts
     "q_privacy_kanon" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment, (round(c_acctbal * 100)::BIGINT + 100000) // 100000 AS bal_band, count(*) AS gsz FROM customer GROUP BY 1, 2, 3), st AS (SELECT min(gsz)::BIGINT AS kanon, sum(CASE WHEN gsz = 1 THEN 1 ELSE 0 END)::BIGINT AS n_singletons FROM g) SELECT length(format('{:b}', gsz))::INT AS bucket, count(*)::BIGINT AS n_groups, sum(gsz)::BIGINT AS n_rows, (SELECT kanon FROM st) AS kanon, (SELECT n_singletons FROM st) AS n_singletons FROM g GROUP BY bucket ORDER BY bucket""",
+    // same coarser quasi-identifier pair, same rounded-cents band as
+    // the sensitive attribute, same min-l / homogeneous-group scalars
+    "q_privacy_ldiversity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment, count(DISTINCT (round(c_acctbal * 100)::BIGINT + 100000) // 100000)::BIGINT AS l, count(*) AS gsz FROM customer GROUP BY 1, 2), st AS (SELECT min(l)::BIGINT AS ldiv, sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS n_homogeneous FROM g) SELECT l, count(*)::BIGINT AS n_groups, sum(gsz)::BIGINT AS n_rows, (SELECT ldiv FROM st) AS ldiv, (SELECT n_homogeneous FROM st) AS n_homogeneous FROM g GROUP BY l ORDER BY l""",
     // same per-key counts, same bit-length buckets, same
     // cross-multiplied max·K·10⁶ // N integer skew ratio
     "q_profile_skew" ->
       """WITH c AS (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY o_custkey), g AS (SELECT count(*)::BIGINT AS kk, sum(cnt)::BIGINT AS n, max(cnt)::BIGINT AS mx FROM c) SELECT length(format('{:b}', cnt))::INT AS bucket, count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows, min(cnt)::BIGINT AS min_cnt, max(cnt)::BIGINT AS max_cnt, (SELECT mx * kk * 1000000 // n FROM g)::BIGINT AS skew_ppm FROM c GROUP BY bucket ORDER BY bucket""",
+    // same low-8-bit coordinates, same Morton interleave constants,
+    // same 32-way z-range vs orderkey-range buckets, same zone-map
+    // min/max readout and x BETWEEN 10 AND 20 prune probe
+    "q_layout_skipping" ->
+      s"""WITH li AS (SELECT l_orderkey, (l_partkey % 256)::BIGINT AS x, (l_suppkey % 256)::BIGINT AS y FROM lineitem), mx AS (SELECT max(l_orderkey)::BIGINT AS omax FROM lineitem), zz AS (SELECT l_orderkey, x, y, ($zInterleaveSql)::BIGINT AS z FROM li), b AS (SELECT 'zorder' AS layout, (z // 2048)::BIGINT AS bucket, x, y FROM zz UNION ALL SELECT 'natural' AS layout, ((l_orderkey * 32) // ((SELECT omax FROM mx) + 1))::BIGINT AS bucket, x, y FROM zz) SELECT layout, bucket, count(*)::BIGINT AS n, min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x, min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y, (CASE WHEN max(x) < 10 OR min(x) > 20 THEN 0 ELSE 1 END)::BIGINT AS scan_hit FROM b GROUP BY layout, bucket ORDER BY layout, bucket""",
     "q_profile_table" ->
       """WITH s AS (SELECT count(*) FILTER (WHERE o_orderkey IS NULL)::BIGINT AS nn_orderkey, count(DISTINCT o_orderkey)::BIGINT AS nd_orderkey, min(o_orderkey)::DOUBLE AS mn_orderkey, max(o_orderkey)::DOUBLE AS mx_orderkey, count(*) FILTER (WHERE o_custkey IS NULL)::BIGINT AS nn_custkey, count(DISTINCT o_custkey)::BIGINT AS nd_custkey, min(o_custkey)::DOUBLE AS mn_custkey, max(o_custkey)::DOUBLE AS mx_custkey, count(*) FILTER (WHERE o_orderstatus IS NULL)::BIGINT AS nn_orderstatus, count(DISTINCT o_orderstatus)::BIGINT AS nd_orderstatus, count(*) FILTER (WHERE o_totalprice IS NULL)::BIGINT AS nn_totalprice, count(DISTINCT o_totalprice)::BIGINT AS nd_totalprice, min(o_totalprice) AS mn_totalprice, max(o_totalprice) AS mx_totalprice, count(*) FILTER (WHERE o_orderdate IS NULL)::BIGINT AS nn_orderdate, count(DISTINCT o_orderdate)::BIGINT AS nd_orderdate, epoch_us(min(o_orderdate))::DOUBLE AS mn_orderdate, epoch_us(max(o_orderdate))::DOUBLE AS mx_orderdate, count(*) FILTER (WHERE o_orderpriority IS NULL)::BIGINT AS nn_orderpriority, count(DISTINCT o_orderpriority)::BIGINT AS nd_orderpriority FROM orders) SELECT col_name, n_null, n_distinct, min_v, max_v FROM (SELECT 'orderkey' AS col_name, nn_orderkey AS n_null, nd_orderkey AS n_distinct, mn_orderkey AS min_v, mx_orderkey AS max_v FROM s UNION ALL SELECT 'custkey', nn_custkey, nd_custkey, mn_custkey, mx_custkey FROM s UNION ALL SELECT 'orderstatus', nn_orderstatus, nd_orderstatus, NULL, NULL FROM s UNION ALL SELECT 'totalprice', nn_totalprice, nd_totalprice, mn_totalprice, mx_totalprice FROM s UNION ALL SELECT 'orderdate', nn_orderdate, nd_orderdate, mn_orderdate, mx_orderdate FROM s UNION ALL SELECT 'orderpriority', nn_orderpriority, nd_orderpriority, NULL, NULL FROM s) ORDER BY col_name""",
     "q_events_anomaly" ->

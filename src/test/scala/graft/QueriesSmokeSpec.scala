@@ -27,6 +27,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_matryoshka",                            // broadcast query vector (three prefix rankings)
     "q_embed_spearman",                              // broadcast query vector + codes
     "q_embed_pca",                                   // broadcast 1-row norm scalar per step
+    "q_embed_pca_sampled",                           // same pipeline body, same 1-row norm scalar
     "q_text_heaps",                                  // broadcast 16-row threshold table + 1-row max scalar
     "q_text_jsd",                                    // broadcast source-pair grid (sources² rows)
     "q_events_holt",                                 // broadcast 1-row smoothing state per unrolled step
@@ -69,6 +70,9 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q16", "q_tpch_q20",
     "q_profile_skew",                                // broadcast 1-row skew scalars
     "q_privacy_kanon",                               // broadcast 1-row k/singleton scalars
+    "q_privacy_ldiversity",                          // broadcast 1-row l/homogeneous scalars
+    "q_layout_skipping",                             // broadcast 1-row max-orderkey scalar
+    "q_embed_ivf_2level",                            // broadcast 1-row query vector / cell
     "q_mix_shuffle")                                 // broadcast lang-count table + 1-row total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

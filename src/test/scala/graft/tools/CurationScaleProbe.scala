@@ -58,6 +58,34 @@ object CurationScaleProbe {
     require(a == b, s"strategy changed results: $a vs $b")
     println(s"[curation-scale] results identical across strategies (${a.size} rows)")
 
+    // r16 (r15 verdict item 5): the DEGENERACY readouts. Before the
+    // ScaleGen fix every derived doc kept its source's 3-grams, so at
+    // sf10 every doc shared a shingle with the eval slice — the final
+    // quota was EMPTY and the decontamination join degenerated to full
+    // shingle volume. A healthy corpus shows (a) a final quota with
+    // rows, (b) a contaminated-doc count well below the corpus, and
+    // (c) a decontamination join volume (matching shingle rows) that
+    // is sub-corpus-shingle-volume.
+    {
+      val docs = spark.read.parquet(s"$d/documents.parquet")
+      val nDocs = docs.count()
+      val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) === "0"
+      val ev = Dedup.shingleRows(docs.where(isEval), 3).select("g").distinct()
+        .localCheckpoint(true)
+      val nonEval = Dedup.shingleRows(docs.where(!isEval), 3).distinct()
+        .localCheckpoint(true)
+      val nEvalTypes = ev.count()
+      val nNonEvalShingleRows = nonEval.count()
+      val joinVolume = nonEval.join(ev, "g").count()
+      val nContaminated = nonEval.join(ev, "g").select("doc_id").distinct().count()
+      val finalRows = chain(forceBroadcast = false)
+        .agg(sum(col("n"))).head().getLong(0)
+      println(s"[curation-scale] corpus docs=$nDocs evalShingleTypes=$nEvalTypes " +
+        s"nonEvalShingleRows=$nNonEvalShingleRows decontamJoinVolume=$joinVolume " +
+        s"contaminatedDocs=$nContaminated finalQuotaRows=$finalRows")
+      require(finalRows > 0, "final quota EMPTY — corpus still contamination-saturated")
+    }
+
     Seq(true, false).foreach { fb =>
       (1 to 2).foreach { rep =>
         val t0 = System.nanoTime()

@@ -13,19 +13,20 @@ object Drive {
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    // r15 wave: drive the two new public operators end-to-end at sf0.1
+    // r16 wave: drive the new gate entries end-to-end at sf0.1
     // (the gate verifies sf0.001/sf0.01; this is the bigger-data smoke)
-    Seq("q_graph_densest", "q_embed_perceptron").foreach { n =>
+    Seq("q_privacy_ldiversity", "q_layout_skipping", "q_pack_sequences",
+        "q_embed_ivf_2level").foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, d)
-      df.show(200, truncate = false)
+      df.show(80, truncate = false)
       println(f"[drive] $n rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // and the operators through their public API directly
-    import spark.implicits._
-    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
-    graft.operators.GraphAlgos.densestPeelCanon(tri.localCheckpoint(true), 3)
-      .show(false)
+    // and the auto-knob rules through their public API directly
+    println(s"[drive] autoPlanesPerBand(2e5) = " +
+      graft.operators.Similarity.autoPlanesPerBand(200000L))
+    println(s"[drive] autoCellCount(2e5)     = " +
+      graft.operators.Similarity.autoCellCount(200000L))
     spark.stop()
   }
 }
