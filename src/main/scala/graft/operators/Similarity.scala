@@ -306,6 +306,27 @@ object Similarity {
     math.min(maxCells.toLong, math.max(minCells.toLong, k)).toInt
   }
 
+  /** Auto-sized hash-sample MODULUS from the corpus count — the third
+    * member of the auto-knob family (r16): keep a row iff
+    * `hash(id) % m == 0` with m = ⌈n / targetSample⌉, so the expected
+    * SAMPLE SIZE is ≈ targetSample regardless of corpus size. A fixed
+    * sample RATE (the first cut: md5 first-digit < '4', 4/16) bounds
+    * nothing at scale — at sf10 its 50 k sample re-overflowed the
+    * exact-decimal PCA covariance (measured: 2.7·10¹² > Decimal(24,12)'s
+    * 10¹² capacity; 20 k fits at 8·10¹⁰), exactly the failure the
+    * sampled path exists to remove. targetSample = 12 500 keeps the
+    * n³-scaled covariance ≥ 30× inside the envelope at the measured
+    * covariance magnitude. Integer-exact so the DuckDB oracle
+    * re-derives m from count(*): greatest(1, (n + 12499) // 12500);
+    * m = 1 at every fixture SF, i.e. the sampled path provably
+    * REPRODUCES the full path there (the autoPlanesPerBand
+    * oracle-identity convention). */
+  def autoSampleModulus(n: Long, targetSample: Long = 12500L): Long = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    require(targetSample > 0, s"targetSample must be positive, got $targetSample")
+    math.max(1L, (n + targetSample - 1) / targetSample)
+  }
+
   def lshBandBuckets(embeddings: DataFrame, bands: Int = 4,
                      planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)

@@ -3235,21 +3235,30 @@ object PipelineQueries {
     "q_embed_pca_sampled" -> ((s, d) => {
       // the SAMPLED-covariance PCA path (r15 verdict item 3) — the
       // 100 TB answer to q_embed_pca's exact-decimal capacity ceiling:
-      // the scaled-centering decimals overflow Decimal(24,12) at
-      // n ≈ 10⁵ (a loud ANSI refusal at sf10's 200 k, measured), so
-      // at scale the covariance is estimated on a HASH-DETERMINISTIC
-      // row sample — content-independent, engine-exact (the
-      // q_sample_split md5 idiom: first hex digit of md5(vec_id)
-      // < '4', an exact 4/16 rate), so the DuckDB oracle samples the
-      // identical rows and the result stays hash-matched, unlike an
-      // rng sample. The rate is the caller's capacity knob: it keeps
-      // the sampled n under the decimal envelope at 4× the full-path
-      // ceiling, and the top component of a 25% uniform sample is the
-      // estimator every large-scale PCA ships (the eigenvector
-      // perturbation is O(1/√n) — quantified vs the full path in
-      // BASELINE.md at the SFs where both complete).
-      pcaTopComponent(t(s, d, "embeddings")
-        .where(substring(md5(col("vec_id").cast("string")), 1, 1) < "4"))
+      // the scaled-centering decimals overflow Decimal(24,12) once the
+      // input passes n ≈ a few 10⁴ (a loud ANSI refusal, measured:
+      // 20 k fits at 8·10¹⁰, 50 k refuses at 2.7·10¹², 200 k at
+      // 2.8·10¹³), so at scale the covariance is estimated on a
+      // HASH-DETERMINISTIC row sample. The knob is a sample MODULUS
+      // computed from the corpus count (Similarity.autoSampleModulus:
+      // m = ⌈n/12500⌉ — a fixed RATE was the first cut and failed the
+      // measurement it existed for: 4/16 of sf10's 200 k is a 50 k
+      // sample, which re-overflowed), keeping the expected sample
+      // ≈ 12 500 at ANY corpus size: keep rows with
+      // hash16(vec_id) % m == 0 — content-independent, engine-exact
+      // (the q_mix_shuffle md5-hex idiom), so the DuckDB oracle
+      // samples the identical rows and the result stays hash-matched,
+      // unlike an rng sample. m = 1 at every fixture SF, so the
+      // sampled path provably REPRODUCES q_embed_pca there (the
+      // auto-knob oracle-identity convention); the chosen m rides on
+      // every row. Top-component perturbation vs the full path is
+      // quantified in BASELINE.md at the SFs where both complete.
+      val emb = t(s, d, "embeddings")
+      val m = Similarity.autoSampleModulus(emb.count())
+      pcaTopComponent(emb.where(
+          conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % m === 0))
+        .withColumn("modulus", lit(m.toInt))
     }),
     "q_sample_coreset" -> ((s, d) => {
       // greedy k-CENTER coreset selection (farthest-point traversal —
@@ -3835,8 +3844,17 @@ object PipelineQueries {
     * q_embed_pca_sampled). Both the element table and the centering
     * count see the SAME predicate, mirroring [[pcaTopComponent]]'s
     * single-source contract. */
-  private def pcaOracleSql(srcPred: String): String =
-    s"""WITH e AS (SELECT vec_id, j, round(va[j], 6)::DECIMAL(18,6) AS x FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings$srcPred) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), g AS (SELECT j, sum(x)::DECIMAL(24,6) AS sx, count(*)::DECIMAL(6,0) AS n FROM e GROUP BY j), y AS (SELECT vec_id, e.j, (x * n - sx)::DECIMAL(18,6) AS y FROM e JOIN g ON e.j = g.j), cov AS (SELECT a.j, b.j AS k, sum((a.y::DECIMAL(19,6) * b.y::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS mjk FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), nn AS (SELECT count(*)::DOUBLE AS n FROM embeddings$srcPred), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DECIMAL(8,6) AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj::DOUBLE AS loading, (SELECT round(nrm / (n * n * n), 6) FROM n6 CROSS JOIN nn) AS eigenvalue FROM v6 ORDER BY dim"""
+  /** The shared q_embed_pca oracle body. `src` is the (vec_id,
+    * embedding) relation (default the raw table; the sampled entry
+    * passes a MATERIALIZED prefix CTE — a scalar-subquery predicate
+    * left inline gets re-inlined with `e` through the six power
+    * steps and measured >100× slower in DuckDB); `prefixCtes` is
+    * emitted verbatim right after WITH; `extraCols` appends to the
+    * final SELECT. */
+  private def pcaOracleSql(src: String = "embeddings",
+                           extraCols: String = "",
+                           prefixCtes: String = ""): String =
+    s"""WITH ${prefixCtes}e AS (SELECT vec_id, j, round(va[j], 6)::DECIMAL(18,6) AS x FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS va FROM $src) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), g AS (SELECT j, sum(x)::DECIMAL(24,6) AS sx, count(*)::DECIMAL(6,0) AS n FROM e GROUP BY j), y AS (SELECT vec_id, e.j, (x * n - sx)::DECIMAL(18,6) AS y FROM e JOIN g ON e.j = g.j), cov AS (SELECT a.j, b.j AS k, sum((a.y::DECIMAL(19,6) * b.y::DECIMAL(19,6))::DECIMAL(38,12))::DECIMAL(24,12) AS mjk FROM y a JOIN y b ON a.vec_id = b.vec_id GROUP BY a.j, b.j), nn AS (SELECT count(*)::DOUBLE AS n FROM $src), v0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0.125::DECIMAL(8,6) AS vj), ${pcaStepsSql(6)} SELECT j::INT AS dim, vj::DOUBLE AS loading, (SELECT round(nrm / (n * n * n), 6) FROM n6 CROSS JOIN nn) AS eigenvalue$extraCols FROM v6 ORDER BY dim"""
 
   /** Quality-score CTE chain (mirrors
     * [[graft.functions.TextFunctions.qualityScore]]); terminal CTE
@@ -4337,12 +4355,16 @@ object PipelineQueries {
       }.mkString(" UNION ALL ")
       s"""WITH ex AS MATERIALIZED (SELECT vec_id, CASE WHEN label % 2 = 0 THEN 1 ELSE -1 END AS y, j, round(va[j], 6)::DECIMAL(12,6) AS x FROM (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS va FROM embeddings) CROSS JOIN LATERAL (SELECT unnest(range(1, 65)) AS j) r), w0 AS (SELECT unnest(range(1, 65))::BIGINT AS j, 0::DECIMAL(20,6) AS w), $epochs SELECT epoch, dim, w, err FROM ($rows) ORDER BY epoch, dim"""
     },
-    "q_embed_pca" -> pcaOracleSql(""),
-    // the identical pipeline over the md5-deterministic 4/16 row
-    // sample — both engines pick the same rows, and the centering n
-    // is the SAMPLE count on both sides
+    "q_embed_pca" -> pcaOracleSql(),
+    // the identical pipeline over the md5-deterministic hash-modulus
+    // row sample, m re-derived from count(*) by the same integer rule
+    // as Similarity.autoSampleModulus — both engines pick the same
+    // rows, and the centering n is the SAMPLE count on both sides
     "q_embed_pca_sampled" ->
-      pcaOracleSql(" WHERE substr(md5(vec_id::VARCHAR), 1, 1) < '4'"),
+      pcaOracleSql(
+        src = "smp",
+        extraCols = ", (SELECT m FROM mm)::INT AS modulus",
+        prefixCtes = "mm AS MATERIALIZED (SELECT greatest(1, (count(*) + 12499) // 12500) AS m FROM embeddings), smp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT % (SELECT m FROM mm) = 0), "),
     // same term-local round(6) components, same decimal-sum means,
     // same rounded squared-gap terms
     // same exact-decimal distances and argmax/tiebreak chain, rounds

@@ -86,23 +86,42 @@ class AutoKnobSpec extends SparkSpec {
     assert(autoRows === fixed)
   }
 
-  test("q_embed_pca_sampled: deterministic sample, same shape, sample n") {
-    // the sampled path must (a) run the identical pipeline shape —
-    // 64 loadings, one eigenvalue — and (b) center with the SAMPLE
-    // count, not the corpus count: eigenvalue = ‖Mv‖/n³ scales ~n⁻¹
-    // per the Y'Y construction, so a full-count denominator would be
-    // ~64× off at a 4/16 sample. Exact equality with DuckDB is the
-    // gate's job; here we pin the sample rule itself.
+  test("autoSampleModulus: measured operating points and SQL identity") {
+    // fixture SFs (500 / 500 / 2000) all land at m = 1 — the sampled
+    // path REPRODUCES the full path there (oracle-identity); sf1's
+    // 20 k picks m = 2 (~10 k sample, under the measured 20 k-fits /
+    // 50 k-refuses decimal envelope); sf10's 200 k picks m = 16
+    // (~12.5 k sample — the 4/16 fixed RATE this rule replaced gave a
+    // 50 k sample there, which re-overflowed Decimal(24,12), measured)
+    for (n <- Seq(1L, 500L, 2000L, 12500L))
+      assert(Similarity.autoSampleModulus(n) === 1L, s"n=$n")
+    assert(Similarity.autoSampleModulus(12501L) === 2L)
+    assert(Similarity.autoSampleModulus(20000L) === 2L)  // sf1
+    assert(Similarity.autoSampleModulus(200000L) === 16L) // sf10
+    assert(Similarity.autoSampleModulus(2000000L) === 160L)
+    val ns = Seq(1L, 500L, 2000L, 12500L, 12501L, 20000L, 200000L, 2000000L)
+    val sql = ns.toDF("n").select(col("n"),
+        greatest(lit(1L), expr("(n + 12499) div 12500")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- ns) assert(sql(n) === Similarity.autoSampleModulus(n), s"n=$n")
+  }
+
+  test("q_embed_pca_sampled reproduces the full entry at fixture scale") {
+    // m = 1 at fixture corpus sizes, so the sampled path is the FULL
+    // path plus the modulus column — pinned bit-for-bit (the
+    // q_dedup_embed_auto convention). The sampled path must also
+    // center with the SAMPLE count, not the corpus count: eigenvalue
+    // = ‖Mv‖/n³ scales ~n⁻¹ per the Y'Y construction, so a full-count
+    // denominator would be ~m³ off once m > 1. Exact equality with
+    // DuckDB is the gate's job; here we pin the fixture identity.
     val d = TestSpark.sfDir
-    val emb = graft.queries.Tables.t(spark, d, "embeddings")
-    val nSample = emb
-      .where(substring(md5(col("vec_id").cast("string")), 1, 1) < "4").count()
-    assert(nSample > 0 && nSample < emb.count())
+    val full = graft.queries.PipelineQueries.queries("q_embed_pca")(spark, d)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
     val out = graft.queries.PipelineQueries.queries("q_embed_pca_sampled")(spark, d)
       .collect()
     assert(out.length === 64)
-    assert(out.map(_.getAs[Int]("dim")).toSeq === (1 to 64))
-    val ev = out.head.getAs[Double]("eigenvalue")
-    assert(ev > 0.0)
+    assert(out.forall(_.getAs[Int]("modulus") === 1))
+    val sampled = out.map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(sampled === full)
   }
 }

@@ -31,11 +31,14 @@ import graft.operators.Similarity
   *     at the same corpus, plus the top-component agreement (cosine of
   *     the two loading vectors) at the largest SF where BOTH complete.
   *
-  * args: [sfDir] [alsoFullPca(0|1)]  (defaults /tmp/sf10 1) */
+  * args: [sfDir] [alsoFullPca(0|1)] [section(all|lsh|cell|pca)]
+  * (defaults /tmp/sf10 1 all) */
 object AutoKnobScaleProbe {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/tmp/sf10")
     val alsoFullPca = args.length < 2 || args(1) == "1"
+    val section = if (args.length > 2) args(2) else "all"
+    def in(s: String) = section == "all" || section == s
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -61,6 +64,7 @@ object AutoKnobScaleProbe {
     println(s"[auto-knob] corpus n=$n -> planes=$pAuto cells=$kAuto")
 
     // -- 1. analytic candidate volumes + timed production run --------
+    if (in("lsh")) {
     def candVolume(planes: Int): Long =
       Similarity.lshBandBuckets(e, bands = 4, planesPerBand = planes, dims = 64)
         .groupBy("band_id", "bucket").agg(count(lit(1)).as("c"))
@@ -79,7 +83,7 @@ object AutoKnobScaleProbe {
       .where(substring(md5(col("vec_id").cast("string")), 1, 2) < "08")
       .localCheckpoint(true)
     val nS = sample.count()
-    println(s"[auto-knob] recall sample n=$nS (~${nS.toDouble * nS / 2 / 1e6}%.1f M truth pairs scored)")
+    println(f"[auto-knob] recall sample n=$nS (~${nS.toDouble * nS / 2 / 1e6}%.1f M truth pairs scored)")
     val truth = timed("truth_pairs_blocked_quadratic") {
       val a = sample.select(col("vec_id").as("i"), col("v").as("va"))
       val b = sample.select(col("vec_id").as("j"), col("v").as("vb"))
@@ -103,8 +107,10 @@ object AutoKnobScaleProbe {
     println(f"[auto-knob] truth pairs (cos>=0.4): $nTruth; " +
       f"recall p=8: $recFixed (${recFixed * 100.0 / math.max(1L, nTruth)}%.2f%%), " +
       f"p=$pAuto: $recAuto (${recAuto * 100.0 / math.max(1L, nTruth)}%.2f%%)")
+    }
 
     // -- 3. semantic dedup: analytic cell volumes + timed run --------
+    if (in("cell")) {
     def cellVolume(k: Int): Long = {
       val cents = e.where(col("vec_id").between(1, k))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -119,8 +125,10 @@ object AutoKnobScaleProbe {
     timed("q_dedup_semantic_auto_full_run") {
       graft.SparkEntry.queries("q_dedup_semantic_auto")(spark, d).count()
     }
+    }
 
     // -- 4. pca: full path's refusal vs sampled path's completion ----
+    if (in("pca")) {
     if (alsoFullPca) {
       try {
         timed("q_embed_pca_full") {
@@ -153,6 +161,7 @@ object AutoKnobScaleProbe {
     } catch {
       case _: Throwable =>
         println("[auto-knob] full-vs-sampled agreement: full path unavailable at this SF (see refusal above)")
+    }
     }
     spark.stop()
   }

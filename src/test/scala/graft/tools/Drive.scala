@@ -27,6 +27,11 @@ object Drive {
       graft.operators.Similarity.autoPlanesPerBand(200000L))
     println(s"[drive] autoCellCount(2e5)     = " +
       graft.operators.Similarity.autoCellCount(200000L))
+    println(s"[drive] autoSampleModulus(2e5) = " +
+      graft.operators.Similarity.autoSampleModulus(200000L))
+    val pcaS = graft.SparkEntry.queries("q_embed_pca_sampled")(spark, d)
+    pcaS.show(3, truncate = false)
+    println(s"[drive] q_embed_pca_sampled rows=${pcaS.count()}")
     spark.stop()
   }
 }
