@@ -286,7 +286,11 @@ object Bench {
     // z-order data-skipping audit, sequence-packing audit, two-level
     // IVF (the past-4096-cells index layout)
     "q_privacy_ldiversity", "q_layout_skipping", "q_pack_sequences",
-    "q_embed_ivf_2level")
+    "q_embed_ivf_2level",
+    // r16 wave 3: incremental join-view maintenance (staged base view
+    // + broadcast delta terms) and the oracle-able Bloom ingest
+    // pre-filter with its auto-sized bit count
+    "q_ivm_join", "q_dedup_bloom")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

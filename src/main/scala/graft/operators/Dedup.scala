@@ -57,6 +57,31 @@ object Dedup {
         concat_ws(" ", (0 until n).map(i => col(s"t$i")): _*).as("g"))
   }
 
+  /** Auto-sized Bloom-filter bit count from the corpus key count —
+    * the ingest-side membership pre-filter's capacity knob
+    * (q_dedup_bloom): m = the smallest power of two ≥ bitsPerKey·n,
+    * clamped to [2¹⁴, 2²⁴]. At bitsPerKey = 16 with k = 3 probe
+    * positions the fill rate stays ≈ 1 − e^(−3/16) ≈ 0.17 and the
+    * false-positive rate ≈ 0.17³ ≈ 0.5% at ANY corpus size — a FIXED
+    * m saturates instead (measured shape: 47 k keys × 3 into 2¹⁴ bits
+    * → fill 0.9998, FPR ≈ 100%, the filter does nothing). Power-of-
+    * two so the modulo of the 24-bit md5 hex slices is unbiased; the
+    * 2²⁴ cap is the slice WIDTH envelope (6 hex chars = 24 bits per
+    * probe position — refusing the clamp loudly here would refuse
+    * ~1 M-key corpora that still work at 16 bpk, so the cap holds and
+    * the documented past-2²⁴ path is wider slices / more md5 calls,
+    * like autoPlanesPerBand's targetBucket lever past 2¹⁶·96).
+    * Integer-exact for the oracle: greatest(16384, least(16777216,
+    * 1 << length(bin(bitsPerKey·n − 1)))). */
+  def autoBloomBits(n: Long, bitsPerKey: Long = 16L,
+                    minBits: Long = 1L << 14, maxBits: Long = 1L << 24): Long = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    require(bitsPerKey > 0, s"bitsPerKey must be positive, got $bitsPerKey")
+    val target = bitsPerKey * n
+    val pow2 = java.lang.Long.highestOneBit(math.max(1L, target - 1)) << 1
+    math.min(maxBits, math.max(minBits, pow2))
+  }
+
   /** Per-doc MinHash signature: k components, component `s` = the
     * lexicographic min over word-3-gram shingles of an independent
     * 32-bit hash of the shingle (min of a uniform hash ⇒ classic

@@ -938,6 +938,62 @@ object PipelineQueries {
     }),
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy("h")),
+    "q_dedup_bloom" -> ((s, d) => {
+      // BLOOM-FILTER ingest pre-filter, IN-ENGINE and fully oracled:
+      // the membership test a 100 TB ingest runs BEFORE the exact
+      // anti-join (arrivals that miss the filter are definitely new —
+      // only the maybe-duplicates pay the corpus lookup). Built from
+      // deterministic arithmetic instead of an opaque sketch so the
+      // DuckDB oracle reproduces it bit-for-bit: k = 3 probe
+      // positions per key = three disjoint 6-hex-char (24-bit) slices
+      // of the content digest, modulo m bits; m is the auto-knob
+      // (Dedup.autoBloomBits: smallest power of two ≥ 16·n clamped to
+      // [2¹⁴, 2²⁴] — a FIXED m saturates: 47 k keys into 2¹⁴ bits is
+      // fill 0.9998 ≈ FPR 100%). The "filter" is the distinct corpus
+      // position set (≤ m narrow rows — at real scale an executor-
+      // local bitmap; here the same math as a distinct + equi-join,
+      // which is exactly what makes it oracle-able). Readout: the FP
+      // census — flagged arrivals vs true digest-duplicates, FPR in
+      // exact integer ppm (k=3/16 bpk analytic ≈ 0.5%), with the
+      // no-false-negative guarantee implied by n_flagged ≥ n_true_dup
+      // and both sides' m on the row (no silent knobs).
+      val withD = t(s, d, "documents")
+        .select(col("doc_id"), md5(col("text")).as("dg"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 16 === 5).as("arr"))
+        .localCheckpoint(true) // corpus bits + probe + dup check read it
+      val corpus = withD.where(!col("arr"))
+      val arrivals = withD.where(col("arr"))
+      val n = corpus.count()
+      val m = Dedup.autoBloomBits(n)
+      def positions(df: DataFrame): DataFrame = df.select(col("doc_id"),
+          explode(array(Seq(1, 9, 17).map(off =>
+            conv(substring(col("dg"), off, 6), 16, 10).cast("long") % m): _*))
+            .as("pos"))
+        .distinct()
+      val bits = positions(corpus).select("pos").distinct()
+      val probe = positions(arrivals)
+        .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left_outer")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("np"),
+          sum(coalesce(col("hit"), lit(0L))).as("nh"))
+        .select(col("doc_id"), (col("np") === col("nh")).as("flagged"))
+      val dup = arrivals
+        .join(corpus.select(col("dg")), Seq("dg"), "left_semi")
+        .select(col("doc_id")).withColumn("isdup", lit(true))
+      probe.join(dup, Seq("doc_id"), "left_outer")
+        .agg(count(lit(1)).as("n_arrivals"),
+          sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+          sum(when(coalesce(col("isdup"), lit(false)), 1L).otherwise(0L))
+            .as("n_true_dup"),
+          sum(when(col("flagged") && !coalesce(col("isdup"), lit(false)), 1L)
+            .otherwise(0L)).as("n_false_pos"))
+        .select(lit(n).as("n_corpus"), lit(m).as("m_bits"),
+          col("n_arrivals"), col("n_flagged"), col("n_true_dup"),
+          col("n_false_pos"),
+          expr("n_false_pos * 1000000 DIV greatest(1, n_arrivals - n_true_dup)")
+            .as("fpr_ppm"))
+    }),
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.25,
           sigOpt = Some(docSignatures(s, d)), candOpt = Some(docCandidates(s, d)))
@@ -3998,6 +4054,11 @@ object PipelineQueries {
         """exact_losers AS (SELECT doc_id FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM documents) WHERE doc_id <> keeper), near_losers AS (SELECT DISTINCT doc_b AS doc_id FROM est WHERE est0 >= 0.5 AND doc_b NOT IN (SELECT doc_id FROM exact_losers)) SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total, (SELECT count(*) FROM exact_losers)::BIGINT AS n_exact_dropped, (SELECT count(*) FROM near_losers)::BIGINT AS n_near_dropped, ((SELECT count(*) FROM documents) - (SELECT count(*) FROM exact_losers) - (SELECT count(*) FROM near_losers))::BIGINT AS n_kept"""),
     "q_dedup_exact" ->
       """SELECT substr(md5(text), 1, 16) AS h, min(doc_id)::BIGINT AS keeper, count(*)::BIGINT AS cnt FROM documents GROUP BY 1 ORDER BY h""",
+    // same digest slices, same auto-m (smallest power of two >= 16n,
+    // clamped — re-derived from the corpus count), same all-positions-
+    // present flag and integer-ppm FP census
+    "q_dedup_bloom" ->
+      """WITH dd AS MATERIALIZED (SELECT doc_id, md5(text) AS dg, ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT % 16 = 5 AS arr FROM documents), nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n FROM dd WHERE NOT arr), mm AS MATERIALIZED (SELECT greatest(16384, least(16777216, 1::BIGINT << length(bin(16 * n - 1))))::BIGINT AS m FROM nn), cpos AS MATERIALIZED (SELECT DISTINCT p % (SELECT m FROM mm) AS pos FROM (SELECT unnest([('0x' || substr(dg, 1, 6))::BIGINT, ('0x' || substr(dg, 9, 6))::BIGINT, ('0x' || substr(dg, 17, 6))::BIGINT]) AS p FROM dd WHERE NOT arr)), apos AS MATERIALIZED (SELECT DISTINCT doc_id, p % (SELECT m FROM mm) AS pos FROM (SELECT doc_id, unnest([('0x' || substr(dg, 1, 6))::BIGINT, ('0x' || substr(dg, 9, 6))::BIGINT, ('0x' || substr(dg, 17, 6))::BIGINT]) AS p FROM dd WHERE arr)), pr AS (SELECT a.doc_id, count(*) AS np, sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END) AS nh FROM apos a LEFT JOIN cpos c ON a.pos = c.pos GROUP BY a.doc_id), du AS (SELECT DISTINCT doc_id FROM dd WHERE arr AND dg IN (SELECT dg FROM dd WHERE NOT arr)), ag AS (SELECT count(*)::BIGINT AS n_arrivals, sum(CASE WHEN pr.np = pr.nh THEN 1 ELSE 0 END)::BIGINT AS n_flagged, sum(CASE WHEN du.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_true_dup, sum(CASE WHEN pr.np = pr.nh AND du.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_false_pos FROM pr LEFT JOIN du ON pr.doc_id = du.doc_id) SELECT (SELECT n FROM nn) AS n_corpus, (SELECT m FROM mm) AS m_bits, n_arrivals, n_flagged, n_true_dup, n_false_pos, (n_false_pos * 1000000 // greatest(1, n_arrivals - n_true_dup))::BIGINT AS fpr_ppm FROM ag""",
     "q_multimodal_resize" ->
       """SELECT doc_id, length(text)::INT AS orig_bytes, ((length(text) + 3) // 4)::INT AS resized_bytes, md5(array_to_string(list_transform(range(1, length(text) + 1, 4), i -> substr(text, i, 1)), '')) AS h FROM documents ORDER BY doc_id""",
     "q_multimodal_dedup" ->

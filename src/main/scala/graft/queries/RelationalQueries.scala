@@ -538,6 +538,55 @@ object RelationalQueries {
         .agg(count(lit(1)).as("norders"))
         .orderBy("nlines")
     }),
+    "q_ivm_join" -> ((s, d) => {
+      // INCREMENTAL VIEW MAINTENANCE of a join view — the primitive
+      // behind materialized views and streaming join state: with
+      // A = A0 ∪ dA and B = B0 ∪ dB (disjoint splits), additivity of
+      // the aggregate gives V(A, B) = V(A0,B0) + V(dA,B0) + V(A0,dB)
+      // + V(dA,dB). The base term V(A0,B0) is the MATERIALIZED view,
+      // session-staged per fixture generation (the ivf_indexed /
+      // pagerank_edges convention — bench reps time the MAINTENANCE,
+      // which is the operator); each delta term joins one full
+      // relation against a hash-designated ~1/16 arrival slice, so
+      // AQE broadcasts the delta side and maintenance never pays the
+      // base⋈base shuffle a recompute would — at 100 TB that is the
+      // whole point of keeping the view. The oracle computes the
+      // DIRECT join of the full relations (deliberately the same SQL
+      // as q_join_sortmerge's view): equality of the four-term
+      // decomposition with the recompute IS the IVM correctness
+      // statement, exact because the money terms are decimal-summed
+      // (order- and grouping-independent) before the one final
+      // double cast.
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val dA = conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 16 === 7
+      val dB = conv(substring(md5(concat(col("l_orderkey").cast("string"),
+          lit("#"), col("l_linenumber").cast("string"))), 1, 4), 16, 10)
+        .cast("long") % 16 === 3
+      def term(a: DataFrame, b: DataFrame): DataFrame =
+        b.join(a, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).as("rev"),
+            count(lit(1)).as("n"))
+      val fpKey = java.lang.Long.toHexString(
+        Tables.fingerprint(d, "orders") ^
+          java.lang.Long.rotateLeft(Tables.fingerprint(d, "lineitem"), 17))
+      val base = Staging.bucketedTable(s, d, s"ivm_base_$fpKey") { (name, dir) =>
+        term(o.where(!dA), li.where(!dB))
+          .write.format("parquet").mode("overwrite")
+          .option("path", dir.resolve("t").toString).saveAsTable(name)
+      }
+      base
+        .unionByName(term(o.where(dA), li.where(!dB)))
+        .unionByName(term(o.where(!dA), li.where(dB)))
+        .unionByName(term(o.where(dA), li.where(dB)))
+        .groupBy("o_orderpriority")
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          sum(col("n")).cast("long").as("cnt"))
+        .orderBy("o_orderpriority")
+    }),
     "q_tpch_q3" -> ((s, d) => {
       val cust = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
       val o = t(s, d, "orders").where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -3841,6 +3890,12 @@ object RelationalQueries {
         (0 until 10).map(i => s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})").mkString(" + ") +
         """) AS z FROM b) SELECT (z >> 14)::BIGINT AS zbucket, count(*)::BIGINT AS n, min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max, min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max FROM zt GROUP BY 1 ORDER BY zbucket"""),
     "q_join_sortmerge" ->
+      """SELECT o_orderpriority, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // DELIBERATELY the direct full join (q_join_sortmerge's SQL): the
+    // engine side maintains the view incrementally from the staged
+    // base + three delta terms, and equality with the recompute is
+    // the IVM correctness statement
+    "q_ivm_join" ->
       """SELECT o_orderpriority, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_semi" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment ORDER BY c_mktsegment""",

@@ -106,6 +106,60 @@ class AutoKnobSpec extends SparkSpec {
     for (n <- ns) assert(sql(n) === Similarity.autoSampleModulus(n), s"n=$n")
   }
 
+  test("autoBloomBits: power-of-two sizing, clamps, SQL identity") {
+    // smallest power of two >= 16n, clamped [2^14, 2^24]: fixture
+    // corpora land on the floor; 47k keys (the measured fixed-m
+    // saturation point) get 2^20; the 24-bit slice-width cap holds
+    import graft.operators.Dedup
+    for (n <- Seq(1L, 469L, 1024L))
+      assert(Dedup.autoBloomBits(n) === 16384L, s"n=$n")
+    assert(Dedup.autoBloomBits(1025L) === 32768L)
+    assert(Dedup.autoBloomBits(46875L) === 1048576L) // sf0.1 corpus
+    assert(Dedup.autoBloomBits(2048L) === 32768L)    // exact 16n power of two
+    assert(Dedup.autoBloomBits(100000000L) === (1L << 24)) // width cap
+    val ns = Seq(1L, 469L, 1024L, 1025L, 2048L, 46875L, 468750L, 100000000L)
+    val sql = ns.toDF("n").select(col("n"),
+        greatest(lit(16384L), least(lit(16777216L),
+          expr("shiftleft(1L, length(bin(16 * n - 1)))"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (n <- ns) assert(sql(n) === Dedup.autoBloomBits(n), s"n=$n")
+  }
+
+  test("q_dedup_bloom: no false negatives, census adds up") {
+    val d = TestSpark.sfDir
+    val row = graft.queries.PipelineQueries.queries("q_dedup_bloom")(spark, d)
+      .collect().head
+    val nArr = row.getAs[Long]("n_arrivals")
+    val flagged = row.getAs[Long]("n_flagged")
+    val trueDup = row.getAs[Long]("n_true_dup")
+    val fp = row.getAs[Long]("n_false_pos")
+    assert(nArr > 0)
+    // a Bloom filter NEVER misses a present key: every true digest-dup
+    // has all its positions set by its corpus twin
+    assert(flagged >= trueDup)
+    assert(flagged === trueDup + fp)
+    assert(row.getAs[Long]("m_bits") === 16384L) // fixture floor clamp
+  }
+
+  test("q_ivm_join: four-term maintenance equals the direct recompute") {
+    // the algebraic identity the gate oracle asserts cross-engine,
+    // pinned engine-side too: maintained view == full recompute,
+    // bit-for-bit (decimal sums are grouping-independent)
+    val d = TestSpark.sfDir
+    import org.apache.spark.sql.functions.{col => c}
+    val o = graft.queries.Tables.t(spark, d, "orders")
+    val li = graft.queries.Tables.t(spark, d, "lineitem")
+    val direct = li.join(o, c("l_orderkey") === c("o_orderkey"))
+      .groupBy(c("o_orderpriority"))
+      .agg(sum((c("l_extendedprice") * (lit(1) - c("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val ivm = graft.queries.RelationalQueries.queries("q_ivm_join")(spark, d)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(ivm === direct)
+  }
+
   test("q_embed_pca_sampled reproduces the full entry at fixture scale") {
     // m = 1 at fixture corpus sizes, so the sampled path is the FULL
     // path plus the modulus column — pinned bit-for-bit (the
