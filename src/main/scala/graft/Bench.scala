@@ -21,8 +21,11 @@ object Bench {
     // adjacency) and the any-scale distributed classification;
     // r14: + the residual settle (rule classes + certain-parent
     // reduction + residual replay, undecided fraction in-output)
+    // (q_graph_dfs_reduce moved to benchExcluded in r16: once its
+    // live-set derivation was session-staged, the per-rep remainder is
+    // ~50 pointer-doubling supersteps on the 150-vertex fixture —
+    // barrier latency, not data work)
     "q_graph_dfs_leaves_big", "q_graph_dfs_classes", "q_graph_dfs_residual",
-    "q_graph_dfs_reduce",
     "q_text_stats", "q_text_tokens_bpe", "q_text_fingerprint",
     "q_dedup_exact", "q_dedup_simhash", "q_dedup_minhash", "q_dedup_ngram",
     "q_dedup_pipeline", "q_embed_topk", "q_embed_ivf",
@@ -290,7 +293,9 @@ object Bench {
     // r16 wave 3: incremental join-view maintenance (staged base view
     // + broadcast delta terms) and the oracle-able Bloom ingest
     // pre-filter with its auto-sized bit count
-    "q_ivm_join", "q_dedup_bloom")
+    "q_ivm_join", "q_dedup_bloom",
+    // r16 wave 3b: the governance ladder's third rung
+    "q_privacy_tcloseness")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
@@ -360,6 +365,14 @@ object Bench {
     "q_source_matrixv2" -> "commit-io",
     "q_source_orc" -> "commit-io",
     "q_source_partitioned" -> "commit-io",
+    // r16 (r15 verdict item 4): with the reachability-restricted live
+    // edge set session-staged, the entry's only data-scale component
+    // (the orders derivation + depth-149 BFS) is out of the rep loop;
+    // what reps time is 3 reduction rounds x (pointer-doubled depths +
+    // 2^k jump tables) on a 150-vertex graph = ~50 driver-loop
+    // supersteps of local[*] barrier latency (measured floor stuck at
+    // ~4.6 s with near-zero data) — the closeness/SCC-fixpoint rule
+    "q_graph_dfs_reduce" -> "fixture-latency",
     "q_graph_betweenness" -> "fixture-latency",
     "q_graph_bfs_bidir" -> "fixture-latency",
     "q_graph_bfs_multi" -> "fixture-latency",

@@ -1092,6 +1092,58 @@ object RelationalQueries {
           col("n_homogeneous").cast("long").as("n_homogeneous"))
         .orderBy("l")
     }),
+    "q_privacy_tcloseness" -> ((s, d) => {
+      // t-CLOSENESS census (Li, Li & Venkatasubramanian 2007) — the
+      // third rung of the release-governance ladder: a group can be
+      // k-large AND l-diverse yet still leak (skewness attack) if its
+      // sensitive-value DISTRIBUTION differs from the table's. For an
+      // ordered sensitive attribute (the rounded-cents $1000 balance
+      // band) the paper's distance is the Earth-Mover's Distance with
+      // unit adjacent-band cost = (1/(B−1))·Σ_prefix |cumP_g − cumP|.
+      // Computed EXACTLY in cross-multiplied integers: per (group,
+      // band-prefix) the term is |cum_gb·N − cumN_b·n_g| (both
+      // products ≤ n_g·N — Long holds to N ≈ 3·10⁶ customers at the
+      // final ·10⁶ ppm scaling; past that the two products take one
+      // decimal(38,0) cast, the q_mix_shuffle envelope convention,
+      // refusing loudly before then). Per-group readout t in exact
+      // ppm of the max distance, over a full group×band spine so
+      // absent bands count at full weight. Everything is bounded:
+      // groups ≤ nations×segments, bands ≤ balance-range/1000; the
+      // only corpus-scale work is the ONE (group, band) hash agg.
+      val banded = t(s, d, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          expr("(CAST(round(c_acctbal * 100) AS BIGINT) + 100000) DIV 100000")
+            .as("band"))
+      val gb = banded.groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(count(lit(1)).as("ngb"))
+        .localCheckpoint(true) // spine + three marginals read it
+      val groups = gb.groupBy("c_nationkey", "c_mktsegment")
+        .agg(sum("ngb").cast("long").as("ng"))
+      val bands = gb.groupBy("band").agg(sum("ngb").cast("long").as("nb"))
+      val nTot = gb.agg(sum("ngb").cast("long").as("nn"),
+        countDistinct("band").cast("long").as("bcnt"))
+      val wCum = Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+      val wCumG = Window.orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val spine = groups.crossJoin(broadcast(
+          bands.withColumn("cumnb", sum("nb").over(wCumG))))
+        .crossJoin(broadcast(nTot))
+      spine
+        .join(gb, Seq("c_nationkey", "c_mktsegment", "band"), "left_outer")
+        .withColumn("cumg",
+          sum(coalesce(col("ngb"), lit(0L))).over(wCum))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(max("ng").as("gsz"),
+          sum(abs(col("cumg") * col("nn") - col("cumnb") * col("ng")))
+            .as("emd_raw"),
+          max("nn").as("nn2"), max("bcnt").as("bcnt2"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("gsz").cast("long").as("gsz"),
+          expr("emd_raw * 1000000 DIV (greatest(1, bcnt2 - 1) * gsz * nn2)")
+            .cast("long").as("t_ppm"))
+        .orderBy(col("c_nationkey"), col("c_mktsegment"))
+    }),
     "q_profile_skew" -> ((s, d) => {
       // JOIN-KEY skew census — the "should this join be salted"
       // decision input the adaptive-salting machinery consumes, as a
@@ -3977,6 +4029,11 @@ object RelationalQueries {
     // the sensitive attribute, same min-l / homogeneous-group scalars
     "q_privacy_ldiversity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment, count(DISTINCT (round(c_acctbal * 100)::BIGINT + 100000) // 100000)::BIGINT AS l, count(*) AS gsz FROM customer GROUP BY 1, 2), st AS (SELECT min(l)::BIGINT AS ldiv, sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)::BIGINT AS n_homogeneous FROM g) SELECT l, count(*)::BIGINT AS n_groups, sum(gsz)::BIGINT AS n_rows, (SELECT ldiv FROM st) AS ldiv, (SELECT n_homogeneous FROM st) AS n_homogeneous FROM g GROUP BY l ORDER BY l""",
+    // same rounded-cents bands, same full group×band spine, same
+    // cross-multiplied |cum_gb·N − cumN_b·n_g| prefix terms, same
+    // integer-ppm normalization by (B−1)·n_g·N
+    "q_privacy_tcloseness" ->
+      """WITH b AS (SELECT c_nationkey, c_mktsegment, (round(c_acctbal * 100)::BIGINT + 100000) // 100000 AS band FROM customer), gb AS (SELECT c_nationkey, c_mktsegment, band, count(*)::BIGINT AS ngb FROM b GROUP BY 1, 2, 3), g AS (SELECT c_nationkey, c_mktsegment, sum(ngb)::BIGINT AS ng FROM gb GROUP BY 1, 2), bd AS (SELECT band, sum(ngb)::BIGINT AS nb FROM gb GROUP BY band), bc AS (SELECT sum(nb)::BIGINT AS nn, count(*)::BIGINT AS bcnt FROM bd), bdc AS (SELECT band, sum(nb) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumnb FROM bd), sp AS (SELECT g.c_nationkey, g.c_mktsegment, g.ng, bdc.band, bdc.cumnb FROM g CROSS JOIN bdc), cm AS (SELECT sp.c_nationkey, sp.c_mktsegment, sp.ng, sp.cumnb, sum(coalesce(gb.ngb, 0)) OVER (PARTITION BY sp.c_nationkey, sp.c_mktsegment ORDER BY sp.band ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cumg FROM sp LEFT JOIN gb ON gb.c_nationkey = sp.c_nationkey AND gb.c_mktsegment = sp.c_mktsegment AND gb.band = sp.band) SELECT c_nationkey, c_mktsegment, max(ng)::BIGINT AS gsz, (sum(abs(cumg * (SELECT nn FROM bc) - cumnb * ng)) * 1000000 // (greatest(1, (SELECT bcnt FROM bc) - 1) * max(ng) * (SELECT nn FROM bc)))::BIGINT AS t_ppm FROM cm GROUP BY c_nationkey, c_mktsegment ORDER BY c_nationkey, c_mktsegment""",
     // same per-key counts, same bit-length buckets, same
     // cross-multiplied max·K·10⁶ // N integer skew ratio
     "q_profile_skew" ->

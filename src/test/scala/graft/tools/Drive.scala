@@ -16,7 +16,8 @@ object Drive {
     // r16 wave: drive the new gate entries end-to-end at sf0.1
     // (the gate verifies sf0.001/sf0.01; this is the bigger-data smoke)
     Seq("q_privacy_ldiversity", "q_layout_skipping", "q_pack_sequences",
-        "q_embed_ivf_2level", "q_ivm_join", "q_dedup_bloom").foreach { n =>
+        "q_embed_ivf_2level", "q_ivm_join", "q_dedup_bloom",
+        "q_privacy_tcloseness").foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, d)
       df.show(80, truncate = false)
