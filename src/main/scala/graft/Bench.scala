@@ -338,6 +338,7 @@ object Bench {
     "q_stream_cdc" -> "streaming",
     "q_stream_dedup" -> "streaming",
     "q_stream_dedup_corpus" -> "streaming",
+    "q_stream_ivm_join" -> "streaming",
     "q_stream_ivf_upsert" -> "streaming",
     "q_stream_psi" -> "streaming",
     "q_stream_enrich" -> "streaming",

@@ -140,8 +140,8 @@ object PipelineQueries {
     * dataset directories): Spark writes to an underscore-prefixed
     * stage dir — invisible to the source's file listing — and the one
     * part file moves up as `<tag>.parquet`. */
-  private def stageDocsChunk(df: DataFrame, streamDir: java.nio.file.Path,
-                             tag: String): Unit = {
+  private[queries] def stageDocsChunk(df: DataFrame, streamDir: java.nio.file.Path,
+                                      tag: String): Unit = {
     val stage = streamDir.resolve(s"_stage_$tag")
     df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
     val ls = java.nio.file.Files.list(stage)

@@ -587,6 +587,65 @@ object RelationalQueries {
           sum(col("n")).cast("long").as("cnt"))
         .orderBy("o_orderpriority")
     }),
+    "q_stream_ivm_join" -> ((s, d) => {
+      // q_ivm_join's maintenance loop EXECUTED AS A STREAM — the shape
+      // a production materialized view actually runs: the base term
+      // V(A0, B) is the persisted view (session-staged), the dA
+      // orders ARRIVE as a file stream (two real micro-batches via
+      // maxFilesPerTrigger = 1), and every batch joins ONLY its
+      // arrivals against the static lineitem side and appends its
+      // partial aggregate through foreachBatch. Aggregate additivity
+      // makes the final view independent of arrival order and
+      // batching (the q_stream_dedup_corpus equality-with-batch
+      // pattern), so the DIRECT full-join oracle applies verbatim —
+      // the streaming-maintained view provably equals the recompute.
+      // (The lineitem side stays static here; the batch entry
+      // exercises deltas on BOTH relations.)
+      val o = t(s, d, "orders")
+      val li = t(s, d, "lineitem")
+      val dA = conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 16 === 7
+      def term(a: DataFrame): DataFrame =
+        li.join(a, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .cast("decimal(18,4)")).as("rev"),
+            count(lit(1)).as("n"))
+      val fpKey = java.lang.Long.toHexString(
+        Tables.fingerprint(d, "orders") ^
+          java.lang.Long.rotateLeft(Tables.fingerprint(d, "lineitem"), 17))
+      val base = Staging.bucketedTable(s, d, s"ivm_sbase_$fpKey") { (name, dir) =>
+        term(o.where(!dA))
+          .write.format("parquet").mode("overwrite")
+          .option("path", dir.resolve("t").toString).saveAsTable(name)
+      }
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-ivm-in")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-q-ivm-out")
+      try {
+        val arriving = o.where(dA)
+        PipelineQueries.stageDocsChunk(
+          arriving.where(col("o_orderkey") % 2 === 0), streamDir, "a")
+        PipelineQueries.stageDocsChunk(
+          arriving.where(col("o_orderkey") % 2 =!= 0), streamDir, "b")
+        val stream = s.readStream.schema(o.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        val out = outDir.resolve("partials").toString
+        val perBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (batch, _) => term(batch.localCheckpoint(true))
+            .write.mode("append").parquet(out)
+        val q = stream.writeStream.foreachBatch(perBatch).start()
+        try q.processAllAvailable() finally q.stop()
+        base.unionByName(s.read.parquet(out))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("rev")).cast("double").as("revenue"),
+            sum(col("n")).cast("long").as("cnt"))
+          .orderBy("o_orderpriority")
+          // detach from the temp dir (eager blocks) so cleanup can run
+          .localCheckpoint(true)
+      } finally {
+        Staging.deleteRecursively(streamDir); Staging.deleteRecursively(outDir)
+      }
+    }),
     "q_tpch_q3" -> ((s, d) => {
       val cust = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
       val o = t(s, d, "orders").where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
@@ -3948,6 +4007,11 @@ object RelationalQueries {
     // base + three delta terms, and equality with the recompute is
     // the IVM correctness statement
     "q_ivm_join" ->
+      """SELECT o_orderpriority, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // the streaming-maintained view must equal the same direct
+    // recompute under any batching — additivity of the partial
+    // aggregates is the proof, the oracle is the check
+    "q_stream_ivm_join" ->
       """SELECT o_orderpriority, sum((l_extendedprice*(1-l_discount))::DECIMAL(18,4))::DOUBLE AS revenue, count(*)::BIGINT AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q_join_semi" ->
       """SELECT c_mktsegment, count(*)::BIGINT AS cnt FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY c_mktsegment ORDER BY c_mktsegment""",
