@@ -1697,6 +1697,73 @@ object PipelineQueries {
         .where(col("rk") <= 40)
         .orderBy("lang", "source", "rk")
     }),
+    "q_sample_neyman" -> ((s, d) => {
+      // NEYMAN-allocation stratified sampling (Neyman 1934) — the
+      // survey-statistics optimum the uniform quota misses: for a
+      // fixed total budget, the variance-minimizing per-stratum
+      // allocation is n_h ∝ N_h·σ_h, oversampling big AND
+      // high-variance strata. The weight has an EXACT form:
+      // N_h·σ_h = √(N_h·Σv² − (Σv)²) with population σ, so the whole
+      // allocation needs just ONE IEEE sqrt per stratum (strata are
+      // bounded — returnflag × linestatus) over exact 4-decimal power
+      // sums of the 2-decimal value; the sqrt is term-local-rounded
+      // to 6 before the shares (the spearman/zipf float rule), and
+      // the only remaining float op is one same-parenthesization
+      // budget·w/Σw division floor'd on both engines. Selection is
+      // the deterministic hash-rank quota (WindowGroupLimit — each
+      // map task keeps ≤ alloc rows per stratum BEFORE the shuffle).
+      // Readout per stratum: size, weight, allocation, selected
+      // count, selected-value mean (decimal-summed).
+      val budget = 1000L
+      val li = t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("v"))
+      val st = li.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("nh"),
+          sum(col("v").cast("decimal(18,2)")).as("s1"),
+          sum((col("v") * col("v")).cast("decimal(24,4)")).as("s2"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("nh"),
+          // the power sums are exact decimals; the N·Σv² − (Σv)²
+          // combination happens in DOUBLE on both engines (a decimal
+          // product of two 28-digit sums would overflow precision 38
+          // and silently lose exactness anyway) — identical operands,
+          // identical parenthesization, one sqrt. The term-local round
+          // is 2 decimals, NOT the usual 6: w ≈ 3·10⁸ at sf0.01, so
+          // round(·, 6) asks for the 16th significant digit — BELOW
+          // the double's ulp, and the two engines' rounding measurably
+          // flipped the last digit there. The round scale must keep
+          // the rounding decision well above ulp (ulp/step ≈ 10⁻⁵ at
+          // 2 decimals here); the magnitude-aware exception to the
+          // round(6) convention, with the reason on record.
+          round(sqrt(col("nh").cast("double") * col("s2").cast("double")
+            - col("s1").cast("double") * col("s1").cast("double")), 2)
+            .as("w"))
+      val tot = st.agg(sum(col("w").cast("decimal(24,2)")).cast("double")
+        .as("sumw"))
+      val alloc = st.crossJoin(broadcast(tot))
+        .select(col("l_returnflag"), col("l_linestatus"), col("nh"),
+          col("w"),
+          floor(lit(budget) * col("w") / col("sumw")).cast("long")
+            .as("alloc"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_returnflag"), col("l_linestatus"))
+        .orderBy(md5(concat(col("l_orderkey").cast("string"), lit("#"),
+          col("l_linenumber").cast("string"))),
+          col("l_orderkey"), col("l_linenumber"))
+      li.withColumn("rk", row_number().over(wr))
+        .join(broadcast(alloc), Seq("l_returnflag", "l_linestatus"))
+        .where(col("rk") <= col("alloc"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_sel"),
+          round(sum(col("v").cast("decimal(18,2)")).cast("double")
+            / count(lit(1)), 4).as("mean_v"))
+        .join(broadcast(alloc), Seq("l_returnflag", "l_linestatus"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("nh").cast("long").as("n_h"), col("w"),
+          col("alloc"), col("n_sel"), col("mean_v"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
     "q_sample_budget" -> ((s, d) => {
       // token-BUDGET sampling: per language, take docs in
       // hash-of-id order until 2 000 tokens are admitted (exclusive
@@ -4094,6 +4161,10 @@ object PipelineQueries {
       """WITH h AS (SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 2) AS h FROM documents), sp AS (SELECT doc_id, lang, CASE WHEN h < '0d' THEN 'test' WHEN h < '1a' THEN 'val' ELSE 'train' END AS split FROM h) SELECT split, lang, count(*)::BIGINT AS cnt, min(doc_id)::BIGINT AS first_doc FROM sp GROUP BY split, lang ORDER BY split, lang""",
     "q_sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk FROM documents) SELECT doc_id, lang, source, rk FROM r WHERE rk <= 40 ORDER BY lang, source, rk""",
+    // same exact power sums, same double-space N·Σv²−(Σv)² under one
+    // sqrt rounded 6, same floor'd budget share, same hash-rank quota
+    "q_sample_neyman" ->
+      """WITH li AS (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem), st AS (SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS nh, sum(v::DECIMAL(18,2)) AS s1, sum((v*v)::DECIMAL(24,4)) AS s2 FROM li GROUP BY 1, 2), w AS (SELECT l_returnflag, l_linestatus, nh, round(sqrt(nh::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE), 2) AS w FROM st), tt AS (SELECT sum(w::DECIMAL(24,2))::DOUBLE AS sumw FROM w), al AS (SELECT l_returnflag, l_linestatus, nh, w, floor(1000 * w / (SELECT sumw FROM tt))::BIGINT AS alloc FROM w), rk AS (SELECT l_returnflag, l_linestatus, v, row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR), l_orderkey, l_linenumber) AS rk FROM li), sel AS (SELECT r.l_returnflag, r.l_linestatus, count(*)::BIGINT AS n_sel, round(sum(r.v::DECIMAL(18,2))::DOUBLE / count(*), 4) AS mean_v FROM rk r JOIN al ON r.l_returnflag = al.l_returnflag AND r.l_linestatus = al.l_linestatus WHERE r.rk <= al.alloc GROUP BY 1, 2) SELECT al.l_returnflag, al.l_linestatus, al.nh AS n_h, al.w, al.alloc, sel.n_sel, sel.mean_v FROM al JOIN sel ON al.l_returnflag = sel.l_returnflag AND al.l_linestatus = sel.l_linestatus ORDER BY 1, 2""",
     "q_sample_budget" ->
       s"""WITH $toksSql, n AS (SELECT d.doc_id, d.lang, len(t.tk)::BIGINT AS ntok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), c AS (SELECT doc_id, lang, ntok, coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM n) SELECT lang, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens, min(doc_id)::BIGINT AS first_doc FROM c WHERE before < 2000 GROUP BY lang ORDER BY lang""",
     "q_text_boilerplate" ->

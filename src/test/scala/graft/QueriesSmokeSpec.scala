@@ -72,6 +72,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_privacy_kanon",                               // broadcast 1-row k/singleton scalars
     "q_privacy_ldiversity",                          // broadcast 1-row l/homogeneous scalars
     "q_privacy_tcloseness",                          // bounded group×band spine + 1-row totals
+    "q_sample_neyman",                               // broadcast 1-row weight-total scalar
     "q_layout_skipping",                             // broadcast 1-row max-orderkey scalar
     "q_embed_ivf_2level",                            // broadcast 1-row query vector / cell
     "q_mix_shuffle")                                 // broadcast lang-count table + 1-row total
