@@ -113,9 +113,12 @@ object PipelineQueries {
     * the same path is regenerated mid-session, and the staged
     * artifacts must keep that contract — a stale corpus index probed
     * by fresh batch signatures would silently diverge from the
-    * oracle. Each staging site names its TRUE source table via
-    * `fpTable` (r15 advice — a documents-hardcoded key would silently
-    * skip invalidation for an embeddings-derived artifact). */
+    * oracle. A staging site whose artifact derives from another table
+    * names it via `fpTable` (r15 advice — a documents-hardcoded key
+    * would silently skip invalidation for an embeddings-derived
+    * artifact); every CURRENT caller is documents-derived, so all use
+    * the default — the q_ivm_join base view, which depends on TWO
+    * tables, folds both fingerprints into its tag by hand instead. */
   private def stagedTable(s: SparkSession, d: String, tag: String,
                           fpTable: String = "documents")
                          (build: => DataFrame): DataFrame = {
@@ -966,13 +969,20 @@ object PipelineQueries {
       val arrivals = withD.where(col("arr"))
       val n = corpus.count()
       val m = Dedup.autoBloomBits(n)
-      def positions(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      def positions(df: DataFrame, perDoc: Boolean): DataFrame = {
+        val raw = df.select(col("doc_id"),
           explode(array(Seq(1, 9, 17).map(off =>
             conv(substring(col("dg"), off, 6), 16, 10).cast("long") % m): _*))
             .as("pos"))
-        .distinct()
-      val bits = positions(corpus).select("pos").distinct()
-      val probe = positions(arrivals)
+        // arrivals need per-doc distinct positions (the np === nh
+        // membership test); the corpus side only needs the POSITION
+        // set, so it deduplicates once on the narrow key instead of
+        // shuffling (doc_id, pos) first (r16 review — the corpus is
+        // the 15/16 majority on a headlined entry)
+        if (perDoc) raw.distinct() else raw.select("pos").distinct()
+      }
+      val bits = positions(corpus, perDoc = false)
+      val probe = positions(arrivals, perDoc = true)
         .join(bits.withColumn("hit", lit(1L)), Seq("pos"), "left_outer")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("np"),
@@ -1752,6 +1762,15 @@ object PipelineQueries {
           col("l_linenumber").cast("string"))),
           col("l_orderkey"), col("l_linenumber"))
       li.withColumn("rk", row_number().over(wr))
+        // LITERAL rank cut first: alloc = floor(budget·w/Σw) ≤ budget
+        // always, and InferWindowGroupLimit only fires on
+        // Filter(rank ≤ literal) directly above the Window — the
+        // non-literal alloc compare after the join would silently
+        // rank and shuffle EVERY row (r16 review); with the literal
+        // pre-cut each map task keeps ≤ budget rows per stratum
+        // before the exchange, then the exact per-stratum quota
+        // applies on the survivors
+        .where(col("rk") <= budget)
         .join(broadcast(alloc), Seq("l_returnflag", "l_linestatus"))
         .where(col("rk") <= col("alloc"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -3961,12 +3980,6 @@ object PipelineQueries {
       s"n$t AS (SELECT sqrt(sum((wj::DECIMAL(19,0) * wj::DECIMAL(19,0))::DECIMAL(38,0))::DOUBLE) AS nrm FROM w$t), " +
       s"v$t AS (SELECT j, round(wj::DOUBLE / (SELECT nrm FROM n$t), 6)::DECIMAL(8,6) AS vj FROM w$t)"
     }.mkString(", ")
-  /** The q_embed_pca oracle over `embeddings` restricted by
-    * `srcPred` (SQL appended to the source FROM clauses — empty for
-    * the full corpus, the md5 sample predicate for
-    * q_embed_pca_sampled). Both the element table and the centering
-    * count see the SAME predicate, mirroring [[pcaTopComponent]]'s
-    * single-source contract. */
   /** The shared q_embed_pca oracle body. `src` is the (vec_id,
     * embedding) relation (default the raw table; the sampled entry
     * passes a MATERIALIZED prefix CTE — a scalar-subquery predicate

@@ -145,13 +145,24 @@ object RelationalQueries {
   }
 
   /** The Morton bit-interleave of the two low-8-bit (x, y)
-    * coordinates, as the integer SQL BOTH engines evaluate
-    * (q_layout_zorder): bit i of x lands at position 2i, bit i of y
-    * at 2i + 1 — generated once so the plane constants can never
-    * drift between the Spark expression and the DuckDB oracle. */
-  private[queries] val zInterleaveSql: String = (0 until 8).map { i =>
-    s"(((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)})"
-  }.mkString(" + ")
+    * coordinates for q_layout_skipping: bit i of x lands at position
+    * 2i, bit i of y at 2i + 1. ONE generator emits both dialects
+    * (DuckDB `>>`, Spark `shiftright`) from the same loop, so the
+    * position constants provably cannot drift between the engine
+    * expression and the oracle (r16 review: the first cut generated
+    * only the SQL side and hand-built the Column fold). The older
+    * q_layout_zorder entry keeps its separate 10-bit
+    * ZOrder.interleave2 operator + inline oracle — a different
+    * geometry with its own spec, not a copy of this one. */
+  private def zInterleave(shift: (String, Int) => String): String =
+    (0 until 8).map { i =>
+      s"((${shift("x", i)} & 1) * ${1L << (2 * i)} + " +
+        s"(${shift("y", i)} & 1) * ${1L << (2 * i + 1)})"
+    }.mkString(" + ")
+  private[queries] val zInterleaveSql: String =
+    zInterleave((v, i) => s"($v >> $i)")
+  private[queries] val zInterleaveSparkSql: String =
+    zInterleave((v, i) => s"shiftright($v, $i)")
 
   /** The one batch gaps-and-islands oracle both streaming SCD-2 gate
     * entries (default store + RocksDB) are checked against. */
@@ -1250,15 +1261,11 @@ object RelationalQueries {
       // pure integer shift/mask arithmetic inside codegen — the
       // identical formula the oracle evaluates.
       val omax = t(s, d, "lineitem").agg(max("l_orderkey").as("omax"))
-      val zbits = (0 until 8).map { i =>
-        (shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
-          (shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
-      }.reduce(_ + _)
       t(s, d, "lineitem")
         .select(col("l_orderkey"),
           (col("l_partkey") % 256).cast("long").as("x"),
           (col("l_suppkey") % 256).cast("long").as("y"))
-        .withColumn("z", zbits)
+        .withColumn("z", expr(zInterleaveSparkSql))
         .crossJoin(broadcast(omax))
         .select(col("x"), col("y"), explode(array(
           struct(lit("zorder").as("layout"),

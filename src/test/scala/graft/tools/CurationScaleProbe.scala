@@ -76,8 +76,14 @@ object CurationScaleProbe {
         .localCheckpoint(true)
       val nEvalTypes = ev.count()
       val nNonEvalShingleRows = nonEval.count()
-      val joinVolume = nonEval.join(ev, "g").count()
-      val nContaminated = nonEval.join(ev, "g").select("doc_id").distinct().count()
+      // ONE pass over the expensive join (r16 review: two separate
+      // counts re-executed the 24.6M x 1.23M shingle join — the very
+      // cost this probe exists to measure)
+      val jRow = nonEval.join(ev, "g")
+        .agg(count(lit(1)).as("vol"), countDistinct("doc_id").as("nc"))
+        .head()
+      val joinVolume = jRow.getLong(0)
+      val nContaminated = jRow.getLong(1)
       val finalRows = chain(forceBroadcast = false)
         .agg(sum(col("n"))).head().getLong(0)
       println(s"[curation-scale] corpus docs=$nDocs evalShingleTypes=$nEvalTypes " +

@@ -106,9 +106,20 @@ object ScaleGen {
           // stays 3 per level (copy 0 + two near-dups), so the
           // eval-overlap rate stays organic while dedup still has
           // real cross-copy work.
+          // split on \s+ (the shingle tokenizer's rule — a tab-joined
+          // pair must not survive as one unrewritten split-token; on
+          // the single-space fixtures this is byte-identical to the
+          // ' ' split, so the r16 sf1/sf10 measurements stand) and
+          // rewrite the last token of a SHORT doc: < 3 tokens has no
+          // j%3==2 index, which left copies 3..9 bit-identical to
+          // their source (r16 review) — no 3-grams there, but the
+          // exact-dup families it created were still wrong. Docs with
+          // >= 3 tokens keep the exact previous rewrite.
           shifted.withColumn("text",
-            expr(s"array_join(transform(split(text, ' '), (t, j) -> " +
-              s"IF(j % 3 = 2, concat(t, '$tag$i'), t)), ' ')"))
+            expr(s"array_join(transform(split(text, '\\\\s+'), (t, j) -> " +
+              s"IF(j % 3 = 2 OR (size(split(text, '\\\\s+')) < 3 " +
+              s"AND j = size(split(text, '\\\\s+')) - 1), " +
+              s"concat(t, '$tag$i'), t)), ' ')"))
       varied.withColumn("n_chars", length(col("text")).cast("long"))
     })
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
