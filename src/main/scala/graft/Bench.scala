@@ -294,6 +294,8 @@ object Bench {
     // + broadcast delta terms) and the oracle-able Bloom ingest
     // pre-filter with its auto-sized bit count
     "q_ivm_join", "q_dedup_bloom", "q_sample_neyman",
+    // r16 wave 4: residual-encoded IVF-PQ (the FAISS default encoding)
+    "q_embed_ivfpq_residual",
     // r16 wave 3b: the governance ladder's third rung
     "q_privacy_tcloseness")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former

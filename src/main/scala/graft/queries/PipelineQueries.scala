@@ -3903,6 +3903,63 @@ object PipelineQueries {
           round(expr("cosine_sim(v, qfull)"), 4).as("score"))
         .orderBy(desc("score"), col("vec_id")).limit(10)
     }),
+    "q_embed_ivfpq_residual" -> ((s, d) => {
+      // RESIDUAL-encoded IVF-PQ — the encoding FAISS IndexIVFPQ
+      // actually defaults to (and the reason it beats flat PQ at the
+      // same byte budget): vectors are PQ-coded as (v − centroid)
+      // rather than raw v, so the codebook spends its 16 entries on
+      // the small within-cell residual ball instead of the whole
+      // space. Ranking stays correct per cell because the probe
+      // restricts to ONE cell, where dot(q, v) ≈ dot(q, cv) +
+      // dot(q_r, r_code) and the dot(q, cv) term is a constant —
+      // the within-cell ADC order is the residual ADC order. Same
+      // stage costs as q_embed_ivfpq (O(cells) + O(|cell|)·8 LUT
+      // adds + O(20) exact cosines); the residual subtraction is one
+      // extra zip_with inside codegen. Residual codebooks train on
+      // the POOLED residuals of vec_ids 1..16 (each wrt its own
+      // cell's centroid — the FAISS recipe).
+      graft.functions.expressions.GraftFunctions.register(s)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val withR = Similarity.assignCells(e, cents)
+        .join(broadcast(cents), "cid")
+        .select(col("vec_id"), col("v"), col("cid"),
+          expr("zip_with(v, cv, (a, b) -> a - b)").as("r"))
+        .localCheckpoint(true) // qcell + slices both read it
+      val qcell = withR.where(col("vec_id") === 0)
+        .select(col("cid").as("qcid"))
+      val cellIds = withR.join(broadcast(qcell), col("cid") === col("qcid"))
+        .select(col("vec_id"))
+      val vs = withR.select(col("vec_id"),
+          explode(sequence(lit(0), lit(7))).as("sub"), col("r"))
+        .select(col("vec_id"), col("sub"), expr("slice(r, sub * 8 + 1, 8)").as("sv"))
+        .localCheckpoint(true) // codebook + assignment + query LUT
+      val cb = vs.where(col("vec_id").between(1, 16))
+        .select(col("vec_id").as("code"), col("sub"), col("sv").as("scv"))
+      val codes = vs.join(broadcast(cb), "sub")
+        .select(col("vec_id"), col("sub"), col("code"),
+          expr("l2sq_fold(sv, scv)").as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("code"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.code").as("code"))
+      val lut = cb.join(
+          vs.where(col("vec_id") === 0).select(col("sub"), col("sv").as("qsv")), "sub")
+        .select(col("sub"), col("code"), expr("dot_fold(scv, qsv)").as("pdot"))
+      val approx = codes.join(cellIds, "vec_id")
+        .where(col("vec_id") =!= 0)
+        .join(broadcast(lut), Seq("sub", "code"))
+        .groupBy("vec_id")
+        .agg(round(sum(col("pdot").cast("decimal(28,12)")).cast("double"), 4)
+          .as("approx"))
+      val cand = approx.orderBy(desc("approx"), col("vec_id")).limit(20)
+      val q0 = e.where(col("vec_id") === 0).select(col("v").as("qfull"))
+      cand.join(e, "vec_id").crossJoin(broadcast(q0))
+        .select(col("vec_id"), col("approx"),
+          round(expr("cosine_sim(v, qfull)"), 4).as("score"))
+        .orderBy(desc("score"), col("vec_id")).limit(10)
+    }),
     "q_embed_quant" -> ((s, d) => {
       // int8 symmetric quantization — the storage form a 100 TB vector
       // corpus ships: per-vector max-abs scale, code = floor(x/scale*
@@ -4559,6 +4616,12 @@ object PipelineQueries {
     // the ADC stage; top-20 candidates, same exact rescore
     "q_embed_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qc AS (SELECT cid AS qcid FROM assigned WHERE vec_id = 0), cellids AS (SELECT vec_id FROM assigned JOIN qc ON assigned.cid = qc.qcid), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS sv FROM e CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, sv AS qsv FROM vs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN cellids USING (vec_id) JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 20), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // the ivfpq chain with the RESIDUAL subtraction spliced in: the
+    // slice source is v − cv(assigned cell), codebooks are the pooled
+    // residual slices of vec_ids 1..16, query LUT uses vec 0's own
+    // residual; same cell restriction, same ADC sum, same rescore
+    "q_embed_ivfpq_residual" ->
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), wr AS (SELECT a.vec_id, a.v, a.cid, list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r FROM assigned a JOIN cents c ON a.cid = c.cid), qc AS (SELECT cid AS qcid FROM wr WHERE vec_id = 0), cellids AS (SELECT vec_id FROM wr JOIN qc ON wr.cid = qc.qcid), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(r, sub*8+1, sub*8+8) AS sv FROM wr CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, sv AS qsv FROM vs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN cellids USING (vec_id) JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 20), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // same two-halves sign-bit pack, same integer hamming top-50
     // (asc, id), same exact-cosine rescore and single round(4)
     "q_embed_binary" ->

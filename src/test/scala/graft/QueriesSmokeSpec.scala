@@ -39,6 +39,7 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_binary",                                // broadcast 1-row query vector + codes
     "q_embed_binary_recall",                         // broadcast 1-row query vector + codes
     "q_embed_ivfpq",                                 // broadcast 1-row query vector / cell
+    "q_embed_ivfpq_residual",                        // broadcast 1-row query vector / cell
     "q_events_psi",                                  // broadcast 1-row min-day scalar
     "q_embed_ivf_delete",                            // broadcast 1-row query vector (local)
     "q_embed_ivf_compact",                           // broadcast 1-row query vector (local)
