@@ -1717,7 +1717,8 @@ object PipelineQueries {
       // allocation needs just ONE IEEE sqrt per stratum (strata are
       // bounded — returnflag × linestatus) over exact 4-decimal power
       // sums of the 2-decimal value; the sqrt is term-local-rounded
-      // to 6 before the shares (the spearman/zipf float rule), and
+      // to TWO decimals (see the magnitude note at the round site —
+      // NOT the usual 6), and
       // the only remaining float op is one same-parenthesization
       // budget·w/Σw division floor'd on both engines. Selection is
       // the deterministic hash-rank quota (WindowGroupLimit — each
@@ -3909,10 +3910,14 @@ object PipelineQueries {
       // same byte budget): vectors are PQ-coded as (v − centroid)
       // rather than raw v, so the codebook spends its 16 entries on
       // the small within-cell residual ball instead of the whole
-      // space. Ranking stays correct per cell because the probe
-      // restricts to ONE cell, where dot(q, v) ≈ dot(q, cv) +
-      // dot(q_r, r_code) and the dot(q, cv) term is a constant —
-      // the within-cell ADC order is the residual ADC order. Same
+      // space. Ranking stays correct per cell because
+      // dot(q, v) = dot(q, cv) + dot(q, r_v) EXACTLY, the probe
+      // restricts to ONE cell where dot(q, cv) is a constant, and the
+      // ADC approximates only the residual term — so the LUT dots the
+      // RAW query slices against the residual codewords (an r16
+      // review caught the first cut using the query's own residual
+      // there, which drops a per-VECTOR dot(cv, r_v) term and is NOT
+      // order-preserving). Same
       // stage costs as q_embed_ivfpq (O(cells) + O(|cell|)·8 LUT
       // adds + O(20) exact cosines); the residual subtraction is one
       // extra zip_with inside codegen. Residual codebooks train on
@@ -3944,8 +3949,10 @@ object PipelineQueries {
         .groupBy("vec_id", "sub")
         .agg(min(struct(col("d2"), col("code"))).as("m"))
         .select(col("vec_id"), col("sub"), col("m.code").as("code"))
-      val lut = cb.join(
-          vs.where(col("vec_id") === 0).select(col("sub"), col("sv").as("qsv")), "sub")
+      val qsl = withR.where(col("vec_id") === 0)
+        .select(explode(sequence(lit(0), lit(7))).as("sub"), col("v"))
+        .select(col("sub"), expr("slice(v, sub * 8 + 1, 8)").as("qsv"))
+      val lut = cb.join(broadcast(qsl), "sub")
         .select(col("sub"), col("code"), expr("dot_fold(scv, qsv)").as("pdot"))
       val approx = codes.join(cellIds, "vec_id")
         .where(col("vec_id") =!= 0)
@@ -4232,7 +4239,8 @@ object PipelineQueries {
     "q_sample_stratified" ->
       """WITH r AS (SELECT doc_id, lang, source, row_number() OVER (PARTITION BY lang, source ORDER BY md5(doc_id::VARCHAR), doc_id)::INT AS rk FROM documents) SELECT doc_id, lang, source, rk FROM r WHERE rk <= 40 ORDER BY lang, source, rk""",
     // same exact power sums, same double-space N·Σv²−(Σv)² under one
-    // sqrt rounded 6, same floor'd budget share, same hash-rank quota
+    // sqrt rounded 2 (the magnitude-aware exception — see the engine
+    // side), same floor'd budget share, same hash-rank quota
     "q_sample_neyman" ->
       """WITH li AS (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem), st AS (SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS nh, sum(v::DECIMAL(18,2)) AS s1, sum((v*v)::DECIMAL(24,4)) AS s2 FROM li GROUP BY 1, 2), w AS (SELECT l_returnflag, l_linestatus, nh, round(sqrt(nh::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE), 2) AS w FROM st), tt AS (SELECT sum(w::DECIMAL(24,2))::DOUBLE AS sumw FROM w), al AS (SELECT l_returnflag, l_linestatus, nh, w, floor(1000 * w / (SELECT sumw FROM tt))::BIGINT AS alloc FROM w), rk AS (SELECT l_returnflag, l_linestatus, v, row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR), l_orderkey, l_linenumber) AS rk FROM li), sel AS (SELECT r.l_returnflag, r.l_linestatus, count(*)::BIGINT AS n_sel, round(sum(r.v::DECIMAL(18,2))::DOUBLE / count(*), 4) AS mean_v FROM rk r JOIN al ON r.l_returnflag = al.l_returnflag AND r.l_linestatus = al.l_linestatus WHERE r.rk <= al.alloc GROUP BY 1, 2) SELECT al.l_returnflag, al.l_linestatus, al.nh AS n_h, al.w, al.alloc, sel.n_sel, sel.mean_v FROM al JOIN sel ON al.l_returnflag = sel.l_returnflag AND al.l_linestatus = sel.l_linestatus ORDER BY 1, 2""",
     "q_sample_budget" ->
@@ -4621,7 +4629,7 @@ object PipelineQueries {
     // residual slices of vec_ids 1..16, query LUT uses vec 0's own
     // residual; same cell restriction, same ADC sum, same rescore
     "q_embed_ivfpq_residual" ->
-      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), wr AS (SELECT a.vec_id, a.v, a.cid, list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r FROM assigned a JOIN cents c ON a.cid = c.cid), qc AS (SELECT cid AS qcid FROM wr WHERE vec_id = 0), cellids AS (SELECT vec_id FROM wr JOIN qc ON wr.cid = qc.qcid), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(r, sub*8+1, sub*8+8) AS sv FROM wr CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, sv AS qsv FROM vs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN cellids USING (vec_id) JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 20), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+      s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), wr AS (SELECT a.vec_id, a.v, a.cid, list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r FROM assigned a JOIN cents c ON a.cid = c.cid), qc AS (SELECT cid AS qcid FROM wr WHERE vec_id = 0), cellids AS (SELECT vec_id FROM wr JOIN qc ON wr.cid = qc.qcid), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(r, sub*8+1, sub*8+8) AS sv FROM wr CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, list_slice(v, sub*8+1, sub*8+8) AS qsv FROM wr CROSS JOIN subs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN cellids USING (vec_id) JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 20), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // same two-halves sign-bit pack, same integer hamming top-50
     // (asc, id), same exact-cosine rescore and single round(4)
     "q_embed_binary" ->

@@ -115,11 +115,15 @@ object ScaleGen {
           // their source (r16 review) — no 3-grams there, but the
           // exact-dup families it created were still wrong. Docs with
           // >= 3 tokens keep the exact previous rewrite.
-          shifted.withColumn("text",
-            expr(s"array_join(transform(split(text, '\\\\s+'), (t, j) -> " +
-              s"IF(j % 3 = 2 OR (size(split(text, '\\\\s+')) < 3 " +
-              s"AND j = size(split(text, '\\\\s+')) - 1), " +
-              s"concat(t, '$tag$i'), t)), ' ')"))
+          // tokenize ONCE per row (r16 review: size(split(..)) inside
+          // the transform lambda re-ran the full-document regex split
+          // per token — O(tokens²·len) on the generator's hot path)
+          shifted.withColumn("toks", expr("split(text, '\\\\s+')"))
+            .withColumn("text",
+              expr(s"array_join(transform(toks, (t, j) -> " +
+                s"IF(j % 3 = 2 OR (size(toks) < 3 AND j = size(toks) - 1), " +
+                s"concat(t, '$tag$i'), t)), ' ')"))
+            .drop("toks")
       varied.withColumn("n_chars", length(col("text")).cast("long"))
     })
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
