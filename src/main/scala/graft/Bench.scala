@@ -297,7 +297,10 @@ object Bench {
     // r16 wave 4: residual-encoded IVF-PQ (the FAISS default encoding)
     "q_embed_ivfpq_residual",
     // r16 wave 3b: the governance ladder's third rung
-    "q_privacy_tcloseness")
+    "q_privacy_tcloseness",
+    // r17: the two-level IVF with corpus-derived fanout
+    // (autoTwoLevelFanout — r16 verdict item 5)
+    "q_embed_ivf_2level_auto")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

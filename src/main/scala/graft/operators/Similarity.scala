@@ -309,7 +309,15 @@ object Similarity {
   /** Auto-sized hash-sample MODULUS from the corpus count — the third
     * member of the auto-knob family (r16): keep a row iff
     * `hash(id) % m == 0` with m = ⌈n / targetSample⌉, so the expected
-    * SAMPLE SIZE is ≈ targetSample regardless of corpus size. A fixed
+    * SAMPLE SIZE is ≈ targetSample. The hash the callers slice must be
+    * at least as wide as m or the modulus silently degenerates to a
+    * fixed rate: the gate predicate uses a 32-bit md5 slice (8 hex
+    * chars, both engines), so the rule holds to m ≤ 2³²
+    * (n ≈ 5·10¹³ at the default target) — a 16-bit slice was the
+    * first cut and past m = 65536 (n ≈ 8·10⁸) reduced to
+    * `hash16 == 0`, a fixed 1/65536 rate whose sample grows as
+    * n/65536 and re-enters the overflow regime the sampled path
+    * exists to remove (r16 ADVICE). A fixed
     * sample RATE (the first cut: md5 first-digit < '4', 4/16) bounds
     * nothing at scale — at sf10 its 50 k sample re-overflowed the
     * exact-decimal PCA covariance (measured: 2.7·10¹² > Decimal(24,12)'s
@@ -325,6 +333,33 @@ object Similarity {
     require(n > 0, s"corpus count must be positive, got $n")
     require(targetSample > 0, s"targetSample must be positive, got $targetSample")
     math.max(1L, (n + targetSample - 1) / targetSample)
+  }
+
+  /** Auto-sized PER-LEVEL fanout for the two-level (coarse × fine)
+    * IVF — the auto-knob for the index layout that exists precisely
+    * for the past-the-[[autoCellCount]]-cap regime (r16 verdict
+    * item 5): leaf cells = ⌈n / targetLeaf⌉ (clamped) bounds expected
+    * leaf population like the flat rule, and the fanout splits
+    * square-root-wise across the two levels — k1 = k2 = the smallest
+    * power of two with k1² ≥ leaves — so every centroid table stays
+    * tiny (k1 rows coarse, k1² rows fine, ≤ 4096 per level at the
+    * 2²⁴-leaf cap, the flat family's broadcast bound applied per
+    * level) and assignment work is n·(k1 + k2), the IMI convention.
+    * INTEGER-exact so the DuckDB oracle re-derives it from count(*):
+    * k1 = 1 << ((bitLength(leaves − 1) + 1) div 2), i.e.
+    * `1 << ((length(bin(greatest(16, least(16777216,
+    * (n + 499) // 500)) - 1)) + 1) // 2)` in DuckDB (spec-pinned).
+    * Defaults reproduce the gate's fixed k1 = k2 = 4 at every fixture
+    * SF (leaves clamp to 16 while n ≤ 8000) and give k1 = 8 at sf1's
+    * 20 k, k1 = 32 (1024 leaves) at sf10's 200 k. */
+  def autoTwoLevelFanout(n: Long, targetLeaf: Long = 500L,
+                         minLeaves: Int = 16, maxLeaves: Int = 1 << 24): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    require(targetLeaf > 0, s"targetLeaf must be positive, got $targetLeaf")
+    val leaves = math.min(maxLeaves.toLong,
+      math.max(minLeaves.toLong, (n + targetLeaf - 1) / targetLeaf))
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(leaves - 1)
+    1 << ((bits + 1) / 2)
   }
 
   def lshBandBuckets(embeddings: DataFrame, bands: Int = 4,

@@ -1762,7 +1762,7 @@ object PipelineQueries {
         .orderBy(md5(concat(col("l_orderkey").cast("string"), lit("#"),
           col("l_linenumber").cast("string"))),
           col("l_orderkey"), col("l_linenumber"))
-      li.withColumn("rk", row_number().over(wr))
+      val sel = li.withColumn("rk", row_number().over(wr))
         // LITERAL rank cut first: alloc = floor(budget·w/Σw) ≤ budget
         // always, and InferWindowGroupLimit only fires on
         // Filter(rank ≤ literal) directly above the Window — the
@@ -1778,10 +1778,16 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n_sel"),
           round(sum(col("v").cast("decimal(18,2)")).cast("double")
             / count(lit(1)), 4).as("mean_v"))
-        .join(broadcast(alloc), Seq("l_returnflag", "l_linestatus"))
+      // a stratum whose floor'd allocation is 0 (zero-variance, w = 0)
+      // selects no rows, so an inner join with the selection agg would
+      // silently drop it from the census (r16 ADVICE) — LEFT-join the
+      // agg onto alloc and coalesce n_sel to 0 (mean_v stays NULL) so
+      // the readout is the FULL per-stratum census it claims to be
+      alloc.join(sel, Seq("l_returnflag", "l_linestatus"), "left")
         .select(col("l_returnflag"), col("l_linestatus"),
           col("nh").cast("long").as("n_h"), col("w"),
-          col("alloc"), col("n_sel"), col("mean_v"))
+          col("alloc"), coalesce(col("n_sel"), lit(0L)).as("n_sel"),
+          col("mean_v"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
     "q_sample_budget" -> ((s, d) => {
@@ -3283,6 +3289,51 @@ object PipelineQueries {
           round(expr("cosine_sim(v, qv)"), 4).as("score"))
         .orderBy(col("score").desc, col("vec_id")).limit(10)
     }),
+    "q_embed_ivf_2level_auto" -> ((s, d) => {
+      // the two-level IVF with its geometry AUTO-SIZED from corpus
+      // stats (r16 verdict item 5 — the autoPlanesPerBand playbook
+      // applied to the one layout that exists for the past-the-cap
+      // regime): leaf cells = ⌈n/500⌉ (clamped [16, 2²⁴]) bounds
+      // expected leaf population like the flat autoCellCount rule,
+      // and the fanout splits square-root-wise — k1 = k2 = smallest
+      // power of two with k1² ≥ leaves (Similarity.autoTwoLevelFanout,
+      // integer-exact, oracle-re-derived from count(*); the chosen k1
+      // rides on every output row). Reproduces the fixed sibling's
+      // 4×4 at every fixture SF (spec-pinned identity) and picks
+      // k1 = 32 (1024 leaves, ~195 vectors each) at sf10's 200 k.
+      // Same descent as the fixed entry, two scale-honest deltas:
+      // the fine table is k1² rows keyed by cid, so its assignment
+      // join carries NO broadcast hint — AQE broadcasts it while
+      // small and falls back to a cid-keyed shuffle past the cap
+      // (each vector still meets exactly its cell's k2 rows either
+      // way); the n·(k1+k2) assignment work replaces the flat n·k.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val k1 = Similarity.autoTwoLevelFanout(emb.count())
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val coarse = e.where(col("vec_id").between(1, k1))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val a1 = Similarity.assignCells(e, coarse).localCheckpoint(true)
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("vec_id"))
+      val fine = a1.withColumn("rk", row_number().over(wf)).where(col("rk") <= k1)
+        .select(col("cid"), col("vec_id").as("fid"), col("v").as("fv"))
+      val wa = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("fid"))
+      val a2 = a1.join(fine, "cid")
+        .withColumn("dist", expr("l2sq_fold(v, fv)"))
+        .withColumn("rk", row_number().over(wa)).where(col("rk") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), col("fid"))
+      val q0 = a2.where(col("vec_id") === 0)
+        .select(col("cid").as("qcid"), col("fid").as("qfid"), col("v").as("qv"))
+      a2.join(broadcast(q0),
+          col("cid") === col("qcid") && col("fid") === col("qfid"))
+        .where(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(expr("cosine_sim(v, qv)"), 4).as("score"),
+          lit(k1).as("k1"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+    }),
     "q_embed_ivf_append" -> ((s, d) => {
       // incremental ANN index MAINTENANCE: arrivals (vec_id % 10 == 0
       // above the centroid range) are assigned to the EXISTING
@@ -3388,7 +3439,11 @@ object PipelineQueries {
       // measurement it existed for: 4/16 of sf10's 200 k is a 50 k
       // sample, which re-overflowed), keeping the expected sample
       // ≈ 12 500 at ANY corpus size: keep rows with
-      // hash16(vec_id) % m == 0 — content-independent, engine-exact
+      // hash32(vec_id) % m == 0 — a 32-bit md5 slice, so the modulus
+      // stays a genuine modulus to m ≤ 2³² (n ≈ 5·10¹³; a 16-bit
+      // slice was the first cut and degenerates to a fixed 1/65536
+      // rate once m > 65536, n ≈ 8·10⁸ — the r16 ADVICE catch) —
+      // content-independent, engine-exact
       // (the q_mix_shuffle md5-hex idiom), so the DuckDB oracle
       // samples the identical rows and the result stays hash-matched,
       // unlike an rng sample. m = 1 at every fixture SF, so the
@@ -3399,7 +3454,7 @@ object PipelineQueries {
       val emb = t(s, d, "embeddings")
       val m = Similarity.autoSampleModulus(emb.count())
       pcaTopComponent(emb.where(
-          conv(substring(md5(col("vec_id").cast("string")), 1, 4), 16, 10)
+          conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
             .cast("long") % m === 0))
         .withColumn("modulus", lit(m.toInt))
     }),
@@ -4242,7 +4297,7 @@ object PipelineQueries {
     // sqrt rounded 2 (the magnitude-aware exception — see the engine
     // side), same floor'd budget share, same hash-rank quota
     "q_sample_neyman" ->
-      """WITH li AS (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem), st AS (SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS nh, sum(v::DECIMAL(18,2)) AS s1, sum((v*v)::DECIMAL(24,4)) AS s2 FROM li GROUP BY 1, 2), w AS (SELECT l_returnflag, l_linestatus, nh, round(sqrt(nh::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE), 2) AS w FROM st), tt AS (SELECT sum(w::DECIMAL(24,2))::DOUBLE AS sumw FROM w), al AS (SELECT l_returnflag, l_linestatus, nh, w, floor(1000 * w / (SELECT sumw FROM tt))::BIGINT AS alloc FROM w), rk AS (SELECT l_returnflag, l_linestatus, v, row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR), l_orderkey, l_linenumber) AS rk FROM li), sel AS (SELECT r.l_returnflag, r.l_linestatus, count(*)::BIGINT AS n_sel, round(sum(r.v::DECIMAL(18,2))::DOUBLE / count(*), 4) AS mean_v FROM rk r JOIN al ON r.l_returnflag = al.l_returnflag AND r.l_linestatus = al.l_linestatus WHERE r.rk <= al.alloc GROUP BY 1, 2) SELECT al.l_returnflag, al.l_linestatus, al.nh AS n_h, al.w, al.alloc, sel.n_sel, sel.mean_v FROM al JOIN sel ON al.l_returnflag = sel.l_returnflag AND al.l_linestatus = sel.l_linestatus ORDER BY 1, 2""",
+      """WITH li AS (SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, l_extendedprice AS v FROM lineitem), st AS (SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS nh, sum(v::DECIMAL(18,2)) AS s1, sum((v*v)::DECIMAL(24,4)) AS s2 FROM li GROUP BY 1, 2), w AS (SELECT l_returnflag, l_linestatus, nh, round(sqrt(nh::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE), 2) AS w FROM st), tt AS (SELECT sum(w::DECIMAL(24,2))::DOUBLE AS sumw FROM w), al AS (SELECT l_returnflag, l_linestatus, nh, w, floor(1000 * w / (SELECT sumw FROM tt))::BIGINT AS alloc FROM w), rk AS (SELECT l_returnflag, l_linestatus, v, row_number() OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR), l_orderkey, l_linenumber) AS rk FROM li), sel AS (SELECT r.l_returnflag, r.l_linestatus, count(*)::BIGINT AS n_sel, round(sum(r.v::DECIMAL(18,2))::DOUBLE / count(*), 4) AS mean_v FROM rk r JOIN al ON r.l_returnflag = al.l_returnflag AND r.l_linestatus = al.l_linestatus WHERE r.rk <= al.alloc GROUP BY 1, 2) SELECT al.l_returnflag, al.l_linestatus, al.nh AS n_h, al.w, al.alloc, coalesce(sel.n_sel, 0)::BIGINT AS n_sel, sel.mean_v FROM al LEFT JOIN sel ON al.l_returnflag = sel.l_returnflag AND al.l_linestatus = sel.l_linestatus ORDER BY 1, 2""",
     "q_sample_budget" ->
       s"""WITH $toksSql, n AS (SELECT d.doc_id, d.lang, len(t.tk)::BIGINT AS ntok FROM documents d JOIN toks t ON d.doc_id = t.doc_id), c AS (SELECT doc_id, lang, ntok, coalesce(sum(ntok) OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before FROM n) SELECT lang, count(*)::BIGINT AS n_docs, sum(ntok)::BIGINT AS n_tokens, min(doc_id)::BIGINT AS first_doc FROM c WHERE before < 2000 GROUP BY lang ORDER BY lang""",
     "q_text_boilerplate" ->
@@ -4525,6 +4580,13 @@ object PipelineQueries {
     // leaf-scoped exact top-10
     "q_embed_ivf_2level" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 4), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), a1 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), fine AS (SELECT cid, vec_id AS fid, v AS fv FROM (SELECT a1.*, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk FROM a1) WHERE rk <= 4), d2 AS (SELECT a1.vec_id, a1.v, a1.cid, f.fid, ${foldSql("list_transform(range(1, 65), i -> (a1.v[i] - f.fv[i]) * (a1.v[i] - f.fv[i]))")} AS dist FROM a1 JOIN fine f ON a1.cid = f.cid), a2 AS (SELECT vec_id, v, cid, fid FROM (SELECT vec_id, v, cid, fid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, fid) AS rk FROM d2) WHERE rk = 1), qc AS (SELECT cid AS qcid, fid AS qfid, v AS qv FROM a2 WHERE vec_id = 0), sc AS (SELECT a2.vec_id, ${foldSql("list_transform(range(1, 65), i -> a2.v[i] * qc.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a2.v[i] * a2.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qc.qv[i] * qc.qv[i])")})) AS score0 FROM a2 JOIN qc ON a2.cid = qc.qcid AND a2.fid = qc.qfid WHERE a2.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // the 2level chain with the fanout RE-DERIVED from count(*) by
+    // the same integer rule as Similarity.autoTwoLevelFanout (leaves
+    // = ceil(n/500) clamp [16, 2^24]; k1 = smallest power of two with
+    // k1^2 >= leaves, via the bin()-length bitLength idiom the
+    // autoPlanesPerBand oracle pinned); k1 rides on every output row
+    "q_embed_ivf_2level_auto" ->
+      s"""WITH nn AS (SELECT count(*) AS n FROM embeddings), kk AS (SELECT (1 << ((length(bin(greatest(16, least(16777216, (n + 499) // 500)) - 1)) + 1) // 2)) AS k1 FROM nn), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k1 FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), a1 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), fine AS (SELECT cid, vec_id AS fid, v AS fv FROM (SELECT a1.*, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk FROM a1) WHERE rk <= (SELECT k1 FROM kk)), d2 AS (SELECT a1.vec_id, a1.v, a1.cid, f.fid, ${foldSql("list_transform(range(1, 65), i -> (a1.v[i] - f.fv[i]) * (a1.v[i] - f.fv[i]))")} AS dist FROM a1 JOIN fine f ON a1.cid = f.cid), a2 AS (SELECT vec_id, v, cid, fid FROM (SELECT vec_id, v, cid, fid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, fid) AS rk FROM d2) WHERE rk = 1), qc AS (SELECT cid AS qcid, fid AS qfid, v AS qv FROM a2 WHERE vec_id = 0), sc AS (SELECT a2.vec_id, ${foldSql("list_transform(range(1, 65), i -> a2.v[i] * qc.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a2.v[i] * a2.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qc.qv[i] * qc.qv[i])")})) AS score0 FROM a2 JOIN qc ON a2.cid = qc.qcid AND a2.fid = qc.qfid WHERE a2.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score, (SELECT k1 FROM kk)::INT AS k1 FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // identical semantics to q_embed_ivf — the engine-side difference
     // append-maintained index == full rebuild (assignment is
     // row-local), so the same batch SQL oracles the append path too
@@ -4574,7 +4636,7 @@ object PipelineQueries {
       pcaOracleSql(
         src = "smp",
         extraCols = ", (SELECT m FROM mm)::INT AS modulus",
-        prefixCtes = "mm AS MATERIALIZED (SELECT greatest(1, (count(*) + 12499) // 12500) AS m FROM embeddings), smp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 4))::BIGINT % (SELECT m FROM mm) = 0), "),
+        prefixCtes = "mm AS MATERIALIZED (SELECT greatest(1, (count(*) + 12499) // 12500) AS m FROM embeddings), smp AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % (SELECT m FROM mm) = 0), "),
     // same term-local round(6) components, same decimal-sum means,
     // same rounded squared-gap terms
     // same exact-decimal distances and argmax/tiebreak chain, rounds
@@ -4626,8 +4688,12 @@ object PipelineQueries {
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), qc AS (SELECT cid AS qcid FROM assigned WHERE vec_id = 0), cellids AS (SELECT vec_id FROM assigned JOIN qc ON assigned.cid = qc.qcid), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(v, sub*8+1, sub*8+8) AS sv FROM e CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, sv AS qsv FROM vs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN cellids USING (vec_id) JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 20), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // the ivfpq chain with the RESIDUAL subtraction spliced in: the
     // slice source is v − cv(assigned cell), codebooks are the pooled
-    // residual slices of vec_ids 1..16, query LUT uses vec 0's own
-    // residual; same cell restriction, same ADC sum, same rescore
+    // residual slices of vec_ids 1..16, and the query LUT dots vec 0's
+    // RAW slices against the residual codewords — dot(q, cv) is
+    // constant inside the probed cell, so the raw-query ADC order is
+    // the residual order (dotting the query's own residual instead
+    // would NOT be order-preserving — the r16 review catch);
+    // same cell restriction, same ADC sum, same rescore
     "q_embed_ivfpq_residual" ->
       s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), wr AS (SELECT a.vec_id, a.v, a.cid, list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS r FROM assigned a JOIN cents c ON a.cid = c.cid), qc AS (SELECT cid AS qcid FROM wr WHERE vec_id = 0), cellids AS (SELECT vec_id FROM wr JOIN qc ON wr.cid = qc.qcid), subs AS (SELECT unnest(range(8)) AS sub), vs AS (SELECT vec_id, sub, list_slice(r, sub*8+1, sub*8+8) AS sv FROM wr CROSS JOIN subs), cb AS (SELECT vec_id AS code, sub, sv AS scv FROM vs WHERE vec_id BETWEEN 1 AND 16), asg AS (SELECT vec_id, sub, (min({'d': d2, 'c': code})).c AS code FROM (SELECT vs.vec_id, vs.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> (sv[i] - scv[i]) * (sv[i] - scv[i]))")} AS d2 FROM vs JOIN cb USING (sub)) GROUP BY vec_id, sub), lut AS (SELECT cb.sub, cb.code, ${foldSql("list_transform(range(1, 9), i -> scv[i] * qsv[i])")} AS pdot FROM cb JOIN (SELECT sub, list_slice(v, sub*8+1, sub*8+8) AS qsv FROM wr CROSS JOIN subs WHERE vec_id = 0) q USING (sub)), ap AS (SELECT a.vec_id, round(sum(pdot::DECIMAL(28,12))::DOUBLE, 4) AS approx FROM asg a JOIN cellids USING (vec_id) JOIN lut USING (sub, code) WHERE a.vec_id <> 0 GROUP BY a.vec_id), cand AS (SELECT vec_id, approx FROM ap ORDER BY approx DESC, vec_id LIMIT 20), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), sc AS (SELECT c.vec_id, c.approx, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM cand c JOIN e USING (vec_id) CROSS JOIN q) SELECT vec_id, approx, round(score0, 4) AS score FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // same two-halves sign-bit pack, same integer hamming top-50

@@ -63,4 +63,21 @@ object Staging {
     })
     s.table(tbl._1)
   }
+
+  /** TEST-ONLY eviction of one memoized staging (drop the catalog
+    * table, delete its files, forget the key) so the next
+    * [[bucketedTable]] call re-runs the builder — provider-invariance
+    * specs need the INGEST side of a staged stream entry (e.g. the
+    * q_stream_ivf_upsert foreachBatch loop) to genuinely re-execute
+    * under the provider being pinned, not to serve the memo built
+    * under the default one. Never called by gate/bench code paths —
+    * the memo's whole point there is that reps time the probe. */
+  private[graft] def evict(s: SparkSession, dataDir: String, tag: String): Unit = {
+    val canon = new java.io.File(dataDir).getCanonicalPath
+    val entry = memo.remove((s, canon, tag))
+    if (entry != null) {
+      try s.sql(s"DROP TABLE IF EXISTS ${entry._1}") catch { case _: Throwable => () }
+      deleteRecursively(entry._2)
+    }
+  }
 }

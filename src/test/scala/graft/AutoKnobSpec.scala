@@ -141,6 +141,43 @@ class AutoKnobSpec extends SparkSpec {
     assert(row.getAs[Long]("m_bits") === 16384L) // fixture floor clamp
   }
 
+  test("autoTwoLevelFanout: operating points, clamps, SQL identity") {
+    // fixture SFs (500 / 500 / 2000) and everything to n = 8000 land
+    // on the 16-leaf floor — k1 = 4, the fixed sibling's geometry
+    // (oracle-identity at every gate SF); sf1's 20 k picks 8, sf10's
+    // 200 k picks 32 (1024 leaves, ~195 vectors each); the 2^24-leaf
+    // cap bounds each level at 4096 — the flat family's broadcast cap
+    // applied per level
+    for (n <- Seq(1L, 500L, 2000L, 8000L))
+      assert(Similarity.autoTwoLevelFanout(n) === 4, s"n=$n")
+    assert(Similarity.autoTwoLevelFanout(8001L) === 8)
+    assert(Similarity.autoTwoLevelFanout(20000L) === 8)    // sf1
+    assert(Similarity.autoTwoLevelFanout(200000L) === 32)  // sf10
+    assert(Similarity.autoTwoLevelFanout(Long.MaxValue / 4) === 4096) // cap
+    val ns = Seq(1L, 500L, 2000L, 8000L, 8001L, 20000L, 200000L,
+      2000000L, 8388608000L, Long.MaxValue / 4)
+    val sql = ns.toDF("n").select(col("n"),
+        expr("shiftleft(1, (length(bin(greatest(16L, least(16777216L, " +
+          "(n + 499) div 500)) - 1)) + 1) div 2)").cast("int").as("k1"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (n <- ns) assert(sql(n) === Similarity.autoTwoLevelFanout(n), s"n=$n")
+  }
+
+  test("q_embed_ivf_2level_auto reproduces the fixed entry at fixture scale") {
+    // the auto rule picks k1 = 4 at fixture corpus sizes, so the
+    // production path is the fixed 4×4 entry plus the k1 column —
+    // pinned row-for-row (the q_dedup_embed_auto convention)
+    val d = TestSpark.sfDir
+    val fixed = graft.queries.PipelineQueries.queries("q_embed_ivf_2level")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val auto = graft.queries.PipelineQueries.queries("q_embed_ivf_2level_auto")(spark, d)
+      .collect()
+    assert(auto.nonEmpty)
+    assert(auto.forall(_.getAs[Int]("k1") === 4))
+    val autoRows = auto.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(autoRows === fixed)
+  }
+
   test("q_ivm_join: four-term maintenance equals the direct recompute") {
     // the algebraic identity the gate oracle asserts cross-engine,
     // pinned engine-side too: maintained view == full recompute,

@@ -43,6 +43,44 @@ class RocksDbStateStoreSpec extends SparkSpec {
     assert(rocks.nonEmpty && rocks == default)
   }
 
+  // r15/r16 carry-over item: the three entries whose keyed/buffered
+  // state grows with entities or corpus — exactly the ones a 100 TB
+  // deployment must run on RocksDB — were default-store-only. The
+  // contract is the same as above: the provider is an execution
+  // choice, invisible in results.
+
+  test("q_stream_asof is provider-invariant (per-user as-of state)") {
+    val q = SparkEntry.queries("q_stream_asof")
+    val default = sortedRows(q(spark, dir))
+    val rocks = StateStores.withProvider(spark, StateStores.RocksDb)(
+      sortedRows(q(spark, dir)))
+    assert(rocks.nonEmpty && rocks == default)
+  }
+
+  test("q_stream_dedup_corpus is provider-invariant (corpus-scale ingest loop)") {
+    val q = SparkEntry.queries("q_stream_dedup_corpus")
+    val default = sortedRows(q(spark, dir))
+    val rocks = StateStores.withProvider(spark, StateStores.RocksDb)(
+      sortedRows(q(spark, dir)))
+    assert(rocks.nonEmpty && rocks == default)
+  }
+
+  test("q_stream_ivf_upsert is provider-invariant (index ingest re-run under RocksDB)") {
+    // the maintained index is session-memoized (bench reps time the
+    // probe) — evict it so the foreachBatch ingest stream genuinely
+    // re-executes under RocksDB rather than serving the memo built
+    // under the default provider; the rebuilt-under-RocksDB index
+    // must answer exactly like the batch append path (they share the
+    // gate oracle verbatim) and like the default-provider run
+    val default = sortedRows(SparkEntry.queries("q_stream_ivf_upsert")(spark, dir))
+    graft.queries.Staging.evict(spark, dir, "ivf_index_upsert")
+    val rocks = StateStores.withProvider(spark, StateStores.RocksDb)(
+      sortedRows(SparkEntry.queries("q_stream_ivf_upsert")(spark, dir)))
+    val batchAppend = sortedRows(SparkEntry.queries("q_embed_ivf_append")(spark, dir))
+    assert(rocks.nonEmpty && rocks == default)
+    assert(rocks == batchAppend)
+  }
+
   test("RocksDB provider is genuinely engaged: rocksdb custom metrics in progress") {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-rocks-engaged")
     try {

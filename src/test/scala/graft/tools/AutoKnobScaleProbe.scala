@@ -31,7 +31,14 @@ import graft.operators.Similarity
   *     at the same corpus, plus the top-component agreement (cosine of
   *     the two loading vectors) at the largest SF where BOTH complete.
   *
-  * args: [sfDir] [alsoFullPca(0|1)] [section(all|lsh|cell|pca)]
+  * r17 additions: section `bands` measures the RECALL lever the
+  * autoPlanesPerBand scaladoc names — bands 4 vs 8 at the auto-p
+  * operating point, per-cos-band recall + full-corpus candidate
+  * volume + timed full pass (r16 verdict item 4); section `ivf2`
+  * times q_embed_ivf_2level_auto's corpus-derived geometry at scale
+  * (r16 verdict item 5).
+  *
+  * args: [sfDir] [alsoFullPca(0|1)] [section(all|lsh|cell|pca|bands|ivf2)]
   * (defaults /tmp/sf10 1 all) */
 object AutoKnobScaleProbe {
   def main(args: Array[String]): Unit = {
@@ -162,6 +169,95 @@ object AutoKnobScaleProbe {
       case _: Throwable =>
         println("[auto-knob] full-vs-sampled agreement: full path unavailable at this SF (see refusal above)")
     }
+    }
+
+    // -- 5. the BANDS recall lever at the auto-p operating point -----
+    // (r16 verdict item 4: autoPlanesPerBand's scaladoc names `bands`
+    // as the recall knob; this measures the (bands, recall, cost)
+    // triple at the sf10 operating point p = pAuto.) Recall is per
+    // cosine band — threshold-band [0.4, 0.6) where the p=12 price
+    // concentrates, mid (0.6, 0.9), and clone-grade >= 0.9 — on the
+    // same 1/32 deterministic sample as section 2 (per-pair collision
+    // depends only on the pair, so sample recall IS corpus recall);
+    // cost is the FULL-corpus analytic candidate volume and a timed
+    // full candidate->rescore pass at each bands setting.
+    if (in("bands")) {
+      val sample = e
+        .where(substring(md5(col("vec_id").cast("string")), 1, 2) < "08")
+        .localCheckpoint(true)
+      val truthB = timed("bands_truth_pairs") {
+        val a = sample.select(col("vec_id").as("i"), col("v").as("va"))
+        val b = sample.select(col("vec_id").as("j"), col("v").as("vb"))
+        a.crossJoin(b).where(col("i") < col("j"))
+          .select(col("i"), col("j"),
+            expr("round(cosine_sim(va, vb), 4)").as("cos"))
+          .where(col("cos") >= 0.4)
+          .withColumn("cosband",
+            when(col("cos") >= 0.9, "c_ge_0.9")
+              .when(col("cos") >= 0.6, "c_0.6_0.9")
+              .otherwise("c_0.4_0.6"))
+          .select("i", "j", "cosband").localCheckpoint(true)
+      }
+      val totals = truthB.groupBy("cosband").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"[auto-knob] bands truth pairs by cos band: $totals")
+      def recallByBand(bands: Int): Map[String, Long] = {
+        val raw = Similarity
+          .lshBandBuckets(sample, bands = bands, planesPerBand = pAuto, dims = 64)
+        val cand = raw.select(col("vec_id").as("i"), col("band_id"), col("bucket"))
+          .join(raw.select(col("vec_id").as("j"), col("band_id"), col("bucket")),
+            Seq("band_id", "bucket"))
+          .where(col("i") < col("j")).select("i", "j").distinct()
+        truthB.join(cand, Seq("i", "j"), "left_semi")
+          .groupBy("cosband").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      def candVolumeB(bands: Int): Long =
+        Similarity.lshBandBuckets(e, bands = bands, planesPerBand = pAuto, dims = 64)
+          .groupBy("band_id", "bucket").agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1) / 2).cast("long")).head().getLong(0)
+      def timedFullPass(bands: Int): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val raw = Similarity
+          .lshBandBuckets(e, bands = bands, planesPerBand = pAuto, dims = 64)
+          .localCheckpoint(true)
+        val (bt, _) = Similarity.adaptiveSalt(raw,
+          Seq("band_id", "bucket"), "vec_id", Similarity.maxBucketDefault)
+        val cand = bt.select(col("vec_id").as("i"), col("band_id"), col("bucket"), col("salt"))
+          .join(bt.select(col("vec_id").as("j"), col("band_id"), col("bucket"), col("salt")),
+            Seq("band_id", "bucket", "salt"))
+          .where(col("i") < col("j")).select("i", "j").distinct()
+        val np = cand
+          .join(e.select(col("vec_id").as("i"), col("v").as("va")), "i")
+          .join(e.select(col("vec_id").as("j"), col("v").as("vb")), "j")
+          .where(expr("round(cosine_sim(va, vb), 4) >= 0.4")).count()
+        (np, (System.nanoTime() - t0) / 1e9)
+      }
+      Seq(4, 8).foreach { b =>
+        val vol = timed(s"bands${b}_cand_volume_analytic")(candVolumeB(b))
+        val rec = recallByBand(b)
+        val recStr = Seq("c_0.4_0.6", "c_0.6_0.9", "c_ge_0.9").map { k =>
+          val t = totals.getOrElse(k, 0L); val r = rec.getOrElse(k, 0L)
+          f"$k: $r/$t (${if (t == 0) 0.0 else r * 100.0 / t}%.2f%%)"
+        }.mkString(", ")
+        val (np, dt) = timedFullPass(b)
+        println(f"[auto-knob] bands=$b p=$pAuto: cand_volume=$vol " +
+          f"full_pass=${dt}%.1f s pairs>=0.4=$np recall{$recStr}")
+      }
+    }
+
+    // -- 6. two-level IVF auto geometry at scale ----------------------
+    // (r16 verdict item 5's sf10 row: the corpus-derived (k1, k2).)
+    if (in("ivf2")) {
+      val k1 = Similarity.autoTwoLevelFanout(n)
+      println(s"[auto-knob] ivf2: n=$n -> k1=k2=$k1 (${k1 * k1} leaves)")
+      (1 to 2).foreach { rep =>
+        val t0 = System.nanoTime()
+        val out = graft.SparkEntry.queries("q_embed_ivf_2level_auto")(spark, d).collect()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[auto-knob] ivf2 rep$rep: top-${out.length} in $dt%.2f s " +
+          s"(k1 on rows: ${out.headOption.map(_.getAs[Int]("k1")).getOrElse(-1)})")
+      }
     }
     spark.stop()
   }

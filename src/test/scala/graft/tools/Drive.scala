@@ -13,26 +13,23 @@ object Drive {
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    // r16 wave: drive the new gate entries end-to-end at sf0.1
+    // r17 wave: drive the touched/new gate entries end-to-end at sf0.1
     // (the gate verifies sf0.001/sf0.01; this is the bigger-data smoke)
-    Seq("q_privacy_ldiversity", "q_layout_skipping", "q_pack_sequences",
-        "q_embed_ivf_2level", "q_ivm_join", "q_dedup_bloom",
-        "q_privacy_tcloseness").foreach { n =>
+    Seq("q_embed_ivf_2level", "q_embed_ivf_2level_auto",
+        "q_stream_ivm_join", "q_ivm_join",
+        "q_sample_neyman", "q_embed_pca_sampled").foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, d)
       df.show(80, truncate = false)
       println(f"[drive] $n rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     // and the auto-knob rules through their public API directly
-    println(s"[drive] autoPlanesPerBand(2e5) = " +
-      graft.operators.Similarity.autoPlanesPerBand(200000L))
-    println(s"[drive] autoCellCount(2e5)     = " +
-      graft.operators.Similarity.autoCellCount(200000L))
-    println(s"[drive] autoSampleModulus(2e5) = " +
+    println(s"[drive] autoTwoLevelFanout(2e3) = " +
+      graft.operators.Similarity.autoTwoLevelFanout(2000L))
+    println(s"[drive] autoTwoLevelFanout(2e5) = " +
+      graft.operators.Similarity.autoTwoLevelFanout(200000L))
+    println(s"[drive] autoSampleModulus(2e5)  = " +
       graft.operators.Similarity.autoSampleModulus(200000L))
-    val pcaS = graft.SparkEntry.queries("q_embed_pca_sampled")(spark, d)
-    pcaS.show(3, truncate = false)
-    println(s"[drive] q_embed_pca_sampled rows=${pcaS.count()}")
     spark.stop()
   }
 }
