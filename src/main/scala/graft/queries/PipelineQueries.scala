@@ -3334,6 +3334,124 @@ object PipelineQueries {
           lit(k1).as("k1"))
         .orderBy(col("score").desc, col("vec_id")).limit(10)
     }),
+    "q_embed_nsw" -> ((s, d) => {
+      // GRAPH-routed ANN (the NSW / DiskANN paradigm — the third
+      // index family next to the hash rungs (LSH/SimHash/binary) and
+      // the partition rungs (IVF/PQ/2-level) the gate already
+      // carries): search walks a PROXIMITY GRAPH greedily toward the
+      // query instead of probing buckets. The build is cell-bounded
+      // from day one — each vector keeps its 5 nearest IN-CELL
+      // neighbours (autoCellCount cells, so build pair-work is
+      // ~n·targetCell, linear, never all-pairs: the honest Spark
+      // rendition of an NN-descent build; `cells` rides on every row,
+      // oracle-re-derived from count(*)). Probe = the canonical
+      // greedy route: start at the deterministic entry vertex
+      // (vec_id 1) and for 4 fixed hops move to the best-cosine
+      // vertex among {current} ∪ neighbours(current) — monotone by
+      // construction (current stays in its own candidate set), so
+      // the output trace is a deterministic improving path: the
+      // routed-search certificate. Per hop the driver touches ≤ 5
+      // neighbour ids (graph degree — metadata-scale collects, the
+      // coreset/ivf_append 1-row precedent); every per-hop scoring
+      // job is a ≤ 6-id pushed-filter scan.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val k = Similarity.autoCellCount(emb.count())
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .localCheckpoint(true) // probed once per hop
+      val cents = e.where(col("vec_id").between(1, k))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val a = Similarity.assignCells(e, cents)
+      val ax = a.select(col("vec_id").as("src"), col("v").as("sv"), col("cid"))
+      val ay = a.select(col("vec_id").as("dst"), col("v").as("dv"), col("cid"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("d2"), col("dst"))
+      val g = ax.join(ay, "cid").where(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"), expr("l2sq_fold(sv, dv)").as("d2"))
+        .withColumn("rk", row_number().over(wg)).where(col("rk") <= 5)
+        .select("src", "dst").localCheckpoint(true)
+      val q0 = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      def best(cands: Seq[Long]): (Long, Double) = {
+        val row = e.where(col("vec_id").isin(cands: _*))
+          .crossJoin(broadcast(q0))
+          .select(col("vec_id"), expr("cosine_sim(v, qv)").as("sc"))
+          .orderBy(col("sc").desc, col("vec_id")).limit(1).head()
+        (row.getLong(0), row.getDouble(1))
+      }
+      var cur = best(Seq(1L))
+      val trace = scala.collection.mutable.ArrayBuffer((0, cur._1, cur._2))
+      (1 to 4).foreach { hop =>
+        val nbrs = g.where(col("src") === cur._1)
+          .collect().map(_.getLong(1)).toSeq
+        cur = best(nbrs :+ cur._1)
+        trace += ((hop, cur._1, cur._2))
+      }
+      import s.implicits._
+      trace.toSeq.toDF("hop0", "vertex0", "score0")
+        .select(col("hop0").cast("int").as("hop"),
+          col("vertex0").as("vertex"),
+          round(col("score0"), 4).as("score"),
+          lit(k).as("cells"))
+        .orderBy("hop")
+    }),
+    "q_embed_ivf_balanced" -> ((s, d) => {
+      // CAPACITY-BALANCED IVF assignment — the guarantee
+      // autoCellCount's EXPECTED-population bound cannot give: under
+      // skew a nearest-centroid assignment piles vectors into one
+      // cell, and probe latency / straggler tasks are PER-CELL costs.
+      // The balanced pass caps every cell at cap = ⌈n/k⌉ (the strict
+      // balance point, so the spill path is exercised at every SF —
+      // natural skew puts roughly half the cells over it): per cell,
+      // members rank by the same fold-order L2 the assignment used
+      // (vec_id tiebreak); ranks ≤ cap stay; the overflow spills to
+      // each vector's SECOND-nearest centroid. One spill round —
+      // spill-ins land uncapped, and the census prints first-choice /
+      // spill-out / spill-in / balanced populations per cell against
+      // the cap, so the residual skew is measured, not hidden (a
+      // production store iterates the round or widens cap; the
+      // one-round census is the decision input). Row-local
+      // arithmetic + two bounded windows; k and cap oracle-re-derived
+      // from count(*).
+      graft.functions.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val n = emb.count()
+      val k = Similarity.autoCellCount(n)
+      val cap = (n + k - 1) / k
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, k))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+      val ranked = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), expr("l2sq_fold(v, cv)").as("dist"))
+        .withColumn("crk", row_number().over(wv)).where(col("crk") <= 2)
+        .localCheckpoint(true) // feeds first/second/rank — one n·k pass
+      val first = ranked.where(col("crk") === 1)
+      val second = ranked.where(col("crk") === 2)
+        .select(col("vec_id"), col("cid").as("cid2"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("dist"), col("vec_id"))
+      val r1 = first.withColumn("rk", row_number().over(wc))
+      val stay = r1.where(col("rk") <= cap).select(col("vec_id"), col("cid"))
+      val spill = r1.where(col("rk") > cap).select(col("vec_id"), col("cid"))
+      val spillTo = spill.select(col("vec_id")).join(second, "vec_id")
+        .select(col("vec_id"), col("cid2").as("cid"))
+      val bal = stay.unionByName(spillTo)
+      val n0 = first.groupBy("cid").agg(count(lit(1)).as("n_first"))
+      val so = spill.groupBy("cid").agg(count(lit(1)).as("n_spill_out"))
+      val si = spillTo.groupBy("cid").agg(count(lit(1)).as("n_spill_in"))
+      val n1 = bal.groupBy("cid").agg(count(lit(1)).as("n_balanced"))
+      cents.select("cid")
+        .join(n0, Seq("cid"), "left").join(so, Seq("cid"), "left")
+        .join(si, Seq("cid"), "left").join(n1, Seq("cid"), "left")
+        .select(col("cid"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_spill_out"), lit(0L)).as("n_spill_out"),
+          coalesce(col("n_spill_in"), lit(0L)).as("n_spill_in"),
+          coalesce(col("n_balanced"), lit(0L)).as("n_balanced"),
+          lit(cap).as("cap"))
+        .orderBy("cid")
+    }),
     "q_embed_ivf_append" -> ((s, d) => {
       // incremental ANN index MAINTENANCE: arrivals (vec_id % 10 == 0
       // above the centroid range) are assigned to the EXISTING
@@ -4587,6 +4705,23 @@ object PipelineQueries {
     // autoPlanesPerBand oracle pinned); k1 rides on every output row
     "q_embed_ivf_2level_auto" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings), kk AS (SELECT (1 << ((length(bin(greatest(16, least(16777216, (n + 499) // 500)) - 1)) + 1) // 2)) AS k1 FROM nn), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k1 FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), a1 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), fine AS (SELECT cid, vec_id AS fid, v AS fv FROM (SELECT a1.*, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk FROM a1) WHERE rk <= (SELECT k1 FROM kk)), d2 AS (SELECT a1.vec_id, a1.v, a1.cid, f.fid, ${foldSql("list_transform(range(1, 65), i -> (a1.v[i] - f.fv[i]) * (a1.v[i] - f.fv[i]))")} AS dist FROM a1 JOIN fine f ON a1.cid = f.cid), a2 AS (SELECT vec_id, v, cid, fid FROM (SELECT vec_id, v, cid, fid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, fid) AS rk FROM d2) WHERE rk = 1), qc AS (SELECT cid AS qcid, fid AS qfid, v AS qv FROM a2 WHERE vec_id = 0), sc AS (SELECT a2.vec_id, ${foldSql("list_transform(range(1, 65), i -> a2.v[i] * qc.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a2.v[i] * a2.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qc.qv[i] * qc.qv[i])")})) AS score0 FROM a2 JOIN qc ON a2.cid = qc.qcid AND a2.fid = qc.qfid WHERE a2.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score, (SELECT k1 FROM kk)::INT AS k1 FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+    // the greedy graph route unrolled: the same cell-bounded 5-NN
+    // graph (autoCellCount cells re-derived from count(*), fold-order
+    // L2 edge ranking), then 4 hop CTEs each picking the best-cosine
+    // vertex among {current} ∪ neighbours(current); every CTE
+    // MATERIALIZED (multi-referenced chain — the r16 re-inline lesson)
+    "q_embed_nsw" -> {
+      val cos = s"${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")}))"
+      val hops = (1 to 4).map { h =>
+        s"c$h AS MATERIALIZED (SELECT $h::INT AS hop, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (SELECT vertex FROM c${h - 1} UNION ALL SELECT g.dst FROM g JOIN c${h - 1} ON g.src = c${h - 1}.vertex)) WHERE rk = 1)"
+      }.mkString(", ")
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), g AS MATERIALIZED (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))")}, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id) WHERE rk <= 5), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, e.vec_id AS vertex, $cos AS sc FROM e CROSS JOIN q WHERE e.vec_id = 1), $hops SELECT hop, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop"""
+    },
+    // same n·k centroid ranking (crk ≤ 2), same per-cell L2 rank cut
+    // at cap = ceil(n/k), same second-choice spill, same full-spine
+    // left-join census
+    "q_embed_ivf_balanced" ->
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500))::BIGINT AS k, ((n + greatest(8, least(4096, (n + 499) // 500)) - 1) // greatest(8, least(4096, (n + 499) // 500)))::BIGINT AS cap FROM nn), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), rx AS MATERIALIZED (SELECT vec_id, cid, d2, crk FROM (SELECT e.vec_id, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS d2, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")}, c.cid) AS crk FROM e CROSS JOIN cents c) WHERE crk <= 2), f AS MATERIALIZED (SELECT vec_id, cid, d2 FROM rx WHERE crk = 1), s2 AS MATERIALIZED (SELECT vec_id, cid AS cid2 FROM rx WHERE crk = 2), r1 AS MATERIALIZED (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk FROM f), stay AS (SELECT vec_id, cid FROM r1 WHERE rk <= (SELECT cap FROM kk)), sp AS MATERIALIZED (SELECT vec_id, cid FROM r1 WHERE rk > (SELECT cap FROM kk)), spto AS MATERIALIZED (SELECT sp.vec_id, s2.cid2 AS cid FROM sp JOIN s2 ON sp.vec_id = s2.vec_id), bal AS (SELECT vec_id, cid FROM stay UNION ALL SELECT vec_id, cid FROM spto), n0 AS (SELECT cid, count(*)::BIGINT AS n_first FROM f GROUP BY cid), so AS (SELECT cid, count(*)::BIGINT AS n_spill_out FROM sp GROUP BY cid), si AS (SELECT cid, count(*)::BIGINT AS n_spill_in FROM spto GROUP BY cid), n1 AS (SELECT cid, count(*)::BIGINT AS n_balanced FROM bal GROUP BY cid) SELECT c.cid, coalesce(n0.n_first, 0)::BIGINT AS n_first, coalesce(so.n_spill_out, 0)::BIGINT AS n_spill_out, coalesce(si.n_spill_in, 0)::BIGINT AS n_spill_in, coalesce(n1.n_balanced, 0)::BIGINT AS n_balanced, (SELECT cap FROM kk)::BIGINT AS cap FROM cents c LEFT JOIN n0 USING (cid) LEFT JOIN so USING (cid) LEFT JOIN si USING (cid) LEFT JOIN n1 USING (cid) ORDER BY c.cid""",
     // identical semantics to q_embed_ivf — the engine-side difference
     // append-maintained index == full rebuild (assignment is
     // row-local), so the same batch SQL oracles the append path too

@@ -17,7 +17,8 @@ object Drive {
     // (the gate verifies sf0.001/sf0.01; this is the bigger-data smoke)
     Seq("q_embed_ivf_2level", "q_embed_ivf_2level_auto",
         "q_stream_ivm_join", "q_ivm_join",
-        "q_sample_neyman", "q_embed_pca_sampled").foreach { n =>
+        "q_sample_neyman", "q_embed_pca_sampled",
+        "q_embed_nsw", "q_embed_ivf_balanced").foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, d)
       df.show(80, truncate = false)
