@@ -303,7 +303,9 @@ object Bench {
     "q_embed_ivf_2level_auto",
     // r17 wave 2: the graph-routed ANN paradigm (cell-bounded 5-NN
     // graph + greedy route) and capacity-balanced IVF assignment
-    "q_embed_nsw", "q_embed_ivf_balanced")
+    "q_embed_nsw", "q_embed_ivf_balanced",
+    // r17 wave 2b: grid-bucketed spatial radius join
+    "q_spatial_join")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

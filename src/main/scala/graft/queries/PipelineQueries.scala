@@ -3452,6 +3452,46 @@ object PipelineQueries {
           lit(cap).as("cap"))
         .orderBy("cid")
     }),
+    "q_spatial_join" -> ((s, d) => {
+      // SPATIAL radius self-join via GRID bucketing — the geo/metric
+      // join family (ST_DWithin / "points within r of each other")
+      // rendered scale-first: cell size = radius, one side rides in
+      // its home cell, the other explodes into its 3×3 cell
+      // neighbourhood, so candidates are an EQUI-join on the cell key
+      // — every true pair at distance ≤ r spans at most one cell
+      // boundary per axis, and candidate volume is Σ_cell 9·n_a·n_b,
+      // density-bounded, never all-pairs (the same bucket discipline
+      // as the LSH/IVF families; a naive BETWEEN range join would be
+      // an unbounded broadcast-nested-loop at scale). Points are the
+      // first two embedding dims; r = 2⁻⁵ and the grid floor(x/r)
+      // are EXACT in binary (power-of-two scale), and the d² ≤ r²
+      // refine compares identically-parenthesized doubles — both
+      // engines agree bit-for-bit with zero rounding helpers.
+      // Readout: per-point neighbour census (each unordered pair
+      // counted once per endpoint).
+      val r = 0.03125
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .select(col("vec_id"),
+          element_at(col("v"), 1).as("x"), element_at(col("v"), 2).as("y"))
+        .withColumn("cx", floor(col("x") / r).cast("long"))
+        .withColumn("cy", floor(col("y") / r).cast("long"))
+        .localCheckpoint(true) // both join sides read the same grid
+      val a9 = e.select(col("vec_id").as("i"), col("x").as("xi"), col("y").as("yi"),
+          col("cx").as("cx0"), col("cy").as("cy0"))
+        .select(col("i"), col("xi"), col("yi"),
+          expr("inline(transform(sequence(0, 8), " +
+            "t -> struct(cx0 + (t div 3 - 1) as cx, cy0 + (t % 3 - 1) as cy)))"))
+      val b = e.select(col("vec_id").as("j"), col("x").as("xj"),
+        col("y").as("yj"), col("cx"), col("cy"))
+      a9.join(b, Seq("cx", "cy"))
+        .where(col("i") =!= col("j"))
+        .where((col("xi") - col("xj")) * (col("xi") - col("xj")) +
+          (col("yi") - col("yj")) * (col("yi") - col("yj")) <= r * r)
+        .groupBy(col("i").as("vec_id"))
+        .agg(count(lit(1)).as("n_nb"))
+        .orderBy("vec_id")
+    }),
     "q_embed_ivf_append" -> ((s, d) => {
       // incremental ANN index MAINTENANCE: arrivals (vec_id % 10 == 0
       // above the centroid range) are assigned to the EXISTING
@@ -4717,6 +4757,10 @@ object PipelineQueries {
       }.mkString(", ")
       s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), g AS MATERIALIZED (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))")}, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id) WHERE rk <= 5), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, e.vec_id AS vertex, $cos AS sc FROM e CROSS JOIN q WHERE e.vec_id = 1), $hops SELECT hop, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop"""
     },
+    // same power-of-two grid (floor of an exact binary scale), same
+    // 3×3 neighbourhood explode, same raw-double d² ≤ r² refine
+    "q_spatial_join" ->
+      """WITH e AS (SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y FROM embeddings), c AS MATERIALIZED (SELECT vec_id, x, y, floor(x / 0.03125)::BIGINT AS cx, floor(y / 0.03125)::BIGINT AS cy FROM e), a9 AS (SELECT vec_id AS i, x AS xi, y AS yi, cx + (t.t // 3 - 1) AS cx, cy + (t.t % 3 - 1) AS cy FROM c CROSS JOIN range(9) t(t)), p AS (SELECT a9.i, b.vec_id AS j FROM a9 JOIN c b ON a9.cx = b.cx AND a9.cy = b.cy AND a9.i <> b.vec_id WHERE (a9.xi - b.x) * (a9.xi - b.x) + (a9.yi - b.y) * (a9.yi - b.y) <= 0.0009765625) SELECT i::BIGINT AS vec_id, count(*)::BIGINT AS n_nb FROM p GROUP BY i ORDER BY vec_id""",
     // same n·k centroid ranking (crk ≤ 2), same per-cell L2 rank cut
     // at cap = ceil(n/k), same second-choice spill, same full-spine
     // left-join census
