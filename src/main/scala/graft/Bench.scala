@@ -305,7 +305,9 @@ object Bench {
     // graph + greedy route) and capacity-balanced IVF assignment
     "q_embed_nsw", "q_embed_ivf_balanced",
     // r17 wave 2b: grid-bucketed spatial radius join
-    "q_spatial_join")
+    "q_spatial_join",
+    // r17 wave 2c: Merkle-style incremental integrity digests
+    "q_catalog_integrity")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

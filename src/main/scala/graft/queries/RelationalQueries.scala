@@ -3348,6 +3348,41 @@ object RelationalQueries {
             col("n_edges"), col("sum_dst"))
       }
     }),
+    "q_catalog_integrity" -> ((s, d) => {
+      // MERKLE-style table-integrity digests — the maintenance audit a
+      // 100 TB catalog runs after every write: per-row digests fold by
+      // xor (order- and partitioning-independent, so any execution
+      // produces the same digest) into per-BUCKET digests, and
+      // re-verifying after an upsert costs only the TOUCHED buckets —
+      // an unchanged bucket digest certifies every row in it without
+      // re-reading the others' content at comparison time. The entry
+      // demonstrates the blast radius: a hash-designated ~1/16 slice
+      // of orders is "rewritten" (its digest input gains a version
+      // tag) and the before/after census shows, per bucket of the
+      // 64-bucket spine, row count, touched count, both digests, and
+      // the changed flag — Σ changed IS the incremental re-verify
+      // cost. One scan, one hash agg; 48-bit md5-slice digests in
+      // exact Long xor.
+      val touched = conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 16 === 5
+      def dig(tag: org.apache.spark.sql.Column) = conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          tag)), 1, 12), 16, 10).cast("long")
+      t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          touched.as("t"))
+        .select((col("o_orderkey") % 64).as("bucket"), col("t"),
+          dig(lit("")).as("d0"),
+          dig(when(col("t"), lit("v2")).otherwise(lit(""))).as("d1"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("n_touched"),
+          expr("bit_xor(d0)").as("dig_before"),
+          expr("bit_xor(d1)").as("dig_after"))
+        .withColumn("changed",
+          when(col("dig_before") =!= col("dig_after"), 1).otherwise(0))
+        .orderBy("bucket")
+    }),
     "q_source_corrupt" -> ((s, d) => {
       // corrupt-file tolerance (the robustness surface a 100 TB lake
       // needs: one torn object must not kill the job): a garbage
@@ -4314,6 +4349,10 @@ object RelationalQueries {
     // slices, same modulus derivations, over range(5000)
     "q_stream_source_synth" ->
       """WITH g AS (SELECT i, md5('ev|' || i) AS h FROM range(5000) t(i)), r AS (SELECT i AS event_id, ('0x' || substr(h, 1, 4))::BIGINT % 50 AS user_id, ['view','click','purchase','signup','error'][(('0x' || substr(h, 5, 1))::BIGINT % 5) + 1] AS event_type, (('0x' || substr(h, 6, 4))::BIGINT % 10000) / 100.0 AS value FROM g) SELECT event_type, count(*)::BIGINT AS cnt, round(sum(value::DECIMAL(18,2)), 2)::DOUBLE AS total_value, max(user_id)::BIGINT AS max_user FROM r GROUP BY event_type ORDER BY event_type""",
+    // same 48-bit md5-slice row digests (version tag spliced into the
+    // touched slice's input), same 64-bucket xor fold
+    "q_catalog_integrity" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 16 = 5 AS t FROM orders), rb AS (SELECT o_orderkey % 64 AS bucket, t, ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|'), 1, 12))::BIGINT AS d0, ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|' || CASE WHEN t THEN 'v2' ELSE '' END), 1, 12))::BIGINT AS d1 FROM o) SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows, sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_touched, bit_xor(d0)::BIGINT AS dig_before, bit_xor(d1)::BIGINT AS dig_after, (CASE WHEN bit_xor(d0) <> bit_xor(d1) THEN 1 ELSE 0 END)::INT AS changed FROM rb GROUP BY bucket ORDER BY bucket""",
     // three deterministic commits (v0,v1,v2), keep=1 -> one survivor
     "q_catalog_vacuum" ->
       """SELECT 1::INT AS n_versions, 2::INT AS latest_version, count(*)::BIGINT AS n_edges, sum(n_nationkey % 5)::BIGINT AS sum_dst FROM nation WHERE n_nationkey >= 5""",
