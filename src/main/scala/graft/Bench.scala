@@ -348,6 +348,7 @@ object Bench {
   val benchExcluded: Map[String, String] = Map(
     "q_stream_asof" -> "streaming",
     "q_stream_cdc" -> "streaming",
+    "q_stream_integrity" -> "streaming",
     "q_stream_dedup" -> "streaming",
     "q_stream_dedup_corpus" -> "streaming",
     "q_stream_ivm_join" -> "streaming",

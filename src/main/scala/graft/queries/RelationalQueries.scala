@@ -3383,6 +3383,71 @@ object RelationalQueries {
           when(col("dig_before") =!= col("dig_after"), 1).otherwise(0))
         .orderBy("bucket")
     }),
+    "q_stream_integrity" -> ((s, d) => {
+      // the xor-digest's PAYOFF, run end-to-end as a stream: because
+      // row digests fold by xor, an upsert maintains a bucket digest
+      // with ONE xor of (old_row_digest ^ new_row_digest) per touched
+      // row — no re-read of the bucket's untouched rows, the whole
+      // reason a 100 TB catalog keeps Merkle digests at all. The
+      // touched slice's rewrites ARRIVE as a file stream (two real
+      // micro-batches via maxFilesPerTrigger = 1); each batch appends
+      // its per-bucket xor-delta and touched-count partials through
+      // foreachBatch; the final table is base-digest xor the folded
+      // deltas. Xor associativity + commutativity make the maintained
+      // table independent of arrival order and batching, so
+      // q_catalog_integrity's batch oracle applies VERBATIM — the
+      // maintained digest table provably equals the recompute.
+      val touched = conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 16 === 5
+      def dig(tag: org.apache.spark.sql.Column) = conv(substring(md5(concat_ws("|",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          tag)), 1, 12), 16, 10).cast("long")
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val base = o.withColumn("t", touched)
+        .select((col("o_orderkey") % 64).as("bucket"), col("t"),
+          dig(lit("")).as("d0"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(d0)").as("dig_before"))
+        .localCheckpoint(true)
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q-integ-in")
+      val outDir = java.nio.file.Files.createTempDirectory("graft-q-integ-out")
+      try {
+        val arriving = o.where(touched)
+        PipelineQueries.stageDocsChunk(
+          arriving.where(col("o_orderkey") % 2 === 0), streamDir, "a")
+        PipelineQueries.stageDocsChunk(
+          arriving.where(col("o_orderkey") % 2 =!= 0), streamDir, "b")
+        val stream = s.readStream.schema(arriving.schema)
+          .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+        val out = outDir.resolve("partials").toString
+        val perBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+          (batch, _) => batch
+            .select((col("o_orderkey") % 64).as("bucket"),
+              dig(lit("")).bitwiseXOR(dig(lit("v2"))).as("dx"))
+            .groupBy("bucket")
+            .agg(count(lit(1)).as("nt"), expr("bit_xor(dx)").as("delta"))
+            .write.mode("append").parquet(out)
+        val q = stream.writeStream.foreachBatch(perBatch).start()
+        try q.processAllAvailable() finally q.stop()
+        val folded = s.read.parquet(out).groupBy("bucket")
+          .agg(sum("nt").as("n_touched"), expr("bit_xor(delta)").as("delta"))
+        base.join(folded, Seq("bucket"), "left")
+          .select(col("bucket"), col("n_rows"),
+            coalesce(col("n_touched"), lit(0L)).as("n_touched"),
+            col("dig_before"),
+            col("dig_before").bitwiseXOR(coalesce(col("delta"), lit(0L)))
+              .as("dig_after"))
+          .withColumn("changed",
+            when(col("dig_before") =!= col("dig_after"), 1).otherwise(0))
+          .orderBy("bucket")
+          // detach from the temp dir (eager blocks) so cleanup can run
+          .localCheckpoint(true)
+      } finally {
+        graft.queries.Staging.deleteRecursively(streamDir)
+        graft.queries.Staging.deleteRecursively(outDir)
+      }
+    }),
     "q_source_corrupt" -> ((s, d) => {
       // corrupt-file tolerance (the robustness surface a 100 TB lake
       // needs: one torn object must not kill the job): a garbage
@@ -4352,6 +4417,11 @@ object RelationalQueries {
     // same 48-bit md5-slice row digests (version tag spliced into the
     // touched slice's input), same 64-bucket xor fold
     "q_catalog_integrity" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 16 = 5 AS t FROM orders), rb AS (SELECT o_orderkey % 64 AS bucket, t, ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|'), 1, 12))::BIGINT AS d0, ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|' || CASE WHEN t THEN 'v2' ELSE '' END), 1, 12))::BIGINT AS d1 FROM o) SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows, sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_touched, bit_xor(d0)::BIGINT AS dig_before, bit_xor(d1)::BIGINT AS dig_after, (CASE WHEN bit_xor(d0) <> bit_xor(d1) THEN 1 ELSE 0 END)::INT AS changed FROM rb GROUP BY bucket ORDER BY bucket""",
+    // the stream-maintained digest table provably equals the batch
+    // recompute (xor additivity — arrival-order/batching independent),
+    // so q_catalog_integrity's oracle applies verbatim
+    "q_stream_integrity" ->
       """WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus, ('0x' || substr(md5(o_orderkey::VARCHAR), 1, 4))::BIGINT % 16 = 5 AS t FROM orders), rb AS (SELECT o_orderkey % 64 AS bucket, t, ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|'), 1, 12))::BIGINT AS d0, ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR || '|' || o_orderstatus || '|' || CASE WHEN t THEN 'v2' ELSE '' END), 1, 12))::BIGINT AS d1 FROM o) SELECT bucket::BIGINT AS bucket, count(*)::BIGINT AS n_rows, sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_touched, bit_xor(d0)::BIGINT AS dig_before, bit_xor(d1)::BIGINT AS dig_after, (CASE WHEN bit_xor(d0) <> bit_xor(d1) THEN 1 ELSE 0 END)::INT AS changed FROM rb GROUP BY bucket ORDER BY bucket""",
     // three deterministic commits (v0,v1,v2), keep=1 -> one survivor
     "q_catalog_vacuum" ->
