@@ -307,7 +307,9 @@ object Bench {
     // r17 wave 2b: grid-bucketed spatial radius join
     "q_spatial_join",
     // r17 wave 2c: Merkle-style incremental integrity digests
-    "q_catalog_integrity")
+    "q_catalog_integrity",
+    // r17 wave 2d: DBSCAN on the spatial grid
+    "q_spatial_dbscan")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

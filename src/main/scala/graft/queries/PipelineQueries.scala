@@ -245,6 +245,37 @@ object PipelineQueries {
         .where(col("dist") <= 3)
     }
 
+  /** In-radius neighbour pairs (i, j), BOTH orders, i ≠ j, over the
+    * 2-D projection of the embeddings (dims 1–2) via grid bucketing:
+    * cell size = radius = 2⁻⁵ (exact in binary, so the grid floor and
+    * the d² ≤ r² refine agree bit-for-bit cross-engine), one side
+    * home-celled, the other exploded into its 3×3 cell neighbourhood
+    * so candidates are a density-bounded EQUI-join on the cell key.
+    * Shared by q_spatial_join (census) and q_spatial_dbscan
+    * (clustering) — one definition, no drift. */
+  private def spatialPairs(s: SparkSession, d: String): DataFrame = {
+    val r = 0.03125
+    val e = t(s, d, "embeddings")
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        element_at(col("v"), 1).as("x"), element_at(col("v"), 2).as("y"))
+      .withColumn("cx", floor(col("x") / r).cast("long"))
+      .withColumn("cy", floor(col("y") / r).cast("long"))
+      .localCheckpoint(true) // both join sides read the same grid
+    val a9 = e.select(col("vec_id").as("i"), col("x").as("xi"), col("y").as("yi"),
+        col("cx").as("cx0"), col("cy").as("cy0"))
+      .select(col("i"), col("xi"), col("yi"),
+        expr("inline(transform(sequence(0, 8), " +
+          "t -> struct(cx0 + (t div 3 - 1) as cx, cy0 + (t % 3 - 1) as cy)))"))
+    val b = e.select(col("vec_id").as("j"), col("x").as("xj"),
+      col("y").as("yj"), col("cx"), col("cy"))
+    a9.join(b, Seq("cx", "cy"))
+      .where(col("i") =!= col("j"))
+      .where((col("xi") - col("xj")) * (col("xi") - col("xj")) +
+        (col("yi") - col("yj")) * (col("yi") - col("yj")) <= r * r)
+      .select("i", "j")
+  }
+
   private def embedLshPairs(s: SparkSession, d: String,
                             minCos: Double = 0.4,
                             planesPerBand: Int = 8): DataFrame = {
@@ -3469,28 +3500,49 @@ object PipelineQueries {
       // engines agree bit-for-bit with zero rounding helpers.
       // Readout: per-point neighbour census (each unordered pair
       // counted once per endpoint).
-      val r = 0.03125
-      val e = t(s, d, "embeddings")
-        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .select(col("vec_id"),
-          element_at(col("v"), 1).as("x"), element_at(col("v"), 2).as("y"))
-        .withColumn("cx", floor(col("x") / r).cast("long"))
-        .withColumn("cy", floor(col("y") / r).cast("long"))
-        .localCheckpoint(true) // both join sides read the same grid
-      val a9 = e.select(col("vec_id").as("i"), col("x").as("xi"), col("y").as("yi"),
-          col("cx").as("cx0"), col("cy").as("cy0"))
-        .select(col("i"), col("xi"), col("yi"),
-          expr("inline(transform(sequence(0, 8), " +
-            "t -> struct(cx0 + (t div 3 - 1) as cx, cy0 + (t % 3 - 1) as cy)))"))
-      val b = e.select(col("vec_id").as("j"), col("x").as("xj"),
-        col("y").as("yj"), col("cx"), col("cy"))
-      a9.join(b, Seq("cx", "cy"))
-        .where(col("i") =!= col("j"))
-        .where((col("xi") - col("xj")) * (col("xi") - col("xj")) +
-          (col("yi") - col("yj")) * (col("yi") - col("yj")) <= r * r)
+      spatialPairs(s, d)
         .groupBy(col("i").as("vec_id"))
         .agg(count(lit(1)).as("n_nb"))
         .orderBy("vec_id")
+    }),
+    "q_spatial_dbscan" -> ((s, d) => {
+      // DBSCAN density clustering on the same grid — the
+      // DENSITY-based clustering family next to the centroid
+      // (kmeans) and similarity (LSH/SemDeDup) families the gate
+      // already carries: a point is CORE iff it has ≥ 4 in-radius
+      // neighbours; clusters are the connected components of the
+      // core–core in-radius graph (the distributed pointer-jumping
+      // CC, label = min vec_id — self-edges keep isolated cores
+      // alive); BORDER points (non-core with a core neighbour)
+      // attach to the min-labelled core neighbour's cluster —
+      // deterministic, the tie rule a parallel DBSCAN needs stated;
+      // everything else is noise (derivable, not emitted). Every
+      // quadratic is the grid equi-join's, density-bounded; the
+      // closure is pointer jumping, never the O(n²) transitive
+      // blow-up. Census per cluster: size, core count, border count.
+      val pairs = spatialPairs(s, d).localCheckpoint(true)
+      val core = pairs.groupBy("i").agg(count(lit(1)).as("n_nb"))
+        .where(col("n_nb") >= 4).select(col("i").as("v"))
+        .localCheckpoint(true) // three consumers below
+      val coreEdges = pairs
+        .join(core.select(col("v").as("i")), "i")
+        .join(core.select(col("v").as("j")), "j")
+        .select(col("i").as("src"), col("j").as("dst"))
+        .unionByName(core.select(col("v").as("src"), col("v").as("dst")))
+      val comp = graft.operators.Traversals.connectedComponents(coreEdges)
+      val border = pairs
+        .join(core.select(col("v").as("j")), "j")
+        .join(comp.select(col("vertex").as("j"), col("component")), "j")
+        .join(core.select(col("v").as("i")), Seq("i"), "left_anti")
+        .groupBy(col("i")).agg(min(col("component")).as("component"))
+      comp.select(col("vertex").as("i"), col("component"), lit(1L).as("is_core"))
+        .unionByName(
+          border.select(col("i"), col("component"), lit(0L).as("is_core")))
+        .groupBy("component")
+        .agg(count(lit(1)).as("sz"),
+          sum(col("is_core")).as("n_core"),
+          sum(lit(1L) - col("is_core")).as("n_border"))
+        .orderBy("component")
     }),
     "q_embed_ivf_append" -> ((s, d) => {
       // incremental ANN index MAINTENANCE: arrivals (vec_id % 10 == 0
@@ -4761,6 +4813,12 @@ object PipelineQueries {
     // 3×3 neighbourhood explode, same raw-double d² ≤ r² refine
     "q_spatial_join" ->
       """WITH e AS (SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y FROM embeddings), c AS MATERIALIZED (SELECT vec_id, x, y, floor(x / 0.03125)::BIGINT AS cx, floor(y / 0.03125)::BIGINT AS cy FROM e), a9 AS (SELECT vec_id AS i, x AS xi, y AS yi, cx + (t.t // 3 - 1) AS cx, cy + (t.t % 3 - 1) AS cy FROM c CROSS JOIN range(9) t(t)), p AS (SELECT a9.i, b.vec_id AS j FROM a9 JOIN c b ON a9.cx = b.cx AND a9.cy = b.cy AND a9.i <> b.vec_id WHERE (a9.xi - b.x) * (a9.xi - b.x) + (a9.yi - b.y) * (a9.yi - b.y) <= 0.0009765625) SELECT i::BIGINT AS vec_id, count(*)::BIGINT AS n_nb FROM p GROUP BY i ORDER BY vec_id""",
+    // same grid pairs, core = >=4 in-radius neighbours, clusters =
+    // transitive closure over core-core edges (+ self edges so
+    // isolated cores survive; label = min id, the engine's CC
+    // contract), border attaches to min core-neighbour label
+    "q_spatial_dbscan" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, embedding[1]::DOUBLE AS x, embedding[2]::DOUBLE AS y FROM embeddings), c AS MATERIALIZED (SELECT vec_id, x, y, floor(x / 0.03125)::BIGINT AS cx, floor(y / 0.03125)::BIGINT AS cy FROM e), a9 AS (SELECT vec_id AS i, x AS xi, y AS yi, cx + (t.t // 3 - 1) AS cx, cy + (t.t % 3 - 1) AS cy FROM c CROSS JOIN range(9) t(t)), p AS MATERIALIZED (SELECT a9.i, b.vec_id AS j FROM a9 JOIN c b ON a9.cx = b.cx AND a9.cy = b.cy AND a9.i <> b.vec_id WHERE (a9.xi - b.x) * (a9.xi - b.x) + (a9.yi - b.y) * (a9.yi - b.y) <= 0.0009765625), core AS MATERIALIZED (SELECT i AS v FROM (SELECT i, count(*) AS n FROM p GROUP BY i) WHERE n >= 4), ed AS MATERIALIZED (SELECT p.i AS src, p.j AS dst FROM p JOIN core a ON p.i = a.v JOIN core b ON p.j = b.v UNION ALL SELECT v, v FROM core), r AS (SELECT src AS a, src AS b FROM ed UNION SELECT r.a, ed.dst FROM r JOIN ed ON ed.src = r.b), cmp AS MATERIALIZED (SELECT a AS vertex, min(b) AS component FROM r GROUP BY a), bord AS (SELECT p.i, min(cmp.component) AS component FROM p JOIN core co ON p.j = co.v JOIN cmp ON cmp.vertex = p.j LEFT JOIN core me ON p.i = me.v WHERE me.v IS NULL GROUP BY p.i), allr AS (SELECT vertex AS i, component, 1 AS is_core FROM cmp UNION ALL SELECT i, component, 0 AS is_core FROM bord) SELECT component::BIGINT AS component, count(*)::BIGINT AS sz, sum(is_core)::BIGINT AS n_core, sum(1 - is_core)::BIGINT AS n_border FROM allr GROUP BY component ORDER BY component""",
     // same n·k centroid ranking (crk ≤ 2), same per-cell L2 rank cut
     // at cap = ceil(n/k), same second-choice spill, same full-spine
     // left-join census
