@@ -309,7 +309,10 @@ object Bench {
     // r17 wave 2c: Merkle-style incremental integrity digests
     "q_catalog_integrity",
     // r17 wave 2d: DBSCAN on the spatial grid
-    "q_spatial_dbscan")
+    "q_spatial_dbscan",
+    // r18: density-relative auto-radius DBSCAN (r17 verdict item 2),
+    // beam-4 routed ANN (item 3), cap-enforced balanced IVF (item 5)
+    "q_spatial_dbscan_auto", "q_embed_nsw_beam", "q_embed_ivf_balanced_iter")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

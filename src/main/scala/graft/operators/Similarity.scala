@@ -362,6 +362,34 @@ object Similarity {
     1 << ((bits + 1) / 2)
   }
 
+  /** Auto-sized SPATIAL grid radius exponent from the corpus count —
+    * the auto-knob for the density-based family (r17 verdict item 2:
+    * the fixed r = 2⁻⁵ DBSCAN is a density stress by construction —
+    * 100× points in the same unit box made the in-radius pair volume
+    * ~n²r² and the sf10 run cost 1093 s). In-radius pair volume is
+    * ~n²·πr², so holding EXPECTED NEIGHBOURS n·πr² bounded needs
+    * r ∝ 1/√n: r = 2^(−e) with e = baseExp + ⌈bits/2⌉-style
+    * square-root split of the density excess — every 4× in points
+    * halves the radius, keeping per-point neighbour counts (and the
+    * grid join's per-cell populations) inside a fixed band, so cost
+    * scales LINEARLY in n like the IVF/LSH families. Power-of-two r
+    * keeps the grid floor and the d² ≤ r² refine exact in binary
+    * (the spatial family's zero-rounding-helpers discipline).
+    * Integer-exact so the DuckDB oracle re-derives e from count(*):
+    * `5 + CASE WHEN n <= 2048 THEN 0 ELSE
+    * (length(bin((n - 1) // 2048)) + 1) // 2 END` (spec-pinned).
+    * Reproduces the fixed sibling's e = 5 at every fixture SF
+    * (n ≤ 2048) and gives e = 7 at sf1's 20 k, e = 9 at sf10's
+    * 200 k. */
+  def autoSpatialRadiusExp(n: Long, baseExp: Int = 5,
+                           baseDensity: Long = 2048L): Int = {
+    require(n > 0, s"corpus count must be positive, got $n")
+    require(baseDensity > 0, s"baseDensity must be positive, got $baseDensity")
+    val m = (n - 1) / baseDensity
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(m)
+    baseExp + (bits + 1) / 2
+  }
+
   def lshBandBuckets(embeddings: DataFrame, bands: Int = 4,
                      planesPerBand: Int = 8, dims: Int = 64): DataFrame = {
     graft.functions.expressions.GraftFunctions.register(embeddings.sparkSession)

@@ -23,7 +23,7 @@ object Staging {
   Runtime.getRuntime.addShutdownHook(new Thread(() =>
     memo.values.forEach(v => deleteRecursively(v._2))))
 
-  private[queries] def deleteRecursively(dir: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(dir: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
