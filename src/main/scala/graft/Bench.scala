@@ -679,6 +679,31 @@ object Bench {
       buf.synchronized { buf.sortBy(_._2).toSeq }
   }
 
+  /** Per-execution summed task time (Σ executorRunTime over every task
+    * completing while attached). packed lower bound = sum / cores: the
+    * wall a PERFECTLY packed execution of the same task set could not
+    * beat on this core count — the throughput-normalized yardstick the
+    * superstep family needs (r17 verdict item 4: PagerankProbe showed
+    * those entries TASK-CPU-bound at 76–88% packing, so their wall
+    * drifts with host throughput even in quiet windows and wall-vs-
+    * floor triggers fire on throughput, not plans). */
+  private final class TaskTimeAgg
+      extends org.apache.spark.scheduler.SparkListener {
+    private val ms = new java.util.concurrent.atomic.AtomicLong(0L)
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val tm = e.taskMetrics
+      if (tm != null) ms.addAndGet(tm.executorRunTime)
+    }
+    def seconds: Double = ms.get() / 1e3
+  }
+
+  /** The four superstep-family entries whose isolated-rerun trigger
+    * gates on the PACK RATIO (wall / packed lower bound) instead of
+    * floor drift — see [[TaskTimeAgg]]. */
+  private[graft] val superstepFamily = Set("q_graph_pagerank_big",
+    "q_graph_dfs_residual", "q_graph_lpa_big", "q_graph_dfs_leaves_big")
+
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").
     // FULL-match anchored: "q_tpch_q1" selects exactly q_tpch_q1, not
@@ -799,6 +824,25 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
+    // superstep-family suite reps also record (wall, packed bound)
+    // pairs — the throughput-normalized evidence next to the spin
+    // probe (r17 verdict item 4); the 300 ms listener-bus drain is
+    // untimed and paid only by the four family entries
+    val packedReps =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
+    def timeOnceTracked(name: String): Double =
+      if (!superstepFamily(name)) timeOnce(name)
+      else {
+        val agg = new TaskTimeAgg
+        spark.sparkContext.addSparkListener(agg)
+        val w = try timeOnce(name) finally {
+          Thread.sleep(300) // listener bus is async; let events drain
+          spark.sparkContext.removeSparkListener(agg)
+        }
+        packedReps(name) =
+          packedReps.getOrElse(name, Seq.empty) :+ ((w, agg.seconds / cpus.toInt))
+        w
+      }
     val results = selected.map { name =>
       // any failed rep fails the query (a crash must not hide behind two
       // clean runs' median) — and once one rep fails the outcome is
@@ -809,7 +853,7 @@ object Bench {
       var i = 0
       while (i < reps && !failed) {
         i += 1
-        try times += timeOnce(name)
+        try times += timeOnceTracked(name)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed = true }
       }
@@ -875,10 +919,29 @@ object Bench {
     // instead of through 27 isolated reruns (the r13 shape), while a
     // 1.6x code regression in a quiet window now fires where the old
     // raw-2.0x trigger stayed silent
+    // r17 verdict item 4: a superstep-family entry whose BEST suite rep
+    // sits ≤ 1.2× its own packed lower bound is exonerated
+    // ARITHMETICALLY — the wall is explained by its measured task
+    // volume on this host, so a floor breach is throughput, not a plan
+    // regression, and the isolated rerun would prove nothing the
+    // packed pair doesn't already. Past 1.2× packing the old drift
+    // trigger applies unchanged (a genuinely stalled or regressed
+    // superstep run still reruns).
+    def packExonerated(n: String): Boolean =
+      packedReps.get(n).exists(_.exists { case (w, p) => p > 0 && w <= 1.2 * p })
     val outliers = results.collect {
       case (n, med, mn) if med >= 0 &&
         (med > 1.5 * bestKnown(n) * noiseRatio(n) ||
           mn > 1.5 * histMin.getOrElse(n, Double.MaxValue) * noiseRatio(n)) => n }
+      .filter { n =>
+        val keep = !packExonerated(n)
+        if (!keep) {
+          val (w, p) = packedReps(n).minBy { case (w0, p0) => w0 / math.max(p0, 1e-9) }
+          System.err.println(f"[bench] $n floor-drift trigger suppressed: best rep " +
+            f"$w%.3f s is ${w / p}%.2fx its packed bound $p%.3f s (task-volume-explained)")
+        }
+        keep
+      }
     val medByName = results.collect { case (n, m, _) => n -> m }.toMap
     // r13 rerun protocol (r12 VERDICT item 1): the single rerun +
     // single AFTER-the-fact spin sample could not adjudicate a 22 s
@@ -1016,6 +1079,13 @@ object Bench {
         if (ss.isEmpty) Nil
         else Seq(s"iso_${n}_min" -> ss.map(_._2).min,
                  s"iso_${n}_max" -> ss.map(_._2).max) })
+    // superstep-family (wall, packed-bound) pairs per suite rep — the
+    // throughput-normalized record (r17 verdict item 4). Array values
+    // can't collide with parseMins's `"q_x":<number>` regex.
+    val packedJson = packedReps.map { case (n, rs) =>
+      "\"" + n + "\":" + rs.map { case (w, p) =>
+        "[" + fmt(w) + "," + fmt(p) + "]" }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // phase breakdown of the LAST pagerank execution in this JVM
     // (suite rep or isolated rerun — whichever ran last): staging scan
     // vs fused-superstep segment, the "where did the time go" record
@@ -1049,7 +1119,7 @@ object Bench {
     }
     val freshJson = freshJvm
       .map { case (n, j) => "\"" + n + "\":" + j }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","heap_max_mib":$heapMib,"gc":"$gcNames","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"isolated_reps":$isoRepsJson,"isolated_spin":$isoSpinJson,"isolated_stages":$isoStagesJson,"fresh_jvm":$freshJson,"spin":$spin,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","heap_max_mib":$heapMib,"gc":"$gcNames","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"isolated_reps":$isoRepsJson,"isolated_spin":$isoSpinJson,"isolated_stages":$isoStagesJson,"fresh_jvm":$freshJson,"spin":$spin,"packed":$packedJson,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the artifact line to a file: the r9 record was lost
     // because the capture wrapper kept only the tail of stdout and the

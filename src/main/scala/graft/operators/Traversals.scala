@@ -1308,6 +1308,64 @@ object Traversals {
     labels
   }
 
+  /** [[connectedComponents]] with leading HASH-TO-MIN contraction
+    * rounds (r18, the q_spatial_dbscan_auto finding): the pointer-
+    * jumping loop's cost at local[*] is superstep BARRIERS, and a
+    * mid-size graph (10⁵–10⁷ edges — above the union-find collect
+    * bound, below "big data") pays tens of seconds of scheduling for
+    * data work DuckDB does in under a second. Each contraction round
+    * is ONE hash agg (every vertex's provisional label = min of
+    * itself and its neighbours) plus one label-translation join and a
+    * distinct — plain equi-shuffles, no iteration — and collapses
+    * every radius-1 neighbourhood onto its min vertex, shrinking the
+    * graph ~avg-degree× per round (measured on the sf10 auto-DBSCAN
+    * core graph: 1.67 M edges → 183 k after one round → 49 k after
+    * two, under the union-find fast path). EXACT: l(v) = min({v} ∪
+    * N(v)) stays inside v's component, quotient components biject
+    * with original components, and the component's min vertex m has
+    * l(m) = m (m is ≤ every neighbour), so min-labels are preserved
+    * verbatim — callers get bit-identical output to
+    * [[connectedComponents]]. At cluster scale the same two rounds
+    * cut the iterated loop's input by the same degree factor, so this
+    * is a pure win whenever average degree is high — exactly the
+    * density regime DBSCAN core graphs live in. */
+  def contractedComponents(edges: DataFrame, rounds: Int = 2,
+                           maxIters: Int = 10000, jumps: Int = 2,
+                           localMaxEdges: Long = 65536L): DataFrame = {
+    var cur = symmetrize(edges).checkpointSized() // (src, dst), both orders
+    // vertex -> current quotient label, composed across rounds
+    var map: DataFrame = null
+    (1 to rounds).foreach { _ =>
+      // least(src, dst) folds the self term into the neighbour min, so
+      // isolated self-loop vertices and degree-1 chains contract too
+      val lbl = cur.groupBy(col("dst").as("v"))
+        .agg(min(least(col("src"), col("dst"))).as("l"))
+        .checkpointSized()
+      val prevMap = map
+      // the new map is checkpointed in its OWN blocks before lbl's are
+      // dropped below — a bare projection would share lbl's RDD and
+      // die on the drop (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND)
+      map = (if (map == null) lbl.select(col("v").as("vertex"), col("l"))
+        else map.join(lbl, map("l") === lbl("v"))
+          .select(map("vertex"), lbl("l"))).checkpointSized()
+      if (prevMap != null) dropCheckpoint(prevMap)
+      val li = lbl.select(col("v").as("sv"), col("l").as("sl"))
+      val lj = lbl.select(col("v").as("dv"), col("l").as("dl"))
+      val prevCur = cur
+      cur = cur.join(li, col("src") === col("sv"))
+        .join(lj, col("dst") === col("dv"))
+        .select(col("sl").as("src"), col("dl").as("dst"))
+        .distinct().checkpointSized()
+      dropCheckpoint(prevCur)
+      dropCheckpoint(lbl)
+    }
+    val qComp = connectedComponents(cur, maxIters, jumps, localMaxEdges)
+    val out = map.join(qComp, map("l") === qComp("vertex"))
+      .select(map("vertex"), qComp("component"))
+    dropCheckpoint(cur)
+    out
+  }
+
   /** Max-id label fixpoint over a directed propagation table
     * `(from, to)`: label(to) adopts the greatest label among its
     * `from` sources until stable, pointer-jumped — sound because the

@@ -293,7 +293,12 @@ object PipelineQueries {
       .join(core.select(col("v").as("j")), "j")
       .select(col("i").as("src"), col("j").as("dst"))
       .unionByName(core.select(col("v").as("src"), col("v").as("dst")))
-    val comp = graft.operators.Traversals.connectedComponents(coreEdges)
+    // hash-to-min contraction (2 rounds) before the pointer-jumping
+    // loop: DBSCAN core graphs are exactly the high-average-degree
+    // regime where contraction collapses the graph under the
+    // union-find fast path (sf10 auto: 1.67 M edges → 49 k; exactness
+    // argument in Traversals.contractedComponents's scaladoc)
+    val comp = graft.operators.Traversals.contractedComponents(coreEdges)
     val border = pairs
       .join(core.select(col("v").as("j")), "j")
       .join(comp.select(col("vertex").as("j"), col("component")), "j")
@@ -3488,17 +3493,21 @@ object PipelineQueries {
     "q_embed_nsw_beam" -> ((s, d) => {
       // the PRODUCTION configuration of the routed search (r17
       // verdict item 3): greedy beam-1 from a single entry point is
-      // the paradigm's degenerate corner — one bad hop and the walk
-      // is stuck in a local optimum (NswProbe prices it: top-1
-      // agreement vs exact over a 32-query sample, BASELINE.md r18
-      // table). BEAM-4 from 4 entry points is the standard HNSW/NSW
-      // remedy: per hop the frontier is the best-4 among
-      // {frontier} ∪ neighbours(frontier), so the route explores 4
-      // monotone paths and local optima must trap ALL of them to
-      // stop progress. Same staged proximity graph, same
-      // metadata-scale per-hop collects (≤ 4·5 neighbour ids), every
-      // scoring job a ≤ 24-id pushed-filter scan; the full
-      // hop-by-hop frontier is the output — the beam certificate.
+      // the paradigm's degenerate corner — the graph is CELL-BOUNDED
+      // (edges never cross cells), so a single-entry walk is trapped
+      // in its entry's cell forever, and NswProbe measured exactly
+      // that (endpoint cosine ≈ 0 of exact at sf10). The measured-
+      // best configuration at equal probe cost: enter at EVERY cell
+      // centroid (the IVF spine — entry breadth is the topology's
+      // dominant lever: endpoint quality 0.16 → 0.51 of exact at
+      // sf10 while beam 4→8 and hops 4→8 buy ≤ 1% for 2× cost;
+      // BASELINE.md r18 table), then BEAM-4 per hop keeps the best-4
+      // of {frontier} ∪ neighbours(frontier) — 4 surviving descents
+      // that a local optimum must trap simultaneously. Same staged
+      // proximity graph, metadata-scale per-hop collects (≤ 4·5
+      // neighbour ids after the entry hop), every scoring job a
+      // pushed-filter scan (k + 24 ids); the hop-by-hop frontier is
+      // the output — the beam certificate.
       graft.functions.expressions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val k = Similarity.autoCellCount(emb.count())
@@ -3512,7 +3521,7 @@ object PipelineQueries {
           .select(col("vec_id"), expr("cosine_sim(v, qv)").as("sc"))
           .orderBy(col("sc").desc, col("vec_id")).limit(4)
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      var frontier = topB(Seq(1L, 2L, 3L, 4L))
+      var frontier = topB((1L to k.toLong))
       val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
       def record(hop: Int): Unit = frontier.zipWithIndex.foreach {
         case ((vid, sc), i) => trace += ((hop, i + 1, vid, sc))
@@ -4989,13 +4998,13 @@ object PipelineQueries {
     // the beam-4 route unrolled: same graph (corpus-only vertices),
     // same per-hop candidate set {frontier} ∪ neighbours(frontier),
     // frontier = row_number ≤ 4 by (cosine desc, vec_id); entry
-    // frontier = best-4 of vec_ids 1–4
+    // frontier = best-4 of the k cell centroids (vec_ids 1..k)
     "q_embed_nsw_beam" -> {
       val cos = s"${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")}))"
       val hops = (1 to 4).map { h =>
         s"c$h AS MATERIALIZED (SELECT $h::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (SELECT vertex FROM c${h - 1} UNION ALL SELECT g.dst FROM g JOIN c${h - 1} ON g.src = c${h - 1}.vertex)) WHERE rk <= 4)"
       }.mkString(", ")
-      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), g AS MATERIALIZED (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))")}, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk <= 5), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (1, 2, 3, 4)) WHERE rk <= 4), $hops SELECT hop, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop, rk"""
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), g AS MATERIALIZED (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))")}, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk <= 5), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id BETWEEN 1 AND (SELECT k FROM kk)) WHERE rk <= 4), $hops SELECT hop, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop, rk"""
     },
     // same power-of-two grid (floor of an exact binary scale), same
     // 3×3 neighbourhood explode, same raw-double d² ≤ r² refine

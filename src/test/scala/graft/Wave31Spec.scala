@@ -198,6 +198,38 @@ class Wave31Spec extends SparkSpec {
       rows.map(_.getAs[Long]("n_rr_in")).sum)
   }
 
+  test("contractedComponents is bit-identical to connectedComponents") {
+    // the hash-to-min contraction (r18: the DBSCAN CC accelerator) must
+    // be invisible in results — same (vertex, min-id component) labels
+    // on adversarial shapes: chains (deep diameter), stars (high
+    // degree), cliques (max contraction), isolated self-loops, and a
+    // seeded random graph; rounds 0/1/2/3 all agree
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val random = (1 to 400).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+    val chain = (0L until 50L).map(v => (v * 3, v * 3 + 3))
+    val star = (1L to 40L).map(v => (1000L, 1000L + v))
+    val clique = for (a <- 2000L to 2012L; b <- 2000L to 2012L if a < b) yield (a, b)
+    val loops = Seq((5000L, 5000L), (5001L, 5001L))
+    val edges = (random ++ chain ++ star ++ clique ++ loops)
+      .toDF("src", "dst")
+    def labels(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // localMaxEdges = 0 forces the DISTRIBUTED loop on both sides so
+    // the equality exercises the real machinery, not union-find twice
+    val plain = labels(graft.operators.Traversals
+      .connectedComponents(edges, localMaxEdges = 0L))
+    for (rounds <- 1 to 3) {
+      val contracted = labels(graft.operators.Traversals
+        .contractedComponents(edges, rounds = rounds, localMaxEdges = 0L))
+      assert(contracted == plain, s"contraction rounds=$rounds diverged")
+    }
+    // and with the union-find fast path engaged downstream
+    val fast = labels(graft.operators.Traversals.contractedComponents(edges))
+    assert(fast == plain)
+  }
+
   test("q_embed_nsw_beam: frontier scores are monotone and dominate greedy beam-1") {
     val beam = SparkEntry.queries("q_embed_nsw_beam")(spark, dir)
       .collect().map(r => (r.getAs[Int]("hop"), r.getAs[Int]("rk"),
