@@ -1238,24 +1238,7 @@ object Traversals {
       val es = sym.select(col("src").cast("long"), col("dst").cast("long"))
         .as[(Long, Long)].collect()
       sym.unpersist(blocking = false)
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val ra = find(a); val rb = find(b)
-        // union toward the smaller root: the surviving root of any
-        // merge chain is the component's min id, matching the
-        // distributed min-label fixpoint exactly
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      return parent.keys.toSeq.sorted.map(v => (v, find(v)))
-        .toDF("vertex", "component")
+      return unionFindComponents(spark, es)
     }
     // Fused first round: with identity labels, round 1's neighbour-min
     // join degenerates to component := min(v, min of in-neighbours) —
@@ -1308,6 +1291,31 @@ object Traversals {
     labels
   }
 
+  /** Driver-side union-find over a collected symmetric edge array —
+    * the shared small-graph fast path of [[connectedComponents]] and
+    * [[contractedComponents]]. Union toward the smaller root: the
+    * surviving root of any merge chain is the component's min id,
+    * matching the distributed min-label fixpoint exactly. */
+  private def unionFindComponents(spark: SparkSession,
+                                  es: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      .toDF("vertex", "component")
+  }
+
   /** [[connectedComponents]] with leading HASH-TO-MIN contraction
     * rounds (r18, the q_spatial_dbscan_auto finding): the pointer-
     * jumping loop's cost at local[*] is superstep BARRIERS, and a
@@ -1333,6 +1341,20 @@ object Traversals {
                            maxIters: Int = 10000, jumps: Int = 2,
                            localMaxEdges: Long = 65536L): DataFrame = {
     var cur = symmetrize(edges).checkpointSized() // (src, dst), both orders
+    // below the union-find collect bound, contraction is pure overhead
+    // (two agg+join rounds to shrink a graph union-find already eats
+    // in microseconds — measured +0.7 s on q_spatial_dbscan's sf0.1
+    // fixture); collect the already-materialized checkpoint straight
+    // into the shared union-find — same cost profile as the plain
+    // loop's small path, not a re-symmetrizing delegation
+    if (cur.count() <= localMaxEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = cur.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      dropCheckpoint(cur)
+      return unionFindComponents(spark, es)
+    }
     // vertex -> current quotient label, composed across rounds
     var map: DataFrame = null
     (1 to rounds).foreach { _ =>

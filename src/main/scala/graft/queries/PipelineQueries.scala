@@ -1255,7 +1255,7 @@ object PipelineQueries {
       // pipeline runs after pair generation.
       val pairs = embedLshPairs(s, d, minCos = 0.4)
         .select(col("i").as("src"), col("j").as("dst"))
-      graft.operators.Traversals.connectedComponents(pairs)
+      graft.operators.Traversals.contractedComponents(pairs)
         .groupBy("component")
         .agg(count(lit(1)).as("sz"), max(col("vertex")).as("max_vec"))
         .orderBy("component")
@@ -1274,7 +1274,7 @@ object PipelineQueries {
       val pairs = Dedup.minhashPairs(t(s, d, "documents"), minEst = 0.5,
           sigOpt = Some(docSignatures(s, d)), candOpt = Some(docCandidates(s, d)))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      graft.operators.Traversals.connectedComponents(pairs)
+      graft.operators.Traversals.contractedComponents(pairs)
         .join(t(s, d, "documents").select(col("doc_id").as("vertex"),
           col("n_chars")), "vertex")
         .groupBy("component")
@@ -1380,7 +1380,7 @@ object PipelineQueries {
       val pairs = Dedup.minhashPairs(t(s, d, "documents"), k = 16, bands = 4, minEst = 0.5,
           sigOpt = Some(docSignatures(s, d)), candOpt = Some(docCandidates(s, d)))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      graft.operators.Traversals.connectedComponents(pairs)
+      graft.operators.Traversals.contractedComponents(pairs)
         .groupBy("component")
         .agg(count(lit(1)).as("sz"), max(col("vertex")).as("max_doc"))
         .orderBy("component")
@@ -2479,7 +2479,7 @@ object PipelineQueries {
         .select(col("src"), col("dst"))
       // connectedComponents symmetrizes its input itself — the a<b
       // pair list goes in as-is
-      graft.operators.Traversals.connectedComponents(pairs)
+      graft.operators.Traversals.contractedComponents(pairs)
         .groupBy(col("component").as("entity"))
         .agg(count(lit(1)).as("n_records"),
           min("vertex").as("min_key"), max("vertex").as("max_key"))
