@@ -312,7 +312,10 @@ object Bench {
     "q_spatial_dbscan",
     // r18: density-relative auto-radius DBSCAN (r17 verdict item 2),
     // beam-4 routed ANN (item 3), cap-enforced balanced IVF (item 5)
-    "q_spatial_dbscan_auto", "q_embed_nsw_beam", "q_embed_ivf_balanced_iter")
+    "q_spatial_dbscan_auto", "q_embed_nsw_beam", "q_embed_ivf_balanced_iter",
+    // r18 wave 2: metadata-filtered ANN with starvation-aware probe
+    // widening, and sparse⊕dense RRF hybrid retrieval
+    "q_embed_ivf_filtered", "q_hybrid_retrieval")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is

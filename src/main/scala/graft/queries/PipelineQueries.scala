@@ -612,6 +612,69 @@ object PipelineQueries {
         .select(col("doc_id"), col("term"), col("score0").as("score"), col("rk"))
         .orderBy("doc_id", "rk")
     }),
+    "q_hybrid_retrieval" -> ((s, d) => {
+      // HYBRID (sparse ⊕ dense) retrieval — the RAG serving front
+      // door: rank the corpus against query document 0 by BM25 term
+      // overlap (sparse leg) and by embedding cosine (dense leg),
+      // fuse with reciprocal-rank fusion (k = 60; Cormack et al.
+      // 2009 — rank-based, so the two legs' incommensurable score
+      // scales never mix). The legs disagree by construction
+      // (lexical overlap vs vector geometry) — that disagreement is
+      // the reason production stacks fuse them. Exactness: the
+      // sparse score decimal-sums term-local round(4) BM25
+      // contributions (q_text_bm25's recipe — order-independent);
+      // RRF is coalesce(1/(60+rs), 0) + coalesce(1/(60+rd), 0), one
+      // fixed parenthesization of small-integer-derived doubles
+      // (oracle forces ::DOUBLE — DuckDB's bare 1.0 is DECIMAL).
+      // Scale shape: each leg is TakeOrderedAndProject top-20 (never
+      // a global sort); the only single-partition window ranks the
+      // 20-row leg results (bounded by k, not corpus); the fusion
+      // join touches ≤ 40 rows.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .localCheckpoint(true) // feeds tf, df, dl AND the query terms
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val df_ = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tots = dl.agg(count(lit(1)).cast("double").as("n"),
+        sum("dl").cast("double").as("tt"))
+      val qTerms = tok.where(col("doc_id") === 0).select("term").distinct()
+      val sparseTop = tf.join(qTerms, "term").where(col("doc_id") =!= 0)
+        .join(df_, "term").join(dl, "doc_id").crossJoin(broadcast(tots))
+        .withColumn("idf",
+          round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+        .withColumn("c0", round(col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") * col("n") / col("tt"))), 4))
+        .groupBy("doc_id")
+        .agg(sum(col("c0").cast("decimal(18,4)")).cast("double").as("s_score"))
+        .orderBy(col("s_score").desc, col("doc_id")).limit(20)
+      val ws = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s_score").desc, col("doc_id"))
+      val sparse = sparseTop.withColumn("rs", row_number().over(ws))
+        .select(col("doc_id"), col("rs"))
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val denseTop = e.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(expr("cosine_sim(v, qv)"), 4).as("d_score"))
+        .orderBy(col("d_score").desc, col("doc_id")).limit(20)
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("d_score").desc, col("doc_id"))
+      val dense = denseTop.withColumn("rd", row_number().over(wd))
+        .select(col("doc_id"), col("rd"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rs"), lit(0)).as("sparse_rk"),
+          coalesce(col("rd"), lit(0)).as("dense_rk"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
     "q_text_tfidf" -> ((s, d) => {
       // classic tf-idf: top-3 terms per doc, idf = ln(N/df); integer
       // counts + one ln keep exact oracle parity
@@ -4245,6 +4308,42 @@ object PipelineQueries {
         .agg(count(lit(1)).as("hits"))
         .select(col("hits"), round(col("hits") / 10.0, 4).as("recall_at_10"))
     }),
+    "q_embed_ivf_filtered" -> ((s, d) => {
+      // METADATA-FILTERED ANN — the production vector-store feature
+      // every serving stack exposes (FAISS IDSelector, pgvector's
+      // WHERE, Milvus' expr): top-k among only the rows passing a
+      // predicate (here the deterministic 1/16 slice
+      // vec_id % 16 = 1). The subtlety a naive post-filter misses is
+      // CANDIDATE STARVATION: one probed cell holds only ~(n/k)/16
+      // allowed rows, fewer than k results at small corpora — so the
+      // probe count WIDENS from the selectivity, integer-exact from
+      // count(*): probes = clamp(⌈k_res·16·cells/n⌉, [1, 8]) — 3
+      // cells at the 500-row fixtures, 1 from n ≥ 1280 on (the
+      // starved regime and the single-probe regime BOTH sit inside
+      // the gate). The filter applies BEFORE scoring: only allowed
+      // rows of probed cells are ever scored — candidates stay
+      // bucket-bound, and the chosen probe count rides on every row.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val n = emb.count()
+      val probes = math.max(1L, math.min(8L, (10L * 16 * 8 + n - 1) / n)).toInt
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, 8))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val a = Similarity.assignCells(e, cents)
+      val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val pc = cents.crossJoin(broadcast(q))
+        .select(col("cid").as("qcid"), col("qv"),
+          expr("l2sq_fold(cv, qv)").as("dist"))
+        .orderBy(col("dist"), col("qcid")).limit(probes)
+        .select(col("qcid"), col("qv"))
+      val joined = a.join(broadcast(pc), col("cid") === col("qcid"))
+        .where(col("vec_id") =!= 0 && col("vec_id") % 16 === 1)
+      joined.select(col("vec_id"),
+          round(expr("cosine_sim(v, qv)"), 4).as("score"),
+          lit(probes).as("n_probes"))
+        .orderBy(col("score").desc, col("vec_id")).limit(10)
+    }),
     "q_embed_binary" -> ((s, d) => {
       // 1-BIT binary quantization retrieval — the 64×-compression
       // rung below q_embed_rerank's int8 path (binary embeddings are
@@ -4642,6 +4741,12 @@ object PipelineQueries {
     // parenthesization of the saturation/length-norm expression
     "q_text_bm25" ->
       s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokr GROUP BY 1, 2), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tokr GROUP BY doc_id), df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), tot AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tt FROM dl), sc AS (SELECT tf.doc_id, tf.term, round(round(ln((tot.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * tot.n / tot.tt)), 4) AS score0 FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN tot), rk AS (SELECT doc_id, term, score0, row_number() OVER (PARTITION BY doc_id ORDER BY score0 DESC, term)::INT AS rk FROM sc) SELECT doc_id, term, score0 AS score, rk FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
+    // same BM25 recipe restricted to doc-0's terms, decimal-summed per
+    // doc; same cosine leg; both legs rank top-20 (QUALIFY) and fuse
+    // by RRF with ::DOUBLE forced (DuckDB's bare 1.0 is DECIMAL and
+    // decimal division would diverge from Spark's double)
+    "q_hybrid_retrieval" ->
+      s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokr GROUP BY 1, 2), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tokr GROUP BY doc_id), df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), tot AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tt FROM dl), qt AS (SELECT DISTINCT term FROM tokr WHERE doc_id = 0), sp0 AS (SELECT tf.doc_id, sum((round(round(ln((tot.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * tot.n / tot.tt)), 4))::DECIMAL(18,4))::DOUBLE AS s_score FROM tf JOIN qt USING (term) JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot WHERE tf.doc_id <> 0 GROUP BY tf.doc_id), sp AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY s_score DESC, doc_id) AS rs FROM sp0 QUALIFY rs <= 20), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), dn0 AS (SELECT e.vec_id AS doc_id, round(${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")})), 4) AS d_score FROM e CROSS JOIN q WHERE e.vec_id <> 0), dn AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY d_score DESC, doc_id) AS rd FROM dn0 QUALIFY rd <= 20) SELECT coalesce(sp.doc_id, dn.doc_id)::BIGINT AS doc_id, coalesce(rs, 0)::INT AS sparse_rk, coalesce(rd, 0)::INT AS dense_rk, round(coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE), 6) AS rrf FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id ORDER BY rrf DESC, doc_id LIMIT 10""",
     "q_text_tokens_bpe" ->
       """SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+'))::INT AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens, round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)::DOUBLE, 4) AS ratio FROM documents ORDER BY doc_id""",
     "q_dedup_pipeline" ->
@@ -5033,6 +5138,11 @@ object PipelineQueries {
     // orders — generate_series mirrors Spark's sequence explode
     "q_embed_ivf_balanced_iter" ->
       s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500))::BIGINT AS k, ((n + greatest(8, least(4096, (n + 499) // 500)) - 1) // greatest(8, least(4096, (n + 499) // 500)))::BIGINT AS cap FROM nn), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), f AS MATERIALIZED (SELECT vec_id, cid, d2 FROM (SELECT e.vec_id, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS d2, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")}, c.cid) AS crk FROM e CROSS JOIN cents c) WHERE crk = 1), r1 AS MATERIALIZED (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk FROM f), stay AS MATERIALIZED (SELECT vec_id, cid FROM r1 WHERE rk <= (SELECT cap FROM kk)), sp AS MATERIALIZED (SELECT vec_id, cid FROM r1 WHERE rk > (SELECT cap FROM kk)), ns AS MATERIALIZED (SELECT c.cid, count(stay.vec_id)::BIGINT AS n_stay FROM cents c LEFT JOIN stay ON c.cid = stay.cid GROUP BY c.cid), slots AS MATERIALIZED (SELECT cid, unnest(generate_series(1, (SELECT cap FROM kk) - n_stay)) AS slot FROM ns WHERE n_stay < (SELECT cap FROM kk)), si AS MATERIALIZED (SELECT cid, slot, row_number() OVER (ORDER BY cid, slot) AS idx FROM slots), oi AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS idx FROM sp), rr AS MATERIALIZED (SELECT oi.vec_id, si.cid FROM oi JOIN si USING (idx)), bal AS (SELECT vec_id, cid FROM stay UNION ALL SELECT vec_id, cid FROM rr), n0 AS (SELECT cid, count(*)::BIGINT AS n_first FROM f GROUP BY cid), so AS (SELECT cid, count(*)::BIGINT AS n_spill_out FROM sp GROUP BY cid), ri AS (SELECT cid, count(*)::BIGINT AS n_rr_in FROM rr GROUP BY cid), n1 AS (SELECT cid, count(*)::BIGINT AS n_balanced FROM bal GROUP BY cid) SELECT c.cid, coalesce(n0.n_first, 0)::BIGINT AS n_first, coalesce(so.n_spill_out, 0)::BIGINT AS n_spill_out, coalesce(ri.n_rr_in, 0)::BIGINT AS n_rr_in, coalesce(n1.n_balanced, 0)::BIGINT AS n_balanced, (SELECT cap FROM kk)::BIGINT AS cap FROM cents c LEFT JOIN n0 USING (cid) LEFT JOIN so USING (cid) LEFT JOIN ri USING (cid) LEFT JOIN n1 USING (cid) ORDER BY c.cid""",
+    // same assignment, same probe-cell ranking by centroid L2 (probe
+    // count re-derived from count(*) by the same starvation rule),
+    // same pre-scoring 1/16 predicate
+    "q_embed_ivf_filtered" ->
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), pp AS MATERIALIZED (SELECT greatest(1, least(8, (1280 + n - 1) // n))::INT AS probes FROM nn), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), pc AS MATERIALIZED (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${foldSql("list_transform(range(1, 65), i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))")}, c.cid) AS rk FROM cents c CROSS JOIN q) WHERE rk <= (SELECT probes FROM pp)), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN pc ON a.cid = pc.cid CROSS JOIN q WHERE a.vec_id <> 0 AND a.vec_id % 16 = 1) SELECT vec_id, round(score0, 4) AS score, (SELECT probes FROM pp)::INT AS n_probes FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // identical semantics to q_embed_ivf — the engine-side difference
     // append-maintained index == full rebuild (assignment is
     // row-local), so the same batch SQL oracles the append path too

@@ -76,6 +76,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_sample_neyman",                               // broadcast 1-row weight-total scalar
     "q_layout_skipping",                             // broadcast 1-row max-orderkey scalar
     "q_embed_ivf_2level",                            // broadcast 1-row query vector / cell
+    "q_embed_ivf_filtered",                          // broadcast 1-row query vector / probe cells
+    "q_hybrid_retrieval",                            // broadcast 1-row totals + query vector
     "q_mix_shuffle")                                 // broadcast lang-count table + 1-row total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

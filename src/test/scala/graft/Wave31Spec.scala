@@ -198,6 +198,37 @@ class Wave31Spec extends SparkSpec {
       rows.map(_.getAs[Long]("n_rr_in")).sum)
   }
 
+  test("q_stream_ivm_join survives a kill between micro-batches (ingest-log recovery)") {
+    // the seen-state is re-derived from the batchId-keyed ingest log,
+    // so a restart between batch a and batch b must resume with batch
+    // a's arrivals counted exactly once — the maintained view equals
+    // the direct full-join recompute
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-w31-ivmr-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-w31-ivmr-ckpt")
+    val outDir = java.nio.file.Files.createTempDirectory("graft-w31-ivmr-out")
+    try {
+      val arriving = Tables.t(spark, dir, "orders").where(RelationalQueries.ivmDA)
+      val ingest = outDir.resolve("ingest").toString
+      val out = outDir.resolve("partials").toString
+      PipelineQueries.stageDocsChunk(
+        arriving.where(col("o_orderkey") % 2 === 0), streamDir, "a")
+      RelationalQueries.runIvmJoinStream(spark, dir, streamDir, ckpt, ingest, out)
+      PipelineQueries.stageDocsChunk(
+        arriving.where(col("o_orderkey") % 2 =!= 0), streamDir, "b")
+      RelationalQueries.runIvmJoinStream(spark, dir, streamDir, ckpt, ingest, out)
+      val recovered = sortedRows(RelationalQueries.ivmFold(
+        RelationalQueries.ivmBase(spark, dir),
+        spark.read.parquet(out).drop("batch_id")))
+      val direct = sortedRows(SparkEntry.queries("q_join_sortmerge")(spark, dir))
+      assert(recovered.nonEmpty && recovered == direct,
+        "restart-recovered IVM view diverged from the recompute")
+    } finally {
+      Staging.deleteRecursively(streamDir)
+      Staging.deleteRecursively(ckpt)
+      Staging.deleteRecursively(outDir)
+    }
+  }
+
   test("contractedComponents is bit-identical to connectedComponents") {
     // the hash-to-min contraction (r18: the DBSCAN CC accelerator) must
     // be invisible in results — same (vertex, min-id component) labels
@@ -228,6 +259,42 @@ class Wave31Spec extends SparkSpec {
     // and with the union-find fast path engaged downstream
     val fast = labels(graft.operators.Traversals.contractedComponents(edges))
     assert(fast == plain)
+  }
+
+  test("q_embed_ivf_filtered: predicate holds, probes widen against starvation") {
+    val rows = SparkEntry.queries("q_embed_ivf_filtered")(spark, dir).collect()
+    // the 500-row fixture is the STARVED regime: one cell holds
+    // ~(500/8)/16 ≈ 4 allowed rows < 10, so the rule widens to 3 probes
+    // — and the widened probe set actually fills the result
+    assert(rows.length == 10, s"starved probe returned ${rows.length} rows")
+    assert(rows.forall(_.getAs[Long]("vec_id") % 16 == 1),
+      "a result row escaped the metadata predicate")
+    assert(rows.forall(_.getAs[Int]("n_probes") == 3),
+      "fixture probe count drifted from the starvation rule")
+    val scores = rows.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse, "scores not descending")
+    // the rule's scale points: single-probe regime from n >= 1280
+    def probes(n: Long) = math.max(1L, math.min(8L, (1280 + n - 1) / n))
+    assert(probes(500) == 3 && probes(1280) == 1 && probes(200000) == 1)
+  }
+
+  test("q_hybrid_retrieval: RRF is exactly determined by the two leg ranks") {
+    val rows = SparkEntry.queries("q_hybrid_retrieval")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rs = r.getAs[Int]("sparse_rk"); val rd = r.getAs[Int]("dense_rk")
+      assert(rs >= 0 && rs <= 20 && rd >= 0 && rd <= 20)
+      assert(rs > 0 || rd > 0, "a fused row belongs to neither leg's top-20")
+      val expected = BigDecimal(
+        (if (rs > 0) 1.0 / (60 + rs) else 0.0) +
+          (if (rd > 0) 1.0 / (60 + rd) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf") - expected) < 1e-9,
+        s"rrf inconsistent with ranks ($rs, $rd)")
+    }
+    // both legs contribute to the fused head — the fusion is real
+    assert(rows.exists(_.getAs[Int]("sparse_rk") > 0))
+    assert(rows.exists(_.getAs[Int]("dense_rk") > 0))
   }
 
   test("q_embed_nsw_beam: frontier scores are monotone and dominate greedy beam-1") {

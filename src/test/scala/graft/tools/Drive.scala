@@ -18,7 +18,8 @@ object Drive {
     Seq("q_stream_integrity", "q_stream_ivm_join", "q_ivm_join",
         "q_spatial_join", "q_spatial_dbscan_auto",
         "q_embed_nsw", "q_embed_nsw_beam",
-        "q_embed_ivf_balanced", "q_embed_ivf_balanced_iter").foreach { n =>
+        "q_embed_ivf_balanced", "q_embed_ivf_balanced_iter",
+        "q_embed_ivf_filtered", "q_hybrid_retrieval").foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, d)
       df.show(80, truncate = false)
