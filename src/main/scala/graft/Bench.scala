@@ -315,7 +315,10 @@ object Bench {
     "q_spatial_dbscan_auto", "q_embed_nsw_beam", "q_embed_ivf_balanced_iter",
     // r18 wave 2: metadata-filtered ANN with starvation-aware probe
     // widening, and sparse⊕dense RRF hybrid retrieval
-    "q_embed_ivf_filtered", "q_hybrid_retrieval")
+    "q_embed_ivf_filtered", "q_hybrid_retrieval",
+    // r19: the index-backed hybrid probe (staged postings + bound-
+    // pruned exact dense probe) and the fusion accuracy readout
+    "q_hybrid_retrieval_indexed", "q_hybrid_ndcg")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
@@ -698,7 +701,27 @@ object Bench {
       val tm = e.taskMetrics
       if (tm != null) ms.addAndGet(tm.executorRunTime)
     }
+    def millis: Long = ms.get()
     def seconds: Double = ms.get() / 1e3
+  }
+
+  /** Wait for the async listener bus to deliver this execution's
+    * task-end events: poll until the aggregate is stable across two
+    * consecutive 50 ms checks (max 2 s) instead of a fixed sleep —
+    * on a loaded host the old fixed 300 ms missed late events and
+    * silently shrank the packed lower bound (r18 ADVICE; the bias
+    * was conservative for exoneration but understated task volume
+    * in the artifact). Untimed — runs between the wall measurement
+    * and the listener removal. */
+  private def drainTaskEvents(agg: TaskTimeAgg): Unit = {
+    var prev = -1L
+    var stable = 0
+    var waited = 0
+    while (stable < 2 && waited < 2000) {
+      Thread.sleep(50); waited += 50
+      val cur = agg.millis
+      if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+    }
   }
 
   /** The four superstep-family entries whose isolated-rerun trigger
@@ -706,6 +729,40 @@ object Bench {
     * floor drift — see [[TaskTimeAgg]]. */
   private[graft] val superstepFamily = Set("q_graph_pagerank_big",
     "q_graph_dfs_residual", "q_graph_lpa_big", "q_graph_dfs_leaves_big")
+
+  /** Entries that record (wall, packed lower bound) pairs per suite
+    * rep: the superstep four plus the other iterative / barrier-heavy
+    * headliners whose wall drifts with host throughput even when
+    * plans are unchanged (r18 verdict item 6 — the contended r18
+    * close showed the same wall-vs-task-time gap on cc_big /
+    * dfs_classes / ktruss / linkpred at 1.3–1.6× floors with clean
+    * plans; recording the packed pair everywhere gives the
+    * per-trigger verdicts their evidence without an isolated rerun). */
+  private[graft] val packedFamily: Set[String] = superstepFamily ++ Set(
+    "q_graph_cc_big", "q_graph_dfs_classes", "q_graph_ktruss",
+    "q_graph_triangles_big", "q_graph_linkpred", "q_graph_bfs_big",
+    "q_spatial_dbscan_auto", "q_embed_pca", "q_embed_pca_sampled")
+
+  /** The per-trigger adjudication rule (r18 verdict item 4),
+    * spec-pinned (BenchSelectionSpec): a floor trigger is EXONERATED
+    * when its isolated best-of-3 lands within 1.25× the best-known
+    * floor (the suite number was scheduling noise, not a regression)
+    * OR its best suite rep sits within 1.2× its measured packed
+    * lower bound (the wall is explained by task volume on this
+    * host). A trigger with neither is "unexplained" — the honest
+    * residue a reviewer must look at; a trigger whose isolated
+    * reruns failed is "failed". Evaluated HERE and recorded
+    * per-trigger in the artifact, so a contended close
+    * self-adjudicates instead of leaning on BASELINE.md narration
+    * (r18: 46 triggers, only 27 with in-artifact evidence). */
+  private[graft] def adjudicate(floor: Double, isolatedBest: Double,
+      packed: Option[(Double, Double)]): String =
+    if (packed.exists { case (w, p) => p > 0 && w <= 1.2 * p })
+      "exonerated_packed"
+    else if (isolatedBest >= 0 && floor > 0 && isolatedBest <= 1.25 * floor)
+      "exonerated_isolated"
+    else if (isolatedBest < 0) "failed"
+    else "unexplained"
 
   def main(args: Array[String]): Unit = {
     // optional regex arg: local iteration on a query subset ("q_join.*").
@@ -827,19 +884,20 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // superstep-family suite reps also record (wall, packed bound)
+    // packed-family suite reps also record (wall, packed bound)
     // pairs — the throughput-normalized evidence next to the spin
-    // probe (r17 verdict item 4); the 300 ms listener-bus drain is
-    // untimed and paid only by the four family entries
+    // probe (r17 verdict item 4; widened to the whole iterative
+    // family in r19 per r18 verdict item 6); the listener-bus drain
+    // is untimed and paid only by family entries
     val packedReps =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
     def timeOnceTracked(name: String): Double =
-      if (!superstepFamily(name)) timeOnce(name)
+      if (!packedFamily(name)) timeOnce(name)
       else {
         val agg = new TaskTimeAgg
         spark.sparkContext.addSparkListener(agg)
         val w = try timeOnce(name) finally {
-          Thread.sleep(300) // listener bus is async; let events drain
+          drainTaskEvents(agg) // poll-until-stable (r18 ADVICE)
           spark.sparkContext.removeSparkListener(agg)
         }
         packedReps(name) =
@@ -932,10 +990,14 @@ object Bench {
     // superstep run still reruns).
     def packExonerated(n: String): Boolean =
       packedReps.get(n).exists(_.exists { case (w, p) => p > 0 && w <= 1.2 * p })
-    val outliers = results.collect {
+    // rawTriggers = every fired floor trigger, BEFORE the packed
+    // suppression — the per-trigger verdict record below must cover
+    // all of them (r18 verdict item 4)
+    val rawTriggers = results.collect {
       case (n, med, mn) if med >= 0 &&
         (med > 1.5 * bestKnown(n) * noiseRatio(n) ||
           mn > 1.5 * histMin.getOrElse(n, Double.MaxValue) * noiseRatio(n)) => n }
+    val outliers = rawTriggers
       .filter { n =>
         val keep = !packExonerated(n)
         if (!keep) {
@@ -1089,6 +1151,34 @@ object Bench {
       "\"" + n + "\":" + rs.map { case (w, p) =>
         "[" + fmt(w) + "," + fmt(p) + "]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // per-trigger machine-readable verdicts (r18 verdict item 4):
+    // every fired floor trigger carries its floor, its isolated best
+    // (-1 = none/failed), its best packed pair (null = not recorded)
+    // and the adjudicate() outcome, so the exonerated/unexplained/
+    // failed partition is computed by the artifact itself. Object
+    // values can't collide with parseMins's `"q_x":<number>` regex
+    // (the value opens with '{').
+    val isoForVerdict = isolated.toMap
+    val triggerVerdicts: Seq[(String, String, String)] = rawTriggers.map { n =>
+      val floor = bestKnown(n)
+      val iso = isoForVerdict.getOrElse(n, -1.0)
+      val packedBest = packedReps.get(n)
+        .map(_.minBy { case (w0, p0) => w0 / math.max(p0, 1e-9) })
+      val v = adjudicate(floor, iso, packedBest)
+      val packedStr = packedBest
+        .map { case (w, p) => "[" + fmt(w) + "," + fmt(p) + "]" }
+        .getOrElse("null")
+      (n, v, "{\"floor\":" + fmt(floor) + ",\"isolated\":" + fmt(iso) +
+        ",\"packed\":" + packedStr + ",\"verdict\":\"" + v + "\"}")
+    }
+    val verdictJson = triggerVerdicts
+      .map { case (n, _, o) => "\"" + n + "\":" + o }.mkString("{", ",", "}")
+    val trigSummary = {
+      val e = triggerVerdicts.count(_._2.startsWith("exonerated"))
+      val u = triggerVerdicts.count(_._2 == "unexplained")
+      val f = triggerVerdicts.count(_._2 == "failed")
+      s"""{"total":${triggerVerdicts.size},"exonerated":$e,"unexplained":$u,"failed":$f}"""
+    }
     // phase breakdown of the LAST pagerank execution in this JVM
     // (suite rep or isolated rerun — whichever ran last): staging scan
     // vs fused-superstep segment, the "where did the time go" record
@@ -1122,7 +1212,7 @@ object Bench {
     }
     val freshJson = freshJvm
       .map { case (n, j) => "\"" + n + "\":" + j }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","heap_max_mib":$heapMib,"gc":"$gcNames","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"isolated_reps":$isoRepsJson,"isolated_spin":$isoSpinJson,"isolated_stages":$isoStagesJson,"fresh_jvm":$freshJson,"spin":$spin,"packed":$packedJson,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","heap_max_mib":$heapMib,"gc":"$gcNames","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"isolated_reps":$isoRepsJson,"isolated_spin":$isoSpinJson,"isolated_stages":$isoStagesJson,"fresh_jvm":$freshJson,"spin":$spin,"packed":$packedJson,"trigger_verdicts":$verdictJson,"triggers":$trigSummary,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the artifact line to a file: the r9 record was lost
     // because the capture wrapper kept only the tail of stdout and the

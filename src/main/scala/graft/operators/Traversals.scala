@@ -1382,9 +1382,18 @@ object Traversals {
       dropCheckpoint(lbl)
     }
     val qComp = connectedComponents(cur, maxIters, jumps, localMaxEdges)
+    // materialize the composed result into its OWN blocks, then drop
+    // the vertex→label map's and the quotient labels' checkpoints —
+    // without this each call on the hot dedup/ER/cluster/DBSCAN paths
+    // retained BOTH intermediates until ContextCleaner GC, doubling
+    // the terminal retention of plain connectedComponents (r18
+    // ADVICE). keep-set guards any block the result happens to share.
     val out = map.join(qComp, map("l") === qComp("vertex"))
-      .select(map("vertex"), qComp("component"))
-    dropCheckpoint(cur)
+      .select(map("vertex"), qComp("component")).checkpointSized()
+    val keep = checkpointRddIds(out)
+    dropCheckpoint(cur, keep)
+    dropCheckpoint(map, keep)
+    dropCheckpoint(qComp, keep)
     out
   }
 

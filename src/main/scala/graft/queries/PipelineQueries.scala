@@ -314,17 +314,40 @@ object PipelineQueries {
       .orderBy("component")
   }
 
-  /** The NSW proximity graph (each corpus vector's 5 nearest IN-CELL
-    * neighbours) as a session-staged INDEX artifact keyed on the
-    * corpus fingerprint — bench reps time the greedy ROUTE, not the
-    * per-fixture graph build (r17 ADVICE; the ivf_indexed / ivm_base
-    * staging convention). Built over corpus vectors ONLY: vec_id 0 is
+  /** The NSW proximity graph as a session-staged INDEX artifact keyed
+    * on (k, corpus fingerprint) — bench reps time the greedy ROUTE,
+    * not the per-fixture graph build (r17 ADVICE; the ivf_indexed /
+    * ivm_base staging convention; k folded into the tag per r18
+    * ADVICE — a caller passing a different k must never reuse a stale
+    * memoized graph). Built over corpus vectors ONLY: vec_id 0 is
     * the query — keeping it as a routable vertex would let the walk
     * terminate on the query itself (cosine 1.0), degenerating the
-    * routed search to self-retrieval (r17 ADVICE). */
+    * routed search to self-retrieval (r17 ADVICE).
+    *
+    * Topology (r18 verdict item 1 — the r17 graph kept only each
+    * vector's 5 nearest IN-CELL neighbours, so every edge was
+    * intra-cell, greedy routing could never leave its entry cells,
+    * and NswProbe measured recall@1 ≈ 0; "small world" needs LONG
+    * edges, both across cells and across each cell's diameter):
+    *   - 5 nearest in-cell neighbours (proximity edges, as before);
+    *   - in-cell SKIP edges at ranks 16/64/256 (Vamana/DiskANN-style
+    *     exponentially spaced long links, so a descent entering at a
+    *     cell's centroid crosses the cell's diameter in O(log) hops
+    *     instead of stalling in the centroid's mutual-NN clique);
+    *   - 2 CROSS-CELL links: the nearest member of each of 2
+    *     hash-designated foreign cells, fcid = 1 + ((src mod 3000017)
+    *     · 2654435761 + j) mod k for j ∈ {0,1} (integer-exact and
+    *     oracle-re-derivable; the inner mod keeps the product
+    *     BIGINT-safe at any corpus size). Kleinberg's long-range
+    *     construction: deterministic escape hatches out of the entry
+    *     cells.
+    * Build work stays ~n·(3·targetCell): the local join meets one
+    * cell's members, the far join two designated cells' members —
+    * never all-pairs. Max out-degree 10 (5+3+2), so per-hop driver
+    * collects stay ≤ beam·10 ids. */
   private[graft] def nswGraph(s: SparkSession, d: String, k: Int): DataFrame = {
     val fp = java.lang.Long.toHexString(Tables.fingerprint(d, "embeddings"))
-    Staging.bucketedTable(s, d, s"nsw_graph_$fp") { (name, dir) =>
+    Staging.bucketedTable(s, d, s"nsw_graph_${k}_$fp") { (name, dir) =>
       graft.functions.expressions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -336,13 +359,162 @@ object PipelineQueries {
       val ay = a.select(col("vec_id").as("dst"), col("v").as("dv"), col("cid"))
       val wg = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("d2"), col("dst"))
-      ax.join(ay, "cid").where(col("src") =!= col("dst"))
+      val local = ax.join(ay, "cid").where(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), expr("l2sq_fold(sv, dv)").as("d2"))
-        .withColumn("rk", row_number().over(wg)).where(col("rk") <= 5)
+        .withColumn("rk", row_number().over(wg))
+        .where(col("rk") <= 5 || col("rk").isin(16, 64, 256))
         .select("src", "dst")
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"), col("j")).orderBy(col("d2"), col("dst"))
+      val far = ax
+        .withColumn("j", explode(sequence(lit(0), lit(1))))
+        .withColumn("fcid",
+          ((col("src") % 3000017L) * 2654435761L + col("j")) % k + 1)
+        .where(col("fcid") =!= col("cid"))
+        .join(ay.withColumnRenamed("cid", "fcid"), "fcid")
+        .where(col("src") =!= col("dst"))
+        .select(col("src"), col("j"), col("dst"),
+          expr("l2sq_fold(sv, dv)").as("d2"))
+        .withColumn("rk", row_number().over(wf)).where(col("rk") === 1)
+        .select("src", "dst")
+      // far edges land in cells ≠ own cell, local edges inside it —
+      // the union is duplicate-free by construction, no distinct
+      local.unionByName(far)
         .write.format("parquet").mode("overwrite")
         .option("path", dir.resolve("g").toString).saveAsTable(name)
     }
+  }
+
+  /** The sparse-retrieval POSTINGS index (r18 verdict item 3): one
+    * denormalized row per (term, doc) posting carrying everything the
+    * BM25 score needs — tf, dl, df, and the corpus totals n_docs /
+    * total_len as constant DOUBLE columns (RLE-compressed to nothing
+    * on disk; stored pre-cast so the probe's arithmetic is
+    * bit-identical to the scan-bound sibling's, which casts the
+    * totals to double before dividing). Session-staged keyed on the
+    * documents fingerprint — a probe reads ONLY the query's terms'
+    * rows (pushed `term IN (...)` filter), never re-tokenizes the
+    * corpus: the inverted-file layout a production sparse index
+    * maintains. */
+  private def postingsIndex(s: SparkSession, d: String): DataFrame =
+    stagedTable(s, d, "postings") {
+      val tok = t(s, d, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .localCheckpoint(true) // feeds tf, df AND dl
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val df_ = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tots = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+        sum("dl").cast("double").as("total_len"))
+      tf.join(dl, "doc_id").join(df_, "term").crossJoin(broadcast(tots))
+        .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+          col("df"), col("n_docs"), col("total_len"))
+    }
+
+  /** The hybrid dense-leg index: the corpus cell assignment over
+    * autoCellCount(n) cells (centroids = vec_ids 1..k, the family's
+    * convention), persisted PARTITIONED by cid — one directory per
+    * cell, so a probe's `cid IN (...)` filter prunes at the FileIndex
+    * before any row is read (the ivf_indexed layout, finer-grained:
+    * ~500-row cells instead of 8 corpus-sized ones, which is what
+    * gives [[hybridDenseTop20]]'s bounds something to prune). */
+  private def hybridDenseIdx(s: SparkSession, d: String): DataFrame = {
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(d, "embeddings"))
+    Staging.bucketedTable(s, d, s"hyb_dense_$fp") { (name, dir) =>
+      graft.functions.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val k = Similarity.autoCellCount(emb.count())
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val cents = e.where(col("vec_id").between(1, k))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      Similarity.assignCells(e, cents)
+        .write.format("parquet").mode("overwrite")
+        .partitionBy("cid")
+        .option("path", dir.resolve("t").toString).saveAsTable(name)
+    }
+  }
+
+  /** Per-cell pruning statistics for the exact bound-pruned dense
+    * probe: centroid vector plus max member-to-centroid L2² (r²),
+    * min/max member norm² — k rows, staged next to the index. */
+  private def hybridCellStats(s: SparkSession, d: String): DataFrame = {
+    val fp = java.lang.Long.toHexString(Tables.fingerprint(d, "embeddings"))
+    Staging.bucketedTable(s, d, s"hyb_stats_$fp") { (name, dir) =>
+      graft.functions.expressions.GraftFunctions.register(s)
+      val idx = hybridDenseIdx(s, d)
+      val k = Similarity.autoCellCount(t(s, d, "embeddings").count())
+      // centroid vector = the vector of vec_id c (the assignment's
+      // centroid set), keyed by the CELL it names — not by the cell
+      // that vector happens to be assigned to
+      val cvs = idx.where(col("vec_id").between(1, k))
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      idx.where(col("vec_id") =!= 0)
+        .join(broadcast(cvs), "cid")
+        .select(col("cid"), expr("l2sq_fold(v, cv)").as("d2"),
+          expr("dot_fold(v, v)").as("n2"))
+        .groupBy("cid")
+        .agg(max("d2").as("r2max"), min("n2").as("minn2"),
+          max("n2").as("maxn2"))
+        .join(broadcast(cvs), "cid")
+        .write.format("parquet").mode("overwrite")
+        .option("path", dir.resolve("t").toString).saveAsTable(name)
+    }
+  }
+
+  /** EXACT dense top-20 via bound-pruned index probe — provably
+    * identical to the scan-bound brute force, reading only the cells
+    * a sound upper bound cannot exclude (classic branch-and-bound
+    * exact k-NN over an IVF layout). For any member x of cell c
+    * (centroid cv, radius r = √r2max, norms in [√minn2, √maxn2]):
+    * q·x = q·cv + q·(x−cv) ≤ q·cv + |q|·r (Cauchy–Schwarz), so
+    * cos(q,x) ≤ max(num/(|q|·minNorm), num/(|q|·maxNorm)) with
+    * num = q·cv + |q|r — the max over both norm extremes keeps the
+    * bound valid for either sign of num. τ = the 20th-best RAW
+    * cosine inside the query's own cell; cells with ub < τ − 0.001
+    * are pruned. Soundness of the margin under the sibling's
+    * ROUNDED ordering: raw ≥ τ ⇒ round4 ≥ round4(τ) (round is
+    * monotone), and pruned rows have raw < τ − 0.001 ⇒ round4
+    * strictly below round4(τ) by ≥ 9 quanta — they cannot enter the
+    * top-20 even by tiebreak, so the probed result is bit-identical
+    * to the full scan. Driver touches only metadata-scale rows (the
+    * 1-row query lookup, ≤ 20 τ scores, ≤ k cell bounds — the
+    * ivf_indexed precedent). When the query's cell holds < 20
+    * corpus rows, τ = −2 and every cell qualifies: correct,
+    * just unpruned. */
+  private def hybridDenseTop20(s: SparkSession, d: String): DataFrame = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    val idx = hybridDenseIdx(s, d)
+    val stats = hybridCellStats(s, d)
+    val qRow = idx.where(col("vec_id") === 0)
+      .select(col("cid"), col("v")).head()
+    val qcid = qRow.getLong(0)
+    val qv = idx.sparkSession.createDataFrame(
+      java.util.List.of(qRow), qRow.schema).select(col("v").as("qv"))
+    val own = idx.where(col("cid") === qcid && col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(expr("cosine_sim(v, qv)").as("sc"))
+      .orderBy(col("sc").desc).limit(20).collect()
+    val tau = if (own.length < 20) -2.0 else own.last.getDouble(0)
+    val bounds = stats.crossJoin(broadcast(qv))
+      .select(col("cid"), col("minn2"),
+        (expr("dot_fold(cv, qv)") +
+          sqrt(expr("dot_fold(qv, qv)")) * sqrt(col("r2max"))).as("num"),
+        sqrt(expr("dot_fold(qv, qv)")).as("qn"),
+        sqrt(col("minn2")).as("mn"), sqrt(col("maxn2")).as("mx"))
+      .select(col("cid"),
+        when(col("minn2") <= 0.0, lit(Double.MaxValue))
+          .otherwise(greatest(col("num") / (col("qn") * col("mn")),
+            col("num") / (col("qn") * col("mx")))).as("ub"))
+    val cand = bounds.where(col("ub") >= tau - 0.001)
+      .select("cid").collect().map(_.getLong(0)).toSeq
+    val candAll = (cand :+ qcid).distinct
+    idx.where(col("cid").isin(candAll: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(expr("cosine_sim(v, qv)"), 4).as("d_score"))
+      .orderBy(col("d_score").desc, col("doc_id")).limit(20)
   }
 
   private def embedLshPairs(s: SparkSession, d: String,
@@ -674,6 +846,144 @@ object PipelineQueries {
           round(coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 6).as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+    "q_hybrid_retrieval_indexed" -> ((s, d) => {
+      // INDEX-BACKED hybrid retrieval (r18 verdict item 3): the same
+      // sparse ⊕ dense RRF fusion as q_hybrid_retrieval with BOTH
+      // legs re-founded on staged artifacts — results identical
+      // (same oracle SQL), the per-query cost an index probe instead
+      // of a corpus pass. Sparse leg: the postingsIndex probe reads
+      // ONLY the query's terms' postings (pushed term IN (...)
+      // filter; the query vocabulary is one document's distinct
+      // terms — a metadata-scale driver collect) instead of
+      // re-tokenizing and re-aggregating tf/df/dl per run. Dense
+      // leg: hybridDenseTop20's bound-pruned EXACT probe over the
+      // cid-partitioned cell index — cells a sound Cauchy–Schwarz
+      // bound excludes are never read (FileIndex partition pruning),
+      // and the margin argument makes the output bit-identical to
+      // the sibling's brute force. Bench reps time the probes; the
+      // indexes build once per (session, corpus) — the
+      // build-once/probe-many split a production retrieval stack
+      // maintains.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val post = postingsIndex(s, d)
+      val qTerms = post.where(col("doc_id") === 0)
+        .select("term").distinct().collect().map(_.getString(0)).toSeq
+      val sparseTop = post
+        .where(col("term").isin(qTerms: _*) && col("doc_id") =!= 0)
+        .withColumn("idf", round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+        .withColumn("c0", round(col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("total_len"))), 4))
+        .groupBy("doc_id")
+        .agg(sum(col("c0").cast("decimal(18,4)")).cast("double").as("s_score"))
+        .orderBy(col("s_score").desc, col("doc_id")).limit(20)
+      val ws = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s_score").desc, col("doc_id"))
+      val sparse = sparseTop.withColumn("rs", row_number().over(ws))
+        .select(col("doc_id"), col("rs"))
+      val denseTop = hybridDenseTop20(s, d)
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("d_score").desc, col("doc_id"))
+      val dense = denseTop.withColumn("rd", row_number().over(wd))
+        .select(col("doc_id"), col("rd"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("rs"), lit(0)).as("sparse_rk"),
+          coalesce(col("rd"), lit(0)).as("dense_rk"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 6).as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+    "q_hybrid_ndcg" -> ((s, d) => {
+      // the ACCURACY readout for the hybrid family (r18 verdict item
+      // 2 — one measurement per approximate family: q_embed_recall,
+      // q_embed_binary_recall, the bands table): NDCG@10 + MRR@10 +
+      // hit count for the sparse leg, the dense leg, and the RRF
+      // fusion, side by side, against deterministic pseudo-qrels =
+      // the exact cosine top-10. The bias is named, not hidden: the
+      // dense leg IS the exact cosine ranking, so dense NDCG ≡ 1 by
+      // construction and the readout prices how much lexical-only
+      // ranking loses and how much of it rank fusion buys back under
+      // a cosine-defined truth — fusion ≥ sparse is the claim this
+      // measures; fusion ≤ dense is definitional. Exactness: gain
+      // weights w(r) = round(1/log2(r+1), 8) (far from half-ulp
+      // boundaries for r ≤ 10 in both engines), DCG/IDCG decimal-
+      // summed from the rounded terms, ONE final double division
+      // rounded to 6; MRR is a single exact division. Scale shape:
+      // the legs are the sibling's TakeOrderedAndProject top-20s;
+      // everything after operates on ≤ 40 rows.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val docs = t(s, d, "documents")
+      val tok = docs.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+        .localCheckpoint(true)
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val df_ = tok.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val tots = dl.agg(count(lit(1)).cast("double").as("n"),
+        sum("dl").cast("double").as("tt"))
+      val qTerms = tok.where(col("doc_id") === 0).select("term").distinct()
+      val sparseTop = tf.join(qTerms, "term").where(col("doc_id") =!= 0)
+        .join(df_, "term").join(dl, "doc_id").crossJoin(broadcast(tots))
+        .withColumn("idf",
+          round(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+        .withColumn("c0", round(col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") * col("n") / col("tt"))), 4))
+        .groupBy("doc_id")
+        .agg(sum(col("c0").cast("decimal(18,4)")).cast("double").as("s_score"))
+        .orderBy(col("s_score").desc, col("doc_id")).limit(20)
+      val ws = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s_score").desc, col("doc_id"))
+      val sparse = sparseTop.withColumn("rs", row_number().over(ws))
+        .select(col("doc_id"), col("rs")).localCheckpoint(true)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val qv = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val denseTop = e.where(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          round(expr("cosine_sim(v, qv)"), 4).as("d_score"))
+        .orderBy(col("d_score").desc, col("doc_id")).limit(20)
+      val wd = org.apache.spark.sql.expressions.Window
+        .orderBy(col("d_score").desc, col("doc_id"))
+      val dense = denseTop.withColumn("rd", row_number().over(wd))
+        .select(col("doc_id"), col("rd")).localCheckpoint(true)
+      val wf = org.apache.spark.sql.expressions.Window
+        .orderBy(col("rrf").desc, col("doc_id"))
+      val fusion = sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rs")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rd")), lit(0.0)), 6).as("rrf"))
+        .withColumn("r", row_number().over(wf)).where(col("r") <= 10)
+        .select(col("doc_id"), col("r"))
+      val qrels = dense.where(col("rd") <= 10).select(col("doc_id"))
+      val sys = sparse.where(col("rs") <= 10)
+          .select(lit("sparse").as("system"), col("doc_id"), col("rs").as("r"))
+        .unionByName(dense.where(col("rd") <= 10)
+          .select(lit("dense").as("system"), col("doc_id"), col("rd").as("r")))
+        .unionByName(fusion
+          .select(lit("fusion").as("system"), col("doc_id"), col("r")))
+      val rels = sys
+        .join(qrels.withColumn("rel", lit(1)), Seq("doc_id"), "left")
+        .withColumn("rel", coalesce(col("rel"), lit(0)))
+        .withColumn("w", round(lit(1.0) / log2(col("r") + 1), 8))
+      val idcg = dense.where(col("rd") <= 10)
+        .agg(sum(round(lit(1.0) / log2(col("rd") + 1), 8)
+          .cast("decimal(18,8)")).as("idcg"))
+      rels.groupBy("system")
+        .agg(sum(col("rel")).cast("long").as("hits"),
+          sum(when(col("rel") === 1, col("w")).otherwise(lit(0.0))
+            .cast("decimal(18,8)")).as("dcg"),
+          min(when(col("rel") === 1, col("r"))).as("fr"))
+        .crossJoin(broadcast(idcg))
+        .select(col("system"), col("hits"),
+          round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr"),
+          round(col("dcg").cast("double") / col("idcg").cast("double"), 6)
+            .as("ndcg"))
+        .orderBy("system")
     }),
     "q_text_tfidf" -> ((s, d) => {
       // classic tf-idf: top-3 terms per doc, idf = ln(N/df); integer
@@ -3503,20 +3813,24 @@ object PipelineQueries {
       // the partition rungs (IVF/PQ/2-level) the gate already
       // carries): search walks a PROXIMITY GRAPH greedily toward the
       // query instead of probing buckets. The build is cell-bounded
-      // from day one — each vector keeps its 5 nearest IN-CELL
-      // neighbours (autoCellCount cells, so build pair-work is
-      // ~n·targetCell, linear, never all-pairs: the honest Spark
-      // rendition of an NN-descent build; `cells` rides on every row,
-      // oracle-re-derived from count(*)). Probe = the canonical
+      // (pair-work ~n·3·targetCell, linear, never all-pairs), and —
+      // r18 verdict item 1 — the graph is now NAVIGABLE, not just
+      // proximate: 5 nearest in-cell neighbours PLUS in-cell skip
+      // edges at ranks 16/64/256 (Vamana-style, crossing the cell
+      // diameter in O(log) hops) PLUS each vector's nearest member
+      // of 2 hash-designated foreign cells (Kleinberg long links —
+      // deterministic escape hatches, so a walk is no longer trapped
+      // in its entry cells; see nswGraph). `cells` rides on every
+      // row, oracle-re-derived from count(*). Probe = the canonical
       // greedy route: start at the deterministic entry vertex
       // (vec_id 1) and for 4 fixed hops move to the best-cosine
       // vertex among {current} ∪ neighbours(current) — monotone by
       // construction (current stays in its own candidate set), so
       // the output trace is a deterministic improving path: the
-      // routed-search certificate. Per hop the driver touches ≤ 5
-      // neighbour ids (graph degree — metadata-scale collects, the
-      // coreset/ivf_append 1-row precedent); every per-hop scoring
-      // job is a ≤ 6-id pushed-filter scan.
+      // routed-search certificate. Per hop the driver touches ≤ 10
+      // neighbour ids (graph max degree — metadata-scale collects,
+      // the coreset/ivf_append 1-row precedent); every per-hop
+      // scoring job is a ≤ 11-id pushed-filter scan.
       graft.functions.expressions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val k = Similarity.autoCellCount(emb.count())
@@ -3555,22 +3869,20 @@ object PipelineQueries {
     }),
     "q_embed_nsw_beam" -> ((s, d) => {
       // the PRODUCTION configuration of the routed search (r17
-      // verdict item 3): greedy beam-1 from a single entry point is
-      // the paradigm's degenerate corner — the graph is CELL-BOUNDED
-      // (edges never cross cells), so a single-entry walk is trapped
-      // in its entry's cell forever, and NswProbe measured exactly
-      // that (endpoint cosine ≈ 0 of exact at sf10). The measured-
-      // best configuration at equal probe cost: enter at EVERY cell
-      // centroid (the IVF spine — entry breadth is the topology's
-      // dominant lever: endpoint quality 0.16 → 0.51 of exact at
-      // sf10 while beam 4→8 and hops 4→8 buy ≤ 1% for 2× cost;
-      // BASELINE.md r18 table), then BEAM-4 per hop keeps the best-4
-      // of {frontier} ∪ neighbours(frontier) — 4 surviving descents
-      // that a local optimum must trap simultaneously. Same staged
-      // proximity graph, metadata-scale per-hop collects (≤ 4·5
+      // verdict item 3; graph made NAVIGABLE in r19 — skip +
+      // cross-cell long edges, see nswGraph): enter at EVERY cell
+      // centroid (the IVF spine — entry breadth was the r18
+      // topology's dominant lever and stays the strongest single
+      // knob; NswProbe r19 table in BASELINE.md re-prices all three
+      // levers on the navigable graph), then BEAM-4 per hop keeps
+      // the best-4 of {frontier} ∪ neighbours(frontier) — 4
+      // surviving descents that a local optimum must trap
+      // simultaneously, with the skip/cross-cell edges providing the
+      // escape moves the r18 5-NN-only graph lacked. Same staged
+      // proximity graph, metadata-scale per-hop collects (≤ 4·10
       // neighbour ids after the entry hop), every scoring job a
-      // pushed-filter scan (k + 24 ids); the hop-by-hop frontier is
-      // the output — the beam certificate.
+      // pushed-filter scan (≤ k + 44 ids); the hop-by-hop frontier
+      // is the output — the beam certificate.
       graft.functions.expressions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val k = Similarity.autoCellCount(emb.count())
@@ -4316,19 +4628,30 @@ object PipelineQueries {
       // vec_id % 16 = 1). The subtlety a naive post-filter misses is
       // CANDIDATE STARVATION: one probed cell holds only ~(n/k)/16
       // allowed rows, fewer than k results at small corpora — so the
-      // probe count WIDENS from the selectivity, integer-exact from
-      // count(*): probes = clamp(⌈k_res·16·cells/n⌉, [1, 8]) — 3
-      // cells at the 500-row fixtures, 1 from n ≥ 1280 on (the
-      // starved regime and the single-probe regime BOTH sit inside
-      // the gate). The filter applies BEFORE scoring: only allowed
+      // probe count WIDENS from the selectivity. r18 verdict item 5:
+      // both knobs now follow the family's auto-knob convention
+      // instead of this entry's original hardcoded (8 cells, 1/16)
+      // geometry — cells = autoCellCount(n) and the selectivity is
+      // MEASURED as a count (n_allowed, integer-exact,
+      // oracle-re-derived), so probes = clamp(⌈k_res · cells /
+      // n_allowed⌉, [1, cells]): the expected allowed rows per probed
+      // cell is n_allowed/cells, and probes cells of them cover the
+      // k_res = 10 asked-for results. Reproduces the r18 fixture
+      // geometry exactly (8 cells, probes 3 at sf0.001 / 1 at
+      // sf0.01 — spec-pinned) while scaling the cell count with the
+      // corpus. The filter applies BEFORE scoring: only allowed
       // rows of probed cells are ever scored — candidates stay
-      // bucket-bound, and the chosen probe count rides on every row.
+      // bucket-bound, and both chosen knobs ride on every row.
       graft.functions.expressions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val n = emb.count()
-      val probes = math.max(1L, math.min(8L, (10L * 16 * 8 + n - 1) / n)).toInt
+      val cells = Similarity.autoCellCount(n)
       val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      val cents = e.where(col("vec_id").between(1, 8))
+      val nAllowed = math.max(1L,
+        e.where(col("vec_id") =!= 0 && col("vec_id") % 16 === 1).count())
+      val probes = math.max(1L, math.min(cells.toLong,
+        (10L * cells + nAllowed - 1) / nAllowed)).toInt
+      val cents = e.where(col("vec_id").between(1, cells))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
       val a = Similarity.assignCells(e, cents)
       val q = e.where(col("vec_id") === 0).select(col("v").as("qv"))
@@ -4341,7 +4664,7 @@ object PipelineQueries {
         .where(col("vec_id") =!= 0 && col("vec_id") % 16 === 1)
       joined.select(col("vec_id"),
           round(expr("cosine_sim(v, qv)"), 4).as("score"),
-          lit(probes).as("n_probes"))
+          lit(probes).as("n_probes"), lit(cells).as("n_cells"))
         .orderBy(col("score").desc, col("vec_id")).limit(10)
     }),
     "q_embed_binary" -> ((s, d) => {
@@ -4570,6 +4893,31 @@ object PipelineQueries {
     """sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN [] ELSE list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) END AS gs FROM toks)"""
   private def foldSql(elems: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
+  /** The routed-ANN proximity-graph CTEs shared by the q_embed_nsw /
+    * q_embed_nsw_beam oracles — the engine's [[nswGraph]] topology
+    * re-derived in SQL: 5 in-cell NN edges + in-cell skip edges at
+    * ranks 16/64/256 + the nearest member of each of 2
+    * hash-designated foreign cells (fcid = 1 + ((src mod 3000017) ·
+    * 2654435761 + j) mod k, integer-exact in both engines). Expects
+    * `assigned` (vec_id, v, cid) and `kk` (k) CTEs upstream. */
+  private val nswGraphSql: String = {
+    val l2 = foldSql(
+      "list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))")
+    s"gl AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY $l2, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk <= 5 OR rk IN (16, 64, 256)), " +
+    s"gf AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id, t.j ORDER BY $l2, b.vec_id) AS rk FROM assigned a CROSS JOIN range(2) t(j) JOIN assigned b ON b.cid = 1 + ((a.vec_id % 3000017) * 2654435761 + t.j) % (SELECT k FROM kk) AND b.cid <> a.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk = 1), " +
+    "g AS MATERIALIZED (SELECT src, dst FROM gl UNION ALL SELECT src, dst FROM gf)"
+  }
+  /** The q_hybrid_retrieval leg CTEs (BM25 sparse top-20 `sp`, exact
+    * cosine dense top-20 `dn`) shared by the retrieval, indexed and
+    * NDCG oracles — one definition, no drift. */
+  private val hybridLegsSql: String =
+    s"""$toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokr GROUP BY 1, 2), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tokr GROUP BY doc_id), df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), tot AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tt FROM dl), qt AS (SELECT DISTINCT term FROM tokr WHERE doc_id = 0), sp0 AS (SELECT tf.doc_id, sum((round(round(ln((tot.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * tot.n / tot.tt)), 4))::DECIMAL(18,4))::DOUBLE AS s_score FROM tf JOIN qt USING (term) JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot WHERE tf.doc_id <> 0 GROUP BY tf.doc_id), sp AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY s_score DESC, doc_id) AS rs FROM sp0 QUALIFY rs <= 20), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), dn0 AS (SELECT e.vec_id AS doc_id, round(${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")})), 4) AS d_score FROM e CROSS JOIN q WHERE e.vec_id <> 0), dn AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY d_score DESC, doc_id) AS rd FROM dn0 QUALIFY rd <= 20)"""
+  /** The full hybrid-retrieval oracle — shared verbatim by
+    * q_hybrid_retrieval and q_hybrid_retrieval_indexed (the staged
+    * postings/cell indexes answer exactly like the per-run
+    * derivation; the ivf_append precedent). */
+  private val hybridRetrievalSql: String =
+    s"""WITH $hybridLegsSql SELECT coalesce(sp.doc_id, dn.doc_id)::BIGINT AS doc_id, coalesce(rs, 0)::INT AS sparse_rk, coalesce(rd, 0)::INT AS dense_rk, round(coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE), 6) AS rrf FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id ORDER BY rrf DESC, doc_id LIMIT 10"""
   /** The unrolled farthest-point rounds of the q_sample_coreset
     * oracle (argmax pick → center probe → least-update per round),
     * generated so the per-round exact-decimal discipline is written
@@ -4745,8 +5093,18 @@ object PipelineQueries {
     // doc; same cosine leg; both legs rank top-20 (QUALIFY) and fuse
     // by RRF with ::DOUBLE forced (DuckDB's bare 1.0 is DECIMAL and
     // decimal division would diverge from Spark's double)
-    "q_hybrid_retrieval" ->
-      s"""WITH $toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokr GROUP BY 1, 2), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tokr GROUP BY doc_id), df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), tot AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tt FROM dl), qt AS (SELECT DISTINCT term FROM tokr WHERE doc_id = 0), sp0 AS (SELECT tf.doc_id, sum((round(round(ln((tot.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * tot.n / tot.tt)), 4))::DECIMAL(18,4))::DOUBLE AS s_score FROM tf JOIN qt USING (term) JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot WHERE tf.doc_id <> 0 GROUP BY tf.doc_id), sp AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY s_score DESC, doc_id) AS rs FROM sp0 QUALIFY rs <= 20), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), dn0 AS (SELECT e.vec_id AS doc_id, round(${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")})), 4) AS d_score FROM e CROSS JOIN q WHERE e.vec_id <> 0), dn AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY d_score DESC, doc_id) AS rd FROM dn0 QUALIFY rd <= 20) SELECT coalesce(sp.doc_id, dn.doc_id)::BIGINT AS doc_id, coalesce(rs, 0)::INT AS sparse_rk, coalesce(rd, 0)::INT AS dense_rk, round(coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE), 6) AS rrf FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id ORDER BY rrf DESC, doc_id LIMIT 10""",
+    "q_hybrid_retrieval" -> hybridRetrievalSql,
+    // identical semantics by construction — the staged postings /
+    // cell-index probes answer exactly like the per-run derivation
+    // (bound-pruned dense probe is EXACT; ivf_append precedent), so
+    // the scan-bound SQL oracles the indexed entry too
+    "q_hybrid_retrieval_indexed" -> hybridRetrievalSql,
+    // same legs cut to top-10; qrels = the dense (exact cosine)
+    // top-10; w(r) = round(1/log2(r+1), 8) (far from half-boundaries
+    // for r <= 10 in both engines), DCG/IDCG decimal-summed, one
+    // final double division round(6); MRR one exact division
+    "q_hybrid_ndcg" ->
+      s"""WITH $hybridLegsSql, fus AS MATERIALIZED (SELECT coalesce(sp.doc_id, dn.doc_id) AS doc_id, round(coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE), 6) AS rrf FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id), fr AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id) AS r FROM fus QUALIFY r <= 10), qrel AS MATERIALIZED (SELECT doc_id FROM dn WHERE rd <= 10), sys AS (SELECT 'sparse' AS system, doc_id, rs AS r FROM sp WHERE rs <= 10 UNION ALL SELECT 'dense' AS system, doc_id, rd AS r FROM dn WHERE rd <= 10 UNION ALL SELECT 'fusion' AS system, doc_id, r FROM fr), rels AS (SELECT sys.system, sys.r, CASE WHEN qrel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel, round(1.0::DOUBLE / log2(sys.r + 1), 8) AS w FROM sys LEFT JOIN qrel ON sys.doc_id = qrel.doc_id), idcg AS MATERIALIZED (SELECT sum(round(1.0::DOUBLE / log2(rd + 1), 8)::DECIMAL(18,8)) AS idcg FROM dn WHERE rd <= 10) SELECT system, sum(rel)::BIGINT AS hits, round(coalesce(1.0::DOUBLE / min(CASE WHEN rel = 1 THEN r END), 0.0::DOUBLE), 6) AS mrr, round(sum((CASE WHEN rel = 1 THEN w ELSE 0.0::DOUBLE END)::DECIMAL(18,8))::DOUBLE / (SELECT idcg FROM idcg)::DOUBLE, 6) AS ndcg FROM rels GROUP BY system ORDER BY system""",
     "q_text_tokens_bpe" ->
       """SELECT doc_id, len(string_split_regex(trim(lower(text)), '\s+'))::INT AS ws_tokens, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT AS bpe_tokens, round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::DOUBLE / greatest(len(string_split_regex(trim(lower(text)), '\s+')), 1)::DOUBLE, 4) AS ratio FROM documents ORDER BY doc_id""",
     "q_dedup_pipeline" ->
@@ -5098,7 +5456,7 @@ object PipelineQueries {
       val hops = (1 to 4).map { h =>
         s"c$h AS MATERIALIZED (SELECT $h::INT AS hop, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (SELECT vertex FROM c${h - 1} UNION ALL SELECT g.dst FROM g JOIN c${h - 1} ON g.src = c${h - 1}.vertex)) WHERE rk = 1)"
       }.mkString(", ")
-      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), g AS MATERIALIZED (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))")}, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk <= 5), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, e.vec_id AS vertex, $cos AS sc FROM e CROSS JOIN q WHERE e.vec_id = 1), $hops SELECT hop, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop"""
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), $nswGraphSql, q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, e.vec_id AS vertex, $cos AS sc FROM e CROSS JOIN q WHERE e.vec_id = 1), $hops SELECT hop, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop"""
     },
     // the beam-4 route unrolled: same graph (corpus-only vertices),
     // same per-hop candidate set {frontier} ∪ neighbours(frontier),
@@ -5109,7 +5467,7 @@ object PipelineQueries {
       val hops = (1 to 4).map { h =>
         s"c$h AS MATERIALIZED (SELECT $h::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (SELECT vertex FROM c${h - 1} UNION ALL SELECT g.dst FROM g JOIN c${h - 1} ON g.src = c${h - 1}.vertex)) WHERE rk <= 4)"
       }.mkString(", ")
-      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), g AS MATERIALIZED (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))")}, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk <= 5), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id BETWEEN 1 AND (SELECT k FROM kk)) WHERE rk <= 4), $hops SELECT hop, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop, rk"""
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), $nswGraphSql, q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id BETWEEN 1 AND (SELECT k FROM kk)) WHERE rk <= 4), $hops SELECT hop, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop, rk"""
     },
     // same power-of-two grid (floor of an exact binary scale), same
     // 3×3 neighbourhood explode, same raw-double d² ≤ r² refine
@@ -5138,11 +5496,13 @@ object PipelineQueries {
     // orders — generate_series mirrors Spark's sequence explode
     "q_embed_ivf_balanced_iter" ->
       s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500))::BIGINT AS k, ((n + greatest(8, least(4096, (n + 499) // 500)) - 1) // greatest(8, least(4096, (n + 499) // 500)))::BIGINT AS cap FROM nn), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), f AS MATERIALIZED (SELECT vec_id, cid, d2 FROM (SELECT e.vec_id, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS d2, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")}, c.cid) AS crk FROM e CROSS JOIN cents c) WHERE crk = 1), r1 AS MATERIALIZED (SELECT vec_id, cid, d2, row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) AS rk FROM f), stay AS MATERIALIZED (SELECT vec_id, cid FROM r1 WHERE rk <= (SELECT cap FROM kk)), sp AS MATERIALIZED (SELECT vec_id, cid FROM r1 WHERE rk > (SELECT cap FROM kk)), ns AS MATERIALIZED (SELECT c.cid, count(stay.vec_id)::BIGINT AS n_stay FROM cents c LEFT JOIN stay ON c.cid = stay.cid GROUP BY c.cid), slots AS MATERIALIZED (SELECT cid, unnest(generate_series(1, (SELECT cap FROM kk) - n_stay)) AS slot FROM ns WHERE n_stay < (SELECT cap FROM kk)), si AS MATERIALIZED (SELECT cid, slot, row_number() OVER (ORDER BY cid, slot) AS idx FROM slots), oi AS MATERIALIZED (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS idx FROM sp), rr AS MATERIALIZED (SELECT oi.vec_id, si.cid FROM oi JOIN si USING (idx)), bal AS (SELECT vec_id, cid FROM stay UNION ALL SELECT vec_id, cid FROM rr), n0 AS (SELECT cid, count(*)::BIGINT AS n_first FROM f GROUP BY cid), so AS (SELECT cid, count(*)::BIGINT AS n_spill_out FROM sp GROUP BY cid), ri AS (SELECT cid, count(*)::BIGINT AS n_rr_in FROM rr GROUP BY cid), n1 AS (SELECT cid, count(*)::BIGINT AS n_balanced FROM bal GROUP BY cid) SELECT c.cid, coalesce(n0.n_first, 0)::BIGINT AS n_first, coalesce(so.n_spill_out, 0)::BIGINT AS n_spill_out, coalesce(ri.n_rr_in, 0)::BIGINT AS n_rr_in, coalesce(n1.n_balanced, 0)::BIGINT AS n_balanced, (SELECT cap FROM kk)::BIGINT AS cap FROM cents c LEFT JOIN n0 USING (cid) LEFT JOIN so USING (cid) LEFT JOIN ri USING (cid) LEFT JOIN n1 USING (cid) ORDER BY c.cid""",
-    // same assignment, same probe-cell ranking by centroid L2 (probe
-    // count re-derived from count(*) by the same starvation rule),
-    // same pre-scoring 1/16 predicate
+    // same assignment, same probe-cell ranking by centroid L2, same
+    // pre-scoring 1/16 predicate; BOTH auto-knobs re-derived from
+    // counts by the engine's rules — cells = autoCellCount(count(*)),
+    // probes = clamp(⌈10·cells/n_allowed⌉, [1, cells]) with n_allowed
+    // the measured allowed-row count (r18 verdict item 5)
     "q_embed_ivf_filtered" ->
-      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), pp AS MATERIALIZED (SELECT greatest(1, least(8, (1280 + n - 1) // n))::INT AS probes FROM nn), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), pc AS MATERIALIZED (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${foldSql("list_transform(range(1, 65), i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))")}, c.cid) AS rk FROM cents c CROSS JOIN q) WHERE rk <= (SELECT probes FROM pp)), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN pc ON a.cid = pc.cid CROSS JOIN q WHERE a.vec_id <> 0 AND a.vec_id % 16 = 1) SELECT vec_id, round(score0, 4) AS score, (SELECT probes FROM pp)::INT AS n_probes FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500))::BIGINT AS k FROM nn), na AS MATERIALIZED (SELECT greatest(count(*), 1)::BIGINT AS m FROM embeddings WHERE vec_id <> 0 AND vec_id % 16 = 1), pp AS MATERIALIZED (SELECT greatest(1, least((SELECT k FROM kk), (10 * (SELECT k FROM kk) + m - 1) // m))::INT AS probes FROM na), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), pc AS MATERIALIZED (SELECT cid FROM (SELECT c.cid, row_number() OVER (ORDER BY ${foldSql("list_transform(range(1, 65), i -> (cv[i] - qv[i]) * (cv[i] - qv[i]))")}, c.cid) AS rk FROM cents c CROSS JOIN q) WHERE rk <= (SELECT probes FROM pp)), sc AS (SELECT a.vec_id, ${foldSql("list_transform(range(1, 65), i -> v[i] * qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> v[i] * v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qv[i] * qv[i])")})) AS score0 FROM assigned a JOIN pc ON a.cid = pc.cid CROSS JOIN q WHERE a.vec_id <> 0 AND a.vec_id % 16 = 1) SELECT vec_id, round(score0, 4) AS score, (SELECT probes FROM pp)::INT AS n_probes, (SELECT k FROM kk)::INT AS n_cells FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
     // identical semantics to q_embed_ivf — the engine-side difference
     // append-maintained index == full rebuild (assignment is
     // row-local), so the same batch SQL oracles the append path too

@@ -268,7 +268,16 @@ object RelationalQueries {
     * pair with stream batches by ordinal; chunks the stream never
     * paired land as trailing B-only deltas on their own deterministic
     * slots (slot index = chunk index ≥ #stream batches — no
-    * collision), equally idempotent. */
+    * collision), equally idempotent.
+    *
+    * SCALE NOTE (r18 ADVICE): the per-batch `aSeen` re-read unions
+    * every prior ingest-log slot (one partition-pruned parquet read
+    * of batch_id < i), so per-batch work grows linearly with batch
+    * count — O(batches²) over a long-running stream. Harmless at the
+    * gate's 2-batch shape; a production deployment folds seen-A into
+    * a compacted staged table per batch (the same batchId-keyed
+    * overwrite makes that compaction replay-idempotent too) so each
+    * batch reads one compact snapshot instead of the whole log. */
   private[graft] def runIvmJoinStream(s: SparkSession, d: String,
       streamDir: java.nio.file.Path, ckpt: java.nio.file.Path,
       ingestLog: String, out: String,

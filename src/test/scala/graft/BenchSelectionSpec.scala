@@ -46,6 +46,32 @@ class BenchSelectionSpec extends AnyFunSuite {
     assert(dup.isEmpty, s"duplicate headline entries: ${dup.mkString(", ")}")
   }
 
+  test("per-trigger adjudication rule (r18 verdict item 4)") {
+    // packed pair explains the wall → exonerated even with no rerun
+    assert(Bench.adjudicate(1.0, -1.0, Some((2.0, 1.8))) === "exonerated_packed")
+    // isolated best lands within 1.25x the floor → exonerated
+    assert(Bench.adjudicate(1.0, 1.25, None) === "exonerated_isolated")
+    assert(Bench.adjudicate(1.0, 1.26, None) === "unexplained")
+    // a packed pair the wall does NOT sit under never exonerates
+    assert(Bench.adjudicate(1.0, 1.3, Some((2.0, 1.0))) === "unexplained")
+    // a degenerate (zero) packed bound never exonerates
+    assert(Bench.adjudicate(1.0, 1.3, Some((0.0, 0.0))) === "unexplained")
+    // failed isolated reruns are named, not hidden
+    assert(Bench.adjudicate(1.0, -1.0, None) === "failed")
+    assert(Bench.adjudicate(1.0, -1.0, Some((2.0, 1.0))) === "failed")
+  }
+
+  test("packedFamily: superstep four + iterative headliners, all headlining") {
+    assert(Bench.superstepFamily.subsetOf(Bench.packedFamily))
+    Seq("q_graph_cc_big", "q_graph_dfs_classes", "q_graph_ktruss",
+        "q_graph_linkpred")
+      .foreach(n => assert(Bench.packedFamily(n), s"$n missing from packedFamily"))
+    // tracking happens in the suite loop — a non-headline member
+    // would silently never record its packed pairs
+    Bench.packedFamily.foreach(n =>
+      assert(Bench.headline.contains(n), s"packedFamily entry $n not in headline"))
+  }
+
   test("BASELINE.md's bench-selection paragraph states the ACTUAL counts") {
     // r12 VERDICT caught the doc drifting (it said headline=144 —
     // the EXCLUDED count — and family-variant=85 vs actual 89). The

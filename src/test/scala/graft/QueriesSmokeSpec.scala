@@ -78,6 +78,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_embed_ivf_2level",                            // broadcast 1-row query vector / cell
     "q_embed_ivf_filtered",                          // broadcast 1-row query vector / probe cells
     "q_hybrid_retrieval",                            // broadcast 1-row totals + query vector
+    "q_hybrid_retrieval_indexed",                    // broadcast 1-row query vector (staged-index probes)
+    "q_hybrid_ndcg",                                 // broadcast 1-row totals/query/IDCG scalars
     "q_mix_shuffle")                                 // broadcast lang-count table + 1-row total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

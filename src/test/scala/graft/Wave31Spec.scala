@@ -271,11 +271,20 @@ class Wave31Spec extends SparkSpec {
       "a result row escaped the metadata predicate")
     assert(rows.forall(_.getAs[Int]("n_probes") == 3),
       "fixture probe count drifted from the starvation rule")
+    assert(rows.forall(_.getAs[Int]("n_cells") == 8),
+      "fixture cell count drifted from autoCellCount")
     val scores = rows.map(_.getAs[Double]("score")).toSeq
     assert(scores == scores.sorted.reverse, "scores not descending")
-    // the rule's scale points: single-probe regime from n >= 1280
-    def probes(n: Long) = math.max(1L, math.min(8L, (1280 + n - 1) / n))
-    assert(probes(500) == 3 && probes(1280) == 1 && probes(200000) == 1)
+    // the GENERALIZED rule (r18 verdict item 5): probes =
+    // clamp(⌈10·cells/n_allowed⌉, [1, cells]) with cells =
+    // autoCellCount(n) and n_allowed the measured allowed-row count.
+    // Identity points: reproduces r18's fixture geometry (8 cells /
+    // 3 probes at the 500-row fixture; 1 probe at sf0.01's 10 cells)
+    // and stays single-probe at sf10 (400 cells, 12500 allowed).
+    def probes(cells: Long, nAllowed: Long) = math.max(1L,
+      math.min(cells, (10 * cells + nAllowed - 1) / nAllowed))
+    assert(probes(8, 32) == 3 && probes(10, 313) == 1 &&
+      probes(400, 12500) == 1)
   }
 
   test("q_hybrid_retrieval: RRF is exactly determined by the two leg ranks") {

@@ -13,23 +13,26 @@ object Drive {
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.1"
-    // r18 wave: drive the touched/new gate entries end-to-end at sf0.1
+    // r19 wave: drive the touched/new gate entries end-to-end at sf0.1
     // (the gate verifies sf0.001/sf0.01; this is the bigger-data smoke)
-    Seq("q_stream_integrity", "q_stream_ivm_join", "q_ivm_join",
-        "q_spatial_join", "q_spatial_dbscan_auto",
-        "q_embed_nsw", "q_embed_nsw_beam",
-        "q_embed_ivf_balanced", "q_embed_ivf_balanced_iter",
-        "q_embed_ivf_filtered", "q_hybrid_retrieval").foreach { n =>
+    Seq("q_embed_nsw", "q_embed_nsw_beam", "q_embed_ivf_filtered",
+        "q_hybrid_retrieval", "q_hybrid_retrieval_indexed",
+        "q_hybrid_ndcg",
+        // contractedComponents callers (r18 ADVICE retention fix)
+        "q_spatial_dbscan_auto", "q_dedup_cluster").foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, d)
       df.show(80, truncate = false)
       println(f"[drive] $n rows=${df.count()} in ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    // and the new auto-knob rule through its public API directly
-    Seq(2000L, 20000L, 200000L, 2000000L).foreach { n =>
-      println(s"[drive] autoSpatialRadiusExp($n) = " +
-        graft.operators.Similarity.autoSpatialRadiusExp(n))
-    }
+    // the navigable graph through its builder directly: degree bounds
+    // and cross-cell reach at sf0.1
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val k = graft.operators.Similarity.autoCellCount(emb.count())
+    val g = graft.queries.PipelineQueries.nswGraph(spark, d, k)
+    val deg = g.groupBy("src").count()
+    println(s"[drive] nswGraph sf0.1: edges=${g.count()} " +
+      s"maxDeg=${deg.agg(max("count")).head.getLong(0)} cells=$k")
     spark.stop()
   }
 }

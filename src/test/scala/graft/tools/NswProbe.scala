@@ -44,20 +44,14 @@ object NswProbe {
     val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .where(col("vec_id") =!= 0).localCheckpoint(true)
 
-    // the gate entries' graph build (corpus-only vertices, 5 nearest
-    // in-cell), timed once — the staged-artifact cost a production
-    // store pays per corpus generation, NOT per query
+    // the gate entries' graph build — EXACTLY the staged nswGraph
+    // artifact (r19: 5-NN in-cell + rank-16/64/256 in-cell skip edges
+    // + 2 hash-designated cross-cell links), timed once — the
+    // staged-artifact cost a production store pays per corpus
+    // generation, NOT per query
     val tg = System.nanoTime()
-    val cents = e.where(col("vec_id").between(1, k))
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val a = Similarity.assignCells(e, cents)
-    val ax = a.select(col("vec_id").as("src"), col("v").as("sv"), col("cid"))
-    val ay = a.select(col("vec_id").as("dst"), col("v").as("dv"), col("cid"))
-    val wg = Window.partitionBy(col("src")).orderBy(col("d2"), col("dst"))
-    val g = ax.join(ay, "cid").where(col("src") =!= col("dst"))
-      .select(col("src"), col("dst"), expr("l2sq_fold(sv, dv)").as("d2"))
-      .withColumn("rk", row_number().over(wg)).where(col("rk") <= 5)
-      .select("src", "dst").localCheckpoint(true)
+    val g = graft.queries.PipelineQueries.nswGraph(spark, d, k)
+      .localCheckpoint(true)
     println(f"[nsw] graph build: ${g.count()} edges in ${(System.nanoTime() - tg) / 1e9}%.2f s")
 
     // deterministic 32-query sample: every ⌊n/32⌋-th corpus id in rank
@@ -84,14 +78,14 @@ object NswProbe {
     println(f"[nsw] exact truth (32×n brute force): ${(System.nanoTime() - te) / 1e9}%.2f s")
 
     val ev = e.select(col("vec_id").as("vertex"), col("v").as("cv"))
-    // configs: (beam, entries, hops). The graph is CELL-BOUNDED (edges
-    // only join same-cell vertices), so a route can never leave its
-    // entry's cell — entry points are the real recall lever, and the
-    // honest production configuration enters at every centroid
-    // (entries = k, the IVF spine): beam then picks which cells'
-    // descents survive. hops 4→8 prices walk depth separately.
-    for ((beam, entries, hops) <- Seq((1, 1, 4), (1, 4, 4), (4, 1, 4),
-        (4, 4, 4), (4, k, 4), (4, k, 8), (8, k, 8))) {
+    // configs: (beam, entries, hops). r18 measured the CELL-BOUNDED
+    // graph (edges never crossed cells) — recall@1 ≈ 0 at derived
+    // scales, entry breadth the only lever. r19's graph carries
+    // skip + cross-cell long edges, so all three levers re-price:
+    // single-entry greedy can now escape its entry cell, and deeper
+    // walks (hops 8/12) have room to use the long edges.
+    for ((beam, entries, hops) <- Seq((1, 1, 4), (1, 1, 8), (4, 1, 8),
+        (4, 4, 4), (4, k, 4), (4, k, 8), (8, k, 8), (4, k, 12))) {
       val t1 = System.nanoTime()
       val wr = Window.partitionBy("qid").orderBy(col("sc").desc, col("vertex"))
       def topB(cands: DataFrame): DataFrame = cands.distinct()
