@@ -408,9 +408,15 @@ object PipelineQueries {
         .groupBy("term").agg(count(lit(1)).as("df"))
       val tots = dl.agg(count(lit(1)).cast("double").as("n_docs"),
         sum("dl").cast("double").as("total_len"))
+      // range-partitioned + sorted BY TERM: the probe's `term IN`
+      // filter then prunes at parquet row-group min/max stats (the
+      // on-disk inverted-file ordering — an unsorted layout scans
+      // every row group because a query term can hide anywhere)
       tf.join(dl, "doc_id").join(df_, "term").crossJoin(broadcast(tots))
         .select(col("term"), col("doc_id"), col("tf"), col("dl"),
           col("df"), col("n_docs"), col("total_len"))
+        .repartitionByRange(32, col("term"))
+        .sortWithinPartitions("term", "doc_id")
     }
 
   /** The hybrid dense-leg index: the corpus cell assignment over
@@ -429,7 +435,12 @@ object PipelineQueries {
       val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       val cents = e.where(col("vec_id").between(1, k))
         .select(col("vec_id").as("cid"), col("v").as("cv"))
+      // one file per cell (repartition on the partition column before
+      // the partitioned write) — the default layout fragments every
+      // cell across all 32 shuffle partitions (≈ k·32 tiny files) and
+      // the probe's scan pays file-open latency instead of IO
       Similarity.assignCells(e, cents)
+        .repartition(col("cid"))
         .write.format("parquet").mode("overwrite")
         .partitionBy("cid")
         .option("path", dir.resolve("t").toString).saveAsTable(name)
@@ -484,6 +495,27 @@ object PipelineQueries {
     * corpus rows, τ = −2 and every cell qualifies: correct,
     * just unpruned. */
   private def hybridDenseTop20(s: SparkSession, d: String): DataFrame = {
+    val (idx, qv, candAll) = hybridDenseCandCells(s, d)
+    val k = Similarity.autoCellCount(t(s, d, "embeddings").count())
+    // when the bounds exclude nothing (isotropic high-dim data — the
+    // honest geometry where exact pruning cannot bite; BASELINE.md
+    // r19 census), skip the k-literal partition filter: it buys no
+    // pruning and costs per-partition scan setup
+    val scoped = if (candAll.size >= k) idx
+                 else idx.where(col("cid").isin(candAll: _*))
+    scoped.where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(expr("cosine_sim(v, qv)"), 4).as("d_score"))
+      .orderBy(col("d_score").desc, col("doc_id")).limit(20)
+  }
+
+  /** The bound-pruning half of [[hybridDenseTop20]], split out so the
+    * scale probes can report the cells-scanned census directly:
+    * returns (index, broadcastable 1-row query vector, candidate cell
+    * ids the bounds could not exclude). */
+  private[graft] def hybridDenseCandCells(
+      s: SparkSession, d: String): (DataFrame, DataFrame, Seq[Long]) = {
     graft.functions.expressions.GraftFunctions.register(s)
     val idx = hybridDenseIdx(s, d)
     val stats = hybridCellStats(s, d)
@@ -509,12 +541,7 @@ object PipelineQueries {
             col("num") / (col("qn") * col("mx")))).as("ub"))
     val cand = bounds.where(col("ub") >= tau - 0.001)
       .select("cid").collect().map(_.getLong(0)).toSeq
-    val candAll = (cand :+ qcid).distinct
-    idx.where(col("cid").isin(candAll: _*) && col("vec_id") =!= 0)
-      .crossJoin(broadcast(qv))
-      .select(col("vec_id").as("doc_id"),
-        round(expr("cosine_sim(v, qv)"), 4).as("d_score"))
-      .orderBy(col("d_score").desc, col("doc_id")).limit(20)
+    (idx, qv, (cand :+ qcid).distinct)
   }
 
   private def embedLshPairs(s: SparkSession, d: String,
@@ -3874,15 +3901,19 @@ object PipelineQueries {
       // centroid (the IVF spine — entry breadth was the r18
       // topology's dominant lever and stays the strongest single
       // knob; NswProbe r19 table in BASELINE.md re-prices all three
-      // levers on the navigable graph), then BEAM-4 per hop keeps
-      // the best-4 of {frontier} ∪ neighbours(frontier) — 4
-      // surviving descents that a local optimum must trap
-      // simultaneously, with the skip/cross-cell edges providing the
-      // escape moves the r18 5-NN-only graph lacked. Same staged
-      // proximity graph, metadata-scale per-hop collects (≤ 4·10
-      // neighbour ids after the entry hop), every scoring job a
-      // pushed-filter scan (≤ k + 44 ids); the hop-by-hop frontier
-      // is the output — the beam certificate.
+      // levers on the navigable graph), then BEAM-8 over 8 hops —
+      // the measured-best balanced config (NswProbe r19: recall@1
+      // 0.50 / score ratio 0.91 of exact at sf10, up from 0 / 0.51
+      // on the r18 cell-bounded graph; hops saturate at 8, beam 16
+      // buys +1/32 for 2x frontier cost). Per hop the best-8 of
+      // {frontier} ∪ neighbours(frontier) survive — 8 descents a
+      // local optimum must trap simultaneously, with the
+      // skip/cross-cell edges providing the escape moves the r18
+      // 5-NN-only graph lacked. Same staged proximity graph,
+      // metadata-scale per-hop collects (≤ 8·10 neighbour ids after
+      // the entry hop), every scoring job a pushed-filter scan
+      // (≤ k + 88 ids); the hop-by-hop frontier is the output — the
+      // beam certificate.
       graft.functions.expressions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val k = Similarity.autoCellCount(emb.count())
@@ -3894,7 +3925,7 @@ object PipelineQueries {
         e.where(col("vec_id").isin(cands: _*))
           .crossJoin(broadcast(q0))
           .select(col("vec_id"), expr("cosine_sim(v, qv)").as("sc"))
-          .orderBy(col("sc").desc, col("vec_id")).limit(4)
+          .orderBy(col("sc").desc, col("vec_id")).limit(8)
           .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       var frontier = topB((1L to k.toLong))
       val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
@@ -3902,7 +3933,7 @@ object PipelineQueries {
         case ((vid, sc), i) => trace += ((hop, i + 1, vid, sc))
       }
       record(0)
-      (1 to 4).foreach { hop =>
+      (1 to 8).foreach { hop =>
         val nbrs = g.where(col("src").isin(frontier.map(_._1): _*))
           .collect().map(_.getLong(1)).toSeq
         frontier = topB((nbrs ++ frontier.map(_._1)).distinct)
@@ -5458,16 +5489,17 @@ object PipelineQueries {
       }.mkString(", ")
       s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), $nswGraphSql, q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, e.vec_id AS vertex, $cos AS sc FROM e CROSS JOIN q WHERE e.vec_id = 1), $hops SELECT hop, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop"""
     },
-    // the beam-4 route unrolled: same graph (corpus-only vertices),
-    // same per-hop candidate set {frontier} ∪ neighbours(frontier),
-    // frontier = row_number ≤ 4 by (cosine desc, vec_id); entry
-    // frontier = best-4 of the k cell centroids (vec_ids 1..k)
+    // the beam-8 route over 8 hops unrolled (the NswProbe-measured
+    // best config on the navigable graph): same graph (corpus-only
+    // vertices), same per-hop candidate set {frontier} ∪
+    // neighbours(frontier), frontier = row_number ≤ 8 by (cosine
+    // desc, vec_id); entry frontier = best-8 of the k cell centroids
     "q_embed_nsw_beam" -> {
       val cos = s"${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")}))"
-      val hops = (1 to 4).map { h =>
-        s"c$h AS MATERIALIZED (SELECT $h::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (SELECT vertex FROM c${h - 1} UNION ALL SELECT g.dst FROM g JOIN c${h - 1} ON g.src = c${h - 1}.vertex)) WHERE rk <= 4)"
+      val hops = (1 to 8).map { h =>
+        s"c$h AS MATERIALIZED (SELECT $h::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (SELECT vertex FROM c${h - 1} UNION ALL SELECT g.dst FROM g JOIN c${h - 1} ON g.src = c${h - 1}.vertex)) WHERE rk <= 8)"
       }.mkString(", ")
-      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), $nswGraphSql, q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id BETWEEN 1 AND (SELECT k FROM kk)) WHERE rk <= 4), $hops SELECT hop, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) ORDER BY hop, rk"""
+      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), $nswGraphSql, q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id BETWEEN 1 AND (SELECT k FROM kk)) WHERE rk <= 8), $hops SELECT hop, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6 UNION ALL SELECT * FROM c7 UNION ALL SELECT * FROM c8) ORDER BY hop, rk"""
     },
     // same power-of-two grid (floor of an exact binary scale), same
     // 3×3 neighbourhood explode, same raw-double d² ≤ r² refine

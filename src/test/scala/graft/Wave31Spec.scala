@@ -310,7 +310,7 @@ class Wave31Spec extends SparkSpec {
     val beam = SparkEntry.queries("q_embed_nsw_beam")(spark, dir)
       .collect().map(r => (r.getAs[Int]("hop"), r.getAs[Int]("rk"),
         r.getAs[Long]("vertex"), r.getAs[Double]("score")))
-    assert(beam.length == 20, s"expected 5 hops x beam 4, got ${beam.length}")
+    assert(beam.length == 72, s"expected 9 hops x beam 8, got ${beam.length}")
     // the beam's best never worsens across hops (current stays a candidate)
     val bestPerHop = beam.groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.map(_._4).max)

@@ -12,7 +12,7 @@ object Drive {
       .config("spark.ui.enabled", "false")
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.1"
+    val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     // r19 wave: drive the touched/new gate entries end-to-end at sf0.1
     // (the gate verifies sf0.001/sf0.01; this is the bigger-data smoke)
     Seq("q_embed_nsw", "q_embed_nsw_beam", "q_embed_ivf_filtered",
@@ -33,6 +33,9 @@ object Drive {
     val deg = g.groupBy("src").count()
     println(s"[drive] nswGraph sf0.1: edges=${g.count()} " +
       s"maxDeg=${deg.agg(max("count")).head.getLong(0)} cells=$k")
+    // dense bound-pruning census: how many cells the exact probe reads
+    val (_, _, cand) = graft.queries.PipelineQueries.hybridDenseCandCells(spark, d)
+    println(s"[drive] hybridDense cells scanned: ${cand.size}/$k")
     spark.stop()
   }
 }

@@ -85,7 +85,8 @@ object NswProbe {
     // single-entry greedy can now escape its entry cell, and deeper
     // walks (hops 8/12) have room to use the long edges.
     for ((beam, entries, hops) <- Seq((1, 1, 4), (1, 1, 8), (4, 1, 8),
-        (4, 4, 4), (4, k, 4), (4, k, 8), (8, k, 8), (4, k, 12))) {
+        (4, 4, 4), (4, k, 4), (4, k, 8), (8, k, 8), (4, k, 12),
+        (8, k, 12), (16, k, 8))) {
       val t1 = System.nanoTime()
       val wr = Window.partitionBy("qid").orderBy(col("sc").desc, col("vertex"))
       def topB(cands: DataFrame): DataFrame = cands.distinct()
