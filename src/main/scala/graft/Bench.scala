@@ -317,8 +317,12 @@ object Bench {
     // widening, and sparse⊕dense RRF hybrid retrieval
     "q_embed_ivf_filtered", "q_hybrid_retrieval",
     // r19: the index-backed hybrid probe (staged postings + bound-
-    // pruned exact dense probe) and the fusion accuracy readout
-    "q_hybrid_retrieval_indexed", "q_hybrid_ndcg")
+    // pruned exact dense probe), the fusion accuracy readout, and the
+    // routed family's in-gate recall readout
+    "q_hybrid_retrieval_indexed", "q_hybrid_ndcg", "q_embed_nsw_recall",
+    // r19 wave 2b: batch routed serving (one scoring job per hop
+    // amortized across the query batch)
+    "q_embed_nsw_batch")
   // q_catalog_timetravel and q_stream_cdc stay gate-only: the former
   // times temp-dir commit IO, the latter is a streaming entry
   // (streaming entries never headline). q_graph_clustcoef is
@@ -364,6 +368,7 @@ object Bench {
     "q_stream_dedup_corpus" -> "streaming",
     "q_stream_ivm_join" -> "streaming",
     "q_stream_ivf_upsert" -> "streaming",
+    "q_stream_postings_upsert" -> "streaming",
     "q_stream_psi" -> "streaming",
     "q_stream_enrich" -> "streaming",
     "q_stream_exactly_once" -> "streaming",

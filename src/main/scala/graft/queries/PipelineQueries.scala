@@ -385,6 +385,45 @@ object PipelineQueries {
     }
   }
 
+  /** The beam-8 / 8-hop routed walk over [[nswGraph]] (the
+    * NswProbe-measured best config, r19): entry frontier = best-8 of
+    * the k cell centroids, per hop keep the best-8 of {frontier} ∪
+    * neighbours(frontier). Returns the hop-indexed frontier trace
+    * (hop, rank, vertex, rawScore) plus k — shared by the beam gate
+    * entry (which prints the trace) and the recall readout (which
+    * scores the final frontier). Driver touches only metadata-scale
+    * rows: ≤ 8·10 neighbour ids per hop, ≤ k + 88-id pushed-filter
+    * scoring scans. */
+  private[graft] def nswBeamTrace(
+      s: SparkSession, d: String): (Seq[(Int, Int, Long, Double)], Int) = {
+    graft.functions.expressions.GraftFunctions.register(s)
+    val emb = t(s, d, "embeddings")
+    val k = Similarity.autoCellCount(emb.count())
+    val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .localCheckpoint(true) // probed once per hop
+    val g = nswGraph(s, d, k)
+    val q0 = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+    def topB(cands: Seq[Long]): Seq[(Long, Double)] =
+      e.where(col("vec_id").isin(cands: _*))
+        .crossJoin(broadcast(q0))
+        .select(col("vec_id"), expr("cosine_sim(v, qv)").as("sc"))
+        .orderBy(col("sc").desc, col("vec_id")).limit(8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    var frontier = topB((1L to k.toLong))
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
+    def record(hop: Int): Unit = frontier.zipWithIndex.foreach {
+      case ((vid, sc), i) => trace += ((hop, i + 1, vid, sc))
+    }
+    record(0)
+    (1 to 8).foreach { hop =>
+      val nbrs = g.where(col("src").isin(frontier.map(_._1): _*))
+        .collect().map(_.getLong(1)).toSeq
+      frontier = topB((nbrs ++ frontier.map(_._1)).distinct)
+      record(hop)
+    }
+    (trace.toSeq, k)
+  }
+
   /** The sparse-retrieval POSTINGS index (r18 verdict item 3): one
     * denormalized row per (term, doc) posting carrying everything the
     * BM25 score needs — tf, dl, df, and the corpus totals n_docs /
@@ -1438,6 +1477,83 @@ object PipelineQueries {
         java.util.List.of(qRow), qRow.schema).select(col("v").as("qv"))
       Similarity.bruteForceTopK(
         idx.where(col("cid") === qRow.getLong(0) && col("vec_id") =!= 0), qv, 10)
+    }),
+    "q_stream_postings_upsert" -> ((s, d) => {
+      // STREAMING SPARSE-index maintenance (r19) — q_stream_ivf_upsert's
+      // arrival loop applied to the POSTINGS index, completing the
+      // index-maintenance family's sparse half (dense: ivf upsert /
+      // append / delete / compact; sparse: this). Base postings built
+      // from the non-arrival corpus; arriving documents land as a
+      // file stream and each micro-batch tokenizes ONLY its own rows
+      // and APPENDS (kind='p') posting rows + (kind='d') per-doc
+      // stat rows into the same kind-partitioned layout (the 'd'
+      // partition is the doc-values/norms file of a Lucene segment).
+      // Per-doc rows are arrival-local, and every GLOBAL statistic
+      // the probe needs is an ASSOCIATIVE aggregate over them — df =
+      // count of a term's 'p' rows, n_docs / total_len = count / sum
+      // over the tiny 'd' partition — so the maintained index is
+      // content-identical to a batch rebuild under ANY arrival order
+      // or batching, and the batch BM25 SQL oracles the probe
+      // verbatim. Probe = query-term-pruned 'p' scan (pushed term IN
+      // filter) + the 'd'-partition totals: no re-tokenization.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val isArrival = col("doc_id") % 10 === 3
+      val idx = Staging.bucketedTable(s, d, "postings_upsert") { (name, dir) =>
+        def postRows(docs: DataFrame): DataFrame = {
+          val tok = docs.select(col("doc_id"),
+              explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+            .localCheckpoint(true) // feeds tf AND dl
+          val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+          tf.join(dl, "doc_id")
+            .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+              lit("p").as("kind"))
+            .unionByName(dl.select(lit(null).cast("string").as("term"),
+              col("doc_id"), lit(null).cast("long").as("tf"), col("dl"),
+              lit("d").as("kind")))
+        }
+        val docs = t(s, d, "documents")
+        postRows(docs.where(!isArrival))
+          .write.format("parquet").mode("overwrite").partitionBy("kind")
+          .option("path", dir.resolve("postings").toString).saveAsTable(name)
+        val streamDir =
+          java.nio.file.Files.createTempDirectory("graft-q-postings-upsert-in")
+        try {
+          val arrivals = docs.where(isArrival)
+          stageDocsChunk(arrivals.where(col("doc_id") % 20 === 3), streamDir, "a")
+          stageDocsChunk(arrivals.where(col("doc_id") % 20 =!= 3), streamDir, "b")
+          val stream = s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
+          val perBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
+            (batch, _) => postRows(batch.toDF())
+              .write.mode("append").insertInto(name)
+          val q = stream.writeStream.foreachBatch(perBatch).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally Staging.deleteRecursively(streamDir)
+      }
+      val qTerms = idx.where(col("kind") === "p" && col("doc_id") === 0)
+        .select("term").distinct().collect().map(_.getString(0)).toSeq
+      val p = idx.where(col("kind") === "p" && col("term").isin(qTerms: _*))
+        .localCheckpoint(true) // feeds df AND the scoring pass
+      val totals = idx.where(col("kind") === "d")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum("dl").cast("double").as("tt"))
+      val dfT = p.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("s_score").desc, col("doc_id"))
+      p.where(col("doc_id") =!= 0)
+        .join(dfT, "term").crossJoin(broadcast(totals))
+        .withColumn("idf", round(
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+        .withColumn("c0", round(col("idf") * (col("tf") * 2.2) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") * col("n") / col("tt"))), 4))
+        .groupBy("doc_id")
+        .agg(sum(col("c0").cast("decimal(18,4)")).cast("double").as("s_score"))
+        .orderBy(col("s_score").desc, col("doc_id")).limit(20)
+        .withColumn("rs", row_number().over(w))
+        .select(col("doc_id"), col("s_score"), col("rs"))
+        .orderBy("rs")
     }),
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents")).orderBy("h")),
@@ -3914,39 +4030,111 @@ object PipelineQueries {
       // the entry hop), every scoring job a pushed-filter scan
       // (≤ k + 88 ids); the hop-by-hop frontier is the output — the
       // beam certificate.
-      graft.functions.expressions.GraftFunctions.register(s)
-      val emb = t(s, d, "embeddings")
-      val k = Similarity.autoCellCount(emb.count())
-      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-        .localCheckpoint(true) // probed once per hop
-      val g = nswGraph(s, d, k)
-      val q0 = e.where(col("vec_id") === 0).select(col("v").as("qv"))
-      def topB(cands: Seq[Long]): Seq[(Long, Double)] =
-        e.where(col("vec_id").isin(cands: _*))
-          .crossJoin(broadcast(q0))
-          .select(col("vec_id"), expr("cosine_sim(v, qv)").as("sc"))
-          .orderBy(col("sc").desc, col("vec_id")).limit(8)
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-      var frontier = topB((1L to k.toLong))
-      val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Double)]
-      def record(hop: Int): Unit = frontier.zipWithIndex.foreach {
-        case ((vid, sc), i) => trace += ((hop, i + 1, vid, sc))
-      }
-      record(0)
-      (1 to 8).foreach { hop =>
-        val nbrs = g.where(col("src").isin(frontier.map(_._1): _*))
-          .collect().map(_.getLong(1)).toSeq
-        frontier = topB((nbrs ++ frontier.map(_._1)).distinct)
-        record(hop)
-      }
+      val (trace, k) = nswBeamTrace(s, d)
       import s.implicits._
-      trace.toSeq.toDF("hop0", "rk0", "vertex0", "score0")
+      trace.toDF("hop0", "rk0", "vertex0", "score0")
         .select(col("hop0").cast("int").as("hop"),
           col("rk0").cast("int").as("rk"),
           col("vertex0").as("vertex"),
           round(col("score0"), 4).as("score"),
           lit(k).as("cells"))
         .orderBy("hop", "rk")
+    }),
+    "q_embed_nsw_recall" -> ((s, d) => {
+      // the routed family's accuracy readout IN-GATE (r19 — the
+      // one-measurement-per-approximate-family convention:
+      // q_embed_recall, q_embed_binary_recall, q_dedup_minhash_acc,
+      // q_hybrid_ndcg): recall@8 of the beam walk's FINAL frontier
+      // against the exact rounded-cosine top-8, plus the endpoint
+      // ratio (best routed cosine / best exact cosine). NswProbe
+      // prices the config grid at derived scales; this entry keeps
+      // the pinned config's number under the oracle gate at every
+      // fixture SF. Exactness: hits/8 is dyadic-exact; routed/exact
+      // bests are round(4) BEFORE the ratio division, so the ratio
+      // divides identical doubles in both engines, round(6).
+      val (trace, k) = nswBeamTrace(s, d)
+      val maxHop = trace.map(_._1).max
+      val fin = trace.filter(_._1 == maxHop)
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val routedBest = r4(fin.minBy(_._2)._4)
+      val e = t(s, d, "embeddings")
+        .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      val q0 = e.where(col("vec_id") === 0).select(col("v").as("qv"))
+      val exact8 = e.where(col("vec_id") =!= 0).crossJoin(broadcast(q0))
+        .select(col("vec_id"), round(expr("cosine_sim(v, qv)"), 4).as("sc"))
+        .orderBy(col("sc").desc, col("vec_id")).limit(8).collect()
+      val exactBest = exact8.head.getDouble(1)
+      val exactIds = exact8.map(_.getLong(0)).toSet
+      val hits = fin.map(_._3).count(exactIds)
+      import s.implicits._
+      Seq((k, hits.toLong, hits / 8.0, routedBest, exactBest,
+          BigDecimal(routedBest / exactBest)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .toDF("cells", "hits", "recall_at_8", "routed_best",
+          "exact_best", "ratio")
+    }),
+    "q_embed_nsw_batch" -> ((s, d) => {
+      // MULTI-QUERY routed serving (r19) — the amortization a real
+      // ANN service lives on: a BATCH of queries routes
+      // simultaneously, ONE neighbour fetch and ONE scoring job per
+      // hop covering every query's candidates, instead of per-query
+      // walks (the NswProbe measurement shape promoted to a gate
+      // entry). Queries = the 4 lowest corpus ids ≡ 5 (mod 10)
+      // (deterministic, oracle-re-derived); each walk excludes its
+      // own query vertex (no self-retrieval), beam 4, 8 hops over
+      // the shared navigable graph. Driver touches metadata-scale
+      // rows only: ≤ 4·4·10 neighbour ids and ≤ 4·(k + 44)-row
+      // scored batches per hop; every scoring job is one
+      // pushed-filter scan of the candidate ids crossed with the 4
+      // broadcast query vectors. Output = each query's final
+      // frontier — the batch-serving certificate.
+      graft.functions.expressions.GraftFunctions.register(s)
+      val emb = t(s, d, "embeddings")
+      val k = Similarity.autoCellCount(emb.count())
+      val e = emb.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+        .localCheckpoint(true) // probed once per hop
+      val g = nswGraph(s, d, k)
+      val qs = e.where(col("vec_id") =!= 0 && col("vec_id") % 10 === 5)
+        .orderBy("vec_id").limit(4)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .localCheckpoint(true) // joined once per hop
+      // score (qid, vertex) pairs for the given per-query candidate
+      // sets in ONE job; returns each query's beam-4 frontier
+      def topB(cand: Map[Long, Seq[Long]]): Map[Long, Seq[(Long, Double)]] = {
+        val ids = cand.values.flatten.toSeq.distinct
+        val scored = e.where(col("vec_id").isin(ids: _*))
+          .crossJoin(broadcast(qs))
+          .where(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id"), expr("cosine_sim(v, qv)").as("sc"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        scored.groupBy(_._1).map { case (qid, rows) =>
+          val mine = cand(qid).toSet
+          qid -> rows.filter(r => mine(r._2)).sortBy(r => (-r._3, r._2))
+            .take(4).map(r => (r._2, r._3)).toSeq
+        }
+      }
+      val qids = qs.select("qid").collect().map(_.getLong(0)).toSeq
+      val entry = (1L to k.toLong)
+      var frontier = topB(qids.map(q => q -> entry).toMap)
+      (1 to 8).foreach { _ =>
+        val verts = frontier.values.flatten.map(_._1).toSeq.distinct
+        val adj = g.where(col("src").isin(verts: _*))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+        frontier = topB(frontier.map { case (qid, fr) =>
+          qid -> (fr.map(_._1) ++
+            fr.map(_._1).flatMap(v => adj.getOrElse(v, Seq.empty))).distinct
+        })
+      }
+      import s.implicits._
+      frontier.toSeq.flatMap { case (qid, fr) =>
+        fr.zipWithIndex.map { case ((vid, sc), i) => (qid, i + 1, vid, sc) }
+      }.toDF("qid0", "rk0", "vertex0", "score0")
+        .select(col("qid0").as("qid"), col("rk0").cast("int").as("rk"),
+          col("vertex0").as("vertex"), round(col("score0"), 4).as("score"),
+          lit(k).as("cells"))
+        .orderBy("qid", "rk")
     }),
     "q_embed_ivf_balanced" -> ((s, d) => {
       // CAPACITY-BALANCED IVF assignment — the guarantee
@@ -4941,14 +5129,36 @@ object PipelineQueries {
   /** The q_hybrid_retrieval leg CTEs (BM25 sparse top-20 `sp`, exact
     * cosine dense top-20 `dn`) shared by the retrieval, indexed and
     * NDCG oracles — one definition, no drift. */
+  /** The BM25 sparse-leg CTE chain (ends at `sp`, the ranked top-20)
+    * — shared by the hybrid oracles and the streamed-postings probe
+    * oracle. */
+  private val hybridSparseSql: String =
+    s"""$toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokr GROUP BY 1, 2), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tokr GROUP BY doc_id), df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), tot AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tt FROM dl), qt AS (SELECT DISTINCT term FROM tokr WHERE doc_id = 0), sp0 AS (SELECT tf.doc_id, sum((round(round(ln((tot.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * tot.n / tot.tt)), 4))::DECIMAL(18,4))::DOUBLE AS s_score FROM tf JOIN qt USING (term) JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot WHERE tf.doc_id <> 0 GROUP BY tf.doc_id), sp AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY s_score DESC, doc_id) AS rs FROM sp0 QUALIFY rs <= 20)"""
   private val hybridLegsSql: String =
-    s"""$toksSql, tokr AS (SELECT doc_id, unnest(tk) AS term FROM toks), tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokr GROUP BY 1, 2), dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tokr GROUP BY doc_id), df AS (SELECT term, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, term FROM tokr) GROUP BY term), tot AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS tt FROM dl), qt AS (SELECT DISTINCT term FROM tokr WHERE doc_id = 0), sp0 AS (SELECT tf.doc_id, sum((round(round(ln((tot.n - df.df + 0.5) / (df.df + 0.5) + 1.0), 6) * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl * tot.n / tot.tt)), 4))::DECIMAL(18,4))::DOUBLE AS s_score FROM tf JOIN qt USING (term) JOIN df USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot WHERE tf.doc_id <> 0 GROUP BY tf.doc_id), sp AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY s_score DESC, doc_id) AS rs FROM sp0 QUALIFY rs <= 20), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), dn0 AS (SELECT e.vec_id AS doc_id, round(${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")})), 4) AS d_score FROM e CROSS JOIN q WHERE e.vec_id <> 0), dn AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY d_score DESC, doc_id) AS rd FROM dn0 QUALIFY rd <= 20)"""
+    s"""$hybridSparseSql, e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), q AS (SELECT v AS qv FROM e WHERE vec_id = 0), dn0 AS (SELECT e.vec_id AS doc_id, round(${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")})), 4) AS d_score FROM e CROSS JOIN q WHERE e.vec_id <> 0), dn AS MATERIALIZED (SELECT doc_id, row_number() OVER (ORDER BY d_score DESC, doc_id) AS rd FROM dn0 QUALIFY rd <= 20)"""
   /** The full hybrid-retrieval oracle — shared verbatim by
     * q_hybrid_retrieval and q_hybrid_retrieval_indexed (the staged
     * postings/cell indexes answer exactly like the per-run
     * derivation; the ivf_append precedent). */
   private val hybridRetrievalSql: String =
     s"""WITH $hybridLegsSql SELECT coalesce(sp.doc_id, dn.doc_id)::BIGINT AS doc_id, coalesce(rs, 0)::INT AS sparse_rk, coalesce(rd, 0)::INT AS dense_rk, round(coalesce(1.0::DOUBLE / (60 + rs), 0.0::DOUBLE) + coalesce(1.0::DOUBLE / (60 + rd), 0.0::DOUBLE), 6) AS rrf FROM sp FULL OUTER JOIN dn ON sp.doc_id = dn.doc_id ORDER BY rrf DESC, doc_id LIMIT 10"""
+  /** The beam-8 / 8-hop walk's full CTE chain (corpus, cells, graph,
+    * entry frontier c0, hop frontiers c1..c8) — shared by the beam
+    * gate oracle (which prints the trace) and the recall readout
+    * (which scores c8, the final frontier). */
+  private val nswBeamCosSql: String =
+    s"${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")}))"
+  /** The routed-walk shared prefix (corpus, cells, assignment, the
+    * navigable graph) — ends at `g`. */
+  private val nswChainPrefixSql: String =
+    s"""nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), $nswGraphSql"""
+  private val nswBeamChainSql: String = {
+    val cos = nswBeamCosSql
+    val hops = (1 to 8).map { h =>
+        s"c$h AS MATERIALIZED (SELECT $h::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (SELECT vertex FROM c${h - 1} UNION ALL SELECT g.dst FROM g JOIN c${h - 1} ON g.src = c${h - 1}.vertex)) WHERE rk <= 8)"
+      }.mkString(", ")
+    s"""$nswChainPrefixSql, q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id BETWEEN 1 AND (SELECT k FROM kk)) WHERE rk <= 8), $hops"""
+  }
   /** The unrolled farthest-point rounds of the q_sample_coreset
     * oracle (argmax pick → center probe → least-update per round),
     * generated so the per-round exact-decimal discipline is written
@@ -5494,13 +5704,25 @@ object PipelineQueries {
     // vertices), same per-hop candidate set {frontier} ∪
     // neighbours(frontier), frontier = row_number ≤ 8 by (cosine
     // desc, vec_id); entry frontier = best-8 of the k cell centroids
-    "q_embed_nsw_beam" -> {
-      val cos = s"${foldSql("list_transform(range(1, 65), i -> e.v[i] * q.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])")}))"
+    "q_embed_nsw_beam" ->
+      s"""WITH $nswBeamChainSql SELECT hop, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6 UNION ALL SELECT * FROM c7 UNION ALL SELECT * FROM c8) ORDER BY hop, rk""",
+    // the batch walk unrolled: same prefix/graph, 4 deterministic
+    // query rows (lowest corpus ids ≡ 5 mod 10), per-hop frontiers
+    // PARTITIONED BY qid with a row-tuple IN against {frontier} ∪
+    // neighbours(frontier); self never routable (e.vec_id <> qid)
+    "q_embed_nsw_batch" -> {
+      val cosB = s"${foldSql("list_transform(range(1, 65), i -> e.v[i] * q4.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> e.v[i] * e.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> q4.qv[i] * q4.qv[i])")}))"
       val hops = (1 to 8).map { h =>
-        s"c$h AS MATERIALIZED (SELECT $h::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id IN (SELECT vertex FROM c${h - 1} UNION ALL SELECT g.dst FROM g JOIN c${h - 1} ON g.src = c${h - 1}.vertex)) WHERE rk <= 8)"
+        s"b$h AS MATERIALIZED (SELECT qid, vertex, sc, rk FROM (SELECT c.qid, e.vec_id AS vertex, $cosB AS sc, row_number() OVER (PARTITION BY c.qid ORDER BY $cosB DESC, e.vec_id) AS rk FROM (SELECT DISTINCT qid, vertex FROM (SELECT qid, vertex FROM b${h - 1} UNION ALL SELECT b.qid, g.dst AS vertex FROM g JOIN b${h - 1} b ON g.src = b.vertex)) c JOIN e ON e.vec_id = c.vertex JOIN q4 ON q4.qid = c.qid WHERE e.vec_id <> c.qid) WHERE rk <= 4)"
       }.mkString(", ")
-      s"""WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM embeddings), kk AS MATERIALIZED (SELECT greatest(8, least(4096, (n + 499) // 500)) AS k FROM nn), e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), assigned AS MATERIALIZED (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), $nswGraphSql, q AS MATERIALIZED (SELECT v AS qv FROM e WHERE vec_id = 0), c0 AS MATERIALIZED (SELECT 0::INT AS hop, rk, vertex, sc FROM (SELECT e.vec_id AS vertex, $cos AS sc, row_number() OVER (ORDER BY $cos DESC, e.vec_id) AS rk FROM e CROSS JOIN q WHERE e.vec_id BETWEEN 1 AND (SELECT k FROM kk)) WHERE rk <= 8), $hops SELECT hop, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM (SELECT * FROM c0 UNION ALL SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5 UNION ALL SELECT * FROM c6 UNION ALL SELECT * FROM c7 UNION ALL SELECT * FROM c8) ORDER BY hop, rk"""
+      s"""WITH $nswChainPrefixSql, q4 AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id <> 0 AND vec_id % 10 = 5 ORDER BY vec_id LIMIT 4), b0 AS MATERIALIZED (SELECT qid, vertex, sc, rk FROM (SELECT q4.qid, e.vec_id AS vertex, $cosB AS sc, row_number() OVER (PARTITION BY q4.qid ORDER BY $cosB DESC, e.vec_id) AS rk FROM e CROSS JOIN q4 WHERE e.vec_id BETWEEN 1 AND (SELECT k FROM kk) AND e.vec_id <> q4.qid) WHERE rk <= 4), $hops SELECT qid::BIGINT AS qid, rk::INT AS rk, vertex::BIGINT AS vertex, round(sc, 4) AS score, (SELECT k FROM kk)::INT AS cells FROM b8 ORDER BY qid, rk"""
     },
+    // the routed family's accuracy readout: c8 (the final frontier)
+    // joined against the exact rounded-cosine top-8; hits/8 is a
+    // dyadic-exact recall, the endpoint ratio divides two already-
+    // rounded doubles (identical in both engines), round(6)
+    "q_embed_nsw_recall" ->
+      s"""WITH $nswBeamChainSql, ex AS MATERIALIZED (SELECT e.vec_id, round($nswBeamCosSql, 4) AS sc FROM e CROSS JOIN q WHERE e.vec_id <> 0 QUALIFY row_number() OVER (ORDER BY round($nswBeamCosSql, 4) DESC, e.vec_id) <= 8), fin AS (SELECT vertex, sc FROM c8), hb AS (SELECT count(*)::BIGINT AS h FROM fin JOIN ex ON fin.vertex = ex.vec_id), rb AS (SELECT round(sc, 4) AS v FROM c8 WHERE rk = 1) SELECT (SELECT k FROM kk)::INT AS cells, (SELECT h FROM hb) AS hits, ((SELECT h FROM hb)::DOUBLE / 8) AS recall_at_8, (SELECT v FROM rb) AS routed_best, (SELECT max(sc) FROM ex) AS exact_best, round((SELECT v FROM rb) / (SELECT max(sc) FROM ex), 6) AS ratio""",
     // same power-of-two grid (floor of an exact binary scale), same
     // 3×3 neighbourhood explode, same raw-double d² ≤ r² refine
     "q_spatial_join" ->
@@ -5544,6 +5766,14 @@ object PipelineQueries {
     // (additive), so this is q_events_psi's oracle verbatim
     "q_stream_psi" ->
       """WITH ev AS (SELECT event_type, ts::DATE AS day, greatest(least((round(value, 2)::DECIMAL(12,2) * 100)::BIGINT // 2500, 11), 0) AS b FROM events WHERE value IS NOT NULL), d0 AS (SELECT min(day) AS d0 FROM ev), cnt AS (SELECT event_type, b, sum(CASE WHEN date_diff('day', d0.d0, ev.day) < 8 THEN 1 ELSE 0 END)::BIGINT AS na, sum(CASE WHEN date_diff('day', d0.d0, ev.day) >= 8 THEN 1 ELSE 0 END)::BIGINT AS nb FROM ev CROSS JOIN d0 GROUP BY event_type, b), spine AS (SELECT DISTINCT event_type, unnest(range(12)) AS b FROM ev), fl AS (SELECT s.event_type, s.b, coalesce(c.na, 0) AS na, coalesce(c.nb, 0) AS nb FROM spine s LEFT JOIN cnt c ON s.event_type = c.event_type AND s.b = c.b), tt AS (SELECT event_type, sum(na) + 12 AS na1, sum(nb) + 12 AS nb1 FROM fl GROUP BY event_type), tm AS (SELECT fl.event_type, tt.na1, tt.nb1, round((((fl.na + 1)::DOUBLE / tt.na1) - ((fl.nb + 1)::DOUBLE / tt.nb1)) * ln(((fl.na + 1) * tt.nb1)::DOUBLE / ((fl.nb + 1) * tt.na1)::DOUBLE), 8)::DECIMAL(38,18) AS term FROM fl JOIN tt USING (event_type)) SELECT event_type, (max(na1) - 12)::BIGINT AS n_ref, (max(nb1) - 12)::BIGINT AS n_mon, round(sum(term)::DOUBLE, 6) AS psi FROM tm GROUP BY event_type ORDER BY event_type""",
+    // the streamed postings maintain per-doc rows whose global
+    // statistics are ASSOCIATIVE aggregates (df = count of a term's
+    // posting rows, totals = count/sum of doc-stat rows), so the
+    // maintained index answers the query-term BM25 ranking exactly
+    // like a batch derivation: the hybrid sparse-leg SQL with the
+    // decimal-summed score exposed
+    "q_stream_postings_upsert" ->
+      s"""WITH $hybridSparseSql, sp3 AS (SELECT doc_id, s_score, row_number() OVER (ORDER BY s_score DESC, doc_id) AS rs FROM sp0 QUALIFY rs <= 20) SELECT doc_id::BIGINT AS doc_id, s_score, rs::INT AS rs FROM sp3 ORDER BY rs""",
     // the streamed upsert maintains an index content-identical to the
     // full batch assignment (row-local centroid assignment, append-only
     // partition writes), so its probe oracle is ivf_append's verbatim

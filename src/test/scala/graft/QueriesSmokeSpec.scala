@@ -80,6 +80,8 @@ class QueriesSmokeSpec extends SparkSpec {
     "q_hybrid_retrieval",                            // broadcast 1-row totals + query vector
     "q_hybrid_retrieval_indexed",                    // broadcast 1-row query vector (staged-index probes)
     "q_hybrid_ndcg",                                 // broadcast 1-row totals/query/IDCG scalars
+    "q_embed_nsw_recall",                            // broadcast 1-row query vector
+    "q_stream_postings_upsert",                      // broadcast 1-row corpus-totals scalar
     "q_mix_shuffle")                                 // broadcast lang-count table + 1-row total
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

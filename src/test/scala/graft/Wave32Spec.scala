@@ -84,4 +84,77 @@ class Wave32Spec extends SparkSpec {
     // retaining at least one true top-10 doc is pinned behavior
     assert(rows("fusion")._1 >= 1, "fusion lost every qrel doc")
   }
+
+  test("q_embed_nsw_recall: readout is internally consistent with its parts") {
+    val r = SparkEntry.queries("q_embed_nsw_recall")(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    val hits = row.getAs[Long]("hits")
+    assert(hits >= 0 && hits <= 8)
+    assert(row.getAs[Double]("recall_at_8") === hits / 8.0)
+    val rb = row.getAs[Double]("routed_best")
+    val eb = row.getAs[Double]("exact_best")
+    // the walk can never beat the exact best, and the ratio is the
+    // quotient of the two already-rounded bests
+    assert(rb <= eb && eb <= 1.0 && rb >= -1.0)
+    assert(row.getAs[Double]("ratio") ===
+      BigDecimal(rb / eb).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // the navigable graph must actually retrieve on the fixture —
+    // the r18 topology scored 0 here
+    assert(hits >= 1, "routed walk retrieved nothing from the exact top-8")
+  }
+
+  test("q_stream_postings_upsert equals the batch-derived sparse ranking") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("q_stream_postings_upsert")(spark, dir)
+      .collect().map(_.toString).toSeq
+    // batch re-derivation straight from the documents table (the
+    // maintained index must be content-identical to this)
+    val docs = graft.queries.Tables.t(spark, dir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df_ = tok.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val tots = dl.agg(count(lit(1)).cast("double").as("n"),
+      sum("dl").cast("double").as("tt"))
+    val qt = tok.where(col("doc_id") === 0).select("term").distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s_score").desc, col("doc_id"))
+    val want = tf.join(qt, "term").where(col("doc_id") =!= 0)
+      .join(df_, "term").join(dl, "doc_id").crossJoin(broadcast(tots))
+      .withColumn("idf", round(
+        log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .withColumn("c0", round(col("idf") * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") * col("n") / col("tt"))), 4))
+      .groupBy("doc_id")
+      .agg(sum(col("c0").cast("decimal(18,4)")).cast("double").as("s_score"))
+      .orderBy(col("s_score").desc, col("doc_id")).limit(20)
+      .withColumn("rs", row_number().over(w))
+      .select(col("doc_id"), col("s_score"), col("rs"))
+      .orderBy("rs").collect().map(_.toString).toSeq
+    assert(got === want,
+      "streamed postings diverged from the batch derivation")
+  }
+
+  test("q_embed_nsw_batch: 4 independent walks, no self-retrieval, ranked frontiers") {
+    val rows = SparkEntry.queries("q_embed_nsw_batch")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rk"),
+        r.getAs[Long]("vertex"), r.getAs[Double]("score")))
+    val qids = rows.map(_._1).distinct
+    assert(qids.length === 4, s"expected 4 query walks, got ${qids.toSeq}")
+    // deterministic query selection: lowest corpus ids ≡ 5 (mod 10)
+    assert(qids.forall(q => q % 10 == 5 && q != 0))
+    rows.groupBy(_._1).foreach { case (qid, fr) =>
+      assert(fr.length <= 4 && fr.nonEmpty)
+      // a query never retrieves itself
+      assert(fr.forall(_._3 != qid), s"walk $qid retrieved itself")
+      // frontier scores descending in rank order
+      val byRk = fr.sortBy(_._2).map(_._4)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => b <= a },
+        s"walk $qid frontier not rank-ordered: ${byRk.toSeq}")
+    }
+  }
 }
