@@ -717,8 +717,12 @@ object Bench {
     * silently shrank the packed lower bound (r18 ADVICE; the bias
     * was conservative for exoneration but understated task volume
     * in the artifact). Untimed — runs between the wall measurement
-    * and the listener removal. */
-  private def drainTaskEvents(agg: TaskTimeAgg): Unit = {
+    * and the listener removal. Returns whether the aggregate reached
+    * stability before the 2 s cap (r19 ADVICE: a capped, still-moving
+    * drain understates the packed lower bound — the caller records
+    * unconverged drains in the artifact so an understated packed pair
+    * is distinguishable from a converged one). */
+  private def drainTaskEvents(agg: TaskTimeAgg): Boolean = {
     var prev = -1L
     var stable = 0
     var waited = 0
@@ -727,6 +731,7 @@ object Bench {
       val cur = agg.millis
       if (cur == prev) stable += 1 else { stable = 0; prev = cur }
     }
+    stable >= 2
   }
 
   /** The four superstep-family entries whose isolated-rerun trigger
@@ -896,13 +901,18 @@ object Bench {
     // is untimed and paid only by family entries
     val packedReps =
       scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
+    // entries whose listener drain hit the 2 s cap still moving — their
+    // recorded packed bound may be understated (r19 ADVICE: named in
+    // the artifact, not silent)
+    val drainUnconverged = scala.collection.mutable.LinkedHashSet.empty[String]
     def timeOnceTracked(name: String): Double =
       if (!packedFamily(name)) timeOnce(name)
       else {
         val agg = new TaskTimeAgg
         spark.sparkContext.addSparkListener(agg)
         val w = try timeOnce(name) finally {
-          drainTaskEvents(agg) // poll-until-stable (r18 ADVICE)
+          // poll-until-stable (r18 ADVICE); capped-unconverged ⇒ record
+          if (!drainTaskEvents(agg)) drainUnconverged += name
           spark.sparkContext.removeSparkListener(agg)
         }
         packedReps(name) =
@@ -1156,6 +1166,10 @@ object Bench {
       "\"" + n + "\":" + rs.map { case (w, p) =>
         "[" + fmt(w) + "," + fmt(p) + "]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // names whose drain hit the 2 s cap unconverged at least once —
+    // their packed bounds may be understated (r19 ADVICE)
+    val drainJson = drainUnconverged
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     // per-trigger machine-readable verdicts (r18 verdict item 4):
     // every fired floor trigger carries its floor, its isolated best
     // (-1 = none/failed), its best packed pair (null = not recorded)
@@ -1217,7 +1231,7 @@ object Bench {
     }
     val freshJson = freshJvm
       .map { case (n, j) => "\"" + n + "\":" + j }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","heap_max_mib":$heapMib,"gc":"$gcNames","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"isolated_reps":$isoRepsJson,"isolated_spin":$isoSpinJson,"isolated_stages":$isoStagesJson,"fresh_jvm":$freshJson,"spin":$spin,"packed":$packedJson,"trigger_verdicts":$verdictJson,"triggers":$trigSummary,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","heap_max_mib":$heapMib,"gc":"$gcNames","queries":$qs,"queries_min":$qsMin,"isolated":$iso,"isolated_reps":$isoRepsJson,"isolated_spin":$isoSpinJson,"isolated_stages":$isoStagesJson,"fresh_jvm":$freshJson,"spin":$spin,"packed":$packedJson,"drain_unconverged":$drainJson,"trigger_verdicts":$verdictJson,"triggers":$trigSummary,"pagerank_phases":$prPhases,"total_best":$totalBest,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // ALSO persist the artifact line to a file: the r9 record was lost
     // because the capture wrapper kept only the tail of stdout and the

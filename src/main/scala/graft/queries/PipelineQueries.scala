@@ -342,12 +342,21 @@ object PipelineQueries {
     *     construction: deterministic escape hatches out of the entry
     *     cells.
     * Build work stays ~n·(3·targetCell): the local join meets one
-    * cell's members, the far join two designated cells' members —
-    * never all-pairs. Max out-degree 10 (5+3+2), so per-hop driver
-    * collects stay ≤ beam·10 ids. */
-  private[graft] def nswGraph(s: SparkSession, d: String, k: Int): DataFrame = {
+    * cell's members, the far join the designated cells' members —
+    * never all-pairs. Max out-degree deg+3+links (default 10 =
+    * 5+3+2), so per-hop driver collects stay ≤ beam·degree ids.
+    *
+    * The two topology knobs are the r19-verdict levers (search width
+    * was measured exhausted — beam 16 bought +1/32 recall for 2×
+    * cost, so the remaining lever is the GRAPH): `deg` = in-cell
+    * nearest-neighbour count, `links` = hash-designated cross-cell
+    * long links. Both fold into the staging tag (a caller pricing a
+    * variant must never reuse a stale memoized graph) and both are
+    * integer-exact in the oracle re-derivation. */
+  private[graft] def nswGraph(s: SparkSession, d: String, k: Int,
+      deg: Int = 5, links: Int = 2): DataFrame = {
     val fp = java.lang.Long.toHexString(Tables.fingerprint(d, "embeddings"))
-    Staging.bucketedTable(s, d, s"nsw_graph_${k}_$fp") { (name, dir) =>
+    Staging.bucketedTable(s, d, s"nsw_graph_${k}_${deg}_${links}_$fp") { (name, dir) =>
       graft.functions.expressions.GraftFunctions.register(s)
       val e = t(s, d, "embeddings")
         .select(col("vec_id"), toDouble(col("embedding")).as("v"))
@@ -362,12 +371,12 @@ object PipelineQueries {
       val local = ax.join(ay, "cid").where(col("src") =!= col("dst"))
         .select(col("src"), col("dst"), expr("l2sq_fold(sv, dv)").as("d2"))
         .withColumn("rk", row_number().over(wg))
-        .where(col("rk") <= 5 || col("rk").isin(16, 64, 256))
+        .where(col("rk") <= deg || col("rk").isin(16, 64, 256))
         .select("src", "dst")
       val wf = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src"), col("j")).orderBy(col("d2"), col("dst"))
       val far = ax
-        .withColumn("j", explode(sequence(lit(0), lit(1))))
+        .withColumn("j", explode(sequence(lit(0), lit(links - 1))))
         .withColumn("fcid",
           ((col("src") % 3000017L) * 2654435761L + col("j")) % k + 1)
         .where(col("fcid") =!= col("cid"))
@@ -4065,6 +4074,15 @@ object PipelineQueries {
         .select(col("vec_id"), round(expr("cosine_sim(v, qv)"), 4).as("sc"))
         .orderBy(col("sc").desc, col("vec_id")).limit(8).collect()
       val exactBest = exact8.head.getDouble(1)
+      // r19 ADVICE: an exact-best that rounds to 0 (or negative-
+      // degenerate data) would make the ratio division NaN/Inf and
+      // BigDecimal would throw an opaque NumberFormatException while
+      // the DuckDB oracle emitted inf/nan — fail loudly and
+      // consistently instead (the fixture's top cosine is well
+      // above 0 at every SF; this names the contract).
+      require(exactBest > 0.0,
+        s"q_embed_nsw_recall: exact top cosine rounds to $exactBest <= 0 — " +
+          "the routed/exact ratio is undefined on this corpus")
       val exactIds = exact8.map(_.getLong(0)).toSet
       val hits = fin.map(_._3).count(exactIds)
       import s.implicits._

@@ -270,14 +270,22 @@ object RelationalQueries {
     * slots (slot index = chunk index ≥ #stream batches — no
     * collision), equally idempotent.
     *
-    * SCALE NOTE (r18 ADVICE): the per-batch `aSeen` re-read unions
-    * every prior ingest-log slot (one partition-pruned parquet read
-    * of batch_id < i), so per-batch work grows linearly with batch
-    * count — O(batches²) over a long-running stream. Harmless at the
-    * gate's 2-batch shape; a production deployment folds seen-A into
-    * a compacted staged table per batch (the same batchId-keyed
-    * overwrite makes that compaction replay-idempotent too) so each
-    * batch reads one compact snapshot instead of the whole log. */
+    * COMPACTED SEEN-A (r19 verdict item 2, closing the r18 ADVICE
+    * scale note): batch i no longer unions the i prior ingest-log
+    * slots to rebuild seen-A — it reads ONE compacted snapshot
+    * (`<ingestLog>_snap/batch_id=i-1` = every arrival through batch
+    * i−1) and then writes its own snapshot slot (prev ∪ dAi). The
+    * snapshot write is batchId-keyed overwrite like every other
+    * write here, so a replayed batch recomputes the identical
+    * snapshot onto its own slot; per-batch seen-A read cost is
+    * O(arrivals so far) in ONE partition-pruned read instead of
+    * O(i) slot reads — the O(batches²) log-union shape is gone.
+    * Wave33Spec proves the independence behaviorally: it deletes
+    * every log slot < last, forces a same-batchId replay, and the
+    * recomputed delta (hence the maintained view) is unchanged —
+    * impossible if seen-A still read the log tail. The stream-batch
+    * count for the trailing-chunk loop is likewise derived from the
+    * snapshot slots (one per stream batch, restart-complete). */
   private[graft] def runIvmJoinStream(s: SparkSession, d: String,
       streamDir: java.nio.file.Path, ckpt: java.nio.file.Path,
       ingestLog: String, out: String,
@@ -288,6 +296,7 @@ object RelationalQueries {
       li.where(ivmDB).where(col("l_orderkey") % 2 === 0),
       li.where(ivmDB).where(col("l_orderkey") % 2 =!= 0))
     val empty = li.where(ivmDB).where(lit(false))
+    val snapDir = s"${ingestLog}_snap"
     val stream = s.readStream.schema(o.schema)
       .option("maxFilesPerTrigger", 1).parquet(streamDir.toString)
     val perBatch: (org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], Long) => Unit =
@@ -299,10 +308,18 @@ object RelationalQueries {
         // from the streaming source (the localCheckpoint role)
         graft.streaming.EventStreams
           .idempotentBatchWrite(ingestLog, counter)(batch, batchId)
-        val logged = s.read.parquet(ingestLog)
-        val dAi = logged.where(col("batch_id") === i).drop("batch_id")
-        val aSeen = o.where(!ivmDA)
-          .unionByName(logged.where(col("batch_id") < i).drop("batch_id"))
+        val dAi = s.read.parquet(ingestLog)
+          .where(col("batch_id") === i).drop("batch_id")
+        // seen-A = base ∪ ONE compacted snapshot (arrivals ≤ i−1) —
+        // never a union over the i prior log slots (see scaladoc)
+        val prevSnap =
+          if (i == 0) o.where(!ivmDA).where(lit(false)) // schema-shaped empty
+          else s.read.parquet(s"$snapDir/batch_id=${i - 1}")
+        val aSeen = o.where(!ivmDA).unionByName(prevSnap)
+        // fold this batch's arrivals into the next snapshot slot —
+        // idempotent overwrite, pure function of (snap i−1, log slot i)
+        prevSnap.unionByName(dAi).write.mode("overwrite")
+          .parquet(s"$snapDir/batch_id=$i")
         val bSeen = dbChunks.take(math.min(i, dbChunks.length))
           .foldLeft(li.where(!ivmDB))(_ unionByName _)
         val dBi = if (i < dbChunks.length) dbChunks(i) else empty
@@ -314,14 +331,18 @@ object RelationalQueries {
       .foreachBatch(perBatch).start()
     try q.processAllAvailable() finally q.stop()
     // trailing dB chunks the stream never paired: count stream batches
-    // from the ingest log (restart-complete, unlike a driver counter),
-    // write each on its own chunk-indexed slot — idempotent under
-    // re-execution because A is final and bSeen is ordinal-derived
-    val nStream = Option(new java.io.File(ingestLog).listFiles())
+    // from the SNAPSHOT slots (one per stream batch, restart-complete,
+    // unlike a driver counter), write each on its own chunk-indexed
+    // slot — idempotent under re-execution because A is final and
+    // bSeen is ordinal-derived. aAll reads the last compacted
+    // snapshot, never the slot-by-slot log.
+    val nStream = Option(new java.io.File(snapDir).listFiles())
       .getOrElse(Array.empty).count(_.getName.startsWith("batch_id="))
     (nStream until dbChunks.length).foreach { i =>
-      val aAll = o.where(!ivmDA)
-        .unionByName(s.read.parquet(ingestLog).drop("batch_id"))
+      val aAll =
+        if (nStream == 0) o.where(!ivmDA)
+        else o.where(!ivmDA).unionByName(
+          s.read.parquet(s"$snapDir/batch_id=${nStream - 1}"))
       ivmTerm(aAll, dbChunks(i))
         .write.mode("overwrite").parquet(s"$out/batch_id=$i")
     }

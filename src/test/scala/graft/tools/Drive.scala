@@ -13,13 +13,15 @@ object Drive {
       .appName("drive").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // r19 wave: drive the touched/new gate entries end-to-end at sf0.1
+    // r20: drive the touched gate entries end-to-end at sf0.1
     // (the gate verifies sf0.001/sf0.01; this is the bigger-data smoke)
-    Seq("q_embed_nsw", "q_embed_nsw_beam", "q_embed_ivf_filtered",
-        "q_hybrid_retrieval", "q_hybrid_retrieval_indexed",
-        "q_hybrid_ndcg",
-        // contractedComponents callers (r18 ADVICE retention fix)
-        "q_spatial_dbscan_auto", "q_dedup_cluster").foreach { n =>
+    Seq(
+        // seen-A snapshot compaction (r19 verdict item 2)
+        "q_stream_ivm_join", "q_ivm_join",
+        // ratio guard + topology-knob plumbing (defaults unchanged)
+        "q_embed_nsw_recall", "q_embed_nsw", "q_embed_nsw_beam",
+        "q_embed_nsw_batch",
+        "q_hybrid_retrieval_indexed").foreach { n =>
       val t0 = System.nanoTime()
       val df = graft.SparkEntry.queries(n)(spark, d)
       df.show(80, truncate = false)

@@ -45,14 +45,21 @@ object NswProbe {
       .where(col("vec_id") =!= 0).localCheckpoint(true)
 
     // the gate entries' graph build — EXACTLY the staged nswGraph
-    // artifact (r19: 5-NN in-cell + rank-16/64/256 in-cell skip edges
-    // + 2 hash-designated cross-cell links), timed once — the
-    // staged-artifact cost a production store pays per corpus
-    // generation, NOT per query
-    val tg = System.nanoTime()
-    val g = graft.queries.PipelineQueries.nswGraph(spark, d, k)
-      .localCheckpoint(true)
-    println(f"[nsw] graph build: ${g.count()} edges in ${(System.nanoTime() - tg) / 1e9}%.2f s")
+    // artifact (r19: deg-NN in-cell + rank-16/64/256 in-cell skip
+    // edges + `links` hash-designated cross-cell links), timed once
+    // per TOPOLOGY — the staged-artifact cost a production store pays
+    // per corpus generation, NOT per query. r19 verdict item 3: the
+    // search-width levers are exhausted (beam 16 = +1/32 for 2×), so
+    // this round prices the TOPOLOGY levers: in-cell degree 5→8 and a
+    // third cross-cell link, each a linear build-cost delta.
+    def buildGraph(deg: Int, links: Int): DataFrame = {
+      val tg = System.nanoTime()
+      val g = graft.queries.PipelineQueries.nswGraph(spark, d, k, deg, links)
+        .localCheckpoint(true)
+      println(f"[nsw] graph deg=$deg links=$links: ${g.count()} edges " +
+        f"in ${(System.nanoTime() - tg) / 1e9}%.2f s")
+      g
+    }
 
     // deterministic 32-query sample: every ⌊n/32⌋-th corpus id in rank
     // order (ids are NOT dense at the derived scales — ScaleGen shifts
@@ -78,15 +85,13 @@ object NswProbe {
     println(f"[nsw] exact truth (32×n brute force): ${(System.nanoTime() - te) / 1e9}%.2f s")
 
     val ev = e.select(col("vec_id").as("vertex"), col("v").as("cv"))
-    // configs: (beam, entries, hops). r18 measured the CELL-BOUNDED
-    // graph (edges never crossed cells) — recall@1 ≈ 0 at derived
-    // scales, entry breadth the only lever. r19's graph carries
-    // skip + cross-cell long edges, so all three levers re-price:
-    // single-entry greedy can now escape its entry cell, and deeper
-    // walks (hops 8/12) have room to use the long edges.
-    for ((beam, entries, hops) <- Seq((1, 1, 4), (1, 1, 8), (4, 1, 8),
-        (4, 4, 4), (4, k, 4), (4, k, 8), (8, k, 8), (4, k, 12),
-        (8, k, 12), (16, k, 8))) {
+    // grid: topology (deg, links) × search config (beam, entries,
+    // hops). (5,2) is the r19 gate graph; the search grid around the
+    // pinned beam-8/all-centroid/8-hop config stays small because r19
+    // measured search width exhausted on the (5,2) graph.
+    for ((deg, links) <- Seq((5, 2), (8, 2), (5, 3), (8, 3), (12, 4))) {
+      val g = buildGraph(deg, links)
+      for ((beam, entries, hops) <- Seq((4, k, 8), (8, k, 8), (8, k, 12))) {
       val t1 = System.nanoTime()
       val wr = Window.partitionBy("qid").orderBy(col("sc").desc, col("vertex"))
       def topB(cands: DataFrame): DataFrame = cands.distinct()
@@ -112,9 +117,10 @@ object NswProbe {
         fin("qid") === exact10("qid") && fin("vertex") === exact10("exact_id"))
         .count()
       val ratio = joined.agg(avg(col("sc") / col("exact_sc"))).head().getDouble(0)
-      println(f"[nsw] beam=$beam entries=$entries hops=$hops recall@1=$agree/$nq " +
-        f"inExactTop10=$in10/$nq scoreRatio=$ratio%.4f " +
-        f"wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      println(f"[nsw] deg=$deg links=$links beam=$beam entries=$entries " +
+        f"hops=$hops recall@1=$agree/$nq inExactTop10=$in10/$nq " +
+        f"scoreRatio=$ratio%.4f wall=${(System.nanoTime() - t1) / 1e9}%.2f s")
+      }
     }
     spark.stop()
   }
