@@ -329,22 +329,22 @@ object PipelineQueries {
     * intra-cell, greedy routing could never leave its entry cells,
     * and NswProbe measured recall@1 ≈ 0; "small world" needs LONG
     * edges, both across cells and across each cell's diameter):
-    *   - 5 nearest in-cell neighbours (proximity edges, as before);
+    *   - `deg` nearest in-cell neighbours (proximity edges);
     *   - in-cell SKIP edges at ranks 16/64/256 (Vamana/DiskANN-style
     *     exponentially spaced long links, so a descent entering at a
     *     cell's centroid crosses the cell's diameter in O(log) hops
     *     instead of stalling in the centroid's mutual-NN clique);
-    *   - 2 CROSS-CELL links: the nearest member of each of 2
-    *     hash-designated foreign cells, fcid = 1 + ((src mod 3000017)
-    *     · 2654435761 + j) mod k for j ∈ {0,1} (integer-exact and
-    *     oracle-re-derivable; the inner mod keeps the product
-    *     BIGINT-safe at any corpus size). Kleinberg's long-range
-    *     construction: deterministic escape hatches out of the entry
-    *     cells.
-    * Build work stays ~n·(3·targetCell): the local join meets one
-    * cell's members, the far join the designated cells' members —
-    * never all-pairs. Max out-degree deg+3+links (default 10 =
-    * 5+3+2), so per-hop driver collects stay ≤ beam·degree ids.
+    *   - `links` CROSS-CELL links: the nearest member of each of
+    *     `links` hash-designated foreign cells, fcid = 1 + ((src mod
+    *     3000017) · 2654435761 + j) mod k for j ∈ {0..links−1}
+    *     (integer-exact and oracle-re-derivable; the inner mod keeps
+    *     the product BIGINT-safe at any corpus size). Kleinberg's
+    *     long-range construction: deterministic escape hatches out of
+    *     the entry cells.
+    * Build work stays ~n·((1+links)·targetCell): the local join meets
+    * one cell's members, the far join the designated cells' members —
+    * never all-pairs. Max out-degree deg+3+links (default 19 =
+    * 12+3+4), so per-hop driver collects stay ≤ beam·degree ids.
     *
     * The two topology knobs are the r19-verdict levers (search width
     * was measured exhausted — beam 16 bought +1/32 recall for 2×
@@ -352,9 +352,18 @@ object PipelineQueries {
     * nearest-neighbour count, `links` = hash-designated cross-cell
     * long links. Both fold into the staging tag (a caller pricing a
     * variant must never reuse a stale memoized graph) and both are
-    * integer-exact in the oracle re-derivation. */
+    * integer-exact in the oracle re-derivation. DEFAULT RE-PINNED
+    * r20 (5,2) → (12,4) on the NswProbe grid: at sf10 under the
+    * pinned beam-8/8-hop search, recall@1 0.50 → 0.625, in-top-10
+    * 21/32 → 26/32, endpoint cosine 0.911 → 0.951, for 1.9× edges
+    * at an UNCHANGED build wall (83 s vs 76 s at sf10 — the build is
+    * join-scheduling-bound, not edge-count-bound) and unchanged
+    * route cost. The next rung up, (16,6), measures IDENTICAL
+    * (20/32, 0.953): the topology lever saturates here — further
+    * recall must come from a different graph family (true kNN-descent
+    * refinement), which is the documented stop. */
   private[graft] def nswGraph(s: SparkSession, d: String, k: Int,
-      deg: Int = 5, links: Int = 2): DataFrame = {
+      deg: Int = 12, links: Int = 4): DataFrame = {
     val fp = java.lang.Long.toHexString(Tables.fingerprint(d, "embeddings"))
     Staging.bucketedTable(s, d, s"nsw_graph_${k}_${deg}_${links}_$fp") { (name, dir) =>
       graft.functions.expressions.GraftFunctions.register(s)
@@ -401,7 +410,7 @@ object PipelineQueries {
     * (hop, rank, vertex, rawScore) plus k — shared by the beam gate
     * entry (which prints the trace) and the recall readout (which
     * scores the final frontier). Driver touches only metadata-scale
-    * rows: ≤ 8·10 neighbour ids per hop, ≤ k + 88-id pushed-filter
+    * rows: ≤ 8·19 neighbour ids per hop, ≤ k + 160-id pushed-filter
     * scoring scans. */
   private[graft] def nswBeamTrace(
       s: SparkSession, d: String): (Seq[(Int, Int, Long, Double)], Int) = {
@@ -3965,24 +3974,25 @@ object PipelineQueries {
       // the partition rungs (IVF/PQ/2-level) the gate already
       // carries): search walks a PROXIMITY GRAPH greedily toward the
       // query instead of probing buckets. The build is cell-bounded
-      // (pair-work ~n·3·targetCell, linear, never all-pairs), and —
+      // (pair-work ~n·5·targetCell, linear, never all-pairs), and —
       // r18 verdict item 1 — the graph is now NAVIGABLE, not just
-      // proximate: 5 nearest in-cell neighbours PLUS in-cell skip
+      // proximate: 12 nearest in-cell neighbours PLUS in-cell skip
       // edges at ranks 16/64/256 (Vamana-style, crossing the cell
       // diameter in O(log) hops) PLUS each vector's nearest member
-      // of 2 hash-designated foreign cells (Kleinberg long links —
+      // of 4 hash-designated foreign cells (Kleinberg long links —
       // deterministic escape hatches, so a walk is no longer trapped
-      // in its entry cells; see nswGraph). `cells` rides on every
-      // row, oracle-re-derived from count(*). Probe = the canonical
-      // greedy route: start at the deterministic entry vertex
-      // (vec_id 1) and for 4 fixed hops move to the best-cosine
-      // vertex among {current} ∪ neighbours(current) — monotone by
-      // construction (current stays in its own candidate set), so
-      // the output trace is a deterministic improving path: the
-      // routed-search certificate. Per hop the driver touches ≤ 10
-      // neighbour ids (graph max degree — metadata-scale collects,
-      // the coreset/ivf_append 1-row precedent); every per-hop
-      // scoring job is a ≤ 11-id pushed-filter scan.
+      // in its entry cells; see nswGraph — the r20 (12,4) re-pin,
+      // measured recall@1 0.50 → 0.625 at sf10). `cells` rides on
+      // every row, oracle-re-derived from count(*). Probe = the
+      // canonical greedy route: start at the deterministic entry
+      // vertex (vec_id 1) and for 4 fixed hops move to the
+      // best-cosine vertex among {current} ∪ neighbours(current) —
+      // monotone by construction (current stays in its own candidate
+      // set), so the output trace is a deterministic improving path:
+      // the routed-search certificate. Per hop the driver touches
+      // ≤ 19 neighbour ids (graph max degree — metadata-scale
+      // collects, the coreset/ivf_append 1-row precedent); every
+      // per-hop scoring job is a ≤ 20-id pushed-filter scan.
       graft.functions.expressions.GraftFunctions.register(s)
       val emb = t(s, d, "embeddings")
       val k = Similarity.autoCellCount(emb.count())
@@ -4027,17 +4037,19 @@ object PipelineQueries {
       // topology's dominant lever and stays the strongest single
       // knob; NswProbe r19 table in BASELINE.md re-prices all three
       // levers on the navigable graph), then BEAM-8 over 8 hops —
-      // the measured-best balanced config (NswProbe r19: recall@1
-      // 0.50 / score ratio 0.91 of exact at sf10, up from 0 / 0.51
-      // on the r18 cell-bounded graph; hops saturate at 8, beam 16
-      // buys +1/32 for 2x frontier cost). Per hop the best-8 of
-      // {frontier} ∪ neighbours(frontier) survive — 8 descents a
-      // local optimum must trap simultaneously, with the
+      // the measured-best balanced config (NswProbe r19/r20:
+      // recall@1 0.625 / score ratio 0.95 of exact at sf10 on the
+      // r20 (12,4) graph, up from 0.50/0.91 on the r19 (5,2) graph
+      // and 0 / 0.51 on the r18 cell-bounded one; hops saturate at
+      // 8, beam 16 buys +1/32 for 2x frontier cost, and topology
+      // saturates at (12,4) — (16,6) measures identical). Per hop
+      // the best-8 of {frontier} ∪ neighbours(frontier) survive — 8
+      // descents a local optimum must trap simultaneously, with the
       // skip/cross-cell edges providing the escape moves the r18
       // 5-NN-only graph lacked. Same staged proximity graph,
-      // metadata-scale per-hop collects (≤ 8·10 neighbour ids after
+      // metadata-scale per-hop collects (≤ 8·19 neighbour ids after
       // the entry hop), every scoring job a pushed-filter scan
-      // (≤ k + 88 ids); the hop-by-hop frontier is the output — the
+      // (≤ k + 160 ids); the hop-by-hop frontier is the output — the
       // beam certificate.
       val (trace, k) = nswBeamTrace(s, d)
       import s.implicits._
@@ -4102,7 +4114,7 @@ object PipelineQueries {
       // (deterministic, oracle-re-derived); each walk excludes its
       // own query vertex (no self-retrieval), beam 4, 8 hops over
       // the shared navigable graph. Driver touches metadata-scale
-      // rows only: ≤ 4·4·10 neighbour ids and ≤ 4·(k + 44)-row
+      // rows only: ≤ 4·4·19 neighbour ids and ≤ 4·(k + 80)-row
       // scored batches per hop; every scoring job is one
       // pushed-filter scan of the candidate ids crossed with the 4
       // broadcast query vectors. Output = each query's final
@@ -5132,16 +5144,17 @@ object PipelineQueries {
     s"list_reduce(list_prepend(0.0::DOUBLE, $elems), (x, y) -> x + y)"
   /** The routed-ANN proximity-graph CTEs shared by the q_embed_nsw /
     * q_embed_nsw_beam oracles — the engine's [[nswGraph]] topology
-    * re-derived in SQL: 5 in-cell NN edges + in-cell skip edges at
-    * ranks 16/64/256 + the nearest member of each of 2
+    * re-derived in SQL: 12 in-cell NN edges + in-cell skip edges at
+    * ranks 16/64/256 + the nearest member of each of 4
     * hash-designated foreign cells (fcid = 1 + ((src mod 3000017) ·
-    * 2654435761 + j) mod k, integer-exact in both engines). Expects
+    * 2654435761 + j) mod k, integer-exact in both engines; the r20
+    * (12,4) re-pin — MUST track nswGraph's defaults). Expects
     * `assigned` (vec_id, v, cid) and `kk` (k) CTEs upstream. */
   private val nswGraphSql: String = {
     val l2 = foldSql(
       "list_transform(range(1, 65), i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))")
-    s"gl AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY $l2, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk <= 5 OR rk IN (16, 64, 256)), " +
-    s"gf AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id, t.j ORDER BY $l2, b.vec_id) AS rk FROM assigned a CROSS JOIN range(2) t(j) JOIN assigned b ON b.cid = 1 + ((a.vec_id % 3000017) * 2654435761 + t.j) % (SELECT k FROM kk) AND b.cid <> a.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk = 1), " +
+    s"gl AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id ORDER BY $l2, b.vec_id) AS rk FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk <= 12 OR rk IN (16, 64, 256)), " +
+    s"gf AS (SELECT src, dst FROM (SELECT a.vec_id AS src, b.vec_id AS dst, row_number() OVER (PARTITION BY a.vec_id, t.j ORDER BY $l2, b.vec_id) AS rk FROM assigned a CROSS JOIN range(4) t(j) JOIN assigned b ON b.cid = 1 + ((a.vec_id % 3000017) * 2654435761 + t.j) % (SELECT k FROM kk) AND b.cid <> a.cid AND a.vec_id <> b.vec_id AND a.vec_id <> 0 AND b.vec_id <> 0) WHERE rk = 1), " +
     "g AS MATERIALIZED (SELECT src, dst FROM gl UNION ALL SELECT src, dst FROM gf)"
   }
   /** The q_hybrid_retrieval leg CTEs (BM25 sparse top-20 `sp`, exact
@@ -5705,9 +5718,10 @@ object PipelineQueries {
     // autoPlanesPerBand oracle pinned); k1 rides on every output row
     "q_embed_ivf_2level_auto" ->
       s"""WITH nn AS (SELECT count(*) AS n FROM embeddings), kk AS (SELECT (1 << ((length(bin(greatest(16, least(16777216, (n + 499) // 500)) - 1)) + 1) // 2)) AS k1 FROM nn), e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings), cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND (SELECT k1 FROM kk)), dist AS (SELECT e.vec_id, e.v, c.cid, ${foldSql("list_transform(range(1, 65), i -> (v[i] - cv[i]) * (v[i] - cv[i]))")} AS dist FROM e CROSS JOIN cents c), a1 AS (SELECT vec_id, v, cid FROM (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk FROM dist) WHERE rk = 1), fine AS (SELECT cid, vec_id AS fid, v AS fv FROM (SELECT a1.*, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rk FROM a1) WHERE rk <= (SELECT k1 FROM kk)), d2 AS (SELECT a1.vec_id, a1.v, a1.cid, f.fid, ${foldSql("list_transform(range(1, 65), i -> (a1.v[i] - f.fv[i]) * (a1.v[i] - f.fv[i]))")} AS dist FROM a1 JOIN fine f ON a1.cid = f.cid), a2 AS (SELECT vec_id, v, cid, fid FROM (SELECT vec_id, v, cid, fid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, fid) AS rk FROM d2) WHERE rk = 1), qc AS (SELECT cid AS qcid, fid AS qfid, v AS qv FROM a2 WHERE vec_id = 0), sc AS (SELECT a2.vec_id, ${foldSql("list_transform(range(1, 65), i -> a2.v[i] * qc.qv[i])")} / (sqrt(${foldSql("list_transform(range(1, 65), i -> a2.v[i] * a2.v[i])")}) * sqrt(${foldSql("list_transform(range(1, 65), i -> qc.qv[i] * qc.qv[i])")})) AS score0 FROM a2 JOIN qc ON a2.cid = qc.qcid AND a2.fid = qc.qfid WHERE a2.vec_id <> 0) SELECT vec_id, round(score0, 4) AS score, (SELECT k1 FROM kk)::INT AS k1 FROM sc ORDER BY score DESC, vec_id LIMIT 10""",
-    // the greedy graph route unrolled: the same cell-bounded 5-NN
-    // graph (autoCellCount cells re-derived from count(*), fold-order
-    // L2 edge ranking), then 4 hop CTEs each picking the best-cosine
+    // the greedy graph route unrolled: the same cell-bounded
+    // navigable graph (autoCellCount cells re-derived from count(*),
+    // fold-order L2 edge ranking, the shared (12,4) nswGraphSql
+    // topology), then 4 hop CTEs each picking the best-cosine
     // vertex among {current} ∪ neighbours(current); every CTE
     // MATERIALIZED (multi-referenced chain — the r16 re-inline lesson)
     "q_embed_nsw" -> {

@@ -31,13 +31,14 @@ class Wave32Spec extends SparkSpec {
     // the query vertex is never routable, either side
     assert(g.forall { case (s, d0) => s != 0L && d0 != 0L })
     val deg = g.groupBy(_._1).view.mapValues(_.size)
-    // max out-degree 10 = 5 NN + 3 skip ranks + 2 cross-cell links
-    assert(deg.values.max <= 10, s"degree ${deg.values.max} > 10")
+    // max out-degree 19 = 12 NN + 3 skip ranks + 4 cross-cell links
+    // (the r20 (12,4) re-pin)
+    assert(deg.values.max <= 19, s"degree ${deg.values.max} > 19")
     // navigability: the long edges actually exist on this fixture —
-    // some vertex carries more than the 5 proximity edges (skip rank
+    // some vertex carries more than the 12 proximity edges (skip rank
     // 16 needs a >=17-member cell; the 500-row/8-cell fixture has
-    // them), and cross-cell designation gives ~2 extra per vertex
-    assert(deg.values.max >= 7, "no long edges — graph degenerated to 5-NN")
+    // them), and cross-cell designation gives ~4 extra per vertex
+    assert(deg.values.max >= 14, "no long edges — graph degenerated to in-cell NN")
     // cross-cell links: reconstruct the cell assignment and verify
     // at least one edge crosses cells (the r18 graph had zero)
     val e = emb.selectExpr("vec_id",
@@ -50,7 +51,7 @@ class Wave32Spec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val crossing = g.count { case (s, d0) => cell(s) != cell(d0) }
     assert(crossing > 0, "no cross-cell edge — walk cannot leave entry cells")
-    assert(crossing <= 2 * cell.size, "more cross links than 2 per vertex")
+    assert(crossing <= 4 * cell.size, "more cross links than 4 per vertex")
   }
 
   test("q_hybrid_retrieval_indexed answers bit-identically to the scan-bound sibling") {

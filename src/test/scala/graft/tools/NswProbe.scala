@@ -89,9 +89,17 @@ object NswProbe {
     // hops). (5,2) is the r19 gate graph; the search grid around the
     // pinned beam-8/all-centroid/8-hop config stays small because r19
     // measured search width exhausted on the (5,2) graph.
-    for ((deg, links) <- Seq((5, 2), (8, 2), (5, 3), (8, 3), (12, 4))) {
+    // the full grid prices at sf1; "big" narrows to baseline +
+    // sf1-winner + one scout rung for the expensive sf10 builds
+    val topos =
+      if (args.length > 1 && args(1) == "big") Seq((5, 2), (12, 4), (16, 6))
+      else Seq((5, 2), (8, 2), (5, 3), (8, 3), (12, 4))
+    val cfgs =
+      if (args.length > 1 && args(1) == "big") Seq((8, k, 8), (8, k, 12))
+      else Seq((4, k, 8), (8, k, 8), (8, k, 12))
+    for ((deg, links) <- topos) {
       val g = buildGraph(deg, links)
-      for ((beam, entries, hops) <- Seq((4, k, 8), (8, k, 8), (8, k, 12))) {
+      for ((beam, entries, hops) <- cfgs) {
       val t1 = System.nanoTime()
       val wr = Window.partitionBy("qid").orderBy(col("sc").desc, col("vertex"))
       def topB(cands: DataFrame): DataFrame = cands.distinct()
