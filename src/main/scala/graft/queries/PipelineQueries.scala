@@ -677,31 +677,53 @@ object PipelineQueries {
     // the d-cliff knob; blockDim = d = 64 here is single-pass, the
     // identical r13 plan, while d ≥ 1024 callers bound per-task agg
     // state with blockDim = 65536/d; blocked ≡ unblocked spec-pinned)
-    val cov = Similarity
-      .scaledCovarianceBlocked(yArr, d = 64, blockDim = 64)
-      .localCheckpoint(true) // consumed by all six mat-vec steps
-    var v = s.range(1, 65).select(col("id").as("j"),
-      lit(0.125).cast("decimal(8,6)").as("vj"))
-    var lastNorm: DataFrame = null
-    for (_ <- 1 to 6) {
-      val w = cov.join(broadcast(v.select(col("j").as("k"), col("vj"))), "k")
-        .groupBy("j")
-        .agg(round(sum((col("mjk") * col("vj")).cast("decimal(33,18)")), 0)
-          .cast("decimal(15,0)").as("wj"))
-        .localCheckpoint(true) // norm + normalize both read it
-      val nrm = w.agg(
-        sqrt(sum((col("wj") * col("wj")).cast("decimal(38,0)"))
-          .cast("double")).as("nrm"))
-      lastNorm = nrm
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("j"), round(col("wj").cast("double") / col("nrm"), 6)
-          .cast("decimal(8,6)").as("vj"))
-        .localCheckpoint(true)
+    val cov = Similarity.scaledCovarianceBlocked(yArr, d = 64, blockDim = 64)
+    // POWER ITERATION ON THE DRIVER (r20 optimization): the scaled
+    // covariance is d² = 4096 rows at ANY corpus size — a
+    // bounded-by-contract collect (the coreset/NSW metadata-read
+    // class), and the exact shape MLlib's RowMatrix PCA uses
+    // (computeGramianMatrix collects the d×d Gramian to the driver
+    // and runs the eigen step locally). The six DataFrame mat-vec
+    // steps each paid 2 localCheckpoint materializations + a
+    // broadcast round-trip (~18 driver-scheduled jobs whose task
+    // time was ~0.1 s packed against a 2.8 s floor — pure job/barrier
+    // latency); the same arithmetic on the collected matrix is
+    // microseconds. Bit-identical by construction: BigDecimal
+    // multiply/add is the exact decimal algebra Spark's Decimal ops
+    // perform, setScale(0, HALF_UP) IS Spark's round(expr, 0),
+    // doubleValue IS Decimal.toDouble (round-half-even), and the
+    // double round(x, 6) below reproduces Spark's Round-on-double
+    // (BigDecimal.valueOf → setScale HALF_UP → toDouble). The
+    // decimal(15,0) cast's ANSI overflow refusal is kept as an
+    // explicit require — same loud failure, same envelope.
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val mArr = Array.fill(64, 64)(JBD.ZERO)
+    cov.select(col("j"), col("k"), col("mjk")).collect().foreach { r =>
+      mArr(r.getInt(0) - 1)(r.getInt(1) - 1) = r.getDecimal(2)
     }
-    v.crossJoin(broadcast(lastNorm))
-      .select(col("j").cast("int").as("dim"),
-        col("vj").cast("double").as("loading"),
-        round(col("nrm") / lit(nD * nD * nD), 6).as("eigenvalue"))
+    def round6(x: Double): Double =
+      JBD.valueOf(x).setScale(6, RM.HALF_UP).doubleValue
+    var v = Array.fill(64)(new JBD("0.125"))
+    var nrm = 0.0
+    for (_ <- 1 to 6) {
+      val w = Array.tabulate(64) { j =>
+        val acc = (0 until 64).foldLeft(JBD.ZERO)((a, k) =>
+          a.add(mArr(j)(k).multiply(v(k))))
+        val wj = acc.setScale(0, RM.HALF_UP)
+        require(wj.precision <= 15,
+          s"q_embed_pca: power-step output $wj overflows decimal(15,0) — " +
+            "the exact-decimal envelope (use q_embed_pca_sampled past n ≈ 10⁵)")
+        wj
+      }
+      nrm = math.sqrt(
+        w.foldLeft(JBD.ZERO)((a, wj) => a.add(wj.multiply(wj))).doubleValue)
+      v = w.map(wj => JBD.valueOf(round6(wj.doubleValue / nrm)).setScale(6))
+    }
+    val eig = round6(nrm / (nD * nD * nD))
+    import s.implicits._
+    v.zipWithIndex.toSeq
+      .map { case (vj, j) => (j + 1, vj.doubleValue, eig) }
+      .toDF("dim", "loading", "eigenvalue")
       .orderBy("dim")
   }
 
@@ -4495,40 +4517,56 @@ object PipelineQueries {
       // updates the min-distance table (pinned per round, reaped) —
       // k passes over the corpus, the honest k-center cost, each
       // pass embarrassingly parallel.
+      import s.implicits._
       val ex = t(s, d, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x0")))
         .select(col("vec_id"), (col("j0") + 1).as("j"),
           round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
         .localCheckpoint(true) // probed once per round
-      def distTo(sel: DataFrame): DataFrame =
-        ex.join(broadcast(ex.join(broadcast(sel.select("vec_id")), "vec_id")
-            .select(col("j"), col("x").as("cx"))), "j")
+      // r20 optimization: the selected center is ONE vector — its 64
+      // (j, x) components are a bounded-by-contract driver read (the
+      // NSW per-hop precedent), so each round is TWO jobs (argmax+
+      // center collect; min-distance fold) instead of four (the old
+      // shape built the center probe as a nested broadcast join and
+      // localCheckpointed the 1-row pick — pure job latency, the
+      // packed-bound evidence: 2.1 s isolated wall on ~0.1 s of task
+      // time). Distances are the identical decimal algebra: the
+      // collected components re-enter as a broadcast local relation
+      // cast back to decimal(18,6), so (x−cx)² sums are bit-identical.
+      def distToLocal(center: Seq[(Int, java.math.BigDecimal)]): DataFrame =
+        ex.join(broadcast(center.toDF("j", "cx0")
+            .select(col("j"), col("cx0").cast("decimal(18,6)").as("cx"))), "j")
           .select(col("vec_id"),
             (col("x") - col("cx")).cast("decimal(18,6)").as("e"))
           // (18,6)² stays at precision 37 — no silent Spark scale loss
           .select(col("vec_id"),
             (col("e") * col("e")).cast("decimal(38,12)").as("t"))
           .groupBy("vec_id").agg(sum(col("t")).cast("decimal(24,12)").as("nd"))
-      val seed = ex.select("vec_id").where(col("vec_id") === 0).distinct()
-      var md = distTo(seed).where(col("vec_id") =!= 0)
+      val seedCenter = ex.where(col("vec_id") === 0)
+        .select(col("j"), col("x")).collect()
+        .map(r => (r.getInt(0), r.getDecimal(1))).toSeq
+      var md = distToLocal(seedCenter).where(col("vec_id") =!= 0)
         .select(col("vec_id"), col("nd").as("md")).localCheckpoint(true)
-      val picks = scala.collection.mutable.ListBuffer[DataFrame](
-        seed.select(lit(0).as("step"), col("vec_id"),
-          lit(0.0).as("radius")))
+      val picks = scala.collection.mutable.ListBuffer[(Int, Long, Double)](
+        (0, 0L, 0.0))
       for (k <- 1 to 8) {
-        val sel = md.orderBy(col("md").desc, col("vec_id")).limit(1)
-          .localCheckpoint(true) // pick + center probe + anti filter
-        picks += sel.select(lit(k).as("step"), col("vec_id"),
-          col("md").cast("double").as("radius"))
-        val nd = distTo(sel)
+        // one job: the argmax row joined with its 64 components —
+        // radius double = Decimal(24,12).toDouble, as the old
+        // cast("double") projection computed it
+        val selRows = md.orderBy(col("md").desc, col("vec_id")).limit(1)
+          .join(ex, "vec_id")
+          .select(col("vec_id"), col("md"), col("j"), col("x")).collect()
+        val selId = selRows.head.getLong(0)
+        picks += ((k, selId, selRows.head.getDecimal(1).doubleValue))
+        val center = selRows.map(r => (r.getInt(2), r.getDecimal(3))).toSeq
         val prev = md
-        md = md.join(broadcast(sel.select("vec_id")), Seq("vec_id"), "left_anti")
-          .join(nd, "vec_id")
+        md = md.where(col("vec_id") =!= selId)
+          .join(distToLocal(center), "vec_id")
           .select(col("vec_id"), least(col("md"), col("nd")).as("md"))
           .localCheckpoint(true)
         graft.operators.Traversals.dropCheckpoint(prev)
       }
-      picks.reduce(_.union(_)).orderBy("step")
+      picks.toSeq.toDF("step", "vec_id", "radius").orderBy("step")
     }),
     "q_embed_outlier" -> ((s, d) => {
       // embedding-space OUTLIER probe — per-label distance-to-centroid

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.queries.Tables
+
+/** r20 optimization pins — the two entries whose internals moved off
+  * the per-step DataFrame round-trip shape onto bounded driver
+  * arithmetic (OPTIMIZATION_r20.md):
+  *   1. q_embed_pca's power iteration now runs on the COLLECTED d²-row
+  *      scaled covariance (the MLlib RowMatrix shape: the Gramian is
+  *      d²-bounded at any corpus size, so the collect is
+  *      bounded-by-contract). This spec re-runs the r19 DataFrame
+  *      mat-vec loop — 6 steps of join + agg + checkpoint, verbatim —
+  *      and pins the entry's output to it row for row: the driver
+  *      BigDecimal algebra must be bit-identical, not just close.
+  *   2. q_sample_coreset's per-round center probe is now a single
+  *      collect (argmax row + its 64 components) instead of a nested
+  *      broadcast build. Pinned against an independent brute-force
+  *      greedy k-center in pure BigDecimal over the collected corpus
+  *      (test-only collect; the fixture is tiny) — same seed, same
+  *      exact-decimal distances, same (md desc, vec_id) tiebreak.
+  */
+class Wave34Spec extends SparkSpec {
+
+  private val dir = TestSpark.sfDir
+
+  test("q_embed_pca: driver-local power iteration ≡ the r19 DataFrame mat-vec loop") {
+    val s = spark
+    val emb = Tables.t(s, dir, "embeddings")
+    // --- the r19 reference path, verbatim: exact scaled centering,
+    // blocked covariance, six DataFrame mat-vec steps ---
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x0")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
+    val g = x.groupBy("j").agg(
+      sum(col("x")).cast("decimal(24,6)").as("sx"),
+      count(lit(1)).cast("decimal(6,0)").as("n"))
+    val nD = emb.count().toDouble
+    val yArr = x.join(broadcast(g), "j")
+      .select(col("vec_id"), col("j"),
+        (col("x") * col("n") - col("sx")).cast("decimal(18,6)").as("y"))
+      .groupBy("vec_id")
+      .agg(expr("transform(sort_array(collect_list(struct(j, y))), s -> s.y)")
+        .as("ya"))
+    val cov = Similarity.scaledCovarianceBlocked(yArr, d = 64, blockDim = 64)
+      .localCheckpoint(true)
+    var v = s.range(1, 65).select(col("id").as("j"),
+      lit(0.125).cast("decimal(8,6)").as("vj"))
+    var lastNorm: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to 6) {
+      val w = cov.join(broadcast(v.select(col("j").as("k"), col("vj"))), "k")
+        .groupBy("j")
+        .agg(round(sum((col("mjk") * col("vj")).cast("decimal(33,18)")), 0)
+          .cast("decimal(15,0)").as("wj"))
+        .localCheckpoint(true)
+      val nrm = w.agg(
+        sqrt(sum((col("wj") * col("wj")).cast("decimal(38,0)"))
+          .cast("double")).as("nrm"))
+      lastNorm = nrm
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("j"), round(col("wj").cast("double") / col("nrm"), 6)
+          .cast("decimal(8,6)").as("vj"))
+        .localCheckpoint(true)
+    }
+    val ref = v.crossJoin(broadcast(lastNorm))
+      .select(col("j").cast("int").as("dim"),
+        col("vj").cast("double").as("loading"),
+        round(col("nrm") / lit(nD * nD * nD), 6).as("eigenvalue"))
+      .orderBy("dim")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    // --- the optimized entry ---
+    val got = SparkEntry.queries("q_embed_pca")(s, dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got == ref,
+      "driver-local power iteration diverged from the DataFrame mat-vec reference")
+    assert(got.size == 64 && math.abs(
+      got.map(t => t._2 * t._2).sum - 1.0) < 1e-4,
+      "top component is not unit-norm")
+  }
+
+  test("q_sample_coreset: single-collect center probe ≡ brute-force greedy k-center") {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val s = spark
+    // independent reference: collect the rounded-decimal corpus
+    // (test-only collect — sf0.001) and run the greedy selection in
+    // pure BigDecimal with the entry's exact arithmetic
+    val ex = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j0", "x0")))
+      .select(col("vec_id"), (col("j0") + 1).as("j"),
+        round(col("x0").cast("double"), 6).cast("decimal(18,6)").as("x"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDecimal(2)))
+    val vecs: Map[Long, Map[Int, JBD]] =
+      ex.groupBy(_._1).view.mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+    def d2(a: Long, b: Long): JBD = {
+      val va = vecs(a); val vb = vecs(b)
+      (1 to 64).foldLeft(JBD.ZERO) { (acc, j) =>
+        val e = va(j).subtract(vb(j)).setScale(6, RM.HALF_UP)
+        acc.add(e.multiply(e).setScale(12, RM.HALF_UP))
+      }.setScale(12, RM.HALF_UP)
+    }
+    var md = vecs.keys.filter(_ != 0L).map(v => v -> d2(v, 0L)).toMap
+    val expect = scala.collection.mutable.ListBuffer[(Int, Long, Double)]((0, 0L, 0.0))
+    for (k <- 1 to 8) {
+      val (selId, selMd) = md.toSeq.sortWith { case ((v1, m1), (v2, m2)) =>
+        val c = m1.compareTo(m2)
+        if (c != 0) c > 0 else v1 < v2
+      }.head
+      expect += ((k, selId, selMd.doubleValue))
+      md = (md - selId).map { case (vid, old) =>
+        val nd = d2(vid, selId)
+        vid -> (if (old.compareTo(nd) <= 0) old else nd)
+      }
+    }
+    val got = SparkEntry.queries("q_sample_coreset")(s, dir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == expect.toSeq,
+      "coreset selection diverged from the brute-force greedy k-center reference")
+  }
+}
