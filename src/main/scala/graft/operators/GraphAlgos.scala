@@ -110,19 +110,31 @@ object GraphAlgos {
     if (und.count() <= localMaxEdges) {
       import und.sparkSession.implicits._
       val e = und.select(col("a"), col("b")).as[(Long, Long)].collect()
-      val adj = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.HashSet[Long]]
-      e.foreach { case (a, b) =>
-        adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
-        adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
-      }
       val counts = scala.collection.mutable.HashMap.empty[Long, Long]
-      e.foreach { case (a, b) => // a < b canonical; count at min(a,b,c)
-        val sa = adj(a); val sb = adj(b)
-        val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
-        small.foreach { c =>
-          if (c > b && big.contains(c)) // each triangle from its min edge only
-            counts(a) = counts.getOrElse(a, 0L) + 1L
+      // r20: dense fixtures run against packed bitmaps ("common
+      // neighbour above b" is a masked popcount — see the jaccard
+      // local path for the cost argument); sparse id-spaces keep the
+      // HashSet form
+      if (e.flatMap(p => Seq(p._1, p._2)).distinct.length <= denseLocalMaxVerts) {
+        val (_, idx, adj) = denseAdjacency(e)
+        e.foreach { case (a, b) => // a < b canonical; count at min(a,b,c)
+          val common = intersectCountAbove(adj(idx(a)), adj(idx(b)), idx(b))
+          if (common > 0) counts(a) = counts.getOrElse(a, 0L) + common
+        }
+      } else {
+        val adj = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.HashSet[Long]]
+        e.foreach { case (a, b) =>
+          adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+          adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+        }
+        e.foreach { case (a, b) => // a < b canonical; count at min(a,b,c)
+          val sa = adj(a); val sb = adj(b)
+          val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+          small.foreach { c =>
+            if (c > b && big.contains(c)) // each triangle from its min edge only
+              counts(a) = counts.getOrElse(a, 0L) + 1L
+          }
         }
       }
       return counts.toSeq.toDF("vertex", "triangles")
@@ -173,6 +185,71 @@ object GraphAlgos {
     * compatibility; the neutral name is the contract). */
   val jaccardLocalMaxEdges: Long = denseLocalMaxEdges
 
+  /** Vertex-count guard for the BITSET dense-local paths (r20): the
+    * pairwise operators (link prediction, square counting) enumerate
+    * vertex PAIRS against packed adjacency bitmaps, so their local
+    * cost is nv²·(nv/64) word ops and their memory nv²/8 bits — at
+    * 4096 that is ≤ 8.4M pairs over 64-word rows (~0.3 s, 2 MB), past
+    * it the distributed wedge machinery runs. Both guards must hold:
+    * [[denseLocalMaxEdges]] bounds the collect, this bounds the
+    * quadratic. */
+  val denseLocalMaxVerts: Int = 4096
+
+  /** Driver-side md5 hex — byte-identical to Spark's `md5()` (UTF-8
+    * input, lowercase hex), so local fast paths of the hash-priority
+    * operators (Luby MIS, greedy matching) compare the SAME strings
+    * the distributed plan and the DuckDB oracle compare. */
+  private[graft] def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+
+  /** Packed adjacency bitmaps over dense vertex indices for a
+    * collected canonical edge array: (sorted distinct vertices,
+    * id → dense index, per-vertex bit rows). Shared by the bitset
+    * dense-local paths. */
+  private def denseAdjacency(e: Array[(Long, Long)])
+      : (Array[Long], Map[Long, Int], Array[Array[Long]]) = {
+    val verts = e.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val idx = verts.zipWithIndex.toMap
+    val nw = (verts.length + 63) >> 6
+    val adj = Array.fill(verts.length)(new Array[Long](nw))
+    e.foreach { case (a, b) =>
+      val ia = idx(a); val ib = idx(b)
+      adj(ia)(ib >> 6) |= 1L << (ib & 63)
+      adj(ib)(ia >> 6) |= 1L << (ia & 63)
+    }
+    (verts, idx, adj)
+  }
+
+  private def intersectCount(x: Array[Long], y: Array[Long]): Int = {
+    var i = 0; var c = 0
+    while (i < x.length) { c += java.lang.Long.bitCount(x(i) & y(i)); i += 1 }
+    c
+  }
+
+  /** [[intersectCount]] restricted to dense indices strictly ABOVE
+    * `lo` — the triangles-at-min-vertex enumeration (ids sort
+    * ascending into dense indices, so "neighbour id > b" is a bit
+    * position test). */
+  private def intersectCountAbove(x: Array[Long], y: Array[Long],
+      lo: Int): Int = {
+    var i = lo >> 6; var c = 0
+    if (i < x.length) {
+      val maskedFirst = x(i) & y(i) & ~((1L << (lo & 63)) | ((1L << (lo & 63)) - 1L))
+      c += java.lang.Long.bitCount(maskedFirst)
+      i += 1
+      while (i < x.length) { c += java.lang.Long.bitCount(x(i) & y(i)); i += 1 }
+    }
+    c
+  }
+
+  private def bitTest(row: Array[Long], i: Int): Boolean =
+    (row(i >> 6) & (1L << (i & 63))) != 0L
+
   def jaccardPerEdge(edges: DataFrame): DataFrame =
     jaccardPerEdge(edges, denseLocalMaxEdges)
 
@@ -188,25 +265,43 @@ object GraphAlgos {
     if (und.count() <= localMaxEdges) {
       import und.sparkSession.implicits._
       val e = und.select(col("a"), col("b")).as[(Long, Long)].collect()
-      val adj = scala.collection.mutable.HashMap
-        .empty[Long, scala.collection.mutable.HashSet[Long]]
-      e.foreach { case (a, b) =>
-        adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
-        adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
-      }
       // |N(a) ∩ N(b)| never counts a or b themselves (no self-loops,
       // so a ∉ N(a)); edges in no triangle are ABSENT, matching the
       // distributed support inner-join. Spark's round() is HALF_UP on
-      // the double — mirror it exactly for hash parity.
-      val rows = e.flatMap { case (a, b) =>
-        val sa = adj(a); val sb = adj(b)
-        val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
-        val common = small.count(big.contains)
+      // the double — mirror it exactly for hash parity. r20: on dense
+      // small graphs (≤ denseLocalMaxVerts) intersections run against
+      // packed bitmaps — Σ_e nv/64 word ops instead of Σ_e min(deg)
+      // boxed HashSet lookups (the saturated mod-300 fixture paid
+      // ~13M of those); the HashSet form remains for sparse id-spaces.
+      def jac(common: Int, da: Int, db: Int): Option[Double] =
         if (common == 0) None
-        else Some((a, b, java.math.BigDecimal.valueOf(
-          common.toDouble / (sa.size + sb.size - common))
-          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()))
-      }
+        else Some(java.math.BigDecimal.valueOf(
+          common.toDouble / (da + db - common))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+      val nvSmall = e.flatMap(p => Seq(p._1, p._2)).distinct.length <=
+        denseLocalMaxVerts
+      val rows =
+        if (nvSmall) {
+          val (_, idx, adj) = denseAdjacency(e)
+          val deg = adj.map(_.map(java.lang.Long.bitCount).sum)
+          e.flatMap { case (a, b) =>
+            val ia = idx(a); val ib = idx(b)
+            jac(intersectCount(adj(ia), adj(ib)), deg(ia), deg(ib))
+              .map((a, b, _))
+          }
+        } else {
+          val adj = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.HashSet[Long]]
+          e.foreach { case (a, b) =>
+            adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+            adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+          }
+          e.flatMap { case (a, b) =>
+            val sa = adj(a); val sb = adj(b)
+            val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+            jac(small.count(big.contains), sa.size, sb.size).map((a, b, _))
+          }
+        }
       return rows.toSeq.toDF("src", "dst", "jac")
     }
     val deg = und.select(col("a").as("v")).union(und.select(col("b")))
@@ -252,6 +347,119 @@ object GraphAlgos {
       .groupBy("a", "b").agg(count(lit(1)).as("common"))
   }
 
+  /** Common-neighbour link prediction over an ALREADY canonical
+    * pinned edge table ([[canonicalUndirected]] contract): every
+    * NON-adjacent pair {a<b} with ≥ 1 common neighbour, scored by
+    * exact common-neighbour count with preferential attachment
+    * deg(a)·deg(b) as tiebreak, deterministic top-`topN` by
+    * (cn desc, pa desc, a, b). Distributed path: the degree-oriented
+    * wedge equi-join + edge anti-join + broadcast degrees (the r19
+    * q_graph_linkpred plan, verbatim). Dense-small-graph fast path
+    * (r20): below BOTH [[denseLocalMaxEdges]] and
+    * [[denseLocalMaxVerts]], candidate pairs enumerate against packed
+    * adjacency bitmaps on the driver — same bounded-collect contract
+    * as [[jaccardPerEdgeCanon]], measured motivation identical (the
+    * headline entry's task time packed to ~0.2 s under a 3.4 s wall:
+    * per-stage barrier latency on a ≤ 300-vertex graph). */
+  def linkPredictionCanon(und: DataFrame, topN: Int,
+      localMaxEdges: Long = denseLocalMaxEdges,
+      localMaxVerts: Int = denseLocalMaxVerts): DataFrame = {
+    import und.sparkSession.implicits._
+    if (und.count() <= localMaxEdges) {
+      val e = und.select(col("a"), col("b")).as[(Long, Long)].collect()
+      val (verts, _, adj) = denseAdjacency(e)
+      if (verts.length <= localMaxVerts) {
+        val deg = adj.map(_.map(java.lang.Long.bitCount(_).toLong).sum)
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var ia = 0
+        while (ia < verts.length) {
+          var ib = ia + 1
+          while (ib < verts.length) {
+            if (!bitTest(adj(ia), ib)) {
+              val cnt = intersectCount(adj(ia), adj(ib))
+              if (cnt >= 1)
+                rows += ((verts(ia), verts(ib), cnt.toLong, deg(ia) * deg(ib)))
+            }
+            ib += 1
+          }
+          ia += 1
+        }
+        return rows.sortBy { case (a, b, cn, pa) => (-cn, -pa, a, b) }
+          .take(topN).toSeq.toDF("a", "b", "cn", "pa")
+      }
+    }
+    val sym = und.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val cn = sym.as("p").join(sym.as("q"),
+        col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+      .groupBy(col("p.dst").as("a"), col("q.dst").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+    cn.join(und, Seq("a", "b"), "left_anti")
+      .join(broadcast(deg).as("da"), col("a") === col("da.v"))
+      .join(broadcast(deg).as("db"), col("b") === col("db.v"))
+      .select(col("a"), col("b"), col("cn"),
+        (col("da.deg") * col("db.deg")).as("pa"))
+      .orderBy(col("cn").desc, col("pa").desc, col("a"), col("b"))
+      .limit(topN)
+  }
+
+  /** Diagonal-pair square (4-cycle) counting over an ALREADY
+    * canonical pinned edge table: every pair {a<b} with codegree
+    * cn ≥ 2 carries nsq = C(cn, 2) squares on its diagonal; the graph
+    * total is Σ nsq / 2 (each square has two diagonals). Output: the
+    * top-`topN` diagonal pairs by (nsq desc, a, b) with the total as
+    * a constant column — (a, b, cn, nsq, total_squares). Distributed
+    * path: the wedge equi-join (the r19 q_graph_squares plan,
+    * verbatim). Dense fast path (r20): the same packed-bitmap
+    * codegree enumeration as [[linkPredictionCanon]], same guards. */
+  def squareDiagTop(und: DataFrame, topN: Int,
+      localMaxEdges: Long = denseLocalMaxEdges,
+      localMaxVerts: Int = denseLocalMaxVerts): DataFrame = {
+    import und.sparkSession.implicits._
+    if (und.count() <= localMaxEdges) {
+      val e = und.select(col("a"), col("b")).as[(Long, Long)].collect()
+      val (verts, _, adj) = denseAdjacency(e)
+      if (verts.length <= localMaxVerts) {
+        val pairs = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long)]
+        var ia = 0
+        while (ia < verts.length) {
+          var ib = ia + 1
+          while (ib < verts.length) {
+            val cnt = intersectCount(adj(ia), adj(ib)).toLong
+            if (cnt >= 2)
+              pairs += ((verts(ia), verts(ib), cnt, cnt * (cnt - 1) / 2))
+            ib += 1
+          }
+          ia += 1
+        }
+        val total = pairs.map(_._4).sum / 2
+        return pairs.sortBy { case (a, b, _, nsq) => (-nsq, a, b) }
+          .take(topN).toSeq
+          .map { case (a, b, cn, nsq) => (a, b, cn, nsq, total) }
+          .toDF("a", "b", "cn", "nsq", "total_squares")
+      }
+    }
+    val sym = und.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+    val sq = sym.as("p").join(sym.as("q"),
+        col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
+      .groupBy(col("p.dst").as("a"), col("q.dst").as("b"))
+      .agg(count(lit(1)).as("cn"))
+      .withColumn("nsq", expr("cn * (cn - 1) DIV 2"))
+      .where(col("nsq") > 0)
+    val total = sq.agg(expr("sum(nsq) DIV 2").as("total_squares"))
+    sq.crossJoin(broadcast(total))
+      .orderBy(col("nsq").desc, col("a"), col("b")).limit(topN)
+      .select(col("a"), col("b"), col("cn"), col("nsq"), col("total_squares"))
+  }
+
   /** Bounded k-truss peel (graph-mining edge analogue of k-core):
     * `rounds` synchronous rounds of dropping every edge whose triangle
     * support over the CURRENT surviving edge set is below k-2, then the
@@ -272,9 +480,58 @@ object GraphAlgos {
     * consumers; intermediate per-round checkpoints created here are
     * always reaped eagerly either way. */
   def trussPeelCanon(canonical: DataFrame, k: Int, rounds: Int,
-      ownsInput: Boolean = false): DataFrame = {
+      ownsInput: Boolean = false,
+      localMaxEdges: Long = denseLocalMaxEdges): DataFrame = {
     require(k >= 3, s"k-truss needs k >= 3, got $k")
     require(rounds >= 1, s"trussPeel needs rounds >= 1, got $rounds")
+    // dense-small-graph fast path (r20): the same bounded-collect
+    // contract as [[jaccardPerEdgeCanon]]/[[trianglesByMinVertexCanon]]
+    // — per round, support is |N(a) ∩ N(b)| over the CURRENT edge set
+    // from driver-local adjacency sets, edges below k−2 peel by
+    // omission, survivors keep their last-round support. The measured
+    // motivation: the headline 2-round peel's task time packs to
+    // ~0.2 s while its wall read 3–7 s — per-round shuffle/barrier
+    // latency on a ≤ 45k-edge graph, not data work.
+    if (canonical.count() <= localMaxEdges) {
+      import canonical.sparkSession.implicits._
+      var e = canonical.select(col("a"), col("b")).as[(Long, Long)].collect()
+      if (ownsInput) Traversals.dropCheckpoint(canonical)
+      val sup = scala.collection.mutable.HashMap.empty[(Long, Long), Long]
+      val useBits = e.flatMap(p => Seq(p._1, p._2)).distinct.length <=
+        denseLocalMaxVerts
+      (1 to rounds).foreach { _ =>
+        sup.clear()
+        if (useBits) {
+          // packed-bitmap support: per edge, popcount of the
+          // endpoint rows' AND — the dense-fixture hot path (a
+          // saturated 300-vertex graph costs Σ_e nv/64 word ops per
+          // round; the HashSet form paid Σ_e min(deg) boxed lookups,
+          // ~13M/round on the mod-300 fixture — measured ~1 s of
+          // driver time this peel exists to remove)
+          val (_, idx, adj) = denseAdjacency(e)
+          e.foreach { case (a, b) =>
+            val common = intersectCount(adj(idx(a)), adj(idx(b))).toLong
+            if (common >= k - 2) sup((a, b)) = common
+          }
+        } else {
+          val adj = scala.collection.mutable.HashMap
+            .empty[Long, scala.collection.mutable.HashSet[Long]]
+          e.foreach { case (a, b) =>
+            adj.getOrElseUpdate(a, scala.collection.mutable.HashSet.empty) += b
+            adj.getOrElseUpdate(b, scala.collection.mutable.HashSet.empty) += a
+          }
+          e.foreach { case (a, b) =>
+            val sa = adj(a); val sb = adj(b)
+            val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+            val common = small.count(big.contains).toLong
+            if (common >= k - 2) sup((a, b)) = common
+          }
+        }
+        e = e.filter(sup.contains)
+      }
+      return e.toSeq.map { case (a, b) => (a, b, sup((a, b))) }
+        .toDF("src", "dst", "support")
+    }
     var und = canonical
     var owned = ownsInput
     var survivors: DataFrame = null
@@ -322,8 +579,33 @@ object GraphAlgos {
   /** [[greedyMatching]] over an ALREADY canonical pinned edge table
     * ([[canonicalUndirected]] contract; the input's blocks are never
     * dropped — a memoized caller keeps serving them). */
-  def greedyMatchingCanon(canonical: DataFrame, rounds: Int): DataFrame = {
+  def greedyMatchingCanon(canonical: DataFrame, rounds: Int,
+      localMaxEdges: Long = denseLocalMaxEdges): DataFrame = {
     require(rounds >= 1, s"greedyMatching needs rounds >= 1, got $rounds")
+    // dense-small-graph fast path (r20): the same bounded-collect
+    // contract as the wedge operators'. Priorities are [[md5Hex]] of
+    // the identical "match|a|b" strings, compared as the same
+    // lowercase-hex lexicographic order Spark and DuckDB compare —
+    // round-for-round equal winner sets.
+    if (canonical.count() <= localMaxEdges) {
+      import canonical.sparkSession.implicits._
+      var e = canonical.select(col("a"), col("b")).as[(Long, Long)].collect()
+      val h = e.map(p => p -> md5Hex(s"match|${p._1}|${p._2}")).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      (1 to rounds).foreach { r =>
+        val vmin = scala.collection.mutable.HashMap.empty[Long, String]
+        e.foreach { p =>
+          val hp = h(p)
+          if (vmin.get(p._1).forall(hp < _)) vmin(p._1) = hp
+          if (vmin.get(p._2).forall(hp < _)) vmin(p._2) = hp
+        }
+        val win = e.filter(p => h(p) == vmin(p._1) && h(p) == vmin(p._2))
+        win.foreach(p => out += ((p._1, p._2, r.toLong)))
+        val matched = win.flatMap(p => Seq(p._1, p._2)).toSet
+        e = e.filter(p => !matched(p._1) && !matched(p._2))
+      }
+      return out.toSeq.toDF("a", "b", "round")
+    }
     var und = canonical
     var owned = false
     var out: DataFrame = null

@@ -1142,11 +1142,55 @@ object Traversals {
     * tie. Each round is two vertex-keyed aggs + two anti-joins — all
     * key-partitioned, superstep shape. Output: (vertex, round)
     * per selected vertex. */
-  def lubyMis(edges: DataFrame, rounds: Int): DataFrame = {
+  def lubyMis(edges: DataFrame, rounds: Int,
+      localMaxEdges: Long = GraphAlgos.denseLocalMaxEdges): DataFrame = {
     require(rounds >= 1, s"lubyMis needs rounds >= 1, got $rounds")
     def pri(c: org.apache.spark.sql.Column) =
       md5(concat(lit("mis|"), c.cast("string")))
-    var e = symmetrize(edges.where(col("src") =!= col("dst"))).checkpointSized()
+    // dense-small-graph fast path (r20): same bounded-collect contract
+    // as the GraphAlgos wedge operators — each distributed round is
+    // 2 vertex aggs + 2 anti-joins + 3 checkpoints of a ≤ 64k-row
+    // symmetric edge set (measured mostly barrier latency on the
+    // saturated modulus fixture); the identical md5-priority
+    // competition on collected arrays is microseconds. Priorities via
+    // GraphAlgos.md5Hex ≡ Spark md5() byte-for-byte; the early break
+    // matches the distributed early exit (later rounds emit no rows).
+    val e0 = symmetrize(edges.where(col("src") =!= col("dst"))).checkpointSized()
+    // gate on the CANONICAL edge count (symmetric rows / 2) and
+    // collect only the src < dst half, mirroring locally — the
+    // 64k × 16 B bounded-collect contract holds while a saturated
+    // modulus fixture (~90k symmetric rows at sf0.1) still qualifies
+    if (e0.count() <= 2 * localMaxEdges) {
+      import e0.sparkSession.implicits._
+      var eL = e0.where(col("src") < col("dst"))
+        .select(col("src"), col("dst")).as[(Long, Long)].collect()
+        .flatMap(p => Array(p, (p._2, p._1)))
+      dropCheckpoint(e0)
+      val priL = scala.collection.mutable.HashMap.empty[Long, String]
+      def p(v: Long): String =
+        priL.getOrElseUpdate(v, GraphAlgos.md5Hex(s"mis|$v"))
+      var live = eL.map(_._1).toSet
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var r = 1
+      while (r <= rounds && (live.nonEmpty || eL.nonEmpty)) {
+        val nmin = scala.collection.mutable.HashMap.empty[Long, String]
+        eL.foreach { case (s0, d0) =>
+          val pd = p(d0)
+          if (nmin.get(s0).forall(pd < _)) nmin(s0) = pd
+        }
+        val winE = nmin.collect { case (v, nm) if p(v) < nm => v }.toSet
+        val srcs = eL.map(_._1).toSet
+        val winI = live.filterNot(srcs.contains)
+        val win = winE ++ winI
+        win.foreach(v => out += ((v, r.toLong)))
+        val dead = win ++ eL.collect { case (s0, d0) if winE(s0) => d0 }
+        eL = eL.filter(pr => !dead(pr._1) && !dead(pr._2))
+        live = live -- dead
+        r += 1
+      }
+      return out.toSeq.toDF("vertex", "round")
+    }
+    var e = e0
     var lv = e.select(col("src").as("vertex")).distinct().checkpointSized()
     var out: DataFrame = null
     (1 to rounds).foreach { r =>

@@ -815,19 +815,13 @@ object GraphQueries {
       // bounded graph); output is the top-10 diagonal pairs by squares
       // carried, with the graph total as a broadcast-scalar column.
       // pin rule satisfied by the session memo: und feeds sym twice
-      // via the wedge join, staged once for the whole mod-150 family
-      val und = modulusUnd(s, d, 150)
-      val sym = mirror(und.select(col("a").as("src"), col("b").as("dst")))
-      val sq = sym.as("p").join(sym.as("q"),
-          col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
-        .groupBy(col("p.dst").as("a"), col("q.dst").as("b"))
-        .agg(count(lit(1)).as("cn"))
-        .withColumn("nsq", expr("cn * (cn - 1) DIV 2"))
-        .where(col("nsq") > 0)
-      val total = sq.agg(expr("sum(nsq) DIV 2").as("total_squares"))
-      sq.crossJoin(broadcast(total))
-        .orderBy(col("nsq").desc, col("a"), col("b")).limit(10)
-        .select(col("a"), col("b"), col("cn"), col("nsq"), col("total_squares"))
+      // via the wedge join, staged once for the whole mod-150 family.
+      // r20: machinery moved to GraphAlgos.squareDiagTop — identical
+      // distributed wedge plan past the dense-local bounds, packed-
+      // bitmap codegree enumeration below them (Wave34Spec pins the
+      // two paths row-for-row equal).
+      graft.operators.GraphAlgos.squareDiagTop(modulusUnd(s, d, 150), topN = 10)
+        .orderBy(col("nsq").desc, col("a"), col("b"))
     }),
     "q_graph_ktruss" -> ((s, d) => {
       // 4-truss of the data-scale key-derived graph (edge analogue of
@@ -859,21 +853,13 @@ object GraphQueries {
       // pin rule (basket_pairs precedent): und feeds the wedge join
       // twice (via sym), the anti-join build, and both degree joins —
       // served by the session-staged mod-300 table (≤ |V|²/2 rows by
-      // the modulus bound), shared with jaccard/ktruss/triangles_big
-      val und = modulusUnd(s, d, 300)
-      val sym = mirror(und.select(col("a").as("src"), col("b").as("dst")))
-      val cn = sym.as("p").join(sym.as("q"),
-          col("p.src") === col("q.src") && col("p.dst") < col("q.dst"))
-        .groupBy(col("p.dst").as("a"), col("q.dst").as("b"))
-        .agg(count(lit(1)).as("cn"))
-      val deg = sym.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
-      cn.join(und, Seq("a", "b"), "left_anti")
-        .join(broadcast(deg).as("da"), col("a") === col("da.v"))
-        .join(broadcast(deg).as("db"), col("b") === col("db.v"))
-        .select(col("a"), col("b"), col("cn"),
-          (col("da.deg") * col("db.deg")).as("pa"))
+      // the modulus bound), shared with jaccard/ktruss/triangles_big.
+      // r20: machinery moved to GraphAlgos.linkPredictionCanon —
+      // identical distributed wedge plan past the dense-local bounds,
+      // packed-bitmap candidate enumeration below them (Wave34Spec
+      // pins the two paths row-for-row equal).
+      graft.operators.GraphAlgos.linkPredictionCanon(modulusUnd(s, d, 300), topN = 100)
         .orderBy(col("cn").desc, col("pa").desc, col("a"), col("b"))
-        .limit(100)
     }),
     "q_graph_hits" -> ((s, d) => {
       // HITS hubs & authorities on a DIRECTED key-derived graph —

@@ -119,4 +119,74 @@ class Wave34Spec extends SparkSpec {
     assert(got == expect.toSeq,
       "coreset selection diverged from the brute-force greedy k-center reference")
   }
+
+  // --- dense-local fast paths (r20): each graph operator that gained a
+  // bounded driver-local path is pinned local ≡ distributed on the
+  // fixture modulus graphs (localMaxEdges = 0 forces the distributed
+  // wedge/superstep machinery; the default takes the local path) ---
+
+  private def modUnd(m: Int) = graft.operators.GraphAlgos.canonicalUndirected(
+    Tables.t(spark, dir, "orders").select(
+      (col("o_orderkey") % m).as("src"), (col("o_custkey") % m).as("dst")))
+
+  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("trussPeelCanon: dense-local peel ≡ distributed wedge peel") {
+    import graft.operators.GraphAlgos
+    val und = modUnd(300)
+    val local = GraphAlgos.trussPeelCanon(und, k = 4, rounds = 2)
+    val dist = GraphAlgos.trussPeelCanon(und, k = 4, rounds = 2,
+      localMaxEdges = 0)
+    assert(local.schema.map(f => (f.name, f.dataType)) ==
+      dist.schema.map(f => (f.name, f.dataType)))
+    assert(rowSet(local) == rowSet(dist))
+    assert(rowSet(local).nonEmpty, "fixture 4-truss is empty — test proves nothing")
+  }
+
+  test("linkPredictionCanon: bitmap candidates ≡ distributed wedge join") {
+    import graft.operators.GraphAlgos
+    val und = modUnd(300)
+    val local = GraphAlgos.linkPredictionCanon(und, topN = 100)
+    val dist = GraphAlgos.linkPredictionCanon(und, topN = 100, localMaxEdges = 0)
+    assert(local.schema.map(f => (f.name, f.dataType)) ==
+      dist.schema.map(f => (f.name, f.dataType)))
+    // top-N under a TOTAL order (cn desc, pa desc, a, b) — compare as
+    // ordered sequences, not sets
+    val lo = local.orderBy(col("cn").desc, col("pa").desc, col("a"), col("b"))
+      .collect().map(_.toString).toSeq
+    val di = dist.orderBy(col("cn").desc, col("pa").desc, col("a"), col("b"))
+      .collect().map(_.toString).toSeq
+    assert(lo == di)
+  }
+
+  test("squareDiagTop: bitmap codegrees ≡ distributed wedge join") {
+    import graft.operators.GraphAlgos
+    val und = modUnd(150)
+    val local = GraphAlgos.squareDiagTop(und, topN = 10)
+    val dist = GraphAlgos.squareDiagTop(und, topN = 10, localMaxEdges = 0)
+    val lo = local.orderBy(col("nsq").desc, col("a"), col("b"))
+      .collect().map(_.toString).toSeq
+    val di = dist.orderBy(col("nsq").desc, col("a"), col("b"))
+      .collect().map(_.toString).toSeq
+    assert(lo == di && lo.nonEmpty)
+  }
+
+  test("greedyMatchingCanon: local md5 rounds ≡ distributed rounds") {
+    import graft.operators.GraphAlgos
+    val und = modUnd(150)
+    val local = GraphAlgos.greedyMatchingCanon(und, rounds = 3)
+    val dist = GraphAlgos.greedyMatchingCanon(und, rounds = 3, localMaxEdges = 0)
+    assert(rowSet(local) == rowSet(dist))
+    assert(rowSet(local).nonEmpty)
+  }
+
+  test("lubyMis: local md5 rounds ≡ distributed rounds") {
+    val e = modUnd(300).select(col("a").as("src"), col("b").as("dst"))
+    val local = graft.operators.Traversals.lubyMis(e, rounds = 3)
+    val dist = graft.operators.Traversals.lubyMis(e, rounds = 3,
+      localMaxEdges = 0)
+    assert(rowSet(local) == rowSet(dist))
+    assert(rowSet(local).nonEmpty)
+  }
 }
