@@ -181,6 +181,29 @@ class Wave34Spec extends SparkSpec {
     assert(rowSet(local).nonEmpty)
   }
 
+  test("dfsLeaves: local reach+reduce+replay ≡ distributed reduction path") {
+    val e = Tables.t(spark, dir, "orders").select(
+        (col("o_orderkey") % 150).as("src"), (col("o_custkey") % 150).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val local = graft.operators.Traversals.dfsLeaves(e, 0L)
+    val dist = graft.operators.Traversals.dfsLeaves(e, 0L, localMaxEdges = 0)
+    assert(rowSet(local) == rowSet(dist) && rowSet(local).nonEmpty)
+  }
+
+  test("dfsLeafResidual: local rules+replay ≡ distributed reduce/replay path") {
+    val e = Tables.t(spark, dir, "orders").select(
+        (col("o_orderkey") % 150).as("src"), (col("o_custkey") % 150).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    val local = graft.operators.Traversals.dfsLeafResidual(e, 0L)
+    val dist = graft.operators.Traversals.dfsLeafResidual(e, 0L,
+      localMaxEdges = 0)
+    assert(rowSet(local) == rowSet(dist) && rowSet(local).nonEmpty)
+  }
+
   test("lubyMis: local md5 rounds ≡ distributed rounds") {
     val e = modUnd(300).select(col("a").as("src"), col("b").as("dst"))
     val local = graft.operators.Traversals.lubyMis(e, rounds = 3)
