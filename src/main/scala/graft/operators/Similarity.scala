@@ -607,12 +607,25 @@ object Similarity {
     require(dims >= 1 && epochs >= 1,
       s"perceptronEpochs needs dims >= 1 and epochs >= 1 (got dims=$dims, epochs=$epochs)")
     val s = xr.sparkSession
+    import s.implicits._
+    import java.math.{BigDecimal => JBD}
     val xc = xr.localCheckpoint(true) // scanned twice per epoch
-    var w = s.range(1, dims + 1).select(col("id").as("j"),
-      lit(0).cast("decimal(20,6)").as("w"))
-    val outs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // r20 optimization: the weight vector is d-BOUNDED at any corpus
+    // size, so it lives on the driver (the pca/markov bounded-state
+    // shape) — each epoch's gradient is one collect of d rows and the
+    // update is exact scale-6 BigDecimal addition (bit-identical to
+    // the old decimal(20,6) column fold, with the ANSI overflow
+    // refusal kept as a require). The two corpus passes per epoch
+    // (margins agg, gradient agg) stay distributed — they are the
+    // data-scale work; what disappears is the per-epoch w-checkpoint
+    // round-trip and the lazy epoch-output union.
+    var w: IndexedSeq[JBD] = IndexedSeq.fill(dims)(JBD.ZERO.setScale(6))
+    val outs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, JBD, Long)]
     (1 to epochs).foreach { e =>
-      val miss = xc.join(broadcast(w), "j")
+      val wDf = w.zipWithIndex.map { case (v, i) => (i + 1L, v) }
+        .toDF("j", "w0")
+        .select(col("j"), col("w0").cast("decimal(20,6)").as("w"))
+      val miss = xc.join(broadcast(wDf), "j")
         .groupBy("vec_id")
         .agg(max(col("y")).as("y"),
           sum((col("w") * col("x")).cast("decimal(38,12)")).as("mg"))
@@ -623,23 +636,19 @@ object Similarity {
       val grad = xc.join(miss, Seq("vec_id"), "left_semi")
         .groupBy("j")
         .agg(sum(col("y") * col("x")).cast("decimal(20,6)").as("g"))
-      w = w.join(grad, Seq("j"), "left_outer")
-        .select(col("j"),
-          (col("w") + coalesce(col("g"), lit(0).cast("decimal(20,6)")))
-            .cast("decimal(20,6)").as("w"))
-        .localCheckpoint(true) // next epoch's margins + the output
+        .collect().map(r => r.getAs[Number](0).longValue -> r.getDecimal(1)).toMap
+      w = w.zipWithIndex.map { case (v, i) =>
+        val nw = v.add(grad.getOrElse(i + 1L, JBD.ZERO))
+        require(nw.precision <= 20,
+          s"perceptronEpochs: weight $nw overflows decimal(20,6)")
+        nw
+      }
       val err = miss.count()
-      // each dropped frame holds exactly its own checkpoint blocks
-      // (w and xc are separate eager checkpoints), so plain drops —
-      // every epoch's w is intentionally retained for the output
       Traversals.dropCheckpoint(miss)
-      outs += w.select(lit(e).as("epoch"), col("j"), col("w"),
-        lit(err).as("err"))
+      w.zipWithIndex.foreach { case (v, i) => outs += ((e, i + 1, v, err)) }
     }
     Traversals.dropCheckpoint(xc)
-    outs.reduce(_ unionByName _)
-      .select(col("epoch").cast("int").as("epoch"),
-        col("j").cast("int").as("dim"),
-        col("w").cast("double").as("w"), col("err").cast("long").as("err"))
+    outs.toSeq.map { case (e, j, v, err) => (e, j, v.doubleValue, err) }
+      .toDF("epoch", "dim", "w", "err")
   }
 }

@@ -1671,46 +1671,55 @@ object RelationalQueries {
           org.apache.spark.sql.expressions.Window.partitionBy("src")))
         .select(col("src"), col("dst"),
           round(col("c").cast("double") / col("tot"), 8).as("p"))
-        .localCheckpoint(true) // dims-sized; feeds 5 chains x 6 steps
-      val absorb = Seq(("purchase", "purchase", 1.0), ("null", "null", 1.0))
-        .toDF("src", "dst", "p")
-      // each chain is ONE lazy 6-step plan (the pagerank fuse shape);
-      // per-step decimal-term sums + round(8) mirror the oracle
-      // exactly — the same machinery that keeps pagerank bit-identical
-      def pconv(removed: Option[String]): DataFrame = {
+      // ABSORBING-CHAIN STEPS ON THE DRIVER (r20 optimization, the
+      // q_embed_pca shape): the transition matrix is STATE-COUNT²-
+      // bounded (event-type enum + start/null — a schema constant, not
+      // data), so its collect is bounded-by-contract at any SF, and
+      // the 5 chains × 6 mat-vec steps that previously built a ~66 KB
+      // lazy plan (5 localCheckpoint round-trips + an
+      // optimizer-dominated final job) are driver arithmetic that
+      // mirrors the old expressions operation-for-operation:
+      // Double×Double products in IEEE, each term
+      // valueOf(..).setScale(18, HALF_UP) ≡ cast("decimal(38,18)"),
+      // exact decimal sums, doubleValue ≡ cast("double"), and
+      // valueOf(..).setScale(n, HALF_UP).doubleValue ≡ round(expr, n).
+      // Wave34Spec pins this against the verbatim r19 DataFrame chain.
+      import java.math.{BigDecimal => JBD, RoundingMode => RM}
+      def rnd(x: Double, n: Int): Double =
+        JBD.valueOf(x).setScale(n, RM.HALF_UP).doubleValue
+      val tRows = tShape.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+      val absorbL = Seq(("purchase", "purchase", 1.0), ("null", "null", 1.0))
+      def pconv(removed: Option[String]): Option[Double] = {
         val base = removed match {
-          case None => tShape
-          case Some(c) => tShape.where(col("src") =!= c)
-            .withColumn("dst", when(col("dst") === c, lit("null"))
-              .otherwise(col("dst")))
+          case None => tRows
+          case Some(c) => tRows.filter(_._1 != c)
+            .map { case (s0, d0, p) => (s0, if (d0 == c) "null" else d0, p) }
         }
-        // pinned: the dims-sized matrix feeds all six steps of ITS
-        // chain, and a fresh leaf keeps the iterated self-lineage
-        // resolvable (reusing one plan's attributes across the loop
-        // hits the reused-AttributeReference trap)
-        val tm = base.unionByName(absorb)
-          .groupBy("src", "dst").agg( // diverted mass merges into null
-            round(sum(col("p").cast("decimal(38,18)")).cast("double"), 8).as("p"))
-          .localCheckpoint(true)
-        var pv = Seq(("start", 1.0)).toDF("st", "m")
+        val tm = (base ++ absorbL).groupBy(r => (r._1, r._2))
+          .map { case ((s0, d0), rs) => // diverted mass merges into null
+            (s0, d0, rnd(rs.foldLeft(JBD.ZERO)((a, r) =>
+              a.add(JBD.valueOf(r._3).setScale(18, RM.HALF_UP)))
+              .doubleValue, 8))
+          }.toSeq
+        var pv = Map("start" -> 1.0)
         (1 to 6).foreach { _ =>
-          pv = tm.as("t").join(pv.as("v"), col("t.src") === col("v.st"))
-            .groupBy(col("t.dst"))
-            .agg(round(sum((col("v.m") * col("t.p")).cast("decimal(38,18)"))
-              .cast("double"), 8).as("m2"))
-            .select(col("dst").as("st"), col("m2").as("m"))
+          pv = tm.filter(t => pv.contains(t._1)).groupBy(_._2)
+            .map { case (d0, rs) =>
+              d0 -> rnd(rs.foldLeft(JBD.ZERO)((a, t) =>
+                a.add(JBD.valueOf(pv(t._1) * t._3).setScale(18, RM.HALF_UP)))
+                .doubleValue, 8)
+            }
         }
-        pv.where(col("st") === "purchase").select(round(col("m"), 6).as("p"))
+        pv.get("purchase").map(rnd(_, 6))
       }
-      val base = pconv(None).select(col("p").as("p_conv"))
-      Seq("click", "error", "signup", "view")
-        .map { c =>
-          pconv(Some(c)).select(lit(c).as("channel"), col("p").as("p_without"))
-        }.reduce(_ unionByName _)
-        .crossJoin(broadcast(base)) // 1-row scalar (audited BNLJ)
-        .select(col("channel"), col("p_conv"), col("p_without"),
-          round(lit(1.0) - col("p_without") / col("p_conv"), 4)
-            .as("removal_effect"))
+      val channels = Seq("click", "error", "signup", "view")
+      val rows = for {
+        pc <- pconv(None).toSeq
+        c <- channels
+        pw <- pconv(Some(c)).toSeq
+      } yield (c, pc, pw, rnd(1.0 - pw / pc, 4))
+      rows.toDF("channel", "p_conv", "p_without", "removal_effect")
         .orderBy("channel")
     }),
     "q_agg_benford" -> ((s, d) => {

@@ -181,6 +181,77 @@ class Wave34Spec extends SparkSpec {
     assert(rowSet(local).nonEmpty)
   }
 
+  test("q_events_markov_attribution: driver-local chain ≡ the r19 DataFrame chain") {
+    import spark.implicits._
+    val s = spark
+    // --- the r19 reference path, verbatim: journey chain + 5 lazy
+    // 6-step DataFrame chains over the checkpointed transition matrix ---
+    val ev = Tables.events(s, dir)
+    val firstP = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min(col("ts")).as("pts"))
+    val steps = ev.join(firstP, Seq("user_id"), "left_outer")
+      .where(col("pts").isNull || col("ts") <= col("pts"))
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val seq0 = steps
+      .withColumn("nxt", lead(col("event_type"), 1).over(w))
+      .withColumn("rn", row_number().over(w))
+    val trans = seq0.where(col("rn") === 1)
+        .select(lit("start").as("src"), col("event_type").as("dst"))
+      .unionByName(seq0.where(col("nxt").isNotNull)
+        .select(col("event_type").as("src"), col("nxt").as("dst")))
+      .unionByName(seq0.where(col("nxt").isNull &&
+          col("event_type") =!= "purchase")
+        .select(col("event_type").as("src"), lit("null").as("dst")))
+      .where(col("src") =!= "purchase")
+    val tShape = trans.groupBy("src", "dst").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")))
+      .select(col("src"), col("dst"),
+        round(col("c").cast("double") / col("tot"), 8).as("p"))
+      .localCheckpoint(true)
+    val absorb = Seq(("purchase", "purchase", 1.0), ("null", "null", 1.0))
+      .toDF("src", "dst", "p")
+    def pconv(removed: Option[String]): org.apache.spark.sql.DataFrame = {
+      val base = removed match {
+        case None => tShape
+        case Some(c) => tShape.where(col("src") =!= c)
+          .withColumn("dst", when(col("dst") === c, lit("null"))
+            .otherwise(col("dst")))
+      }
+      val tm = base.unionByName(absorb)
+        .groupBy("src", "dst").agg(
+          round(sum(col("p").cast("decimal(38,18)")).cast("double"), 8).as("p"))
+        .localCheckpoint(true)
+      var pv = Seq(("start", 1.0)).toDF("st", "m")
+      (1 to 6).foreach { _ =>
+        pv = tm.as("t").join(pv.as("v"), col("t.src") === col("v.st"))
+          .groupBy(col("t.dst"))
+          .agg(round(sum((col("v.m") * col("t.p")).cast("decimal(38,18)"))
+            .cast("double"), 8).as("m2"))
+          .select(col("dst").as("st"), col("m2").as("m"))
+      }
+      pv.where(col("st") === "purchase").select(round(col("m"), 6).as("p"))
+    }
+    val base = pconv(None).select(col("p").as("p_conv"))
+    val ref = Seq("click", "error", "signup", "view")
+      .map { c =>
+        pconv(Some(c)).select(lit(c).as("channel"), col("p").as("p_without"))
+      }.reduce(_ unionByName _)
+      .crossJoin(broadcast(base))
+      .select(col("channel"), col("p_conv"), col("p_without"),
+        round(lit(1.0) - col("p_without") / col("p_conv"), 4)
+          .as("removal_effect"))
+      .orderBy("channel")
+      .collect().map(_.toString).toSeq
+    val got = SparkEntry.queries("q_events_markov_attribution")(s, dir)
+      .orderBy("channel").collect().map(_.toString).toSeq
+    assert(got == ref,
+      "driver-local absorbing chain diverged from the DataFrame chain reference")
+    assert(got.size == 4)
+  }
+
   test("dfsLeaves: local reach+reduce+replay ≡ distributed reduction path") {
     val e = Tables.t(spark, dir, "orders").select(
         (col("o_orderkey") % 150).as("src"), (col("o_custkey") % 150).as("dst"))
