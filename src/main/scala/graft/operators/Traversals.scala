@@ -1820,9 +1820,34 @@ object Traversals {
     * plus two hash aggs keyed by vertex — all partial-aggregated;
     * label tables are localCheckpointed per round so lineage stays
     * O(1) regardless of `iters`. */
-  def labelPropagation(edges: DataFrame, iters: Int = 2): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int = 2,
+      localMaxEdges: Long = GraphAlgos.denseLocalMaxEdges): DataFrame = {
     val sym = symmetrize(edges)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // dense-small-graph fast path (r20, the lubyMis gate shape:
+    // canonical-half collect within the 64k × 16 B contract, local
+    // mirror): synchronous rounds of "most-frequent neighbour label,
+    // ties to the smallest" are exact integer counting — identical
+    // label tables to the fused DataFrame rounds.
+    if (sym.count() <= 2 * localMaxEdges) {
+      val spark = sym.sparkSession
+      import spark.implicits._
+      val eL = sym.where(col("src") <= col("dst"))
+        .select(col("src"), col("dst")).as[(Long, Long)].collect()
+        .flatMap(p => if (p._1 == p._2) Array(p) else Array(p, (p._2, p._1)))
+      sym.unpersist(blocking = false)
+      val inc = eL.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      var lab: Map[Long, Long] = eL.map(_._1).distinct.map(v => v -> v).toMap
+      (1 to iters).foreach { _ =>
+        lab = inc.map { case (v, srcs) =>
+          val cnt = srcs.groupBy(lab).view.mapValues(_.length)
+          v -> cnt.toSeq.sortWith { case ((l1, c1), (l2, c2)) =>
+            if (c1 != c2) c1 > c2 else l1 < l2
+          }.head._1
+        }
+      }
+      return lab.toSeq.toDF("vertex", "label")
+    }
     var labels = sym.select(col("src").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .checkpointSized()

@@ -1840,41 +1840,45 @@ object RelationalQueries {
       val daily = Tables.events(s, d)
         .groupBy(col("ts").cast("date").as("day"))
         .agg(count(lit(1)).as("x"))
+      // r20 optimization: the 16-day tail is FIXED-SIZE by
+      // construction, so the 15 unrolled updates — previously 15
+      // 1-row localCheckpoint round-trips plus 16 broadcasts — run in
+      // exact driver BigDecimal after ONE collect of the spine (the
+      // markov/pca bounded-state shape). Identical algebra: scale-6
+      // decimals, ·½ products exact, setScale(6, HALF_UP) ≡
+      // round(expr, 6), doubleValue ≡ cast("double"). The degenerate-
+      // series guard (r13 advice) keeps the "zero rows unless the
+      // full 16-day tail exists" pin: the old chain emptied at the
+      // first missing yAt(t), the local path returns no row unless
+      // all 16 days collected.
+      import java.math.{BigDecimal => JBD, RoundingMode => RM}
+      import s.implicits._
       val series = daily
         .withColumn("rd", row_number().over(Window.orderBy(col("day").desc)))
         .where(col("rd") <= 16)
         .select((lit(17) - col("rd")).as("rn"),
           col("x").cast("decimal(20,6)").as("y"))
-        .localCheckpoint(true) // probed once per unrolled step
-      val half = lit(0.5).cast("decimal(2,1)")
-      def yAt(t: Int) = broadcast(series.where(col("rn") === t).select("y"))
-      var st = yAt(1).select(col("y").cast("decimal(24,6)").as("l"))
-        .crossJoin(yAt(2).select(col("y").as("y2")))
-        .select(col("l"), (col("y2") - col("l")).cast("decimal(24,6)").as("b"))
-        .localCheckpoint(true)
-      for (t <- 2 to 16) {
-        st = st.crossJoin(yAt(t))
-          .select(col("l"), col("b"),
-            round((col("y") + col("l") + col("b")) * half, 6)
-              .cast("decimal(24,6)").as("lt"))
-          .select(col("lt").as("l"),
-            round((col("lt") - col("l") + col("b")) * half, 6)
-              .cast("decimal(24,6)").as("b"))
-          .localCheckpoint(true)
+        .collect().map(r => r.getInt(0) -> r.getDecimal(1)).toMap
+      if (series.size != 16)
+        Seq.empty[(Int, Double, Double, Double, Double, Double)]
+          .toDF("n_days", "level", "trend", "f1", "f2", "f3")
+      else {
+        val half = new JBD("0.5")
+        var l = series(1)
+        var b = series(2).subtract(l)
+        for (t <- 2 to 16) {
+          val lt = series(t).add(l).add(b).multiply(half)
+            .setScale(6, RM.HALF_UP)
+          b = lt.subtract(l).add(b).multiply(half).setScale(6, RM.HALF_UP)
+          l = lt
+        }
+        val two = new JBD(2); val three = new JBD(3)
+        Seq((16, l.doubleValue, b.doubleValue,
+            l.add(b).doubleValue,
+            l.add(b.multiply(two)).doubleValue,
+            l.add(b.multiply(three)).doubleValue))
+          .toDF("n_days", "level", "trend", "f1", "f2", "f3")
       }
-      // Degenerate-series guard (r13 advice): on a study shorter than
-      // 16 days the unrolled chain empties at the first missing yAt(t)
-      // while the oracle's scalar subqueries would propagate NULLs —
-      // pin BOTH engines to "zero rows unless the full 16-day tail
-      // exists" (oracle carries the matching count(*)=16 WHERE).
-      val full16 = broadcast(series.agg(count(lit(1)).as("nd"))
-        .where(col("nd") === 16))
-      st.crossJoin(full16).select(lit(16).as("n_days"),
-        col("l").cast("double").as("level"),
-        col("b").cast("double").as("trend"),
-        (col("l") + col("b")).cast("double").as("f1"),
-        (col("l") + col("b") * lit(2)).cast("double").as("f2"),
-        (col("l") + col("b") * lit(3)).cast("double").as("f3"))
     }),
     "q_events_forecast" -> ((s, d) => {
       // forecast-baseline accuracy readout over the daily event-count

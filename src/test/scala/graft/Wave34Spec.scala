@@ -252,6 +252,51 @@ class Wave34Spec extends SparkSpec {
     assert(got.size == 4)
   }
 
+  test("q_events_holt: driver-local recursion ≡ the r19 unrolled DataFrame chain") {
+    import spark.implicits._
+    val s = spark
+    val daily = Tables.events(s, dir)
+      .groupBy(col("ts").cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val series = daily
+      .withColumn("rd", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("day").desc)))
+      .where(col("rd") <= 16)
+      .select((lit(17) - col("rd")).as("rn"),
+        col("x").cast("decimal(20,6)").as("y"))
+      .localCheckpoint(true)
+    val half = lit(0.5).cast("decimal(2,1)")
+    def yAt(t: Int) = broadcast(series.where(col("rn") === t).select("y"))
+    var st = yAt(1).select(col("y").cast("decimal(24,6)").as("l"))
+      .crossJoin(yAt(2).select(col("y").as("y2")))
+      .select(col("l"), (col("y2") - col("l")).cast("decimal(24,6)").as("b"))
+      .localCheckpoint(true)
+    for (t <- 2 to 16) {
+      st = st.crossJoin(yAt(t))
+        .select(col("l"), col("b"),
+          round((col("y") + col("l") + col("b")) * half, 6)
+            .cast("decimal(24,6)").as("lt"))
+        .select(col("lt").as("l"),
+          round((col("lt") - col("l") + col("b")) * half, 6)
+            .cast("decimal(24,6)").as("b"))
+        .localCheckpoint(true)
+    }
+    val full16 = broadcast(series.agg(count(lit(1)).as("nd"))
+      .where(col("nd") === 16))
+    val ref = st.crossJoin(full16).select(lit(16).as("n_days"),
+        col("l").cast("double").as("level"),
+        col("b").cast("double").as("trend"),
+        (col("l") + col("b")).cast("double").as("f1"),
+        (col("l") + col("b") * lit(2)).cast("double").as("f2"),
+        (col("l") + col("b") * lit(3)).cast("double").as("f3"))
+      .collect().map(_.toString).toSeq
+    val got = SparkEntry.queries("q_events_holt")(s, dir)
+      .collect().map(_.toString).toSeq
+    assert(got == ref,
+      "driver-local Holt recursion diverged from the unrolled DataFrame chain")
+    assert(got.size == 1)
+  }
+
   test("dfsLeaves: local reach+reduce+replay ≡ distributed reduction path") {
     val e = Tables.t(spark, dir, "orders").select(
         (col("o_orderkey") % 150).as("src"), (col("o_custkey") % 150).as("dst"))
@@ -271,6 +316,14 @@ class Wave34Spec extends SparkSpec {
       .localCheckpoint(true)
     val local = graft.operators.Traversals.dfsLeafResidual(e, 0L)
     val dist = graft.operators.Traversals.dfsLeafResidual(e, 0L,
+      localMaxEdges = 0)
+    assert(rowSet(local) == rowSet(dist) && rowSet(local).nonEmpty)
+  }
+
+  test("labelPropagation: local counting rounds ≡ distributed fused rounds") {
+    val e = modUnd(300).select(col("a").as("src"), col("b").as("dst"))
+    val local = graft.operators.Traversals.labelPropagation(e, iters = 2)
+    val dist = graft.operators.Traversals.labelPropagation(e, iters = 2,
       localMaxEdges = 0)
     assert(rowSet(local) == rowSet(dist) && rowSet(local).nonEmpty)
   }
